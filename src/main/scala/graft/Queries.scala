@@ -1,0 +1,618 @@
+package graft
+
+import graft.functions.vector
+import graft.operators._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** One entry per operator in SURVEY.md §2. Each def pairs the Spark
+  * implementation with (where SQL-expressible) a DuckDB oracle query
+  * over the same parquet tables.
+  *
+  * Determinism rules (SURVEY.md §6): money aggregates go through
+  * DECIMAL(12,2) before SUM on both engines (order-independent exact
+  * arithmetic — a float sum would drift with partitioning); float
+  * expressions are rounded before ranking/compare; every result has a
+  * total deterministic ORDER BY on a unique key.
+  */
+final case class QueryDef(name: String,
+    fn: (SparkSession, String) => DataFrame,
+    oracle: Option[String])
+
+object Queries {
+
+  // Money columns are exact 2-decimal values (verified on the data), so
+  // DECIMAL(12,2) casts are exact; rates (discount/tax ≤ 0.10) fit
+  // DECIMAL(4,2). Tight precisions keep the triple product
+  // price*(1-d)*(1+t) at DECIMAL(24,6) — inside 38 digits in BOTH
+  // engines, so no precision-loss truncation anywhere and the sums are
+  // bit-identical to the DuckDB oracle after the final double cast.
+  private val D = DecimalType(12, 2)
+  private def dec(c: Column): Column = c.cast(D)
+  private def rate(c: Column): Column = c.cast(DecimalType(4, 2))
+  private val oneD: Column = lit(new java.math.BigDecimal(1)).cast(DecimalType(3, 2))
+  private def t(s: SparkSession, dir: String, n: String): DataFrame = Tables(s, dir, n)
+
+  // ───────────────────────────── §2b relational ─────────────────────────────
+
+  val q1Agg: QueryDef = QueryDef("q1_agg",
+    (s, dir) => t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(dec(col("l_quantity"))).cast(DoubleType).as("sum_qty"),
+        sum(dec(col("l_extendedprice"))).cast(DoubleType).as("sum_base_price"),
+        sum(dec(col("l_extendedprice")) * (oneD - rate(col("l_discount")))).cast(DoubleType).as("sum_disc_price"),
+        sum(dec(col("l_extendedprice")) * (oneD - rate(col("l_discount"))) * (oneD + rate(col("l_tax")))).cast(DoubleType).as("sum_charge"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus")),
+    Some("""SELECT l_returnflag, l_linestatus,
+      CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS sum_disc_price,
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2))) * (CAST(1 AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(4,2)))) AS DOUBLE) AS sum_charge,
+      COUNT(*) AS count_order
+      FROM lineitem GROUP BY l_returnflag, l_linestatus
+      ORDER BY l_returnflag, l_linestatus"""))
+
+  val q2Filter: QueryDef = QueryDef("q2_filter_pushdown",
+    (s, dir) => t(s, dir, "lineitem")
+      .filter(col("l_shipdate") >= to_timestamp(lit("1999-01-01 00:00:00")) &&
+        col("l_discount") > 0.05 && col("l_quantity") < 10)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
+      .orderBy(col("l_orderkey"), col("l_linenumber")),
+    Some("""SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1999-01-01 00:00:00' AND l_discount > 0.05 AND l_quantity < 10
+      ORDER BY l_orderkey, l_linenumber"""))
+
+  val q3Join: QueryDef = QueryDef("q3_join_agg",
+    (s, dir) => {
+      val c = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+      val o = t(s, dir, "orders").filter(col("o_orderdate") < to_timestamp(lit("1998-06-30 00:00:00")))
+      val l = t(s, dir, "lineitem").filter(col("l_shipdate") > to_timestamp(lit("1998-06-30 00:00:00")))
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"))
+        .agg(sum(dec(col("l_extendedprice")) * (oneD - rate(col("l_discount")))).cast(DoubleType).as("revenue"))
+        .orderBy(desc("revenue"), col("l_orderkey"))
+        .limit(10)
+    },
+    Some("""SELECT l_orderkey, o_orderdate,
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '1998-06-30 00:00:00'
+        AND l_shipdate > TIMESTAMP '1998-06-30 00:00:00'
+      GROUP BY l_orderkey, o_orderdate
+      ORDER BY revenue DESC, l_orderkey LIMIT 10"""))
+
+  val q4Semi: QueryDef = QueryDef("q4_semi_join",
+    (s, dir) => {
+      val o = t(s, dir, "orders")
+      val l = t(s, dir, "lineitem").filter(col("l_quantity") > 45).select("l_orderkey")
+      o.join(l, col("o_orderkey") === col("l_orderkey"), "left_semi")
+        .groupBy(col("o_orderpriority")).agg(count(lit(1)).as("n"))
+        .orderBy(col("o_orderpriority"))
+    },
+    Some("""SELECT o_orderpriority, COUNT(*) AS n FROM orders
+      WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_quantity > 45)
+      GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
+
+  val q5Multi: QueryDef = QueryDef("q5_multi_join",
+    (s, dir) => {
+      val r = t(s, dir, "region").filter(col("r_name") === "ASIA")
+      val n = t(s, dir, "nation")
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders")
+        .filter(col("o_orderdate") >= to_timestamp(lit("1997-01-01 00:00:00")) &&
+          col("o_orderdate") < to_timestamp(lit("1998-01-01 00:00:00")))
+      val l = t(s, dir, "lineitem")
+      val su = t(s, dir, "supplier")
+      c.join(o, col("c_custkey") === col("o_custkey"))
+        .join(l, col("o_orderkey") === col("l_orderkey"))
+        .join(su, col("l_suppkey") === col("s_suppkey") && col("s_nationkey") === col("c_nationkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("n_name"))
+        .agg(sum(dec(col("l_extendedprice")) * (oneD - rate(col("l_discount")))).cast(DoubleType).as("revenue"))
+        .orderBy(col("n_name"))
+    },
+    Some("""SELECT n_name,
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+      FROM customer JOIN orders ON c_custkey = o_custkey
+      JOIN lineitem ON o_orderkey = l_orderkey
+      JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
+      JOIN nation ON c_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      WHERE r_name = 'ASIA' AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+        AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      GROUP BY n_name ORDER BY n_name"""))
+
+  val q6Window: QueryDef = QueryDef("q6_window",
+    (s, dir) => {
+      val w = Window.partitionBy(col("l_suppkey"))
+        .orderBy(desc("l_extendedprice"), col("l_orderkey"), col("l_linenumber"))
+      t(s, dir, "lineitem")
+        .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
+        .withColumn("rn", row_number().over(w).cast(LongType))
+        .withColumn("prev_price", lag(col("l_extendedprice"), 1).over(w))
+        .withColumn("run_price",
+          sum(dec(col("l_extendedprice"))).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)).cast(DoubleType))
+        .filter(col("rn") <= 3)
+        .orderBy(col("l_suppkey"), col("rn"))
+    },
+    Some("""SELECT l_suppkey, l_orderkey, l_linenumber, l_extendedprice, rn, prev_price, run_price FROM (
+      SELECT l_suppkey, l_orderkey, l_linenumber, l_extendedprice,
+        CAST(ROW_NUMBER() OVER w AS BIGINT) AS rn,
+        LAG(l_extendedprice, 1) OVER w AS prev_price,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS run_price
+      FROM lineitem
+      WINDOW w AS (PARTITION BY l_suppkey ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber))
+      WHERE rn <= 3 ORDER BY l_suppkey, rn"""))
+
+  val q7TopK: QueryDef = QueryDef("q7_topk",
+    (s, dir) => t(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_totalprice"))
+      .orderBy(desc("o_totalprice"), col("o_orderkey"))
+      .limit(15),
+    Some("""SELECT o_orderkey, o_totalprice FROM orders
+      ORDER BY o_totalprice DESC, o_orderkey LIMIT 15"""))
+
+  val q8Distinct: QueryDef = QueryDef("q8_distinct",
+    (s, dir) => t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_suppkey")).as("n_supps"),
+        count(lit(1)).as("n_rows"))
+      .orderBy(col("l_returnflag")),
+    Some("""SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS n_parts,
+      COUNT(DISTINCT l_suppkey) AS n_supps, COUNT(*) AS n_rows
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
+
+  val q9Rollup: QueryDef = QueryDef("q9_rollup",
+    (s, dir) => t(s, dir, "orders")
+      .rollup(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"),
+        sum(dec(col("o_totalprice"))).cast(DoubleType).as("total"))
+      .orderBy(asc_nulls_first("o_orderstatus"), asc_nulls_first("o_orderpriority")),
+    Some("""SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+      CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+      FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+      ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST"""))
+
+  private val eventTypes = Seq("click", "view", "purchase", "signup", "error")
+
+  val q10Pivot: QueryDef = QueryDef("q10_pivot",
+    (s, dir) => {
+      val p = t(s, dir, "events").groupBy(col("user_id"))
+        .pivot("event_type", eventTypes).agg(count(lit(1)))
+      p.select(col("user_id") +:
+          eventTypes.map(e => coalesce(col(e), lit(0L)).cast(LongType).as(e)): _*)
+        .orderBy(col("user_id"))
+    },
+    Some("""SELECT user_id,
+      CAST(SUM(CASE WHEN event_type='click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+      CAST(SUM(CASE WHEN event_type='view' THEN 1 ELSE 0 END) AS BIGINT) AS view,
+      CAST(SUM(CASE WHEN event_type='purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+      CAST(SUM(CASE WHEN event_type='signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+      CAST(SUM(CASE WHEN event_type='error' THEN 1 ELSE 0 END) AS BIGINT) AS error
+      FROM events GROUP BY user_id ORDER BY user_id"""))
+
+  val q11Anti: QueryDef = QueryDef("q11_anti_join",
+    (s, dir) => {
+      val recent = t(s, dir, "orders")
+        .filter(col("o_orderdate") >= to_timestamp(lit("2001-01-01 00:00:00")))
+        .select("o_custkey")
+      t(s, dir, "customer")
+        .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy(col("c_custkey"))
+    },
+    Some("""SELECT c_custkey, c_name FROM customer
+      WHERE NOT EXISTS (SELECT 1 FROM orders
+        WHERE o_custkey = c_custkey AND o_orderdate >= TIMESTAMP '2001-01-01 00:00:00')
+      ORDER BY c_custkey"""))
+
+  val q12Expr: QueryDef = QueryDef("q12_expr",
+    (s, dir) => t(s, dir, "orders").select(
+      col("o_orderkey"),
+      when(col("o_totalprice") > 300000, "high")
+        .when(col("o_totalprice") > 150000, "mid").otherwise("low").as("price_band"),
+      upper(substring(col("o_orderpriority"), 1, 1)).as("prio_code"),
+      year(col("o_orderdate")).cast(LongType).as("yr"),
+      month(col("o_orderdate")).cast(LongType).as("mon"),
+      dayofmonth(col("o_orderdate")).cast(LongType).as("dom"),
+      concat(col("o_orderstatus"), lit("-"), col("o_orderpriority")).as("status_prio"),
+      length(col("o_orderpriority")).cast(LongType).as("prio_len"),
+      // floor on the shared double value — identical IEEE ops in both
+      // engines, unlike round() whose half-way semantics differ
+      (floor(col("o_totalprice") / 1000.0 * 100.0) / 100.0).as("kprice"))
+      .orderBy(col("o_orderkey")),
+    Some("""SELECT o_orderkey,
+      CASE WHEN o_totalprice > 300000 THEN 'high' WHEN o_totalprice > 150000 THEN 'mid' ELSE 'low' END AS price_band,
+      upper(substr(o_orderpriority, 1, 1)) AS prio_code,
+      CAST(year(o_orderdate) AS BIGINT) AS yr,
+      CAST(month(o_orderdate) AS BIGINT) AS mon,
+      CAST(day(o_orderdate) AS BIGINT) AS dom,
+      o_orderstatus || '-' || o_orderpriority AS status_prio,
+      CAST(length(o_orderpriority) AS BIGINT) AS prio_len,
+      floor(o_totalprice / 1000.0 * 100.0) / 100.0 AS kprice
+      FROM orders ORDER BY o_orderkey"""))
+
+  val q13Percentiles: QueryDef = QueryDef("q13_percentiles",
+    (s, dir) => t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(percentile(col("l_extendedprice"), lit(0.25)), 4).as("p25"),
+        round(percentile(col("l_extendedprice"), lit(0.5)), 4).as("p50"),
+        round(percentile(col("l_extendedprice"), lit(0.75)), 4).as("p75"),
+        round(percentile(col("l_quantity"), lit(0.5)), 4).as("med_qty"))
+      .orderBy(col("l_returnflag")),
+    Some("""SELECT l_returnflag,
+      round(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
+      round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+      round(quantile_cont(l_extendedprice, 0.75), 4) AS p75,
+      round(quantile_cont(l_quantity, 0.5), 4) AS med_qty
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
+
+  val q14Subquery: QueryDef = QueryDef("q14_subquery",
+    (s, dir) => {
+      val w = Window.partitionBy(col("p_brand"))
+      t(s, dir, "part")
+        .withColumn("cnt", count(lit(1)).over(w))
+        .withColumn("tot", sum(dec(col("p_retailprice"))).over(w))
+        .filter(dec(col("p_retailprice")) * col("cnt") > col("tot"))
+        .select(col("p_partkey"), col("p_brand"), col("p_retailprice"))
+        .orderBy(col("p_partkey"))
+    },
+    Some("""SELECT p_partkey, p_brand, p_retailprice FROM part p
+      WHERE CAST(p_retailprice AS DECIMAL(12,2)) * (SELECT COUNT(*) FROM part p2 WHERE p2.p_brand = p.p_brand)
+            > (SELECT SUM(CAST(p2.p_retailprice AS DECIMAL(12,2))) FROM part p2 WHERE p2.p_brand = p.p_brand)
+      ORDER BY p_partkey"""))
+
+  val q15SetOps: QueryDef = QueryDef("q15_setops",
+    (s, dir) => {
+      val cn = t(s, dir, "customer").select(col("c_nationkey").cast(IntegerType).as("nk")).distinct()
+      val sn = t(s, dir, "supplier").select(col("s_nationkey").cast(IntegerType).as("nk")).distinct()
+      cn.intersect(sn).withColumn("tag", lit("both"))
+        .unionByName(cn.except(sn).withColumn("tag", lit("customer_only")))
+        .unionByName(sn.except(cn).withColumn("tag", lit("supplier_only")))
+        .orderBy(col("tag"), col("nk"))
+    },
+    Some("""WITH cn AS (SELECT DISTINCT CAST(c_nationkey AS INTEGER) AS nk FROM customer),
+      sn AS (SELECT DISTINCT CAST(s_nationkey AS INTEGER) AS nk FROM supplier)
+      SELECT nk, tag FROM (
+        SELECT nk, 'both' AS tag FROM (SELECT nk FROM cn INTERSECT SELECT nk FROM sn)
+        UNION ALL SELECT nk, 'customer_only' FROM (SELECT nk FROM cn EXCEPT SELECT nk FROM sn)
+        UNION ALL SELECT nk, 'supplier_only' FROM (SELECT nk FROM sn EXCEPT SELECT nk FROM cn))
+      ORDER BY tag, nk"""))
+
+  val q16Sessionize: QueryDef = QueryDef("q16_sessionize",
+    (s, dir) => {
+      val wOrd = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      t(s, dir, "events")
+        .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(wOrd))
+        .withColumn("new_sess",
+          when(col("prev_us").isNull ||
+            unix_micros(col("ts")) - col("prev_us") > 1800000000L, 1L).otherwise(0L))
+        .withColumn("sess_idx",
+          sum(col("new_sess")).over(wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(col("user_id"), col("sess_idx"))
+        .agg(count(lit(1)).as("n_events"),
+          min(col("event_id")).as("first_event_id"),
+          sum(dec(col("value"))).cast(DoubleType).as("total_value"))
+        .orderBy(col("user_id"), col("sess_idx"))
+    },
+    Some("""WITH e AS (SELECT user_id, event_id, value, ts,
+        LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+        FROM events),
+      f AS (SELECT user_id, event_id, value,
+        CASE WHEN prev_us IS NULL OR epoch_us(ts) - prev_us > 1800000000 THEN 1 ELSE 0 END AS new_sess, ts
+        FROM e),
+      g AS (SELECT user_id, event_id, value,
+        SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sess_idx
+        FROM f)
+      SELECT user_id, CAST(sess_idx AS BIGINT) AS sess_idx, COUNT(*) AS n_events,
+        MIN(event_id) AS first_event_id,
+        CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+      FROM g GROUP BY user_id, sess_idx ORDER BY user_id, sess_idx"""))
+
+  val q17EventsWindow: QueryDef = QueryDef("q17_events_window",
+    (s, dir) => t(s, dir, "events")
+      .groupBy(date_trunc("hour", col("ts")).as("window_start"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(dec(col("value"))).cast(DoubleType).as("total"))
+      .orderBy(col("window_start"), col("event_type")),
+    Some("""SELECT date_trunc('hour', ts) AS window_start, event_type, COUNT(*) AS n,
+      CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total
+      FROM events GROUP BY 1, 2 ORDER BY window_start, event_type"""))
+
+  val q18Json: QueryDef = QueryDef("q18_json",
+    (s, dir) => t(s, dir, "events")
+      .select(col("event_id"),
+        get_json_object(col("props"), "$.k").cast(LongType).as("k"))
+      .orderBy(col("event_id")),
+    Some("""SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+      FROM events ORDER BY event_id"""))
+
+  // ───────────────────────────── §2a ETL surface ─────────────────────────────
+
+  val etlUnionSources: QueryDef = QueryDef("etl_union_sources",
+    (s, dir) => {
+      val d = t(s, dir, "documents")
+      d.filter(col("source") === "src0")
+        .unionByName(d.filter(col("source") === "src1"))
+        .unionByName(d.filter(col("source") === "src2" && col("lang") === "en"))
+        .select(col("doc_id"), col("lang"), col("source"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""SELECT doc_id, lang, source FROM documents WHERE source = 'src0'
+      UNION ALL SELECT doc_id, lang, source FROM documents WHERE source = 'src1'
+      UNION ALL SELECT doc_id, lang, source FROM documents WHERE source = 'src2' AND lang = 'en'
+      ORDER BY doc_id"""))
+
+  val etlValidate: QueryDef = QueryDef("etl_validate",
+    (s, dir) => Clean.requireFields(t(s, dir, "documents"), Seq("text", "lang", "source"))
+      .filter(col("n_chars") > 0)
+      .select(col("doc_id"), col("lang"))
+      .orderBy(col("doc_id")),
+    Some("""SELECT doc_id, lang FROM documents
+      WHERE text IS NOT NULL AND trim(text) <> '' AND lang IS NOT NULL AND trim(lang) <> ''
+        AND source IS NOT NULL AND trim(source) <> '' AND n_chars > 0
+      ORDER BY doc_id"""))
+
+  val etlCleanTransform: QueryDef = QueryDef("etl_clean_transform",
+    (s, dir) => {
+      val cleaned = Clean.standardize(
+        Clean.requireFields(t(s, dir, "documents"), Seq("text", "lang", "source")))
+      val toks = TextAnalysis.tokens(col("text"))
+      Clean.withIngestTimestamp(
+          cleaned.select(col("doc_id"), col("lang"), col("source"),
+            Clean.firstOf(toks).as("primary_token"),
+            size(toks).cast(LongType).as("n_tokens")),
+          to_timestamp(lit("2026-01-01 00:00:00")))
+        .filter(col("primary_token").isNotNull && col("n_tokens") > 0)
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH v AS (SELECT doc_id, trim(lang) AS lang, trim(source) AS source,
+        string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS w
+        FROM documents
+        WHERE text IS NOT NULL AND trim(text) <> '' AND lang IS NOT NULL AND trim(lang) <> ''
+          AND source IS NOT NULL AND trim(source) <> '')
+      SELECT doc_id, lang, source,
+        CASE WHEN len(w) > 0 THEN w[1] END AS primary_token,
+        CAST(len(w) AS BIGINT) AS n_tokens,
+        TIMESTAMP '2026-01-01 00:00:00' AS last_updated
+      FROM v
+      WHERE (CASE WHEN len(w) > 0 THEN w[1] END) IS NOT NULL AND len(w) > 0
+      ORDER BY doc_id"""))
+
+  val etlQualityReport: QueryDef = QueryDef("etl_quality_report",
+    (s, dir) => Clean.qualityReport(t(s, dir, "documents"), Seq(
+      "bad_text"     -> (col("text").isNotNull && trim(col("text")) =!= ""),
+      "bad_lang"     -> col("lang").isin("en", "fr", "es", "de", "zh"),
+      "too_short"    -> (col("n_chars") >= 50),
+      "bad_source"   -> (col("source").isNotNull && trim(col("source")) =!= ""))),
+    Some("""SELECT CAST(COUNT(*) AS BIGINT) AS total,
+      CAST(SUM(CASE WHEN NOT (text IS NOT NULL AND trim(text) <> '') THEN 1 ELSE 0 END) AS BIGINT) AS bad_text,
+      CAST(SUM(CASE WHEN NOT (lang IN ('en','fr','es','de','zh')) THEN 1 ELSE 0 END) AS BIGINT) AS bad_lang,
+      CAST(SUM(CASE WHEN NOT (n_chars >= 50) THEN 1 ELSE 0 END) AS BIGINT) AS too_short,
+      CAST(SUM(CASE WHEN NOT (source IS NOT NULL AND trim(source) <> '') THEN 1 ELSE 0 END) AS BIGINT) AS bad_source
+      FROM documents"""))
+
+  val etlCsvProjection: QueryDef = QueryDef("etl_csv_projection",
+    (s, dir) => t(s, dir, "documents").select(
+      col("doc_id"),
+      coalesce(col("text"), lit("")).as("text"),
+      coalesce(col("lang"), lit("")).as("lang"),
+      coalesce(col("source"), lit("")).as("source"))
+      .orderBy(col("doc_id")),
+    Some("""SELECT doc_id, COALESCE(text, '') AS text, COALESCE(lang, '') AS lang,
+      COALESCE(source, '') AS source FROM documents ORDER BY doc_id"""))
+
+  val etlFreshness: QueryDef = QueryDef("etl_freshness",
+    (s, dir) => t(s, dir, "orders").agg(
+      count(lit(1)).as("record_count"),
+      countDistinct(col("o_custkey")).as("distinct_ids"),
+      max(col("o_orderdate")).as("last_updated")),
+    Some("""SELECT COUNT(*) AS record_count, COUNT(DISTINCT o_custkey) AS distinct_ids,
+      MAX(o_orderdate) AS last_updated FROM orders"""))
+
+  // ──────────────────────── §2c text analysis ────────────────────────
+
+  val textTokens: QueryDef = QueryDef("text_tokens",
+    (s, dir) => t(s, dir, "documents").select(
+      col("doc_id"),
+      TextAnalysis.tokenCount(col("text")).as("n_tokens"),
+      TextAnalysis.pieceCount(col("text")).as("n_pieces"),
+      length(col("text")).cast(LongType).as("n_chars_actual"))
+      .orderBy(col("doc_id")),
+    Some("""SELECT doc_id,
+      CAST(len(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS BIGINT) AS n_tokens,
+      CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS BIGINT) AS n_pieces,
+      CAST(length(text) AS BIGINT) AS n_chars_actual
+      FROM documents ORDER BY doc_id"""))
+
+  val textQuality: QueryDef = QueryDef("text_quality",
+    (s, dir) => t(s, dir, "documents").select(
+      col("doc_id"),
+      TextAnalysis.qualityScore(col("text"), col("n_chars")).as("quality"))
+      .withColumn("band",
+        when(col("quality") >= 0.75, "high").when(col("quality") >= 0.5, "mid").otherwise("low"))
+      .orderBy(col("doc_id")),
+    Some("""WITH t AS (SELECT doc_id, text, n_chars,
+        string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS w
+        FROM documents),
+      m AS (SELECT doc_id,
+        CASE WHEN len(w) > 0 THEN CAST(len(list_filter(w, x -> x IN ('the','a','of','and','or','to','in'))) AS DOUBLE) / len(w) ELSE 0.0 END AS stop_r,
+        CASE WHEN length(text) > 0 THEN (CAST(length(text) AS DOUBLE) - length(regexp_replace(lower(text), '[^a-z0-9\s]', '', 'g'))) / length(text) ELSE 0.0 END AS punct_r,
+        LEAST(CAST(n_chars AS DOUBLE) / 500.0, 1.0) AS len_s
+        FROM t)
+      SELECT doc_id,
+        round(0.4 * (1.0 - punct_r) + 0.3 * LEAST(stop_r * 5.0, 1.0) + 0.3 * len_s, 6) AS quality,
+        CASE WHEN round(0.4 * (1.0 - punct_r) + 0.3 * LEAST(stop_r * 5.0, 1.0) + 0.3 * len_s, 6) >= 0.75 THEN 'high'
+             WHEN round(0.4 * (1.0 - punct_r) + 0.3 * LEAST(stop_r * 5.0, 1.0) + 0.3 * len_s, 6) >= 0.5 THEN 'mid'
+             ELSE 'low' END AS band
+      FROM m ORDER BY doc_id"""))
+
+  val textLangId: QueryDef = QueryDef("text_langid",
+    (s, dir) => t(s, dir, "documents").select(
+      col("doc_id"),
+      TextAnalysis.langId(col("text")).as("predicted"),
+      col("lang").as("actual"))
+      .orderBy(col("doc_id")),
+    Some("""WITH t AS (SELECT doc_id, lang,
+        string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS w
+        FROM documents),
+      sc AS (SELECT doc_id, lang,
+        len(list_filter(w, x -> x IN ('the','a','or'))) AS s_en,
+        len(list_filter(w, x -> x IN ('row','line','value'))) AS s_fr,
+        len(list_filter(w, x -> x IN ('data','table','key'))) AS s_es,
+        len(list_filter(w, x -> x IN ('group','window','batch'))) AS s_de,
+        len(list_filter(w, x -> x IN ('stream','vector','hash'))) AS s_zh
+        FROM t)
+      SELECT doc_id,
+        CASE WHEN s_en >= GREATEST(s_fr, s_es, s_de, s_zh) THEN 'en'
+             WHEN s_fr >= GREATEST(s_es, s_de, s_zh) THEN 'fr'
+             WHEN s_es >= GREATEST(s_de, s_zh) THEN 'es'
+             WHEN s_de >= s_zh THEN 'de'
+             ELSE 'zh' END AS predicted,
+        lang AS actual
+      FROM sc ORDER BY doc_id"""))
+
+  val textFingerprint: QueryDef = QueryDef("text_fingerprint",
+    (s, dir) => t(s, dir, "documents").select(
+      col("doc_id"),
+      TextAnalysis.fingerprintMd5(col("text")).as("fingerprint"))
+      .orderBy(col("doc_id")),
+    Some("""SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint
+      FROM documents ORDER BY doc_id"""))
+
+  // ──────────────────────── §2c dedup ────────────────────────
+
+  val dedupExact: QueryDef = QueryDef("dedup_exact",
+    (s, dir) => Dedup.exact(t(s, dir, "documents"), "doc_id", "text")
+      .orderBy(col("digest")),
+    Some("""SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS digest,
+      MIN(doc_id) AS survivor_id, COUNT(*) AS n_copies
+      FROM documents GROUP BY 1 ORDER BY digest"""))
+
+  val dedupNgramJaccard: QueryDef = QueryDef("dedup_ngram_jaccard",
+    (s, dir) => Dedup.ngramJaccardPairs(t(s, dir, "documents"),
+      "doc_id", "text", "lang", "n_chars", lenBand = 50, n = 3, minJaccard = 0.0)
+      .orderBy(desc("jaccard"), col("id_a"), col("id_b"))
+      .limit(100),
+    Some("""WITH tok AS (SELECT doc_id, lang, n_chars,
+        string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS w
+        FROM documents),
+      g AS (SELECT doc_id, lang, n_chars,
+        unnest(list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2] FOR i IN range(1, len(w) - 1)])) AS gram
+        FROM tok WHERE len(w) >= 3),
+      sz AS (SELECT doc_id, COUNT(*) AS sz FROM g GROUP BY doc_id),
+      cand AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+        FROM g a JOIN g b ON a.gram = b.gram AND a.lang = b.lang
+          AND a.doc_id < b.doc_id AND abs(a.n_chars - b.n_chars) <= 50
+        GROUP BY 1, 2)
+      SELECT id_a, id_b,
+        round(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 6) AS jaccard
+      FROM cand JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+      ORDER BY jaccard DESC, id_a, id_b LIMIT 100"""))
+
+  val dedupMinhash: QueryDef = QueryDef("dedup_minhash",
+    (s, dir) => Dedup.minhashDedupSurvivors(t(s, dir, "documents"),
+      "doc_id", "text", minJaccard = 0.7)
+      .select(col("doc_id"), col("lang"))
+      .orderBy(col("doc_id")),
+    None)
+
+  val dedupSimhash: QueryDef = QueryDef("dedup_simhash",
+    (s, dir) => Dedup.simhash(t(s, dir, "documents"), "doc_id", "text")
+      .orderBy(col("id")),
+    None)
+
+  val dedupEmbedding: QueryDef = QueryDef("dedup_embedding",
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val pairs = Dedup.embeddingNearDupPairs(emb, "vec_id", "embedding", "label", 0.95)
+      emb.join(pairs.select(col("id_b").as("vec_id")).distinct(), Seq("vec_id"), "left_anti")
+        .select(col("vec_id"), col("label"))
+        .orderBy(col("vec_id"))
+    },
+    None)
+
+  // ──────────────────────── §2c similarity search ────────────────────────
+
+  val annBruteForce: QueryDef = QueryDef("ann_bruteforce",
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") % 97 === 0)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      Similarity.bruteForceTopK(emb, q, "vec_id", "embedding", "q_id", "q_vec", 5)
+        .orderBy(col("q_id"), col("rank"))
+    },
+    Some("""WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings WHERE vec_id % 97 = 0),
+      scored AS (SELECT q.q_id, e.vec_id,
+        round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(q.q_vec AS DOUBLE[])), 4) AS cos
+        FROM embeddings e CROSS JOIN q)
+      SELECT q_id, vec_id, cos, rank FROM (
+        SELECT q_id, vec_id, cos,
+          CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS BIGINT) AS rank
+        FROM scored)
+      WHERE rank <= 5 ORDER BY q_id, rank"""))
+
+  val annLsh: QueryDef = QueryDef("ann_lsh",
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") % 97 === 0)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      Similarity.lshTopK(emb, q, "vec_id", "embedding", "q_id", "q_vec",
+        dim = 64, k = 5, bits = 4, bands = 4)
+        .orderBy(col("q_id"), col("rank"))
+    },
+    None)
+
+  // ──────────────────────── §2c multimodal / sketches ────────────────────────
+
+  val mmMetadata: QueryDef = QueryDef("mm_metadata",
+    (s, dir) => t(s, dir, "documents").select(
+      col("doc_id"),
+      octet_length(col("text")).cast(LongType).as("n_bytes"),
+      when(octet_length(col("text")) % 3 === 0, "png")
+        .when(octet_length(col("text")) % 3 === 1, "jpeg").otherwise("webp").as("format"),
+      (lit(16) + ascii(substring(col("text"), 1, 1)) % 128).cast(LongType).as("width"),
+      (lit(16) + ascii(substring(col("text"), 2, 1)) % 128).cast(LongType).as("height"))
+      .orderBy(col("doc_id")),
+    Some("""SELECT doc_id,
+      CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+      CASE WHEN octet_length(encode(text)) % 3 = 0 THEN 'png'
+           WHEN octet_length(encode(text)) % 3 = 1 THEN 'jpeg' ELSE 'webp' END AS format,
+      CAST(16 + ascii(substr(text, 1, 1)) % 128 AS BIGINT) AS width,
+      CAST(16 + ascii(substr(text, 2, 1)) % 128 AS BIGINT) AS height
+      FROM documents ORDER BY doc_id"""))
+
+  val mmDecode: QueryDef = QueryDef("mm_decode",
+    (s, dir) => Multimodal.decodeImageMeta(
+      Multimodal.asBinary(t(s, dir, "documents"), "doc_id", "text"))
+      .toDF().orderBy(col("id")),
+    None)
+
+  val sketchHll: QueryDef = QueryDef("sketch_hll",
+    (s, dir) => t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
+        countDistinct(col("l_partkey")).as("exact_parts"))
+      .orderBy(col("l_returnflag")),
+    None)
+
+  val all: Seq[QueryDef] = Seq(
+    q1Agg, q2Filter, q3Join, q4Semi, q5Multi, q6Window, q7TopK, q8Distinct,
+    q9Rollup, q10Pivot, q11Anti, q12Expr, q13Percentiles, q14Subquery,
+    q15SetOps, q16Sessionize, q17EventsWindow, q18Json,
+    etlUnionSources, etlValidate, etlCleanTransform, etlQualityReport,
+    etlCsvProjection, etlFreshness,
+    textTokens, textQuality, textLangId, textFingerprint,
+    dedupExact, dedupNgramJaccard, dedupMinhash, dedupSimhash, dedupEmbedding,
+    annBruteForce, annLsh, mmMetadata, mmDecode, sketchHll)
+}

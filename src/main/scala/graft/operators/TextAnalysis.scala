@@ -1,0 +1,94 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Text-analysis operators for an LLM-training-data pipeline: token
+  * counting, quality scoring, language ID, fingerprinting. Everything
+  * is `functions._` (codegen'd, no UDFs) so these run at scan speed and
+  * never force a shuffle — at 100 TB these are pure map-side work.
+  */
+object TextAnalysis {
+
+  /** Whitespace-collapsed, trimmed, lower-cased canonical form. */
+  def normalized(text: Column): Column =
+    regexp_replace(lower(trim(text)), "\\s+", " ")
+
+  /** Whitespace tokens of the canonical form. */
+  def tokens(text: Column): Column = split(normalized(text), " ")
+
+  def tokenCount(text: Column): Column = size(tokens(text)).cast(LongType)
+
+  /** BPE-ish subword-piece estimate: runs of letters, runs of digits,
+    * and single other non-space chars each count as one piece.
+    */
+  def pieceCount(text: Column): Column =
+    regexp_count(lower(text), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]")).cast(LongType)
+
+  /** Count of tokens that are in `words`. */
+  def tokenHits(text: Column, words: Seq[String]): Column =
+    size(filter(tokens(text), t => t.isin(words.map(lit): _*))).cast(LongType)
+
+  /** Ratio of non-alphanumeric, non-space characters. */
+  def punctRatio(text: Column): Column = {
+    val n = length(text).cast(DoubleType)
+    when(n > 0,
+      (n - length(regexp_replace(lower(text), "[^a-z0-9\\s]", "")).cast(DoubleType)) / n)
+      .otherwise(0.0)
+  }
+
+  val stopwords: Seq[String] = Seq("the", "a", "of", "and", "or", "to", "in")
+
+  /** Composite quality score in [0,1]: stopword presence, low
+    * punctuation noise, adequate length. Deterministic arithmetic
+    * (same fixed weights on both engines for the oracle).
+    */
+  def qualityScore(text: Column, nChars: Column): Column = {
+    val nTok  = tokenCount(text).cast(DoubleType)
+    val stopR = when(nTok > 0, tokenHits(text, stopwords).cast(DoubleType) / nTok).otherwise(0.0)
+    val punct = punctRatio(text)
+    val lenS  = least(nChars.cast(DoubleType) / 500.0, lit(1.0))
+    round(lit(0.4) * (lit(1.0) - punct) + lit(0.3) * least(stopR * 5.0, lit(1.0)) + lit(0.3) * lenS, 6)
+  }
+
+  /** Marker words per language for the n-gram-vote language ID. The
+    * synthetic corpus shares one vocabulary across langs, so these sets
+    * are arbitrary-but-fixed; on real data they'd be per-language
+    * frequency tables. Sets are disjoint so votes are unambiguous.
+    */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "or"),
+    "fr" -> Seq("row", "line", "value"),
+    "es" -> Seq("data", "table", "key"),
+    "de" -> Seq("group", "window", "batch"),
+    "zh" -> Seq("stream", "vector", "hash"))
+
+  /** Predicted language = argmax of marker-word hits, ties broken by
+    * the fixed order of `langMarkers`. Pure map-side expression.
+    */
+  def langId(text: Column): Column = {
+    val scores = langMarkers.map { case (lang, words) => lang -> tokenHits(text, words) }
+    // argmax with precedence = list order: lang_i wins if its score >= all later scores
+    scores.zipWithIndex.foldRight(lit(scores.last._1)) { case (((lang, s), i), elseC) =>
+      scores.drop(i + 1).map(_._2) match {
+        case Nil         => elseC
+        case one :: Nil  => when(s >= one, lang).otherwise(elseC)
+        case rest        => when(s >= greatest(rest: _*), lang).otherwise(elseC)
+      }
+    }
+  }
+
+  /** Canonical md5 fingerprint (content-addressed dedup key). */
+  def fingerprintMd5(text: Column): Column = md5(normalized(text))
+
+  /** 64-bit rolling fingerprint over tokens:
+    * f = fold(h, tok => xxhash64(h, tok)) — an order-sensitive cousin
+    * of the md5 digest (detects reordering). Hash-chaining instead of
+    * a multiply-add polynomial so ANSI mode can't overflow.
+    * Not SQL-expressible → spec-tested.
+    */
+  def fingerprintRolling(text: Column): Column =
+    aggregate(tokens(text), lit(-3750763034362895579L),
+      (acc, t) => xxhash64(acc, t))
+}

@@ -1,0 +1,58 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** I/O connectors — the Extract and Load halves of the reference ETL
+  * (reference: server.js:33-62 extract, 100-137 load). The reference
+  * pulls JSON from HTTP and writes JSON + CSV on one node; here every
+  * source/sink is a distributed Spark reader/writer, schema-enforced,
+  * with partitioned writes for the 100 TB path.
+  */
+object Readers {
+
+  def parquet(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
+  /** JSON-lines (the scalable JSON layout); `multiLine=true` reads the
+    * reference's pretty-printed array-of-objects files.
+    */
+  def json(spark: SparkSession, path: String, schema: Option[StructType] = None,
+      multiLine: Boolean = false): DataFrame = {
+    val r = spark.read.option("multiLine", multiLine.toString)
+    schema.fold(r)(s => r.schema(s)).json(path)
+  }
+
+  def csv(spark: SparkSession, path: String, schema: Option[StructType] = None,
+      header: Boolean = true, delimiter: String = ","): DataFrame = {
+    val r = spark.read.option("header", header.toString).option("delimiter", delimiter)
+    schema.fold(r.option("inferSchema", "true"))(s => r.schema(s)).csv(path)
+  }
+}
+
+object Writers {
+
+  /** Partitioned parquet — the canonical at-scale sink. */
+  def parquet(df: DataFrame, path: String, partitionBy: Seq[String] = Nil,
+      mode: SaveMode = SaveMode.Overwrite): Unit = {
+    val w = df.write.mode(mode)
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(path)
+  }
+
+  /** CSV download sink (reference: server.js:108-130) — header row,
+    * nulls as `nullAs` (the reference coalesces null → '').
+    */
+  def csv(df: DataFrame, path: String, nullAs: String = "",
+      header: Boolean = true, mode: SaveMode = SaveMode.Overwrite): Unit =
+    df.write.mode(mode)
+      .option("header", header.toString)
+      .option("nullValue", nullAs)
+      .option("emptyValue", nullAs)
+      .csv(path)
+
+  /** JSON-lines sink (reference: server.js:106 writes one pretty JSON
+    * array; distributed JSONL is the scalable equivalent).
+    */
+  def json(df: DataFrame, path: String, mode: SaveMode = SaveMode.Overwrite): Unit =
+    df.write.mode(mode).json(path)
+}

@@ -1,0 +1,109 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+import org.apache.spark.sql.types.StructType
+
+/** Structured-Streaming re-expression of the reference's orchestration
+  * (reference: server.js:264-269 — cron full re-pull daily). Instead
+  * of re-reading the world per tick, the file-source stream tracks
+  * which files were already processed (checkpoint) and each trigger
+  * handles only new data — incremental, exactly-once per input file,
+  * and identical code runs continuously or one-shot.
+  */
+object Refresh {
+
+  /** One "cron tick": process everything new under `srcDir` through
+    * `transform` into an append parquet sink, then stop. Re-invoking
+    * with the same checkpoint resumes where it left off — the
+    * scheduler (cron, Airflow, …) just calls this.
+    */
+  def runOnce(spark: SparkSession, srcDir: String, schema: StructType,
+      transform: DataFrame => DataFrame, outDir: String, checkpointDir: String): Unit = {
+    val in  = spark.readStream.schema(schema).parquet(srcDir)
+    val out = transform(in)
+    val q = out.writeStream
+      .outputMode(OutputMode.Append)
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  /** Watermarked tumbling-window aggregation over an event stream —
+    * the streaming form of the batch `q17_events_window` query.
+    */
+  def windowedCounts(events: DataFrame, tsCol: String, keyCol: String,
+      valueCol: String, windowLen: String, watermark: String): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), windowLen), col(keyCol))
+      .agg(count(lit(1)).as("n"), sum(col(valueCol)).as("total"))
+      .select(col("window.start").as("window_start"), col(keyCol),
+        col("n"), col("total"))
+
+  /** Streaming exact dedup on a key with state TTL via watermark —
+    * `dropDuplicates` backed by the state store.
+    */
+  def dedupStream(events: DataFrame, tsCol: String, keyCols: Seq[String],
+      watermark: String): DataFrame =
+    events.withWatermark(tsCol, watermark)
+      .dropDuplicates(keyCols :+ tsCol)
+
+  final case class SessionUpdate(user_id: Long, n_events: Long, total_value: Double)
+  final case class Sess(start: Long, last: Long, n: Long, total: Double)
+
+  /** Stateful gap-based sessionization via flatMapGroupsWithState:
+    * emits a session summary when a user's session closes — either
+    * inline (a later event past the gap) or by event-time timeout once
+    * the watermark passes last+gap. State is per-key and bounded (one
+    * running summary per user). Event-time (not processing-time)
+    * timeouts: deterministic w.r.t. the data, no wall-clock
+    * re-triggering, and replays identically at any scale.
+    */
+  def sessionize(events: DataFrame, gapMs: Long,
+      watermarkDelay: String = "30 minutes"): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.selectExpr("user_id", "ts", "value")
+      .withWatermark("ts", watermarkDelay)
+      .as[(Long, java.sql.Timestamp, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Sess, SessionUpdate](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, rows: Iterator[(Long, java.sql.Timestamp, Double)],
+         state: GroupState[Sess]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(SessionUpdate(user, s.n, s.total))
+          } else {
+            val evs = rows.toSeq
+            var closed = List.empty[SessionUpdate]
+            var cur = state.getOption
+            evs.sortBy(_._2.getTime).foreach { case (_, ts, v) =>
+              val t = ts.getTime
+              cur match {
+                case Some(s) if t - s.last <= gapMs =>
+                  cur = Some(s.copy(last = t, n = s.n + 1, total = s.total + v))
+                case Some(s) =>
+                  closed ::= SessionUpdate(user, s.n, s.total)
+                  cur = Some(Sess(t, t, 1, v))
+                case None =>
+                  cur = Some(Sess(t, t, 1, v))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              // must be beyond the current watermark; max() guards replays
+              state.setTimeoutTimestamp(
+                math.max(s.last + gapMs, state.getCurrentWatermarkMs() + 1))
+            }
+            closed.reverseIterator
+          }
+      }.toDF()
+  }
+}

@@ -1,0 +1,89 @@
+package graft
+
+import graft.operators.{Dedup, TextAnalysis}
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkSpec {
+
+  private lazy val docs = {
+    import spark.implicits._
+    Seq(
+      (1L, "the quick brown fox jumps over the lazy dog", "en", 43L),
+      (2L, "the quick brown fox jumps over the lazy dog", "en", 43L),  // exact dup of 1
+      (3L, "the quick brown fox jumps over a lazy dog", "en", 41L),    // near dup of 1
+      (4L, "completely different text about spark engines", "en", 45L),
+      (5L, "THE  QUICK   brown fox jumps over the lazy dog", "en", 46L) // ws/case dup of 1
+    ).toDF("doc_id", "text", "lang", "n_chars")
+  }
+
+  test("exact dedup groups canonical-equal docs, min-id survivor") {
+    val out = Dedup.exact(docs, "doc_id", "text").collect()
+      .map(r => r.getAs[Long]("survivor_id") -> r.getAs[Long]("n_copies")).toMap
+    assert(out(1L) == 3L) // docs 1, 2, 5 share a canonical form
+    assert(out(3L) == 1L)
+    assert(out(4L) == 1L)
+  }
+
+  test("shingles yields distinct word n-grams, empty under n tokens") {
+    import spark.implicits._
+    val g = Seq((1L, "a b c d"), (2L, "a b")).toDF("id", "text")
+      .select(col("id"), Dedup.shingles(col("text"), 3).as("g"))
+      .collect().map(r => r.getLong(0) -> r.getAs[scala.collection.Seq[String]]("g").toSeq).toMap
+    assert(g(1L) == Seq("a b c", "b c d"))
+    assert(g(2L) == Seq.empty)
+  }
+
+  test("ngram Jaccard finds the near pair, honors blocking") {
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", "lang", "n_chars",
+      lenBand = 10, n = 3, minJaccard = 0.2)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")) -> r.getAs[Double]("jaccard")).toMap
+    assert(pairs.contains((1L, 2L)) && pairs((1L, 2L)) == 1.0)
+    assert(pairs.contains((1L, 3L)) && pairs((1L, 3L)) >= 0.4)
+    assert(!pairs.keys.exists { case (a, b) => a == 4L || b == 4L })
+  }
+
+  test("minhash LSH candidates include true near-dups, dedup keeps min-id survivor") {
+    val cand = Dedup.minhashLshCandidates(docs, "doc_id", "text").collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    assert(cand.contains((1L, 2L)))
+    val surv = Dedup.minhashDedupSurvivors(docs, "doc_id", "text", minJaccard = 0.8)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(surv.contains(1L) && !surv.contains(2L) && !surv.contains(5L))
+    assert(surv.contains(4L))
+  }
+
+  test("simhash: identical text → identical hash; near text → small hamming") {
+    val sig = Dedup.simhash(docs, "doc_id", "text").collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[Long]("simhash")).toMap
+    assert(sig(1L) == sig(2L))
+    assert(java.lang.Long.bitCount(sig(1L) ^ sig(3L)) < 16)
+    val cand = Dedup.simhashCandidates(Dedup.simhash(docs, "doc_id", "text"), maxHamming = 3)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    assert(cand.contains((1L, 2L)))
+  }
+
+  test("embedding near-dup pairs respect the blocking column and threshold") {
+    import spark.implicits._
+    val emb = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f), "a"),
+      (2L, Array(0.999f, 0.01f, 0.0f), "a"),
+      (3L, Array(0.0f, 1.0f, 0.0f), "a"),
+      (4L, Array(1.0f, 0.0f, 0.001f), "b") // same direction as 1 but other block
+    ).toDF("vec_id", "embedding", "label")
+    val pairs = Dedup.embeddingNearDupPairs(emb, "vec_id", "embedding", "label", 0.95)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+
+  test("rolling fingerprint is order-sensitive where md5-canonical is not") {
+    import spark.implicits._
+    val df = Seq((1L, "alpha beta gamma"), (2L, "gamma beta alpha")).toDF("id", "text")
+      .select(col("id"),
+        TextAnalysis.fingerprintRolling(col("text")).as("roll"),
+        TextAnalysis.fingerprintMd5(col("text")).as("m"))
+    val rows = df.collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val Array(a, b) = rows.sortBy(_._1)
+    assert(a._2 != b._2)
+    assert(a._3 != b._3)
+  }
+}

@@ -1,0 +1,58 @@
+package graft
+
+import graft.functions.vector
+import graft.operators.Similarity
+import org.apache.spark.sql.functions._
+
+class SimilaritySpec extends SparkSpec {
+
+  test("vector dot / norm / cosine / l2 match hand math") {
+    import spark.implicits._
+    val df = Seq((Array(1.0f, 2.0f, 2.0f), Array(2.0f, 0.0f, 1.0f))).toDF("a", "b")
+      .select(
+        vector.dot(col("a"), col("b")).as("dot"),
+        vector.norm(col("a")).as("na"),
+        vector.cosine(col("a"), col("b")).as("cos"),
+        vector.l2(col("a"), col("b")).as("l2"))
+    val r = df.collect().head
+    assert(math.abs(r.getDouble(0) - 4.0) < 1e-9)
+    assert(math.abs(r.getDouble(1) - 3.0) < 1e-9)
+    assert(math.abs(r.getDouble(2) - 4.0 / (3.0 * math.sqrt(5.0))) < 1e-9)
+    assert(math.abs(r.getDouble(3) - math.sqrt(1 + 4 + 1)) < 1e-9)
+  }
+
+  test("cosine of a zero vector is null, not NaN") {
+    import spark.implicits._
+    val r = Seq((Array(0.0f, 0.0f), Array(1.0f, 0.0f))).toDF("a", "b")
+      .select(vector.cosine(col("a"), col("b")).as("c")).collect().head
+    assert(r.isNullAt(0))
+  }
+
+  test("brute-force top-k returns the true nearest neighbors, self first") {
+    val emb = Tables(spark, sf("x"), "embeddings")
+    val q = emb.filter(col("vec_id") === 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val top = Similarity.bruteForceTopK(emb, q, "vec_id", "embedding", "q_id", "q_vec", 5)
+      .orderBy("rank").collect()
+    assert(top.length == 5)
+    assert(top.head.getAs[Long]("vec_id") == 0L)     // self is its own nearest
+    assert(top.head.getAs[Double]("cos") == 1.0)
+    val cosines = top.map(_.getAs[Double]("cos")).toSeq
+    assert(cosines == cosines.sorted.reverse)
+  }
+
+  test("LSH top-k recall vs brute force is reasonable on sf0.001") {
+    val emb = Tables(spark, sf("x"), "embeddings")
+    val q = emb.filter(col("vec_id") % 199 === 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val exact = Similarity.bruteForceTopK(emb, q, "vec_id", "embedding", "q_id", "q_vec", 5)
+      .collect().map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("vec_id"))).toSet
+    val approx = Similarity.lshTopK(emb, q, "vec_id", "embedding", "q_id", "q_vec",
+      dim = 64, k = 5, bits = 4, bands = 8)
+      .collect().map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("vec_id"))).toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.4, s"recall $recall too low")
+    // every query finds itself (cos=1 in some shared bucket by construction)
+    assert(approx.nonEmpty)
+  }
+}

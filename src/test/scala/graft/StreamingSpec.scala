@@ -1,0 +1,86 @@
+package graft
+
+import graft.operators.Clean
+import graft.streaming.Refresh
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import java.nio.file.Files
+import java.sql.Timestamp
+
+class StreamingSpec extends SparkSpec {
+
+  private def tmp() = Files.createTempDirectory("graft-stream").toString
+
+  test("runOnce processes only new files per invocation (incremental cron tick)") {
+    import spark.implicits._
+    val root = tmp()
+    val src = s"$root/src"; val out = s"$root/out"; val ck = s"$root/ck"
+    Seq((1L, " a "), (2L, "b")).toDF("id", "name").write.parquet(s"$src/batch1")
+    val schema = spark.read.parquet(s"$src/batch1").schema
+
+    Refresh.runOnce(spark, s"$src/*", schema, Clean.standardize, out, ck)
+    assert(spark.read.parquet(out).count() == 2)
+
+    // second tick: one new file only → incremental, no reprocess
+    Seq((3L, "c")).toDF("id", "name").write.parquet(s"$src/batch2")
+    Refresh.runOnce(spark, s"$src/*", schema, Clean.standardize, out, ck)
+    val all = spark.read.parquet(out)
+    assert(all.count() == 3)
+    // standardize applied in-stream: names trimmed
+    assert(all.filter(col("id") === 1).collect().head.getAs[String]("name") == "a")
+  }
+
+  test("windowedCounts aggregates tumbling windows with watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String, Double)]
+    val df = mem.toDF().toDF("ts", "event_type", "value")
+    val agg = Refresh.windowedCounts(df, "ts", "event_type", "value", "1 hour", "2 hours")
+    val q = agg.writeStream.format("memory").queryName("wc").outputMode(OutputMode.Update).start()
+    mem.addData(
+      (Timestamp.valueOf("2026-01-01 10:05:00"), "click", 1.0),
+      (Timestamp.valueOf("2026-01-01 10:55:00"), "click", 2.0),
+      (Timestamp.valueOf("2026-01-01 11:05:00"), "view", 5.0))
+    q.processAllAvailable()
+    val rows = spark.table("wc").collect()
+      .map(r => (r.getAs[Timestamp]("window_start").toString, r.getAs[String]("event_type"),
+        r.getAs[Long]("n"), r.getAs[Double]("total"))).toSet
+    q.stop()
+    assert(rows.contains(("2026-01-01 10:00:00.0", "click", 2L, 3.0)))
+    assert(rows.contains(("2026-01-01 11:00:00.0", "view", 1L, 5.0)))
+  }
+
+  test("dedupStream drops in-stream duplicate keys") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, Long)]
+    val df = mem.toDF().toDF("ts", "k")
+    val dd = Refresh.dedupStream(df, "ts", Seq("k"), "1 hour")
+    val q = dd.writeStream.format("memory").queryName("dd").outputMode(OutputMode.Append).start()
+    val t = Timestamp.valueOf("2026-01-01 10:00:00")
+    mem.addData((t, 1L), (t, 1L), (t, 2L))
+    q.processAllAvailable()
+    val n = spark.table("dd").count()
+    q.stop()
+    assert(n == 2)
+  }
+
+  test("stateful sessionization emits closed sessions (gap-based)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, Double)]
+    val df = mem.toDF().toDF("user_id", "ts", "value")
+    val sess = Refresh.sessionize(df, gapMs = 30 * 60 * 1000)
+    val q = sess.writeStream.format("memory").queryName("sess").outputMode(OutputMode.Append).start()
+    // two sessions for user 1 in one batch: gap > 30 min closes the first
+    mem.addData(
+      (1L, Timestamp.valueOf("2026-01-01 10:00:00"), 1.0),
+      (1L, Timestamp.valueOf("2026-01-01 10:10:00"), 2.0),
+      (1L, Timestamp.valueOf("2026-01-01 12:00:00"), 7.0))
+    q.processAllAvailable()
+    val rows = spark.table("sess").as[(Long, Long, Double)].collect().toSet
+    q.stop()
+    assert(rows.contains((1L, 2L, 3.0))) // first session closed by the 12:00 event
+  }
+}

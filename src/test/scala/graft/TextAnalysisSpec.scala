@@ -1,0 +1,62 @@
+package graft
+
+import graft.operators.TextAnalysis
+import org.apache.spark.sql.functions._
+
+class TextAnalysisSpec extends SparkSpec {
+
+  private def one(text: String) = {
+    import spark.implicits._
+    Seq(Tuple1(text)).toDF("text")
+  }
+
+  test("tokens normalizes whitespace and case") {
+    val r = one("  The  QUICK\tbrown\n fox ")
+      .select(TextAnalysis.tokens(col("text"))).collect().head.getSeq[String](0)
+    assert(r == Seq("the", "quick", "brown", "fox"))
+  }
+
+  test("tokenCount and pieceCount") {
+    val r = one("Hello, world! 42x")
+      .select(TextAnalysis.tokenCount(col("text")), TextAnalysis.pieceCount(col("text")))
+      .collect().head
+    assert(r.getLong(0) == 3L)
+    // pieces: hello , world ! 42 x  → 6
+    assert(r.getLong(1) == 6L)
+  }
+
+  test("punctRatio in [0,1], 0 for empty") {
+    val r = one("ab,.").select(TextAnalysis.punctRatio(col("text"))).collect().head.getDouble(0)
+    assert(math.abs(r - 0.5) < 1e-9)
+    val e = one("").select(TextAnalysis.punctRatio(col("text"))).collect().head.getDouble(0)
+    assert(e == 0.0)
+  }
+
+  test("qualityScore bounded and monotone in stopword presence") {
+    import spark.implicits._
+    val df = Seq(("the cat sat on the mat", 22L), ("zzz qqq xxx", 11L))
+      .toDF("text", "n_chars")
+      .select(TextAnalysis.qualityScore(col("text"), col("n_chars")).as("q"))
+    val Array(a, b) = df.collect().map(_.getDouble(0))
+    assert(a >= 0.0 && a <= 1.0 && b >= 0.0 && b <= 1.0)
+    assert(a > b)
+  }
+
+  test("langId votes by marker words with fixed tie order") {
+    import spark.implicits._
+    val df = Seq(
+      "the a or the",            // en markers
+      "row line value row",      // fr markers
+      "stream vector hash"       // zh markers
+    ).toDF("text").select(TextAnalysis.langId(col("text")).as("l"))
+    assert(df.collect().map(_.getString(0)).toSeq == Seq("en", "fr", "zh"))
+  }
+
+  test("fingerprintMd5 is whitespace/case canonical") {
+    import spark.implicits._
+    val df = Seq("A  b\tC", "a b c", "a b d").toDF("text")
+      .select(TextAnalysis.fingerprintMd5(col("text")).as("f"))
+    val Array(x, y, z) = df.collect().map(_.getString(0))
+    assert(x == y && x != z)
+  }
+}
