@@ -26,5 +26,9 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
+  // Spark codegen emits one large class per stage; the JVM default
+  // 240 MB code cache fills mid-benchmark, the JIT stops compiling,
+  // and later queries run interpreted at 10-50x cost.
+  "-XX:ReservedCodeCacheSize=1g",
 )

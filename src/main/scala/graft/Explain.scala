@@ -1,0 +1,39 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Plan/timing inspector: `runMain graft.Explain <sfDir> <query> [n]`
+  * runs a query n times (default 2: cold + warm), printing wall time
+  * per run and the formatted physical plan — the `.explain` audit loop
+  * from SURVEY.md §5.
+  */
+object Explain {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args(0)
+    val names = if (args.length > 1) args(1).split(",").toSeq else Queries.all.map(_.name)
+    val n     = if (args.length > 2) args(2).toInt else 2
+    val cpus  = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "16k")
+      .config("spark.sql.codegen.maxFields", "512")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val byName = Queries.all.map(q => q.name -> q).toMap
+    names.foreach { name =>
+      val q = byName(name)
+      (1 to n).foreach { i =>
+        val t0 = System.nanoTime()
+        q.fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        println(f"[explain] $name run$i: ${(System.nanoTime() - t0) / 1e9}%.2fs")
+      }
+      if (sys.env.get("SPARK_GRAFT_PLAN").contains("1"))
+        q.fn(spark, sfDir).explain("formatted")
+    }
+    spark.stop()
+  }
+}

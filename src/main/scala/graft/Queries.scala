@@ -241,15 +241,41 @@ object Queries {
       floor(o_totalprice / 1000.0 * 100.0) / 100.0 AS kprice
       FROM orders ORDER BY o_orderkey"""))
 
+  /** Exact interpolated percentiles via sort + row_number instead of
+    * the `percentile` aggregate: the agg's per-group value-map merge is
+    * single-threaded and O(distinct values); the window form sorts in
+    * parallel and aggregates only the 2 boundary rows per percentile.
+    * Interpolation uses DuckDB's own formula (lo + (hi-lo)*frac) so the
+    * doubles agree to the bit before the defensive round(…,4).
+    */
   val q13Percentiles: QueryDef = QueryDef("q13_percentiles",
-    (s, dir) => t(s, dir, "lineitem")
-      .groupBy(col("l_returnflag"))
-      .agg(
-        round(percentile(col("l_extendedprice"), lit(0.25)), 4).as("p25"),
-        round(percentile(col("l_extendedprice"), lit(0.5)), 4).as("p50"),
-        round(percentile(col("l_extendedprice"), lit(0.75)), 4).as("p75"),
-        round(percentile(col("l_quantity"), lit(0.5)), 4).as("med_qty"))
-      .orderBy(col("l_returnflag")),
+    (s, dir) => {
+      val part  = Window.partitionBy(col("l_returnflag"))
+      val wP    = part.orderBy(col("l_extendedprice"))
+      val wQ    = part.orderBy(col("l_quantity"))
+      val base = t(s, dir, "lineitem")
+        .select(col("l_returnflag"), col("l_extendedprice"), col("l_quantity"))
+        .withColumn("rn_p", row_number().over(wP).cast(LongType))
+        .withColumn("rn_q", row_number().over(wQ).cast(LongType))
+        .withColumn("cnt", count(lit(1)).over(part))
+      def q(v: Column, rn: Column, p: Double): Column = {
+        val idx  = lit(p) * (col("cnt") - 1).cast(DoubleType)
+        val lo   = floor(idx) + 1L
+        val hi   = ceil(idx) + 1L
+        val frac = idx - floor(idx).cast(DoubleType)
+        val loV  = max(when(rn === lo, v))
+        val hiV  = max(when(rn === hi, v))
+        val fr   = max(when(rn === lo, frac))
+        round(loV + (hiV - loV) * fr, 4)
+      }
+      base.groupBy(col("l_returnflag"))
+        .agg(
+          q(col("l_extendedprice"), col("rn_p"), 0.25).as("p25"),
+          q(col("l_extendedprice"), col("rn_p"), 0.5).as("p50"),
+          q(col("l_extendedprice"), col("rn_p"), 0.75).as("p75"),
+          q(col("l_quantity"), col("rn_q"), 0.5).as("med_qty"))
+        .orderBy(col("l_returnflag"))
+    },
     Some("""SELECT l_returnflag,
       round(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
       round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,

@@ -29,14 +29,29 @@ object Dedup {
       .groupBy("digest")
       .agg(min(col(id)).as("survivor_id"), count(lit(1)).as("n_copies"))
 
-  /** Distinct word n-gram shingles; empty array when < n tokens. */
-  def shingles(text: Column, n: Int): Column = {
-    val t = TextAnalysis.tokens(text)
-    when(size(t) >= n,
-      array_distinct(transform(sequence(lit(1), size(t) - (n - 1)),
-        i => concat_ws(" ", (0 until n).map(j => element_at(t, i + j)): _*))))
+  /** Distinct word n-gram shingles from a MATERIALIZED token-array
+    * column; empty array when < n tokens.
+    *
+    * `toks` must be a bound attribute (project `TextAnalysis.tokens`
+    * first), never the tokens expression inline: higher-order
+    * functions run interpreted with no common-subexpression
+    * elimination, so an inline expression would re-tokenize the whole
+    * document for every `element_at` of every gram — O(tokens²) regex
+    * work per row (measured 100×+ slowdown).
+    */
+  def shingles(toks: Column, n: Int): Column =
+    when(size(toks) >= n,
+      array_distinct(transform(sequence(lit(1), size(toks) - (n - 1)),
+        i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + j)): _*))))
       .otherwise(array().cast(ArrayType(StringType)))
-  }
+
+  /** Project id + passthrough (expr → name) + exploded shingle grams. */
+  private def explodedGrams(docs: DataFrame, id: String, text: String,
+      n: Int, passthrough: Seq[(Column, String)] = Nil): DataFrame =
+    docs.select((col(id).as("id") +: passthrough.map { case (c, a) => c.as(a) } :+
+        TextAnalysis.tokens(col(text)).as("toks")): _*)
+      .select((col("id") +: passthrough.map { case (_, a) => col(a) } :+
+        explode(shingles(col("toks"), n)).as("gram")): _*)
 
   /** Exact n-gram Jaccard near-dup pairs via an inverted index
     * (explode shingles → self-join on shared gram) with blocking:
@@ -49,8 +64,8 @@ object Dedup {
   def ngramJaccardPairs(docs: DataFrame, id: String, text: String,
       block: String, len: String, lenBand: Int,
       n: Int = 3, minJaccard: Double = 0.2, maxGramDf: Long = 0L): DataFrame = {
-    val g = docs.select(col(id).as("id"), col(block).as("blk"),
-      col(len).cast(LongType).as("len"), explode(shingles(col(text), n)).as("gram"))
+    val g = explodedGrams(docs, id, text, n,
+      Seq(col(block) -> "blk", col(len).cast(LongType) -> "len"))
     val pruned =
       if (maxGramDf > 0L) {
         val hot = g.groupBy("gram").agg(count(lit(1)).as("df"))
@@ -83,7 +98,7 @@ object Dedup {
     */
   def minhashSignatures(docs: DataFrame, id: String, text: String,
       numPerm: Int = 128, n: Int = 3): DataFrame = {
-    val g = docs.select(col(id).as("id"), explode(shingles(col(text), n)).as("gram"))
+    val g = explodedGrams(docs, id, text, n)
       .withColumn("g64", xxhash64(col("gram")))
     val aggs = (0 until numPerm).map { i =>
       min(xxhash64(col("g64"), lit(i))).as(s"h$i")
@@ -91,12 +106,28 @@ object Dedup {
     g.groupBy("id").agg(aggs.head, aggs.tail.toIndexedSeq: _*)
   }
 
+  /** All ordered pairs (a<b) from a sorted id array — in-bucket pair
+    * expansion for LSH buckets, O(B²) per bucket on arrays that are
+    * already tiny by construction.
+    */
+  private def pairCombos(sortedIds: Column): Column =
+    flatten(transform(sortedIds, (x, i) =>
+      transform(slice(sortedIds, i + 2, greatest(size(sortedIds) - i - 1, lit(0))),
+        y => struct(x.as("a"), y.as("b")))))
+
   /** LSH banding over MinHash signatures: docs agreeing on all rows of
-    * any band become candidate pairs. Join key is (band, bandSig) —
-    * uniform 64-bit hashes, so the self-join is balanced at any scale.
+    * any band become candidate pairs. Signatures are computed ONCE:
+    * ids are collected per (band, bandSig) bucket and pairs expanded
+    * in-bucket — a self-join would recompute the whole
+    * tokenize→shingle→128-hash pipeline for each side (no exchange
+    * reuse across join inputs). Bucket keys are uniform 64-bit hashes
+    * ⇒ balanced at any scale; `maxBucket` drops degenerate buckets
+    * (boilerplate-heavy corpora) the way stop-grams are dropped in the
+    * inverted-index path.
     */
   def minhashLshCandidates(docs: DataFrame, id: String, text: String,
-      numPerm: Int = 128, bands: Int = 32, n: Int = 3): DataFrame = {
+      numPerm: Int = 128, bands: Int = 32, n: Int = 3,
+      maxBucket: Int = 1000): DataFrame = {
     require(numPerm % bands == 0, "numPerm must be divisible by bands")
     val rows = numPerm / bands
     val sig  = minhashSignatures(docs, id, text, numPerm, n)
@@ -106,9 +137,11 @@ object Dedup {
     }
     val banded = sig.select(col("id"), explode(array(bandCols: _*)).as("b"))
       .select(col("id"), col("b.band").as("band"), col("b.sig").as("sig"))
-    banded.as("x").join(banded.as("y"), Seq("band", "sig"))
-      .filter(col("x.id") < col("y.id"))
-      .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
+    banded.groupBy(col("band"), col("sig"))
+      .agg(collect_list(col("id")).as("ids"))
+      .filter(size(col("ids")).between(2, maxBucket))
+      .select(explode(pairCombos(sort_array(col("ids")))).as("p"))
+      .select(col("p.a").as("id_a"), col("p.b").as("id_b"))
       .distinct()
   }
 
@@ -122,7 +155,9 @@ object Dedup {
       minJaccard: Double = 0.8, numPerm: Int = 128, bands: Int = 32,
       n: Int = 3): DataFrame = {
     val cand = minhashLshCandidates(docs, id, text, numPerm, bands, n)
-    val grams = docs.select(col(id).as("gid"), shingles(col(text), n).as("grams"))
+    val grams = docs
+      .select(col(id).as("gid"), TextAnalysis.tokens(col(text)).as("toks"))
+      .select(col("gid"), shingles(col("toks"), n).as("grams"))
     val verified = cand
       .join(grams.select(col("gid").as("id_a"), col("grams").as("ga")), "id_a")
       .join(grams.select(col("gid").as("id_b"), col("grams").as("gb")), "id_b")
@@ -138,7 +173,7 @@ object Dedup {
     * doc shuffle), sign → bit. Returns (id, simhash: long).
     */
   def simhash(docs: DataFrame, id: String, text: String, n: Int = 2): DataFrame = {
-    val g = docs.select(col(id).as("id"), explode(shingles(col(text), n)).as("gram"))
+    val g = explodedGrams(docs, id, text, n)
       .withColumn("g64", xxhash64(col("gram")))
     val aggs = (0 until 64).map { j =>
       sum(when(shiftright(col("g64"), j).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L)).as(s"b$j")
@@ -154,17 +189,24 @@ object Dedup {
     * found via 4×16-bit bands (pigeonhole: any pair within Hamming 3
     * agrees exactly on ≥1 band ⇒ recall 1.0 for maxHamming ≤ 3).
     */
-  def simhashCandidates(sig: DataFrame, maxHamming: Int = 3): DataFrame = {
+  def simhashCandidates(sig: DataFrame, maxHamming: Int = 3,
+      maxBucket: Int = 1000): DataFrame = {
     val bandCols = (0 until 4).map { bi =>
       struct(lit(bi).as("band"),
         shiftright(col("simhash"), bi * 16).bitwiseAND(lit(0xFFFFL)).as("key"))
     }
     val banded = sig.select(col("id"), col("simhash"), explode(array(bandCols: _*)).as("b"))
-      .select(col("id"), col("simhash"), col("b.band").as("band"), col("b.key").as("key"))
-    banded.as("x").join(banded.as("y"), Seq("band", "key"))
-      .filter(col("x.id") < col("y.id"))
-      .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
-        bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).cast(LongType).as("hamming"))
+      .select(col("b.band").as("band"), col("b.key").as("key"),
+        struct(col("id"), col("simhash")).as("doc"))
+    // collect per bucket + in-bucket expansion: computes `sig` once
+    // (a self-join would evaluate its whole pipeline per side)
+    banded.groupBy(col("band"), col("key"))
+      .agg(sort_array(collect_list(col("doc"))).as("docs"))
+      .filter(size(col("docs")).between(2, maxBucket))
+      .select(explode(pairCombos(col("docs"))).as("p"))
+      .select(col("p.a.id").as("id_a"), col("p.b.id").as("id_b"),
+        bit_count(col("p.a.simhash").bitwiseXOR(col("p.b.simhash")))
+          .cast(LongType).as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
   }

@@ -27,7 +27,8 @@ class DedupSpec extends SparkSpec {
   test("shingles yields distinct word n-grams, empty under n tokens") {
     import spark.implicits._
     val g = Seq((1L, "a b c d"), (2L, "a b")).toDF("id", "text")
-      .select(col("id"), Dedup.shingles(col("text"), 3).as("g"))
+      .select(col("id"), TextAnalysis.tokens(col("text")).as("toks"))
+      .select(col("id"), Dedup.shingles(col("toks"), 3).as("g"))
       .collect().map(r => r.getLong(0) -> r.getAs[scala.collection.Seq[String]]("g").toSeq).toMap
     assert(g(1L) == Seq("a b c", "b c d"))
     assert(g(2L) == Seq.empty)
