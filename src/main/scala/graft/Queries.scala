@@ -393,11 +393,12 @@ object Queries {
     (s, dir) => {
       val cleaned = Clean.standardize(
         Clean.requireFields(t(s, dir, "documents"), Seq("text", "lang", "source")))
-      val toks = TextAnalysis.tokens(col("text"))
       Clean.withIngestTimestamp(
           cleaned.select(col("doc_id"), col("lang"), col("source"),
-            Clean.firstOf(toks).as("primary_token"),
-            size(toks).cast(LongType).as("n_tokens")),
+              TextAnalysis.tokens(col("text")).as("toks"))
+            .select(col("doc_id"), col("lang"), col("source"),
+              Clean.firstOf(col("toks")).as("primary_token"),
+              size(col("toks")).cast(LongType).as("n_tokens")),
           to_timestamp(lit("2026-01-01 00:00:00")))
         .filter(col("primary_token").isNotNull && col("n_tokens") > 0)
         .orderBy(col("doc_id"))
@@ -449,11 +450,13 @@ object Queries {
   // ──────────────────────── §2c text analysis ────────────────────────
 
   val textTokens: QueryDef = QueryDef("text_tokens",
-    (s, dir) => t(s, dir, "documents").select(
-      col("doc_id"),
-      TextAnalysis.tokenCount(col("text")).as("n_tokens"),
-      TextAnalysis.pieceCount(col("text")).as("n_pieces"),
-      length(col("text")).cast(LongType).as("n_chars_actual"))
+    (s, dir) => t(s, dir, "documents")
+      .select(col("doc_id"), col("text"), TextAnalysis.tokens(col("text")).as("toks"))
+      .select(
+        col("doc_id"),
+        TextAnalysis.tokenCountOf(col("toks")).as("n_tokens"),
+        TextAnalysis.pieceCount(col("text")).as("n_pieces"),
+        length(col("text")).cast(LongType).as("n_chars_actual"))
       .orderBy(col("doc_id")),
     Some("""SELECT doc_id,
       CAST(len(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS BIGINT) AS n_tokens,
@@ -462,9 +465,12 @@ object Queries {
       FROM documents ORDER BY doc_id"""))
 
   val textQuality: QueryDef = QueryDef("text_quality",
-    (s, dir) => t(s, dir, "documents").select(
-      col("doc_id"),
-      TextAnalysis.qualityScore(col("text"), col("n_chars")).as("quality"))
+    (s, dir) => t(s, dir, "documents")
+      .select(col("doc_id"), col("text"), col("n_chars"),
+        TextAnalysis.tokens(col("text")).as("toks"))
+      .select(
+        col("doc_id"),
+        TextAnalysis.qualityScoreOf(col("toks"), col("text"), col("n_chars")).as("quality"))
       .withColumn("band",
         when(col("quality") >= 0.75, "high").when(col("quality") >= 0.5, "mid").otherwise("low"))
       .orderBy(col("doc_id")),
@@ -484,10 +490,12 @@ object Queries {
       FROM m ORDER BY doc_id"""))
 
   val textLangId: QueryDef = QueryDef("text_langid",
-    (s, dir) => t(s, dir, "documents").select(
-      col("doc_id"),
-      TextAnalysis.langId(col("text")).as("predicted"),
-      col("lang").as("actual"))
+    (s, dir) => t(s, dir, "documents")
+      .select(col("doc_id"), col("lang"), TextAnalysis.tokens(col("text")).as("toks"))
+      .select(
+        col("doc_id"),
+        TextAnalysis.langIdOf(col("toks")).as("predicted"),
+        col("lang").as("actual"))
       .orderBy(col("doc_id")),
     Some("""WITH t AS (SELECT doc_id, lang,
         string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS w

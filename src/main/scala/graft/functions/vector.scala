@@ -2,34 +2,54 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.bridge
 
-/** Vector math over `array<float>` embedding columns, built from
-  * codegen'd higher-order functions (zip_with / aggregate) — no UDFs,
-  * so the expressions stay inside whole-stage codegen and Catalyst can
-  * prune/push around them. Accumulation is in double, left-to-right
-  * over the array (deterministic order ⇒ reproducible to the last bit
-  * for a given row, regardless of partitioning).
+/** Vector math over `array<float>` / `array<double>` embedding
+  * columns. The primary entry points build native Catalyst
+  * expressions (see [[DotProduct]] / [[CosineSimilarity]]) — a fused
+  * primitive loop inside whole-stage codegen. The `*Hof` variants are
+  * the declarative higher-order-function formulation kept as a
+  * reference implementation (interpreted, ~10× slower in a hot scan)
+  * and for differential testing.
   */
 object vector {
 
-  /** dot(a, b) with double accumulation. */
-  def dot(a: Column, b: Column): Column =
+  private def expr2(a: Column, b: Column,
+      f: (org.apache.spark.sql.catalyst.expressions.Expression,
+          org.apache.spark.sql.catalyst.expressions.Expression) =>
+        org.apache.spark.sql.catalyst.expressions.Expression): Column =
+    bridge.column(f(bridge.expression(a), bridge.expression(b)))
+
+  /** dot(a, b) with double accumulation (native codegen). */
+  def dot(a: Column, b: Column): Column = expr2(a, b, DotProduct)
+
+  /** Cosine similarity; null on zero vector / length mismatch (native codegen). */
+  def cosine(a: Column, b: Column): Column = expr2(a, b, CosineSimilarity)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** l2 distance (composed from codegen'd dots: ‖a-b‖² = aa - 2ab + bb). */
+  def l2(a: Column, b: Column): Column =
+    sqrt(greatest(dot(a, a) - lit(2.0) * dot(a, b) + dot(b, b), lit(0.0)))
+
+  // ── reference HOF implementations (interpreted; for differential tests) ──
+
+  def dotHof(a: Column, b: Column): Column =
     aggregate(
       zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0),
       (acc, v) => acc + v)
 
-  def norm(a: Column): Column = sqrt(dot(a, a))
+  def normHof(a: Column): Column = sqrt(dotHof(a, a))
 
-  /** Cosine similarity; null-safe on zero vectors (returns null). */
-  def cosine(a: Column, b: Column): Column = {
-    val d  = dot(a, b)
-    val nn = norm(a) * norm(b)
+  def cosineHof(a: Column, b: Column): Column = {
+    val d  = dotHof(a, b)
+    val nn = normHof(a) * normHof(b)
     when(nn =!= 0.0, d / nn)
   }
 
-  /** l2 distance. */
-  def l2(a: Column, b: Column): Column =
+  /** Exact elementwise l2 (one pass HOF; reference). */
+  def l2Hof(a: Column, b: Column): Column =
     sqrt(aggregate(
       zip_with(a, b, (x, y) => {
         val diff = x.cast("double") - y.cast("double")

@@ -20,6 +20,35 @@ object TextAnalysis {
 
   def tokenCount(text: Column): Column = size(tokens(text)).cast(LongType)
 
+  /** Token-array variants: pass a MATERIALIZED `tokens(text)` column
+    * (projected once) when several measures share the tokenization —
+    * `filter`/`aggregate` lambdas run interpreted, so an inline
+    * `tokens(text)` argument would re-run the regex split per call.
+    */
+  def tokenCountOf(toks: Column): Column = size(toks).cast(LongType)
+
+  def tokenHitsOf(toks: Column, words: Seq[String]): Column =
+    size(filter(toks, t => t.isin(words.map(lit): _*))).cast(LongType)
+
+  def qualityScoreOf(toks: Column, text: Column, nChars: Column): Column = {
+    val nTok  = tokenCountOf(toks).cast(DoubleType)
+    val stopR = when(nTok > 0, tokenHitsOf(toks, stopwords).cast(DoubleType) / nTok).otherwise(0.0)
+    val punct = punctRatio(text)
+    val lenS  = least(nChars.cast(DoubleType) / 500.0, lit(1.0))
+    round(lit(0.4) * (lit(1.0) - punct) + lit(0.3) * least(stopR * 5.0, lit(1.0)) + lit(0.3) * lenS, 6)
+  }
+
+  def langIdOf(toks: Column): Column = {
+    val scores = langMarkers.map { case (lang, words) => lang -> tokenHitsOf(toks, words) }
+    scores.zipWithIndex.foldRight(lit(scores.last._1)) { case (((lang, s), i), elseC) =>
+      scores.drop(i + 1).map(_._2) match {
+        case Nil        => elseC
+        case one :: Nil => when(s >= one, lang).otherwise(elseC)
+        case rest       => when(s >= greatest(rest: _*), lang).otherwise(elseC)
+      }
+    }
+  }
+
   /** BPE-ish subword-piece estimate: runs of letters, runs of digits,
     * and single other non-space chars each count as one piece.
     */

@@ -1,0 +1,63 @@
+package graft
+
+import graft.functions.vector
+import org.apache.spark.sql.functions._
+
+class VectorExpressionsSpec extends SparkSpec {
+
+  test("native dot/cosine match the HOF reference bit-for-bit on real embeddings") {
+    val emb = Tables(spark, sf("x"), "embeddings")
+    val q = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val diff = emb.crossJoin(q)
+      .select(
+        vector.dot(col("embedding"), col("q_vec")).as("d_native"),
+        vector.dotHof(col("embedding"), col("q_vec")).as("d_hof"),
+        vector.cosine(col("embedding"), col("q_vec")).as("c_native"),
+        vector.cosineHof(col("embedding"), col("q_vec")).as("c_hof"))
+      .filter(col("d_native") =!= col("d_hof") ||
+        col("c_native") =!= col("c_hof") ||
+        col("c_native").isNull =!= col("c_hof").isNull)
+    assert(diff.count() == 0)
+  }
+
+  test("null semantics: zero vector, length mismatch, null element") {
+    import spark.implicits._
+    val df = Seq(
+      (Array(0.0f, 0.0f), Array(1.0f, 2.0f)),   // zero norm
+      (Array(1.0f), Array(1.0f, 2.0f))           // length mismatch
+    ).toDF("a", "b")
+    val r = df.select(vector.cosine(col("a"), col("b")).as("c")).collect()
+    assert(r.forall(_.isNullAt(0)))
+    val withNullElem = spark.sql("SELECT array(1.0F, NULL) AS a, array(1.0F, 2.0F) AS b")
+    assert(withNullElem.select(vector.dot(col("a"), col("b"))).collect().head.isNullAt(0))
+  }
+
+  test("double arrays work too (hyperplane literals)") {
+    import spark.implicits._
+    val r = Seq((Array(1.0f, 2.0f), 1)).toDF("v", "x")
+      .select(vector.dot(col("v"), typedLit(Seq(0.5, 0.25))).as("d"))
+      .collect().head.getDouble(0)
+    assert(math.abs(r - 1.0) < 1e-12)
+  }
+
+  test("vec_cosine / vec_dot registered as SQL functions via GraftExtensions") {
+    val out = spark.sql(
+      "SELECT vec_cosine(array(1.0F, 0.0F), array(1.0F, 0.0F)) AS c, " +
+      "vec_dot(array(1.0F, 2.0F), array(3.0F, 4.0F)) AS d").collect().head
+    assert(out.getDouble(0) == 1.0)
+    assert(out.getDouble(1) == 11.0)
+  }
+
+  test("native cosine stays inside whole-stage codegen") {
+    val emb = Tables(spark, sf("x"), "embeddings")
+    val q = emb.limit(1).select(col("embedding").as("q_vec"))
+    val df = emb.crossJoin(broadcast(q))
+      .select(vector.cosine(col("embedding"), col("q_vec")).as("c"))
+    df.collect() // finalize the adaptive plan
+    // `*(n)` marks a WholeStageCodegen stage in the plan rendering —
+    // the Project evaluating vec_cosine must carry it
+    assert("""\*\(\d+\) Project \[vec_cosine""".r
+      .findFirstIn(df.queryExecution.executedPlan.toString).isDefined)
+  }
+}
