@@ -147,5 +147,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((new FunctionIdentifier("vec_cosine"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "vec_cosine"),
       (args: Seq[Expression]) => CosineSimilarity(args(0), args(1))))
+    ext.injectFunction((new FunctionIdentifier("top_k_by"),
+      new ExpressionInfo(classOf[TopKByScore].getName, "top_k_by"),
+      (args: Seq[Expression]) => TopKByScore(args(0), args(1),
+        args(2).eval().asInstanceOf[Number].intValue())))
   }
 }

@@ -23,6 +23,15 @@ object vector {
   /** dot(a, b) with double accumulation (native codegen). */
   def dot(a: Column, b: Column): Column = expr2(a, b, DotProduct)
 
+  /** Bounded top-k aggregate: k highest `score` rows per group (ties →
+    * smaller id), as array<struct<id, score, rank>>. Map-side partials
+    * hold ≤ k entries, so a similarity scan shuffles O(partitions·k)
+    * rows per group instead of the whole corpus.
+    */
+  def topKBy(score: Column, id: Column, k: Int): Column =
+    bridge.column(TopKByScore(bridge.expression(score), bridge.expression(id), k)
+      .toAggregateExpression())
+
   /** Cosine similarity; null on zero vector / length mismatch (native codegen). */
   def cosine(a: Column, b: Column): Column = expr2(a, b, CosineSimilarity)
 

@@ -2,7 +2,6 @@ package graft.operators
 
 import graft.functions.vector
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Approximate-nearest-neighbor search over an embedding column.
@@ -19,16 +18,30 @@ object Similarity {
   /** Exact brute-force top-k cosine (the correctness baseline).
     * Cosine is rounded to 4dp before ranking, ties broken by id — so
     * ranking is reproducible across engines and partitionings.
+    *
+    * Ranking is the bounded [[graft.functions.TopKByScore]] aggregate,
+    * not a row_number window: the window form shuffles every scored
+    * row into |queries| reducers (skewed, unbounded memory) before
+    * discarding all but k; the aggregate keeps ≤ k per query per map
+    * task, so the shuffle is O(partitions·k) rows however large the
+    * corpus.
     */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame,
-      id: String, vec: String, qId: String, qVec: String, k: Int): DataFrame = {
-    val w = Window.partitionBy(col(qId)).orderBy(desc("cos"), col(id))
-    corpus.crossJoin(broadcast(queries))
-      .withColumn("cos", round(vector.cosine(col(vec), col(qVec)), 4))
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
-      .select(col(qId), col(id), col("cos"), col("rank"))
-  }
+      id: String, vec: String, qId: String, qVec: String, k: Int): DataFrame =
+    rankTopK(
+      corpus.crossJoin(broadcast(queries))
+        .select(col(qId), col(id),
+          round(vector.cosine(col(vec), col(qVec)), 4).as("cos")),
+      qId, id, k)
+
+  /** groupBy(qId) + bounded top-k agg + explode back to ranked rows. */
+  private def rankTopK(scored: DataFrame, qId: String, id: String, k: Int): DataFrame =
+    scored
+      .groupBy(col(qId))
+      .agg(vector.topKBy(col("cos"), col(id).cast("long"), k).as("top"))
+      .select(col(qId), explode(col("top")).as("t"))
+      .select(col(qId), col("t.id").as(id), col("t.score").as("cos"),
+        col("t.rank").as("rank"))
 
   /** Deterministic pseudo-gaussian hyperplanes (fixed seed). */
   private[graft] def hyperplanes(dim: Int, nPlanes: Int, seed: Long = 7L): Array[Array[Double]] = {
@@ -71,10 +84,9 @@ object Similarity {
     val q = bandStruct(qb, qId, qVec)
     val cand = c.join(broadcast(q), Seq("band", "key"))
       .select(col(qId), col(qVec), col(id), col(vec)).distinct()
-    val w = Window.partitionBy(col(qId)).orderBy(desc("cos"), col(id))
-    cand.withColumn("cos", round(vector.cosine(col(vec), col(qVec)), 4))
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
-      .select(col(qId), col(id), col("cos"), col("rank"))
+    rankTopK(
+      cand.select(col(qId), col(id),
+        round(vector.cosine(col(vec), col(qVec)), 4).as("cos")),
+      qId, id, k)
   }
 }

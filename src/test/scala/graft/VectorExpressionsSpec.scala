@@ -49,6 +49,25 @@ class VectorExpressionsSpec extends SparkSpec {
     assert(out.getDouble(1) == 11.0)
   }
 
+  test("top_k_by: bounded heap ranks by score desc, ties to smaller id, k > n ok") {
+    import spark.implicits._
+    val df = Seq((1L, 0.9, 10L), (1L, 0.9, 7L), (1L, 0.5, 3L), (1L, 0.99, 4L), (2L, 0.1, 1L))
+      .toDF("g", "score", "id")
+    val out = df.groupBy(col("g"))
+      .agg(vector.topKBy(col("score"), col("id"), 3).as("top"))
+      .select(col("g"), explode(col("top")).as("t"))
+      .select(col("g"), col("t.id"), col("t.score"), col("t.rank"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+    assert(out == Set(
+      (1L, 4L, 0.99, 1L), (1L, 7L, 0.9, 2L), (1L, 10L, 0.9, 3L),
+      (2L, 1L, 0.1, 1L)))
+    // SQL registration
+    val sqlOut = df.createOrReplaceTempView("tkb")
+    val viaSql = spark.sql(
+      "SELECT g, top_k_by(score, id, 1) AS t FROM tkb GROUP BY g").count()
+    assert(viaSql == 2)
+  }
+
   test("native cosine stays inside whole-stage codegen") {
     val emb = Tables(spark, sf("x"), "embeddings")
     val q = emb.limit(1).select(col("embedding").as("q_vec"))
