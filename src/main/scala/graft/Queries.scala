@@ -554,6 +554,38 @@ object Queries {
       FROM cand JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
       ORDER BY jaccard DESC, id_a, id_b LIMIT 100"""))
 
+  /** Connected-components cluster resolution over verified n-gram
+    * Jaccard pairs (≥ 0.5) — oracled against a DuckDB recursive-CTE
+    * transitive closure computing min reachable id per node.
+    */
+  val dedupClusterCc: QueryDef = QueryDef("dedup_cluster_cc",
+    (s, dir) => Dedup.connectedComponents(
+        Dedup.ngramJaccardPairs(t(s, dir, "documents"),
+          "doc_id", "text", "lang", "n_chars", lenBand = 50, n = 3, minJaccard = 0.5))
+      .orderBy(col("id")),
+    Some("""WITH RECURSIVE tok AS (SELECT doc_id, lang, n_chars,
+        string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS w
+        FROM documents),
+      g AS (SELECT doc_id, lang, n_chars,
+        unnest(list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2] FOR i IN range(1, len(w) - 1)])) AS gram
+        FROM tok WHERE len(w) >= 3),
+      sz AS (SELECT doc_id, COUNT(*) AS sz FROM g GROUP BY doc_id),
+      cand AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+        FROM g a JOIN g b ON a.gram = b.gram AND a.lang = b.lang
+          AND a.doc_id < b.doc_id AND abs(a.n_chars - b.n_chars) <= 50
+        GROUP BY 1, 2),
+      pairs AS (SELECT id_a, id_b,
+          round(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 6) AS jaccard
+        FROM cand JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b),
+      e AS (SELECT id_a, id_b FROM pairs WHERE jaccard >= 0.5),
+      edges AS (SELECT id_a AS s, id_b AS d FROM e
+        UNION ALL SELECT id_b, id_a FROM e),
+      reach(id, r) AS (
+        SELECT s, s FROM (SELECT DISTINCT s FROM edges)
+        UNION
+        SELECT edges.s, reach.r FROM edges JOIN reach ON edges.d = reach.id)
+      SELECT id, MIN(r) AS cluster FROM reach GROUP BY id ORDER BY id"""))
+
   val dedupMinhash: QueryDef = QueryDef("dedup_minhash",
     (s, dir) => Dedup.minhashDedupSurvivors(t(s, dir, "documents"),
       "doc_id", "text", minJaccard = 0.7)
@@ -647,6 +679,6 @@ object Queries {
     etlUnionSources, etlValidate, etlCleanTransform, etlQualityReport,
     etlCsvProjection, etlFreshness,
     textTokens, textQuality, textLangId, textFingerprint,
-    dedupExact, dedupNgramJaccard, dedupMinhash, dedupSimhash, dedupEmbedding,
+    dedupExact, dedupNgramJaccard, dedupClusterCc, dedupMinhash, dedupSimhash, dedupEmbedding,
     annBruteForce, annLsh, mmMetadata, mmDecode, sketchHll)
 }

@@ -145,28 +145,36 @@ object Dedup {
       .distinct()
   }
 
-  /** MinHash-LSH dedup: candidates verified with exact n-gram Jaccard;
-    * docs that are the higher-id member of a verified pair are removed.
-    * (Greedy pairwise removal, not transitive-closure clustering — at
-    * scale true clustering needs an iterative connected-components
-    * pass; pairwise is the standard first-cut and errs toward keeping.)
+  /** LSH candidates verified with exact n-gram Jaccard ≥ minJaccard:
+    * (id_a, id_b, j) edges for clustering.
     */
-  def minhashDedupSurvivors(docs: DataFrame, id: String, text: String,
+  def minhashVerifiedPairs(docs: DataFrame, id: String, text: String,
       minJaccard: Double = 0.8, numPerm: Int = 128, bands: Int = 32,
       n: Int = 3): DataFrame = {
     val cand = minhashLshCandidates(docs, id, text, numPerm, bands, n)
     val grams = docs
       .select(col(id).as("gid"), TextAnalysis.tokens(col(text)).as("toks"))
       .select(col("gid"), shingles(col("toks"), n).as("grams"))
-    val verified = cand
+    cand
       .join(grams.select(col("gid").as("id_a"), col("grams").as("ga")), "id_a")
       .join(grams.select(col("gid").as("id_b"), col("grams").as("gb")), "id_b")
       .withColumn("j",
         size(array_intersect(col("ga"), col("gb"))).cast(DoubleType) /
           size(array_union(col("ga"), col("gb"))).cast(DoubleType))
       .filter(col("j") >= minJaccard)
-    docs.join(verified.select(col("id_b").as(id)).distinct(), Seq(id), "left_anti")
+      .select("id_a", "id_b", "j")
   }
+
+  /** MinHash-LSH dedup: one survivor (the min id) per connected
+    * component of verified near-dup pairs — transitive closure via
+    * [[connectedComponents]], so A~B, B~C collapse to one doc even
+    * when A~C was never a candidate pair.
+    */
+  def minhashDedupSurvivors(docs: DataFrame, id: String, text: String,
+      minJaccard: Double = 0.8, numPerm: Int = 128, bands: Int = 32,
+      n: Int = 3): DataFrame =
+    survivorsByCluster(docs, id,
+      minhashVerifiedPairs(docs, id, text, minJaccard, numPerm, bands, n))
 
   /** 64-bit SimHash over word n-gram shingles: per-bit ±1 vote summed
     * per doc (one wide partial aggregation — map-side combined, no raw
@@ -209,6 +217,61 @@ object Dedup {
           .cast(LongType).as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Resolve undirected candidate-pair edges into connected
+    * components: iterative min-label propagation. Returns
+    * (id, cluster) with cluster = min id in the component.
+    *
+    * Scale shape: each iteration is one join + one min-aggregation,
+    * both hash-partitioned on id — no driver-side graph. Labels only
+    * decrease, so `sum(label)` is a cheap monotone convergence
+    * signal; near-dup components have tiny diameters, so iterations
+    * ≈ 3–5 in practice. `localCheckpoint` cuts the growing lineage
+    * (standard for iterative DataFrame algorithms).
+    */
+  def connectedComponents(pairs: DataFrame, idA: String = "id_a",
+      idB: String = "id_b", maxIter: Int = 20): DataFrame = {
+    // materialize the edge list once — every iteration joins it, and
+    // without the checkpoint each join would re-run the (potentially
+    // expensive) candidate-pair pipeline that produced `pairs`
+    val edges = pairs.select(col(idA).as("src"), col(idB).as("dst"))
+      .unionByName(pairs.select(col(idB).as("src"), col(idA).as("dst")))
+      .localCheckpoint(true)
+    // convergence signal in unbounded decimal: a long sum could
+    // ANSI-overflow on 64-bit ids at scale
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("cluster").cast(DecimalType(38, 0)))).head().getDecimal(0)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("cluster", col("id"))
+      .localCheckpoint(true)
+    var prevSum = labelSum(labels)
+    var i = 0
+    var converged = false
+    while (i < maxIter && !converged) {
+      val msgs = edges.join(labels, edges("src") === labels("id"))
+        .select(col("dst").as("id"), col("cluster"))
+      val next = msgs.unionByName(labels.select(col("id"), col("cluster")))
+        .groupBy("id").agg(min(col("cluster")).as("cluster"))
+        .localCheckpoint(true)
+      val s = labelSum(next)
+      converged = s.compareTo(prevSum) == 0
+      prevSum = s
+      labels = next
+      i += 1
+    }
+    labels
+  }
+
+  /** Cluster-aware dedup: keep one doc (the min id) per connected
+    * component of verified near-dup pairs — the transitive closure the
+    * greedy pairwise removal approximates.
+    */
+  def survivorsByCluster(docs: DataFrame, id: String, pairs: DataFrame): DataFrame = {
+    val removed = connectedComponents(pairs)
+      .filter(col("id") =!= col("cluster"))
+      .select(col("id").as(id))
+    docs.join(removed, Seq(id), "left_anti")
   }
 
   /** Embedding near-dup pairs: cosine ≥ minCos within a blocking

@@ -76,6 +76,23 @@ class DedupSpec extends SparkSpec {
     assert(pairs == Set((1L, 2L)))
   }
 
+  test("connectedComponents: chains collapse to min-id clusters") {
+    import spark.implicits._
+    // components: {1,2,3,4} via chain, {10,11}, singleton edges only
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L)).toDF("id_a", "id_b")
+    val cc = Dedup.connectedComponents(pairs).collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[Long]("cluster")).toMap
+    assert(cc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
+  test("survivorsByCluster keeps one doc per component, docs without pairs untouched") {
+    import spark.implicits._
+    val pairs = Seq((1L, 2L), (2L, 5L)).toDF("id_a", "id_b")
+    val surv = Dedup.survivorsByCluster(docs, "doc_id", pairs)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(surv == Set(1L, 3L, 4L)) // 2 and 5 fold into cluster 1
+  }
+
   test("rolling fingerprint is order-sensitive where md5-canonical is not") {
     import spark.implicits._
     val df = Seq((1L, "alpha beta gamma"), (2L, "gamma beta alpha")).toDF("id", "text")
