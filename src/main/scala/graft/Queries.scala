@@ -355,6 +355,33 @@ object Queries {
       CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total
       FROM events GROUP BY 1, 2 ORDER BY window_start, event_type"""))
 
+  /** As-of join: each purchase event attributed to the user's most
+    * recent click at-or-before it (union-merge, one shuffle; oracle is
+    * DuckDB's native ASOF LEFT JOIN).
+    */
+  val q19AsOf: QueryDef = QueryDef("q19_asof_join",
+    (s, dir) => {
+      val ev = t(s, dir, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .groupBy(col("user_id").as("c_uid"), col("ts").as("click_ts"))
+        .agg(max(col("value")).as("click_value"))
+      AsOf.lastValueAsOf(purchases, clicks,
+          "user_id", "ts", "c_uid", "click_ts",
+          struct(col("click_ts"), col("click_value")), "asof")
+        .select(col("event_id"), col("user_id"),
+          col("asof.click_ts").as("click_ts"),
+          col("asof.click_value").as("click_value"))
+        .orderBy(col("event_id"))
+    },
+    Some("""WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+      c AS (SELECT user_id AS c_uid, ts AS click_ts, MAX(value) AS click_value
+        FROM events WHERE event_type = 'click' GROUP BY 1, 2)
+      SELECT p.event_id, p.user_id, c.click_ts, c.click_value
+      FROM p ASOF LEFT JOIN c ON p.user_id = c.c_uid AND p.ts >= c.click_ts
+      ORDER BY p.event_id"""))
+
   val q18Json: QueryDef = QueryDef("q18_json",
     (s, dir) => t(s, dir, "events")
       .select(col("event_id"),
@@ -675,7 +702,7 @@ object Queries {
   val all: Seq[QueryDef] = Seq(
     q1Agg, q2Filter, q3Join, q4Semi, q5Multi, q6Window, q7TopK, q8Distinct,
     q9Rollup, q10Pivot, q11Anti, q12Expr, q13Percentiles, q14Subquery,
-    q15SetOps, q16Sessionize, q17EventsWindow, q18Json,
+    q15SetOps, q16Sessionize, q17EventsWindow, q18Json, q19AsOf,
     etlUnionSources, etlValidate, etlCleanTransform, etlQualityReport,
     etlCsvProjection, etlFreshness,
     textTokens, textQuality, textLangId, textFingerprint,

@@ -1,0 +1,44 @@
+package graft
+
+import graft.operators.AsOf
+import org.apache.spark.sql.functions._
+import java.sql.Timestamp
+
+class AsOfSpec extends SparkSpec {
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("lastValueAsOf: latest right at-or-before left time; null when none; inclusive ties") {
+    import spark.implicits._
+    val trades = Seq(
+      (1L, 100L, ts("2026-01-01 10:00:00")),
+      (2L, 100L, ts("2026-01-01 10:05:00")),
+      (3L, 100L, ts("2026-01-01 09:00:00")),  // before any quote → null
+      (4L, 200L, ts("2026-01-01 10:00:00"))   // key with no quotes at all → null
+    ).toDF("trade_id", "sym", "t")
+    val quotes = Seq(
+      (100L, ts("2026-01-01 10:00:00"), 1.5), // tie with trade 1 → inclusive match
+      (100L, ts("2026-01-01 10:03:00"), 2.5)
+    ).toDF("sym", "qt", "px")
+
+    val out = AsOf.lastValueAsOf(trades, quotes, "sym", "t", "sym", "qt",
+        struct(col("qt"), col("px")), "q")
+      .select(col("trade_id"), col("q.px").as("px"))
+      .collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+
+    assert(out(1L).contains(1.5))  // inclusive: quote at exactly 10:00
+    assert(out(2L).contains(2.5))  // latest of the two prior quotes
+    assert(out(3L).isEmpty)
+    assert(out(4L).isEmpty)
+  }
+
+  test("left columns pass through unchanged") {
+    import spark.implicits._
+    val l = Seq((1L, "a", ts("2026-01-01 00:00:01"))).toDF("id", "tag", "t")
+    val r = Seq((1L, ts("2026-01-01 00:00:00"), 9.0)).toDF("id", "rt", "v")
+    val out = AsOf.lastValueAsOf(l, r, "id", "t", "id", "rt", col("v"), "v")
+    assert(out.columns.toSeq == Seq("id", "tag", "t", "v"))
+    val row = out.collect().head
+    assert(row.getAs[String]("tag") == "a" && row.getAs[Double]("v") == 9.0)
+  }
+}
