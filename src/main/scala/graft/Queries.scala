@@ -382,6 +382,27 @@ object Queries {
       FROM p ASOF LEFT JOIN c ON p.user_id = c.c_uid AND p.ts >= c.click_ts
       ORDER BY p.event_id"""))
 
+  /** Banded range join: per event, count/value of the same user's
+    * events in the strictly-preceding 10 minutes. Spark side buckets
+    * time so the join is an equi-join on (user, bucket) — the oracle
+    * is DuckDB's plain inequality join.
+    */
+  val q20Range: QueryDef = QueryDef("q20_range_join",
+    (s, dir) => {
+      val ev = t(s, dir, "events")
+      RangeJoin.priorAggWithin(ev, ev, "user_id", "event_id", "ts", "ts",
+          "value", delayUs = 600000000L)
+        .withColumnRenamed("id", "event_id")
+        .orderBy(col("event_id"))
+    },
+    Some("""WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS tu, value FROM events)
+      SELECT a.event_id,
+        COUNT(b.event_id) AS n_prior,
+        CAST(COALESCE(SUM(CAST(b.value AS DECIMAL(12,2))), 0) AS DOUBLE) AS prior_value
+      FROM e a LEFT JOIN e b
+        ON a.user_id = b.user_id AND b.tu < a.tu AND a.tu - b.tu <= 600000000
+      GROUP BY a.event_id ORDER BY a.event_id"""))
+
   val q18Json: QueryDef = QueryDef("q18_json",
     (s, dir) => t(s, dir, "events")
       .select(col("event_id"),
@@ -702,7 +723,7 @@ object Queries {
   val all: Seq[QueryDef] = Seq(
     q1Agg, q2Filter, q3Join, q4Semi, q5Multi, q6Window, q7TopK, q8Distinct,
     q9Rollup, q10Pivot, q11Anti, q12Expr, q13Percentiles, q14Subquery,
-    q15SetOps, q16Sessionize, q17EventsWindow, q18Json, q19AsOf,
+    q15SetOps, q16Sessionize, q17EventsWindow, q18Json, q19AsOf, q20Range,
     etlUnionSources, etlValidate, etlCleanTransform, etlQualityReport,
     etlCsvProjection, etlFreshness,
     textTokens, textQuality, textLangId, textFingerprint,
