@@ -45,6 +45,14 @@ object Refresh {
       .select(col("window.start").as("window_start"), col(keyCol),
         col("n"), col("total"))
 
+  /** Stream-static enrichment: each micro-batch left-joins the
+    * (small) static dimension, broadcast — the streaming side is never
+    * shuffled, and the dimension is re-resolved per batch so a
+    * refreshed dim table is picked up without restarting the query.
+    */
+  def enrich(stream: DataFrame, dim: DataFrame, keys: Seq[String]): DataFrame =
+    stream.join(broadcast(dim), keys, "left_outer")
+
   /** Streaming exact dedup on a key with state TTL via watermark —
     * `dropDuplicates` backed by the state store.
     */

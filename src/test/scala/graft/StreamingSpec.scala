@@ -66,6 +66,23 @@ class StreamingSpec extends SparkSpec {
     assert(n == 2)
   }
 
+  test("stream-static enrichment joins each batch against a broadcast dim") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dim = Seq((1L, "gold"), (2L, "silver")).toDF("user_id", "tier")
+    val mem = MemoryStream[(Long, Double)]
+    val enriched = Refresh.enrich(mem.toDF().toDF("user_id", "value"), dim, Seq("user_id"))
+    val q = enriched.writeStream.format("memory").queryName("enr")
+      .outputMode(OutputMode.Append).start()
+    mem.addData((1L, 10.0), (3L, 30.0))
+    q.processAllAvailable()
+    val rows = spark.table("enr").collect()
+      .map(r => r.getAs[Long]("user_id") -> Option(r.getAs[String]("tier"))).toMap
+    q.stop()
+    assert(rows(1L).contains("gold"))
+    assert(rows(3L).isEmpty) // unmatched key survives with null tier
+  }
+
   test("stateful sessionization emits closed sessions (gap-based)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
