@@ -572,6 +572,22 @@ object Queries {
     Some("""SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint
       FROM documents ORDER BY doc_id"""))
 
+  /** Vocabulary / document-frequency build: top-100 2-grams by df,
+    * ties broken lexicographically.
+    */
+  val textVocab: QueryDef = QueryDef("text_vocab",
+    (s, dir) => TextAnalysis.gramDocFreq(t(s, dir, "documents"), "doc_id", "text", 2)
+      .orderBy(desc("df"), col("gram"))
+      .limit(100),
+    Some("""WITH tok AS (SELECT doc_id,
+        string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS w
+        FROM documents),
+      g AS (SELECT doc_id,
+        unnest(list_distinct([w[i] || ' ' || w[i+1] FOR i IN range(1, len(w))])) AS gram
+        FROM tok WHERE len(w) >= 2)
+      SELECT gram, COUNT(*) AS df FROM g GROUP BY gram
+      ORDER BY df DESC, gram LIMIT 100"""))
+
   // ──────────────────────── §2c dedup ────────────────────────
 
   val dedupExact: QueryDef = QueryDef("dedup_exact",
@@ -726,7 +742,7 @@ object Queries {
     q15SetOps, q16Sessionize, q17EventsWindow, q18Json, q19AsOf, q20Range,
     etlUnionSources, etlValidate, etlCleanTransform, etlQualityReport,
     etlCsvProjection, etlFreshness,
-    textTokens, textQuality, textLangId, textFingerprint,
+    textTokens, textQuality, textLangId, textFingerprint, textVocab,
     dedupExact, dedupNgramJaccard, dedupClusterCc, dedupMinhash, dedupSimhash, dedupEmbedding,
     annBruteForce, annLsh, mmMetadata, mmDecode, sketchHll)
 }

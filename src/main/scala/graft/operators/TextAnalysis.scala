@@ -108,6 +108,22 @@ object TextAnalysis {
     }
   }
 
+  /** Vocabulary build: document frequency per word n-gram — the
+    * corpus-statistics pass behind stop-gram lists, prefix filters and
+    * tokenizer vocabularies. One explode + one count-distinct-free
+    * aggregation (grams are pre-deduped per doc, so `count(*)` IS the
+    * document frequency — no distinct shuffle).
+    */
+  def gramDocFreq(docs: org.apache.spark.sql.DataFrame, id: String,
+      text: String, n: Int): org.apache.spark.sql.DataFrame =
+    docs.select(org.apache.spark.sql.functions.col(id).as("id"),
+        tokens(org.apache.spark.sql.functions.col(text)).as("toks"))
+      .select(org.apache.spark.sql.functions.explode(
+        Dedup.shingles(org.apache.spark.sql.functions.col("toks"), n)).as("gram"))
+      .groupBy("gram")
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("df"))
+
   /** Canonical md5 fingerprint (content-addressed dedup key). */
   def fingerprintMd5(text: Column): Column = md5(normalized(text))
 
