@@ -588,6 +588,18 @@ object Queries {
       SELECT gram, COUNT(*) AS df FROM g GROUP BY gram
       ORDER BY df DESC, gram LIMIT 100"""))
 
+  /** Mixture sampling + split (deterministic hash gates; xxhash64 has
+    * no DuckDB equivalent → rows-only, correctness in CurationSpec).
+    */
+  val curateMixture: QueryDef = QueryDef("curate_mixture",
+    (s, dir) => Curation.split(
+        Curation.mixtureSample(t(s, dir, "documents"), "source", "doc_id",
+          Map("src0" -> 1.0, "src1" -> 0.5, "src2" -> 0.25)),
+        "doc_id", valFrac = 0.1, testFrac = 0.1)
+      .select(col("doc_id"), col("source"), col("split"))
+      .orderBy(col("doc_id")),
+    None)
+
   // ──────────────────────── §2c dedup ────────────────────────
 
   val dedupExact: QueryDef = QueryDef("dedup_exact",
@@ -742,7 +754,7 @@ object Queries {
     q15SetOps, q16Sessionize, q17EventsWindow, q18Json, q19AsOf, q20Range,
     etlUnionSources, etlValidate, etlCleanTransform, etlQualityReport,
     etlCsvProjection, etlFreshness,
-    textTokens, textQuality, textLangId, textFingerprint, textVocab,
+    textTokens, textQuality, textLangId, textFingerprint, textVocab, curateMixture,
     dedupExact, dedupNgramJaccard, dedupClusterCc, dedupMinhash, dedupSimhash, dedupEmbedding,
     annBruteForce, annLsh, mmMetadata, mmDecode, sketchHll)
 }
