@@ -55,4 +55,18 @@ object Writers {
     */
   def json(df: DataFrame, path: String, mode: SaveMode = SaveMode.Overwrite): Unit =
     df.write.mode(mode).json(path)
+
+  /** Bucketed + sorted managed table: the at-rest layout for repeated
+    * fact⋈fact joins — two tables bucketed on the same key with the
+    * same bucket count join with NO shuffle (and no sort when sorted),
+    * which at 100 TB is the difference between a full-network
+    * repartition per query and a local merge per bucket.
+    */
+  def bucketedTable(df: DataFrame, table: String, bucketCol: String,
+      buckets: Int, mode: SaveMode = SaveMode.Overwrite): Unit =
+    df.write.mode(mode)
+      .bucketBy(buckets, bucketCol)
+      .sortBy(bucketCol)
+      .format("parquet")
+      .saveAsTable(table)
 }

@@ -55,6 +55,33 @@ class SourcesSpec extends SparkSpec {
     assert(multi.count() == 2)
   }
 
+  test("bucketed tables join without a shuffle on the bucket key") {
+    import spark.implicits._
+    spark.sql("DROP TABLE IF EXISTS bkt_a")
+    spark.sql("DROP TABLE IF EXISTS bkt_b")
+    val wh = new java.io.File("spark-warehouse")
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm); f.delete(); ()
+    }
+    if (wh.exists()) rm(wh)
+    val a = (1L to 1000L).map(i => (i, s"a$i")).toDF("k", "va")
+    val b = (1L to 1000L).map(i => (i, i * 2.0)).toDF("k", "vb")
+    Writers.bucketedTable(a, "bkt_a", "k", 4)
+    Writers.bucketedTable(b, "bkt_b", "k", 4)
+    val prevThresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      // force the sort-merge path: the point is that bucketing provides
+      // the join's required hash partitioning with NO shuffle exchange
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table("bkt_a").join(spark.table("bkt_b"), "k")
+      joined.collect()
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), plan)
+      assert(!plan.contains("Exchange hashpartitioning"), s"unexpected shuffle:\n$plan")
+      assert(joined.count() == 1000)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThresh)
+  }
+
   test("append mode accumulates") {
     Writers.parquet(df, s"$tmp/a", mode = SaveMode.Overwrite)
     Writers.parquet(df, s"$tmp/a", mode = SaveMode.Append)
