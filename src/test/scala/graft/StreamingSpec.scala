@@ -83,6 +83,29 @@ class StreamingSpec extends SparkSpec {
     assert(rows(3L).isEmpty) // unmatched key survives with null tier
   }
 
+  test("upsertByKey: later batches supersede keys, untouched rows survive") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val root = tmp()
+    val mem = MemoryStream[(Long, String, Long)]
+    val q = Refresh.upsertByKey(mem.toDF().toDF("id", "name", "ver"),
+      keys = Seq("id"), versionCol = "ver",
+      outDir = s"$root/out", checkpointDir = s"$root/ck", nBuckets = 8)
+
+    mem.addData((1L, "one-v1", 1L), (2L, "two-v1", 1L), (2L, "two-v2", 2L))
+    q.processAllAvailable()
+    val after1 = spark.read.parquet(s"$root/out")
+      .select("id", "name").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(after1 == Map(1L -> "one-v1", 2L -> "two-v2")) // in-batch dedup keeps max ver
+
+    mem.addData((2L, "two-v3", 3L), (3L, "three-v1", 1L))
+    q.processAllAvailable()
+    q.stop()
+    val after2 = spark.read.parquet(s"$root/out")
+      .select("id", "name").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(after2 == Map(1L -> "one-v1", 2L -> "two-v3", 3L -> "three-v1"))
+  }
+
   test("stateful sessionization emits closed sessions (gap-based)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
