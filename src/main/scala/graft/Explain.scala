@@ -13,14 +13,13 @@ object Explain {
     val names = if (args.length > 1) args(1).split(",").toSeq else Queries.all.map(_.name)
     val n     = if (args.length > 2) args(2).toInt else 2
     val cpus  = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
+    val spark = GraftSession.configure(SparkSession.builder())
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "16k")
       .config("spark.sql.codegen.maxFields", "512")
-      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
-      .config("spark.sql.session.timeZone", "UTC")
+      .config(GraftSession.LocalSpreadKey, sys.env.getOrElse("SPARK_GRAFT_SPREAD", "true"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -740,11 +740,19 @@ object Queries {
       .toDF().orderBy(col("id")),
     None)
 
+  /** HLL sketch count-distinct — the sketch ONLY. Pairing it with an
+    * exact countDistinct in the same plan (as r1 did) forces an Expand
+    * + distinct shuffle that costs the exact path and defeats the
+    * sketch's purpose; the approx-vs-exact accuracy comparison lives in
+    * SketchSpec instead. The sketch aggregate is pure partial
+    * aggregation: each map task keeps one HLL register set per group,
+    * the shuffle carries O(groups) sketches — the 100 TB shape.
+    */
   val sketchHll: QueryDef = QueryDef("sketch_hll",
     (s, dir) => t(s, dir, "lineitem")
       .groupBy(col("l_returnflag"))
-      .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
-        countDistinct(col("l_partkey")).as("exact_parts"))
+      .agg(approx_count_distinct(col("l_partkey"), 0.01).as("approx_parts"),
+        count(lit(1)).as("n_rows"))
       .orderBy(col("l_returnflag")),
     None)
 

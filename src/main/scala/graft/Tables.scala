@@ -1,5 +1,7 @@
 package graft
 
+import java.util.concurrent.ConcurrentHashMap
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
@@ -7,22 +9,25 @@ import org.apache.spark.sql.types.LongType
 /** Loaders for the TPC-H-ish test tables (see TESTDATA.md). One parquet
   * file per table; at cluster scale these would be partitioned
   * directories — the reader API is identical.
+  *
+  * The load path is a PLAIN `spark.read.parquet` by default: no
+  * repartition, no conf mutation — filters and projections push into
+  * the scan and aggregations keep their partial-before-shuffle shape.
+  * The one local-mode accommodation (single-row-group test files scan
+  * as one task) is gated behind [[GraftSession.LocalSpreadKey]],
+  * default off, and memoized so it costs one spread per table per
+  * session instead of one full-table exchange per query.
   */
 object Tables {
   val names: Seq[String] = Seq(
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  /** The test files are written as ONE parquet row group each, so a
-    * scan is a single task no matter how maxPartitionBytes is set —
-    * every downstream per-row operator would serialize on one core.
-    * On a real cluster the input is thousands of splittable files and
-    * this is a no-op concern; locally we restore parallelism by hash
-    * re-partitioning each non-tiny table on its primary join/group
-    * key. Hash (not round-robin) partitioning both avoids the
-    * sort-before-repartition pass and CO-LOCATES the common joins:
+  /** Primary join/group key per non-tiny table: hash (not round-robin)
+    * spread both avoids a sort pass and CO-LOCATES the common joins —
     * lineitem⋈orders on orderkey reuses this partitioning instead of
-    * shuffling twice.
+    * shuffling twice; user_id doubles as the window partition key for
+    * events.
     */
   private val spreadKey: Map[String, String] = Map(
     "customer"   -> "c_custkey",
@@ -33,22 +38,32 @@ object Tables {
     "documents"  -> "doc_id",
     "embeddings" -> "vec_id")
 
-  /** events.parquet carries TIMESTAMP(NANOS), which Spark's vectorized
-    * parquet reader rejects outright; `nanosAsLong` reads it as raw
-    * nanos-since-epoch, converted here to a proper micros timestamp
-    * (`div 1000` in integer space — a double intermediate would lose
-    * precision above 2^53 ns).
+  /** Memoized spread tables, keyed per session so a stopped session's
+    * DataFrames are never handed to a new one. JVM-lifetime cache: the
+    * spread exists only under the local bench flag, where sessions are
+    * one-per-JVM (Bench/Verify/test suite).
+    */
+  private val spread = new ConcurrentHashMap[(Int, String, String), DataFrame]()
+
+  /** Read one table. events.parquet carries TIMESTAMP(NANOS), which
+    * Spark's vectorized parquet reader rejects outright; the session
+    * must be built with `spark.sql.legacy.parquet.nanosAsLong=true`
+    * (see [[GraftSession.required]]) so it reads as raw nanos-since-
+    * epoch, converted here to a proper micros timestamp (`div 1000` in
+    * integer space — a double intermediate would lose precision above
+    * 2^53 ns).
     */
   def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = spark.read.parquet(s"$dir/$name.parquet")
     val df = raw.schema.fields.find(f => f.name == "ts" && f.dataType == LongType) match {
       case Some(_) => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       case None    => raw
     }
-    spreadKey.get(name) match {
-      case Some(key) => df.repartition(spark.sparkContext.defaultParallelism, col(key))
-      case None      => df
-    }
+    if (!GraftSession.localSpread(spark)) df
+    else spread.computeIfAbsent((System.identityHashCode(spark), dir, name), _ =>
+      spreadKey.get(name)
+        .map(key => df.repartition(spark.sparkContext.defaultParallelism, col(key)))
+        .getOrElse(df)
+        .persist())
   }
 }

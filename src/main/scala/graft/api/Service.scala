@@ -60,6 +60,22 @@ final class Service(spark: SparkSession, pipeline: Pipeline, stageDir: String) {
   def csv(): Either[String, DataFrame] =
     staged(spark.read.option("header", "true").csv(csvDir))
 
+  /** ONE downloadable CSV file (reference server.js:181-197 serves a
+    * single `universities.csv`). The staged dir stays distributed; this
+    * materializes the small serving copy on demand. Returns its path.
+    */
+  def csvFile(file: String = ""): Either[String, String] =
+    csv().map(df => graft.sources.Writers.csvSingleFile(df,
+      if (file.nonEmpty) file else s"$stageDir/download.csv"))
+
+  /** ONE downloadable JSON-lines file (reference server.js:106 writes a
+    * single JSON artifact). Returns its path.
+    */
+  def jsonFile(file: String = ""): Either[String, String] =
+    staged(spark.read.json(jsonDir)).map(df =>
+      graft.sources.Writers.jsonSingleFile(df,
+        if (file.nonEmpty) file else s"$stageDir/download.json"))
+
   private def staged(read: => DataFrame): Either[String, DataFrame] =
     Try { val df = read; df.schema; df } match {
       case Success(df) => Right(df)

@@ -56,6 +56,47 @@ object Writers {
   def json(df: DataFrame, path: String, mode: SaveMode = SaveMode.Overwrite): Unit =
     df.write.mode(mode).json(path)
 
+  /** Write `df` as exactly ONE file at `file` (not a directory): the
+    * reference's download endpoints serve a single artifact
+    * (server.js:106 one JSON file, 129-130 one CSV file). coalesce(1)
+    * — strictly for small serving results; the distributed writers
+    * above are the at-scale sinks. Writes to a hidden sibling temp
+    * directory, promotes the lone part file to `file`, and cleans up;
+    * all through the Hadoop FileSystem API so it works on HDFS/S3 as
+    * well as local disk. Returns the target path.
+    */
+  private def singleFile(df: DataFrame, file: String)(
+      write: (DataFrame, String) => Unit): String = {
+    import org.apache.hadoop.fs.Path
+    val target = new Path(file)
+    val fs = target.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
+    val tmp = new Path(target.getParent, s".${target.getName}.staging")
+    fs.delete(tmp, true)
+    write(df.coalesce(1), tmp.toString)
+    val part = fs.listStatus(tmp).map(_.getPath)
+      .find(_.getName.startsWith("part-"))
+      .getOrElse(throw new IllegalStateException(s"no part file written under $tmp"))
+    fs.delete(target, false)
+    if (!fs.rename(part, target))
+      throw new IllegalStateException(s"could not promote $part to $target")
+    fs.delete(tmp, true)
+    file
+  }
+
+  /** Single CSV download artifact (header, null→`nullAs`). */
+  def csvSingleFile(df: DataFrame, file: String, nullAs: String = "",
+      header: Boolean = true): String =
+    singleFile(df, file)((d, p) =>
+      d.write.mode(SaveMode.Overwrite)
+        .option("header", header.toString)
+        .option("nullValue", nullAs)
+        .option("emptyValue", nullAs)
+        .csv(p))
+
+  /** Single JSON-lines download artifact. */
+  def jsonSingleFile(df: DataFrame, file: String): String =
+    singleFile(df, file)((d, p) => d.write.mode(SaveMode.Overwrite).json(p))
+
   /** Bucketed + sorted managed table: the at-rest layout for repeated
     * fact⋈fact joins — two tables bucketed on the same key with the
     * same bucket count join with NO shuffle (and no sort when sorted),

@@ -88,11 +88,21 @@ object Refresh {
         val latest = batch
           .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
           .withColumn("__bkt", pmod(xxhash64(keyCols: _*), lit(nBuckets)))
+        // "has a prior write happened" must be answered on whatever
+        // filesystem outDir lives on (HDFS/S3/local) — the Hadoop FS
+        // API, never java.io.File, which silently answers false off the
+        // driver's local disk and would make every batch a full rewrite.
+        // The signal is the dataset's own _SUCCESS marker, not a
+        // hand-rolled sentinel file.
+        val outPath = new org.apache.hadoop.fs.Path(outDir)
+        val fs = outPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val initialized =
+          fs.exists(new org.apache.hadoop.fs.Path(outPath, "_SUCCESS"))
         val prevMode = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
         try {
           val merged =
-            if (new java.io.File(s"$outDir/_started").exists()) {
+            if (initialized) {
               val existing = spark.read.parquet(outDir)
               val affected = latest.select(col("__bkt")).distinct()
               existing
@@ -104,7 +114,6 @@ object Refresh {
           val snapshot = merged.localCheckpoint(true)
           snapshot.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
             .partitionBy("__bkt").parquet(outDir)
-          new java.io.File(s"$outDir/_started").createNewFile()
           ()
         } finally {
           prevMode match {

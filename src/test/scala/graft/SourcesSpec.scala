@@ -82,6 +82,23 @@ class SourcesSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThresh)
   }
 
+  test("single-file sinks write exactly one file with the reference column order") {
+    // reference download endpoints serve ONE file (server.js:106,129-130)
+    val csvPath = Writers.csvSingleFile(
+      df.select("name", "country", "id", "score"), s"$tmp/one.csv")
+    val f = new java.io.File(csvPath)
+    assert(f.isFile, s"$csvPath should be a single regular file")
+    assert(!new java.io.File(s"$tmp/.one.csv.staging").exists(), "staging dir cleaned up")
+    val lines = Files.readAllLines(java.nio.file.Paths.get(csvPath))
+    assert(lines.get(0) == "name,country,id,score") // header preserves column order
+    assert(lines.size() == 4)
+    assert(lines.toString.contains("ETH,,2")) // null → '' like the reference
+
+    val jsonPath = Writers.jsonSingleFile(df, s"$tmp/one.json")
+    assert(new java.io.File(jsonPath).isFile)
+    assert(Readers.json(spark, jsonPath).count() == 3)
+  }
+
   test("append mode accumulates") {
     Writers.parquet(df, s"$tmp/a", mode = SaveMode.Overwrite)
     Writers.parquet(df, s"$tmp/a", mode = SaveMode.Append)
