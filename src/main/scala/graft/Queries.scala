@@ -537,30 +537,38 @@ object Queries {
              ELSE 'low' END AS band
       FROM m ORDER BY doc_id"""))
 
+  /** Real language ID (stopword-profile voting + CJK script check —
+    * see TextAnalysis.langProfiles); the DuckDB oracle replicates the
+    * same profiles and decision cascade exactly. Capability on real
+    * multilingual snippets is asserted separately in TextAnalysisSpec.
+    */
   val textLangId: QueryDef = QueryDef("text_langid",
     (s, dir) => t(s, dir, "documents")
-      .select(col("doc_id"), col("lang"), TextAnalysis.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), col("lang"), col("text"),
+        TextAnalysis.tokens(col("text")).as("toks"))
       .select(
         col("doc_id"),
-        TextAnalysis.langIdOf(col("toks")).as("predicted"),
+        TextAnalysis.langIdOf(col("toks"), col("text")).as("predicted"),
         col("lang").as("actual"))
       .orderBy(col("doc_id")),
-    Some("""WITH t AS (SELECT doc_id, lang,
+    Some("""WITH t AS (SELECT doc_id, lang, text,
         string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS w
         FROM documents),
       sc AS (SELECT doc_id, lang,
-        len(list_filter(w, x -> x IN ('the','a','or'))) AS s_en,
-        len(list_filter(w, x -> x IN ('row','line','value'))) AS s_fr,
-        len(list_filter(w, x -> x IN ('data','table','key'))) AS s_es,
-        len(list_filter(w, x -> x IN ('group','window','batch'))) AS s_de,
-        len(list_filter(w, x -> x IN ('stream','vector','hash'))) AS s_zh
+        len(list_filter(w, x -> x IN ('the','and','of','to','is','that','it','was','for','with','this','have','are','be','not','from','they'))) AS s_en,
+        len(list_filter(w, x -> x IN ('le','les','des','du','et','est','une','que','qui','dans','pour','pas','vous','je','sur','avec','ne','ce','il','au','aux','son','ses'))) AS s_fr,
+        len(list_filter(w, x -> x IN ('el','los','las','y','una','que','por','para','con','no','su','como','pero','muy','sin','sobre','se','lo','del','al','más'))) AS s_es,
+        len(list_filter(w, x -> x IN ('der','die','das','und','ist','von','mit','den','ein','eine','nicht','zu','im','auf','für','sich','dem','auch','werden','bei','einer','nach'))) AS s_de,
+        len(regexp_extract_all(text, '[\x{4e00}-\x{9fff}]')) AS cjk,
+        GREATEST(CAST(length(text) AS DOUBLE), 1.0) AS n
         FROM t)
       SELECT doc_id,
-        CASE WHEN s_en >= GREATEST(s_fr, s_es, s_de, s_zh) THEN 'en'
-             WHEN s_fr >= GREATEST(s_es, s_de, s_zh) THEN 'fr'
-             WHEN s_es >= GREATEST(s_de, s_zh) THEN 'es'
-             WHEN s_de >= s_zh THEN 'de'
-             ELSE 'zh' END AS predicted,
+        CASE WHEN CAST(cjk AS DOUBLE) / n > 0.15 THEN 'zh'
+             WHEN s_en + s_fr + s_es + s_de = 0 THEN 'und'
+             WHEN s_en >= GREATEST(s_fr, s_es, s_de) THEN 'en'
+             WHEN s_fr >= GREATEST(s_es, s_de) THEN 'fr'
+             WHEN s_es >= s_de THEN 'es'
+             ELSE 'de' END AS predicted,
         lang AS actual
       FROM sc ORDER BY doc_id"""))
 
@@ -609,9 +617,18 @@ object Queries {
       MIN(doc_id) AS survivor_id, COUNT(*) AS n_copies
       FROM documents GROUP BY 1 ORDER BY digest"""))
 
+  /** Ships the scale-safe defaults: stop-gram guard ON (maxGramDf —
+    * the hot-gram quadratic-blowup guard) and a real minJaccard floor.
+    * The oracle mirrors BOTH: intersections count only non-hot grams
+    * while union sizes keep the full gram sets (Jaccard under-estimated
+    * exactly like the Spark side), and the same floor applies. At test
+    * scale (≤5k docs) no gram can exceed df 10000, so the guard is
+    * semantically mirrored yet the hash-compare stays exact.
+    */
   val dedupNgramJaccard: QueryDef = QueryDef("dedup_ngram_jaccard",
     (s, dir) => Dedup.ngramJaccardPairs(t(s, dir, "documents"),
-      "doc_id", "text", "lang", "n_chars", lenBand = 50, n = 3, minJaccard = 0.0)
+      "doc_id", "text", "lang", "n_chars", lenBand = 50, n = 3,
+      minJaccard = 0.1, maxGramDf = 10000L)
       .orderBy(desc("jaccard"), col("id_a"), col("id_b"))
       .limit(100),
     Some("""WITH tok AS (SELECT doc_id, lang, n_chars,
@@ -620,14 +637,18 @@ object Queries {
       g AS (SELECT doc_id, lang, n_chars,
         unnest(list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2] FOR i IN range(1, len(w) - 1)])) AS gram
         FROM tok WHERE len(w) >= 3),
+      hot AS (SELECT gram FROM g GROUP BY gram HAVING COUNT(*) > 10000),
+      gp AS (SELECT * FROM g WHERE gram NOT IN (SELECT gram FROM hot)),
       sz AS (SELECT doc_id, COUNT(*) AS sz FROM g GROUP BY doc_id),
       cand AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
-        FROM g a JOIN g b ON a.gram = b.gram AND a.lang = b.lang
+        FROM gp a JOIN gp b ON a.gram = b.gram AND a.lang = b.lang
           AND a.doc_id < b.doc_id AND abs(a.n_chars - b.n_chars) <= 50
         GROUP BY 1, 2)
-      SELECT id_a, id_b,
-        round(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 6) AS jaccard
-      FROM cand JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+      SELECT id_a, id_b, jaccard FROM (
+        SELECT id_a, id_b,
+          round(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 6) AS jaccard
+        FROM cand JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b)
+      WHERE jaccard >= 0.1
       ORDER BY jaccard DESC, id_a, id_b LIMIT 100"""))
 
   /** Connected-components cluster resolution over verified n-gram
@@ -637,7 +658,8 @@ object Queries {
   val dedupClusterCc: QueryDef = QueryDef("dedup_cluster_cc",
     (s, dir) => Dedup.connectedComponents(
         Dedup.ngramJaccardPairs(t(s, dir, "documents"),
-          "doc_id", "text", "lang", "n_chars", lenBand = 50, n = 3, minJaccard = 0.5))
+          "doc_id", "text", "lang", "n_chars", lenBand = 50, n = 3,
+          minJaccard = 0.5, maxGramDf = 10000L))
       .orderBy(col("id")),
     Some("""WITH RECURSIVE tok AS (SELECT doc_id, lang, n_chars,
         string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS w
@@ -645,9 +667,11 @@ object Queries {
       g AS (SELECT doc_id, lang, n_chars,
         unnest(list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2] FOR i IN range(1, len(w) - 1)])) AS gram
         FROM tok WHERE len(w) >= 3),
+      hot AS (SELECT gram FROM g GROUP BY gram HAVING COUNT(*) > 10000),
+      gp AS (SELECT * FROM g WHERE gram NOT IN (SELECT gram FROM hot)),
       sz AS (SELECT doc_id, COUNT(*) AS sz FROM g GROUP BY doc_id),
       cand AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
-        FROM g a JOIN g b ON a.gram = b.gram AND a.lang = b.lang
+        FROM gp a JOIN gp b ON a.gram = b.gram AND a.lang = b.lang
           AND a.doc_id < b.doc_id AND abs(a.n_chars - b.n_chars) <= 50
         GROUP BY 1, 2),
       pairs AS (SELECT id_a, id_b,
@@ -674,10 +698,18 @@ object Queries {
       .orderBy(col("id")),
     None)
 
+  /** Blocking key is the random-hyperplane LSH bucket — NOT a data
+    * column like `label`, whose block sizes are unbounded (a 1M-row
+    * label at scale would be 10¹² in-block pairs). Bucket counts are
+    * a parameter (2^bits per band), so the pair space is tunable and
+    * uniform at any corpus size. Rows-only; recall vs the exact
+    * all-pairs path is asserted in DedupSpec.
+    */
   val dedupEmbedding: QueryDef = QueryDef("dedup_embedding",
     (s, dir) => {
       val emb = t(s, dir, "embeddings")
-      val pairs = Dedup.embeddingNearDupPairs(emb, "vec_id", "embedding", "label", 0.95)
+      val pairs = Dedup.embeddingNearDupPairsLsh(emb, "vec_id", "embedding",
+        dim = 64, minCos = 0.95)
       emb.join(pairs.select(col("id_b").as("vec_id")).distinct(), Seq("vec_id"), "left_anti")
         .select(col("vec_id"), col("label"))
         .orderBy(col("vec_id"))

@@ -56,14 +56,19 @@ object Dedup {
   /** Exact n-gram Jaccard near-dup pairs via an inverted index
     * (explode shingles → self-join on shared gram) with blocking:
     * only pairs sharing `block` and within `lenBand` of length are
-    * considered. `maxGramDf > 0` drops grams occurring in more than
-    * that many docs before the join (prefix-filter / stop-gram
-    * removal) — the standard skew guard at scale; union sizes still
-    * use the full gram sets so Jaccard is only *under*-estimated.
+    * considered. `maxGramDf` drops grams occurring in more than that
+    * many docs before the join (prefix-filter / stop-gram removal) —
+    * ON BY DEFAULT: it is the guard that keeps the gram self-join from
+    * going quadratic on a hot gram ("the quick") shared by millions of
+    * real-corpus docs. Union sizes still use the full gram sets so
+    * Jaccard is only *under*-estimated (never a false positive);
+    * `maxGramDf = 0` disables for exact-oracle runs. Docs sharing ONLY
+    * stop-grams lose their candidate pair — by construction those have
+    * jaccard < maxGramDf-docs/union, far below any useful minJaccard.
     */
   def ngramJaccardPairs(docs: DataFrame, id: String, text: String,
       block: String, len: String, lenBand: Int,
-      n: Int = 3, minJaccard: Double = 0.2, maxGramDf: Long = 0L): DataFrame = {
+      n: Int = 3, minJaccard: Double = 0.2, maxGramDf: Long = 10000L): DataFrame = {
     val g = explodedGrams(docs, id, text, n,
       Seq(col(block) -> "blk", col(len).cast(LongType) -> "len"))
     val pruned =
@@ -275,9 +280,10 @@ object Dedup {
   }
 
   /** Embedding near-dup pairs: cosine ≥ minCos within a blocking
-    * column (here a label/cluster id; at 100 TB the block would be an
-    * LSH hyperplane bucket from Similarity.hyperplaneBuckets so each
-    * block is small and the pair space stays near-linear).
+    * column. In-block pairing is O(block²) — only use this form when
+    * the caller KNOWS blocks are small (a pre-clustered corpus); for
+    * anything content-derived use [[embeddingNearDupPairsLsh]], whose
+    * hyperplane buckets stay small by construction.
     */
   def embeddingNearDupPairs(emb: DataFrame, id: String, vec: String,
       block: String, minCos: Double): DataFrame = {
@@ -285,6 +291,42 @@ object Dedup {
     val b = emb.select(col(block).as("blk"), col(id).as("id_b"), col(vec).as("v_b"))
     a.join(b, "blk")
       .filter(col("id_a") < col("id_b"))
+      .withColumn("cos", round(vector.cosine(col("v_a"), col("v_b")), 6))
+      .filter(col("cos") >= minCos)
+      .select("id_a", "id_b", "cos")
+  }
+
+  /** Embedding near-dup pairs at scale: random-hyperplane LSH buckets
+    * (Similarity.hyperplaneBuckets) as the blocking key — the pair
+    * space is Σ bucket² with uniform, tunable bucket sizes (2^bits
+    * buckets per band), never O(block²) on a data-driven key like a
+    * label. Candidates agreeing on ANY band are verified with exact
+    * cosine, so precision is exact and only recall depends on the LSH
+    * parameters: for cos ≥ 0.95 (θ ≈ 18°), P(bit agrees) ≈ 0.9, so a
+    * pair survives a band of 8 bits w.p. ≈ 0.43 and misses all 8
+    * bands w.p. ≈ 0.57⁸ ≈ 1% — recall ≈ 99% at 256 buckets/band.
+    * `maxBucket` drops degenerate buckets (near-constant embedding
+    * regions), same role as stop-grams in the inverted-index path.
+    */
+  def embeddingNearDupPairsLsh(emb: DataFrame, id: String, vec: String,
+      dim: Int, minCos: Double, bits: Int = 8, bands: Int = 8,
+      maxBucket: Int = 1000, seed: Long = 7L): DataFrame = {
+    val base = emb.select(col(id).as("id"), col(vec).as("v"))
+    val bucketed = Similarity.hyperplaneBuckets(base, "v", dim, bits, bands, seed)
+    val bandCols = (0 until bands).map(bi =>
+      struct(lit(bi).as("band"), col(s"bucket_$bi").as("key")))
+    val cand = bucketed
+      .select(col("id"), explode(array(bandCols: _*)).as("b"))
+      .select(col("b.band").as("band"), col("b.key").as("key"), col("id"))
+      .groupBy(col("band"), col("key"))
+      .agg(sort_array(collect_list(col("id"))).as("ids"))
+      .filter(size(col("ids")).between(2, maxBucket))
+      .select(explode(pairCombos(col("ids"))).as("p"))
+      .select(col("p.a").as("id_a"), col("p.b").as("id_b"))
+      .distinct()
+    cand
+      .join(base.select(col("id").as("id_a"), col("v").as("v_a")), "id_a")
+      .join(base.select(col("id").as("id_b"), col("v").as("v_b")), "id_b")
       .withColumn("cos", round(vector.cosine(col("v_a"), col("v_b")), 6))
       .filter(col("cos") >= minCos)
       .select("id_a", "id_b", "cos")

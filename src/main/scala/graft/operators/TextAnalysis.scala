@@ -38,15 +38,27 @@ object TextAnalysis {
     round(lit(0.4) * (lit(1.0) - punct) + lit(0.3) * least(stopR * 5.0, lit(1.0)) + lit(0.3) * lenS, 6)
   }
 
-  def langIdOf(toks: Column): Column = {
-    val scores = langMarkers.map { case (lang, words) => lang -> tokenHitsOf(toks, words) }
-    scores.zipWithIndex.foldRight(lit(scores.last._1)) { case (((lang, s), i), elseC) =>
+  /** Language ID from a materialized token array + the raw text:
+    * stopword-profile voting (the classic n-gram/stopword-counting
+    * method) over real per-language function-word lists, plus a CJK
+    * script check for Chinese (function words don't transfer to
+    * unsegmented scripts — character class does). `und` when no
+    * profile fires. Pure codegen'd expressions, zero shuffle.
+    */
+  def langIdOf(toks: Column, text: Column): Column = {
+    val cjk = regexp_count(text, lit("[\\u4e00-\\u9fff]")).cast(DoubleType)
+    val n   = greatest(length(text).cast(DoubleType), lit(1.0))
+    val scores = langProfiles.map { case (lang, words) => lang -> tokenHitsOf(toks, words) }
+    val vote = scores.zipWithIndex.foldRight(lit(scores.last._1)) { case (((lang, s), i), elseC) =>
       scores.drop(i + 1).map(_._2) match {
         case Nil        => elseC
         case one :: Nil => when(s >= one, lang).otherwise(elseC)
         case rest       => when(s >= greatest(rest: _*), lang).otherwise(elseC)
       }
     }
+    when(cjk / n > 0.15, "zh")
+      .when(scores.map(_._2).reduce(_ + _) === 0, "und")
+      .otherwise(vote)
   }
 
   /** BPE-ish subword-piece estimate: runs of letters, runs of digits,
@@ -81,32 +93,34 @@ object TextAnalysis {
     round(lit(0.4) * (lit(1.0) - punct) + lit(0.3) * least(stopR * 5.0, lit(1.0)) + lit(0.3) * lenS, 6)
   }
 
-  /** Marker words per language for the n-gram-vote language ID. The
-    * synthetic corpus shares one vocabulary across langs, so these sets
-    * are arbitrary-but-fixed; on real data they'd be per-language
-    * frequency tables. Sets are disjoint so votes are unambiguous.
+  /** Per-language function-word (stopword) profiles — the highest-
+    * frequency closed-class words of each language, the standard
+    * signal for statistical language ID: they appear in essentially
+    * every sentence and rarely transfer across languages. Forms shared
+    * across Romance languages ("de", "la", "en", "un") are excluded so
+    * a hit is evidence for one language, not two; "que" stays in both
+    * fr and es where it genuinely occurs (its votes cancel).
+    * Chinese is handled by script detection, not word lists —
+    * whitespace tokenization doesn't segment CJK text.
     */
-  val langMarkers: Seq[(String, Seq[String])] = Seq(
-    "en" -> Seq("the", "a", "or"),
-    "fr" -> Seq("row", "line", "value"),
-    "es" -> Seq("data", "table", "key"),
-    "de" -> Seq("group", "window", "batch"),
-    "zh" -> Seq("stream", "vector", "hash"))
+  val langProfiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "is", "that", "it", "was",
+      "for", "with", "this", "have", "are", "be", "not", "from", "they"),
+    "fr" -> Seq("le", "les", "des", "du", "et", "est", "une", "que",
+      "qui", "dans", "pour", "pas", "vous", "je", "sur", "avec", "ne",
+      "ce", "il", "au", "aux", "son", "ses"),
+    "es" -> Seq("el", "los", "las", "y", "una", "que", "por", "para",
+      "con", "no", "su", "como", "pero", "muy", "sin", "sobre", "se",
+      "lo", "del", "al", "más"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "von", "mit", "den",
+      "ein", "eine", "nicht", "zu", "im", "auf", "für", "sich", "dem",
+      "auch", "werden", "bei", "einer", "nach"))
 
-  /** Predicted language = argmax of marker-word hits, ties broken by
-    * the fixed order of `langMarkers`. Pure map-side expression.
+  /** Predicted language straight from text (tokenizes internally —
+    * prefer [[langIdOf]] with a materialized token array when other
+    * measures share the tokenization).
     */
-  def langId(text: Column): Column = {
-    val scores = langMarkers.map { case (lang, words) => lang -> tokenHits(text, words) }
-    // argmax with precedence = list order: lang_i wins if its score >= all later scores
-    scores.zipWithIndex.foldRight(lit(scores.last._1)) { case (((lang, s), i), elseC) =>
-      scores.drop(i + 1).map(_._2) match {
-        case Nil         => elseC
-        case one :: Nil  => when(s >= one, lang).otherwise(elseC)
-        case rest        => when(s >= greatest(rest: _*), lang).otherwise(elseC)
-      }
-    }
-  }
+  def langId(text: Column): Column = langIdOf(tokens(text), text)
 
   /** Vocabulary build: document frequency per word n-gram — the
     * corpus-statistics pass behind stop-gram lists, prefix filters and

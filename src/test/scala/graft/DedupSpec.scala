@@ -76,6 +76,49 @@ class DedupSpec extends SparkSpec {
     assert(pairs == Set((1L, 2L)))
   }
 
+  test("stop-gram guard bounds candidates on a hot-gram corpus") {
+    import spark.implicits._
+    // every doc shares a boilerplate header (hot grams); tails are unique
+    val n = 80
+    val hotDocs = (1 to n).map { i =>
+      val unique = (0 until 6).map(j => s"tok${i}x$j").mkString(" ")
+      (i.toLong, s"shared boilerplate header across every document $unique", "en", 60L)
+    }.toDF("doc_id", "text", "lang", "n_chars")
+    // guard off: each of the n·(n-1)/2 pairs shares the hot grams —
+    // the quadratic blowup the guard exists to stop
+    val unguarded = Dedup.ngramJaccardPairs(hotDocs, "doc_id", "text", "lang", "n_chars",
+      lenBand = 1000, n = 3, minJaccard = 0.0, maxGramDf = 0L).count()
+    assert(unguarded == n.toLong * (n - 1) / 2)
+    // guard on (df > 5 ⇒ the boilerplate grams are stop-grams): the
+    // candidate space collapses to the truly-similar pairs — none here
+    val guarded = Dedup.ngramJaccardPairs(hotDocs, "doc_id", "text", "lang", "n_chars",
+      lenBand = 1000, n = 3, minJaccard = 0.0, maxGramDf = 5L).count()
+    assert(guarded == 0L)
+  }
+
+  test("embedding LSH blocking recalls ≥90% of exact cosine near-dup pairs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    def unit(v: Array[Float]): Array[Float] = {
+      val norm = math.sqrt(v.map(x => x.toDouble * x).sum)
+      v.map(x => (x / norm).toFloat)
+    }
+    val base = (1 to 120).map(i => (i.toLong, unit(Array.fill(64)(rnd.nextGaussian().toFloat))))
+    // 40 perturbed near-dups at cos ≈ 0.97
+    val dups = base.take(40).map { case (i, v) =>
+      (i + 1000L, unit(v.map(x => x + 0.03f * rnd.nextGaussian().toFloat)))
+    }
+    val emb = (base ++ dups).toDF("vec_id", "embedding").withColumn("one", lit(1))
+    val exact = Dedup.embeddingNearDupPairs(emb, "vec_id", "embedding", "one", 0.95)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    assert(exact.size >= 30, s"expected a meaningful ground-truth set, got ${exact.size}")
+    val lsh = Dedup.embeddingNearDupPairsLsh(emb, "vec_id", "embedding", dim = 64, minCos = 0.95)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    assert(lsh.subsetOf(exact), "cosine verification makes precision exact")
+    val recall = lsh.size.toDouble / exact.size
+    assert(recall >= 0.9, s"LSH recall $recall below 0.9 floor (${lsh.size}/${exact.size})")
+  }
+
   test("connectedComponents: chains collapse to min-id clusters") {
     import spark.implicits._
     // components: {1,2,3,4} via chain, {10,11}, singleton edges only

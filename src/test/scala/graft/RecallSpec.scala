@@ -1,0 +1,69 @@
+package graft
+
+import graft.operators.{Dedup, Similarity}
+import org.apache.spark.sql.functions._
+
+/** Quantified recall for the approximate (rows-only) dedup/ANN paths,
+  * differential-tested against the exact oracled paths on the sf0.001
+  * documents/embeddings tables — so "rows-only" never means
+  * "unmeasured". Floors are deliberately below the theoretical recall
+  * (MinHash 128/32 at j=0.7 ⇒ ~0.999; SimHash 4×16 bands ⇒ 1.0 by
+  * pigeonhole) to keep the spec non-flaky while still catching a
+  * broken banding/bucketing change.
+  */
+class RecallSpec extends SparkSpec {
+
+  private val dir = sf("documents")
+
+  test("minhash-LSH verified pairs recall ≥0.9 of exact n-gram Jaccard pairs") {
+    val docs = Tables(spark, dir, "documents")
+    // exact ground truth: all-pairs Jaccard (constant block, no length
+    // band, stop-gram guard off) at the same threshold + shingle size
+    val truth = Dedup.ngramJaccardPairs(
+        docs.withColumn("one", lit(1)), "doc_id", "text", "one", "n_chars",
+        lenBand = Int.MaxValue, n = 3, minJaccard = 0.7, maxGramDf = 0L)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    assert(truth.nonEmpty, "sf0.001 documents should contain j≥0.7 near-dups")
+    val found = Dedup.minhashVerifiedPairs(docs, "doc_id", "text", minJaccard = 0.7)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    assert(found.subsetOf(truth), "exact-Jaccard verification makes precision 1.0")
+    val recall = found.size.toDouble / truth.size
+    assert(recall >= 0.9, s"minhash recall $recall (${found.size}/${truth.size})")
+  }
+
+  test("simhash banded candidates recall = 1.0 for hamming ≤ 3 (pigeonhole)") {
+    val sigs = Dedup.simhash(Tables(spark, dir, "documents"), "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("simhash"))
+    // brute-force ground truth over the collected signatures (test-only)
+    val truth = (for {
+      (ia, sa) <- sigs; (ib, sb) <- sigs
+      if ia < ib && java.lang.Long.bitCount(sa ^ sb) <= 3
+    } yield (ia, ib)).toSet
+    assert(truth.nonEmpty, "sf0.001 documents should contain hamming≤3 simhash pairs")
+    val found = Dedup.simhashCandidates(
+        Dedup.simhash(Tables(spark, dir, "documents"), "doc_id", "text"), maxHamming = 3)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    assert(found == truth,
+      s"4×16-bit banding must be lossless at hamming≤3: missed ${(truth -- found).take(5)}")
+  }
+
+  test("ann_lsh top-k recall ≥0.5 of brute-force top-k") {
+    val emb = Tables(spark, dir, "embeddings")
+    val q = emb.filter(col("vec_id") % 97 === 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    def topSets(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+      df.collect()
+        .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("vec_id")))
+        .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    val exact = topSets(Similarity.bruteForceTopK(emb, q,
+      "vec_id", "embedding", "q_id", "q_vec", 5))
+    val approx = topSets(Similarity.lshTopK(emb, q,
+      "vec_id", "embedding", "q_id", "q_vec", dim = 64, k = 5, bits = 4, bands = 4))
+    assert(exact.nonEmpty)
+    val recalls = exact.map { case (qid, truth) =>
+      approx.getOrElse(qid, Set.empty).count(truth).toDouble / truth.size
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.5, f"mean ann_lsh recall $mean%.3f below 0.5 floor")
+  }
+}

@@ -42,14 +42,25 @@ class TextAnalysisSpec extends SparkSpec {
     assert(a > b)
   }
 
-  test("langId votes by marker words with fixed tie order") {
+  test("langId classifies real multilingual snippets") {
     import spark.implicits._
-    val df = Seq(
-      "the a or the",            // en markers
-      "row line value row",      // fr markers
-      "stream vector hash"       // zh markers
-    ).toDF("text").select(TextAnalysis.langId(col("text")).as("l"))
-    assert(df.collect().map(_.getString(0)).toSeq == Seq("en", "fr", "zh"))
+    val snippets = Seq(
+      ("en", "The quick brown fox jumps over the lazy dog and runs to the forest with great speed"),
+      ("en", "It was the best of times, it was the worst of times, it was the age of wisdom"),
+      ("fr", "Je ne sais pas pour quoi vous avez fait cela mais c'est une belle surprise pour nous"),
+      ("fr", "Le petit prince est un livre qui parle des étoiles et du renard dans le désert"),
+      ("es", "El perro corre por el parque con los niños pero no quiere volver a su casa"),
+      ("es", "La vida es muy corta para perder el tiempo sin hacer lo que importa de verdad"),
+      ("de", "Der schnelle braune Fuchs springt über den faulen Hund und läuft in den Wald"),
+      ("de", "Das ist eine sehr gute Idee und wir werden sie nicht vergessen bei der Arbeit"),
+      ("zh", "敏捷的棕色狐狸跳过了懒惰的狗 它跑向森林"),
+      ("und", "xyzzy plugh foobar qux 12345"))
+    val out = snippets.toDF("expected", "text")
+      .select(col("expected"), TextAnalysis.langId(col("text")).as("predicted"))
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    out.foreach { case (expected, predicted) =>
+      assert(predicted == expected, s"expected $expected got $predicted")
+    }
   }
 
   test("fingerprintMd5 is whitespace/case canonical") {
