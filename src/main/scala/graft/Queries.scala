@@ -747,6 +747,38 @@ object Queries {
     },
     None)
 
+  /** IVF cell-probe ANN (rows-only: centroids are data-derived, not
+    * SQL-expressible; recall floor vs brute force in RecallSpec).
+    */
+  val annIvf: QueryDef = QueryDef("ann_ivf",
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") % 97 === 0)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      Similarity.ivfTopK(emb, q, "vec_id", "embedding", "q_id", "q_vec",
+        dim = 64, k = 5, nCells = 32, nProbe = 8)
+        .orderBy(col("q_id"), col("rank"))
+    },
+    None)
+
+  /** Salted skew join, oracled: the salt is a pure restructuring, so
+    * the result must hash-match the plain SQL join. Big side = events
+    * (user_id is the skewable key), small side = per-user totals.
+    */
+  val q21SkewJoin: QueryDef = QueryDef("q21_skew_join",
+    (s, dir) => {
+      val ev = t(s, dir, "events")
+      val userTotals = ev.groupBy(col("user_id"))
+        .agg(count(lit(1)).as("user_events"))
+      SkewJoin.salted(ev, userTotals, Seq("user_id"), col("event_id"), salts = 8)
+        .select(col("event_id"), col("user_id"), col("user_events"))
+        .orderBy(col("event_id"))
+    },
+    Some("""SELECT e.event_id, e.user_id, s.user_events
+      FROM events e JOIN (SELECT user_id, COUNT(*) AS user_events
+        FROM events GROUP BY user_id) s
+      ON e.user_id = s.user_id ORDER BY e.event_id"""))
+
   // ──────────────────────── §2c multimodal / sketches ────────────────────────
 
   val mmMetadata: QueryDef = QueryDef("mm_metadata",
@@ -792,9 +824,10 @@ object Queries {
     q1Agg, q2Filter, q3Join, q4Semi, q5Multi, q6Window, q7TopK, q8Distinct,
     q9Rollup, q10Pivot, q11Anti, q12Expr, q13Percentiles, q14Subquery,
     q15SetOps, q16Sessionize, q17EventsWindow, q18Json, q19AsOf, q20Range,
+    q21SkewJoin,
     etlUnionSources, etlValidate, etlCleanTransform, etlQualityReport,
     etlCsvProjection, etlFreshness,
     textTokens, textQuality, textLangId, textFingerprint, textVocab, curateMixture,
     dedupExact, dedupNgramJaccard, dedupClusterCc, dedupMinhash, dedupSimhash, dedupEmbedding,
-    annBruteForce, annLsh, mmMetadata, mmDecode, sketchHll)
+    annBruteForce, annLsh, annIvf, mmMetadata, mmDecode, sketchHll)
 }

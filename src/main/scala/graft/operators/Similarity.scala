@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.functions.vector
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Approximate-nearest-neighbor search over an embedding column.
@@ -63,6 +63,94 @@ object Similarity {
       }.reduce(_ + _)
       d.withColumn(s"bucket_$bi", key)
     }
+  }
+
+  /** Train IVF centroids on a deterministic corpus sample with local
+    * Lloyd iterations (spherical k-means: assign by max dot on
+    * normalized vectors, re-normalize means). Driver-side ON A SAMPLE
+    * only — the standard IVF recipe (FAISS trains coarse quantizers on
+    * a sample too): at 100 TB the corpus never participates in
+    * training, only in the single distributed assignment pass.
+    * Deterministic: sample = lowest xxhash64 ids, fixed seed init.
+    */
+  private[graft] def trainCentroids(corpus: DataFrame, vec: String,
+      nCells: Int, dim: Int, sampleN: Int = 4096, iters: Int = 8): Array[Array[Double]] = {
+    val sample = corpus
+      .select(col(vec).as("v"), xxhash64(col(vec)).as("h"))
+      .orderBy(col("h")).limit(sampleN)
+      .collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    require(sample.length >= nCells, s"sample ${sample.length} smaller than nCells $nCells")
+    def normalize(v: Array[Double]): Array[Double] = {
+      val n = math.sqrt(v.map(x => x * x).sum)
+      if (n == 0.0) v else v.map(_ / n)
+    }
+    val points = sample.map(normalize)
+    var centroids = points.take(nCells).map(_.clone())
+    (0 until iters).foreach { _ =>
+      val sums   = Array.fill(nCells)(new Array[Double](dim))
+      val counts = new Array[Int](nCells)
+      points.foreach { p =>
+        var best = 0; var bestDot = Double.MinValue
+        var c = 0
+        while (c < nCells) {
+          var d = 0.0; var j = 0
+          while (j < dim) { d += p(j) * centroids(c)(j); j += 1 }
+          if (d > bestDot) { bestDot = d; best = c }
+          c += 1
+        }
+        var j = 0
+        while (j < dim) { sums(best)(j) += p(j); j += 1 }
+        counts(best) += 1
+      }
+      centroids = centroids.zipWithIndex.map { case (old, c) =>
+        if (counts(c) == 0) old else normalize(sums(c))
+      }
+    }
+    centroids
+  }
+
+  /** Array of `struct(-dot(vec, centroid_i), i)` — array_sort on it
+    * orders cells best-first (struct sort is by first field asc), so
+    * element 1 is the assignment and a slice is the probe list. Pure
+    * codegen'd expressions via the native vec_dot.
+    */
+  private def cellRanking(vec: Column, centroids: Array[Array[Double]]): Column =
+    array_sort(array(centroids.zipWithIndex.map { case (c, i) =>
+      struct((-vector.dot(vec, typedLit(c.toSeq))).as("negdot"), lit(i).as("cell"))
+    }: _*))
+
+  /** IVF (inverted-file) ANN — the cell-probing scale path:
+    *
+    *   1. train `nCells` spherical-k-means centroids on a sample
+    *      (driver-side, see [[trainCentroids]]);
+    *   2. ONE distributed pass assigns each corpus row its nearest
+    *      cell (pure map, no shuffle);
+    *   3. each query probes its `nProbe` nearest cells; candidates =
+    *      corpus rows in probed cells (equi-join on cell id, queries
+    *      broadcast);
+    *   4. exact cosine re-rank via the bounded top-k aggregate.
+    *
+    * vs LSH: cells adapt to the data distribution (hyperplanes are
+    * data-blind), so recall per candidate examined is typically
+    * higher; the cost is the training step. Work scales with
+    * |corpus|·nProbe/nCells per query instead of |corpus|.
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame,
+      id: String, vec: String, qId: String, qVec: String,
+      dim: Int, k: Int, nCells: Int = 32, nProbe: Int = 4,
+      sampleN: Int = 4096): DataFrame = {
+    val centroids = trainCentroids(corpus, vec, nCells, dim, sampleN)
+    val assigned = corpus.select(col(id), col(vec),
+      element_at(cellRanking(col(vec), centroids), 1).getField("cell").as("cell"))
+    val probes = queries.select(col(qId), col(qVec),
+        explode(transform(slice(cellRanking(col(qVec), centroids), 1, nProbe),
+          s => s.getField("cell"))).as("cell"))
+    val cand = assigned.join(broadcast(probes), "cell")
+    rankTopK(
+      cand.select(col(qId), col(id),
+        round(vector.cosine(col(vec), col(qVec)), 4).as("cos")),
+      qId, id, k)
   }
 
   /** LSH-bucketed ANN: candidates = corpus rows sharing any band

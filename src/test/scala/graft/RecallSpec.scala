@@ -47,6 +47,25 @@ class RecallSpec extends SparkSpec {
       s"4×16-bit banding must be lossless at hamming≤3: missed ${(truth -- found).take(5)}")
   }
 
+  test("ann_ivf top-k recall ≥0.7 of brute-force top-k") {
+    val emb = Tables(spark, dir, "embeddings")
+    val q = emb.filter(col("vec_id") % 97 === 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    def topSets(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+      df.collect()
+        .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("vec_id")))
+        .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    val exact = topSets(Similarity.bruteForceTopK(emb, q,
+      "vec_id", "embedding", "q_id", "q_vec", 5))
+    val approx = topSets(Similarity.ivfTopK(emb, q,
+      "vec_id", "embedding", "q_id", "q_vec", dim = 64, k = 5, nCells = 32, nProbe = 8))
+    val recalls = exact.map { case (qid, truth) =>
+      approx.getOrElse(qid, Set.empty).count(truth).toDouble / truth.size
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.7, f"mean ann_ivf recall $mean%.3f below 0.7 floor")
+  }
+
   test("ann_lsh top-k recall ≥0.5 of brute-force top-k") {
     val emb = Tables(spark, dir, "embeddings")
     val q = emb.filter(col("vec_id") % 97 === 0)
