@@ -125,6 +125,27 @@ object Refresh {
       .start()
   }
 
+  /** Stream-stream interval join: each left event matched to right
+    * events with the same key whose time is within
+    * [leftTs - lookback, leftTs]. BOTH sides carry watermarks and the
+    * join condition bounds event time in BOTH directions — that pair
+    * is what lets Spark expire buffered state (an unbounded condition
+    * would buffer both streams forever; at scale that's an OOM, not a
+    * semantics choice). The streaming counterpart of the batch as-of /
+    * range joins (AsOf, RangeJoin).
+    *
+    * Column names must be disjoint across the two sides (keyed join
+    * columns excepted via explicit equality on distinct names).
+    */
+  def intervalJoin(left: DataFrame, right: DataFrame,
+      leftKey: String, rightKey: String, leftTs: String, rightTs: String,
+      lookback: String, watermark: String): DataFrame =
+    left.withWatermark(leftTs, watermark)
+      .join(right.withWatermark(rightTs, watermark),
+        col(leftKey) === col(rightKey) &&
+          col(rightTs) <= col(leftTs) &&
+          col(rightTs) >= col(leftTs) - expr(s"INTERVAL $lookback"))
+
   final case class SessionUpdate(user_id: Long, n_events: Long, total_value: Double)
   final case class Sess(start: Long, last: Long, n: Long, total: Double)
 

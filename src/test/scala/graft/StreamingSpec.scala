@@ -51,6 +51,30 @@ class StreamingSpec extends SparkSpec {
     assert(rows.contains(("2026-01-01 11:00:00.0", "view", 1L, 5.0)))
   }
 
+  test("intervalJoin attributes purchases to clicks within the lookback window") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val purchases = MemoryStream[(Long, Timestamp, Long)]
+    val clicks    = MemoryStream[(Long, Timestamp, Long)]
+    val joined = Refresh.intervalJoin(
+      purchases.toDF().toDF("p_user", "p_ts", "p_id"),
+      clicks.toDF().toDF("c_user", "c_ts", "c_id"),
+      "p_user", "c_user", "p_ts", "c_ts",
+      lookback = "10 minutes", watermark = "30 minutes")
+    val q = joined.writeStream.format("memory").queryName("ij")
+      .outputMode(OutputMode.Append).start()
+    clicks.addData(
+      (1L, Timestamp.valueOf("2026-01-01 10:00:00"), 100L),  // in window of p1
+      (1L, Timestamp.valueOf("2026-01-01 09:30:00"), 101L),  // too old for p1
+      (2L, Timestamp.valueOf("2026-01-01 10:04:00"), 102L))  // other user
+    purchases.addData((1L, Timestamp.valueOf("2026-01-01 10:05:00"), 1L))
+    q.processAllAvailable()
+    val rows = spark.table("ij").collect()
+      .map(r => (r.getAs[Long]("p_id"), r.getAs[Long]("c_id"))).toSet
+    q.stop()
+    assert(rows == Set((1L, 100L)), s"expected only the in-window same-user click, got $rows")
+  }
+
   test("dedupStream drops in-stream duplicate keys") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
