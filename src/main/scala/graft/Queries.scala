@@ -182,6 +182,25 @@ object Queries {
       FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
       ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST"""))
 
+  /** Explicit GROUPING SETS (q9 covers ROLLUP) through the SQL surface
+    * — also demonstrates that graft tables register as temp views and
+    * the whole engine is reachable from `spark.sql`.
+    */
+  val q22GroupingSets: QueryDef = QueryDef("q22_grouping_sets",
+    (s, dir) => {
+      t(s, dir, "orders").createOrReplaceTempView("orders_v")
+      s.sql("""SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+        FROM orders_v
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""")
+    },
+    Some("""SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+      CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+      FROM orders
+      GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+      ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST"""))
+
   private val eventTypes = Seq("click", "view", "purchase", "signup", "error")
 
   val q10Pivot: QueryDef = QueryDef("q10_pivot",
@@ -824,7 +843,7 @@ object Queries {
     q1Agg, q2Filter, q3Join, q4Semi, q5Multi, q6Window, q7TopK, q8Distinct,
     q9Rollup, q10Pivot, q11Anti, q12Expr, q13Percentiles, q14Subquery,
     q15SetOps, q16Sessionize, q17EventsWindow, q18Json, q19AsOf, q20Range,
-    q21SkewJoin,
+    q21SkewJoin, q22GroupingSets,
     etlUnionSources, etlValidate, etlCleanTransform, etlQualityReport,
     etlCsvProjection, etlFreshness,
     textTokens, textQuality, textLangId, textFingerprint, textVocab, curateMixture,

@@ -28,6 +28,18 @@ object Readers {
     val r = spark.read.option("header", header.toString).option("delimiter", delimiter)
     schema.fold(r.option("inferSchema", "true"))(s => r.schema(s)).csv(path)
   }
+
+  /** ORC — the other columnar at-scale format (predicate pushdown and
+    * column pruning work the same as parquet).
+    */
+  def orc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
+  /** Raw text: one row per line, single `value` column — the entry
+    * point for ingesting unstructured corpora before parsing.
+    */
+  def text(spark: SparkSession, path: String): DataFrame =
+    spark.read.text(path)
 }
 
 object Writers {
@@ -55,6 +67,13 @@ object Writers {
     */
   def json(df: DataFrame, path: String, mode: SaveMode = SaveMode.Overwrite): Unit =
     df.write.mode(mode).json(path)
+
+  /** ORC sink (partitioned like the parquet writer). */
+  def orc(df: DataFrame, path: String, partitionBy: Seq[String] = Nil,
+      mode: SaveMode = SaveMode.Overwrite): Unit = {
+    val w = df.write.mode(mode)
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).orc(path)
+  }
 
   /** Write `df` as exactly ONE file at `file` (not a directory): the
     * reference's download endpoints serve a single artifact

@@ -82,6 +82,16 @@ class SourcesSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThresh)
   }
 
+  test("orc round-trip preserves schema; text reads one line per row") {
+    Writers.orc(df, s"$tmp/o")
+    val back = Readers.orc(spark, s"$tmp/o")
+    assert(back.schema.map(f => (f.name, f.dataType)) == df.schema.map(f => (f.name, f.dataType)))
+    assert(back.count() == 3)
+    Files.writeString(java.nio.file.Paths.get(s"$tmp/raw.txt"), "line one\nline two\n")
+    val txt = Readers.text(spark, s"$tmp/raw.txt")
+    assert(txt.columns.toSeq == Seq("value") && txt.count() == 2)
+  }
+
   test("single-file sinks write exactly one file with the reference column order") {
     // reference download endpoints serve ONE file (server.js:106,129-130)
     val csvPath = Writers.csvSingleFile(
