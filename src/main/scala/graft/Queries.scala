@@ -627,6 +627,27 @@ object Queries {
       .orderBy(col("doc_id")),
     None)
 
+  /** Sequence packing: per-shard concatenated layout, docs assigned to
+    * every fixed-size chunk their span overlaps. n_chars is the budget
+    * unit here (oracle-friendly); at scale it's the token count.
+    */
+  val curatePack: QueryDef = QueryDef("curate_pack",
+    (s, dir) => Curation.packChunks(t(s, dir, "documents"),
+      "doc_id", "n_chars", budget = 2000L, shards = 8)
+      .orderBy(col("doc_id"), col("chunk")),
+    Some("""WITH s AS (SELECT doc_id, n_chars, doc_id % 8 AS shard
+        FROM documents WHERE n_chars > 0),
+      w AS (SELECT doc_id, n_chars, shard,
+        SUM(n_chars) OVER (PARTITION BY shard ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS end_off
+        FROM s),
+      e AS (SELECT doc_id, shard, end_off - n_chars AS start_off, end_off FROM w)
+      SELECT doc_id, CAST(shard AS BIGINT) AS shard,
+        unnest(range(CAST(floor(CAST(start_off AS DOUBLE) / 2000.0) AS BIGINT),
+                     CAST(floor(CAST(end_off - 1 AS DOUBLE) / 2000.0) AS BIGINT) + 1)) AS chunk,
+        CAST(start_off AS BIGINT) AS start_off,
+        CAST(end_off AS BIGINT) AS end_off
+      FROM e ORDER BY doc_id, chunk"""))
+
   // ──────────────────────── §2c dedup ────────────────────────
 
   val dedupExact: QueryDef = QueryDef("dedup_exact",
@@ -846,7 +867,8 @@ object Queries {
     q21SkewJoin, q22GroupingSets,
     etlUnionSources, etlValidate, etlCleanTransform, etlQualityReport,
     etlCsvProjection, etlFreshness,
-    textTokens, textQuality, textLangId, textFingerprint, textVocab, curateMixture,
+    textTokens, textQuality, textLangId, textFingerprint, textVocab,
+    curateMixture, curatePack,
     dedupExact, dedupNgramJaccard, dedupClusterCc, dedupMinhash, dedupSimhash, dedupEmbedding,
     annBruteForce, annLsh, annIvf, mmMetadata, mmDecode, sketchHll)
 }

@@ -42,4 +42,59 @@ object Curation {
         .when(g < testFrac + valFrac, "val")
         .otherwise("train"))
   }
+
+  /** Mixture sampling with rates > 1 (epoch oversampling): a rate of
+    * 2.3 yields 2 copies of every row plus a 30% deterministic chance
+    * of a third, tagged with `epoch` (1-based) so downstream shuffling
+    * /packing can interleave epochs. Rates < 1 behave like
+    * [[mixtureSample]]. Pure map-side (explode of a computed count) —
+    * no shuffle, reproducible at any scale.
+    */
+  def mixtureOversample(df: DataFrame, sourceCol: String, idCol: String,
+      rates: Map[String, Double], salt: String = "mix-v1"): DataFrame = {
+    val rate = rates.foldLeft(lit(0.0)) { case (acc, (src, r)) =>
+      when(col(sourceCol) === src, lit(r)).otherwise(acc)
+    }
+    val whole = floor(rate).cast("long")
+    val frac  = rate - floor(rate)
+    val copies = (whole + when(hashGate(col(idCol), salt) < frac, 1L).otherwise(0L)).cast("long")
+    df.withColumn("__n", copies)
+      .filter(col("__n") > 0)
+      .withColumn("epoch", explode(sequence(lit(1L), col("__n"))))
+      .drop("__n")
+  }
+
+  /** Sequence packing (concatenate-and-chop): lay the corpus out as a
+    * per-shard concatenated token stream and assign every document the
+    * fixed-size chunk(s) its span [start_off, end_off) overlaps — the
+    * standard pretraining batching step, where documents straddle
+    * chunk boundaries rather than leaving padding.
+    *
+    * Scale shape: one window per SHARD (never a global order) — the
+    * running sum is computed inside each shard's partition, so the
+    * only shuffle is the hash partition on `shard`, and shard count is
+    * the parallelism knob. `weightCol` is whatever budget unit the
+    * tokenizer defines (token count, chars, bytes).
+    *
+    * Sharding here is `id % shards` (oracle-expressible); production
+    * ids that aren't dense integers would hash first — the layout
+    * logic is identical.
+    */
+  def packChunks(df: DataFrame, idCol: String, weightCol: String,
+      budget: Long, shards: Int): DataFrame = {
+    require(budget > 0 && shards > 0)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard")).orderBy(col(idCol))
+    df.select(col(idCol), col(weightCol),
+        pmod(col(idCol), lit(shards.toLong)).cast("long").as("shard"))
+      .filter(col(weightCol) > 0)
+      .withColumn("end_off", sum(col(weightCol)).over(w))
+      .withColumn("start_off", col("end_off") - col(weightCol))
+      .withColumn("chunk", explode(sequence(
+        floor(col("start_off").cast("double") / budget.toDouble).cast("long"),
+        floor((col("end_off") - 1).cast("double") / budget.toDouble).cast("long"))))
+      .select(col(idCol), col("shard"), col("chunk"),
+        col("start_off").cast("long").as("start_off"),
+        col("end_off").cast("long").as("end_off"))
+  }
 }

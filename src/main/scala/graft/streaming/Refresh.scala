@@ -98,29 +98,24 @@ object Refresh {
         val fs = outPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
         val initialized =
           fs.exists(new org.apache.hadoop.fs.Path(outPath, "_SUCCESS"))
-        val prevMode = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        try {
-          val merged =
-            if (initialized) {
-              val existing = spark.read.parquet(outDir)
-              val affected = latest.select(col("__bkt")).distinct()
-              existing
-                .join(broadcast(affected), Seq("__bkt"), "left_semi")   // only touched buckets
-                .join(latest.select(keyCols: _*), keys, "left_anti")    // drop superseded keys
-                .unionByName(latest)
-            } else latest
-          // materialize before overwriting the directory being read
-          val snapshot = merged.localCheckpoint(true)
-          snapshot.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-            .partitionBy("__bkt").parquet(outDir)
-          ()
-        } finally {
-          prevMode match {
-            case Some(m) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", m)
-            case None    => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
-          }
-        }
+        val merged =
+          if (initialized) {
+            val existing = spark.read.parquet(outDir)
+            val affected = latest.select(col("__bkt")).distinct()
+            existing
+              .join(broadcast(affected), Seq("__bkt"), "left_semi")   // only touched buckets
+              .join(latest.select(keyCols: _*), keys, "left_anti")    // drop superseded keys
+              .unionByName(latest)
+          } else latest
+        // materialize before overwriting the directory being read
+        val snapshot = merged.localCheckpoint(true)
+        // dynamic overwrite scoped to THIS write via the writer option —
+        // no session-conf mutation (a concurrent query in the same
+        // session would otherwise observe the flipped mode)
+        snapshot.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("__bkt").parquet(outDir)
+        ()
       }
       .start()
   }

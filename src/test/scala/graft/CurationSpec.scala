@@ -33,6 +33,41 @@ class CurationSpec extends SparkSpec {
     assert(s1 == s2)
   }
 
+  test("mixtureOversample replicates whole epochs plus a fractional tail") {
+    val n0 = docs.filter(col("source") === "src0").count()
+    val out = Curation.mixtureOversample(docs, "source", "doc_id", Map("src0" -> 2.3))
+    val counts = out.groupBy("doc_id").count().collect().map(_.getLong(1))
+    assert(counts.forall(c => c == 2L || c == 3L), "every doc gets 2 or 3 copies")
+    val total = counts.sum.toDouble / n0
+    assert(total > 2.1 && total < 2.5, s"mean copies $total should be ~2.3")
+    // epoch tags are 1..copies
+    val epochs = out.filter(col("doc_id") === out.select("doc_id").head().getLong(0))
+      .select("epoch").collect().map(_.getLong(0)).sorted
+    assert(epochs.head == 1L && epochs.toSet.size == epochs.length)
+  }
+
+  test("packChunks: spans are contiguous per shard and chunks cover every straddle") {
+    val packed = Curation.packChunks(docs, "doc_id", "n_chars", budget = 500L, shards = 4)
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("shard"),
+        r.getAs[Long]("chunk"), r.getAs[Long]("start_off"), r.getAs[Long]("end_off")))
+    // per shard: doc spans tile the stream with no gaps or overlaps
+    packed.groupBy(_._2).foreach { case (_, rows) =>
+      val spans = rows.map(r => (r._1, r._4, r._5)).distinct.sortBy(_._2).toSeq
+      spans.sliding(2).foreach {
+        case Seq((_, _, endA), (_, startB, _)) => assert(endA == startB, "contiguous layout")
+        case _ => ()
+      }
+      assert(spans.head._2 == 0L, "stream starts at offset 0")
+    }
+    // a doc overlapping k chunk boundaries appears in k+1 chunks
+    packed.groupBy(r => (r._1, r._2)).foreach { case (_, rows) =>
+      val (s, e) = (rows.head._4, rows.head._5)
+      val expected = (s / 500L) to ((e - 1) / 500L)
+      assert(rows.map(_._3).sorted.toSeq == expected.toSeq)
+    }
+  }
+
   test("split is exhaustive, disjoint, and roughly proportioned") {
     val s = Curation.split(docs, "doc_id", valFrac = 0.2, testFrac = 0.1)
     val counts = s.groupBy("split").count().collect()
