@@ -860,6 +860,34 @@ object Queries {
       .orderBy(col("l_returnflag")),
     None)
 
+  /** Approximate quantiles sketch (Greenwald–Khanna style
+    * `percentile_approx`): mergeable per-partition summaries, shuffle
+    * carries O(groups) sketches — the scale counterpart of the exact
+    * window-sort percentiles in q13. Accuracy vs q13 asserted in
+    * SketchSpec; rows-only here (sketch internals aren't
+    * oracle-stable).
+    */
+  val sketchQuantiles: QueryDef = QueryDef("sketch_quantiles",
+    (s, dir) => t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        percentile_approx(col("l_extendedprice"),
+          array(lit(0.25), lit(0.5), lit(0.75)), lit(10000)).as("approx_pcts"),
+        count(lit(1)).as("n_rows"))
+      .orderBy(col("l_returnflag")),
+    None)
+
+  /** Frequent-items sketch (Karp et al. heavy hitters via
+    * DataFrame.stat.freqItems): single-pass, mergeable, no exact
+    * group-by over the full key space. Rows-only; the
+    * guaranteed-heavy-hitter contract is spec-tested.
+    */
+  val sketchFreq: QueryDef = QueryDef("sketch_freq",
+    (s, dir) => t(s, dir, "events")
+      .stat.freqItems(Seq("event_type"), 0.1)
+      .select(array_sort(col("event_type_freqItems")).as("frequent_types")),
+    None)
+
   val all: Seq[QueryDef] = Seq(
     q1Agg, q2Filter, q3Join, q4Semi, q5Multi, q6Window, q7TopK, q8Distinct,
     q9Rollup, q10Pivot, q11Anti, q12Expr, q13Percentiles, q14Subquery,
@@ -870,5 +898,6 @@ object Queries {
     textTokens, textQuality, textLangId, textFingerprint, textVocab,
     curateMixture, curatePack,
     dedupExact, dedupNgramJaccard, dedupClusterCc, dedupMinhash, dedupSimhash, dedupEmbedding,
-    annBruteForce, annLsh, annIvf, mmMetadata, mmDecode, sketchHll)
+    annBruteForce, annLsh, annIvf, mmMetadata, mmDecode,
+    sketchHll, sketchQuantiles, sketchFreq)
 }

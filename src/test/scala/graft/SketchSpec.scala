@@ -26,4 +26,33 @@ class SketchSpec extends SparkSpec {
         s"group $flag: approx $ap vs exact $ex drifted beyond 5%")
     }
   }
+
+  test("approx quantiles within 1% of the exact window-sort percentiles") {
+    val dir = sf("lineitem")
+    val approx = Queries.sketchQuantiles.fn(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getSeq[Double](1)).toMap
+    val exact = Queries.q13Percentiles.fn(spark, dir).collect()
+      .map(r => r.getString(0) ->
+        Seq(r.getAs[Double]("p25"), r.getAs[Double]("p50"), r.getAs[Double]("p75"))).toMap
+    assert(approx.keySet == exact.keySet)
+    exact.foreach { case (flag, ex) =>
+      approx(flag).zip(ex).foreach { case (a, e) =>
+        assert(math.abs(a - e) / e <= 0.01, s"group $flag: approx $a vs exact $e")
+      }
+    }
+  }
+
+  test("frequent-items sketch surfaces every true heavy hitter") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(5)
+    // one dominant value (60%), one moderate (25%), long uniform tail
+    val vals = (1 to 2000).map { _ =>
+      val d = rnd.nextDouble()
+      if (d < 0.6) "hot" else if (d < 0.85) "warm" else s"cold${rnd.nextInt(500)}"
+    }
+    val found = vals.toDF("k").stat.freqItems(Seq("k"), 0.2)
+      .collect().head.getSeq[String](0).toSet
+    assert(found.contains("hot") && found.contains("warm"),
+      s"heavy hitters must be present, got $found")
+  }
 }
