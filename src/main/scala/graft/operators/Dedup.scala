@@ -247,8 +247,12 @@ object Dedup {
     // ANSI-overflow on 64-bit ids at scale
     def labelSum(df: DataFrame): java.math.BigDecimal =
       df.agg(sum(col("cluster").cast(DecimalType(38, 0)))).head().getDecimal(0)
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("cluster", col("id"))
+    // initial labels fold the FIRST propagation step into the same
+    // aggregation that would otherwise just distinct the ids:
+    // label₀(v) = min(v, min(neighbors)) — one iteration's worth of
+    // jobs saved, identical fixpoint
+    var labels = edges.groupBy(col("src").as("id"))
+      .agg(least(min(col("dst")), min(col("src"))).as("cluster"))
       .localCheckpoint(true)
     var prevSum = labelSum(labels)
     var i = 0
