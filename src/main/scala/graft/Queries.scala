@@ -615,6 +615,27 @@ object Queries {
       SELECT gram, COUNT(*) AS df FROM g GROUP BY gram
       ORDER BY df DESC, gram LIMIT 100"""))
 
+  /** CCNet-style unigram LM quality score, full-vocab form so the
+    * DuckDB oracle can mirror it exactly (the topK/OOV-floor variant
+    * is spec-tested). Both engines compute Σ c·ln(cnt/N)/Σ c and round
+    * to 6dp; within-group double sums are order-sensitive only at
+    * ~1e-14, far inside the rounding.
+    */
+  val textLogProb: QueryDef = QueryDef("text_logprob",
+    (s, dir) => TextAnalysis.unigramLogProb(t(s, dir, "documents"), "doc_id", "text")
+      .withColumnRenamed("id", "doc_id")
+      .orderBy(col("doc_id")),
+    Some("""WITH tok AS (SELECT doc_id,
+        unnest(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS token
+        FROM documents),
+      v AS (SELECT token, COUNT(*) AS cnt FROM tok GROUP BY token),
+      tot AS (SELECT CAST(SUM(cnt) AS DOUBLE) AS n FROM v),
+      dt AS (SELECT doc_id, token, COUNT(*) AS c FROM tok GROUP BY doc_id, token)
+      SELECT doc_id,
+        round(SUM(c * ln(CAST(cnt AS DOUBLE) / n)) / SUM(c), 6) AS logprob
+      FROM dt JOIN v USING (token) CROSS JOIN tot
+      GROUP BY doc_id ORDER BY doc_id"""))
+
   /** Mixture sampling + split (deterministic hash gates; xxhash64 has
     * no DuckDB equivalent → rows-only, correctness in CurationSpec).
     */
@@ -895,7 +916,7 @@ object Queries {
     q21SkewJoin, q22GroupingSets,
     etlUnionSources, etlValidate, etlCleanTransform, etlQualityReport,
     etlCsvProjection, etlFreshness,
-    textTokens, textQuality, textLangId, textFingerprint, textVocab,
+    textTokens, textQuality, textLangId, textFingerprint, textVocab, textLogProb,
     curateMixture, curatePack,
     dedupExact, dedupNgramJaccard, dedupClusterCc, dedupMinhash, dedupSimhash, dedupEmbedding,
     annBruteForce, annLsh, annIvf, mmMetadata, mmDecode,

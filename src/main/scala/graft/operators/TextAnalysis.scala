@@ -138,6 +138,33 @@ object TextAnalysis {
       .agg(org.apache.spark.sql.functions.count(
         org.apache.spark.sql.functions.lit(1)).as("df"))
 
+  /** Corpus-statistics language-model quality score (the CCNet-style
+    * LM filter, unigram order): score(doc) = Σ c_t·ln p(t) / Σ c_t
+    * over the doc's tokens, with p(t) estimated from the corpus
+    * itself. Low scores flag gibberish / boilerplate-shuffled docs.
+    *
+    * Scale shape: the vocabulary is ONE bounded aggregation (cap it
+    * with `topK` so the broadcast stays small at 100 TB — out-of-vocab
+    * tokens get the 1/N floor); per-doc term counts partial-aggregate
+    * map-side before the hash shuffle on (doc, token); the vocab join
+    * is a broadcast, never a shuffle of the corpus.
+    */
+  def unigramLogProb(docs: org.apache.spark.sql.DataFrame, id: String,
+      text: String, topK: Int = 0): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast, count, lit, log, sum, round => rnd, coalesce, desc}
+    val tok = docs.select(col(id).as("id"), explode(tokens(col(text))).as("token"))
+    val vocabAll = tok.groupBy("token").agg(count(lit(1)).as("cnt"))
+    val vocab = if (topK > 0) vocabAll.orderBy(desc("cnt"), col("token")).limit(topK)
+                else vocabAll
+    val total = tok.agg(count(lit(1)).cast(DoubleType).as("n"))
+    tok.groupBy(col("id"), col("token")).agg(count(lit(1)).as("c"))
+      .join(broadcast(vocab), Seq("token"), "left")
+      .crossJoin(broadcast(total))
+      .withColumn("lnp", log(coalesce(col("cnt").cast(DoubleType), lit(1.0)) / col("n")))
+      .groupBy("id")
+      .agg(rnd(sum(col("c") * col("lnp")) / sum(col("c")), 6).as("logprob"))
+  }
+
   /** Canonical md5 fingerprint (content-addressed dedup key). */
   def fingerprintMd5(text: Column): Column = md5(normalized(text))
 

@@ -63,6 +63,25 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  test("unigramLogProb: common-word docs score higher; topK OOV floor applies") {
+    import spark.implicits._
+    // "the" dominates the corpus; doc 2 is all rare tokens
+    val docs = Seq(
+      (1L, "the the the the the"),
+      (2L, "zeta omicron floccinaucinihilipilification qux corge"),
+      (3L, "the the zeta the the")).toDF("doc_id", "text")
+    val full = TextAnalysis.unigramLogProb(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(full(1L) > full(3L) && full(3L) > full(2L),
+      s"common-word docs must score higher: $full")
+    // topK=1 keeps only "the"; every other token takes the 1/N floor
+    val capped = TextAnalysis.unigramLogProb(docs, "doc_id", "text", topK = 1)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val n = 15.0 // total tokens
+    assert(math.abs(capped(2L) - math.log(1.0 / n)) < 1e-6, "pure-OOV doc sits at the floor")
+    assert(capped(1L) > capped(2L))
+  }
+
   test("fingerprintMd5 is whitespace/case canonical") {
     import spark.implicits._
     val df = Seq("A  b\tC", "a b c", "a b d").toDF("text")
