@@ -636,6 +636,32 @@ object Queries {
       FROM dt JOIN v USING (token) CROSS JOIN tot
       GROUP BY doc_id ORDER BY doc_id"""))
 
+  /** BM25 ranked retrieval, DuckDB-oracled. Ranking on the ROUNDED
+    * score with doc_id tiebreak keeps the top-20 stable across
+    * engines.
+    */
+  val textBm25: QueryDef = QueryDef("text_bm25",
+    (s, dir) => TextAnalysis.bm25(t(s, dir, "documents"),
+      "doc_id", "text", Seq("data", "stream", "hash"))
+      .withColumnRenamed("id", "doc_id")
+      .orderBy(desc("bm25"), col("doc_id"))
+      .limit(20),
+    Some("""WITH base AS (SELECT doc_id,
+        string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS w
+        FROM documents),
+      d AS (SELECT doc_id, CAST(len(w) AS DOUBLE) AS dl, w FROM base),
+      stats AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs, AVG(dl) AS avgdl FROM d),
+      t AS (SELECT doc_id, dl, unnest(w) AS token FROM d),
+      tf AS (SELECT doc_id, dl, token, CAST(COUNT(*) AS DOUBLE) AS tf FROM t
+        WHERE token IN ('data', 'stream', 'hash') GROUP BY 1, 2, 3),
+      dfr AS (SELECT token, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY token)
+      SELECT doc_id, round(SUM(
+          ln((n_docs - df + 0.5) / (df + 0.5) + 1.0) * tf * 2.2 /
+          (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))), 6) AS bm25
+      FROM tf JOIN dfr USING (token) CROSS JOIN stats
+      GROUP BY doc_id
+      ORDER BY bm25 DESC, doc_id LIMIT 20"""))
+
   /** Mixture sampling + split (deterministic hash gates; xxhash64 has
     * no DuckDB equivalent → rows-only, correctness in CurationSpec).
     */
@@ -917,6 +943,7 @@ object Queries {
     etlUnionSources, etlValidate, etlCleanTransform, etlQualityReport,
     etlCsvProjection, etlFreshness,
     textTokens, textQuality, textLangId, textFingerprint, textVocab, textLogProb,
+    textBm25,
     curateMixture, curatePack,
     dedupExact, dedupNgramJaccard, dedupClusterCc, dedupMinhash, dedupSimhash, dedupEmbedding,
     annBruteForce, annLsh, annIvf, mmMetadata, mmDecode,

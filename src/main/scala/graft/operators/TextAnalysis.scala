@@ -165,6 +165,39 @@ object TextAnalysis {
       .agg(rnd(sum(col("c") * col("lnp")) / sum(col("c")), 6).as("logprob"))
   }
 
+  /** BM25 ranked retrieval for a bag of query terms: the standard
+    * probabilistic relevance score,
+    * Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1-b+b·dl/avgdl)) with
+    * idf = ln((N-df+½)/(df+½) + 1). Returns (id, bm25) for docs
+    * matching ≥1 term.
+    *
+    * Scale shape: exploded tokens are FILTERED to the query terms
+    * before any aggregation — the shuffled volume is O(matching
+    * postings), not the corpus; corpus-level stats (N, avgdl) and the
+    * per-term df are scalars/tiny frames joined by broadcast. Ranking
+    * composes with the bounded `top_k_by` aggregate for a
+    * shuffle-bounded top-k.
+    */
+  def bm25(docs: org.apache.spark.sql.DataFrame, id: String, text: String,
+      terms: Seq[String], k1: Double = 1.2, b: Double = 0.75): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.{avg, broadcast, count, explode, lit, log, round => rnd, size, sum}
+    val base = docs.select(col(id).as("id"), tokens(col(text)).as("toks"))
+      .select(col("id"), col("toks"), size(col("toks")).cast(DoubleType).as("dl"))
+    val stats = base.agg(count(lit(1)).cast(DoubleType).as("n_docs"), avg(col("dl")).as("avgdl"))
+    val tf = base.select(col("id"), col("dl"), explode(col("toks")).as("token"))
+      .filter(col("token").isin(terms.map(lit): _*))
+      .groupBy(col("id"), col("dl"), col("token"))
+      .agg(count(lit(1)).cast(DoubleType).as("tf"))
+    val df = tf.groupBy("token").agg(count(lit(1)).cast(DoubleType).as("df"))
+    tf.join(broadcast(df), "token")
+      .crossJoin(broadcast(stats))
+      .withColumn("idf", log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0))
+      .withColumn("s", col("idf") * col("tf") * (k1 + 1.0) /
+        (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))))
+      .groupBy("id")
+      .agg(rnd(sum(col("s")), 6).as("bm25"))
+  }
+
   /** Canonical md5 fingerprint (content-addressed dedup key). */
   def fingerprintMd5(text: Column): Column = md5(normalized(text))
 

@@ -82,6 +82,20 @@ class TextAnalysisSpec extends SparkSpec {
     assert(capped(1L) > capped(2L))
   }
 
+  test("bm25 ranks term-dense docs higher; rare terms weigh more; non-matches absent") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "data data data filler filler filler"),
+      (2L, "data filler filler filler filler filler"),
+      (3L, "rareterm filler filler filler filler filler"),
+      (4L, "filler filler filler filler filler filler")).toDF("doc_id", "text")
+    val scores = TextAnalysis.bm25(docs, "doc_id", "text", Seq("data", "rareterm"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(!scores.contains(4L), "docs matching no term don't appear")
+    assert(scores(1L) > scores(2L), "higher tf ranks higher at equal length")
+    assert(scores(3L) > scores(2L), "a rarer term (df=1) outweighs a common one (df=2)")
+  }
+
   test("fingerprintMd5 is whitespace/case canonical") {
     import spark.implicits._
     val df = Seq("A  b\tC", "a b c", "a b d").toDF("text")
