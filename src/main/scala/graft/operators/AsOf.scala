@@ -5,8 +5,9 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** As-of (point-in-time) join: for every left row, attach the payload
-  * of the latest right row with the same key and time ≤ the left
-  * row's time. Spark has no native ASOF JOIN; the naive formulations
+  * of the nearest right row with the same key at-or-before (backward)
+  * or at-or-after (forward) the left row's time, optionally within a
+  * tolerance. Spark has no native ASOF JOIN; the naive formulations
   * are a range join (O(n·m) candidate explosion) or a per-key loop.
   *
   * This implementation is the union-merge form: tag both sides, union,
@@ -14,7 +15,10 @@ import org.apache.spark.sql.functions._
   * hash shuffle on the key + one per-partition sort, the same cost
   * shape as any windowed aggregation, and no pair explosion at any
   * scale. Right rows sort before left rows at equal timestamps, so
-  * the match is inclusive (ts_right == ts_left matches).
+  * the match is inclusive (ts_right == ts_left matches) in both
+  * directions. Forward direction is the same plan with the time order
+  * reversed; tolerance carries the matched timestamp through the
+  * window and nulls the payload when the gap exceeds it.
   *
   * `right` must be unique per (key, time) — pre-aggregate if not —
   * otherwise the carried payload would depend on shuffle order.
@@ -24,8 +28,13 @@ object AsOf {
   def lastValueAsOf(left: DataFrame, right: DataFrame,
       leftKey: String, leftTime: String,
       rightKey: String, rightTime: String,
-      payload: Column, payloadName: String): DataFrame = {
-    val pType = right.select(payload.as("__p")).schema("__p").dataType
+      payload: Column, payloadName: String,
+      direction: String = "backward", toleranceMs: Long = 0L): DataFrame = {
+    require(direction == "backward" || direction == "forward",
+      s"direction must be backward|forward, got $direction")
+    // wrap payload with its own event time so tolerance can compare
+    val wrapped = struct(col(rightTime).cast("timestamp").as("__mt"), payload.as("__v"))
+    val pType = right.select(wrapped.as("__p")).schema("__p").dataType
     val rowType = org.apache.spark.sql.types.StructType(left.schema.fields)
 
     val l = left.select(
@@ -36,17 +45,23 @@ object AsOf {
     val r = right.select(
       col(rightKey).as("__k"), col(rightTime).cast("timestamp").as("__t"),
       lit(0).as("__side"),
-      payload.as("__p"),
+      wrapped.as("__p"),
       lit(null).cast(rowType).as("__row"))
 
+    val timeOrd = if (direction == "forward") col("__t").desc else col("__t").asc
     val w = Window.partitionBy(col("__k"))
-      .orderBy(col("__t"), col("__side"))
+      .orderBy(timeOrd, col("__side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
+    val withinTol: Column =
+      if (toleranceMs <= 0L) col("__m").isNotNull
+      else col("__m").isNotNull &&
+        abs(unix_millis(col("__t")) - unix_millis(col("__m.__mt"))) <= toleranceMs
+
     l.unionByName(r)
-      .withColumn("__asof", last(col("__p"), ignoreNulls = true).over(w))
+      .withColumn("__m", last(col("__p"), ignoreNulls = true).over(w))
       .filter(col("__side") === 1)
       .select((left.columns.map(c => col(s"__row.$c").as(c)) :+
-        col("__asof").as(payloadName)).toIndexedSeq: _*)
+        when(withinTol, col("__m.__v")).as(payloadName)).toIndexedSeq: _*)
   }
 }

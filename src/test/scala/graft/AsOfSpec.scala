@@ -32,6 +32,34 @@ class AsOfSpec extends SparkSpec {
     assert(out(4L).isEmpty)
   }
 
+  test("forward direction: earliest right at-or-after; tolerance nulls distant matches") {
+    import spark.implicits._
+    val orders = Seq(
+      (1L, 100L, ts("2026-01-01 10:00:00")),   // fill at 10:01 (earliest ≥)
+      (2L, 100L, ts("2026-01-01 10:01:00")),   // tie → inclusive, matches 10:01
+      (3L, 100L, ts("2026-01-01 12:00:00"))    // nothing after → null
+    ).toDF("order_id", "sym", "t")
+    val fills = Seq(
+      (100L, ts("2026-01-01 09:00:00"), 1.0),
+      (100L, ts("2026-01-01 10:01:00"), 2.0),
+      (100L, ts("2026-01-01 10:30:00"), 3.0)
+    ).toDF("sym", "ft", "fx")
+    val fwd = AsOf.lastValueAsOf(orders, fills, "sym", "t", "sym", "ft",
+        col("fx"), "fx", direction = "forward")
+      .collect().map(r => r.getAs[Long]("order_id") -> Option(r.get(3))).toMap
+    assert(fwd(1L).contains(2.0))
+    assert(fwd(2L).contains(2.0))
+    assert(fwd(3L).isEmpty)
+
+    // backward with 2-minute tolerance: order 1's nearest prior fill is
+    // 09:00 — 60 minutes away → nulled; order 2's is 10:01 (0 min) → kept
+    val tol = AsOf.lastValueAsOf(orders, fills, "sym", "t", "sym", "ft",
+        col("fx"), "fx", toleranceMs = 2 * 60 * 1000L)
+      .collect().map(r => r.getAs[Long]("order_id") -> Option(r.get(3))).toMap
+    assert(tol(1L).isEmpty)
+    assert(tol(2L).contains(2.0))
+  }
+
   test("left columns pass through unchanged") {
     import spark.implicits._
     val l = Seq((1L, "a", ts("2026-01-01 00:00:01"))).toDF("id", "tag", "t")
