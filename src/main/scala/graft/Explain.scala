@@ -31,8 +31,20 @@ object Explain {
         q.fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         println(f"[explain] $name run$i: ${(System.nanoTime() - t0) / 1e9}%.2fs")
       }
+      // plan-shape summary on the AQE-FINAL plan (execute this DF, then
+      // inspect it): shuffle exchanges are the scale currency, broadcast
+      // exchanges should carry the dims, and wide WholeStageCodegen
+      // coverage means the expressions stay compiled
+      val df = q.fn(spark, sfDir)
+      df.write.format("noop").mode("overwrite").save()
+      val plan = df.queryExecution.executedPlan.toString
+      val shuffles   = "Exchange hashpartitioning".r.findAllIn(plan).size
+      val broadcasts = "BroadcastExchange".r.findAllIn(plan).size
+      // codegen stages render as `*(id) Node` in the tree string
+      val codegen    = """\*\((\d+)\)""".r.findAllMatchIn(plan).map(_.group(1)).toSet.size
+      println(s"[explain] $name plan: shuffles=$shuffles broadcasts=$broadcasts codegenStages=$codegen")
       if (sys.env.get("SPARK_GRAFT_PLAN").contains("1"))
-        q.fn(spark, sfDir).explain("formatted")
+        df.explain("formatted")
     }
     spark.stop()
   }
