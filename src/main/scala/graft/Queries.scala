@@ -695,6 +695,15 @@ object Queries {
         CAST(end_off AS BIGINT) AS end_off
       FROM e ORDER BY doc_id, chunk"""))
 
+  /** Exact-N-per-group eval sample (hash order isn't DuckDB-
+    * expressible → rows-only; exactness/determinism in CurationSpec).
+    */
+  val curateTake: QueryDef = QueryDef("curate_take",
+    (s, dir) => Curation.takePerGroup(t(s, dir, "documents"), "lang", "doc_id", 10)
+      .select(col("doc_id"), col("lang"))
+      .orderBy(col("doc_id")),
+    None)
+
   // ──────────────────────── §2c dedup ────────────────────────
 
   val dedupExact: QueryDef = QueryDef("dedup_exact",
@@ -944,7 +953,7 @@ object Queries {
     etlCsvProjection, etlFreshness,
     textTokens, textQuality, textLangId, textFingerprint, textVocab, textLogProb,
     textBm25,
-    curateMixture, curatePack,
+    curateMixture, curatePack, curateTake,
     dedupExact, dedupNgramJaccard, dedupClusterCc, dedupMinhash, dedupSimhash, dedupEmbedding,
     annBruteForce, annLsh, annIvf, mmMetadata, mmDecode,
     sketchHll, sketchQuantiles, sketchFreq)

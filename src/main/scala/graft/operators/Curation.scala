@@ -64,6 +64,28 @@ object Curation {
       .drop("__n")
   }
 
+  /** Deterministic exact-N-per-group sample (eval-set construction:
+    * "N docs per language/source"). Selection order is a salted hash —
+    * a pseudo-random but reproducible permutation — and the ranking
+    * runs through the bounded `top_k_by` aggregate: each map task
+    * keeps ≤ n candidates per group, so the shuffle carries
+    * O(partitions·n) rows however large the corpus (a row_number
+    * window would funnel every group's full row set into one reducer).
+    * Groups smaller than n are returned whole.
+    */
+  def takePerGroup(df: DataFrame, groupCol: String, idCol: String, n: Int,
+      salt: String = "take-v1"): DataFrame = {
+    require(n > 0)
+    val picked = df
+      .select(col(groupCol).as("__g"), col(idCol).cast("long").as("__id"),
+        hashGate(col(idCol), salt).as("__s"))
+      .groupBy(col("__g"))
+      .agg(graft.functions.vector.topKBy(col("__s"), col("__id"), n).as("__top"))
+      .select(explode(col("__top")).as("__t"))
+      .select(col("__t.id").as(idCol))
+    df.join(picked, Seq(idCol), "left_semi")
+  }
+
   /** Sequence packing (concatenate-and-chop): lay the corpus out as a
     * per-shard concatenated token stream and assign every document the
     * fixed-size chunk(s) its span [start_off, end_off) overlaps — the

@@ -68,6 +68,24 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("takePerGroup: exactly n per group (whole group when smaller), deterministic, salted") {
+    val n = 7
+    val out = Curation.takePerGroup(docs, "lang", "doc_id", n)
+    val perGroup = out.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val sizes = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    sizes.foreach { case (g, sz) =>
+      assert(perGroup(g) == math.min(sz, n.toLong), s"group $g: ${perGroup(g)}")
+    }
+    val again = Curation.takePerGroup(docs, "lang", "doc_id", n)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(again == out.select("doc_id").collect().map(_.getLong(0)).toSet)
+    val other = Curation.takePerGroup(docs, "lang", "doc_id", n, salt = "other")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(other != again, "different salts draw different samples")
+  }
+
   test("split is exhaustive, disjoint, and roughly proportioned") {
     val s = Curation.split(docs, "doc_id", valFrac = 0.2, testFrac = 0.1)
     val counts = s.groupBy("split").count().collect()
