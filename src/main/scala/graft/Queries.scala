@@ -921,15 +921,23 @@ object Queries {
     * carries O(groups) sketches — the scale counterpart of the exact
     * window-sort percentiles in q13. Accuracy vs q13 asserted in
     * SketchSpec; rows-only here (sketch internals aren't
-    * oracle-stable).
+    * oracle-stable). Output is scalar p25/p50/p75 doubles (via
+    * element_at over the one sketch array) — scalar columns, never an
+    * array column, so any downstream row-hash/sort harness can consume
+    * the frame.
     */
   val sketchQuantiles: QueryDef = QueryDef("sketch_quantiles",
     (s, dir) => t(s, dir, "lineitem")
       .groupBy(col("l_returnflag"))
       .agg(
         percentile_approx(col("l_extendedprice"),
-          array(lit(0.25), lit(0.5), lit(0.75)), lit(10000)).as("approx_pcts"),
+          array(lit(0.25), lit(0.5), lit(0.75)), lit(10000)).as("pcts"),
         count(lit(1)).as("n_rows"))
+      .select(col("l_returnflag"),
+        element_at(col("pcts"), 1).as("p25"),
+        element_at(col("pcts"), 2).as("p50"),
+        element_at(col("pcts"), 3).as("p75"),
+        col("n_rows"))
       .orderBy(col("l_returnflag")),
     None)
 
@@ -941,7 +949,9 @@ object Queries {
   val sketchFreq: QueryDef = QueryDef("sketch_freq",
     (s, dir) => t(s, dir, "events")
       .stat.freqItems(Seq("event_type"), 0.1)
-      .select(array_sort(col("event_type_freqItems")).as("frequent_types")),
+      // exploded to one scalar string row per item: harness-safe shape
+      // (array-typed output columns crash pandas-based row hashing)
+      .select(explode(array_sort(col("event_type_freqItems"))).as("frequent_type")),
     None)
 
   val all: Seq[QueryDef] = Seq(

@@ -95,18 +95,36 @@ object Dedup {
       .filter(col("jaccard") >= minJaccard)
   }
 
-  /** MinHash signatures: permutation i = xxhash64(gram_hash, i) —
-    * independent uniform re-hashes with a fixed seed ⇒ deterministic
-    * across runs/partitionings, and no overflow under ANSI mode (an
-    * affine Carter–Wegman transform would long-overflow there).
+  /** MinHash signatures. Permutation i is a rotate-xor mix of TWO base
+    * hashes: hᵢ = rol(h1, aᵢ) ^ rol(h2, bᵢ) ^ cᵢ with h1 =
+    * xxhash64(gram), h2 = xxhash64(gram, 1) and per-i constants from a
+    * fixed seed ⇒ deterministic across runs/partitionings. Each hᵢ is a
+    * distinct full-rank GF(2)-linear image of 128 iid-uniform bits, so
+    * the mixes are uniform and pairwise independent up to one parity
+    * bit — empirically indistinguishable from independent re-hashes for
+    * min-wise use (recall floor enforced by RecallSpec). Cost: 2
+    * xxhash64 evaluations per gram + ~8 bitwise ops per permutation,
+    * vs numPerm full xxhash64 evaluations before — and every op is
+    * ANSI-safe (no multiply/add overflow, unlike Carter–Wegman).
     * Returns (id, h0..h{numPerm-1}).
     */
   def minhashSignatures(docs: DataFrame, id: String, text: String,
-      numPerm: Int = 128, n: Int = 3): DataFrame = {
+      numPerm: Int = 64, n: Int = 3): DataFrame = {
+    require(numPerm <= 4096, "at most 64×64 distinct rotation pairs")
     val g = explodedGrams(docs, id, text, n)
-      .withColumn("g64", xxhash64(col("gram")))
+      .withColumn("h1", xxhash64(col("gram")))
+      .withColumn("h2", xxhash64(col("gram"), lit(1)))
+    def rol(c: Column, r: Int): Column =
+      if (r % 64 == 0) c
+      else shiftleft(c, r).bitwiseOR(shiftrightunsigned(c, 64 - r))
+    // distinct (aᵢ, bᵢ) rotation pairs — a collision would give two
+    // permutations differing only by an xor constant (correlated mins)
+    val rnd = new scala.util.Random(0x9E3779B97C15L)
+    val rotPairs = rnd.shuffle((for (a <- 0 until 64; b <- 0 until 64) yield (a, b)).toVector)
     val aggs = (0 until numPerm).map { i =>
-      min(xxhash64(col("g64"), lit(i))).as(s"h$i")
+      val (a, b) = rotPairs(i)
+      min(rol(col("h1"), a).bitwiseXOR(rol(col("h2"), b))
+        .bitwiseXOR(lit(rnd.nextLong()))).as(s"h$i")
     }
     g.groupBy("id").agg(aggs.head, aggs.tail.toIndexedSeq: _*)
   }
@@ -124,14 +142,14 @@ object Dedup {
     * any band become candidate pairs. Signatures are computed ONCE:
     * ids are collected per (band, bandSig) bucket and pairs expanded
     * in-bucket — a self-join would recompute the whole
-    * tokenize→shingle→128-hash pipeline for each side (no exchange
+    * tokenize→shingle→minhash pipeline for each side (no exchange
     * reuse across join inputs). Bucket keys are uniform 64-bit hashes
     * ⇒ balanced at any scale; `maxBucket` drops degenerate buckets
     * (boilerplate-heavy corpora) the way stop-grams are dropped in the
     * inverted-index path.
     */
   def minhashLshCandidates(docs: DataFrame, id: String, text: String,
-      numPerm: Int = 128, bands: Int = 32, n: Int = 3,
+      numPerm: Int = 64, bands: Int = 16, n: Int = 3,
       maxBucket: Int = 1000): DataFrame = {
     require(numPerm % bands == 0, "numPerm must be divisible by bands")
     val rows = numPerm / bands
@@ -154,7 +172,7 @@ object Dedup {
     * (id_a, id_b, j) edges for clustering.
     */
   def minhashVerifiedPairs(docs: DataFrame, id: String, text: String,
-      minJaccard: Double = 0.8, numPerm: Int = 128, bands: Int = 32,
+      minJaccard: Double = 0.8, numPerm: Int = 64, bands: Int = 16,
       n: Int = 3): DataFrame = {
     val cand = minhashLshCandidates(docs, id, text, numPerm, bands, n)
     val grams = docs
@@ -176,7 +194,7 @@ object Dedup {
     * when A~C was never a candidate pair.
     */
   def minhashDedupSurvivors(docs: DataFrame, id: String, text: String,
-      minJaccard: Double = 0.8, numPerm: Int = 128, bands: Int = 32,
+      minJaccard: Double = 0.8, numPerm: Int = 64, bands: Int = 16,
       n: Int = 3): DataFrame =
     survivorsByCluster(docs, id,
       minhashVerifiedPairs(docs, id, text, minJaccard, numPerm, bands, n))
@@ -250,10 +268,17 @@ object Dedup {
     // initial labels fold the FIRST propagation step into the same
     // aggregation that would otherwise just distinct the ids:
     // label₀(v) = min(v, min(neighbors)) — one iteration's worth of
-    // jobs saved, identical fixpoint
+    // jobs saved, identical fixpoint.
+    //
+    // ONE Spark job per iteration: the checkpoint is LAZY
+    // (localCheckpoint(false)), so the labelSum action both
+    // materializes the iteration's labels into block storage and
+    // computes the monotone convergence signal in the same job — an
+    // eager checkpoint followed by a separate sum action would double
+    // the job count for no extra information.
     var labels = edges.groupBy(col("src").as("id"))
       .agg(least(min(col("dst")), min(col("src"))).as("cluster"))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     var prevSum = labelSum(labels)
     var i = 0
     var converged = false
@@ -262,7 +287,7 @@ object Dedup {
         .select(col("dst").as("id"), col("cluster"))
       val next = msgs.unionByName(labels.select(col("id"), col("cluster")))
         .groupBy("id").agg(min(col("cluster")).as("cluster"))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
       val s = labelSum(next)
       converged = s.compareTo(prevSum) == 0
       prevSum = s

@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
   * differential-tested against the exact oracled paths on the sf0.001
   * documents/embeddings tables — so "rows-only" never means
   * "unmeasured". Floors are deliberately below the theoretical recall
-  * (MinHash 128/32 at j=0.7 ⇒ ~0.999; SimHash 4×16 bands ⇒ 1.0 by
+  * (MinHash 64/16 at j=0.7 ⇒ ~0.988; SimHash 4×16 bands ⇒ 1.0 by
   * pigeonhole) to keep the spec non-flaky while still catching a
   * broken banding/bucketing change.
   */

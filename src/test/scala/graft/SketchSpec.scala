@@ -30,7 +30,8 @@ class SketchSpec extends SparkSpec {
   test("approx quantiles within 1% of the exact window-sort percentiles") {
     val dir = sf("lineitem")
     val approx = Queries.sketchQuantiles.fn(spark, dir).collect()
-      .map(r => r.getString(0) -> r.getSeq[Double](1)).toMap
+      .map(r => r.getString(0) ->
+        Seq(r.getAs[Double]("p25"), r.getAs[Double]("p50"), r.getAs[Double]("p75"))).toMap
     val exact = Queries.q13Percentiles.fn(spark, dir).collect()
       .map(r => r.getString(0) ->
         Seq(r.getAs[Double]("p25"), r.getAs[Double]("p50"), r.getAs[Double]("p75"))).toMap
