@@ -1,6 +1,11 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.plans.physical.HashPartitioning
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+import org.apache.spark.sql.execution.exchange.{BroadcastExchangeExec, ReusedExchangeExec, ShuffleExchangeExec}
 
 /** Plan/timing inspector: `runMain graft.Explain <sfDir> <query> [n]`
   * runs a query n times (default 2: cold + warm), printing wall time
@@ -8,6 +13,34 @@ import org.apache.spark.sql.SparkSession
   * from SURVEY.md §5.
   */
 object Explain {
+
+  /** Count distinct hash-shuffle / broadcast exchanges by WALKING the
+    * executed plan tree — a regex over the rendered string double-counts
+    * cached subplans (AQE renders an InMemoryRelation's plan twice, as
+    * `== Final Plan ==` and `== Initial Plan ==`) and counts
+    * ReusedExchange as a fresh shuffle.
+    */
+  private[graft] def countExchanges(root: SparkPlan): (Int, Int) = {
+    var sh = 0; var bc = 0
+    val seenCaches = scala.collection.mutable.Set[Long]()
+    def walk(p: SparkPlan): Unit = p match {
+      case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+      case s: QueryStageExec        => walk(s.plan)
+      case _: ReusedExchangeExec    => () // reuse of an already-counted exchange
+      case e: ShuffleExchangeExec =>
+        e.outputPartitioning match { case _: HashPartitioning => sh += 1; case _ => () }
+        walk(e.child)
+      case e: BroadcastExchangeExec => bc += 1; walk(e.child)
+      case t: InMemoryTableScanExec =>
+        // count each cached relation's build plan ONCE per query even
+        // when scanned from several places
+        if (seenCaches.add(System.identityHashCode(t.relation.cacheBuilder).toLong))
+          walk(t.relation.cachedPlan)
+      case other => other.children.foreach(walk)
+    }
+    walk(root)
+    (sh, bc)
+  }
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)
     val names = if (args.length > 1) args(1).split(",").toSeq else Queries.all.map(_.name)
@@ -38,8 +71,7 @@ object Explain {
       val df = q.fn(spark, sfDir)
       df.write.format("noop").mode("overwrite").save()
       val plan = df.queryExecution.executedPlan.toString
-      val shuffles   = "Exchange hashpartitioning".r.findAllIn(plan).size
-      val broadcasts = "BroadcastExchange".r.findAllIn(plan).size
+      val (shuffles, broadcasts) = countExchanges(df.queryExecution.executedPlan)
       // codegen stages render as `*(id) Node` in the tree string
       val codegen    = """\*\((\d+)\)""".r.findAllMatchIn(plan).map(_.group(1)).toSet.size
       println(s"[explain] $name plan: shuffles=$shuffles broadcasts=$broadcasts codegenStages=$codegen")

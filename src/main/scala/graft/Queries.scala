@@ -266,6 +266,14 @@ object Queries {
     * parallel and aggregates only the 2 boundary rows per percentile.
     * Interpolation uses DuckDB's own formula (lo + (hi-lo)*frac) so the
     * doubles agree to the bit before the defensive round(…,4).
+    *
+    * ONE data shuffle end-to-end: both row_number windows and the
+    * count window share the hash(l_returnflag) exchange (they differ
+    * only in sort order, satisfied by extra in-partition sorts), the
+    * group-by reuses the same partitioning, and the final 3-row
+    * ordering is a coalesce + in-partition sort instead of a range
+    * exchange — the aggregate output is O(groups), so the single-task
+    * coalesce is safe at any input scale.
     */
   val q13Percentiles: QueryDef = QueryDef("q13_percentiles",
     (s, dir) => {
@@ -293,7 +301,7 @@ object Queries {
           q(col("l_extendedprice"), col("rn_p"), 0.5).as("p50"),
           q(col("l_extendedprice"), col("rn_p"), 0.75).as("p75"),
           q(col("l_quantity"), col("rn_q"), 0.5).as("med_qty"))
-        .orderBy(col("l_returnflag"))
+        .coalesce(1).sortWithinPartitions(col("l_returnflag"))
     },
     Some("""SELECT l_returnflag,
       round(quantile_cont(l_extendedprice, 0.25), 4) AS p25,

@@ -69,11 +69,27 @@ final class Pipeline private (
     } finally { cached.unpersist(); () }
   }
 
-  /** Freshness/count report over an id + timestamp column. */
+  /** Freshness/count report over an id + timestamp column. Exact
+    * distinct — the oracle-comparable form; the count-distinct forces
+    * an Expand + distinct shuffle over every id.
+    */
   def report(df: DataFrame, idCol: String, tsCol: String): DataFrame =
     df.agg(
       count(lit(1)).as("record_count"),
       countDistinct(col(idCol)).as("distinct_ids"),
+      max(col(tsCol)).as("last_updated"))
+
+  /** The 100 TB serving form of [[report]]: HLL sketch instead of the
+    * exact distinct, so the whole report is one pure partial
+    * aggregation (each map task carries one register set; the shuffle
+    * is O(1) rows). `rsd` is the HLL relative standard deviation;
+    * accuracy vs the exact report is asserted in PipelineSpec.
+    */
+  def approxReport(df: DataFrame, idCol: String, tsCol: String,
+      rsd: Double = 0.01): DataFrame =
+    df.agg(
+      count(lit(1)).as("record_count"),
+      approx_count_distinct(col(idCol), rsd).as("distinct_ids"),
       max(col(tsCol)).as("last_updated"))
 }
 

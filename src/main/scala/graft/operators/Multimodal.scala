@@ -7,18 +7,15 @@ import org.apache.spark.sql.functions._
   * `binary` columns plus typed metadata, decoded/batched per
   * partition.
   *
-  * What's REAL here: image container-header parsing (PNG/GIF/BMP/JPEG
-  * magic, dimensions, channels — pure byte logic, no codec library
-  * needed), binary column handling, partition-batched `mapPartitions`
-  * decode, typed output schemas, expression-level slicing and
-  * frame-sampling. Decode is map-side only (no shuffle), binary
+  * Everything here is REAL and runs on a bare JDK — no external codec
+  * dependency: container-header parsing is pure byte logic; pixel
+  * decode → resample → re-encode uses the JDK's own `javax.imageio`
+  * (PNG/GIF/BMP/JPEG readers ship with every JDK, headless-safe);
+  * audio decode uses `javax.sound.sampled` (WAV/AU/AIFF PCM parsing,
+  * also JDK-built-in). Decode is map-side only (no shuffle), binary
   * columns are never a join/agg key, frame explode happens *after*
-  * partition pruning.
-  *
-  * STUB NOTICE: PIXEL decode (rasterize/resample) needs codec
-  * libraries this container doesn't ship — `resizeStub` and
-  * `audioFeatureStub` are clearly-marked deterministic stand-ins whose
-  * schema/batching shape is the production one.
+  * partition pruning, and undecodable blobs are dropped — the filter
+  * shape a curation pipeline wants for malformed media at scale.
   */
 object Multimodal {
 
@@ -95,12 +92,49 @@ object Multimodal {
     }
   }
 
-  /** Expression-level byte-range "resize" (crop-to-bytes).
-    * STUB for a codec resize; shape is real: binary in → binary out,
-    * pure map-side, stays in whole-stage codegen.
+  final case class ResizedImage(id: Long, src_format: String, src_width: Int,
+      src_height: Int, width: Int, height: Int, png: Array[Byte])
+
+  /** REAL pixel decode → bilinear resample → PNG re-encode, via the
+    * JDK-built-in `javax.imageio` readers (PNG/GIF/BMP/JPEG). Headless:
+    * BufferedImage rasters never touch a display. Partition-batched,
+    * map-side only; blobs imageio cannot decode are dropped. Output
+    * carries the source format/dims plus the resized PNG bytes —
+    * the thumbnail/normalize stage of a multimodal training pipeline.
     */
-  def resizeStub(df: DataFrame, maxBytes: Int): DataFrame =
-    df.withColumn("data", substring(col("data"), 1, maxBytes))
+  def resizeImages(df: DataFrame, targetW: Int, targetH: Int): Dataset[ResizedImage] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col("id"), col("data")).as[(Long, Array[Byte])].mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false) // in-memory, no executor temp files
+      it.flatMap { case (id, bytes) =>
+        decodeResizeOne(bytes, targetW, targetH).map { case (fmt, w, h, png) =>
+          ResizedImage(id, fmt, w, h, targetW, targetH, png)
+        }
+      }
+    }
+  }
+
+  private[graft] def decodeResizeOne(bytes: Array[Byte], tw: Int,
+      th: Int): Option[(String, Int, Int, Array[Byte])] =
+    parseImageHeader(bytes).flatMap { hdr =>
+      try {
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+        if (img == null) None
+        else {
+          val out = new java.awt.image.BufferedImage(tw, th,
+            java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+          val g = out.createGraphics()
+          g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+            java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+          g.drawImage(img, 0, 0, tw, th, null)
+          g.dispose()
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(out, "png", bos)
+          Some((hdr.format, img.getWidth, img.getHeight, bos.toByteArray))
+        }
+      } catch { case scala.util.control.NonFatal(_) => None }
+    }
 
   /** Frame sampling: treat the blob as fixed-size frames, keep every
     * `everyN`-th. Pure expressions (sequence + explode + substring),
@@ -121,23 +155,59 @@ object Multimodal {
   private def substring_index_bytes(frameBytes: Int) =
     substring(col("data"), (col("frame_idx") * frameBytes + 1).cast("int"), lit(frameBytes)).as("frame")
 
-  /** Partition-batched "audio feature" extraction.
-    * STUB: per-window byte mean/std stand in for MFCC frames; the
-    * batching and array<double> feature schema are real.
+  final case class AudioFeatures(id: Long, sample_rate: Double, n_channels: Int,
+      n_samples: Long, rms: Array[Double])
+
+  /** REAL audio feature extraction via the JDK-built-in
+    * `javax.sound.sampled` (WAV/AU/AIFF containers, PCM codecs — no
+    * external library). Decodes to 16-bit signed PCM, mixes channels
+    * to mono, and emits per-window RMS energy — the
+    * silence-detection / level-normalization feature a speech-data
+    * pipeline filters on. Partition-batched, map-side only; blobs the
+    * sound API cannot parse are dropped.
     */
-  def audioFeatureStub(df: DataFrame, window: Int = 64): DataFrame = {
+  def audioFeatures(df: DataFrame, window: Int = 1024): Dataset[AudioFeatures] = {
     val spark = df.sparkSession
     import spark.implicits._
     df.select(col("id"), col("data")).as[(Long, Array[Byte])].mapPartitions { it =>
-      it.map { case (id, bytes) =>
-        val b = if (bytes == null) Array.emptyByteArray else bytes
-        val feats = b.grouped(window).map { w =>
-          val m = w.map(_ & 0xff).sum.toDouble / w.length
-          val v = w.map(x => { val d = (x & 0xff) - m; d * d }).sum / w.length
-          math.sqrt(v)
-        }.toArray
-        (id, feats)
+      it.flatMap { case (id, bytes) =>
+        decodeAudioOne(bytes, window).map { case (rate, ch, n, rms) =>
+          AudioFeatures(id, rate, ch, n, rms)
+        }
       }
-    }.toDF("id", "features")
+    }
+  }
+
+  private[graft] def decodeAudioOne(bytes: Array[Byte],
+      window: Int): Option[(Double, Int, Long, Array[Double])] = {
+    if (bytes == null) return None
+    import javax.sound.sampled.{AudioFormat, AudioSystem}
+    try {
+      val ais = AudioSystem.getAudioInputStream(new java.io.ByteArrayInputStream(bytes))
+      val src = ais.getFormat
+      val pcmFmt = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED,
+        src.getSampleRate, 16, src.getChannels, src.getChannels * 2,
+        src.getSampleRate, false)
+      val pcm  = AudioSystem.getAudioInputStream(pcmFmt, ais)
+      val data = pcm.readAllBytes()
+      val ch = pcmFmt.getChannels
+      val nFrames = data.length / (2 * ch)
+      val mono = new Array[Double](nFrames)
+      var i = 0
+      while (i < nFrames) {
+        var s = 0.0
+        var c = 0
+        while (c < ch) {
+          val off = (i * ch + c) * 2 // little-endian signed 16-bit
+          s += ((data(off + 1) << 8) | (data(off) & 0xff)).toShort / 32768.0
+          c += 1
+        }
+        mono(i) = s / ch
+        i += 1
+      }
+      val rms = mono.grouped(window)
+        .map(w => math.sqrt(w.map(x => x * x).sum / w.length)).toArray
+      Some((src.getSampleRate.toDouble, ch, nFrames.toLong, rms))
+    } catch { case scala.util.control.NonFatal(_) => None }
   }
 }

@@ -55,11 +55,43 @@ class MultimodalSpec extends SparkSpec {
     assert(meta(5L).n_bytes == "not an image at all".getBytes.length.toLong)
   }
 
-  test("resizeStub truncates payload bytes") {
-    val out = Multimodal.resizeStub(Multimodal.asBinary(media, "doc_id", "payload"), 3)
-      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Array[Byte]]("data")).toMap
-    assert(out(2L).length == 3)
-    assert(new String(out(2L)) == "abc")
+  // a real encoded image: left half red, right half blue
+  private def encodedImage(fmt: String, w: Int, h: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    for (y <- 0 until h; x <- 0 until w)
+      img.setRGB(x, y, if (x < w / 2) 0xFF0000 else 0x0000FF)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, fmt, bos)
+    bos.toByteArray
+  }
+
+  test("resizeImages really decodes, resamples, and re-encodes pixels (all four JDK formats)") {
+    import spark.implicits._
+    val blobs = Seq(
+      (1L, encodedImage("png", 8, 8)),
+      (2L, encodedImage("bmp", 8, 8)),
+      (3L, encodedImage("gif", 8, 8)),
+      (4L, encodedImage("jpg", 8, 8)),
+      (5L, "definitely not an image".getBytes)).toDF("id", "data")
+    val out = Multimodal.resizeImages(blobs, 4, 4).collect().map(r => r.id -> r).toMap
+    assert(!out.contains(5L), "undecodable blobs are dropped")
+    assert(out.keySet == Set(1L, 2L, 3L, 4L))
+    Seq("png", "bmp", "gif", "jpeg").zip(1L to 4L).foreach { case (fmt, id) =>
+      val r = out(id)
+      assert(r.src_format == fmt && r.src_width == 8 && r.src_height == 8)
+      assert(r.width == 4 && r.height == 4)
+      val dec = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.png))
+      assert(dec.getWidth == 4 && dec.getHeight == 4)
+      // pixel-level: away from the seam, left stays red, right stays
+      // blue (tolerance covers jpeg loss + bilinear filtering)
+      val left  = dec.getRGB(0, 1)
+      val right = dec.getRGB(3, 2)
+      assert(((left >> 16) & 0xff) > 150 && (left & 0xff) < 100,
+        f"$fmt left pixel should be red, got 0x$left%08x")
+      assert((right & 0xff) > 150 && ((right >> 16) & 0xff) < 100,
+        f"$fmt right pixel should be blue, got 0x$right%08x")
+    }
   }
 
   test("frameSample explodes fixed-size frames, keeps every Nth") {
@@ -73,11 +105,43 @@ class MultimodalSpec extends SparkSpec {
     assert(!byId.contains(3L)) // empty payload → no frames
   }
 
-  test("audioFeatureStub emits one feature per window") {
-    val feats = Multimodal.audioFeatureStub(
-      Multimodal.asBinary(media, "doc_id", "payload"), window = 4)
-      .collect().map(r => r.getAs[Long]("id") -> r.getAs[scala.collection.Seq[Double]]("features").toSeq).toMap
-    assert(feats(2L).length == 2) // 8 bytes / window 4
-    assert(feats(3L).isEmpty)
+  // a real WAV container around raw 16-bit little-endian PCM frames
+  private def wavBytes(samples: Array[Short], channels: Int, rate: Float): Array[Byte] = {
+    import javax.sound.sampled._
+    val pcm = new Array[Byte](samples.length * 2)
+    samples.zipWithIndex.foreach { case (s, i) =>
+      pcm(2 * i) = (s & 0xff).toByte; pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+    }
+    val fmt = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED, rate, 16,
+      channels, channels * 2, rate, false)
+    val ais = new AudioInputStream(new java.io.ByteArrayInputStream(pcm), fmt,
+      samples.length / channels)
+    val bos = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  test("audioFeatures decodes real WAV PCM: per-window RMS, channel mixing, junk dropped") {
+    import spark.implicits._
+    // mono: 1024 silent samples then 1024 at ±half-scale (RMS = 0.5)
+    val mono = Array.fill[Short](1024)(0) ++
+      Array.tabulate[Short](1024)(i => if (i % 2 == 0) 16384 else -16384)
+    // stereo whose channels cancel exactly → mono mix ≈ 0
+    val stereo = Array.tabulate[Short](2048)(i =>
+      if (i % 2 == 0) 12000 else -12000) // frame = (L=+x, R=-x)
+    val blobs = Seq(
+      (1L, wavBytes(mono, 1, 8000f)),
+      (2L, wavBytes(stereo, 2, 16000f)),
+      (3L, "white noise? no, just text".getBytes)).toDF("id", "data")
+    val out = Multimodal.audioFeatures(blobs, window = 1024).collect().map(r => r.id -> r).toMap
+    assert(!out.contains(3L), "non-audio blobs are dropped")
+    val m = out(1L)
+    assert(m.sample_rate == 8000.0 && m.n_channels == 1 && m.n_samples == 2048L)
+    assert(m.rms.length == 2)
+    assert(m.rms(0) < 1e-9, s"silent window RMS ${m.rms(0)}")
+    assert(math.abs(m.rms(1) - 0.5) < 1e-3, s"half-scale square RMS ${m.rms(1)}")
+    val st = out(2L)
+    assert(st.n_channels == 2 && st.n_samples == 1024L)
+    assert(st.rms.forall(_ < 1e-9), "cancelling channels must mix to silence")
   }
 }

@@ -50,6 +50,21 @@ class PipelineSpec extends SparkSpec {
     assert(r.getAs[java.sql.Timestamp]("last_updated").toString.startsWith("2026-02-01"))
   }
 
+  test("approxReport matches the exact report within the HLL error bound") {
+    val orders = Tables(spark, sf("orders"), "orders")
+    val exact = Pipeline.builder(spark)
+      .report(orders, "o_custkey", "o_orderdate").collect().head
+    val approx = Pipeline.builder(spark)
+      .approxReport(orders, "o_custkey", "o_orderdate", rsd = 0.01).collect().head
+    assert(approx.getAs[Long]("record_count") == exact.getAs[Long]("record_count"))
+    assert(String.valueOf(approx.get(approx.fieldIndex("last_updated"))) ==
+      String.valueOf(exact.get(exact.fieldIndex("last_updated"))))
+    val ex = exact.getAs[Long]("distinct_ids").toDouble
+    val ap = approx.getAs[Long]("distinct_ids").toDouble
+    assert(math.abs(ap - ex) / ex <= 0.05,
+      s"approx distinct $ap vs exact $ex drifted beyond 5%")
+  }
+
   test("flagship entry returns rows (driver smoke check)") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
