@@ -201,6 +201,71 @@ object Queries {
       GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
       ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST"""))
 
+  /** CUBE — all 2ᵏ grouping combinations (q9 covers ROLLUP, q22 covers
+    * explicit GROUPING SETS). Same partial-aggregate shape: the Expand
+    * multiplies rows map-side but the shuffle still carries only
+    * O(groups × combinations).
+    */
+  val q23Cube: QueryDef = QueryDef("q23_cube",
+    (s, dir) => t(s, dir, "lineitem")
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"),
+        sum(dec(col("l_quantity"))).cast(DoubleType).as("sum_qty"))
+      .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus")),
+    Some("""SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+      CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+      FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+      ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST"""))
+
+  /** Full outer join of two aggregates with partially disjoint key
+    * sets (users who clicked vs users who purchased) — unmatched rows
+    * survive on BOTH sides, null-bridged by coalesce.
+    */
+  val q24FullOuter: QueryDef = QueryDef("q24_full_outer",
+    (s, dir) => {
+      val ev = t(s, dir, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .groupBy(col("user_id").as("cu")).agg(count(lit(1)).as("n_clicks"))
+      val buys = ev.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id").as("pu")).agg(count(lit(1)).as("n_purchases"))
+      clicks.join(buys, col("cu") === col("pu"), "full_outer")
+        .select(coalesce(col("cu"), col("pu")).as("user_id"),
+          coalesce(col("n_clicks"), lit(0L)).as("n_clicks"),
+          coalesce(col("n_purchases"), lit(0L)).as("n_purchases"))
+        .orderBy(col("user_id"))
+    },
+    Some("""WITH c AS (SELECT user_id, COUNT(*) AS n_clicks FROM events
+        WHERE event_type = 'click' GROUP BY user_id),
+      p AS (SELECT user_id, COUNT(*) AS n_purchases FROM events
+        WHERE event_type = 'purchase' GROUP BY user_id)
+      SELECT COALESCE(c.user_id, p.user_id) AS user_id,
+        COALESCE(n_clicks, 0) AS n_clicks,
+        COALESCE(n_purchases, 0) AS n_purchases
+      FROM c FULL OUTER JOIN p ON c.user_id = p.user_id
+      ORDER BY user_id"""))
+
+  /** UNPIVOT (wide → long): three measure columns melt into
+    * (measure, value) rows, aggregated per measure. The melt is an
+    * Expand — map-side row multiplication, no extra shuffle; the
+    * aggregate shuffle carries O(measures) rows.
+    */
+  val q25Unpivot: QueryDef = QueryDef("q25_unpivot",
+    (s, dir) => t(s, dir, "lineitem")
+      .select(col("l_orderkey"), dec(col("l_quantity")).as("l_quantity"),
+        dec(col("l_extendedprice")).as("l_extendedprice"),
+        dec(col("l_tax")).as("l_tax"))
+      .unpivot(Array(col("l_orderkey")),
+        Array(col("l_quantity"), col("l_extendedprice"), col("l_tax")),
+        "measure", "value")
+      .groupBy(col("measure"))
+      .agg(sum(col("value")).cast(DoubleType).as("total"), count(lit(1)).as("n"))
+      .orderBy(col("measure")),
+    Some("""SELECT measure, CAST(SUM(v) AS DOUBLE) AS total, COUNT(*) AS n FROM (
+        SELECT 'l_quantity' AS measure, CAST(l_quantity AS DECIMAL(12,2)) AS v FROM lineitem
+        UNION ALL SELECT 'l_extendedprice', CAST(l_extendedprice AS DECIMAL(12,2)) FROM lineitem
+        UNION ALL SELECT 'l_tax', CAST(l_tax AS DECIMAL(12,2)) FROM lineitem)
+      GROUP BY measure ORDER BY measure"""))
+
   private val eventTypes = Seq("click", "view", "purchase", "signup", "error")
 
   val q10Pivot: QueryDef = QueryDef("q10_pivot",
@@ -790,6 +855,24 @@ object Queries {
         SELECT edges.s, reach.r FROM edges JOIN reach ON edges.d = reach.id)
       SELECT id, MIN(r) AS cluster FROM reach GROUP BY id ORDER BY id"""))
 
+  /** Exact edit-distance near-dup pairs on a short field (part names
+    * within a brand block) — levenshtein agrees between engines, so
+    * unlike the hash-seeded near-dup family this one is fully
+    * DuckDB-oracled.
+    */
+  val dedupEditDist: QueryDef = QueryDef("dedup_editdist",
+    (s, dir) => Dedup.editDistancePairs(t(s, dir, "part"),
+      "p_partkey", "p_name", "p_brand", maxDist = 2)
+      .orderBy(col("id_a"), col("id_b")),
+    Some("""WITH p AS (SELECT p_partkey, p_name, p_brand,
+        length(p_name) AS len FROM part)
+      SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+        CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
+      FROM p a JOIN p b ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+        AND abs(a.len - b.len) <= 2
+      WHERE levenshtein(a.p_name, b.p_name) <= 2
+      ORDER BY id_a, id_b"""))
+
   val dedupMinhash: QueryDef = QueryDef("dedup_minhash",
     (s, dir) => Dedup.minhashDedupSurvivors(t(s, dir, "documents"),
       "doc_id", "text", minJaccard = 0.7)
@@ -966,13 +1049,13 @@ object Queries {
     q1Agg, q2Filter, q3Join, q4Semi, q5Multi, q6Window, q7TopK, q8Distinct,
     q9Rollup, q10Pivot, q11Anti, q12Expr, q13Percentiles, q14Subquery,
     q15SetOps, q16Sessionize, q17EventsWindow, q18Json, q19AsOf, q20Range,
-    q21SkewJoin, q22GroupingSets,
+    q21SkewJoin, q22GroupingSets, q23Cube, q24FullOuter, q25Unpivot,
     etlUnionSources, etlValidate, etlCleanTransform, etlQualityReport,
     etlCsvProjection, etlFreshness,
     textTokens, textQuality, textLangId, textFingerprint, textVocab, textLogProb,
     textBm25,
     curateMixture, curatePack, curateTake,
-    dedupExact, dedupNgramJaccard, dedupClusterCc, dedupMinhash, dedupSimhash, dedupEmbedding,
+    dedupExact, dedupNgramJaccard, dedupEditDist, dedupClusterCc, dedupMinhash, dedupSimhash, dedupEmbedding,
     annBruteForce, annLsh, annIvf, mmMetadata, mmDecode,
     sketchHll, sketchQuantiles, sketchFreq)
 }

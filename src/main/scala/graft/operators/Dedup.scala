@@ -199,6 +199,30 @@ object Dedup {
     survivorsByCluster(docs, id,
       minhashVerifiedPairs(docs, id, text, minJaccard, numPerm, bands, n))
 
+  /** Edit-distance near-dup pairs for SHORT text fields (names,
+    * titles): levenshtein ≤ maxDist inside a blocking column, with the
+    * |lenₐ−len_b| ≤ maxDist lower bound applied before the quadratic
+    * distance. In-block pairing is O(block²), so this is the
+    * tight-block/short-field member of the near-dup family (product
+    * names per brand, titles per publisher) — for whole documents use
+    * [[minhashLshCandidates]]/[[simhash]], whose candidate generation
+    * stays ~linear. Exact, deterministic, and SQL-expressible, so the
+    * whole pipeline is oracle-checkable (`dedup_editdist`).
+    */
+  def editDistancePairs(docs: DataFrame, id: String, text: String,
+      block: String, maxDist: Int = 2): DataFrame = {
+    val base = docs.select(col(id).as("id"), col(text).as("t"), col(block).as("blk"))
+      .withColumn("len", length(col("t")))
+    val a = base.select(col("blk"), col("id").as("id_a"), col("t").as("t_a"), col("len").as("len_a"))
+    val b = base.select(col("blk"), col("id").as("id_b"), col("t").as("t_b"), col("len").as("len_b"))
+    a.join(b, "blk")
+      .filter(col("id_a") < col("id_b") &&
+        abs(col("len_a") - col("len_b")) <= maxDist)
+      .withColumn("dist", levenshtein(col("t_a"), col("t_b")).cast(LongType))
+      .filter(col("dist") <= maxDist)
+      .select("id_a", "id_b", "dist")
+  }
+
   /** 64-bit SimHash over word n-gram shingles: per-bit ±1 vote summed
     * per doc (one wide partial aggregation — map-side combined, no raw
     * doc shuffle), sign → bit. Returns (id, simhash: long).

@@ -136,6 +136,24 @@ class DedupSpec extends SparkSpec {
     assert(surv == Set(1L, 3L, 4L)) // 2 and 5 fold into cluster 1
   }
 
+  test("editDistancePairs: blocked levenshtein with length lower-bound prefilter") {
+    import spark.implicits._
+    val items = Seq(
+      (1L, "red widget", "B1"),
+      (2L, "red wadget", "B1"),   // dist 1, same block
+      (3L, "red widget", "B2"),   // identical text, DIFFERENT block → no pair
+      (4L, "blue widget", "B1"),  // dist 2 from "red widget" ("r"->"b", +"l"... actually 3)
+      (5L, "red widgets", "B1"))  // dist 1 (one insert)
+      .toDF("id", "name", "blk")
+    val pairs = Dedup.editDistancePairs(items, "id", "name", "blk", maxDist = 2)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"), r.getAs[Long]("dist"))).toSet
+    assert(pairs.contains((1L, 2L, 1L)))
+    assert(pairs.contains((1L, 5L, 1L)))
+    assert(pairs.contains((2L, 5L, 2L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L), "cross-block pairs must not appear")
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L), "dist>maxDist pairs must not appear")
+  }
+
   test("rolling fingerprint is order-sensitive where md5-canonical is not") {
     import spark.implicits._
     val df = Seq((1L, "alpha beta gamma"), (2L, "gamma beta alpha")).toDF("id", "text")
