@@ -266,6 +266,51 @@ object Queries {
         UNION ALL SELECT 'l_tax', CAST(l_tax AS DECIMAL(12,2)) FROM lineitem)
       GROUP BY measure ORDER BY measure"""))
 
+  /** Time-RANGE window frame: trailing-7-day revenue per customer.
+    * The frame is value-based (RANGE on the order timestamp), not
+    * row-based — Spark expresses it as rangeBetween over unix seconds,
+    * the oracle as RANGE BETWEEN INTERVAL. Same single hash(custkey)
+    * shuffle as any partitioned window.
+    */
+  val q26RangeFrame: QueryDef = QueryDef("q26_range_frame",
+    (s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(unix_timestamp(col("o_orderdate")))
+        .rangeBetween(-7L * 86400, 0L)
+      t(s, dir, "orders")
+        .withColumn("trail7_total", sum(dec(col("o_totalprice"))).over(w).cast(DoubleType))
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"), col("trail7_total"))
+        .orderBy(col("o_orderkey"))
+    },
+    Some("""SELECT o_orderkey, o_custkey, o_orderdate,
+      CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) OVER (
+        PARTITION BY o_custkey ORDER BY o_orderdate
+        RANGE BETWEEN INTERVAL 7 DAY PRECEDING AND CURRENT ROW) AS DOUBLE) AS trail7_total
+      FROM orders ORDER BY o_orderkey"""))
+
+  /** Distribution-rank window family: ntile / percent_rank /
+    * cume_dist (q6 covers rank/lag/running-sum). Deterministic: the
+    * window order carries the unique key as tiebreaker.
+    */
+  val q27RankFamily: QueryDef = QueryDef("q27_rank_family",
+    (s, dir) => {
+      val w = Window.partitionBy(col("c_mktsegment"))
+        .orderBy(col("c_acctbal"), col("c_custkey"))
+      t(s, dir, "customer").select(
+        col("c_custkey"), col("c_mktsegment"),
+        ntile(4).over(w).cast(LongType).as("quartile"),
+        round(percent_rank().over(w), 6).as("pct_rank"),
+        round(cume_dist().over(w), 6).as("cume"))
+        .orderBy(col("c_custkey"))
+    },
+    Some("""SELECT c_custkey, c_mktsegment,
+      CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+      round(percent_rank() OVER w, 6) AS pct_rank,
+      round(cume_dist() OVER w, 6) AS cume
+      FROM customer
+      WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+      ORDER BY c_custkey"""))
+
   private val eventTypes = Seq("click", "view", "purchase", "signup", "error")
 
   val q10Pivot: QueryDef = QueryDef("q10_pivot",
@@ -985,11 +1030,20 @@ object Queries {
       CAST(16 + ascii(substr(text, 2, 1)) % 128 AS BIGINT) AS height
       FROM documents ORDER BY doc_id"""))
 
+  /** Container-decode over the documents table. The corpus contains no
+    * image-magic-prefixed text (verified at every SF), so every blob
+    * takes the "unknown" fallback — the oracle hash-checks exactly
+    * that path plus the id/byte-length plumbing; decode of REAL
+    * containers is pixel-asserted in MultimodalSpec.
+    */
   val mmDecode: QueryDef = QueryDef("mm_decode",
     (s, dir) => Multimodal.decodeImageMeta(
       Multimodal.asBinary(t(s, dir, "documents"), "doc_id", "text"))
       .toDF().orderBy(col("id")),
-    None)
+    Some("""SELECT doc_id AS id, CAST(strlen(text) AS BIGINT) AS n_bytes,
+      'unknown' AS format, CAST(0 AS INTEGER) AS width,
+      CAST(0 AS INTEGER) AS height, CAST(0 AS INTEGER) AS channels
+      FROM documents ORDER BY id"""))
 
   /** HLL sketch count-distinct — the sketch ONLY. Pairing it with an
     * exact countDistinct in the same plan (as r1 did) forces an Expand
@@ -1050,6 +1104,7 @@ object Queries {
     q9Rollup, q10Pivot, q11Anti, q12Expr, q13Percentiles, q14Subquery,
     q15SetOps, q16Sessionize, q17EventsWindow, q18Json, q19AsOf, q20Range,
     q21SkewJoin, q22GroupingSets, q23Cube, q24FullOuter, q25Unpivot,
+    q26RangeFrame, q27RankFamily,
     etlUnionSources, etlValidate, etlCleanTransform, etlQualityReport,
     etlCsvProjection, etlFreshness,
     textTokens, textQuality, textLangId, textFingerprint, textVocab, textLogProb,

@@ -69,8 +69,19 @@ object Dedup {
   def ngramJaccardPairs(docs: DataFrame, id: String, text: String,
       block: String, len: String, lenBand: Int,
       n: Int = 3, minJaccard: Double = 0.2, maxGramDf: Long = 10000L): DataFrame = {
+    // materialize the exploded grams ONCE (persist): the plan below is
+    // a diamond — the a-side, b-side, and doc-size subtrees all
+    // consume it, and without the materialization each would re-run
+    // the whole tokenize→shingle→explode pipeline (the dominant cost).
+    // persist(), NOT a lazy localCheckpoint: a lazily-checkpoint-marked
+    // RDD consumed by several racing stages (one of them a broadcast
+    // exchange) deadlocks the DAG scheduler on the global
+    // RDDCheckpointData lock — observed live on this exact diamond.
+    // At cluster scale this is the standard persisted intermediate of
+    // an inverted-index build.
     val g = explodedGrams(docs, id, text, n,
       Seq(col(block) -> "blk", col(len).cast(LongType) -> "len"))
+      .persist()
     val pruned =
       if (maxGramDf > 0L) {
         val hot = g.groupBy("gram").agg(count(lit(1)).as("df"))
@@ -108,10 +119,20 @@ object Dedup {
     * ANSI-safe (no multiply/add overflow, unlike Carter–Wegman).
     * Returns (id, h0..h{numPerm-1}).
     */
-  def minhashSignatures(docs: DataFrame, id: String, text: String,
-      numPerm: Int = 64, n: Int = 3): DataFrame = {
+  /** (id, grams: array<string>) — the tokenize+shingle base both the
+    * signature and the exact-verification paths consume. (A hashed-
+    * shingle variant — token-hash arrays recombined with xxhash64
+    * inside a nested lambda — was measured SLOWER than the string
+    * form: interpreted HOFs box every element access, and the extra
+    * allocation cost outweighs the saved string concat.)
+    */
+  private def gramArrays(docs: DataFrame, id: String, text: String, n: Int): DataFrame =
+    docs.select(col(id).as("id"), TextAnalysis.tokens(col(text)).as("toks"))
+      .select(col("id"), shingles(col("toks"), n).as("grams"))
+
+  private def signaturesFromGrams(grams: DataFrame, numPerm: Int): DataFrame = {
     require(numPerm <= 4096, "at most 64×64 distinct rotation pairs")
-    val g = explodedGrams(docs, id, text, n)
+    val g = grams.select(col("id"), explode(col("grams")).as("gram"))
       .withColumn("h1", xxhash64(col("gram")))
       .withColumn("h2", xxhash64(col("gram"), lit(1)))
     def rol(c: Column, r: Int): Column =
@@ -128,6 +149,10 @@ object Dedup {
     }
     g.groupBy("id").agg(aggs.head, aggs.tail.toIndexedSeq: _*)
   }
+
+  def minhashSignatures(docs: DataFrame, id: String, text: String,
+      numPerm: Int = 64, n: Int = 3): DataFrame =
+    signaturesFromGrams(gramArrays(docs, id, text, n), numPerm)
 
   /** All ordered pairs (a<b) from a sorted id array — in-bucket pair
     * expansion for LSH buckets, O(B²) per bucket on arrays that are
@@ -148,12 +173,10 @@ object Dedup {
     * (boilerplate-heavy corpora) the way stop-grams are dropped in the
     * inverted-index path.
     */
-  def minhashLshCandidates(docs: DataFrame, id: String, text: String,
-      numPerm: Int = 64, bands: Int = 16, n: Int = 3,
-      maxBucket: Int = 1000): DataFrame = {
+  private def lshCandidatesFromSigs(sig: DataFrame, numPerm: Int,
+      bands: Int, maxBucket: Int): DataFrame = {
     require(numPerm % bands == 0, "numPerm must be divisible by bands")
     val rows = numPerm / bands
-    val sig  = minhashSignatures(docs, id, text, numPerm, n)
     val bandCols = (0 until bands).map { bi =>
       struct(lit(bi).as("band"),
         xxhash64((bi * rows until (bi + 1) * rows).map(i => col(s"h$i")): _*).as("sig"))
@@ -168,19 +191,33 @@ object Dedup {
       .distinct()
   }
 
+  def minhashLshCandidates(docs: DataFrame, id: String, text: String,
+      numPerm: Int = 64, bands: Int = 16, n: Int = 3,
+      maxBucket: Int = 1000): DataFrame =
+    lshCandidatesFromSigs(minhashSignatures(docs, id, text, numPerm, n),
+      numPerm, bands, maxBucket)
+
   /** LSH candidates verified with exact n-gram Jaccard ≥ minJaccard:
     * (id_a, id_b, j) edges for clustering.
+    *
+    * The (id, grams) base is materialized ONCE (persist) and consumed
+    * three times — signature building plus both sides of the
+    * verification join. Without the materialization each consumer
+    * re-runs the tokenize→shingle pipeline, the dominant cost of the
+    * whole operator; at cluster scale this is the standard persisted
+    * shingle-set intermediate of a MinHash dedup run. (persist, not a
+    * lazy localCheckpoint — see [[ngramJaccardPairs]] on the
+    * checkpoint-lock deadlock.)
     */
   def minhashVerifiedPairs(docs: DataFrame, id: String, text: String,
       minJaccard: Double = 0.8, numPerm: Int = 64, bands: Int = 16,
       n: Int = 3): DataFrame = {
-    val cand = minhashLshCandidates(docs, id, text, numPerm, bands, n)
-    val grams = docs
-      .select(col(id).as("gid"), TextAnalysis.tokens(col(text)).as("toks"))
-      .select(col("gid"), shingles(col("toks"), n).as("grams"))
+    val grams = gramArrays(docs, id, text, n).persist()
+    val cand = lshCandidatesFromSigs(signaturesFromGrams(grams, numPerm),
+      numPerm, bands, maxBucket = 1000)
     cand
-      .join(grams.select(col("gid").as("id_a"), col("grams").as("ga")), "id_a")
-      .join(grams.select(col("gid").as("id_b"), col("grams").as("gb")), "id_b")
+      .join(grams.select(col("id").as("id_a"), col("grams").as("ga")), "id_a")
+      .join(grams.select(col("id").as("id_b"), col("grams").as("gb")), "id_b")
       .withColumn("j",
         size(array_intersect(col("ga"), col("gb"))).cast(DoubleType) /
           size(array_union(col("ga"), col("gb"))).cast(DoubleType))
@@ -294,15 +331,18 @@ object Dedup {
     // label₀(v) = min(v, min(neighbors)) — one iteration's worth of
     // jobs saved, identical fixpoint.
     //
-    // ONE Spark job per iteration: the checkpoint is LAZY
-    // (localCheckpoint(false)), so the labelSum action both
-    // materializes the iteration's labels into block storage and
-    // computes the monotone convergence signal in the same job — an
-    // eager checkpoint followed by a separate sum action would double
-    // the job count for no extra information.
+    // ONE Spark job per iteration: each iteration's labels are
+    // persist()ed and the labelSum action both populates the cache and
+    // computes the monotone convergence signal — an eager checkpoint
+    // followed by a separate sum action would double the job count.
+    // persist, NOT a lazy localCheckpoint: lazily-checkpoint-marked
+    // RDDs racing the DAG scheduler deadlock on the global
+    // RDDCheckpointData lock (observed live). Lineage depth grows by a
+    // constant per iteration on top of the checkpointed edge list and
+    // is bounded by maxIter; superseded iterations are unpersisted.
     var labels = edges.groupBy(col("src").as("id"))
       .agg(least(min(col("dst")), min(col("src"))).as("cluster"))
-      .localCheckpoint(false)
+      .persist()
     var prevSum = labelSum(labels)
     var i = 0
     var converged = false
@@ -311,10 +351,11 @@ object Dedup {
         .select(col("dst").as("id"), col("cluster"))
       val next = msgs.unionByName(labels.select(col("id"), col("cluster")))
         .groupBy("id").agg(min(col("cluster")).as("cluster"))
-        .localCheckpoint(false)
+        .persist()
       val s = labelSum(next)
       converged = s.compareTo(prevSum) == 0
       prevSum = s
+      labels.unpersist(false)
       labels = next
       i += 1
     }
