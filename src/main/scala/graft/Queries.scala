@@ -900,6 +900,51 @@ object Queries {
         SELECT edges.s, reach.r FROM edges JOIN reach ON edges.d = reach.id)
       SELECT id, MIN(r) AS cluster FROM reach GROUP BY id ORDER BY id"""))
 
+  /** Eval-set decontamination: the eval split is every 97th doc; any
+    * training doc sharing a 4-gram with it is dropped. Oracled — the
+    * DuckDB side rebuilds the same shingles and semi-join.
+    */
+  val curateDecontaminate: QueryDef = QueryDef("curate_decontaminate",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      Curation.decontaminate(
+          docs.filter(col("doc_id") % 97 =!= 0),
+          docs.filter(col("doc_id") % 97 === 0),
+          "doc_id", "text", n = 4)
+        .select(col("doc_id"), col("lang"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH tok AS (SELECT doc_id,
+        string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS w
+        FROM documents),
+      g AS (SELECT doc_id, unnest(list_distinct(
+          [w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]
+           FOR i IN range(1, len(w) - 2)])) AS gram
+        FROM tok WHERE len(w) >= 4),
+      eg AS (SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0),
+      bad AS (SELECT DISTINCT g.doc_id FROM g JOIN eg USING (gram)
+        WHERE g.doc_id % 97 <> 0)
+      SELECT d.doc_id, d.lang FROM documents d
+      WHERE d.doc_id % 97 <> 0 AND d.doc_id NOT IN (SELECT doc_id FROM bad)
+      ORDER BY d.doc_id"""))
+
+  /** PII scrub over a deterministically-dirtied column (the corpus
+    * itself is clean, so the query plants an email + IP per row and
+    * the oracle mirrors both the planting and the scrub).
+    */
+  val textRedact: QueryDef = QueryDef("text_redact",
+    (s, dir) => t(s, dir, "documents")
+      .select(col("doc_id"),
+        TextAnalysis.redactPii(concat(col("text"),
+          lit(" contact "), col("lang"), lit("@example.com from 10.0.0.1"))).as("clean"))
+      .orderBy(col("doc_id")),
+    Some("""SELECT doc_id,
+      regexp_replace(regexp_replace(
+        text || ' contact ' || lang || '@example.com from 10.0.0.1',
+        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        '\b(?:\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g') AS clean
+      FROM documents ORDER BY doc_id"""))
+
   /** Exact edit-distance near-dup pairs on a short field (part names
     * within a brand block) — levenshtein agrees between engines, so
     * unlike the hash-seeded near-dup family this one is fully
@@ -1109,7 +1154,7 @@ object Queries {
     etlCsvProjection, etlFreshness,
     textTokens, textQuality, textLangId, textFingerprint, textVocab, textLogProb,
     textBm25,
-    curateMixture, curatePack, curateTake,
+    curateMixture, curatePack, curateTake, curateDecontaminate, textRedact,
     dedupExact, dedupNgramJaccard, dedupEditDist, dedupClusterCc, dedupMinhash, dedupSimhash, dedupEmbedding,
     annBruteForce, annLsh, annIvf, mmMetadata, mmDecode,
     sketchHll, sketchQuantiles, sketchFreq)

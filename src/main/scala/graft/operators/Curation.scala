@@ -102,6 +102,32 @@ object Curation {
     * ids that aren't dense integers would hash first — the layout
     * logic is identical.
     */
+  /** Eval-set decontamination: ids of training docs sharing ANY word
+    * n-gram with the eval corpus. The standard pre-training hygiene
+    * pass (real pipelines use n≈8–13; the default here is small so the
+    * synthetic test corpus yields overlap).
+    *
+    * Scale shape: both sides explode to distinct (doc, gram) rows and
+    * meet in ONE equi-join on the gram — eval sets are orders of
+    * magnitude smaller than training corpora, so the eval gram side is
+    * broadcast-eligible and AQE picks that up; nothing is ever
+    * collected to the driver.
+    */
+  def contaminatedIds(train: DataFrame, eval: DataFrame, idCol: String,
+      textCol: String, n: Int = 4): DataFrame = {
+    def grams(df: DataFrame): DataFrame =
+      df.select(col(idCol), TextAnalysis.tokens(col(textCol)).as("toks"))
+        .select(col(idCol), explode(Dedup.shingles(col("toks"), n)).as("gram"))
+    grams(train)
+      .join(grams(eval).select("gram").distinct(), Seq("gram"), "left_semi")
+      .select(idCol).distinct()
+  }
+
+  /** Training corpus with eval-contaminated docs removed. */
+  def decontaminate(train: DataFrame, eval: DataFrame, idCol: String,
+      textCol: String, n: Int = 4): DataFrame =
+    train.join(contaminatedIds(train, eval, idCol, textCol, n), Seq(idCol), "left_anti")
+
   def packChunks(df: DataFrame, idCol: String, weightCol: String,
       budget: Long, shards: Int): DataFrame = {
     require(budget > 0 && shards > 0)

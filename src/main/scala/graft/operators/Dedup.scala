@@ -318,9 +318,14 @@ object Dedup {
       idB: String = "id_b", maxIter: Int = 20): DataFrame = {
     // materialize the edge list once — every iteration joins it, and
     // without the checkpoint each join would re-run the (potentially
-    // expensive) candidate-pair pipeline that produced `pairs`
-    val edges = pairs.select(col(idA).as("src"), col(idB).as("dst"))
-      .unionByName(pairs.select(col(idB).as("src"), col(idA).as("dst")))
+    // expensive) candidate-pair pipeline that produced `pairs`.
+    // Both edge directions come from ONE explode pass over `pairs`,
+    // not a union of two selects: a self-union is a diamond that
+    // evaluates the whole candidate pipeline once per branch.
+    val edges = pairs.select(explode(array(
+        struct(col(idA).as("src"), col(idB).as("dst")),
+        struct(col(idB).as("src"), col(idA).as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .localCheckpoint(true)
     // convergence signal in unbounded decimal: a long sum could
     // ANSI-overflow on 64-bit ids at scale

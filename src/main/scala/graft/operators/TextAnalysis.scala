@@ -210,4 +210,16 @@ object TextAnalysis {
   def fingerprintRolling(text: Column): Column =
     aggregate(tokens(text), lit(-3750763034362895579L),
       (acc, t) => xxhash64(acc, t))
+
+  /** PII redaction: emails → `<EMAIL>`, IPv4 literals → `<IP>`.
+    * Pure codegen'd regexp_replace chain — map-side, no shuffle, and
+    * the patterns stay in the portable regex subset both the JVM and
+    * RE2-based engines (the DuckDB oracle) interpret identically.
+    * The standard scrub pass before text lands in a training corpus.
+    */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(text,
+        lit("[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"), lit("<EMAIL>")),
+      lit("\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b"), lit("<IP>"))
 }

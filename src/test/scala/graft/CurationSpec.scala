@@ -101,4 +101,21 @@ class CurationSpec extends SparkSpec {
     val mine = s.filter(col("split") === "test").select("doc_id").collect().map(_.getLong(0)).toSet
     assert(other != mine)
   }
+
+  test("decontaminate drops exactly the docs sharing an n-gram with the eval set") {
+    import spark.implicits._
+    val train = Seq(
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "one two three four five"),
+      (3L, "totally unrelated words here now")).toDF("id", "text")
+    val eval = Seq(
+      (100L, "prefix alpha beta gamma delta suffix"), // shares 4-gram with 1
+      (101L, "no overlap with anything else at all")).toDF("id", "text")
+    val bad = Curation.contaminatedIds(train, eval, "id", "text", n = 4)
+      .collect().map(_.getLong(0)).toSet
+    assert(bad == Set(1L))
+    val kept = Curation.decontaminate(train, eval, "id", "text", n = 4)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(2L, 3L))
+  }
 }

@@ -103,4 +103,17 @@ class TextAnalysisSpec extends SparkSpec {
     val Array(x, y, z) = df.collect().map(_.getString(0))
     assert(x == y && x != z)
   }
+
+  test("redactPii scrubs emails and IPv4 literals, leaves clean text alone") {
+    import spark.implicits._
+    val out = Seq(
+      "mail me at jane.doe+x@sub.example.co.uk today",
+      "server 192.168.1.254 and 10.0.0.1 are up",
+      "nothing sensitive here 1.2 or v1.2.3").toDF("text")
+      .select(TextAnalysis.redactPii(col("text")).as("r"))
+      .collect().map(_.getString(0))
+    assert(out(0) == "mail me at <EMAIL> today")
+    assert(out(1) == "server <IP> and <IP> are up")
+    assert(out(2) == "nothing sensitive here 1.2 or v1.2.3")
+  }
 }
