@@ -311,6 +311,35 @@ object Queries {
       WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
       ORDER BY c_custkey"""))
 
+  /** Regex extraction (capture groups → typed columns). The priority
+    * strings all match the anchored pattern, so the numeric cast never
+    * sees an empty string (which ANSI mode would reject).
+    */
+  val q28Regex: QueryDef = QueryDef("q28_regex",
+    (s, dir) => t(s, dir, "orders").select(
+      col("o_orderkey"),
+      regexp_extract(col("o_orderpriority"), "^(\\d+)-([A-Z ]+)$", 1)
+        .cast(LongType).as("prio_num"),
+      regexp_extract(col("o_orderpriority"), "^(\\d+)-([A-Z ]+)$", 2).as("prio_word"))
+      .orderBy(col("o_orderkey")),
+    Some("""SELECT o_orderkey,
+      CAST(regexp_extract(o_orderpriority, '^(\d+)-([A-Z ]+)$', 1) AS BIGINT) AS prio_num,
+      regexp_extract(o_orderpriority, '^(\d+)-([A-Z ]+)$', 2) AS prio_word
+      FROM orders ORDER BY o_orderkey"""))
+
+  /** Sorted-distinct set aggregation surfaced as a scalar string
+    * (array_join keeps the output harness-safe — no array columns).
+    */
+  val q29StringAgg: QueryDef = QueryDef("q29_string_agg",
+    (s, dir) => t(s, dir, "orders").groupBy(col("o_custkey"))
+      .agg(array_join(array_sort(collect_set(col("o_orderstatus"))), ",").as("statuses"),
+        count(lit(1)).as("n"))
+      .orderBy(col("o_custkey")),
+    Some("""SELECT o_custkey,
+      string_agg(DISTINCT o_orderstatus, ',' ORDER BY o_orderstatus) AS statuses,
+      COUNT(*) AS n
+      FROM orders GROUP BY o_custkey ORDER BY o_custkey"""))
+
   private val eventTypes = Seq("click", "view", "purchase", "signup", "error")
 
   val q10Pivot: QueryDef = QueryDef("q10_pivot",
@@ -1149,7 +1178,7 @@ object Queries {
     q9Rollup, q10Pivot, q11Anti, q12Expr, q13Percentiles, q14Subquery,
     q15SetOps, q16Sessionize, q17EventsWindow, q18Json, q19AsOf, q20Range,
     q21SkewJoin, q22GroupingSets, q23Cube, q24FullOuter, q25Unpivot,
-    q26RangeFrame, q27RankFamily,
+    q26RangeFrame, q27RankFamily, q28Regex, q29StringAgg,
     etlUnionSources, etlValidate, etlCleanTransform, etlQualityReport,
     etlCsvProjection, etlFreshness,
     textTokens, textQuality, textLangId, textFingerprint, textVocab, textLogProb,

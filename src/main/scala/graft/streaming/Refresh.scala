@@ -61,6 +61,21 @@ object Refresh {
     events.withWatermark(tsCol, watermark)
       .dropDuplicates(keyCols :+ tsCol)
 
+  /** Streaming dedup with BOUNDED state: unlike [[dedupStream]] (drops
+    * every later duplicate of a key seen since the query started,
+    * keyed state never expiring without the event-time column in the
+    * key), `dropDuplicatesWithinWatermark` deduplicates keys whose
+    * duplicates arrive within the watermark delay of each other and
+    * EVICTS the key's state once the watermark passes it — the right
+    * semantics when ids can legitimately recur after a quiet period
+    * (retried webhooks, at-least-once sources) and the state store
+    * must stay O(keys-per-watermark-window) at 100 TB/day rates.
+    */
+  def dedupStreamBounded(events: DataFrame, tsCol: String, keyCols: Seq[String],
+      watermark: String): DataFrame =
+    events.withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(keyCols)
+
   /** Streaming upsert (merge-on-write) into a bucket-partitioned
     * parquet dataset via foreachBatch:
     *

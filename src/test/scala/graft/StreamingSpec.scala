@@ -90,6 +90,51 @@ class StreamingSpec extends SparkSpec {
     assert(n == 2)
   }
 
+  test("dedupStreamBounded drops watermark-window duplicates, evicts state after") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, Long)]
+    val dd = Refresh.dedupStreamBounded(mem.toDF().toDF("ts", "k"), "ts", Seq("k"), "10 minutes")
+    val q = dd.writeStream.format("memory").queryName("ddb").outputMode(OutputMode.Append).start()
+    // duplicate within the watermark window → dropped
+    mem.addData(
+      (Timestamp.valueOf("2026-01-01 10:00:00"), 1L),
+      (Timestamp.valueOf("2026-01-01 10:05:00"), 1L))
+    q.processAllAvailable()
+    // advance the watermark far past the key's state...
+    mem.addData((Timestamp.valueOf("2026-01-01 12:00:00"), 99L))
+    q.processAllAvailable()
+    // ...then the SAME key recurs: state evicted → legitimately re-emitted
+    mem.addData((Timestamp.valueOf("2026-01-01 12:05:00"), 1L))
+    q.processAllAvailable()
+    val ks = spark.table("ddb").collect().map(_.getAs[Long]("k")).toSeq
+    q.stop()
+    assert(ks.count(_ == 1L) == 2, s"key 1 once per watermark window, got $ks")
+    assert(ks.count(_ == 99L) == 1)
+  }
+
+  test("batch text/clean operators compose unchanged in a streaming pipeline") {
+    import graft.operators.TextAnalysis
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String, String)]
+    val curated = Clean.requireFields(mem.toDF().toDF("id", "text", "lang"), Seq("text"))
+      .withColumn("n_tokens", TextAnalysis.tokenCount(col("text")))
+      .withColumn("detected", TextAnalysis.langId(col("text")))
+      .filter(col("n_tokens") >= 3)
+    val q = curated.writeStream.format("memory").queryName("cur")
+      .outputMode(OutputMode.Append).start()
+    mem.addData(
+      (1L, "the quick brown fox and the lazy dog with more of these words", "en"),
+      (2L, null, "en"),          // dropped by requireFields
+      (3L, "too short", "en"))   // dropped by the token floor
+    q.processAllAvailable()
+    val rows = spark.table("cur").collect().map(r => r.getAs[Long]("id") -> r.getAs[String]("detected")).toMap
+    q.stop()
+    assert(rows.keySet == Set(1L))
+    assert(rows(1L) == "en")
+  }
+
   test("stream-static enrichment joins each batch against a broadcast dim") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
