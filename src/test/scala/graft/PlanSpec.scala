@@ -58,4 +58,42 @@ class PlanSpec extends SparkSpec {
     val p = plan(Tables(cold, sf("any"), "lineitem").select("l_orderkey"))
     assert(!p.contains("Exchange"), s"ungated load path must not repartition:\n$p")
   }
+
+  test("q13: exactly one data shuffle — windows, count, and group-by share it") {
+    val p = plan(q(Queries.q13Percentiles))
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(shuffles == 1, s"expected the single window exchange, got $shuffles:\n$p")
+    assert(!p.contains("rangepartitioning"),
+      s"final ordering must be coalesce+local sort, not a range exchange:\n$p")
+  }
+
+  test("connectedComponents edges: both directions from one explode, no self-union") {
+    import org.apache.spark.sql.functions._
+    import cold.implicits._
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
+    // inspect the edge-expansion plan shape BEFORE the checkpoint
+    val edges = pairs.select(explode(array(
+        struct(col("id_a").as("src"), col("id_b").as("dst")),
+        struct(col("id_b").as("src"), col("id_a").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+    val p = plan(edges)
+    assert(p.contains("Generate explode") && !p.contains("Union"),
+      s"edge doubling must be one Generate pass, not a self-union diamond:\n$p")
+    // and the operator's fixpoint is right
+    val labels = graft.operators.Dedup.connectedComponents(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+  }
+
+  test("decontaminate: eval gram side broadcasts into the semi join") {
+    val docs = Tables(cold, sf("documents"), "documents")
+    val df = graft.operators.Curation.contaminatedIds(
+      docs.filter(org.apache.spark.sql.functions.col("doc_id") % 97 =!= 0),
+      docs.filter(org.apache.spark.sql.functions.col("doc_id") % 97 === 0),
+      "doc_id", "text", n = 4)
+    df.write.format("noop").mode("overwrite").save() // AQE-final plan
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"),
+      s"small eval side should broadcast into the semi join:\n$p")
+  }
 }
