@@ -328,9 +328,12 @@ object Dedup {
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .localCheckpoint(true)
     // convergence signal in unbounded decimal: a long sum could
-    // ANSI-overflow on 64-bit ids at scale
+    // ANSI-overflow on 64-bit ids at scale. SUM over zero rows is SQL
+    // NULL — map it to zero so a pair-free corpus (no near-dups found)
+    // converges on the first check instead of NPE-ing
     def labelSum(df: DataFrame): java.math.BigDecimal =
-      df.agg(sum(col("cluster").cast(DecimalType(38, 0)))).head().getDecimal(0)
+      Option(df.agg(sum(col("cluster").cast(DecimalType(38, 0)))).head().getDecimal(0))
+        .getOrElse(java.math.BigDecimal.ZERO)
     // initial labels fold the FIRST propagation step into the same
     // aggregation that would otherwise just distinct the ids:
     // label₀(v) = min(v, min(neighbors)) — one iteration's worth of

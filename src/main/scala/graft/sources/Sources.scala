@@ -14,6 +14,14 @@ object Readers {
   def parquet(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
+  /** Parquet read across files whose schemas evolved (columns added
+    * over time): `mergeSchema` unions the per-file schemas; rows from
+    * older files surface the newer columns as null. The standard
+    * read-side answer to append-only datasets that grew columns.
+    */
+  def parquetMerged(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("mergeSchema", "true").parquet(path)
+
   /** JSON-lines (the scalable JSON layout); `multiLine=true` reads the
     * reference's pretty-printed array-of-objects files.
     */
@@ -27,6 +35,32 @@ object Readers {
       header: Boolean = true, delimiter: String = ","): DataFrame = {
     val r = spark.read.option("header", header.toString).option("delimiter", delimiter)
     schema.fold(r.option("inferSchema", "true"))(s => r.schema(s)).csv(path)
+  }
+
+  /** Schema-enforced CSV that QUARANTINES malformed rows instead of
+    * failing the job or silently nulling fields: PERMISSIVE mode with
+    * a `_corrupt_record` column capturing the raw bad line — the
+    * skip-and-report posture of the reference's extract
+    * (server.js:39-59) applied to file ingestion. Returns the full
+    * frame; callers split on `_corrupt_record IS NULL` into clean rows
+    * and a reject report (same shape as Clean.qualityReport). The
+    * result is cache()d: Spark disallows queries that prune down to
+    * ONLY the corrupt-record column of a raw file
+    * (QUERY_ONLY_CORRUPT_RECORD_COLUMN) — caching the parsed frame is
+    * the documented pattern, and the clean/reject split reads it twice
+    * anyway.
+    */
+  def csvWithQuarantine(spark: SparkSession, path: String, schema: StructType,
+      header: Boolean = true, delimiter: String = ","): DataFrame = {
+    val withCorrupt = schema.add("_corrupt_record", org.apache.spark.sql.types.StringType)
+    spark.read
+      .option("header", header.toString)
+      .option("delimiter", delimiter)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .schema(withCorrupt)
+      .csv(path)
+      .cache()
   }
 
   /** ORC — the other columnar at-scale format (predicate pushdown and

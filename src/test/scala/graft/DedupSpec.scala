@@ -128,6 +128,14 @@ class DedupSpec extends SparkSpec {
     assert(cc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L))
   }
 
+  test("connectedComponents and survivorsByCluster are no-ops on a pair-free corpus") {
+    import spark.implicits._
+    val noPairs = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    assert(Dedup.connectedComponents(noPairs).collect().isEmpty)
+    val out = Dedup.survivorsByCluster(docs, "doc_id", noPairs)
+    assert(out.count() == docs.count(), "no pairs => every doc survives")
+  }
+
   test("survivorsByCluster keeps one doc per component, docs without pairs untouched") {
     import spark.implicits._
     val pairs = Seq((1L, 2L), (2L, 5L)).toDF("id_a", "id_b")

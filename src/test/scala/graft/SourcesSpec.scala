@@ -114,4 +114,31 @@ class SourcesSpec extends SparkSpec {
     Writers.parquet(df, s"$tmp/a", mode = SaveMode.Append)
     assert(Readers.parquet(spark, s"$tmp/a").count() == 6)
   }
+
+  test("csvWithQuarantine captures malformed rows without failing or nulling silently") {
+    import org.apache.spark.sql.types._
+    val dir = java.nio.file.Files.createTempDirectory("graft-quarantine").toString
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/in.csv"),
+      "id,qty\n1,10\n2,notanumber\n3,30\n".getBytes)
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("qty", LongType)))
+    val all = Readers.csvWithQuarantine(spark, s"$dir/in.csv", schema)
+    val clean = all.filter(col("_corrupt_record").isNull)
+    val bad   = all.filter(col("_corrupt_record").isNotNull)
+    assert(clean.count() == 2)
+    assert(bad.count() == 1)
+    assert(bad.collect().head.getAs[String]("_corrupt_record") == "2,notanumber")
+  }
+
+  test("parquetMerged unions evolved schemas; old rows null-fill new columns") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-evolve").toString
+    Seq((1L, "a")).toDF("id", "name").write.parquet(s"$dir/old")
+    Seq((2L, "b", 9.5)).toDF("id", "name", "score").write.parquet(s"$dir/new")
+    val merged = Readers.parquetMerged(spark, s"$dir/{old,new}")
+    assert(merged.schema.fieldNames.toSet == Set("id", "name", "score"))
+    val byId = merged.collect().map(r => r.getAs[Long]("id") -> r).toMap
+    assert(byId(1L).isNullAt(byId(1L).fieldIndex("score")))
+    assert(byId(2L).getAs[Double]("score") == 9.5)
+  }
 }
