@@ -1165,6 +1165,22 @@ object Queries {
     * group-by over the full key space. Rows-only; the
     * guaranteed-heavy-hitter contract is spec-tested.
     */
+  /** Count-min sketch point estimates for heavy keys: sub-linear
+    * memory, mergeable across partitions (built via treeAggregate
+    * under DataFrameStatFunctions). Overestimate-only error bound is
+    * asserted in SketchSpec; rows-only here (sketch internals are not
+    * oracle-stable).
+    */
+  val sketchCms: QueryDef = QueryDef("sketch_cms",
+    (s, dir) => {
+      val cms = t(s, dir, "events").stat
+        .countMinSketch(col("event_type"), eps = 0.001, confidence = 0.99, seed = 42)
+      val est = eventTypes.map(t => (t, cms.estimateCount(t)))
+      import s.implicits._
+      est.toDF("event_type", "approx_count").orderBy(col("event_type"))
+    },
+    None)
+
   val sketchFreq: QueryDef = QueryDef("sketch_freq",
     (s, dir) => t(s, dir, "events")
       .stat.freqItems(Seq("event_type"), 0.1)
@@ -1186,5 +1202,5 @@ object Queries {
     curateMixture, curatePack, curateTake, curateDecontaminate, textRedact,
     dedupExact, dedupNgramJaccard, dedupEditDist, dedupClusterCc, dedupMinhash, dedupSimhash, dedupEmbedding,
     annBruteForce, annLsh, annIvf, mmMetadata, mmDecode,
-    sketchHll, sketchQuantiles, sketchFreq)
+    sketchHll, sketchQuantiles, sketchCms, sketchFreq)
 }

@@ -85,6 +85,23 @@ class PlanSpec extends SparkSpec {
     assert(labels == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
   }
 
+  test("dynamic partition pruning fires on a partitioned fact joined to a filtered dim") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft-dpp").toString
+    Tables(cold, sf("orders"), "orders")
+      .write.mode("overwrite").partitionBy("o_orderstatus").parquet(s"$dir/fact")
+    import cold.implicits._
+    Seq(("F", "final"), ("O", "open"), ("P", "pending")).toDF("status", "label")
+      .write.mode("overwrite").parquet(s"$dir/dim")
+    val joined = cold.read.parquet(s"$dir/fact")
+      .join(cold.read.parquet(s"$dir/dim").filter(col("label") === "open"),
+        col("o_orderstatus") === col("status"))
+      .select(col("o_orderkey"), col("label"))
+    val p = plan(joined).toLowerCase
+    assert(p.contains("dynamicpruning"),
+      s"selective dim filter should prune fact partitions at runtime:\n$p")
+  }
+
   test("decontaminate: eval gram side broadcasts into the semi join") {
     val docs = Tables(cold, sf("documents"), "documents")
     val df = graft.operators.Curation.contaminatedIds(

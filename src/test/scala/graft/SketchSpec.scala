@@ -43,6 +43,22 @@ class SketchSpec extends SparkSpec {
     }
   }
 
+  test("count-min sketch estimates are exact-or-overestimates within eps bound") {
+    val dir = sf("events")
+    val approx = Queries.sketchCms.fn(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = Tables(spark, dir, "events")
+      .groupBy(col("event_type")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val total = exact.values.sum
+    exact.foreach { case (t, ex) =>
+      val ap = approx(t)
+      assert(ap >= ex, s"CMS must never underestimate: $t $ap < $ex")
+      assert(ap <= ex + (0.001 * total).ceil.toLong + 1,
+        s"CMS overestimate beyond eps*N bound: $t $ap vs $ex (N=$total)")
+    }
+  }
+
   test("frequent-items sketch surfaces every true heavy hitter") {
     import spark.implicits._
     val rnd = new scala.util.Random(5)
