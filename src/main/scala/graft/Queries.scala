@@ -1189,12 +1189,223 @@ object Queries {
       .select(explode(array_sort(col("event_type_freqItems"))).as("frequent_type")),
     None)
 
+  // ──────────────── §2b warehouse maintenance / layout ────────────────
+
+  /** SCD2 dimension-history build: collapse each user's event stream
+    * to its state-CHANGE rows and attach [valid_from, valid_to)
+    * intervals (valid_to NULL = current). Two window passes share one
+    * (user_id)-partitioned sort — the filter between them preserves
+    * partitioning and order, so Catalyst plans a single exchange.
+    * The reference keeps only the latest snapshot (server.js:100-137);
+    * this is the history-preserving warehouse form of the same load.
+    */
+  val q30Scd2: QueryDef = QueryDef("q30_scd2",
+    (s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      t(s, dir, "events")
+        .withColumn("prev", lag(col("event_type"), 1).over(w))
+        .filter(col("prev").isNull || col("prev") =!= col("event_type"))
+        .withColumn("valid_to", lead(col("ts"), 1).over(w))
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          col("ts").as("valid_from"), col("valid_to"))
+        .orderBy(col("user_id"), col("valid_from"), col("event_id"))
+    },
+    Some("""WITH marked AS (
+        SELECT user_id, event_id, event_type, ts,
+               lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        FROM events),
+      changes AS (
+        SELECT user_id, event_id, event_type, ts FROM marked
+        WHERE prev IS NULL OR prev <> event_type)
+      SELECT user_id, event_id, event_type, ts AS valid_from,
+             lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to
+      FROM changes ORDER BY user_id, valid_from, event_id"""))
+
+  /** CDC keep-latest-per-key compaction, argmax via struct-max: the
+    * lexicographic max of struct(ts, -event_id, payload…) is the
+    * latest event (ties → smallest event_id) WITH its payload, in one
+    * hash aggregation. Map-side partials keep ONE struct per key per
+    * task, so the shuffle carries O(distinct keys) rows — the
+    * row_number-window form would sort every event inside each user
+    * partition first. No join-back needed: the payload rides in the
+    * struct (order decided before payload fields ever compare).
+    */
+  val q31Latest: QueryDef = QueryDef("q31_latest",
+    (s, dir) => t(s, dir, "events")
+      .groupBy(col("user_id"))
+      .agg(max(struct(col("ts"), (-col("event_id")).as("nid"),
+        col("event_type"), col("value"))).as("m"))
+      .select(col("user_id"), (-col("m.nid")).as("event_id"),
+        col("m.event_type").as("event_type"), col("m.ts").as("ts"),
+        col("m.value").as("value"))
+      .orderBy(col("user_id")),
+    Some("""SELECT user_id, event_id, event_type, ts, value FROM (
+        SELECT user_id, event_id, event_type, ts, value,
+               row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id ASC) AS rn
+        FROM events) x
+      WHERE rn = 1 ORDER BY user_id"""))
+
+  /** MERGE upsert applied as a query: snapshot = customer; changes =
+    * updates (+100 acctbal for key%3=0), tombstones (key%7=0 within
+    * the update set), inserts (fresh keys for key%5=0). One full-outer
+    * join on the key (see operators.Merge for the scale notes).
+    */
+  val etlMergeUpsert: QueryDef = QueryDef("etl_merge_upsert",
+    (s, dir) => {
+      val snap = t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+      val base = t(s, dir, "customer")
+      val updates = base.filter(col("c_custkey") % 3 === 0)
+        .select(col("c_custkey"), col("c_name"),
+          (col("c_acctbal") + 100.0).as("c_acctbal"),
+          (col("c_custkey") % 7 === 0).as("_deleted"))
+      val inserts = base.filter(col("c_custkey") % 5 === 0)
+        .select((col("c_custkey") + 10000000L).as("c_custkey"),
+          concat(lit("new-"), col("c_custkey").cast(StringType)).as("c_name"),
+          lit(0.0).as("c_acctbal"), lit(false).as("_deleted"))
+      Merge.upsert(snap, updates.unionByName(inserts), Seq("c_custkey"), Some("_deleted"))
+        .orderBy(col("c_custkey"))
+    },
+    Some("""WITH changes AS (
+        SELECT c_custkey, c_name, c_acctbal + 100.0 AS c_acctbal,
+               (c_custkey % 7 = 0) AS _deleted
+        FROM customer WHERE c_custkey % 3 = 0
+        UNION ALL
+        SELECT c_custkey + 10000000, 'new-' || CAST(c_custkey AS VARCHAR), 0.0, false
+        FROM customer WHERE c_custkey % 5 = 0)
+      SELECT COALESCE(c.c_custkey, s.c_custkey) AS c_custkey,
+             CASE WHEN c.c_custkey IS NOT NULL THEN c.c_name ELSE s.c_name END AS c_name,
+             CASE WHEN c.c_custkey IS NOT NULL THEN c.c_acctbal ELSE s.c_acctbal END AS c_acctbal
+      FROM customer s FULL OUTER JOIN changes c ON s.c_custkey = c.c_custkey
+      WHERE COALESCE(c._deleted, false) = false
+      ORDER BY c_custkey"""))
+
+  /** Second-moment statistics family (sample stddev/variance,
+    * covariance, correlation) — one-pass partial-aggregable moments,
+    * so the shuffle is O(groups). Rounded on both sides (§6: float
+    * aggregates round before compare).
+    */
+  val q32Stats: QueryDef = QueryDef("q32_stats",
+    (s, dir) => t(s, dir, "events")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        round(avg(col("value")), 4).as("avg_value"),
+        round(stddev_samp(col("value")), 4).as("sd_value"),
+        round(var_samp(col("value")), 4).as("var_value"),
+        round(covar_samp(col("value"), col("user_id").cast(DoubleType)), 4).as("cov_vu"),
+        round(corr(col("value"), col("user_id").cast(DoubleType)), 6).as("corr_vu"))
+      .orderBy(col("event_type")),
+    Some("""SELECT event_type, COUNT(*) AS n,
+        ROUND(AVG(value), 4) AS avg_value,
+        ROUND(STDDEV_SAMP(value), 4) AS sd_value,
+        ROUND(VAR_SAMP(value), 4) AS var_value,
+        ROUND(COVAR_SAMP(value, CAST(user_id AS DOUBLE)), 4) AS cov_vu,
+        ROUND(CORR(value, CAST(user_id AS DOUBLE)), 6) AS corr_vu
+      FROM events GROUP BY event_type ORDER BY event_type"""))
+
+  /** Fixed-width histogram: bin = floor(value/50) — pure arithmetic
+    * binning, one hash agg, O(bins) shuffle. (The profiling twin of
+    * the quantile sketches: known bins exact, unknown bins via GK.)
+    */
+  val q33Histogram: QueryDef = QueryDef("q33_histogram",
+    (s, dir) => t(s, dir, "events")
+      .groupBy(floor(col("value") / 50.0).cast(LongType).as("bin"))
+      .agg(count(lit(1)).as("n"),
+        sum(dec(col("value"))).cast(DoubleType).as("total"))
+      .withColumn("bin_lo", col("bin") * 50.0)
+      .select(col("bin"), col("bin_lo"), col("n"), col("total"))
+      .orderBy(col("bin")),
+    Some("""SELECT CAST(FLOOR(value / 50.0) AS BIGINT) AS bin,
+        CAST(FLOOR(value / 50.0) AS BIGINT) * 50.0 AS bin_lo,
+        COUNT(*) AS n,
+        CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total
+      FROM events GROUP BY 1 ORDER BY bin"""))
+
+  /** Null-safe equi-join (<=> / IS NOT DISTINCT FROM): NULL keys
+    * match each other. Catalyst plans EqualNullSafe as a hash-join
+    * key (not a BNLJ residual), so the null bucket hashes like any
+    * other value — the dim side still broadcasts.
+    */
+  val q34NullSafeJoin: QueryDef = QueryDef("q34_nullsafe_join",
+    (s, dir) => {
+      val a = t(s, dir, "customer")
+        .select(col("c_custkey"),
+          nullif(col("c_mktsegment"), lit("BUILDING")).as("seg"))
+      val b = t(s, dir, "customer")
+        .select(nullif(col("c_mktsegment"), lit("BUILDING")).as("seg"))
+        .distinct()
+        .select(col("seg"), coalesce(col("seg"), lit("(none)")).as("seg_name"))
+      a.join(broadcast(b), a("seg") <=> b("seg"))
+        .groupBy(col("seg_name"))
+        .agg(count(lit(1)).as("n"), min(col("c_custkey")).as("first_key"))
+        .orderBy(col("seg_name"))
+    },
+    Some("""WITH a AS (
+        SELECT c_custkey, NULLIF(c_mktsegment, 'BUILDING') AS seg FROM customer),
+      b AS (
+        SELECT seg, COALESCE(seg, '(none)') AS seg_name FROM (
+          SELECT DISTINCT NULLIF(c_mktsegment, 'BUILDING') AS seg FROM customer) x)
+      SELECT b.seg_name, COUNT(*) AS n, MIN(a.c_custkey) AS first_key
+      FROM a JOIN b ON a.seg IS NOT DISTINCT FROM b.seg
+      GROUP BY b.seg_name ORDER BY b.seg_name"""))
+
+  /** Filtered/conditional aggregate family: count_if, bool_and/or,
+    * arg-max-by-unique-key — all partial-aggregable single-pass forms
+    * (max_by ties are impossible: the ordering key o_orderkey is
+    * unique, so the result is deterministic).
+    */
+  val q35AggZoo: QueryDef = QueryDef("q35_agg_zoo",
+    (s, dir) => t(s, dir, "orders")
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"),
+        count_if(col("o_totalprice") > 150000.0).as("n_big"),
+        bool_and(col("o_totalprice") > 0.0).as("all_positive"),
+        bool_or(col("o_orderpriority") === "1-URGENT").as("any_urgent"),
+        max_by(col("o_orderpriority"), col("o_orderkey")).as("latest_priority"),
+        min(col("o_orderkey")).as("first_key"))
+      .orderBy(col("o_orderstatus")),
+    Some("""SELECT o_orderstatus, COUNT(*) AS n,
+        COUNT(*) FILTER (WHERE o_totalprice > 150000.0) AS n_big,
+        BOOL_AND(o_totalprice > 0.0) AS all_positive,
+        BOOL_OR(o_orderpriority = '1-URGENT') AS any_urgent,
+        ARG_MAX(o_orderpriority, o_orderkey) AS latest_priority,
+        MIN(o_orderkey) AS first_key
+      FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"""))
+
+  /** Morton (Z-order) clustering key — the layout op under
+    * operators.Layout.zorderBy, surfaced as a query: the interleave
+    * is pure codegen'd long arithmetic, bit-identical in any ANSI
+    * engine (the oracle mirrors each magic-bits step as a CTE).
+    */
+  val q36Zorder: QueryDef = QueryDef("q36_zorder",
+    (s, dir) => t(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"),
+        Layout.mortonKey(col("l_partkey"), col("l_suppkey")).as("zkey"))
+      .orderBy(col("zkey"), col("l_orderkey"), col("l_linenumber"))
+      .limit(100),
+    Some("""WITH s0 AS (
+        SELECT l_orderkey, l_linenumber,
+               (l_partkey & 65535) AS a, (l_suppkey & 65535) AS b
+        FROM lineitem),
+      s1 AS (SELECT l_orderkey, l_linenumber,
+               ((a | (a << 8)) & 16711935) AS a, ((b | (b << 8)) & 16711935) AS b FROM s0),
+      s2 AS (SELECT l_orderkey, l_linenumber,
+               ((a | (a << 4)) & 252645135) AS a, ((b | (b << 4)) & 252645135) AS b FROM s1),
+      s3 AS (SELECT l_orderkey, l_linenumber,
+               ((a | (a << 2)) & 858993459) AS a, ((b | (b << 2)) & 858993459) AS b FROM s2),
+      s4 AS (SELECT l_orderkey, l_linenumber,
+               ((a | (a << 1)) & 1431655765) AS a, ((b | (b << 1)) & 1431655765) AS b FROM s3)
+      SELECT l_orderkey, l_linenumber, (a | (b << 1)) AS zkey
+      FROM s4 ORDER BY zkey, l_orderkey, l_linenumber LIMIT 100"""))
+
   val all: Seq[QueryDef] = Seq(
     q1Agg, q2Filter, q3Join, q4Semi, q5Multi, q6Window, q7TopK, q8Distinct,
     q9Rollup, q10Pivot, q11Anti, q12Expr, q13Percentiles, q14Subquery,
     q15SetOps, q16Sessionize, q17EventsWindow, q18Json, q19AsOf, q20Range,
     q21SkewJoin, q22GroupingSets, q23Cube, q24FullOuter, q25Unpivot,
     q26RangeFrame, q27RankFamily, q28Regex, q29StringAgg,
+    q30Scd2, q31Latest, q32Stats, q33Histogram, q34NullSafeJoin,
+    q35AggZoo, q36Zorder, etlMergeUpsert,
     etlUnionSources, etlValidate, etlCleanTransform, etlQualityReport,
     etlCsvProjection, etlFreshness,
     textTokens, textQuality, textLangId, textFingerprint, textVocab, textLogProb,
