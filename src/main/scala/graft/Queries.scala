@@ -1398,6 +1398,116 @@ object Queries {
       SELECT l_orderkey, l_linenumber, (a | (b << 1)) AS zkey
       FROM s4 ORDER BY zkey, l_orderkey, l_linenumber LIMIT 100"""))
 
+  /** Month-over-month growth: aggregate to an O(months) series, then
+    * a single un-partitioned lag window — safe ONLY because it runs on
+    * the aggregated output (a global window on the raw fact table
+    * would funnel everything into one reducer; this one sees ~80 rows
+    * at any scale factor).
+    */
+  val q37MomGrowth: QueryDef = QueryDef("q37_mom_growth",
+    (s, dir) => {
+      val monthly = t(s, dir, "orders")
+        .groupBy(date_trunc("month", col("o_orderdate")).as("month"))
+        .agg(sum(dec(col("o_totalprice"))).cast(DoubleType).as("revenue"))
+      val w = Window.orderBy(col("month"))
+      monthly
+        .withColumn("prev_revenue", lag(col("revenue"), 1).over(w))
+        .withColumn("mom_pct",
+          round((col("revenue") - col("prev_revenue")) / col("prev_revenue") * 100.0, 4))
+        .orderBy(col("month"))
+    },
+    Some("""WITH monthly AS (
+        SELECT date_trunc('month', o_orderdate) AS month,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue
+        FROM orders GROUP BY 1)
+      SELECT month, revenue,
+             lag(revenue) OVER (ORDER BY month) AS prev_revenue,
+             ROUND((revenue - lag(revenue) OVER (ORDER BY month))
+                   / lag(revenue) OVER (ORDER BY month) * 100.0, 4) AS mom_pct
+      FROM monthly ORDER BY month"""))
+
+  /** Ordered event-sequence funnel (view → click-after-view →
+    * purchase-after-click): each step is a per-user min-ts aggregate
+    * joined back to the filtered stream, so every shuffle is keyed on
+    * user_id and carries one row per surviving user — no window over
+    * raw events, no cross join. The step frames reuse the same
+    * exchange key end to end.
+    */
+  val q38Funnel: QueryDef = QueryDef("q38_funnel",
+    (s, dir) => {
+      val e = t(s, dir, "events")
+      val s1 = e.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
+      val s2 = e.filter(col("event_type") === "click")
+        .join(s1, "user_id").filter(col("ts") > col("t1"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t2"))
+      val s3 = e.filter(col("event_type") === "purchase")
+        .join(s2, "user_id").filter(col("ts") > col("t2"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t3"))
+      s1.agg(count(lit(1)).as("users")).select(lit("1_view").as("step"), col("users"))
+        .unionByName(s2.agg(count(lit(1)).as("users")).select(lit("2_click").as("step"), col("users")))
+        .unionByName(s3.agg(count(lit(1)).as("users")).select(lit("3_purchase").as("step"), col("users")))
+        .orderBy(col("step"))
+    },
+    Some("""WITH s1 AS (
+        SELECT user_id, MIN(ts) AS t1 FROM events WHERE event_type = 'view' GROUP BY user_id),
+      s2 AS (
+        SELECT e.user_id, MIN(e.ts) AS t2 FROM events e JOIN s1 ON e.user_id = s1.user_id
+        WHERE e.event_type = 'click' AND e.ts > s1.t1 GROUP BY e.user_id),
+      s3 AS (
+        SELECT e.user_id, MIN(e.ts) AS t3 FROM events e JOIN s2 ON e.user_id = s2.user_id
+        WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY e.user_id)
+      SELECT '1_view' AS step, COUNT(*) AS users FROM s1
+      UNION ALL SELECT '2_click', COUNT(*) FROM s2
+      UNION ALL SELECT '3_purchase', COUNT(*) FROM s3
+      ORDER BY step"""))
+
+  /** Cohort retention: cohort = each user's first active day; count
+    * distinct users per (cohort, day offset). The output is bounded
+    * by days² regardless of event volume — the only full-data shuffle
+    * is the per-user min, everything after is O(users) then O(days²).
+    */
+  val q39Retention: QueryDef = QueryDef("q39_retention",
+    (s, dir) => {
+      val e = t(s, dir, "events")
+      val cohort = e.groupBy(col("user_id"))
+        .agg(min(to_date(col("ts"))).as("cohort_day"))
+      e.join(cohort, "user_id")
+        .groupBy(col("cohort_day"),
+          datediff(to_date(col("ts")), col("cohort_day")).as("day_offset"))
+        .agg(countDistinct(col("user_id")).as("active_users"))
+        .orderBy(col("cohort_day"), col("day_offset"))
+    },
+    Some("""WITH cohort AS (
+        SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort_day FROM events GROUP BY user_id)
+      SELECT c.cohort_day,
+             date_diff('day', c.cohort_day, CAST(e.ts AS DATE)) AS day_offset,
+             COUNT(DISTINCT e.user_id) AS active_users
+      FROM events e JOIN cohort c ON e.user_id = c.user_id
+      GROUP BY 1, 2 ORDER BY cohort_day, day_offset"""))
+
+  /** Schema-tolerant union (unionByName + allowMissingColumns): the
+    * multi-source extract union where sources disagree on columns —
+    * absent columns null-fill, names (not positions) align. The
+    * reference unions heterogeneous per-country payloads the same way
+    * (server.js:44-61, object keys not array positions).
+    */
+  val q40UnionByName: QueryDef = QueryDef("q40_union_by_name",
+    (s, dir) => {
+      val o = t(s, dir, "orders")
+      val a = o.filter(col("o_orderkey") % 2 === 0)
+        .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+      val b = o.filter(col("o_orderkey") % 2 === 1)
+        .select(col("o_orderkey"), col("o_orderpriority"))
+      a.unionByName(b, allowMissingColumns = true)
+        .orderBy(col("o_orderkey"))
+    },
+    Some("""SELECT o_orderkey, o_totalprice, o_orderstatus, NULL AS o_orderpriority
+      FROM orders WHERE o_orderkey % 2 = 0
+      UNION ALL BY NAME
+      SELECT o_orderkey, o_orderpriority FROM orders WHERE o_orderkey % 2 = 1
+      ORDER BY o_orderkey"""))
+
   val all: Seq[QueryDef] = Seq(
     q1Agg, q2Filter, q3Join, q4Semi, q5Multi, q6Window, q7TopK, q8Distinct,
     q9Rollup, q10Pivot, q11Anti, q12Expr, q13Percentiles, q14Subquery,
@@ -1405,7 +1515,8 @@ object Queries {
     q21SkewJoin, q22GroupingSets, q23Cube, q24FullOuter, q25Unpivot,
     q26RangeFrame, q27RankFamily, q28Regex, q29StringAgg,
     q30Scd2, q31Latest, q32Stats, q33Histogram, q34NullSafeJoin,
-    q35AggZoo, q36Zorder, etlMergeUpsert,
+    q35AggZoo, q36Zorder, q37MomGrowth, q38Funnel, q39Retention,
+    q40UnionByName, etlMergeUpsert,
     etlUnionSources, etlValidate, etlCleanTransform, etlQualityReport,
     etlCsvProjection, etlFreshness,
     textTokens, textQuality, textLangId, textFingerprint, textVocab, textLogProb,

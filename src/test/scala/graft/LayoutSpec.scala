@@ -60,6 +60,19 @@ class LayoutSpec extends SparkSpec {
     }
   }
 
+  test("zorderBy plans a range exchange + LOCAL sort, never a global sort") {
+    import spark.implicits._
+    val df = Seq((1L, 2L), (3L, 4L)).toDF("a", "b")
+    val p = Layout.zorderBy(df, col("a"), col("b"), numFiles = 4)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("rangepartitioning") || p.toLowerCase.contains("rangepartitioning"), p)
+    // every Sort node must be local (global=false): a global sort would
+    // serialize the write through a single ordered stage boundary
+    p.linesIterator.filter(_.contains("Sort [")).foreach { l =>
+      assert(l.contains("false"), s"global sort in zorder write plan: $l")
+    }
+  }
+
   test("z-locality: a box predicate on (a,b) touches a strict subset of files") {
     import spark.implicits._
     val rnd = new scala.util.Random(11)

@@ -102,6 +102,28 @@ class PlanSpec extends SparkSpec {
       s"selective dim filter should prune fact partitions at runtime:\n$p")
   }
 
+  test("runtime bloom filter from a selective dim prunes the fact side of a shuffle join") {
+    import org.apache.spark.sql.functions._
+    // A shuffle join (broadcast off) where one side is filtered small:
+    // the optimizer should build a bloom filter over the small side's
+    // keys and push bloom_filter_might_contain into the fact scan —
+    // at 100 TB this skips most of the probe-side shuffle write.
+    val s = spark.newSession()
+    s.conf.set(GraftSession.LocalSpreadKey, "false")
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    s.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    s.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    s.conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "100MB")
+    s.conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+    val li = Tables(s, sf("lineitem"), "lineitem")
+    val o = Tables(s, sf("orders"), "orders").filter(col("o_totalprice") > 400000.0)
+    val joined = li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_orderkey"), col("l_quantity"), col("o_totalprice"))
+    val p = joined.queryExecution.optimizedPlan.toString.toLowerCase
+    assert(p.contains("bloom_filter_might_contain") || p.contains("bloomfilter"),
+      s"selective shuffle-join side should inject a runtime bloom filter:\n$p")
+  }
+
   test("decontaminate: eval gram side broadcasts into the semi join") {
     val docs = Tables(cold, sf("documents"), "documents")
     val df = graft.operators.Curation.contaminatedIds(
