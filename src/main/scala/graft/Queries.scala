@@ -1508,6 +1508,80 @@ object Queries {
       SELECT o_orderkey, o_orderpriority FROM orders WHERE o_orderkey % 2 = 1
       ORDER BY o_orderkey"""))
 
+  /** Ratio-to-report: each nation's revenue share within its region.
+    * The share window runs on the ALREADY-AGGREGATED O(nations) rows
+    * — the raw fact table is touched once by the grouped sum, dims
+    * broadcast, and the percent-of-parent math costs nothing.
+    */
+  val q41Share: QueryDef = QueryDef("q41_share_of_total",
+    (s, dir) => {
+      val l = t(s, dir, "lineitem")
+      val sup = t(s, dir, "supplier")
+      val nat = t(s, dir, "nation")
+      val reg = t(s, dir, "region")
+      val rev = l.join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(sum(dec(col("l_extendedprice"))).cast(DoubleType).as("revenue"))
+      val w = Window.partitionBy(col("r_name"))
+      rev.withColumn("region_total", sum(col("revenue")).over(w))
+        .withColumn("share_pct", round(col("revenue") / col("region_total") * 100.0, 4))
+        .select(col("r_name"), col("n_name"), col("revenue"), col("share_pct"))
+        .orderBy(col("r_name"), col("n_name"))
+    },
+    Some("""WITH rev AS (
+        SELECT r.r_name, n.n_name,
+               CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue
+        FROM lineitem l
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN nation n ON s.s_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+        GROUP BY r.r_name, n.n_name)
+      SELECT r_name, n_name, revenue,
+             ROUND(revenue / SUM(revenue) OVER (PARTITION BY r_name) * 100.0, 4) AS share_pct
+      FROM rev ORDER BY r_name, n_name"""))
+
+  /** Data-profiling report (operators.Profile): per-column nulls /
+    * distincts / min / max in one aggregate pass, long-format output.
+    * Exact-distinct form here for the oracle; the default HLL form is
+    * the single-pass 100 TB shape.
+    */
+  val q42Profile: QueryDef = QueryDef("q42_profile",
+    (s, dir) => Profile.describe(t(s, dir, "customer"),
+        Seq("c_custkey", "c_name", "c_mktsegment"), exact = true)
+      .orderBy(col("column_name")),
+    Some("""SELECT 'c_custkey' AS column_name, COUNT(*) AS n_rows,
+        COUNT(*) - COUNT(c_custkey) AS n_nulls,
+        COUNT(DISTINCT c_custkey) AS n_distinct,
+        CAST(MIN(c_custkey) AS VARCHAR) AS min_val, CAST(MAX(c_custkey) AS VARCHAR) AS max_val
+      FROM customer
+      UNION ALL
+      SELECT 'c_name', COUNT(*), COUNT(*) - COUNT(c_name), COUNT(DISTINCT c_name),
+        MIN(c_name), MAX(c_name) FROM customer
+      UNION ALL
+      SELECT 'c_mktsegment', COUNT(*), COUNT(*) - COUNT(c_mktsegment), COUNT(DISTINCT c_mktsegment),
+        MIN(c_mktsegment), MAX(c_mktsegment) FROM customer
+      ORDER BY column_name"""))
+
+  /** Unicode canonical normalization (NFC) over the corpus — custom
+    * codegen expression (functions.UnicodeNormalize, JDK tables, no
+    * deps); without it, dedup hashes and token counts split on
+    * composed-vs-decomposed codepoints. DuckDB's nfc_normalize is the
+    * oracle. Output keys on the md5 of the normalized text so the
+    * compare covers every byte without shipping the corpus.
+    */
+  val textNormalize: QueryDef = QueryDef("text_normalize",
+    (s, dir) => t(s, dir, "documents")
+      .select(col("doc_id"),
+        md5(graft.functions.text.unicodeNormalize(col("text"), "NFC")
+          .cast(BinaryType)).as("norm_md5"),
+        length(graft.functions.text.unicodeNormalize(col("text"), "NFC")).as("norm_len"))
+      .orderBy(col("doc_id")),
+    Some("""SELECT doc_id, md5(nfc_normalize(text)) AS norm_md5,
+        length(nfc_normalize(text)) AS norm_len
+      FROM documents ORDER BY doc_id"""))
+
   val all: Seq[QueryDef] = Seq(
     q1Agg, q2Filter, q3Join, q4Semi, q5Multi, q6Window, q7TopK, q8Distinct,
     q9Rollup, q10Pivot, q11Anti, q12Expr, q13Percentiles, q14Subquery,
@@ -1516,11 +1590,11 @@ object Queries {
     q26RangeFrame, q27RankFamily, q28Regex, q29StringAgg,
     q30Scd2, q31Latest, q32Stats, q33Histogram, q34NullSafeJoin,
     q35AggZoo, q36Zorder, q37MomGrowth, q38Funnel, q39Retention,
-    q40UnionByName, etlMergeUpsert,
+    q40UnionByName, q41Share, q42Profile, etlMergeUpsert,
     etlUnionSources, etlValidate, etlCleanTransform, etlQualityReport,
     etlCsvProjection, etlFreshness,
     textTokens, textQuality, textLangId, textFingerprint, textVocab, textLogProb,
-    textBm25,
+    textBm25, textNormalize,
     curateMixture, curatePack, curateTake, curateDecontaminate, textRedact,
     dedupExact, dedupNgramJaccard, dedupEditDist, dedupClusterCc, dedupMinhash, dedupSimhash, dedupEmbedding,
     annBruteForce, annLsh, annIvf, mmMetadata, mmDecode,

@@ -116,4 +116,42 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(1) == "server <IP> and <IP> are up")
     assert(out(2) == "nothing sensitive here 1.2 or v1.2.3")
   }
+
+  test("unicode_normalize: NFC unifies composed and decomposed codepoints") {
+    import spark.implicits._
+    import graft.functions.text
+    val composed = "caf\u00e9"       // e-acute as one codepoint
+    val decomposed = "cafe\u0301"   // e + combining acute
+    val out = Seq(composed, decomposed).toDF("t")
+      .select(text.unicodeNormalize(col("t"), "NFC").as("n"))
+      .collect().map(_.getString(0))
+    assert(out(0) == out(1))
+    assert(out(0) == composed)
+    // and their dedup hashes now agree
+    val hashes = Seq(composed, decomposed).toDF("t")
+      .select(md5(text.unicodeNormalize(col("t")).cast("binary")))
+      .collect().map(_.getString(0))
+    assert(hashes(0) == hashes(1))
+  }
+
+  test("unicode_normalize: NFKC folds ligatures and full-width forms, NFC keeps them") {
+    import spark.implicits._
+    import graft.functions.text
+    // U+FB01 (fi ligature), U+FF41-43 (full-width abc)
+    val raw = "\ufb01le \uff41\uff42\uff43"
+    val df = Seq(raw).toDF("t")
+    val nfkc = df.select(text.unicodeNormalize(col("t"), "NFKC")).head().getString(0)
+    val nfc = df.select(text.unicodeNormalize(col("t"), "NFC")).head().getString(0)
+    assert(nfkc == "file abc")
+    assert(nfc == raw)
+  }
+
+  test("unicode_normalize: null-safe and SQL-registered") {
+    import spark.implicits._
+    val out = Seq(Some("caf\u00e9"), None).toDF("t")
+      .selectExpr("unicode_normalize(t, 'NFC') AS n")
+      .collect()
+    assert(out(0).getString(0) == "caf\u00e9")
+    assert(out(1).isNullAt(0))
+  }
 }
