@@ -1582,6 +1582,88 @@ object Queries {
         length(nfc_normalize(text)) AS norm_len
       FROM documents ORDER BY doc_id"""))
 
+  /** Winsorization (outlier capping at exact p05/p95 per group): the
+    * thresholds come from the same single-sort window machinery as
+    * q13; the O(groups) threshold frame then broadcasts back onto the
+    * fact scan — clamping 100 TB costs one sort-per-group pass plus a
+    * map-side join. Clamped values go through DECIMAL before SUM so
+    * the before/after means are order-independent exact.
+    */
+  val q43Winsorize: QueryDef = QueryDef("q43_winsorize",
+    (s, dir) => {
+      val part = Window.partitionBy(col("l_returnflag"))
+      val wP = part.orderBy(col("l_extendedprice"))
+      val base = t(s, dir, "lineitem")
+        .select(col("l_returnflag"), col("l_extendedprice"))
+        .withColumn("rn", row_number().over(wP).cast(LongType))
+        .withColumn("cnt", count(lit(1)).over(part))
+      def q(p: Double): Column = {
+        val idx = lit(p) * (col("cnt") - 1).cast(DoubleType)
+        val lo = floor(idx) + 1L
+        val hi = ceil(idx) + 1L
+        val frac = idx - floor(idx).cast(DoubleType)
+        val loV = max(when(col("rn") === lo, col("l_extendedprice")))
+        val hiV = max(when(col("rn") === hi, col("l_extendedprice")))
+        val fr = max(when(col("rn") === lo, frac))
+        round(loV + (hiV - loV) * fr, 4)
+      }
+      val thresholds = base.groupBy(col("l_returnflag"))
+        .agg(q(0.05).as("p05"), q(0.95).as("p95"))
+      val clamped = t(s, dir, "lineitem")
+        .join(broadcast(thresholds), "l_returnflag")
+        .withColumn("w",
+          least(greatest(col("l_extendedprice"), col("p05")), col("p95"))
+            .cast(DecimalType(12, 4)))
+      clamped.groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(dec(col("l_extendedprice"))).cast(DoubleType) / count(lit(1)), 4).as("avg_raw"),
+          round(sum(col("w")).cast(DoubleType) / count(lit(1)), 4).as("avg_winsorized"))
+        .orderBy(col("l_returnflag"))
+    },
+    Some("""WITH thresholds AS (
+        SELECT l_returnflag,
+               round(quantile_cont(l_extendedprice, 0.05), 4) AS p05,
+               round(quantile_cont(l_extendedprice, 0.95), 4) AS p95
+        FROM lineitem GROUP BY l_returnflag)
+      SELECT l.l_returnflag, COUNT(*) AS n,
+        ROUND(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*), 4) AS avg_raw,
+        ROUND(CAST(SUM(CAST(LEAST(GREATEST(l.l_extendedprice, t.p05), t.p95) AS DECIMAL(12,4))) AS DOUBLE) / COUNT(*), 4) AS avg_winsorized
+      FROM lineitem l JOIN thresholds t ON l.l_returnflag = t.l_returnflag
+      GROUP BY l.l_returnflag ORDER BY l.l_returnflag"""))
+
+  /** PageRank over the customer→supplier purchase graph (edge weight
+    * = order lines between the pair). Iterative join-agg under
+    * operators.Graph; rows-only (fixed-point iteration isn't
+    * SQL-expressible), correctness pinned by GraphSpec's reference-
+    * implementation comparison at 1e-9.
+    */
+  val graphPageRank: QueryDef = QueryDef("graph_pagerank",
+    (s, dir) => {
+      val edges = t(s, dir, "orders")
+        .join(t(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("o_custkey"), col("l_suppkey"))
+        .agg(count(lit(1)).cast(DoubleType).as("w"))
+        .select(col("o_custkey").as("src"),
+          (col("l_suppkey") + 1000000000L).as("dst"), col("w"))
+      Graph.pageRank(edges, "src", "dst", "w", iterations = 6)
+        .select(col("node"), round(col("rank") * 1000000.0, 4).as("rank_ppm"))
+        .orderBy(desc("rank_ppm"), col("node"))
+        .limit(20)
+    },
+    None)
+
+  /** Weighted reservoir sample (A-Res) of documents, weight = doc
+    * length: longer docs proportionally likelier, deterministic in
+    * (doc_id, salt), ranked via the bounded top_k_by aggregate.
+    * Rows-only; the weighting statistics are spec-asserted.
+    */
+  val curateWeightedSample: QueryDef = QueryDef("curate_weighted_sample",
+    (s, dir) => Curation.weightedSample(
+        t(s, dir, "documents"), "doc_id", "n_chars", k = 50)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .orderBy(col("doc_id")),
+    None)
+
   val all: Seq[QueryDef] = Seq(
     q1Agg, q2Filter, q3Join, q4Semi, q5Multi, q6Window, q7TopK, q8Distinct,
     q9Rollup, q10Pivot, q11Anti, q12Expr, q13Percentiles, q14Subquery,
@@ -1590,7 +1672,8 @@ object Queries {
     q26RangeFrame, q27RankFamily, q28Regex, q29StringAgg,
     q30Scd2, q31Latest, q32Stats, q33Histogram, q34NullSafeJoin,
     q35AggZoo, q36Zorder, q37MomGrowth, q38Funnel, q39Retention,
-    q40UnionByName, q41Share, q42Profile, etlMergeUpsert,
+    q40UnionByName, q41Share, q42Profile, q43Winsorize, etlMergeUpsert,
+    graphPageRank, curateWeightedSample,
     etlUnionSources, etlValidate, etlCleanTransform, etlQualityReport,
     etlCsvProjection, etlFreshness,
     textTokens, textQuality, textLangId, textFingerprint, textVocab, textLogProb,

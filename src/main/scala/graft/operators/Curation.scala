@@ -30,6 +30,28 @@ object Curation {
     df.filter(hashGate(col(idCol), salt) < rate)
   }
 
+  /** Deterministic weighted sample WITHOUT replacement (A-Res
+    * reservoir): each row's key is ln(u)/w for a hash-derived uniform
+    * u — the k largest keys are a correct weighted sample (Efraimidis
+    * & Spirakis), heavier rows proportionally likelier. Ranking runs
+    * through the bounded `top_k_by` aggregate, so map-side partials
+    * hold ≤ k rows and the shuffle is O(partitions·k) — a full sort
+    * of the corpus by sampling key would be a 100 TB global sort for
+    * a k-row answer. Deterministic in (id, salt); weights must be > 0.
+    */
+  def weightedSample(df: DataFrame, idCol: String, weightCol: String, k: Int,
+      salt: String = "wsample-v1"): DataFrame = {
+    // 53-bit mantissa-exact uniform in (0,1): top bits of xxhash64
+    val u = (shiftrightunsigned(xxhash64(col(idCol), lit(salt)), 11)
+      .cast("double") + 0.5) / 9007199254740992.0
+    val key = log(u) / col(weightCol).cast("double")
+    val ids = df
+      .select(graft.functions.vector.topKBy(key, col(idCol).cast("long"), k).as("top"))
+      .select(explode(col("top")).as("s"))
+      .select(col("s.id").as("__sid"))
+    df.join(broadcast(ids), col(idCol) === col("__sid")).drop("__sid")
+  }
+
   /** Disjoint deterministic split: adds `split` ∈ {train, val, test}
     * with the given proportions (must sum to ≤ 1; remainder → train).
     */

@@ -1,0 +1,89 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Iterative graph analytics over edge lists.
+  *
+  * Link analysis is a standard quality signal for web-crawl training
+  * corpora (harvest centrality from the hyperlink graph), and the
+  * iterative join-agg shape here is the general template for any
+  * fixed-point computation the engine runs — the sibling of the
+  * connected-components resolver in Dedup (dedup clustering walks
+  * equalities; PageRank walks weighted probability mass).
+  *
+  * Scale shape per iteration: ONE shuffle join (transition matrix ⋈
+  * ranks, both hash-partitioned on the source node) + ONE aggregation
+  * by destination. The transition matrix is computed once and
+  * persisted; ranks are localCheckpoint'ed (eager, single-consumer —
+  * lazy checkpoints deadlock the DAG scheduler on the shared
+  * RDDCheckpointData lock) so the logical plan stays O(1) deep
+  * instead of O(iterations). The only driver-side values are two
+  * scalars: the node count (once) and the dangling mass (one number
+  * per iteration).
+  */
+object Graph {
+
+  /** Weighted PageRank, fixed iteration count. Returns (node, rank);
+    * ranks sum to 1. Dangling nodes (no out-edges) spread their mass
+    * uniformly, the standard random-surfer correction.
+    */
+  def pageRank(edges: DataFrame, src: String, dst: String, weight: String,
+      iterations: Int = 10, damping: Double = 0.85): DataFrame = {
+    val e = edges.select(col(src).cast("long").as("src"),
+      col(dst).cast("long").as("dst"), col(weight).cast("double").as("w"))
+
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node")))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val n = nodes.count().toDouble
+
+    val outW = e.groupBy(col("src")).agg(sum(col("w")).as("out_w"))
+    val trans = e.join(outW, "src")
+      .select(col("src"), col("dst"), (col("w") / col("out_w")).as("frac"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    trans.count() // materialize once; reused every iteration
+
+    // dangling node SET is static — materialize it once; only its
+    // rank mass changes per iteration (otherwise every iteration's
+    // scalar would re-run the whole edge-derivation subtree)
+    val dangling = nodes.join(outW.select(col("src").as("node")), Seq("node"), "left_anti")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    dangling.count()
+
+    var ranks = nodes.select(col("node"), lit(1.0 / n).as("rank"))
+      .localCheckpoint(true)
+
+    var i = 0
+    while (i < iterations) {
+      // dangling mass as a broadcast 1-row frame, NOT a driver scalar:
+      // it rides in the same DAG as the rank update, so each iteration
+      // is exactly ONE action (the checkpoint materialization) — both
+      // inputs re-read the previous iteration's checkpoint, nothing
+      // upstream re-evaluates
+      val mass = ranks.join(dangling, Seq("node"), "left_semi")
+        .agg(coalesce(sum(col("rank")), lit(0.0)).as("dmass"))
+      val contribs = trans
+        .join(ranks.withColumnRenamed("node", "src"), "src")
+        .groupBy(col("dst").as("node"))
+        .agg(sum(col("frac") * col("rank")).as("contrib"))
+      val prev = ranks
+      ranks = nodes
+        .join(contribs, Seq("node"), "left")
+        .crossJoin(broadcast(mass))
+        .select(col("node"),
+          (lit((1.0 - damping) / n) +
+            lit(damping) * (coalesce(col("contrib"), lit(0.0)) + col("dmass") / n))
+            .as("rank"))
+        .localCheckpoint(true)
+      prev.unpersist(false)
+      i += 1
+    }
+    nodes.unpersist(false)
+    trans.unpersist(false)
+    dangling.unpersist(false)
+    ranks
+  }
+}

@@ -118,4 +118,28 @@ class CurationSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSet
     assert(kept == Set(2L, 3L))
   }
+
+  test("weightedSample: heavier rows sampled proportionally more; deterministic; exact k") {
+    import spark.implicits._
+    // 400 light rows (w=1) and 100 heavy rows (w=20): heavy carries
+    // 2000/2400 of the total weight, so a k=60 sample should be
+    // heavy-dominated despite heavy being a 1-in-5 minority
+    val df = ((1L to 400L).map(i => (i, "light", 1.0)) ++
+      (401L to 500L).map(i => (i, "heavy", 20.0)))
+      .toDF("id", "stratum", "w")
+    val sample = Curation.weightedSample(df, "id", "w", k = 60)
+    val byStratum = sample.groupBy("stratum").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(sample.count() == 60)
+    assert(byStratum.getOrElse("heavy", 0L) > byStratum.getOrElse("light", 0L) * 2,
+      s"weight-20 minority should dominate the sample: $byStratum")
+    // deterministic in (id, salt)
+    val again = Curation.weightedSample(df, "id", "w", k = 60)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(again == sample.select("id").collect().map(_.getLong(0)).toSet)
+    // different salt → different sample
+    val other = Curation.weightedSample(df, "id", "w", k = 60, salt = "other")
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(other != again)
+  }
 }

@@ -1,0 +1,59 @@
+package graft
+
+import graft.operators.Graph
+
+class GraphSpec extends SparkSpec {
+
+  /** Driver-side reference power iteration, same semantics. */
+  private def refPageRank(edges: Seq[(Long, Long, Double)], iterations: Int,
+      d: Double = 0.85): Map[Long, Double] = {
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct.sorted
+    val n = nodes.size.toDouble
+    val outW = edges.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    var ranks = nodes.map(_ -> 1.0 / n).toMap
+    for (_ <- 1 to iterations) {
+      val dangling = nodes.filterNot(outW.contains).map(ranks).sum
+      val contrib = scala.collection.mutable.Map[Long, Double]().withDefaultValue(0.0)
+      edges.foreach { case (s, t, w) => contrib(t) += ranks(s) * w / outW(s) }
+      ranks = nodes.map(v =>
+        v -> ((1 - d) / n + d * (contrib(v) + dangling / n))).toMap
+    }
+    ranks
+  }
+
+  private def run(edges: Seq[(Long, Long, Double)], iterations: Int): Map[Long, Double] = {
+    import spark.implicits._
+    Graph.pageRank(edges.toDF("src", "dst", "w"), "src", "dst", "w", iterations)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+  }
+
+  test("symmetric 2-cycle splits rank evenly") {
+    val r = run(Seq((1L, 2L, 1.0), (2L, 1L, 1.0)), 10)
+    assert(math.abs(r(1L) - 0.5) < 1e-12 && math.abs(r(2L) - 0.5) < 1e-12)
+  }
+
+  test("matches the reference implementation on a random graph (with dangling nodes)") {
+    val rnd = new scala.util.Random(3)
+    val edges = Seq.fill(60)((rnd.nextInt(12).toLong, rnd.nextInt(15).toLong,
+      1.0 + rnd.nextInt(5))).distinct
+    val expected = refPageRank(edges, 8)
+    val got = run(edges, 8)
+    assert(got.keySet == expected.keySet)
+    expected.foreach { case (v, r) =>
+      assert(math.abs(got(v) - r) < 1e-9, s"node $v: got ${got(v)} want $r")
+    }
+  }
+
+  test("ranks sum to 1 and the hub of a star graph dominates") {
+    val star = (2L to 8L).map(i => (i, 1L, 1.0)) :+ (1L, 2L, 1.0)
+    val r = run(star, 12)
+    assert(math.abs(r.values.sum - 1.0) < 1e-9)
+    assert(r(1L) > r(3L) * 3, s"hub should dominate: $r")
+  }
+
+  test("edge weights shift rank toward the heavier target") {
+    // node 1 links to 2 (weight 9) and 3 (weight 1)
+    val r = run(Seq((1L, 2L, 9.0), (1L, 3L, 1.0), (2L, 1L, 1.0), (3L, 1L, 1.0)), 10)
+    assert(r(2L) > r(3L))
+  }
+}
