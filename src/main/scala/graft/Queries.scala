@@ -1664,6 +1664,50 @@ object Queries {
       .orderBy(col("doc_id")),
     None)
 
+  /** Snapshot diff (operators.Merge.diff): which rows were added /
+    * removed / changed between two table versions — the audit twin of
+    * the MERGE in etl_merge_upsert, from the same derived change set,
+    * so the two queries cross-validate. One full-outer key join;
+    * unchanged keys (the vast majority at 100 TB) drop out before
+    * any downstream work.
+    */
+  val q44TableDiff: QueryDef = QueryDef("q44_table_diff",
+    (s, dir) => {
+      val base = t(s, dir, "customer")
+      val old = base.select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+      val nu = old.filter(col("c_custkey") % 7 =!= 0)
+        .withColumn("c_acctbal",
+          when(col("c_custkey") % 3 === 0, col("c_acctbal") + 100.0)
+            .otherwise(col("c_acctbal")))
+        .unionByName(base.filter(col("c_custkey") % 5 === 0)
+          .select((col("c_custkey") + 10000000L).as("c_custkey"),
+            concat(lit("new-"), col("c_custkey").cast(StringType)).as("c_name"),
+            lit(0.0).as("c_acctbal")))
+      Merge.diff(old, nu, Seq("c_custkey")).orderBy(col("c_custkey"))
+    },
+    Some("""WITH old AS (
+        SELECT c_custkey, c_name, c_acctbal FROM customer),
+      nu AS (
+        SELECT c_custkey, c_name,
+               CASE WHEN c_custkey % 3 = 0 THEN c_acctbal + 100.0 ELSE c_acctbal END AS c_acctbal
+        FROM customer WHERE c_custkey % 7 <> 0
+        UNION ALL
+        SELECT c_custkey + 10000000, 'new-' || CAST(c_custkey AS VARCHAR), 0.0
+        FROM customer WHERE c_custkey % 5 = 0)
+      SELECT COALESCE(n.c_custkey, o.c_custkey) AS c_custkey,
+             CASE WHEN n.c_custkey IS NOT NULL THEN n.c_name ELSE o.c_name END AS c_name,
+             CASE WHEN n.c_custkey IS NOT NULL THEN n.c_acctbal ELSE o.c_acctbal END AS c_acctbal,
+             CASE WHEN o.c_custkey IS NULL THEN 'added'
+                  WHEN n.c_custkey IS NULL THEN 'removed'
+                  WHEN o.c_name IS DISTINCT FROM n.c_name
+                    OR o.c_acctbal IS DISTINCT FROM n.c_acctbal THEN 'changed' END AS change_type
+      FROM old o FULL OUTER JOIN nu n ON o.c_custkey = n.c_custkey
+      WHERE CASE WHEN o.c_custkey IS NULL THEN 'added'
+                 WHEN n.c_custkey IS NULL THEN 'removed'
+                 WHEN o.c_name IS DISTINCT FROM n.c_name
+                   OR o.c_acctbal IS DISTINCT FROM n.c_acctbal THEN 'changed' END IS NOT NULL
+      ORDER BY c_custkey"""))
+
   val all: Seq[QueryDef] = Seq(
     q1Agg, q2Filter, q3Join, q4Semi, q5Multi, q6Window, q7TopK, q8Distinct,
     q9Rollup, q10Pivot, q11Anti, q12Expr, q13Percentiles, q14Subquery,
@@ -1672,7 +1716,8 @@ object Queries {
     q26RangeFrame, q27RankFamily, q28Regex, q29StringAgg,
     q30Scd2, q31Latest, q32Stats, q33Histogram, q34NullSafeJoin,
     q35AggZoo, q36Zorder, q37MomGrowth, q38Funnel, q39Retention,
-    q40UnionByName, q41Share, q42Profile, q43Winsorize, etlMergeUpsert,
+    q40UnionByName, q41Share, q42Profile, q43Winsorize, q44TableDiff,
+    etlMergeUpsert,
     graphPageRank, curateWeightedSample,
     etlUnionSources, etlValidate, etlCleanTransform, etlQualityReport,
     etlCsvProjection, etlFreshness,

@@ -43,4 +43,31 @@ object Merge {
         when(col("__c_present").isNotNull, col(s"__c_$v"))
           .otherwise(col(v)).as(v)): _*)
   }
+
+  /** Key-wise diff of two snapshots — the inverse of [[upsert]]: what
+    * changes batch would turn `old` into `nu`? One full-outer join on
+    * the key; unchanged rows drop out, the rest carry `change_type` ∈
+    * added / removed / changed with the NEW values (old values for
+    * removals). Change detection is per-column null-safe inequality
+    * (`<=>`-negation), so a column moving to/from NULL counts as a
+    * change and there is no hash-collision false-negative.
+    */
+  def diff(old: DataFrame, nu: DataFrame, keys: Seq[String]): DataFrame = {
+    val valueCols = old.columns.filterNot(keys.contains).toSeq
+    val o = old.select(keys.map(col) ++ valueCols.map(v => col(v).as(s"__o_$v"))
+      :+ lit(true).as("__o_present"): _*)
+    val n = nu.select(keys.map(col) ++ valueCols.map(v => col(v).as(s"__n_$v"))
+      :+ lit(true).as("__n_present"): _*)
+    val anyChanged = valueCols.map(v => !(col(s"__o_$v") <=> col(s"__n_$v")))
+      .reduceOption(_ || _).getOrElse(lit(false))
+    o.join(n, keys, "full_outer")
+      .withColumn("change_type",
+        when(col("__o_present").isNull, lit("added"))
+          .when(col("__n_present").isNull, lit("removed"))
+          .when(anyChanged, lit("changed")))
+      .filter(col("change_type").isNotNull)
+      .select(keys.map(col) ++ valueCols.map(v =>
+        when(col("__n_present").isNotNull, col(s"__n_$v"))
+          .otherwise(col(s"__o_$v")).as(v)) :+ col("change_type"): _*)
+  }
 }

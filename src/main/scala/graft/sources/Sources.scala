@@ -150,6 +150,40 @@ object Writers {
   def jsonSingleFile(df: DataFrame, file: String): String =
     singleFile(df, file)((d, p) => d.write.mode(SaveMode.Overwrite).json(p))
 
+  /** Small-file compaction: rewrite a parquet directory into
+    * ~`targetBytes`-sized files. Streaming/incremental sinks accrete
+    * thousands of kilobyte files; at 100 TB, scan cost is dominated
+    * by per-file open/footer overhead and driver listing, so periodic
+    * compaction is table maintenance, not optimization. File count =
+    * ceil(current bytes / target) from the Hadoop listing (no data
+    * pass); the rewrite is one read→repartition→write into a staging
+    * dir, atomically swapped in via two renames (old dir kept at
+    * `.<name>.pre-compact` until the swap succeeds, then deleted).
+    * Returns the resulting file count.
+    */
+  def compact(spark: SparkSession, dir: String,
+      targetBytes: Long = 128L * 1024 * 1024): Int = {
+    import org.apache.hadoop.fs.Path
+    val target = new Path(dir)
+    val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dataBytes = fs.listStatus(target).filter(_.isFile)
+      .filter(f => f.getPath.getName.startsWith("part-")).map(_.getLen).sum
+    val n = math.max(1, math.ceil(dataBytes.toDouble / targetBytes).toInt)
+    val staging = new Path(target.getParent, s".${target.getName}.compacting")
+    val backup = new Path(target.getParent, s".${target.getName}.pre-compact")
+    fs.delete(staging, true); fs.delete(backup, true)
+    spark.read.parquet(dir).repartition(n)
+      .write.mode(SaveMode.Overwrite).parquet(staging.toString)
+    if (!fs.rename(target, backup))
+      throw new IllegalStateException(s"could not stage $target aside")
+    if (!fs.rename(staging, target)) {
+      fs.rename(backup, target) // roll back
+      throw new IllegalStateException(s"could not promote $staging to $target")
+    }
+    fs.delete(backup, true)
+    n
+  }
+
   /** Bucketed + sorted managed table: the at-rest layout for repeated
     * fact⋈fact joins — two tables bucketed on the same key with the
     * same bucket count join with NO shuffle (and no sort when sorted),

@@ -48,6 +48,28 @@ class MergeSpec extends SparkSpec {
     assert(out == Seq(1L, 2L, 3L))
   }
 
+  test("diff tags added/removed/changed, drops unchanged, null-safe on values") {
+    import spark.implicits._
+    val nu = Seq(
+      (1L, "a", 10.0),                          // unchanged → absent
+      (2L, null.asInstanceOf[String], 20.0),    // changed (name → NULL)
+      (9L, "i", 90.0))                          // added; 3 removed
+      .toDF("k", "name", "bal")
+    val out = Merge.diff(snap, nu, Seq("k")).orderBy("k")
+      .collect().map(r => (r.getLong(0), r.getAs[String]("change_type"))).toSeq
+    assert(out == Seq((2L, "changed"), (3L, "removed"), (9L, "added")))
+  }
+
+  test("diff then upsert round-trips: applying the diff to old yields new") {
+    import spark.implicits._
+    val nu = Seq((1L, "a", 10.0), (2L, "b2", 22.0), (9L, "i", 90.0)).toDF("k", "name", "bal")
+    val d = Merge.diff(snap, nu, Seq("k"))
+      .withColumn("_del", col("change_type") === "removed")
+      .drop("change_type")
+    val applied = Merge.upsert(snap, d, Seq("k"), Some("_del"))
+    assert(graft.operators.Integrity.same(applied.orderBy("k"), nu.orderBy("k")))
+  }
+
   test("composite key merge") {
     import spark.implicits._
     val s2 = Seq((1L, "x", 1.0), (1L, "y", 2.0)).toDF("k1", "k2", "v")

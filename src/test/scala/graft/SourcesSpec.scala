@@ -141,4 +141,25 @@ class SourcesSpec extends SparkSpec {
     assert(byId(1L).isNullAt(byId(1L).fieldIndex("score")))
     assert(byId(2L).getAs[Double]("score") == 9.5)
   }
+
+  test("compact rewrites a many-small-file dir into few files, rows intact") {
+    import spark.implicits._
+    import graft.operators.Integrity
+    val dir = java.nio.file.Files.createTempDirectory("graft-compact").toString + "/t"
+    val df = (1 to 5000).map(i => (i.toLong, s"row$i")).toDF("id", "name")
+    df.repartition(40).write.parquet(dir)
+    def partFiles = new java.io.File(dir).listFiles()
+      .count(f => f.getName.startsWith("part-"))
+    assert(partFiles == 40)
+    val before = Integrity.fingerprint(spark.read.parquet(dir)).head()
+    val bytes = new java.io.File(dir).listFiles()
+      .filter(_.getName.startsWith("part-")).map(_.length).sum
+    val n = Writers.compact(spark, dir, targetBytes = bytes / 4 + 1)
+    assert(n <= 5, s"expected ~4 output files, got $n")
+    assert(partFiles == n)
+    assert(Integrity.fingerprint(spark.read.parquet(dir)).head() == before)
+    // staging/backup dirs cleaned up
+    val parent = new java.io.File(dir).getParentFile.listFiles().map(_.getName)
+    assert(!parent.exists(_.contains("compact")), parent.mkString(","))
+  }
 }
