@@ -31,8 +31,13 @@ object Graph {
     */
   def pageRank(edges: DataFrame, src: String, dst: String, weight: String,
       iterations: Int = 10, damping: Double = 0.85): DataFrame = {
+    // the caller's edge derivation can be arbitrarily expensive (a
+    // fact-join + agg in the purchase-graph query) and the init reads
+    // it four times (node set twice, out-weights, transition rows) —
+    // persist it once
     val e = edges.select(col(src).cast("long").as("src"),
       col(dst).cast("long").as("dst"), col(weight).cast("double").as("w"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
 
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node")))
@@ -81,6 +86,7 @@ object Graph {
       prev.unpersist(false)
       i += 1
     }
+    e.unpersist(false)
     nodes.unpersist(false)
     trans.unpersist(false)
     dangling.unpersist(false)
