@@ -1708,6 +1708,83 @@ object Queries {
                    OR o.c_acctbal IS DISTINCT FROM n.c_acctbal THEN 'changed' END IS NOT NULL
       ORDER BY c_custkey"""))
 
+  /** Array higher-order functions over the embedding column —
+    * integer-exact outputs (counts/positions, no float compare):
+    * filter, exists-style position probing, slice+size composition.
+    * HOFs run interpreted (SURVEY §5b), which is fine here: one pass
+    * per row over a 64-wide array, no data-dependent blowup.
+    */
+  val q45ArrayHof: QueryDef = QueryDef("q45_array_hof",
+    (s, dir) => t(s, dir, "embeddings")
+      .select(col("vec_id"),
+        size(filter(col("embedding"), x => x > 0.0f)).as("n_pos"),
+        size(filter(col("embedding"), x => abs(x) > lit(0.1f))).as("n_large"),
+        size(filter(slice(col("embedding"), 1, 8), x => x > 0.0f)).as("n_pos_head"))
+      .orderBy(col("vec_id")),
+    Some("""SELECT vec_id,
+        len(list_filter(embedding, x -> x > 0.0)) AS n_pos,
+        len(list_filter(embedding, x -> abs(x) > 0.1)) AS n_large,
+        len(list_filter(embedding[1:8], x -> x > 0.0)) AS n_pos_head
+      FROM embeddings ORDER BY vec_id"""))
+
+  /** Per-day peak concurrency, sweep-line: each user's active span
+    * per day becomes a (+1 at start, −1 past end) boundary pair; a
+    * running sum ordered inside the day finds the peak. The window
+    * partitions by DAY, so no global sort — boundary volume is
+    * O(users·days), independent of event volume, and each day's
+    * sweep is a partition-local sort. Touching spans count as
+    * concurrent (starts order before ends at the same instant).
+    */
+  val q46Concurrency: QueryDef = QueryDef("q46_concurrency",
+    (s, dir) => {
+      val spans = t(s, dir, "events")
+        .groupBy(to_date(col("ts")).as("day"), col("user_id"))
+        .agg(min(col("ts")).as("s"), max(col("ts")).as("e"))
+      val boundaries = spans.select(col("day"), col("s").as("ts"), lit(1).as("delta"))
+        .unionByName(spans.select(col("day"), col("e").as("ts"), lit(-1).as("delta")))
+      val w = Window.partitionBy(col("day"))
+        .orderBy(col("ts"), col("delta").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      boundaries
+        .withColumn("load", sum(col("delta")).over(w))
+        .groupBy(col("day"))
+        .agg(max(col("load")).as("peak_concurrency"))
+        .orderBy(col("day"))
+    },
+    Some("""WITH spans AS (
+        SELECT CAST(ts AS DATE) AS day, user_id, MIN(ts) AS s, MAX(ts) AS e
+        FROM events GROUP BY 1, 2),
+      boundaries AS (
+        SELECT day, s AS ts, 1 AS delta FROM spans
+        UNION ALL SELECT day, e, -1 FROM spans)
+      SELECT day, CAST(MAX(load) AS BIGINT) AS peak_concurrency FROM (
+        SELECT day, SUM(delta) OVER (PARTITION BY day ORDER BY ts, delta DESC
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS load
+        FROM boundaries) x
+      GROUP BY day ORDER BY day"""))
+
+  /** Correlated LATERAL subquery (SQL surface): per-customer argmax
+    * order via a correlated ORDER BY … LIMIT 1 — the decorrelator
+    * rewrites it to a ranked join, not a per-row re-execution.
+    */
+  val q47Lateral: QueryDef = QueryDef("q47_lateral",
+    (s, dir) => {
+      t(s, dir, "customer").createOrReplaceTempView("customer_v")
+      t(s, dir, "orders").createOrReplaceTempView("orders_v")
+      s.sql("""SELECT c.c_custkey, l.o_orderkey, l.o_totalprice
+        FROM customer_v c, LATERAL (
+          SELECT o_orderkey, o_totalprice FROM orders_v o
+          WHERE o.o_custkey = c.c_custkey
+          ORDER BY o_totalprice DESC, o_orderkey LIMIT 1) l
+        ORDER BY c.c_custkey""")
+    },
+    Some("""SELECT c.c_custkey, l.o_orderkey, l.o_totalprice
+      FROM customer c, LATERAL (
+        SELECT o_orderkey, o_totalprice FROM orders o
+        WHERE o.o_custkey = c.c_custkey
+        ORDER BY o_totalprice DESC, o_orderkey LIMIT 1) l
+      ORDER BY c.c_custkey"""))
+
   val all: Seq[QueryDef] = Seq(
     q1Agg, q2Filter, q3Join, q4Semi, q5Multi, q6Window, q7TopK, q8Distinct,
     q9Rollup, q10Pivot, q11Anti, q12Expr, q13Percentiles, q14Subquery,
@@ -1717,6 +1794,7 @@ object Queries {
     q30Scd2, q31Latest, q32Stats, q33Histogram, q34NullSafeJoin,
     q35AggZoo, q36Zorder, q37MomGrowth, q38Funnel, q39Retention,
     q40UnionByName, q41Share, q42Profile, q43Winsorize, q44TableDiff,
+    q45ArrayHof, q46Concurrency, q47Lateral,
     etlMergeUpsert,
     graphPageRank, curateWeightedSample,
     etlUnionSources, etlValidate, etlCleanTransform, etlQualityReport,

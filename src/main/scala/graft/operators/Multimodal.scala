@@ -158,6 +158,59 @@ object Multimodal {
   final case class AudioFeatures(id: Long, sample_rate: Double, n_channels: Int,
       n_samples: Long, rms: Array[Double])
 
+  /** Perceptual average-hash (aHash): decode → 8×8 grayscale
+    * downsample → threshold each cell against the mean → 64-bit
+    * fingerprint. Visually-identical images hash equal regardless of
+    * container format; small edits flip few bits — so image near-dup
+    * detection becomes the SAME banded Hamming problem text SimHash
+    * already solves, and [[imageNearDupPairs]] reuses that machinery
+    * verbatim. Map-side only; undecodable blobs drop.
+    */
+  def aHash(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col("id"), col("data")).as[(Long, Array[Byte])].mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.flatMap { case (id, bytes) => aHashOne(bytes).map(h => (id, h)) }
+    }.toDF("id", "ahash")
+  }
+
+  private[graft] def aHashOne(bytes: Array[Byte]): Option[Long] = {
+    if (bytes == null) return None
+    try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      if (img == null) None
+      else {
+        val gray = new java.awt.image.BufferedImage(8, 8,
+          java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+        val g = gray.createGraphics()
+        g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+          java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+        g.drawImage(img, 0, 0, 8, 8, null)
+        g.dispose()
+        val px = new Array[Int](64)
+        var i = 0
+        while (i < 64) { px(i) = gray.getRaster.getSample(i % 8, i / 8, 0); i += 1 }
+        val mean = px.sum.toDouble / 64.0
+        var h = 0L
+        i = 0
+        while (i < 64) { if (px(i) >= mean) h |= (1L << i); i += 1 }
+        Some(h)
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** Image near-dup candidate pairs: banded Hamming join over the
+    * perceptual hash — literally [[Dedup.simhashCandidates]] on the
+    * aHash column (4×16-bit bands, in-bucket pair expansion, bucket
+    * cap). Same 100 TB shape as text SimHash: candidates ~linear,
+    * never O(n²).
+    */
+  def imageNearDupPairs(df: DataFrame, maxHamming: Int = 5,
+      maxBucket: Int = 1000): DataFrame =
+    Dedup.simhashCandidates(
+      aHash(df).withColumnRenamed("ahash", "simhash"), maxHamming, maxBucket)
+
   /** REAL audio feature extraction via the JDK-built-in
     * `javax.sound.sampled` (WAV/AU/AIFF containers, PCM codecs — no
     * external library). Decodes to 16-bit signed PCM, mixes channels

@@ -177,4 +177,31 @@ object Similarity {
         round(vector.cosine(col(vec), col(qVec)), 4).as("cos")),
       qId, id, k)
   }
+
+  /** Symmetric per-vector int8 quantization: scale = max|x|/127,
+    * q = round(x/scale) as a byte array. A float32 embedding store is
+    * 4× the bytes of int8 at ≲1% cosine error — at 100 TB of
+    * embeddings that is the difference between one storage tier and
+    * the next. Adds `<vec>_q8: array<tinyint>` + `<vec>_scale: float`;
+    * all-zero vectors quantize to zeros (scale 0, no division).
+    * Pure expression work (one interpreted HOF pass per row over a
+    * pre-materialized array — the §5b-safe HOF shape).
+    */
+  def quantizeInt8(df: DataFrame, vec: String): DataFrame = {
+    val scale = (array_max(transform(col(vec), x => abs(x))) / lit(127.0f)).cast("float")
+    df.withColumn(s"${vec}_scale", scale)
+      .withColumn(s"${vec}_q8",
+        when(col(s"${vec}_scale") > 0.0f,
+          transform(col(vec), x =>
+            round(x.cast("double") / col(s"${vec}_scale")).cast("byte")))
+          .otherwise(transform(col(vec), _ => lit(0).cast("byte"))))
+  }
+
+  /** Inverse of [[quantizeInt8]]: `<vec>_deq: array<float>` ≈ the
+    * original within scale/2 per element.
+    */
+  def dequantizeInt8(df: DataFrame, vec: String): DataFrame =
+    df.withColumn(s"${vec}_deq",
+      transform(col(s"${vec}_q8"),
+        x => (x.cast("float") * col(s"${vec}_scale")).cast("float")))
 }

@@ -135,6 +135,41 @@ object Refresh {
       .start()
   }
 
+  /** Streaming CDC apply: each micro-batch of change rows (full-row
+    * upserts + an optional tombstone flag) merges into a parquet
+    * snapshot through [[graft.operators.Merge.upsert]] — the
+    * streaming face of the batch MERGE, closing the loop from a
+    * change feed to a queryable table. Batches must be key-unique
+    * (feed through dedupStream or a latest-per-key compaction
+    * upstream). The merged result is materialized (eager
+    * localCheckpoint, single consumer) before overwriting the
+    * directory it was read from.
+    */
+  def cdcApply(changes: DataFrame, keys: Seq[String], deleteCol: Option[String],
+      outDir: String, checkpointDir: String): StreamingQuery =
+    changes.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val spark = batch.sparkSession
+        val outPath = new org.apache.hadoop.fs.Path(outDir)
+        val fs = outPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val initialized =
+          fs.exists(new org.apache.hadoop.fs.Path(outPath, "_SUCCESS"))
+        val merged =
+          if (initialized)
+            graft.operators.Merge.upsert(spark.read.parquet(outDir), batch, keys, deleteCol)
+          else {
+            val live = deleteCol
+              .map(d => batch.filter(!coalesce(col(d), lit(false))))
+              .getOrElse(batch)
+            deleteCol.map(live.drop(_)).getOrElse(live)
+          }
+        val snapshot = merged.localCheckpoint(true)
+        snapshot.write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(outDir)
+        ()
+      }
+      .start()
+
   /** Stream-stream interval join: each left event matched to right
     * events with the same key whose time is within
     * [leftTs - lookback, leftTs]. BOTH sides carry watermarks and the

@@ -144,4 +144,53 @@ class MultimodalSpec extends SparkSpec {
     assert(st.n_channels == 2 && st.n_samples == 1024L)
     assert(st.rms.forall(_ < 1e-9), "cancelling channels must mix to silence")
   }
+
+  /** Deterministic structured image: a diagonal luminance gradient
+    * with an optional dark square — enough spatial structure for an
+    * 8×8 perceptual hash to be meaningful.
+    */
+  private def patternImage(fmt: String, w: Int, h: Int,
+      withSquare: Boolean, invert: Boolean = false): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    for (y <- 0 until h; x <- 0 until w) {
+      var v = ((x + y) * 255) / (w + h - 2)
+      if (invert) v = 255 - v
+      if (withSquare && x < w / 4 && y < h / 4) v = 0
+      img.setRGB(x, y, (v << 16) | (v << 8) | v)
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, fmt, bos)
+    bos.toByteArray
+  }
+
+  test("aHash: format-invariant for identical pixels, robust to small edits, separates inverses") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, patternImage("png", 64, 64, withSquare = true)),
+      (2L, patternImage("bmp", 64, 64, withSquare = true)),  // same pixels, other container
+      (3L, patternImage("png", 64, 64, withSquare = false)), // small edit
+      (4L, patternImage("png", 64, 64, withSquare = true, invert = true)), // opposite
+      (5L, "not an image".getBytes)).toDF("id", "data")
+    val h = Multimodal.aHash(df).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(!h.contains(5L), "undecodable blobs drop")
+    assert(h(1L) == h(2L), "identical pixels, different container → same hash")
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(h(1L), h(3L)) <= 6, s"small edit should flip few bits: ${ham(h(1L), h(3L))}")
+    assert(ham(h(1L), h(4L)) >= 32, s"inverse should be far: ${ham(h(1L), h(4L))}")
+  }
+
+  test("imageNearDupPairs finds the format-twin and the small edit, not the inverse") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, patternImage("png", 64, 64, withSquare = true)),
+      (2L, patternImage("bmp", 64, 64, withSquare = true)),
+      (3L, patternImage("png", 64, 64, withSquare = false)),
+      (4L, patternImage("png", 64, 64, withSquare = true, invert = true)))
+      .toDF("id", "data")
+    val pairs = Multimodal.imageNearDupPairs(df, maxHamming = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L), s"inverse must not pair: $pairs")
+  }
 }

@@ -55,4 +55,27 @@ class SimilaritySpec extends SparkSpec {
     // every query finds itself (cos=1 in some shared bucket by construction)
     assert(approx.nonEmpty)
   }
+
+  test("int8 quantization: byte range, ≲1% cosine error, zero-vector safe, round-trip shape") {
+    import spark.implicits._
+    import graft.functions.vector
+    val rnd = new scala.util.Random(5)
+    val rows = (1L to 200L).map(i =>
+      (i, Array.fill(64)((rnd.nextGaussian() * (1 + i % 7)).toFloat))) :+
+      (999L, Array.fill(64)(0.0f))
+    val df = rows.toDF("id", "emb")
+    val q = Similarity.dequantizeInt8(Similarity.quantizeInt8(df, "emb"), "emb")
+    // every quantized component is a byte in [-127, 127]
+    val maxAbsQ = q.select(max(array_max(transform(col("emb_q8"),
+      x => abs(x.cast("int")))))).head().getInt(0)
+    assert(maxAbsQ <= 127)
+    // cosine(original, dequantized) ≈ 1 for non-zero vectors
+    val worst = q.filter(col("id") =!= 999L)
+      .select(min(vector.cosine(col("emb"), col("emb_deq")))).head().getDouble(0)
+    assert(worst > 0.99, s"worst cosine after int8 round-trip: $worst")
+    // zero vector stays zero, no division error
+    val z = q.filter(col("id") === 999L)
+      .select(array_max(col("emb_deq"))).head().getFloat(0)
+    assert(z == 0.0f)
+  }
 }

@@ -175,6 +175,31 @@ class StreamingSpec extends SparkSpec {
     assert(after2 == Map(1L -> "one-v1", 2L -> "two-v3", 3L -> "three-v1"))
   }
 
+  test("cdcApply: change feed with tombstones maintains the snapshot across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val root = tmp()
+    val mem = MemoryStream[(Long, String, Boolean)]
+    val q = Refresh.cdcApply(mem.toDF().toDF("id", "name", "_del"),
+      keys = Seq("id"), deleteCol = Some("_del"),
+      outDir = s"$root/snap", checkpointDir = s"$root/ck")
+
+    // batch 1: inserts (one pre-deleted row never lands)
+    mem.addData((1L, "one", false), (2L, "two", false), (9L, "ghost", true))
+    q.processAllAvailable()
+    val after1 = spark.read.parquet(s"$root/snap")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(after1 == Map(1L -> "one", 2L -> "two"))
+
+    // batch 2: update 1, delete 2, insert 3
+    mem.addData((1L, "one-v2", false), (2L, "two", true), (3L, "three", false))
+    q.processAllAvailable()
+    q.stop()
+    val after2 = spark.read.parquet(s"$root/snap")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(after2 == Map(1L -> "one-v2", 3L -> "three"))
+  }
+
   test("stateful sessionization emits closed sessions (gap-based)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
