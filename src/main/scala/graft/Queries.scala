@@ -974,6 +974,57 @@ object Queries {
         '\b(?:\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g') AS clean
       FROM documents ORDER BY doc_id"""))
 
+  /** Gopher-style repetition filters (Rae et al. 2021): duplicate-
+    * token fraction, top-bigram coverage, duplicate-trigram fraction —
+    * all map-side expression work (see TextAnalysis.repetitionStats).
+    */
+  val textRepetition: QueryDef = QueryDef("text_repetition",
+    (s, dir) => TextAnalysis.repetitionStats(t(s, dir, "documents"), "doc_id", "text")
+      .orderBy(col("doc_id")),
+    Some("""WITH tok AS (SELECT doc_id,
+        string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS w
+        FROM documents),
+      bi AS (SELECT doc_id, unnest([w[i] || ' ' || w[i+1] FOR i IN range(1, len(w))]) AS gram
+        FROM tok WHERE len(w) >= 2),
+      top AS (SELECT doc_id, MAX(c) AS topc FROM
+        (SELECT doc_id, gram, COUNT(*) AS c FROM bi GROUP BY doc_id, gram) GROUP BY doc_id),
+      tri AS (SELECT doc_id,
+          len([w[i] || ' ' || w[i+1] || ' ' || w[i+2] FOR i IN range(1, len(w)-1)]) AS n_tri,
+          len(list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2] FOR i IN range(1, len(w)-1)])) AS d_tri
+        FROM tok WHERE len(w) >= 3)
+      SELECT tok.doc_id,
+        len(w) AS n_tokens,
+        round(1.0 - CAST(len(list_distinct(w)) AS DOUBLE) / len(w), 6) AS dup_token_frac,
+        round(COALESCE(CAST(topc AS DOUBLE) * 2 / len(w), 0.0), 6) AS top_bigram_frac,
+        round(COALESCE(1.0 - CAST(d_tri AS DOUBLE) / n_tri, 0.0), 6) AS dup_trigram_frac
+      FROM tok LEFT JOIN top USING (doc_id) LEFT JOIN tri USING (doc_id)
+      ORDER BY doc_id"""))
+
+  /** Per-source token-distribution drift from the corpus mix:
+    * KL(P_src ‖ corpus) and Jensen–Shannon divergence, in nats.
+    */
+  val textDivergence: QueryDef = QueryDef("text_divergence",
+    (s, dir) => TextAnalysis.sourceDivergence(t(s, dir, "documents"), "text", "source")
+      .withColumnRenamed("grp", "source")
+      .orderBy(col("source")),
+    Some("""WITH tok AS (SELECT source AS grp,
+        unnest(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS token
+        FROM documents),
+      by_grp AS (SELECT grp, token, COUNT(*) AS c FROM tok GROUP BY grp, token),
+      grp_n AS (SELECT grp, SUM(c) AS n FROM by_grp GROUP BY grp),
+      vocab AS (SELECT token, SUM(c) AS gc FROM by_grp GROUP BY token),
+      g_n AS (SELECT SUM(gc) AS gn FROM vocab),
+      grid AS (SELECT grp, n, token, gc, gn,
+          CAST(COALESCE(c, 0) AS DOUBLE) / n AS p,
+          CAST(gc AS DOUBLE) / gn AS q
+        FROM grp_n CROSS JOIN vocab CROSS JOIN g_n
+        LEFT JOIN by_grp USING (grp, token))
+      SELECT grp AS source,
+        round(SUM(CASE WHEN p > 0 THEN p * ln(p / q) ELSE 0.0 END), 6) AS kl,
+        round(SUM(CASE WHEN p > 0 THEN p * ln(p / ((p + q) / 2)) ELSE 0.0 END) / 2 +
+              SUM(q * ln(q / ((p + q) / 2))) / 2, 6) AS js
+      FROM grid GROUP BY grp ORDER BY source"""))
+
   /** Exact edit-distance near-dup pairs on a short field (part names
     * within a brand block) — levenshtein agrees between engines, so
     * unlike the hash-seeded near-dup family this one is fully
@@ -1016,6 +1067,22 @@ object Queries {
       val emb = t(s, dir, "embeddings")
       val pairs = Dedup.embeddingNearDupPairsLsh(emb, "vec_id", "embedding",
         dim = 64, minCos = 0.95)
+      emb.join(pairs.select(col("id_b").as("vec_id")).distinct(), Seq("vec_id"), "left_anti")
+        .select(col("vec_id"), col("label"))
+        .orderBy(col("vec_id"))
+    },
+    None)
+
+  /** SemDeDup survivors: k-means-cell-blocked semantic near-dup (see
+    * Dedup.semanticNearDupPairs). Rows-only: centroid training is
+    * sample+seed dependent, not SQL-expressible; recall floor vs the
+    * exact O(n²) pairs is asserted in DedupSpec.
+    */
+  val dedupSemantic: QueryDef = QueryDef("dedup_semantic",
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val pairs = Dedup.semanticNearDupPairs(emb, "vec_id", "embedding",
+        dim = 64, minCos = 0.95, nCells = 16)
       emb.join(pairs.select(col("id_b").as("vec_id")).distinct(), Seq("vec_id"), "left_anti")
         .select(col("vec_id"), col("label"))
         .orderBy(col("vec_id"))
@@ -1785,6 +1852,37 @@ object Queries {
         ORDER BY o_totalprice DESC, o_orderkey LIMIT 1) l
       ORDER BY c.c_custkey"""))
 
+  /** First-/last-touch attribution: the arg-min/arg-max-by-time
+    * pattern as ONE struct-ordered aggregation per user — no
+    * row_number window (which would shuffle every event into per-user
+    * sort runs); struct min/max partial-aggregates map-side, so the
+    * shuffle is O(users) however many events. (event_id tiebreak
+    * makes ordering total.)
+    */
+  val q48Attribution: QueryDef = QueryDef("q48_attribution",
+    (s, dir) => t(s, dir, "events")
+      .groupBy(col("user_id"))
+      .agg(
+        min(struct(col("ts"), col("event_id"), col("event_type")))
+          .getField("event_type").as("first_touch"),
+        max(struct(col("ts"), col("event_id"), col("event_type")))
+          .getField("event_type").as("last_touch"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("purchases"),
+        sum(when(col("event_type") === "purchase", dec(col("value")))
+          .otherwise(dec(lit(0.0)))).cast(DoubleType).as("purchase_value"))
+      .orderBy(col("user_id")),
+    Some("""WITH r AS (SELECT user_id, event_type, value, ts,
+        row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rf,
+        row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rl
+        FROM events)
+      SELECT user_id,
+        MAX(CASE WHEN rf = 1 THEN event_type END) AS first_touch,
+        MAX(CASE WHEN rl = 1 THEN event_type END) AS last_touch,
+        CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchases,
+        CAST(SUM(CASE WHEN event_type = 'purchase'
+          THEN CAST(value AS DECIMAL(12,2)) ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE) AS purchase_value
+      FROM r GROUP BY user_id ORDER BY user_id"""))
+
   val all: Seq[QueryDef] = Seq(
     q1Agg, q2Filter, q3Join, q4Semi, q5Multi, q6Window, q7TopK, q8Distinct,
     q9Rollup, q10Pivot, q11Anti, q12Expr, q13Percentiles, q14Subquery,
@@ -1794,15 +1892,16 @@ object Queries {
     q30Scd2, q31Latest, q32Stats, q33Histogram, q34NullSafeJoin,
     q35AggZoo, q36Zorder, q37MomGrowth, q38Funnel, q39Retention,
     q40UnionByName, q41Share, q42Profile, q43Winsorize, q44TableDiff,
-    q45ArrayHof, q46Concurrency, q47Lateral,
+    q45ArrayHof, q46Concurrency, q47Lateral, q48Attribution,
     etlMergeUpsert,
     graphPageRank, curateWeightedSample,
     etlUnionSources, etlValidate, etlCleanTransform, etlQualityReport,
     etlCsvProjection, etlFreshness,
     textTokens, textQuality, textLangId, textFingerprint, textVocab, textLogProb,
-    textBm25, textNormalize,
+    textBm25, textNormalize, textRepetition, textDivergence,
     curateMixture, curatePack, curateTake, curateDecontaminate, textRedact,
     dedupExact, dedupNgramJaccard, dedupEditDist, dedupClusterCc, dedupMinhash, dedupSimhash, dedupEmbedding,
+    dedupSemantic,
     annBruteForce, annLsh, annIvf, mmMetadata, mmDecode,
     sketchHll, sketchQuantiles, sketchCms, sketchFreq)
 }

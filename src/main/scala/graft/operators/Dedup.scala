@@ -433,4 +433,40 @@ object Dedup {
       .filter(col("cos") >= minCos)
       .select("id_a", "id_b", "cos")
   }
+
+  /** SemDeDup-style semantic near-dup pairs (Abbas et al. 2023):
+    * cluster the embedding space with spherical k-means (sampled
+    * training + ONE map-only assignment pass — Similarity.assignCells),
+    * then compare pairs only WITHIN a cluster cell. The paper's
+    * observation: semantic duplicates concentrate inside k-means
+    * clusters, so intra-cluster comparison finds them at a tiny
+    * fraction of the O(n²) cost.
+    *
+    * Scale shape: choose nCells ∝ corpus/target-cell-size so cells
+    * stay bounded (the paper runs 50k clusters over LAION); in-cell
+    * pair expansion goes through the same sorted-ids + pairCombos
+    * path as the LSH blocker, with `maxCell` dropping degenerate
+    * cells. vs LSH blocking: cells ADAPT to the data distribution
+    * (recall concentrates where the data does); the cost is the
+    * training sample and that boundary pairs straddling two cells are
+    * missed — quantified by the recall floor in DedupSpec.
+    */
+  def semanticNearDupPairs(emb: DataFrame, id: String, vec: String,
+      dim: Int, minCos: Double, nCells: Int = 16,
+      maxCell: Int = 100000, sampleN: Int = 4096): DataFrame = {
+    val base = emb.select(col(id).as("id"), col(vec).as("v"))
+    val assigned = Similarity.assignCells(base, "v", dim, nCells, sampleN)
+    val cand = assigned
+      .groupBy(col("cell"))
+      .agg(sort_array(collect_list(col("id"))).as("ids"))
+      .filter(size(col("ids")).between(2, maxCell))
+      .select(explode(pairCombos(col("ids"))).as("p"))
+      .select(col("p.a").as("id_a"), col("p.b").as("id_b"))
+    cand
+      .join(base.select(col("id").as("id_a"), col("v").as("v_a")), "id_a")
+      .join(base.select(col("id").as("id_b"), col("v").as("v_b")), "id_b")
+      .withColumn("cos", round(vector.cosine(col("v_a"), col("v_b")), 6))
+      .filter(col("cos") >= minCos)
+      .select("id_a", "id_b", "cos")
+  }
 }

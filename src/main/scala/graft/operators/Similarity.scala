@@ -120,6 +120,19 @@ object Similarity {
       struct((-vector.dot(vec, typedLit(c.toSeq))).as("negdot"), lit(i).as("cell"))
     }: _*))
 
+  /** Append the nearest-centroid `cell` id: trains spherical-k-means
+    * centroids on a deterministic sample ([[trainCentroids]]), then
+    * ONE map-only distributed pass assigns every row — no shuffle.
+    * The blocking step shared by IVF ANN and SemDeDup-style
+    * semantic dedup ([[Dedup.semanticNearDupPairs]]).
+    */
+  def assignCells(df: DataFrame, vec: String, dim: Int, nCells: Int,
+      sampleN: Int = 4096): DataFrame = {
+    val centroids = trainCentroids(df, vec, nCells, dim, sampleN)
+    df.withColumn("cell",
+      element_at(cellRanking(col(vec), centroids), 1).getField("cell"))
+  }
+
   /** IVF (inverted-file) ANN — the cell-probing scale path:
     *
     *   1. train `nCells` spherical-k-means centroids on a sample

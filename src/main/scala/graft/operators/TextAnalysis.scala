@@ -198,6 +198,97 @@ object TextAnalysis {
       .agg(rnd(sum(col("s")), 6).as("bm25"))
   }
 
+  /** All word n-gram occurrences (NOT deduped — counts matter for
+    * repetition stats, unlike [[Dedup.shingles]]); empty when < n
+    * tokens. Same materialized-`toks` rule as [[Dedup.shingles]].
+    */
+  def shinglesAll(toks: Column, n: Int): Column =
+    when(size(toks) >= n,
+      transform(sequence(lit(1), size(toks) - (n - 1)),
+        i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + j)): _*)))
+      .otherwise(array().cast(ArrayType(StringType)))
+
+  /** Count of the most frequent element of a SORTED array = its
+    * longest equal-run, found in one interpreted fold over the
+    * indices (O(n) element_at probes — fine for per-document arrays;
+    * `sorted` must be a bound attribute or the fold re-sorts per
+    * probe, the §5b HOF-CSE trap).
+    */
+  private[graft] def maxRunLength(sorted: Column): Column =
+    when(size(sorted) <= 1, size(sorted).cast(LongType)).otherwise(
+      aggregate(sequence(lit(2), size(sorted)),
+        struct(lit(1L).as("run"), lit(1L).as("best")),
+        (acc, i) => {
+          val run = when(element_at(sorted, i) === element_at(sorted, i - 1),
+            acc.getField("run") + 1L).otherwise(lit(1L))
+          struct(run.as("run"), greatest(acc.getField("best"), run).as("best"))
+        },
+        acc => acc.getField("best")))
+
+  /** Gopher-style repetition quality signals, per document:
+    * duplicate-token fraction, fraction of tokens covered by the
+    * single most-repeated bigram, and duplicate-trigram fraction
+    * (the "repetitious document" filters of Rae et al. 2021 §A1.1,
+    * re-expressed on whitespace tokens).
+    *
+    * Scale shape: ENTIRELY map-side — every measure is per-row
+    * expression work over materialized token/shingle arrays (no
+    * explode, no shuffle), so at 100 TB this runs at scan speed as
+    * part of the quality-filter pass. Each intermediate array is
+    * projected once (bound attribute) so the interpreted HOFs never
+    * re-derive it per element probe.
+    */
+  def repetitionStats(docs: org.apache.spark.sql.DataFrame, id: String,
+      text: String): org.apache.spark.sql.DataFrame =
+    docs.select(col(id), tokens(col(text)).as("toks"))
+      .withColumn("bi_sorted", array_sort(shinglesAll(col("toks"), 2)))
+      .withColumn("tri", shinglesAll(col("toks"), 3))
+      .withColumn("top_bi", maxRunLength(col("bi_sorted")))
+      .select(col(id),
+        size(col("toks")).cast(LongType).as("n_tokens"),
+        round(lit(1.0) - size(array_distinct(col("toks"))).cast(DoubleType) /
+          size(col("toks")).cast(DoubleType), 6).as("dup_token_frac"),
+        round(when(size(col("toks")) >= 2,
+          col("top_bi").cast(DoubleType) * 2.0 / size(col("toks")).cast(DoubleType))
+          .otherwise(0.0), 6).as("top_bigram_frac"),
+        round(when(size(col("tri")) > 0,
+          lit(1.0) - size(array_distinct(col("tri"))).cast(DoubleType) /
+            size(col("tri")).cast(DoubleType))
+          .otherwise(0.0), 6).as("dup_trigram_frac"))
+
+  /** Per-group token-distribution divergence from the whole corpus:
+    * KL(P_g ‖ Q) and Jensen–Shannon JS(P_g, Q), natural-log nats —
+    * the mixture-monitoring pass of a training-data pipeline (which
+    * sources drift from the corpus mix; JS is the symmetric, bounded
+    * [0, ln 2] form).
+    *
+    * Scale shape: one partial-aggregated count per (group, token) is
+    * the only corpus-sized shuffle; the vocabulary and group totals
+    * are tiny aggregates joined back by broadcast. The (groups ×
+    * vocab) grid makes the p=0 JS terms explicit — it never touches
+    * the corpus again. At 100 TB cap the vocab like
+    * [[unigramLogProb]] (topK) so the broadcast stays bounded.
+    */
+  def sourceDivergence(docs: org.apache.spark.sql.DataFrame, text: String,
+      group: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast, count, sum, log => ln}
+    val tok   = docs.select(col(group).as("grp"), explode(tokens(col(text))).as("token"))
+    val byGrp = tok.groupBy("grp", "token").agg(count(lit(1)).as("c"))
+    val grpN  = byGrp.groupBy("grp").agg(sum(col("c")).as("n"))
+    val vocab = byGrp.groupBy("token").agg(sum(col("c")).as("gc"))
+    val gN    = vocab.agg(sum(col("gc")).as("gn"))
+    grpN.crossJoin(broadcast(vocab)).crossJoin(broadcast(gN))
+      .join(byGrp, Seq("grp", "token"), "left")
+      .withColumn("p", coalesce(col("c"), lit(0L)).cast(DoubleType) / col("n").cast(DoubleType))
+      .withColumn("q", col("gc").cast(DoubleType) / col("gn").cast(DoubleType))
+      .withColumn("m", (col("p") + col("q")) / 2.0)
+      .groupBy(col("grp"))
+      .agg(
+        round(sum(when(col("p") > 0.0, col("p") * ln(col("p") / col("q"))).otherwise(0.0)), 6).as("kl"),
+        round(sum(when(col("p") > 0.0, col("p") * ln(col("p") / col("m"))).otherwise(0.0)) / 2.0 +
+          sum(col("q") * ln(col("q") / col("m"))) / 2.0, 6).as("js"))
+  }
+
   /** Canonical md5 fingerprint (content-addressed dedup key). */
   def fingerprintMd5(text: Column): Column = md5(normalized(text))
 

@@ -45,6 +45,25 @@ object Refresh {
       .select(col("window.start").as("window_start"), col(keyCol),
         col("n"), col("total"))
 
+  /** Gap-based session aggregation via the NATIVE `session_window`
+    * (declarative alternative to the flatMapGroupsWithState
+    * [[sessionize]]): Catalyst manages session state merging in the
+    * state store — no user state code, and the same call works in
+    * batch. Prefer this form when the per-session output is an
+    * aggregate; drop to [[sessionize]] only for custom in-session
+    * logic the agg functions can't express.
+    */
+  def sessionWindowAgg(events: DataFrame, tsCol: String, keyCol: String,
+      valueCol: String, gap: String, watermark: String): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(session_window(col(tsCol), gap), col(keyCol))
+      .agg(count(lit(1)).as("n"), sum(col(valueCol)).as("total"))
+      .select(col(keyCol),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n"), col("total"))
+
   /** Stream-static enrichment: each micro-batch left-joins the
     * (small) static dimension, broadcast — the streaming side is never
     * shuffled, and the dimension is re-resolved per batch so a

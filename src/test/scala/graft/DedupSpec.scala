@@ -119,6 +119,29 @@ class DedupSpec extends SparkSpec {
     assert(recall >= 0.9, s"LSH recall $recall below 0.9 floor (${lsh.size}/${exact.size})")
   }
 
+  test("semantic (k-means cell) blocking recalls ≥80% of exact cosine near-dup pairs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(43)
+    def unit(v: Array[Float]): Array[Float] = {
+      val norm = math.sqrt(v.map(x => x.toDouble * x).sum)
+      v.map(x => (x / norm).toFloat)
+    }
+    val base = (1 to 120).map(i => (i.toLong, unit(Array.fill(64)(rnd.nextGaussian().toFloat))))
+    val dups = base.take(40).map { case (i, v) =>
+      (i + 1000L, unit(v.map(x => x + 0.03f * rnd.nextGaussian().toFloat)))
+    }
+    val emb = (base ++ dups).toDF("vec_id", "embedding").withColumn("one", lit(1))
+    val exact = Dedup.embeddingNearDupPairs(emb, "vec_id", "embedding", "one", 0.95)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    assert(exact.size >= 30, s"expected a meaningful ground-truth set, got ${exact.size}")
+    val sem = Dedup.semanticNearDupPairs(emb, "vec_id", "embedding",
+      dim = 64, minCos = 0.95, nCells = 8, sampleN = 160)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    assert(sem.subsetOf(exact), "cosine verification makes precision exact")
+    val recall = sem.size.toDouble / exact.size
+    assert(recall >= 0.8, s"semantic recall $recall below 0.8 floor (${sem.size}/${exact.size})")
+  }
+
   test("connectedComponents: chains collapse to min-id clusters") {
     import spark.implicits._
     // components: {1,2,3,4} via chain, {10,11}, singleton edges only

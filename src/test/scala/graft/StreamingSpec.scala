@@ -51,6 +51,31 @@ class StreamingSpec extends SparkSpec {
     assert(rows.contains(("2026-01-01 11:00:00.0", "view", 1L, 5.0)))
   }
 
+  test("sessionWindowAgg merges events within the gap, splits beyond it (native session_window)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, Long, Double)]
+    val df = mem.toDF().toDF("ts", "user_id", "value")
+    val agg = Refresh.sessionWindowAgg(df, "ts", "user_id", "value",
+      gap = "10 minutes", watermark = "2 hours")
+    // session_window requires Append/Complete in streaming; Complete keeps all results visible
+    val q = agg.writeStream.format("memory").queryName("sw").outputMode(OutputMode.Complete).start()
+    mem.addData(
+      (Timestamp.valueOf("2026-01-01 10:00:00"), 1L, 1.0),
+      (Timestamp.valueOf("2026-01-01 10:05:00"), 1L, 2.0),  // same session (≤ 10 min gap)
+      (Timestamp.valueOf("2026-01-01 10:30:00"), 1L, 4.0),  // new session (25 min gap)
+      (Timestamp.valueOf("2026-01-01 10:02:00"), 2L, 8.0))
+    q.processAllAvailable()
+    val rows = spark.table("sw").collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Timestamp]("session_start").toString,
+        r.getAs[Long]("n"), r.getAs[Double]("total"))).toSet
+    q.stop()
+    assert(rows == Set(
+      (1L, "2026-01-01 10:00:00.0", 2L, 3.0),
+      (1L, "2026-01-01 10:30:00.0", 1L, 4.0),
+      (2L, "2026-01-01 10:02:00.0", 1L, 8.0)))
+  }
+
   test("intervalJoin attributes purchases to clicks within the lookback window") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

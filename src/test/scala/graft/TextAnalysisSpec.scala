@@ -154,4 +154,59 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(0).getString(0) == "caf\u00e9")
     assert(out(1).isNullAt(0))
   }
+
+  test("repetitionStats: hand-computed values on crafted docs") {
+    import spark.implicits._
+    val docs = Seq(
+      // 1: "a b a b a b" \u2014 6 tokens {a,b}, bigrams: [a b, b a, a b, b a, a b]
+      //    top bigram "a b" \u00d73 \u2192 6/6=1.0; trigrams 4, distinct 2 \u2192 dup 0.5
+      (1L, "a b a b a b"),
+      // 2: all distinct tokens, no repeated grams
+      (2L, "one two three four five"),
+      // 3: single token \u2014 no bigrams/trigrams, dup_token 0
+      (3L, "solo"),
+      // 4: same token \u00d74 \u2014 dup_token 0.75, one distinct bigram \u00d73 \u2192 1.5 capped? no: 2*3/4=1.5
+      (4L, "x x x x")).toDF("doc_id", "text")
+    val r = TextAnalysis.repetitionStats(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    val d1 = r(0)
+    assert(d1.getLong(1) == 6L)
+    assert(math.abs(d1.getDouble(2) - (1.0 - 2.0 / 6.0)) < 1e-6)
+    assert(math.abs(d1.getDouble(3) - 1.0) < 1e-6)       // 3*2/6
+    assert(math.abs(d1.getDouble(4) - 0.5) < 1e-6)       // 4 tri, 2 distinct
+    val d2 = r(1)
+    assert(d2.getDouble(2) == 0.0 && d2.getDouble(4) == 0.0)
+    assert(math.abs(d2.getDouble(3) - 2.0 / 5.0) < 1e-6) // all bigrams \u00d71
+    val d3 = r(2)
+    assert(d3.getLong(1) == 1L && d3.getDouble(3) == 0.0 && d3.getDouble(4) == 0.0)
+    val d4 = r(3)
+    assert(math.abs(d4.getDouble(2) - 0.75) < 1e-6)
+    assert(math.abs(d4.getDouble(3) - 1.5) < 1e-6)       // "x x" \u00d73, 2*3/4
+    assert(math.abs(d4.getDouble(4) - 0.5) < 1e-6)       // 2 tri, 1 distinct
+  }
+
+  test("maxRunLength finds the longest equal-run of a sorted array") {
+    import spark.implicits._
+    val r = Seq(Tuple1(Seq("a", "a", "b", "b", "b", "c")), Tuple1(Seq("z")), Tuple1(Seq.empty[String]))
+      .toDF("arr")
+      .select(TextAnalysis.maxRunLength(col("arr"))).collect()
+    assert(r(0).getLong(0) == 3L)
+    assert(r(1).getLong(0) == 1L)
+    assert(r(2).getLong(0) == 0L)
+  }
+
+  test("sourceDivergence: zero for identical distributions, bounded JS, KL \u2265 JS-consistent") {
+    import spark.implicits._
+    // two groups with IDENTICAL token distributions \u2192 kl = js = 0
+    val same = Seq(("g1", "a b c"), ("g2", "a b c")).toDF("source", "text")
+    val r0 = TextAnalysis.sourceDivergence(same, "text", "source").collect()
+    assert(r0.forall(row => math.abs(row.getDouble(1)) < 1e-9 && math.abs(row.getDouble(2)) < 1e-9))
+    // disjoint vocabularies \u2192 maximal drift: js near its per-group bound, kl > 0
+    val disj = Seq(("g1", "a a a"), ("g2", "b b b")).toDF("source", "text")
+    val r1 = TextAnalysis.sourceDivergence(disj, "text", "source").collect()
+    r1.foreach { row =>
+      assert(row.getDouble(1) > 0.0)                      // kl
+      assert(row.getDouble(2) > 0.0 && row.getDouble(2) <= math.log(2.0) + 1e-9) // js \u2208 (0, ln2]
+    }
+  }
 }
