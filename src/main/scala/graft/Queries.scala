@@ -1852,6 +1852,34 @@ object Queries {
         ORDER BY o_totalprice DESC, o_orderkey LIMIT 1) l
       ORDER BY c.c_custkey"""))
 
+  /** The SAME as-of semantics as q19 through the custom Catalyst
+    * operator (graft.plans.AsOfJoin → AsOfJoinExec, the tier-(c)
+    * whole-operator extension path): hash each side on its own key,
+    * local (key, time) sorts, one streaming merge pass per partition.
+    * Oracled against DuckDB's native ASOF JOIN like q19 — two
+    * implementations, one ground truth.
+    */
+  val q49AsOfNative: QueryDef = QueryDef("q49_asof_native",
+    (s, dir) => {
+      val ev = t(s, dir, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .groupBy(col("user_id").as("c_uid"), col("ts").as("click_ts"))
+        .agg(max(col("value")).as("click_value"))
+      AsOf.nativeAsOf(purchases, clicks, "user_id", "ts", "c_uid", "click_ts")
+        .select(col("event_id"), col("user_id"),
+          col("r_click_ts").as("click_ts"),
+          col("r_click_value").as("click_value"))
+        .orderBy(col("event_id"))
+    },
+    Some("""WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+      c AS (SELECT user_id AS c_uid, ts AS click_ts, MAX(value) AS click_value
+        FROM events WHERE event_type = 'click' GROUP BY 1, 2)
+      SELECT p.event_id, p.user_id, c.click_ts, c.click_value
+      FROM p ASOF LEFT JOIN c ON p.user_id = c.c_uid AND p.ts >= c.click_ts
+      ORDER BY p.event_id"""))
+
   /** First-/last-touch attribution: the arg-min/arg-max-by-time
     * pattern as ONE struct-ordered aggregation per user — no
     * row_number window (which would shuffle every event into per-user
@@ -1892,7 +1920,7 @@ object Queries {
     q30Scd2, q31Latest, q32Stats, q33Histogram, q34NullSafeJoin,
     q35AggZoo, q36Zorder, q37MomGrowth, q38Funnel, q39Retention,
     q40UnionByName, q41Share, q42Profile, q43Winsorize, q44TableDiff,
-    q45ArrayHof, q46Concurrency, q47Lateral, q48Attribution,
+    q45ArrayHof, q46Concurrency, q47Lateral, q48Attribution, q49AsOfNative,
     etlMergeUpsert,
     graphPageRank, curateWeightedSample,
     etlUnionSources, etlValidate, etlCleanTransform, etlQualityReport,

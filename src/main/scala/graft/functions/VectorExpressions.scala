@@ -155,5 +155,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[UnicodeNormalize].getName, "unicode_normalize"),
       (args: Seq[Expression]) => UnicodeNormalize(args(0),
         args(1).eval().toString)))
+    // whole-operator extension: AsOfJoin logical node → AsOfJoinExec
+    ext.injectPlannerStrategy(_ => graft.plans.GraftStrategy)
   }
 }

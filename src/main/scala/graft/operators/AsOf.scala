@@ -64,4 +64,46 @@ object AsOf {
       .select((left.columns.map(c => col(s"__row.$c").as(c)) :+
         when(withinTol, col("__m.__v")).as(payloadName)).toIndexedSeq: _*)
   }
+
+  /** Native as-of join through the custom Catalyst operator
+    * (graft.plans.AsOfJoin → AsOfJoinExec): attaches ALL right
+    * columns (prefixed `rightPrefix`) of the latest right row
+    * at-or-before (backward) / earliest at-or-after (forward) each
+    * left row's time, same key, optional tolerance — nulls when no
+    * match. Same semantics as [[lastValueAsOf]] (inclusive ties),
+    * different physical plan: each side shuffles on its own key and
+    * sorts locally, then one streaming merge pass per partition —
+    * no union row-widening, no window state. See AsOfJoinPlan.scala.
+    *
+    * `right` must be unique per (key, time) — same contract as
+    * [[lastValueAsOf]]. Right rows with null key/time are dropped
+    * (unmatchable by definition).
+    */
+  def nativeAsOf(left: DataFrame, right: DataFrame,
+      leftKey: String, leftTime: String,
+      rightKey: String, rightTime: String,
+      rightPrefix: String = "r_",
+      direction: String = "backward", toleranceMs: Long = 0L): DataFrame = {
+    require(direction == "backward" || direction == "forward",
+      s"direction must be backward|forward, got $direction")
+    val sign = if (direction == "forward") -1L else 1L
+    // sign-adjusted epoch-millis time attrs for the exec's
+    // "at-or-before on ascending longs" merge
+    val l2 = left.select(
+      (col(leftKey).as("__lk") +:
+        (unix_millis(col(leftTime).cast("timestamp")) * sign).as("__lt") +:
+        left.columns.map(col).toIndexedSeq): _*)
+    val r2 = right
+      .filter(col(rightKey).isNotNull && col(rightTime).isNotNull)
+      .select(
+        (col(rightKey).as("__rk") +:
+          (unix_millis(col(rightTime).cast("timestamp")) * sign).as("__rt") +:
+          right.columns.map(c => col(c).as(s"$rightPrefix$c")).toIndexedSeq): _*)
+    val spark = left.sparkSession
+    graft.plans.AsOfJoinPlan.dataFrame(spark,
+        l2.queryExecution.analyzed, r2.queryExecution.analyzed,
+        "__lk", "__lt", "__rk", "__rt", toleranceMs)
+      .select((left.columns.map(col) ++
+        right.columns.map(c => col(s"$rightPrefix$c"))).toIndexedSeq: _*)
+  }
 }

@@ -69,4 +69,67 @@ class AsOfSpec extends SparkSpec {
     val row = out.collect().head
     assert(row.getAs[String]("tag") == "a" && row.getAs[Double]("v") == 9.0)
   }
+
+  test("nativeAsOf (custom exec): inclusive backward matches, null before-any and no-key") {
+    import spark.implicits._
+    val trades = Seq(
+      (1L, 100L, ts("2026-01-01 10:00:00")),
+      (2L, 100L, ts("2026-01-01 10:05:00")),
+      (3L, 100L, ts("2026-01-01 09:00:00")),
+      (4L, 200L, ts("2026-01-01 10:00:00"))
+    ).toDF("trade_id", "sym", "t")
+    val quotes = Seq(
+      (100L, ts("2026-01-01 10:00:00"), 1.5),
+      (100L, ts("2026-01-01 10:03:00"), 2.5)
+    ).toDF("sym", "qt", "px")
+    val out = AsOf.nativeAsOf(trades, quotes, "sym", "t", "sym", "qt")
+      .collect().map(r => r.getAs[Long]("trade_id") -> Option(r.getAs[Any]("r_px"))).toMap
+    assert(out(1L).contains(1.5))
+    assert(out(2L).contains(2.5))
+    assert(out(3L).isEmpty)
+    assert(out(4L).isEmpty)
+  }
+
+  test("nativeAsOf: forward direction and tolerance match the union-merge form") {
+    import spark.implicits._
+    val orders = Seq(
+      (1L, 100L, ts("2026-01-01 10:00:00")),
+      (2L, 100L, ts("2026-01-01 10:01:00")),
+      (3L, 100L, ts("2026-01-01 12:00:00"))
+    ).toDF("order_id", "sym", "t")
+    val fills = Seq(
+      (100L, ts("2026-01-01 09:00:00"), 1.0),
+      (100L, ts("2026-01-01 10:01:00"), 2.0),
+      (100L, ts("2026-01-01 10:30:00"), 3.0)
+    ).toDF("sym", "ft", "fx")
+    val fwd = AsOf.nativeAsOf(orders, fills, "sym", "t", "sym", "ft",
+        direction = "forward")
+      .collect().map(r => r.getAs[Long]("order_id") -> Option(r.getAs[Any]("r_fx"))).toMap
+    assert(fwd(1L).contains(2.0))
+    assert(fwd(2L).contains(2.0))
+    assert(fwd(3L).isEmpty)
+    val tol = AsOf.nativeAsOf(orders, fills, "sym", "t", "sym", "ft",
+        toleranceMs = 2 * 60 * 1000L)
+      .collect().map(r => r.getAs[Long]("order_id") -> Option(r.getAs[Any]("r_fx"))).toMap
+    assert(tol(1L).isEmpty)
+    assert(tol(2L).contains(2.0))
+  }
+
+  test("nativeAsOf ≡ lastValueAsOf on the events corpus (differential)") {
+    val dir = "/root/testdata/sf0.001"
+    val ev = Tables(spark, dir, "events")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .groupBy(col("user_id").as("c_uid"), col("ts").as("click_ts"))
+      .agg(max(col("value")).as("click_value"))
+    val union = AsOf.lastValueAsOf(purchases, clicks,
+        "user_id", "ts", "c_uid", "click_ts",
+        struct(col("click_ts"), col("click_value")), "asof")
+      .select(col("event_id"), col("asof.click_value").as("click_value"))
+    val native = AsOf.nativeAsOf(purchases, clicks, "user_id", "ts", "c_uid", "click_ts")
+      .select(col("event_id"), col("r_click_value").as("click_value"))
+    assert(native.count() == purchases.count())
+    assert(union.exceptAll(native).isEmpty && native.exceptAll(union).isEmpty)
+  }
 }

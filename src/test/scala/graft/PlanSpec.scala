@@ -124,6 +124,17 @@ class PlanSpec extends SparkSpec {
       s"selective shuffle-join side should inject a runtime bloom filter:\n$p")
   }
 
+  test("q49: custom AsOfJoinExec plans — two key-hash exchanges, local sorts only") {
+    val df = Queries.q49AsOfNative.fn(cold, sf("any"))
+    df.write.format("noop").mode("overwrite").save() // AQE-final plan
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("AsOfJoin"), s"custom exec should plan:\n$p")
+    // both as-of inputs sort LOCALLY (global=false) — the only global
+    // sort allowed is the final presentation ORDER BY event_id
+    val localSorts = p.linesIterator.count(l => l.contains("Sort [__") && l.contains("false, 0"))
+    assert(localSorts >= 2, s"expected two local (key,time) sorts:\n$p")
+  }
+
   test("decontaminate: eval gram side broadcasts into the semi join") {
     val docs = Tables(cold, sf("documents"), "documents")
     val df = graft.operators.Curation.contaminatedIds(
