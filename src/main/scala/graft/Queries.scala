@@ -1911,6 +1911,94 @@ object Queries {
           THEN CAST(value AS DECIMAL(12,2)) ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE) AS purchase_value
       FROM r GROUP BY user_id ORDER BY user_id"""))
 
+  /** Sliding (hopping) time windows over events — the native
+    * `window(ts, duration, slide)` generator: each event lands in
+    * duration/slide = 4 windows, expanded MAP-SIDE by the codegen'd
+    * window expression (no join against a window table), then one
+    * partial-aggregated shuffle on (window, type). The DuckDB oracle
+    * derives the same 4 window starts per event arithmetically
+    * (time_bucket − k·slide; both engines align 30-min grids to the
+    * epoch, so the buckets agree exactly).
+    */
+  val q50Sliding: QueryDef = QueryDef("q50_sliding_window",
+    (s, dir) => t(s, dir, "events")
+      .groupBy(window(col("ts"), "2 hours", "30 minutes").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(dec(col("value"))).cast(DoubleType).as("total"))
+      .select(col("w.start").as("window_start"), col("event_type"),
+        col("n"), col("total"))
+      .orderBy(col("window_start"), col("event_type")),
+    Some("""SELECT time_bucket(INTERVAL 30 MINUTES, ts) - k.k * INTERVAL 30 MINUTES AS window_start,
+      event_type, COUNT(*) AS n, CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total
+      FROM events CROSS JOIN (VALUES (0), (1), (2), (3)) AS k(k)
+      GROUP BY 1, 2 ORDER BY window_start, event_type"""))
+
+  /** C4 page-heuristic stats per document (operator doc:
+    * TextAnalysis.c4Stats). On this single-line corpus the line
+    * measures are degenerate (1 line, nothing keepable) — the oracle
+    * still hash-verifies the full computation; capability on real
+    * multi-line pages is asserted in TextAnalysisSpec.
+    */
+  val textC4: QueryDef = QueryDef("text_c4",
+    (s, dir) => TextAnalysis.c4Stats(t(s, dir, "documents"), "doc_id", "text")
+      .orderBy(col("doc_id")),
+    Some("""WITH t AS (SELECT doc_id, lower(text) AS lo, string_split(text, chr(10)) AS lines
+        FROM documents),
+      k AS (SELECT doc_id, lo, lines,
+        list_filter(lines, l -> len(string_split(regexp_replace(trim(l), '\s+', ' ', 'g'), ' ')) >= 5
+          AND regexp_matches(trim(l), '[.!?"]$')) AS keeps
+        FROM t)
+      SELECT doc_id,
+        CAST(len(lines) AS BIGINT) AS n_lines,
+        CAST(len(keeps) AS BIGINT) AS n_kept_lines,
+        round(CAST(len(keeps) AS DOUBLE) / len(lines), 6) AS kept_line_frac,
+        contains(lo, 'lorem ipsum') AS has_lorem,
+        contains(lo, '{') AS has_brace,
+        contains(lo, 'javascript') AS has_javascript,
+        (len(keeps) >= 3 AND NOT contains(lo, 'lorem ipsum')
+          AND NOT contains(lo, '{') AND NOT contains(lo, 'javascript')) AS keep
+      FROM k ORDER BY doc_id"""))
+
+  /** Deequ-style constraint suite over orders (operator doc:
+    * operators.Constraints): four single-scan metrics in ONE
+    * aggregation job plus a broadcast referential-integrity check
+    * against customer.
+    */
+  val etlConstraints: QueryDef = QueryDef("etl_constraints",
+    (s, dir) => {
+      import Constraints._
+      val base = report(t(s, dir, "orders"), Seq(
+        Check("completeness_custkey", completeness(col("o_custkey")), 1.0, 1.0),
+        Check("uniqueness_orderkey", uniqueness(col("o_orderkey")), 1.0, 1.0),
+        Check("min_totalprice", min(col("o_totalprice")).cast(DoubleType), 0.0, 1e18),
+        Check("status_domain", containment(col("o_orderstatus"), Seq("F", "O", "P")), 1.0, 1.0)))
+      val ref = containedIn(t(s, dir, "orders"), "o_custkey",
+        t(s, dir, "customer"), "c_custkey", "ref_custkey_in_customer")
+      base.unionByName(ref).orderBy(col("check_name"))
+    },
+    Some("""WITH m AS (SELECT
+        round(avg(CASE WHEN o_custkey IS NOT NULL THEN 1.0 ELSE 0.0 END), 6) AS completeness_custkey,
+        round(CAST(COUNT(DISTINCT o_orderkey) AS DOUBLE) / COUNT(o_orderkey), 6) AS uniqueness_orderkey,
+        round(CAST(MIN(o_totalprice) AS DOUBLE), 6) AS min_totalprice,
+        round(avg(CASE WHEN o_orderstatus IN ('F','O','P') THEN 1.0
+          WHEN o_orderstatus IS NULL THEN 1.0 ELSE 0.0 END), 6) AS status_domain
+        FROM orders),
+      r AS (SELECT round(avg(CASE WHEN o.o_custkey IS NULL OR c.c_custkey IS NOT NULL
+          THEN 1.0 ELSE 0.0 END), 6) AS metric
+        FROM orders o LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c
+          ON o.o_custkey = c.c_custkey)
+      SELECT * FROM (
+        SELECT 'completeness_custkey' AS check_name, completeness_custkey AS metric,
+          completeness_custkey >= 1.0 AND completeness_custkey <= 1.0 AS passed FROM m
+        UNION ALL SELECT 'uniqueness_orderkey', uniqueness_orderkey,
+          uniqueness_orderkey >= 1.0 AND uniqueness_orderkey <= 1.0 FROM m
+        UNION ALL SELECT 'min_totalprice', min_totalprice,
+          min_totalprice >= 0.0 AND min_totalprice <= 1e18 FROM m
+        UNION ALL SELECT 'status_domain', status_domain,
+          status_domain >= 1.0 AND status_domain <= 1.0 FROM m
+        UNION ALL SELECT 'ref_custkey_in_customer', metric, metric >= 1.0 FROM r
+      ) ORDER BY check_name"""))
+
   val all: Seq[QueryDef] = Seq(
     q1Agg, q2Filter, q3Join, q4Semi, q5Multi, q6Window, q7TopK, q8Distinct,
     q9Rollup, q10Pivot, q11Anti, q12Expr, q13Percentiles, q14Subquery,
@@ -1921,12 +2009,13 @@ object Queries {
     q35AggZoo, q36Zorder, q37MomGrowth, q38Funnel, q39Retention,
     q40UnionByName, q41Share, q42Profile, q43Winsorize, q44TableDiff,
     q45ArrayHof, q46Concurrency, q47Lateral, q48Attribution, q49AsOfNative,
-    etlMergeUpsert,
+    q50Sliding,
+    etlMergeUpsert, etlConstraints,
     graphPageRank, curateWeightedSample,
     etlUnionSources, etlValidate, etlCleanTransform, etlQualityReport,
     etlCsvProjection, etlFreshness,
     textTokens, textQuality, textLangId, textFingerprint, textVocab, textLogProb,
-    textBm25, textNormalize, textRepetition, textDivergence,
+    textBm25, textNormalize, textRepetition, textDivergence, textC4,
     curateMixture, curatePack, curateTake, curateDecontaminate, textRedact,
     dedupExact, dedupNgramJaccard, dedupEditDist, dedupClusterCc, dedupMinhash, dedupSimhash, dedupEmbedding,
     dedupSemantic,

@@ -289,6 +289,40 @@ object TextAnalysis {
           sum(col("q") * ln(col("q") / col("m"))) / 2.0, 6).as("js"))
   }
 
+  /** C4-style page heuristics (Raffel et al. 2020 §2.2), per document:
+    * line counts, the fraction of lines that are "keepable" (≥ 5 words
+    * AND terminal punctuation — C4 keeps only such lines), boilerplate
+    * flags (lorem ipsum / curly brace / "javascript"), and the page
+    * keep decision (≥ 3 keepable lines, no boilerplate flags).
+    *
+    * Scale shape: ENTIRELY map-side — split + HOF filters over the
+    * line array, no explode, no shuffle; at 100 TB this is another
+    * scan-speed leg of the quality-filter pass. The line array is
+    * projected once (bound attribute) so the interpreted lambda never
+    * re-splits per probe.
+    */
+  def c4Stats(docs: org.apache.spark.sql.DataFrame, id: String,
+      text: String): org.apache.spark.sql.DataFrame = {
+    val lower = org.apache.spark.sql.functions.lower(col(text))
+    docs.select(col(id), lower.as("__lo"),
+        split(col(text), "\n").as("__lines"))
+      .withColumn("__keep_lines", filter(col("__lines"), l =>
+        (size(split(trim(l), "\\s+")) >= 5) &&
+          regexp_like(trim(l), lit("[.!?\"]$"))))
+      .select(col(id),
+        size(col("__lines")).cast(LongType).as("n_lines"),
+        size(col("__keep_lines")).cast(LongType).as("n_kept_lines"),
+        round(size(col("__keep_lines")).cast(DoubleType) /
+          size(col("__lines")).cast(DoubleType), 6).as("kept_line_frac"),
+        col("__lo").contains("lorem ipsum").as("has_lorem"),
+        col("__lo").contains("{").as("has_brace"),
+        col("__lo").contains("javascript").as("has_javascript"),
+        (size(col("__keep_lines")) >= 3 &&
+          !col("__lo").contains("lorem ipsum") &&
+          !col("__lo").contains("{") &&
+          !col("__lo").contains("javascript")).as("keep"))
+  }
+
   /** Canonical md5 fingerprint (content-addressed dedup key). */
   def fingerprintMd5(text: Column): Column = md5(normalized(text))
 

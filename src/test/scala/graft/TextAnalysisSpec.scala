@@ -209,4 +209,30 @@ class TextAnalysisSpec extends SparkSpec {
       assert(row.getDouble(2) > 0.0 && row.getDouble(2) <= math.log(2.0) + 1e-9) // js \u2208 (0, ln2]
     }
   }
+
+  test("c4Stats: keeps a clean multi-line page, flags boilerplate pages") {
+    import spark.implicits._
+    val clean = Seq(
+      "The quick brown fox jumped over the lazy dog today.",
+      "It was a bright cold day in April and the clocks were striking.",
+      "Every good sentence in this page ends with proper punctuation marks.").mkString("\n")
+    val boiler = Seq(
+      "function init() { return 42; }",
+      "Enable JavaScript to view this page properly and completely.",
+      "Lorem ipsum dolor sit amet consectetur adipiscing elit sed do.").mkString("\n")
+    val shortLines = Seq("Buy now.", "Click here!", "Sale today.").mkString("\n")
+    val df = Seq((1L, clean), (2L, boiler), (3L, shortLines)).toDF("doc_id", "text")
+    val r = TextAnalysis.c4Stats(df, "doc_id", "text")
+      .collect().map(row => row.getAs[Long]("doc_id") -> row).toMap
+    assert(r(1L).getAs[Long]("n_lines") == 3L)
+    assert(r(1L).getAs[Long]("n_kept_lines") == 3L)
+    assert(r(1L).getAs[Boolean]("keep"))
+    assert(r(2L).getAs[Boolean]("has_brace"))
+    assert(r(2L).getAs[Boolean]("has_javascript"))
+    assert(r(2L).getAs[Boolean]("has_lorem"))
+    assert(!r(2L).getAs[Boolean]("keep"))
+    // short lines (< 5 words) are not keepable even with terminal punctuation
+    assert(r(3L).getAs[Long]("n_kept_lines") == 0L)
+    assert(!r(3L).getAs[Boolean]("keep"))
+  }
 }
