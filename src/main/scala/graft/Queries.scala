@@ -1999,6 +1999,45 @@ object Queries {
         UNION ALL SELECT 'ref_custkey_in_customer', metric, metric >= 1.0 FROM r
       ) ORDER BY check_name"""))
 
+  /** Mergeable HLL sketch state (operator doc: operators.Sketches):
+    * per-flag distinct-part sketches, `__all__` rollup merged FROM THE
+    * SKETCHES (no second scan). Rows-only (estimates aren't
+    * oracle-stable); ±5% accuracy vs exact asserted in SketchSpec.
+    */
+  val sketchHllMerge: QueryDef = QueryDef("sketch_hll_merge",
+    (s, dir) => Sketches.hllRollup(t(s, dir, "lineitem"), "l_returnflag", "l_partkey"),
+    None)
+
+  /** Theta-sketch set algebra: clicking vs purchasing user
+    * populations — |A|, |B|, union, intersection, difference
+    * estimated purely in sketch space (theta is the one sketch family
+    * with intersect/difference). Rows-only; accuracy spec'd.
+    */
+  val sketchTheta: QueryDef = QueryDef("sketch_theta",
+    (s, dir) => Sketches.thetaSetOps(t(s, dir, "events"), "user_id",
+      col("event_type") === "click", col("event_type") === "purchase"),
+    None)
+
+  /** Mergeable KLL quantile sketches: per-flag price quantiles plus
+    * the `__all__` row merged from the group sketches. Rows-only;
+    * rank-error bound vs exact percentiles asserted in SketchSpec.
+    */
+  val sketchKllMerge: QueryDef = QueryDef("sketch_kll_merge",
+    (s, dir) => Sketches.kllQuantiles(t(s, dir, "lineitem"),
+      "l_returnflag", "l_extendedprice"),
+    None)
+
+  /** Mergeable heavy hitters: per-day approx_top_k states combined
+    * into the corpus top event types. Tracked capacity exceeds the
+    * key cardinality here, so the combined counts are exact —
+    * asserted against the plain group-by in SketchSpec.
+    */
+  val sketchTopKMerge: QueryDef = QueryDef("sketch_topk_merge",
+    (s, dir) => Sketches.topKCombined(
+      t(s, dir, "events").withColumn("day", to_date(col("ts"))),
+      "day", "event_type", k = 5, maxTracked = 64),
+    None)
+
   val all: Seq[QueryDef] = Seq(
     q1Agg, q2Filter, q3Join, q4Semi, q5Multi, q6Window, q7TopK, q8Distinct,
     q9Rollup, q10Pivot, q11Anti, q12Expr, q13Percentiles, q14Subquery,
@@ -2020,5 +2059,6 @@ object Queries {
     dedupExact, dedupNgramJaccard, dedupEditDist, dedupClusterCc, dedupMinhash, dedupSimhash, dedupEmbedding,
     dedupSemantic,
     annBruteForce, annLsh, annIvf, mmMetadata, mmDecode,
-    sketchHll, sketchQuantiles, sketchCms, sketchFreq)
+    sketchHll, sketchQuantiles, sketchCms, sketchFreq,
+    sketchHllMerge, sketchTheta, sketchKllMerge, sketchTopKMerge)
 }

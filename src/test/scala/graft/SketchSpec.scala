@@ -72,4 +72,63 @@ class SketchSpec extends SparkSpec {
     assert(found.contains("hot") && found.contains("warm"),
       s"heavy hitters must be present, got $found")
   }
+
+  test("hllRollup: per-group and merged-from-sketches estimates within 5% of exact") {
+    val dir = sf("lineitem")
+    val li = Tables(spark, dir, "lineitem")
+    val est = Queries.sketchHllMerge.fn(spark, dir)
+      .collect().map(r => r.getString(0) -> r.getLong(1).toDouble).toMap
+    val exact = li.groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_partkey")).as("ex"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exactAll = li.select(countDistinct(col("l_partkey"))).collect().head.getLong(0)
+    exact.foreach { case (g, ex) =>
+      assert(math.abs(est(g) - ex) / ex <= 0.05, s"group $g: ${est(g)} vs $ex")
+    }
+    assert(math.abs(est("__all__") - exactAll) / exactAll <= 0.05,
+      s"merged: ${est("__all__")} vs $exactAll")
+  }
+
+  test("thetaSetOps: set-algebra estimates within 5% of exact user-set algebra") {
+    val dir = sf("events")
+    val ev = Tables(spark, dir, "events")
+    val r = Queries.sketchTheta.fn(spark, dir).collect().head
+    val a = ev.filter(col("event_type") === "click")
+      .select(col("user_id")).distinct().collect().map(_.getLong(0)).toSet
+    val b = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id")).distinct().collect().map(_.getLong(0)).toSet
+    def ok(est: Double, ex: Int, what: String): Unit =
+      assert(ex == 0 || math.abs(est - ex) / ex <= 0.05, s"$what: $est vs $ex")
+    ok(r.getAs[Long]("approx_a").toDouble, a.size, "A")
+    ok(r.getAs[Long]("approx_b").toDouble, b.size, "B")
+    ok(r.getAs[Long]("approx_union").toDouble, (a ++ b).size, "A∪B")
+    ok(r.getAs[Long]("approx_intersect").toDouble, (a & b).size, "A∩B")
+    ok(r.getAs[Long]("approx_a_minus_b").toDouble, (a -- b).size, "A\\B")
+  }
+
+  test("kllQuantiles: merged p50 lands within 3% rank error of the distribution") {
+    val dir = sf("lineitem")
+    val li = Tables(spark, dir, "lineitem")
+    val est = Queries.sketchKllMerge.fn(spark, dir)
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap // p50
+    // rank of the estimated median must be within 0.5 ± 0.03 (KLL
+    // k=200 guarantees ~1.7% two-sided rank error at 99% confidence)
+    val n = li.count().toDouble
+    val below = li.filter(col("l_extendedprice") <= est("__all__")).count().toDouble
+    assert(math.abs(below / n - 0.5) <= 0.03,
+      s"merged p50 ${est("__all__")} sits at rank ${below / n}")
+  }
+
+  test("topKCombined: combined per-day states reproduce the exact type counts") {
+    val dir = sf("events")
+    val ev = Tables(spark, dir, "events")
+    val est = Queries.sketchTopKMerge.fn(spark, dir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = ev.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // tracked capacity (64) ≥ distinct types → counts are exact
+    exact.toSeq.sortBy(-_._2).take(5).foreach { case (k, v) =>
+      assert(est.get(k).contains(v), s"$k: est ${est.get(k)} vs exact $v")
+    }
+  }
 }
