@@ -28,9 +28,14 @@ object Sketches {
     */
   def hllRollup(df: DataFrame, group: String, key: String,
       lgK: Int = 12): DataFrame = {
+    // persist the sketch table (O(groups) rows of ~2.5 KB binaries):
+    // both the per-group readout and the merged rollup read it, and at
+    // scale THIS is the frame you'd write to storage and re-merge
+    // incrementally — the data is scanned exactly once
     val perGroup = df.groupBy(col(group).as("grp"))
       .agg(expr(s"hll_sketch_agg($key, $lgK)").as("sk"),
         count(lit(1)).as("n_rows"))
+      .persist()
     val groups = perGroup.select(col("grp"),
       expr("hll_sketch_estimate(sk)").as("approx_distinct"), col("n_rows"))
     val merged = perGroup.agg(
@@ -71,6 +76,7 @@ object Sketches {
       k: Int = 200): DataFrame = {
     val perGroup = df.groupBy(col(group).as("grp"))
       .agg(expr(s"kll_sketch_agg_double(CAST($value AS DOUBLE), $k)").as("sk"))
+      .persist() // same sketch-table pattern as hllRollup
     def qs(skCol: String) = Seq(0.25, 0.5, 0.75).map(q =>
       expr(s"kll_sketch_get_quantile_double($skCol, CAST($q AS DOUBLE))")
         .as(s"p${(q * 100).toInt}"))

@@ -45,6 +45,24 @@ object Refresh {
       .select(col("window.start").as("window_start"), col(keyCol),
         col("n"), col("total"))
 
+  /** Streaming incremental distinct-count per window: the aggregation
+    * state IS a mergeable HLL sketch binary (see operators.Sketches
+    * for the batch rollup twin), so state size per window is ~2.5 KB
+    * regardless of cardinality — the streaming form of "distinct
+    * users per hour" that a count-distinct cannot express
+    * incrementally (exact distinct state grows O(users)).
+    */
+  def windowedDistinct(events: DataFrame, tsCol: String, keyCol: String,
+      windowLen: String, watermark: String, lgK: Int = 12): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), windowLen))
+      .agg(expr(s"hll_sketch_agg($keyCol, $lgK)").as("sk"),
+        count(lit(1)).as("n_events"))
+      .select(col("window.start").as("window_start"),
+        expr("hll_sketch_estimate(sk)").as("approx_distinct"),
+        col("n_events"))
+
   /** Gap-based session aggregation via the NATIVE `session_window`
     * (declarative alternative to the flatMapGroupsWithState
     * [[sessionize]]): Catalyst manages session state merging in the

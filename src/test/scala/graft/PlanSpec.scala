@@ -135,6 +135,40 @@ class PlanSpec extends SparkSpec {
     assert(localSorts >= 2, s"expected two local (key,time) sorts:\n$p")
   }
 
+  test("q50: sliding windows expand map-side — one data shuffle, no window-table join") {
+    val p = plan(q(Queries.q50Sliding))
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(shuffles == 1, s"window expansion must be map-side (explode), got $shuffles shuffles:\n$p")
+    assert(!p.contains("Join"), s"no join against a generated window table:\n$p")
+    assert(p.contains("partial_"), s"partial agg before the shuffle:\n$p")
+  }
+
+  test("etl_constraints: the four table metrics evaluate in one aggregation pass") {
+    val p = plan(Queries.etlConstraints.fn(cold, sf("any")))
+    // one scan of orders for the metric block (the referential check
+    // legitimately scans orders once more for its broadcast join)
+    val ordersScans = p.linesIterator.count(l =>
+      l.contains("FileScan parquet") && l.contains("orders"))
+    assert(ordersScans <= 2, s"metrics must share one scan:\n$p")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      s"referential check must broadcast the dim keys:\n$p")
+  }
+
+  test("text_c4: pure map-side — no exchange anywhere before the presentation sort") {
+    val p = plan(graft.operators.TextAnalysis.c4Stats(
+      Tables(cold, sf("documents"), "documents"), "doc_id", "text"))
+    assert(!p.contains("Exchange"), s"C4 stats must be scan-speed map work:\n$p")
+  }
+
+  test("sketch rollups: merged __all__ estimate aggregates sketches, not the table") {
+    val df = Queries.sketchHllMerge.fn(cold, sf("any"))
+    val p = plan(df)
+    // both branches must read the persisted sketch table — the merged
+    // row comes from sketch state, the data is scanned once at build
+    assert("InMemoryTableScan".r.findAllIn(p).size >= 2,
+      s"both rollup branches should read the cached sketch frame:\n$p")
+  }
+
   test("decontaminate: eval gram side broadcasts into the semi join") {
     val docs = Tables(cold, sf("documents"), "documents")
     val df = graft.operators.Curation.contaminatedIds(

@@ -51,6 +51,34 @@ class StreamingSpec extends SparkSpec {
     assert(rows.contains(("2026-01-01 11:00:00.0", "view", 1L, 5.0)))
   }
 
+  test("windowedDistinct: HLL sketch state counts distinct users per window across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, Long)]
+    val df = mem.toDF().toDF("ts", "user_id")
+    val agg = Refresh.windowedDistinct(df, "ts", "user_id", "1 hour", "2 hours")
+    val q = agg.writeStream.format("memory").queryName("wd").outputMode(OutputMode.Update).start()
+    mem.addData(
+      (Timestamp.valueOf("2026-01-01 10:05:00"), 1L),
+      (Timestamp.valueOf("2026-01-01 10:10:00"), 2L),
+      (Timestamp.valueOf("2026-01-01 10:15:00"), 1L))
+    q.processAllAvailable()
+    // second batch: a repeat user and a new one merge INTO existing sketch state
+    mem.addData(
+      (Timestamp.valueOf("2026-01-01 10:20:00"), 2L),
+      (Timestamp.valueOf("2026-01-01 10:25:00"), 3L),
+      (Timestamp.valueOf("2026-01-01 11:05:00"), 9L))
+    q.processAllAvailable()
+    val rows = spark.table("wd").collect()
+      .map(r => r.getAs[Timestamp]("window_start").toString ->
+        (r.getAs[Long]("approx_distinct"), r.getAs[Long]("n_events")))
+      .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).maxBy(_._2) }
+    q.stop()
+    // HLL is exact at this cardinality
+    assert(rows("2026-01-01 10:00:00.0") == ((3L, 5L)))
+    assert(rows("2026-01-01 11:00:00.0") == ((1L, 1L)))
+  }
+
   test("sessionWindowAgg merges events within the gap, splits beyond it (native session_window)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
