@@ -2038,6 +2038,37 @@ object Queries {
       "day", "event_type", k = 5, maxTracked = 64),
     None)
 
+  /** Calendar-spine gap fill + forward fill (operator doc:
+    * operators.Timeseries): hourly per-type event series densified to
+    * every hour in range — missing cells get n=0/total=0 and the
+    * last observed total carried forward. 868 of 2655 cells are
+    * observed at sf0.001, so the fill paths genuinely fire.
+    */
+  val q51GapFill: QueryDef = QueryDef("q51_gapfill",
+    (s, dir) => {
+      val hourly = t(s, dir, "events")
+        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour"))
+        .agg(count(lit(1)).as("n"),
+          sum(dec(col("value"))).cast(DoubleType).as("total"))
+      Timeseries.densify(hourly, "event_type", "hour", "1 hour",
+          zeroFill = Seq("n"), ffill = Seq("total"))
+        .withColumn("total", coalesce(col("total"), lit(0.0)))
+        .select(col("event_type"), col("hour"), col("n"), col("total"),
+          col("ffill_total"))
+        .orderBy(col("event_type"), col("hour"))
+    },
+    Some("""WITH a AS (SELECT event_type, date_trunc('hour', ts) AS hour, COUNT(*) AS n,
+        CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total
+        FROM events GROUP BY 1, 2),
+      b AS (SELECT min(hour) AS h0, max(hour) AS h1 FROM a),
+      spine AS (SELECT t.event_type, g.hour FROM (SELECT DISTINCT event_type FROM events) t
+        CROSS JOIN (SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour FROM b) g)
+      SELECT s.event_type, s.hour, COALESCE(a.n, 0) AS n, COALESCE(a.total, 0.0) AS total,
+        COALESCE(last_value(a.total IGNORE NULLS) OVER (PARTITION BY s.event_type ORDER BY s.hour
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0.0) AS ffill_total
+      FROM spine s LEFT JOIN a ON s.event_type = a.event_type AND s.hour = a.hour
+      ORDER BY s.event_type, s.hour"""))
+
   val all: Seq[QueryDef] = Seq(
     q1Agg, q2Filter, q3Join, q4Semi, q5Multi, q6Window, q7TopK, q8Distinct,
     q9Rollup, q10Pivot, q11Anti, q12Expr, q13Percentiles, q14Subquery,
@@ -2048,7 +2079,7 @@ object Queries {
     q35AggZoo, q36Zorder, q37MomGrowth, q38Funnel, q39Retention,
     q40UnionByName, q41Share, q42Profile, q43Winsorize, q44TableDiff,
     q45ArrayHof, q46Concurrency, q47Lateral, q48Attribution, q49AsOfNative,
-    q50Sliding,
+    q50Sliding, q51GapFill,
     etlMergeUpsert, etlConstraints,
     graphPageRank, curateWeightedSample,
     etlUnionSources, etlValidate, etlCleanTransform, etlQualityReport,
