@@ -2069,6 +2069,27 @@ object Queries {
       FROM spine s LEFT JOIN a ON s.event_type = a.event_type AND s.hour = a.hour
       ORDER BY s.event_type, s.hour"""))
 
+  /** File-level provenance audit: every ingested row tagged with its
+    * source file via `input_file_name()`, rolled up to per-file
+    * row counts and id ranges — the lineage record a training-data
+    * pipeline keeps per shard. Reads the parquet DIRECTLY (not through
+    * Tables' cache): input_file_name() is only defined in the scan
+    * stage, so it must be projected before any repartition/persist.
+    * The oracle pins the expected basename — a broken extraction
+    * ('' or a full URI) hash-mismatches.
+    */
+  val etlProvenance: QueryDef = QueryDef("etl_provenance",
+    (s, dir) => s.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"),
+        regexp_extract(input_file_name(), "([^/]+)$", 1).as("src_file"))
+      .groupBy(col("src_file"))
+      .agg(count(lit(1)).as("n_rows"), min(col("doc_id")).as("first_id"),
+        max(col("doc_id")).as("last_id"))
+      .orderBy(col("src_file")),
+    Some("""SELECT 'documents.parquet' AS src_file, COUNT(*) AS n_rows,
+      MIN(doc_id) AS first_id, MAX(doc_id) AS last_id FROM documents
+      GROUP BY 1 ORDER BY src_file"""))
+
   val all: Seq[QueryDef] = Seq(
     q1Agg, q2Filter, q3Join, q4Semi, q5Multi, q6Window, q7TopK, q8Distinct,
     q9Rollup, q10Pivot, q11Anti, q12Expr, q13Percentiles, q14Subquery,
@@ -2080,7 +2101,7 @@ object Queries {
     q40UnionByName, q41Share, q42Profile, q43Winsorize, q44TableDiff,
     q45ArrayHof, q46Concurrency, q47Lateral, q48Attribution, q49AsOfNative,
     q50Sliding, q51GapFill,
-    etlMergeUpsert, etlConstraints,
+    etlMergeUpsert, etlConstraints, etlProvenance,
     graphPageRank, curateWeightedSample,
     etlUnionSources, etlValidate, etlCleanTransform, etlQualityReport,
     etlCsvProjection, etlFreshness,

@@ -200,6 +200,24 @@ object Similarity {
     * Pure expression work (one interpreted HOF pass per row over a
     * pre-materialized array — the §5b-safe HOF shape).
     */
+  /** Johnson–Lindenstrauss random projection: `vec` (dim `dim`) →
+    * `<vec>_rp` (dim `outDim`) through a fixed pseudo-gaussian matrix
+    * scaled 1/√outDim — the dimensionality-reduction front of a
+    * coarse-then-fine ANN pipeline (project, search cheap in k dims,
+    * re-rank exact in d dims). ENTIRELY map-side: one codegen'd
+    * `vec_dot` against a literal row per output component, no
+    * shuffle, matrix fixed by (dim, outDim, seed) so executors need
+    * no broadcast state. Distance/angle preservation is asserted
+    * empirically in SimilaritySpec (JL: ε ~ √(ln n / outDim)).
+    */
+  def randomProject(df: DataFrame, vec: String, dim: Int, outDim: Int,
+      seed: Long = 11L): DataFrame = {
+    val planes = hyperplanes(dim, outDim, seed)
+    val scale = 1.0 / math.sqrt(outDim)
+    df.withColumn(s"${vec}_rp", array(planes.toIndexedSeq.map(p =>
+      vector.dot(col(vec), typedLit(p.toSeq)) * scale): _*))
+  }
+
   def quantizeInt8(df: DataFrame, vec: String): DataFrame = {
     val scale = (array_max(transform(col(vec), x => abs(x))) / lit(127.0f)).cast("float")
     df.withColumn(s"${vec}_scale", scale)

@@ -78,4 +78,28 @@ class SimilaritySpec extends SparkSpec {
       .select(array_max(col("emb_deq"))).head().getFloat(0)
     assert(z == 0.0f)
   }
+
+  test("randomProject: 64→32 dims preserves angles within JL tolerance on real embeddings") {
+    val emb = Tables(spark, sf("embeddings"), "embeddings").limit(100)
+    def meanDev(outDim: Int): Double = {
+      val rp = Similarity.randomProject(emb, "embedding", dim = 64, outDim = outDim)
+      val a = rp.select(col("vec_id").as("ia"), col("embedding").as("va"),
+        col("embedding_rp").as("pa"))
+      val b = rp.select(col("vec_id").as("ib"), col("embedding").as("vb"),
+        col("embedding_rp").as("pb"))
+      a.crossJoin(b).filter(col("ia") < col("ib"))
+        .select(abs(vector.cosine(col("va"), col("vb")) -
+          vector.cosine(col("pa"), col("pb"))).as("d"))
+        .agg(avg(col("d"))).head().getDouble(0)
+    }
+    // JL: mean angular deviation ~ √(ln n / k) — bounded at k=32, and
+    // strictly improving as k grows
+    val (d16, d32, d48) = (meanDev(16), meanDev(32), meanDev(48))
+    assert(d32 < 0.20, s"mean cosine deviation at 32 dims: $d32")
+    assert(d16 > d32 && d32 > d48,
+      s"deviation must shrink with outDim: 16→$d16, 32→$d32, 48→$d48")
+    // output really is outDim wide
+    val rp32 = Similarity.randomProject(emb, "embedding", dim = 64, outDim = 32)
+    assert(rp32.select(size(col("embedding_rp"))).head().getInt(0) == 32)
+  }
 }
