@@ -2090,6 +2090,29 @@ object Queries {
       MIN(doc_id) AS first_id, MAX(doc_id) AS last_id FROM documents
       GROUP BY 1 ORDER BY src_file"""))
 
+  /** Corpus-wide line dedup (operator doc: Dedup.lineDedup). On this
+    * single-line corpus it degenerates to doc-level exact dedup of
+    * identical texts — the oracle hash-verifies exactly that;
+    * multi-line boilerplate removal is spec-asserted in DedupSpec.
+    */
+  val dedupLines: QueryDef = QueryDef("dedup_lines",
+    (s, dir) => Dedup.lineDedup(t(s, dir, "documents"), "doc_id", "text")
+      .orderBy(col("doc_id")),
+    Some("""WITH l AS (
+        SELECT doc_id, u.i AS pos, list_extract(lines, u.i) AS line
+        FROM (SELECT doc_id, string_split(text, chr(10)) AS lines FROM documents) t,
+          UNNEST(generate_series(1, len(lines))) AS u(i)
+        WHERE trim(list_extract(lines, u.i)) <> ''),
+      k AS (SELECT doc_id, pos, line,
+        row_number() OVER (PARTITION BY lower(trim(line)) ORDER BY doc_id, pos) AS rn
+        FROM l)
+      SELECT d.doc_id,
+        COALESCE(g.kept, '') AS text
+      FROM documents d LEFT JOIN (
+        SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS kept
+        FROM k WHERE rn = 1 GROUP BY doc_id) g ON d.doc_id = g.doc_id
+      ORDER BY d.doc_id"""))
+
   val all: Seq[QueryDef] = Seq(
     q1Agg, q2Filter, q3Join, q4Semi, q5Multi, q6Window, q7TopK, q8Distinct,
     q9Rollup, q10Pivot, q11Anti, q12Expr, q13Percentiles, q14Subquery,
@@ -2109,7 +2132,7 @@ object Queries {
     textBm25, textNormalize, textRepetition, textDivergence, textC4,
     curateMixture, curatePack, curateTake, curateDecontaminate, textRedact,
     dedupExact, dedupNgramJaccard, dedupEditDist, dedupClusterCc, dedupMinhash, dedupSimhash, dedupEmbedding,
-    dedupSemantic,
+    dedupSemantic, dedupLines,
     annBruteForce, annLsh, annIvf, mmMetadata, mmDecode,
     sketchHll, sketchQuantiles, sketchCms, sketchFreq,
     sketchHllMerge, sketchTheta, sketchKllMerge, sketchTopKMerge)

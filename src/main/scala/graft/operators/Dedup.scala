@@ -469,4 +469,37 @@ object Dedup {
       .filter(col("cos") >= minCos)
       .select("id_a", "id_b", "cos")
   }
+
+  /** CORPUS-WIDE line-level dedup (the Dolma/CCNet paragraph-dedup
+    * pass — boilerplate headers, nav bars, and license blocks repeat
+    * across pages even when no two documents are near-dups): keep the
+    * FIRST occurrence (lowest (doc, position)) of every distinct
+    * non-blank line, drop repeats everywhere else, and reassemble each
+    * document's surviving lines in order. Docs whose every line was a
+    * repeat survive with empty text (row count is preserved).
+    *
+    * Scale shape: explode to lines, ONE hash shuffle on the
+    * normalized line (the first-occurrence window partitions by line
+    * — state per partition is one winner), one shuffle back on the
+    * doc id where sort_array(collect_list(struct(pos, line)))
+    * restores order without a global sort. O(total lines) throughout;
+    * no pairwise anything.
+    */
+  def lineDedup(docs: DataFrame, id: String, text: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val lines = docs
+      .select(col(id).as("__id"), posexplode(split(col(text), "\n")).as(Seq("pos", "line")))
+      .filter(trim(col("line")) =!= "")
+    val firstWin = Window.partitionBy(lower(trim(col("line"))))
+      .orderBy(col("__id"), col("pos"))
+    val kept = lines
+      .withColumn("rn", row_number().over(firstWin))
+      .filter(col("rn") === 1)
+      .groupBy(col("__id"))
+      .agg(concat_ws("\n",
+        transform(sort_array(collect_list(struct(col("pos"), col("line")))),
+          s => s.getField("line"))).as("__kept"))
+    docs.join(kept, col(id) === col("__id"), "left")
+      .select(col(id), coalesce(col("__kept"), lit("")).as(text))
+  }
 }

@@ -196,4 +196,24 @@ class DedupSpec extends SparkSpec {
     assert(a._2 != b._2)
     assert(a._3 != b._3)
   }
+
+  test("lineDedup: repeated boilerplate lines survive only at first occurrence, order kept") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "COOKIE NOTICE\nFirst unique paragraph here.\nShared footer text."),
+      (2L, "cookie notice\nSecond unique paragraph here.\nShared footer text."),
+      (3L, "Shared footer text.\n\nThird unique paragraph here."),
+      (4L, "cookie notice")   // everything a repeat → empty text, row kept
+    ).toDF("doc_id", "text")
+    val out = Dedup.lineDedup(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out.size == 4)
+    // doc 1 keeps all three (first occurrences), case of the keeper wins
+    assert(out(1L) == "COOKIE NOTICE\nFirst unique paragraph here.\nShared footer text.")
+    // doc 2 loses the case-insensitive notice repeat and the footer
+    assert(out(2L) == "Second unique paragraph here.")
+    // doc 3: footer already seen at (1, pos 2); blank line dropped
+    assert(out(3L) == "Third unique paragraph here.")
+    assert(out(4L) == "")
+  }
 }
