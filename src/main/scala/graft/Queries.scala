@@ -2113,6 +2113,50 @@ object Queries {
         FROM k WHERE rn = 1 GROUP BY doc_id) g ON d.doc_id = g.doc_id
       ORDER BY d.doc_id"""))
 
+  /** Markov transition matrix over user event journeys: consecutive
+    * event pairs per user (one lag window — the q16 sessionize
+    * shuffle shape) aggregated to (prev, next) counts and row-
+    * normalized transition probabilities. The probability window runs
+    * on the AGGREGATED frame (O(types²) rows), never the events.
+    */
+  val q52Transitions: QueryDef = QueryDef("q52_transitions",
+    (s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      t(s, dir, "events")
+        .withColumn("prev", lag(col("event_type"), 1).over(w))
+        .filter(col("prev").isNotNull)
+        .groupBy(col("prev"), col("event_type").as("next"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("p", round(col("n").cast(DoubleType) /
+          sum(col("n")).over(Window.partitionBy(col("prev"))), 6))
+        .orderBy(col("prev"), col("next"))
+    },
+    Some("""WITH tr AS (SELECT user_id, event_type,
+        LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        FROM events)
+      SELECT prev, event_type AS next, COUNT(*) AS n,
+        round(CAST(COUNT(*) AS DOUBLE) / SUM(COUNT(*)) OVER (PARTITION BY prev), 6) AS p
+      FROM tr WHERE prev IS NOT NULL GROUP BY prev, event_type
+      ORDER BY prev, next"""))
+
+  /** Degree distribution of the purchase graph (the companion
+    * diagnostic to graph_pagerank): distinct suppliers per customer,
+    * then node count per degree — two partial-aggregated shuffles,
+    * the standard skew/power-law health check before any iterative
+    * graph job.
+    */
+  val q53DegreeDist: QueryDef = QueryDef("q53_degree_dist",
+    (s, dir) => t(s, dir, "orders")
+      .join(t(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_custkey"))
+      .agg(countDistinct(col("l_suppkey")).as("deg"))
+      .groupBy(col("deg"))
+      .agg(count(lit(1)).as("n_nodes"))
+      .orderBy(col("deg")),
+    Some("""WITH e AS (SELECT o_custkey, COUNT(DISTINCT l_suppkey) AS deg
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey GROUP BY 1)
+      SELECT deg, COUNT(*) AS n_nodes FROM e GROUP BY deg ORDER BY deg"""))
+
   val all: Seq[QueryDef] = Seq(
     q1Agg, q2Filter, q3Join, q4Semi, q5Multi, q6Window, q7TopK, q8Distinct,
     q9Rollup, q10Pivot, q11Anti, q12Expr, q13Percentiles, q14Subquery,
@@ -2123,7 +2167,7 @@ object Queries {
     q35AggZoo, q36Zorder, q37MomGrowth, q38Funnel, q39Retention,
     q40UnionByName, q41Share, q42Profile, q43Winsorize, q44TableDiff,
     q45ArrayHof, q46Concurrency, q47Lateral, q48Attribution, q49AsOfNative,
-    q50Sliding, q51GapFill,
+    q50Sliding, q51GapFill, q52Transitions, q53DegreeDist,
     etlMergeUpsert, etlConstraints, etlProvenance,
     graphPageRank, curateWeightedSample,
     etlUnionSources, etlValidate, etlCleanTransform, etlQualityReport,
