@@ -414,32 +414,26 @@ object Queries {
     * exchange — the aggregate output is O(groups), so the single-task
     * coalesce is safe at any input scale.
     */
+  /** Exact per-group percentiles via the distributed bin-then-refine
+    * selection operator (operators.Selection) — a window form
+    * (`row_number` partitioned by the 3-value group key) would sort
+    * ALL of lineitem into 3 partitions, a plan that dies at 100×. The
+    * `p` pivot compares literal doubles that flow through unchanged,
+    * so equality is exact.
+    */
   val q13Percentiles: QueryDef = QueryDef("q13_percentiles",
     (s, dir) => {
-      val part  = Window.partitionBy(col("l_returnflag"))
-      val wP    = part.orderBy(col("l_extendedprice"))
-      val wQ    = part.orderBy(col("l_quantity"))
-      val base = t(s, dir, "lineitem")
-        .select(col("l_returnflag"), col("l_extendedprice"), col("l_quantity"))
-        .withColumn("rn_p", row_number().over(wP).cast(LongType))
-        .withColumn("rn_q", row_number().over(wQ).cast(LongType))
-        .withColumn("cnt", count(lit(1)).over(part))
-      def q(v: Column, rn: Column, p: Double): Column = {
-        val idx  = lit(p) * (col("cnt") - 1).cast(DoubleType)
-        val lo   = floor(idx) + 1L
-        val hi   = ceil(idx) + 1L
-        val frac = idx - floor(idx).cast(DoubleType)
-        val loV  = max(when(rn === lo, v))
-        val hiV  = max(when(rn === hi, v))
-        val fr   = max(when(rn === lo, frac))
-        round(loV + (hiV - loV) * fr, 4)
-      }
-      base.groupBy(col("l_returnflag"))
-        .agg(
-          q(col("l_extendedprice"), col("rn_p"), 0.25).as("p25"),
-          q(col("l_extendedprice"), col("rn_p"), 0.5).as("p50"),
-          q(col("l_extendedprice"), col("rn_p"), 0.75).as("p75"),
-          q(col("l_quantity"), col("rn_q"), 0.5).as("med_qty"))
+      val li = t(s, dir, "lineitem")
+      val price = Selection.exactQuantiles(li, "l_returnflag", "l_extendedprice",
+        Seq(0.25, 0.5, 0.75))
+        .groupBy(col("l_returnflag"))
+        .agg(round(max(when(col("p") === 0.25, col("q"))), 4).as("p25"),
+          round(max(when(col("p") === 0.5, col("q"))), 4).as("p50"),
+          round(max(when(col("p") === 0.75, col("q"))), 4).as("p75"))
+      val qty = Selection.exactQuantiles(li, "l_returnflag", "l_quantity", Seq(0.5))
+        .groupBy(col("l_returnflag"))
+        .agg(round(max(col("q")), 4).as("med_qty"))
+      price.join(qty, "l_returnflag")
         .coalesce(1).sortWithinPartitions(col("l_returnflag"))
     },
     Some("""SELECT l_returnflag,
@@ -995,7 +989,7 @@ object Queries {
       SELECT tok.doc_id,
         len(w) AS n_tokens,
         round(1.0 - CAST(len(list_distinct(w)) AS DOUBLE) / len(w), 6) AS dup_token_frac,
-        round(COALESCE(CAST(topc AS DOUBLE) * 2 / len(w), 0.0), 6) AS top_bigram_frac,
+        round(COALESCE(least(1.0, CAST(topc AS DOUBLE) * 2 / len(w)), 0.0), 6) AS top_bigram_frac,
         round(COALESCE(1.0 - CAST(d_tri AS DOUBLE) / n_tri, 0.0), 6) AS dup_trigram_frac
       FROM tok LEFT JOIN top USING (doc_id) LEFT JOIN tri USING (doc_id)
       ORDER BY doc_id"""))
@@ -1004,7 +998,10 @@ object Queries {
     * KL(P_src ‖ corpus) and Jensen–Shannon divergence, in nats.
     */
   val textDivergence: QueryDef = QueryDef("text_divergence",
-    (s, dir) => TextAnalysis.sourceDivergence(t(s, dir, "documents"), "text", "source")
+    // maxVocab = 0: the exact (uncapped) form is the oracle contract;
+    // the bounded default + OOV bucket is spec-tested in TextSpec.
+    (s, dir) => TextAnalysis.sourceDivergence(t(s, dir, "documents"), "text", "source",
+        maxVocab = 0)
       .withColumnRenamed("grp", "source")
       .orderBy(col("source")),
     Some("""WITH tok AS (SELECT source AS grp,
@@ -1650,32 +1647,21 @@ object Queries {
       FROM documents ORDER BY doc_id"""))
 
   /** Winsorization (outlier capping at exact p05/p95 per group): the
-    * thresholds come from the same single-sort window machinery as
-    * q13; the O(groups) threshold frame then broadcasts back onto the
-    * fact scan — clamping 100 TB costs one sort-per-group pass plus a
-    * map-side join. Clamped values go through DECIMAL before SUM so
-    * the before/after means are order-independent exact.
+    * thresholds come from the distributed bin-then-refine selection
+    * operator (operators.Selection — never a full-fact sort into
+    * O(groups) partitions); the O(groups) threshold frame then
+    * broadcasts back onto the fact scan — clamping 100 TB costs two
+    * counting passes plus a map-side join. Clamped values go through
+    * DECIMAL before SUM so the before/after means are
+    * order-independent exact.
     */
   val q43Winsorize: QueryDef = QueryDef("q43_winsorize",
     (s, dir) => {
-      val part = Window.partitionBy(col("l_returnflag"))
-      val wP = part.orderBy(col("l_extendedprice"))
-      val base = t(s, dir, "lineitem")
-        .select(col("l_returnflag"), col("l_extendedprice"))
-        .withColumn("rn", row_number().over(wP).cast(LongType))
-        .withColumn("cnt", count(lit(1)).over(part))
-      def q(p: Double): Column = {
-        val idx = lit(p) * (col("cnt") - 1).cast(DoubleType)
-        val lo = floor(idx) + 1L
-        val hi = ceil(idx) + 1L
-        val frac = idx - floor(idx).cast(DoubleType)
-        val loV = max(when(col("rn") === lo, col("l_extendedprice")))
-        val hiV = max(when(col("rn") === hi, col("l_extendedprice")))
-        val fr = max(when(col("rn") === lo, frac))
-        round(loV + (hiV - loV) * fr, 4)
-      }
-      val thresholds = base.groupBy(col("l_returnflag"))
-        .agg(q(0.05).as("p05"), q(0.95).as("p95"))
+      val thresholds = Selection.exactQuantiles(t(s, dir, "lineitem"),
+          "l_returnflag", "l_extendedprice", Seq(0.05, 0.95))
+        .groupBy(col("l_returnflag"))
+        .agg(round(max(when(col("p") === 0.05, col("q"))), 4).as("p05"),
+          round(max(when(col("p") === 0.95, col("q"))), 4).as("p95"))
       val clamped = t(s, dir, "lineitem")
         .join(broadcast(thresholds), "l_returnflag")
         .withColumn("w",

@@ -5,7 +5,10 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    val Array(sfDir, outDir) = args.take(2)
+    // optional: names after the first two args restrict the run (local
+    // iteration on a changed query; the driver always runs all)
+    val only = args.drop(2).toSet
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = GraftSession.configure(SparkSession.builder())
       .master(s"local[$cpus]")
@@ -17,7 +20,7 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    Queries.all.foreach { q =>
+    Queries.all.filter(q => only.isEmpty || only(q.name)).foreach { q =>
       val t0 = System.nanoTime()
       try {
         q.fn(spark, sfDir).coalesce(1).write.mode("overwrite")

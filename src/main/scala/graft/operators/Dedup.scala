@@ -478,23 +478,35 @@ object Dedup {
     * document's surviving lines in order. Docs whose every line was a
     * repeat survive with empty text (row count is preserved).
     *
-    * Scale shape: explode to lines, ONE hash shuffle on the
-    * normalized line (the first-occurrence window partitions by line
-    * — state per partition is one winner), one shuffle back on the
-    * doc id where sort_array(collect_list(struct(pos, line)))
-    * restores order without a global sort. O(total lines) throughout;
-    * no pairwise anything.
+    * Scale shape: explode to lines, then first occurrence per
+    * normalized line via groupBy + min(struct(id, pos)) — a PARTIAL
+    * (map-side) aggregation, so a hot boilerplate line repeated on
+    * billions of pages collapses to one candidate row per map task
+    * before the shuffle instead of funneling every copy into a single
+    * window partition (the skewed-key straggler a row_number form
+    * creates at corpus scale). Winners semi-join back against the
+    * lines on the composite (norm, id, pos) key — uniform even when
+    * the line alone is skewed — then one shuffle on the doc id where
+    * sort_array(collect_list(struct(pos, line))) restores order
+    * without a global sort. O(total lines) throughout; no pairwise
+    * anything, no single-key window.
     */
   def lineDedup(docs: DataFrame, id: String, text: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val lines = docs
       .select(col(id).as("__id"), posexplode(split(col(text), "\n")).as(Seq("pos", "line")))
       .filter(trim(col("line")) =!= "")
-    val firstWin = Window.partitionBy(lower(trim(col("line"))))
-      .orderBy(col("__id"), col("pos"))
+      .withColumn("__norm", lower(trim(col("line"))))
+    // min(struct(id, pos)) orders fields lexicographically, matching
+    // the first-occurrence rule "lowest (doc, position) wins".
+    val winners = lines
+      .groupBy(col("__norm"))
+      .agg(min(struct(col("__id"), col("pos"))).as("w"))
+      .select(col("__norm").as("__wnorm"), col("w.__id").as("__wid"), col("w.pos").as("__wpos"))
     val kept = lines
-      .withColumn("rn", row_number().over(firstWin))
-      .filter(col("rn") === 1)
+      .join(winners,
+        col("__norm") === col("__wnorm") && col("__id") === col("__wid") &&
+          col("pos") === col("__wpos"),
+        "left_semi")
       .groupBy(col("__id"))
       .agg(concat_ws("\n",
         transform(sort_array(collect_list(struct(col("pos"), col("line")))),

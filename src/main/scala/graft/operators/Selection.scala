@@ -1,0 +1,103 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Distributed EXACT selection (per-group order statistics /
+  * interpolated quantiles) via two-pass bin-then-refine.
+  *
+  * The naive exact form — `row_number()` over a window partitioned by
+  * the group — sorts the ENTIRE fact table into O(groups) partitions:
+  * with 3 groups at 100 TB that is three tasks each sorting tens of
+  * TB. This operator never sorts the fact:
+  *
+  *  1. Pass 0 (O(groups) shuffle): per-group min/max/count.
+  *  2. Pass 1 (O(groups·bins) shuffle): per-(group, bin) counts over
+  *     fixed-width bins — a PARTIAL (map-side) aggregation, so the
+  *     shuffle carries bin counts, not rows.
+  *  3. On the tiny aggregated frame: cumulative counts locate, for
+  *     each target rank, the bin containing it and the rank within
+  *     that bin.
+  *  4. Pass 2: rescan ONLY rows falling in target bins (broadcast
+  *     semi join — map-side filter) and rank within (group, bin);
+  *     each bin holds ~n/bins of the group, so no sort ever sees more
+  *     than a sliver. For pathological value skew (most of a group in
+  *     one bin) the refine bound degrades toward n, but real
+  *     distributions land ~n/bins; raise `bins` to tighten.
+  *
+  * Interpolation matches SQL `quantile_cont` / `percentile_cont`:
+  * idx = p·(n−1), result = v_lo + (v_hi − v_lo)·(idx − ⌊idx⌋) over
+  * the order statistics at ⌊idx⌋+1 and ⌈idx⌉+1. Nulls are ignored,
+  * as in the SQL aggregate. Groups where min = max short-circuit to
+  * that value (no second pass for all-identical groups).
+  *
+  * Returns one row per (group, p): `(group, p, q)`.
+  */
+object Selection {
+
+  def exactQuantiles(df: DataFrame, group: String, value: String,
+      ps: Seq[Double], bins: Int = 1024): DataFrame = {
+    require(ps.nonEmpty && ps.forall(p => p >= 0.0 && p <= 1.0),
+      s"quantile probabilities must be in [0,1]: $ps")
+    require(bins >= 2, s"need at least 2 bins: $bins")
+    val pArr = array(ps.map(lit): _*)
+    val base = df.select(col(group).as(group), col(value).cast(DoubleType).as("v"))
+      .filter(col("v").isNotNull)
+
+    // Pass 0: per-group bounds + count (O(groups) rows after partial agg).
+    val stats = base.groupBy(group)
+      .agg(min(col("v")).as("mn"), max(col("v")).as("mx"), count(lit(1)).as("n"))
+
+    // All-identical groups need no refinement: every quantile is mn.
+    val degenerate = stats.filter(col("mx") === col("mn"))
+      .select(col(group), explode(pArr).as("p"), col("mn").as("q"))
+    val live = stats.filter(col("mx") =!= col("mn"))
+
+    // Pass 1: fixed-width binning (map-side broadcast join + partial agg).
+    val width = (col("mx") - col("mn")) / bins
+    val binned = base.join(broadcast(live), Seq(group))
+      .withColumn("bin",
+        least(floor((col("v") - col("mn")) / width), lit((bins - 1).toLong)).cast(LongType))
+    val counts = binned.groupBy(col(group), col("bin")).agg(count(lit(1)).as("c"))
+
+    // Cumulative bin counts — O(groups·bins) frame, window is fine here.
+    val cum = counts
+      .withColumn("cum", sum(col("c")).over(
+        Window.partitionBy(group).orderBy("bin")))
+      .withColumn("cum_before", col("cum") - col("c"))
+
+    // Target order-statistic ranks per (group, p): lo = ⌊idx⌋+1, hi = ⌈idx⌉+1.
+    val targets = live.select(col(group), col("n"), explode(pArr).as("p"))
+      .withColumn("idx", col("p") * (col("n") - 1).cast(DoubleType))
+      .withColumn("frac", col("idx") - floor(col("idx")).cast(DoubleType))
+      .select(col(group), col("p"), col("frac"),
+        explode(array(
+          struct(lit("lo").as("which"), (floor(col("idx")) + 1L).cast(LongType).as("r")),
+          struct(lit("hi").as("which"), (ceil(col("idx")) + 1L).cast(LongType).as("r")))).as("t"))
+      .select(col(group), col("p"), col("frac"),
+        col("t.which").as("which"), col("t.r").as("r"))
+
+    // Locate each rank's bin and within-bin offset (small × small).
+    val located = targets.join(cum, Seq(group))
+      .filter(col("r") > col("cum_before") && col("r") <= col("cum"))
+      .select(col(group), col("p"), col("frac"), col("which"),
+        col("bin"), (col("r") - col("cum_before")).as("rb"))
+
+    // Pass 2: only target-bin rows rank; (group, bin) partitions keep
+    // every sort local to a sliver of the group.
+    val needed = located.select(col(group), col("bin")).distinct()
+    val inBins = binned.join(broadcast(needed), Seq(group, "bin"), "left_semi")
+      .withColumn("rb", row_number().over(
+        Window.partitionBy(col(group), col("bin")).orderBy(col("v"))).cast(LongType))
+    val refined = inBins.join(broadcast(located), Seq(group, "bin", "rb"))
+      .groupBy(col(group), col("p"), col("frac"))
+      .agg(max(when(col("which") === "lo", col("v"))).as("lo_v"),
+        max(when(col("which") === "hi", col("v"))).as("hi_v"))
+      .select(col(group), col("p"),
+        (col("lo_v") + (col("hi_v") - col("lo_v")) * col("frac")).as("q"))
+
+    refined.unionByName(degenerate)
+  }
+}

@@ -248,8 +248,13 @@ object TextAnalysis {
         size(col("toks")).cast(LongType).as("n_tokens"),
         round(lit(1.0) - size(array_distinct(col("toks"))).cast(DoubleType) /
           size(col("toks")).cast(DoubleType), 6).as("dup_token_frac"),
+        // least(1.0, …): overlapping repeats ("a a a a" → run 3, 4
+        // tokens) would push the covered-token estimate past 1; the
+        // column is documented as a fraction, so cap it (oracle caps
+        // identically).
         round(when(size(col("toks")) >= 2,
-          col("top_bi").cast(DoubleType) * 2.0 / size(col("toks")).cast(DoubleType))
+          least(lit(1.0),
+            col("top_bi").cast(DoubleType) * 2.0 / size(col("toks")).cast(DoubleType)))
           .otherwise(0.0), 6).as("top_bigram_frac"),
         round(when(size(col("tri")) > 0,
           lit(1.0) - size(array_distinct(col("tri"))).cast(DoubleType) /
@@ -266,27 +271,58 @@ object TextAnalysis {
     * the only corpus-sized shuffle; the vocabulary and group totals
     * are tiny aggregates joined back by broadcast. The (groups ×
     * vocab) grid makes the p=0 JS terms explicit — it never touches
-    * the corpus again. At 100 TB cap the vocab like
-    * [[unigramLogProb]] (topK) so the broadcast stays bounded.
+    * the corpus again.
+    *
+    * `maxVocab` bounds the broadcast vocabulary (top-K tokens by
+    * global count, ties broken by token) — at 100 TB the full distinct
+    * vocabulary is 10⁸⁺ tokens and an unbounded broadcast OOMs the
+    * driver. All out-of-vocab mass collapses into ONE residual bucket
+    * per group (its p and q are the leftover masses, so both
+    * distributions still sum to exactly 1 and KL/JS stay
+    * well-defined). `maxVocab = 0` disables the cap (exact — the
+    * oracle form).
     */
   def sourceDivergence(docs: org.apache.spark.sql.DataFrame, text: String,
-      group: String): org.apache.spark.sql.DataFrame = {
-    import org.apache.spark.sql.functions.{broadcast, count, sum, log => ln}
-    val tok   = docs.select(col(group).as("grp"), explode(tokens(col(text))).as("token"))
-    val byGrp = tok.groupBy("grp", "token").agg(count(lit(1)).as("c"))
-    val grpN  = byGrp.groupBy("grp").agg(sum(col("c")).as("n"))
-    val vocab = byGrp.groupBy("token").agg(sum(col("c")).as("gc"))
-    val gN    = vocab.agg(sum(col("gc")).as("gn"))
-    grpN.crossJoin(broadcast(vocab)).crossJoin(broadcast(gN))
+      group: String, maxVocab: Int = 1 << 16): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast, count, desc, sum, log => ln}
+    val tok      = docs.select(col(group).as("grp"), explode(tokens(col(text))).as("token"))
+    val byGrpAll = tok.groupBy("grp", "token").agg(count(lit(1)).as("c"))
+    val vocabAll = byGrpAll.groupBy("token").agg(sum(col("c")).as("gc"))
+    val gN       = vocabAll.agg(sum(col("gc")).as("gn")) // corpus total incl. OOV
+    val grpN     = byGrpAll.groupBy("grp").agg(sum(col("c")).as("n")) // group totals incl. OOV
+    val capped   = maxVocab > 0
+    val vocab =
+      if (capped) vocabAll.orderBy(desc("gc"), col("token")).limit(maxVocab) else vocabAll
+    val byGrp =
+      if (capped) byGrpAll.join(broadcast(vocab.select("token")), Seq("token"), "left_semi")
+      else byGrpAll
+    val grid = grpN.crossJoin(broadcast(vocab)).crossJoin(broadcast(gN))
       .join(byGrp, Seq("grp", "token"), "left")
-      .withColumn("p", coalesce(col("c"), lit(0L)).cast(DoubleType) / col("n").cast(DoubleType))
+      .select(col("grp"), col("n"), coalesce(col("c"), lit(0L)).as("c"), col("gc"), col("gn"))
+    val rows =
+      if (!capped) grid
+      else {
+        // OOV residual bucket: per-group leftover count vs the global
+        // leftover mass. If nothing is OOV globally, every group's
+        // residual is 0 too and the bucket contributes nothing.
+        val invByGrp = byGrp.groupBy("grp").agg(sum(col("c")).as("inv"))
+        val vSum     = vocab.agg(sum(col("gc")).as("vs"))
+        val oov = grpN.join(invByGrp, Seq("grp"), "left")
+          .crossJoin(broadcast(vSum)).crossJoin(broadcast(gN))
+          .select(col("grp"), col("n"),
+            (col("n") - coalesce(col("inv"), lit(0L))).as("c"),
+            (col("gn") - col("vs")).as("gc"), col("gn"))
+        grid.unionByName(oov)
+      }
+    rows
+      .withColumn("p", col("c").cast(DoubleType) / col("n").cast(DoubleType))
       .withColumn("q", col("gc").cast(DoubleType) / col("gn").cast(DoubleType))
       .withColumn("m", (col("p") + col("q")) / 2.0)
       .groupBy(col("grp"))
       .agg(
         round(sum(when(col("p") > 0.0, col("p") * ln(col("p") / col("q"))).otherwise(0.0)), 6).as("kl"),
         round(sum(when(col("p") > 0.0, col("p") * ln(col("p") / col("m"))).otherwise(0.0)) / 2.0 +
-          sum(col("q") * ln(col("q") / col("m"))) / 2.0, 6).as("js"))
+          sum(when(col("q") > 0.0, col("q") * ln(col("q") / col("m"))).otherwise(0.0)) / 2.0, 6).as("js"))
   }
 
   /** C4-style page heuristics (Raffel et al. 2020 §2.2), per document:

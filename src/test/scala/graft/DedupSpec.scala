@@ -216,4 +216,24 @@ class DedupSpec extends SparkSpec {
     assert(out(3L) == "Third unique paragraph here.")
     assert(out(4L) == "")
   }
+
+  test("lineDedup: a line shared by most docs (hot key) keeps exactly its first occurrence") {
+    import spark.implicits._
+    // The operator's target workload: one boilerplate line on nearly
+    // every page. The partial-agg form must keep it only at the lowest
+    // (doc, pos) and leave every doc's unique line untouched.
+    val docs = (1L to 200L).map { i =>
+      if (i % 2 == 0) (i, s"NAV BAR BOILERPLATE\nunique paragraph $i")
+      else (i, s"unique paragraph $i\nNAV BAR BOILERPLATE")
+    }.toDF("doc_id", "text")
+    val out = Dedup.lineDedup(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out.size == 200)
+    // doc 1 has the boilerplate at pos 1 (after its unique line); doc 2
+    // has it at pos 0 — first occurrence is (1, pos 1), so doc 1 keeps it.
+    assert(out(1L) == "unique paragraph 1\nNAV BAR BOILERPLATE")
+    (2L to 200L).foreach { i =>
+      assert(out(i) == s"unique paragraph $i", s"doc $i should keep only its unique line")
+    }
+  }
 }

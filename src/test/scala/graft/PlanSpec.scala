@@ -59,12 +59,32 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Exchange"), s"ungated load path must not repartition:\n$p")
   }
 
-  test("q13: exactly one data shuffle — windows, count, and group-by share it") {
+  test("q13: no full-fact sort into O(groups) partitions — refine windows key on (group, bin)") {
     val p = plan(q(Queries.q13Percentiles))
-    val shuffles = "Exchange hashpartitioning".r.findAllIn(p).size
-    assert(shuffles == 1, s"expected the single window exchange, got $shuffles:\n$p")
+    // Every window in the plan must partition by (group, bin) — a
+    // window keyed on the group alone sorts the whole fact into 3
+    // tasks. The only windows allowed on the group alone run over the
+    // O(groups·bins) aggregated frame (their input is an Aggregate,
+    // not the scan); simplest robust check: all windowspecdefinitions
+    // that order by the VALUE column must include the bin key.
+    val specs = "windowspecdefinition\\(([^)]*)\\)".r.findAllMatchIn(p).map(_.group(1)).toList
+    val valueWindows = specs.filter(s => s.contains("v#"))
+    assert(valueWindows.nonEmpty, s"expected the refine window:\n$p")
+    assert(valueWindows.forall(_.contains("bin#")),
+      s"value-ranking windows must be bounded by the bin key:\n$valueWindows")
+    assert(p.contains("partial_count"), s"bin counts must partial-aggregate map-side:\n$p")
     assert(!p.contains("rangepartitioning"),
       s"final ordering must be coalesce+local sort, not a range exchange:\n$p")
+  }
+
+  test("q43: winsorize thresholds come from bin-then-refine, not a full-fact window") {
+    val p = plan(q(Queries.q43Winsorize))
+    val specs = "windowspecdefinition\\(([^)]*)\\)".r.findAllMatchIn(p).map(_.group(1)).toList
+    val valueWindows = specs.filter(s => s.contains("v#"))
+    assert(valueWindows.forall(_.contains("bin#")),
+      s"value-ranking windows must be bounded by the bin key:\n$valueWindows")
+    assert(p.contains("BroadcastHashJoin"),
+      s"thresholds must broadcast back onto the fact scan:\n$p")
   }
 
   test("connectedComponents edges: both directions from one explode, no self-union") {
@@ -167,6 +187,16 @@ class PlanSpec extends SparkSpec {
     // row comes from sketch state, the data is scanned once at build
     assert("InMemoryTableScan".r.findAllIn(p).size >= 2,
       s"both rollup branches should read the cached sketch frame:\n$p")
+  }
+
+  test("lineDedup: first-occurrence is a partial agg, never a window on the line key") {
+    val df = graft.operators.Dedup.lineDedup(
+      Tables(cold, sf("documents"), "documents"), "doc_id", "text")
+    val p = plan(df)
+    assert(!p.contains("Window"),
+      s"a window partitioned by the line funnels hot boilerplate into one task:\n$p")
+    assert(p.contains("partial_min") || p.contains("partial_"),
+      s"first-occurrence winners must map-side partial-aggregate:\n$p")
   }
 
   test("decontaminate: eval gram side broadcasts into the semi join") {

@@ -165,7 +165,8 @@ class TextAnalysisSpec extends SparkSpec {
       (2L, "one two three four five"),
       // 3: single token \u2014 no bigrams/trigrams, dup_token 0
       (3L, "solo"),
-      // 4: same token \u00d74 \u2014 dup_token 0.75, one distinct bigram \u00d73 \u2192 1.5 capped? no: 2*3/4=1.5
+      // 4: same token \u00d74 \u2014 dup_token 0.75; overlapping runs ("x x" \u00d73,
+      //    2*3/4 = 1.5) cap to 1.0 \u2014 the column is a fraction of tokens
       (4L, "x x x x")).toDF("doc_id", "text")
     val r = TextAnalysis.repetitionStats(docs, "doc_id", "text")
       .orderBy("doc_id").collect()
@@ -181,7 +182,7 @@ class TextAnalysisSpec extends SparkSpec {
     assert(d3.getLong(1) == 1L && d3.getDouble(3) == 0.0 && d3.getDouble(4) == 0.0)
     val d4 = r(3)
     assert(math.abs(d4.getDouble(2) - 0.75) < 1e-6)
-    assert(math.abs(d4.getDouble(3) - 1.5) < 1e-6)       // "x x" \u00d73, 2*3/4
+    assert(math.abs(d4.getDouble(3) - 1.0) < 1e-6)       // 2*3/4 = 1.5, capped at 1.0
     assert(math.abs(d4.getDouble(4) - 0.5) < 1e-6)       // 2 tri, 1 distinct
   }
 
@@ -208,6 +209,36 @@ class TextAnalysisSpec extends SparkSpec {
       assert(row.getDouble(1) > 0.0)                      // kl
       assert(row.getDouble(2) > 0.0 && row.getDouble(2) <= math.log(2.0) + 1e-9) // js \u2208 (0, ln2]
     }
+  }
+
+  test("sourceDivergence: bounded vocab + OOV bucket stays close to exact on a long tail") {
+    import spark.implicits._
+    // Long-tail corpus: a few hot tokens carry most mass, a large tail
+    // of singletons. g2 drifts on the hot tokens, so the capped form
+    // (which keeps the hot tokens and collapses the tail into one OOV
+    // bucket) must land near the exact divergence.
+    val docs = (
+      (1 to 60).map(i => ("g1", s"hot$i common common common shared")) ++
+      (1 to 60).map(i => ("g2", s"tail$i rare rare shared shared"))
+    ).toDF("source", "text")
+    val exact  = TextAnalysis.sourceDivergence(docs, "text", "source", maxVocab = 0)
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val capped = TextAnalysis.sourceDivergence(docs, "text", "source", maxVocab = 6)
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(capped.keySet == exact.keySet)
+    capped.foreach { case (g, (kl, js)) =>
+      assert(js >= 0.0 && js <= math.log(2.0) + 1e-9, s"$g capped js out of range: $js")
+      assert(kl >= -1e-9, s"$g capped kl negative: $kl")
+      // collapsing the tail into one bucket loses only within-tail
+      // detail: the hot-token drift dominates, so capped ≈ exact
+      assert(math.abs(js - exact(g)._2) < 0.08,
+        s"$g: capped js $js vs exact ${exact(g)._2}")
+    }
+    // identical distributions stay at 0 even when capped (residual
+    // masses match too)
+    val same = Seq(("g1", "a b c d e f g h"), ("g2", "a b c d e f g h")).toDF("source", "text")
+    val r = TextAnalysis.sourceDivergence(same, "text", "source", maxVocab = 3).collect()
+    assert(r.forall(row => math.abs(row.getDouble(1)) < 1e-9 && math.abs(row.getDouble(2)) < 1e-9))
   }
 
   test("c4Stats: keeps a clean multi-line page, flags boilerplate pages") {
