@@ -77,7 +77,8 @@ object AsOf {
     *
     * `right` must be unique per (key, time) — same contract as
     * [[lastValueAsOf]]. Right rows with null key/time are dropped
-    * (unmatchable by definition).
+    * (unmatchable by definition); left rows with null key/time come
+    * through with a null match (the exec also enforces both rules).
     */
   def nativeAsOf(left: DataFrame, right: DataFrame,
       leftKey: String, leftTime: String,
@@ -86,6 +87,21 @@ object AsOf {
       direction: String = "backward", toleranceMs: Long = 0L): DataFrame = {
     require(direction == "backward" || direction == "forward",
       s"direction must be backward|forward, got $direction")
+    // Internal columns and the prefixed right columns land in one
+    // namespace with the left columns — collisions would resolve to
+    // the wrong attribute (or fail analysis with an ambiguity error
+    // far from the cause), so reject them up front.
+    val reserved = Set("__lk", "__lt", "__rk", "__rt")
+    require(!left.columns.exists(reserved), s"left columns collide with " +
+      s"reserved as-of names: ${left.columns.filter(reserved).mkString(", ")}")
+    require(!right.columns.exists(reserved), s"right columns collide with " +
+      s"reserved as-of names: ${right.columns.filter(reserved).mkString(", ")}")
+    val prefixed = right.columns.map(rightPrefix + _)
+    require(!prefixed.exists(reserved), s"rightPrefix '$rightPrefix' produces " +
+      s"reserved names: ${prefixed.filter(reserved).mkString(", ")}")
+    val clash = prefixed.toSet.intersect(left.columns.toSet)
+    require(clash.isEmpty, s"rightPrefix '$rightPrefix' collides with left " +
+      s"columns: ${clash.mkString(", ")} — pass a different rightPrefix")
     val sign = if (direction == "forward") -1L else 1L
     // sign-adjusted epoch-millis time attrs for the exec's
     // "at-or-before on ascending longs" merge

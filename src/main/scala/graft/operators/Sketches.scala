@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Mergeable sketch state (Apache DataSketches via Spark's built-in
@@ -16,26 +16,42 @@ import org.apache.spark.sql.functions._
   * shuffles O(groups) sketch binaries (HLL lgK=12 ≈ 2.5 KB, theta
   * k=4096 ≈ 32 KB, KLL k=200 ≈ 5 KB); the merge stages touch only
   * sketches, never the data again.
+  *
+  * API levels: `hllSketches` / `kllSketches` build the per-group
+  * sketch TABLE — at scale that frame is the incremental artifact you
+  * persist or write and later re-merge, and its caching lifecycle is
+  * the CALLER's (persist/unpersist or write/read). `hllRollupFrom` /
+  * `kllQuantilesFrom` read out of such a table. The one-shot
+  * `hllRollup` / `kllQuantiles` conveniences manage the cache
+  * internally: they persist the sketch frame, EAGERLY materialize the
+  * O(groups) result (localCheckpoint), and unpersist before returning
+  * — no cached relation outlives the call.
   */
 object Sketches {
 
-  /** Per-group HLL sketches + the merged-from-sketches corpus rollup:
-    * one row per group with its distinct-estimate, plus an `__all__`
-    * row whose estimate comes from `hll_union_agg` over the GROUP
-    * SKETCHES — the re-aggregation never rescans the table (the
-    * incremental pattern: persist per-partition/per-day sketches,
-    * merge on demand).
+  /** Backtick-quote an identifier for splicing into SQL text (column
+    * names with spaces/dots/hyphens would otherwise fail to parse or
+    * resolve as nested-field paths).
     */
-  def hllRollup(df: DataFrame, group: String, key: String,
-      lgK: Int = 12): DataFrame = {
-    // persist the sketch table (O(groups) rows of ~2.5 KB binaries):
-    // both the per-group readout and the merged rollup read it, and at
-    // scale THIS is the frame you'd write to storage and re-merge
-    // incrementally — the data is scanned exactly once
-    val perGroup = df.groupBy(col(group).as("grp"))
-      .agg(expr(s"hll_sketch_agg($key, $lgK)").as("sk"),
+  private[graft] def qid(name: String): String = "`" + name.replace("`", "``") + "`"
+
+  /** Per-group HLL sketch table: one ~2.5 KB binary + row count per
+    * group. Unpersisted — the caller owns the lifecycle (persist for
+    * a multi-consumer readout, or write it out as the incremental
+    * sketch store).
+    */
+  def hllSketches(df: DataFrame, group: String, key: String,
+      lgK: Int = 12): DataFrame =
+    df.groupBy(col(group).as("grp"))
+      .agg(expr(s"hll_sketch_agg(${qid(key)}, $lgK)").as("sk"),
         count(lit(1)).as("n_rows"))
-      .persist()
+
+  /** Readout over a sketch table from [[hllSketches]]: per-group
+    * estimates plus an `__all__` row whose estimate comes from
+    * `hll_union_agg` over the GROUP SKETCHES — the re-aggregation
+    * never rescans the data.
+    */
+  def hllRollupFrom(perGroup: DataFrame): DataFrame = {
     val groups = perGroup.select(col("grp"),
       expr("hll_sketch_estimate(sk)").as("approx_distinct"), col("n_rows"))
     val merged = perGroup.agg(
@@ -45,6 +61,18 @@ object Sketches {
     groups.unionByName(merged).orderBy(col("grp"))
   }
 
+  /** One-shot convenience: build sketches, read out per-group + merged
+    * rows, and release the internal cache before returning (the result
+    * is materialized eagerly — O(groups) rows — so nothing recomputes
+    * and no cached relation leaks into the caller's session).
+    */
+  def hllRollup(df: DataFrame, group: String, key: String,
+      lgK: Int = 12): DataFrame = {
+    val perGroup = hllSketches(df, group, key, lgK).persist()
+    try hllRollupFrom(perGroup).localCheckpoint(true)
+    finally perGroup.unpersist(false)
+  }
+
   /** Theta-sketch set algebra over two row populations: estimates of
     * |A|, |B|, |A ∪ B|, |A ∩ B|, |A \ B| of `key`'s distinct values,
     * in one pass over the data (two filtered theta aggs) + pure
@@ -52,12 +80,11 @@ object Sketches {
     * intersect/difference — HLL can only union.
     */
   def thetaSetOps(df: DataFrame, key: String,
-      inA: org.apache.spark.sql.Column, inB: org.apache.spark.sql.Column,
-      lgK: Int = 12): DataFrame =
+      inA: Column, inB: Column, lgK: Int = 12): DataFrame =
     df.withColumn("__in_a", inA).withColumn("__in_b", inB)
       .agg(
-        expr(s"theta_sketch_agg(CASE WHEN __in_a THEN $key END, $lgK)").as("ska"),
-        expr(s"theta_sketch_agg(CASE WHEN __in_b THEN $key END, $lgK)").as("skb"))
+        expr(s"theta_sketch_agg(CASE WHEN __in_a THEN ${qid(key)} END, $lgK)").as("ska"),
+        expr(s"theta_sketch_agg(CASE WHEN __in_b THEN ${qid(key)} END, $lgK)").as("skb"))
       .select(
         expr("theta_sketch_estimate(ska)").as("approx_a"),
         expr("theta_sketch_estimate(skb)").as("approx_b"),
@@ -65,18 +92,21 @@ object Sketches {
         expr("theta_sketch_estimate(theta_intersection(ska, skb))").as("approx_intersect"),
         expr("theta_sketch_estimate(theta_difference(ska, skb))").as("approx_a_minus_b"))
 
-  /** Per-group KLL quantile sketches + merged-from-sketches corpus
-    * quantiles: per group p25/p50/p75 from its own sketch, plus the
-    * `__all__` row via `kll_merge_agg_double` over the group sketches
-    * — again, the rollup touches only sketch state. KLL carries a
-    * proven rank-error bound (~1.7% two-sided at k=200), asserted in
-    * SketchSpec.
+  /** Per-group KLL quantile sketch table (caller-owned lifecycle, see
+    * [[hllSketches]]).
     */
-  def kllQuantiles(df: DataFrame, group: String, value: String,
-      k: Int = 200): DataFrame = {
-    val perGroup = df.groupBy(col(group).as("grp"))
-      .agg(expr(s"kll_sketch_agg_double(CAST($value AS DOUBLE), $k)").as("sk"))
-      .persist() // same sketch-table pattern as hllRollup
+  def kllSketches(df: DataFrame, group: String, value: String,
+      k: Int = 200): DataFrame =
+    df.groupBy(col(group).as("grp"))
+      .agg(expr(s"kll_sketch_agg_double(CAST(${qid(value)} AS DOUBLE), $k)").as("sk"))
+
+  /** Readout over a sketch table from [[kllSketches]]: per-group
+    * p25/p50/p75 plus the `__all__` row via `kll_merge_agg_double`
+    * over the group sketches — the rollup touches only sketch state.
+    * KLL carries a proven rank-error bound (~1.7% two-sided at
+    * k=200), asserted in SketchSpec.
+    */
+  def kllQuantilesFrom(perGroup: DataFrame, k: Int = 200): DataFrame = {
     def qs(skCol: String) = Seq(0.25, 0.5, 0.75).map(q =>
       expr(s"kll_sketch_get_quantile_double($skCol, CAST($q AS DOUBLE))")
         .as(s"p${(q * 100).toInt}"))
@@ -84,6 +114,16 @@ object Sketches {
     val merged = perGroup.agg(expr(s"kll_merge_agg_double(sk, $k)").as("mk"))
       .select(lit("__all__").as("grp") +: qs("mk"): _*)
     groups.unionByName(merged).orderBy(col("grp"))
+  }
+
+  /** One-shot convenience with deterministic cache release (see
+    * [[hllRollup]]).
+    */
+  def kllQuantiles(df: DataFrame, group: String, value: String,
+      k: Int = 200): DataFrame = {
+    val perGroup = kllSketches(df, group, value, k).persist()
+    try kllQuantilesFrom(perGroup, k).localCheckpoint(true)
+    finally perGroup.unpersist(false)
   }
 
   /** Mergeable heavy hitters: `approx_top_k_accumulate` builds one
@@ -96,7 +136,7 @@ object Sketches {
   def topKCombined(df: DataFrame, batch: String, key: String, k: Int,
       maxTracked: Int = 1024): DataFrame = {
     val states = df.groupBy(col(batch))
-      .agg(expr(s"approx_top_k_accumulate($key, $maxTracked)").as("state"))
+      .agg(expr(s"approx_top_k_accumulate(${qid(key)}, $maxTracked)").as("state"))
     states.agg(expr(s"approx_top_k_combine(state, $maxTracked)").as("comb"))
       .select(explode(expr(s"approx_top_k_estimate(comb, $k)")).as("e"))
       .select(col("e.item").as("item"), col("e.count").as("approx_count"))

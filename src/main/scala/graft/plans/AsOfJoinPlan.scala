@@ -103,32 +103,52 @@ final case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
           private var cand: InternalRow = _      // last right row merged past
           private var candKey: InternalRow = _
           private var candT: Long = _
-          private def advanceRight(): Unit =
-            if (rIter.hasNext) {
-              rNext = rIter.next()
-              rNextKey = rKeyProj(rNext).copy()
-              rNextT = rt.eval(rNext).asInstanceOf[Long]
-            } else { rNext = null; rNextKey = null }
+          // Right rows with a null key or time are unmatchable by
+          // definition — skip them here rather than trusting callers
+          // to pre-filter (a null time would otherwise unbox to 0L =
+          // epoch and silently win backward matches).
+          private def advanceRight(): Unit = {
+            rNext = null; rNextKey = null
+            var found = false
+            while (!found && rIter.hasNext) {
+              val r = rIter.next()
+              val k = rKeyProj(r)
+              val tBoxed = rt.eval(r)
+              if (!k.isNullAt(0) && tBoxed != null) {
+                rNext = r; rNextKey = k.copy()
+                rNextT = tBoxed.asInstanceOf[Long]
+                found = true
+              }
+            }
+          }
           advanceRight()
 
           override def hasNext: Boolean = lIter.hasNext
           override def next(): InternalRow = {
             val l = lIter.next()
             val lKey = lKeyProj(l)
-            val lT = lt.eval(l).asInstanceOf[Long]
-            // consume right rows ordered before-or-at (lKey, lT)
-            var cont = rNext != null
-            while (cont) {
-              val c = keyOrd.compare(rNextKey, lKey)
-              if (c < 0 || (c == 0 && rNextT <= lT)) {
-                if (c == 0) { cand = rNext.copy(); candKey = rNextKey; candT = rNextT }
-                advanceRight()
-                cont = rNext != null
-              } else cont = false
+            val ltBoxed = lt.eval(l)
+            if (lKey.isNullAt(0) || ltBoxed == null) {
+              // null left key/time matches nothing. Nothing to consume
+              // either: nulls sort FIRST, so the right cursor is still
+              // at-or-after every later (non-null) left row.
+              outProj(joined(l, nullRight))
+            } else {
+              val lT = ltBoxed.asInstanceOf[Long]
+              // consume right rows ordered before-or-at (lKey, lT)
+              var cont = rNext != null
+              while (cont) {
+                val c = keyOrd.compare(rNextKey, lKey)
+                if (c < 0 || (c == 0 && rNextT <= lT)) {
+                  if (c == 0) { cand = rNext.copy(); candKey = rNextKey; candT = rNextT }
+                  advanceRight()
+                  cont = rNext != null
+                } else cont = false
+              }
+              val matched = cand != null && keyOrd.compare(candKey, lKey) == 0 &&
+                (tol <= 0L || math.abs(lT - candT) <= tol)
+              outProj(joined(l, if (matched) cand else nullRight))
             }
-            val matched = cand != null && keyOrd.compare(candKey, lKey) == 0 &&
-              (tol <= 0L || math.abs(lT - candT) <= tol)
-            outProj(joined(l, if (matched) cand else nullRight))
           }
         }
     }

@@ -57,7 +57,7 @@ object Refresh {
     events
       .withWatermark(tsCol, watermark)
       .groupBy(window(col(tsCol), windowLen))
-      .agg(expr(s"hll_sketch_agg($keyCol, $lgK)").as("sk"),
+      .agg(expr(s"hll_sketch_agg(${graft.operators.Sketches.qid(keyCol)}, $lgK)").as("sk"),
         count(lit(1)).as("n_events"))
       .select(col("window.start").as("window_start"),
         expr("hll_sketch_estimate(sk)").as("approx_distinct"),

@@ -132,4 +132,47 @@ class AsOfSpec extends SparkSpec {
     assert(native.count() == purchases.count())
     assert(union.exceptAll(native).isEmpty && native.exceptAll(union).isEmpty)
   }
+
+  test("exec null handling: null left key/time rows come through with a null match") {
+    import spark.implicits._
+    // Drive AsOfJoinPlan.dataFrame DIRECTLY (nativeAsOf pre-filters
+    // right nulls; the public plan entry must be safe on its own —
+    // a null left time must NOT unbox to epoch-0 and match).
+    val left = Seq(
+      (1L, Some(100L), Some(1000L)),
+      (2L, Some(100L), None),        // null time → null match
+      (3L, None, Some(1000L))        // null key → null match
+    ).toDF("id", "__lk", "__lt")
+    val right = Seq(
+      (Some(100L), Some(500L), "early"),
+      (Some(100L), None, "null-time"), // unmatchable, must be skipped
+      (None, Some(1L), "null-key")     // unmatchable, must be skipped
+    ).toDF("__rk", "__rt", "payload")
+    val out = graft.plans.AsOfJoinPlan.dataFrame(spark,
+        left.queryExecution.analyzed, right.queryExecution.analyzed,
+        "__lk", "__lt", "__rk", "__rt", 0L)
+      .select(col("id"), col("payload"))
+      .collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(out(1L).contains("early"))
+    assert(out(2L).isEmpty, "null left time must not match (epoch-0 unbox bug)")
+    assert(out(3L).isEmpty, "null left key must not match")
+  }
+
+  test("nativeAsOf rejects reserved-name and prefix collisions up front") {
+    import spark.implicits._
+    val l  = Seq((1L, ts("2026-01-01 10:00:00"))).toDF("k", "t")
+    val lr = Seq((1L, ts("2026-01-01 10:00:00"), 0L)).toDF("k", "t", "__lk")
+    val r  = Seq((1L, ts("2026-01-01 09:00:00"), 2.0)).toDF("k", "t", "px")
+    intercept[IllegalArgumentException] {
+      AsOf.nativeAsOf(lr, r, "k", "t", "k", "t")
+    }
+    // left column "r_px" collides with the prefixed right "px"
+    val lClash = Seq((1L, ts("2026-01-01 10:00:00"), 9.0)).toDF("k", "t", "r_px")
+    intercept[IllegalArgumentException] {
+      AsOf.nativeAsOf(lClash, r, "k", "t", "k", "t")
+    }
+    // distinct prefix resolves the clash
+    val ok = AsOf.nativeAsOf(lClash, r, "k", "t", "k", "t", rightPrefix = "rt_")
+    assert(ok.columns.count(_ == "r_px") == 1 && ok.columns.contains("rt_px"))
+  }
 }

@@ -181,12 +181,18 @@ class PlanSpec extends SparkSpec {
   }
 
   test("sketch rollups: merged __all__ estimate aggregates sketches, not the table") {
-    val df = Queries.sketchHllMerge.fn(cold, sf("any"))
-    val p = plan(df)
-    // both branches must read the persisted sketch table — the merged
-    // row comes from sketch state, the data is scanned once at build
-    assert("InMemoryTableScan".r.findAllIn(p).size >= 2,
-      s"both rollup branches should read the cached sketch frame:\n$p")
+    // Two-level API: the caller persists the sketch table; both the
+    // per-group readout and the merged row must read THAT frame — the
+    // merged estimate comes from sketch state, the data is scanned
+    // once at build. (The one-shot hllRollup convenience runs this
+    // same shape internally, then releases the cache.)
+    val sk = graft.operators.Sketches.hllSketches(
+      Tables(cold, sf("lineitem"), "lineitem"), "l_returnflag", "l_partkey").persist()
+    try {
+      val p = plan(graft.operators.Sketches.hllRollupFrom(sk))
+      assert("InMemoryTableScan".r.findAllIn(p).size >= 2,
+        s"both rollup branches should read the cached sketch frame:\n$p")
+    } finally sk.unpersist(false)
   }
 
   test("lineDedup: first-occurrence is a partial agg, never a window on the line key") {
