@@ -1703,7 +1703,45 @@ object Queries {
         .orderBy(desc("rank_ppm"), col("node"))
         .limit(20)
     },
-    None)
+    // Fixed-iteration recursive-CTE reference: DuckDB allows multiple
+    // recursive-CTE references per step, so the oracle mirrors the
+    // operator's exact double arithmetic — contrib = SUM(frac·rank) by
+    // destination, dangling mass summed then divided by n, same
+    // association — and the ppm rounding absorbs summation-order ULP
+    // noise (~1e-15 relative vs 1e-10 granularity).
+    Some("""WITH RECURSIVE
+      edges AS (
+        SELECT o_custkey AS src, l_suppkey + 1000000000 AS dst,
+               CAST(COUNT(*) AS DOUBLE) AS w
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        GROUP BY 1, 2),
+      nodes AS (
+        SELECT DISTINCT node FROM (
+          SELECT src AS node FROM edges UNION ALL SELECT dst FROM edges)),
+      nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
+      outw AS (SELECT src, SUM(w) AS out_w FROM edges GROUP BY src),
+      trans AS (SELECT e.src, e.dst, e.w / o.out_w AS frac
+        FROM edges e JOIN outw o USING (src)),
+      dangling AS (SELECT node FROM nodes WHERE node NOT IN (SELECT src FROM outw)),
+      pr AS (
+        SELECT 0 AS iter, node, 1.0 / (SELECT n FROM nn) AS rank FROM nodes
+        UNION ALL
+        SELECT (SELECT MAX(p0.iter) FROM pr p0) + 1, nd.node,
+          (1 - 0.85) / (SELECT n FROM nn)
+          + 0.85 * (
+              COALESCE(agg.contrib, 0.0)
+              + (SELECT COALESCE(SUM(p3.rank), 0.0) FROM pr p3
+                 WHERE p3.node IN (SELECT d.node FROM dangling d)) / (SELECT n FROM nn))
+        FROM nodes nd
+        LEFT JOIN (
+          SELECT t.dst AS node, SUM(t.frac * p.rank) AS contrib
+          FROM trans t JOIN pr p ON t.src = p.node
+          GROUP BY t.dst) agg ON agg.node = nd.node
+        WHERE (SELECT MAX(p4.iter) FROM pr p4) < 6)
+      SELECT node, round(rank * 1000000.0, 4) AS rank_ppm
+      FROM pr WHERE iter = 6
+      ORDER BY rank_ppm DESC, node
+      LIMIT 20"""))
 
   /** Weighted reservoir sample (A-Res) of documents, weight = doc
     * length: longer docs proportionally likelier, deterministic in

@@ -74,6 +74,13 @@ object Readers {
     */
   def text(spark: SparkSession, path: String): DataFrame =
     spark.read.text(path)
+
+  /** Avro container files — via the avro-core-backed [[AvroIO]] (the
+    * spark-avro connector is not on this classpath; see AvroIO docs
+    * for the supported type subset).
+    */
+  def avro(spark: SparkSession, path: String): DataFrame =
+    AvroIO.read(spark, path)
 }
 
 object Writers {
@@ -108,6 +115,9 @@ object Writers {
     val w = df.write.mode(mode)
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).orc(path)
   }
+
+  /** Avro sink (container files, one per partition — see [[AvroIO]]). */
+  def avro(df: DataFrame, path: String): Unit = AvroIO.write(df, path)
 
   /** Write `df` as exactly ONE file at `file` (not a directory): the
     * reference's download endpoints serve a single artifact

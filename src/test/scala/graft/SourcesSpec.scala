@@ -109,6 +109,51 @@ class SourcesSpec extends SparkSpec {
     assert(Readers.json(spark, jsonPath).count() == 3)
   }
 
+  test("avro round-trip: full type subset incl. timestamp/date/decimal/array/struct nulls") {
+    import spark.implicits._
+    val ts = java.sql.Timestamp.valueOf("2026-03-01 10:15:30.123456")
+    val rich = Seq(
+      (1L, "alpha", Some(2.5), Some(ts), Some(java.sql.Date.valueOf("2026-03-01")),
+        Seq(1.0f, 2.0f), Some(BigDecimal("12345.67"))),
+      (2L, "beta", None, None, None, Seq.empty[Float], None)
+    ).toDF("id", "name", "score", "ts", "day", "vec", "amount")
+      .withColumn("amount", col("amount").cast(DecimalType(12, 2)))
+      .withColumn("nested", struct(col("id").as("nid"), col("name").as("nname")))
+    Writers.avro(rich, s"$tmp/avro")
+    val back = Readers.avro(spark, s"$tmp/avro")
+    // catalogString ignores nullability markers (everything comes back
+    // nullable from the [null, T] unions)
+    assert(back.schema.map(f => (f.name, f.dataType.catalogString)).toList ==
+      rich.schema.map(f => (f.name, f.dataType.catalogString)).toList)
+    val rows = back.orderBy("id").collect()
+    assert(rows.length == 2)
+    val r1 = rows(0)
+    assert(r1.getLong(0) == 1L && r1.getString(1) == "alpha" && r1.getDouble(2) == 2.5)
+    assert(r1.getTimestamp(3) == ts, s"timestamp micros must survive: ${r1.getTimestamp(3)}")
+    assert(r1.getDate(4) == java.sql.Date.valueOf("2026-03-01"))
+    assert(r1.getSeq[Float](5) == Seq(1.0f, 2.0f))
+    assert(r1.getDecimal(6) == new java.math.BigDecimal("12345.67"))
+    assert(r1.getStruct(7).getLong(0) == 1L && r1.getStruct(7).getString(1) == "alpha")
+    val r2 = rows(1)
+    assert(r2.isNullAt(2) && r2.isNullAt(3) && r2.isNullAt(4) && r2.isNullAt(6))
+    assert(r2.getSeq[Float](5).isEmpty)
+    // files are standard Avro object-container files
+    val files = new java.io.File(s"$tmp/avro").listFiles().filter(_.getName.endsWith(".avro"))
+    assert(files.nonEmpty)
+    val head = java.nio.file.Files.readAllBytes(files.head.toPath).take(4)
+    assert(head.sameElements(Array[Byte]('O', 'b', 'j', 1)), "Avro magic bytes")
+  }
+
+  test("avro round-trip on a real table sample preserves row multiset") {
+    val li = Tables(spark, sf("lineitem"), "lineitem")
+      .select("l_orderkey", "l_partkey", "l_quantity", "l_shipdate", "l_returnflag")
+      .limit(500)
+    Writers.avro(li, s"$tmp/avro-li")
+    val back = Readers.avro(spark, s"$tmp/avro-li")
+    assert(back.count() == li.count())
+    assert(back.exceptAll(li).isEmpty && li.exceptAll(back).isEmpty)
+  }
+
   test("append mode accumulates") {
     Writers.parquet(df, s"$tmp/a", mode = SaveMode.Overwrite)
     Writers.parquet(df, s"$tmp/a", mode = SaveMode.Append)
