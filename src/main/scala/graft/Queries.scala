@@ -423,17 +423,15 @@ object Queries {
     */
   val q13Percentiles: QueryDef = QueryDef("q13_percentiles",
     (s, dir) => {
-      val li = t(s, dir, "lineitem")
-      val price = Selection.exactQuantiles(li, "l_returnflag", "l_extendedprice",
-        Seq(0.25, 0.5, 0.75))
-        .groupBy(col("l_returnflag"))
-        .agg(round(max(when(col("p") === 0.25, col("q"))), 4).as("p25"),
-          round(max(when(col("p") === 0.5, col("q"))), 4).as("p50"),
-          round(max(when(col("p") === 0.75, col("q"))), 4).as("p75"))
-      val qty = Selection.exactQuantiles(li, "l_returnflag", "l_quantity", Seq(0.5))
-        .groupBy(col("l_returnflag"))
-        .agg(round(max(col("q")), 4).as("med_qty"))
-      price.join(qty, "l_returnflag")
+      val qs = Selection.exactQuantilesMulti(t(s, dir, "lineitem"), "l_returnflag",
+        Seq("l_extendedprice" -> Seq(0.25, 0.5, 0.75), "l_quantity" -> Seq(0.5)))
+      def pick(c: String, p: Double) =
+        round(max(when(col("vcol") === c && col("p") === p, col("q"))), 4)
+      qs.groupBy(col("l_returnflag"))
+        .agg(pick("l_extendedprice", 0.25).as("p25"),
+          pick("l_extendedprice", 0.5).as("p50"),
+          pick("l_extendedprice", 0.75).as("p75"),
+          pick("l_quantity", 0.5).as("med_qty"))
         .coalesce(1).sortWithinPartitions(col("l_returnflag"))
     },
     Some("""SELECT l_returnflag,
@@ -2181,6 +2179,114 @@ object Queries {
         FROM orders JOIN lineitem ON o_orderkey = l_orderkey GROUP BY 1)
       SELECT deg, COUNT(*) AS n_nodes FROM e GROUP BY deg ORDER BY deg"""))
 
+  /** k-hop reachability over the bidirectional purchase graph
+    * (customer↔supplier): distinct nodes within 2 hops of each node —
+    * for a customer that is its suppliers plus every co-buying
+    * customer. Iterative BFS under operators.Graph; the fixed k=2
+    * unrolls to a plain self-join in the oracle.
+    */
+  val q54KHop: QueryDef = QueryDef("q54_khop",
+    (s, dir) => {
+      val pairs = t(s, dir, "orders")
+        .join(t(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("c"), (col("l_suppkey") + 1000000000L).as("p"))
+        .distinct()
+      val edges = pairs.select(col("c").as("src"), col("p").as("dst"))
+        .unionByName(pairs.select(col("p").as("src"), col("c").as("dst")))
+      Graph.kHopReachability(edges, "src", "dst", k = 2)
+        .orderBy(col("root"))
+    },
+    Some("""WITH pairs AS (SELECT DISTINCT o_custkey AS c, l_suppkey + 1000000000 AS p
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+      e AS (SELECT c AS src, p AS dst FROM pairs UNION ALL SELECT p, c FROM pairs),
+      hop1 AS (SELECT DISTINCT src AS root, dst AS node FROM e),
+      hop2 AS (SELECT DISTINCT h.root, e2.dst AS node
+        FROM hop1 h JOIN e e2 ON e2.src = h.node),
+      reach AS (SELECT root, node FROM hop1 UNION SELECT root, node FROM hop2)
+      SELECT root, COUNT(*) AS n_reachable FROM reach
+      WHERE node <> root GROUP BY root ORDER BY root"""))
+
+  /** Equi-depth (quantile-binned) histogram: decile cut points per
+    * group from the distributed exact-selection operator, each row
+    * assigned to its decile by counting cuts below it — second
+    * consumer of operators.Selection (q13/q43 are the others). Cut
+    * points round to 4dp in BOTH engines before the comparisons, so
+    * bin assignment is bit-identical.
+    */
+  val q55EquiDepth: QueryDef = QueryDef("q55_equidepth",
+    (s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val cuts = Selection.exactQuantiles(li, "l_returnflag", "l_extendedprice",
+          (1 to 9).map(_ / 10.0))
+        .groupBy(col("l_returnflag"))
+        .agg(collect_list(struct(col("p"), col("q"))).as("cs"))
+        .select(col("l_returnflag"),
+          transform(array_sort(col("cs")), c => round(c.getField("q"), 4)).as("cuts"))
+      li.select(col("l_returnflag"), col("l_extendedprice"))
+        .join(broadcast(cuts), "l_returnflag")
+        .withColumn("bin",
+          (lit(1) + size(filter(col("cuts"), c => col("l_extendedprice") > c))).cast(LongType))
+        .groupBy(col("l_returnflag"), col("bin"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag"), col("bin"))
+    },
+    Some("""WITH cuts AS (
+        SELECT l_returnflag,
+          [round(x, 4) FOR x IN quantile_cont(l_extendedprice,
+            [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9])] AS cuts
+        FROM lineitem GROUP BY l_returnflag)
+      SELECT l.l_returnflag,
+        1 + len(list_filter(c.cuts, x -> l.l_extendedprice > x)) AS bin,
+        COUNT(*) AS n
+      FROM lineitem l JOIN cuts c USING (l_returnflag)
+      GROUP BY 1, 2 ORDER BY 1, 2"""))
+
+  /** Corpus bigram PMI collocations (TextAnalysis.bigramPmi): top-50
+    * bigrams by count with pointwise mutual information.
+    */
+  val textPmi: QueryDef = QueryDef("text_pmi",
+    (s, dir) => TextAnalysis.bigramPmi(t(s, dir, "documents"), "text",
+      topK = 50, minCount = 2),
+    Some("""WITH tok AS (SELECT
+        string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS w
+        FROM documents),
+      bi AS (SELECT unnest([w[i] || ' ' || w[i+1] FOR i IN range(1, len(w))]) AS gram
+        FROM tok WHERE len(w) >= 2),
+      bic AS (SELECT gram, COUNT(*) AS cab FROM bi GROUP BY 1 HAVING COUNT(*) >= 2),
+      bin AS (SELECT CAST(SUM(cab) AS DOUBLE) AS nb FROM bic),
+      unic AS (SELECT unnest(w) AS tk FROM tok),
+      uni AS (SELECT tk, COUNT(*) AS cw FROM unic GROUP BY 1),
+      unin AS (SELECT CAST(SUM(cw) AS DOUBLE) AS nu FROM uni),
+      top AS (SELECT gram, cab FROM bic ORDER BY cab DESC, gram LIMIT 50)
+      SELECT gram, cab, u1.cw AS c1, u2.cw AS c2,
+        round(ln((CAST(cab AS DOUBLE) / (SELECT nb FROM bin)) /
+          ((CAST(u1.cw AS DOUBLE) / (SELECT nu FROM unin)) *
+           (CAST(u2.cw AS DOUBLE) / (SELECT nu FROM unin)))), 6) AS pmi
+      FROM top
+      JOIN uni u1 ON u1.tk = string_split(gram, ' ')[1]
+      JOIN uni u2 ON u2.tk = string_split(gram, ' ')[2]
+      ORDER BY cab DESC, gram"""))
+
+  /** Per-document top-3 TF-IDF terms (TextAnalysis.tfIdfTopTerms). */
+  val textTfIdf: QueryDef = QueryDef("text_tfidf",
+    (s, dir) => TextAnalysis.tfIdfTopTerms(t(s, dir, "documents"), "doc_id", "text", k = 3)
+      .withColumnRenamed("id", "doc_id")
+      .orderBy(col("doc_id"), col("rk")),
+    Some("""WITH tok AS (SELECT doc_id,
+        unnest(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS term
+        FROM documents),
+      tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+      df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+      n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs FROM documents),
+      scored AS (SELECT doc_id, term,
+          round(CAST(tf AS DOUBLE) * ln((SELECT n_docs FROM n) / CAST(df AS DOUBLE)), 6) AS tfidf
+        FROM tf JOIN df USING (term)),
+      ranked AS (SELECT doc_id, term, tfidf,
+          row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rk
+        FROM scored)
+      SELECT doc_id, rk, term, tfidf FROM ranked WHERE rk <= 3
+      ORDER BY doc_id, rk"""))
+
   val all: Seq[QueryDef] = Seq(
     q1Agg, q2Filter, q3Join, q4Semi, q5Multi, q6Window, q7TopK, q8Distinct,
     q9Rollup, q10Pivot, q11Anti, q12Expr, q13Percentiles, q14Subquery,
@@ -2192,6 +2298,7 @@ object Queries {
     q40UnionByName, q41Share, q42Profile, q43Winsorize, q44TableDiff,
     q45ArrayHof, q46Concurrency, q47Lateral, q48Attribution, q49AsOfNative,
     q50Sliding, q51GapFill, q52Transitions, q53DegreeDist,
+    q54KHop, q55EquiDepth, textPmi, textTfIdf,
     etlMergeUpsert, etlConstraints, etlProvenance,
     graphPageRank, curateWeightedSample,
     etlUnionSources, etlValidate, etlCleanTransform, etlQualityReport,

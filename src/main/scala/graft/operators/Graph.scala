@@ -92,4 +92,47 @@ object Graph {
     dangling.unpersist(false)
     ranks
   }
+
+  /** k-hop reachability: for every node with at least one out-edge,
+    * the number of DISTINCT nodes reachable in 1..k hops (the start
+    * node itself excluded even if a cycle returns to it). The
+    * neighborhood-size statistic behind collaborative-filter
+    * candidate pools and graph-expansion cost estimates.
+    *
+    * Iterative frontier expansion (standard distributed BFS): per hop
+    * ONE shuffle join (frontier ⋈ edges on the frontier node) + one
+    * distinct — the frontier is pruned against the reached set
+    * (left_anti) so work is proportional to NEW reachings, and both
+    * accumulator and frontier are eagerly localCheckpoint'ed per hop
+    * (O(1)-deep plan, same discipline as [[pageRank]]). Edge list is
+    * deduped up front; no row ever carries more than (root, node).
+    */
+  def kHopReachability(edges: DataFrame, src: String, dst: String,
+      k: Int = 2): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    val e = edges.select(col(src).cast("long").as("s"), col(dst).cast("long").as("d"))
+      .filter(col("s").isNotNull && col("d").isNotNull)
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    e.count()
+
+    var reached = e.select(col("s").as("root"), col("d").as("node"))
+      .localCheckpoint(true)
+    var frontier = reached
+    var hop = 1
+    while (hop < k) {
+      val next = frontier.join(e, frontier("node") === e("s"))
+        .select(col("root"), col("d").as("node"))
+        .distinct()
+        .join(reached, Seq("root", "node"), "left_anti")
+        .localCheckpoint(true)
+      reached = reached.unionByName(next).localCheckpoint(true)
+      frontier = next
+      hop += 1
+    }
+    e.unpersist(false)
+    reached.filter(col("node") =!= col("root"))
+      .groupBy(col("root"))
+      .agg(count(lit(1)).as("n_reachable"))
+  }
 }

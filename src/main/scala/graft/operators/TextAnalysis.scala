@@ -359,6 +359,74 @@ object TextAnalysis {
           !col("__lo").contains("javascript")).as("keep"))
   }
 
+  /** Corpus bigram PMI (pointwise mutual information): for each
+    * adjacent token pair, ln( p(ab) / (p(a)·p(b)) ) — the standard
+    * collocation statistic (Church & Hanks 1990) used to mine
+    * multi-word expressions for tokenizer vocabularies and to spot
+    * templated/boilerplate phrasing (pathologically high PMI).
+    * Returns the `topK` bigrams by count with their PMI, count, and
+    * the two unigram counts.
+    *
+    * Scale shape: one explode for bigram counts + one for unigram
+    * counts, both partial-aggregated map-side before their O(vocab)
+    * shuffles; the two scalar totals ride as broadcast 1-row frames;
+    * the unigram joins hit the topK-bounded bigram side only. No
+    * corpus-sized join anywhere.
+    */
+  def bigramPmi(docs: org.apache.spark.sql.DataFrame, text: String,
+      topK: Int = 50, minCount: Long = 2L): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast, count, desc, sum, log => ln}
+    val toks = docs.select(tokens(col(text)).as("toks"))
+    val uni = toks.select(explode(col("toks")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("cw"))
+    val uniN = uni.agg(sum(col("cw")).cast(DoubleType).as("nu"))
+    val bi = toks.select(explode(shinglesAll(col("toks"), 2)).as("gram"))
+      .groupBy("gram").agg(count(lit(1)).as("cab"))
+      .filter(col("cab") >= minCount)
+    val biN = bi.agg(sum(col("cab")).cast(DoubleType).as("nb"))
+    val top = bi.orderBy(desc("cab"), col("gram")).limit(topK)
+      .withColumn("w1", split(col("gram"), " ").getItem(0))
+      .withColumn("w2", split(col("gram"), " ").getItem(1))
+    top
+      .join(broadcast(uni.select(col("w").as("w1"), col("cw").as("c1"))), "w1")
+      .join(broadcast(uni.select(col("w").as("w2"), col("cw").as("c2"))), "w2")
+      .crossJoin(broadcast(uniN)).crossJoin(broadcast(biN))
+      .select(col("gram"), col("cab"), col("c1"), col("c2"),
+        round(ln((col("cab").cast(DoubleType) / col("nb")) /
+          ((col("c1").cast(DoubleType) / col("nu")) *
+            (col("c2").cast(DoubleType) / col("nu")))), 6).as("pmi"))
+      .orderBy(desc("cab"), col("gram"))
+  }
+
+  /** Per-document top-k TF-IDF terms: tf = in-doc term count, idf =
+    * ln(N / df) over per-doc-deduped document frequency — the
+    * classic salient-term extraction behind keyword indexing and
+    * topic drift monitoring.
+    *
+    * Scale shape: term counts partial-aggregate before the one
+    * (doc, term)-keyed shuffle; df is an O(vocab) aggregate joined
+    * back by broadcast; the per-doc ranking window partitions by the
+    * doc id (high cardinality — thousands of small partitions, never
+    * a funnel). Ties break on the term for determinism.
+    */
+  def tfIdfTopTerms(docs: org.apache.spark.sql.DataFrame, id: String,
+      text: String, k: Int = 3): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.{broadcast, count, row_number, desc, log => ln}
+    val tf = docs.select(col(id).as("id"), explode(tokens(col(text))).as("term"))
+      .groupBy("id", "term").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df")) // tf rows are per-doc-distinct
+    val n = docs.agg(count(lit(1)).cast(DoubleType).as("n_docs"))
+    val scored = tf.join(broadcast(df), "term").crossJoin(broadcast(n))
+      .withColumn("tfidf",
+        round(col("tf").cast(DoubleType) * ln(col("n_docs") / col("df").cast(DoubleType)), 6))
+    scored
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("id").orderBy(desc("tfidf"), col("term"))))
+      .filter(col("rk") <= k)
+      .select(col("id"), col("rk"), col("term"), col("tfidf"))
+  }
+
   /** Canonical md5 fingerprint (content-addressed dedup key). */
   def fingerprintMd5(text: Column): Column = md5(normalized(text))
 

@@ -56,4 +56,21 @@ class GraphSpec extends SparkSpec {
     val r = run(Seq((1L, 2L, 9.0), (1L, 3L, 1.0), (2L, 1L, 1.0), (3L, 1L, 1.0)), 10)
     assert(r(2L) > r(3L))
   }
+
+  test("kHopReachability: hand-checked chain + cycle, self excluded, duplicates collapse") {
+    import spark.implicits._
+    // chain 1→2→3→4 plus a 2-cycle 5↔6 and a duplicate edge
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (5L, 6L), (6L, 5L), (1L, 2L))
+      .toDF("src", "dst")
+    def reach(k: Int) = graft.operators.Graph.kHopReachability(edges, "src", "dst", k)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val k1 = reach(1)
+    assert(k1 == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 1L, 6L -> 1L))
+    val k2 = reach(2)
+    // 1 reaches {2,3}; 5 reaches only {6} (cycle returns to self, excluded)
+    assert(k2(1L) == 2L && k2(2L) == 2L && k2(3L) == 1L)
+    assert(k2(5L) == 1L && k2(6L) == 1L)
+    val k3 = reach(3)
+    assert(k3(1L) == 3L, "1 reaches {2,3,4} in 3 hops")
+  }
 }

@@ -57,6 +57,23 @@ class SelectionSpec extends SparkSpec {
     assert(got(("two", 1.0)) == 2.0)
   }
 
+  test("exactQuantilesMulti: two columns share passes and match per-column singles") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val df = (1 to 2000).map(_ => ("g" + rnd.nextInt(3),
+      rnd.nextDouble() * 100.0, -math.log(rnd.nextDouble()))).toDF("g", "a", "b")
+    val multi = Selection.exactQuantilesMulti(df, "g",
+        Seq("a" -> Seq(0.25, 0.75), "b" -> Seq(0.5)), bins = 32)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getDouble(2)) -> r.getDouble(3)).toMap
+    val aSingle = Selection.exactQuantiles(df, "g", "a", Seq(0.25, 0.75), bins = 32)
+      .collect().map(r => (r.getString(0), r.getDouble(1)) -> r.getDouble(2)).toMap
+    val bSingle = Selection.exactQuantiles(df, "g", "b", Seq(0.5), bins = 32)
+      .collect().map(r => (r.getString(0), r.getDouble(1)) -> r.getDouble(2)).toMap
+    assert(multi.size == 9) // 3 groups × (2 + 1) targets
+    aSingle.foreach { case ((g, p), v) => assert(multi((g, "a", p)) == v, s"a $g $p") }
+    bSingle.foreach { case ((g, p), v) => assert(multi((g, "b", p)) == v, s"b $g $p") }
+  }
+
   test("exactQuantiles ignores nulls like the SQL aggregate") {
     import spark.implicits._
     val df = Seq(("g", Some(1.0)), ("g", None), ("g", Some(3.0)))
