@@ -2179,25 +2179,34 @@ object Queries {
         FROM orders JOIN lineitem ON o_orderkey = l_orderkey GROUP BY 1)
       SELECT deg, COUNT(*) AS n_nodes FROM e GROUP BY deg ORDER BY deg"""))
 
-  /** k-hop reachability over the bidirectional purchase graph
-    * (customer↔supplier): distinct nodes within 2 hops of each node —
-    * for a customer that is its suppliers plus every co-buying
-    * customer. Iterative BFS under operators.Graph; the fixed k=2
+  /** k-hop reachability over the bidirectional REPEAT-purchase graph
+    * (customer↔supplier pairs with ≥2 order lines): distinct nodes
+    * within 2 hops — for a customer that is its repeat suppliers plus
+    * every co-buying customer. The weight threshold is the standard
+    * densification guard for co-occurrence graphs: the unthresholded
+    * bipartite graph's 2-hop closure is quadratic in the entity count
+    * (every customer reaches nearly every other through SOME shared
+    * supplier), which no engine should materialize; thresholding
+    * keeps the edge list — and the BFS frontier — sparse at every
+    * scale. Iterative BFS under operators.Graph; the fixed k=2
     * unrolls to a plain self-join in the oracle.
     */
   val q54KHop: QueryDef = QueryDef("q54_khop",
     (s, dir) => {
       val pairs = t(s, dir, "orders")
         .join(t(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("o_custkey"), col("l_suppkey"))
+        .agg(count(lit(1)).as("w"))
+        .filter(col("w") >= 2)
         .select(col("o_custkey").as("c"), (col("l_suppkey") + 1000000000L).as("p"))
-        .distinct()
       val edges = pairs.select(col("c").as("src"), col("p").as("dst"))
         .unionByName(pairs.select(col("p").as("src"), col("c").as("dst")))
       Graph.kHopReachability(edges, "src", "dst", k = 2)
         .orderBy(col("root"))
     },
-    Some("""WITH pairs AS (SELECT DISTINCT o_custkey AS c, l_suppkey + 1000000000 AS p
-        FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+    Some("""WITH pairs AS (SELECT o_custkey AS c, l_suppkey + 1000000000 AS p
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        GROUP BY 1, 2 HAVING COUNT(*) >= 2),
       e AS (SELECT c AS src, p AS dst FROM pairs UNION ALL SELECT p, c FROM pairs),
       hop1 AS (SELECT DISTINCT src AS root, dst AS node FROM e),
       hop2 AS (SELECT DISTINCT h.root, e2.dst AS node
@@ -2240,6 +2249,84 @@ object Queries {
         COUNT(*) AS n
       FROM lineitem l JOIN cuts c USING (l_returnflag)
       GROUP BY 1, 2 ORDER BY 1, 2"""))
+
+  /** Robust outlier detection via median/MAD z-scores (the
+    * Iglewicz–Hoaglin modified z, 0.6745·|v−med|/MAD > 3.5): both the
+    * median and the MAD (median absolute deviation) come from the
+    * distributed exact-selection operator — the classic robust
+    * statistic that a stddev-based rule can't replicate under heavy
+    * tails. Thresholds round to 4dp in both engines, so outlier
+    * counts are bit-identical.
+    */
+  val q56MadOutliers: QueryDef = QueryDef("q56_mad_outliers",
+    (s, dir) => {
+      val li = t(s, dir, "lineitem")
+      // eager-checkpoint the O(groups) threshold frames: the MAD
+      // selection and the final aggregate each rescan their input
+      // several times, and without the cut every rescan would re-run
+      // the upstream selection subtree from scratch (measured 58s →
+      // ~3s at sf0.01)
+      val med = Selection.exactQuantiles(li, "l_returnflag", "l_extendedprice", Seq(0.5))
+        .groupBy(col("l_returnflag")).agg(round(max(col("q")), 4).as("med"))
+        .localCheckpoint(true)
+      val dev = li.join(broadcast(med), "l_returnflag")
+        .withColumn("adev", abs(col("l_extendedprice") - col("med")))
+      val mad = Selection.exactQuantiles(dev, "l_returnflag", "adev", Seq(0.5))
+        .groupBy(col("l_returnflag")).agg(round(max(col("q")), 4).as("mad"))
+        .localCheckpoint(true)
+      dev.join(broadcast(mad), "l_returnflag")
+        .groupBy(col("l_returnflag"))
+        .agg(max(col("med")).as("med"), max(col("mad")).as("mad"),
+          count(lit(1)).as("n"),
+          sum(when(lit(0.6745) * col("adev") / col("mad") > 3.5, 1L).otherwise(0L))
+            .as("n_outliers"))
+        .orderBy(col("l_returnflag"))
+    },
+    Some("""WITH med AS (SELECT l_returnflag,
+          round(quantile_cont(l_extendedprice, 0.5), 4) AS med
+        FROM lineitem GROUP BY 1),
+      dev AS (SELECT l.l_returnflag, med,
+          abs(l_extendedprice - med) AS adev
+        FROM lineitem l JOIN med USING (l_returnflag)),
+      mad AS (SELECT l_returnflag, round(quantile_cont(adev, 0.5), 4) AS mad
+        FROM dev GROUP BY 1)
+      SELECT d.l_returnflag, MAX(d.med) AS med, MAX(m.mad) AS mad,
+        COUNT(*) AS n,
+        CAST(SUM(CASE WHEN 0.6745 * d.adev / m.mad > 3.5 THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_outliers
+      FROM dev d JOIN mad m USING (l_returnflag)
+      GROUP BY 1 ORDER BY 1"""))
+
+  /** Join-key skew diagnosis: the pre-flight health check before a
+    * big shuffle join — top-10 heaviest keys with their share of all
+    * rows and their multiple of the average key load (the number that
+    * predicts straggler tasks and motivates operators.SkewJoin).
+    * O(keys) partial-agg shuffle; totals ride as a broadcast 1-row
+    * frame onto the 10-row top list.
+    */
+  val q57SkewReport: QueryDef = QueryDef("q57_skew_report",
+    (s, dir) => {
+      val counts = t(s, dir, "lineitem")
+        .groupBy(col("l_suppkey")).agg(count(lit(1)).as("cnt"))
+      val tot = counts.agg(sum(col("cnt")).cast(DoubleType).as("n_rows"),
+        count(lit(1)).cast(DoubleType).as("n_keys"))
+      counts.orderBy(desc("cnt"), col("l_suppkey")).limit(10)
+        .crossJoin(broadcast(tot))
+        .select(col("l_suppkey"), col("cnt"),
+          round(col("cnt").cast(DoubleType) / col("n_rows"), 6).as("share"),
+          round(col("cnt").cast(DoubleType) / (col("n_rows") / col("n_keys")), 4).as("skew_x"))
+        .orderBy(desc("cnt"), col("l_suppkey"))
+    },
+    Some("""WITH counts AS (SELECT l_suppkey, COUNT(*) AS cnt
+        FROM lineitem GROUP BY 1),
+      tot AS (SELECT CAST(SUM(cnt) AS DOUBLE) AS n_rows,
+          CAST(COUNT(*) AS DOUBLE) AS n_keys FROM counts)
+      SELECT l_suppkey, cnt,
+        round(CAST(cnt AS DOUBLE) / n_rows, 6) AS share,
+        round(CAST(cnt AS DOUBLE) / (n_rows / n_keys), 4) AS skew_x
+      FROM (SELECT * FROM counts ORDER BY cnt DESC, l_suppkey LIMIT 10)
+      CROSS JOIN tot
+      ORDER BY cnt DESC, l_suppkey"""))
 
   /** Corpus bigram PMI collocations (TextAnalysis.bigramPmi): top-50
     * bigrams by count with pointwise mutual information.
@@ -2298,7 +2385,7 @@ object Queries {
     q40UnionByName, q41Share, q42Profile, q43Winsorize, q44TableDiff,
     q45ArrayHof, q46Concurrency, q47Lateral, q48Attribution, q49AsOfNative,
     q50Sliding, q51GapFill, q52Transitions, q53DegreeDist,
-    q54KHop, q55EquiDepth, textPmi, textTfIdf,
+    q54KHop, q55EquiDepth, q56MadOutliers, q57SkewReport, textPmi, textTfIdf,
     etlMergeUpsert, etlConstraints, etlProvenance,
     graphPageRank, curateWeightedSample,
     etlUnionSources, etlValidate, etlCleanTransform, etlQualityReport,
