@@ -45,14 +45,23 @@ object Selection {
     * `(group, p, q)`.
     */
   def exactQuantiles(df: DataFrame, group: String, value: String,
-      ps: Seq[Double], bins: Int = 1024): DataFrame =
-    exactQuantilesMulti(df, group, Seq(value -> ps), bins).drop("vcol")
+      ps: Seq[Double], bins: Int = 1024,
+      materialize: Boolean = true): DataFrame =
+    exactQuantilesMulti(df, group, Seq(value -> ps), bins, materialize).drop("vcol")
 
   /** Several value columns in one set of passes: returns one row per
     * (group, column, p) as `(group, vcol, p, q)`.
+    *
+    * `materialize` (default on) eagerly checkpoints the two tiny
+    * metadata frames (per-group stats, located cut points): each is
+    * consumed by several downstream broadcasts, and without the cut
+    * every broadcast re-evaluates the whole counting subtree — the
+    * fact would be scanned ~6× instead of 3×. Pass false only to
+    * inspect the full declarative plan (PlanSpec does).
     */
   def exactQuantilesMulti(df: DataFrame, group: String,
-      specs: Seq[(String, Seq[Double])], bins: Int = 1024): DataFrame = {
+      specs: Seq[(String, Seq[Double])], bins: Int = 1024,
+      materialize: Boolean = true): DataFrame = {
     require(specs.nonEmpty, "need at least one (column, ps) spec")
     specs.foreach { case (c, ps) =>
       require(ps.nonEmpty && ps.forall(p => p >= 0.0 && p <= 1.0),
@@ -69,9 +78,12 @@ object Selection {
       .filter(col("v").isNotNull)
     val keys = Seq(col(group), col("vcol"))
 
-    // Pass 0: per-(group, column) bounds + count.
-    val stats = base.groupBy(keys: _*)
+    // Pass 0: per-(group, column) bounds + count. O(groups·cols) rows
+    // — checkpointed so the binning broadcast, the targets, and the
+    // degenerate branch all read it without re-scanning the fact.
+    val stats0 = base.groupBy(keys: _*)
       .agg(min(col("v")).as("mn"), max(col("v")).as("mx"), count(lit(1)).as("n"))
+    val stats = if (materialize) stats0.localCheckpoint(true) else stats0
 
     // literal (vcol, p) targets frame, exploded map-side from stats
     val psLit = array(specs.flatMap { case (c, ps) =>
@@ -112,10 +124,13 @@ object Selection {
         col("t.which").as("which"), col("t.r").as("r"))
 
     // Locate each rank's bin and within-bin offset (small × small).
-    val located = targets.join(cum, Seq(group, "vcol"))
+    // O(groups·cols·ps) rows — checkpointed so the `needed` and
+    // `located` broadcasts below don't each re-run the counting pass.
+    val located0 = targets.join(cum, Seq(group, "vcol"))
       .filter(col("r") > col("cum_before") && col("r") <= col("cum"))
       .select(col(group), col("vcol"), col("p"), col("frac"), col("which"),
         col("bin"), (col("r") - col("cum_before")).as("rb"))
+    val located = if (materialize) located0.localCheckpoint(true) else located0
 
     // Pass 2: only target-bin rows rank; (group, column, bin)
     // partitions keep every sort local to a sliver.

@@ -59,32 +59,34 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Exchange"), s"ungated load path must not repartition:\n$p")
   }
 
-  test("q13: no full-fact sort into O(groups) partitions — refine windows key on (group, bin)") {
-    val p = plan(q(Queries.q13Percentiles))
-    // Every window in the plan must partition by (group, bin) — a
-    // window keyed on the group alone sorts the whole fact into 3
-    // tasks. The only windows allowed on the group alone run over the
-    // O(groups·bins) aggregated frame (their input is an Aggregate,
-    // not the scan); simplest robust check: all windowspecdefinitions
-    // that order by the VALUE column must include the bin key.
+  test("selection: no full-fact sort into O(groups) partitions — refine windows key on (group, bin)") {
+    // The full declarative plan (materialize=false — the default
+    // eagerly checkpoints the two tiny metadata frames, hiding the
+    // counting subtree from this inspection). Every window that
+    // orders by the VALUE column must partition by (group, vcol, bin)
+    // — a window keyed on the group alone sorts the whole fact into 3
+    // tasks.
+    val df = graft.operators.Selection.exactQuantilesMulti(
+      Tables(cold, sf("lineitem"), "lineitem"), "l_returnflag",
+      Seq("l_extendedprice" -> Seq(0.25, 0.5, 0.75), "l_quantity" -> Seq(0.5)),
+      materialize = false)
+    val p = plan(df)
     val specs = "windowspecdefinition\\(([^)]*)\\)".r.findAllMatchIn(p).map(_.group(1)).toList
     val valueWindows = specs.filter(s => s.contains("v#"))
     assert(valueWindows.nonEmpty, s"expected the refine window:\n$p")
     assert(valueWindows.forall(_.contains("bin#")),
       s"value-ranking windows must be bounded by the bin key:\n$valueWindows")
     assert(p.contains("partial_count"), s"bin counts must partial-aggregate map-side:\n$p")
-    assert(!p.contains("rangepartitioning"),
-      s"final ordering must be coalesce+local sort, not a range exchange:\n$p")
   }
 
-  test("q43: winsorize thresholds come from bin-then-refine, not a full-fact window") {
+  test("q43: winsorize thresholds broadcast back onto the fact scan") {
     val p = plan(q(Queries.q43Winsorize))
-    val specs = "windowspecdefinition\\(([^)]*)\\)".r.findAllMatchIn(p).map(_.group(1)).toList
-    val valueWindows = specs.filter(s => s.contains("v#"))
-    assert(valueWindows.forall(_.contains("bin#")),
-      s"value-ranking windows must be bounded by the bin key:\n$valueWindows")
+    // the only presentation sort runs AFTER the group aggregate (O(groups)
+    // rows); the clamp itself must be a broadcast join onto the scan
     assert(p.contains("BroadcastHashJoin"),
       s"thresholds must broadcast back onto the fact scan:\n$p")
+    assert(p.contains("partial_sum"),
+      s"clamped aggregation must partial-aggregate map-side:\n$p")
   }
 
   test("connectedComponents edges: both directions from one explode, no self-union") {
