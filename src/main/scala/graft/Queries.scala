@@ -2250,6 +2250,49 @@ object Queries {
       FROM lineitem l JOIN cuts c USING (l_returnflag)
       GROUP BY 1, 2 ORDER BY 1, 2"""))
 
+  /** SCD2 point-in-time lookup (the temporal-dimension join): each
+    * purchase event fetches the state row valid AT its timestamp from
+    * the change history — via the NATIVE as-of join (SCD2 validity
+    * intervals tile each key's timeline, so "latest valid_from ≤ ts"
+    * IS the containing interval; no BETWEEN range join needed). The
+    * history dedupes same-(key, ts) changes with a struct-max argmax
+    * (latest event id wins) so the as-of right side is unique per
+    * (key, time) as its contract requires.
+    */
+  val q58Scd2Lookup: QueryDef = QueryDef("q58_scd2_lookup",
+    (s, dir) => {
+      val ev = t(s, dir, "events")
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val changes = ev
+        .withColumn("prev", lag(col("event_type"), 1).over(w))
+        .filter(col("prev").isNull || col("prev") =!= col("event_type"))
+      val hist = changes.groupBy(col("user_id").as("h_uid"), col("ts").as("valid_from"))
+        .agg(max(struct(col("event_id"), col("event_type"))).as("m"))
+        .select(col("h_uid"), col("valid_from"), col("m.event_type").as("state"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      AsOf.nativeAsOf(purchases, hist, "user_id", "ts", "h_uid", "valid_from")
+        .select(col("event_id"), col("user_id"), col("r_state").as("state"))
+        .orderBy(col("event_id"))
+    },
+    Some("""WITH marked AS (SELECT user_id, event_id, event_type, ts,
+          lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        FROM events),
+      changes AS (SELECT user_id, event_id, event_type, ts FROM marked
+        WHERE prev IS NULL OR prev <> event_type),
+      hist AS (SELECT user_id, valid_from, state FROM (
+          SELECT user_id, ts AS valid_from, event_type AS state,
+            row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn
+          FROM changes) x WHERE rn = 1),
+      hist2 AS (SELECT user_id, valid_from, state,
+          lead(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from) AS valid_to
+        FROM hist)
+      SELECT p.event_id, p.user_id, h.state
+      FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p
+      LEFT JOIN hist2 h ON h.user_id = p.user_id AND h.valid_from <= p.ts
+        AND (h.valid_to IS NULL OR p.ts < h.valid_to)
+      ORDER BY p.event_id"""))
+
   /** Robust outlier detection via median/MAD z-scores (the
     * Iglewicz–Hoaglin modified z, 0.6745·|v−med|/MAD > 3.5): both the
     * median and the MAD (median absolute deviation) come from the
@@ -2385,7 +2428,8 @@ object Queries {
     q40UnionByName, q41Share, q42Profile, q43Winsorize, q44TableDiff,
     q45ArrayHof, q46Concurrency, q47Lateral, q48Attribution, q49AsOfNative,
     q50Sliding, q51GapFill, q52Transitions, q53DegreeDist,
-    q54KHop, q55EquiDepth, q56MadOutliers, q57SkewReport, textPmi, textTfIdf,
+    q54KHop, q55EquiDepth, q56MadOutliers, q57SkewReport, q58Scd2Lookup,
+    textPmi, textTfIdf,
     etlMergeUpsert, etlConstraints, etlProvenance,
     graphPageRank, curateWeightedSample,
     etlUnionSources, etlValidate, etlCleanTransform, etlQualityReport,
