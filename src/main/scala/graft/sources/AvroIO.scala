@@ -211,6 +211,13 @@ object AvroIO {
   /** Write `df` as Avro container files under `dir` (overwrite), one
     * `part-NNNNN.avro` per partition plus `_SUCCESS`, deflate-coded
     * (pure JDK — no native codec dependency).
+    *
+    * Caveat vs the built-in sinks: parts are written directly (no
+    * task-commit protocol), so a task RETRY simply overwrites its own
+    * deterministic part name, but concurrent duplicate attempts
+    * (speculative execution) could interleave — disable
+    * `spark.speculation` (the default) when writing through this
+    * sink, and treat `_SUCCESS` as the completion marker.
     */
   def write(df: DataFrame, dir: String): Unit = {
     val schemaJson = avroSchema(df.schema).toString
