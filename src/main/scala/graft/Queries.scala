@@ -2371,6 +2371,64 @@ object Queries {
       CROSS JOIN tot
       ORDER BY cnt DESC, l_suppkey"""))
 
+  /** Top-N rows per group through the native bounded `top_k_by`
+    * aggregate (graft.functions.TopKByScore) on a RELATIONAL query:
+    * top-3 orders per customer by price. The row_number-window form
+    * shuffles every order into per-customer sort state; the bounded
+    * aggregate's map-side partials carry ≤3 rows per customer per
+    * task, so the shuffle is O(customers·3) regardless of order
+    * count. Ties: score desc, id asc — deterministic, mirrored in the
+    * oracle's window ordering.
+    */
+  val q59TopNGroup: QueryDef = QueryDef("q59_topn_per_group",
+    (s, dir) => t(s, dir, "orders")
+      .groupBy(col("o_custkey"))
+      .agg(vector.topKBy(col("o_totalprice"), col("o_orderkey").cast(LongType), 3).as("top"))
+      .select(col("o_custkey"), explode(col("top")).as("t"))
+      .select(col("o_custkey"), col("t.rank").as("rank"),
+        col("t.id").as("o_orderkey"), round(col("t.score"), 2).as("o_totalprice"))
+      .orderBy(col("o_custkey"), col("rank")),
+    Some("""SELECT o_custkey, rank, o_orderkey, price AS o_totalprice FROM (
+        SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS price,
+          row_number() OVER (PARTITION BY o_custkey
+            ORDER BY o_totalprice DESC, o_orderkey) AS rank
+        FROM orders) x
+      WHERE rank <= 3 ORDER BY o_custkey, rank"""))
+
+  /** Gap-based sessions via the NATIVE `session_window` aggregation in
+    * BATCH (the declarative twin of q16's manual lag-island build and
+    * of the streaming Refresh.sessionWindowAgg): Catalyst merges
+    * overlapping per-event windows, so a session BREAKS when the gap
+    * is ≥ the timeout (the manual form breaks strictly-greater — the
+    * oracle mirrors the native >= semantics). Session end = last event
+    * + gap, per the operator's definition.
+    */
+  val q60SessionNative: QueryDef = QueryDef("q60_session_native",
+    (s, dir) => t(s, dir, "events")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(dec(col("value"))).cast(DoubleType).as("total_value"))
+      .select(col("user_id"),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events"), col("total_value"))
+      .orderBy(col("user_id"), col("session_start")),
+    Some("""WITH e AS (SELECT user_id, value, ts,
+        LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts) AS prev_us
+        FROM events),
+      f AS (SELECT user_id, value, ts,
+        CASE WHEN prev_us IS NULL OR epoch_us(ts) - prev_us >= 1800000000
+             THEN 1 ELSE 0 END AS new_sess
+        FROM e),
+      g AS (SELECT user_id, value, ts,
+        SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sess
+        FROM f)
+      SELECT user_id, MIN(ts) AS session_start,
+        MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+        COUNT(*) AS n_events,
+        CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+      FROM g GROUP BY user_id, sess ORDER BY user_id, session_start"""))
+
   /** Corpus bigram PMI collocations (TextAnalysis.bigramPmi): top-50
     * bigrams by count with pointwise mutual information.
     */
@@ -2429,7 +2487,7 @@ object Queries {
     q45ArrayHof, q46Concurrency, q47Lateral, q48Attribution, q49AsOfNative,
     q50Sliding, q51GapFill, q52Transitions, q53DegreeDist,
     q54KHop, q55EquiDepth, q56MadOutliers, q57SkewReport, q58Scd2Lookup,
-    textPmi, textTfIdf,
+    q59TopNGroup, q60SessionNative, textPmi, textTfIdf,
     etlMergeUpsert, etlConstraints, etlProvenance,
     graphPageRank, curateWeightedSample,
     etlUnionSources, etlValidate, etlCleanTransform, etlQualityReport,
