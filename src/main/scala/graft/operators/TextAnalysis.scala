@@ -369,9 +369,12 @@ object TextAnalysis {
     *
     * Scale shape: one explode for bigram counts + one for unigram
     * counts, both partial-aggregated map-side before their O(vocab)
-    * shuffles; the two scalar totals ride as broadcast 1-row frames;
-    * the unigram joins hit the topK-bounded bigram side only. No
-    * corpus-sized join anywhere.
+    * shuffles. The unigram joins BROADCAST THE topK SIDE and stream
+    * the vocabulary (the vocabulary is unbounded at corpus scale —
+    * broadcasting it is the driver-OOM pattern); the two count frames
+    * persist for the duration of the call (totals + top-K + joins all
+    * read them), the O(topK) result materializes eagerly, and the
+    * caches release before returning.
     */
   def bigramPmi(docs: org.apache.spark.sql.DataFrame, text: String,
       topK: Int = 50, minCount: Long = 2L): org.apache.spark.sql.DataFrame = {
@@ -379,23 +382,30 @@ object TextAnalysis {
     val toks = docs.select(tokens(col(text)).as("toks"))
     val uni = toks.select(explode(col("toks")).as("w"))
       .groupBy("w").agg(count(lit(1)).as("cw"))
-    val uniN = uni.agg(sum(col("cw")).cast(DoubleType).as("nu"))
-    val bi = toks.select(explode(shinglesAll(col("toks"), 2)).as("gram"))
+      .persist()
+    val bic = toks.select(explode(shinglesAll(col("toks"), 2)).as("gram"))
       .groupBy("gram").agg(count(lit(1)).as("cab"))
       .filter(col("cab") >= minCount)
-    val biN = bi.agg(sum(col("cab")).cast(DoubleType).as("nb"))
-    val top = bi.orderBy(desc("cab"), col("gram")).limit(topK)
-      .withColumn("w1", split(col("gram"), " ").getItem(0))
-      .withColumn("w2", split(col("gram"), " ").getItem(1))
-    top
-      .join(broadcast(uni.select(col("w").as("w1"), col("cw").as("c1"))), "w1")
-      .join(broadcast(uni.select(col("w").as("w2"), col("cw").as("c2"))), "w2")
-      .crossJoin(broadcast(uniN)).crossJoin(broadcast(biN))
-      .select(col("gram"), col("cab"), col("c1"), col("c2"),
-        round(ln((col("cab").cast(DoubleType) / col("nb")) /
-          ((col("c1").cast(DoubleType) / col("nu")) *
-            (col("c2").cast(DoubleType) / col("nu")))), 6).as("pmi"))
-      .orderBy(desc("cab"), col("gram"))
+      .persist()
+    try {
+      val uniN = uni.agg(sum(col("cw")).cast(DoubleType).as("nu"))
+      val biN  = bic.agg(sum(col("cab")).cast(DoubleType).as("nb"))
+      val top = bic.orderBy(desc("cab"), col("gram")).limit(topK)
+        .withColumn("w1", split(col("gram"), " ").getItem(0))
+        .withColumn("w2", split(col("gram"), " ").getItem(1))
+      val withC1 = uni.select(col("w").as("w1"), col("cw").as("c1"))
+        .join(broadcast(top), Seq("w1"))
+      val withC2 = uni.select(col("w").as("w2"), col("cw").as("c2"))
+        .join(broadcast(withC1), Seq("w2"))
+      withC2
+        .crossJoin(broadcast(uniN)).crossJoin(broadcast(biN))
+        .select(col("gram"), col("cab"), col("c1"), col("c2"),
+          round(ln((col("cab").cast(DoubleType) / col("nb")) /
+            ((col("c1").cast(DoubleType) / col("nu")) *
+              (col("c2").cast(DoubleType) / col("nu")))), 6).as("pmi"))
+        .orderBy(desc("cab"), col("gram"))
+        .localCheckpoint(true)
+    } finally { uni.unpersist(false); bic.unpersist(false) }
   }
 
   /** Per-document top-k TF-IDF terms: tf = in-doc term count, idf =
@@ -404,8 +414,10 @@ object TextAnalysis {
     * topic drift monitoring.
     *
     * Scale shape: term counts partial-aggregate before the one
-    * (doc, term)-keyed shuffle; df is an O(vocab) aggregate joined
-    * back by broadcast; the per-doc ranking window partitions by the
+    * (doc, term)-keyed shuffle; the O(vocab) document-frequency frame
+    * joins back on the term WITHOUT a broadcast hint — the vocabulary
+    * is unbounded at corpus scale (AQE still broadcasts it when it
+    * measures small); the per-doc ranking window partitions by the
     * doc id (high cardinality — thousands of small partitions, never
     * a funnel). Ties break on the term for determinism.
     */
@@ -417,7 +429,7 @@ object TextAnalysis {
       .groupBy("id", "term").agg(count(lit(1)).as("tf"))
     val df = tf.groupBy("term").agg(count(lit(1)).as("df")) // tf rows are per-doc-distinct
     val n = docs.agg(count(lit(1)).cast(DoubleType).as("n_docs"))
-    val scored = tf.join(broadcast(df), "term").crossJoin(broadcast(n))
+    val scored = tf.join(df, "term").crossJoin(broadcast(n))
       .withColumn("tfidf",
         round(col("tf").cast(DoubleType) * ln(col("n_docs") / col("df").cast(DoubleType)), 6))
     scored
