@@ -2429,6 +2429,94 @@ object Queries {
         CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
       FROM g GROUP BY user_id, sess ORDER BY user_id, session_start"""))
 
+  /** Population Stability Index (PSI) drift between two periods: the
+    * standard ML-monitoring statistic for "did this feature's
+    * distribution move". Decile bins come from the REFERENCE period
+    * via the exact-selection operator (4dp-pinned cuts, broadcast);
+    * both periods bin against them; per-bin contribution =
+    * (q−p)·ln(q/p) with a 1e-6 floor (deterministic in both engines).
+    * PSI < 0.1 stable, > 0.25 action — the per-bin rows let the
+    * compare cover the whole computation, with the total repeated on
+    * each row.
+    */
+  val q61PsiDrift: QueryDef = QueryDef("q61_psi_drift",
+    (s, dir) => {
+      val o = t(s, dir, "orders")
+      val ref = o.filter(col("o_orderdate") < to_timestamp(lit("1998-01-01 00:00:00")))
+      val cuts = Selection.exactQuantiles(ref.withColumn("g", lit(1)), "g",
+          "o_totalprice", (1 to 9).map(_ / 10.0))
+        .groupBy(col("g"))
+        .agg(sort_array(collect_list(struct(col("p"), col("q")))).as("cs"))
+        .select(transform(col("cs"), c => round(c.getField("q"), 4)).as("cuts"))
+      val binned = o.crossJoin(broadcast(cuts))
+        .withColumn("period",
+          when(col("o_orderdate") < to_timestamp(lit("1998-01-01 00:00:00")), "ref").otherwise("cur"))
+        .withColumn("bin",
+          (lit(1) + size(filter(col("cuts"), c => col("o_totalprice") > c))).cast(LongType))
+        .groupBy(col("bin"))
+        .agg(sum(when(col("period") === "ref", 1L).otherwise(0L)).as("n_ref"),
+          sum(when(col("period") === "cur", 1L).otherwise(0L)).as("n_cur"))
+      val tot = binned.agg(sum(col("n_ref")).cast(DoubleType).as("tr"),
+        sum(col("n_cur")).cast(DoubleType).as("tc"))
+      val contrib = binned.crossJoin(broadcast(tot))
+        .withColumn("p", greatest(col("n_ref") / col("tr"), lit(1e-6)))
+        .withColumn("q", greatest(col("n_cur") / col("tc"), lit(1e-6)))
+        .withColumn("contrib", round((col("q") - col("p")) * log(col("q") / col("p")), 6))
+      val psi = contrib.agg(round(sum(col("contrib")), 6).as("psi"))
+      contrib.crossJoin(broadcast(psi))
+        .select(col("bin"), col("n_ref"), col("n_cur"),
+          round(col("p"), 6).as("p_ref"), round(col("q"), 6).as("p_cur"),
+          col("contrib"), col("psi"))
+        .orderBy(col("bin"))
+    },
+    Some("""WITH ref AS (SELECT o_totalprice FROM orders WHERE o_orderdate < TIMESTAMP '1998-01-01 00:00:00'),
+      cuts AS (SELECT [round(x, 4) FOR x IN quantile_cont(o_totalprice,
+          [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9])] AS cuts FROM ref),
+      binned AS (SELECT
+          1 + len(list_filter(c.cuts, x -> o.o_totalprice > x)) AS bin,
+          SUM(CASE WHEN o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00' THEN 1 ELSE 0 END) AS n_ref,
+          SUM(CASE WHEN o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00' THEN 0 ELSE 1 END) AS n_cur
+        FROM orders o CROSS JOIN cuts c GROUP BY 1),
+      tot AS (SELECT CAST(SUM(n_ref) AS DOUBLE) AS tr, CAST(SUM(n_cur) AS DOUBLE) AS tc
+        FROM binned),
+      contrib AS (SELECT bin, n_ref, n_cur,
+          greatest(n_ref / tr, 1e-6) AS p, greatest(n_cur / tc, 1e-6) AS q,
+          round((greatest(n_cur / tc, 1e-6) - greatest(n_ref / tr, 1e-6)) *
+            ln(greatest(n_cur / tc, 1e-6) / greatest(n_ref / tr, 1e-6)), 6) AS contrib
+        FROM binned CROSS JOIN tot),
+      psi AS (SELECT round(SUM(contrib), 6) AS psi FROM contrib)
+      SELECT bin, CAST(n_ref AS BIGINT) AS n_ref, CAST(n_cur AS BIGINT) AS n_cur,
+        round(p, 6) AS p_ref, round(q, 6) AS p_cur, contrib, psi
+      FROM contrib CROSS JOIN psi ORDER BY bin"""))
+
+  /** Benford first-digit audit (fraud/fabrication screen): observed
+    * first-significant-digit distribution of order totals vs the
+    * Benford expectation log10(1+1/d). Digit extraction goes through
+    * floor→BIGINT→string in BOTH engines (a double→int cast truncates
+    * in Spark but ROUNDS in DuckDB — the explicit floor pins it).
+    * Map-side expression work + one O(9) aggregation.
+    */
+  val q62Benford: QueryDef = QueryDef("q62_benford",
+    (s, dir) => {
+      val o = t(s, dir, "orders")
+      val digit = substring(floor(col("o_totalprice")).cast(LongType).cast(StringType), 1, 1)
+      val counts = o.select(digit.as("digit"))
+        .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+      val tot = counts.agg(sum(col("n")).cast(DoubleType).as("t"))
+      counts.crossJoin(broadcast(tot))
+        .select(col("digit"), col("n"),
+          round(col("n") / col("t"), 6).as("observed"),
+          round(log10(lit(1.0) + lit(1.0) / col("digit").cast(DoubleType)), 6).as("benford"))
+        .orderBy(col("digit"))
+    },
+    Some("""WITH d AS (SELECT substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1) AS digit
+        FROM orders),
+      counts AS (SELECT digit, COUNT(*) AS n FROM d GROUP BY 1),
+      tot AS (SELECT CAST(SUM(n) AS DOUBLE) AS t FROM counts)
+      SELECT digit, n, round(n / t, 6) AS observed,
+        round(log10(1.0 + 1.0 / CAST(digit AS DOUBLE)), 6) AS benford
+      FROM counts CROSS JOIN tot ORDER BY digit"""))
+
   /** Corpus bigram PMI collocations (TextAnalysis.bigramPmi): top-50
     * bigrams by count with pointwise mutual information.
     */
@@ -2487,7 +2575,8 @@ object Queries {
     q45ArrayHof, q46Concurrency, q47Lateral, q48Attribution, q49AsOfNative,
     q50Sliding, q51GapFill, q52Transitions, q53DegreeDist,
     q54KHop, q55EquiDepth, q56MadOutliers, q57SkewReport, q58Scd2Lookup,
-    q59TopNGroup, q60SessionNative, textPmi, textTfIdf,
+    q59TopNGroup, q60SessionNative, q61PsiDrift, q62Benford,
+    textPmi, textTfIdf,
     etlMergeUpsert, etlConstraints, etlProvenance,
     graphPageRank, curateWeightedSample,
     etlUnionSources, etlValidate, etlCleanTransform, etlQualityReport,
