@@ -2456,6 +2456,9 @@ object Queries {
         .groupBy(col("bin"))
         .agg(sum(when(col("period") === "ref", 1L).otherwise(0L)).as("n_ref"),
           sum(when(col("period") === "cur", 1L).otherwise(0L)).as("n_cur"))
+        // O(bins) rows; checkpointed so totals, contributions, and the
+        // PSI scalar all read it instead of re-scanning orders
+        .localCheckpoint(true)
       val tot = binned.agg(sum(col("n_ref")).cast(DoubleType).as("tr"),
         sum(col("n_cur")).cast(DoubleType).as("tc"))
       val contrib = binned.crossJoin(broadcast(tot))
