@@ -2520,8 +2520,28 @@ object Queries {
         round(log10(1.0 + 1.0 / CAST(digit AS DOUBLE)), 6) AS benford
       FROM counts CROSS JOIN tot ORDER BY digit"""))
 
+  /** Overlapping token-window chunking (Curation.chunkDocs): 64-token
+    * windows every 48 tokens (16-token overlap); compare ships the
+    * chunk md5 + length so the hash covers every byte without moving
+    * the text.
+    */
+  val curateChunk: QueryDef = QueryDef("curate_chunk",
+    (s, dir) => Curation.chunkDocs(t(s, dir, "documents"), "doc_id", "text",
+        chunkTokens = 64, overlap = 16)
+      .select(col("doc_id"), col("chunk_idx"), col("n_chunk_tokens"),
+        md5(col("chunk_text").cast(BinaryType)).as("chunk_md5"))
+      .orderBy(col("doc_id"), col("chunk_idx")),
+    Some("""WITH tok AS (SELECT doc_id,
+        string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS w
+        FROM documents),
+      st AS (SELECT doc_id, w, unnest(range(0, len(w), 48)) AS start FROM tok)
+      SELECT doc_id, CAST(start / 48 AS BIGINT) AS chunk_idx,
+        CAST(len(w[start+1 : least(start+64, len(w))]) AS BIGINT) AS n_chunk_tokens,
+        md5(array_to_string(w[start+1 : least(start+64, len(w))], ' ')) AS chunk_md5
+      FROM st ORDER BY doc_id, chunk_idx"""))
+
   /** Corpus bigram PMI collocations (TextAnalysis.bigramPmi): top-50
-    * bigrams by count with pointwise mutual information.
+    * bigrams with pointwise mutual information.
     */
   val textPmi: QueryDef = QueryDef("text_pmi",
     (s, dir) => TextAnalysis.bigramPmi(t(s, dir, "documents"), "text",
@@ -2586,7 +2606,7 @@ object Queries {
     etlCsvProjection, etlFreshness,
     textTokens, textQuality, textLangId, textFingerprint, textVocab, textLogProb,
     textBm25, textNormalize, textRepetition, textDivergence, textC4,
-    curateMixture, curatePack, curateTake, curateDecontaminate, textRedact,
+    curateMixture, curatePack, curateTake, curateDecontaminate, curateChunk, textRedact,
     dedupExact, dedupNgramJaccard, dedupEditDist, dedupClusterCc, dedupMinhash, dedupSimhash, dedupEmbedding,
     dedupSemantic, dedupLines,
     annBruteForce, annLsh, annIvf, mmMetadata, mmDecode,

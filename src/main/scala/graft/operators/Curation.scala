@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
 
 /** Dataset-curation operators for training-data assembly: mixture
   * sampling and train/val/test splitting.
@@ -149,6 +150,35 @@ object Curation {
   def decontaminate(train: DataFrame, eval: DataFrame, idCol: String,
       textCol: String, n: Int = 4): DataFrame =
     train.join(contaminatedIds(train, eval, idCol, textCol, n), Seq(idCol), "left_anti")
+
+  /** Overlapping token-window chunking (the long-document split for
+    * pretraining sequences and RAG passages): each document yields
+    * windows of `chunkTokens` tokens starting every
+    * `chunkTokens − overlap` tokens, the tail window shorter. Distinct
+    * from [[packChunks]] (which concatenates WHOLE docs into budget
+    * bins): chunking SPLITS one long doc, preserving `overlap` tokens
+    * of context across the cut.
+    *
+    * Scale shape: pure map-side — tokenize once (materialized array,
+    * §5b HOF rule), explode the start sequence, slice per chunk; no
+    * shuffle at all. Returns (id, chunk_idx, chunk_text, n_chunk_tokens).
+    */
+  def chunkDocs(docs: DataFrame, idCol: String, textCol: String,
+      chunkTokens: Int, overlap: Int = 0): DataFrame = {
+    require(chunkTokens > 0 && overlap >= 0 && overlap < chunkTokens,
+      s"need 0 <= overlap < chunkTokens: chunkTokens=$chunkTokens overlap=$overlap")
+    val step = chunkTokens - overlap
+    docs.select(col(idCol), TextAnalysis.tokens(col(textCol)).as("__toks"))
+      .withColumn("__n", size(col("__toks")))
+      .withColumn("__start",
+        explode(sequence(lit(0), greatest(col("__n") - 1, lit(0)), lit(step))))
+      .filter(col("__start") < col("__n"))
+      .withColumn("chunk", slice(col("__toks"), col("__start") + 1, lit(chunkTokens)))
+      .select(col(idCol),
+        (col("__start") / step).cast(LongType).as("chunk_idx"),
+        concat_ws(" ", col("chunk")).as("chunk_text"),
+        size(col("chunk")).cast(LongType).as("n_chunk_tokens"))
+  }
 
   def packChunks(df: DataFrame, idCol: String, weightCol: String,
       budget: Long, shards: Int): DataFrame = {

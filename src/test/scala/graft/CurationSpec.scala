@@ -142,4 +142,22 @@ class CurationSpec extends SparkSpec {
       .select("id").collect().map(_.getLong(0)).toSet
     assert(other != again)
   }
+
+  test("chunkDocs: overlapping windows, short tail, single-chunk doc, context preserved") {
+    import spark.implicits._
+    val doc10 = (1 to 10).map(i => s"t$i").mkString(" ") // 10 tokens
+    val docs = Seq((1L, doc10), (2L, "a b c")).toDF("doc_id", "text")
+    val out = Curation.chunkDocs(docs, "doc_id", "text", chunkTokens = 4, overlap = 2)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getString(2), r.getLong(3))).toMap
+    // doc 1: starts 0,2,4,6,8 → 5 chunks; overlap of 2 tokens between neighbors
+    assert(out((1L, 0L)) == ("t1 t2 t3 t4", 4L))
+    assert(out((1L, 1L)) == ("t3 t4 t5 t6", 4L))  // carries t3 t4 context
+    assert(out((1L, 4L)) == ("t9 t10", 2L))       // short tail
+    assert(!out.contains((1L, 5L)))
+    // doc 2 fits in one window... plus the start-2 tail per the fixed stride
+    assert(out((2L, 0L)) == ("a b c", 3L))
+    assert(out((2L, 1L)) == ("c", 1L))
+    assert(out.size == 5 + 2)
+  }
 }
