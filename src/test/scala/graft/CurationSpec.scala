@@ -143,6 +143,23 @@ class CurationSpec extends SparkSpec {
     assert(other != again)
   }
 
+  test("chunkDocs with zero overlap partitions every doc's tokens exactly") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val docs = Tables(spark, sf("documents"), "documents")
+      .select(col("doc_id"), col("text")).limit(200)
+    val rebuilt = Curation.chunkDocs(docs, "doc_id", "text", chunkTokens = 32, overlap = 0)
+      .groupBy(col("doc_id"))
+      .agg(concat_ws(" ",
+        transform(sort_array(collect_list(struct(col("chunk_idx"), col("chunk_text")))),
+          s => s.getField("chunk_text"))).as("rebuilt"))
+    val orig = docs.select(col("doc_id"),
+      concat_ws(" ", graft.operators.TextAnalysis.tokens(col("text"))).as("norm"))
+    val mismatches = orig.join(rebuilt, "doc_id")
+      .filter(col("norm") =!= col("rebuilt")).count()
+    assert(mismatches == 0, "stride == window: concatenated chunks must equal the token stream")
+  }
+
   test("chunkDocs: overlapping windows, short tail, single-chunk doc, context preserved") {
     import spark.implicits._
     val doc10 = (1 to 10).map(i => s"t$i").mkString(" ") // 10 tokens

@@ -217,6 +217,15 @@ class DedupSpec extends SparkSpec {
     assert(out(4L) == "")
   }
 
+  test("lineDedup is idempotent on the real corpus (fixed point after one pass)") {
+    val docs = Tables(spark, sf("documents"), "documents").select("doc_id", "text")
+    val once  = Dedup.lineDedup(docs, "doc_id", "text")
+    val twice = Dedup.lineDedup(once, "doc_id", "text")
+    assert(once.count() == docs.count())
+    assert(twice.exceptAll(once).isEmpty && once.exceptAll(twice).isEmpty,
+      "a second pass must change nothing — every surviving line is already a first occurrence")
+  }
+
   test("lineDedup: a line shared by most docs (hot key) keeps exactly its first occurrence") {
     import spark.implicits._
     // The operator's target workload: one boilerplate line on nearly
