@@ -2520,6 +2520,100 @@ object Queries {
         round(log10(1.0 + 1.0 / CAST(digit AS DOUBLE)), 6) AS benford
       FROM counts CROSS JOIN tot ORDER BY digit"""))
 
+  /** A/B-test lift with the two-proportion pooled z-score: users split
+    * deterministically into arms (stable id parity — reproducible and
+    * mirrorable, never rand()), conversion = fraction of users with a
+    * purchase event. One distinct-user aggregate per arm (partial
+    * map-side), scalar math on the 1-row result; z > 1.96 ⇒ 95%
+    * significance. Expression order mirrored exactly in the oracle so
+    * the doubles match bit-for-bit before rounding.
+    */
+  val q63AbLift: QueryDef = QueryDef("q63_ab_lift",
+    (s, dir) => {
+      // "conversion" = a heavy purchaser (≥14 purchase events — the
+      // corpus median is ~13, so the rate genuinely varies by arm)
+      val perUser = t(s, dir, "events")
+        .groupBy(col("user_id"))
+        .agg(when(sum(when(col("event_type") === "purchase", 1L).otherwise(0L)) >= 14, 1L)
+          .otherwise(0L).as("converted"))
+        .withColumn("arm", pmod(col("user_id"), lit(2L)))
+      perUser.groupBy(col("arm"))
+        .agg(count(lit(1)).as("n"), sum(col("converted")).as("c"))
+        .agg(
+          max(when(col("arm") === 0, col("n"))).as("n_a"),
+          max(when(col("arm") === 0, col("c"))).as("c_a"),
+          max(when(col("arm") === 1, col("n"))).as("n_b"),
+          max(when(col("arm") === 1, col("c"))).as("c_b"))
+        .withColumn("pa", col("c_a").cast(DoubleType) / col("n_a").cast(DoubleType))
+        .withColumn("pb", col("c_b").cast(DoubleType) / col("n_b").cast(DoubleType))
+        .withColumn("pp", (col("c_a") + col("c_b")).cast(DoubleType) /
+          (col("n_a") + col("n_b")).cast(DoubleType))
+        .select(col("n_a"), col("c_a"), col("n_b"), col("c_b"),
+          round(col("pa"), 6).as("p_a"),
+          round(col("pb"), 6).as("p_b"),
+          round(col("pb") - col("pa"), 6).as("lift"),
+          // degenerate pooled rate (0 or 1): zero variance, z undefined
+          // → NULL (ANSI throws on the 0-divide even for doubles)
+          round(when(col("pp") > 0.0 && col("pp") < 1.0,
+            (col("pb") - col("pa")) /
+              sqrt(col("pp") * (lit(1.0) - col("pp")) *
+                (lit(1.0) / col("n_a").cast(DoubleType) +
+                 lit(1.0) / col("n_b").cast(DoubleType)))), 6).as("z"))
+    },
+    Some("""WITH per_user AS (SELECT user_id,
+          CASE WHEN SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) >= 14
+               THEN 1 ELSE 0 END AS converted,
+          user_id % 2 AS arm
+        FROM events GROUP BY user_id),
+      arms AS (SELECT arm, COUNT(*) AS n, CAST(SUM(converted) AS BIGINT) AS c
+        FROM per_user GROUP BY arm),
+      w AS (SELECT
+          MAX(CASE WHEN arm = 0 THEN n END) AS n_a, MAX(CASE WHEN arm = 0 THEN c END) AS c_a,
+          MAX(CASE WHEN arm = 1 THEN n END) AS n_b, MAX(CASE WHEN arm = 1 THEN c END) AS c_b
+        FROM arms)
+      SELECT n_a, c_a, n_b, c_b,
+        round(c_a / CAST(n_a AS DOUBLE), 6) AS p_a,
+        round(c_b / CAST(n_b AS DOUBLE), 6) AS p_b,
+        round((c_b / CAST(n_b AS DOUBLE)) - (c_a / CAST(n_a AS DOUBLE)), 6) AS lift,
+        round(CASE WHEN (c_a + c_b) > 0 AND (c_a + c_b) < (n_a + n_b) THEN
+          ((c_b / CAST(n_b AS DOUBLE)) - (c_a / CAST(n_a AS DOUBLE))) /
+          sqrt(((c_a + c_b) / CAST(n_a + n_b AS DOUBLE)) *
+            (1.0 - (c_a + c_b) / CAST(n_a + n_b AS DOUBLE)) *
+            (1.0 / n_a + 1.0 / n_b)) END, 6) AS z
+      FROM w"""))
+
+  /** Group-median null imputation (the standard numeric-cleaning pass,
+    * fancier than the reference's null-coalesce): nulls planted
+    * deterministically (key % 11), the per-segment median of the
+    * SURVIVING values comes from the exact-selection operator and
+    * broadcasts back onto the scan. 4dp-pinned medians keep both
+    * engines bit-identical.
+    */
+  val etlImpute: QueryDef = QueryDef("etl_impute",
+    (s, dir) => {
+      val base = t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"),
+          when(col("c_custkey") % 11 === 0, lit(null).cast(DoubleType))
+            .otherwise(col("c_acctbal")).as("bal"))
+      val med = Selection.exactQuantiles(base.filter(col("bal").isNotNull),
+          "c_mktsegment", "bal", Seq(0.5))
+        .groupBy(col("c_mktsegment")).agg(round(max(col("q")), 4).as("med"))
+      base.join(broadcast(med), "c_mktsegment")
+        .select(col("c_custkey"), col("c_mktsegment"),
+          col("bal").isNull.as("was_null"),
+          round(coalesce(col("bal"), col("med")), 4).as("bal_imputed"))
+        .orderBy(col("c_custkey"))
+    },
+    Some("""WITH base AS (SELECT c_custkey, c_mktsegment,
+          CASE WHEN c_custkey % 11 = 0 THEN NULL ELSE c_acctbal END AS bal
+        FROM customer),
+      med AS (SELECT c_mktsegment, round(quantile_cont(bal, 0.5), 4) AS med
+        FROM base WHERE bal IS NOT NULL GROUP BY 1)
+      SELECT c_custkey, b.c_mktsegment, (bal IS NULL) AS was_null,
+        round(COALESCE(bal, med), 4) AS bal_imputed
+      FROM base b JOIN med USING (c_mktsegment)
+      ORDER BY c_custkey"""))
+
   /** Overlapping token-window chunking (Curation.chunkDocs): 64-token
     * windows every 48 tokens (16-token overlap); compare ships the
     * chunk md5 + length so the hash covers every byte without moving
@@ -2598,8 +2692,8 @@ object Queries {
     q45ArrayHof, q46Concurrency, q47Lateral, q48Attribution, q49AsOfNative,
     q50Sliding, q51GapFill, q52Transitions, q53DegreeDist,
     q54KHop, q55EquiDepth, q56MadOutliers, q57SkewReport, q58Scd2Lookup,
-    q59TopNGroup, q60SessionNative, q61PsiDrift, q62Benford,
-    textPmi, textTfIdf,
+    q59TopNGroup, q60SessionNative, q61PsiDrift, q62Benford, q63AbLift,
+    etlImpute, textPmi, textTfIdf,
     etlMergeUpsert, etlConstraints, etlProvenance,
     graphPageRank, curateWeightedSample,
     etlUnionSources, etlValidate, etlCleanTransform, etlQualityReport,
