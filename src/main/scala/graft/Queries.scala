@@ -2582,6 +2582,49 @@ object Queries {
             (1.0 / n_a + 1.0 / n_b)) END, 6) AS z
       FROM w"""))
 
+  /** Funnel latency quantiles: time from a user's FIRST click to their
+    * first purchase at-or-after it, exact p25/p50/p75 in minutes via
+    * the selection operator over the derived duration — the
+    * "time-to-convert" product metric, and a selection consumer whose
+    * input is a two-aggregate join rather than a raw scan. First
+    * events come from min/struct-min partial aggs (no per-user
+    * window), durations are exact integer minutes.
+    */
+  val q64TimeToConvert: QueryDef = QueryDef("q64_time_to_convert",
+    (s, dir) => {
+      val ev = t(s, dir, "events")
+      val firstClick = ev.filter(col("event_type") === "click")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("click_ts"))
+      val durations = ev.filter(col("event_type") === "purchase")
+        .join(firstClick, Seq("user_id"))
+        .filter(col("ts") >= col("click_ts"))
+        .groupBy(col("user_id"))
+        .agg(min(col("ts")).as("purchase_ts"), min(col("click_ts")).as("click_ts"))
+        .select(col("user_id"), lit("all").as("g"),
+          // floor division pinned on both sides (Spark `/` on longs is
+          // fractional; DuckDB `//` floors)
+          floor((unix_micros(col("purchase_ts")) - unix_micros(col("click_ts"))) /
+            lit(60000000.0)).cast(DoubleType).as("mins"))
+      Selection.exactQuantiles(durations, "g", "mins", Seq(0.25, 0.5, 0.75))
+        .groupBy(col("g"))
+        .agg(round(max(when(col("p") === 0.25, col("q"))), 4).as("p25"),
+          round(max(when(col("p") === 0.5, col("q"))), 4).as("p50"),
+          round(max(when(col("p") === 0.75, col("q"))), 4).as("p75"))
+        .withColumnRenamed("g", "cohort")
+    },
+    Some("""WITH first_click AS (SELECT user_id, MIN(ts) AS click_ts
+        FROM events WHERE event_type = 'click' GROUP BY 1),
+      durations AS (SELECT e.user_id,
+          CAST((epoch_us(MIN(e.ts)) - epoch_us(MIN(f.click_ts))) // 60000000 AS DOUBLE) AS mins
+        FROM events e JOIN first_click f USING (user_id)
+        WHERE e.event_type = 'purchase' AND e.ts >= f.click_ts
+        GROUP BY 1)
+      SELECT 'all' AS cohort,
+        round(quantile_cont(mins, 0.25), 4) AS p25,
+        round(quantile_cont(mins, 0.5), 4) AS p50,
+        round(quantile_cont(mins, 0.75), 4) AS p75
+      FROM durations"""))
+
   /** Group-median null imputation (the standard numeric-cleaning pass,
     * fancier than the reference's null-coalesce): nulls planted
     * deterministically (key % 11), the per-segment median of the
@@ -2693,7 +2736,7 @@ object Queries {
     q50Sliding, q51GapFill, q52Transitions, q53DegreeDist,
     q54KHop, q55EquiDepth, q56MadOutliers, q57SkewReport, q58Scd2Lookup,
     q59TopNGroup, q60SessionNative, q61PsiDrift, q62Benford, q63AbLift,
-    etlImpute, textPmi, textTfIdf,
+    q64TimeToConvert, etlImpute, textPmi, textTfIdf,
     etlMergeUpsert, etlConstraints, etlProvenance,
     graphPageRank, curateWeightedSample,
     etlUnionSources, etlValidate, etlCleanTransform, etlQualityReport,

@@ -227,7 +227,12 @@ object AvroIO {
     val fs = target.getFileSystem(hconf)
     fs.delete(target, true)
     fs.mkdirs(target)
-    df.rdd.mapPartitionsWithIndex { (idx, rows) =>
+    // an empty frame can have ZERO partitions (limit(0)) — write one
+    // empty container file anyway so the schema survives the round-trip
+    val rdd0 = df.rdd
+    val rdd = if (rdd0.getNumPartitions == 0)
+      spark.sparkContext.parallelize(Seq.empty[Row], 1) else rdd0
+    rdd.mapPartitionsWithIndex { (idx, rows) =>
       val schema = new Schema.Parser().parse(schemaJson)
       val part = new Path(dir, f"part-$idx%05d.avro")
       val out = part.getFileSystem(new Configuration()).create(part, true)

@@ -144,6 +144,19 @@ class SourcesSpec extends SparkSpec {
     assert(head.sameElements(Array[Byte]('O', 'b', 'j', 1)), "Avro magic bytes")
   }
 
+  test("avro round-trip survives empty partitions and an all-empty frame") {
+    import spark.implicits._
+    val sparse = Seq((1L, "only"), (2L, "rows")).toDF("id", "v").repartition(8)
+    Writers.avro(sparse, s"$tmp/avro-sparse")
+    assert(Readers.avro(spark, s"$tmp/avro-sparse").count() == 2)
+    val empty = sparse.limit(0)
+    Writers.avro(empty, s"$tmp/avro-empty")
+    val back = Readers.avro(spark, s"$tmp/avro-empty")
+    assert(back.count() == 0)
+    assert(back.schema.fieldNames.toSeq == Seq("id", "v"),
+      "schema must survive an empty write (container headers carry it)")
+  }
+
   test("avro round-trip on a real table sample preserves row multiset") {
     val li = Tables(spark, sf("lineitem"), "lineitem")
       .select("l_orderkey", "l_partkey", "l_quantity", "l_shipdate", "l_returnflag")
