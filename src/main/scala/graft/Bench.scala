@@ -14,14 +14,23 @@ import org.apache.spark.sql.SparkSession
   */
 object Bench {
 
-  /** Parse a flat {"name":1.23,...} JSON object of numeric values.
-    * Good enough for our own detail file; avoids a JSON dependency.
+  /** Parse the per-query map out of a detail file: only the
+    * `"queries":{...}` object is considered, so metadata keys sharing
+    * the file ("value", "n_queries", nested "prior"/"now") can never
+    * masquerade as a baseline entry. Avoids a JSON dependency — the
+    * object is flat name:number pairs by construction.
     */
-  private[graft] def parseFlatNumbers(json: String): Map[String, Double] =
+  private[graft] def parseFlatNumbers(json: String): Map[String, Double] = {
+    val start = json.indexOf("\"queries\":{")
+    if (start < 0) return Map.empty
+    val open = start + "\"queries\":".length
+    val close = json.indexOf('}', open)
+    if (close < 0) return Map.empty
     "\"([^\"]+)\"\\s*:\\s*(-?[0-9]+(?:\\.[0-9]+)?(?:[eE]-?[0-9]+)?)".r
-      .findAllMatchIn(json)
+      .findAllMatchIn(json.substring(open, close + 1))
       .map(m => m.group(1) -> m.group(2).toDouble)
       .toMap
+  }
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus  = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -104,7 +113,10 @@ object Bench {
       System.err.println(f"[bench] WARN REGRESSION $name: $p%.3fs -> $s%.3fs (${s / p}%.2fx)")
     }
 
-    def fmt(v: Double) = f"$v%.3f"
+    // Locale.ROOT: the f-interpolator is locale-sensitive, and a
+    // comma-decimal default locale would emit invalid JSON here (and
+    // corrupt the next run's regression-baseline parse).
+    def fmt(v: Double) = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString(",")
     val regJson = regressions
       .map { case (n, p, s) => "\"" + n + "\":{\"prior\":" + fmt(p) + ",\"now\":" + fmt(s) + "}" }

@@ -35,6 +35,22 @@ import scala.jdk.CollectionConverters._
   */
 object AvroIO {
 
+  /** Serializable carrier for the driver's Hadoop Configuration so
+    * executor-side FS access sees programmatic settings (spark.hadoop.*,
+    * s3a credentials, defaultFS) instead of a bare `new Configuration()`.
+    */
+  private class SerializableConf(@transient var value: Configuration) extends Serializable {
+    private def writeObject(out: java.io.ObjectOutputStream): Unit = {
+      out.defaultWriteObject()
+      value.write(out)
+    }
+    private def readObject(in: java.io.ObjectInputStream): Unit = {
+      in.defaultReadObject()
+      value = new Configuration(false)
+      value.readFields(in)
+    }
+  }
+
   /** Spark → Avro schema (all fields nullable unions). */
   def avroSchema(st: StructType, name: String = "spark_record"): Schema = {
     val fields = st.fields.map { f =>
@@ -232,10 +248,13 @@ object AvroIO {
     val rdd0 = df.rdd
     val rdd = if (rdd0.getNumPartitions == 0)
       spark.sparkContext.parallelize(Seq.empty[Row], 1) else rdd0
+    // ship the driver conf to write tasks: executor-side FS resolution
+    // must see spark.hadoop.* / credentials, not a default Configuration
+    val bcConf = spark.sparkContext.broadcast(new SerializableConf(hconf))
     rdd.mapPartitionsWithIndex { (idx, rows) =>
       val schema = new Schema.Parser().parse(schemaJson)
       val part = new Path(dir, f"part-$idx%05d.avro")
-      val out = part.getFileSystem(new Configuration()).create(part, true)
+      val out = part.getFileSystem(bcConf.value.value).create(part, true)
       val writer = new DataFileWriter[GenericRecord](
         new GenericDatumWriter[GenericRecord](schema))
       writer.setCodec(org.apache.avro.file.CodecFactory.deflateCodec(6))
@@ -266,11 +285,17 @@ object AvroIO {
       new GenericDatumReader[GenericRecord]())
     val schemaJson = try first.getSchema.toString finally first.close()
     val sparkSt = sparkSchema(new Schema.Parser().parse(schemaJson))
+    val bcConf = spark.sparkContext.broadcast(new SerializableConf(hconf))
     val rows = spark.sparkContext.parallelize(files, files.size).flatMap { f =>
       val schema = new Schema.Parser().parse(schemaJson)
       val reader = new DataFileReader[GenericRecord](
-        new FsInput(new Path(f), new Configuration()),
+        new FsInput(new Path(f), bcConf.value.value),
         new GenericDatumReader[GenericRecord](schema))
+      // a task that stops early (limit/take, downstream exception) never
+      // drains the iterator — close via the task-completion hook, not
+      // only on exhaustion. DataFileReader.close() is idempotent.
+      Option(org.apache.spark.TaskContext.get())
+        .foreach(_.addTaskCompletionListener[Unit](_ => reader.close()))
       new Iterator[Row] {
         override def hasNext: Boolean = {
           val h = reader.hasNext
