@@ -325,6 +325,40 @@ object TextAnalysis {
           sum(when(col("q") > 0.0, col("q") * ln(col("q") / col("m"))).otherwise(0.0)) / 2.0, 6).as("js"))
   }
 
+  /** Per-group token-distribution Shannon entropy (nats) plus the
+    * normalized form H/ln(vocab) ∈ [0,1] — the corpus-health twin of
+    * [[sourceDivergence]]: low entropy flags template/boilerplate
+    * sources, saturated entropy flags near-random text.
+    *
+    * Scale shape (same as sourceDivergence's count leg): map-side
+    * explode → ONE partial-agg (group, token) count shuffle → per-group
+    * O(vocab) sum. No broadcast of the vocabulary, no grid — entropy
+    * only needs each group's own counts, so the capped-vocab machinery
+    * is unnecessary here.
+    */
+  def tokenEntropy(docs: org.apache.spark.sql.DataFrame, text: String,
+      group: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.{count, sum, log => ln}
+    docs.select(col(group).as("grp"), explode(tokens(col(text))).as("token"))
+      .groupBy("grp", "token").agg(count(lit(1)).as("c"))
+      .groupBy("grp")
+      .agg(
+        sum(col("c")).as("n_tokens"),
+        // rows are unique per (grp, token) here, so a plain count IS the
+        // vocabulary size — no distinct machinery
+        count(lit(1)).as("vocab"),
+        sum(col("c").cast(DoubleType) * ln(col("c").cast(DoubleType))).as("sclnc"))
+      .select(col("grp"), col("n_tokens"), col("vocab"),
+        // H = ln n − (Σ c ln c)/n, algebraically −Σ p ln p but with one
+        // pass over counts (no per-term division before the sum)
+        round(ln(col("n_tokens").cast(DoubleType)) -
+          col("sclnc") / col("n_tokens").cast(DoubleType), 6).as("entropy"),
+        round(when(col("vocab") > 1,
+          (ln(col("n_tokens").cast(DoubleType)) -
+            col("sclnc") / col("n_tokens").cast(DoubleType)) /
+            ln(col("vocab").cast(DoubleType))).otherwise(0.0), 6).as("norm_entropy"))
+  }
+
   /** C4-style page heuristics (Raffel et al. 2020 §2.2), per document:
     * line counts, the fraction of lines that are "keepable" (≥ 5 words
     * AND terminal punctuation — C4 keeps only such lines), boilerplate
