@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, StreamingQuery, TimeMode, TimerValues, Trigger, TTLConfig, ValueState}
 import org.apache.spark.sql.types.StructType
 
 /** Structured-Streaming re-expression of the reference's orchestration
@@ -227,6 +227,100 @@ object Refresh {
         col(leftKey) === col(rightKey) &&
           col(rightTs) <= col(leftTs) &&
           col(rightTs) >= col(leftTs) - expr(s"INTERVAL $lookback"))
+
+  final case class UserStats(user_id: Long, n_events: Long, total_value: Double, max_value: Double)
+  private final case class StatsCell(n: Long, total: Double, mx: Double)
+
+  /** transformWithState processor: one ValueState cell per user holds
+    * the running (n, Σvalue, max); each batch touching a user emits the
+    * refreshed row. The arbitrary-state successor of
+    * flatMapGroupsWithState — typed state cells from a handle instead
+    * of one opaque blob, so adding a state variable doesn't version-
+    * break the whole snapshot.
+    */
+  private class RunningStatsProcessor
+      extends StatefulProcessor[Long, (Long, Double), UserStats] {
+    @transient private var state: ValueState[StatsCell] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[StatsCell]("stats",
+        org.apache.spark.sql.Encoders.product[StatsCell], TTLConfig.NONE)
+    override def handleInputRows(key: Long, rows: Iterator[(Long, Double)],
+        tv: TimerValues): Iterator[UserStats] = {
+      var c = if (state.exists()) state.get() else StatsCell(0L, 0.0, Double.MinValue)
+      rows.foreach { case (_, v) =>
+        c = StatsCell(c.n + 1, c.total + v, math.max(c.mx, v))
+      }
+      state.update(c)
+      Iterator.single(UserStats(key, c.n, c.total, c.mx))
+    }
+  }
+
+  /** Continuously-maintained per-user lifetime stats via Spark 4's
+    * `transformWithState`. O(users) state in the RocksDB store (the
+    * required provider for this API — set
+    * `spark.sql.streaming.stateStore.providerClass` to
+    * `...state.RocksDBStateStoreProvider`); at 100 TB/day the state
+    * store shards with the shuffle partitioning and the per-batch work
+    * is O(touched keys), never a rescan.
+    */
+  def runningUserStats(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.selectExpr("user_id", "value").as[(Long, Double)]
+      .groupByKey(_._1)
+      .transformWithState(new RunningStatsProcessor, TimeMode.None(), OutputMode.Update())
+      .toDF()
+  }
+
+  final case class InactiveUser(user_id: Long, last_seen_ms: Long)
+
+  /** transformWithState processor with EVENT-TIME TIMERS: every input
+    * re-arms the user's inactivity timer at last_seen + gap; when the
+    * watermark passes it unanswered, the expiry emits an inactivity
+    * record and clears the key's state — the push-based "entity went
+    * quiet" signal that polling-style windows can't express without
+    * rescanning all keys each trigger.
+    */
+  private class InactivityProcessor(gapMs: Long)
+      extends StatefulProcessor[Long, (Long, Long), InactiveUser] {
+    @transient private var lastSeen: ValueState[Long] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      lastSeen = getHandle.getValueState[Long]("last_seen",
+        org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+    override def handleInputRows(key: Long, rows: Iterator[(Long, Long)],
+        tv: TimerValues): Iterator[InactiveUser] = {
+      val latest = rows.map(_._2).max
+      val prev = if (lastSeen.exists()) lastSeen.get() else Long.MinValue
+      val seen = math.max(prev, latest)
+      if (prev != Long.MinValue) getHandle.deleteTimer(prev + gapMs)
+      lastSeen.update(seen)
+      getHandle.registerTimer(seen + gapMs)
+      Iterator.empty
+    }
+    override def handleExpiredTimer(key: Long, tv: TimerValues,
+        info: ExpiredTimerInfo): Iterator[InactiveUser] = {
+      val seen = if (lastSeen.exists()) lastSeen.get() else Long.MinValue
+      lastSeen.clear()
+      Iterator.single(InactiveUser(key, seen))
+    }
+  }
+
+  /** Inactivity detection through transformWithState event-time
+    * timers: emits (user_id, last_seen_ms) once the watermark passes
+    * last activity + gap. State is one long + one timer per live key.
+    */
+  def inactivityAlerts(events: DataFrame, tsCol: String, gapMs: Long,
+      watermarkDelay: String = "10 minutes"): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.withWatermark(tsCol, watermarkDelay)
+      .selectExpr("user_id", s"CAST($tsCol AS LONG) * 1000 AS ts_ms")
+      .as[(Long, Long)]
+      .groupByKey(_._1)
+      .transformWithState(new InactivityProcessor(gapMs),
+        TimeMode.EventTime(), OutputMode.Append())
+      .toDF()
+  }
 
   final case class SessionUpdate(user_id: Long, n_events: Long, total_value: Double)
   final case class Sess(start: Long, last: Long, n: Long, total: Double)

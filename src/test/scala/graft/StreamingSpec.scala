@@ -270,4 +270,68 @@ class StreamingSpec extends SparkSpec {
     q.stop()
     assert(rows.contains((1L, 2L, 3.0))) // first session closed by the 12:00 event
   }
+
+  /** transformWithState requires the RocksDB state-store provider;
+    * scope it to the block and restore the session default after.
+    */
+  private def withRocksDb[T](body: => T): T = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try body
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
+  }
+
+  test("runningUserStats: transformWithState ValueState accumulates across batches") {
+    withRocksDb {
+      import spark.implicits._
+      implicit val sqlCtx = spark.sqlContext
+      val mem = MemoryStream[(Long, Double)]
+      val df = mem.toDF().toDF("user_id", "value")
+      val q = Refresh.runningUserStats(df)
+        .writeStream.format("memory").queryName("tws_stats")
+        .outputMode(OutputMode.Update).start()
+      mem.addData((1L, 10.0), (1L, 5.0), (2L, 1.0))
+      q.processAllAvailable()
+      mem.addData((1L, 20.0))
+      q.processAllAvailable()
+      val rows = spark.table("tws_stats").as[(Long, Long, Double, Double)].collect().toSet
+      q.stop()
+      assert(rows.contains((1L, 2L, 15.0, 10.0))) // after batch 1
+      assert(rows.contains((2L, 1L, 1.0, 1.0)))
+      assert(rows.contains((1L, 3L, 35.0, 20.0))) // state survived into batch 2
+    }
+  }
+
+  test("inactivityAlerts: transformWithState event-time timers fire past last_seen+gap") {
+    withRocksDb {
+      import spark.implicits._
+      implicit val sqlCtx = spark.sqlContext
+      val mem = MemoryStream[(Long, Timestamp)]
+      val df = mem.toDF().toDF("user_id", "ts")
+      // gap 5 min, watermark delay 1 min
+      val q = Refresh.inactivityAlerts(df, "ts", gapMs = 5 * 60 * 1000, "1 minute")
+        .writeStream.format("memory").queryName("tws_inactive")
+        .outputMode(OutputMode.Append).start()
+      def at(s: String) = Timestamp.valueOf(s)
+      mem.addData((1L, at("2026-01-01 10:00:00")), (2L, at("2026-01-01 10:01:00")))
+      q.processAllAvailable()
+      mem.addData((1L, at("2026-01-01 10:30:00"))) // re-arms user 1
+      q.processAllAvailable()
+      mem.addData((3L, at("2026-01-01 11:00:00"))) // watermark → 10:59: expires u2 AND u1
+      q.processAllAvailable()
+      mem.addData((4L, at("2026-01-01 12:00:00"))) // watermark → 11:59: expires u3
+      q.processAllAvailable()
+      val rows = spark.table("tws_inactive").as[(Long, Long)].collect().toSet
+      q.stop()
+      assert(rows.contains((2L, at("2026-01-01 10:01:00").getTime))) // never re-armed
+      assert(rows.contains((1L, at("2026-01-01 10:30:00").getTime))) // re-armed ts, not the first
+      assert(rows.contains((3L, at("2026-01-01 11:00:00").getTime)))
+      assert(!rows.exists(_._1 == 4L)) // still live
+    }
+  }
 }
