@@ -3183,6 +3183,19 @@ object Queries {
       FROM lpl JOIN cuts USING (lang)
       GROUP BY 1, 2 ORDER BY 1, 2"""))
 
+  /** Full-corpus distributed spherical k-means topic clustering
+    * (Similarity.kmeansAssign — Lloyd's, one assignment pass + one
+    * partial-agg moment shuffle per iteration). Hash-seeded init →
+    * rows-only; convergence/coverage invariants in SimilaritySpec.
+    */
+  val clusterKmeans: QueryDef = QueryDef("cluster_kmeans",
+    (s, dir) => Similarity.kmeansAssign(t(s, dir, "embeddings"),
+        "vec_id", "embedding", dim = 64, k = 8, iters = 5)
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("n"), round(avg(col("cos")), 3).as("avg_cos"))
+      .orderBy(col("cell")),
+    None)
+
   val all: Seq[QueryDef] = Seq(
     q1Agg, q2Filter, q3Join, q4Semi, q5Multi, q6Window, q7TopK, q8Distinct,
     q9Rollup, q10Pivot, q11Anti, q12Expr, q13Percentiles, q14Subquery,
@@ -3198,7 +3211,7 @@ object Queries {
     q59TopNGroup, q60SessionNative, q61PsiDrift, q62Benford, q63AbLift,
     q64TimeToConvert, etlImpute, textPmi, textTfIdf,
     q65Regr, q67Gini, q68FeatScale, q69Basket, q70Ewma, q71Variant,
-    q72WMedian, q73Rfm, textEntropy, textCcnetBucket,
+    q72WMedian, q73Rfm, textEntropy, textCcnetBucket, clusterKmeans,
     etlMergeUpsert, etlConstraints, etlProvenance,
     graphPageRank, curateWeightedSample,
     etlUnionSources, etlValidate, etlCleanTransform, etlQualityReport,

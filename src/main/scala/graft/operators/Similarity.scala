@@ -235,4 +235,55 @@ object Similarity {
     df.withColumn(s"${vec}_deq",
       transform(col(s"${vec}_q8"),
         x => (x.cast("float") * col(s"${vec}_scale")).cast("float")))
+
+  /** FULL-CORPUS distributed spherical k-means (Lloyd's) — the topic-
+    * clustering operator for mixture curation, vs [[trainCentroids]]
+    * which fits on a driver-side sample (the IVF recipe). Every
+    * iteration is one distributed pass:
+    *
+    *   - assignment: map-side argmax dot against the k·dim centroid
+    *     LITERALS baked into codegen'd `vec_dot` calls — no shuffle,
+    *     no broadcast state to manage;
+    *   - re-estimation: posexplode to (cell, dim, x) and ONE
+    *     partial-agg shuffle of per-(cell, dim) sums — the shuffle
+    *     carries O(partitions·k·dim) aggregate rows, never vectors;
+    *   - the k·dim new means come to the driver (same O(k·dim)
+    *     footprint PageRank's dangling-mass frame rides at), are
+    *     re-normalized, and seed the next iteration. Empty cells keep
+    *     their centroid.
+    *
+    * Deterministic init from the xxhash64-ordered sample. Iterations
+    * rescan the input projection — at 100 TB persist the normalized
+    * projection once upstream (here the memoized Tables cache already
+    * serves that role).
+    *
+    * Returns (id, cell, cos) — the assignment plus its centroid
+    * cosine (the per-point objective; Σ(1−cos) is the spherical
+    * inertia).
+    */
+  def kmeansAssign(df: DataFrame, id: String, vec: String, dim: Int, k: Int,
+      iters: Int = 5, sampleN: Int = 4096): DataFrame = {
+    val nrm = sqrt(vector.dot(col(vec), col(vec)))
+    val base = df.select(col(id),
+      when(nrm > 0.0, transform(col(vec), x => x.cast("double") / nrm))
+        .otherwise(transform(col(vec), x => x.cast("double") * 0.0)).as("vn"))
+    var centroids = trainCentroids(df, vec, k, dim, sampleN, iters = 1)
+    (1 to iters).foreach { _ =>
+      val stats = base
+        .withColumn("cell",
+          element_at(cellRanking(col("vn"), centroids), 1).getField("cell"))
+        .select(col("cell"), posexplode(col("vn")).as(Seq("pos", "x")))
+        .groupBy(col("cell"), col("pos")).agg(sum(col("x")).as("s"))
+        .collect()
+      val sums = Array.fill(k)(new Array[Double](dim))
+      stats.foreach(r => sums(r.getInt(0))(r.getInt(1)) = r.getDouble(2))
+      centroids = centroids.zipWithIndex.map { case (old, c) =>
+        val n = math.sqrt(sums(c).map(x => x * x).sum)
+        if (n == 0.0) old else sums(c).map(_ / n)
+      }
+    }
+    val ranked = element_at(cellRanking(col("vn"), centroids), 1)
+    base.select(col(id), ranked.getField("cell").as("cell"),
+      round(-ranked.getField("negdot"), 4).as("cos"))
+  }
 }

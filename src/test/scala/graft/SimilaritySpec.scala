@@ -102,4 +102,23 @@ class SimilaritySpec extends SparkSpec {
     val rp32 = Similarity.randomProject(emb, "embedding", dim = 64, outDim = 32)
     assert(rp32.select(size(col("embedding_rp"))).head().getInt(0) == 32)
   }
+
+  test("kmeansAssign: full coverage, valid cells, Lloyd objective improves over init") {
+    val emb = Tables(spark, sf("embeddings"), "embeddings")
+    val n = emb.count()
+    def run(iters: Int) =
+      Similarity.kmeansAssign(emb, "vec_id", "embedding", dim = 64, k = 8, iters = iters)
+    val a5 = run(5).cache()
+    // every vector assigned exactly once, to a valid cell
+    assert(a5.count() == n)
+    val cells = a5.select(col("cell")).distinct().collect().map(_.getInt(0)).toSet
+    assert(cells.subsetOf((0 until 8).toSet) && cells.size >= 2)
+    // Lloyd's monotonicity: mean centroid cosine after 5 iterations is
+    // no worse than after 1 (tolerance for the 4dp rounding of cos)
+    def meanCos(df: org.apache.spark.sql.DataFrame) =
+      df.agg(avg(col("cos"))).head().getDouble(0)
+    val (m1, m5) = (meanCos(run(1)), meanCos(a5))
+    assert(m5 >= m1 - 1e-4, s"objective regressed: iters=1 → $m1, iters=5 → $m5")
+    a5.unpersist()
+  }
 }
