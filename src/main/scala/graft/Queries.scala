@@ -3196,6 +3196,287 @@ object Queries {
       .orderBy(col("cell")),
     None)
 
+  /** Triangle census + global clustering coefficient of the part
+    * co-purchase graph (Graph.triangleStats — distributed
+    * node-iterator: lo<hi canonical edges, triangle a<b<c found once
+    * as e(a,b)⋈e(b,c)⋈e(a,c)). The graph: parts appearing in ≥2
+    * common orders — pair expansion is bounded by order size (the
+    * q69_basket guard) and the weight threshold keeps the edge list
+    * sparse at every SF (co-occurrence graphs densify without it).
+    */
+  val q74Triangles: QueryDef = QueryDef("q74_triangles",
+    (s, dir) => {
+      // Map-side pair expansion (the q69_basket shape): one shuffle to
+      // the per-order part set, ordered pairs exploded from the sorted
+      // array in the map stage — no self-join, expansion bounded by
+      // order size.
+      val baskets = t(s, dir, "lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg(array_sort(collect_set(col("l_partkey"))).as("ps"))
+      val edges = baskets
+        .select(explode(flatten(transform(col("ps"), (x, i) =>
+          transform(slice(col("ps"), i + 2, size(col("ps"))),
+            y => struct(x.as("p1"), y.as("p2")))))).as("pr"))
+        .select(col("pr.p1").as("p1"), col("pr.p2").as("p2"))
+        .groupBy(col("p1"), col("p2"))
+        .agg(count(lit(1)).as("w"))
+        .filter(col("w") >= 2)
+      Graph.triangleStats(edges, "p1", "p2")
+    },
+    Some("""WITH op AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+      e AS (SELECT a.pk AS p1, b.pk AS p2 FROM op a JOIN op b ON a.ok = b.ok AND a.pk < b.pk
+        GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+      deg AS (SELECT node, COUNT(*) AS deg
+        FROM (SELECT p1 AS node FROM e UNION ALL SELECT p2 FROM e) GROUP BY node),
+      nw AS (SELECT COUNT(*) AS n_nodes, CAST(SUM(deg * (deg - 1) / 2) AS BIGINT) AS n_wedges FROM deg),
+      tri AS (SELECT COUNT(*) AS n_triangles
+        FROM e e1 JOIN e e2 ON e1.p2 = e2.p1 JOIN e e3 ON e3.p1 = e1.p1 AND e3.p2 = e2.p2),
+      ec AS (SELECT COUNT(*) AS n_edges FROM e)
+      SELECT n_nodes, n_edges, n_wedges, n_triangles,
+        round(CASE WHEN n_wedges > 0 THEN 3.0 * n_triangles / n_wedges ELSE 0.0 END, 6) AS transitivity
+      FROM nw, ec, tri"""))
+
+  /** Pearson chi-square independence test: market segment × region
+    * over the customer dimension. Observed cells from ONE partial-agg
+    * pass; the full segment×region grid (including observed-zero
+    * cells, which still contribute their expectation) comes from
+    * crossing the two marginal frames — all O(segments·regions)
+    * driver-free small frames, broadcast back. Per-cell contributions
+    * (o−e)²/e round to 6dp then sum in DECIMAL, so the statistic is
+    * order-independent.
+    */
+  val q75ChiSq: QueryDef = QueryDef("q75_chisq",
+    (s, dir) => {
+      val cells = t(s, dir, "customer")
+        .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("c_mktsegment").as("seg"), col("n_regionkey").as("reg"))
+        .agg(count(lit(1)).as("o"))
+      val rt = cells.groupBy(col("seg")).agg(sum(col("o")).as("rt"))
+      val ct = cells.groupBy(col("reg")).agg(sum(col("o")).as("ct"))
+      val n  = cells.agg(sum(col("o")).as("n"))
+      val oD = coalesce(col("o"), lit(0L)).cast(DoubleType)
+      val eD = col("rt").cast(DoubleType) * col("ct").cast(DoubleType) / col("n").cast(DoubleType)
+      val grid = rt.crossJoin(broadcast(ct)).crossJoin(broadcast(n))
+        .join(cells, Seq("seg", "reg"), "left")
+        .withColumn("contrib",
+          round((oD - eD) * (oD - eD) / eD, 6).cast(DecimalType(18, 6)))
+      val dims = rt.agg(count(lit(1)).as("nseg"))
+        .crossJoin(broadcast(ct.agg(count(lit(1)).as("nreg"))))
+      grid.agg(sum(col("contrib")).as("chi2d"), sum(coalesce(col("o"), lit(0L))).as("n_obs"))
+        .crossJoin(broadcast(dims))
+        .select(col("n_obs"),
+          ((col("nseg") - 1) * (col("nreg") - 1)).as("dof"),
+          col("chi2d").cast(DoubleType).as("chi2"))
+    },
+    Some("""WITH cells AS (SELECT c_mktsegment AS seg, n_regionkey AS reg, COUNT(*) AS o
+        FROM customer JOIN nation ON c_nationkey = n_nationkey GROUP BY 1, 2),
+      rt AS (SELECT seg, SUM(o) AS rt FROM cells GROUP BY seg),
+      ct AS (SELECT reg, SUM(o) AS ct FROM cells GROUP BY reg),
+      n AS (SELECT CAST(SUM(o) AS DOUBLE) AS n FROM cells),
+      grid AS (SELECT seg, reg,
+          CAST(COALESCE(o, 0) AS DOUBLE) AS o,
+          CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / (SELECT n FROM n) AS e
+        FROM rt CROSS JOIN ct LEFT JOIN cells USING (seg, reg))
+      SELECT CAST(SUM(CAST(o AS BIGINT)) AS BIGINT) AS n_obs,
+        ((SELECT COUNT(*) FROM rt) - 1) * ((SELECT COUNT(*) FROM ct) - 1) AS dof,
+        CAST(SUM(CAST(round((o - e) * (o - e) / e, 6) AS DECIMAL(18,6))) AS DOUBLE) AS chi2
+      FROM grid"""))
+
+  /** Lag-k autocorrelation (ACF, k = 1..3) of the per-returnflag
+    * daily-revenue series — the seasonality/trend diagnostic before
+    * any forecasting job. Daily revenue is an exact DECIMAL partial
+    * agg (ONE fact-table shuffle); the lag windows run over the
+    * O(flags·days) aggregated frame only (the q37_mom_growth
+    * discipline). Pearson terms accumulate as exact DECIMAL second
+    * moments (the q65_regression pattern) — no double-summation
+    * partition-order drift before the final rounded expression.
+    */
+  val q76Acf: QueryDef = QueryDef("q76_acf",
+    (s, dir) => {
+      val daily = t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag").as("flag"),
+          date_trunc("day", col("l_shipdate")).as("day"))
+        .agg(sum(dec(col("l_extendedprice"))).cast(DecimalType(18, 2)).as("rev"))
+      val w = Window.partitionBy(col("flag")).orderBy(col("day"))
+      val lagged = (1 to 3).map { k =>
+        daily.select(col("flag"), lit(k).as("lag_k"),
+          col("rev").as("y"), lag(col("rev"), k).over(w).as("x"))
+      }.reduce(_ unionAll _).filter(col("x").isNotNull)
+      val m = lagged.groupBy(col("flag"), col("lag_k"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+          sum(col("x") * col("x")).as("sxx"),
+          sum(col("x") * col("y")).as("sxy"),
+          sum(col("y") * col("y")).as("syy"))
+      val nD  = col("n").cast(DoubleType)
+      val sx  = col("sx").cast(DoubleType);  val sy  = col("sy").cast(DoubleType)
+      val sxx = col("sxx").cast(DoubleType); val sxy = col("sxy").cast(DoubleType)
+      val syy = col("syy").cast(DoubleType)
+      m.select(col("flag"), col("lag_k"), col("n"),
+          round((nD * sxy - sx * sy) /
+            sqrt((nD * sxx - sx * sx) * (nD * syy - sy * sy)), 6).as("acf"))
+        .orderBy(col("flag"), col("lag_k"))
+    },
+    Some("""WITH d AS (SELECT l_returnflag AS flag, date_trunc('day', l_shipdate) AS day,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS rev
+        FROM lineitem GROUP BY 1, 2),
+      l AS (
+        SELECT flag, 1 AS lag_k, rev AS y, lag(rev, 1) OVER (PARTITION BY flag ORDER BY day) AS x FROM d
+        UNION ALL
+        SELECT flag, 2, rev, lag(rev, 2) OVER (PARTITION BY flag ORDER BY day) FROM d
+        UNION ALL
+        SELECT flag, 3, rev, lag(rev, 3) OVER (PARTITION BY flag ORDER BY day) FROM d),
+      m AS (SELECT flag, lag_k, COUNT(*) AS n,
+          SUM(x) AS sx, SUM(y) AS sy, SUM(x*x) AS sxx, SUM(x*y) AS sxy, SUM(y*y) AS syy
+        FROM l WHERE x IS NOT NULL GROUP BY 1, 2)
+      SELECT flag, lag_k, n,
+        round((n*CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE)) /
+          sqrt((n*CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE)) *
+               (n*CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE)*CAST(sy AS DOUBLE))), 6) AS acf
+      FROM m ORDER BY flag, lag_k"""))
+
+  /** Time-weighted average (TWAP-style) of event values per event
+    * type: each observation holds until the same user's next event,
+    * so its weight is that gap in exact integer MICROSECONDS
+    * (epoch-difference — any session-timezone offset cancels in the
+    * subtraction). The lead window partitions by user_id (high
+    * cardinality, no funnel); Σ value·weight runs in DECIMAL
+    * (DECIMAL(12,2)·DECIMAL(18,0) products, order-independent).
+    */
+  val q77Twap: QueryDef = QueryDef("q77_twap",
+    (s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val paired = t(s, dir, "events")
+        .select(col("event_type"), col("value"), col("ts"),
+          lead(col("ts"), 1).over(w).as("nts"))
+        .filter(col("nts").isNotNull)
+        .select(col("event_type"), dec(col("value")).as("v"),
+          (unix_micros(col("nts")) - unix_micros(col("ts"))).cast(DecimalType(18, 0)).as("wt"))
+      paired.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("wt")).cast(LongType).as("w_total_us"),
+          round(sum(col("v") * col("wt")).cast(DoubleType) /
+            sum(col("wt")).cast(DoubleType), 6).as("twap"))
+        .orderBy(col("event_type"))
+    },
+    Some("""WITH p AS (SELECT event_type, value,
+        epoch_us(lead(ts, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id)) - epoch_us(ts) AS w_us
+        FROM events),
+      f AS (SELECT event_type, CAST(value AS DECIMAL(12,2)) AS v, CAST(w_us AS DECIMAL(18,0)) AS w
+        FROM p WHERE w_us IS NOT NULL)
+      SELECT event_type, COUNT(*) AS n, CAST(SUM(w) AS BIGINT) AS w_total_us,
+        round(CAST(SUM(v*w) AS DOUBLE) / CAST(SUM(w) AS DOUBLE), 6) AS twap
+      FROM f GROUP BY event_type ORDER BY event_type"""))
+
+  /** Per-nation supplier Pareto frontier (skyline): minimize
+    * discounted cost, maximize shipped quantity — a supplier is on
+    * the frontier iff no other supplier of its nation is ≤ cost AND
+    * ≥ quantity with one strict. Computed as the standard
+    * sort-sweep: within each nation order by (cost asc, qty desc,
+    * key) and keep rows whose qty strictly exceeds the running max of
+    * all preceding rows — every pruned row has a witness dominator
+    * earlier in the order. Both measures are exact DECIMALs, and the
+    * ORACLE RUNS THE IDENTICAL WINDOW SPEC, so ordering and
+    * tie-breaks agree bit-for-bit. The sweep window runs over the
+    * O(suppliers) AGGREGATED frame (one fact partial-agg shuffle
+    * first — the q37 discipline), partitioned by nation.
+    */
+  val q78Skyline: QueryDef = QueryDef("q78_skyline",
+    (s, dir) => {
+      val sup = t(s, dir, "lineitem")
+        .groupBy(col("l_suppkey"))
+        .agg(sum(dec(col("l_extendedprice")) * (oneD - rate(col("l_discount")))).as("cost"),
+          sum(dec(col("l_quantity"))).cast(DecimalType(18, 2)).as("qty"))
+      val j = sup
+        .join(broadcast(t(s, dir, "supplier").select(col("s_suppkey"), col("s_nationkey"))),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(t(s, dir, "nation").select(col("n_nationkey"), col("n_name"))),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("n_name"), col("s_suppkey"), col("cost"), col("qty"))
+      val w = Window.partitionBy(col("n_name"))
+        .orderBy(col("cost").asc, col("qty").desc, col("s_suppkey").asc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      j.withColumn("pm", max(col("qty")).over(w))
+        .filter(col("pm").isNull || col("qty") > col("pm"))
+        .select(col("n_name"), col("s_suppkey"),
+          round(col("cost").cast(DoubleType), 2).as("cost"),
+          col("qty").cast(DoubleType).as("qty"))
+        .orderBy(col("n_name"), col("s_suppkey"))
+    },
+    Some("""WITH sup AS (SELECT l_suppkey,
+        SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1.00 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS cost,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS qty
+        FROM lineitem GROUP BY 1),
+      j AS (SELECT n_name, s_suppkey, cost, qty
+        FROM sup JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey),
+      sweep AS (SELECT n_name, s_suppkey, cost, qty,
+          MAX(qty) OVER (PARTITION BY n_name ORDER BY cost ASC, qty DESC, s_suppkey ASC
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+        FROM j)
+      SELECT n_name, s_suppkey, round(CAST(cost AS DOUBLE), 2) AS cost, CAST(qty AS DOUBLE) AS qty
+      FROM sweep WHERE pm IS NULL OR qty > pm ORDER BY n_name, s_suppkey"""))
+
+  /** Flesch reading-ease census per source (TextAnalysis.readability
+    * — map-side regexp_count vowel-group/sentence/word counts, one
+    * deterministic double expression per doc). Per-doc scores round
+    * to 4dp into DECIMAL before the per-source average, so the
+    * aggregate is order-independent.
+    */
+  val textReadability: QueryDef = QueryDef("text_readability",
+    (s, dir) => {
+      val scored = t(s, dir, "documents")
+        .select(col("source"),
+          TextAnalysis.readability(col("text")).cast(DecimalType(12, 4)).as("score"))
+      scored.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          round(sum(col("score")).cast(DoubleType) / count(lit(1)).cast(DoubleType), 4).as("avg_score"),
+          sum(when(col("score") >= 60, 1L).otherwise(0L)).as("n_easy"))
+        .orderBy(col("source"))
+    },
+    Some("""WITH d AS (SELECT source,
+        CAST(round(206.835
+          - 1.015 * (GREATEST(len(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')), 1)
+              / GREATEST(len(regexp_extract_all(text, '[.!?]+')), 1))
+          - 84.6 * (len(regexp_extract_all(lower(text), '[aeiouy]+'))
+              / GREATEST(len(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')), 1)),
+          4) AS DECIMAL(12,4)) AS score
+        FROM documents)
+      SELECT source, COUNT(*) AS n_docs,
+        round(CAST(SUM(score) AS DOUBLE) / COUNT(*), 4) AS avg_score,
+        CAST(SUM(CASE WHEN score >= 60 THEN 1 ELSE 0 END) AS BIGINT) AS n_easy
+      FROM d GROUP BY source ORDER BY source"""))
+
+  /** Incremental aggregate maintenance (operators.Incremental): the
+    * customer-spend summary is maintained as a per-key PARTIAL state
+    * table (count / exact decimal sum / min / max) and refreshed by
+    * folding only the NEW batch's partials in — O(new partition) per
+    * refresh instead of O(history), the 100 TB form of the
+    * reference's cron-refreshed report (server.js:264,200-219). The
+    * query splits orders at a date cutoff, builds state from the old
+    * half, folds the new half in, and finalizes — the oracle is the
+    * plain GROUP BY over ALL orders, so the hash match IS the
+    * state ⊕ delta ≡ full-recompute identity. Associativity across
+    * multi-batch folds is spec-tested (IncrementalSpec).
+    */
+  val etlIncrementalAgg: QueryDef = QueryDef("etl_incremental_agg",
+    (s, dir) => {
+      val o = t(s, dir, "orders")
+      val cutoff = lit("1996-01-01").cast(TimestampType)
+      val state = Incremental.partials(o.filter(col("o_orderdate") < cutoff),
+        "o_custkey", col("o_totalprice"))
+      val delta = Incremental.partials(o.filter(col("o_orderdate") >= cutoff),
+        "o_custkey", col("o_totalprice"))
+      Incremental.finalizeView(Incremental.merge(state, delta, "o_custkey"), "o_custkey")
+        .orderBy(col("o_custkey"))
+    },
+    Some("""SELECT o_custkey, COUNT(*) AS n,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+        round(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 6) AS avg,
+        CAST(MIN(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS vmin,
+        CAST(MAX(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS vmax
+      FROM orders GROUP BY o_custkey ORDER BY o_custkey"""))
+
   val all: Seq[QueryDef] = Seq(
     q1Agg, q2Filter, q3Join, q4Semi, q5Multi, q6Window, q7TopK, q8Distinct,
     q9Rollup, q10Pivot, q11Anti, q12Expr, q13Percentiles, q14Subquery,
@@ -3212,6 +3493,8 @@ object Queries {
     q64TimeToConvert, etlImpute, textPmi, textTfIdf,
     q65Regr, q67Gini, q68FeatScale, q69Basket, q70Ewma, q71Variant,
     q72WMedian, q73Rfm, textEntropy, textCcnetBucket, clusterKmeans,
+    q74Triangles, q75ChiSq, q76Acf, q77Twap, q78Skyline, textReadability,
+    etlIncrementalAgg,
     etlMergeUpsert, etlConstraints, etlProvenance,
     graphPageRank, curateWeightedSample,
     etlUnionSources, etlValidate, etlCleanTransform, etlQualityReport,

@@ -135,4 +135,61 @@ object Graph {
       .groupBy(col("root"))
       .agg(count(lit(1)).as("n_reachable"))
   }
+
+  /** Global triangle census + clustering coefficient over an
+    * undirected edge list — the graph-health summary (transitivity is
+    * the standard community-structure signal before clustering /
+    * community detection jobs, and triangle density drives the cost
+    * model for them).
+    *
+    * Input rows are canonicalized to (lo, hi) with lo < hi and
+    * deduped, so each undirected edge counts once. Triangle counting
+    * is the distributed node-iterator algorithm: with every edge
+    * ordered lo<hi, each triangle a<b<c is found EXACTLY once as
+    * e(a,b) ⋈ e(b,c) ⋈ e(a,c) — two shuffle joins on the edge list,
+    * no orientation double-count, no candidate explosion beyond real
+    * wedges. Wedge counts come from a degree aggregation (partial
+    * agg, O(nodes) shuffle). The edge list is persisted once for its
+    * three consumers (join chain ×2 sides + degrees).
+    *
+    * Scale: the classic skew risk is a hub node's wedge set; ordering
+    * edges by id bounds each join key's fan-out to the node's
+    * HIGHER-id neighbors only (half the square on average), and the
+    * input edge list is expected to be pre-thresholded (see
+    * q74_triangles: co-occurrence weight ≥ 2) — the same densification
+    * guard as kHopReachability.
+    *
+    * Returns ONE row: (n_nodes, n_edges, n_wedges, n_triangles,
+    * transitivity = 3·triangles / wedges, 6dp).
+    */
+  def triangleStats(edges: DataFrame, src: String, dst: String): DataFrame = {
+    val e = edges
+      .select(least(col(src), col(dst)).cast("long").as("lo"),
+        greatest(col(src), col(dst)).cast("long").as("hi"))
+      .filter(col("lo").isNotNull && col("hi").isNotNull && col("lo") < col("hi"))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    // n_edges = Σdeg/2 rides the same degree aggregation — no separate
+    // count-the-edges job.
+    val deg = e.select(col("lo").as("node"))
+      .unionAll(e.select(col("hi").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    val nodesWedges = deg.agg(
+      count(lit(1)).as("n_nodes"),
+      (sum(col("deg")) / 2).cast("long").as("n_edges"),
+      sum(col("deg") * (col("deg") - 1) / 2).cast("long").as("n_wedges"))
+
+    val tri = e.as("e1")
+      .join(e.as("e2"), col("e1.hi") === col("e2.lo"))
+      .join(e.as("e3"),
+        col("e3.lo") === col("e1.lo") && col("e3.hi") === col("e2.hi"))
+      .agg(count(lit(1)).as("n_triangles"))
+
+    nodesWedges.crossJoin(broadcast(tri))
+      .select(col("n_nodes"), col("n_edges"), col("n_wedges"), col("n_triangles"),
+        round(when(col("n_wedges") > 0,
+            lit(3.0) * col("n_triangles") / col("n_wedges"))
+          .otherwise(lit(0.0)), 6).as("transitivity"))
+  }
 }

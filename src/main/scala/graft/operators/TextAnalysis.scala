@@ -93,6 +93,24 @@ object TextAnalysis {
     round(lit(0.4) * (lit(1.0) - punct) + lit(0.3) * least(stopR * 5.0, lit(1.0)) + lit(0.3) * lenS, 6)
   }
 
+  /** Flesch reading-ease score, map-side and portable: words are the
+    * shared whitespace tokenization, sentences are runs of terminal
+    * punctuation (`[.!?]+`, floored at 1 so fragments don't divide by
+    * zero), and syllables use the standard vowel-group proxy
+    * (`[aeiouy]+` runs — the classic dictionary-free approximation;
+    * exact syllabification needs a pronunciation lexicon, which a
+    * corpus filter deliberately avoids). All three counts are exact
+    * integers from regexp_count, so the score is one deterministic
+    * double expression — reproducible across engines and
+    * partitionings. 206.835 − 1.015·(W/S) − 84.6·(Y/W).
+    */
+  def readability(text: Column): Column = {
+    val words = greatest(tokenCount(text), lit(1L)).cast(DoubleType)
+    val sents = greatest(regexp_count(text, lit("[.!?]+")), lit(1)).cast(DoubleType)
+    val sylls = regexp_count(lower(text), lit("[aeiouy]+")).cast(DoubleType)
+    round(lit(206.835) - lit(1.015) * (words / sents) - lit(84.6) * (sylls / words), 4)
+  }
+
   /** Per-language function-word (stopword) profiles — the highest-
     * frequency closed-class words of each language, the standard
     * signal for statistical language ID: they appear in essentially

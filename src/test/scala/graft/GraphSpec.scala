@@ -73,4 +73,26 @@ class GraphSpec extends SparkSpec {
     val k3 = reach(3)
     assert(k3(1L) == 3L, "1 reaches {2,3,4} in 3 hops")
   }
+
+  test("triangleStats: K4 is fully transitive — 4 triangles, 12 wedges") {
+    import spark.implicits._
+    val k4 = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L))
+      .toDF("a", "b")
+    val r = Graph.triangleStats(k4, "a", "b").collect()(0)
+    assert(r.getLong(0) == 4L && r.getLong(1) == 6L)            // nodes, edges
+    assert(r.getLong(2) == 12L && r.getLong(3) == 4L)           // wedges, triangles
+    assert(r.getDouble(4) == 1.0, s"K4 transitivity must be 1: $r")
+  }
+
+  test("triangleStats: reversed/duplicate edges canonicalize; open wedge counts no triangle") {
+    import spark.implicits._
+    // one triangle {1,2,3} (edge 3-1 given reversed + duplicated) plus a
+    // pendant 3-4: degrees (1,2,3,4)=(2,2,3,1) → wedges 1+1+3+0 = 5
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 3L), (3L, 4L))
+      .toDF("a", "b")
+    val r = Graph.triangleStats(edges, "a", "b").collect()(0)
+    assert(r.getLong(0) == 4L && r.getLong(1) == 4L)
+    assert(r.getLong(2) == 5L && r.getLong(3) == 1L)
+    assert(math.abs(r.getDouble(4) - 0.6) < 1e-9)               // 3·1/5
+  }
 }
