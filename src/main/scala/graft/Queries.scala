@@ -3417,6 +3417,66 @@ object Queries {
       SELECT n_name, s_suppkey, round(CAST(cost AS DOUBLE), 2) AS cost, CAST(qty AS DOUBLE) AS qty
       FROM sweep WHERE pm IS NULL OR qty > pm ORDER BY n_name, s_suppkey"""))
 
+  /** Bounded-k single-source shortest paths (Graph.sssp — distributed
+    * Bellman-Ford, one shuffle join + one min-agg per round) over the
+    * repeat-purchase graph (q54's construction: customer↔supplier,
+    * weight threshold sparsifies). Edge cost 1/w rounded to DECIMAL —
+    * strong ties are short hops, and min-plus over exact decimals is
+    * what makes a DuckDB recursive-CTE oracle reproduce the result
+    * hash-for-hash (k rounds ≡ min over paths of ≤ k edges).
+    */
+  val q79Sssp: QueryDef = QueryDef("graph_sssp",
+    (s, dir) => {
+      val pairs = t(s, dir, "orders")
+        .join(t(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("o_custkey"), col("l_suppkey"))
+        .agg(count(lit(1)).as("w"))
+        .filter(col("w") >= 2)
+        .select(col("o_custkey").as("c"), (col("l_suppkey") + 1000000000L).as("p"),
+          round(lit(1.0) / col("w"), 6).as("wt"))
+      val edges = pairs.select(col("c").as("src"), col("p").as("dst"), col("wt"))
+        .unionByName(pairs.select(col("p").as("src"), col("c").as("dst"), col("wt")))
+      Graph.sssp(edges, "src", "dst", "wt", k = 3)
+        .select(col("node"), col("dist").cast(DoubleType).as("dist"))
+        .orderBy(col("node"))
+    },
+    Some("""WITH RECURSIVE pairs AS (SELECT o_custkey AS c, l_suppkey + 1000000000 AS p,
+          CAST(round(1.0 / COUNT(*), 6) AS DECIMAL(18,6)) AS wt
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+      e AS (SELECT c AS src, p AS dst, wt FROM pairs
+        UNION ALL SELECT p, c, wt FROM pairs),
+      s AS (SELECT MIN(src) AS s0 FROM e),
+      walk(node, dist, hops) AS (
+        SELECT s0, CAST(0 AS DECIMAL(18,6)), 0 FROM s
+        UNION ALL
+        SELECT e.dst, CAST(walk.dist + e.wt AS DECIMAL(18,6)), walk.hops + 1
+        FROM walk JOIN e ON e.src = walk.node WHERE walk.hops < 3)
+      SELECT node, CAST(MIN(dist) AS DOUBLE) AS dist
+      FROM walk GROUP BY node ORDER BY node"""))
+
+  /** Label-propagation community detection (Graph.labelPropagation —
+    * synchronous rounds, modal neighbor label, min-label tie rule, so
+    * fully deterministic) over the repeat-purchase graph; output is
+    * the community-size census. Iterative-with-aggregate → not
+    * recursive-CTE-expressible → rows-only; convergence and
+    * determinism are spec-tested on planted communities (GraphSpec).
+    */
+  val q80Lpa: QueryDef = QueryDef("graph_lpa",
+    (s, dir) => {
+      val pairs = t(s, dir, "orders")
+        .join(t(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("o_custkey"), col("l_suppkey"))
+        .agg(count(lit(1)).as("w"))
+        .filter(col("w") >= 2)
+        .select(col("o_custkey").as("src"), (col("l_suppkey") + 1000000000L).as("dst"))
+      Graph.labelPropagation(pairs, "src", "dst", k = 4)
+        .groupBy(col("label")).agg(count(lit(1)).as("cluster_size"))
+        .groupBy(col("cluster_size")).agg(count(lit(1)).as("n_clusters"))
+        .orderBy(col("cluster_size"))
+    },
+    None)
+
   /** Flesch reading-ease census per source (TextAnalysis.readability
     * — map-side regexp_count vowel-group/sentence/word counts, one
     * deterministic double expression per doc). Per-doc scores round
@@ -3494,7 +3554,7 @@ object Queries {
     q65Regr, q67Gini, q68FeatScale, q69Basket, q70Ewma, q71Variant,
     q72WMedian, q73Rfm, textEntropy, textCcnetBucket, clusterKmeans,
     q74Triangles, q75ChiSq, q76Acf, q77Twap, q78Skyline, textReadability,
-    etlIncrementalAgg,
+    etlIncrementalAgg, q79Sssp, q80Lpa,
     etlMergeUpsert, etlConstraints, etlProvenance,
     graphPageRank, curateWeightedSample,
     etlUnionSources, etlValidate, etlCleanTransform, etlQualityReport,

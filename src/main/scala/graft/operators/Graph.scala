@@ -136,6 +136,76 @@ object Graph {
       .agg(count(lit(1)).as("n_reachable"))
   }
 
+  /** Single-source shortest paths, k relaxation rounds (distributed
+    * Bellman-Ford): after round i, `dist` holds the exact minimum
+    * path cost using ≤ i edges — so bounded-k SSSP is a fixed
+    * iteration count, the same contract as [[pageRank]]. Weights are
+    * exact DECIMALs: min-plus over decimals has no FP summation-order
+    * ambiguity, which is what lets a DuckDB recursive-CTE oracle
+    * reproduce the result bit-for-bit.
+    *
+    * Scale shape per round: ONE shuffle join (frontier distances ⋈
+    * edges on the source endpoint) + ONE min-aggregation by
+    * destination; distances are eagerly localCheckpoint'ed so the
+    * plan stays O(1)-deep. The source is a 1-row frame (min node id)
+    * computed inside the DAG — no driver collect.
+    */
+  def sssp(edges: DataFrame, src: String, dst: String, weight: String,
+      k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    val D = org.apache.spark.sql.types.DecimalType(18, 6)
+    val e = edges.select(col(src).cast("long").as("es"),
+        col(dst).cast("long").as("ed"), col(weight).cast(D).as("wt"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var dist = e.agg(min(col("es")).as("node"))
+      .withColumn("dist", lit(new java.math.BigDecimal(0)).cast(D))
+      .localCheckpoint(true)
+    for (_ <- 1 to k) {
+      val relaxed = dist.join(e, dist("node") === e("es"))
+        .select(col("ed").as("node"), (col("dist") + col("wt")).cast(D).as("dist"))
+      dist = dist.unionByName(relaxed)
+        .groupBy(col("node")).agg(min(col("dist")).cast(D).as("dist"))
+        .localCheckpoint(true)
+    }
+    e.unpersist(false)
+    dist
+  }
+
+  /** Label-propagation community detection (LPA), k synchronous
+    * rounds: every node adopts its neighborhood's modal label, ties
+    * broken toward the SMALLEST label — fully deterministic (the
+    * random visit order of classic LPA is replaced by the tie rule;
+    * argmax is a struct-max partial agg, so no per-node sort and no
+    * window funnel). Labels init to the node id. Returns (node,
+    * label).
+    *
+    * Scale shape per round: ONE shuffle join (labels ⋈ undirected
+    * edges) + ONE (node,label) count + ONE struct-max argmax by node
+    * — all partial-aggregated; labels eagerly localCheckpoint'ed.
+    */
+  def labelPropagation(edges: DataFrame, src: String, dst: String,
+      k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    val und = edges.select(col(src).cast("long").as("a"), col(dst).cast("long").as("b"))
+      .unionAll(edges.select(col(dst).cast("long").as("a"), col(src).cast("long").as("b")))
+      .filter(col("a").isNotNull && col("b").isNotNull && col("a") =!= col("b"))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = und.select(col("a").as("node")).distinct()
+      .withColumn("label", col("node"))
+      .localCheckpoint(true)
+    for (_ <- 1 to k) {
+      labels = und.join(labels, und("b") === labels("node"))
+        .groupBy(col("a"), col("label")).agg(count(lit(1)).as("cnt"))
+        .groupBy(col("a"))
+        .agg(max(struct(col("cnt"), (-col("label")).as("nl"))).as("m"))
+        .select(col("a").as("node"), (-col("m.nl")).as("label"))
+        .localCheckpoint(true)
+    }
+    und.unpersist(false)
+    labels
+  }
+
   /** Global triangle census + clustering coefficient over an
     * undirected edge list — the graph-health summary (transitivity is
     * the standard community-structure signal before clustering /

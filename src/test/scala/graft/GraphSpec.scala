@@ -74,6 +74,37 @@ class GraphSpec extends SparkSpec {
     assert(k3(1L) == 3L, "1 reaches {2,3,4} in 3 hops")
   }
 
+  test("sssp: indirect cheap path beats direct expensive edge; k bounds hops") {
+    import spark.implicits._
+    // source is min node = 1. Direct 1→4 costs 10; 1→2→3→4 costs 3.
+    val edges = Seq((1L, 4L, BigDecimal(10)), (1L, 2L, BigDecimal(1)),
+      (2L, 3L, BigDecimal(1)), (3L, 4L, BigDecimal(1)), (4L, 5L, BigDecimal(1)))
+      .toDF("s", "d", "w")
+    def dists(k: Int) = Graph.sssp(edges, "s", "d", "w", k)
+      .collect().map(r => r.getLong(0) -> r.getDecimal(1).doubleValue()).toMap
+    val d2 = dists(2)
+    assert(d2(4L) == 10.0, "within 2 hops the direct edge is the best path to 4")
+    val d3 = dists(3)
+    assert(d3(4L) == 3.0, "3 hops unlock the cheap path")
+    assert(d3(1L) == 0.0 && d3(2L) == 1.0 && d3(3L) == 2.0)
+    assert(d3(5L) == 11.0, "5 via direct 1→4→5 within 3 edges")
+  }
+
+  test("labelPropagation: planted communities adopt their min label; deterministic") {
+    import spark.implicits._
+    // two K4s {1..4} and {11..14} joined by one bridge 4–11
+    def k4(base: Long) = for (i <- 0L to 3L; j <- (i + 1) to 3L)
+      yield (base + i, base + j)
+    val edges = (k4(1L) ++ k4(11L) :+ (4L, 11L)).toDF("s", "d")
+    def run() = Graph.labelPropagation(edges, "s", "d", 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val labels = run()
+    assert((1L to 4L).map(labels).toSet.size == 1, s"left clique converges: $labels")
+    assert((11L to 14L).map(labels).toSet.size == 1, s"right clique converges: $labels")
+    assert(labels(1L) != labels(14L), s"cliques keep distinct communities: $labels")
+    assert(run() == labels, "deterministic under re-run")
+  }
+
   test("triangleStats: K4 is fully transitive — 4 triangles, 12 wedges") {
     import spark.implicits._
     val k4 = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L))
