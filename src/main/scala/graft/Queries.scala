@@ -886,6 +886,36 @@ object Queries {
       WHERE jaccard >= 0.1
       ORDER BY jaccard DESC, id_a, id_b LIMIT 100"""))
 
+  /** Asymmetric n-gram containment near-dup (Dedup.containmentPairs)
+    * — the doc-in-doc inclusion detector Jaccard structurally misses;
+    * exact inverted-index intersection counts, so fully
+    * DuckDB-oracled (same gram definition as dedup_ngram_jaccard, no
+    * length band by design).
+    */
+  val dedupContainment: QueryDef = QueryDef("dedup_containment",
+    (s, dir) => Dedup.containmentPairs(t(s, dir, "documents"),
+      "doc_id", "text", "lang", n = 3, minContainment = 0.5, maxGramDf = 10000L)
+      .orderBy(col("id_a"), col("id_b")),
+    Some("""WITH tok AS (SELECT doc_id, lang,
+        string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS w
+        FROM documents),
+      g AS (SELECT doc_id, lang,
+        unnest(list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2] FOR i IN range(1, len(w) - 1)])) AS gram
+        FROM tok WHERE len(w) >= 3),
+      hot AS (SELECT gram FROM g GROUP BY gram HAVING COUNT(*) > 10000),
+      gp AS (SELECT * FROM g WHERE gram NOT IN (SELECT gram FROM hot)),
+      sz AS (SELECT doc_id, COUNT(*) AS sz FROM g GROUP BY doc_id),
+      cand AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+        FROM gp a JOIN gp b ON a.gram = b.gram AND a.lang = b.lang AND a.doc_id < b.doc_id
+        GROUP BY 1, 2)
+      SELECT id_a, id_b, cont_ab, cont_ba FROM (
+        SELECT id_a, id_b,
+          round(CAST(inter AS DOUBLE) / sa.sz, 6) AS cont_ab,
+          round(CAST(inter AS DOUBLE) / sb.sz, 6) AS cont_ba
+        FROM cand JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b)
+      WHERE greatest(cont_ab, cont_ba) >= 0.5
+      ORDER BY id_a, id_b"""))
+
   /** Connected-components cluster resolution over verified n-gram
     * Jaccard pairs (≥ 0.5) — oracled against a DuckDB recursive-CTE
     * transitive closure computing min reachable id per node.
@@ -3507,6 +3537,28 @@ object Queries {
         CAST(SUM(CASE WHEN score >= 60 THEN 1 ELSE 0 END) AS BIGINT) AS n_easy
       FROM d GROUP BY source ORDER BY source"""))
 
+  /** Deflate compression-ratio quality census per source
+    * (functions.text.compressRatio — native codegen expression, fixed
+    * level/strategy): CCNet/RedPajama-style redundancy filter;
+    * repetitive machine text compresses far below the prose band.
+    * zlib output length is not SQL-expressible → rows-only; ordering
+    * and band invariants are spec-tested (TextAnalysisSpec). Per-doc
+    * ratios round into DECIMAL before the per-source average.
+    */
+  val textCompress: QueryDef = QueryDef("text_compress",
+    (s, dir) => {
+      val scored = t(s, dir, "documents")
+        .select(col("source"),
+          round(graft.functions.text.compressRatio(col("text")), 6)
+            .cast(DecimalType(10, 6)).as("ratio"))
+      scored.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          round(sum(col("ratio")).cast(DoubleType) / count(lit(1)).cast(DoubleType), 6).as("avg_ratio"),
+          sum(when(col("ratio") < 0.35, 1L).otherwise(0L)).as("n_repetitive"))
+        .orderBy(col("source"))
+    },
+    None)
+
   /** Incremental aggregate maintenance (operators.Incremental): the
     * customer-spend summary is maintained as a per-key PARTIAL state
     * table (count / exact decimal sum / min / max) and refreshed by
@@ -3554,7 +3606,7 @@ object Queries {
     q65Regr, q67Gini, q68FeatScale, q69Basket, q70Ewma, q71Variant,
     q72WMedian, q73Rfm, textEntropy, textCcnetBucket, clusterKmeans,
     q74Triangles, q75ChiSq, q76Acf, q77Twap, q78Skyline, textReadability,
-    etlIncrementalAgg, q79Sssp, q80Lpa,
+    etlIncrementalAgg, q79Sssp, q80Lpa, textCompress,
     etlMergeUpsert, etlConstraints, etlProvenance,
     graphPageRank, curateWeightedSample,
     etlUnionSources, etlValidate, etlCleanTransform, etlQualityReport,
@@ -3562,7 +3614,7 @@ object Queries {
     textTokens, textQuality, textLangId, textFingerprint, textVocab, textLogProb,
     textBm25, textNormalize, textRepetition, textDivergence, textC4,
     curateMixture, curatePack, curateTake, curateDecontaminate, curateChunk, textRedact,
-    dedupExact, dedupNgramJaccard, dedupEditDist, dedupClusterCc, dedupMinhash, dedupSimhash, dedupEmbedding,
+    dedupExact, dedupNgramJaccard, dedupContainment, dedupEditDist, dedupClusterCc, dedupMinhash, dedupSimhash, dedupEmbedding,
     dedupSemantic, dedupLines,
     annBruteForce, annLsh, annIvf, mmMetadata, mmDecode,
     sketchHll, sketchQuantiles, sketchCms, sketchFreq,

@@ -59,6 +59,55 @@ case class UnicodeNormalize(child: Expression, form: String) extends UnaryExpres
     copy(child = newChild)
 }
 
+/** Deflate compression ratio as a native Catalyst expression.
+  *
+  * compressed_bytes / raw_bytes over the UTF-8 encoding — the
+  * classic cheap redundancy detector for corpus curation (CCNet/
+  * RedPajama-style stacks use it to drop machine-generated and
+  * boilerplate-heavy pages: highly repetitive text compresses far
+  * below prose's ~0.4–0.7 band, random/encrypted blobs sit near 1).
+  * Level and strategy are FIXED (BEST_SPEED, default strategy,
+  * nowrap) so the ratio is deterministic for a given input on a
+  * given zlib build. Map-side, zero shuffle; one static helper call
+  * from generated code — the same no-UDF discipline as
+  * [[UnicodeNormalize]].
+  */
+object CompressRatioUtil {
+  def ratio(s: UTF8String): Double = {
+    val raw = s.getBytes
+    if (raw.length == 0) return 1.0
+    val d = new java.util.zip.Deflater(java.util.zip.Deflater.BEST_SPEED, true)
+    try {
+      d.setInput(raw)
+      d.finish()
+      val buf = new Array[Byte](8192)
+      var compressed = 0L
+      while (!d.finished()) compressed += d.deflate(buf)
+      compressed.toDouble / raw.length
+    } finally d.end()
+  }
+}
+
+case class CompressRatio(child: Expression) extends UnaryExpression {
+  override def prettyName: String = "compress_ratio"
+  override def dataType: DataType = org.apache.spark.sql.types.DoubleType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType != StringType)
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires a string argument, got ${child.dataType.catalogString}")
+    else TypeCheckResult.TypeCheckSuccess
+
+  override protected def nullSafeEval(input: Any): Any =
+    CompressRatioUtil.ratio(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.CompressRatioUtil.ratio($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Column-API surface for the text expressions. */
 object text {
   import org.apache.spark.sql.Column
@@ -66,4 +115,7 @@ object text {
 
   def unicodeNormalize(c: Column, form: String = "NFC"): Column =
     bridge.column(UnicodeNormalize(bridge.expression(c), form))
+
+  def compressRatio(c: Column): Column =
+    bridge.column(CompressRatio(bridge.expression(c)))
 }

@@ -106,6 +106,45 @@ object Dedup {
       .filter(col("jaccard") >= minJaccard)
   }
 
+  /** Asymmetric n-gram CONTAINMENT pairs: C(A→B) = |grams(A) ∩
+    * grams(B)| / |grams(A)| — the doc-in-doc signal. Jaccard misses
+    * inclusion (a page quoted inside a 100× larger page has tiny
+    * union-normalized similarity but containment ≈ 1), so corpus
+    * dedup needs both. Same inverted-index diamond as
+    * [[ngramJaccardPairs]] (persisted gram base, stop-gram pruning
+    * bounding the self-join, block key) but deliberately NO length
+    * band — containment is precisely about different-length pairs.
+    * Sizes use the full gram sets, so pruning only under-estimates
+    * (no false positives). Emits both directions' containment per
+    * candidate pair; a pair survives if either direction clears
+    * `minContainment`.
+    */
+  def containmentPairs(docs: DataFrame, id: String, text: String,
+      block: String, n: Int = 3, minContainment: Double = 0.5,
+      maxGramDf: Long = 10000L): DataFrame = {
+    val g = explodedGrams(docs, id, text, n, Seq(col(block) -> "blk"))
+      .persist()
+    val pruned =
+      if (maxGramDf > 0L) {
+        val hot = g.groupBy("gram").agg(count(lit(1)).as("df"))
+          .filter(col("df") > maxGramDf).select("gram")
+        g.join(broadcast(hot), Seq("gram"), "left_anti")
+      } else g
+    val sizes = g.groupBy("id").agg(count(lit(1)).as("sz"))
+    val inter = pruned.select(col("blk"), col("gram"), col("id").as("id_a"))
+      .join(pruned.select(col("blk"), col("gram"), col("id").as("id_b")),
+        Seq("blk", "gram"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("id").as("id_a"), col("sz").as("sz_a")), "id_a")
+      .join(sizes.select(col("id").as("id_b"), col("sz").as("sz_b")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        round(col("inter").cast(DoubleType) / col("sz_a").cast(DoubleType), 6).as("cont_ab"),
+        round(col("inter").cast(DoubleType) / col("sz_b").cast(DoubleType), 6).as("cont_ba"))
+      .filter(greatest(col("cont_ab"), col("cont_ba")) >= minContainment)
+  }
+
   /** MinHash signatures. Permutation i is a rotate-xor mix of TWO base
     * hashes: hᵢ = rol(h1, aᵢ) ^ rol(h2, bᵢ) ^ cᵢ with h1 =
     * xxhash64(gram), h2 = xxhash64(gram, 1) and per-i constants from a

@@ -266,4 +266,35 @@ class TextAnalysisSpec extends SparkSpec {
     assert(r(3L).getAs[Long]("n_kept_lines") == 0L)
     assert(!r(3L).getAs[Boolean]("keep"))
   }
+
+  test("compressRatio: repetition compresses below prose, prose below noise; deterministic") {
+    import spark.implicits._
+    val repetitive = "lorem ipsum " * 400
+    val prose = "The five boxing wizards jump quickly over a lazy dog while " +
+      "seventy jovial zookeepers quietly mixed bright vats of liquid oxygen. " * 20
+    val rnd = new scala.util.Random(42)
+    val noise = Array.fill(4800)((rnd.nextInt(94) + 33).toChar).mkString
+    val df = Seq(("rep", repetitive), ("prose", prose), ("noise", noise), ("empty", ""))
+      .toDF("k", "text")
+      .select(col("k"), graft.functions.text.compressRatio(col("text")).as("r"))
+    val r = df.collect().map(row => row.getString(0) -> row.getDouble(1)).toMap
+    assert(r("rep") < 0.1, s"repeated phrase must collapse: ${r("rep")}")
+    assert(r("rep") < r("prose") && r("prose") < r("noise"),
+      s"ordering rep < prose < noise: $r")
+    assert(r("prose") < 0.9 && r("noise") > 0.8, s"bands: $r")
+    assert(r("empty") == 1.0, "empty text is defined as ratio 1")
+    val again = df.collect().map(row => row.getString(0) -> row.getDouble(1)).toMap
+    assert(again == r, "deterministic under re-evaluation")
+  }
+
+  test("compressRatio: null-safe and codegen/eval agree") {
+    import spark.implicits._
+    val df = Seq(Some("abc abc abc abc"), None).toDF("text")
+    val rows = df.select(graft.functions.text.compressRatio(col("text")).as("r")).collect()
+    assert(rows(1).isNullAt(0), "null in, null out")
+    val viaEval = graft.functions.CompressRatioUtil.ratio(
+      org.apache.spark.unsafe.types.UTF8String.fromString("abc abc abc abc"))
+    assert(math.abs(rows(0).getDouble(0) - viaEval) < 1e-15,
+      "interpreted helper and codegen path produce the identical ratio")
+  }
 }
