@@ -3537,6 +3537,87 @@ object Queries {
         CAST(SUM(CASE WHEN score >= 60 THEN 1 ELSE 0 END) AS BIGINT) AS n_easy
       FROM d GROUP BY source ORDER BY source"""))
 
+  /** Out-of-vocabulary rate per source against the corpus top-1000
+    * unigram vocabulary — the tokenizer-coverage health check before
+    * committing a vocab. The join runs on the (source, token)
+    * AGGREGATED frame (one partial-agg shuffle collapses token
+    * occurrences first), and the vocab side is a broadcast top-K with
+    * a fully deterministic tie order (count desc, token asc).
+    */
+  val textOov: QueryDef = QueryDef("text_oov",
+    (s, dir) => {
+      val counts = t(s, dir, "documents")
+        .select(col("source"), explode(TextAnalysis.tokens(col("text"))).as("token"))
+        .groupBy(col("source"), col("token")).agg(count(lit(1)).as("c"))
+        .persist()
+      val vocab = counts.groupBy(col("token")).agg(sum(col("c")).as("n"))
+        .orderBy(desc("n"), col("token")).limit(1000)
+        .select(col("token"), lit(1).as("in_v"))
+      counts.join(broadcast(vocab), Seq("token"), "left")
+        .groupBy(col("source"))
+        .agg(sum(col("c")).as("n_tokens"),
+          sum(when(col("in_v").isNull, col("c")).otherwise(lit(0L))).as("n_oov"))
+        .withColumn("oov_rate",
+          round(col("n_oov").cast(DoubleType) / col("n_tokens").cast(DoubleType), 6))
+        .orderBy(col("source"))
+    },
+    Some("""WITH tok AS (SELECT source,
+        unnest(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS token
+        FROM documents),
+      c AS (SELECT source, token, COUNT(*) AS c FROM tok GROUP BY 1, 2),
+      corpus AS (SELECT token, SUM(c) AS n FROM c GROUP BY token),
+      vocab AS (SELECT token, 1 AS in_v FROM corpus ORDER BY n DESC, token LIMIT 1000)
+      SELECT source, CAST(SUM(c) AS BIGINT) AS n_tokens,
+        CAST(SUM(CASE WHEN in_v IS NULL THEN c ELSE 0 END) AS BIGINT) AS n_oov,
+        round(CAST(SUM(CASE WHEN in_v IS NULL THEN c ELSE 0 END) AS DOUBLE) /
+          CAST(SUM(c) AS DOUBLE), 6) AS oov_rate
+      FROM c LEFT JOIN vocab USING (token)
+      GROUP BY source ORDER BY source"""))
+
+  /** Per-group trimmed mean (drop outside [p10, p90], average the
+    * middle 80%) — the outlier-robust companion to q43_winsorize
+    * (which CAPS instead of dropping). Thresholds come from the
+    * distributed exact-selection operator (bin-then-refine — no
+    * full-fact sort into O(groups) partitions), round to 4dp in both
+    * engines before the filter, and the kept rows average through an
+    * exact DECIMAL sum.
+    */
+  val q81TrimmedMean: QueryDef = QueryDef("q81_trimmed_mean",
+    (s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val cuts = Selection.exactQuantiles(li, "l_returnflag", "l_extendedprice", Seq(0.1, 0.9))
+        .groupBy(col("l_returnflag"))
+        .agg(round(min(col("q")), 4).as("p10"), round(max(col("q")), 4).as("p90"))
+      li.join(broadcast(cuts), "l_returnflag")
+        .filter(col("l_extendedprice") >= col("p10") && col("l_extendedprice") <= col("p90"))
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n_kept"),
+          round(sum(dec(col("l_extendedprice"))).cast(DoubleType) /
+            count(lit(1)).cast(DoubleType), 6).as("trimmed_mean"))
+        .orderBy(col("l_returnflag"))
+    },
+    Some("""WITH cuts AS (SELECT l_returnflag,
+        round(quantile_cont(l_extendedprice, CAST(0.1 AS DOUBLE)), 4) AS p10,
+        round(quantile_cont(l_extendedprice, CAST(0.9 AS DOUBLE)), 4) AS p90
+        FROM lineitem GROUP BY 1)
+      SELECT l.l_returnflag, COUNT(*) AS n_kept,
+        round(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*), 6) AS trimmed_mean
+      FROM lineitem l JOIN cuts USING (l_returnflag)
+      WHERE l_extendedprice >= p10 AND l_extendedprice <= p90
+      GROUP BY 1 ORDER BY 1"""))
+
+  /** Deterministic contrastive negative sampling
+    * (Curation.negativePairs — adjacent-hash-bucket candidate join,
+    * bounded per-anchor top_k_by choice): cross-source (anchor,
+    * negative) pairs for embedding training. Hash-seeded → rows-only;
+    * determinism/constraint invariants in CurationSpec.
+    */
+  val curateNegatives: QueryDef = QueryDef("curate_negatives",
+    (s, dir) => Curation.negativePairs(t(s, dir, "documents"),
+        "doc_id", "source", m = 2, buckets = 64)
+      .orderBy(col("anchor_id"), col("neg_id")),
+    None)
+
   /** Deflate compression-ratio quality census per source
     * (functions.text.compressRatio — native codegen expression, fixed
     * level/strategy): CCNet/RedPajama-style redundancy filter;
@@ -3606,7 +3687,8 @@ object Queries {
     q65Regr, q67Gini, q68FeatScale, q69Basket, q70Ewma, q71Variant,
     q72WMedian, q73Rfm, textEntropy, textCcnetBucket, clusterKmeans,
     q74Triangles, q75ChiSq, q76Acf, q77Twap, q78Skyline, textReadability,
-    etlIncrementalAgg, q79Sssp, q80Lpa, textCompress,
+    etlIncrementalAgg, q79Sssp, q80Lpa, textCompress, textOov,
+    q81TrimmedMean, curateNegatives,
     etlMergeUpsert, etlConstraints, etlProvenance,
     graphPageRank, curateWeightedSample,
     etlUnionSources, etlValidate, etlCleanTransform, etlQualityReport,

@@ -53,6 +53,36 @@ object Curation {
     df.join(broadcast(ids), col(idCol) === col("__sid")).drop("__sid")
   }
 
+  /** Deterministic cross-group negative sampling for contrastive
+    * training pairs: each anchor doc gets up to `m` negatives drawn
+    * from OTHER groups (sources) — without any cross join. Docs land
+    * in hash buckets; anchors in bucket k meet only candidates whose
+    * shifted hash lands in k (the adjacent bucket), so join fan-out
+    * is bounded by bucket occupancy, and the per-anchor choice is the
+    * bounded `top_k_by` aggregate on a pair hash (map-side partials ≤
+    * m rows — no per-anchor sort, no window funnel). Fully
+    * deterministic in (ids, salt): re-runs and re-partitionings
+    * produce the same pairs.
+    */
+  def negativePairs(df: DataFrame, idCol: String, groupCol: String,
+      m: Int = 2, buckets: Int = 64, salt: String = "neg-v1"): DataFrame = {
+    val h = xxhash64(col(idCol), lit(salt))
+    val anchors = df.select(col(idCol).as("anchor_id"), col(groupCol).as("anchor_grp"),
+      pmod(h, lit(buckets.toLong)).as("bk"))
+    val negs = df.select(col(idCol).as("neg_id"), col(groupCol).as("neg_grp"),
+      pmod(h + 1, lit(buckets.toLong)).as("bk"))
+    anchors.join(negs, "bk")
+      .filter(col("anchor_grp") =!= col("neg_grp"))
+      .select(col("anchor_id"),
+        shiftrightunsigned(xxhash64(col("anchor_id"), col("neg_id"), lit(salt)), 11)
+          .cast("double").as("score"),
+        col("neg_id"))
+      .groupBy(col("anchor_id"))
+      .agg(graft.functions.vector.topKBy(col("score"), col("neg_id").cast("long"), m).as("top"))
+      .select(col("anchor_id"), explode(col("top")).as("s"))
+      .select(col("anchor_id"), col("s.id").as("neg_id"))
+  }
+
   /** Disjoint deterministic split: adds `split` ∈ {train, val, test}
     * with the given proportions (must sum to ≤ 1; remainder → train).
     */

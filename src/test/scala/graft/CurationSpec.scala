@@ -20,6 +20,21 @@ class CurationSpec extends SparkSpec {
     assert(!out.contains("src2"))                    // unlisted → dropped
   }
 
+  test("negativePairs: cross-group only, ≤ m per anchor, anchor ≠ negative, deterministic") {
+    val srcOf = docs.select("doc_id", "source").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    def run() = Curation.negativePairs(docs, "doc_id", "source", m = 2, buckets = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val pairs = run()
+    assert(pairs.nonEmpty, "some anchors must find negatives")
+    assert(pairs.forall { case (a, n) => a != n }, "anchor never pairs with itself")
+    assert(pairs.forall { case (a, n) => srcOf(a) != srcOf(n) },
+      "negatives always come from a different source")
+    val perAnchor = pairs.groupBy(_._1).map(_._2.length)
+    assert(perAnchor.max <= 2, s"at most m per anchor: ${perAnchor.max}")
+    assert(run().toSeq == pairs.toSeq, "deterministic under re-run")
+  }
+
   test("sampling and split are deterministic across invocations") {
     val a = Curation.mixtureSample(docs, "source", "doc_id", Map("src0" -> 0.5))
       .select("doc_id").collect().map(_.getLong(0)).toSet
