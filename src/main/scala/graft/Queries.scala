@@ -3606,6 +3606,81 @@ object Queries {
       WHERE l_extendedprice >= p10 AND l_extendedprice <= p90
       GROUP BY 1 ORDER BY 1"""))
 
+  /** Trailing-7-day distinct users per day (rolling reach). COUNT
+    * DISTINCT over a sliding window can't partial-aggregate directly;
+    * the scale shape: dedupe to the (day, user) frame first (ONE
+    * partial-agg shuffle collapses the fact table), then each (day,
+    * user) row contributes map-side to the ≤7 window-end days it
+    * covers — linear ×7 expansion, never a day×day self-join — and a
+    * semi join against the actual-day frame drops phantom window ends
+    * past the horizon. (The approximate twin for wider windows is the
+    * mergeable per-day HLL in the sketch family.)
+    */
+  val q82RollingDistinct: QueryDef = QueryDef("q82_rolling_distinct",
+    (s, dir) => {
+      val du = t(s, dir, "events")
+        .select(date_trunc("day", col("ts")).as("day"), col("user_id"))
+        .distinct()
+      val days = du.select(col("day")).distinct()
+      du.select(explode(sequence(col("day"),
+          col("day") + expr("interval 6 days"), expr("interval 1 day"))).as("wday"),
+          col("user_id"))
+        .join(broadcast(days.withColumnRenamed("day", "wday")), Seq("wday"), "left_semi")
+        .groupBy(col("wday"))
+        .agg(countDistinct(col("user_id")).as("n_users"))
+        .orderBy(col("wday"))
+    },
+    Some("""WITH du AS (SELECT DISTINCT date_trunc('day', ts) AS day, user_id FROM events),
+      days AS (SELECT DISTINCT day FROM du),
+      e AS (SELECT d.day AS wday, du.user_id
+        FROM du JOIN days d ON d.day BETWEEN du.day AND du.day + INTERVAL 6 DAY)
+      SELECT wday, COUNT(DISTINCT user_id) AS n_users
+      FROM e GROUP BY wday ORDER BY wday"""))
+
+  /** CUSUM changepoint statistic per returnflag over the daily
+    * revenue series: upper CUSUM s_t = max(0, s_{t-1} + (x_t − μ)),
+    * computed in CLOSED FORM — s_t = r_t − min(0, min_{j≤t} r_j) with
+    * r the running deviation sum — so two windows over the
+    * O(groups·days) aggregated frame replace the sequential fold, and
+    * every term stays an exact DECIMAL (μ pins to 2dp first; no FP
+    * drift anywhere before the final rounding). The detector for
+    * level shifts in pipeline-health series.
+    */
+  val q83Cusum: QueryDef = QueryDef("q83_cusum",
+    (s, dir) => {
+      val daily = t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag").as("flag"),
+          date_trunc("day", col("l_shipdate")).as("day"))
+        .agg(sum(dec(col("l_extendedprice"))).cast(DecimalType(18, 2)).as("rev"))
+      val mu = daily.groupBy(col("flag"))
+        .agg(round(sum(col("rev")).cast(DoubleType) / count(lit(1)).cast(DoubleType), 2)
+          .cast(DecimalType(18, 2)).as("mu"))
+      val w = Window.partitionBy(col("flag")).orderBy(col("day"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      daily.join(broadcast(mu), "flag")
+        .withColumn("r", sum((col("rev") - col("mu")).cast(DecimalType(28, 2))).over(w))
+        .withColumn("s", col("r") - least(min(col("r")).over(w), lit(0).cast(DecimalType(28, 2))))
+        .groupBy(col("flag"))
+        .agg(count(lit(1)).as("n_days"),
+          round(max(col("s")).cast(DoubleType), 2).as("cusum_max"))
+        .orderBy(col("flag"))
+    },
+    Some("""WITH daily AS (SELECT l_returnflag AS flag, date_trunc('day', l_shipdate) AS day,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS rev
+        FROM lineitem GROUP BY 1, 2),
+      mu AS (SELECT flag, CAST(round(CAST(SUM(rev) AS DOUBLE) / COUNT(*), 2) AS DECIMAL(18,2)) AS mu
+        FROM daily GROUP BY flag),
+      rs AS (SELECT d.flag, day,
+          SUM(CAST(rev - mu AS DECIMAL(28,2))) OVER (PARTITION BY d.flag ORDER BY day
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS r
+        FROM daily d JOIN mu ON d.flag = mu.flag),
+      cs AS (SELECT flag, day,
+          r - LEAST(MIN(r) OVER (PARTITION BY flag ORDER BY day
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), CAST(0 AS DECIMAL(28,2))) AS s
+        FROM rs)
+      SELECT flag, COUNT(*) AS n_days, round(CAST(MAX(s) AS DOUBLE), 2) AS cusum_max
+      FROM cs GROUP BY flag ORDER BY flag"""))
+
   /** Deterministic contrastive negative sampling
     * (Curation.negativePairs — adjacent-hash-bucket candidate join,
     * bounded per-anchor top_k_by choice): cross-source (anchor,
@@ -3688,7 +3763,7 @@ object Queries {
     q72WMedian, q73Rfm, textEntropy, textCcnetBucket, clusterKmeans,
     q74Triangles, q75ChiSq, q76Acf, q77Twap, q78Skyline, textReadability,
     etlIncrementalAgg, q79Sssp, q80Lpa, textCompress, textOov,
-    q81TrimmedMean, curateNegatives,
+    q81TrimmedMean, curateNegatives, q82RollingDistinct, q83Cusum,
     etlMergeUpsert, etlConstraints, etlProvenance,
     graphPageRank, curateWeightedSample,
     etlUnionSources, etlValidate, etlCleanTransform, etlQualityReport,

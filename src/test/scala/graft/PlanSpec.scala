@@ -207,6 +207,30 @@ class PlanSpec extends SparkSpec {
       s"first-occurrence winners must map-side partial-aggregate:\n$p")
   }
 
+  test("q74 triangles: ordered edge joins plan as hash joins — no cartesian/BNLJ anywhere") {
+    val p = plan(q(Queries.q74Triangles))
+    assert(!p.contains("CartesianProduct"),
+      s"triangle counting must never plan a cartesian product:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") || p.contains("BuildRight, Cross"),
+      s"edge⋈edge joins must be equi-joins:\n$p")
+    assert(p.contains("partial_count"),
+      s"degree/wedge counts must partial-aggregate map-side:\n$p")
+  }
+
+  test("text_oov: occurrences collapse BEFORE the vocab join, vocab side broadcasts") {
+    val p = plan(q(Queries.textOov))
+    assert(p.contains("BroadcastHashJoin"),
+      s"the top-K vocab is tiny and must broadcast:\n$p")
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      s"(source, token) counts must partial-aggregate before any join:\n$p")
+  }
+
+  test("q81 trimmed mean: selection thresholds broadcast back onto the fact scan") {
+    val p = plan(q(Queries.q81TrimmedMean))
+    assert(p.contains("BroadcastHashJoin"),
+      s"the O(groups) cut frame must broadcast, not shuffle the fact table:\n$p")
+  }
+
   test("decontaminate: eval gram side broadcasts into the semi join") {
     val docs = Tables(cold, sf("documents"), "documents")
     val df = graft.operators.Curation.contaminatedIds(
