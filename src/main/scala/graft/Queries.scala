@@ -3277,10 +3277,14 @@ object Queries {
     */
   val q75ChiSq: QueryDef = QueryDef("q75_chisq",
     (s, dir) => {
+      // O(segments·regions) frame with FIVE consumers (rt/ct/n/dims/
+      // grid) — eagerly checkpointed so the fact scan runs ONCE, not
+      // once per marginal.
       val cells = t(s, dir, "customer")
         .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
         .groupBy(col("c_mktsegment").as("seg"), col("n_regionkey").as("reg"))
         .agg(count(lit(1)).as("o"))
+        .localCheckpoint(true)
       val rt = cells.groupBy(col("seg")).agg(sum(col("o")).as("rt"))
       val ct = cells.groupBy(col("reg")).agg(sum(col("o")).as("ct"))
       val n  = cells.agg(sum(col("o")).as("n"))
@@ -3323,10 +3327,13 @@ object Queries {
     */
   val q76Acf: QueryDef = QueryDef("q76_acf",
     (s, dir) => {
+      // O(flags·days) frame consumed by the three lag branches —
+      // eagerly checkpointed so the fact partial-agg runs ONCE.
       val daily = t(s, dir, "lineitem")
         .groupBy(col("l_returnflag").as("flag"),
           date_trunc("day", col("l_shipdate")).as("day"))
         .agg(sum(dec(col("l_extendedprice"))).cast(DecimalType(18, 2)).as("rev"))
+        .localCheckpoint(true)
       val w = Window.partitionBy(col("flag")).orderBy(col("day"))
       val lagged = (1 to 3).map { k =>
         daily.select(col("flag"), lit(k).as("lag_k"),
@@ -3681,6 +3688,59 @@ object Queries {
       SELECT flag, COUNT(*) AS n_days, round(CAST(MAX(s) AS DOUBLE), 2) AS cusum_max
       FROM cs GROUP BY flag ORDER BY flag"""))
 
+  /** Exact per-group mode (most frequent ship-month per returnflag)
+    * via the struct-max argmax: count per (group, value) — ONE
+    * partial-agg shuffle — then max(struct(cnt, value)) collapses to
+    * one row per group map-side. Ties break to the LARGER value in
+    * both engines (struct comparison is lexicographic); no window, no
+    * per-group sort.
+    */
+  val q84Mode: QueryDef = QueryDef("q84_mode",
+    (s, dir) => {
+      val counts = t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag").as("flag"),
+          month(col("l_shipdate")).cast(LongType).as("m"))
+        .agg(count(lit(1)).as("cnt"))
+      counts.groupBy(col("flag"))
+        .agg(max(struct(col("cnt"), col("m"))).as("mx"),
+          sum(col("cnt")).as("n"))
+        .select(col("flag"), col("mx.m").as("mode_month"),
+          col("mx.cnt").as("mode_count"), col("n").as("n_rows"))
+        .orderBy(col("flag"))
+    },
+    Some("""WITH c AS (SELECT l_returnflag AS flag, month(l_shipdate) AS m, COUNT(*) AS cnt
+        FROM lineitem GROUP BY 1, 2),
+      r AS (SELECT flag, m, cnt,
+          CAST(SUM(cnt) OVER (PARTITION BY flag) AS BIGINT) AS n_rows,
+          ROW_NUMBER() OVER (PARTITION BY flag ORDER BY cnt DESC, m DESC) AS rn
+        FROM c)
+      SELECT flag, m AS mode_month, cnt AS mode_count, n_rows
+      FROM r WHERE rn = 1 ORDER BY flag"""))
+
+  /** Pythagorean-mean family per group: arithmetic (exact DECIMAL),
+    * geometric (exp of the ln-sum), harmonic (n over the reciprocal
+    * sum) — the AM ≥ GM ≥ HM health triple for rate-like columns.
+    * The two double sums round to 6dp after division; within-group
+    * FP order sensitivity is ~1e-14, far inside the rounding.
+    */
+  val q85Means: QueryDef = QueryDef("q85_means",
+    (s, dir) => t(s, dir, "lineitem")
+      .filter(col("l_quantity") > 0)
+      .groupBy(col("l_returnflag").as("flag"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(dec(col("l_quantity"))).cast(DoubleType) /
+          count(lit(1)).cast(DoubleType), 6).as("am"),
+        round(exp(sum(log(col("l_quantity"))) / count(lit(1)).cast(DoubleType)), 6).as("gm"),
+        round(count(lit(1)).cast(DoubleType) /
+          sum(lit(1.0) / col("l_quantity")), 6).as("hm"))
+      .orderBy(col("flag")),
+    Some("""SELECT l_returnflag AS flag, COUNT(*) AS n,
+        round(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*), 6) AS am,
+        round(exp(SUM(ln(l_quantity)) / COUNT(*)), 6) AS gm,
+        round(COUNT(*) / SUM(1.0 / l_quantity), 6) AS hm
+      FROM lineitem WHERE l_quantity > 0
+      GROUP BY 1 ORDER BY 1"""))
+
   /** Deterministic contrastive negative sampling
     * (Curation.negativePairs — adjacent-hash-bucket candidate join,
     * bounded per-anchor top_k_by choice): cross-source (anchor,
@@ -3691,6 +3751,18 @@ object Queries {
     (s, dir) => Curation.negativePairs(t(s, dir, "documents"),
         "doc_id", "source", m = 2, buckets = 64)
       .orderBy(col("anchor_id"), col("neg_id")),
+    None)
+
+  /** Hashing-trick featurization (TextAnalysis.featureHash): 32-dim
+    * token-count vector per document — vocabulary-free corpus
+    * featurization. Hash-bucketed → rows-only; the token-count
+    * partition identity (Σvec = token count), dimensionality, and
+    * determinism are spec-tested (TextAnalysisSpec).
+    */
+  val textFeatureHash: QueryDef = QueryDef("text_feature_hash",
+    (s, dir) => TextAnalysis.featureHash(t(s, dir, "documents"),
+        "doc_id", "text", dims = 32)
+      .orderBy(col("id")),
     None)
 
   /** Deflate compression-ratio quality census per source
@@ -3764,6 +3836,7 @@ object Queries {
     q74Triangles, q75ChiSq, q76Acf, q77Twap, q78Skyline, textReadability,
     etlIncrementalAgg, q79Sssp, q80Lpa, textCompress, textOov,
     q81TrimmedMean, curateNegatives, q82RollingDistinct, q83Cusum,
+    q84Mode, q85Means, textFeatureHash,
     etlMergeUpsert, etlConstraints, etlProvenance,
     graphPageRank, curateWeightedSample,
     etlUnionSources, etlValidate, etlCleanTransform, etlQualityReport,

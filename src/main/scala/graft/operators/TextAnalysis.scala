@@ -515,4 +515,28 @@ object TextAnalysis {
       regexp_replace(text,
         lit("[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"), lit("<EMAIL>")),
       lit("\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b"), lit("<IP>"))
+
+  /** Hashing-trick featurizer (feature hashing / "the hashing
+    * vectorizer"): fixed `dims`-dim token-count vector per doc, token
+    * → bucket by salted hash — no vocabulary build, no global state,
+    * the standard way to featurize an unbounded token space at corpus
+    * scale. One partial-agg shuffle to (id, bucket) counts, dense
+    * assembly map-side from the ≤ dims entries per doc. Deterministic
+    * in (token, salt, dims).
+    */
+  def featureHash(docs: org.apache.spark.sql.DataFrame, id: String,
+      text: String, dims: Int = 64,
+      salt: String = "fh-v1"): org.apache.spark.sql.DataFrame = {
+    require(dims > 0, s"dims must be > 0: $dims")
+    docs.select(col(id).as("id"), explode(tokens(col(text))).as("token"))
+      .withColumn("b", pmod(xxhash64(col("token"), lit(salt)), lit(dims.toLong)))
+      .groupBy(col("id"), col("b")).agg(count(lit(1)).as("c"))
+      .groupBy(col("id"))
+      .agg(map_from_entries(collect_list(struct(col("b"), col("c")))).as("m"),
+        sum(col("c")).as("n_tokens"), count(lit(1)).as("nnz"))
+      .select(col("id"),
+        transform(sequence(lit(0L), lit((dims - 1).toLong)),
+          i => coalesce(element_at(col("m"), i), lit(0L))).as("vec"),
+        col("n_tokens"), col("nnz"))
+  }
 }

@@ -287,6 +287,26 @@ class TextAnalysisSpec extends SparkSpec {
     assert(again == r, "deterministic under re-evaluation")
   }
 
+  test("featureHash: Σvec equals token count, fixed dims, deterministic") {
+    import spark.implicits._
+    val docs = Seq((1L, "the quick brown fox the end"), (2L, "a b a b a"),
+      (3L, "")).toDF("doc_id", "text")
+    def run() = TextAnalysis.featureHash(docs, "doc_id", "text", dims = 8)
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    val rows = run()
+    rows.foreach { case (id, vec, nTok, nnz) =>
+      assert(vec.length == 8, s"doc $id: fixed dimensionality")
+      assert(vec.sum == nTok, s"doc $id: vector mass must equal the token count")
+      assert(vec.count(_ > 0) == nnz && nnz <= 8, s"doc $id: nnz consistent")
+    }
+    assert(rows.find(_._1 == 1L).get._3 == 6L)
+    assert(rows.find(_._1 == 2L).get._3 == 5L)
+    // "a b a b a" has 2 distinct tokens → at most 2 buckets hit
+    assert(rows.find(_._1 == 2L).get._4 <= 2)
+    assert(run().toSeq == rows.toSeq, "deterministic under re-run")
+  }
+
   test("compressRatio: null-safe and codegen/eval agree") {
     import spark.implicits._
     val df = Seq(Some("abc abc abc abc"), None).toDF("text")
