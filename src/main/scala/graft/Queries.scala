@@ -3688,6 +3688,34 @@ object Queries {
       SELECT flag, COUNT(*) AS n_days, round(CAST(MAX(s) AS DOUBLE), 2) AS cusum_max
       FROM cs GROUP BY flag ORDER BY flag"""))
 
+  /** Disjunctive-predicate pushdown (the TPC-H Q19 shape): an OR of
+    * per-branch conjunctions. The lineitem-only disjunction pushes
+    * into the parquet scan as an Or filter (PlanSpec-asserted), the
+    * part side broadcasts with its own OR branch, and the residual
+    * cross-table condition evaluates post-join — the planner split a
+    * 100 TB scan has to get right, since a non-pushed OR reads the
+    * whole fact table.
+    */
+  val q86Disjunctive: QueryDef = QueryDef("q86_disjunctive_pushdown",
+    (s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .filter(col("l_quantity") <= 5 || col("l_discount") >= 0.08)
+      val pt = t(s, dir, "part")
+        .filter(col("p_size") >= 40 || col("p_brand") === "Brand#11")
+      li.join(broadcast(pt), col("l_partkey") === col("p_partkey"))
+        .filter((col("p_brand") === "Brand#11" && col("l_quantity") <= 5) ||
+          (col("p_size") >= 40 && col("l_discount") >= 0.08))
+        .agg(count(lit(1)).as("n"),
+          sum(dec(col("l_extendedprice")) * (oneD - rate(col("l_discount"))))
+            .cast(DoubleType).as("revenue"))
+    },
+    Some("""SELECT COUNT(*) AS n,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
+          (CAST(1.00 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      WHERE (p_brand = 'Brand#11' AND l_quantity <= 5)
+         OR (p_size >= 40 AND l_discount >= 0.08)"""))
+
   /** Exact per-group mode (most frequent ship-month per returnflag)
     * via the struct-max argmax: count per (group, value) — ONE
     * partial-agg shuffle — then max(struct(cnt, value)) collapses to
@@ -3836,7 +3864,7 @@ object Queries {
     q74Triangles, q75ChiSq, q76Acf, q77Twap, q78Skyline, textReadability,
     etlIncrementalAgg, q79Sssp, q80Lpa, textCompress, textOov,
     q81TrimmedMean, curateNegatives, q82RollingDistinct, q83Cusum,
-    q84Mode, q85Means, textFeatureHash,
+    q84Mode, q85Means, textFeatureHash, q86Disjunctive,
     etlMergeUpsert, etlConstraints, etlProvenance,
     graphPageRank, curateWeightedSample,
     etlUnionSources, etlValidate, etlCleanTransform, etlQualityReport,

@@ -231,6 +231,54 @@ object Multimodal {
     }
   }
 
+  /** 64-bit audio fingerprint from the RMS energy ENVELOPE: the
+    * per-window RMS curve average-pools into 64 equal-time buckets,
+    * bit i set iff bucket i exceeds the curve mean — the aHash idea
+    * lifted to the time axis. Mean-thresholding makes it loudness-
+    * invariant (uniform gain scales curve and mean together), and
+    * the fixed pooling makes clips of different lengths comparable.
+    * Map-side only.
+    */
+  def audioFingerprint(df: DataFrame, window: Int = 1024): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col("id"), col("data")).as[(Long, Array[Byte])].mapPartitions { it =>
+      it.flatMap { case (id, bytes) =>
+        decodeAudioOne(bytes, window)
+          .flatMap { case (_, _, _, rms) => audioFingerprintOne(rms) }
+          .map(sig => (id, sig))
+      }
+    }.toDF("id", "afp")
+  }
+
+  private[graft] def audioFingerprintOne(rms: Array[Double]): Option[Long] = {
+    if (rms == null || rms.length == 0) return None
+    val n = 64
+    val pooled = new Array[Double](n)
+    val counts = new Array[Int](n)
+    var i = 0
+    while (i < rms.length) {
+      val b = (i.toLong * n / rms.length).toInt
+      pooled(b) += rms(i); counts(b) += 1; i += 1
+    }
+    var j = 0
+    while (j < n) { if (counts(j) > 0) pooled(j) /= counts(j); j += 1 }
+    val mean = pooled.sum / n
+    var sig = 0L
+    var k = 0
+    while (k < n) { if (pooled(k) > mean) sig |= (1L << k); k += 1 }
+    Some(sig)
+  }
+
+  /** Audio near-dup candidate pairs by banded Hamming distance on the
+    * envelope fingerprint — same 100 TB shape as [[imageNearDupPairs]]
+    * and text SimHash (4×16-bit bands, in-bucket expansion, cap).
+    */
+  def audioNearDupPairs(df: DataFrame, maxHamming: Int = 5,
+      maxBucket: Int = 1000): DataFrame =
+    Dedup.simhashCandidates(
+      audioFingerprint(df).withColumnRenamed("afp", "simhash"), maxHamming, maxBucket)
+
   private[graft] def decodeAudioOne(bytes: Array[Byte],
       window: Int): Option[(Double, Int, Long, Array[Double])] = {
     if (bytes == null) return None

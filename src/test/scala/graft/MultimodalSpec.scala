@@ -193,4 +193,30 @@ class MultimodalSpec extends SparkSpec {
     assert(pairs.contains((1L, 2L)))
     assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L), s"inverse must not pair: $pairs")
   }
+
+  test("audioFingerprint: loudness-invariant envelope signature; near-dup pairs found") {
+    import spark.implicits._
+    // envelope: 32 windows silent, 32 windows loud (1024-sample windows)
+    def burst(amp: Short): Array[Short] =
+      Array.fill[Short](32 * 1024)(0) ++
+        Array.tabulate[Short](32 * 1024)(i => if (i % 2 == 0) amp else (-amp).toShort)
+    // reversed envelope: loud first, then silence
+    val reversed = Array.tabulate[Short](32 * 1024)(i => if (i % 2 == 0) 16000 else -16000) ++
+      Array.fill[Short](32 * 1024)(0)
+    val blobs = Seq(
+      (1L, wavBytes(burst(16000), 1, 8000f)),
+      (2L, wavBytes(burst(4000), 1, 8000f)),   // same shape, 12 dB quieter
+      (3L, wavBytes(reversed, 1, 8000f)),
+      (4L, "not audio".getBytes)).toDF("id", "data")
+    val fp = Multimodal.audioFingerprint(blobs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(!fp.contains(4L), "non-audio dropped")
+    assert(fp(1L) == fp(2L), "uniform gain must not change the fingerprint")
+    assert(java.lang.Long.bitCount(fp(1L) ^ fp(3L)) > 20,
+      s"reversed envelope must be far in Hamming space: ${fp(1L)} vs ${fp(3L)}")
+    val pairs = Multimodal.audioNearDupPairs(blobs, maxHamming = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)), s"gain-scaled duplicate must pair: $pairs")
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L), s"reversed must not pair: $pairs")
+  }
 }

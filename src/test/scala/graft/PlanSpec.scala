@@ -231,6 +231,14 @@ class PlanSpec extends SparkSpec {
       s"the O(groups) cut frame must broadcast, not shuffle the fact table:\n$p")
   }
 
+  test("q86: the lineitem-only disjunction pushes into the parquet scan as an Or filter") {
+    val p = plan(q(Queries.q86Disjunctive))
+    val pushed = p.linesIterator.filter(_.contains("PushedFilters")).mkString("\n")
+    assert(pushed.contains("Or("),
+      s"the (qty OR discount) branch must reach the scan:\n$pushed")
+    assert(p.contains("BroadcastHashJoin"), s"part side must broadcast:\n$p")
+  }
+
   test("decontaminate: eval gram side broadcasts into the semi join") {
     val docs = Tables(cold, sf("documents"), "documents")
     val df = graft.operators.Curation.contaminatedIds(
