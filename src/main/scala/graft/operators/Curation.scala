@@ -69,9 +69,21 @@ object Curation {
     val h = xxhash64(col(idCol), lit(salt))
     val anchors = df.select(col(idCol).as("anchor_id"), col(groupCol).as("anchor_grp"),
       pmod(h, lit(buckets.toLong)).as("bk"))
-    val negs = df.select(col(idCol).as("neg_id"), col(groupCol).as("neg_grp"),
-      pmod(h + 1, lit(buckets.toLong)).as("bk"))
-    anchors.join(negs, "bk")
+    // Candidate pool THINNED to ≤ 8m per bucket BEFORE the join (hash-
+    // ranked via the bounded top_k_by): bucket occupancy grows O(n/B),
+    // so an unthinned bucket join would be quadratic at corpus scale —
+    // thinning caps join fan-out per anchor at 8m and total work at
+    // O(n·m), while the hash ranking keeps the choice deterministic.
+    val pool = df.select(col(idCol).as("neg_id"), col(groupCol).as("neg_grp"),
+        pmod(h + 1, lit(buckets.toLong)).as("bk"),
+        shiftrightunsigned(xxhash64(col(idCol), lit(salt + "-pool")), 11)
+          .cast("double").as("pscore"))
+      .groupBy(col("bk"))
+      .agg(graft.functions.vector.topKBy(col("pscore"), col("neg_id").cast("long"), 8 * m).as("top"))
+      .select(col("bk"), explode(col("top")).as("s"))
+      .select(col("bk"), col("s.id").as("neg_id"))
+      .join(df.select(col(idCol).as("neg_id"), col(groupCol).as("neg_grp")), "neg_id")
+    anchors.join(pool, "bk")
       .filter(col("anchor_grp") =!= col("neg_grp"))
       .select(col("anchor_id"),
         shiftrightunsigned(xxhash64(col("anchor_id"), col("neg_id"), lit(salt)), 11)
