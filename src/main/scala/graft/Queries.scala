@@ -3716,6 +3716,129 @@ object Queries {
       WHERE (p_brand = 'Brand#11' AND l_quantity <= 5)
          OR (p_size >= 40 AND l_discount >= 0.08)"""))
 
+  /** String-function zoo #2 (portable subset both engines define
+    * identically): translate / lpad / rpad / split_part / reverse /
+    * repeat / ascii — pure map-side, presentation top-100.
+    */
+  val q87StringZoo: QueryDef = QueryDef("q87_string_zoo",
+    (s, dir) => t(s, dir, "customer")
+      .select(col("c_custkey"),
+        translate(col("c_name"), "#0", "-*").as("t_translate"),
+        lpad(col("c_custkey").cast(StringType), 12, "0").as("t_lpad"),
+        rpad(col("c_mktsegment"), 12, ".").as("t_rpad"),
+        split_part(col("c_name"), lit("#"), lit(2)).as("t_split"),
+        reverse(col("c_mktsegment")).as("t_reverse"),
+        repeat(substring(col("c_name"), 1, 4), 2).as("t_repeat"),
+        ascii(col("c_mktsegment")).cast(LongType).as("t_ascii"))
+      .orderBy(col("c_custkey")).limit(100),
+    Some("""SELECT c_custkey,
+        translate(c_name, '#0', '-*') AS t_translate,
+        lpad(CAST(c_custkey AS VARCHAR), 12, '0') AS t_lpad,
+        rpad(c_mktsegment, 12, '.') AS t_rpad,
+        split_part(c_name, '#', 2) AS t_split,
+        reverse(c_mktsegment) AS t_reverse,
+        repeat(substring(c_name, 1, 4), 2) AS t_repeat,
+        CAST(ascii(c_mktsegment) AS BIGINT) AS t_ascii
+      FROM customer ORDER BY c_custkey LIMIT 100"""))
+
+  /** Date/time-function zoo #2 (portable subset with IDENTICAL
+    * month-end clamping semantics): quarter / last_day / +3 months /
+    * day diff vs a fixed epoch / day-of-year / month truncation.
+    */
+  val q88DatetimeZoo: QueryDef = QueryDef("q88_datetime_zoo",
+    (s, dir) => t(s, dir, "orders")
+      .select(col("o_orderkey"),
+        quarter(col("o_orderdate")).cast(LongType).as("d_quarter"),
+        last_day(col("o_orderdate")).cast(DateType).as("d_month_end"),
+        add_months(col("o_orderdate"), 3).cast(DateType).as("d_plus3m"),
+        datediff(col("o_orderdate"), lit("1995-01-01").cast(DateType))
+          .cast(LongType).as("d_days_since"),
+        dayofyear(col("o_orderdate")).cast(LongType).as("d_doy"),
+        date_trunc("month", col("o_orderdate")).as("d_month"))
+      .orderBy(col("o_orderkey")).limit(100),
+    Some("""SELECT o_orderkey,
+        CAST(quarter(o_orderdate) AS BIGINT) AS d_quarter,
+        CAST(last_day(CAST(o_orderdate AS DATE)) AS DATE) AS d_month_end,
+        CAST(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH AS DATE) AS d_plus3m,
+        CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS d_days_since,
+        CAST(dayofyear(o_orderdate) AS BIGINT) AS d_doy,
+        date_trunc('month', o_orderdate) AS d_month
+      FROM orders ORDER BY o_orderkey LIMIT 100"""))
+
+  /** TPC-H Q21 shape — "suppliers who alone were late on a
+    * multi-supplier order" — the classic correlated EXISTS + NOT
+    * EXISTS pair, DECORRELATED the way a planner must at scale: ONE
+    * per-order aggregation (distinct suppliers, distinct LATE
+    * suppliers — both partial-aggregated) joined back to the late
+    * lines, replacing two correlated subquery scans of lineitem.
+    * "Late" = shipped > 90 days after order date (this schema carries
+    * no commit/receipt dates).
+    */
+  val q89Tpch21: QueryDef = QueryDef("q89_tpch21_shape",
+    (s, dir) => {
+      val lo = t(s, dir, "lineitem")
+        .join(t(s, dir, "orders").filter(col("o_orderstatus") === "F"),
+          col("l_orderkey") === col("o_orderkey"))
+        .withColumn("late",
+          col("l_shipdate") > col("o_orderdate") + expr("interval 90 days"))
+      val perOrder = lo.groupBy(col("o_orderkey").as("ok"))
+        .agg(countDistinct(col("l_suppkey")).as("n_supp"),
+          countDistinct(when(col("late"), col("l_suppkey"))).as("n_late_supp"))
+      lo.filter(col("late"))
+        .join(perOrder, col("l_orderkey") === col("ok"))
+        .filter(col("n_supp") >= 2 && col("n_late_supp") === 1)
+        .join(broadcast(t(s, dir, "supplier")), col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("s_name"))
+        .agg(count(lit(1)).as("numwait"))
+        .orderBy(desc("numwait"), col("s_name"))
+    },
+    Some("""WITH lo AS (SELECT l_orderkey, l_suppkey,
+          l_shipdate > o_orderdate + INTERVAL 90 DAY AS late
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE o_orderstatus = 'F'),
+      po AS (SELECT l_orderkey AS ok, COUNT(DISTINCT l_suppkey) AS n_supp,
+          COUNT(DISTINCT CASE WHEN late THEN l_suppkey END) AS n_late_supp
+        FROM lo GROUP BY 1)
+      SELECT s_name, COUNT(*) AS numwait
+      FROM lo JOIN po ON l_orderkey = ok
+      JOIN supplier ON l_suppkey = s_suppkey
+      WHERE late AND n_supp >= 2 AND n_late_supp = 1
+      GROUP BY s_name ORDER BY numwait DESC, s_name"""))
+
+  /** Window navigation zoo: first/last/nth_value with explicit
+    * frames, IGNORE NULLS last-observation, lag with default, lead at
+    * offset 2 — per-user windows (high-cardinality partitions),
+    * output thinned to a deterministic user subset.
+    */
+  val q90WindowNav: QueryDef = QueryDef("q90_window_nav",
+    (s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val wAll = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      t(s, dir, "events")
+        .filter(col("user_id") % 50 === 0)
+        .select(col("user_id"), col("event_id"),
+          first(col("event_type")).over(wAll).as("first_type"),
+          last(col("event_type")).over(wAll).as("last_type"),
+          nth_value(col("event_type"), 3).over(wAll).as("third_type"),
+          lag(col("event_type"), 1, "START").over(w).as("prev_type"),
+          lead(col("event_type"), 2).over(w).as("next2_type"),
+          last(when(col("value") >= 50, col("value")), ignoreNulls = true)
+            .over(w).as("last_big_value"))
+        .orderBy(col("user_id"), col("event_id"))
+    },
+    Some("""SELECT user_id, event_id,
+        first_value(event_type) OVER wa AS first_type,
+        last_value(event_type) OVER wa AS last_type,
+        nth_value(event_type, 3) OVER wa AS third_type,
+        COALESCE(lag(event_type, 1) OVER w, 'START') AS prev_type,
+        lead(event_type, 2) OVER w AS next2_type,
+        last_value(CASE WHEN value >= 50 THEN value END IGNORE NULLS) OVER w AS last_big_value
+      FROM events WHERE user_id % 50 = 0
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id),
+        wa AS (PARTITION BY user_id ORDER BY ts, event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+      ORDER BY user_id, event_id"""))
+
   /** Exact per-group mode (most frequent ship-month per returnflag)
     * via the struct-max argmax: count per (group, value) — ONE
     * partial-agg shuffle — then max(struct(cnt, value)) collapses to
@@ -3865,6 +3988,7 @@ object Queries {
     etlIncrementalAgg, q79Sssp, q80Lpa, textCompress, textOov,
     q81TrimmedMean, curateNegatives, q82RollingDistinct, q83Cusum,
     q84Mode, q85Means, textFeatureHash, q86Disjunctive,
+    q87StringZoo, q88DatetimeZoo, q89Tpch21, q90WindowNav,
     etlMergeUpsert, etlConstraints, etlProvenance,
     graphPageRank, curateWeightedSample,
     etlUnionSources, etlValidate, etlCleanTransform, etlQualityReport,
