@@ -3716,6 +3716,60 @@ object Queries {
       WHERE (p_brand = 'Brand#11' AND l_quantity <= 5)
          OR (p_size >= 40 AND l_discount >= 0.08)"""))
 
+  /** GROUPING indicator surface: rollup with grouping(col) flags and
+    * the composed grouping id — how a reporting layer tells a
+    * subtotal row's NULL from a data NULL. Same Expand partial-agg
+    * shape as q9/q22/q23; the id is composed as g_flag·2 + g_status
+    * in BOTH engines (portable across GROUPING_ID argument-order
+    * conventions).
+    */
+  val q91GroupingId: QueryDef = QueryDef("q91_grouping_id",
+    (s, dir) => {
+      val li = t(s, dir, "lineitem")
+      li.rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"),
+          sum(dec(col("l_extendedprice"))).cast(DoubleType).as("revenue"),
+          grouping(col("l_returnflag")).cast(LongType).as("g_flag"),
+          grouping(col("l_linestatus")).cast(LongType).as("g_status"))
+        .withColumn("gid", col("g_flag") * 2 + col("g_status"))
+        .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+    },
+    Some("""SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue,
+        CAST(GROUPING(l_returnflag) AS BIGINT) AS g_flag,
+        CAST(GROUPING(l_linestatus) AS BIGINT) AS g_status,
+        CAST(GROUPING(l_returnflag) AS BIGINT) * 2 + CAST(GROUPING(l_linestatus) AS BIGINT) AS gid
+      FROM lineitem
+      GROUP BY ROLLUP(l_returnflag, l_linestatus)
+      ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST"""))
+
+  /** NOT IN against a NULLABLE subquery column — the three-valued-
+    * logic trap (one NULL in the list annihilates every row) that
+    * forces the planner into a NULL-AWARE anti join instead of a
+    * plain hash anti join. The list column is nullable BY TYPE (CASE
+    * branch) while provably null-free at runtime, so the result is
+    * non-degenerate and the null-aware machinery still must engage.
+    */
+  val q92NotInNull: QueryDef = QueryDef("q92_not_in_null",
+    (s, dir) => {
+      t(s, dir, "orders").createOrReplaceTempView("orders_nin_v")
+      t(s, dir, "customer").createOrReplaceTempView("customer_nin_v")
+      s.sql("""SELECT o_orderpriority, COUNT(*) AS n,
+          CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+        FROM orders_nin_v
+        WHERE o_custkey NOT IN (
+          SELECT CASE WHEN c_custkey < 0 THEN NULL ELSE c_custkey END
+          FROM customer_nin_v WHERE c_mktsegment = 'BUILDING')
+        GROUP BY o_orderpriority ORDER BY o_orderpriority""")
+    },
+    Some("""SELECT o_orderpriority, COUNT(*) AS n,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+      FROM orders
+      WHERE o_custkey NOT IN (
+        SELECT CASE WHEN c_custkey < 0 THEN NULL ELSE c_custkey END
+        FROM customer WHERE c_mktsegment = 'BUILDING')
+      GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
+
   /** String-function zoo #2 (portable subset both engines define
     * identically): translate / lpad / rpad / split_part / reverse /
     * repeat / ascii — pure map-side, presentation top-100.
@@ -3989,6 +4043,7 @@ object Queries {
     q81TrimmedMean, curateNegatives, q82RollingDistinct, q83Cusum,
     q84Mode, q85Means, textFeatureHash, q86Disjunctive,
     q87StringZoo, q88DatetimeZoo, q89Tpch21, q90WindowNav,
+    q91GroupingId, q92NotInNull,
     etlMergeUpsert, etlConstraints, etlProvenance,
     graphPageRank, curateWeightedSample,
     etlUnionSources, etlValidate, etlCleanTransform, etlQualityReport,
