@@ -3716,6 +3716,65 @@ object Queries {
       WHERE (p_brand = 'Brand#11' AND l_quantity <= 5)
          OR (p_size >= 40 AND l_discount >= 0.08)"""))
 
+  /** Kendall tau-b trend test per returnflag: is daily revenue
+    * monotonically drifting over time? Rank-based (outlier-robust,
+    * the nonparametric companion to q76's Pearson ACF), computed from
+    * EXACT integer concordant/discordant/tied pair counts over the
+    * O(groups·days) aggregated frame — the day×day pair join is
+    * bounded by the calendar, never by the fact table, and the
+    * decimal revenue comparisons are exact so both engines count the
+    * identical pairs. τ_b = (C−D)/√(n₀(n₀−T)) with time ties
+    * structurally zero.
+    */
+  val q93Kendall: QueryDef = QueryDef("q93_kendall",
+    (s, dir) => {
+      val daily = t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag").as("flag"),
+          date_trunc("day", col("l_shipdate")).as("day"))
+        .agg(sum(dec(col("l_extendedprice"))).cast(DecimalType(18, 2)).as("rev"))
+        .localCheckpoint(true)
+      val a = daily.select(col("flag"), col("day").as("d1"), col("rev").as("r1"))
+      val b = daily.select(col("flag"), col("day").as("d2"), col("rev").as("r2"))
+      val m = a.join(b, Seq("flag")).filter(col("d1") < col("d2"))
+        .groupBy(col("flag"))
+        .agg(count(lit(1)).as("n0"),
+          sum(when(col("r2") > col("r1"), 1L).otherwise(0L)).as("c"),
+          sum(when(col("r2") < col("r1"), 1L).otherwise(0L)).as("d"),
+          sum(when(col("r2") === col("r1"), 1L).otherwise(0L)).as("t"))
+      m.select(col("flag"), col("n0"), col("c"), col("d"), col("t"),
+          round((col("c") - col("d")).cast(DoubleType) /
+            sqrt(col("n0").cast(DoubleType) * (col("n0") - col("t")).cast(DoubleType)), 6)
+            .as("tau_b"))
+        .orderBy(col("flag"))
+    },
+    Some("""WITH daily AS (SELECT l_returnflag AS flag, date_trunc('day', l_shipdate) AS day,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS rev
+        FROM lineitem GROUP BY 1, 2),
+      m AS (SELECT a.flag, COUNT(*) AS n0,
+          SUM(CASE WHEN b.rev > a.rev THEN 1 ELSE 0 END) AS c,
+          SUM(CASE WHEN b.rev < a.rev THEN 1 ELSE 0 END) AS d,
+          SUM(CASE WHEN b.rev = a.rev THEN 1 ELSE 0 END) AS t
+        FROM daily a JOIN daily b ON a.flag = b.flag AND a.day < b.day
+        GROUP BY a.flag)
+      SELECT flag, CAST(n0 AS BIGINT) AS n0, CAST(c AS BIGINT) AS c,
+        CAST(d AS BIGINT) AS d, CAST(t AS BIGINT) AS t,
+        round(CAST(c - d AS DOUBLE) / sqrt(CAST(n0 AS DOUBLE) * CAST(n0 - t AS DOUBLE)), 6) AS tau_b
+      FROM m ORDER BY flag"""))
+
+  /** Rolling 7-day distinct users from MERGEABLE per-day HLL sketches
+    * (Sketches.rollingDistinct) — the 100 TB serving form of
+    * q82_rolling_distinct: the raw-data pass runs once, window-ends
+    * merge ≤7 sketch binaries instead of rescanning rows. Approximate
+    * → rows-only; SketchSpec pins the error against the exact twin.
+    */
+  val sketchRollingHll: QueryDef = QueryDef("sketch_rolling_hll",
+    (s, dir) => Sketches.rollingDistinct(
+      t(s, dir, "events").select(
+        datediff(col("ts").cast(DateType), lit("1970-01-01").cast(DateType)).as("d"),
+        col("user_id")),
+      "d", "user_id", width = 7),
+    None)
+
   /** GROUPING indicator surface: rollup with grouping(col) flags and
     * the composed grouping id — how a reporting layer tells a
     * subtotal row's NULL from a data NULL. Same Expand partial-agg
@@ -4043,7 +4102,7 @@ object Queries {
     q81TrimmedMean, curateNegatives, q82RollingDistinct, q83Cusum,
     q84Mode, q85Means, textFeatureHash, q86Disjunctive,
     q87StringZoo, q88DatetimeZoo, q89Tpch21, q90WindowNav,
-    q91GroupingId, q92NotInNull,
+    q91GroupingId, q92NotInNull, q93Kendall, sketchRollingHll,
     etlMergeUpsert, etlConstraints, etlProvenance,
     graphPageRank, curateWeightedSample,
     etlUnionSources, etlValidate, etlCleanTransform, etlQualityReport,

@@ -79,6 +79,36 @@ object Sketches {
     * sketch-space set operations. The only sketch family with
     * intersect/difference — HLL can only union.
     */
+  /** Sliding-window distinct counts from MERGEABLE per-unit sketches:
+    * build one HLL sketch per (unit) — e.g. per day — then each
+    * window-end merges only its ≤ `width` unit sketches via
+    * `hll_union_agg`. This is the 100 TB form of a rolling COUNT
+    * DISTINCT: the raw-data pass happens ONCE (per-unit partial agg);
+    * windows reuse sketch bytes instead of rescanning rows, and wider
+    * windows cost nothing extra. The exact twin (linear window-end
+    * expansion of the deduped (unit, key) frame) is
+    * `q82_rolling_distinct`; SketchSpec pins the approximation error
+    * against it.
+    *
+    * `units` must be consecutive integers (e.g. epoch days); each
+    * unit's sketch is replicated map-side to the `width` window-ends
+    * it participates in, and window-ends not present in the data are
+    * dropped by the inner join with the distinct unit frame.
+    */
+  def rollingDistinct(df: DataFrame, unit: String, key: String,
+      width: Int, lgK: Int = 12): DataFrame = {
+    require(width >= 1, s"width must be >= 1: $width")
+    val perUnit = df.groupBy(col(unit).as("u"))
+      .agg(expr(s"hll_sketch_agg(${qid(key)}, $lgK)").as("sk"))
+    val units = perUnit.select(col("u").as("wend"))
+    perUnit
+      .select(explode(sequence(col("u"), col("u") + (width - 1))).as("wend"), col("sk"))
+      .join(broadcast(units), "wend")
+      .groupBy(col("wend"))
+      .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("approx_distinct"))
+      .orderBy(col("wend"))
+  }
+
   def thetaSetOps(df: DataFrame, key: String,
       inA: Column, inB: Column, lgK: Int = 12): DataFrame =
     df.withColumn("__in_a", inA).withColumn("__in_b", inB)

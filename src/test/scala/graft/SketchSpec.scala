@@ -131,4 +131,25 @@ class SketchSpec extends SparkSpec {
       assert(est.get(k).contains(v), s"$k: est ${est.get(k)} vs exact $v")
     }
   }
+
+  test("rollingDistinct: per-day HLL merge within 5% of the exact 7-day rolling distinct") {
+    val dir = sf("events")
+    val ev = Tables(spark, dir, "events").select(
+      datediff(col("ts").cast("date"), lit("1970-01-01").cast("date")).as("d"),
+      col("user_id"))
+    val approx = graft.operators.Sketches.rollingDistinct(ev, "d", "user_id", width = 7)
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    // exact twin: the q82 linear window-end expansion on the deduped frame
+    val du = ev.distinct()
+    val days = du.select(col("d").as("wend")).distinct()
+    val exact = du.select(explode(sequence(col("d"), col("d") + 6)).as("wend"), col("user_id"))
+      .join(days, "wend")
+      .groupBy("wend").agg(countDistinct("user_id").as("n"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(approx.keySet == exact.keySet, "same window-end days")
+    exact.foreach { case (wend, ex) =>
+      assert(math.abs(approx(wend).toDouble - ex) / ex <= 0.05,
+        s"window $wend: approx ${approx(wend)} vs exact $ex")
+    }
+  }
 }
