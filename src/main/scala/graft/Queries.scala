@@ -3761,6 +3761,73 @@ object Queries {
         round(CAST(c - d AS DOUBLE) / sqrt(CAST(n0 AS DOUBLE) * CAST(n0 - t AS DOUBLE)), 6) AS tau_b
       FROM m ORDER BY flag"""))
 
+  /** Mann-Whitney U two-sample test (URGENT vs HIGH order values):
+    * the rank-sum R_x comes from EXACT INTEGER midrank arithmetic on
+    * the per-distinct-value aggregated frame — 2·midrank = 2·(ranks
+    * before) + n + 1, so Σ stays integral and both engines compute
+    * the identical statistic. Global rank offsets use the q67 bin+
+    * offset pattern: fixed-width value bins (monotonic double cast —
+    * affects only partitioning, never the counts), cumulative bin
+    * totals on the O(bins) frame, in-bin cumsums keyed by (bin) —
+    * never a single-partition sort of the value domain. Tie
+    * correction Σ(t³−t) rides the same pass. z is the normal
+    * approximation with tie-corrected variance.
+    */
+  val q94MannWhitney: QueryDef = QueryDef("q94_mannwhitney",
+    (s, dir) => {
+      val ord = t(s, dir, "orders")
+        .filter(col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+        .select(dec(col("o_totalprice")).as("v"),
+          (col("o_orderpriority") === "1-URGENT").as("isx"))
+      val perVal = ord.groupBy(col("v"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("isx"), 1L).otherwise(0L)).as("nx"))
+        .localCheckpoint(true)
+      val bounds = perVal.agg(min(col("v")).as("lo"), max(col("v")).as("hi"))
+      val binned = perVal.crossJoin(broadcast(bounds))
+        .withColumn("bin", least(greatest(floor(
+            (col("v").cast(DoubleType) - col("lo").cast(DoubleType)) /
+              ((col("hi").cast(DoubleType) - col("lo").cast(DoubleType)) / 1024.0 + 1e-9)
+          ).cast(LongType), lit(0L)), lit(1023L)))
+      val binTot = binned.groupBy(col("bin")).agg(sum(col("n")).as("bn"))
+      val wBins = Window.orderBy(col("bin")).rowsBetween(Window.unboundedPreceding, -1)
+      val offsets = binTot
+        .withColumn("boff", coalesce(sum(col("bn")).over(wBins), lit(0L)))
+        .select(col("bin"), col("boff"))
+      val wIn = Window.partitionBy(col("bin")).orderBy(col("v"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val stats = binned.join(broadcast(offsets), "bin")
+        .withColumn("cb", col("boff") + sum(col("n")).over(wIn) - col("n"))
+        .agg(sum(col("nx") * (lit(2L) * col("cb") + col("n") + 1)).as("r2"),
+          sum(col("n") * col("n") * col("n") - col("n")).as("tie3"),
+          sum(col("nx")).as("nxt"), sum(col("n")).as("nt"))
+      val nxt = col("nxt").cast(DoubleType); val nt = col("nt").cast(DoubleType)
+      val nyt = nt - nxt
+      val uX  = col("r2").cast(DoubleType) / 2 - nxt * (nxt + 1) / 2
+      stats.select(col("nxt").as("n_x"), (col("nt") - col("nxt")).as("n_y"),
+        uX.as("u_x"),
+        round((uX - nxt * nyt / 2) /
+          sqrt(nxt * nyt / 12 * ((nt + 1) - col("tie3").cast(DoubleType) / (nt * (nt - 1)))),
+          6).as("z"))
+    },
+    Some("""WITH ord AS (SELECT CAST(o_totalprice AS DECIMAL(12,2)) AS v,
+          o_orderpriority = '1-URGENT' AS isx
+        FROM orders WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')),
+      pv AS (SELECT v, COUNT(*) AS n, SUM(CASE WHEN isx THEN 1 ELSE 0 END) AS nx
+        FROM ord GROUP BY v),
+      r AS (SELECT v, n, nx,
+          SUM(n) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n AS cb
+        FROM pv),
+      st AS (SELECT SUM(nx * (2*cb + n + 1)) AS r2, SUM(n*n*n - n) AS tie3,
+          SUM(nx) AS nxt, SUM(n) AS nt FROM r)
+      SELECT CAST(nxt AS BIGINT) AS n_x, CAST(nt - nxt AS BIGINT) AS n_y,
+        CAST(r2 AS DOUBLE) / 2 - CAST(nxt AS DOUBLE) * (nxt + 1) / 2 AS u_x,
+        round((CAST(r2 AS DOUBLE) / 2 - CAST(nxt AS DOUBLE) * (nxt + 1) / 2
+            - CAST(nxt AS DOUBLE) * (nt - nxt) / 2) /
+          sqrt(CAST(nxt AS DOUBLE) * (nt - nxt) / 12 *
+            ((nt + 1) - CAST(tie3 AS DOUBLE) / (CAST(nt AS DOUBLE) * (nt - 1)))), 6) AS z
+      FROM st"""))
+
   /** Rolling 7-day distinct users from MERGEABLE per-day HLL sketches
     * (Sketches.rollingDistinct) — the 100 TB serving form of
     * q82_rolling_distinct: the raw-data pass runs once, window-ends
@@ -4102,7 +4169,7 @@ object Queries {
     q81TrimmedMean, curateNegatives, q82RollingDistinct, q83Cusum,
     q84Mode, q85Means, textFeatureHash, q86Disjunctive,
     q87StringZoo, q88DatetimeZoo, q89Tpch21, q90WindowNav,
-    q91GroupingId, q92NotInNull, q93Kendall, sketchRollingHll,
+    q91GroupingId, q92NotInNull, q93Kendall, sketchRollingHll, q94MannWhitney,
     etlMergeUpsert, etlConstraints, etlProvenance,
     graphPageRank, curateWeightedSample,
     etlUnionSources, etlValidate, etlCleanTransform, etlQualityReport,
