@@ -3842,6 +3842,65 @@ object Queries {
       "d", "user_id", width = 7),
     None)
 
+  /** Array set-operation surface: per-customer priority SETS
+    * (collect_set — pre-deduped, so both engines' set ops agree)
+    * intersected / subtracted / unioned against a constant probe
+    * array, all results canonically sorted. One partial-agg shuffle;
+    * set ops are map-side.
+    */
+  val q95ArraySetOps: QueryDef = QueryDef("q95_array_setops",
+    (s, dir) => {
+      val probe = array(lit("1-URGENT"), lit("3-MEDIUM"))
+      t(s, dir, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(collect_set(col("o_orderpriority")).as("ps"))
+        .select(col("o_custkey"),
+          array_sort(col("ps")).as("prios"),
+          array_sort(array_intersect(col("ps"), probe)).as("inter"),
+          array_sort(array_except(col("ps"), probe)).as("minus"),
+          array_sort(array_union(col("ps"), probe)).as("uni"),
+          size(array_union(col("ps"), probe)).cast(LongType).as("n_uni"))
+        .orderBy(col("o_custkey")).limit(100)
+    },
+    Some("""WITH ps AS (SELECT o_custkey, list_distinct(list(o_orderpriority)) AS ps
+        FROM orders GROUP BY o_custkey),
+      probe AS (SELECT ['1-URGENT', '3-MEDIUM'] AS pr)
+      SELECT o_custkey,
+        list_sort(ps) AS prios,
+        list_sort(list_intersect(ps, pr)) AS inter,
+        list_sort(list_filter(ps, x -> NOT list_contains(pr, x))) AS minus,
+        list_sort(list_distinct(list_concat(ps, pr))) AS uni,
+        CAST(len(list_distinct(list_concat(ps, pr))) AS BIGINT) AS n_uni
+      FROM ps CROSS JOIN probe ORDER BY o_custkey LIMIT 100"""))
+
+  /** MapType surface: per-customer priority→count map assembled from
+    * the aggregated (customer, priority) frame via map_from_entries,
+    * probed with element_at (missing key → 0) — the typed-map
+    * alternative to q10's pivot. DuckDB map extraction yields a
+    * one-element list, so the oracle probes `m[k][1]`.
+    */
+  val q96MapOps: QueryDef = QueryDef("q96_map_ops",
+    (s, dir) => t(s, dir, "orders")
+      .groupBy(col("o_custkey"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col("o_custkey"))
+      .agg(map_from_entries(collect_list(struct(col("o_orderpriority"), col("n")))).as("m"))
+      .select(col("o_custkey"),
+        coalesce(element_at(col("m"), "1-URGENT"), lit(0L)).as("n_urgent"),
+        coalesce(element_at(col("m"), "5-LOW"), lit(0L)).as("n_low"),
+        size(col("m")).cast(LongType).as("n_prios"))
+      .orderBy(col("o_custkey")).limit(100),
+    Some("""WITH c AS (SELECT o_custkey, o_orderpriority, COUNT(*) AS n
+        FROM orders GROUP BY 1, 2),
+      m AS (SELECT o_custkey,
+          map_from_entries(list({'k': o_orderpriority, 'v': n})) AS m
+        FROM c GROUP BY o_custkey)
+      SELECT o_custkey,
+        COALESCE(m['1-URGENT'][1], 0) AS n_urgent,
+        COALESCE(m['5-LOW'][1], 0) AS n_low,
+        CAST(cardinality(m) AS BIGINT) AS n_prios
+      FROM m ORDER BY o_custkey LIMIT 100"""))
+
   /** GROUPING indicator surface: rollup with grouping(col) flags and
     * the composed grouping id — how a reporting layer tells a
     * subtotal row's NULL from a data NULL. Same Expand partial-agg
@@ -4170,6 +4229,7 @@ object Queries {
     q84Mode, q85Means, textFeatureHash, q86Disjunctive,
     q87StringZoo, q88DatetimeZoo, q89Tpch21, q90WindowNav,
     q91GroupingId, q92NotInNull, q93Kendall, sketchRollingHll, q94MannWhitney,
+    q95ArraySetOps, q96MapOps,
     etlMergeUpsert, etlConstraints, etlProvenance,
     graphPageRank, curateWeightedSample,
     etlUnionSources, etlValidate, etlCleanTransform, etlQualityReport,
