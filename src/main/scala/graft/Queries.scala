@@ -3842,6 +3842,90 @@ object Queries {
       "d", "user_id", width = 7),
     None)
 
+  /** Spearman rank correlation per returnflag (quantity vs price):
+    * Pearson over GLOBAL midranks, which handles ties exactly.
+    * Midranks come from per-distinct-value cumulative counts — the
+    * q94 pattern, here per group — and since Pearson is invariant
+    * under affine maps, the integral 2·midrank = 2·ranks-before +
+    * n + 1 feeds the moment sums directly: every accumulator is an
+    * exact DECIMAL of integers, so both engines produce the identical
+    * statistic. The quantity side is a tiny per-group value domain
+    * (broadcast); the price side joins on its aggregated value frame;
+    * no per-group sort of the fact table anywhere.
+    */
+  val q97Spearman: QueryDef = QueryDef("q97_spearman",
+    (s, dir) => {
+      val li = t(s, dir, "lineitem").select(col("l_returnflag").as("flag"),
+        dec(col("l_quantity")).as("x"), dec(col("l_extendedprice")).as("y"))
+        .localCheckpoint(true)
+      // Global per-group midranks WITHOUT a per-group value-domain
+      // window funnel: the q94/q67 bin+offset pattern — cumulative
+      // (flag, bin) totals on the tiny offsets frame, in-bin cumsums
+      // keyed by (flag, bin). Binning is a monotonic double map, so
+      // it changes only partitioning, never the rank arithmetic.
+      def rankMap(vcol: String): DataFrame = {
+        val pv = li.groupBy(col("flag"), col(vcol)).agg(count(lit(1)).as("n"))
+        val bounds = pv.groupBy(col("flag"))
+          .agg(min(col(vcol)).as("lo"), max(col(vcol)).as("hi"))
+        val binned = pv.join(broadcast(bounds), "flag")
+          .withColumn("bin", least(greatest(floor(
+              (col(vcol).cast(DoubleType) - col("lo").cast(DoubleType)) /
+                ((col("hi").cast(DoubleType) - col("lo").cast(DoubleType)) / 1024.0 + 1e-9)
+            ).cast(LongType), lit(0L)), lit(1023L)))
+        val wBins = Window.partitionBy(col("flag")).orderBy(col("bin"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val offs = binned.groupBy(col("flag"), col("bin")).agg(sum(col("n")).as("bn"))
+          .withColumn("boff", coalesce(sum(col("bn")).over(wBins), lit(0L)))
+          .select(col("flag"), col("bin"), col("boff"))
+        val wIn = Window.partitionBy(col("flag"), col("bin")).orderBy(col(vcol))
+          .rowsBetween(Window.unboundedPreceding, 0)
+        binned.join(broadcast(offs), Seq("flag", "bin"))
+          .withColumn("cb", col("boff") + sum(col("n")).over(wIn) - col("n"))
+          .select(col("flag"), col(vcol),
+            (lit(2L) * col("cb") + col("n") + 1).as(s"r_$vcol"))
+      }
+      val m = li
+        .join(broadcast(rankMap("x")), Seq("flag", "x"))
+        .join(rankMap("y"), Seq("flag", "y"))
+        .groupBy(col("flag"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("r_x")).as("sx"), sum(col("r_y")).as("sy"),
+          sum(col("r_x") * col("r_x")).as("sxx"),
+          sum(col("r_x") * col("r_y")).as("sxy"),
+          sum(col("r_y") * col("r_y")).as("syy"))
+      val nD = col("n").cast(DoubleType)
+      val sx = col("sx").cast(DoubleType);  val sy = col("sy").cast(DoubleType)
+      val sxx = col("sxx").cast(DoubleType); val sxy = col("sxy").cast(DoubleType)
+      val syy = col("syy").cast(DoubleType)
+      m.select(col("flag"), col("n"),
+          round((nD * sxy - sx * sy) /
+            sqrt((nD * sxx - sx * sx) * (nD * syy - sy * sy)), 6).as("rho"))
+        .orderBy(col("flag"))
+    },
+    Some("""WITH li AS (SELECT l_returnflag AS flag,
+          CAST(l_quantity AS DECIMAL(12,2)) AS x,
+          CAST(l_extendedprice AS DECIMAL(12,2)) AS y
+        FROM lineitem),
+      rx AS (SELECT flag, x,
+          2 * (SUM(n) OVER (PARTITION BY flag ORDER BY x
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n) + n + 1 AS r_x
+        FROM (SELECT flag, x, COUNT(*) AS n FROM li GROUP BY 1, 2)),
+      ry AS (SELECT flag, y,
+          2 * (SUM(n) OVER (PARTITION BY flag ORDER BY y
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n) + n + 1 AS r_y
+        FROM (SELECT flag, y, COUNT(*) AS n FROM li GROUP BY 1, 2)),
+      m AS (SELECT li.flag, COUNT(*) AS n,
+          SUM(r_x) AS sx, SUM(r_y) AS sy,
+          SUM(r_x * r_x) AS sxx, SUM(r_x * r_y) AS sxy, SUM(r_y * r_y) AS syy
+        FROM li JOIN rx ON li.flag = rx.flag AND li.x = rx.x
+        JOIN ry ON li.flag = ry.flag AND li.y = ry.y
+        GROUP BY li.flag)
+      SELECT flag, n,
+        round((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+          sqrt((n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
+               (n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6) AS rho
+      FROM m ORDER BY flag"""))
+
   /** Array set-operation surface: per-customer priority SETS
     * (collect_set — pre-deduped, so both engines' set ops agree)
     * intersected / subtracted / unioned against a constant probe
@@ -4229,7 +4313,7 @@ object Queries {
     q84Mode, q85Means, textFeatureHash, q86Disjunctive,
     q87StringZoo, q88DatetimeZoo, q89Tpch21, q90WindowNav,
     q91GroupingId, q92NotInNull, q93Kendall, sketchRollingHll, q94MannWhitney,
-    q95ArraySetOps, q96MapOps,
+    q95ArraySetOps, q96MapOps, q97Spearman,
     etlMergeUpsert, etlConstraints, etlProvenance,
     graphPageRank, curateWeightedSample,
     etlUnionSources, etlValidate, etlCleanTransform, etlQualityReport,
