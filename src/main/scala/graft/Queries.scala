@@ -4291,6 +4291,240 @@ object Queries {
         CAST(MAX(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS vmax
       FROM orders GROUP BY o_custkey ORDER BY o_custkey"""))
 
+  /** Kaplan–Meier survival estimate of signup→purchase conversion:
+    * each signed-up user contributes an observed duration (days to
+    * first purchase at/after signup) or is right-CENSORED at the
+    * corpus horizon (global max ts). Standard product-limit estimator
+    * with the deaths-before-censorings tie convention: at-risk at
+    * duration d counts every subject with duration ≥ d.
+    *
+    * Scale shape: the fact-sized work is two partial-aggregated
+    * groupBys (first signup / first purchase per user) — O(|events|)
+    * map-side. The survival curve itself lives on the O(distinct
+    * durations) frame (≤ horizon days, data-independent), where the
+    * two global windows (suffix sum of leavers for at-risk, running
+    * Σln(1−d/n) for S(t)) are a deliberate single-partition pass over
+    * a few hundred rows. The horizon rides as a broadcast 1-row
+    * frame, never a driver scalar.
+    */
+  val q98KaplanMeier: QueryDef = QueryDef("q98_kaplan_meier",
+    (s, dir) => {
+      val ev = t(s, dir, "events")
+      val signup = ev.filter(col("event_type") === "signup")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("s_ts"))
+      val purch = ev.filter(col("event_type") === "purchase")
+        .join(signup, Seq("user_id"))
+        .filter(col("ts") >= col("s_ts"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("p_ts"))
+      val horizon = ev.agg(max(col("ts")).as("h_ts"))
+      val subj = signup.join(purch, Seq("user_id"), "left")
+        .crossJoin(broadcast(horizon))
+        .select(col("user_id"), col("p_ts").isNotNull.as("converted"),
+          floor((unix_micros(coalesce(col("p_ts"), col("h_ts"))) -
+            unix_micros(col("s_ts"))) / lit(86400000000.0))
+            .cast(LongType).as("dur"))
+      val byDur = subj.groupBy(col("dur"))
+        .agg(sum(when(col("converted"), 1L).otherwise(0L)).as("n_event"),
+          count(lit(1)).as("n_leave"))
+      // at-risk at d = subjects leaving at or after d: a suffix sum on
+      // the tiny frame — no second pass over the subject pipeline
+      val wRisk = Window.orderBy(col("dur")).rowsBetween(0, Window.unboundedFollowing)
+      val wRun = Window.orderBy(col("dur")).rowsBetween(Window.unboundedPreceding, 0)
+      byDur
+        .withColumn("n_risk", sum(col("n_leave")).over(wRisk))
+        // the absorbing S(t)=0 case (every remaining subject converts
+        // at the last duration) is carried as a flag, not ln(0)
+        .withColumn("lnf", when(col("n_event") > 0 && col("n_event") < col("n_risk"),
+          log(lit(1.0) - col("n_event").cast(DoubleType) / col("n_risk").cast(DoubleType)))
+          .otherwise(lit(0.0)))
+        .withColumn("hit0", max(when(col("n_event") === col("n_risk"), 1).otherwise(0)).over(wRun))
+        .withColumn("surv", when(col("hit0") > 0, lit(0.0))
+          .otherwise(exp(sum(col("lnf")).over(wRun))))
+        .filter(col("n_event") > 0)
+        .select(col("dur"), col("n_risk"), col("n_event"), round(col("surv"), 6).as("surv"))
+        .orderBy(col("dur"))
+    },
+    Some("""WITH signup AS (SELECT user_id, MIN(ts) AS s_ts
+        FROM events WHERE event_type = 'signup' GROUP BY 1),
+      purch AS (SELECT e.user_id, MIN(e.ts) AS p_ts
+        FROM events e JOIN signup su USING (user_id)
+        WHERE e.event_type = 'purchase' AND e.ts >= su.s_ts GROUP BY 1),
+      horizon AS (SELECT MAX(ts) AS h_ts FROM events),
+      subj AS (SELECT su.user_id, (p.p_ts IS NOT NULL) AS converted,
+          (epoch_us(COALESCE(p.p_ts, h.h_ts)) - epoch_us(su.s_ts)) // 86400000000 AS dur
+        FROM signup su LEFT JOIN purch p USING (user_id) CROSS JOIN horizon h),
+      by_dur AS (SELECT dur,
+          CAST(SUM(CASE WHEN converted THEN 1 ELSE 0 END) AS BIGINT) AS n_event,
+          COUNT(*) AS n_leave
+        FROM subj GROUP BY 1),
+      risk AS (SELECT dur, n_event,
+          CAST(SUM(n_leave) OVER (ORDER BY dur
+            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS BIGINT) AS n_risk
+        FROM by_dur),
+      curve AS (SELECT dur, n_risk, n_event,
+          CASE WHEN MAX(CASE WHEN n_event = n_risk THEN 1 ELSE 0 END)
+              OVER (ORDER BY dur ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) > 0
+            THEN 0.0
+            ELSE exp(SUM(CASE WHEN n_event > 0 AND n_event < n_risk
+              THEN ln(1.0 - CAST(n_event AS DOUBLE) / CAST(n_risk AS DOUBLE))
+              ELSE 0.0 END) OVER (ORDER BY dur
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) END AS surv
+        FROM risk)
+      SELECT dur, n_risk, n_event, round(surv, 6) AS surv
+      FROM curve WHERE n_event > 0 ORDER BY dur"""))
+
+  /** Theil–Sen robust trend of daily revenue (1995): slope = median of
+    * all pairwise day-to-day slopes, intercept = median(y − m·x).
+    * The estimator a drifting-metric monitor wants when single-day
+    * spikes would wreck OLS (contrast q65_regression).
+    *
+    * Scale shape: the only fact-sized pass is the partial-aggregated
+    * daily rollup; the pairwise self-join runs on the O(days) frame so
+    * its cost is O(days²) **independent of fact rows** — the 100 TB
+    * cost equals the sf0.01 cost. Medians come from the shared
+    * exact-selection operator (bin-then-refine, no global sort).
+    * Slopes are exact-decimal differences divided as IEEE doubles —
+    * bit-identical in both engines, no pre-median rounding needed.
+    */
+  val q99TheilSen: QueryDef = QueryDef("q99_theilsen",
+    (s, dir) => {
+      val daily = t(s, dir, "lineitem")
+        .filter(year(col("l_shipdate")) === 1995)
+        .groupBy(col("l_returnflag").as("flag"),
+          floor(unix_micros(date_trunc("day", col("l_shipdate"))) / lit(86400000000L))
+            .cast(LongType).as("x"))
+        .agg(sum(dec(col("l_extendedprice"))).cast(DecimalType(18, 2)).as("y"))
+        .localCheckpoint(true)
+      val a = daily.select(col("flag"), col("x").as("xa"), col("y").as("ya"))
+      val b = daily.select(col("flag"), col("x").as("xb"), col("y").as("yb"))
+      val slopes = a.join(b, Seq("flag")).filter(col("xa") < col("xb"))
+        .select(col("flag"),
+          ((col("yb") - col("ya")).cast(DoubleType) /
+            (col("xb") - col("xa")).cast(DoubleType)).as("slope"))
+      val m = Selection.exactQuantiles(slopes, "flag", "slope", Seq(0.5))
+        .groupBy(col("flag")).agg(max(col("q")).as("m"))
+      val resid = daily.join(broadcast(m), "flag")
+        .select(col("flag"),
+          (col("y").cast(DoubleType) - col("m") * col("x").cast(DoubleType)).as("r"))
+      val b0 = Selection.exactQuantiles(resid, "flag", "r", Seq(0.5))
+        .groupBy(col("flag")).agg(max(col("q")).as("b0"))
+      val nDays = daily.groupBy(col("flag")).agg(count(lit(1)).as("n_days"))
+      nDays.join(broadcast(m), "flag").join(broadcast(b0), "flag")
+        .select(col("flag"), col("n_days"),
+          round(col("m"), 6).as("sen_slope"), round(col("b0"), 2).as("sen_intercept"))
+        .orderBy(col("flag"))
+    },
+    Some("""WITH d AS (SELECT l_returnflag AS flag,
+          epoch_us(date_trunc('day', l_shipdate)) // 86400000000 AS x,
+          CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS y
+        FROM lineitem WHERE year(l_shipdate) = 1995 GROUP BY 1, 2),
+      slopes AS (SELECT a.flag,
+          CAST(b.y - a.y AS DOUBLE) / CAST(b.x - a.x AS DOUBLE) AS slope
+        FROM d a JOIN d b ON a.flag = b.flag AND a.x < b.x),
+      m AS (SELECT flag, quantile_cont(slope, 0.5) AS m FROM slopes GROUP BY 1),
+      b0 AS (SELECT d.flag, quantile_cont(CAST(d.y AS DOUBLE) - m.m * d.x, 0.5) AS b0
+        FROM d JOIN m ON d.flag = m.flag GROUP BY 1)
+      SELECT d.flag, COUNT(*) AS n_days,
+        round(ANY_VALUE(m.m), 6) AS sen_slope, round(ANY_VALUE(b0.b0), 2) AS sen_intercept
+      FROM d JOIN m ON d.flag = m.flag JOIN b0 ON d.flag = b0.flag
+      GROUP BY d.flag ORDER BY d.flag"""))
+
+  /** Lagged cross-correlation between two daily series — order COUNT
+    * at day t−k vs revenue at day t (k = 0..5): does volume lead
+    * spend? The leading-indicator scan behind metric alerting.
+    *
+    * Scale shape: one partial-aggregated fact rollup to the O(days)
+    * frame (checkpointed once for all lag branches), then the lag
+    * windows and Pearson partials run on O(lags·days) rows. All sums
+    * are exact DECIMAL (order-independent); the final formula is
+    * straight-line double arithmetic, 6dp-pinned (same discipline as
+    * q76_acf).
+    */
+  val q100Xcorr: QueryDef = QueryDef("q100_xcorr",
+    (s, dir) => {
+      val daily = t(s, dir, "orders")
+        .groupBy(date_trunc("day", col("o_orderdate")).as("day"))
+        .agg(count(lit(1)).cast(DecimalType(12, 2)).as("cnt"),
+          sum(dec(col("o_totalprice"))).cast(DecimalType(18, 2)).as("rev"))
+        .localCheckpoint(true)
+      val w = Window.orderBy(col("day"))
+      val lagged = (0 to 5).map { k =>
+        daily.select(lit(k).as("lag_k"),
+          lag(col("cnt"), k).over(w).as("x"), col("rev").as("y"))
+      }.reduce(_ unionAll _).filter(col("x").isNotNull)
+      val m = lagged.groupBy(col("lag_k"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+          sum(col("x") * col("x")).as("sxx"),
+          sum(col("x") * col("y")).as("sxy"),
+          sum(col("y") * col("y")).as("syy"))
+      val nD  = col("n").cast(DoubleType)
+      val sx  = col("sx").cast(DoubleType);  val sy  = col("sy").cast(DoubleType)
+      val sxx = col("sxx").cast(DoubleType); val sxy = col("sxy").cast(DoubleType)
+      val syy = col("syy").cast(DoubleType)
+      m.select(col("lag_k"), col("n"),
+          round((nD * sxy - sx * sy) /
+            sqrt((nD * sxx - sx * sx) * (nD * syy - sy * sy)), 6).as("xcorr"))
+        .orderBy(col("lag_k"))
+    },
+    Some("""WITH d AS (SELECT date_trunc('day', o_orderdate) AS day,
+          CAST(COUNT(*) AS DECIMAL(12,2)) AS cnt,
+          CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS rev
+        FROM orders GROUP BY 1),
+      l AS (
+        SELECT 0 AS lag_k, lag(cnt, 0) OVER (ORDER BY day) AS x, rev AS y FROM d
+        UNION ALL SELECT 1, lag(cnt, 1) OVER (ORDER BY day), rev FROM d
+        UNION ALL SELECT 2, lag(cnt, 2) OVER (ORDER BY day), rev FROM d
+        UNION ALL SELECT 3, lag(cnt, 3) OVER (ORDER BY day), rev FROM d
+        UNION ALL SELECT 4, lag(cnt, 4) OVER (ORDER BY day), rev FROM d
+        UNION ALL SELECT 5, lag(cnt, 5) OVER (ORDER BY day), rev FROM d),
+      m AS (SELECT lag_k, COUNT(*) AS n,
+          SUM(x) AS sx, SUM(y) AS sy, SUM(x*x) AS sxx, SUM(x*y) AS sxy, SUM(y*y) AS syy
+        FROM l WHERE x IS NOT NULL GROUP BY 1)
+      SELECT lag_k, n,
+        round((n*CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE)) /
+          sqrt((n*CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE)) *
+               (n*CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE)*CAST(sy AS DOUBLE))), 6) AS xcorr
+      FROM m ORDER BY lag_k"""))
+
+  /** Day-of-week seasonal index of order revenue: per-dow average
+    * daily revenue over the grand daily average (index > 1 = hot day)
+    * — the multiplicative seasonal factor a deseasonalizer divides
+    * out before trend/anomaly work (composes with q70_ewma/q83_cusum).
+    *
+    * Scale shape: one partial-aggregated rollup to the O(days) daily
+    * frame (checkpointed; consumed by both the per-dow and the
+    * grand-average branch), grand average rides as a broadcast 1-row
+    * frame. Daily sums are exact DECIMAL; only the final ratios are
+    * doubles. dow is pinned 0=Sunday..6 on both engines (Spark
+    * dayofweek is 1-based, DuckDB 0-based).
+    */
+  val q101Seasonal: QueryDef = QueryDef("q101_seasonal",
+    (s, dir) => {
+      val daily = t(s, dir, "orders")
+        .groupBy(date_trunc("day", col("o_orderdate")).as("day"))
+        .agg(sum(dec(col("o_totalprice"))).cast(DecimalType(18, 2)).as("rev"))
+        .localCheckpoint(true)
+      val grand = daily.agg(
+        (sum(col("rev")).cast(DoubleType) / count(lit(1)).cast(DoubleType)).as("g_avg"))
+      daily.select((dayofweek(col("day")) - 1).cast(LongType).as("dow"), col("rev"))
+        .groupBy(col("dow"))
+        .agg(count(lit(1)).as("n_days"),
+          (sum(col("rev")).cast(DoubleType) / count(lit(1)).cast(DoubleType)).as("avg_rev"))
+        .crossJoin(broadcast(grand))
+        .select(col("dow"), col("n_days"), round(col("avg_rev"), 2).as("avg_rev"),
+          round(col("avg_rev") / col("g_avg"), 6).as("seasonal_index"))
+        .orderBy(col("dow"))
+    },
+    Some("""WITH d AS (SELECT date_trunc('day', o_orderdate) AS day,
+          CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS rev
+        FROM orders GROUP BY 1),
+      g AS (SELECT CAST(SUM(rev) AS DOUBLE) / COUNT(*) AS g_avg FROM d)
+      SELECT CAST(dayofweek(day) AS BIGINT) AS dow, COUNT(*) AS n_days,
+        round(CAST(SUM(rev) AS DOUBLE) / COUNT(*), 2) AS avg_rev,
+        round((CAST(SUM(rev) AS DOUBLE) / COUNT(*)) / ANY_VALUE(g.g_avg), 6) AS seasonal_index
+      FROM d CROSS JOIN g GROUP BY 1 ORDER BY 1"""))
+
   val all: Seq[QueryDef] = Seq(
     q1Agg, q2Filter, q3Join, q4Semi, q5Multi, q6Window, q7TopK, q8Distinct,
     q9Rollup, q10Pivot, q11Anti, q12Expr, q13Percentiles, q14Subquery,
@@ -4314,6 +4548,7 @@ object Queries {
     q87StringZoo, q88DatetimeZoo, q89Tpch21, q90WindowNav,
     q91GroupingId, q92NotInNull, q93Kendall, sketchRollingHll, q94MannWhitney,
     q95ArraySetOps, q96MapOps, q97Spearman,
+    q98KaplanMeier, q99TheilSen, q100Xcorr, q101Seasonal,
     etlMergeUpsert, etlConstraints, etlProvenance,
     graphPageRank, curateWeightedSample,
     etlUnionSources, etlValidate, etlCleanTransform, etlQualityReport,
