@@ -4525,6 +4525,142 @@ object Queries {
         round((CAST(SUM(rev) AS DOUBLE) / COUNT(*)) / ANY_VALUE(g.g_avg), 6) AS seasonal_index
       FROM d CROSS JOIN g GROUP BY 1 ORDER BY 1"""))
 
+  /** Grid-blocked geo nearest-neighbor join: nearest supplier within
+    * 200 km of each customer by haversine distance. Coordinates are
+    * derived deterministically from the keys (integer arithmetic,
+    * engine-identical) onto the ±60° latitude band; the join blocks
+    * on 1°×1° grid cells with the supplier side exploded to its
+    * 9×5 neighbor cells (lon wraps mod 360), sized so every ≤200 km
+    * pair shares a block at any band latitude (worst case 1° lon =
+    * 55.7 km at 60°: ±4 lon, ±2 lat cells). The ORACLE is the naive
+    * cross-join argmin — the hash match proves the blocking loses no
+    * candidate.
+    *
+    * Scale shape: no cross join anywhere in the Spark plan — a hash
+    * join on (cellx, celly) with the small exploded dim broadcast
+    * (both sides would shuffle on cell keys at 100 TB), then a
+    * per-customer argmin window partitioned by the high-cardinality
+    * customer key. π/180 is pinned as a literal so the degree→radian
+    * conversion is bit-identical in both engines.
+    */
+  val q102GeoJoin: QueryDef = QueryDef("q102_geo_join",
+    (s, dir) => {
+      val degRad = lit(0.017453292519943295) // π/180, pinned
+      def lat(k: Column): Column = ((k * 7919L) % 12000L).cast(DoubleType) / 100.0 - 60.0
+      def lon(k: Column): Column = ((k * 104729L) % 36000L).cast(DoubleType) / 100.0 - 180.0
+      val cust = t(s, dir, "customer").select(col("c_custkey").as("ck"),
+          lat(col("c_custkey")).as("clat"), lon(col("c_custkey")).as("clon"))
+        .withColumn("cellx", floor(col("clon") + 180.0).cast(IntegerType))
+        .withColumn("celly", floor(col("clat") + 60.0).cast(IntegerType))
+      val supp = t(s, dir, "supplier").select(col("s_suppkey").as("sk"),
+          lat(col("s_suppkey")).as("slat"), lon(col("s_suppkey")).as("slon"))
+        .withColumn("dx", explode(array((-4 to 4).map(lit): _*)))
+        .withColumn("dy", explode(array((-2 to 2).map(lit): _*)))
+        .withColumn("cellx",
+          pmod(floor(col("slon") + 180.0).cast(IntegerType) + col("dx"), lit(360)))
+        .withColumn("celly", floor(col("slat") + 60.0).cast(IntegerType) + col("dy"))
+      val a = sin((col("slat") - col("clat")) * degRad / 2.0)
+      val b = sin((col("slon") - col("clon")) * degRad / 2.0)
+      val dist = lit(2.0 * 6371.0) * asin(sqrt(a * a +
+        cos(col("clat") * degRad) * cos(col("slat") * degRad) * b * b))
+      val w = Window.partitionBy(col("ck")).orderBy(col("dist_km"), col("sk"))
+      cust.join(broadcast(supp), Seq("cellx", "celly"))
+        .withColumn("dist_km", round(dist, 6))
+        .filter(col("dist_km") <= 200.0)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("ck").as("c_custkey"), col("sk").as("s_suppkey"), col("dist_km"))
+        .orderBy(col("c_custkey"))
+    },
+    Some("""WITH c AS (SELECT c_custkey AS ck,
+          ((c_custkey * 7919) % 12000) / 100.0 - 60.0 AS clat,
+          ((c_custkey * 104729) % 36000) / 100.0 - 180.0 AS clon
+        FROM customer),
+      s AS (SELECT s_suppkey AS sk,
+          ((s_suppkey * 7919) % 12000) / 100.0 - 60.0 AS slat,
+          ((s_suppkey * 104729) % 36000) / 100.0 - 180.0 AS slon
+        FROM supplier),
+      p AS (SELECT ck, sk, round(2.0 * 6371.0 * asin(sqrt(
+            sin((slat - clat) * 0.017453292519943295 / 2.0) *
+              sin((slat - clat) * 0.017453292519943295 / 2.0) +
+            cos(clat * 0.017453292519943295) * cos(slat * 0.017453292519943295) *
+              sin((slon - clon) * 0.017453292519943295 / 2.0) *
+              sin((slon - clon) * 0.017453292519943295 / 2.0))), 6) AS dist_km
+        FROM c CROSS JOIN s),
+      r AS (SELECT ck, sk, dist_km,
+          ROW_NUMBER() OVER (PARTITION BY ck ORDER BY dist_km, sk) AS rn
+        FROM p WHERE dist_km <= 200.0)
+      SELECT ck AS c_custkey, sk AS s_suppkey, dist_km
+      FROM r WHERE rn = 1 ORDER BY c_custkey"""))
+
+  /** Fixed-round k-core peeling (k=3, 4 rounds) on the co-purchase
+    * graph (q74's edge base: part pairs sharing ≥2 orders): each
+    * round drops nodes of degree < k and their incident edges —
+    * the standard dense-subgraph extractor for spam/boilerplate
+    * cluster mining. Output is the per-round (nodes, edges) shrink
+    * curve; both engines run the SAME bounded round count, so the
+    * comparison is exact regardless of whether the peel has
+    * converged.
+    *
+    * Scale shape: per round ONE partial-aggregated degree count plus
+    * two semi-joins on the surviving-node frame (broadcast-eligible
+    * as the core shrinks); the edge frame is eagerly checkpointed per
+    * round (single-consumer chain, O(1)-deep plan — the [[Graph]]
+    * discipline). Round summaries are 1-row aggs unioned at the end.
+    */
+  val q103Kcore: QueryDef = QueryDef("q103_kcore",
+    (s, dir) => {
+      val k = 3; val rounds = 4
+      val baskets = t(s, dir, "lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg(array_sort(collect_set(col("l_partkey"))).as("ps"))
+      var edges = baskets
+        .select(explode(flatten(transform(col("ps"), (x, i) =>
+          transform(slice(col("ps"), i + 2, size(col("ps"))),
+            y => struct(x.as("p1"), y.as("p2")))))).as("pr"))
+        .select(col("pr.p1").as("p1"), col("pr.p2").as("p2"))
+        .groupBy(col("p1"), col("p2"))
+        .agg(count(lit(1)).as("w"))
+        .filter(col("w") >= 2)
+        .select(col("p1"), col("p2"))
+        .localCheckpoint(true)
+      val summaries = (1 to rounds).map { r =>
+        val deg = edges.select(col("p1").as("node"))
+          .unionAll(edges.select(col("p2").as("node")))
+          .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+        val surv = deg.filter(col("deg") >= k).select(col("node"))
+          .localCheckpoint(true)
+        edges = edges
+          .join(surv.withColumnRenamed("node", "p1"), Seq("p1"), "left_semi")
+          .join(surv.withColumnRenamed("node", "p2"), Seq("p2"), "left_semi")
+          .localCheckpoint(true)
+        surv.agg(count(lit(1)).as("n_nodes"))
+          .crossJoin(edges.agg(count(lit(1)).as("n_edges")))
+          .select(lit(r).as("round"), col("n_nodes"), col("n_edges"))
+      }
+      summaries.reduce(_ unionAll _).orderBy(col("round"))
+    },
+    Some("""WITH op AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+      e0 AS (SELECT a.pk AS p1, b.pk AS p2 FROM op a JOIN op b ON a.ok = b.ok AND a.pk < b.pk
+        GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+      d1 AS (SELECT node, COUNT(*) AS deg FROM (SELECT p1 AS node FROM e0 UNION ALL SELECT p2 FROM e0) GROUP BY 1),
+      s1 AS (SELECT node FROM d1 WHERE deg >= 3),
+      e1 AS (SELECT p1, p2 FROM e0 WHERE p1 IN (SELECT node FROM s1) AND p2 IN (SELECT node FROM s1)),
+      d2 AS (SELECT node, COUNT(*) AS deg FROM (SELECT p1 AS node FROM e1 UNION ALL SELECT p2 FROM e1) GROUP BY 1),
+      s2 AS (SELECT node FROM d2 WHERE deg >= 3),
+      e2 AS (SELECT p1, p2 FROM e1 WHERE p1 IN (SELECT node FROM s2) AND p2 IN (SELECT node FROM s2)),
+      d3 AS (SELECT node, COUNT(*) AS deg FROM (SELECT p1 AS node FROM e2 UNION ALL SELECT p2 FROM e2) GROUP BY 1),
+      s3 AS (SELECT node FROM d3 WHERE deg >= 3),
+      e3 AS (SELECT p1, p2 FROM e2 WHERE p1 IN (SELECT node FROM s3) AND p2 IN (SELECT node FROM s3)),
+      d4 AS (SELECT node, COUNT(*) AS deg FROM (SELECT p1 AS node FROM e3 UNION ALL SELECT p2 FROM e3) GROUP BY 1),
+      s4 AS (SELECT node FROM d4 WHERE deg >= 3),
+      e4 AS (SELECT p1, p2 FROM e3 WHERE p1 IN (SELECT node FROM s4) AND p2 IN (SELECT node FROM s4))
+      SELECT 1 AS round, (SELECT COUNT(*) FROM s1) AS n_nodes, (SELECT COUNT(*) FROM e1) AS n_edges
+      UNION ALL SELECT 2, (SELECT COUNT(*) FROM s2), (SELECT COUNT(*) FROM e2)
+      UNION ALL SELECT 3, (SELECT COUNT(*) FROM s3), (SELECT COUNT(*) FROM e3)
+      UNION ALL SELECT 4, (SELECT COUNT(*) FROM s4), (SELECT COUNT(*) FROM e4)
+      ORDER BY round"""))
+
   val all: Seq[QueryDef] = Seq(
     q1Agg, q2Filter, q3Join, q4Semi, q5Multi, q6Window, q7TopK, q8Distinct,
     q9Rollup, q10Pivot, q11Anti, q12Expr, q13Percentiles, q14Subquery,
@@ -4549,6 +4685,7 @@ object Queries {
     q91GroupingId, q92NotInNull, q93Kendall, sketchRollingHll, q94MannWhitney,
     q95ArraySetOps, q96MapOps, q97Spearman,
     q98KaplanMeier, q99TheilSen, q100Xcorr, q101Seasonal,
+    q102GeoJoin, q103Kcore,
     etlMergeUpsert, etlConstraints, etlProvenance,
     graphPageRank, curateWeightedSample,
     etlUnionSources, etlValidate, etlCleanTransform, etlQualityReport,
