@@ -49,4 +49,19 @@ object Layout {
       .repartitionByRange(numFiles, col("_zorder"))
       .sortWithinPartitions("_zorder")
       .drop("_zorder")
+
+  /** Write `df` as a bucketed, per-bucket-sorted managed parquet
+    * table. Bucketing is the 100 TB join layout: two fact tables
+    * bucketed on the same key with the same bucket count sort-merge
+    * join with ZERO exchanges (each task reads matching bucket files
+    * from both sides), and an equality predicate on the bucket key
+    * prunes the scan to a single bucket (`SelectedBucketsCount` in
+    * the plan). The write itself shuffles once — that cost is paid at
+    * ingest, then every downstream join/filter on the key rides free.
+    * Both properties are plan-asserted in LayoutSpec.
+    */
+  def writeBucketed(df: DataFrame, table: String, key: String,
+      buckets: Int): Unit =
+    df.write.mode("overwrite").format("parquet")
+      .bucketBy(buckets, key).sortBy(key).saveAsTable(table)
 }

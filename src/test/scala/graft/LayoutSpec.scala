@@ -89,4 +89,39 @@ class LayoutSpec extends SparkSpec {
     assert(boxFiles > 0 && boxFiles < allFiles,
       s"box touched $boxFiles of $allFiles files")
   }
+
+  test("co-bucketed tables sort-merge join with ZERO exchanges; key filter prunes to one bucket") {
+    val s = spark
+    val li = Tables(s, sf("any"), "lineitem").select("l_orderkey", "l_quantity")
+    val ord = Tables(s, sf("any"), "orders")
+      .select(col("o_orderkey").as("l_orderkey"), col("o_totalprice"))
+    val prev = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      Layout.writeBucketed(li, "li_bkt", "l_orderkey", buckets = 8)
+      Layout.writeBucketed(ord, "ord_bkt", "l_orderkey", buckets = 8)
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val j = s.table("li_bkt").join(s.table("ord_bkt"), "l_orderkey")
+        .select(col("l_orderkey"), col("l_quantity"), col("o_totalprice"))
+      val p = j.queryExecution.executedPlan.toString
+      assert(p.contains("SortMergeJoin"), p)
+      assert(!p.contains("Exchange"),
+        s"co-bucketed join must not shuffle either side:\n$p")
+      // same rows as the plain (shuffling) join
+      val expected = li.join(ord, "l_orderkey").count()
+      assert(j.count() == expected)
+      // equality predicate on the bucket key scans ONE bucket file set
+      // (auto-bucketed-scan turns bucketed reading off for a bare
+      // filter, which also forfeits pruning — pin it on for the check)
+      s.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+      val pruned = s.table("li_bkt").filter(col("l_orderkey") === 5L)
+        .queryExecution.executedPlan.toString
+      assert(pruned.contains("SelectedBucketsCount: 1 out of 8"),
+        s"bucket pruning missing:\n$pruned")
+    } finally {
+      s.conf.unset("spark.sql.sources.bucketing.autoBucketedScan.enabled")
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      s.sql("DROP TABLE IF EXISTS li_bkt")
+      s.sql("DROP TABLE IF EXISTS ord_bkt")
+    }
+  }
 }
