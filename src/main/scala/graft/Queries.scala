@@ -4661,6 +4661,209 @@ object Queries {
       UNION ALL SELECT 4, (SELECT COUNT(*) FROM s4), (SELECT COUNT(*) FROM e4)
       ORDER BY round"""))
 
+  /** RAKE-lite keyword extraction per source: candidate phrases are
+    * maximal runs between stopwords/non-letters (≤3 words), word
+    * score = degree/frequency over phrase occurrences (degree = Σ
+    * length of phrases containing the word), phrase score = Σ of its
+    * words' scores; top-5 phrases per source. The co-occurrence
+    * keyword miner for corpus labeling — heavier than tf-idf
+    * (text_tfidf) but needs no document frequency table.
+    *
+    * Scale shape: phrase + word explosion is map-side (codegen HOFs);
+    * the two stat frames are partial-aggregated shuffles keyed by
+    * (source, word) / (source, phrase); top-5 via rank on the
+    * per-source partition. Word scores round into DECIMAL before the
+    * phrase-score sum, so scores are order-independent exactly.
+    */
+  val textKeywords: QueryDef = QueryDef("text_keywords",
+    (s, dir) => {
+      val sep = "(?:\\b(?:a|the|and|or|of|to|in|is|on|for)\\b|[^a-z ])+"
+      val ph = t(s, dir, "documents")
+        .select(col("source"), explode(split(lower(col("text")), sep)).as("rawp"))
+        .select(col("source"), trim(col("rawp")).as("phrase"))
+        .filter(length(col("phrase")) > 0)
+        .withColumn("ws", split(col("phrase"), " +"))
+        .filter(size(col("ws")) <= 3)
+        .localCheckpoint(true)
+      val w = ph.select(col("source"), explode(col("ws")).as("word"),
+        size(col("ws")).cast(LongType).as("plen"))
+      val wstat = w.groupBy(col("source"), col("word"))
+        .agg(count(lit(1)).as("freq"), sum(col("plen")).as("deg"))
+        .withColumn("wscore",
+          round(col("deg").cast(DoubleType) / col("freq").cast(DoubleType), 6)
+            .cast(DecimalType(12, 6)))
+      val cand = ph.select(col("source"), col("phrase")).distinct()
+        .withColumn("word", explode(split(col("phrase"), " +")))
+      val scored = cand.join(wstat, Seq("source", "word"))
+        .groupBy(col("source"), col("phrase"))
+        .agg(sum(col("wscore")).as("score"))
+      val wTop = Window.partitionBy(col("source"))
+        .orderBy(col("score").desc, col("phrase"))
+      scored.withColumn("rank", row_number().over(wTop))
+        .filter(col("rank") <= 5)
+        .select(col("source"), col("rank"), col("phrase"),
+          col("score").cast(DoubleType).as("score"))
+        .orderBy(col("source"), col("rank"))
+    },
+    Some("""WITH ph AS (SELECT source, trim(p) AS phrase,
+          string_split_regex(trim(p), ' +') AS ws
+        FROM (SELECT source, unnest(string_split_regex(lower(text),
+            '(?:\b(?:a|the|and|or|of|to|in|is|on|for)\b|[^a-z ])+')) AS p
+          FROM documents)
+        WHERE length(trim(p)) > 0 AND len(string_split_regex(trim(p), ' +')) <= 3),
+      w AS (SELECT source, unnest(ws) AS word, CAST(len(ws) AS BIGINT) AS plen FROM ph),
+      wstat AS (SELECT source, word, COUNT(*) AS freq, SUM(plen) AS deg,
+          CAST(round(CAST(SUM(plen) AS DOUBLE) / COUNT(*), 6) AS DECIMAL(12,6)) AS wscore
+        FROM w GROUP BY 1, 2),
+      cand AS (SELECT DISTINCT source, phrase FROM ph),
+      cw AS (SELECT source, phrase, unnest(string_split_regex(phrase, ' +')) AS word FROM cand),
+      scored AS (SELECT cw.source, cw.phrase, SUM(wstat.wscore) AS score
+        FROM cw JOIN wstat ON cw.source = wstat.source AND cw.word = wstat.word
+        GROUP BY 1, 2),
+      ranked AS (SELECT source, phrase, score,
+          ROW_NUMBER() OVER (PARTITION BY source ORDER BY score DESC, phrase) AS rank
+        FROM scored)
+      SELECT source, rank, phrase, CAST(score AS DOUBLE) AS score
+      FROM ranked WHERE rank <= 5 ORDER BY source, rank"""))
+
+  /** Bucket quantile normalization: c_acctbal is re-expressed as the
+    * cross-segment average of its within-segment decile — the batch
+    * normalizer that forces every segment's feature distribution onto
+    * a common scale before cross-segment models (microarray-style QN
+    * at decile resolution). Output audits per (segment, decile):
+    * count, mean before, mean after.
+    *
+    * Scale shape: the decile assignment is an ntile window partitioned
+    * by segment (each partition ~n/|segments|, deterministic
+    * (value, key) order); the target distribution is an
+    * O(segments·deciles) partial agg re-joined by broadcast. No
+    * global sort, no driver collection.
+    */
+  val q104QuantileNorm: QueryDef = QueryDef("q104_quantile_norm",
+    (s, dir) => {
+      val wN = Window.partitionBy(col("c_mktsegment"))
+        .orderBy(col("bal"), col("c_custkey"))
+      val decile = t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"), dec(col("c_acctbal")).as("bal"))
+        .withColumn("decile", ntile(10).over(wN).cast(LongType))
+      val target = decile.groupBy(col("decile"))
+        .agg((sum(col("bal")).cast(DoubleType) / count(lit(1)).cast(DoubleType)).as("norm_bal"))
+      decile.join(broadcast(target), Seq("decile"))
+        .groupBy(col("c_mktsegment"), col("decile"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("bal")).cast(DoubleType) / count(lit(1)).cast(DoubleType), 2).as("avg_before"),
+          round(max(col("norm_bal")), 2).as("avg_after"))
+        .orderBy(col("c_mktsegment"), col("decile"))
+    },
+    Some("""WITH d AS (SELECT c_custkey, c_mktsegment,
+          CAST(c_acctbal AS DECIMAL(12,2)) AS bal,
+          CAST(ntile(10) OVER (PARTITION BY c_mktsegment
+            ORDER BY CAST(c_acctbal AS DECIMAL(12,2)), c_custkey) AS BIGINT) AS decile
+        FROM customer),
+      t AS (SELECT decile, CAST(SUM(bal) AS DOUBLE) / COUNT(*) AS norm_bal
+        FROM d GROUP BY 1)
+      SELECT c_mktsegment, d.decile, COUNT(*) AS n,
+        round(CAST(SUM(bal) AS DOUBLE) / COUNT(*), 2) AS avg_before,
+        round(MAX(norm_bal), 2) AS avg_after
+      FROM d JOIN t ON d.decile = t.decile
+      GROUP BY 1, 2 ORDER BY 1, 2"""))
+
+  /** Exact Pareto coverage: the minimum number of customers whose
+    * (exactly-summed) spend reaches 50/80/90% of total revenue — the
+    * concentration question behind skew planning and key-account
+    * analysis. Customers are ordered by (spend DESC, key).
+    *
+    * Scale shape (bin-then-refine, the Selection discipline): spend
+    * totals bin into 1024 value buckets; per-bucket (count, revenue)
+    * partials plus suffix cumulative sums on the 1024-row frame find
+    * each threshold's crossing bucket, and ONLY that bucket's
+    * customers (≈n/1024) are sorted to locate the exact crossing row
+    * — no global sort over the O(customers) frame anywhere. All
+    * revenue arithmetic stays DECIMAL-exact; thresholds are exact
+    * decimal fractions of the exact total.
+    */
+  val q105Pareto: QueryDef = QueryDef("q105_pareto",
+    (s, dir) => {
+      val spend = t(s, dir, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(sum(dec(col("o_totalprice"))).cast(DecimalType(18, 2)).as("sp"))
+        .localCheckpoint(true)
+      val bounds = spend.agg(min(col("sp")).as("lo"), max(col("sp")).as("hi"),
+        sum(col("sp").cast(DecimalType(28, 2))).as("total"))
+      val binned = spend.crossJoin(broadcast(bounds))
+        .withColumn("bin", least(greatest(floor(
+            (col("sp") - col("lo")).cast(DoubleType) /
+              ((col("hi") - col("lo")).cast(DoubleType) / 1024.0 + 1e-9))
+          .cast(LongType), lit(0L)), lit(1023L)))
+      val perBin = binned.groupBy(col("bin"))
+        .agg(count(lit(1)).as("cnt"), sum(col("sp").cast(DecimalType(28, 2))).as("rev"))
+      // suffix cumulatives walking from the TOP bin down (rich first)
+      val wSuf = Window.orderBy(col("bin").desc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val cum = perBin.crossJoin(broadcast(bounds.select(col("total"))))
+        .withColumn("cnt_above", coalesce(sum(col("cnt")).over(wSuf), lit(0L)))
+        .withColumn("rev_above", coalesce(sum(col("rev")).over(wSuf),
+          lit(new java.math.BigDecimal(0)).cast(DecimalType(28, 2))))
+        .localCheckpoint(true)
+      val nCust = spend.agg(count(lit(1)).as("n_cust"))
+      val thresholds = Seq("0.50" -> "50", "0.80" -> "80", "0.90" -> "90")
+      val perThreshold = thresholds.map { case (frac, label) =>
+        val need = col("total") * lit(new java.math.BigDecimal(frac)).cast(DecimalType(3, 2))
+        // crossing bucket: the highest-value bucket where the suffix
+        // revenue first reaches the target
+        val crossing = cum.filter(col("rev_above") < need &&
+            (col("rev_above") + col("rev")) >= need)
+          .select(col("bin").as("xbin"), col("cnt_above"), col("rev_above"),
+            (need - col("rev_above")).as("need_in_bin"))
+        // refine ONLY inside the crossing bucket: a row is "needed"
+        // while the running in-bucket spend before it is short of the
+        // remaining target; the last needed row is the crossing row
+        val wIn = Window.orderBy(col("sp").desc, col("o_custkey"))
+          .rowsBetween(Window.unboundedPreceding, 0)
+        binned.join(broadcast(crossing), col("bin") === col("xbin"))
+          .withColumn("cum_in", sum(col("sp").cast(DecimalType(28, 2))).over(wIn))
+          .withColumn("needed", (col("cum_in") - col("sp")) < col("need_in_bin"))
+          .agg(sum(when(col("needed"), 1L).otherwise(0L)).as("k"),
+            max(col("cnt_above")).as("cnt_above"),
+            max(col("rev_above")).as("rev_above"),
+            max(when(col("needed"), col("cum_in"))).as("cum_at_cross"))
+          .crossJoin(broadcast(nCust))
+          .select(lit(label).as("pct"),
+            (col("cnt_above") + col("k")).as("n_customers"),
+            round((col("rev_above") + col("cum_at_cross")).cast(DoubleType), 2).as("rev_covered"),
+            round((col("cnt_above") + col("k")).cast(DoubleType) /
+              col("n_cust").cast(DoubleType), 6).as("cust_share"))
+      }
+      perThreshold.reduce(_ unionAll _).orderBy(col("pct"))
+    },
+    Some("""WITH sp AS (SELECT o_custkey,
+          CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS sp
+        FROM orders GROUP BY 1),
+      tot AS (SELECT CAST(SUM(sp) AS DECIMAL(28,2)) AS total, COUNT(*) AS n_cust FROM sp),
+      c AS (SELECT o_custkey, sp,
+          SUM(CAST(sp AS DECIMAL(28,2))) OVER (ORDER BY sp DESC, o_custkey
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        FROM sp),
+      j AS (SELECT c.*, tot.total, tot.n_cust FROM c CROSS JOIN tot)
+      SELECT '50' AS pct,
+        CAST(COUNT(*) FILTER (WHERE cum - sp < total * CAST(0.50 AS DECIMAL(3,2))) AS BIGINT) AS n_customers,
+        round(CAST(MAX(cum) FILTER (WHERE cum - sp < total * CAST(0.50 AS DECIMAL(3,2))) AS DOUBLE), 2) AS rev_covered,
+        round(CAST(COUNT(*) FILTER (WHERE cum - sp < total * CAST(0.50 AS DECIMAL(3,2))) AS DOUBLE) / ANY_VALUE(n_cust), 6) AS cust_share
+      FROM j
+      UNION ALL
+      SELECT '80',
+        CAST(COUNT(*) FILTER (WHERE cum - sp < total * CAST(0.80 AS DECIMAL(3,2))) AS BIGINT),
+        round(CAST(MAX(cum) FILTER (WHERE cum - sp < total * CAST(0.80 AS DECIMAL(3,2))) AS DOUBLE), 2),
+        round(CAST(COUNT(*) FILTER (WHERE cum - sp < total * CAST(0.80 AS DECIMAL(3,2))) AS DOUBLE) / ANY_VALUE(n_cust), 6)
+      FROM j
+      UNION ALL
+      SELECT '90',
+        CAST(COUNT(*) FILTER (WHERE cum - sp < total * CAST(0.90 AS DECIMAL(3,2))) AS BIGINT),
+        round(CAST(MAX(cum) FILTER (WHERE cum - sp < total * CAST(0.90 AS DECIMAL(3,2))) AS DOUBLE), 2),
+        round(CAST(COUNT(*) FILTER (WHERE cum - sp < total * CAST(0.90 AS DECIMAL(3,2))) AS DOUBLE) / ANY_VALUE(n_cust), 6)
+      FROM j
+      ORDER BY pct"""))
+
   val all: Seq[QueryDef] = Seq(
     q1Agg, q2Filter, q3Join, q4Semi, q5Multi, q6Window, q7TopK, q8Distinct,
     q9Rollup, q10Pivot, q11Anti, q12Expr, q13Percentiles, q14Subquery,
@@ -4685,7 +4888,7 @@ object Queries {
     q91GroupingId, q92NotInNull, q93Kendall, sketchRollingHll, q94MannWhitney,
     q95ArraySetOps, q96MapOps, q97Spearman,
     q98KaplanMeier, q99TheilSen, q100Xcorr, q101Seasonal,
-    q102GeoJoin, q103Kcore,
+    q102GeoJoin, q103Kcore, q104QuantileNorm, q105Pareto, textKeywords,
     etlMergeUpsert, etlConstraints, etlProvenance,
     graphPageRank, curateWeightedSample,
     etlUnionSources, etlValidate, etlCleanTransform, etlQualityReport,
