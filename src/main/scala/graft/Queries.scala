@@ -4864,6 +4864,88 @@ object Queries {
       FROM j
       ORDER BY pct"""))
 
+  /** Welch's unequal-variance two-sample t-test: BUILDING vs
+    * MACHINERY account balances — the parametric sibling of
+    * q94_mannwhitney (which ranks) and q63_ab_lift (which pools
+    * variance). Reports t and the Welch–Satterthwaite df.
+    *
+    * Scale shape: ONE partial-aggregated pass computes per-group
+    * (n, Σx, Σx²) in exact DECIMAL; the closed-form statistic is
+    * straight-line double arithmetic on the 2-row frame. Same
+    * moment-partials discipline as q76_acf — no variance UDAF, no
+    * second pass.
+    */
+  val q106Welch: QueryDef = QueryDef("q106_welch_ttest",
+    (s, dir) => {
+      val g = t(s, dir, "customer")
+        .filter(col("c_mktsegment").isin("BUILDING", "MACHINERY"))
+        .select(col("c_mktsegment").as("seg"), dec(col("c_acctbal")).as("x"))
+        .groupBy(col("seg"))
+        .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+          sum(col("x") * col("x")).as("sxx"))
+        .withColumn("m", col("sx").cast(DoubleType) / col("n").cast(DoubleType))
+        .withColumn("v", (col("sxx").cast(DoubleType) -
+          col("sx").cast(DoubleType) * col("sx").cast(DoubleType) / col("n").cast(DoubleType)) /
+          (col("n") - 1).cast(DoubleType))
+      val a = g.filter(col("seg") === "BUILDING")
+        .select(col("n").as("n1"), col("m").as("m1"), col("v").as("v1"))
+      val b = g.filter(col("seg") === "MACHINERY")
+        .select(col("n").as("n2"), col("m").as("m2"), col("v").as("v2"))
+      val se1 = col("v1") / col("n1").cast(DoubleType)
+      val se2 = col("v2") / col("n2").cast(DoubleType)
+      a.crossJoin(b)
+        .select(col("n1"), col("n2"),
+          round(col("m1"), 4).as("mean1"), round(col("m2"), 4).as("mean2"),
+          round((col("m1") - col("m2")) / sqrt(se1 + se2), 6).as("t_stat"),
+          round((se1 + se2) * (se1 + se2) /
+            (se1 * se1 / (col("n1") - 1).cast(DoubleType) +
+             se2 * se2 / (col("n2") - 1).cast(DoubleType)), 4).as("df"))
+    },
+    Some("""WITH g AS (SELECT c_mktsegment AS seg, COUNT(*) AS n,
+          SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS sx,
+          SUM(CAST(c_acctbal AS DECIMAL(12,2)) * CAST(c_acctbal AS DECIMAL(12,2))) AS sxx
+        FROM customer WHERE c_mktsegment IN ('BUILDING', 'MACHINERY') GROUP BY 1),
+      m AS (SELECT seg, n, CAST(sx AS DOUBLE) / n AS m,
+          (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n) / (n - 1) AS v
+        FROM g),
+      a AS (SELECT n AS n1, m AS m1, v AS v1 FROM m WHERE seg = 'BUILDING'),
+      b AS (SELECT n AS n2, m AS m2, v AS v2 FROM m WHERE seg = 'MACHINERY')
+      SELECT n1, n2, round(m1, 4) AS mean1, round(m2, 4) AS mean2,
+        round((m1 - m2) / sqrt(v1 / n1 + v2 / n2), 6) AS t_stat,
+        round((v1 / n1 + v2 / n2) * (v1 / n1 + v2 / n2) /
+          ((v1 / n1) * (v1 / n1) / (n1 - 1) + (v2 / n2) * (v2 / n2) / (n2 - 1)), 4) AS df
+      FROM a CROSS JOIN b"""))
+
+  /** Top event trigram paths: the 10 most frequent 3-step event-type
+    * sequences across user streams — the higher-order companion of
+    * q52_transitions (first-order Markov), the corpus-level "what do
+    * users actually do" report behind funnel design.
+    *
+    * Scale shape: the lead windows partition by user_id (high
+    * cardinality, no funnel); path counting is one partial-aggregated
+    * shuffle on the path string; top-10 is rank-free (TakeOrdered on
+    * (n DESC, path)).
+    */
+  val q107EventPaths: QueryDef = QueryDef("q107_event_paths",
+    (s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      t(s, dir, "events")
+        .select(col("user_id"), col("event_type").as("e1"),
+          lead(col("event_type"), 1).over(w).as("e2"),
+          lead(col("event_type"), 2).over(w).as("e3"))
+        .filter(col("e3").isNotNull)
+        .select(concat_ws(">", col("e1"), col("e2"), col("e3")).as("path"))
+        .groupBy(col("path")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("path")).limit(10)
+    },
+    Some("""WITH p AS (SELECT concat_ws('>', event_type,
+          lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+          lead(event_type, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id)) AS path,
+          lead(event_type, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS e3
+        FROM events)
+      SELECT path, COUNT(*) AS n FROM p WHERE e3 IS NOT NULL
+      GROUP BY 1 ORDER BY n DESC, path LIMIT 10"""))
+
   val all: Seq[QueryDef] = Seq(
     q1Agg, q2Filter, q3Join, q4Semi, q5Multi, q6Window, q7TopK, q8Distinct,
     q9Rollup, q10Pivot, q11Anti, q12Expr, q13Percentiles, q14Subquery,
@@ -4889,6 +4971,7 @@ object Queries {
     q95ArraySetOps, q96MapOps, q97Spearman,
     q98KaplanMeier, q99TheilSen, q100Xcorr, q101Seasonal,
     q102GeoJoin, q103Kcore, q104QuantileNorm, q105Pareto, textKeywords,
+    q106Welch, q107EventPaths,
     etlMergeUpsert, etlConstraints, etlProvenance,
     graphPageRank, curateWeightedSample,
     etlUnionSources, etlValidate, etlCleanTransform, etlQualityReport,
