@@ -4381,10 +4381,12 @@ object Queries {
     * Scale shape: the only fact-sized pass is the partial-aggregated
     * daily rollup; the pairwise self-join runs on the O(days) frame so
     * its cost is O(days²) **independent of fact rows** — the 100 TB
-    * cost equals the sf0.01 cost. Medians come from the shared
-    * exact-selection operator (bin-then-refine, no global sort).
-    * Slopes are exact-decimal differences divided as IEEE doubles —
-    * bit-identical in both engines, no pre-median rounding needed.
+    * cost equals the sf0.01 cost. Because the pair frame is
+    * calendar-bounded, the medians use a per-flag window sort over it
+    * directly (row_number + middle-row average — NOT the fact-frame
+    * selection operator; a days²-bounded sort never becomes a scale
+    * funnel). Both engines compute the even-n median as AVG of the
+    * two middle rows, so the arithmetic is bit-identical.
     */
   val q99TheilSen: QueryDef = QueryDef("q99_theilsen",
     (s, dir) => {
@@ -4395,19 +4397,28 @@ object Queries {
             .cast(LongType).as("x"))
         .agg(sum(dec(col("l_extendedprice"))).cast(DecimalType(18, 2)).as("y"))
         .localCheckpoint(true)
+      // median of a calendar-bounded frame: row_number + the one or
+      // two middle rows, averaged — matches quantile_cont(0.5)
+      def windowMedian(df: DataFrame, valCol: String, out: String): DataFrame = {
+        val wOrd = Window.partitionBy(col("flag")).orderBy(col(valCol))
+        val wAll = Window.partitionBy(col("flag"))
+        df.withColumn("rn", row_number().over(wOrd))
+          .withColumn("n", count(lit(1)).over(wAll))
+          .filter(col("rn") === floor((col("n") + 1) / 2) ||
+            col("rn") === ceil((col("n") + 1).cast(DoubleType) / 2.0).cast(LongType))
+          .groupBy(col("flag")).agg(avg(col(valCol)).as(out))
+      }
       val a = daily.select(col("flag"), col("x").as("xa"), col("y").as("ya"))
       val b = daily.select(col("flag"), col("x").as("xb"), col("y").as("yb"))
       val slopes = a.join(b, Seq("flag")).filter(col("xa") < col("xb"))
         .select(col("flag"),
           ((col("yb") - col("ya")).cast(DoubleType) /
             (col("xb") - col("xa")).cast(DoubleType)).as("slope"))
-      val m = Selection.exactQuantiles(slopes, "flag", "slope", Seq(0.5))
-        .groupBy(col("flag")).agg(max(col("q")).as("m"))
+      val m = windowMedian(slopes, "slope", "m")
       val resid = daily.join(broadcast(m), "flag")
-        .select(col("flag"),
+        .select(col("flag"), col("m"),
           (col("y").cast(DoubleType) - col("m") * col("x").cast(DoubleType)).as("r"))
-      val b0 = Selection.exactQuantiles(resid, "flag", "r", Seq(0.5))
-        .groupBy(col("flag")).agg(max(col("q")).as("b0"))
+      val b0 = windowMedian(resid, "r", "b0")
       val nDays = daily.groupBy(col("flag")).agg(count(lit(1)).as("n_days"))
       nDays.join(broadcast(m), "flag").join(broadcast(b0), "flag")
         .select(col("flag"), col("n_days"),
@@ -4421,9 +4432,22 @@ object Queries {
       slopes AS (SELECT a.flag,
           CAST(b.y - a.y AS DOUBLE) / CAST(b.x - a.x AS DOUBLE) AS slope
         FROM d a JOIN d b ON a.flag = b.flag AND a.x < b.x),
-      m AS (SELECT flag, quantile_cont(slope, 0.5) AS m FROM slopes GROUP BY 1),
-      b0 AS (SELECT d.flag, quantile_cont(CAST(d.y AS DOUBLE) - m.m * d.x, 0.5) AS b0
-        FROM d JOIN m ON d.flag = m.flag GROUP BY 1)
+      sr AS (SELECT flag, slope,
+          ROW_NUMBER() OVER (PARTITION BY flag ORDER BY slope) AS rn,
+          COUNT(*) OVER (PARTITION BY flag) AS n
+        FROM slopes),
+      m AS (SELECT flag, AVG(slope) AS m FROM sr
+        WHERE rn = (n + 1) // 2 OR rn = CAST(ceil((n + 1) / 2.0) AS BIGINT)
+        GROUP BY 1),
+      resid AS (SELECT d.flag, CAST(d.y AS DOUBLE) - m.m * d.x AS r
+        FROM d JOIN m ON d.flag = m.flag),
+      rr AS (SELECT flag, r,
+          ROW_NUMBER() OVER (PARTITION BY flag ORDER BY r) AS rn,
+          COUNT(*) OVER (PARTITION BY flag) AS n
+        FROM resid),
+      b0 AS (SELECT flag, AVG(r) AS b0 FROM rr
+        WHERE rn = (n + 1) // 2 OR rn = CAST(ceil((n + 1) / 2.0) AS BIGINT)
+        GROUP BY 1)
       SELECT d.flag, COUNT(*) AS n_days,
         round(ANY_VALUE(m.m), 6) AS sen_slope, round(ANY_VALUE(b0.b0), 2) AS sen_intercept
       FROM d JOIN m ON d.flag = m.flag JOIN b0 ON d.flag = b0.flag
