@@ -4970,6 +4970,127 @@ object Queries {
       SELECT path, COUNT(*) AS n FROM p WHERE e3 IS NOT NULL
       GROUP BY 1 ORDER BY n DESC, path LIMIT 10"""))
 
+  /** Holt's double exponential smoothing (level+trend, α=0.3 β=0.1)
+    * over each flag's daily revenue, with the one-step-ahead
+    * forecast — the classic short-horizon forecaster a metric
+    * monitor runs beside q70_ewma (which has no trend term).
+    *
+    * Scale shape: ONE partial-aggregated rollup to the O(days) daily
+    * frame; the inherently sequential recursion folds a SORTED
+    * per-flag array (calendar-bounded, ≤ days elements) inside a
+    * codegen `aggregate` HOF — map-side, no driver loop, no
+    * iteration jobs. The oracle replays the identical IEEE
+    * multiply-add chain in a recursive CTE, so 365 steps stay
+    * bit-identical (only adds and multiplies — no libm anywhere).
+    */
+  val q108Holt: QueryDef = QueryDef("q108_holt",
+    (s, dir) => {
+      val series = t(s, dir, "lineitem")
+        .filter(year(col("l_shipdate")) === 1995)
+        .groupBy(col("l_returnflag").as("flag"),
+          floor(unix_micros(date_trunc("day", col("l_shipdate"))) / lit(86400000000L))
+            .cast(LongType).as("x"))
+        .agg(sum(dec(col("l_extendedprice"))).cast(DoubleType).as("y"))
+        .groupBy(col("flag"))
+        .agg(sort_array(collect_list(struct(col("x"), col("y")))).as("arr"))
+      // init at the 2nd point: level=y2, trend=y2−y1; fold points 3..n
+      val y1 = element_at(col("arr"), 1).getField("y")
+      val y2 = element_at(col("arr"), 2).getField("y")
+      series
+        .withColumn("st", aggregate(
+          slice(col("arr"), lit(3), greatest(size(col("arr")) - 2, lit(0))),
+          struct((y2).as("l"), (y2 - y1).as("t")),
+          (acc, e) => {
+            val y = e.getField("y")
+            val lNew = lit(0.3) * y + lit(0.7) * (acc.getField("l") + acc.getField("t"))
+            struct(lNew.as("l"),
+              (lit(0.1) * (lNew - acc.getField("l")) +
+                lit(0.9) * acc.getField("t")).as("t"))
+          }))
+        .select(col("flag"), size(col("arr")).cast(LongType).as("n_days"),
+          round(col("st.l"), 4).as("level"),
+          round(col("st.t"), 4).as("trend"),
+          round(col("st.l") + col("st.t"), 4).as("forecast_1"))
+        .orderBy(col("flag"))
+    },
+    Some("""WITH RECURSIVE d AS (SELECT l_returnflag AS flag,
+          epoch_us(date_trunc('day', l_shipdate)) // 86400000000 AS x,
+          CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS DOUBLE) AS y
+        FROM lineitem WHERE year(l_shipdate) = 1995 GROUP BY 1, 2),
+      r AS (SELECT flag, y, ROW_NUMBER() OVER (PARTITION BY flag ORDER BY x) AS rn,
+          COUNT(*) OVER (PARTITION BY flag) AS n
+        FROM d),
+      hw AS (
+        SELECT r2.flag, r2.rn, r2.n, r2.y,
+            r2.y AS level, r2.y - r1.y AS trend
+        FROM r r2 JOIN r r1 ON r1.flag = r2.flag AND r1.rn = 1
+        WHERE r2.rn = 2
+        UNION ALL
+        SELECT r.flag, r.rn, r.n, r.y,
+            0.3 * r.y + 0.7 * (hw.level + hw.trend) AS level,
+            0.1 * ((0.3 * r.y + 0.7 * (hw.level + hw.trend)) - hw.level)
+              + 0.9 * hw.trend AS trend
+        FROM hw JOIN r ON r.flag = hw.flag AND r.rn = hw.rn + 1)
+      SELECT flag, CAST(n AS BIGINT) AS n_days,
+        round(level, 4) AS level, round(trend, 4) AS trend,
+        round(level + trend, 4) AS forecast_1
+      FROM hw WHERE rn = n ORDER BY flag"""))
+
+  /** Bollinger-band breach census: per flag, 20-day rolling mean ±2σ
+    * on daily revenue; counts band breaches and reports the maximum
+    * |z|. The rolling mean/σ come from exact DECIMAL window sums
+    * (Σy, Σy²) so the window aggregation is order-independent; the
+    * band math is straight-line double arithmetic + IEEE-exact sqrt —
+    * no libm, bit-identical across engines.
+    *
+    * Scale shape: one partial-aggregated fact rollup, then a rolling
+    * frame window partitioned by flag on the O(days) frame.
+    */
+  val q109Bollinger: QueryDef = QueryDef("q109_bollinger",
+    (s, dir) => {
+      val wRoll = Window.partitionBy(col("flag")).orderBy(col("x"))
+        .rowsBetween(-19, 0)
+      val daily = t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag").as("flag"),
+          floor(unix_micros(date_trunc("day", col("l_shipdate"))) / lit(86400000000L))
+            .cast(LongType).as("x"))
+        .agg(sum(dec(col("l_extendedprice"))).cast(DecimalType(18, 2)).as("y"))
+      val evaluated = daily
+        .withColumn("s1", sum(col("y")).over(wRoll))
+        .withColumn("s2", sum((col("y") * col("y")).cast(DecimalType(38, 4))).over(wRoll))
+        .withColumn("nw", count(lit(1)).over(wRoll))
+        .filter(col("nw") === 20)
+        .withColumn("mean", col("s1").cast(DoubleType) / 20.0)
+        .withColumn("sd", sqrt((col("s2").cast(DoubleType) -
+          col("s1").cast(DoubleType) * col("s1").cast(DoubleType) / 20.0) / 19.0))
+        .withColumn("z", (col("y").cast(DoubleType) - col("mean")) / col("sd"))
+      evaluated.groupBy(col("flag"))
+        .agg(count(lit(1)).as("n_eval"),
+          sum(when(col("z") > 2.0, 1L).otherwise(0L)).as("n_up"),
+          sum(when(col("z") < -2.0, 1L).otherwise(0L)).as("n_down"),
+          round(max(abs(col("z"))), 6).as("max_abs_z"))
+        .orderBy(col("flag"))
+    },
+    Some("""WITH d AS (SELECT l_returnflag AS flag,
+          epoch_us(date_trunc('day', l_shipdate)) // 86400000000 AS x,
+          CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS y
+        FROM lineitem GROUP BY 1, 2),
+      w AS (SELECT flag, x, y,
+          SUM(y) OVER r AS s1,
+          SUM(CAST(y * y AS DECIMAL(38,4))) OVER r AS s2,
+          COUNT(*) OVER r AS nw
+        FROM d WINDOW r AS (PARTITION BY flag ORDER BY x
+          ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)),
+      z AS (SELECT flag,
+          (CAST(y AS DOUBLE) - CAST(s1 AS DOUBLE) / 20.0) /
+            sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / 20.0) / 19.0) AS z
+        FROM w WHERE nw = 20)
+      SELECT flag, COUNT(*) AS n_eval,
+        CAST(SUM(CASE WHEN z > 2.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_up,
+        CAST(SUM(CASE WHEN z < -2.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_down,
+        round(MAX(abs(z)), 6) AS max_abs_z
+      FROM z GROUP BY 1 ORDER BY 1"""))
+
   val all: Seq[QueryDef] = Seq(
     q1Agg, q2Filter, q3Join, q4Semi, q5Multi, q6Window, q7TopK, q8Distinct,
     q9Rollup, q10Pivot, q11Anti, q12Expr, q13Percentiles, q14Subquery,
@@ -4995,7 +5116,7 @@ object Queries {
     q95ArraySetOps, q96MapOps, q97Spearman,
     q98KaplanMeier, q99TheilSen, q100Xcorr, q101Seasonal,
     q102GeoJoin, q103Kcore, q104QuantileNorm, q105Pareto, textKeywords,
-    q106Welch, q107EventPaths,
+    q106Welch, q107EventPaths, q108Holt, q109Bollinger,
     etlMergeUpsert, etlConstraints, etlProvenance,
     graphPageRank, curateWeightedSample,
     etlUnionSources, etlValidate, etlCleanTransform, etlQualityReport,
