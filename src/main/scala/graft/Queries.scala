@@ -5091,6 +5091,150 @@ object Queries {
         round(MAX(abs(z)), 6) AS max_abs_z
       FROM z GROUP BY 1 ORDER BY 1"""))
 
+  /** Cohort LTV curve: customers cohorted by first-order month;
+    * cumulative revenue per cohort member at months-since 0..11 —
+    * q39_retention's value-weighted sibling, the curve a growth team
+    * reads before spend decisions. 1995 cohorts for a bounded grid.
+    *
+    * Scale shape: two partial-aggregated passes over orders (first
+    * order per customer; revenue per cohort×month) joined on the
+    * customer key, then the cumulative window runs on the O(cohorts ·
+    * 12) frame. Month arithmetic is integer (y·12+m) on both engines;
+    * revenue stays DECIMAL until the final per-member division.
+    */
+  val q110CohortLtv: QueryDef = QueryDef("q110_cohort_ltv",
+    (s, dir) => {
+      val o = t(s, dir, "orders")
+      val firstM = o.groupBy(col("o_custkey"))
+        .agg(min(year(col("o_orderdate")) * 12 + month(col("o_orderdate"))).as("cm"))
+        .filter(col("cm").between(1995 * 12 + 1, 1995 * 12 + 12))
+      val sizes = firstM.groupBy(col("cm")).agg(countDistinct(col("o_custkey")).as("n_cust"))
+      val rev = o.join(firstM, Seq("o_custkey"))
+        .withColumn("ms", (year(col("o_orderdate")) * 12 + month(col("o_orderdate"))) - col("cm"))
+        .filter(col("ms").between(0, 11))
+        .groupBy(col("cm"), col("ms"))
+        .agg(sum(dec(col("o_totalprice"))).cast(DecimalType(18, 2)).as("rev"))
+      val wCum = Window.partitionBy(col("cm")).orderBy(col("ms"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      rev.withColumn("cum", sum(col("rev")).over(wCum))
+        .join(broadcast(sizes), Seq("cm"))
+        .select(col("cm").as("cohort_month"), col("ms").as("months_since"),
+          col("n_cust"),
+          round(col("cum").cast(DoubleType) / col("n_cust").cast(DoubleType), 2)
+            .as("ltv_per_cust"))
+        .orderBy(col("cohort_month"), col("months_since"))
+    },
+    Some("""WITH fm AS (SELECT o_custkey,
+          MIN(year(o_orderdate) * 12 + month(o_orderdate)) AS cm
+        FROM orders GROUP BY 1),
+      fm95 AS (SELECT * FROM fm WHERE cm BETWEEN 1995*12+1 AND 1995*12+12),
+      sizes AS (SELECT cm, COUNT(DISTINCT o_custkey) AS n_cust FROM fm95 GROUP BY 1),
+      rev AS (SELECT f.cm, (year(o.o_orderdate) * 12 + month(o.o_orderdate)) - f.cm AS ms,
+          CAST(SUM(CAST(o.o_totalprice AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS rev
+        FROM orders o JOIN fm95 f USING (o_custkey)
+        WHERE (year(o.o_orderdate) * 12 + month(o.o_orderdate)) - f.cm BETWEEN 0 AND 11
+        GROUP BY 1, 2),
+      c AS (SELECT cm, ms, SUM(rev) OVER (PARTITION BY cm ORDER BY ms
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        FROM rev)
+      SELECT c.cm AS cohort_month, c.ms AS months_since, s.n_cust,
+        round(CAST(c.cum AS DOUBLE) / s.n_cust, 2) AS ltv_per_cust
+      FROM c JOIN sizes s USING (cm)
+      ORDER BY cohort_month, months_since"""))
+
+  /** Hierarchical percent-of-parent: nation revenue as a share of its
+    * region and of the world — q41_share_of_total extended to a
+    * two-level hierarchy (the drill-down report shape). Exact DECIMAL
+    * totals at every level; ratios are the only doubles.
+    *
+    * Scale shape: one fact aggregation to the O(nations) frame (dims
+    * broadcast onto the fact before the partial agg), then the parent
+    * totals are window sums ON that tiny frame — the fact is never
+    * rescanned per level.
+    */
+  val q111ShareHierarchy: QueryDef = QueryDef("q111_share_hierarchy",
+    (s, dir) => {
+      val rev = t(s, dir, "orders")
+        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(sum(dec(col("o_totalprice"))).cast(DecimalType(18, 2)).as("rev"))
+      val wRegion = Window.partitionBy(col("r_name"))
+      val wAll = Window.partitionBy()
+      rev
+        .withColumn("region_rev", sum(col("rev")).over(wRegion))
+        .withColumn("total_rev", sum(col("rev")).over(wAll))
+        .select(col("r_name"), col("n_name"),
+          col("rev").cast(DoubleType).as("rev"),
+          round(col("rev").cast(DoubleType) / col("region_rev").cast(DoubleType), 6)
+            .as("pct_of_region"),
+          round(col("region_rev").cast(DoubleType) / col("total_rev").cast(DoubleType), 6)
+            .as("region_pct_of_total"))
+        .orderBy(col("r_name"), col("n_name"))
+    },
+    Some("""WITH rev AS (SELECT r.r_name, n.n_name,
+          CAST(SUM(CAST(o.o_totalprice AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS rev
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+        GROUP BY 1, 2)
+      SELECT r_name, n_name, CAST(rev AS DOUBLE) AS rev,
+        round(CAST(rev AS DOUBLE) / CAST(SUM(rev) OVER (PARTITION BY r_name) AS DOUBLE), 6) AS pct_of_region,
+        round(CAST(SUM(rev) OVER (PARTITION BY r_name) AS DOUBLE) /
+          CAST(SUM(rev) OVER () AS DOUBLE), 6) AS region_pct_of_total
+      FROM rev ORDER BY r_name, n_name"""))
+
+  /** Vocabulary encoding — the tokenizer's last mile: map each
+    * document's tokens to ids from the top-256 corpus vocabulary
+    * (rank by count desc, token asc; 0 = OOV), preserving token
+    * order. The id sequences are what a training pipeline ships.
+    *
+    * Scale shape: the vocab is a bounded top-K (rank window over the
+    * O(vocab) aggregated frame), folded into ONE map literal row and
+    * broadcast; encoding is a map-side `transform` lookup per token —
+    * no explode, no per-token shuffle, the whole encode stays in one
+    * codegen stage. Output ships counts + the first 12 ids so the
+    * hash covers order without moving full sequences.
+    */
+  val textEncode: QueryDef = QueryDef("text_encode",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"),
+          filter(split(lower(col("text")), "[^a-z]+"), x => length(x) > 0).as("toks"))
+      val wRank = Window.orderBy(col("cnt").desc, col("tok"))
+      val vocab = docs.select(explode(col("toks")).as("tok"))
+        .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+        .withColumn("id", row_number().over(wRank))
+        .filter(col("id") <= 256)
+      val vmap = vocab.agg(
+        map_from_entries(collect_list(struct(col("tok"), col("id")))).as("m"))
+      docs.crossJoin(broadcast(vmap))
+        .select(col("doc_id"),
+          size(col("toks")).cast(LongType).as("n_tokens"),
+          transform(col("toks"), t0 => coalesce(element_at(col("m"), t0), lit(0)))
+            .as("ids"))
+        .select(col("doc_id"), col("n_tokens"),
+          size(filter(col("ids"), i => i === 0)).cast(LongType).as("n_oov"),
+          slice(col("ids"), 1, 12).as("head_ids"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH docs AS (SELECT doc_id,
+          list_filter(string_split_regex(lower(text), '[^a-z]+'), x -> length(x) > 0) AS toks
+        FROM documents),
+      tf AS (SELECT unnest(toks) AS tok FROM docs),
+      vocab AS (SELECT tok, id FROM (
+          SELECT tok, ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, tok) AS id
+          FROM tf GROUP BY tok) WHERE id <= 256),
+      vm AS (SELECT map_from_entries(list({'k': tok, 'v': id})) AS m FROM vocab),
+      enc AS (SELECT doc_id, toks,
+          [COALESCE(m[t][1], 0) for t in toks] AS ids
+        FROM docs CROSS JOIN vm)
+      SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+        CAST(len(list_filter(ids, i -> i = 0)) AS BIGINT) AS n_oov,
+        ids[1:12] AS head_ids
+      FROM enc ORDER BY doc_id"""))
+
   val all: Seq[QueryDef] = Seq(
     q1Agg, q2Filter, q3Join, q4Semi, q5Multi, q6Window, q7TopK, q8Distinct,
     q9Rollup, q10Pivot, q11Anti, q12Expr, q13Percentiles, q14Subquery,
@@ -5117,6 +5261,7 @@ object Queries {
     q98KaplanMeier, q99TheilSen, q100Xcorr, q101Seasonal,
     q102GeoJoin, q103Kcore, q104QuantileNorm, q105Pareto, textKeywords,
     q106Welch, q107EventPaths, q108Holt, q109Bollinger,
+    q110CohortLtv, q111ShareHierarchy, textEncode,
     etlMergeUpsert, etlConstraints, etlProvenance,
     graphPageRank, curateWeightedSample,
     etlUnionSources, etlValidate, etlCleanTransform, etlQualityReport,
