@@ -5235,6 +5235,126 @@ object Queries {
         ids[1:12] AS head_ids
       FROM enc ORDER BY doc_id"""))
 
+  /** Burst detection via gaps-and-islands: days whose order count
+    * exceeds 1.25× the trailing-28-day average are "hot"; consecutive
+    * hot days group into bursts (rn − hot_rn island key); report each
+    * burst's span, length, and peak. The named islands pattern — the
+    * one grouping shape (consecutive-run labeling) not covered by
+    * sessionize (time gaps) or q46 (interval sweep).
+    *
+    * Scale shape: one partial-aggregated rollup to the O(days) daily
+    * frame; trailing average, island labeling, and the burst rollup
+    * all run on that calendar-bounded frame. Counts are integers and
+    * the threshold compare is integer-vs-decimal — no float drift.
+    */
+  val q112Bursts: QueryDef = QueryDef("q112_bursts",
+    (s, dir) => {
+      val daily = t(s, dir, "orders")
+        .groupBy(floor(unix_micros(date_trunc("day", col("o_orderdate"))) / lit(86400000000L))
+          .cast(LongType).as("x"))
+        .agg(count(lit(1)).as("cnt"))
+      val wTrail = Window.orderBy(col("x")).rowsBetween(-28, -1)
+      val wOrd = Window.orderBy(col("x"))
+      val flagged = daily
+        .withColumn("trail_sum", sum(col("cnt")).over(wTrail))
+        .withColumn("trail_n", count(lit(1)).over(wTrail))
+        .filter(col("trail_n") === 28)
+        .withColumn("hot", (col("cnt") * 28).cast(DecimalType(20, 2)) >
+          (col("trail_sum") * lit(new java.math.BigDecimal("1.25")).cast(DecimalType(3, 2)))
+            .cast(DecimalType(20, 2)))
+        .withColumn("rn", row_number().over(wOrd))
+      val islands = flagged.filter(col("hot"))
+        .withColumn("hrn", row_number().over(wOrd))
+        .withColumn("island", col("rn") - col("hrn"))
+      islands.groupBy(col("island"))
+        .agg(min(col("x")).as("start_day"), max(col("x")).as("end_day"),
+          count(lit(1)).as("n_days"), max(col("cnt")).as("peak"))
+        .filter(col("n_days") >= 2)
+        .select(col("start_day"), col("end_day"), col("n_days"), col("peak"))
+        .orderBy(col("start_day"))
+    },
+    Some("""WITH d AS (SELECT epoch_us(date_trunc('day', o_orderdate)) // 86400000000 AS x,
+          COUNT(*) AS cnt
+        FROM orders GROUP BY 1),
+      f AS (SELECT x, cnt,
+          SUM(cnt) OVER (ORDER BY x ROWS BETWEEN 28 PRECEDING AND 1 PRECEDING) AS trail_sum,
+          COUNT(*) OVER (ORDER BY x ROWS BETWEEN 28 PRECEDING AND 1 PRECEDING) AS trail_n,
+          ROW_NUMBER() OVER (ORDER BY x) AS rn
+        FROM d),
+      hot AS (SELECT x, cnt, rn,
+          ROW_NUMBER() OVER (ORDER BY x) AS hrn
+        FROM f
+        WHERE trail_n = 28 AND CAST(cnt * 28 AS DECIMAL(20,2)) >
+          CAST(trail_sum * CAST(1.25 AS DECIMAL(3,2)) AS DECIMAL(20,2)))
+      SELECT MIN(x) AS start_day, MAX(x) AS end_day,
+        COUNT(*) AS n_days, MAX(cnt) AS peak
+      FROM hot GROUP BY rn - hrn HAVING COUNT(*) >= 2
+      ORDER BY start_day"""))
+
+  /** Per-label embedding centroids + cohesion: mean vector per label
+    * (64 dims), its norm, and the average cosine of members to their
+    * centroid — the cluster-quality audit a curation pipeline runs
+    * on labeled embedding shards (cf. cluster_kmeans, which LEARNS
+    * the partition; this scores a GIVEN one).
+    *
+    * Scale shape: dimension-exploded partial aggregation — (label,
+    * dim) component sums in exact DECIMAL (float components cast
+    * before summing, so the reduction is order-independent), centroid
+    * frame broadcast back for the per-vector dot products, per-vector
+    * cosines rounded then DECIMAL-averaged. Explosion is map-side;
+    * both shuffles carry only (label, dim) / (label) partials.
+    */
+  val q113LabelCentroids: QueryDef = QueryDef("q113_label_centroids",
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("label"),
+          posexplode(col("embedding")).as(Seq("dim", "v")))
+        .select(col("vec_id"), col("label"), col("dim"),
+          col("v").cast(DecimalType(16, 7)).as("v"))
+      val cent = emb.groupBy(col("label"), col("dim"))
+        .agg((sum(col("v")).cast(DoubleType) / count(lit(1)).cast(DoubleType)).as("c"))
+        .localCheckpoint(true)
+      val cnorm = cent.groupBy(col("label"))
+        .agg(sqrt(sum(round(col("c") * col("c"), 12).cast(DecimalType(24, 12)))
+          .cast(DoubleType)).as("cn"))
+      val dots = emb.join(broadcast(cent), Seq("label", "dim"))
+        .groupBy(col("vec_id"), col("label"))
+        .agg(sum(round(col("v").cast(DoubleType) * col("c"), 10).cast(DecimalType(26, 10)))
+            .cast(DoubleType).as("dot"),
+          sqrt(sum((col("v") * col("v")).cast(DecimalType(30, 14))).cast(DoubleType)).as("vn"))
+      dots.join(broadcast(cnorm), Seq("label"))
+        .select(col("label"), col("cn"),
+          round(col("dot") / (col("vn") * col("cn")), 6).cast(DecimalType(10, 6)).as("cos"))
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("n_vecs"),
+          round(max(col("cn")), 6).as("centroid_norm"),
+          round(sum(col("cos")).cast(DoubleType) / count(lit(1)).cast(DoubleType), 6)
+            .as("avg_cos_to_centroid"))
+        .orderBy(col("label"))
+    },
+    Some("""WITH e AS (SELECT vec_id, label,
+          CAST(unnest(embedding) AS DECIMAL(16,7)) AS v,
+          unnest(range(1, len(embedding) + 1)) AS dim
+        FROM embeddings),
+      cent AS (SELECT label, dim, CAST(SUM(v) AS DOUBLE) / COUNT(*) AS c
+        FROM e GROUP BY 1, 2),
+      cnorm AS (SELECT label,
+          sqrt(CAST(SUM(CAST(round(c * c, 12) AS DECIMAL(24,12))) AS DOUBLE)) AS cn
+        FROM cent GROUP BY 1),
+      dots AS (SELECT e.vec_id, e.label,
+          CAST(SUM(CAST(round(CAST(e.v AS DOUBLE) * cent.c, 10) AS DECIMAL(26,10))) AS DOUBLE) AS dot,
+          sqrt(CAST(SUM(CAST(e.v * e.v AS DECIMAL(30,14))) AS DOUBLE)) AS vn
+        FROM e JOIN cent ON e.label = cent.label AND e.dim = cent.dim
+        GROUP BY 1, 2),
+      cosd AS (SELECT d.label,
+          CAST(round(d.dot / (d.vn * c.cn), 6) AS DECIMAL(10,6)) AS cos
+        FROM dots d JOIN cnorm c USING (label))
+      SELECT label, COUNT(*) AS n_vecs,
+        round(ANY_VALUE(cn), 6) AS centroid_norm,
+        round(CAST(SUM(cos) AS DOUBLE) / COUNT(*), 6) AS avg_cos_to_centroid
+      FROM cosd JOIN cnorm USING (label)
+      GROUP BY label ORDER BY label"""))
+
   val all: Seq[QueryDef] = Seq(
     q1Agg, q2Filter, q3Join, q4Semi, q5Multi, q6Window, q7TopK, q8Distinct,
     q9Rollup, q10Pivot, q11Anti, q12Expr, q13Percentiles, q14Subquery,
@@ -5261,7 +5381,7 @@ object Queries {
     q98KaplanMeier, q99TheilSen, q100Xcorr, q101Seasonal,
     q102GeoJoin, q103Kcore, q104QuantileNorm, q105Pareto, textKeywords,
     q106Welch, q107EventPaths, q108Holt, q109Bollinger,
-    q110CohortLtv, q111ShareHierarchy, textEncode,
+    q110CohortLtv, q111ShareHierarchy, textEncode, q112Bursts, q113LabelCentroids,
     etlMergeUpsert, etlConstraints, etlProvenance,
     graphPageRank, curateWeightedSample,
     etlUnionSources, etlValidate, etlCleanTransform, etlQualityReport,
