@@ -5355,6 +5355,149 @@ object Queries {
       FROM cosd JOIN cnorm USING (label)
       GROUP BY label ORDER BY label"""))
 
+  /** Cross-source vocabulary overlap matrix: pairwise Jaccard between
+    * each source's distinct token set — the corpus diagnostic that
+    * flags near-duplicate ingestion feeds before any document-level
+    * dedup runs. Built from the inverted index (token → sources), so
+    * intersections come from co-occurrence counts, never a set × set
+    * product.
+    *
+    * Scale shape: token explosion is map-side; the distinct and both
+    * counts are partial-aggregated; the pair expansion is bounded by
+    * sources² per token. Jaccard is integer arithmetic divided once.
+    */
+  val textSourceOverlap: QueryDef = QueryDef("text_source_overlap",
+    (s, dir) => {
+      val st = t(s, dir, "documents")
+        .select(col("source"), explode(split(lower(col("text")), "[^a-z]+")).as("tok"))
+        .filter(length(col("tok")) > 0)
+        .distinct()
+        .localCheckpoint(true)
+      val sizes = st.groupBy(col("source")).agg(count(lit(1)).as("n"))
+      val inter = st.select(col("source").as("s1"), col("tok"))
+        .join(st.select(col("source").as("s2"), col("tok")), Seq("tok"))
+        .filter(col("s1") < col("s2"))
+        .groupBy(col("s1"), col("s2")).agg(count(lit(1)).as("n_inter"))
+      inter
+        .join(broadcast(sizes.select(col("source").as("s1"), col("n").as("n1"))), Seq("s1"))
+        .join(broadcast(sizes.select(col("source").as("s2"), col("n").as("n2"))), Seq("s2"))
+        .select(col("s1"), col("s2"), col("n1"), col("n2"), col("n_inter"),
+          round(col("n_inter").cast(DoubleType) /
+            (col("n1") + col("n2") - col("n_inter")).cast(DoubleType), 6).as("jaccard"))
+        .orderBy(col("s1"), col("s2"))
+    },
+    Some("""WITH st AS (SELECT DISTINCT source, tok FROM (
+          SELECT source, unnest(string_split_regex(lower(text), '[^a-z]+')) AS tok
+          FROM documents) WHERE length(tok) > 0),
+      sizes AS (SELECT source, COUNT(*) AS n FROM st GROUP BY 1),
+      inter AS (SELECT a.source AS s1, b.source AS s2, COUNT(*) AS n_inter
+        FROM st a JOIN st b ON a.tok = b.tok AND a.source < b.source
+        GROUP BY 1, 2)
+      SELECT s1, s2, z1.n AS n1, z2.n AS n2, n_inter,
+        round(CAST(n_inter AS DOUBLE) / (z1.n + z2.n - n_inter), 6) AS jaccard
+      FROM inter JOIN sizes z1 ON s1 = z1.source JOIN sizes z2 ON s2 = z2.source
+      ORDER BY s1, s2"""))
+
+  /** Positional phrase search: exact adjacent-bigram match for a
+    * probe set of 2-word phrases — the retrieval primitive BM25
+    * (bag-of-words scoring) cannot express. Bigrams are built
+    * map-side by zipping each token array with its own tail; matches
+    * are array filters — the whole per-document pass is one codegen
+    * stage, no positional index shuffle.
+    */
+  val textPhraseSearch: QueryDef = QueryDef("text_phrase_search",
+    (s, dir) => {
+      val probes = Seq("fast table", "key value", "row scan")
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"),
+          filter(split(lower(col("text")), "[^a-z]+"), x => length(x) > 0).as("toks"))
+        .withColumn("bg", zip_with(
+          slice(col("toks"), lit(1), greatest(size(col("toks")) - 1, lit(0))),
+          slice(col("toks"), lit(2), greatest(size(col("toks")) - 1, lit(0))),
+          (a0, b0) => concat(a0, lit(" "), b0)))
+      probes.map { p =>
+        docs.select(
+            size(filter(col("bg"), x => x === p)).cast(LongType).as("n_occ"))
+          .agg(sum(when(col("n_occ") > 0, 1L).otherwise(0L)).as("n_docs"),
+            sum(col("n_occ")).as("n_occurrences"))
+          .select(lit(p).as("phrase"), col("n_docs"), col("n_occurrences"))
+      }.reduce(_ unionAll _).orderBy(col("phrase"))
+    },
+    Some("""WITH docs AS (SELECT doc_id,
+          list_filter(string_split_regex(lower(text), '[^a-z]+'), x -> length(x) > 0) AS toks
+        FROM documents),
+      bg AS (SELECT doc_id,
+          [toks[i] || ' ' || toks[i+1] for i in range(1, len(toks))] AS bg
+        FROM docs),
+      probes AS (SELECT unnest(['fast table', 'key value', 'row scan']) AS phrase),
+      m AS (SELECT p.phrase,
+          CAST(len(list_filter(b.bg, x -> x = p.phrase)) AS BIGINT) AS n_occ
+        FROM bg b CROSS JOIN probes p)
+      SELECT phrase,
+        CAST(SUM(CASE WHEN n_occ > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_docs,
+        CAST(SUM(n_occ) AS BIGINT) AS n_occurrences
+      FROM m GROUP BY 1 ORDER BY phrase"""))
+
+  /** Referential-integrity orphan census: every foreign-key edge of
+    * the star schema anti-joined in one report — the data-contract
+    * gate a warehouse runs after each load (the reference validates
+    * per-record fields; this validates BETWEEN tables).
+    *
+    * Scale shape: each edge is one left-anti join with the dim side
+    * broadcast (or shuffled when fact-sized); counts partial-agg.
+    * The 6-row report unions 1-row aggregates.
+    */
+  val etlRefIntegrity: QueryDef = QueryDef("etl_ref_integrity",
+    (s, dir) => {
+      def edge(name: String, fact: DataFrame, fk: String,
+          dim: DataFrame, pk: String): DataFrame = {
+        val orphans = fact.select(col(fk).as("k"))
+          .join(broadcast(dim.select(col(pk).as("k"))), Seq("k"), "left_anti")
+        fact.agg(count(lit(1)).as("n_rows"))
+          .crossJoin(orphans.agg(count(lit(1)).as("n_orphans")))
+          .select(lit(name).as("fk_edge"), col("n_rows"), col("n_orphans"))
+      }
+      Seq(
+        edge("lineitem.l_orderkey->orders", t(s, dir, "lineitem"), "l_orderkey",
+          t(s, dir, "orders"), "o_orderkey"),
+        edge("lineitem.l_partkey->part", t(s, dir, "lineitem"), "l_partkey",
+          t(s, dir, "part"), "p_partkey"),
+        edge("lineitem.l_suppkey->supplier", t(s, dir, "lineitem"), "l_suppkey",
+          t(s, dir, "supplier"), "s_suppkey"),
+        edge("orders.o_custkey->customer", t(s, dir, "orders"), "o_custkey",
+          t(s, dir, "customer"), "c_custkey"),
+        edge("customer.c_nationkey->nation", t(s, dir, "customer"), "c_nationkey",
+          t(s, dir, "nation"), "n_nationkey"),
+        edge("nation.n_regionkey->region", t(s, dir, "nation"), "n_regionkey",
+          t(s, dir, "region"), "r_regionkey")
+      ).reduce(_ unionAll _).orderBy(col("fk_edge"))
+    },
+    Some("""SELECT 'lineitem.l_orderkey->orders' AS fk_edge,
+        (SELECT COUNT(*) FROM lineitem) AS n_rows,
+        (SELECT COUNT(*) FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+          WHERE o.o_orderkey IS NULL) AS n_orphans
+      UNION ALL SELECT 'lineitem.l_partkey->part',
+        (SELECT COUNT(*) FROM lineitem),
+        (SELECT COUNT(*) FROM lineitem l LEFT JOIN part p ON l.l_partkey = p.p_partkey
+          WHERE p.p_partkey IS NULL)
+      UNION ALL SELECT 'lineitem.l_suppkey->supplier',
+        (SELECT COUNT(*) FROM lineitem),
+        (SELECT COUNT(*) FROM lineitem l LEFT JOIN supplier s ON l.l_suppkey = s.s_suppkey
+          WHERE s.s_suppkey IS NULL)
+      UNION ALL SELECT 'orders.o_custkey->customer',
+        (SELECT COUNT(*) FROM orders),
+        (SELECT COUNT(*) FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+          WHERE c.c_custkey IS NULL)
+      UNION ALL SELECT 'customer.c_nationkey->nation',
+        (SELECT COUNT(*) FROM customer),
+        (SELECT COUNT(*) FROM customer c LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+          WHERE n.n_nationkey IS NULL)
+      UNION ALL SELECT 'nation.n_regionkey->region',
+        (SELECT COUNT(*) FROM nation),
+        (SELECT COUNT(*) FROM nation n LEFT JOIN region r ON n.n_regionkey = r.r_regionkey
+          WHERE r.r_regionkey IS NULL)
+      ORDER BY fk_edge"""))
+
   val all: Seq[QueryDef] = Seq(
     q1Agg, q2Filter, q3Join, q4Semi, q5Multi, q6Window, q7TopK, q8Distinct,
     q9Rollup, q10Pivot, q11Anti, q12Expr, q13Percentiles, q14Subquery,
@@ -5382,6 +5525,7 @@ object Queries {
     q102GeoJoin, q103Kcore, q104QuantileNorm, q105Pareto, textKeywords,
     q106Welch, q107EventPaths, q108Holt, q109Bollinger,
     q110CohortLtv, q111ShareHierarchy, textEncode, q112Bursts, q113LabelCentroids,
+    textSourceOverlap, textPhraseSearch, etlRefIntegrity,
     etlMergeUpsert, etlConstraints, etlProvenance,
     graphPageRank, curateWeightedSample,
     etlUnionSources, etlValidate, etlCleanTransform, etlQualityReport,
