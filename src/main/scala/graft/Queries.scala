@@ -5498,6 +5498,70 @@ object Queries {
           WHERE r.r_regionkey IS NULL)
       ORDER BY fk_edge"""))
 
+  /** Interval-overlap join via cell blocking: user sessions (30-min
+    * gap sessionization) joined to the calendar-week grid they
+    * overlap — interval × interval overlap, the join class beyond
+    * q20's point-in-band range join. Each session explodes to the
+    * week cells its span covers (≥1, usually 1–2), the join is a
+    * plain hash join on the cell index, and because cells align to
+    * the week grid every (session, week) pair arises exactly once —
+    * no dedup pass. The ORACLE is the naive overlap-predicate join,
+    * so the hash match proves the blocking is lossless.
+    *
+    * Scale shape: sessionization is per-user windows (high
+    * cardinality); the cell explode is map-side and bounded by span;
+    * the join shuffles on the cell key — no BroadcastNestedLoopJoin
+    * anywhere (the naive form plans one). All boundary arithmetic is
+    * integer epoch-microseconds — no timezone, no floats.
+    */
+  val q114IntervalJoin: QueryDef = QueryDef("q114_interval_join",
+    (s, dir) => {
+      val usWeek = 7L * 86400000000L
+      val ev = t(s, dir, "events")
+        .select(col("user_id"), unix_micros(col("ts")).as("us"),
+          col("event_id"))
+      val marked = ev
+        .withColumn("prev", lag(col("us"), 1).over(
+          Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))))
+        .withColumn("brk", when(col("prev").isNull ||
+          col("us") - col("prev") > 30L * 60L * 1000000L, 1L).otherwise(0L))
+        .withColumn("sid", sum(col("brk")).over(
+          Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+            .rowsBetween(Window.unboundedPreceding, 0)))
+      val sess = marked.groupBy(col("user_id"), col("sid"))
+        .agg(min(col("us")).as("s_start"), max(col("us")).as("s_end"))
+      val cells = sess.select(col("user_id"), col("sid"), col("s_start"), col("s_end"),
+        explode(sequence(floor(col("s_start") / usWeek).cast(LongType),
+          floor(col("s_end") / usWeek).cast(LongType))).as("week"))
+      cells
+        .withColumn("w_start", col("week") * usWeek)
+        .filter(col("s_end") >= col("w_start") &&
+          col("s_start") < col("w_start") + usWeek)
+        .groupBy(col("week"))
+        .agg(count(lit(1)).as("n_sessions"))
+        .select((col("week") * 7).as("week_start_day"), col("n_sessions"))
+        .orderBy(col("week_start_day"))
+    },
+    Some("""WITH ev AS (SELECT user_id, epoch_us(ts) AS us, event_id FROM events),
+      marked AS (SELECT user_id, us,
+          CASE WHEN lag(us, 1) OVER w IS NULL
+            OR us - lag(us, 1) OVER w > 30 * 60 * 1000000 THEN 1 ELSE 0 END AS brk
+        FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+      sid AS (SELECT user_id, us,
+          SUM(brk) OVER (PARTITION BY user_id ORDER BY us
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        FROM marked),
+      sess AS (SELECT user_id, sid, MIN(us) AS s_start, MAX(us) AS s_end
+        FROM sid GROUP BY 1, 2),
+      bounds AS (SELECT MIN(s_start) // (7*86400000000) AS w_lo,
+          MAX(s_end) // (7*86400000000) AS w_hi FROM sess),
+      weeks AS (SELECT unnest(generate_series(w_lo, w_hi)) AS week FROM bounds),
+      pairs AS (SELECT w.week FROM sess s JOIN weeks w
+        ON s.s_end >= w.week * 7 * 86400000000
+        AND s.s_start < (w.week + 1) * 7 * 86400000000)
+      SELECT week * 7 AS week_start_day, COUNT(*) AS n_sessions
+      FROM pairs GROUP BY 1 ORDER BY 1"""))
+
   val all: Seq[QueryDef] = Seq(
     q1Agg, q2Filter, q3Join, q4Semi, q5Multi, q6Window, q7TopK, q8Distinct,
     q9Rollup, q10Pivot, q11Anti, q12Expr, q13Percentiles, q14Subquery,
@@ -5525,7 +5589,7 @@ object Queries {
     q102GeoJoin, q103Kcore, q104QuantileNorm, q105Pareto, textKeywords,
     q106Welch, q107EventPaths, q108Holt, q109Bollinger,
     q110CohortLtv, q111ShareHierarchy, textEncode, q112Bursts, q113LabelCentroids,
-    textSourceOverlap, textPhraseSearch, etlRefIntegrity,
+    textSourceOverlap, textPhraseSearch, etlRefIntegrity, q114IntervalJoin,
     etlMergeUpsert, etlConstraints, etlProvenance,
     graphPageRank, curateWeightedSample,
     etlUnionSources, etlValidate, etlCleanTransform, etlQualityReport,
