@@ -5562,6 +5562,58 @@ object Queries {
       SELECT week * 7 AS week_start_day, COUNT(*) AS n_sessions
       FROM pairs GROUP BY 1 ORDER BY 1"""))
 
+  /** Weekly growth accounting: every active user classified as NEW
+    * (first-ever week), RETAINED (also active the prior week), or
+    * RESURRECTED (returning after a gap); churn falls out as
+    * active(w−1) − retained(w). The DAU/WAU decomposition a growth
+    * team reads before retention work — q39_retention's
+    * whole-population, per-period sibling.
+    *
+    * Scale shape: one distinct to (user, week), per-user lag + min
+    * windows (high-cardinality partitions), one partial-agg rollup to
+    * the O(weeks) frame where the churn lag runs. All integer
+    * arithmetic on epoch-week indexes.
+    */
+  val q115GrowthAccounting: QueryDef = QueryDef("q115_growth_accounting",
+    (s, dir) => {
+      val uw = t(s, dir, "events")
+        .select(col("user_id"),
+          (floor(unix_micros(col("ts")) / lit(86400000000L)).cast(LongType) / 7L)
+            .cast(LongType).as("week"))
+        .distinct()
+      val wU = Window.partitionBy(col("user_id")).orderBy(col("week"))
+      val classified = uw
+        .withColumn("prevw", lag(col("week"), 1).over(wU))
+        .withColumn("cls", when(col("prevw").isNull, "new")
+          .when(col("prevw") === col("week") - 1, "retained")
+          .otherwise("resurrected"))
+      val weekly = classified.groupBy(col("week"))
+        .agg(count(lit(1)).as("n_active"),
+          sum(when(col("cls") === "new", 1L).otherwise(0L)).as("n_new"),
+          sum(when(col("cls") === "retained", 1L).otherwise(0L)).as("n_retained"),
+          sum(when(col("cls") === "resurrected", 1L).otherwise(0L)).as("n_resurrected"))
+      val wOrd = Window.orderBy(col("week"))
+      weekly
+        .withColumn("n_churned_from_prev",
+          coalesce(lag(col("n_active"), 1).over(wOrd) - col("n_retained"), lit(0L)))
+        .orderBy(col("week"))
+    },
+    Some("""WITH uw AS (SELECT DISTINCT user_id,
+          (epoch_us(ts) // 86400000000) // 7 AS week
+        FROM events),
+      c AS (SELECT user_id, week,
+          lag(week, 1) OVER (PARTITION BY user_id ORDER BY week) AS prevw
+        FROM uw),
+      weekly AS (SELECT week, COUNT(*) AS n_active,
+          CAST(SUM(CASE WHEN prevw IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+          CAST(SUM(CASE WHEN prevw = week - 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_retained,
+          CAST(SUM(CASE WHEN prevw IS NOT NULL AND prevw <> week - 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_resurrected
+        FROM c GROUP BY 1)
+      SELECT week, n_active, n_new, n_retained, n_resurrected,
+        CAST(COALESCE(lag(n_active, 1) OVER (ORDER BY week) - n_retained, 0) AS BIGINT)
+          AS n_churned_from_prev
+      FROM weekly ORDER BY week"""))
+
   val all: Seq[QueryDef] = Seq(
     q1Agg, q2Filter, q3Join, q4Semi, q5Multi, q6Window, q7TopK, q8Distinct,
     q9Rollup, q10Pivot, q11Anti, q12Expr, q13Percentiles, q14Subquery,
@@ -5590,6 +5642,7 @@ object Queries {
     q106Welch, q107EventPaths, q108Holt, q109Bollinger,
     q110CohortLtv, q111ShareHierarchy, textEncode, q112Bursts, q113LabelCentroids,
     textSourceOverlap, textPhraseSearch, etlRefIntegrity, q114IntervalJoin,
+    q115GrowthAccounting,
     etlMergeUpsert, etlConstraints, etlProvenance,
     graphPageRank, curateWeightedSample,
     etlUnionSources, etlValidate, etlCleanTransform, etlQualityReport,
