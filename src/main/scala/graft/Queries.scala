@@ -5614,6 +5614,145 @@ object Queries {
           AS n_churned_from_prev
       FROM weekly ORDER BY week"""))
 
+  /** Golden-record survivorship: prefix-fingerprint duplicate
+    * clusters merged into ONE survivor per cluster with field rules —
+    * keep the smallest doc_id as the record id, the longest raw text,
+    * the modal language (ties → lexicographic), and the full sorted
+    * source provenance. The MDM completion of dedup: not just
+    * DROPPING duplicates (dedup_exact) but CONSTRUCTING the merged
+    * record.
+    *
+    * Scale shape: one partial-aggregated groupBy on the normalized
+    * digest; every field rule is an order-independent aggregate
+    * (struct-max argmax for longest-text, count-max for modal lang —
+    * two agg passes joined back, both keyed on the digest).
+    */
+  val q116Survivorship: QueryDef = QueryDef("q116_survivorship",
+    (s, dir) => {
+      val base = t(s, dir, "documents")
+        .select(col("doc_id"), col("text"), col("lang"), col("source"), col("n_chars"),
+          // cluster key: 8-token prefix fingerprint (the blocking key a
+          // fuzzy matcher emits; exact-text keys find nothing in a
+          // corpus with no byte-identical dupes)
+          md5(concat_ws(" ", slice(
+            filter(split(lower(col("text")), "[^a-z]+"), x => length(x) > 0),
+            1, 8)).cast(BinaryType)).as("ck"))
+      val lang = base.groupBy(col("ck"), col("lang")).agg(count(lit(1)).as("n"))
+        .groupBy(col("ck"))
+        .agg(max(struct(col("n"), col("lang"))).as("m"))
+        .select(col("ck"), col("m.lang").as("modal_lang"))
+      val merged = base.groupBy(col("ck"))
+        .agg(count(lit(1)).as("n_members"),
+          min(col("doc_id")).as("survivor_id"),
+          max(struct(length(col("text")).as("len"),
+            (-col("doc_id")).as("tie"), col("text"))).as("best"),
+          array_sort(collect_set(col("source"))).as("sources"))
+      merged.join(lang, Seq("ck"))
+        .filter(col("n_members") >= 2)
+        .select(col("survivor_id"), col("n_members"),
+          length(col("best.text")).cast(LongType).as("text_len"),
+          col("modal_lang"), col("sources"))
+        .orderBy(col("survivor_id"))
+    },
+    Some("""WITH base AS (SELECT doc_id, text, lang, source,
+          md5(array_to_string(
+            list_filter(string_split_regex(lower(text), '[^a-z]+'),
+              x -> length(x) > 0)[1:8], ' ')) AS ck
+        FROM documents),
+      lang AS (SELECT ck, lang AS modal_lang FROM (
+          SELECT ck, lang, ROW_NUMBER() OVER (PARTITION BY ck
+            ORDER BY COUNT(*) DESC, lang DESC) AS rn
+          FROM base GROUP BY ck, lang) WHERE rn = 1),
+      best AS (SELECT ck, text FROM (
+          SELECT ck, text, ROW_NUMBER() OVER (PARTITION BY ck
+            ORDER BY length(text) DESC, doc_id ASC) AS rn
+          FROM base) WHERE rn = 1),
+      merged AS (SELECT ck, COUNT(*) AS n_members, MIN(doc_id) AS survivor_id,
+          list_sort(list_distinct(list(source))) AS sources
+        FROM base GROUP BY ck)
+      SELECT m.survivor_id, m.n_members,
+        CAST(length(b.text) AS BIGINT) AS text_len,
+        l.modal_lang, m.sources
+      FROM merged m JOIN lang l USING (ck) JOIN best b USING (ck)
+      WHERE m.n_members >= 2 ORDER BY m.survivor_id"""))
+
+  /** Decile lift / gains table: customers ranked by account balance
+    * (the model score stand-in), cut into scoring deciles; per decile
+    * the positive rate (customers with ≥5 orders), cumulative capture
+    * of all positives, and lift over the base rate — the model-eval
+    * artifact every targeting pipeline emits.
+    *
+    * Scale shape: the label join is a partial-aggregated count per
+    * customer; the GLOBAL rank comes from the bin+offset pattern
+    * (1024 score bins, cumulative bin offsets on the tiny bin frame,
+    * in-bin row_number partitioned BY BIN) — never a single-partition
+    * window over the customer frame; the decile is the uniform cut
+    * ⌊(r−1)·10/n⌋+1 computed identically in the oracle. Cumulative
+    * capture is a window on the 10-row decile frame; totals ride as
+    * broadcast 1-row frames.
+    */
+  val q117LiftTable: QueryDef = QueryDef("q117_lift_table",
+    (s, dir) => {
+      val orderCounts = t(s, dir, "orders")
+        .groupBy(col("o_custkey")).agg(count(lit(1)).as("n_orders"))
+      val scored = t(s, dir, "customer")
+        .join(orderCounts, col("c_custkey") === col("o_custkey"), "left")
+        .select(col("c_custkey"), dec(col("c_acctbal")).as("score"),
+          (coalesce(col("n_orders"), lit(0L)) >= 5).as("pos"))
+        .localCheckpoint(true)
+      // global rank without a global sort: score-binned offsets +
+      // in-bin row_number (the q97/q94 pattern, descending by score)
+      val bounds = scored.agg(min(col("score")).as("lo"), max(col("score")).as("hi"),
+        count(lit(1)).as("n_all"))
+      val binned = scored.crossJoin(broadcast(bounds))
+        .withColumn("bin", least(greatest(floor(
+            (col("hi") - col("score")).cast(DoubleType) /
+              ((col("hi") - col("lo")).cast(DoubleType) / 1024.0 + 1e-9))
+          .cast(LongType), lit(0L)), lit(1023L)))
+      val wBins = Window.orderBy(col("bin")).rowsBetween(Window.unboundedPreceding, -1)
+      val offs = binned.groupBy(col("bin")).agg(count(lit(1)).as("bn"))
+        .withColumn("boff", coalesce(sum(col("bn")).over(wBins), lit(0L)))
+        .select(col("bin"), col("boff"))
+      val wIn = Window.partitionBy(col("bin"))
+        .orderBy(col("score").desc, col("c_custkey"))
+      val deciles = binned.join(broadcast(offs), Seq("bin"))
+        .withColumn("r", col("boff") + row_number().over(wIn))
+        // exact integer floor division (long `/` would round through
+        // double and can land on the wrong side of a decile boundary)
+        .withColumn("decile", expr("((r - 1) * 10) div n_all") + 1)
+        .groupBy(col("decile"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("pos"), 1L).otherwise(0L)).as("n_pos"))
+      val totals = deciles.agg(sum(col("n")).as("nt"), sum(col("n_pos")).as("pt"))
+      val wCum = Window.orderBy(col("decile")).rowsBetween(Window.unboundedPreceding, 0)
+      deciles.crossJoin(broadcast(totals))
+        .withColumn("cum_pos", sum(col("n_pos")).over(wCum))
+        .select(col("decile"), col("n"), col("n_pos"),
+          round(col("n_pos").cast(DoubleType) / col("n").cast(DoubleType), 6).as("pos_rate"),
+          round(col("cum_pos").cast(DoubleType) / col("pt").cast(DoubleType), 6).as("cum_capture"),
+          round((col("n_pos").cast(DoubleType) / col("n").cast(DoubleType)) /
+            (col("pt").cast(DoubleType) / col("nt").cast(DoubleType)), 6).as("lift"))
+        .orderBy(col("decile"))
+    },
+    Some("""WITH oc AS (SELECT o_custkey, COUNT(*) AS n_orders FROM orders GROUP BY 1),
+      scored AS (SELECT c_custkey, CAST(c_acctbal AS DECIMAL(12,2)) AS score,
+          COALESCE(n_orders, 0) >= 5 AS pos
+        FROM customer LEFT JOIN oc ON c_custkey = o_custkey),
+      r AS (SELECT pos, ROW_NUMBER() OVER (ORDER BY score DESC, c_custkey) AS r,
+          COUNT(*) OVER () AS n_all
+        FROM scored),
+      d AS (SELECT ((r - 1) * 10) // n_all + 1 AS decile, pos FROM r),
+      agg AS (SELECT decile, COUNT(*) AS n,
+          CAST(SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS n_pos
+        FROM d GROUP BY 1),
+      tot AS (SELECT CAST(SUM(n) AS BIGINT) AS nt, CAST(SUM(n_pos) AS BIGINT) AS pt FROM agg)
+      SELECT decile, n, n_pos,
+        round(CAST(n_pos AS DOUBLE) / n, 6) AS pos_rate,
+        round(CAST(SUM(n_pos) OVER (ORDER BY decile
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) / pt, 6) AS cum_capture,
+        round((CAST(n_pos AS DOUBLE) / n) / (CAST(pt AS DOUBLE) / nt), 6) AS lift
+      FROM agg CROSS JOIN tot ORDER BY decile"""))
+
   val all: Seq[QueryDef] = Seq(
     q1Agg, q2Filter, q3Join, q4Semi, q5Multi, q6Window, q7TopK, q8Distinct,
     q9Rollup, q10Pivot, q11Anti, q12Expr, q13Percentiles, q14Subquery,
@@ -5642,7 +5781,7 @@ object Queries {
     q106Welch, q107EventPaths, q108Holt, q109Bollinger,
     q110CohortLtv, q111ShareHierarchy, textEncode, q112Bursts, q113LabelCentroids,
     textSourceOverlap, textPhraseSearch, etlRefIntegrity, q114IntervalJoin,
-    q115GrowthAccounting,
+    q115GrowthAccounting, q116Survivorship, q117LiftTable,
     etlMergeUpsert, etlConstraints, etlProvenance,
     graphPageRank, curateWeightedSample,
     etlUnionSources, etlValidate, etlCleanTransform, etlQualityReport,
