@@ -5753,6 +5753,63 @@ object Queries {
         round((CAST(n_pos AS DOUBLE) / n) / (CAST(pt AS DOUBLE) / nt), 6) AS lift
       FROM agg CROSS JOIN tot ORDER BY decile"""))
 
+  /** Step-windowed funnel: signup → click (≤7 days after signup) →
+    * purchase (≤7 days after that click), each step the EARLIEST
+    * qualifying event — the constrained funnel a product team ships
+    * (q38 counts unconstrained order, q64 measures latency; this
+    * enforces per-step deadlines). Reports per-step user counts and
+    * conversion rates.
+    *
+    * Scale shape: three partial-aggregated min-reductions over the
+    * fact keyed by user (each step's earliest qualifying timestamp
+    * conditions on the previous step's — two broadcast-eligible
+    * O(users) join-backs), then a 1-row rollup. Integer-µs deadline
+    * arithmetic.
+    */
+  val q118FunnelWindow: QueryDef = QueryDef("q118_funnel_window",
+    (s, dir) => {
+      val usWeek = 7L * 86400000000L
+      val ev = t(s, dir, "events")
+        .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+      val s1 = ev.filter(col("event_type") === "signup")
+        .groupBy(col("user_id")).agg(min(col("us")).as("t1"))
+      val s2 = ev.filter(col("event_type") === "click")
+        .join(s1, Seq("user_id"))
+        .filter(col("us") >= col("t1") && col("us") <= col("t1") + usWeek)
+        .groupBy(col("user_id")).agg(min(col("us")).as("t2"))
+      val s3 = ev.filter(col("event_type") === "purchase")
+        .join(s2, Seq("user_id"))
+        .filter(col("us") >= col("t2") && col("us") <= col("t2") + usWeek)
+        .groupBy(col("user_id")).agg(min(col("us")).as("t3"))
+      val n1 = s1.agg(count(lit(1)).as("n_signup"))
+      val n2 = s2.agg(count(lit(1)).as("n_click_7d"))
+      val n3 = s3.agg(count(lit(1)).as("n_purchase_7d"))
+      n1.crossJoin(n2).crossJoin(n3)
+        .select(col("n_signup"), col("n_click_7d"), col("n_purchase_7d"),
+          round(col("n_click_7d").cast(DoubleType) /
+            col("n_signup").cast(DoubleType), 6).as("cr_step1"),
+          round(col("n_purchase_7d").cast(DoubleType) /
+            col("n_click_7d").cast(DoubleType), 6).as("cr_step2"),
+          round(col("n_purchase_7d").cast(DoubleType) /
+            col("n_signup").cast(DoubleType), 6).as("cr_total"))
+    },
+    Some("""WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+      s1 AS (SELECT user_id, MIN(us) AS t1 FROM ev WHERE event_type = 'signup' GROUP BY 1),
+      s2 AS (SELECT e.user_id, MIN(e.us) AS t2
+        FROM ev e JOIN s1 USING (user_id)
+        WHERE e.event_type = 'click' AND e.us >= t1 AND e.us <= t1 + 7*86400000000
+        GROUP BY 1),
+      s3 AS (SELECT e.user_id, MIN(e.us) AS t3
+        FROM ev e JOIN s2 USING (user_id)
+        WHERE e.event_type = 'purchase' AND e.us >= t2 AND e.us <= t2 + 7*86400000000
+        GROUP BY 1)
+      SELECT (SELECT COUNT(*) FROM s1) AS n_signup,
+        (SELECT COUNT(*) FROM s2) AS n_click_7d,
+        (SELECT COUNT(*) FROM s3) AS n_purchase_7d,
+        round(CAST((SELECT COUNT(*) FROM s2) AS DOUBLE) / (SELECT COUNT(*) FROM s1), 6) AS cr_step1,
+        round(CAST((SELECT COUNT(*) FROM s3) AS DOUBLE) / (SELECT COUNT(*) FROM s2), 6) AS cr_step2,
+        round(CAST((SELECT COUNT(*) FROM s3) AS DOUBLE) / (SELECT COUNT(*) FROM s1), 6) AS cr_total"""))
+
   val all: Seq[QueryDef] = Seq(
     q1Agg, q2Filter, q3Join, q4Semi, q5Multi, q6Window, q7TopK, q8Distinct,
     q9Rollup, q10Pivot, q11Anti, q12Expr, q13Percentiles, q14Subquery,
@@ -5781,7 +5838,7 @@ object Queries {
     q106Welch, q107EventPaths, q108Holt, q109Bollinger,
     q110CohortLtv, q111ShareHierarchy, textEncode, q112Bursts, q113LabelCentroids,
     textSourceOverlap, textPhraseSearch, etlRefIntegrity, q114IntervalJoin,
-    q115GrowthAccounting, q116Survivorship, q117LiftTable,
+    q115GrowthAccounting, q116Survivorship, q117LiftTable, q118FunnelWindow,
     etlMergeUpsert, etlConstraints, etlProvenance,
     graphPageRank, curateWeightedSample,
     etlUnionSources, etlValidate, etlCleanTransform, etlQualityReport,
