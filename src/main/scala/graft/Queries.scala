@@ -2,6 +2,7 @@ package graft
 
 import graft.functions.vector
 import graft.operators._
+import graft.plans.TopKPlan
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -5810,6 +5811,32 @@ object Queries {
         round(CAST((SELECT COUNT(*) FROM s3) AS DOUBLE) / (SELECT COUNT(*) FROM s2), 6) AS cr_step2,
         round(CAST((SELECT COUNT(*) FROM s3) AS DOUBLE) / (SELECT COUNT(*) FROM s1), 6) AS cr_total"""))
 
+  /** NATIVE grouped top-k (plans.GroupedTopK → GraftStrategy →
+    * GroupedTopKExec): top-3 orders per priority by (price DESC, key
+    * ASC tie-break, encoded as struct(price, −key)) — the second
+    * whole-operator Catalyst extension beside the native as-of join.
+    * One pass, one hash exchange, a bounded k-heap per group instead
+    * of the Window form's full per-group sort; the oracle is the
+    * row_number SQL, so the hash match proves operator semantics.
+    * Differential + plan + null specs in TopKPlanSpec.
+    */
+  val q119TopkNative: QueryDef = QueryDef("q119_topk_native",
+    (s, dir) => TopKPlan.topKPerGroup(
+        t(s, dir, "orders"),
+        Seq("o_orderpriority"),
+        struct(dec(col("o_totalprice")), -col("o_orderkey")), k = 3)
+      .select(col("o_orderpriority"), col("o_orderkey"),
+        dec(col("o_totalprice")).cast(DoubleType).as("price"))
+      .orderBy(col("o_orderpriority"), col("price").desc, col("o_orderkey")),
+    Some("""SELECT o_orderpriority, o_orderkey,
+        CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS price
+      FROM (SELECT o_orderpriority, o_orderkey, o_totalprice,
+          ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+            ORDER BY CAST(o_totalprice AS DECIMAL(12,2)) DESC, o_orderkey) AS rn
+        FROM orders)
+      WHERE rn <= 3
+      ORDER BY o_orderpriority, price DESC, o_orderkey"""))
+
   val all: Seq[QueryDef] = Seq(
     q1Agg, q2Filter, q3Join, q4Semi, q5Multi, q6Window, q7TopK, q8Distinct,
     q9Rollup, q10Pivot, q11Anti, q12Expr, q13Percentiles, q14Subquery,
@@ -5839,6 +5866,7 @@ object Queries {
     q110CohortLtv, q111ShareHierarchy, textEncode, q112Bursts, q113LabelCentroids,
     textSourceOverlap, textPhraseSearch, etlRefIntegrity, q114IntervalJoin,
     q115GrowthAccounting, q116Survivorship, q117LiftTable, q118FunnelWindow,
+    q119TopkNative,
     etlMergeUpsert, etlConstraints, etlProvenance,
     graphPageRank, curateWeightedSample,
     etlUnionSources, etlValidate, etlCleanTransform, etlQualityReport,

@@ -159,11 +159,13 @@ final case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
     copy(left = newLeft, right = newRight)
 }
 
-/** Planner strategy: AsOfJoin logical → AsOfJoinExec physical. */
+/** Planner strategy for graft's custom logical nodes. */
 object GraftStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case AsOfJoin(l, r, lk, lt, rk, rt, tol) =>
       AsOfJoinExec(planLater(l), planLater(r), lk, lt, rk, rt, tol) :: Nil
+    case GroupedTopK(c, g, o, k) =>
+      GroupedTopKExec(planLater(c), g, o, k) :: Nil
     case _ => Nil
   }
 }

@@ -1,0 +1,57 @@
+package graft
+
+import graft.plans.TopKPlan
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+class TopKPlanSpec extends SparkSpec {
+
+  private lazy val orders = Tables(spark, sf("any"), "orders")
+
+  private def windowForm(k: Int) = {
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    orders.withColumn("rn", row_number().over(w)).filter(col("rn") <= k).drop("rn")
+  }
+
+  private def nativeForm(k: Int) =
+    TopKPlan.topKPerGroup(orders, Seq("o_orderpriority"),
+      struct(col("o_totalprice"), -col("o_orderkey")), k)
+
+  test("native grouped top-k matches the window row_number form for several k") {
+    for (k <- Seq(1, 3, 10)) {
+      val expected = windowForm(k)
+        .select("o_orderkey", "o_orderpriority", "o_totalprice")
+        .collect().map(_.toString).sorted
+      val got = nativeForm(k)
+        .select("o_orderkey", "o_orderpriority", "o_totalprice")
+        .collect().map(_.toString).sorted
+      assert(got.toSeq == expected.toSeq, s"k=$k: ${got.length} vs ${expected.length}")
+    }
+  }
+
+  test("plan contains GroupedTopKExec and exactly one hash exchange, no sort") {
+    val p = nativeForm(3).queryExecution.executedPlan.toString
+    assert(p.contains("GroupedTopK"), p)
+    // count only the operator's own (ENSURE_REQUIREMENTS) exchange —
+    // the cached table's one-time localSpread build also renders one
+    assert("ENSURE_REQUIREMENTS".r.findAllIn(p).size == 1, p)
+    assert(!p.contains("Sort ["), s"bounded heap must not plan a sort:\n$p")
+  }
+
+  test("rows with a null order value are dropped") {
+    import spark.implicits._
+    val df = Seq((1L, "a", Some(5.0)), (2L, "a", None), (3L, "a", Some(1.0)))
+      .toDF("id", "g", "v")
+    val got = TopKPlan.topKPerGroup(df, Seq("g"), struct(col("v"), -col("id")), 2)
+      .select("id").as[Long].collect().sorted
+    assert(got.toSeq == Seq(1L, 3L), got.toSeq.toString)
+  }
+
+  test("groups smaller than k keep all their rows") {
+    import spark.implicits._
+    val df = Seq((1L, "a", 1.0), (2L, "b", 2.0)).toDF("id", "g", "v")
+    val got = TopKPlan.topKPerGroup(df, Seq("g"), col("v"), 5)
+    assert(got.count() == 2)
+  }
+}
