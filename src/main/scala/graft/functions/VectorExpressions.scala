@@ -157,5 +157,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         args(1).eval().toString)))
     // whole-operator extension: AsOfJoin logical node → AsOfJoinExec
     ext.injectPlannerStrategy(_ => graft.plans.GraftStrategy)
+    ext.injectOptimizerRule(_ => graft.plans.TopKRewriteRule)
   }
 }

@@ -164,8 +164,8 @@ object GraftStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case AsOfJoin(l, r, lk, lt, rk, rt, tol) =>
       AsOfJoinExec(planLater(l), planLater(r), lk, lt, rk, rt, tol) :: Nil
-    case GroupedTopK(c, g, o, k) =>
-      GroupedTopKExec(planLater(c), g, o, k) :: Nil
+    case GroupedTopK(c, g, o, k, sm) =>
+      GroupedTopKExec(planLater(c), g, o, k, sm) :: Nil
     case _ => Nil
   }
 }

@@ -31,7 +31,8 @@ import org.apache.spark.sql.functions.col
   * reuse work unchanged.
   */
 final case class GroupedTopK(child: LogicalPlan,
-    groupCols: Seq[Attribute], ordCol: Attribute, k: Int) extends UnaryNode {
+    groupCols: Seq[Attribute], ordCol: Attribute, k: Int,
+    keepSmallest: Boolean = false) extends UnaryNode {
   override def output: Seq[Attribute] = child.output
   override def references: AttributeSet =
     AttributeSet((groupCols :+ ordCol).flatMap(_.references))
@@ -40,7 +41,8 @@ final case class GroupedTopK(child: LogicalPlan,
 }
 
 final case class GroupedTopKExec(child: SparkPlan,
-    groupCols: Seq[Expression], ordCol: Expression, k: Int) extends UnaryExecNode {
+    groupCols: Seq[Expression], ordCol: Expression, k: Int,
+    keepSmallest: Boolean) extends UnaryExecNode {
 
   override def output: Seq[Attribute] = child.output
 
@@ -58,7 +60,9 @@ final case class GroupedTopKExec(child: SparkPlan,
     child.execute().mapPartitions({ iter =>
       val groupProj = UnsafeProjection.create(boundGroups, childOut)
       val ordProj = UnsafeProjection.create(Seq(boundOrd), childOut)
-      val ordAsc = RowOrdering.createNaturalAscendingOrdering(Seq(ordType))
+      val natural = RowOrdering.createNaturalAscendingOrdering(Seq(ordType))
+      // "best" compares HIGHER for rows we prefer; keepSmallest flips it
+      val ordAsc = if (keepSmallest) natural.reverse else natural
       // scala PriorityQueue is a max-heap for its ordering; reverse it
       // so the HEAD is the current k-th (smallest retained) value
       val heapOrd = Ordering.by[(UnsafeRow, InternalRow), UnsafeRow](_._1)(

@@ -54,4 +54,28 @@ class TopKPlanSpec extends SparkSpec {
     val got = TopKPlan.topKPerGroup(df, Seq("g"), col("v"), 5)
     assert(got.count() == 2)
   }
+
+  test("opt-in optimizer rule prunes row_number<=k filters through GroupedTopK") {
+    // unique total order (price, key) via a derived attribute so the
+    // single-sort-key rule shape applies exactly
+    def q = {
+      val w = Window.partitionBy(col("o_orderpriority")).orderBy(col("sk"))
+      orders
+        .withColumn("sk", struct(col("o_totalprice"), col("o_orderkey")))
+        .withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
+        .select(col("o_orderkey"), col("o_orderpriority"), col("rn"))
+    }
+    // default: rule off — plain window plan
+    val off = q
+    assert(!off.queryExecution.optimizedPlan.toString.contains("GroupedTopK"),
+      off.queryExecution.optimizedPlan.toString)
+    val baseline = off.collect().map(_.toString).sorted.toSeq
+    try {
+      spark.conf.set(graft.plans.TopKRewriteRule.ConfKey, "true")
+      val on = q
+      assert(on.queryExecution.optimizedPlan.toString.contains("GroupedTopK"),
+        on.queryExecution.optimizedPlan.toString)
+      assert(on.collect().map(_.toString).sorted.toSeq == baseline)
+    } finally spark.conf.unset(graft.plans.TopKRewriteRule.ConfKey)
+  }
 }
