@@ -5837,6 +5837,49 @@ object Queries {
       WHERE rn <= 3
       ORDER BY o_orderpriority, price DESC, o_orderkey"""))
 
+  /** Storage-layout report from the hidden `_metadata` file column:
+    * per physical parquet file — rows, bytes, and the key range it
+    * covers. The fragmentation/clustering audit that feeds the
+    * compaction (`Sources.compact`) and Z-order (`Layout.zorderBy`)
+    * decisions: a file whose key range spans the table is a file
+    * min-max pruning can never skip. Raw scans (not the cached
+    * session tables) so the file provenance is real.
+    *
+    * Scale shape: one partial-aggregated pass per table keyed by
+    * file; output is O(files). Paths reduce to basenames (URI scheme
+    * differences cancel); the single-file local tables make the
+    * oracle's per-table literal-basename form exact.
+    */
+  val q120StorageReport: QueryDef = QueryDef("q120_storage_report",
+    (s, dir) => {
+      def report(table: String, key: String): DataFrame =
+        s.read.parquet(s"$dir/$table.parquet")
+          .select(col(key).cast(LongType).as("k"),
+            col("_metadata.file_path").as("fp"))
+          .groupBy(regexp_extract(col("fp"), "[^/]+$", 0).as("file"))
+          .agg(count(lit(1)).as("n_rows"),
+            min(col("k")).as("key_min"), max(col("k")).as("key_max"))
+          .select(lit(table).as("tbl"), col("file"), col("n_rows"),
+            col("key_min"), col("key_max"))
+      Seq(report("orders", "o_orderkey"),
+        report("customer", "c_custkey"),
+        report("part", "p_partkey"))
+        .reduce(_ unionAll _)
+        .orderBy(col("tbl"), col("file"))
+    },
+    Some("""SELECT 'orders' AS tbl, 'orders.parquet' AS file, COUNT(*) AS n_rows,
+        CAST(MIN(o_orderkey) AS BIGINT) AS key_min, CAST(MAX(o_orderkey) AS BIGINT) AS key_max
+      FROM orders GROUP BY 1, 2
+      UNION ALL
+      SELECT 'customer', 'customer.parquet', COUNT(*),
+        CAST(MIN(c_custkey) AS BIGINT), CAST(MAX(c_custkey) AS BIGINT)
+      FROM customer GROUP BY 1, 2
+      UNION ALL
+      SELECT 'part', 'part.parquet', COUNT(*),
+        CAST(MIN(p_partkey) AS BIGINT), CAST(MAX(p_partkey) AS BIGINT)
+      FROM part GROUP BY 1, 2
+      ORDER BY tbl, file"""))
+
   val all: Seq[QueryDef] = Seq(
     q1Agg, q2Filter, q3Join, q4Semi, q5Multi, q6Window, q7TopK, q8Distinct,
     q9Rollup, q10Pivot, q11Anti, q12Expr, q13Percentiles, q14Subquery,
@@ -5866,7 +5909,7 @@ object Queries {
     q110CohortLtv, q111ShareHierarchy, textEncode, q112Bursts, q113LabelCentroids,
     textSourceOverlap, textPhraseSearch, etlRefIntegrity, q114IntervalJoin,
     q115GrowthAccounting, q116Survivorship, q117LiftTable, q118FunnelWindow,
-    q119TopkNative,
+    q119TopkNative, q120StorageReport,
     etlMergeUpsert, etlConstraints, etlProvenance,
     graphPageRank, curateWeightedSample,
     etlUnionSources, etlValidate, etlCleanTransform, etlQualityReport,
