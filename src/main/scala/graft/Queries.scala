@@ -3864,30 +3864,40 @@ object Queries {
       // (flag, bin) totals on the tiny offsets frame, in-bin cumsums
       // keyed by (flag, bin). Binning is a monotonic double map, so
       // it changes only partitioning, never the rank arithmetic.
-      def rankMap(vcol: String): DataFrame = {
-        val pv = li.groupBy(col("flag"), col(vcol)).agg(count(lit(1)).as("n"))
-        val bounds = pv.groupBy(col("flag"))
-          .agg(min(col(vcol)).as("lo"), max(col(vcol)).as("hi"))
-        val binned = pv.join(broadcast(bounds), "flag")
-          .withColumn("bin", least(greatest(floor(
-              (col(vcol).cast(DoubleType) - col("lo").cast(DoubleType)) /
-                ((col("hi").cast(DoubleType) - col("lo").cast(DoubleType)) / 1024.0 + 1e-9)
-            ).cast(LongType), lit(0L)), lit(1023L)))
-        val wBins = Window.partitionBy(col("flag")).orderBy(col("bin"))
-          .rowsBetween(Window.unboundedPreceding, -1)
-        val offs = binned.groupBy(col("flag"), col("bin")).agg(sum(col("n")).as("bn"))
-          .withColumn("boff", coalesce(sum(col("bn")).over(wBins), lit(0L)))
-          .select(col("flag"), col("bin"), col("boff"))
-        val wIn = Window.partitionBy(col("flag"), col("bin")).orderBy(col(vcol))
-          .rowsBetween(Window.unboundedPreceding, 0)
-        binned.join(broadcast(offs), Seq("flag", "bin"))
-          .withColumn("cb", col("boff") + sum(col("n")).over(wIn) - col("n"))
-          .select(col("flag"), col(vcol),
-            (lit(2L) * col("cb") + col("n") + 1).as(s"r_$vcol"))
-      }
+      // BOTH columns' rank maps ride ONE pipeline (a `which` tag on a
+      // map-side union) — one distinct-values shuffle, one offsets
+      // frame, one in-bin window instead of two of each.
+      val vals = li.select(col("flag"), lit("x").as("which"), col("x").as("v"))
+        .unionAll(li.select(col("flag"), lit("y").as("which"), col("y").as("v")))
+      val pv = vals.groupBy(col("flag"), col("which"), col("v"))
+        .agg(count(lit(1)).as("n"))
+      val bounds = pv.groupBy(col("flag"), col("which"))
+        .agg(min(col("v")).as("lo"), max(col("v")).as("hi"))
+      val binned = pv.join(broadcast(bounds), Seq("flag", "which"))
+        .withColumn("bin", least(greatest(floor(
+            (col("v").cast(DoubleType) - col("lo").cast(DoubleType)) /
+              ((col("hi").cast(DoubleType) - col("lo").cast(DoubleType)) / 1024.0 + 1e-9)
+          ).cast(LongType), lit(0L)), lit(1023L)))
+      val wBins = Window.partitionBy(col("flag"), col("which")).orderBy(col("bin"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val offs = binned.groupBy(col("flag"), col("which"), col("bin"))
+        .agg(sum(col("n")).as("bn"))
+        .withColumn("boff", coalesce(sum(col("bn")).over(wBins), lit(0L)))
+        .select(col("flag"), col("which"), col("bin"), col("boff"))
+      val wIn = Window.partitionBy(col("flag"), col("which"), col("bin"))
+        .orderBy(col("v")).rowsBetween(Window.unboundedPreceding, 0)
+      val ranked = binned.join(broadcast(offs), Seq("flag", "which", "bin"))
+        .withColumn("cb", col("boff") + sum(col("n")).over(wIn) - col("n"))
+        .select(col("flag"), col("which"), col("v"),
+          (lit(2L) * col("cb") + col("n") + 1).as("r"))
+        .localCheckpoint(true)
+      val rx = ranked.filter(col("which") === "x")
+        .select(col("flag"), col("v").as("x"), col("r").as("r_x"))
+      val ry = ranked.filter(col("which") === "y")
+        .select(col("flag"), col("v").as("y"), col("r").as("r_y"))
       val m = li
-        .join(broadcast(rankMap("x")), Seq("flag", "x"))
-        .join(rankMap("y"), Seq("flag", "y"))
+        .join(broadcast(rx), Seq("flag", "x"))
+        .join(ry, Seq("flag", "y"))
         .groupBy(col("flag"))
         .agg(count(lit(1)).as("n"),
           sum(col("r_x")).as("sx"), sum(col("r_y")).as("sy"),
