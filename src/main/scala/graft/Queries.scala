@@ -3120,6 +3120,9 @@ object Queries {
           col("frequency").cast(DoubleType).as("frequency"),
           col("monetary_d").cast(DoubleType).as("monetary"))
         .withColumn("g", lit("all"))
+        // O(customers) frame with THREE consumers (selection histogram
+        // pass, refine pass, final scoring) — cut the orders rescan
+        .localCheckpoint(true)
       val ps = (1 to 4).map(_ / 5.0)
       // one broadcast row holding the three cut arrays — no driver-side
       // collect; max() over the conditional array picks each vcol's cuts
