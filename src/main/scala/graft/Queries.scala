@@ -5893,6 +5893,136 @@ object Queries {
       FROM part GROUP BY 1, 2
       ORDER BY tbl, file"""))
 
+  /** Price–volume–mix bridge: the YoY revenue delta per flag (1995 →
+    * 1996) decomposed into a volume effect ((Q₁−Q₀)·p₀) and a price
+    * effect ((p₁−p₀)·Q₁), which sum to ΔR by construction — the
+    * finance-standard growth decomposition. Quantities and revenues
+    * aggregate in exact DECIMAL; unit prices are the only ratios, and
+    * both engines evaluate the identical IEEE product chain.
+    *
+    * Scale shape: ONE partial-aggregated pass with conditional
+    * (year-gated) aggregates — never one pass per period.
+    */
+  val q121PvmBridge: QueryDef = QueryDef("q121_pvm_bridge",
+    (s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .filter(year(col("l_shipdate")).isin(1995, 1996))
+        .withColumn("yr", year(col("l_shipdate")))
+      val agg = li.groupBy(col("l_returnflag").as("flag"))
+        .agg(
+          sum(when(col("yr") === 1995, dec(col("l_quantity")))).as("q0"),
+          sum(when(col("yr") === 1995, dec(col("l_extendedprice")))).as("r0"),
+          sum(when(col("yr") === 1996, dec(col("l_quantity")))).as("q1"),
+          sum(when(col("yr") === 1996, dec(col("l_extendedprice")))).as("r1"))
+      val (q0, r0, q1, r1) = (col("q0").cast(DoubleType), col("r0").cast(DoubleType),
+        col("q1").cast(DoubleType), col("r1").cast(DoubleType))
+      agg.select(col("flag"),
+          round(r0, 2).as("rev_1995"), round(r1, 2).as("rev_1996"),
+          round(r1 - r0, 2).as("delta"),
+          round((q1 - q0) * (r0 / q0), 2).as("volume_effect"),
+          round((r1 / q1 - r0 / q0) * q1, 2).as("price_effect"))
+        .orderBy(col("flag"))
+    },
+    Some("""WITH a AS (SELECT l_returnflag AS flag,
+          CAST(SUM(CASE WHEN year(l_shipdate) = 1995 THEN CAST(l_quantity AS DECIMAL(12,2)) END) AS DOUBLE) AS q0,
+          CAST(SUM(CASE WHEN year(l_shipdate) = 1995 THEN CAST(l_extendedprice AS DECIMAL(12,2)) END) AS DOUBLE) AS r0,
+          CAST(SUM(CASE WHEN year(l_shipdate) = 1996 THEN CAST(l_quantity AS DECIMAL(12,2)) END) AS DOUBLE) AS q1,
+          CAST(SUM(CASE WHEN year(l_shipdate) = 1996 THEN CAST(l_extendedprice AS DECIMAL(12,2)) END) AS DOUBLE) AS r1
+        FROM lineitem WHERE year(l_shipdate) IN (1995, 1996) GROUP BY 1)
+      SELECT flag, round(r0, 2) AS rev_1995, round(r1, 2) AS rev_1996,
+        round(r1 - r0, 2) AS delta,
+        round((q1 - q0) * (r0 / q0), 2) AS volume_effect,
+        round((r1 / q1 - r0 / q0) * q1, 2) AS price_effect
+      FROM a ORDER BY flag"""))
+
+  /** Inter-purchase interval distribution: integer day gaps between
+    * each customer's consecutive orders, summarized as count / exact
+    * mean / exact p50/p90 — the repeat-behavior statistic behind
+    * replenishment and churn-risk models.
+    *
+    * Scale shape: the lag window partitions by the high-cardinality
+    * customer key; the quantiles come from the shared bin-then-refine
+    * selection operator (no global sort). Gap arithmetic is integer
+    * epoch-days.
+    */
+  val q122PurchaseIntervals: QueryDef = QueryDef("q122_purchase_intervals",
+    (s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("day"), col("o_orderkey"))
+      val gaps = t(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderkey"),
+          floor(unix_micros(col("o_orderdate").cast(TimestampType)) / lit(86400000000L))
+            .cast(LongType).as("day"))
+        .withColumn("gap", (col("day") - lag(col("day"), 1).over(w)).cast(DoubleType))
+        .filter(col("gap").isNotNull)
+        .withColumn("g", lit("all"))
+        .localCheckpoint(true)
+      val qs = Selection.exactQuantiles(gaps, "g", "gap", Seq(0.5, 0.9))
+        .groupBy(col("g"))
+        .agg(round(max(when(col("p") === 0.5, col("q"))), 4).as("p50"),
+          round(max(when(col("p") === 0.9, col("q"))), 4).as("p90"))
+      gaps.groupBy(col("g"))
+        .agg(count(lit(1)).as("n_gaps"),
+          round(sum(col("gap").cast(DecimalType(12, 0))).cast(DoubleType) /
+            count(lit(1)).cast(DoubleType), 4).as("avg_gap"))
+        .join(qs, Seq("g")).drop("g")
+        .select(col("n_gaps"), col("avg_gap"), col("p50"), col("p90"))
+    },
+    Some("""WITH g AS (SELECT
+          CAST(epoch_us(o_orderdate) // 86400000000 -
+            lag(epoch_us(o_orderdate) // 86400000000, 1) OVER (
+              PARTITION BY o_custkey
+              ORDER BY epoch_us(o_orderdate) // 86400000000, o_orderkey) AS DOUBLE) AS gap
+        FROM orders)
+      SELECT COUNT(*) AS n_gaps,
+        round(CAST(SUM(CAST(gap AS DECIMAL(12,0))) AS DOUBLE) / COUNT(*), 4) AS avg_gap,
+        round(quantile_cont(gap, 0.5), 4) AS p50,
+        round(quantile_cont(gap, 0.9), 4) AS p90
+      FROM g WHERE gap IS NOT NULL"""))
+
+  /** Order-to-ship SLA report: integer day lag from order date to
+    * each line's ship date, per order priority — count, exact mean,
+    * exact p50/p90 (shared selection operator), max. The service-
+    * level readout an ops dashboard refreshes hourly.
+    *
+    * Scale shape: a fact-to-fact equi-join on the order key (both
+    * sides shuffle on the key at scale; the orders side carries only
+    * (key, date, priority) after pruning), then one partial agg and
+    * one selection pass per statistic family.
+    */
+  val q123ShipSla: QueryDef = QueryDef("q123_ship_sla",
+    (s, dir) => {
+      val lag0 = t(s, dir, "lineitem")
+        .select(col("l_orderkey"),
+          floor(unix_micros(col("l_shipdate").cast(TimestampType)) / lit(86400000000L)).as("sday"))
+        .join(t(s, dir, "orders").select(col("o_orderkey"), col("o_orderpriority"),
+          floor(unix_micros(col("o_orderdate").cast(TimestampType)) / lit(86400000000L)).as("oday")),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_orderpriority"), (col("sday") - col("oday")).cast(DoubleType).as("lag_days"))
+        .localCheckpoint(true)
+      val qs = Selection.exactQuantiles(lag0, "o_orderpriority", "lag_days", Seq(0.5, 0.9))
+        .groupBy(col("o_orderpriority"))
+        .agg(round(max(when(col("p") === 0.5, col("q"))), 4).as("p50"),
+          round(max(when(col("p") === 0.9, col("q"))), 4).as("p90"))
+      lag0.groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_lines"),
+          round(sum(col("lag_days").cast(DecimalType(12, 0))).cast(DoubleType) /
+            count(lit(1)).cast(DoubleType), 4).as("avg_days"),
+          max(col("lag_days")).cast(LongType).as("max_days"))
+        .join(qs, Seq("o_orderpriority"))
+        .orderBy(col("o_orderpriority"))
+    },
+    Some("""WITH l AS (SELECT o.o_orderpriority,
+          CAST(epoch_us(li.l_shipdate) // 86400000000 -
+            epoch_us(o.o_orderdate) // 86400000000 AS DOUBLE) AS lag_days
+        FROM lineitem li JOIN orders o ON li.l_orderkey = o.o_orderkey)
+      SELECT o_orderpriority, COUNT(*) AS n_lines,
+        round(CAST(SUM(CAST(lag_days AS DECIMAL(12,0))) AS DOUBLE) / COUNT(*), 4) AS avg_days,
+        CAST(MAX(lag_days) AS BIGINT) AS max_days,
+        round(quantile_cont(lag_days, 0.5), 4) AS p50,
+        round(quantile_cont(lag_days, 0.9), 4) AS p90
+      FROM l GROUP BY 1 ORDER BY 1"""))
+
   val all: Seq[QueryDef] = Seq(
     q1Agg, q2Filter, q3Join, q4Semi, q5Multi, q6Window, q7TopK, q8Distinct,
     q9Rollup, q10Pivot, q11Anti, q12Expr, q13Percentiles, q14Subquery,
@@ -5922,7 +6052,8 @@ object Queries {
     q110CohortLtv, q111ShareHierarchy, textEncode, q112Bursts, q113LabelCentroids,
     textSourceOverlap, textPhraseSearch, etlRefIntegrity, q114IntervalJoin,
     q115GrowthAccounting, q116Survivorship, q117LiftTable, q118FunnelWindow,
-    q119TopkNative, q120StorageReport,
+    q119TopkNative, q120StorageReport, q121PvmBridge, q122PurchaseIntervals,
+    q123ShipSla,
     etlMergeUpsert, etlConstraints, etlProvenance,
     graphPageRank, curateWeightedSample,
     etlUnionSources, etlValidate, etlCleanTransform, etlQualityReport,
