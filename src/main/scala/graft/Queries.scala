@@ -6023,6 +6023,49 @@ object Queries {
         round(quantile_cont(lag_days, 0.9), 4) AS p90
       FROM l GROUP BY 1 ORDER BY 1"""))
 
+  /** Sequence-integrity audit: every gap in the (distinct) order-key
+    * sequence as (gap_start, gap_end, n_missing) — the "did the
+    * loader drop ids" check. Scale shape: keys bin by `key div 8192`,
+    * in-bin gaps come from a lag window PARTITIONED BY BIN (never a
+    * single global ordered window over the key domain), and the
+    * cross-bin/empty-bin gaps fall out of one lag over the tiny
+    * per-bin (min, max) frame. The oracle is the naive global-lag
+    * form — the hash match proves the two-level decomposition loses
+    * no gap.
+    */
+  val q124KeyGaps: QueryDef = QueryDef("q124_key_gaps",
+    (s, dir) => {
+      // the full key domain is dense by construction — audit the
+      // archived ('F') subset, the realistic "did the archiver skip
+      // ids" question (and a non-degenerate gap set)
+      val keys = t(s, dir, "orders").filter(col("o_orderstatus") === "F")
+        .select(col("o_orderkey").as("k")).distinct()
+        .withColumn("bin", expr("k div 8192"))
+        .localCheckpoint(true)
+      val wIn = Window.partitionBy(col("bin")).orderBy(col("k"))
+      val inBin = keys
+        .withColumn("prev", lag(col("k"), 1).over(wIn))
+        .filter(col("prev").isNotNull && col("k") - col("prev") > 1)
+        .select((col("prev") + 1).as("gap_start"), (col("k") - 1).as("gap_end"))
+      val wBins = Window.orderBy(col("lo"))
+      val crossBin = keys.groupBy(col("bin"))
+        .agg(min(col("k")).as("lo"), max(col("k")).as("hi"))
+        .withColumn("prev_hi", lag(col("hi"), 1).over(wBins))
+        .filter(col("prev_hi").isNotNull && col("lo") - col("prev_hi") > 1)
+        .select((col("prev_hi") + 1).as("gap_start"), (col("lo") - 1).as("gap_end"))
+      inBin.unionAll(crossBin)
+        .select(col("gap_start"), col("gap_end"),
+          (col("gap_end") - col("gap_start") + 1).as("n_missing"))
+        .orderBy(col("gap_start")).limit(100)
+    },
+    Some("""WITH k AS (SELECT DISTINCT o_orderkey AS k FROM orders
+        WHERE o_orderstatus = 'F'),
+      l AS (SELECT k, lag(k, 1) OVER (ORDER BY k) AS prev FROM k)
+      SELECT prev + 1 AS gap_start, k - 1 AS gap_end,
+        k - prev - 1 AS n_missing
+      FROM l WHERE prev IS NOT NULL AND k - prev > 1
+      ORDER BY gap_start LIMIT 100"""))
+
   val all: Seq[QueryDef] = Seq(
     q1Agg, q2Filter, q3Join, q4Semi, q5Multi, q6Window, q7TopK, q8Distinct,
     q9Rollup, q10Pivot, q11Anti, q12Expr, q13Percentiles, q14Subquery,
@@ -6053,7 +6096,7 @@ object Queries {
     textSourceOverlap, textPhraseSearch, etlRefIntegrity, q114IntervalJoin,
     q115GrowthAccounting, q116Survivorship, q117LiftTable, q118FunnelWindow,
     q119TopkNative, q120StorageReport, q121PvmBridge, q122PurchaseIntervals,
-    q123ShipSla,
+    q123ShipSla, q124KeyGaps,
     etlMergeUpsert, etlConstraints, etlProvenance,
     graphPageRank, curateWeightedSample,
     etlUnionSources, etlValidate, etlCleanTransform, etlQualityReport,

@@ -207,4 +207,26 @@ object Writers {
       .sortBy(bucketCol)
       .format("parquet")
       .saveAsTable(table)
+
+  /** Schema-drift report between two frames (e.g. yesterday's and
+    * today's load of the same feed): one row per changed column —
+    * `added`, `removed`, or `type_changed:<old>-><new>` — empty when
+    * the schemas agree. The contract check a multi-source ingest runs
+    * before a blind unionByName silently null-fills a renamed column.
+    * Pure driver-side metadata (schemas, never data), so it is free
+    * at any scale.
+    */
+  def schemaDiff(spark: SparkSession, before: DataFrame,
+      after: DataFrame): DataFrame = {
+    import spark.implicits._
+    val b = before.schema.map(f => f.name -> f.dataType.simpleString).toMap
+    val a = after.schema.map(f => f.name -> f.dataType.simpleString).toMap
+    val rows =
+      a.keySet.diff(b.keySet).toSeq.sorted.map(n => (n, "added", a(n))) ++
+      b.keySet.diff(a.keySet).toSeq.sorted.map(n => (n, "removed", b(n))) ++
+      a.keySet.intersect(b.keySet).toSeq.sorted.collect {
+        case n if a(n) != b(n) => (n, s"type_changed:${b(n)}->${a(n)}", a(n))
+      }
+    rows.toDF("column", "change", "data_type")
+  }
 }

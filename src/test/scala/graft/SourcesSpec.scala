@@ -220,4 +220,17 @@ class SourcesSpec extends SparkSpec {
     val parent = new java.io.File(dir).getParentFile.listFiles().map(_.getName)
     assert(!parent.exists(_.contains("compact")), parent.mkString(","))
   }
+
+  test("schemaDiff reports added, removed, and type-changed columns; empty when equal") {
+    import spark.implicits._
+    val before = Seq((1L, "a", 1.0)).toDF("id", "name", "score")
+    val after = Seq((1L, 1, true)).toDF("id", "score", "flag")
+    val diff = Writers.schemaDiff(spark, before, after)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(diff == Set(
+      ("flag", "added"),
+      ("name", "removed"),
+      ("score", "type_changed:double->int")), diff.toString)
+    assert(Writers.schemaDiff(spark, before, before).count() == 0)
+  }
 }
