@@ -6066,6 +6066,107 @@ object Queries {
       FROM l WHERE prev IS NOT NULL AND k - prev > 1
       ORDER BY gap_start LIMIT 100"""))
 
+  /** Two-sample Kolmogorov–Smirnov test: returnflag 'A' vs 'R' price
+    * distributions. D = max |F̂_x(v) − F̂_y(v)| over the pooled
+    * support. Both ECDFs come from per-distinct-value counts run
+    * through the q94 bin+offset global-cumsum pattern — the ordered
+    * cumulative lives on per-bin windows over the AGGREGATED value
+    * frame, never a global sort funnel of the fact table. Every input
+    * to the final divisions is an exact integer count, so both
+    * engines produce the identical doubles.
+    */
+  val q125KsTest: QueryDef = QueryDef("q125_ks_test",
+    (s, dir) => {
+      val li = t(s, dir, "lineitem").filter(col("l_returnflag").isin("A", "R"))
+        .select(dec(col("l_extendedprice")).as("v"),
+          (col("l_returnflag") === "A").as("isx"))
+      val perVal = li.groupBy(col("v"))
+        .agg(count(lit(1)).as("n"), sum(when(col("isx"), 1L).otherwise(0L)).as("nx"))
+        .localCheckpoint(true)
+      val bounds = perVal.agg(min(col("v")).as("lo"), max(col("v")).as("hi"))
+      val binned = perVal.crossJoin(broadcast(bounds))
+        .withColumn("bin", least(greatest(floor(
+            (col("v").cast(DoubleType) - col("lo").cast(DoubleType)) /
+              ((col("hi").cast(DoubleType) - col("lo").cast(DoubleType)) / 1024.0 + 1e-9)
+          ).cast(LongType), lit(0L)), lit(1023L)))
+      val binTot = binned.groupBy(col("bin"))
+        .agg(sum(col("n")).as("bn"), sum(col("nx")).as("bnx"))
+      val wB = Window.orderBy(col("bin")).rowsBetween(Window.unboundedPreceding, -1)
+      val offsets = binTot
+        .withColumn("boff", coalesce(sum(col("bn")).over(wB), lit(0L)))
+        .withColumn("boffx", coalesce(sum(col("bnx")).over(wB), lit(0L)))
+        .select(col("bin"), col("boff"), col("boffx"))
+      val wIn = Window.partitionBy(col("bin")).orderBy(col("v"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val tot = perVal.agg(sum(col("n")).as("nt"), sum(col("nx")).as("nxt"))
+      binned.join(broadcast(offsets), "bin")
+        .withColumn("call", col("boff") + sum(col("n")).over(wIn))
+        .withColumn("cx", col("boffx") + sum(col("nx")).over(wIn))
+        .crossJoin(broadcast(tot))
+        .withColumn("dd", abs(
+          col("cx").cast(DoubleType) / col("nxt").cast(DoubleType) -
+          (col("call") - col("cx")).cast(DoubleType) / (col("nt") - col("nxt")).cast(DoubleType)))
+        .agg(max(col("nxt")).as("nx0"), max(col("nt")).as("nt0"), max(col("dd")).as("d0"))
+        .select(col("nx0").as("n_x"), (col("nt0") - col("nx0")).as("n_y"),
+          round(col("d0"), 6).as("d_stat"),
+          round(sqrt(col("nx0").cast(DoubleType) * (col("nt0") - col("nx0")).cast(DoubleType) /
+            col("nt0").cast(DoubleType)) * col("d0"), 6).as("ks_scaled"))
+    },
+    Some("""WITH s AS (SELECT CAST(l_extendedprice AS DECIMAL(12,2)) AS v,
+          l_returnflag = 'A' AS isx
+        FROM lineitem WHERE l_returnflag IN ('A', 'R')),
+      pv AS (SELECT v, COUNT(*) AS n, SUM(CASE WHEN isx THEN 1 ELSE 0 END) AS nx
+        FROM s GROUP BY v),
+      c AS (SELECT v, SUM(n) OVER w AS call, SUM(nx) OVER w AS cx
+        FROM pv WINDOW w AS (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+      tot AS (SELECT SUM(n) AS nt, SUM(nx) AS nxt FROM pv),
+      d AS (SELECT MAX(ABS(CAST(cx AS DOUBLE) / CAST(nxt AS DOUBLE)
+            - CAST(call - cx AS DOUBLE) / CAST(nt - nxt AS DOUBLE))) AS d0
+        FROM c, tot)
+      SELECT CAST(nxt AS BIGINT) AS n_x, CAST(nt - nxt AS BIGINT) AS n_y,
+        round(d0, 6) AS d_stat,
+        round(sqrt(CAST(nxt AS DOUBLE) * CAST(nt - nxt AS DOUBLE) / CAST(nt AS DOUBLE)) * d0, 6) AS ks_scaled
+      FROM d, tot"""))
+
+  /** Trailing-7-day EXACT rolling median of daily revenue per order
+    * priority. Aggregate FIRST — daily revenue as exact integer cents
+    * on an O(priorities·days) frame — THEN roll: each day expands to
+    * its ≤7 window-ends map-side, a broadcast semi-join keeps only
+    * real days, and `percentile` computes the exact median per
+    * window. Never a windowed median over raw fact rows (that plan
+    * buffers the fact table per frame at 100 TB). Integer cents make
+    * the even-count interpolation (a+b)/2 bit-identical across
+    * engines.
+    */
+  val q126RollingMedian: QueryDef = QueryDef("q126_rolling_median",
+    (s, dir) => {
+      val daily = t(s, dir, "orders")
+        .groupBy(col("o_orderpriority").as("pri"),
+          date_trunc("day", col("o_orderdate")).as("day"))
+        .agg((sum(dec(col("o_totalprice"))) * 100).cast(LongType).as("cents"))
+        .localCheckpoint(true)
+      val days = daily.select(col("pri"), col("day").as("wday"))
+      daily.select(col("pri"),
+          explode(sequence(col("day"), col("day") + expr("interval 6 days"),
+            expr("interval 1 day"))).as("wday"),
+          col("cents"))
+        .join(broadcast(days), Seq("pri", "wday"), "left_semi")
+        .groupBy(col("pri"), col("wday"))
+        .agg(count(lit(1)).as("n_days"),
+          round(expr("percentile(cents, 0.5)") / 100.0, 6).as("med_rev"))
+        .orderBy(col("pri"), col("wday"))
+    },
+    Some("""WITH daily AS (SELECT o_orderpriority AS pri,
+          date_trunc('day', o_orderdate) AS day,
+          CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) * 100 AS BIGINT) AS cents
+        FROM orders GROUP BY 1, 2)
+      SELECT pri, day AS wday, COUNT(*) OVER w AS n_days,
+        round(median(cents) OVER w / 100.0, 6) AS med_rev
+      FROM daily
+      WINDOW w AS (PARTITION BY pri ORDER BY day
+        RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW)
+      ORDER BY pri, wday"""))
+
   val all: Seq[QueryDef] = Seq(
     q1Agg, q2Filter, q3Join, q4Semi, q5Multi, q6Window, q7TopK, q8Distinct,
     q9Rollup, q10Pivot, q11Anti, q12Expr, q13Percentiles, q14Subquery,
@@ -6096,7 +6197,7 @@ object Queries {
     textSourceOverlap, textPhraseSearch, etlRefIntegrity, q114IntervalJoin,
     q115GrowthAccounting, q116Survivorship, q117LiftTable, q118FunnelWindow,
     q119TopkNative, q120StorageReport, q121PvmBridge, q122PurchaseIntervals,
-    q123ShipSla, q124KeyGaps,
+    q123ShipSla, q124KeyGaps, q125KsTest, q126RollingMedian,
     etlMergeUpsert, etlConstraints, etlProvenance,
     graphPageRank, curateWeightedSample,
     etlUnionSources, etlValidate, etlCleanTransform, etlQualityReport,
