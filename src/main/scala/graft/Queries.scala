@@ -3499,9 +3499,12 @@ object Queries {
   /** Label-propagation community detection (Graph.labelPropagation —
     * synchronous rounds, modal neighbor label, min-label tie rule, so
     * fully deterministic) over the repeat-purchase graph; output is
-    * the community-size census. Iterative-with-aggregate → not
-    * recursive-CTE-expressible → rows-only; convergence and
-    * determinism are spec-tested on planted communities (GraphSpec).
+    * the community-size census. The fixed k=4 synchronous rounds
+    * unroll into four chained CTEs on the DuckDB side (the q103_kcore
+    * trick — per-round grouping is not recursive-CTE-expressible, but
+    * a FIXED round count needs no recursion), so the full iterative
+    * operator is hash-verified; convergence and determinism stay
+    * spec-tested on planted communities (GraphSpec).
     */
   val q80Lpa: QueryDef = QueryDef("graph_lpa",
     (s, dir) => {
@@ -3516,7 +3519,31 @@ object Queries {
         .groupBy(col("cluster_size")).agg(count(lit(1)).as("n_clusters"))
         .orderBy(col("cluster_size"))
     },
-    None)
+    Some("""WITH pairs AS (SELECT o_custkey AS c, CAST(l_suppkey + 1000000000 AS BIGINT) AS p
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+      e AS (SELECT CAST(c AS BIGINT) AS a, p AS b FROM pairs
+        UNION ALL SELECT p, CAST(c AS BIGINT) FROM pairs),
+      l0 AS (SELECT DISTINCT a AS node, a AS label FROM e),
+      l1 AS (SELECT a AS node, label FROM (
+          SELECT e.a, l.label,
+            row_number() OVER (PARTITION BY e.a ORDER BY COUNT(*) DESC, l.label ASC) AS rn
+          FROM e JOIN l0 l ON e.b = l.node GROUP BY e.a, l.label) WHERE rn = 1),
+      l2 AS (SELECT a AS node, label FROM (
+          SELECT e.a, l.label,
+            row_number() OVER (PARTITION BY e.a ORDER BY COUNT(*) DESC, l.label ASC) AS rn
+          FROM e JOIN l1 l ON e.b = l.node GROUP BY e.a, l.label) WHERE rn = 1),
+      l3 AS (SELECT a AS node, label FROM (
+          SELECT e.a, l.label,
+            row_number() OVER (PARTITION BY e.a ORDER BY COUNT(*) DESC, l.label ASC) AS rn
+          FROM e JOIN l2 l ON e.b = l.node GROUP BY e.a, l.label) WHERE rn = 1),
+      l4 AS (SELECT a AS node, label FROM (
+          SELECT e.a, l.label,
+            row_number() OVER (PARTITION BY e.a ORDER BY COUNT(*) DESC, l.label ASC) AS rn
+          FROM e JOIN l3 l ON e.b = l.node GROUP BY e.a, l.label) WHERE rn = 1),
+      cs AS (SELECT label, COUNT(*) AS cluster_size FROM l4 GROUP BY label)
+      SELECT cluster_size, COUNT(*) AS n_clusters
+      FROM cs GROUP BY cluster_size ORDER BY cluster_size"""))
 
   /** Flesch reading-ease census per source (TextAnalysis.readability
     * — map-side regexp_count vowel-group/sentence/word counts, one
