@@ -6194,6 +6194,73 @@ object Queries {
         RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW)
       ORDER BY pri, wday"""))
 
+  /** Item-item collaborative filtering: top-3 most-similar parts per
+    * part by binary cosine over customer co-purchase vectors —
+    * cos(i,j) = |C_i ∩ C_j| / √(|C_i|·|C_j|). The scale guards are
+    * the ones every production item-CF job needs: (1) baskets
+    * aggregate to (customer, item) FIRST (partial agg absorbs repeat
+    * purchases), (2) each customer's basket is THINNED to its top-64
+    * items by a deterministic (count desc, item asc) rule before the
+    * pair expansion — a whale customer contributes O(m²) pairs, never
+    * basket², (3) pairs emit ordered (p1 < p2) so each co-occurrence
+    * counts once, (4) the co-count floor (≥2) prunes the long noise
+    * tail before ranking. Item-count side is O(items) → broadcast.
+    * Ranking windows run per item over its bounded neighbor list.
+    * Cosines divide exact integer counts through IEEE sqrt/div, so
+    * both engines rank identical doubles.
+    */
+  val q127ItemCf: QueryDef = QueryDef("q127_item_cf",
+    (s, dir) => {
+      val pc = t(s, dir, "orders")
+        .join(t(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("o_custkey").as("cust"), col("l_partkey").as("item"))
+        .agg(count(lit(1)).as("cnt"))
+      val wCap = Window.partitionBy(col("cust")).orderBy(col("cnt").desc, col("item").asc)
+      val capped = pc.withColumn("rn", row_number().over(wCap))
+        .filter(col("rn") <= 64).select(col("cust"), col("item"))
+        .localCheckpoint(true)
+      val ni = capped.groupBy(col("item")).agg(count(lit(1)).as("n"))
+      val co = capped.as("x").join(capped.as("y"),
+          col("x.cust") === col("y.cust") && col("x.item") < col("y.item"))
+        .select(col("x.item").as("p1"), col("y.item").as("p2"))
+        .groupBy(col("p1"), col("p2")).agg(count(lit(1)).as("c"))
+        .filter(col("c") >= 2)
+      val bi = co.select(col("p1").as("item"), col("p2").as("neighbor"), col("c"))
+        .unionAll(co.select(col("p2").as("item"), col("p1").as("neighbor"), col("c")))
+      val sc = bi
+        .join(broadcast(ni.withColumnRenamed("item", "i1").withColumnRenamed("n", "n1")),
+          col("item") === col("i1"))
+        .join(broadcast(ni.withColumnRenamed("item", "i2").withColumnRenamed("n", "n2")),
+          col("neighbor") === col("i2"))
+        .withColumn("cosine", col("c").cast(DoubleType) /
+          sqrt(col("n1").cast(DoubleType) * col("n2").cast(DoubleType)))
+      val wRank = Window.partitionBy(col("item"))
+        .orderBy(col("cosine").desc, col("neighbor").asc)
+      sc.withColumn("rk", row_number().over(wRank)).filter(col("rk") <= 3)
+        .select(col("item"), col("rk"), col("neighbor"), round(col("cosine"), 6).as("cosine"))
+        .orderBy(col("item"), col("rk"))
+    },
+    Some("""WITH pc AS (SELECT o_custkey AS cust, l_partkey AS item, COUNT(*) AS cnt
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey GROUP BY 1, 2),
+      capped AS (SELECT cust, item FROM (
+          SELECT cust, item,
+            row_number() OVER (PARTITION BY cust ORDER BY cnt DESC, item ASC) AS rn
+          FROM pc) WHERE rn <= 64),
+      ni AS (SELECT item, COUNT(*) AS n FROM capped GROUP BY item),
+      co AS (SELECT x.item AS p1, y.item AS p2, COUNT(*) AS c
+        FROM capped x JOIN capped y ON x.cust = y.cust AND x.item < y.item
+        GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+      bi AS (SELECT p1 AS item, p2 AS neighbor, c FROM co
+        UNION ALL SELECT p2, p1, c FROM co),
+      sc AS (SELECT bi.item, bi.neighbor,
+          CAST(c AS DOUBLE) / sqrt(CAST(n1.n AS DOUBLE) * CAST(n2.n AS DOUBLE)) AS cosine
+        FROM bi JOIN ni n1 ON bi.item = n1.item JOIN ni n2 ON bi.neighbor = n2.item),
+      rk AS (SELECT item, neighbor, cosine,
+          row_number() OVER (PARTITION BY item ORDER BY cosine DESC, neighbor ASC) AS rk
+        FROM sc)
+      SELECT item, rk, neighbor, round(cosine, 6) AS cosine FROM rk
+      WHERE rk <= 3 ORDER BY item, rk"""))
+
   val all: Seq[QueryDef] = Seq(
     q1Agg, q2Filter, q3Join, q4Semi, q5Multi, q6Window, q7TopK, q8Distinct,
     q9Rollup, q10Pivot, q11Anti, q12Expr, q13Percentiles, q14Subquery,
@@ -6224,7 +6291,7 @@ object Queries {
     textSourceOverlap, textPhraseSearch, etlRefIntegrity, q114IntervalJoin,
     q115GrowthAccounting, q116Survivorship, q117LiftTable, q118FunnelWindow,
     q119TopkNative, q120StorageReport, q121PvmBridge, q122PurchaseIntervals,
-    q123ShipSla, q124KeyGaps, q125KsTest, q126RollingMedian,
+    q123ShipSla, q124KeyGaps, q125KsTest, q126RollingMedian, q127ItemCf,
     etlMergeUpsert, etlConstraints, etlProvenance,
     graphPageRank, curateWeightedSample,
     etlUnionSources, etlValidate, etlCleanTransform, etlQualityReport,
