@@ -6261,6 +6261,17 @@ object Queries {
       SELECT item, rk, neighbor, round(cosine, 6) AS cosine FROM rk
       WHERE rk <= 3 ORDER BY item, rk"""))
 
+  /** BPE merge learning over the documents corpus (operators.Bpe):
+    * 10 merge rounds on the word-frequency dictionary. Iterative
+    * argmax-then-rewrite → not SQL-expressible → rows-only; BpeSpec
+    * verifies the merge table exactly against a driver-side reference
+    * implementation and checks content preservation under merges.
+    */
+  val textBpeLearn: QueryDef = QueryDef("text_bpe_learn",
+    (s, dir) => Bpe.learnMerges(t(s, dir, "documents"), "text", k = 10)
+      .orderBy(col("step")),
+    None)
+
   val all: Seq[QueryDef] = Seq(
     q1Agg, q2Filter, q3Join, q4Semi, q5Multi, q6Window, q7TopK, q8Distinct,
     q9Rollup, q10Pivot, q11Anti, q12Expr, q13Percentiles, q14Subquery,
@@ -6292,6 +6303,7 @@ object Queries {
     q115GrowthAccounting, q116Survivorship, q117LiftTable, q118FunnelWindow,
     q119TopkNative, q120StorageReport, q121PvmBridge, q122PurchaseIntervals,
     q123ShipSla, q124KeyGaps, q125KsTest, q126RollingMedian, q127ItemCf,
+    textBpeLearn,
     etlMergeUpsert, etlConstraints, etlProvenance,
     graphPageRank, curateWeightedSample,
     etlUnionSources, etlValidate, etlCleanTransform, etlQualityReport,
