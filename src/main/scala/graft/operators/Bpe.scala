@@ -89,4 +89,36 @@ object Bpe {
       StructField("pair_count", LongType, nullable = false)))
     spark.createDataFrame(spark.sparkContext.parallelize(merges.toSeq, 1), schema)
   }
+
+  /** Tokenize with a learned merge table: each document gains a
+    * `tokens` array<string> column. Encode is DEFINED as applying the
+    * merges exhaustively in learned order (step 1..k, each
+    * leftmost-first non-overlapping) — the same fold learnMerges used
+    * while training, so train-then-encode round-trips bit-exactly on
+    * the training corpus.
+    *
+    * Scale: entirely map-side — the merge table arrives as k chained
+    * codegen'd HOF folds (k is the vocab budget, a constant; there is
+    * no shuffle, no broadcast join, no per-row interpretation), so
+    * this composes into any downstream pipeline as a zero-exchange
+    * projection. Symbol concatenation is preserved: concat(tokens of
+    * a word) == word + "</w>" always (BpeSpec invariant).
+    */
+  def encode(docs: DataFrame, textCol: String, mergeTable: DataFrame): DataFrame = {
+    val merges = mergeTable.select("step", "left", "right")
+      .collect().sortBy(_.getInt(0))
+      .map(r => (r.getString(1), r.getString(2)))
+    val words = split(lower(col(textCol)), "[^a-z]+")
+    val applied = merges.foldLeft(
+      transform(filter(words, w => length(w) >= 2),
+        w => concat(split(w, ""), array(lit("</w>"))))) { case (acc, (l, r)) =>
+      transform(acc, syms => aggregate(syms,
+        array().cast(ArrayType(StringType)),
+        (a, x) => when(size(a) > 0 &&
+            element_at(a, size(a)) === lit(l) && x === lit(r),
+          concat(slice(a, lit(1), size(a) - 1), array(lit(l + r))))
+          .otherwise(concat(a, array(x)))))
+    }
+    docs.withColumn("tokens", flatten(applied))
+  }
 }

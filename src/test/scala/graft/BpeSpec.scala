@@ -91,4 +91,27 @@ class BpeSpec extends SparkSpec {
     val m = run(Seq("ab cd ef"), 5)
     assert(m.isEmpty)
   }
+
+  test("encode applies learned merges and preserves content") {
+    import spark.implicits._
+    val corpus = Seq("the cat sat on the mat", "that cat chatter", "lower lowest slower")
+    val docs = corpus.toDF("text")
+    val table = Bpe.learnMerges(docs, "text", 8)
+    val enc = Bpe.encode(docs, "text", table).select("text", "tokens").collect()
+    enc.foreach { r =>
+      val words = r.getString(0).toLowerCase.split("[^a-z]+").filter(_.length >= 2)
+      val toks = r.getSeq[String](1)
+      // concatenation invariant: tokens re-concatenate to the exact
+      // word stream with one sentinel per word
+      assert(toks.mkString === words.map(_ + "</w>").mkString)
+    }
+    // learned merges actually fire: some multi-char token exists
+    assert(enc.flatMap(_.getSeq[String](1)).exists(t => t.replace("</w>", "").length > 1))
+    // training corpus tokens come from the learned vocab: every token
+    // is a char, a sentinel-char, or a product of the merge table
+    val vocab = table.collect().map(_.getString(3)).toSet
+    val base = enc.flatMap(_.getSeq[String](1)).toSet
+    base.foreach(t =>
+      assert(vocab.contains(t) || t.replace("</w>", "").length <= 1, s"unexpected token $t"))
+  }
 }
