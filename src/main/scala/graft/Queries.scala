@@ -6272,6 +6272,96 @@ object Queries {
       .orderBy(col("step")),
     None)
 
+  /** k-anonymity audit over quasi-identifiers (nation, market
+    * segment, account-balance band) — the privacy gate a dataset
+    * passes before release: equivalence-class census plus
+    * classes/rows below k ∈ {2, 5, 10}. One partial-agg shuffle
+    * builds the O(classes) frame; the thresholds fold into a single
+    * conditional aggregation (no threshold crossJoin, no second
+    * scan). Exact integer counts; one division at the end.
+    */
+  val etlKAnonymity: QueryDef = QueryDef("etl_k_anonymity",
+    (s, dir) => {
+      val classes = t(s, dir, "customer")
+        .groupBy(col("c_nationkey"), col("c_mktsegment"),
+          floor(col("c_acctbal") / 1000).as("bal_band"))
+        .agg(count(lit(1)).as("sz"))
+      classes.agg(
+        count(lit(1)).as("n_classes"),
+        sum(col("sz")).as("n_rows"),
+        sum(when(col("sz") < 2, 1L).otherwise(0L)).as("classes_lt_2"),
+        sum(when(col("sz") < 2, col("sz")).otherwise(0L)).as("rows_lt_2"),
+        sum(when(col("sz") < 5, 1L).otherwise(0L)).as("classes_lt_5"),
+        sum(when(col("sz") < 5, col("sz")).otherwise(0L)).as("rows_lt_5"),
+        sum(when(col("sz") < 10, 1L).otherwise(0L)).as("classes_lt_10"),
+        sum(when(col("sz") < 10, col("sz")).otherwise(0L)).as("rows_lt_10"),
+        round(sum(when(col("sz") < 10, col("sz")).otherwise(0L)).cast(DoubleType) /
+          sum(col("sz")).cast(DoubleType), 6).as("pct_at_risk_10"))
+    },
+    Some("""WITH cls AS (SELECT c_nationkey, c_mktsegment,
+          CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_band, COUNT(*) AS sz
+        FROM customer GROUP BY 1, 2, 3)
+      SELECT COUNT(*) AS n_classes, CAST(SUM(sz) AS BIGINT) AS n_rows,
+        CAST(SUM(CASE WHEN sz < 2 THEN 1 ELSE 0 END) AS BIGINT) AS classes_lt_2,
+        CAST(SUM(CASE WHEN sz < 2 THEN sz ELSE 0 END) AS BIGINT) AS rows_lt_2,
+        CAST(SUM(CASE WHEN sz < 5 THEN 1 ELSE 0 END) AS BIGINT) AS classes_lt_5,
+        CAST(SUM(CASE WHEN sz < 5 THEN sz ELSE 0 END) AS BIGINT) AS rows_lt_5,
+        CAST(SUM(CASE WHEN sz < 10 THEN 1 ELSE 0 END) AS BIGINT) AS classes_lt_10,
+        CAST(SUM(CASE WHEN sz < 10 THEN sz ELSE 0 END) AS BIGINT) AS rows_lt_10,
+        round(CAST(SUM(CASE WHEN sz < 10 THEN sz ELSE 0 END) AS DOUBLE) /
+          CAST(SUM(sz) AS DOUBLE), 6) AS pct_at_risk_10
+      FROM cls"""))
+
+  /** Trailing-28-day rolling OLS slope of daily revenue per
+    * returnflag — the windowed trend detector. The fact table
+    * collapses to the O(groups·days) daily frame first; the five
+    * moment sums (n, Σx, Σy, Σxy, Σx²) ride ONE RANGE window in
+    * exact DECIMAL (integer day index × integer cents — no FP drift
+    * inside the frame at any scale), and the slope is a single
+    * double expression at the end. NULL where the window is
+    * degenerate (one day).
+    */
+  val q129RollingSlope: QueryDef = QueryDef("q129_rolling_slope",
+    (s, dir) => {
+      val daily = t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag").as("flag"),
+          datediff(col("l_shipdate"), lit("1992-01-01").cast(DateType)).cast(LongType).as("d"))
+        .agg((sum(dec(col("l_extendedprice"))) * 100).cast(DecimalType(18, 0)).as("cents"))
+      val w = Window.partitionBy(col("flag")).orderBy(col("d")).rangeBetween(-27, 0)
+      val dD = col("d").cast(DecimalType(10, 0))
+      val r = daily
+        .withColumn("n", count(lit(1)).over(w))
+        .withColumn("sx", sum(dD).over(w))
+        .withColumn("sy", sum(col("cents")).over(w))
+        .withColumn("sxy", sum((dD * col("cents")).cast(DecimalType(28, 0))).over(w))
+        .withColumn("sxx", sum((dD * dD).cast(DecimalType(20, 0))).over(w))
+      val nD = col("n").cast(DoubleType)
+      val num = nD * col("sxy").cast(DoubleType) - col("sx").cast(DoubleType) * col("sy").cast(DoubleType)
+      val den = nD * col("sxx").cast(DoubleType) - col("sx").cast(DoubleType) * col("sx").cast(DoubleType)
+      r.select(col("flag"), col("d"), col("n").as("n_days"),
+          when(den =!= 0.0, round(num / den / 100.0, 6))
+            .otherwise(lit(null).cast(DoubleType)).as("slope_rev_per_day"))
+        .orderBy(col("flag"), col("d"))
+    },
+    Some("""WITH daily AS (SELECT l_returnflag AS flag,
+          CAST(date_diff('day', DATE '1992-01-01', CAST(l_shipdate AS DATE)) AS BIGINT) AS d,
+          CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) * 100 AS DECIMAL(18,0)) AS cents
+        FROM lineitem GROUP BY 1, 2),
+      r AS (SELECT flag, d,
+          COUNT(*) OVER w AS n,
+          SUM(CAST(d AS DECIMAL(10,0))) OVER w AS sx,
+          SUM(cents) OVER w AS sy,
+          SUM(CAST(CAST(d AS DECIMAL(10,0)) * cents AS DECIMAL(28,0))) OVER w AS sxy,
+          SUM(CAST(CAST(d AS DECIMAL(10,0)) * CAST(d AS DECIMAL(10,0)) AS DECIMAL(20,0))) OVER w AS sxx
+        FROM daily
+        WINDOW w AS (PARTITION BY flag ORDER BY d RANGE BETWEEN 27 PRECEDING AND CURRENT ROW))
+      SELECT flag, d, CAST(n AS BIGINT) AS n_days,
+        CASE WHEN CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) <> 0
+          THEN round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+            / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) / 100.0, 6)
+          END AS slope_rev_per_day
+      FROM r ORDER BY flag, d"""))
+
   val all: Seq[QueryDef] = Seq(
     q1Agg, q2Filter, q3Join, q4Semi, q5Multi, q6Window, q7TopK, q8Distinct,
     q9Rollup, q10Pivot, q11Anti, q12Expr, q13Percentiles, q14Subquery,
@@ -6303,7 +6393,7 @@ object Queries {
     q115GrowthAccounting, q116Survivorship, q117LiftTable, q118FunnelWindow,
     q119TopkNative, q120StorageReport, q121PvmBridge, q122PurchaseIntervals,
     q123ShipSla, q124KeyGaps, q125KsTest, q126RollingMedian, q127ItemCf,
-    textBpeLearn,
+    textBpeLearn, etlKAnonymity, q129RollingSlope,
     etlMergeUpsert, etlConstraints, etlProvenance,
     graphPageRank, curateWeightedSample,
     etlUnionSources, etlValidate, etlCleanTransform, etlQualityReport,
