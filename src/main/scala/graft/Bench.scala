@@ -34,6 +34,12 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus  = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // optional: query names as args restrict the run (targeted
+    // min-of-2 re-measure of a flagged line). Subset runs NEVER write
+    // the detail/baseline files — a 3-query run must not become the
+    // next round's regression baseline.
+    val only = args.toSet
+    def selected = if (only.isEmpty) Queries.all else Queries.all.filter(q => only(q.name))
     val spark = GraftSession.configure(SparkSession.builder())
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -61,7 +67,7 @@ object Bench {
     // Failures are LOUD: a silently dead warm-up turns measured pass 1
     // into the de-facto warm-up and min-of-2 into min-of-1.
     var warmupFailures = 0
-    Queries.all.foreach { q =>
+    selected.foreach { q =>
       val t0 = System.nanoTime()
       try q.fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case e: Throwable =>
@@ -79,7 +85,7 @@ object Bench {
     // Per-pass per-query times go to stderr so a contaminated pass is
     // diagnosable from the artifact.
     val passes = (1 to 2).map { p =>
-      Queries.all.map { q =>
+      selected.map { q =>
         val t0 = System.nanoTime()
         try q.fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         catch { case e: Throwable =>
@@ -124,11 +130,13 @@ object Bench {
     val detail =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},""" +
         s""""sf":"$sfDir","regressions_vs_prior":$regJson,"queries":{$qs}}"""
-    new java.io.File("target").mkdirs()
-    java.nio.file.Files.write(java.nio.file.Paths.get("target/bench-detail.json"),
-      detail.getBytes("UTF-8"))
-    java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_DETAIL.json"),
-      detail.getBytes("UTF-8"))
+    if (only.isEmpty) {
+      new java.io.File("target").mkdirs()
+      java.nio.file.Files.write(java.nio.file.Paths.get("target/bench-detail.json"),
+        detail.getBytes("UTF-8"))
+      java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_DETAIL.json"),
+        detail.getBytes("UTF-8"))
+    }
 
     // Compact total-only line LAST on stdout: the official artifact
     // captures a bounded tail, and the 102-entry per-query map broke

@@ -6205,9 +6205,11 @@ object Queries {
     * basket², (3) pairs emit ordered (p1 < p2) so each co-occurrence
     * counts once, (4) the co-count floor (≥2) prunes the long noise
     * tail before ranking. Item-count side is O(items) → broadcast.
-    * Ranking windows run per item over its bounded neighbor list.
-    * Cosines divide exact integer counts through IEEE sqrt/div, so
-    * both engines rank identical doubles.
+    * BOTH ranking stages (the basket cap and the final top-3) ride
+    * the bounded top_k_by heap aggregate — shuffle O(groups·k), no
+    * row_number sort funnel anywhere. Cosines divide exact integer
+    * counts through IEEE sqrt/div, so both engines rank identical
+    * doubles.
     */
   val q127ItemCf: QueryDef = QueryDef("q127_item_cf",
     (s, dir) => {
@@ -6215,9 +6217,13 @@ object Queries {
         .join(t(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
         .groupBy(col("o_custkey").as("cust"), col("l_partkey").as("item"))
         .agg(count(lit(1)).as("cnt"))
-      val wCap = Window.partitionBy(col("cust")).orderBy(col("cnt").desc, col("item").asc)
-      val capped = pc.withColumn("rn", row_number().over(wCap))
-        .filter(col("rn") <= 64).select(col("cust"), col("item"))
+      // basket thinning through the bounded top-k heap aggregate
+      // (shuffle O(customers·64)), not a row_number window — same
+      // (cnt desc, item asc) order, no per-customer sort of the
+      // full basket frame
+      val capped = pc.groupBy(col("cust"))
+        .agg(vector.topKBy(col("cnt").cast(DoubleType), col("item"), 64).as("top"))
+        .select(col("cust"), explode(col("top.id")).as("item"))
         .localCheckpoint(true)
       val ni = capped.groupBy(col("item")).agg(count(lit(1)).as("n"))
       val co = capped.as("x").join(capped.as("y"),
@@ -6234,10 +6240,11 @@ object Queries {
           col("neighbor") === col("i2"))
         .withColumn("cosine", col("c").cast(DoubleType) /
           sqrt(col("n1").cast(DoubleType) * col("n2").cast(DoubleType)))
-      val wRank = Window.partitionBy(col("item"))
-        .orderBy(col("cosine").desc, col("neighbor").asc)
-      sc.withColumn("rk", row_number().over(wRank)).filter(col("rk") <= 3)
-        .select(col("item"), col("rk"), col("neighbor"), round(col("cosine"), 6).as("cosine"))
+      sc.groupBy(col("item"))
+        .agg(vector.topKBy(col("cosine"), col("neighbor"), 3).as("top"))
+        .select(col("item"), explode(col("top")).as("t"))
+        .select(col("item"), col("t.rank").as("rk"), col("t.id").as("neighbor"),
+          round(col("t.score"), 6).as("cosine"))
         .orderBy(col("item"), col("rk"))
     },
     Some("""WITH pc AS (SELECT o_custkey AS cust, l_partkey AS item, COUNT(*) AS cnt
