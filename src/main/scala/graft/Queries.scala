@@ -6369,6 +6369,89 @@ object Queries {
           END AS slope_rev_per_day
       FROM r ORDER BY flag, d"""))
 
+  /** Deterministic pseudonymization for dataset release (the
+    * governance sibling of text_redact and etl_k_anonymity): direct
+    * identifiers are replaced by stable md5-derived surrogates —
+    * same input, same pseudonym, so referential joins still work
+    * across releases — and the quasi-identifier acctbal is banded.
+    * Entirely map-side (zero shuffles before the output sort); md5
+    * is bit-identical across engines so the oracle covers the full
+    * token mapping.
+    */
+  val etlPseudonymize: QueryDef = QueryDef("etl_pseudonymize",
+    (s, dir) => t(s, dir, "customer")
+      .select(col("c_custkey"),
+        concat(lit("cust_"), substring(md5(col("c_name")), 1, 16)).as("pseudonym"),
+        col("c_nationkey"),
+        floor(col("c_acctbal") / 1000).cast(LongType).as("bal_band"),
+        col("c_mktsegment"))
+      .orderBy(col("c_custkey")),
+    Some("""SELECT c_custkey,
+        'cust_' || substr(md5(c_name), 1, 16) AS pseudonym,
+        c_nationkey,
+        CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_band,
+        c_mktsegment
+      FROM customer ORDER BY c_custkey"""))
+
+  /** Seasonal-residual anomaly detection on the daily revenue series
+    * per returnflag: the day-of-week seasonal mean (pinned to 2dp
+    * DECIMAL, q83's trick) subtracts out the weekly cycle, residual
+    * second moments accumulate in exact DECIMAL (order-independent —
+    * a double Σr² would drift with partitioning), and days with
+    * |z| > 2.5 surface. Seasonal means are O(groups·7) and the flag
+    * stats O(groups) — both broadcast; the fact table collapses to
+    * the daily frame in the first partial-agg shuffle. Day-of-week
+    * comes from day-index mod 7 (engine-portable, unlike dayofweek()
+    * conventions).
+    */
+  val q130SeasonalAnomaly: QueryDef = QueryDef("q130_seasonal_anomaly",
+    (s, dir) => {
+      val daily = t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag").as("flag"),
+          datediff(col("l_shipdate"), lit("1992-01-01").cast(DateType)).cast(LongType).as("d"))
+        .agg(sum(dec(col("l_extendedprice"))).cast(DecimalType(18, 2)).as("rev"))
+        .withColumn("dow", col("d") % 7)
+        .localCheckpoint(true)
+      val mu = daily.groupBy(col("flag"), col("dow"))
+        .agg(round(sum(col("rev")).cast(DoubleType) / count(lit(1)).cast(DoubleType), 2)
+          .cast(DecimalType(18, 2)).as("mu"))
+      val resid = daily.join(broadcast(mu), Seq("flag", "dow"))
+        .withColumn("r", (col("rev") - col("mu")).cast(DecimalType(20, 2)))
+      val stats = resid.groupBy(col("flag"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("r")).as("sr"),
+          sum((col("r") * col("r")).cast(DecimalType(38, 4))).as("sr2"))
+      val nD = col("n").cast(DoubleType)
+      val srD = col("sr").cast(DoubleType); val sr2D = col("sr2").cast(DoubleType)
+      resid.join(broadcast(stats), "flag")
+        .withColumn("sd", sqrt((sr2D - srD * srD / nD) / (nD - 1)))
+        .withColumn("z", round(col("r").cast(DoubleType) / col("sd"), 4))
+        .filter(abs(col("z")) > 2.5)
+        .select(col("flag"), col("d"), col("rev").cast(DoubleType).as("rev"), col("z"))
+        .orderBy(col("flag"), col("d"))
+    },
+    Some("""WITH daily AS (SELECT l_returnflag AS flag,
+          CAST(date_diff('day', DATE '1992-01-01', CAST(l_shipdate AS DATE)) AS BIGINT) AS d,
+          CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS rev
+        FROM lineitem GROUP BY 1, 2),
+      dd AS (SELECT flag, d, rev, d % 7 AS dow FROM daily),
+      mu AS (SELECT flag, dow,
+          CAST(round(CAST(SUM(rev) AS DOUBLE) / COUNT(*), 2) AS DECIMAL(18,2)) AS mu
+        FROM dd GROUP BY 1, 2),
+      resid AS (SELECT dd.flag, dd.d, dd.rev,
+          CAST(dd.rev - mu.mu AS DECIMAL(20,2)) AS r
+        FROM dd JOIN mu ON dd.flag = mu.flag AND dd.dow = mu.dow),
+      st AS (SELECT flag, COUNT(*) AS n, SUM(r) AS sr,
+          SUM(CAST(r * r AS DECIMAL(38,4))) AS sr2
+        FROM resid GROUP BY flag),
+      z AS (SELECT resid.flag, d, rev,
+          round(CAST(r AS DOUBLE) /
+            sqrt((CAST(sr2 AS DOUBLE) - CAST(sr AS DOUBLE) * CAST(sr AS DOUBLE) / CAST(n AS DOUBLE))
+              / (CAST(n AS DOUBLE) - 1)), 4) AS z
+        FROM resid JOIN st ON resid.flag = st.flag)
+      SELECT flag, d, CAST(rev AS DOUBLE) AS rev, z
+      FROM z WHERE ABS(z) > 2.5 ORDER BY flag, d"""))
+
   val all: Seq[QueryDef] = Seq(
     q1Agg, q2Filter, q3Join, q4Semi, q5Multi, q6Window, q7TopK, q8Distinct,
     q9Rollup, q10Pivot, q11Anti, q12Expr, q13Percentiles, q14Subquery,
@@ -6400,7 +6483,8 @@ object Queries {
     q115GrowthAccounting, q116Survivorship, q117LiftTable, q118FunnelWindow,
     q119TopkNative, q120StorageReport, q121PvmBridge, q122PurchaseIntervals,
     q123ShipSla, q124KeyGaps, q125KsTest, q126RollingMedian, q127ItemCf,
-    textBpeLearn, etlKAnonymity, q129RollingSlope,
+    textBpeLearn, etlKAnonymity, q129RollingSlope, etlPseudonymize,
+    q130SeasonalAnomaly,
     etlMergeUpsert, etlConstraints, etlProvenance,
     graphPageRank, curateWeightedSample,
     etlUnionSources, etlValidate, etlCleanTransform, etlQualityReport,
