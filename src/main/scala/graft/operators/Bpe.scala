@@ -70,6 +70,7 @@ object Bpe {
         // prefix; a formed token never re-merges with the symbol that
         // produced it (And is short-circuit, so the element_at guard
         // is ANSI-safe on the empty accumulator)
+        val prev = dict
         dict = dict
           .withColumn("syms", aggregate(col("syms"),
             array().cast(ArrayType(StringType)),
@@ -78,6 +79,7 @@ object Bpe {
               concat(slice(acc, lit(1), size(acc) - 1), array(lit(l + r))))
               .otherwise(concat(acc, array(x)))))
           .localCheckpoint(true)
+        prev.unpersist(false) // superseded round's checkpoint blocks
         step += 1
       }
     }

@@ -195,12 +195,14 @@ object Graph {
       .withColumn("label", col("node"))
       .localCheckpoint(true)
     for (_ <- 1 to k) {
+      val prev = labels
       labels = und.join(labels, und("b") === labels("node"))
         .groupBy(col("a"), col("label")).agg(count(lit(1)).as("cnt"))
         .groupBy(col("a"))
         .agg(max(struct(col("cnt"), (-col("label")).as("nl"))).as("m"))
         .select(col("a").as("node"), (-col("m.nl")).as("label"))
         .localCheckpoint(true)
+      prev.unpersist(false) // superseded round's checkpoint blocks
     }
     und.unpersist(false)
     labels
