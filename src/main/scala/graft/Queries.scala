@@ -6452,6 +6452,31 @@ object Queries {
       SELECT flag, d, CAST(rev AS DOUBLE) AS rev, z
       FROM z WHERE ABS(z) > 2.5 ORDER BY flag, d"""))
 
+  /** Exact word-set similarity join at τ = 4/5 through prefix
+    * filtering (Dedup.prefixJaccardPairs). The oracle is the NAIVE
+    * any-shared-token pair census with the same integer threshold —
+    * so the hash match PROVES the prefix filter's completeness on the
+    * real corpus, the same oracle-as-proof trick as q102_geo_join and
+    * q114_interval_join.
+    */
+  val dedupSsjoin: QueryDef = QueryDef("dedup_ssjoin",
+    (s, dir) => Dedup.prefixJaccardPairs(
+      t(s, dir, "documents").withColumn("blk", concat_ws("|", col("lang"), col("source"))),
+      "doc_id", "text", "blk"),
+    Some("""WITH toks AS (SELECT id, blk, w FROM (
+          SELECT doc_id AS id, lang || '|' || source AS blk,
+            unnest(list_distinct(string_split_regex(lower(text), '[^a-z]+'))) AS w
+          FROM documents) WHERE len(w) >= 2),
+      sz AS (SELECT id, COUNT(*) AS n FROM toks GROUP BY id),
+      co AS (SELECT x.id AS a, y.id AS b, COUNT(*) AS c
+        FROM toks x JOIN toks y ON x.w = y.w AND x.blk = y.blk AND x.id < y.id
+        GROUP BY 1, 2),
+      j AS (SELECT a, b, c, sa.n AS na, sb.n AS nb
+        FROM co JOIN sz sa ON co.a = sa.id JOIN sz sb ON co.b = sb.id)
+      SELECT a, b,
+        round(CAST(c AS DOUBLE) / CAST(na + nb - c AS DOUBLE), 6) AS jaccard
+      FROM j WHERE 5 * c >= 4 * (na + nb - c) ORDER BY a, b"""))
+
   val all: Seq[QueryDef] = Seq(
     q1Agg, q2Filter, q3Join, q4Semi, q5Multi, q6Window, q7TopK, q8Distinct,
     q9Rollup, q10Pivot, q11Anti, q12Expr, q13Percentiles, q14Subquery,
@@ -6484,7 +6509,7 @@ object Queries {
     q119TopkNative, q120StorageReport, q121PvmBridge, q122PurchaseIntervals,
     q123ShipSla, q124KeyGaps, q125KsTest, q126RollingMedian, q127ItemCf,
     textBpeLearn, etlKAnonymity, q129RollingSlope, etlPseudonymize,
-    q130SeasonalAnomaly,
+    q130SeasonalAnomaly, dedupSsjoin,
     etlMergeUpsert, etlConstraints, etlProvenance,
     graphPageRank, curateWeightedSample,
     etlUnionSources, etlValidate, etlCleanTransform, etlQualityReport,

@@ -553,4 +553,72 @@ object Dedup {
     docs.join(kept, col(id) === col("__id"), "left")
       .select(col(id), coalesce(col("__kept"), lit("")).as(text))
   }
+
+  /** EXACT word-set similarity self-join via prefix filtering — the
+    * PPJoin family (Xiao et al., WWW'08) beside the lossy-bounded
+    * [[ngramJaccardPairs]]: instead of pruning hot grams (which
+    * under-estimates Jaccard), sort every doc's token set by GLOBAL
+    * rarity and index only each set's PREFIX — the first
+    * |s| − ⌈τ·|s|⌉ + 1 rarest tokens. Two sets with Jaccard ≥ τ MUST
+    * share a prefix token (pigeonhole), so the candidate set is
+    * complete and the join result is exact; the oracle hash-proves
+    * this against the naive any-shared-token pair census.
+    *
+    * Scale shape: the inverted index contains only prefixes, and the
+    * rare-first canonical order concentrates it on low-df tokens —
+    * the hot-token quadratic blowup lands on exactly the tokens the
+    * prefix excludes. The integer length filter (den·|y| ≥ num·|x|)
+    * prunes at the index row; candidate ids dedupe BEFORE token
+    * arrays are fetched (two hash joins on the O(pairs) frame, never
+    * arrays through the index join); τ-threshold decisions are all
+    * integer arithmetic (⌈τn⌉ = (num·n + den−1) div den,
+    * den·c ≥ num·(union)) so no IEEE boundary can disagree between
+    * engines.
+    *
+    * τ arrives as the exact rational tauNum/tauDen so every pruning
+    * decision stays integer; `block` scopes the join (dedup within a
+    * feed/language — on a templated corpus whole-set similarity is
+    * high CORPUS-WIDE, so the unblocked pair space is quadratic in
+    * genuinely-similar docs; blocking bounds it the same way every
+    * other operator in this file does). Returns (a, b, jaccard) with
+    * a < b.
+    */
+  def prefixJaccardPairs(docs: DataFrame, id: String, text: String,
+      block: String, tauNum: Long = 4L, tauDen: Long = 5L): DataFrame = {
+    require(tauNum > 0 && tauNum <= tauDen, s"tau must be in (0,1]: $tauNum/$tauDen")
+    val toks = docs.select(col(id).as("id"), col(block).as("blk"),
+      array_distinct(filter(split(lower(col(text)), "[^a-z]+"),
+        w => length(w) >= 2)).as("ws"))
+    val tokDf = toks.select(explode(col("ws")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("df"))
+    // canonical rare-first order: (df asc, w asc) is a deterministic
+    // total order, so every set's sorted form (and prefix) is unique
+    val sorted = toks.select(col("id"), col("blk"), explode(col("ws")).as("w"))
+      .join(tokDf, "w")
+      .groupBy(col("id"), col("blk"))
+      .agg(sort_array(collect_list(struct(col("df"), col("w")))).as("arr"))
+      .select(col("id"), col("blk"), expr("transform(arr, x -> x.w)").as("toks"),
+        size(col("arr")).cast(LongType).as("n"))
+      .localCheckpoint(true) // diamond: prefix index + two array fetches
+    val pref = sorted
+      .withColumn("p", expr(
+        s"cast(n - ($tauNum * n + ${tauDen - 1}) div $tauDen + 1 as int)"))
+      .select(col("id"), col("blk"), col("n"),
+        explode(slice(col("toks"), lit(1), col("p"))).as("w"))
+    val cand = pref.as("x").join(pref.as("y"),
+        col("x.w") === col("y.w") && col("x.blk") === col("y.blk") &&
+          col("x.id") < col("y.id") &&
+          lit(tauDen) * col("y.n") >= lit(tauNum) * col("x.n") &&
+          lit(tauDen) * col("x.n") >= lit(tauNum) * col("y.n"))
+      .select(col("x.id").as("a"), col("y.id").as("b")).distinct()
+    cand
+      .join(sorted.select(col("id").as("a"), col("toks").as("ta"), col("n").as("na")), "a")
+      .join(sorted.select(col("id").as("b"), col("toks").as("tb"), col("n").as("nb")), "b")
+      .withColumn("c", size(array_intersect(col("ta"), col("tb"))).cast(LongType))
+      .filter(lit(tauDen) * col("c") >= lit(tauNum) * (col("na") + col("nb") - col("c")))
+      .select(col("a"), col("b"),
+        round(col("c").cast(DoubleType) /
+          (col("na") + col("nb") - col("c")).cast(DoubleType), 6).as("jaccard"))
+      .orderBy(col("a"), col("b"))
+  }
 }

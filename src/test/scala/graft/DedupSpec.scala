@@ -245,4 +245,29 @@ class DedupSpec extends SparkSpec {
       assert(out(i) == s"unique paragraph $i", s"doc $i should keep only its unique line")
     }
   }
+
+  test("prefixJaccardPairs: exact result equals brute force, blocked, integer threshold") {
+    import spark.implicits._
+    def wordSet(t: String): Set[String] =
+      t.toLowerCase.split("[^a-z]+").filter(_.length >= 2).toSet
+    val texts = Seq(
+      1L -> ("alpha beta gamma delta epsilon zeta", "b1"),
+      2L -> ("alpha beta gamma delta epsilon eta", "b1"),   // 5/7 with doc 1
+      3L -> ("alpha beta gamma delta epsilon zeta", "b1"),  // identical to doc 1
+      4L -> ("alpha beta gamma delta epsilon zeta", "b2"),  // identical but other block
+      5L -> ("totally different words here now", "b1"))
+    val docs = texts.map { case (i, (t, b)) => (i, t, b) }.toDF("doc_id", "text", "blk")
+    val got = Dedup.prefixJaccardPairs(docs, "doc_id", "text", "blk", 4L, 5L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // brute force within blocks at the same integer threshold
+    val expect = (for {
+      (a, (ta, ba)) <- texts; (b, (tb, bb)) <- texts
+      if a < b && ba == bb
+      sa = wordSet(ta); sb = wordSet(tb)
+      c = (sa & sb).size; u = sa.size + sb.size - c
+      if 5L * c >= 4L * u
+    } yield (a, b) -> math.rint(c.toDouble / u * 1e6) / 1e6).toMap
+    assert(got === expect)
+    assert(got.contains((1L, 3L)) && !got.contains((1L, 4L))) // block respected
+  }
 }
