@@ -6477,6 +6477,107 @@ object Queries {
         round(CAST(c AS DOUBLE) / CAST(na + nb - c AS DOUBLE), 6) AS jaccard
       FROM j WHERE 5 * c >= 4 * (na + nb - c) ORDER BY a, b"""))
 
+  /** Point-in-time-correct feature snapshot (the feature-store
+    * contract): for every order, the customer's trailing-90-day order
+    * count and revenue STRICTLY BEFORE the order date — the
+    * leakage-free as-of aggregation a training pipeline joins onto
+    * labels. One RANGE window partitioned by customer (high
+    * cardinality → fully parallel, no funnel) over integer day/cents
+    * arithmetic; no self-join, no per-label scan.
+    */
+  val q131PitFeatures: QueryDef = QueryDef("q131_pit_features",
+    (s, dir) => {
+      val o = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"),
+        datediff(col("o_orderdate"), lit("1992-01-01").cast(DateType)).cast(LongType).as("d"),
+        (dec(col("o_totalprice")) * 100).cast(LongType).as("cents"))
+      val w = Window.partitionBy(col("o_custkey")).orderBy(col("d"))
+        .rangeBetween(-90, -1)
+      o.select(col("o_orderkey"), col("o_custkey"), col("d"),
+          coalesce(count(col("cents")).over(w), lit(0L)).as("feat_n_orders_90d"),
+          round(coalesce(sum(col("cents")).over(w), lit(0L)) / 100.0, 2).as("feat_rev_90d"))
+        .orderBy(col("o_orderkey"))
+    },
+    Some("""WITH o AS (SELECT o_orderkey, o_custkey,
+          CAST(date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS d,
+          CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+        FROM orders)
+      SELECT o_orderkey, o_custkey, d,
+        COALESCE(COUNT(cents) OVER w, 0) AS feat_n_orders_90d,
+        round(COALESCE(SUM(cents) OVER w, 0) / 100.0, 2) AS feat_rev_90d
+      FROM o
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY d
+        RANGE BETWEEN 90 PRECEDING AND 1 PRECEDING)
+      ORDER BY o_orderkey"""))
+
+  /** Simpson's-paradox audit: does the URGENT-vs-LOW gap in
+    * high-value-order rate hold within every market segment, or does
+    * aggregation reverse it? Per-stratum rates plus the pooled
+    * '__all__' row in one conditional-aggregate pass over the
+    * orders⋈customer join (dim side broadcast); the reversal flag
+    * compares the pooled direction against the stratum-majority
+    * direction (sign arithmetic on exact integer counts). The
+    * aggregation-bias check that belongs beside q63_ab_lift.
+    */
+  val q132Simpson: QueryDef = QueryDef("q132_simpson",
+    (s, dir) => {
+      val j = t(s, dir, "orders")
+        .filter(col("o_orderpriority").isin("1-URGENT", "5-LOW"))
+        .join(broadcast(t(s, dir, "customer")), col("o_custkey") === col("c_custkey"))
+        .select(col("c_mktsegment").as("segment"),
+          (col("o_orderpriority") === "1-URGENT").as("isx"),
+          (col("o_totalprice") > 150000).as("hi"))
+      def rates(df: DataFrame, seg: Column) = df.groupBy(seg.as("segment"))
+        .agg(sum(when(col("isx"), 1L).otherwise(0L)).as("n_x"),
+          sum(when(!col("isx"), 1L).otherwise(0L)).as("n_y"),
+          sum(when(col("isx") && col("hi"), 1L).otherwise(0L)).as("hi_x"),
+          sum(when(!col("isx") && col("hi"), 1L).otherwise(0L)).as("hi_y"))
+      val strata = rates(j, col("segment")).localCheckpoint(true)
+      val overall = rates(j.withColumn("segment", lit("__all__")), col("segment"))
+      val sgn = (c: Column) => signum(c)
+      val diff = (df: DataFrame) => df.withColumn("dir",
+        sgn(col("hi_x").cast(DoubleType) / col("n_x").cast(DoubleType) -
+          col("hi_y").cast(DoubleType) / col("n_y").cast(DoubleType)).cast(IntegerType))
+      val majority = diff(strata).agg(sum(col("dir")).as("net_dir"))
+      diff(strata.unionByName(overall))
+        .crossJoin(broadcast(majority))
+        .select(col("segment"), col("n_x"), col("n_y"),
+          round(col("hi_x").cast(DoubleType) / col("n_x").cast(DoubleType), 6).as("rate_x"),
+          round(col("hi_y").cast(DoubleType) / col("n_y").cast(DoubleType), 6).as("rate_y"),
+          col("dir"),
+          (col("segment") === "__all__" &&
+            col("dir") =!= sgn(col("net_dir").cast(DoubleType)).cast(IntegerType))
+            .as("reversal"))
+        .orderBy(col("segment"))
+    },
+    Some("""WITH j AS (SELECT c_mktsegment AS segment,
+          o_orderpriority = '1-URGENT' AS isx,
+          o_totalprice > 150000 AS hi
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        WHERE o_orderpriority IN ('1-URGENT', '5-LOW')),
+      strata AS (SELECT segment,
+          SUM(CASE WHEN isx THEN 1 ELSE 0 END) AS n_x,
+          SUM(CASE WHEN NOT isx THEN 1 ELSE 0 END) AS n_y,
+          SUM(CASE WHEN isx AND hi THEN 1 ELSE 0 END) AS hi_x,
+          SUM(CASE WHEN NOT isx AND hi THEN 1 ELSE 0 END) AS hi_y
+        FROM j GROUP BY segment),
+      overall AS (SELECT '__all__' AS segment,
+          SUM(CASE WHEN isx THEN 1 ELSE 0 END),
+          SUM(CASE WHEN NOT isx THEN 1 ELSE 0 END),
+          SUM(CASE WHEN isx AND hi THEN 1 ELSE 0 END),
+          SUM(CASE WHEN NOT isx AND hi THEN 1 ELSE 0 END)
+        FROM j),
+      u AS (SELECT * FROM strata UNION ALL SELECT * FROM overall),
+      d AS (SELECT segment, n_x, n_y,
+          CAST(sign(CAST(hi_x AS DOUBLE) / n_x - CAST(hi_y AS DOUBLE) / n_y) AS INT) AS dir,
+          round(CAST(hi_x AS DOUBLE) / n_x, 6) AS rate_x,
+          round(CAST(hi_y AS DOUBLE) / n_y, 6) AS rate_y
+        FROM u),
+      m AS (SELECT SUM(dir) AS net_dir FROM d WHERE segment <> '__all__')
+      SELECT segment, CAST(n_x AS BIGINT) AS n_x, CAST(n_y AS BIGINT) AS n_y,
+        rate_x, rate_y, dir,
+        (segment = '__all__' AND dir <> CAST(sign(CAST(net_dir AS DOUBLE)) AS INT)) AS reversal
+      FROM d, m ORDER BY segment"""))
+
   val all: Seq[QueryDef] = Seq(
     q1Agg, q2Filter, q3Join, q4Semi, q5Multi, q6Window, q7TopK, q8Distinct,
     q9Rollup, q10Pivot, q11Anti, q12Expr, q13Percentiles, q14Subquery,
@@ -6509,7 +6610,7 @@ object Queries {
     q119TopkNative, q120StorageReport, q121PvmBridge, q122PurchaseIntervals,
     q123ShipSla, q124KeyGaps, q125KsTest, q126RollingMedian, q127ItemCf,
     textBpeLearn, etlKAnonymity, q129RollingSlope, etlPseudonymize,
-    q130SeasonalAnomaly, dedupSsjoin,
+    q130SeasonalAnomaly, dedupSsjoin, q131PitFeatures, q132Simpson,
     etlMergeUpsert, etlConstraints, etlProvenance,
     graphPageRank, curateWeightedSample,
     etlUnionSources, etlValidate, etlCleanTransform, etlQualityReport,
