@@ -39,6 +39,11 @@ object Bench {
     // the detail/baseline files — a 3-query run must not become the
     // next round's regression baseline.
     val only = args.toSet
+    val unknown = only -- Queries.all.map(_.name).toSet
+    if (unknown.nonEmpty)
+      // loud, not fatal: a typo'd subset run otherwise "succeeds" with
+      // n_queries=0 and a valid-looking total of 0.000
+      System.err.println(s"[bench] WARNING unknown query name(s): ${unknown.toSeq.sorted.mkString(", ")}")
     def selected = if (only.isEmpty) Queries.all else Queries.all.filter(q => only(q.name))
     val spark = GraftSession.configure(SparkSession.builder())
       .master(s"local[$cpus]")

@@ -6532,7 +6532,11 @@ object Queries {
           sum(when(col("isx") && col("hi"), 1L).otherwise(0L)).as("hi_x"),
           sum(when(!col("isx") && col("hi"), 1L).otherwise(0L)).as("hi_y"))
       val strata = rates(j, col("segment")).localCheckpoint(true)
-      val overall = rates(j.withColumn("segment", lit("__all__")), col("segment"))
+      // pooled row = column-wise sum of the strata frame (segments
+      // partition j) — never a second scan of the join
+      val overall = strata.agg(sum(col("n_x")).as("n_x"), sum(col("n_y")).as("n_y"),
+          sum(col("hi_x")).as("hi_x"), sum(col("hi_y")).as("hi_y"))
+        .withColumn("segment", lit("__all__"))
       val sgn = (c: Column) => signum(c)
       val diff = (df: DataFrame) => df.withColumn("dir",
         sgn(col("hi_x").cast(DoubleType) / col("n_x").cast(DoubleType) -

@@ -83,6 +83,8 @@ object Bpe {
         step += 1
       }
     }
+    dict.unpersist(false) // final round's checkpoint blocks — the
+    // merge table below is driver-built, so dict is done
     val schema = StructType(Seq(
       StructField("step", IntegerType, nullable = false),
       StructField("left", StringType, nullable = false),

@@ -67,12 +67,15 @@ class BpeSpec extends SparkSpec {
   }
 
   test("ties break by (left, right) ascending and counts are freq-weighted") {
-    // 'xy' and 'yx' adjacencies tie by construction -> 'xy' must win
+    // every adjacent pair in this corpus counts exactly 2, so the
+    // winner is decided PURELY by the (left asc, right asc) tie rule:
+    // lexicographic min among {(q,</w>), (x,y), (x,z), (y,q), (y,x),
+    // (z,</w>)} is (q, </w>) — pin it explicitly so a tie-direction
+    // regression fails loudly
     val corpus = Seq("xyq xyq", "yxz yxz")
     val m = run(corpus, 1)
     assert(m.size === 1)
-    // every adjacent pair in this corpus counts exactly 2 -> the
-    // winner is decided purely by the (left asc, right asc) tie rule
+    assert((m.head._2, m.head._3) === ("q", "</w>"))
     assert(m === refBpe(corpus, 1))
   }
 
