@@ -4811,25 +4811,38 @@ object Queries {
       val decile = t(s, dir, "customer")
         .select(col("c_custkey"), col("c_mktsegment"), dec(col("c_acctbal")).as("bal"))
         .withColumn("decile", ntile(10).over(wN).cast(LongType))
+        // exact integer cents: the averages below round in integer
+        // space, because round(double, 2) of Σdecimal/n diverges
+        // between engines exactly when the true quotient is a .xx5
+        // tie — which exact-cent inputs make common, not rare.
+        .withColumn("cents", (col("bal") * 100).cast(LongType))
+      // Mean in cents, ties toward +∞: floor((2s' + n) / 2n) with
+      // s' = s + OFF·n ≥ n > 0, so floor needs no sign care and the
+      // IEEE double divide is bit-identical in both engines (numerator
+      // stays < 2^53 for any per-group n below ~4e9 rows).
+      val OFF = 1000000L
+      def avgCents(sumC: Column, n: Column): Column =
+        floor((lit(2L) * (sumC + lit(OFF) * n) + n) / (lit(2.0) * n)) - lit(OFF)
       val target = decile.groupBy(col("decile"))
-        .agg((sum(col("bal")).cast(DoubleType) / count(lit(1)).cast(DoubleType)).as("norm_bal"))
+        .agg(avgCents(sum(col("cents")), count(lit(1))).as("norm_cents"))
       decile.join(broadcast(target), Seq("decile"))
         .groupBy(col("c_mktsegment"), col("decile"))
         .agg(count(lit(1)).as("n"),
-          round(sum(col("bal")).cast(DoubleType) / count(lit(1)).cast(DoubleType), 2).as("avg_before"),
-          round(max(col("norm_bal")), 2).as("avg_after"))
+          (avgCents(sum(col("cents")), count(lit(1))) / lit(100.0)).as("avg_before"),
+          (max(col("norm_cents")) / lit(100.0)).as("avg_after"))
         .orderBy(col("c_mktsegment"), col("decile"))
     },
     Some("""WITH d AS (SELECT c_custkey, c_mktsegment,
-          CAST(c_acctbal AS DECIMAL(12,2)) AS bal,
+          CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents,
           CAST(ntile(10) OVER (PARTITION BY c_mktsegment
             ORDER BY CAST(c_acctbal AS DECIMAL(12,2)), c_custkey) AS BIGINT) AS decile
         FROM customer),
-      t AS (SELECT decile, CAST(SUM(bal) AS DOUBLE) / COUNT(*) AS norm_bal
+      t AS (SELECT decile,
+          FLOOR((2 * (SUM(cents) + 1000000 * COUNT(*)) + COUNT(*)) / (2.0 * COUNT(*))) - 1000000 AS norm_cents
         FROM d GROUP BY 1)
       SELECT c_mktsegment, d.decile, COUNT(*) AS n,
-        round(CAST(SUM(bal) AS DOUBLE) / COUNT(*), 2) AS avg_before,
-        round(MAX(norm_bal), 2) AS avg_after
+        (FLOOR((2 * (SUM(cents) + 1000000 * COUNT(*)) + COUNT(*)) / (2.0 * COUNT(*))) - 1000000) / 100.0 AS avg_before,
+        MAX(norm_cents) / 100.0 AS avg_after
       FROM d JOIN t ON d.decile = t.decile
       GROUP BY 1, 2 ORDER BY 1, 2"""))
 
@@ -5339,11 +5352,17 @@ object Queries {
     * the partition; this scores a GIVEN one).
     *
     * Scale shape: dimension-exploded partial aggregation — (label,
-    * dim) component sums in exact DECIMAL (float components cast
-    * before summing, so the reduction is order-independent), centroid
-    * frame broadcast back for the per-vector dot products, per-vector
-    * cosines rounded then DECIMAL-averaged. Explosion is map-side;
-    * both shuffles carry only (label, dim) / (label) partials.
+    * dim) fixed-point component sums, centroid frame broadcast back
+    * for the per-vector dot products. Explosion is map-side; both
+    * shuffles carry only (label, dim) / (label) partials.
+    *
+    * Determinism: floats are quantized ONCE to scale-7 fixed point
+    * via floor(double·1e7 + 0.5) — the only float conversion is the
+    * exact widening to double, because engines disagree on
+    * float→DECIMAL tie digits. Every later sum is integer-exact
+    * (order-independent) and every rounding is floor(x·10^k + 0.5)
+    * on doubles derived through identical IEEE op chains, so both
+    * engines land on the same bits with no engine round() anywhere.
     */
   val q113LabelCentroids: QueryDef = QueryDef("q113_label_centroids",
     (s, dir) => {
@@ -5351,48 +5370,52 @@ object Queries {
         .select(col("vec_id"), col("label"),
           posexplode(col("embedding")).as(Seq("dim", "v")))
         .select(col("vec_id"), col("label"), col("dim"),
-          col("v").cast(DecimalType(16, 7)).as("v"))
+          floor(col("v").cast(DoubleType) * lit(1.0e7) + lit(0.5)).as("i"))
       val cent = emb.groupBy(col("label"), col("dim"))
-        .agg((sum(col("v")).cast(DoubleType) / count(lit(1)).cast(DoubleType)).as("c"))
+        .agg((sum(col("i")).cast(DoubleType) / (lit(1.0e7) * count(lit(1)))).as("c"))
         .localCheckpoint(true)
       val cnorm = cent.groupBy(col("label"))
-        .agg(sqrt(sum(round(col("c") * col("c"), 12).cast(DecimalType(24, 12)))
-          .cast(DoubleType)).as("cn"))
+        .agg(sqrt(sum(floor(col("c") * col("c") * lit(1.0e12) + lit(0.5)))
+          .cast(DoubleType) / lit(1.0e12)).as("cn"))
       val dots = emb.join(broadcast(cent), Seq("label", "dim"))
         .groupBy(col("vec_id"), col("label"))
-        .agg(sum(round(col("v").cast(DoubleType) * col("c"), 10).cast(DecimalType(26, 10)))
-            .cast(DoubleType).as("dot"),
-          sqrt(sum((col("v") * col("v")).cast(DecimalType(30, 14))).cast(DoubleType)).as("vn"))
+        .agg((sum(floor(col("i").cast(DoubleType) * col("c") * lit(1000.0) + lit(0.5)))
+            .cast(DoubleType) / lit(1.0e10)).as("dot"),
+          sqrt(sum(col("i") * col("i")).cast(DoubleType) / lit(1.0e14)).as("vn"))
       dots.join(broadcast(cnorm), Seq("label"))
         .select(col("label"), col("cn"),
-          round(col("dot") / (col("vn") * col("cn")), 6).cast(DecimalType(10, 6)).as("cos"))
+          floor(col("dot") / (col("vn") * col("cn")) * lit(1.0e6) + lit(0.5)).as("micro"))
         .groupBy(col("label"))
         .agg(count(lit(1)).as("n_vecs"),
-          round(max(col("cn")), 6).as("centroid_norm"),
-          round(sum(col("cos")).cast(DoubleType) / count(lit(1)).cast(DoubleType), 6)
+          (floor(max(col("cn")) * lit(1.0e6) + lit(0.5)) / lit(1.0e6)).as("centroid_norm"),
+          // mean of the scale-6 micro ints, ties toward +∞; offset 2e6
+          // (cos ≥ -1) keeps the numerator positive (see q104)
+          ((floor((lit(2L) * (sum(col("micro")) + lit(2000000L) * count(lit(1))) + count(lit(1))) /
+              (lit(2.0) * count(lit(1)))) - lit(2000000L)) / lit(1.0e6))
             .as("avg_cos_to_centroid"))
         .orderBy(col("label"))
     },
     Some("""WITH e AS (SELECT vec_id, label,
-          CAST(unnest(embedding) AS DECIMAL(16,7)) AS v,
+          CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * 1.0e7 + 0.5) AS BIGINT) AS i,
           unnest(range(1, len(embedding) + 1)) AS dim
         FROM embeddings),
-      cent AS (SELECT label, dim, CAST(SUM(v) AS DOUBLE) / COUNT(*) AS c
+      cent AS (SELECT label, dim,
+          CAST(SUM(i) AS DOUBLE) / (1.0e7 * COUNT(*)) AS c
         FROM e GROUP BY 1, 2),
       cnorm AS (SELECT label,
-          sqrt(CAST(SUM(CAST(round(c * c, 12) AS DECIMAL(24,12))) AS DOUBLE)) AS cn
+          sqrt(CAST(SUM(CAST(FLOOR(c * c * 1.0e12 + 0.5) AS BIGINT)) AS DOUBLE) / 1.0e12) AS cn
         FROM cent GROUP BY 1),
       dots AS (SELECT e.vec_id, e.label,
-          CAST(SUM(CAST(round(CAST(e.v AS DOUBLE) * cent.c, 10) AS DECIMAL(26,10))) AS DOUBLE) AS dot,
-          sqrt(CAST(SUM(CAST(e.v * e.v AS DECIMAL(30,14))) AS DOUBLE)) AS vn
+          CAST(SUM(CAST(FLOOR(CAST(e.i AS DOUBLE) * cent.c * 1000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1.0e10 AS dot,
+          sqrt(CAST(SUM(e.i * e.i) AS DOUBLE) / 1.0e14) AS vn
         FROM e JOIN cent ON e.label = cent.label AND e.dim = cent.dim
         GROUP BY 1, 2),
       cosd AS (SELECT d.label,
-          CAST(round(d.dot / (d.vn * c.cn), 6) AS DECIMAL(10,6)) AS cos
+          CAST(FLOOR(d.dot / (d.vn * c.cn) * 1.0e6 + 0.5) AS BIGINT) AS micro
         FROM dots d JOIN cnorm c USING (label))
       SELECT label, COUNT(*) AS n_vecs,
-        round(ANY_VALUE(cn), 6) AS centroid_norm,
-        round(CAST(SUM(cos) AS DOUBLE) / COUNT(*), 6) AS avg_cos_to_centroid
+        FLOOR(ANY_VALUE(cn) * 1.0e6 + 0.5) / 1.0e6 AS centroid_norm,
+        (FLOOR((2 * (SUM(micro) + 2000000 * COUNT(*)) + COUNT(*)) / (2.0 * COUNT(*))) - 2000000) / 1.0e6 AS avg_cos_to_centroid
       FROM cosd JOIN cnorm USING (label)
       GROUP BY label ORDER BY label"""))
 

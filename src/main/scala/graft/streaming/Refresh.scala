@@ -229,7 +229,6 @@ object Refresh {
           col(rightTs) >= col(leftTs) - expr(s"INTERVAL $lookback"))
 
   final case class UserStats(user_id: Long, n_events: Long, total_value: Double, max_value: Double)
-  private final case class StatsCell(n: Long, total: Double, mx: Double)
 
   /** transformWithState processor: one ValueState cell per user holds
     * the running (n, Σvalue, max); each batch touching a user emits the
@@ -376,3 +375,10 @@ object Refresh {
       }.toDF()
   }
 }
+
+/** State cell for [[Refresh.RunningStatsProcessor]]. Top-level and
+  * public on purpose: a `private` class nested in the object makes
+  * Janino reject the encoder's generated accessor calls, silently
+  * dropping the state (de)serializer to interpreted mode.
+  */
+final case class StatsCell(n: Long, total: Double, mx: Double)
