@@ -1696,10 +1696,15 @@ object Queries {
         .withColumn("w",
           least(greatest(col("l_extendedprice"), col("p05")), col("p95"))
             .cast(DecimalType(12, 4)))
+      // Means round in integer 1e-4 units, ties toward +∞ (see
+      // q104_quantile_norm): round(double, 4) of an exact-cents
+      // quotient is engine-divergent exactly on the .5 ties.
       clamped.groupBy(col("l_returnflag"))
         .agg(count(lit(1)).as("n"),
-          round(sum(dec(col("l_extendedprice"))).cast(DoubleType) / count(lit(1)), 4).as("avg_raw"),
-          round(sum(col("w")).cast(DoubleType) / count(lit(1)), 4).as("avg_winsorized"))
+          (floor((lit(2L) * sum((dec(col("l_extendedprice")) * 10000).cast(LongType)) + count(lit(1))) /
+            (lit(2.0) * count(lit(1)))) / lit(1.0e4)).as("avg_raw"),
+          (floor((lit(2L) * sum((col("w") * 10000).cast(LongType)) + count(lit(1))) /
+            (lit(2.0) * count(lit(1)))) / lit(1.0e4)).as("avg_winsorized"))
         .orderBy(col("l_returnflag"))
     },
     Some("""WITH thresholds AS (
@@ -1708,8 +1713,8 @@ object Queries {
                round(quantile_cont(l_extendedprice, 0.95), 4) AS p95
         FROM lineitem GROUP BY l_returnflag)
       SELECT l.l_returnflag, COUNT(*) AS n,
-        ROUND(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*), 4) AS avg_raw,
-        ROUND(CAST(SUM(CAST(LEAST(GREATEST(l.l_extendedprice, t.p05), t.p95) AS DECIMAL(12,4))) AS DOUBLE) / COUNT(*), 4) AS avg_winsorized
+        FLOOR((2 * SUM(CAST(CAST(l.l_extendedprice AS DECIMAL(12,2)) * 10000 AS BIGINT)) + COUNT(*)) / (2.0 * COUNT(*))) / 1.0e4 AS avg_raw,
+        FLOOR((2 * SUM(CAST(CAST(LEAST(GREATEST(l.l_extendedprice, t.p05), t.p95) AS DECIMAL(12,4)) * 10000 AS BIGINT)) + COUNT(*)) / (2.0 * COUNT(*))) / 1.0e4 AS avg_winsorized
       FROM lineitem l JOIN thresholds t ON l.l_returnflag = t.l_returnflag
       GROUP BY l.l_returnflag ORDER BY l.l_returnflag"""))
 
