@@ -3222,6 +3222,98 @@ object Queries {
       FROM lpl JOIN cuts USING (lang)
       GROUP BY 1, 2 ORDER BY 1, 2"""))
 
+  /** Per-token mutual information with the language label
+    * (TextAnalysis.miFeatures) — supervised feature selection over
+    * the 2×L document-presence contingency table, top 50 tokens.
+    * Cell contributions quantized to 1e-12 nat units so per-token
+    * sums are exact BIGINTs and the ranking is engine-stable.
+    */
+  val textMiFeatures: QueryDef = QueryDef("text_mi_features",
+    (s, dir) => TextAnalysis.miFeatures(
+      t(s, dir, "documents"), "doc_id", "text", "lang", limit = 50),
+    Some("""WITH tokd AS (SELECT DISTINCT doc_id, lang,
+          unnest(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS token
+        FROM documents),
+      pres AS (SELECT token, lang AS lbl, COUNT(*) AS njl
+        FROM tokd GROUP BY 1, 2),
+      nj AS (SELECT token, SUM(njl) AS nj FROM pres GROUP BY 1),
+      nl AS (SELECT lang AS lbl, COUNT(*) AS nl FROM documents GROUP BY 1),
+      nn AS (SELECT COUNT(*) AS n FROM documents),
+      grid AS (SELECT nj.token, nj.nj, nl.lbl, nl.nl,
+          COALESCE(pres.njl, 0) AS njl, nn.n
+        FROM nj CROSS JOIN nl CROSS JOIN nn
+        LEFT JOIN pres ON pres.token = nj.token AND pres.lbl = nl.lbl),
+      cells AS (SELECT token,
+          CAST(FLOOR((CASE WHEN njl > 0 THEN
+              (CAST(njl AS DOUBLE) / CAST(n AS DOUBLE)) *
+                ln(CAST(njl AS DOUBLE) * CAST(n AS DOUBLE) /
+                  (CAST(nj AS DOUBLE) * CAST(nl AS DOUBLE)))
+            ELSE 0.0 END) * 1.0e12 + 0.5) AS BIGINT)
+        + CAST(FLOOR((CASE WHEN nl - njl > 0 AND n - nj > 0 THEN
+              (CAST(nl - njl AS DOUBLE) / CAST(n AS DOUBLE)) *
+                ln(CAST(nl - njl AS DOUBLE) * CAST(n AS DOUBLE) /
+                  (CAST(n - nj AS DOUBLE) * CAST(nl AS DOUBLE)))
+            ELSE 0.0 END) * 1.0e12 + 0.5) AS BIGINT) AS u
+        FROM grid)
+      SELECT token, CAST(SUM(u) AS BIGINT) AS mi_units,
+        CAST(SUM(u) AS DOUBLE) / 1.0e12 AS mi
+      FROM cells GROUP BY token
+      ORDER BY mi_units DESC, token LIMIT 50"""))
+
+  /** k-center greedy (farthest-first) coreset selection of 6 vectors
+    * from the embeddings table (Curation.kcenterSelect) — diversity-
+    * based data selection. Entirely exact integer arithmetic on the
+    * scale-7 fixed-point quantization, so the unrolled-iteration
+    * DuckDB oracle matches bit-for-bit (the q103_kcore / graph_lpa
+    * trick: a fixed round count needs no recursion).
+    */
+  val curateKcenter: QueryDef = QueryDef("curate_kcenter",
+    (s, dir) => Curation.kcenterSelect(
+      t(s, dir, "embeddings"), "vec_id", "embedding", k = 6),
+    Some("""WITH iv AS (SELECT vec_id,
+          list_transform(embedding,
+            x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1.0e7 + 0.5) AS BIGINT)) AS v
+        FROM embeddings),
+      e AS (SELECT vec_id, unnest(v) AS x, unnest(range(1, len(v) + 1)) AS dim FROM iv),
+      s0 AS (SELECT MIN(vec_id) AS c FROM iv),
+      d0 AS (SELECT e.vec_id, SUM((e.x - ce.x) * (e.x - ce.x)) AS d2
+        FROM e JOIN e ce ON ce.dim = e.dim AND ce.vec_id = (SELECT c FROM s0)
+        GROUP BY e.vec_id),
+      s1 AS (SELECT vec_id, d2 FROM d0 ORDER BY d2 DESC, vec_id LIMIT 1),
+      d1 AS (SELECT e.vec_id, SUM((e.x - ce.x) * (e.x - ce.x)) AS d2
+        FROM e JOIN e ce ON ce.dim = e.dim AND ce.vec_id = (SELECT vec_id FROM s1)
+        GROUP BY e.vec_id),
+      m1 AS (SELECT d0.vec_id, LEAST(d0.d2, d1.d2) AS d2
+        FROM d0 JOIN d1 USING (vec_id)),
+      s2 AS (SELECT vec_id, d2 FROM m1 ORDER BY d2 DESC, vec_id LIMIT 1),
+      d2r AS (SELECT e.vec_id, SUM((e.x - ce.x) * (e.x - ce.x)) AS d2
+        FROM e JOIN e ce ON ce.dim = e.dim AND ce.vec_id = (SELECT vec_id FROM s2)
+        GROUP BY e.vec_id),
+      m2 AS (SELECT m1.vec_id, LEAST(m1.d2, d2r.d2) AS d2
+        FROM m1 JOIN d2r USING (vec_id)),
+      s3 AS (SELECT vec_id, d2 FROM m2 ORDER BY d2 DESC, vec_id LIMIT 1),
+      d3r AS (SELECT e.vec_id, SUM((e.x - ce.x) * (e.x - ce.x)) AS d2
+        FROM e JOIN e ce ON ce.dim = e.dim AND ce.vec_id = (SELECT vec_id FROM s3)
+        GROUP BY e.vec_id),
+      m3 AS (SELECT m2.vec_id, LEAST(m2.d2, d3r.d2) AS d2
+        FROM m2 JOIN d3r USING (vec_id)),
+      s4 AS (SELECT vec_id, d2 FROM m3 ORDER BY d2 DESC, vec_id LIMIT 1),
+      d4r AS (SELECT e.vec_id, SUM((e.x - ce.x) * (e.x - ce.x)) AS d2
+        FROM e JOIN e ce ON ce.dim = e.dim AND ce.vec_id = (SELECT vec_id FROM s4)
+        GROUP BY e.vec_id),
+      m4 AS (SELECT m3.vec_id, LEAST(m3.d2, d4r.d2) AS d2
+        FROM m3 JOIN d4r USING (vec_id)),
+      s5 AS (SELECT vec_id, d2 FROM m4 ORDER BY d2 DESC, vec_id LIMIT 1)
+      SELECT * FROM (
+        SELECT CAST(0 AS BIGINT) AS sel_round, (SELECT c FROM s0) AS vec_id,
+          CAST(0 AS BIGINT) AS d2_units
+        UNION ALL SELECT 1, vec_id, CAST(d2 AS BIGINT) FROM s1
+        UNION ALL SELECT 2, vec_id, CAST(d2 AS BIGINT) FROM s2
+        UNION ALL SELECT 3, vec_id, CAST(d2 AS BIGINT) FROM s3
+        UNION ALL SELECT 4, vec_id, CAST(d2 AS BIGINT) FROM s4
+        UNION ALL SELECT 5, vec_id, CAST(d2 AS BIGINT) FROM s5
+      ) ORDER BY sel_round"""))
+
   /** Full-corpus distributed spherical k-means topic clustering
     * (Similarity.kmeansAssign — Lloyd's, one assignment pass + one
     * partial-agg moment shuffle per iteration). Hash-seeded init →
@@ -6610,6 +6702,54 @@ object Queries {
         (segment = '__all__' AND dir <> CAST(sign(CAST(net_dir AS DOUBLE)) AS INT)) AS reversal
       FROM d, m ORDER BY segment"""))
 
+  /** Multinomial Naive Bayes language classifier trained and scored
+    * on the corpus itself (TextAnalysis.naiveBayes) — the
+    * fastText/CCNet-style label model of a curation pipeline. Output
+    * is the confusion matrix (actual, predicted, n).
+    *
+    * Scale shape: token partial aggs build a broadcast-bounded model
+    * (topK cap available; 0 = exact here so the oracle can replicate
+    * it); scoring is a map-side broadcast join + one per-doc shuffle.
+    * Determinism: score contributions quantized to integer 1e-9 nat
+    * units (floor(x·1e9+0.5)), per-(doc, class) sums exact BIGINT,
+    * argmax ties (score desc, class asc) — see the operator doc.
+    */
+  val textNbClassify: QueryDef = QueryDef("text_nb_classify",
+    (s, dir) => TextAnalysis.naiveBayes(
+        t(s, dir, "documents"), "doc_id", "text", "lang")
+      .groupBy(col("actual"), col("predicted"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("actual"), col("predicted")),
+    Some("""WITH tok AS (SELECT doc_id, lang,
+          unnest(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS token
+        FROM documents),
+      dt AS (SELECT doc_id, lang AS actual, token, COUNT(*) AS c
+        FROM tok GROUP BY 1, 2, 3),
+      cc AS (SELECT actual AS mcls, token, SUM(c) AS cnt FROM dt GROUP BY 1, 2),
+      ct AS (SELECT mcls, SUM(cnt) AS t FROM cc GROUP BY 1),
+      vv AS (SELECT COUNT(DISTINCT token) AS v FROM cc),
+      nd AS (SELECT COUNT(*) AS n FROM documents),
+      dc AS (SELECT lang AS mcls, COUNT(*) AS ndocs FROM documents GROUP BY 1),
+      cls AS (SELECT ct.mcls, ct.t, vv.v,
+          CAST(FLOOR(ln(CAST(dc.ndocs AS DOUBLE) / CAST(nd.n AS DOUBLE)) * 1.0e9 + 0.5) AS BIGINT) AS prior_u,
+          ln(1.0 / CAST(ct.t + vv.v AS DOUBLE)) AS oov
+        FROM ct JOIN dc USING (mcls) CROSS JOIN vv CROSS JOIN nd),
+      model AS (SELECT cc.mcls, cc.token,
+          ln(CAST(cc.cnt + 1 AS DOUBLE) / CAST(ct.t + vv.v AS DOUBLE)) AS lnp
+        FROM cc JOIN ct USING (mcls) CROSS JOIN vv),
+      sc AS (SELECT dt.doc_id, dt.actual, cls.mcls,
+          SUM(CAST(FLOOR((CAST(dt.c AS DOUBLE) * COALESCE(model.lnp, cls.oov)) * 1.0e9 + 0.5) AS BIGINT))
+            + ANY_VALUE(cls.prior_u) AS score_u
+        FROM dt CROSS JOIN cls
+        LEFT JOIN model ON model.mcls = cls.mcls AND model.token = dt.token
+        GROUP BY 1, 2, 3),
+      pred AS (SELECT doc_id, actual, mcls AS predicted,
+          ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score_u DESC, mcls) AS rn
+        FROM sc)
+      SELECT actual, predicted, COUNT(*) AS n
+      FROM pred WHERE rn = 1
+      GROUP BY 1, 2 ORDER BY 1, 2"""))
+
   val all: Seq[QueryDef] = Seq(
     q1Agg, q2Filter, q3Join, q4Semi, q5Multi, q6Window, q7TopK, q8Distinct,
     q9Rollup, q10Pivot, q11Anti, q12Expr, q13Percentiles, q14Subquery,
@@ -6643,6 +6783,7 @@ object Queries {
     q123ShipSla, q124KeyGaps, q125KsTest, q126RollingMedian, q127ItemCf,
     textBpeLearn, etlKAnonymity, q129RollingSlope, etlPseudonymize,
     q130SeasonalAnomaly, dedupSsjoin, q131PitFeatures, q132Simpson,
+    textNbClassify, curateKcenter, textMiFeatures,
     etlMergeUpsert, etlConstraints, etlProvenance,
     graphPageRank, curateWeightedSample,
     etlUnionSources, etlValidate, etlCleanTransform, etlQualityReport,

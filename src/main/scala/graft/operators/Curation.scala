@@ -239,4 +239,53 @@ object Curation {
         col("start_off").cast("long").as("start_off"),
         col("end_off").cast("long").as("end_off"))
   }
+
+  /** k-center greedy (farthest-first traversal) coreset selection
+    * over an embedding column — the classic 2-approximation to the
+    * k-center objective, used as diversity-based data selection:
+    * each round picks the point farthest (max-min distance) from
+    * everything already selected. Seeded deterministically at the
+    * minimum id; distance ties break toward the smaller id.
+    *
+    * Determinism: embeddings quantize ONCE to scale-7 fixed point
+    * (floor(double·1e7 + 0.5), the q113 discipline) and every
+    * distance is an exact integer Σ(Δ·Δ) — the whole selection is
+    * integer arithmetic, bit-reproducible on any engine or cluster.
+    *
+    * Scale shape: k-1 passes over the quantized frame, each pure
+    * map-side (zip_with against a 64-literal broadcast center) plus
+    * a top-1 TakeOrdered reduce; running min-distance state rides a
+    * column, re-planned O(1)-deep via eager localCheckpoint (single
+    * consumer). Driver holds only the k selected vectors — the
+    * FAISS-style bounded driver state, like IVF training.
+    */
+  def kcenterSelect(df: DataFrame, idCol: String, vecCol: String,
+      k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    val spark = df.sparkSession
+    import org.apache.spark.sql.types.DoubleType
+    val ints = df.select(col(idCol).cast(LongType).as("id"),
+        transform(col(vecCol),
+          x => floor(x.cast(DoubleType) * lit(1.0e7) + lit(0.5))).as("iv"))
+      .persist()
+    val seedId = ints.agg(min(col("id"))).head().getLong(0)
+    var selected = Vector((0L, seedId, 0L))
+    var state = ints.withColumn("mind2", lit(Long.MaxValue))
+    for (r <- 1 until k) {
+      val centerIv = ints.filter(col("id") === selected.last._2)
+        .head().getSeq[Long](1)
+      val cLit = array(centerIv.map(lit): _*)
+      state = state.withColumn("mind2",
+          least(col("mind2"),
+            aggregate(zip_with(col("iv"), cLit, (a, b) => (a - b) * (a - b)),
+              lit(0L), (acc, x) => acc + x)))
+        .localCheckpoint(true)
+      val next = state.orderBy(desc("mind2"), col("id"))
+        .select(col("id"), col("mind2")).head()
+      selected = selected :+ ((r.toLong, next.getLong(0), next.getLong(1)))
+    }
+    ints.unpersist()
+    import spark.implicits._
+    selected.toDF("sel_round", "vec_id", "d2_units")
+  }
 }

@@ -539,4 +539,113 @@ object TextAnalysis {
           i => coalesce(element_at(col("m"), i), lit(0L))).as("vec"),
         col("n_tokens"), col("nnz"))
   }
+
+  /** Multinomial Naive Bayes classifier, trained and scored in one
+    * pass over the corpus — the fastText/CCNet-style label model a
+    * curation pipeline uses to score documents (here: language, the
+    * table's labeled column). Laplace-smoothed per-class token
+    * log-likelihoods ln((C+1)/(T+V)) plus a class prior; tokens
+    * outside the (optionally capped) vocabulary fall back to the
+    * class's zero-count likelihood. Returns (id, actual, predicted).
+    *
+    * Scale shape: token partial-agg shuffles build the model; the
+    * model itself is a broadcast bounded by `topK` (0 = full vocab —
+    * exact, for the oracle; at 100 TB cap it like unigramLogProb);
+    * scoring is a map-side broadcast join over the per-doc token
+    * counts and one per-doc shuffle.
+    *
+    * Determinism: per-token score contributions are quantized to
+    * integer 1e-9 units via floor(x·1e9 + 0.5), so per-(doc, class)
+    * sums are exact BIGINTs (order-independent) and the argmax
+    * (score desc, class asc on ties) is stable cross-engine — a raw
+    * double score sum would be partition-order-dependent.
+    */
+  def naiveBayes(docs: org.apache.spark.sql.DataFrame, id: String,
+      text: String, labelCol: String,
+      topK: Int = 0): org.apache.spark.sql.DataFrame = {
+    val dt = docs
+      .select(col(id).as("id"), col(labelCol).as("actual"),
+        explode(tokens(col(text))).as("token"))
+      .groupBy(col("id"), col("actual"), col("token"))
+      .agg(count(lit(1)).as("c"))
+      .persist() // consumed by the model build AND the scoring join
+    val classCnt = dt.groupBy(col("actual").as("mcls"), col("token"))
+      .agg(sum(col("c")).as("cnt"))
+      .persist() // vocab, totals, and the model read it
+    val vocabAll = classCnt.groupBy(col("token"))
+      .agg(sum(col("cnt")).as("gcnt"))
+    val vocab = if (topK > 0)
+      vocabAll.orderBy(desc("gcnt"), col("token")).limit(topK) else vocabAll
+    val vSize = vocab.agg(count(lit(1)).as("v"))
+    val nDocs = docs.agg(count(lit(1)).as("n"))
+    val clsStats = classCnt.groupBy(col("mcls")).agg(sum(col("cnt")).as("t"))
+      .join(docs.groupBy(col(labelCol).as("mcls")).agg(count(lit(1)).as("ndocs")), "mcls")
+      .crossJoin(broadcast(vSize)).crossJoin(broadcast(nDocs))
+      .select(col("mcls"), col("t"), col("v"),
+        floor(log(col("ndocs").cast(DoubleType) / col("n").cast(DoubleType)) * lit(1.0e9) + lit(0.5))
+          .as("prior_u"),
+        log(lit(1.0) / (col("t") + col("v")).cast(DoubleType)).as("oov"))
+    val model = classCnt.join(vocab.select("token"), Seq("token"), "left_semi")
+      .join(broadcast(clsStats.select(col("mcls"), col("t"), col("v"))), "mcls")
+      .select(col("mcls"), col("token"),
+        log((col("cnt") + 1).cast(DoubleType) / (col("t") + col("v")).cast(DoubleType)).as("lnp"))
+    dt.crossJoin(broadcast(clsStats.select(col("mcls"), col("prior_u"), col("oov"))))
+      .join(broadcast(model), Seq("mcls", "token"), "left")
+      .withColumn("u",
+        floor((col("c").cast(DoubleType) * coalesce(col("lnp"), col("oov"))) * lit(1.0e9) + lit(0.5)))
+      .groupBy(col("id"), col("actual"), col("mcls"))
+      .agg((sum(col("u")) + max(col("prior_u"))).as("score_u"))
+      .groupBy(col("id"), col("actual"))
+      .agg(min(struct((-col("score_u")).as("neg"), col("mcls").as("p"))).as("m"))
+      .select(col("id"), col("actual"), col("m.p").as("predicted"))
+  }
+
+  /** Mutual information I(token-presence; label) per token over the
+    * 2×L document-level contingency table — supervised feature
+    * selection (the chi-square/MI filter of a classification
+    * pipeline). Returns (token, mi_units, mi) for the top `limit`
+    * tokens by MI, ties toward the lexicographically smaller token.
+    *
+    * Scale shape: one distinct-presence partial agg (doc, label,
+    * token), one (token, label) count shuffle, the L-row label frame
+    * broadcast onto the token grid, a per-token sum, and a bounded
+    * TakeOrdered top-`limit` — no full sort, no driver loop.
+    *
+    * Determinism: each of the 2L cell contributions is quantized to
+    * integer 1e-12 nat units (floor(x·1e12 + 0.5)); per-token sums
+    * are exact BIGINTs, so ranking and ties are stable cross-engine.
+    */
+  def miFeatures(docs: org.apache.spark.sql.DataFrame, id: String,
+      text: String, labelCol: String,
+      limit: Int = 50): org.apache.spark.sql.DataFrame = {
+    val D = DoubleType
+    val pres = docs
+      .select(col(id).as("id"), col(labelCol).as("lbl"),
+        explode(tokens(col(text))).as("token"))
+      .distinct()
+      .groupBy(col("token"), col("lbl")).agg(count(lit(1)).as("njl"))
+    val nj = pres.groupBy(col("token")).agg(sum(col("njl")).as("nj"))
+    val nl = docs.groupBy(col(labelCol).as("lbl")).agg(count(lit(1)).as("nl"))
+    val nn = docs.agg(count(lit(1)).as("n"))
+    val grid = nj.crossJoin(broadcast(nl)).crossJoin(broadcast(nn))
+      .join(pres, Seq("token", "lbl"), "left")
+      .withColumn("njl", coalesce(col("njl"), lit(0L)))
+    val presentCell = when(col("njl") > 0,
+      (col("njl").cast(D) / col("n").cast(D)) *
+        log(col("njl").cast(D) * col("n").cast(D) /
+          (col("nj").cast(D) * col("nl").cast(D)))).otherwise(lit(0.0))
+    val absentCell = when((col("nl") - col("njl")) > 0 && (col("n") - col("nj")) > 0,
+      ((col("nl") - col("njl")).cast(D) / col("n").cast(D)) *
+        log((col("nl") - col("njl")).cast(D) * col("n").cast(D) /
+          ((col("n") - col("nj")).cast(D) * col("nl").cast(D)))).otherwise(lit(0.0))
+    grid
+      .withColumn("u",
+        floor(presentCell * lit(1.0e12) + lit(0.5)) +
+          floor(absentCell * lit(1.0e12) + lit(0.5)))
+      .groupBy(col("token")).agg(sum(col("u")).as("mi_units"))
+      .select(col("token"), col("mi_units"),
+        (col("mi_units").cast(D) / lit(1.0e12)).as("mi"))
+      .orderBy(desc("mi_units"), col("token"))
+      .limit(limit)
+  }
 }

@@ -192,4 +192,39 @@ class CurationSpec extends SparkSpec {
     assert(out((2L, 1L)) == ("c", 1L))
     assert(out.size == 5 + 2)
   }
+
+  test("kcenterSelect: distinct centers, seed = min id, max-min radius non-increasing, deterministic") {
+    val emb = Tables(spark, sf("x"), "embeddings")
+    def run() = Curation.kcenterSelect(emb, "vec_id", "embedding", k = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val sel = run()
+    assert(sel.map(_._1) == (0L until 6L), "one row per round, in order")
+    assert(sel.map(_._2).distinct.length == 6, "centers are distinct")
+    val minId = emb.agg(min(col("vec_id"))).head().getLong(0)
+    assert(sel.head._2 == minId, "seeded at the minimum id")
+    val radii = sel.tail.map(_._3)
+    assert(radii.zip(radii.tail).forall { case (a, b) => b <= a },
+      s"farthest-first radii must be non-increasing: $radii")
+    assert(radii.last > 0, "no duplicate center selected")
+    assert(run() == sel, "deterministic under re-run")
+  }
+
+  test("naiveBayes: total mass conserved per class; capped vocab mostly agrees with exact") {
+    val exact = graft.operators.TextAnalysis.naiveBayes(docs, "doc_id", "text", "lang")
+    val perLang = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val outPerLang = exact.groupBy("actual").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(outPerLang == perLang, "every doc gets exactly one prediction")
+    // capped vocab: still exactly one prediction per doc, and the
+    // selection is deterministic under re-run (the corpus here is
+    // tiny-vocab synthetic text, so prediction AGREEMENT with the
+    // exact model is not a meaningful floor — mass + determinism is)
+    def capped() = graft.operators.TextAnalysis
+      .naiveBayes(docs, "doc_id", "text", "lang", topK = 20)
+    val c1 = capped().collect().map(r => (r.getLong(0), r.getString(2))).sortBy(_._1)
+    assert(c1.length == docs.count(), "capped model predicts every doc once")
+    assert(capped().collect().map(r => (r.getLong(0), r.getString(2))).sortBy(_._1)
+      .sameElements(c1), "capped model deterministic under re-run")
+  }
 }
