@@ -3222,6 +3222,69 @@ object Queries {
       FROM lpl JOIN cuts USING (lang)
       GROUP BY 1, 2 ORDER BY 1, 2"""))
 
+  /** Distributed logistic regression (Glm.logitIrls): 3 Newton/IRLS
+    * steps of y ~ sigmoid(b0 + b1·x) over lineitem (y = returned
+    * flag, x = discount). Each iteration is ONE partial-agg scan for
+    * the five gradient/Hessian moments (integer 1e-9 units), with
+    * the 2×2 solve riding the 1-row aggregate frame; β re-quantized
+    * to the 1e-9 grid per step so both engines iterate from
+    * bit-identical inputs. Oracle unrolls the 3 iterations.
+    */
+  val q133Logit: QueryDef = QueryDef("q133_logit",
+    (s, dir) => Glm.logitIrls(t(s, dir, "lineitem"),
+      when(col("l_returnflag") === "R", 1.0).otherwise(0.0),
+      rate(col("l_discount")).cast(DoubleType), iters = 3),
+    Some("""WITH base AS (SELECT
+          CASE WHEN l_returnflag = 'R' THEN 1.0 ELSE 0.0 END AS y,
+          CAST(CAST(l_discount AS DECIMAL(4,2)) AS DOUBLE) AS x
+        FROM lineitem),
+      beta0 AS (SELECT 0.0 AS b0, 0.0 AS b1),
+      p1 AS (SELECT y, x, b0, b1,
+          1.0 / (1.0 + exp(-(b0 + b1 * x))) AS p FROM base CROSS JOIN beta0),
+      it1 AS (SELECT
+          CAST(SUM(CAST(FLOOR((y - p) * 1.0e9 + 0.5) AS BIGINT)) AS DOUBLE) / 1.0e9 AS g0,
+          CAST(SUM(CAST(FLOOR((x * (y - p)) * 1.0e9 + 0.5) AS BIGINT)) AS DOUBLE) / 1.0e9 AS g1,
+          CAST(SUM(CAST(FLOOR((p * (1.0 - p)) * 1.0e9 + 0.5) AS BIGINT)) AS DOUBLE) / 1.0e9 AS h00,
+          CAST(SUM(CAST(FLOOR((x * (p * (1.0 - p))) * 1.0e9 + 0.5) AS BIGINT)) AS DOUBLE) / 1.0e9 AS h01,
+          CAST(SUM(CAST(FLOOR(((x * x) * (p * (1.0 - p))) * 1.0e9 + 0.5) AS BIGINT)) AS DOUBLE) / 1.0e9 AS h11,
+          ANY_VALUE(b0) AS pb0, ANY_VALUE(b1) AS pb1
+        FROM p1),
+      beta1 AS (SELECT
+          FLOOR((pb0 + (g0 * h11 - g1 * h01) / (h00 * h11 - h01 * h01)) * 1.0e9 + 0.5) / 1.0e9 AS b0,
+          FLOOR((pb1 + (g1 * h00 - g0 * h01) / (h00 * h11 - h01 * h01)) * 1.0e9 + 0.5) / 1.0e9 AS b1
+        FROM it1),
+      p2 AS (SELECT y, x, b0, b1,
+          1.0 / (1.0 + exp(-(b0 + b1 * x))) AS p FROM base CROSS JOIN beta1),
+      it2 AS (SELECT
+          CAST(SUM(CAST(FLOOR((y - p) * 1.0e9 + 0.5) AS BIGINT)) AS DOUBLE) / 1.0e9 AS g0,
+          CAST(SUM(CAST(FLOOR((x * (y - p)) * 1.0e9 + 0.5) AS BIGINT)) AS DOUBLE) / 1.0e9 AS g1,
+          CAST(SUM(CAST(FLOOR((p * (1.0 - p)) * 1.0e9 + 0.5) AS BIGINT)) AS DOUBLE) / 1.0e9 AS h00,
+          CAST(SUM(CAST(FLOOR((x * (p * (1.0 - p))) * 1.0e9 + 0.5) AS BIGINT)) AS DOUBLE) / 1.0e9 AS h01,
+          CAST(SUM(CAST(FLOOR(((x * x) * (p * (1.0 - p))) * 1.0e9 + 0.5) AS BIGINT)) AS DOUBLE) / 1.0e9 AS h11,
+          ANY_VALUE(b0) AS pb0, ANY_VALUE(b1) AS pb1
+        FROM p2),
+      beta2 AS (SELECT
+          FLOOR((pb0 + (g0 * h11 - g1 * h01) / (h00 * h11 - h01 * h01)) * 1.0e9 + 0.5) / 1.0e9 AS b0,
+          FLOOR((pb1 + (g1 * h00 - g0 * h01) / (h00 * h11 - h01 * h01)) * 1.0e9 + 0.5) / 1.0e9 AS b1
+        FROM it2),
+      p3 AS (SELECT y, x, b0, b1,
+          1.0 / (1.0 + exp(-(b0 + b1 * x))) AS p FROM base CROSS JOIN beta2),
+      it3 AS (SELECT
+          CAST(SUM(CAST(FLOOR((y - p) * 1.0e9 + 0.5) AS BIGINT)) AS DOUBLE) / 1.0e9 AS g0,
+          CAST(SUM(CAST(FLOOR((x * (y - p)) * 1.0e9 + 0.5) AS BIGINT)) AS DOUBLE) / 1.0e9 AS g1,
+          CAST(SUM(CAST(FLOOR((p * (1.0 - p)) * 1.0e9 + 0.5) AS BIGINT)) AS DOUBLE) / 1.0e9 AS h00,
+          CAST(SUM(CAST(FLOOR((x * (p * (1.0 - p))) * 1.0e9 + 0.5) AS BIGINT)) AS DOUBLE) / 1.0e9 AS h01,
+          CAST(SUM(CAST(FLOOR(((x * x) * (p * (1.0 - p))) * 1.0e9 + 0.5) AS BIGINT)) AS DOUBLE) / 1.0e9 AS h11,
+          ANY_VALUE(b0) AS pb0, ANY_VALUE(b1) AS pb1
+        FROM p3),
+      beta3 AS (SELECT
+          FLOOR((pb0 + (g0 * h11 - g1 * h01) / (h00 * h11 - h01 * h01)) * 1.0e9 + 0.5) / 1.0e9 AS b0,
+          FLOOR((pb1 + (g1 * h00 - g0 * h01) / (h00 * h11 - h01 * h01)) * 1.0e9 + 0.5) / 1.0e9 AS b1
+        FROM it3)
+      SELECT (SELECT COUNT(*) FROM base) AS n,
+        round(b0, 6) AS b0, round(b1, 6) AS b1
+      FROM beta3"""))
+
   /** Per-token mutual information with the language label
     * (TextAnalysis.miFeatures) — supervised feature selection over
     * the 2×L document-presence contingency table, top 50 tokens.
@@ -6783,7 +6846,7 @@ object Queries {
     q123ShipSla, q124KeyGaps, q125KsTest, q126RollingMedian, q127ItemCf,
     textBpeLearn, etlKAnonymity, q129RollingSlope, etlPseudonymize,
     q130SeasonalAnomaly, dedupSsjoin, q131PitFeatures, q132Simpson,
-    textNbClassify, curateKcenter, textMiFeatures,
+    textNbClassify, curateKcenter, textMiFeatures, q133Logit,
     etlMergeUpsert, etlConstraints, etlProvenance,
     graphPageRank, curateWeightedSample,
     etlUnionSources, etlValidate, etlCleanTransform, etlQualityReport,
