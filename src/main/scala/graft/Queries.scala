@@ -3222,6 +3222,57 @@ object Queries {
       FROM lpl JOIN cuts USING (lang)
       GROUP BY 1, 2 ORDER BY 1, 2"""))
 
+  /** Histogram-based boosted regression stumps (Gbm.histBoost): 2
+    * rounds of depth-1 squared-loss boosting predicting line revenue
+    * (milli-cents) from the quantity bin — the LightGBM-style split
+    * finding where each round is one partial-agg scan to an O(bins)
+    * histogram plus a cumulative gain scan of that tiny frame.
+    * Integer residuals end-to-end; oracle unrolls both rounds.
+    */
+  val q134Gbm: QueryDef = QueryDef("q134_gbm",
+    (s, dir) => Gbm.histBoost(t(s, dir, "lineitem"),
+      col("l_quantity").cast(LongType),
+      (dec(col("l_extendedprice")) * 1000).cast(LongType), rounds = 2),
+    Some("""WITH r0 AS (SELECT CAST(l_quantity AS BIGINT) AS bin,
+          CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 1000 AS BIGINT) AS r
+        FROM lineitem),
+      h1 AS (SELECT bin, COUNT(*) AS n, SUM(r) AS s FROM r0 GROUP BY 1),
+      c1 AS (SELECT bin, SUM(n) OVER (ORDER BY bin) AS nl,
+          SUM(s) OVER (ORDER BY bin) AS sl,
+          SUM(n) OVER () AS tn, SUM(s) OVER () AS ts FROM h1),
+      g1 AS (SELECT bin, nl, sl, tn - nl AS nr, ts - sl AS sr,
+          CAST(sl AS DOUBLE) * CAST(sl AS DOUBLE) / CAST(nl AS DOUBLE)
+            + CAST(sr AS DOUBLE) * CAST(sr AS DOUBLE) / CAST(nr AS DOUBLE) AS gain
+        FROM c1 WHERE tn - nl > 0),
+      b1 AS (SELECT bin AS split_bin, gain, nl, sl, nr, sr
+        FROM g1 ORDER BY gain DESC, bin LIMIT 1),
+      l1 AS (SELECT split_bin, gain,
+          CAST(FLOOR((2 * (sl + 1000000000 * nl) + nl) / (2.0 * nl)) - 1000000000 AS BIGINT) AS leaf_l,
+          CAST(FLOOR((2 * (sr + 1000000000 * nr) + nr) / (2.0 * nr)) - 1000000000 AS BIGINT) AS leaf_r
+        FROM b1),
+      r1 AS (SELECT r0.bin, r0.r - CAST(CASE WHEN r0.bin <= l1.split_bin
+            THEN FLOOR(CAST(l1.leaf_l AS DOUBLE) / 2.0)
+            ELSE FLOOR(CAST(l1.leaf_r AS DOUBLE) / 2.0) END AS BIGINT) AS r
+        FROM r0 CROSS JOIN l1),
+      h2 AS (SELECT bin, COUNT(*) AS n, SUM(r) AS s FROM r1 GROUP BY 1),
+      c2 AS (SELECT bin, SUM(n) OVER (ORDER BY bin) AS nl,
+          SUM(s) OVER (ORDER BY bin) AS sl,
+          SUM(n) OVER () AS tn, SUM(s) OVER () AS ts FROM h2),
+      g2 AS (SELECT bin, nl, sl, tn - nl AS nr, ts - sl AS sr,
+          CAST(sl AS DOUBLE) * CAST(sl AS DOUBLE) / CAST(nl AS DOUBLE)
+            + CAST(sr AS DOUBLE) * CAST(sr AS DOUBLE) / CAST(nr AS DOUBLE) AS gain
+        FROM c2 WHERE tn - nl > 0),
+      b2 AS (SELECT bin AS split_bin, gain, nl, sl, nr, sr
+        FROM g2 ORDER BY gain DESC, bin LIMIT 1),
+      l2 AS (SELECT split_bin, gain,
+          CAST(FLOOR((2 * (sl + 1000000000 * nl) + nl) / (2.0 * nl)) - 1000000000 AS BIGINT) AS leaf_l,
+          CAST(FLOOR((2 * (sr + 1000000000 * nr) + nr) / (2.0 * nr)) - 1000000000 AS BIGINT) AS leaf_r
+        FROM b2)
+      SELECT * FROM (
+        SELECT CAST(1 AS BIGINT) AS round, split_bin, leaf_l, leaf_r, gain FROM l1
+        UNION ALL SELECT 2, split_bin, leaf_l, leaf_r, gain FROM l2
+      ) ORDER BY round"""))
+
   /** Distributed logistic regression (Glm.logitIrls): 3 Newton/IRLS
     * steps of y ~ sigmoid(b0 + b1·x) over lineitem (y = returned
     * flag, x = discount). Each iteration is ONE partial-agg scan for
@@ -6846,7 +6897,7 @@ object Queries {
     q123ShipSla, q124KeyGaps, q125KsTest, q126RollingMedian, q127ItemCf,
     textBpeLearn, etlKAnonymity, q129RollingSlope, etlPseudonymize,
     q130SeasonalAnomaly, dedupSsjoin, q131PitFeatures, q132Simpson,
-    textNbClassify, curateKcenter, textMiFeatures, q133Logit,
+    textNbClassify, curateKcenter, textMiFeatures, q133Logit, q134Gbm,
     etlMergeUpsert, etlConstraints, etlProvenance,
     graphPageRank, curateWeightedSample,
     etlUnionSources, etlValidate, etlCleanTransform, etlQualityReport,
