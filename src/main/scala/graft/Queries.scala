@@ -3222,6 +3222,53 @@ object Queries {
       FROM lpl JOIN cuts USING (lang)
       GROUP BY 1, 2 ORDER BY 1, 2"""))
 
+  /** Distributed PCA: leading eigenvector of the embedding covariance
+    * (Pca.topComponent) — Gram matrix as a map-side outer-product
+    * partial agg (d² per row, no row-level shuffle), 3 power
+    * iterations on the O(d²) frame, ∞-norm normalized. Exact integer
+    * arithmetic at every step (scale-5 quantization, integer mean,
+    * per-term 1e3-unit accumulation, 1e-9-grid re-quantization), so
+    * the unrolled DuckDB oracle matches bit-for-bit.
+    */
+  val q135Pca: QueryDef = QueryDef("q135_pca",
+    (s, dir) => Pca.topComponent(t(s, dir, "embeddings"), "vec_id", "embedding", iters = 3),
+    Some("""WITH iv AS (SELECT vec_id,
+          list_transform(embedding,
+            x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1.0e5 + 0.5) AS BIGINT)) AS v
+        FROM embeddings),
+      e AS (SELECT vec_id, unnest(v) AS x, unnest(range(1, len(v) + 1)) AS dim FROM iv),
+      mn AS (SELECT dim,
+          CAST(FLOOR((2 * (SUM(x) + 1000000000 * COUNT(*)) + COUNT(*)) / (2.0 * COUNT(*))) - 1000000000 AS BIGINT) AS m
+        FROM e GROUP BY 1),
+      c AS (SELECT e.vid, e.dim, e.x - mn.m AS cx
+        FROM (SELECT vec_id AS vid, dim, x FROM e) e JOIN mn USING (dim)),
+      g AS (SELECT a.dim AS da, b.dim AS db, SUM(a.cx * b.cx) AS gv
+        FROM c a JOIN c b ON a.vid = b.vid GROUP BY 1, 2),
+      u0 AS (SELECT dim, CAST(1000000000 AS BIGINT) AS uu FROM mn),
+      w1 AS (SELECT g.da AS dim,
+          SUM(CAST(FLOOR(CAST(g.gv AS DOUBLE) * (CAST(u0.uu AS DOUBLE) / 1.0e9) / 1.0e3 + 0.5) AS BIGINT)) AS wu
+        FROM g JOIN u0 ON u0.dim = g.db GROUP BY 1),
+      m1 AS (SELECT MAX(ABS(wu)) AS mx FROM w1),
+      u1 AS (SELECT dim,
+          CAST(FLOOR(CAST(wu AS DOUBLE) / CAST(mx AS DOUBLE) * 1.0e9 + 0.5) AS BIGINT) AS uu
+        FROM w1 CROSS JOIN m1),
+      w2 AS (SELECT g.da AS dim,
+          SUM(CAST(FLOOR(CAST(g.gv AS DOUBLE) * (CAST(u1.uu AS DOUBLE) / 1.0e9) / 1.0e3 + 0.5) AS BIGINT)) AS wu
+        FROM g JOIN u1 ON u1.dim = g.db GROUP BY 1),
+      m2 AS (SELECT MAX(ABS(wu)) AS mx FROM w2),
+      u2 AS (SELECT dim,
+          CAST(FLOOR(CAST(wu AS DOUBLE) / CAST(mx AS DOUBLE) * 1.0e9 + 0.5) AS BIGINT) AS uu
+        FROM w2 CROSS JOIN m2),
+      w3 AS (SELECT g.da AS dim,
+          SUM(CAST(FLOOR(CAST(g.gv AS DOUBLE) * (CAST(u2.uu AS DOUBLE) / 1.0e9) / 1.0e3 + 0.5) AS BIGINT)) AS wu
+        FROM g JOIN u2 ON u2.dim = g.db GROUP BY 1),
+      m3 AS (SELECT MAX(ABS(wu)) AS mx FROM w3),
+      u3 AS (SELECT dim,
+          CAST(FLOOR(CAST(wu AS DOUBLE) / CAST(mx AS DOUBLE) * 1.0e9 + 0.5) AS BIGINT) AS uu
+        FROM w3 CROSS JOIN m3)
+      SELECT dim, CAST(uu AS DOUBLE) / 1.0e9 AS loading
+      FROM u3 ORDER BY dim"""))
+
   /** Histogram-based boosted regression stumps (Gbm.histBoost): 2
     * rounds of depth-1 squared-loss boosting predicting line revenue
     * (milli-cents) from the quantity bin — the LightGBM-style split
@@ -6897,7 +6944,7 @@ object Queries {
     q123ShipSla, q124KeyGaps, q125KsTest, q126RollingMedian, q127ItemCf,
     textBpeLearn, etlKAnonymity, q129RollingSlope, etlPseudonymize,
     q130SeasonalAnomaly, dedupSsjoin, q131PitFeatures, q132Simpson,
-    textNbClassify, curateKcenter, textMiFeatures, q133Logit, q134Gbm,
+    textNbClassify, curateKcenter, textMiFeatures, q133Logit, q134Gbm, q135Pca,
     etlMergeUpsert, etlConstraints, etlProvenance,
     graphPageRank, curateWeightedSample,
     etlUnionSources, etlValidate, etlCleanTransform, etlQualityReport,
