@@ -4238,10 +4238,10 @@ object Queries {
         .groupBy(col("o_custkey"))
         .agg(collect_set(col("o_orderpriority")).as("ps"))
         .select(col("o_custkey"),
-          array_sort(col("ps")).as("prios"),
-          array_sort(array_intersect(col("ps"), probe)).as("inter"),
-          array_sort(array_except(col("ps"), probe)).as("minus"),
-          array_sort(array_union(col("ps"), probe)).as("uni"),
+          array_join(array_sort(col("ps")), "|").as("prios"),
+          array_join(array_sort(array_intersect(col("ps"), probe)), "|").as("inter"),
+          array_join(array_sort(array_except(col("ps"), probe)), "|").as("minus"),
+          array_join(array_sort(array_union(col("ps"), probe)), "|").as("uni"),
           size(array_union(col("ps"), probe)).cast(LongType).as("n_uni"))
         .orderBy(col("o_custkey")).limit(100)
     },
@@ -4249,10 +4249,10 @@ object Queries {
         FROM orders GROUP BY o_custkey),
       probe AS (SELECT ['1-URGENT', '3-MEDIUM'] AS pr)
       SELECT o_custkey,
-        list_sort(ps) AS prios,
-        list_sort(list_intersect(ps, pr)) AS inter,
-        list_sort(list_filter(ps, x -> NOT list_contains(pr, x))) AS minus,
-        list_sort(list_distinct(list_concat(ps, pr))) AS uni,
+        COALESCE(array_to_string(list_sort(ps), '|'), '') AS prios,
+        COALESCE(array_to_string(list_sort(list_intersect(ps, pr)), '|'), '') AS inter,
+        COALESCE(array_to_string(list_sort(list_filter(ps, x -> NOT list_contains(pr, x))), '|'), '') AS minus,
+        COALESCE(array_to_string(list_sort(list_distinct(list_concat(ps, pr))), '|'), '') AS uni,
         CAST(len(list_distinct(list_concat(ps, pr))) AS BIGINT) AS n_uni
       FROM ps CROSS JOIN probe ORDER BY o_custkey LIMIT 100"""))
 
@@ -4535,6 +4535,11 @@ object Queries {
   val textFeatureHash: QueryDef = QueryDef("text_feature_hash",
     (s, dir) => TextAnalysis.featureHash(t(s, dir, "documents"),
         "doc_id", "text", dims = 32)
+      // the vector ships pipe-joined: the driver's compare handles
+      // scalars only (arrays are unhashable in its pandas sort)
+      .select(col("id"),
+        array_join(transform(col("vec"), v => v.cast(StringType)), "|").as("vec"),
+        col("n_tokens"), col("nnz"))
       .orderBy(col("id")),
     None)
 
@@ -5528,7 +5533,8 @@ object Queries {
             .as("ids"))
         .select(col("doc_id"), col("n_tokens"),
           size(filter(col("ids"), i => i === 0)).cast(LongType).as("n_oov"),
-          slice(col("ids"), 1, 12).as("head_ids"))
+          array_join(transform(slice(col("ids"), 1, 12), i => i.cast(StringType)), "|")
+            .as("head_ids"))
         .orderBy(col("doc_id"))
     },
     Some("""WITH docs AS (SELECT doc_id,
@@ -5544,7 +5550,7 @@ object Queries {
         FROM docs CROSS JOIN vm)
       SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
         CAST(len(list_filter(ids, i -> i = 0)) AS BIGINT) AS n_oov,
-        ids[1:12] AS head_ids
+        COALESCE(array_to_string(ids[1:12], '|'), '') AS head_ids
       FROM enc ORDER BY doc_id"""))
 
   /** Burst detection via gaps-and-islands: days whose order count
@@ -5968,7 +5974,7 @@ object Queries {
           min(col("doc_id")).as("survivor_id"),
           max(struct(length(col("text")).as("len"),
             (-col("doc_id")).as("tie"), col("text"))).as("best"),
-          array_sort(collect_set(col("source"))).as("sources"))
+          array_join(array_sort(collect_set(col("source"))), "|").as("sources"))
       merged.join(lang, Seq("ck"))
         .filter(col("n_members") >= 2)
         .select(col("survivor_id"), col("n_members"),
@@ -5990,7 +5996,7 @@ object Queries {
             ORDER BY length(text) DESC, doc_id ASC) AS rn
           FROM base) WHERE rn = 1),
       merged AS (SELECT ck, COUNT(*) AS n_members, MIN(doc_id) AS survivor_id,
-          list_sort(list_distinct(list(source))) AS sources
+          array_to_string(list_sort(list_distinct(list(source))), '|') AS sources
         FROM base GROUP BY ck)
       SELECT m.survivor_id, m.n_members,
         CAST(length(b.text) AS BIGINT) AS text_len,

@@ -4,7 +4,7 @@ import java.util.concurrent.ConcurrentHashMap
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Loaders for the TPC-H-ish test tables (see TESTDATA.md). One parquet
   * file per table; at cluster scale these would be partitioned
@@ -45,19 +45,25 @@ object Tables {
     */
   private val spread = new ConcurrentHashMap[(Int, String, String), DataFrame]()
 
-  /** Read one table. events.parquet carries TIMESTAMP(NANOS), which
-    * Spark's vectorized parquet reader rejects outright; the session
-    * must be built with `spark.sql.legacy.parquet.nanosAsLong=true`
-    * (see [[GraftSession.required]]) so it reads as raw nanos-since-
-    * epoch, converted here to a proper micros timestamp (`div 1000` in
-    * integer space — a double intermediate would lose precision above
-    * 2^53 ns).
+  /** Read one table, normalizing `events.ts` to a session-TZ TIMESTAMP
+    * whatever the generator emitted:
+    *   - TIMESTAMP(NANOS) parquet reads as raw nanos-since-epoch under
+    *     `spark.sql.legacy.parquet.nanosAsLong=true` (see
+    *     [[GraftSession.required]]) — converted with `div 1000` in
+    *     integer space (a double intermediate loses precision > 2^53 ns);
+    *   - plain timestamp[us] without isAdjustedToUTC reads as
+    *     TIMESTAMP_NTZ — cast to TIMESTAMP under the UTC session
+    *     timezone, which keeps the wall-clock values byte-identical to
+    *     the oracle's naive read of the same file.
     */
   def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
     val raw = spark.read.parquet(s"$dir/$name.parquet")
-    val df = raw.schema.fields.find(f => f.name == "ts" && f.dataType == LongType) match {
-      case Some(_) => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      case None    => raw
+    val df = raw.schema.fields.find(_.name == "ts").map(_.dataType) match {
+      case Some(LongType) =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case Some(TimestampNTZType) =>
+        raw.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => raw
     }
     if (!GraftSession.localSpread(spark)) df
     else spread.computeIfAbsent((System.identityHashCode(spark), dir, name), _ =>

@@ -124,25 +124,29 @@ object Dedup {
       maxGramDf: Long = 10000L): DataFrame = {
     val g = explodedGrams(docs, id, text, n, Seq(col(block) -> "blk"))
       .persist()
-    val pruned =
-      if (maxGramDf > 0L) {
-        val hot = g.groupBy("gram").agg(count(lit(1)).as("df"))
-          .filter(col("df") > maxGramDf).select("gram")
-        g.join(broadcast(hot), Seq("gram"), "left_anti")
-      } else g
-    val sizes = g.groupBy("id").agg(count(lit(1)).as("sz"))
-    val inter = pruned.select(col("blk"), col("gram"), col("id").as("id_a"))
-      .join(pruned.select(col("blk"), col("gram"), col("id").as("id_b")),
-        Seq("blk", "gram"))
-      .filter(col("id_a") < col("id_b"))
-      .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
-    inter
-      .join(sizes.select(col("id").as("id_a"), col("sz").as("sz_a")), "id_a")
-      .join(sizes.select(col("id").as("id_b"), col("sz").as("sz_b")), "id_b")
-      .select(col("id_a"), col("id_b"),
-        round(col("inter").cast(DoubleType) / col("sz_a").cast(DoubleType), 6).as("cont_ab"),
-        round(col("inter").cast(DoubleType) / col("sz_b").cast(DoubleType), 6).as("cont_ba"))
-      .filter(greatest(col("cont_ab"), col("cont_ba")) >= minContainment)
+    try {
+      val pruned =
+        if (maxGramDf > 0L) {
+          val hot = g.groupBy("gram").agg(count(lit(1)).as("df"))
+            .filter(col("df") > maxGramDf).select("gram")
+          g.join(broadcast(hot), Seq("gram"), "left_anti")
+        } else g
+      val sizes = g.groupBy("id").agg(count(lit(1)).as("sz"))
+      val inter = pruned.select(col("blk"), col("gram"), col("id").as("id_a"))
+        .join(pruned.select(col("blk"), col("gram"), col("id").as("id_b")),
+          Seq("blk", "gram"))
+        .filter(col("id_a") < col("id_b"))
+        .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
+      inter
+        .join(sizes.select(col("id").as("id_a"), col("sz").as("sz_a")), "id_a")
+        .join(sizes.select(col("id").as("id_b"), col("sz").as("sz_b")), "id_b")
+        .select(col("id_a"), col("id_b"),
+          round(col("inter").cast(DoubleType) / col("sz_a").cast(DoubleType), 6).as("cont_ab"),
+          round(col("inter").cast(DoubleType) / col("sz_b").cast(DoubleType), 6).as("cont_ba"))
+        .filter(greatest(col("cont_ab"), col("cont_ba")) >= minContainment)
+        // materialize the bounded pair set, then release the gram base
+        .localCheckpoint(true)
+    } finally { g.unpersist(false) }
   }
 
   /** MinHash signatures. Permutation i is a rotate-xor mix of TWO base

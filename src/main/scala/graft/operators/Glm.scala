@@ -50,9 +50,16 @@ object Glm {
       val H01 = col("h01u").cast(DoubleType) / U
       val H11 = col("h11u").cast(DoubleType) / U
       val det = H00 * H11 - H01 * H01
+      // singular Hessian (constant x, or weights driven to 0 by
+      // separation): keep the previous beta instead of dividing by 0
+      // and silently propagating NaN through every later iteration
       beta = m.select(
-          (floor((col("pb0") + (G0 * H11 - G1 * H01) / det) * U + lit(0.5)) / U).as("b0"),
-          (floor((col("pb1") + (G1 * H00 - G0 * H01) / det) * U + lit(0.5)) / U).as("b1"))
+          when(det =!= lit(0.0),
+            floor((col("pb0") + (G0 * H11 - G1 * H01) / det) * U + lit(0.5)) / U)
+            .otherwise(col("pb0")).as("b0"),
+          when(det =!= lit(0.0),
+            floor((col("pb1") + (G1 * H00 - G0 * H01) / det) * U + lit(0.5)) / U)
+            .otherwise(col("pb1")).as("b1"))
         .localCheckpoint(true) // single consumer; keeps the plan O(1)-deep
     }
     val out = base.crossJoin(broadcast(beta))

@@ -71,7 +71,9 @@ object Pca {
             .as("uu"))
         .localCheckpoint(true) // single consumer per iteration; keeps the plan O(1)-deep
     }
-    ints.unpersist()
+    // the final u is eagerly checkpointed, so both caches can go
+    ints.unpersist(false)
+    g.unpersist(false)
     u.select(col("dim"), (col("uu").cast(DoubleType) / lit(1.0e9)).as("loading"))
       .orderBy(col("dim"))
   }

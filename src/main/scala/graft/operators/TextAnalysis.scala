@@ -572,6 +572,7 @@ object TextAnalysis {
     val classCnt = dt.groupBy(col("actual").as("mcls"), col("token"))
       .agg(sum(col("c")).as("cnt"))
       .persist() // vocab, totals, and the model read it
+    try {
     val vocabAll = classCnt.groupBy(col("token"))
       .agg(sum(col("cnt")).as("gcnt"))
     val vocab = if (topK > 0)
@@ -598,6 +599,9 @@ object TextAnalysis {
       .groupBy(col("id"), col("actual"))
       .agg(min(struct((-col("score_u")).as("neg"), col("mcls").as("p"))).as("m"))
       .select(col("id"), col("actual"), col("m.p").as("predicted"))
+      // materialize before releasing the two shared count caches
+      .localCheckpoint(true)
+    } finally { dt.unpersist(false); classCnt.unpersist(false) }
   }
 
   /** Mutual information I(token-presence; label) per token over the

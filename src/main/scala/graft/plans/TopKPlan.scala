@@ -33,6 +33,8 @@ import org.apache.spark.sql.functions.col
 final case class GroupedTopK(child: LogicalPlan,
     groupCols: Seq[Attribute], ordCol: Attribute, k: Int,
     keepSmallest: Boolean = false) extends UnaryNode {
+  require(groupCols.nonEmpty,
+    "GroupedTopK needs group columns: ClusteredDistribution(Nil) cannot be planned")
   override def output: Seq[Attribute] = child.output
   override def references: AttributeSet =
     AttributeSet((groupCols :+ ordCol).flatMap(_.references))
@@ -112,6 +114,9 @@ object TopKPlan {
   def topKPerGroup(df: DataFrame, groupCols: Seq[String], ord: Column,
       k: Int): DataFrame = {
     require(k >= 1, s"k must be >= 1: $k")
+    // ClusteredDistribution(Nil) is rejected at planning; a global
+    // (ungrouped) top-k is just orderBy+limit — don't route it here
+    require(groupCols.nonEmpty, "topKPerGroup needs at least one group column")
     val spark: SparkSession = df.sparkSession
     val tagged = df.withColumn(OrdCol, ord)
     val plan = tagged.queryExecution.analyzed

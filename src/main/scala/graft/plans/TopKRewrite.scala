@@ -41,10 +41,16 @@ object TopKRewriteRule extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan = {
     if (!conf.getConfString(ConfKey, "false").toBoolean) return plan
     plan.transformUp {
+      // Guards beyond the docstring: the sort key must be non-nullable
+      // (GroupedTopKExec drops null-ord rows, but row_number ranks NULLs
+      // FIRST under the ASC default — pruning would change the answer),
+      // and the partition spec must be non-empty (a global row_number
+      // has no clustering keys for the exec's required distribution).
       case f @ Filter(cond,
           w @ Window(Seq(alias @ Alias(WindowExpression(_: RowNumber, _), _)),
             partitionSpec, Seq(SortOrder(sortChild: Attribute, dir, _, _)), child, _))
-          if !child.isInstanceOf[GroupedTopK] &&
+          if !child.isInstanceOf[GroupedTopK] && !sortChild.nullable &&
+            partitionSpec.nonEmpty &&
             partitionSpec.forall(_.isInstanceOf[Attribute]) =>
         limitOf(cond, alias.toAttribute) match {
           case Some(k) if k >= 1 =>

@@ -78,4 +78,31 @@ class TopKPlanSpec extends SparkSpec {
       assert(on.collect().map(_.toString).sorted.toSeq == baseline)
     } finally spark.conf.unset(graft.plans.TopKRewriteRule.ConfKey)
   }
+
+  test("rewrite declines nullable sort keys and global row_number") {
+    import spark.implicits._
+    try {
+      spark.conf.set(graft.plans.TopKRewriteRule.ConfKey, "true")
+      // nullable sort key: GroupedTopK would DROP the null row that
+      // row_number ranks first (NULLS FIRST asc default) — must not fire
+      val df = Seq((1L, "a", Some(5.0)), (2L, "a", None), (3L, "a", Some(1.0)))
+        .toDF("id", "g", "v")
+      val wNull = Window.partitionBy(col("g")).orderBy(col("v"))
+      val qNull = df.withColumn("rn", row_number().over(wNull)).filter(col("rn") <= 2)
+      assert(!qNull.queryExecution.optimizedPlan.toString.contains("GroupedTopK"),
+        qNull.queryExecution.optimizedPlan.toString)
+      // NULLS FIRST: the null row ranks 1, then v=1.0 — the exact rows
+      // a GroupedTopK prune would have gotten wrong
+      assert(qNull.select("id").as[Long].collect().sorted.toSeq == Seq(2L, 3L))
+      // global row_number (empty PARTITION BY): ClusteredDistribution(Nil)
+      // is unplannable — the rewrite must decline, and the query still run
+      val sk = Seq((1L, 3.0), (2L, 1.0), (3L, 2.0)).toDF("id", "v")
+        .withColumn("skv", struct(col("v"), col("id")))
+      val wGlobal = Window.orderBy(col("skv"))
+      val qGlobal = sk.withColumn("rn", row_number().over(wGlobal)).filter(col("rn") <= 2)
+      assert(!qGlobal.queryExecution.optimizedPlan.toString.contains("GroupedTopK"),
+        qGlobal.queryExecution.optimizedPlan.toString)
+      assert(qGlobal.select("id").as[Long].collect().sorted.toSeq == Seq(2L, 3L))
+    } finally spark.conf.unset(graft.plans.TopKRewriteRule.ConfKey)
+  }
 }
