@@ -6917,6 +6917,235 @@ object Queries {
       FROM pred WHERE rn = 1
       GROUP BY 1, 2 ORDER BY 1, 2"""))
 
+  // ─────────────────────── model-eval / encoding family ───────────────────────
+
+  /** Scored-customer base shared by the eval family (q136-q139): score
+    * = account balance in exact cents, positive label = "became a
+    * repeat customer" (≥5 orders) — the q117 lift-table setup reused
+    * as a binary-classifier evaluation fixture.
+    */
+  private def scoredCustomers(s: SparkSession, dir: String): DataFrame = {
+    val oc = t(s, dir, "orders")
+      .groupBy(col("o_custkey")).agg(count(lit(1)).as("n_orders"))
+    t(s, dir, "customer")
+      .join(oc, col("c_custkey") === col("o_custkey"), "left")
+      .select(col("c_custkey"), col("c_nationkey"), col("c_mktsegment"),
+        (dec(col("c_acctbal")) * 100).cast(LongType).as("score_u"),
+        (coalesce(col("n_orders"), lit(0L)) >= 5).as("pos"))
+  }
+
+  private val scoredSql: String =
+    """oc AS (SELECT o_custkey, COUNT(*) AS n_orders FROM orders GROUP BY 1),
+      scored AS (SELECT c_custkey, c_nationkey, c_mktsegment,
+          CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT) AS score_u,
+          COALESCE(n_orders, 0) >= 5 AS pos
+        FROM customer LEFT JOIN oc ON c_custkey = o_custkey)"""
+
+  /** ROC AUC via the tie-corrected rank-sum identity (Eval.binaryAuc)
+    * — integer midranks over the collapsed score domain, never a
+    * row_number over the fact.
+    */
+  val q136Auc: QueryDef = QueryDef("q136_auc",
+    (s, dir) => Eval.binaryAuc(scoredCustomers(s, dir), col("score_u"), col("pos")),
+    Some(s"""WITH $scoredSql,
+      g AS (SELECT score_u AS sc, COUNT(*) AS c,
+          CAST(SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS p
+        FROM scored GROUP BY 1),
+      o AS (SELECT sc, c, p, COALESCE(SUM(c) OVER (ORDER BY sc
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off FROM g),
+      agg AS (SELECT CAST(SUM(p * (2 * off + c + 1)) AS BIGINT) AS r2,
+          CAST(SUM(p) AS BIGINT) AS np, CAST(SUM(c - p) AS BIGINT) AS nn,
+          CAST(SUM(c) AS BIGINT) AS n FROM o)
+      SELECT n, np AS n_pos, nn AS n_neg,
+        round(CAST(r2 - np * (np + 1) AS DOUBLE) / (2.0 * np * nn), 6) AS auc
+      FROM agg"""))
+
+  /** Reliability diagram + per-bin Brier (Eval.calibration) over a
+    * min-max-scaled score expressed in exact millionths — all bin
+    * edges and squared errors are integer decisions.
+    */
+  val q137Calibration: QueryDef = QueryDef("q137_calibration",
+    (s, dir) => {
+      val sc = scoredCustomers(s, dir)
+      val bounds = sc.agg(min(col("score_u")).as("lo"), max(col("score_u")).as("hi"))
+      val withP = sc.crossJoin(broadcast(bounds))
+        .withColumn("p_u", expr("((score_u - lo) * 1000000L) div (hi - lo)"))
+      Eval.calibration(withP, col("p_u"), col("pos"), bins = 10)
+    },
+    Some(s"""WITH $scoredSql,
+      b AS (SELECT MIN(score_u) AS lo, MAX(score_u) AS hi FROM scored),
+      p AS (SELECT ((score_u - lo) * 1000000) // (hi - lo) AS p_u,
+          CASE WHEN pos THEN 1 ELSE 0 END AS y
+        FROM scored CROSS JOIN b),
+      cells AS (SELECT (p_u * 10) // 1000001 AS bin, COUNT(*) AS n,
+          CAST(SUM(y) AS BIGINT) AS n_pos, CAST(SUM(p_u) AS BIGINT) AS sp,
+          CAST(SUM((p_u - y * 1000000) * (p_u - y * 1000000)) AS BIGINT) AS sse
+        FROM p GROUP BY 1)
+      SELECT bin, n, n_pos,
+        round(CAST(sp AS DOUBLE) / n / 1.0e6, 6) AS mean_pred,
+        round(CAST(n_pos AS DOUBLE) / n, 6) AS pos_rate,
+        round(CAST(sse AS DOUBLE) / n / 1.0e12, 6) AS brier
+      FROM cells ORDER BY bin"""))
+
+  /** Weight of evidence / information value of market segment against
+    * the repeat-customer label (Eval.woeIv) — the credit-scoring
+    * feature audit.
+    */
+  val q138WoeIv: QueryDef = QueryDef("q138_woe_iv",
+    (s, dir) => Eval.woeIv(scoredCustomers(s, dir), col("c_mktsegment"), col("pos")),
+    Some(s"""WITH $scoredSql,
+      cells AS (SELECT c_mktsegment AS cat, COUNT(*) AS n,
+          CAST(SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS n_pos
+        FROM scored GROUP BY 1),
+      tot AS (SELECT CAST(SUM(n_pos) AS BIGINT) AS tp,
+          CAST(SUM(n - n_pos) AS BIGINT) AS tn FROM cells)
+      SELECT cat, n, n_pos,
+        round(ln(((n_pos + 0.5) / tp) / ((n - n_pos + 0.5) / tn)), 6) AS woe,
+        round((CAST(n_pos AS DOUBLE) / tp - CAST(n - n_pos AS DOUBLE) / tn) *
+          ln(((n_pos + 0.5) / tp) / ((n - n_pos + 0.5) / tn)), 6) AS iv_contrib
+      FROM cells CROSS JOIN tot ORDER BY cat"""))
+
+  /** Leave-one-out target encoding of nation against the repeat-
+    * customer label (Eval.targetEncodeLoo, m=10 smoothing) — exact
+    * integer millionths, leakage-safe.
+    */
+  val q139TargetEncode: QueryDef = QueryDef("q139_target_encode",
+    (s, dir) => Eval.targetEncodeLoo(scoredCustomers(s, dir),
+        col("c_nationkey"), col("pos"), m = 10)
+      .select(col("c_custkey"), col("c_nationkey"),
+        when(col("pos"), 1L).otherwise(0L).as("y"), col("enc_u"))
+      .orderBy(col("c_custkey")).limit(200),
+    Some(s"""WITH $scoredSql,
+      base AS (SELECT c_custkey, c_nationkey,
+          CASE WHEN pos THEN 1 ELSE 0 END AS y FROM scored),
+      g AS (SELECT c_nationkey, COUNT(*) AS gn, CAST(SUM(y) AS BIGINT) AS gp
+        FROM base GROUP BY 1),
+      pr AS (SELECT CAST((SUM(gp) * 1000000) // SUM(gn) AS BIGINT) AS prior_u FROM g)
+      SELECT c_custkey, c_nationkey, CAST(y AS BIGINT) AS y,
+        CAST(((gp - y) * 1000000 + 10 * prior_u) // (gn - 1 + 10) AS BIGINT) AS enc_u
+      FROM base JOIN g USING (c_nationkey) CROSS JOIN pr
+      ORDER BY c_custkey LIMIT 200"""))
+
+  /** Per-node local clustering coefficient of the part co-purchase
+    * graph (Graph.localClustering over the q74 edge derivation) —
+    * triangle corners credited via a 3-row explode + partial agg, no
+    * per-node neighborhood materialization.
+    */
+  val q140LocalClustering: QueryDef = QueryDef("q140_local_clustering",
+    (s, dir) => {
+      val baskets = t(s, dir, "lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg(array_sort(collect_set(col("l_partkey"))).as("ps"))
+      val edges = baskets
+        .select(explode(flatten(transform(col("ps"), (x, i) =>
+          transform(slice(col("ps"), i + 2, size(col("ps"))),
+            y => struct(x.as("p1"), y.as("p2")))))).as("pr"))
+        .select(col("pr.p1").as("p1"), col("pr.p2").as("p2"))
+        .groupBy(col("p1"), col("p2"))
+        .agg(count(lit(1)).as("w"))
+        .filter(col("w") >= 2)
+      Graph.localClustering(edges, "p1", "p2")
+    },
+    Some("""WITH op AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+      e AS (SELECT a.pk AS p1, b.pk AS p2 FROM op a JOIN op b ON a.ok = b.ok AND a.pk < b.pk
+        GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+      deg AS (SELECT node, COUNT(*) AS deg
+        FROM (SELECT p1 AS node FROM e UNION ALL SELECT p2 FROM e) GROUP BY node),
+      tri AS (SELECT e1.p1 AS a, e1.p2 AS b, e2.p2 AS c
+        FROM e e1 JOIN e e2 ON e1.p2 = e2.p1
+        JOIN e e3 ON e3.p1 = e1.p1 AND e3.p2 = e2.p2),
+      tc AS (SELECT node, COUNT(*) AS n_tri
+        FROM (SELECT a AS node FROM tri UNION ALL SELECT b FROM tri
+          UNION ALL SELECT c FROM tri) GROUP BY node)
+      SELECT d.node, d.deg, COALESCE(tc.n_tri, 0) AS n_tri,
+        round(2.0 * COALESCE(tc.n_tri, 0) / (d.deg * (d.deg - 1)), 6) AS local_cc
+      FROM deg d LEFT JOIN tc USING (node)
+      WHERE d.deg >= 2 ORDER BY node"""))
+
+  /** Grid-blocked DBSCAN density census over the embedding corpus
+    * (Similarity.gridDbscan, ε=1.2, minPts=8) — exact integer-units
+    * distance decisions; the oracle proves the grid blocking complete
+    * against the naive all-pairs neighborhood.
+    */
+  val clusterDbscan: QueryDef = QueryDef("cluster_dbscan",
+    (s, dir) => Similarity.gridDbscan(t(s, dir, "embeddings"),
+      "vec_id", "embedding", eps = 1.2, minPts = 8),
+    Some("""WITH v AS (SELECT vec_id, list_transform(embedding,
+          x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1.0e7 + 0.5) AS BIGINT)) AS vu
+        FROM embeddings),
+      nbr AS (SELECT a.vec_id AS ia, b.vec_id AS ib
+        FROM v a JOIN v b ON a.vec_id <> b.vec_id
+        WHERE CAST(list_sum(list_transform(range(1, len(a.vu) + 1),
+          i -> (a.vu[i] - b.vu[i]) * (a.vu[i] - b.vu[i]))) AS BIGINT)
+          <= 144000000000000),
+      cnt AS (SELECT vv.vec_id, COALESCE(n.c, 0) + 1 AS n_nb
+        FROM v vv LEFT JOIN (SELECT ia, COUNT(*) AS c FROM nbr GROUP BY 1) n
+          ON vv.vec_id = n.ia),
+      core AS (SELECT vec_id FROM cnt WHERE n_nb >= 8),
+      brd AS (SELECT DISTINCT ia AS vec_id FROM nbr
+        WHERE ib IN (SELECT vec_id FROM core))
+      SELECT c.vec_id AS pid, CAST(c.n_nb AS BIGINT) AS n_nb,
+        CASE WHEN c.vec_id IN (SELECT vec_id FROM core) THEN 'core'
+             WHEN c.vec_id IN (SELECT vec_id FROM brd) THEN 'border'
+             ELSE 'noise' END AS role
+      FROM cnt c ORDER BY pid"""))
+
+  /** Per-source Zipf rank-frequency slope (TextAnalysis.zipfSlope) —
+    * natural text tracks ≈ −1; deviation flags template spam.
+    */
+  val textZipf: QueryDef = QueryDef("text_zipf",
+    (s, dir) => TextAnalysis.zipfSlope(t(s, dir, "documents"),
+      "source", "text", minCount = 5L, topK = 500),
+    Some("""WITH tok AS (SELECT source AS src,
+          unnest(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS token
+        FROM documents),
+      cnts AS (SELECT src, token, COUNT(*) AS cnt FROM tok
+        GROUP BY 1, 2 HAVING COUNT(*) >= 5),
+      ranked AS (SELECT src,
+          CAST(FLOOR(ln(CAST(ROW_NUMBER() OVER (PARTITION BY src
+            ORDER BY cnt DESC, token) AS DOUBLE)) * 1.0e6 + 0.5) AS BIGINT) AS xu,
+          CAST(FLOOR(ln(CAST(cnt AS DOUBLE)) * 1.0e6 + 0.5) AS BIGINT) AS yu,
+          ROW_NUMBER() OVER (PARTITION BY src ORDER BY cnt DESC, token) AS rank
+        FROM cnts QUALIFY rank <= 500),
+      m AS (SELECT src, COUNT(*) AS n, CAST(SUM(xu) AS BIGINT) AS sx,
+          CAST(SUM(yu) AS BIGINT) AS sy, CAST(SUM(xu * yu) AS BIGINT) AS sxy,
+          CAST(SUM(xu * xu) AS BIGINT) AS sxx
+        FROM ranked GROUP BY 1)
+      SELECT src AS source, n,
+        round(CAST(CAST(n AS DECIMAL(38,0)) * sxy - CAST(sx AS DECIMAL(38,0)) * sy AS DOUBLE) /
+          CAST(CAST(n AS DECIMAL(38,0)) * sxx - CAST(sx AS DECIMAL(38,0)) * sx AS DOUBLE), 6)
+          AS zipf_slope
+      FROM m ORDER BY source"""))
+
+  /** l-diversity census: distinct sensitive values (market segment)
+    * per quasi-identifier equivalence class (nation × $2000 balance
+    * band) — the companion governance audit to etl_k_anonymity, one
+    * conditional aggregation end-to-end.
+    */
+  val etlLDiversity: QueryDef = QueryDef("etl_l_diversity",
+    (s, dir) => {
+      val classes = scoredCustomers(s, dir)
+        // +100000¢ offset keeps the band index non-negative, so integer
+        // div (trunc) and DuckDB // (floor) agree
+        .withColumn("band", expr("(score_u + 100000) div 200000"))
+        .groupBy(col("c_nationkey"), col("band"))
+        .agg(count(lit(1)).as("k"),
+          countDistinct(col("c_mktsegment")).as("l"))
+      classes.agg(count(lit(1)).as("n_classes"),
+        min(col("k")).as("min_k"), min(col("l")).as("min_l"),
+        sum(when(col("l") >= 3, 1L).otherwise(0L)).as("classes_l_ge_3"),
+        round(avg(col("l").cast(DoubleType)), 6).as("avg_l"))
+    },
+    Some(s"""WITH $scoredSql,
+      classes AS (SELECT c_nationkey, (score_u + 100000) // 200000 AS band,
+          COUNT(*) AS k, COUNT(DISTINCT c_mktsegment) AS l
+        FROM scored GROUP BY 1, 2)
+      SELECT COUNT(*) AS n_classes, CAST(MIN(k) AS BIGINT) AS min_k,
+        CAST(MIN(l) AS BIGINT) AS min_l,
+        CAST(SUM(CASE WHEN l >= 3 THEN 1 ELSE 0 END) AS BIGINT) AS classes_l_ge_3,
+        round(AVG(CAST(l AS DOUBLE)), 6) AS avg_l
+      FROM classes"""))
+
   val all: Seq[QueryDef] = Seq(
     q1Agg, q2Filter, q3Join, q4Semi, q5Multi, q6Window, q7TopK, q8Distinct,
     q9Rollup, q10Pivot, q11Anti, q12Expr, q13Percentiles, q14Subquery,
@@ -6951,6 +7180,8 @@ object Queries {
     textBpeLearn, etlKAnonymity, q129RollingSlope, etlPseudonymize,
     q130SeasonalAnomaly, dedupSsjoin, q131PitFeatures, q132Simpson,
     textNbClassify, curateKcenter, textMiFeatures, q133Logit, q134Gbm, q135Pca,
+    q136Auc, q137Calibration, q138WoeIv, q139TargetEncode, q140LocalClustering,
+    clusterDbscan, textZipf, etlLDiversity,
     etlMergeUpsert, etlConstraints, etlProvenance,
     graphPageRank, curateWeightedSample,
     etlUnionSources, etlValidate, etlCleanTransform, etlQualityReport,

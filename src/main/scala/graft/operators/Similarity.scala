@@ -286,4 +286,79 @@ object Similarity {
     base.select(col(id), ranked.getField("cell").as("cell"),
       round(-ranked.getField("negdot"), 4).as("cos"))
   }
+
+  /** Grid-blocked DBSCAN density census over an embedding column:
+    * per-point ε-neighborhood size (self included) and the
+    * core / border / noise role — the density-clustering complement of
+    * [[kmeansAssign]] (cluster extraction over the core points is
+    * [[Dedup.connectedComponents]] on the core–core neighbor edges).
+    *
+    * Exactness: components quantize to integer 1e-7 units (the
+    * engine-portable embedding convention), so distances² are exact
+    * BIGINT sums and the ≤ ε² decision has no float boundary.
+    *
+    * Scale shape: candidate pairs come from a grid on the FIRST TWO
+    * components with cell width ε — a projection never expands a
+    * distance, so any true ε-neighbor lies in the 3×3 neighboring
+    * cells and the blocking is exact-complete. Pruning power scales
+    * with spread/ε: in the near-dup regime (ε small) the grid is
+    * sparse and work is near-linear; as ε approaches the data spread
+    * it degrades toward all-pairs — callers wanting coarse structure
+    * at 100 TB should go through [[kmeansAssign]] instead. The pair
+    * set is checkpointed once and feeds both the count and the
+    * border-of-core semi-join.
+    */
+  def gridDbscan(df: DataFrame, id: String, vec: String, eps: Double,
+      minPts: Int): DataFrame = {
+    require(eps > 0.0, s"eps must be > 0: $eps")
+    require(minPts >= 1, s"minPts must be >= 1: $minPts")
+    val epsU = math.round(eps * 1.0e7)
+    val qv = transform(col(vec),
+      x => floor(x.cast("double") * 1.0e7 + 0.5).cast("long"))
+    // grid cell from the quantized first two components (double div is
+    // safe: |units| ≤ ~2e7 ≪ 2^53)
+    val pts = df.select(col(id).cast("long").as("pid"), qv.as("v"))
+      .withColumn("cx",
+        floor(element_at(col("v"), 1).cast("double") / epsU.toDouble).cast("long"))
+      .withColumn("cy",
+        floor(element_at(col("v"), 2).cast("double") / epsU.toDouble).cast("long"))
+      .persist()
+    val probe = pts.select(col("pid").as("ia"), col("v").as("va"),
+        col("cx"), col("cy"))
+      .withColumn("dx", explode(array(lit(-1L), lit(0L), lit(1L))))
+      .withColumn("dy", explode(array(lit(-1L), lit(0L), lit(1L))))
+      .select(col("ia"), col("va"),
+        (col("cx") + col("dx")).as("kx"), (col("cy") + col("dy")).as("ky"))
+    val nbrs = probe
+      .join(pts.select(col("pid").as("ib"), col("v").as("vb"),
+        col("cx").as("kx"), col("cy").as("ky")), Seq("kx", "ky"))
+      .filter(col("ia") =!= col("ib"))
+      .withColumn("d2", aggregate(
+        zip_with(col("va"), col("vb"), (x, y) => (x - y) * (x - y)),
+        lit(0L), (acc, t) => acc + t))
+      .filter(col("d2") <= lit(epsU * epsU))
+      .select(col("ia"), col("ib"))
+      .localCheckpoint(true)
+    val counts = pts.select(col("pid"))
+      .join(nbrs.groupBy(col("ia")).agg(count(lit(1)).as("c")),
+        col("pid") === col("ia"), "left")
+      .select(col("pid"), (coalesce(col("c"), lit(0L)) + 1L).as("n_nb"))
+      .withColumn("is_core", col("n_nb") >= minPts)
+      .localCheckpoint(true)
+    val cores = counts.filter(col("is_core")).select(col("pid").as("cid"))
+    val borders = nbrs
+      .join(cores, col("ib") === col("cid"), "left_semi")
+      .select(col("ia").as("pid")).distinct()
+      .withColumn("near_core", lit(true))
+    val out = counts
+      .join(borders, Seq("pid"), "left")
+      .select(col("pid"), col("n_nb"),
+        when(col("is_core"), "core")
+          .when(coalesce(col("near_core"), lit(false)), "border")
+          .otherwise("noise").as("role"))
+      .orderBy(col("pid"))
+      .localCheckpoint(true)
+    pts.unpersist(false)
+    out
+  }
 }

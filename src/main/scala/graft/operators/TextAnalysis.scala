@@ -652,4 +652,46 @@ object TextAnalysis {
       .orderBy(desc("mi_units"), col("token"))
       .limit(limit)
   }
+
+  /** Per-source Zipf rank-frequency slope: OLS of ln(freq) on ln(rank)
+    * over each source's head vocabulary — natural corpora track slope
+    * ≈ −1 (Zipf's law), so per-source deviation is a cheap synthetic-
+    * text / template-spam signal alongside [[sourceDivergence]].
+    *
+    * Scale shape: token counting is the usual partial-agg shuffle; the
+    * ranking window runs on the COLLAPSED (source, token, cnt) frame
+    * already thinned by `minCount` (at 100 TB the head vocabulary a
+    * frequency floor keeps is orders of magnitude below the corpus),
+    * and only the top `topK` ranks enter the regression. ln values
+    * quantize to 1e6 units so the OLS moment sums are exact BIGINTs;
+    * the closed-form slope combines them in DECIMAL(38,0) (n·Σxy
+    * overflows a raw 64-bit long at topK=500).
+    */
+  def zipfSlope(docs: org.apache.spark.sql.DataFrame, source: String,
+      text: String, minCount: Long = 5L,
+      topK: Int = 500): org.apache.spark.sql.DataFrame = {
+    require(topK >= 3, s"topK must be >= 3: $topK")
+    val cnts = docs
+      .select(col(source).as("src"), explode(tokens(col(text))).as("token"))
+      .groupBy(col("src"), col("token")).agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= minCount)
+    val wRank = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("src")).orderBy(desc("cnt"), col("token"))
+    val D38 = DecimalType(38, 0)
+    val ranked = cnts.withColumn("rank", row_number().over(wRank))
+      .filter(col("rank") <= topK)
+      .select(col("src"),
+        floor(log(col("rank").cast(DoubleType)) * 1.0e6 + 0.5).cast(LongType).as("xu"),
+        floor(log(col("cnt").cast(DoubleType)) * 1.0e6 + 0.5).cast(LongType).as("yu"))
+    ranked.groupBy(col("src"))
+      .agg(count(lit(1)).as("n"), sum(col("xu")).as("sx"), sum(col("yu")).as("sy"),
+        sum(col("xu") * col("yu")).as("sxy"), sum(col("xu") * col("xu")).as("sxx"))
+      .select(col("src").as("source"), col("n"),
+        round((col("n").cast(D38) * col("sxy").cast(D38) -
+            col("sx").cast(D38) * col("sy").cast(D38)).cast(DoubleType) /
+          (col("n").cast(D38) * col("sxx").cast(D38) -
+            col("sx").cast(D38) * col("sx").cast(D38)).cast(DoubleType), 6)
+          .as("zipf_slope"))
+      .orderBy(col("source"))
+  }
 }
