@@ -7146,6 +7146,215 @@ object Queries {
         round(AVG(CAST(l AS DOUBLE)), 6) AS avg_l
       FROM classes"""))
 
+  /** Stratified-propensity IPW average treatment effect: treatment =
+    * BUILDING segment, outcome = lifetime spend (cents), confounder
+    * strata = nation. Exact stratum propensities make IPW algebraically
+    * the standardized (stratum-weighted) mean difference — both the
+    * naive and adjusted contrasts ship, the gap being the confounding
+    * bias. Off-support strata (no treated or no control) are dropped
+    * and counted.
+    *
+    * Scale shape: one partial-agg pass to the O(strata) frame; every
+    * per-stratum term is a double expression over exact integer sums,
+    * quantized to 1e-6 cents before the final DECIMAL-safe sum.
+    */
+  val q141Ipw: QueryDef = QueryDef("q141_ipw",
+    (s, dir) => {
+      val oc = t(s, dir, "orders").groupBy(col("o_custkey"))
+        .agg(sum(dec(col("o_totalprice")) * 100).cast(LongType).as("spend_u"))
+      val base = t(s, dir, "customer")
+        .join(oc, col("c_custkey") === col("o_custkey"), "left")
+        .select(col("c_nationkey").as("stratum"),
+          (col("c_mktsegment") === "BUILDING").as("treated"),
+          coalesce(col("spend_u"), lit(0L)).as("y"))
+      val strata = base.groupBy(col("stratum"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("treated"), 1L).otherwise(0L)).as("nt"),
+          sum(when(col("treated"), col("y")).otherwise(0L)).as("syt"),
+          sum(when(!col("treated"), col("y")).otherwise(0L)).as("syc"))
+        .localCheckpoint(true)
+      val tot = strata.agg(sum(col("n")).as("n_all"),
+        sum(when(col("nt") > 0 && col("nt") < col("n"), col("n"))
+          .otherwise(0L)).as("n_support"))
+      val used = strata.filter(col("nt") > 0 && col("nt") < col("n"))
+        .crossJoin(broadcast(tot))
+      val term = (col("n").cast(DoubleType) / col("n_support").cast(DoubleType)) *
+        (col("syt").cast(DoubleType) / col("nt").cast(DoubleType) -
+          col("syc").cast(DoubleType) / (col("n") - col("nt")).cast(DoubleType))
+      val adj = used
+        .agg(count(lit(1)).as("n_strata_used"),
+          sum(floor(term * 1.0e6 + 0.5).cast(LongType)).as("ate_u"),
+          max(col("n_all")).as("n_all"))
+      val naive = base.agg(
+        (sum(when(col("treated"), col("y")).otherwise(0L)).cast(DoubleType) /
+          sum(when(col("treated"), 1L).otherwise(0L)).cast(DoubleType) -
+          sum(when(!col("treated"), col("y")).otherwise(0L)).cast(DoubleType) /
+            sum(when(!col("treated"), 1L).otherwise(0L)).cast(DoubleType))
+          .as("naive_d"))
+      adj.crossJoin(broadcast(naive))
+        .select(col("n_all").as("n"), col("n_strata_used"),
+          round(col("naive_d") / 100.0, 6).as("naive_diff"),
+          round(col("ate_u").cast(DoubleType) / 1.0e6 / 100.0, 6).as("ipw_ate"))
+    },
+    Some("""WITH oc AS (SELECT o_custkey,
+          CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2)) * 100) AS BIGINT) AS spend_u
+        FROM orders GROUP BY 1),
+      base AS (SELECT c_nationkey AS stratum,
+          c_mktsegment = 'BUILDING' AS treated,
+          COALESCE(spend_u, 0) AS y
+        FROM customer LEFT JOIN oc ON c_custkey = o_custkey),
+      strata AS (SELECT stratum, COUNT(*) AS n,
+          CAST(SUM(CASE WHEN treated THEN 1 ELSE 0 END) AS BIGINT) AS nt,
+          CAST(SUM(CASE WHEN treated THEN y ELSE 0 END) AS BIGINT) AS syt,
+          CAST(SUM(CASE WHEN NOT treated THEN y ELSE 0 END) AS BIGINT) AS syc
+        FROM base GROUP BY 1),
+      tot AS (SELECT CAST(SUM(n) AS BIGINT) AS n_all,
+          CAST(SUM(CASE WHEN nt > 0 AND nt < n THEN n ELSE 0 END) AS BIGINT) AS n_support
+        FROM strata),
+      used AS (SELECT s.*, t.n_all, t.n_support FROM strata s CROSS JOIN tot t
+        WHERE nt > 0 AND nt < n),
+      adj AS (SELECT COUNT(*) AS n_strata_used,
+          CAST(SUM(CAST(FLOOR((CAST(n AS DOUBLE) / n_support) *
+            (CAST(syt AS DOUBLE) / nt - CAST(syc AS DOUBLE) / (n - nt)) * 1.0e6 + 0.5)
+            AS BIGINT)) AS BIGINT) AS ate_u,
+          MAX(n_all) AS n_all
+        FROM used),
+      naive AS (SELECT
+          CAST(SUM(CASE WHEN treated THEN y ELSE 0 END) AS DOUBLE) /
+            SUM(CASE WHEN treated THEN 1 ELSE 0 END) -
+          CAST(SUM(CASE WHEN NOT treated THEN y ELSE 0 END) AS DOUBLE) /
+            SUM(CASE WHEN NOT treated THEN 1 ELSE 0 END) AS naive_d
+        FROM base)
+      SELECT n_all AS n, n_strata_used,
+        round(naive_d / 100.0, 6) AS naive_diff,
+        round(CAST(ate_u AS DOUBLE) / 1.0e6 / 100.0, 6) AS ipw_ate
+      FROM adj CROSS JOIN naive"""))
+
+  /** Split-conformal prediction interval: calibration = odd custkeys
+    * (nation-mean spend predictor fit there), q̂ = the
+    * ⌈0.9(n+1)⌉-th smallest absolute residual, coverage checked on the
+    * even-custkey test split — the distribution-free uncertainty
+    * wrapper a model-serving pipeline ships.
+    *
+    * Scale shape: the order statistic comes from the collapsed
+    * distinct-residual frame (groupBy + cumsum over O(distinct) rows —
+    * the AUC midrank pattern), never a global sort of the fact. All
+    * residuals are exact integer cents.
+    */
+  val q142Conformal: QueryDef = QueryDef("q142_conformal",
+    (s, dir) => {
+      val oc = t(s, dir, "orders").groupBy(col("o_custkey"))
+        .agg(sum(dec(col("o_totalprice")) * 100).cast(LongType).as("spend_u"))
+      val base = t(s, dir, "customer")
+        .join(oc, col("c_custkey") === col("o_custkey"), "left")
+        .select(col("c_custkey"), col("c_nationkey"),
+          coalesce(col("spend_u"), lit(0L)).as("y"),
+          (col("c_custkey") % 2 === 1).as("is_cal"))
+        .localCheckpoint(true)
+      // predictor fit on the calibration split only (leakage-clean)
+      val fit = base.filter(col("is_cal"))
+        .groupBy(col("c_nationkey"))
+        .agg(expr("sum(y) div count(1)").as("yhat"))
+      val scored = base.join(broadcast(fit), Seq("c_nationkey"))
+        .withColumn("r", abs(col("y") - col("yhat")))
+      val cal = scored.filter(col("is_cal"))
+      val nCal = cal.agg(count(lit(1)).as("n_cal"))
+      // ⌈0.9(n+1)⌉-th smallest residual from the collapsed domain
+      val g = cal.groupBy(col("r")).agg(count(lit(1)).as("c"))
+      val wOff = Window.orderBy(col("r")).rowsBetween(Window.unboundedPreceding, 0)
+      val qhat = g.withColumn("cum", sum(col("c")).over(wOff))
+        .crossJoin(broadcast(nCal))
+        .filter(col("cum") >= expr("(9 * (n_cal + 1) + 9) div 10"))
+        .agg(min(col("r")).as("qhat_u"))
+      scored.filter(!col("is_cal"))
+        .crossJoin(broadcast(qhat))
+        .agg(count(lit(1)).as("n_test"),
+          sum(when(col("r") <= col("qhat_u"), 1L).otherwise(0L)).as("n_covered"),
+          max(col("qhat_u")).as("qhat_u"))
+        .crossJoin(broadcast(nCal))
+        .select(col("n_cal"), col("n_test"), col("qhat_u"),
+          round(col("n_covered").cast(DoubleType) / col("n_test").cast(DoubleType), 6)
+            .as("coverage"))
+    },
+    Some("""WITH oc AS (SELECT o_custkey,
+          CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2)) * 100) AS BIGINT) AS spend_u
+        FROM orders GROUP BY 1),
+      base AS (SELECT c_custkey, c_nationkey, COALESCE(spend_u, 0) AS y,
+          c_custkey % 2 = 1 AS is_cal
+        FROM customer LEFT JOIN oc ON c_custkey = o_custkey),
+      fit AS (SELECT c_nationkey, CAST(SUM(y) // COUNT(*) AS BIGINT) AS yhat
+        FROM base WHERE is_cal GROUP BY 1),
+      scored AS (SELECT b.*, abs(y - yhat) AS r
+        FROM base b JOIN fit USING (c_nationkey)),
+      nc AS (SELECT COUNT(*) AS n_cal FROM scored WHERE is_cal),
+      g AS (SELECT r, COUNT(*) AS c FROM scored WHERE is_cal GROUP BY 1),
+      cum AS (SELECT r, SUM(c) OVER (ORDER BY r
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM g),
+      qh AS (SELECT MIN(r) AS qhat_u FROM cum CROSS JOIN nc
+        WHERE cum >= (9 * (n_cal + 1) + 9) // 10)
+      SELECT nc.n_cal, COUNT(*) AS n_test, CAST(qh.qhat_u AS BIGINT) AS qhat_u,
+        round(CAST(SUM(CASE WHEN r <= qhat_u THEN 1 ELSE 0 END) AS DOUBLE)
+          / COUNT(*), 6) AS coverage
+      FROM scored CROSS JOIN qh CROSS JOIN nc
+      WHERE NOT is_cal GROUP BY nc.n_cal, qh.qhat_u"""))
+
+  /** Blocked probabilistic record linkage (Linkage.scoreBlockedPairs):
+    * customers blocked by (nation, segment), scored on a 2-char name
+    * tail, $1000 balance band, and order-count band agreement with
+    * integer Fellegi–Sunter-style weights, banded into
+    * match / possible / non-match counts per classification.
+    */
+  val etlLinkage: QueryDef = QueryDef("etl_linkage",
+    (s, dir) => {
+      val oc = t(s, dir, "orders").groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n_orders"))
+      val cand = t(s, dir, "customer")
+        .join(oc, col("c_custkey") === col("o_custkey"), "left")
+        .select(col("c_custkey"), col("c_nationkey"), col("c_mktsegment"),
+          expr("substring(c_name, length(c_name)-1, 2)").as("tail2"),
+          expr("(CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT) + 100000) div 100000")
+            .as("bal_band"),
+          coalesce(col("n_orders"), lit(0L)).as("ord_band"))
+      val pairs = Linkage.scoreBlockedPairs(cand, "c_custkey",
+        Seq("c_nationkey", "c_mktsegment"),
+        Seq(("tail2", 30, -10), ("bal_band", 20, -10), ("ord_band", 10, -10)))
+      pairs
+        .withColumn("cls",
+          when(col("score") >= 40, "match")
+            .when(col("score") >= 10, "possible")
+            .otherwise("non_match"))
+        .groupBy(col("cls"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(when(col("agr_tail2"), 1L).otherwise(0L)).as("n_tail_agree"),
+          min(col("score")).as("min_score"), max(col("score")).as("max_score"))
+        .orderBy(col("cls"))
+    },
+    Some("""WITH oc AS (SELECT o_custkey, COUNT(*) AS n_orders FROM orders GROUP BY 1),
+      cand AS (SELECT c_custkey, c_nationkey, c_mktsegment,
+          substring(c_name, length(c_name)-1, 2) AS tail2,
+          (CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT) + 100000) // 100000 AS bal_band,
+          COALESCE(n_orders, 0) AS ord_band
+        FROM customer LEFT JOIN oc ON c_custkey = o_custkey),
+      pairs AS (SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+          (a.tail2 IS NOT NULL AND b.tail2 IS NOT NULL AND a.tail2 = b.tail2) AS agr_tail2,
+          (a.bal_band = b.bal_band) AS agr_bal,
+          (a.ord_band = b.ord_band) AS agr_ord
+        FROM cand a JOIN cand b
+          ON a.c_nationkey = b.c_nationkey AND a.c_mktsegment = b.c_mktsegment
+          AND a.c_custkey < b.c_custkey),
+      scored AS (SELECT *,
+          (CASE WHEN agr_tail2 THEN 30 ELSE -10 END +
+           CASE WHEN agr_bal THEN 20 ELSE -10 END +
+           CASE WHEN agr_ord THEN 10 ELSE -10 END) AS score
+        FROM pairs)
+      SELECT CASE WHEN score >= 40 THEN 'match'
+          WHEN score >= 10 THEN 'possible' ELSE 'non_match' END AS cls,
+        COUNT(*) AS n_pairs,
+        CAST(SUM(CASE WHEN agr_tail2 THEN 1 ELSE 0 END) AS BIGINT) AS n_tail_agree,
+        CAST(MIN(score) AS BIGINT) AS min_score,
+        CAST(MAX(score) AS BIGINT) AS max_score
+      FROM scored GROUP BY 1 ORDER BY 1"""))
+
   val all: Seq[QueryDef] = Seq(
     q1Agg, q2Filter, q3Join, q4Semi, q5Multi, q6Window, q7TopK, q8Distinct,
     q9Rollup, q10Pivot, q11Anti, q12Expr, q13Percentiles, q14Subquery,
@@ -7182,6 +7391,7 @@ object Queries {
     textNbClassify, curateKcenter, textMiFeatures, q133Logit, q134Gbm, q135Pca,
     q136Auc, q137Calibration, q138WoeIv, q139TargetEncode, q140LocalClustering,
     clusterDbscan, textZipf, etlLDiversity,
+    q141Ipw, q142Conformal, etlLinkage,
     etlMergeUpsert, etlConstraints, etlProvenance,
     graphPageRank, curateWeightedSample,
     etlUnionSources, etlValidate, etlCleanTransform, etlQualityReport,
