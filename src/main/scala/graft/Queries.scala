@@ -7355,6 +7355,34 @@ object Queries {
         CAST(MAX(score) AS BIGINT) AS max_score
       FROM scored GROUP BY 1 ORDER BY 1"""))
 
+  /** DSIR importance-resampling selection (TextAnalysis.dsirScore):
+    * target LM = English docs, base LM = whole corpus; top 100 docs by
+    * mean log-likelihood ratio — ranking on the ROUNDED score with
+    * doc_id tiebreak (the bm25 stability convention).
+    */
+  val curateDsir: QueryDef = QueryDef("curate_dsir",
+    (s, dir) => TextAnalysis.dsirScore(t(s, dir, "documents"),
+        "doc_id", "text", col("lang") === "en")
+      .withColumnRenamed("id", "doc_id")
+      .orderBy(desc("dsir_score"), col("doc_id"))
+      .limit(100),
+    Some("""WITH tok AS (SELECT doc_id, lang = 'en' AS tgt,
+          unnest(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS token
+        FROM documents),
+      bv AS (SELECT token, COUNT(*) AS bcnt FROM tok GROUP BY 1),
+      tv AS (SELECT token, COUNT(*) AS tcnt FROM tok WHERE tgt GROUP BY 1),
+      bn AS (SELECT CAST(SUM(bcnt) AS DOUBLE) AS bn FROM bv),
+      tn AS (SELECT CAST(SUM(tcnt) AS DOUBLE) AS tn FROM tv),
+      dt AS (SELECT doc_id, token, COUNT(*) AS c FROM tok GROUP BY 1, 2),
+      sc AS (SELECT doc_id,
+          round(SUM(c * (ln(COALESCE(CAST(tcnt AS DOUBLE), 1.0) / tn) -
+            ln(COALESCE(CAST(bcnt AS DOUBLE), 1.0) / bn))) / SUM(c), 6) AS dsir_score
+        FROM dt LEFT JOIN bv USING (token) LEFT JOIN tv USING (token)
+        CROSS JOIN bn CROSS JOIN tn
+        GROUP BY doc_id)
+      SELECT doc_id, dsir_score FROM sc
+      ORDER BY dsir_score DESC, doc_id LIMIT 100"""))
+
   val all: Seq[QueryDef] = Seq(
     q1Agg, q2Filter, q3Join, q4Semi, q5Multi, q6Window, q7TopK, q8Distinct,
     q9Rollup, q10Pivot, q11Anti, q12Expr, q13Percentiles, q14Subquery,
@@ -7391,7 +7419,7 @@ object Queries {
     textNbClassify, curateKcenter, textMiFeatures, q133Logit, q134Gbm, q135Pca,
     q136Auc, q137Calibration, q138WoeIv, q139TargetEncode, q140LocalClustering,
     clusterDbscan, textZipf, etlLDiversity,
-    q141Ipw, q142Conformal, etlLinkage,
+    q141Ipw, q142Conformal, etlLinkage, curateDsir,
     etlMergeUpsert, etlConstraints, etlProvenance,
     graphPageRank, curateWeightedSample,
     etlUnionSources, etlValidate, etlCleanTransform, etlQualityReport,

@@ -653,6 +653,44 @@ object TextAnalysis {
       .limit(limit)
   }
 
+  /** DSIR-style importance score: per-doc mean log-likelihood RATIO
+    * between a target-domain unigram LM and the whole-corpus base LM —
+    * ln p_target(doc) − ln p_base(doc), length-normalized. Docs scoring
+    * high look like the target domain; selecting the top-N is data
+    * selection by importance resampling (Xie et al.'s DSIR recipe with
+    * unigram features). Both LMs use the 1/N count floor for
+    * out-of-vocabulary tokens (the [[unigramLogProb]] convention).
+    *
+    * Scale shape: both vocabularies are bounded aggregations (cap with
+    * `topK` at 100 TB so the broadcast model stays small; 0 = exact for
+    * the oracle); per-doc term counts partial-aggregate before one
+    * (doc, token) shuffle; both LM joins broadcast.
+    */
+  def dsirScore(docs: org.apache.spark.sql.DataFrame, id: String,
+      text: String, isTarget: Column,
+      topK: Int = 0): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast, count, lit, log, sum, round => rnd, coalesce, desc}
+    val tok = docs.select(col(id).as("id"), isTarget.as("tgt"),
+      explode(tokens(col(text))).as("token"))
+    def lm(t: org.apache.spark.sql.DataFrame) = {
+      val vAll = t.groupBy("token").agg(count(lit(1)).as("cnt"))
+      if (topK > 0) vAll.orderBy(desc("cnt"), col("token")).limit(topK) else vAll
+    }
+    val baseV = lm(tok)
+    val tgtV  = lm(tok.filter(col("tgt")))
+    val baseN = tok.agg(count(lit(1)).cast(DoubleType).as("bn"))
+    val tgtN  = tok.filter(col("tgt")).agg(count(lit(1)).cast(DoubleType).as("tn"))
+    tok.groupBy(col("id"), col("token")).agg(count(lit(1)).as("c"))
+      .join(broadcast(baseV.withColumnRenamed("cnt", "bcnt")), Seq("token"), "left")
+      .join(broadcast(tgtV.withColumnRenamed("cnt", "tcnt")), Seq("token"), "left")
+      .crossJoin(broadcast(baseN)).crossJoin(broadcast(tgtN))
+      .withColumn("llr",
+        log(coalesce(col("tcnt").cast(DoubleType), lit(1.0)) / col("tn")) -
+          log(coalesce(col("bcnt").cast(DoubleType), lit(1.0)) / col("bn")))
+      .groupBy("id")
+      .agg(rnd(sum(col("c") * col("llr")) / sum(col("c")), 6).as("dsir_score"))
+  }
+
   /** Per-source Zipf rank-frequency slope: OLS of ln(freq) on ln(rank)
     * over each source's head vocabulary — natural corpora track slope
     * ≈ −1 (Zipf's law), so per-source deviation is a cheap synthetic-

@@ -317,4 +317,22 @@ class TextAnalysisSpec extends SparkSpec {
     assert(math.abs(rows(0).getDouble(0) - viaEval) < 1e-15,
       "interpreted helper and codegen path produce the identical ratio")
   }
+
+  test("dsirScore ranks target-domain-looking docs above base-looking ones") {
+    import spark.implicits._
+    // target docs speak "alpha beta"; base-only docs speak "gamma delta".
+    // A probe doc written in target vocabulary must out-score a probe
+    // written in base-only vocabulary.
+    val docs = (
+      (1 to 10).map(i => (i.toLong, "alpha beta alpha beta", true)) ++
+      (11 to 20).map(i => (i.toLong, "gamma delta gamma delta", false)) ++
+      Seq((100L, "alpha beta alpha", false), (101L, "gamma delta gamma", false)))
+      .toDF("doc_id", "text", "tgt")
+    val out = graft.operators.TextAnalysis
+      .dsirScore(docs, "doc_id", "text", col("tgt"))
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Double]("dsir_score")).toMap
+    assert(out(100L) > out(101L), s"${out(100L)} vs ${out(101L)}")
+    assert(out(100L) > 0.0)   // target-like: more likely under target LM
+    assert(out(101L) < 0.0)   // base-only vocabulary: OOV floor under target LM
+  }
 }
