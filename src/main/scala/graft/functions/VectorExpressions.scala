@@ -158,5 +158,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // whole-operator extension: AsOfJoin logical node → AsOfJoinExec
     ext.injectPlannerStrategy(_ => graft.plans.GraftStrategy)
     ext.injectOptimizerRule(_ => graft.plans.TopKRewriteRule)
+    ext.injectOptimizerRule(_ => graft.plans.RangeJoinRewriteRule)
   }
 }
