@@ -7383,6 +7383,60 @@ object Queries {
       SELECT doc_id, dsir_score FROM sc
       ORDER BY dsir_score DESC, doc_id LIMIT 100"""))
 
+  /** Difference-in-differences: treatment group = BUILDING-segment
+    * customers, intervention at 1998-01-01, outcome = average order
+    * value. DiD = (ȳ_T,post − ȳ_T,pre) − (ȳ_C,post − ȳ_C,pre) — the
+    * 2×2 panel estimator beside q141's cross-sectional IPW. ONE
+    * conditional-aggregation pass to the 4-cell frame; DECIMAL sums,
+    * cell means as identical IEEE divisions.
+    */
+  val q145Did: QueryDef = QueryDef("q145_did",
+    (s, dir) => {
+      val cells = t(s, dir, "orders")
+        .join(broadcast(t(s, dir, "customer")
+          .select(col("c_custkey"), (col("c_mktsegment") === "BUILDING").as("treated"))),
+          col("o_custkey") === col("c_custkey"))
+        .select(col("treated"),
+          (col("o_orderdate") >= to_timestamp(lit("1998-01-01 00:00:00"))).as("post"),
+          dec(col("o_totalprice")).as("v"))
+        .groupBy(col("treated"), col("post"))
+        .agg(count(lit(1)).as("n"), sum(col("v")).as("sv"))
+        .localCheckpoint(true)
+      val mean = col("sv").cast(DoubleType) / col("n").cast(DoubleType)
+      val wide = cells.agg(
+        sum(when(col("treated") && col("post"), mean)).as("m_tp"),
+        sum(when(col("treated") && !col("post"), mean)).as("m_t0"),
+        sum(when(!col("treated") && col("post"), mean)).as("m_cp"),
+        sum(when(!col("treated") && !col("post"), mean)).as("m_c0"),
+        sum(col("n")).as("n"))
+      wide.select(col("n"),
+        round(col("m_tp"), 6).as("mean_treated_post"),
+        round(col("m_t0"), 6).as("mean_treated_pre"),
+        round(col("m_cp"), 6).as("mean_control_post"),
+        round(col("m_c0"), 6).as("mean_control_pre"),
+        round((col("m_tp") - col("m_t0")) - (col("m_cp") - col("m_c0")), 6).as("did"))
+    },
+    Some("""WITH base AS (SELECT c_mktsegment = 'BUILDING' AS treated,
+          o_orderdate >= TIMESTAMP '1998-01-01 00:00:00' AS post,
+          CAST(o_totalprice AS DECIMAL(12,2)) AS v
+        FROM orders JOIN customer ON o_custkey = c_custkey),
+      cells AS (SELECT treated, post, COUNT(*) AS n, SUM(v) AS sv
+        FROM base GROUP BY 1, 2),
+      wide AS (SELECT
+          SUM(CASE WHEN treated AND post THEN CAST(sv AS DOUBLE) / n END) AS m_tp,
+          SUM(CASE WHEN treated AND NOT post THEN CAST(sv AS DOUBLE) / n END) AS m_t0,
+          SUM(CASE WHEN NOT treated AND post THEN CAST(sv AS DOUBLE) / n END) AS m_cp,
+          SUM(CASE WHEN NOT treated AND NOT post THEN CAST(sv AS DOUBLE) / n END) AS m_c0,
+          CAST(SUM(n) AS BIGINT) AS n
+        FROM cells)
+      SELECT n,
+        round(m_tp, 6) AS mean_treated_post,
+        round(m_t0, 6) AS mean_treated_pre,
+        round(m_cp, 6) AS mean_control_post,
+        round(m_c0, 6) AS mean_control_pre,
+        round((m_tp - m_t0) - (m_cp - m_c0), 6) AS did
+      FROM wide"""))
+
   val all: Seq[QueryDef] = Seq(
     q1Agg, q2Filter, q3Join, q4Semi, q5Multi, q6Window, q7TopK, q8Distinct,
     q9Rollup, q10Pivot, q11Anti, q12Expr, q13Percentiles, q14Subquery,
@@ -7419,7 +7473,7 @@ object Queries {
     textNbClassify, curateKcenter, textMiFeatures, q133Logit, q134Gbm, q135Pca,
     q136Auc, q137Calibration, q138WoeIv, q139TargetEncode, q140LocalClustering,
     clusterDbscan, textZipf, etlLDiversity,
-    q141Ipw, q142Conformal, etlLinkage, curateDsir,
+    q141Ipw, q142Conformal, etlLinkage, curateDsir, q145Did,
     etlMergeUpsert, etlConstraints, etlProvenance,
     graphPageRank, curateWeightedSample,
     etlUnionSources, etlValidate, etlCleanTransform, etlQualityReport,

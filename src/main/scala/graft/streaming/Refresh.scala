@@ -374,6 +374,48 @@ object Refresh {
           }
       }.toDF()
   }
+
+  /** transformWithState processor behind [[streamingTopK]]: one
+    * ValueState cell per group holds the current top-k (score, id)
+    * pairs sorted descending with ascending-id tie break — the
+    * streaming twin of the batch `top_k_by` bounded-heap aggregate.
+    * State is O(k) per group regardless of stream length.
+    */
+  private class TopKProcessor(k: Int)
+      extends StatefulProcessor[String, (String, Double, Long), GroupTopK] {
+    @transient private var state: ValueState[TopKCell] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[TopKCell]("topk",
+        org.apache.spark.sql.Encoders.product[TopKCell], TTLConfig.NONE)
+    override def handleInputRows(key: String, rows: Iterator[(String, Double, Long)],
+        tv: TimerValues): Iterator[GroupTopK] = {
+      val prev = if (state.exists()) state.get().items else Seq.empty
+      val merged = (prev ++ rows.map { case (_, score, id) => ScoredId(score, id) })
+        .sortBy(si => (-si.score, si.id))
+        .take(k)
+      state.update(TopKCell(merged))
+      Iterator.single(GroupTopK(key, merged))
+    }
+  }
+
+  /** Continuously-maintained bounded top-k per group over a stream —
+    * `(group, score, id)` rows in, the refreshed per-group top-k list
+    * out on every batch that touches the group. O(groups·k) total
+    * state; per-batch work is O(touched rows + touched groups·k log k),
+    * never a rescan — the streaming form of the batch `top_k_by`
+    * TypedImperativeAggregate (same ordering contract: score
+    * descending, id ascending on ties).
+    */
+  def streamingTopK(events: DataFrame, groupCol: String, scoreCol: String,
+      idCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.selectExpr(groupCol, scoreCol, idCol).as[(String, Double, Long)]
+      .groupByKey(_._1)
+      .transformWithState(new TopKProcessor(k), TimeMode.None(), OutputMode.Update())
+      .toDF()
+  }
 }
 
 /** State cell for [[Refresh.RunningStatsProcessor]]. Top-level and
@@ -382,3 +424,8 @@ object Refresh {
   * dropping the state (de)serializer to interpreted mode.
   */
 final case class StatsCell(n: Long, total: Double, mx: Double)
+
+/** Top-level for the same Janino/encoder reason as [[StatsCell]]. */
+final case class ScoredId(score: Double, id: Long)
+final case class TopKCell(items: Seq[ScoredId])
+final case class GroupTopK(group: String, top: Seq[ScoredId])

@@ -334,4 +334,27 @@ class StreamingSpec extends SparkSpec {
       assert(!rows.exists(_._1 == 4L)) // still live
     }
   }
+
+  test("streamingTopK: bounded per-group state converges to the global top-k") {
+    withRocksDb {
+      import spark.implicits._
+      implicit val sqlCtx = spark.sqlContext
+      val mem = MemoryStream[(String, Double, Long)]
+      val df = mem.toDF().toDF("g", "score", "id")
+      val q = Refresh.streamingTopK(df, "g", "score", "id", k = 2)
+        .writeStream.format("memory").queryName("tws_topk")
+        .outputMode(OutputMode.Update).start()
+      mem.addData(("a", 5.0, 1L), ("a", 9.0, 2L), ("a", 1.0, 3L), ("b", 4.0, 4L))
+      q.processAllAvailable()
+      // batch 2: a new leader for 'a', a tie for 'b' broken by smaller id
+      mem.addData(("a", 10.0, 5L), ("b", 4.0, 0L))
+      q.processAllAvailable()
+      val last = spark.table("tws_topk")
+        .as[(String, Seq[(Double, Long)])].collect()
+        .groupBy(_._1).map { case (g, rows) => g -> rows.last._2 }
+      q.stop()
+      assert(last("a") == Seq((10.0, 5L), (9.0, 2L)), last.toString)  // k=2, state crossed batches
+      assert(last("b") == Seq((4.0, 0L), (4.0, 4L)), last.toString)   // tie → ascending id
+    }
+  }
 }
