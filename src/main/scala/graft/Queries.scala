@@ -7437,6 +7437,66 @@ object Queries {
         round((m_tp - m_t0) - (m_cp - m_c0), 6) AS did
       FROM wide"""))
 
+  /** Leave-one-out k-NN label eval over the embedding corpus: each
+    * vector is classified by the majority label of its 3 nearest
+    * neighbors (exact integer-unit distances, ties d2→id; vote ties →
+    * lexicographic label) and the confusion matrix ships — the
+    * embedding-quality audit for a labeled eval set.
+    *
+    * Scale shape: ranking rides the bounded `top_k_by` heap (shuffle
+    * O(n·k), no row_number funnel). The all-pairs candidate set is the
+    * EVAL-SET contract — this operator audits a bounded labeled sample
+    * (500–2000 vectors here); a corpus-scale audit swaps the candidate
+    * generator for the IVF/LSH ANN path with the same vote tail.
+    */
+  val q146KnnEval: QueryDef = QueryDef("q146_knn_eval",
+    (s, dir) => {
+      val pts = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("label"),
+          transform(col("embedding"),
+            x => floor(x.cast(DoubleType) * 1.0e7 + 0.5).cast(LongType)).as("vu"))
+        .localCheckpoint(true)
+      val d2 = aggregate(
+        zip_with(col("vu"), col("bvu"), (x, y) => (x - y) * (x - y)),
+        lit(0L), (acc, t) => acc + t)
+      val top3 = pts.select(col("vec_id").as("ia"), col("label").as("actual"), col("vu"))
+        .crossJoin(broadcast(pts.select(col("vec_id").as("ib"), col("vu").as("bvu"))))
+        .filter(col("ia") =!= col("ib"))
+        .withColumn("negd2", -d2.cast(DoubleType))
+        .groupBy(col("ia"), col("actual"))
+        .agg(vector.topKBy(col("negd2"), col("ib"), 3).as("top"))
+        .select(col("ia"), col("actual"), explode(col("top.id")).as("ib"))
+      val votes = top3
+        .join(broadcast(pts.select(col("vec_id").as("ib"), col("label").as("nb_label"))),
+          Seq("ib"))
+        .groupBy(col("ia"), col("actual"), col("nb_label"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy(col("ia"), col("actual"))
+        .agg(min(struct((-col("c")).as("nc"), col("nb_label").as("l"))).as("m"))
+        .select(col("ia"), col("actual"), col("m.l").as("predicted"))
+      votes.groupBy(col("actual"), col("predicted"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("actual"), col("predicted"))
+    },
+    Some("""WITH v AS (SELECT vec_id, label, list_transform(embedding,
+          x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1.0e7 + 0.5) AS BIGINT)) AS vu
+        FROM embeddings),
+      p AS (SELECT a.vec_id AS ia, a.label AS actual, b.vec_id AS ib, b.label AS nb_label,
+          CAST(list_sum(list_transform(range(1, len(a.vu) + 1),
+            i -> (a.vu[i] - b.vu[i]) * (a.vu[i] - b.vu[i]))) AS BIGINT) AS d2
+        FROM v a JOIN v b ON a.vec_id <> b.vec_id),
+      top3 AS (SELECT ia, actual, nb_label,
+          ROW_NUMBER() OVER (PARTITION BY ia ORDER BY d2, ib) AS rn
+        FROM p QUALIFY rn <= 3),
+      votes AS (SELECT ia, actual, nb_label, COUNT(*) AS c
+        FROM top3 GROUP BY 1, 2, 3),
+      pred AS (SELECT ia, actual, nb_label AS predicted,
+          ROW_NUMBER() OVER (PARTITION BY ia ORDER BY c DESC, nb_label) AS rn
+        FROM votes)
+      SELECT actual, predicted, COUNT(*) AS n
+      FROM pred WHERE rn = 1
+      GROUP BY 1, 2 ORDER BY 1, 2"""))
+
   val all: Seq[QueryDef] = Seq(
     q1Agg, q2Filter, q3Join, q4Semi, q5Multi, q6Window, q7TopK, q8Distinct,
     q9Rollup, q10Pivot, q11Anti, q12Expr, q13Percentiles, q14Subquery,
@@ -7473,7 +7533,7 @@ object Queries {
     textNbClassify, curateKcenter, textMiFeatures, q133Logit, q134Gbm, q135Pca,
     q136Auc, q137Calibration, q138WoeIv, q139TargetEncode, q140LocalClustering,
     clusterDbscan, textZipf, etlLDiversity,
-    q141Ipw, q142Conformal, etlLinkage, curateDsir, q145Did,
+    q141Ipw, q142Conformal, etlLinkage, curateDsir, q145Did, q146KnnEval,
     etlMergeUpsert, etlConstraints, etlProvenance,
     graphPageRank, curateWeightedSample,
     etlUnionSources, etlValidate, etlCleanTransform, etlQualityReport,
