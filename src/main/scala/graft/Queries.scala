@@ -7497,6 +7497,91 @@ object Queries {
       FROM pred WHERE rn = 1
       GROUP BY 1, 2 ORDER BY 1, 2"""))
 
+  /** Newman modularity of the LPA communities over the
+    * customer–supplier co-purchase graph: Q = Σ_c (L_c/m − (D_c/2m)²)
+    * — the partition-quality audit on top of graph_lpa's labels (same
+    * edge derivation, same 4 synchronous rounds). Per-community
+    * contributions quantize to 1e-12 units so the sum is an exact
+    * BIGINT in both engines.
+    *
+    * Scale shape: labels join the edge list once (two hash joins on
+    * node ids), intra-edge and degree masses collapse through partial
+    * aggs to the O(communities) frame; m rides a broadcast 1-row frame.
+    */
+  val q147Modularity: QueryDef = QueryDef("q147_modularity",
+    (s, dir) => {
+      val pairs = t(s, dir, "orders")
+        .join(t(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("o_custkey"), col("l_suppkey"))
+        .agg(count(lit(1)).as("w"))
+        .filter(col("w") >= 2)
+        .select(col("o_custkey").cast(LongType).as("src"),
+          (col("l_suppkey") + 1000000000L).as("dst"))
+        .localCheckpoint(true)
+      val labels = Graph.labelPropagation(pairs, "src", "dst", k = 4)
+        .localCheckpoint(true)
+      val m = pairs.agg(count(lit(1)).as("m"))
+      val la = labels.select(col("node").as("src"), col("label").as("la"))
+      val lb = labels.select(col("node").as("dst"), col("label").as("lb"))
+      val intra = pairs.join(la, Seq("src")).join(lb, Seq("dst"))
+        .filter(col("la") === col("lb"))
+        .groupBy(col("la").as("label")).agg(count(lit(1)).as("lc"))
+      val deg = pairs.select(col("src").as("node"))
+        .unionAll(pairs.select(col("dst").as("node")))
+        .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+      val dc = deg.join(labels, Seq("node"))
+        .groupBy(col("label")).agg(sum(col("deg")).as("dc"))
+      val contrib = dc.join(intra, Seq("label"), "left")
+        .crossJoin(broadcast(m))
+        .withColumn("q_u", floor(
+          (coalesce(col("lc"), lit(0L)).cast(DoubleType) / col("m").cast(DoubleType) -
+            (col("dc").cast(DoubleType) / (lit(2.0) * col("m").cast(DoubleType))) *
+              (col("dc").cast(DoubleType) / (lit(2.0) * col("m").cast(DoubleType))))
+            * 1.0e12 + 0.5).cast(LongType))
+      contrib.agg(count(lit(1)).as("n_communities"),
+          max(col("m")).as("n_edges"), sum(col("q_u")).as("qu"))
+        .select(col("n_communities"), col("n_edges"),
+          round(col("qu").cast(DoubleType) / 1.0e12, 6).as("modularity"))
+    },
+    Some("""WITH pairs AS (SELECT o_custkey AS c, CAST(l_suppkey + 1000000000 AS BIGINT) AS p
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+      e AS (SELECT CAST(c AS BIGINT) AS a, p AS b FROM pairs
+        UNION ALL SELECT p, CAST(c AS BIGINT) FROM pairs),
+      l0 AS (SELECT DISTINCT a AS node, a AS label FROM e),
+      l1 AS (SELECT a AS node, label FROM (
+          SELECT e.a, l.label,
+            row_number() OVER (PARTITION BY e.a ORDER BY COUNT(*) DESC, l.label ASC) AS rn
+          FROM e JOIN l0 l ON e.b = l.node GROUP BY e.a, l.label) WHERE rn = 1),
+      l2 AS (SELECT a AS node, label FROM (
+          SELECT e.a, l.label,
+            row_number() OVER (PARTITION BY e.a ORDER BY COUNT(*) DESC, l.label ASC) AS rn
+          FROM e JOIN l1 l ON e.b = l.node GROUP BY e.a, l.label) WHERE rn = 1),
+      l3 AS (SELECT a AS node, label FROM (
+          SELECT e.a, l.label,
+            row_number() OVER (PARTITION BY e.a ORDER BY COUNT(*) DESC, l.label ASC) AS rn
+          FROM e JOIN l2 l ON e.b = l.node GROUP BY e.a, l.label) WHERE rn = 1),
+      l4 AS (SELECT a AS node, label FROM (
+          SELECT e.a, l.label,
+            row_number() OVER (PARTITION BY e.a ORDER BY COUNT(*) DESC, l.label ASC) AS rn
+          FROM e JOIN l3 l ON e.b = l.node GROUP BY e.a, l.label) WHERE rn = 1),
+      m AS (SELECT COUNT(*) AS m FROM pairs),
+      intra AS (SELECT la.label, COUNT(*) AS lc
+        FROM pairs JOIN l4 la ON CAST(pairs.c AS BIGINT) = la.node
+        JOIN l4 lb ON pairs.p = lb.node
+        WHERE la.label = lb.label GROUP BY 1),
+      deg AS (SELECT a AS node, COUNT(*) AS deg FROM e GROUP BY 1),
+      dc AS (SELECT l4.label, CAST(SUM(deg.deg) AS BIGINT) AS dc
+        FROM deg JOIN l4 ON deg.node = l4.node GROUP BY 1),
+      contrib AS (SELECT dc.label,
+          CAST(FLOOR((CAST(COALESCE(intra.lc, 0) AS DOUBLE) / m.m -
+            (CAST(dc.dc AS DOUBLE) / (2.0 * m.m)) * (CAST(dc.dc AS DOUBLE) / (2.0 * m.m)))
+            * 1.0e12 + 0.5) AS BIGINT) AS q_u, m.m
+        FROM dc LEFT JOIN intra USING (label) CROSS JOIN m)
+      SELECT COUNT(*) AS n_communities, CAST(MAX(m) AS BIGINT) AS n_edges,
+        round(CAST(SUM(q_u) AS DOUBLE) / 1.0e12, 6) AS modularity
+      FROM contrib"""))
+
   val all: Seq[QueryDef] = Seq(
     q1Agg, q2Filter, q3Join, q4Semi, q5Multi, q6Window, q7TopK, q8Distinct,
     q9Rollup, q10Pivot, q11Anti, q12Expr, q13Percentiles, q14Subquery,
@@ -7533,7 +7618,7 @@ object Queries {
     textNbClassify, curateKcenter, textMiFeatures, q133Logit, q134Gbm, q135Pca,
     q136Auc, q137Calibration, q138WoeIv, q139TargetEncode, q140LocalClustering,
     clusterDbscan, textZipf, etlLDiversity,
-    q141Ipw, q142Conformal, etlLinkage, curateDsir, q145Did, q146KnnEval,
+    q141Ipw, q142Conformal, etlLinkage, curateDsir, q145Did, q146KnnEval, q147Modularity,
     etlMergeUpsert, etlConstraints, etlProvenance,
     graphPageRank, curateWeightedSample,
     etlUnionSources, etlValidate, etlCleanTransform, etlQualityReport,
