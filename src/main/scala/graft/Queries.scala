@@ -7582,6 +7582,75 @@ object Queries {
         round(CAST(SUM(q_u) AS DOUBLE) / 1.0e12, 6) AS modularity
       FROM contrib"""))
 
+  /** Neyman allocation for a stratified sample of n=1000 customers:
+    * n_h ∝ N_h·S_h (population stddev of spend per nation-stratum),
+    * integerized by the largest-remainder method so Σn_h = n EXACTLY —
+    * the sampling-design step upstream of curate_take's exact-N draw.
+    *
+    * Exactness: variance moments combine in DECIMAL(38) (the (Σy)²
+    * cross-term overflows a raw long), the stddev is one IEEE sqrt
+    * quantized to integer milli-cents, and the apportionment is pure
+    * integer floor-div + remainder ranking on the O(strata) frame.
+    */
+  val q148Allocation: QueryDef = QueryDef("q148_allocation",
+    (s, dir) => {
+      val n = 1000L
+      val D38 = DecimalType(38, 0)
+      val oc = t(s, dir, "orders").groupBy(col("o_custkey"))
+        .agg(sum(dec(col("o_totalprice")) * 100).cast(LongType).as("spend_u"))
+      val base = t(s, dir, "customer")
+        .join(oc, col("c_custkey") === col("o_custkey"), "left")
+        .select(col("c_nationkey").as("stratum"),
+          coalesce(col("spend_u"), lit(0L)).as("y"))
+      val strata = base.groupBy(col("stratum"))
+        .agg(count(lit(1)).as("nh"), sum(col("y")).cast(D38).as("sy"),
+          // y² sums overflow a long at scale — accumulate in DECIMAL
+          sum(col("y").cast(D38) * col("y").cast(D38)).cast(D38).as("syy"))
+        .withColumn("var_c",
+          col("syy") * col("nh").cast(D38) - col("sy") * col("sy"))
+        // population stddev in milli-cents: sqrt((N·Σy² − (Σy)²)/N²)
+        .withColumn("s_u", floor(
+          sqrt(col("var_c").cast(DoubleType)) / col("nh").cast(DoubleType) * 1000.0
+            + 0.5).cast(LongType))
+        .withColumn("w_u", col("nh") * col("s_u"))
+        .localCheckpoint(true)
+      val tot = strata.agg(sum(col("w_u")).as("tw"))
+      val apportion = strata.crossJoin(broadcast(tot))
+        .withColumn("base", expr(s"($n * w_u) div tw"))
+        .withColumn("rem", expr(s"($n * w_u) % tw"))
+      val short = apportion.agg((lit(n) - sum(col("base"))).as("leftover"))
+      val wRem = Window.orderBy(desc("rem"), col("stratum"))
+      apportion.crossJoin(broadcast(short))
+        .withColumn("rk", row_number().over(wRem))
+        .select(col("stratum"), col("nh"), col("s_u"),
+          (col("base") + when(col("rk") <= col("leftover"), 1L).otherwise(0L))
+            .as("n_alloc"))
+        .orderBy(col("stratum"))
+    },
+    Some("""WITH oc AS (SELECT o_custkey,
+          CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2)) * 100) AS BIGINT) AS spend_u
+        FROM orders GROUP BY 1),
+      base AS (SELECT c_nationkey AS stratum, COALESCE(spend_u, 0) AS y
+        FROM customer LEFT JOIN oc ON c_custkey = o_custkey),
+      strata AS (SELECT stratum, COUNT(*) AS nh,
+          CAST(SUM(y) AS DECIMAL(38,0)) AS sy,
+          CAST(SUM(CAST(y AS DECIMAL(38,0)) * y) AS DECIMAL(38,0)) AS syy
+        FROM base GROUP BY 1),
+      su AS (SELECT stratum, nh,
+          CAST(FLOOR(sqrt(CAST(syy * nh - sy * sy AS DOUBLE)) / nh * 1000.0 + 0.5)
+            AS BIGINT) AS s_u
+        FROM strata),
+      w AS (SELECT *, nh * s_u AS w_u FROM su),
+      tot AS (SELECT CAST(SUM(w_u) AS BIGINT) AS tw FROM w),
+      app AS (SELECT w.*, (1000 * w_u) // tw AS base, (1000 * w_u) % tw AS rem
+        FROM w CROSS JOIN tot),
+      short AS (SELECT 1000 - CAST(SUM(base) AS BIGINT) AS leftover FROM app),
+      rk AS (SELECT *, ROW_NUMBER() OVER (ORDER BY rem DESC, stratum) AS rk
+        FROM app CROSS JOIN short)
+      SELECT stratum, nh, s_u,
+        CAST(base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS BIGINT) AS n_alloc
+      FROM rk ORDER BY stratum"""))
+
   val all: Seq[QueryDef] = Seq(
     q1Agg, q2Filter, q3Join, q4Semi, q5Multi, q6Window, q7TopK, q8Distinct,
     q9Rollup, q10Pivot, q11Anti, q12Expr, q13Percentiles, q14Subquery,
@@ -7618,7 +7687,7 @@ object Queries {
     textNbClassify, curateKcenter, textMiFeatures, q133Logit, q134Gbm, q135Pca,
     q136Auc, q137Calibration, q138WoeIv, q139TargetEncode, q140LocalClustering,
     clusterDbscan, textZipf, etlLDiversity,
-    q141Ipw, q142Conformal, etlLinkage, curateDsir, q145Did, q146KnnEval, q147Modularity,
+    q141Ipw, q142Conformal, etlLinkage, curateDsir, q145Did, q146KnnEval, q147Modularity, q148Allocation,
     etlMergeUpsert, etlConstraints, etlProvenance,
     graphPageRank, curateWeightedSample,
     etlUnionSources, etlValidate, etlCleanTransform, etlQualityReport,

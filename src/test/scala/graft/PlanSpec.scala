@@ -250,4 +250,43 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"),
       s"small eval side should broadcast into the semi join:\n$p")
   }
+
+  test("q136 AUC: the rank window runs over the COLLAPSED score domain, not the fact") {
+    // the unpartitioned cumsum window is legal only because its input
+    // is the post-aggregation distinct-score frame — an aggregate must
+    // sit between the window and every scan
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def nodes(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => nodes(a.executedPlan)
+      case s: QueryStageExec        => nodes(s.plan)
+      case other => other +: other.children.flatMap(nodes)
+    }
+    val df = q(Queries.q136Auc)
+    df.write.format("noop").mode("overwrite").save() // AQE-final plan
+    val all = nodes(df.queryExecution.executedPlan)
+    val windows = all.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w }
+    assert(windows.nonEmpty, "expected the offset cumsum window")
+    windows.foreach { w =>
+      val aggBelow = nodes(w.child).collect {
+        case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec => a }
+      assert(aggBelow.nonEmpty,
+        s"window must consume the collapsed aggregate frame:\n${w.treeString}")
+    }
+  }
+
+  test("etl_linkage: block-size guard is a partial agg + semi join, never a window") {
+    val p = plan(q(Queries.etlLinkage))
+    assert(!p.contains("WindowExec") && !p.contains("RunningWindow"),
+      s"a count window over the block key would funnel the hot block:\n$p")
+    assert(p.contains("LeftSemi"),
+      s"expected the ok-blocks semi join:\n$p")
+  }
+
+  test("q139 target encode: the category frame broadcasts back onto the fact") {
+    val p = plan(q(Queries.q139TargetEncode))
+    assert(p.contains("BroadcastHashJoin"),
+      s"the O(categories) group frame must broadcast, not shuffle the fact:\n$p")
+  }
 }
