@@ -7651,6 +7651,102 @@ object Queries {
         CAST(base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS BIGINT) AS n_alloc
       FROM rk ORDER BY stratum"""))
 
+  /** CUPED variance reduction: pre-period spend as the covariate,
+    * post-period spend as the metric, arms = BUILDING vs rest.
+    * θ = cov(pre, post)/var(pre) pooled; the adjusted contrast is
+    * computed FROM THE MOMENTS (mean_post − θ·(mean_pre − mean_pre_all)
+    * per arm) — one conditional-aggregation pass, no second scan.
+    * Reports θ, the naive and CUPED-adjusted diffs, and the achieved
+    * variance-reduction ratio ρ². All cross-moments in DECIMAL(38)
+    * (cents² sums overflow a long); θ and the ratio quantized to 1e-9
+    * before reuse so both engines chain identical doubles.
+    */
+  val q149Cuped: QueryDef = QueryDef("q149_cuped",
+    (s, dir) => {
+      val D38 = DecimalType(38, 0)
+      val cut = to_timestamp(lit("1998-01-01 00:00:00"))
+      val oc = t(s, dir, "orders").groupBy(col("o_custkey"))
+        .agg(sum(when(col("o_orderdate") < cut, dec(col("o_totalprice")) * 100)
+            .otherwise(lit(0))).cast(LongType).as("pre"),
+          sum(when(col("o_orderdate") >= cut, dec(col("o_totalprice")) * 100)
+            .otherwise(lit(0))).cast(LongType).as("post"))
+      val base = t(s, dir, "customer")
+        .join(oc, col("c_custkey") === col("o_custkey"), "left")
+        .select((col("c_mktsegment") === "BUILDING").as("treated"),
+          coalesce(col("pre"), lit(0L)).as("pre"),
+          coalesce(col("post"), lit(0L)).as("post"))
+      val m = base.agg(count(lit(1)).as("n"),
+          sum(col("pre")).cast(D38).as("sx"), sum(col("post")).cast(D38).as("sy"),
+          sum(col("pre").cast(D38) * col("pre").cast(D38)).cast(D38).as("sxx"),
+          sum(col("pre").cast(D38) * col("post").cast(D38)).cast(D38).as("sxy"),
+          sum(col("post").cast(D38) * col("post").cast(D38)).cast(D38).as("syy"))
+        .withColumn("theta", floor(
+          ((col("n").cast(D38) * col("sxy") - col("sx") * col("sy")).cast(DoubleType) /
+            (col("n").cast(D38) * col("sxx") - col("sx") * col("sx")).cast(DoubleType))
+            * 1.0e9 + 0.5) / 1.0e9)
+        .withColumn("rho2", floor(
+          (pow((col("n").cast(D38) * col("sxy") - col("sx") * col("sy")).cast(DoubleType), 2.0) /
+            ((col("n").cast(D38) * col("sxx") - col("sx") * col("sx")).cast(DoubleType) *
+              (col("n").cast(D38) * col("syy") - col("sy") * col("sy")).cast(DoubleType)))
+            * 1.0e9 + 0.5) / 1.0e9)
+        .withColumn("mean_pre_all", col("sx").cast(DoubleType) / col("n").cast(DoubleType))
+      val arms = base.groupBy(col("treated"))
+        .agg(count(lit(1)).as("an"), sum(col("pre")).as("asx"), sum(col("post")).as("asy"))
+        .withColumn("mean_pre", col("asx").cast(DoubleType) / col("an").cast(DoubleType))
+        .withColumn("mean_post", col("asy").cast(DoubleType) / col("an").cast(DoubleType))
+      val adj = arms.crossJoin(broadcast(m))
+        .withColumn("mean_adj",
+          col("mean_post") - col("theta") * (col("mean_pre") - col("mean_pre_all")))
+      adj.agg(
+          sum(when(col("treated"), col("mean_post"))).as("mp_t"),
+          sum(when(!col("treated"), col("mean_post"))).as("mp_c"),
+          sum(when(col("treated"), col("mean_adj"))).as("ma_t"),
+          sum(when(!col("treated"), col("mean_adj"))).as("ma_c"),
+          max(col("theta")).as("theta"), max(col("rho2")).as("rho2"),
+          max(col("n")).as("n"))
+        .select(col("n"), round(col("theta"), 6).as("theta"),
+          round((col("mp_t") - col("mp_c")) / 100.0, 6).as("naive_diff"),
+          round((col("ma_t") - col("ma_c")) / 100.0, 6).as("cuped_diff"),
+          round(col("rho2"), 6).as("var_reduction"))
+    },
+    Some("""WITH oc AS (SELECT o_custkey,
+          CAST(SUM(CASE WHEN o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+            THEN CAST(o_totalprice AS DECIMAL(12,2)) * 100 ELSE 0 END) AS BIGINT) AS pre,
+          CAST(SUM(CASE WHEN o_orderdate >= TIMESTAMP '1998-01-01 00:00:00'
+            THEN CAST(o_totalprice AS DECIMAL(12,2)) * 100 ELSE 0 END) AS BIGINT) AS post
+        FROM orders GROUP BY 1),
+      base AS (SELECT c_mktsegment = 'BUILDING' AS treated,
+          COALESCE(pre, 0) AS pre, COALESCE(post, 0) AS post
+        FROM customer LEFT JOIN oc ON c_custkey = o_custkey),
+      m AS (SELECT COUNT(*) AS n,
+          CAST(SUM(pre) AS DECIMAL(38,0)) AS sx, CAST(SUM(post) AS DECIMAL(38,0)) AS sy,
+          CAST(SUM(CAST(pre AS DECIMAL(38,0)) * pre) AS DECIMAL(38,0)) AS sxx,
+          CAST(SUM(CAST(pre AS DECIMAL(38,0)) * post) AS DECIMAL(38,0)) AS sxy,
+          CAST(SUM(CAST(post AS DECIMAL(38,0)) * post) AS DECIMAL(38,0)) AS syy
+        FROM base),
+      mm AS (SELECT *,
+          FLOOR(CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE)
+            * 1.0e9 + 0.5) / 1.0e9 AS theta,
+          FLOOR(POW(CAST(n * sxy - sx * sy AS DOUBLE), 2.0) /
+            (CAST(n * sxx - sx * sx AS DOUBLE) * CAST(n * syy - sy * sy AS DOUBLE))
+            * 1.0e9 + 0.5) / 1.0e9 AS rho2,
+          CAST(sx AS DOUBLE) / n AS mean_pre_all
+        FROM m),
+      arms AS (SELECT treated, COUNT(*) AS an,
+          CAST(SUM(pre) AS DOUBLE) / COUNT(*) AS mean_pre,
+          CAST(SUM(post) AS DOUBLE) / COUNT(*) AS mean_post
+        FROM base GROUP BY 1),
+      adj AS (SELECT a.*, mm.theta, mm.rho2, mm.n,
+          mean_post - theta * (mean_pre - mean_pre_all) AS mean_adj
+        FROM arms a CROSS JOIN mm)
+      SELECT MAX(n) AS n, round(MAX(theta), 6) AS theta,
+        round((SUM(CASE WHEN treated THEN mean_post END)
+          - SUM(CASE WHEN NOT treated THEN mean_post END)) / 100.0, 6) AS naive_diff,
+        round((SUM(CASE WHEN treated THEN mean_adj END)
+          - SUM(CASE WHEN NOT treated THEN mean_adj END)) / 100.0, 6) AS cuped_diff,
+        round(MAX(rho2), 6) AS var_reduction
+      FROM adj"""))
+
   val all: Seq[QueryDef] = Seq(
     q1Agg, q2Filter, q3Join, q4Semi, q5Multi, q6Window, q7TopK, q8Distinct,
     q9Rollup, q10Pivot, q11Anti, q12Expr, q13Percentiles, q14Subquery,
@@ -7687,7 +7783,7 @@ object Queries {
     textNbClassify, curateKcenter, textMiFeatures, q133Logit, q134Gbm, q135Pca,
     q136Auc, q137Calibration, q138WoeIv, q139TargetEncode, q140LocalClustering,
     clusterDbscan, textZipf, etlLDiversity,
-    q141Ipw, q142Conformal, etlLinkage, curateDsir, q145Did, q146KnnEval, q147Modularity, q148Allocation,
+    q141Ipw, q142Conformal, etlLinkage, curateDsir, q145Did, q146KnnEval, q147Modularity, q148Allocation, q149Cuped,
     etlMergeUpsert, etlConstraints, etlProvenance,
     graphPageRank, curateWeightedSample,
     etlUnionSources, etlValidate, etlCleanTransform, etlQualityReport,
