@@ -200,6 +200,68 @@ object Multimodal {
     } catch { case scala.util.control.NonFatal(_) => None }
   }
 
+  /** DCT perceptual hash (pHash): decode → 32×32 grayscale → 2-D DCT →
+    * the 8×8 low-frequency block (DC term dropped) thresholded at its
+    * median — robust to brightness/contrast shifts and mild blur where
+    * [[aHash]]'s plain mean-threshold is not (a gamma shift moves every
+    * pixel AND the mean together in aHash, but reorders DCT
+    * coefficients much less). Same map-side shape: one Long per image,
+    * no shuffle; compose with [[imageNearDupPairs]]' banded Hamming
+    * join for candidates.
+    */
+  def pHash(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col("id"), col("data")).as[(Long, Array[Byte])].mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.flatMap { case (id, bytes) => pHashOne(bytes).map(h => (id, h)) }
+    }.toDF("id", "phash")
+  }
+
+  private[graft] def pHashOne(bytes: Array[Byte]): Option[Long] = {
+    if (bytes == null) return None
+    try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      if (img == null) None
+      else {
+        val n = 32
+        val gray = new java.awt.image.BufferedImage(n, n,
+          java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+        val g = gray.createGraphics()
+        g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+          java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+        g.drawImage(img, 0, 0, n, n, null)
+        g.dispose()
+        val px = Array.tabulate(n, n)((y, x) =>
+          gray.getRaster.getSample(x, y, 0).toDouble)
+        // separable 2-D DCT-II, only the 8×8 low-frequency corner needed
+        val cos = Array.tabulate(8, n)((u, i) =>
+          math.cos((2 * i + 1) * u * math.Pi / (2.0 * n)))
+        val coef = Array.tabulate(8, 8) { (u, v) =>
+          var s = 0.0
+          var y = 0
+          while (y < n) {
+            var x = 0
+            while (x < n) { s += px(y)(x) * cos(u)(y) * cos(v)(x); x += 1 }
+            y += 1
+          }
+          s
+        }
+        val ac = (for { u <- 0 until 8; v <- 0 until 8 if u != 0 || v != 0 }
+          yield coef(u)(v)).toArray
+        val med = { val s = ac.sorted; (s(31) + s(32)) / 2.0 } // 63 AC terms
+        var h = 0L
+        var i = 0
+        var k = 0
+        while (i < 64) {
+          if (i != 0) { if (ac(k) > med) h |= (1L << i); k += 1 }
+          i += 1
+        }
+        Some(h)
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
   /** Image near-dup candidate pairs: banded Hamming join over the
     * perceptual hash — literally [[Dedup.simhashCandidates]] on the
     * aHash column (4×16-bit bands, in-bucket pair expansion, bucket

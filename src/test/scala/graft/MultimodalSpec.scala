@@ -180,6 +180,39 @@ class MultimodalSpec extends SparkSpec {
     assert(ham(h(1L), h(4L)) >= 32, s"inverse should be far: ${ham(h(1L), h(4L))}")
   }
 
+  test("pHash: brightness/contrast-shift invariant where aHash is format-invariant too") {
+    import spark.implicits._
+    // gamma-ish brightness lift: v' = 40 + v*0.8 — every pixel moves,
+    // but the DCT coefficient ORDER barely does
+    def shifted(fmt: String): Array[Byte] = {
+      val base = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(patternImage(fmt, 64, 64, withSquare = true)))
+      val out = new java.awt.image.BufferedImage(64, 64,
+        java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+      for (y <- 0 until 64; x <- 0 until 64) {
+        val v0 = base.getRGB(x, y) & 0xff
+        val v = math.min(255, 40 + (v0 * 0.8).toInt)
+        out.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(out, fmt, bos)
+      bos.toByteArray
+    }
+    val df = Seq(
+      (1L, patternImage("png", 64, 64, withSquare = true)),
+      (2L, shifted("png")),                                  // brightness/contrast shift
+      (3L, patternImage("png", 64, 64, withSquare = true, invert = true)),
+      (4L, "not an image".getBytes)).toDF("id", "data")
+    val h = Multimodal.pHash(df).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(!h.contains(4L), "undecodable blobs drop")
+    assert(ham(h(1L), h(2L)) <= 4,
+      s"brightness shift must barely move the DCT hash: ${ham(h(1L), h(2L))}")
+    // the images share the un-inverted black square, so low-frequency
+    // terms partially align — far, but not the pure-negation ~63
+    assert(ham(h(1L), h(3L)) >= 16, s"inverse should be far: ${ham(h(1L), h(3L))}")
+  }
+
   test("imageNearDupPairs finds the format-twin and the small edit, not the inverse") {
     import spark.implicits._
     val df = Seq(
