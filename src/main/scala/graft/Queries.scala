@@ -7747,6 +7747,90 @@ object Queries {
         round(MAX(rho2), 6) AS var_reduction
       FROM adj"""))
 
+  /** Holt–Winters additive triple smoothing (α=0.3, β=0.1, γ=0.2,
+    * period 7) over 1995 daily revenue per return flag — level, trend
+    * AND a rotating 7-slot seasonal state carried through one codegen
+    * HOF fold (the q108 pattern grown a seasonal array; the
+    * accumulator struct holds it, `slice ∥ array` rotates it so the
+    * current point's season is always the head). Daily values are
+    * exact integer cents, so the init-season means are exact and both
+    * engines fold bit-identical doubles; the oracle is a recursive
+    * CTE carrying the seasonal LIST through 350+ steps.
+    *
+    * Scale shape: one partial-agg rollup to the O(flags·days) frame,
+    * per-flag collect of ≤366 points, map-side fold — the sequential
+    * recurrence runs on the collapsed frame, never on fact rows.
+    */
+  val q150HoltWinters: QueryDef = QueryDef("q150_holt_winters",
+    (s, dir) => {
+      val series = t(s, dir, "lineitem")
+        .filter(year(col("l_shipdate")) === 1995)
+        .groupBy(col("l_returnflag").as("flag"),
+          floor(unix_micros(date_trunc("day", col("l_shipdate"))) / lit(86400000000L))
+            .cast(LongType).as("x"))
+        .agg(sum(dec(col("l_extendedprice")) * 100).cast(LongType).as("yu"))
+        .groupBy(col("flag"))
+        .agg(sort_array(collect_list(struct(col("x"), col("yu")))).as("arr"))
+        .filter(size(col("arr")) >= 14)
+      val m1 = aggregate(slice(col("arr"), 1, 7), lit(0L),
+        (acc, e) => acc + e.getField("yu")).cast(DoubleType) / 7.0
+      val m2 = aggregate(slice(col("arr"), 8, 7), lit(0L),
+        (acc, e) => acc + e.getField("yu")).cast(DoubleType) / 7.0
+      val seas0 = transform(slice(col("arr"), 1, 7),
+        e => e.getField("yu").cast(DoubleType) - m1)
+      series
+        .withColumn("st", aggregate(
+          slice(col("arr"), lit(8), greatest(size(col("arr")) - 7, lit(0))),
+          struct(m1.as("l"), ((m2 - m1) / 7.0).as("t"), seas0.as("seas")),
+          (acc, e) => {
+            val y = e.getField("yu")
+            val sHead = element_at(acc.getField("seas"), 1)
+            val lNew = lit(0.3) * (y - sHead) +
+              lit(0.7) * (acc.getField("l") + acc.getField("t"))
+            val tNew = lit(0.1) * (lNew - acc.getField("l")) +
+              lit(0.9) * acc.getField("t")
+            val sNew = lit(0.2) * (y - lNew) + lit(0.8) * sHead
+            struct(lNew.as("l"), tNew.as("t"),
+              concat(slice(acc.getField("seas"), 2, 6), array(sNew)).as("seas"))
+          }))
+        .select(col("flag"), size(col("arr")).cast(LongType).as("n_days"),
+          round(col("st.l") / 100.0, 4).as("level"),
+          round(col("st.t") / 100.0, 4).as("trend"),
+          round((col("st.l") + col("st.t") + element_at(col("st.seas"), 1)) / 100.0, 4)
+            .as("forecast_1"))
+        .orderBy(col("flag"))
+    },
+    Some("""WITH RECURSIVE d AS (SELECT l_returnflag AS flag,
+          epoch_us(date_trunc('day', l_shipdate)) // 86400000000 AS x,
+          CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * 100) AS BIGINT) AS yu
+        FROM lineitem WHERE year(l_shipdate) = 1995 GROUP BY 1, 2),
+      r AS (SELECT flag, yu, ROW_NUMBER() OVER (PARTITION BY flag ORDER BY x) AS rn,
+          COUNT(*) OVER (PARTITION BY flag) AS n
+        FROM d QUALIFY n >= 14),
+      init AS (SELECT flag, ANY_VALUE(n) AS n,
+          CAST(SUM(CASE WHEN rn <= 7 THEN yu ELSE 0 END) AS DOUBLE) / 7.0 AS m1,
+          CAST(SUM(CASE WHEN rn BETWEEN 8 AND 14 THEN yu ELSE 0 END) AS DOUBLE) / 7.0 AS m2,
+          list(yu ORDER BY rn) FILTER (WHERE rn <= 7) AS y7
+        FROM r GROUP BY flag),
+      hw AS (
+        SELECT flag, 7 AS rn, n, m1 AS level, (m2 - m1) / 7.0 AS trend,
+            list_transform(y7, v -> CAST(v AS DOUBLE) - m1) AS seas
+        FROM init
+        UNION ALL
+        SELECT r.flag, r.rn, hw.n,
+            0.3 * (r.yu - hw.seas[1]) + 0.7 * (hw.level + hw.trend) AS level,
+            0.1 * ((0.3 * (r.yu - hw.seas[1]) + 0.7 * (hw.level + hw.trend)) - hw.level)
+              + 0.9 * hw.trend AS trend,
+            hw.seas[2:7] ||
+              [0.2 * (r.yu - (0.3 * (r.yu - hw.seas[1]) + 0.7 * (hw.level + hw.trend)))
+                + 0.8 * hw.seas[1]] AS seas
+        FROM hw JOIN r ON r.flag = hw.flag AND r.rn = hw.rn + 1)
+      SELECT flag, CAST(n AS BIGINT) AS n_days,
+        round(level / 100.0, 4) AS level,
+        round(trend / 100.0, 4) AS trend,
+        round((level + trend + seas[1]) / 100.0, 4) AS forecast_1
+      FROM hw WHERE rn = n ORDER BY flag"""))
+
   val all: Seq[QueryDef] = Seq(
     q1Agg, q2Filter, q3Join, q4Semi, q5Multi, q6Window, q7TopK, q8Distinct,
     q9Rollup, q10Pivot, q11Anti, q12Expr, q13Percentiles, q14Subquery,
@@ -7783,7 +7867,7 @@ object Queries {
     textNbClassify, curateKcenter, textMiFeatures, q133Logit, q134Gbm, q135Pca,
     q136Auc, q137Calibration, q138WoeIv, q139TargetEncode, q140LocalClustering,
     clusterDbscan, textZipf, etlLDiversity,
-    q141Ipw, q142Conformal, etlLinkage, curateDsir, q145Did, q146KnnEval, q147Modularity, q148Allocation, q149Cuped,
+    q141Ipw, q142Conformal, etlLinkage, curateDsir, q145Did, q146KnnEval, q147Modularity, q148Allocation, q149Cuped, q150HoltWinters,
     etlMergeUpsert, etlConstraints, etlProvenance,
     graphPageRank, curateWeightedSample,
     etlUnionSources, etlValidate, etlCleanTransform, etlQualityReport,
