@@ -7831,6 +7831,98 @@ object Queries {
         round((level + trend + seas[1]) / 100.0, 4) AS forecast_1
       FROM hw WHERE rn = n ORDER BY flag"""))
 
+  /** Walk-forward backtest of the q108 Holt smoother against the
+    * seasonal-naive baseline (ŷ_t = y_{t−7}): one-step-ahead absolute
+    * errors accumulate INSIDE the same fold that advances the state —
+    * no per-step materialization, no second pass. Errors quantize to
+    * integer 1e-2 cents as they accumulate, so the MAE comparison and
+    * skill score are engine-exact. The honest-evaluation companion to
+    * the forecasters: a smoother that can't beat y_{t−7} has no
+    * business shipping.
+    */
+  val q151Backtest: QueryDef = QueryDef("q151_backtest",
+    (s, dir) => {
+      val series = t(s, dir, "lineitem")
+        .filter(year(col("l_shipdate")) === 1995)
+        .groupBy(col("l_returnflag").as("flag"),
+          floor(unix_micros(date_trunc("day", col("l_shipdate"))) / lit(86400000000L))
+            .cast(LongType).as("x"))
+        .agg(sum(dec(col("l_extendedprice")) * 100).cast(LongType).as("yu"))
+        .groupBy(col("flag"))
+        .agg(sort_array(collect_list(struct(col("x"), col("yu")))).as("arr"))
+        .filter(size(col("arr")) >= 9)
+      val y1 = element_at(col("arr"), 1).getField("yu").cast(DoubleType)
+      val y2 = element_at(col("arr"), 2).getField("yu").cast(DoubleType)
+      // state: holt (l, t), index i of the NEXT point (1-based in arr),
+      // integer error sums for holt and the seasonal-naive baseline,
+      // and the count of scored steps (naive needs i > 7)
+      val st0 = struct(y2.as("l"), (y2 - y1).as("t"), lit(3L).as("i"),
+        lit(0L).as("eh"), lit(0L).as("en"), lit(0L).as("n"))
+      series
+        .withColumn("bt", aggregate(
+          slice(col("arr"), lit(3), greatest(size(col("arr")) - 2, lit(0))),
+          st0,
+          (acc, e) => {
+            val y = e.getField("yu")
+            val fc = acc.getField("l") + acc.getField("t")
+            val i = acc.getField("i")
+            val scored = i > 7
+            val naivePrev = element_at(col("arr"), (i - 7).cast(IntegerType))
+              .getField("yu")
+            val ehNew = acc.getField("eh") +
+              when(scored, floor(abs(y - fc) * 100.0 + 0.5).cast(LongType))
+                .otherwise(lit(0L))
+            val enNew = acc.getField("en") +
+              when(scored, abs(y - naivePrev) * 100L).otherwise(lit(0L))
+            val lNew = lit(0.3) * y + lit(0.7) * (acc.getField("l") + acc.getField("t"))
+            val tNew = lit(0.1) * (lNew - acc.getField("l")) +
+              lit(0.9) * acc.getField("t")
+            struct(lNew.as("l"), tNew.as("t"), (i + 1L).as("i"),
+              ehNew.as("eh"), enNew.as("en"),
+              (acc.getField("n") + when(scored, 1L).otherwise(0L)).as("n"))
+          }))
+        .select(col("flag"), col("bt.n").as("n_scored"),
+          round(col("bt.eh").cast(DoubleType) / col("bt.n").cast(DoubleType) / 1.0e4, 4)
+            .as("mae_holt"),
+          round(col("bt.en").cast(DoubleType) / col("bt.n").cast(DoubleType) / 1.0e4, 4)
+            .as("mae_naive"),
+          round(lit(1.0) - (col("bt.eh").cast(DoubleType) / col("bt.en").cast(DoubleType)), 6)
+            .as("skill"))
+        .orderBy(col("flag"))
+    },
+    Some("""WITH RECURSIVE d AS (SELECT l_returnflag AS flag,
+          epoch_us(date_trunc('day', l_shipdate)) // 86400000000 AS x,
+          CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * 100) AS BIGINT) AS yu
+        FROM lineitem WHERE year(l_shipdate) = 1995 GROUP BY 1, 2),
+      r AS (SELECT flag, yu, ROW_NUMBER() OVER (PARTITION BY flag ORDER BY x) AS rn,
+          COUNT(*) OVER (PARTITION BY flag) AS n
+        FROM d QUALIFY n >= 9),
+      bt AS (
+        SELECT r2.flag, r2.rn, r2.n,
+            CAST(r2.yu AS DOUBLE) AS level,
+            CAST(r2.yu AS DOUBLE) - r1.yu AS trend,
+            CAST(0 AS BIGINT) AS eh, CAST(0 AS BIGINT) AS en, CAST(0 AS BIGINT) AS ns
+        FROM r r2 JOIN r r1 ON r1.flag = r2.flag AND r1.rn = 1
+        WHERE r2.rn = 2
+        UNION ALL
+        SELECT r.flag, r.rn, bt.n,
+            0.3 * r.yu + 0.7 * (bt.level + bt.trend) AS level,
+            0.1 * ((0.3 * r.yu + 0.7 * (bt.level + bt.trend)) - bt.level)
+              + 0.9 * bt.trend AS trend,
+            bt.eh + CASE WHEN r.rn > 7 THEN
+              CAST(FLOOR(abs(r.yu - (bt.level + bt.trend)) * 100.0 + 0.5) AS BIGINT)
+              ELSE 0 END AS eh,
+            bt.en + CASE WHEN r.rn > 7 THEN
+              abs(r.yu - r7.yu) * 100 ELSE 0 END AS en,
+            bt.ns + CASE WHEN r.rn > 7 THEN 1 ELSE 0 END AS ns
+        FROM bt JOIN r ON r.flag = bt.flag AND r.rn = bt.rn + 1
+        LEFT JOIN r r7 ON r7.flag = bt.flag AND r7.rn = bt.rn + 1 - 7)
+      SELECT flag, CAST(ns AS BIGINT) AS n_scored,
+        round(CAST(eh AS DOUBLE) / ns / 1.0e4, 4) AS mae_holt,
+        round(CAST(en AS DOUBLE) / ns / 1.0e4, 4) AS mae_naive,
+        round(1.0 - CAST(eh AS DOUBLE) / en, 6) AS skill
+      FROM bt WHERE rn = n ORDER BY flag"""))
+
   val all: Seq[QueryDef] = Seq(
     q1Agg, q2Filter, q3Join, q4Semi, q5Multi, q6Window, q7TopK, q8Distinct,
     q9Rollup, q10Pivot, q11Anti, q12Expr, q13Percentiles, q14Subquery,
@@ -7867,7 +7959,7 @@ object Queries {
     textNbClassify, curateKcenter, textMiFeatures, q133Logit, q134Gbm, q135Pca,
     q136Auc, q137Calibration, q138WoeIv, q139TargetEncode, q140LocalClustering,
     clusterDbscan, textZipf, etlLDiversity,
-    q141Ipw, q142Conformal, etlLinkage, curateDsir, q145Did, q146KnnEval, q147Modularity, q148Allocation, q149Cuped, q150HoltWinters,
+    q141Ipw, q142Conformal, etlLinkage, curateDsir, q145Did, q146KnnEval, q147Modularity, q148Allocation, q149Cuped, q150HoltWinters, q151Backtest,
     etlMergeUpsert, etlConstraints, etlProvenance,
     graphPageRank, curateWeightedSample,
     etlUnionSources, etlValidate, etlCleanTransform, etlQualityReport,
