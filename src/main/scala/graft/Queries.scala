@@ -7923,6 +7923,51 @@ object Queries {
         round(1.0 - CAST(eh AS DOUBLE) / en, 6) AS skill
       FROM bt WHERE rn = n ORDER BY flag"""))
 
+  /** Per-user behavioral entropy: H = −Σ p·ln p over each user's
+    * event-type distribution (bot/script traffic shows near-zero
+    * entropy; engaged humans spread across types), summarized as a
+    * fixed-width histogram. Per-user cell contributions quantize to
+    * 1e-9 nats so user entropies are exact integers before binning.
+    *
+    * Scale shape: one (user, type) partial-agg shuffle, one per-user
+    * collapse, one O(bins) rollup — no windows, no collect.
+    */
+  val q152SessionEntropy: QueryDef = QueryDef("q152_session_entropy",
+    (s, dir) => {
+      val cells = t(s, dir, "events")
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(count(lit(1)).as("c"))
+      val users = cells
+        .withColumn("n", sum(col("c")).over(
+          Window.partitionBy(col("user_id"))))
+        .withColumn("hu", floor(
+          -(col("c").cast(DoubleType) / col("n").cast(DoubleType)) *
+            log(col("c").cast(DoubleType) / col("n").cast(DoubleType)) * 1.0e9 + 0.5)
+          .cast(LongType))
+        .groupBy(col("user_id"))
+        .agg(sum(col("hu")).as("h_u"), max(col("n")).as("n_events"))
+      users
+        .withColumn("bin", least(expr("h_u div 250000000"), lit(7L)))
+        .groupBy(col("bin"))
+        .agg(count(lit(1)).as("n_users"),
+          round(avg(col("h_u").cast(DoubleType)) / 1.0e9, 6).as("avg_entropy"),
+          sum(col("n_events")).as("n_events"))
+        .orderBy(col("bin"))
+    },
+    Some("""WITH cells AS (SELECT user_id, event_type, COUNT(*) AS c
+        FROM events GROUP BY 1, 2),
+      users AS (SELECT user_id,
+          CAST(SUM(CAST(FLOOR(-(CAST(c AS DOUBLE) / n) * ln(CAST(c AS DOUBLE) / n)
+            * 1.0e9 + 0.5) AS BIGINT)) AS BIGINT) AS h_u,
+          CAST(MAX(n) AS BIGINT) AS n_events
+        FROM (SELECT *, SUM(c) OVER (PARTITION BY user_id) AS n FROM cells)
+        GROUP BY 1),
+      binned AS (SELECT LEAST(h_u // 250000000, 7) AS bin, h_u, n_events FROM users)
+      SELECT bin, COUNT(*) AS n_users,
+        round(AVG(CAST(h_u AS DOUBLE)) / 1.0e9, 6) AS avg_entropy,
+        CAST(SUM(n_events) AS BIGINT) AS n_events
+      FROM binned GROUP BY 1 ORDER BY 1"""))
+
   val all: Seq[QueryDef] = Seq(
     q1Agg, q2Filter, q3Join, q4Semi, q5Multi, q6Window, q7TopK, q8Distinct,
     q9Rollup, q10Pivot, q11Anti, q12Expr, q13Percentiles, q14Subquery,
@@ -7959,7 +8004,7 @@ object Queries {
     textNbClassify, curateKcenter, textMiFeatures, q133Logit, q134Gbm, q135Pca,
     q136Auc, q137Calibration, q138WoeIv, q139TargetEncode, q140LocalClustering,
     clusterDbscan, textZipf, etlLDiversity,
-    q141Ipw, q142Conformal, etlLinkage, curateDsir, q145Did, q146KnnEval, q147Modularity, q148Allocation, q149Cuped, q150HoltWinters, q151Backtest,
+    q141Ipw, q142Conformal, etlLinkage, curateDsir, q145Did, q146KnnEval, q147Modularity, q148Allocation, q149Cuped, q150HoltWinters, q151Backtest, q152SessionEntropy,
     etlMergeUpsert, etlConstraints, etlProvenance,
     graphPageRank, curateWeightedSample,
     etlUnionSources, etlValidate, etlCleanTransform, etlQualityReport,
