@@ -7968,6 +7968,75 @@ object Queries {
         CAST(SUM(n_events) AS BIGINT) AS n_events
       FROM binned GROUP BY 1 ORDER BY 1"""))
 
+  /** Dolma/RefinedWeb-style multi-rule filter chain: quality ≥ 0.5,
+    * repetition gates (top bigram ≤ 0.2 of tokens, duplicate-token
+    * fraction ≤ 0.5), and the Gopher length window (50–10000 tokens),
+    * composed into a per-source keep/drop census WITH per-rule
+    * violation attribution (why documents die, not just how many) —
+    * the filter-pipeline readout a curation team actually watches.
+    * All rules evaluate on the 6-dp-rounded signals both engines
+    * already hash-agree on.
+    *
+    * Scale shape: every signal is map-side over the tokenized doc
+    * (the quality/repetition operators' shapes); ONE source-keyed
+    * partial agg ends the chain.
+    */
+  val curateFilterChain: QueryDef = QueryDef("curate_filter_chain",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val rep = TextAnalysis.repetitionStats(docs, "doc_id", "text")
+      val qual = docs.select(col("doc_id"), col("source"),
+        TextAnalysis.qualityScoreOf(TextAnalysis.tokens(col("text")),
+          col("text"), col("n_chars")).as("quality"))
+      qual.join(rep, Seq("doc_id"))
+        .withColumn("v_quality", col("quality") < 0.5)
+        .withColumn("v_repeat",
+          col("top_bigram_frac") > 0.2 || col("dup_token_frac") > 0.5)
+        .withColumn("v_length", col("n_tokens") < 50 || col("n_tokens") > 10000)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(!col("v_quality") && !col("v_repeat") && !col("v_length"), 1L)
+            .otherwise(0L)).as("n_kept"),
+          sum(when(col("v_quality"), 1L).otherwise(0L)).as("n_v_quality"),
+          sum(when(col("v_repeat"), 1L).otherwise(0L)).as("n_v_repeat"),
+          sum(when(col("v_length"), 1L).otherwise(0L)).as("n_v_length"))
+        .withColumn("keep_rate", round(
+          col("n_kept").cast(DoubleType) / col("n_docs").cast(DoubleType), 6))
+        .orderBy(col("source"))
+    },
+    Some("""WITH t AS (SELECT doc_id, source, text, n_chars,
+        string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS w
+        FROM documents),
+      qm AS (SELECT doc_id,
+        CASE WHEN len(w) > 0 THEN CAST(len(list_filter(w, x -> x IN ('the','a','of','and','or','to','in'))) AS DOUBLE) / len(w) ELSE 0.0 END AS stop_r,
+        CASE WHEN length(text) > 0 THEN (CAST(length(text) AS DOUBLE) - length(regexp_replace(lower(text), '[^a-z0-9\s]', '', 'g'))) / length(text) ELSE 0.0 END AS punct_r,
+        LEAST(CAST(n_chars AS DOUBLE) / 500.0, 1.0) AS len_s
+        FROM t),
+      q AS (SELECT doc_id,
+        round(0.4 * (1.0 - punct_r) + 0.3 * LEAST(stop_r * 5.0, 1.0) + 0.3 * len_s, 6) AS quality
+        FROM qm),
+      bi AS (SELECT doc_id, unnest([w[i] || ' ' || w[i+1] FOR i IN range(1, len(w))]) AS gram
+        FROM t WHERE len(w) >= 2),
+      top AS (SELECT doc_id, MAX(c) AS topc FROM
+        (SELECT doc_id, gram, COUNT(*) AS c FROM bi GROUP BY doc_id, gram) GROUP BY doc_id),
+      rep AS (SELECT t.doc_id, len(w) AS n_tokens,
+        round(1.0 - CAST(len(list_distinct(w)) AS DOUBLE) / len(w), 6) AS dup_token_frac,
+        round(COALESCE(least(1.0, CAST(topc AS DOUBLE) * 2 / len(w)), 0.0), 6) AS top_bigram_frac
+        FROM t LEFT JOIN top USING (doc_id)),
+      flags AS (SELECT t.source,
+          q.quality < 0.5 AS v_quality,
+          rep.top_bigram_frac > 0.2 OR rep.dup_token_frac > 0.5 AS v_repeat,
+          rep.n_tokens < 50 OR rep.n_tokens > 10000 AS v_length
+        FROM t JOIN q USING (doc_id) JOIN rep ON rep.doc_id = t.doc_id)
+      SELECT source, COUNT(*) AS n_docs,
+        CAST(SUM(CASE WHEN NOT v_quality AND NOT v_repeat AND NOT v_length THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        CAST(SUM(CASE WHEN v_quality THEN 1 ELSE 0 END) AS BIGINT) AS n_v_quality,
+        CAST(SUM(CASE WHEN v_repeat THEN 1 ELSE 0 END) AS BIGINT) AS n_v_repeat,
+        CAST(SUM(CASE WHEN v_length THEN 1 ELSE 0 END) AS BIGINT) AS n_v_length,
+        round(CAST(SUM(CASE WHEN NOT v_quality AND NOT v_repeat AND NOT v_length THEN 1 ELSE 0 END) AS DOUBLE)
+          / COUNT(*), 6) AS keep_rate
+      FROM flags GROUP BY source ORDER BY source"""))
+
   val all: Seq[QueryDef] = Seq(
     q1Agg, q2Filter, q3Join, q4Semi, q5Multi, q6Window, q7TopK, q8Distinct,
     q9Rollup, q10Pivot, q11Anti, q12Expr, q13Percentiles, q14Subquery,
@@ -8004,7 +8073,7 @@ object Queries {
     textNbClassify, curateKcenter, textMiFeatures, q133Logit, q134Gbm, q135Pca,
     q136Auc, q137Calibration, q138WoeIv, q139TargetEncode, q140LocalClustering,
     clusterDbscan, textZipf, etlLDiversity,
-    q141Ipw, q142Conformal, etlLinkage, curateDsir, q145Did, q146KnnEval, q147Modularity, q148Allocation, q149Cuped, q150HoltWinters, q151Backtest, q152SessionEntropy,
+    q141Ipw, q142Conformal, etlLinkage, curateDsir, q145Did, q146KnnEval, q147Modularity, q148Allocation, q149Cuped, q150HoltWinters, q151Backtest, q152SessionEntropy, curateFilterChain,
     etlMergeUpsert, etlConstraints, etlProvenance,
     graphPageRank, curateWeightedSample,
     etlUnionSources, etlValidate, etlCleanTransform, etlQualityReport,
