@@ -8037,6 +8037,52 @@ object Queries {
           / COUNT(*), 6) AS keep_rate
       FROM flags GROUP BY source ORDER BY source"""))
 
+  /** Event-study alignment: each customer's panel re-indexed on their
+    * OWN event date (first URGENT order) and order activity averaged
+    * per relative week −4..+4 — the per-unit-event alignment DiD/cohort
+    * tooling doesn't give you (cohorts align on first-ever activity,
+    * DiD on one global date). Exact integer day arithmetic; the
+    * floor-division week bucket is offset-shifted so trunc and floor
+    * agree on negative relative days.
+    *
+    * Scale shape: one broadcast-eligible O(customers) event frame
+    * joined back, one (rel_week) partial agg.
+    */
+  val q153EventStudy: QueryDef = QueryDef("q153_event_study",
+    (s, dir) => {
+      val day = lit(86400000000L)
+      val t0 = t(s, dir, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .groupBy(col("o_custkey").as("ck"))
+        .agg(min(unix_micros(col("o_orderdate"))).as("t0u"))
+      t(s, dir, "orders")
+        .join(t0, col("o_custkey") === col("ck"))
+        .withColumn("rel_day",
+          ((unix_micros(col("o_orderdate")) - col("t0u")) / day).cast(LongType))
+        // +700 offset: integer div of a negative rel_day truncates
+        // toward zero in Spark but floors in the oracle
+        .withColumn("rel_week", expr("(rel_day + 700) div 7") - 100L)
+        .filter(col("rel_week").between(-4, 4))
+        .groupBy(col("rel_week"))
+        .agg(count(lit(1)).as("n_orders"),
+          countDistinct(col("o_custkey")).as("n_customers"),
+          sum(dec(col("o_totalprice"))).cast(DoubleType).as("revenue"))
+        .withColumn("orders_per_customer", round(
+          col("n_orders").cast(DoubleType) / col("n_customers").cast(DoubleType), 6))
+        .orderBy(col("rel_week"))
+    },
+    Some("""WITH t0 AS (SELECT o_custkey AS ck, MIN(epoch_us(o_orderdate)) AS t0u
+        FROM orders WHERE o_orderpriority = '1-URGENT' GROUP BY 1),
+      rel AS (SELECT o_custkey, o_totalprice,
+          ((epoch_us(o_orderdate) - t0u) // 86400000000 + 700) // 7 - 100 AS rel_week
+        FROM orders JOIN t0 ON o_custkey = ck)
+      SELECT rel_week, COUNT(*) AS n_orders,
+        CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_customers,
+        CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS DOUBLE) AS revenue,
+        round(CAST(COUNT(*) AS DOUBLE) / COUNT(DISTINCT o_custkey), 6) AS orders_per_customer
+      FROM rel WHERE rel_week BETWEEN -4 AND 4
+      GROUP BY 1 ORDER BY 1"""))
+
   val all: Seq[QueryDef] = Seq(
     q1Agg, q2Filter, q3Join, q4Semi, q5Multi, q6Window, q7TopK, q8Distinct,
     q9Rollup, q10Pivot, q11Anti, q12Expr, q13Percentiles, q14Subquery,
@@ -8073,7 +8119,7 @@ object Queries {
     textNbClassify, curateKcenter, textMiFeatures, q133Logit, q134Gbm, q135Pca,
     q136Auc, q137Calibration, q138WoeIv, q139TargetEncode, q140LocalClustering,
     clusterDbscan, textZipf, etlLDiversity,
-    q141Ipw, q142Conformal, etlLinkage, curateDsir, q145Did, q146KnnEval, q147Modularity, q148Allocation, q149Cuped, q150HoltWinters, q151Backtest, q152SessionEntropy, curateFilterChain,
+    q141Ipw, q142Conformal, etlLinkage, curateDsir, q145Did, q146KnnEval, q147Modularity, q148Allocation, q149Cuped, q150HoltWinters, q151Backtest, q152SessionEntropy, curateFilterChain, q153EventStudy,
     etlMergeUpsert, etlConstraints, etlProvenance,
     graphPageRank, curateWeightedSample,
     etlUnionSources, etlValidate, etlCleanTransform, etlQualityReport,

@@ -45,25 +45,29 @@ object Tables {
     */
   private val spread = new ConcurrentHashMap[(Int, String, String), DataFrame]()
 
-  /** Read one table, normalizing `events.ts` to a session-TZ TIMESTAMP
-    * whatever the generator emitted:
-    *   - TIMESTAMP(NANOS) parquet reads as raw nanos-since-epoch under
-    *     `spark.sql.legacy.parquet.nanosAsLong=true` (see
-    *     [[GraftSession.required]]) — converted with `div 1000` in
-    *     integer space (a double intermediate loses precision > 2^53 ns);
-    *   - plain timestamp[us] without isAdjustedToUTC reads as
+  /** Read one table, normalizing every time column to a session-TZ
+    * TIMESTAMP whatever the generator emitted:
+    *   - `events.ts` as TIMESTAMP(NANOS) parquet reads as raw
+    *     nanos-since-epoch under `spark.sql.legacy.parquet.nanosAsLong
+    *     =true` (see [[GraftSession.required]]) — converted with
+    *     `div 1000` in integer space (a double intermediate loses
+    *     precision > 2^53 ns);
+    *   - ANY plain timestamp[us] without isAdjustedToUTC reads as
     *     TIMESTAMP_NTZ — cast to TIMESTAMP under the UTC session
     *     timezone, which keeps the wall-clock values byte-identical to
-    *     the oracle's naive read of the same file.
+    *     the oracle's naive read of the same file. Normalizing here
+    *     (not per-query) matters because function input coercion is
+    *     inconsistent: `date_trunc` accepts NTZ, `unix_micros` rejects
+    *     it at analysis.
     */
   def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
     val raw = spark.read.parquet(s"$dir/$name.parquet")
-    val df = raw.schema.fields.find(_.name == "ts").map(_.dataType) match {
+    val ntzFixed = raw.schema.fields.filter(_.dataType == TimestampNTZType)
+      .foldLeft(raw)((d, f) => d.withColumn(f.name, col(f.name).cast(TimestampType)))
+    val df = ntzFixed.schema.fields.find(_.name == "ts").map(_.dataType) match {
       case Some(LongType) =>
-        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      case Some(TimestampNTZType) =>
-        raw.withColumn("ts", col("ts").cast(TimestampType))
-      case _ => raw
+        ntzFixed.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ => ntzFixed
     }
     if (!GraftSession.localSpread(spark)) df
     else spread.computeIfAbsent((System.identityHashCode(spark), dir, name), _ =>
