@@ -8083,6 +8083,59 @@ object Queries {
       FROM rel WHERE rel_week BETWEEN -4 AND 4
       GROUP BY 1 ORDER BY 1"""))
 
+  /** Experiment power analysis: per-segment minimum detectable effect
+    * at 80% power / 5% two-sided α for an equal-split test on customer
+    * spend — MDE = (z_{α/2}+z_β)·σ·√(2/n̄) with σ from exact
+    * DECIMAL(38) moments (the planning-side companion to q63's lift
+    * readout and q149's CUPED: how big must an effect be before this
+    * segment can even see it). One conditional-moment pass, O(segments)
+    * frame; σ is a single IEEE sqrt on an exact-integer-derived double.
+    */
+  val q154PowerMde: QueryDef = QueryDef("q154_power_mde",
+    (s, dir) => {
+      val D38 = DecimalType(38, 0)
+      val oc = t(s, dir, "orders").groupBy(col("o_custkey"))
+        .agg(sum(dec(col("o_totalprice")) * 100).cast(LongType).as("y"))
+      val seg = t(s, dir, "customer")
+        .join(oc, col("c_custkey") === col("o_custkey"), "left")
+        .select(col("c_mktsegment").as("segment"),
+          coalesce(col("y"), lit(0L)).as("y"))
+        .groupBy(col("segment"))
+        .agg(count(lit(1)).as("n"), sum(col("y")).cast(D38).as("sy"),
+          sum(col("y").cast(D38) * col("y").cast(D38)).cast(D38).as("syy"))
+      // z_{0.025} + z_{0.2} = 1.959964 + 0.841621 (6-dp-pinned constants)
+      val zsum = lit(1.959964 + 0.841621)
+      val sd = sqrt((col("syy") * col("n").cast(D38) - col("sy") * col("sy"))
+        .cast(DoubleType)) / col("n").cast(DoubleType)
+      val nPerArm = col("n").cast(DoubleType) / 2.0
+      seg.select(col("segment"), col("n"),
+          round(col("sy").cast(DoubleType) / col("n").cast(DoubleType) / 100.0, 4)
+            .as("mean_spend"),
+          round(sd / 100.0, 4).as("sd_spend"),
+          round(zsum * sd * sqrt(lit(2.0) / nPerArm) / 100.0, 4).as("mde_abs"),
+          round(zsum * sd * sqrt(lit(2.0) / nPerArm) /
+            (col("sy").cast(DoubleType) / col("n").cast(DoubleType)), 6).as("mde_rel"))
+        .orderBy(col("segment"))
+    },
+    Some("""WITH oc AS (SELECT o_custkey,
+          CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2)) * 100) AS BIGINT) AS y
+        FROM orders GROUP BY 1),
+      seg AS (SELECT c_mktsegment AS segment, COUNT(*) AS n,
+          CAST(SUM(COALESCE(y, 0)) AS DECIMAL(38,0)) AS sy,
+          CAST(SUM(CAST(COALESCE(y, 0) AS DECIMAL(38,0)) * COALESCE(y, 0)) AS DECIMAL(38,0)) AS syy
+        FROM customer LEFT JOIN oc ON c_custkey = o_custkey
+        GROUP BY 1),
+      calc AS (SELECT segment, n,
+          CAST(sy AS DOUBLE) / n AS mean_u,
+          sqrt(CAST(syy * n - sy * sy AS DOUBLE)) / n AS sd_u
+        FROM seg)
+      SELECT segment, n,
+        round(mean_u / 100.0, 4) AS mean_spend,
+        round(sd_u / 100.0, 4) AS sd_spend,
+        round((1.959964 + 0.841621) * sd_u * sqrt(2.0 / (CAST(n AS DOUBLE) / 2.0)) / 100.0, 4) AS mde_abs,
+        round((1.959964 + 0.841621) * sd_u * sqrt(2.0 / (CAST(n AS DOUBLE) / 2.0)) / mean_u, 6) AS mde_rel
+      FROM calc ORDER BY segment"""))
+
   val all: Seq[QueryDef] = Seq(
     q1Agg, q2Filter, q3Join, q4Semi, q5Multi, q6Window, q7TopK, q8Distinct,
     q9Rollup, q10Pivot, q11Anti, q12Expr, q13Percentiles, q14Subquery,
@@ -8119,7 +8172,7 @@ object Queries {
     textNbClassify, curateKcenter, textMiFeatures, q133Logit, q134Gbm, q135Pca,
     q136Auc, q137Calibration, q138WoeIv, q139TargetEncode, q140LocalClustering,
     clusterDbscan, textZipf, etlLDiversity,
-    q141Ipw, q142Conformal, etlLinkage, curateDsir, q145Did, q146KnnEval, q147Modularity, q148Allocation, q149Cuped, q150HoltWinters, q151Backtest, q152SessionEntropy, curateFilterChain, q153EventStudy,
+    q141Ipw, q142Conformal, etlLinkage, curateDsir, q145Did, q146KnnEval, q147Modularity, q148Allocation, q149Cuped, q150HoltWinters, q151Backtest, q152SessionEntropy, curateFilterChain, q153EventStudy, q154PowerMde,
     etlMergeUpsert, etlConstraints, etlProvenance,
     graphPageRank, curateWeightedSample,
     etlUnionSources, etlValidate, etlCleanTransform, etlQualityReport,
