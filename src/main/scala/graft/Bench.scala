@@ -9,8 +9,16 @@ import org.apache.spark.sql.SparkSession
   * Emission contract: the LAST stdout line is a compact total-only
   * JSON record (it must fit a bounded tail capture); the per-query
   * map goes to `target/bench-detail.json` and a committed copy
-  * `BENCH_DETAIL.json`, which also serves as the prior-round baseline
-  * for the regression guard (loud WARN on >1.5x per-query slowdowns).
+  * `BENCH_DETAIL.json`.
+  *
+  * Regression guard (loud WARN on >1.5x per-query slowdowns) runs
+  * against TWO baselines: the FROZEN round-stamped
+  * `BENCH_DETAIL_r<N>.json` (highest N wins; written once at round
+  * close, never by Bench — so round-over-round drift is detectable)
+  * and the MERGED `BENCH_DETAIL.json` (overwritten each full run —
+  * catches within-round drift vs the best observed). A
+  * self-overwriting file alone cannot flag slow drift: each run
+  * ratchets its own baseline.
   */
 object Bench {
 
@@ -104,37 +112,54 @@ object Bench {
     val results = passes.head.zip(passes.last).map { case ((n, a), (_, b)) => n -> math.min(a, b) }
     val total   = results.map(_._2).sum
 
-    // Regression guard vs the prior round's committed detail file.
-    // Only the per-query entries are compared (the file also carries a
-    // "total" key, excluded by name); host noise is ±25% (SURVEY §7),
-    // so the threshold is 1.5x and only queries slower than 0.2s in
-    // the baseline are eligible (sub-200ms lines are scheduler noise).
-    val priorFile = new java.io.File("BENCH_DETAIL.json")
-    val prior: Map[String, Double] =
-      if (priorFile.exists()) {
-        val src = scala.io.Source.fromFile(priorFile)
+    // Regression guard vs TWO baselines. The FROZEN baseline is the
+    // highest-numbered BENCH_DETAIL_r<N>.json in cwd — written once at
+    // round close and never touched by Bench, so round-over-round
+    // drift is detectable (a self-overwriting merged-minima file can
+    // never flag it: each run ratchets its own baseline down). The
+    // MERGED baseline is BENCH_DETAIL.json (this file, overwritten by
+    // every full run) — it catches within-round drift against the best
+    // observed. Host noise is ±25% (SURVEY §7), so the threshold is
+    // 1.5x and only queries slower than 0.2s in the baseline are
+    // eligible (sub-200ms lines are scheduler noise).
+    def loadBaseline(f: java.io.File): Map[String, Double] =
+      if (f.exists()) {
+        val src = scala.io.Source.fromFile(f)
         try parseFlatNumbers(src.mkString) finally src.close()
       } else Map.empty
-    val regressions = results.flatMap { case (name, secs) =>
-      prior.get(name).collect {
-        case p if p > 0.2 && secs > p * 1.5 => (name, p, secs)
+    val frozenFile = Option(new java.io.File(".").listFiles()).toSeq.flatten
+      .filter(f => f.getName.matches("BENCH_DETAIL_r\\d+\\.json"))
+      .sortBy(f => f.getName.replaceAll("\\D", "").toInt)
+      .lastOption
+    val frozen = frozenFile.map(loadBaseline).getOrElse(Map.empty)
+    val merged = loadBaseline(new java.io.File("BENCH_DETAIL.json"))
+    def regsVs(base: Map[String, Double], tag: String) = {
+      val rs = results.flatMap { case (name, secs) =>
+        base.get(name).collect {
+          case p if p > 0.2 && secs > p * 1.5 => (name, p, secs)
+        }
       }
+      rs.foreach { case (name, p, s) =>
+        System.err.println(f"[bench] WARN REGRESSION($tag) $name: $p%.3fs -> $s%.3fs (${s / p}%.2fx)")
+      }
+      rs
     }
-    regressions.foreach { case (name, p, s) =>
-      System.err.println(f"[bench] WARN REGRESSION $name: $p%.3fs -> $s%.3fs (${s / p}%.2fx)")
-    }
+    val regsFrozen = regsVs(frozen, frozenFile.map(_.getName).getOrElse("frozen:none"))
+    val regsMerged = regsVs(merged, "merged")
 
     // Locale.ROOT: the f-interpolator is locale-sensitive, and a
     // comma-decimal default locale would emit invalid JSON here (and
     // corrupt the next run's regression-baseline parse).
     def fmt(v: Double) = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString(",")
-    val regJson = regressions
+    def regJson(rs: Seq[(String, Double, Double)]) = rs
       .map { case (n, p, s) => "\"" + n + "\":{\"prior\":" + fmt(p) + ",\"now\":" + fmt(s) + "}" }
       .mkString("{", ",", "}")
     val detail =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},""" +
-        s""""sf":"$sfDir","regressions_vs_prior":$regJson,"queries":{$qs}}"""
+        s""""sf":"$sfDir","frozen_baseline":${frozenFile.map("\"" + _.getName + "\"").getOrElse("null")},""" +
+        s""""regressions_vs_frozen":${regJson(regsFrozen)},""" +
+        s""""regressions_vs_prior":${regJson(regsMerged)},"queries":{$qs}}"""
     if (only.isEmpty) {
       new java.io.File("target").mkdirs()
       java.nio.file.Files.write(java.nio.file.Paths.get("target/bench-detail.json"),
@@ -148,7 +173,8 @@ object Bench {
     // the parse in r2/r3. Detail lives in the files written above.
     println(
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},""" +
-        s""""queries":{},"regressions_vs_prior":${regressions.size},""" +
+        s""""queries":{},"regressions_vs_frozen":${regsFrozen.size},""" +
+        s""""regressions_vs_prior":${regsMerged.size},""" +
         s""""detail":"BENCH_DETAIL.json","sf":"$sfDir"}""")
     spark.stop()
   }

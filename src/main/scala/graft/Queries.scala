@@ -4963,7 +4963,7 @@ object Queries {
           .join(surv.withColumnRenamed("node", "p2"), Seq("p2"), "left_semi")
           .localCheckpoint(true)
         surv.agg(count(lit(1)).as("n_nodes"))
-          .crossJoin(edges.agg(count(lit(1)).as("n_edges")))
+          .crossJoin(broadcast(edges.agg(count(lit(1)).as("n_edges"))))
           .select(lit(r).as("round"), col("n_nodes"), col("n_edges"))
       }
       summaries.reduce(_ unionAll _).orderBy(col("round"))
@@ -5234,7 +5234,7 @@ object Queries {
         .select(col("n").as("n2"), col("m").as("m2"), col("v").as("v2"))
       val se1 = col("v1") / col("n1").cast(DoubleType)
       val se2 = col("v2") / col("n2").cast(DoubleType)
-      a.crossJoin(b)
+      a.crossJoin(broadcast(b))
         .select(col("n1"), col("n2"),
           round(col("m1"), 4).as("mean1"), round(col("m2"), 4).as("mean2"),
           round((col("m1") - col("m2")) / sqrt(se1 + se2), 6).as("t_stat"),
@@ -5782,7 +5782,7 @@ object Queries {
         val orphans = fact.select(col(fk).as("k"))
           .join(broadcast(dim.select(col(pk).as("k"))), Seq("k"), "left_anti")
         fact.agg(count(lit(1)).as("n_rows"))
-          .crossJoin(orphans.agg(count(lit(1)).as("n_orphans")))
+          .crossJoin(broadcast(orphans.agg(count(lit(1)).as("n_orphans"))))
           .select(lit(name).as("fk_edge"), col("n_rows"), col("n_orphans"))
       }
       Seq(
@@ -6112,7 +6112,7 @@ object Queries {
       val n1 = s1.agg(count(lit(1)).as("n_signup"))
       val n2 = s2.agg(count(lit(1)).as("n_click_7d"))
       val n3 = s3.agg(count(lit(1)).as("n_purchase_7d"))
-      n1.crossJoin(n2).crossJoin(n3)
+      n1.crossJoin(broadcast(n2)).crossJoin(broadcast(n3))
         .select(col("n_signup"), col("n_click_7d"), col("n_purchase_7d"),
           round(col("n_click_7d").cast(DoubleType) /
             col("n_signup").cast(DoubleType), 6).as("cr_step1"),
@@ -7462,9 +7462,9 @@ object Queries {
       val top3 = pts.select(col("vec_id").as("ia"), col("label").as("actual"), col("vu"))
         .crossJoin(broadcast(pts.select(col("vec_id").as("ib"), col("vu").as("bvu"))))
         .filter(col("ia") =!= col("ib"))
-        .withColumn("negd2", -d2.cast(DoubleType))
+        .withColumn("negd2", -d2)
         .groupBy(col("ia"), col("actual"))
-        .agg(vector.topKBy(col("negd2"), col("ib"), 3).as("top"))
+        .agg(vector.topKByLong(col("negd2"), col("ib"), 3).as("top"))
         .select(col("ia"), col("actual"), explode(col("top.id")).as("ib"))
       val votes = top3
         .join(broadcast(pts.select(col("vec_id").as("ib"), col("label").as("nb_label"))),
@@ -8136,6 +8136,280 @@ object Queries {
         round((1.959964 + 0.841621) * sd_u * sqrt(2.0 / (CAST(n AS DOUBLE) / 2.0)) / mean_u, 6) AS mde_rel
       FROM calc ORDER BY segment"""))
 
+  /** Frequent itemsets of size 3 with association metrics — the
+    * a-priori extension past q69_basket's pairs. Candidate triples are
+    * built by joining the per-order FREQUENT-pair lists with
+    * themselves on the shared middle item, then a-priori-pruned: a
+    * triple survives only if ALL THREE sub-pairs are frequent (the
+    * (a,c) check is the broadcast semi-join; (a,b) and (b,c) are
+    * frequent by construction). Exact integer counts throughout, so
+    * the naive three-way-join oracle hash-PROVES the pruning complete.
+    *
+    * Scale shape: baskets are bounded (≤ items/order), so the
+    * per-order pair frame is O(orders · items²) with small items; the
+    * frequent-pair list L2 is an O(frequent-pairs) broadcast; the
+    * extension join is an equi-join on (order, middle item) — never an
+    * unpruned items³ expansion. This is the distributed-a-priori
+    * shape; an FP-tree buys nothing at depth 3 with bounded baskets.
+    */
+  val q156Itemsets: QueryDef = QueryDef("q156_itemsets",
+    (s, dir) => {
+      val minSup = 3L
+      val items = t(s, dir, "lineitem")
+        .join(broadcast(t(s, dir, "part").select(col("p_partkey"), col("p_type"))),
+          col("l_partkey") === col("p_partkey"))
+        .select(col("l_orderkey").as("ok"), col("p_type").as("ty")).distinct()
+        // three consumers: n_orders, item counts, pair generation
+        .localCheckpoint(true)
+      val nOrders = items.select(col("ok")).distinct().agg(count(lit(1)).as("n_orders"))
+      val cItem = items.groupBy(col("ty")).agg(count(lit(1)).as("c"))
+      val pairs = items.as("a")
+        .join(items.as("b"), col("a.ok") === col("b.ok") && col("a.ty") < col("b.ty"))
+        .select(col("a.ok").as("ok"), col("a.ty").as("ty_a"), col("b.ty").as("ty_b"))
+      val l2 = pairs.groupBy(col("ty_a"), col("ty_b"))
+        .agg(count(lit(1)).as("c_ab")).filter(col("c_ab") >= minSup)
+        .localCheckpoint(true) // O(frequent pairs): broadcast to 3 consumers
+      // per-order occurrences of FREQUENT pairs only (a-priori level-2 prune)
+      val p2f = pairs.join(broadcast(l2.select(col("ty_a"), col("ty_b"))),
+          Seq("ty_a", "ty_b"), "left_semi")
+        .localCheckpoint(true) // both sides of the extension self-join
+      val tri = p2f.as("x")
+        .join(p2f.as("y"),
+          col("x.ok") === col("y.ok") && col("x.ty_b") === col("y.ty_a"))
+        .select(col("x.ok").as("ok"), col("x.ty_a").as("ty_a"),
+          col("x.ty_b").as("ty_b"), col("y.ty_b").as("ty_c"))
+        // the remaining sub-pair (a, c) must be frequent too
+        .join(broadcast(l2.select(col("ty_a"), col("ty_b").as("ty_c"))),
+          Seq("ty_a", "ty_c"), "left_semi")
+        .groupBy(col("ty_a"), col("ty_b"), col("ty_c"))
+        .agg(count(lit(1)).as("c_abc")).filter(col("c_abc") >= minSup)
+      tri
+        .join(broadcast(l2), Seq("ty_a", "ty_b"))
+        .join(broadcast(cItem.withColumnRenamed("ty", "ty_c").withColumnRenamed("c", "c_c")), "ty_c")
+        .crossJoin(broadcast(nOrders))
+        .select(col("ty_a"), col("ty_b"), col("ty_c"), col("c_abc"),
+          round(col("c_abc").cast(DoubleType) / col("n_orders").cast(DoubleType), 6).as("support"),
+          round(col("c_abc").cast(DoubleType) / col("c_ab").cast(DoubleType), 6).as("confidence"),
+          round(col("c_abc").cast(DoubleType) * col("n_orders").cast(DoubleType) /
+            (col("c_ab").cast(DoubleType) * col("c_c").cast(DoubleType)), 6).as("lift"))
+        .orderBy(col("ty_a"), col("ty_b"), col("ty_c"))
+    },
+    Some("""WITH items AS (SELECT DISTINCT l_orderkey AS ok, p_type AS ty
+        FROM lineitem JOIN part ON l_partkey = p_partkey),
+      n AS (SELECT COUNT(DISTINCT ok) AS n_orders FROM items),
+      ci AS (SELECT ty, COUNT(*) AS c FROM items GROUP BY ty),
+      pairs AS (SELECT a.ty AS ty_a, b.ty AS ty_b, COUNT(*) AS c_ab
+        FROM items a JOIN items b ON a.ok = b.ok AND a.ty < b.ty
+        GROUP BY 1, 2 HAVING COUNT(*) >= 3),
+      tri AS (SELECT a.ty AS ty_a, b.ty AS ty_b, c.ty AS ty_c, COUNT(*) AS c_abc
+        FROM items a
+        JOIN items b ON a.ok = b.ok AND a.ty < b.ty
+        JOIN items c ON a.ok = c.ok AND b.ty < c.ty
+        GROUP BY 1, 2, 3 HAVING COUNT(*) >= 3)
+      SELECT tri.ty_a AS ty_a, tri.ty_b AS ty_b, tri.ty_c AS ty_c, c_abc,
+        round(CAST(c_abc AS DOUBLE) / (SELECT n_orders FROM n), 6) AS support,
+        round(CAST(c_abc AS DOUBLE) / p.c_ab, 6) AS confidence,
+        round(CAST(c_abc AS DOUBLE) * (SELECT n_orders FROM n) / (p.c_ab * cc.c), 6) AS lift
+      FROM tri
+      JOIN pairs p ON p.ty_a = tri.ty_a AND p.ty_b = tri.ty_b
+      JOIN ci cc ON cc.ty = tri.ty_c
+      ORDER BY 1, 2, 3"""))
+
+  /** Per-feature drift PANEL — the production data-quality dashboard
+    * the single-column q61 (PSI) and q125 (KS) imply: k features share
+    * ONE pair of selection passes (exactQuantilesMulti histograms all
+    * k columns together), then every feature's decile-binned
+    * ref-vs-current comparison computes PSI contributions AND the
+    * binned KS statistic on the same O(k · bins) frame. Reference
+    * deciles are 4dp-pinned and broadcast; the fact table is scanned
+    * twice total (selection + binning), independent of k.
+    */
+  val q158DriftPanel: QueryDef = QueryDef("q158_drift_panel",
+    (s, dir) => {
+      val cutTs = to_timestamp(lit("1996-01-01 00:00:00"))
+      val li = t(s, dir, "lineitem")
+        .select(col("l_shipdate"),
+          col("l_quantity").cast(DoubleType).as("quantity"),
+          col("l_extendedprice").cast(DoubleType).as("price"),
+          col("l_discount").cast(DoubleType).as("discount"))
+      val feats = Seq("quantity", "price", "discount")
+      val deciles = (1 to 9).map(_ / 10.0)
+      val ref = li.filter(col("l_shipdate") < cutTs).withColumn("g", lit(1))
+      val cuts = Selection.exactQuantilesMulti(ref, "g",
+          feats.map(_ -> deciles))
+        .groupBy(col("vcol"))
+        .agg(sort_array(collect_list(struct(col("p"), col("q")))).as("cs"))
+        .select(col("vcol"),
+          transform(col("cs"), c => round(c.getField("q"), 4)).as("cuts"))
+      val long = li
+        .withColumn("period", when(col("l_shipdate") < cutTs, "ref").otherwise("cur"))
+        .select(col("period"), explode(array(feats.map(f =>
+          struct(lit(f).as("vcol"), col(f).as("v"))): _*)).as("cv"))
+        .select(col("period"), col("cv.vcol").as("vcol"), col("cv.v").as("v"))
+      val binned = long.join(broadcast(cuts), Seq("vcol"))
+        .withColumn("bin",
+          (lit(1) + size(filter(col("cuts"), c => col("v") > c))).cast(LongType))
+        .groupBy(col("vcol"), col("bin"))
+        .agg(sum(when(col("period") === "ref", 1L).otherwise(0L)).as("n_ref"),
+          sum(when(col("period") === "cur", 1L).otherwise(0L)).as("n_cur"))
+        // O(k · bins) frame feeding totals, contributions, and both
+        // per-feature scalars — checkpoint cuts the fact rescan
+        .localCheckpoint(true)
+      val tot = binned.groupBy(col("vcol"))
+        .agg(sum(col("n_ref")).cast(DoubleType).as("tr"),
+          sum(col("n_cur")).cast(DoubleType).as("tc"))
+      val contrib = binned.join(broadcast(tot), Seq("vcol"))
+        .withColumn("p", greatest(col("n_ref") / col("tr"), lit(1e-6)))
+        .withColumn("q", greatest(col("n_cur") / col("tc"), lit(1e-6)))
+        .withColumn("contrib", round((col("q") - col("p")) * log(col("q") / col("p")), 6))
+        // binned ECDF gap at each bin's upper edge (cum shares use the
+        // un-floored proportions — the floor only guards the PSI log)
+        .withColumn("gap",
+          abs(sum(col("n_ref")).over(Window.partitionBy(col("vcol")).orderBy(col("bin"))
+              .rowsBetween(Window.unboundedPreceding, 0)).cast(DoubleType) / col("tr") -
+            sum(col("n_cur")).over(Window.partitionBy(col("vcol")).orderBy(col("bin"))
+              .rowsBetween(Window.unboundedPreceding, 0)).cast(DoubleType) / col("tc")))
+      val scalars = contrib.groupBy(col("vcol"))
+        .agg(round(sum(col("contrib")), 6).as("psi"),
+          round(max(col("gap")), 6).as("ks_d"))
+      contrib.join(broadcast(scalars), Seq("vcol"))
+        .select(col("vcol").as("feature"), col("bin"), col("n_ref"), col("n_cur"),
+          round(col("p"), 6).as("p_ref"), round(col("q"), 6).as("p_cur"),
+          col("contrib"), col("psi"), col("ks_d"))
+        .orderBy(col("feature"), col("bin"))
+    },
+    Some("""WITH li AS (SELECT l_shipdate,
+          CAST(l_quantity AS DOUBLE) AS quantity,
+          CAST(l_extendedprice AS DOUBLE) AS price,
+          CAST(l_discount AS DOUBLE) AS discount
+        FROM lineitem),
+      ref AS (SELECT * FROM li WHERE l_shipdate < TIMESTAMP '1996-01-01 00:00:00'),
+      cuts AS (
+        SELECT 'quantity' AS vcol,
+          [round(x, 4) FOR x IN quantile_cont(quantity, [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9])] AS cuts FROM ref
+        UNION ALL
+        SELECT 'price', [round(x, 4) FOR x IN quantile_cont(price, [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9])] FROM ref
+        UNION ALL
+        SELECT 'discount', [round(x, 4) FOR x IN quantile_cont(discount, [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9])] FROM ref),
+      long AS (SELECT CASE WHEN l_shipdate < TIMESTAMP '1996-01-01 00:00:00' THEN 'ref' ELSE 'cur' END AS period,
+          u.vcol, u.v
+        FROM li, UNNEST([
+          {'vcol': 'quantity', 'v': quantity},
+          {'vcol': 'price', 'v': price},
+          {'vcol': 'discount', 'v': discount}]) AS t(u)),
+      binned AS (SELECT long.vcol,
+          1 + len(list_filter(c.cuts, x -> long.v > x)) AS bin,
+          SUM(CASE WHEN period = 'ref' THEN 1 ELSE 0 END) AS n_ref,
+          SUM(CASE WHEN period = 'cur' THEN 1 ELSE 0 END) AS n_cur
+        FROM long JOIN cuts c ON c.vcol = long.vcol
+        GROUP BY 1, 2),
+      tot AS (SELECT vcol, CAST(SUM(n_ref) AS DOUBLE) AS tr, CAST(SUM(n_cur) AS DOUBLE) AS tc
+        FROM binned GROUP BY 1),
+      contrib AS (SELECT binned.vcol AS vcol, bin, n_ref, n_cur,
+          greatest(n_ref / tr, 1e-6) AS p, greatest(n_cur / tc, 1e-6) AS q,
+          round((greatest(n_cur / tc, 1e-6) - greatest(n_ref / tr, 1e-6)) *
+            ln(greatest(n_cur / tc, 1e-6) / greatest(n_ref / tr, 1e-6)), 6) AS contrib,
+          abs(CAST(SUM(n_ref) OVER w AS DOUBLE) / tr -
+              CAST(SUM(n_cur) OVER w AS DOUBLE) / tc) AS gap
+        FROM binned JOIN tot ON tot.vcol = binned.vcol
+        WINDOW w AS (PARTITION BY binned.vcol ORDER BY bin ROWS UNBOUNDED PRECEDING)),
+      scalars AS (SELECT vcol, round(SUM(contrib), 6) AS psi, round(MAX(gap), 6) AS ks_d
+        FROM contrib GROUP BY 1)
+      SELECT contrib.vcol AS feature, bin,
+        CAST(n_ref AS BIGINT) AS n_ref, CAST(n_cur AS BIGINT) AS n_cur,
+        round(p, 6) AS p_ref, round(q, 6) AS p_cur, contrib,
+        s.psi, s.ks_d
+      FROM contrib JOIN scalars s ON s.vcol = contrib.vcol
+      ORDER BY feature, bin"""))
+
+  /** Multiplicative Holt–Winters beside the additive q150: level/trend
+    * update against a RATIO seasonal state (sₜ = γ·(y/lₜ) + (1−γ)·s),
+    * the right form when seasonal swing scales with the level (retail
+    * revenue). Same rotating-seasonal HOF fold — the m-slot seasonal
+    * array shifts left each step so `seas[1]` is always the active
+    * slot; every step is the same double ops in the same order in both
+    * engines (÷, ×, + are individually correctly-rounded IEEE), so the
+    * un-rounded state is bit-identical across a ~350-step recursion.
+    * Series values are positive by construction (revenue cents), so
+    * the ratios are always finite.
+    *
+    * Scale shape: one partial-agg shuffle collapses the fact to the
+    * O(groups × days) frame; the fold is map-side over each group's
+    * array. Cf. reference server.js:200-219 (its reports stop at
+    * per-period sums; the forecaster is the 100 TB-pipeline extension).
+    */
+  val q157HwMult: QueryDef = QueryDef("q157_hw_mult",
+    (s, dir) => {
+      val series = t(s, dir, "lineitem")
+        .filter(year(col("l_shipdate")) === 1995)
+        .groupBy(col("l_returnflag").as("flag"),
+          floor(unix_micros(date_trunc("day", col("l_shipdate"))) / lit(86400000000L))
+            .cast(LongType).as("x"))
+        .agg(sum(dec(col("l_extendedprice")) * 100).cast(LongType).as("yu"))
+        .groupBy(col("flag"))
+        .agg(sort_array(collect_list(struct(col("x"), col("yu")))).as("arr"))
+        .filter(size(col("arr")) >= 14)
+      val m1 = aggregate(slice(col("arr"), 1, 7), lit(0L),
+        (acc, e) => acc + e.getField("yu")).cast(DoubleType) / 7.0
+      val m2 = aggregate(slice(col("arr"), 8, 7), lit(0L),
+        (acc, e) => acc + e.getField("yu")).cast(DoubleType) / 7.0
+      val seas0 = transform(slice(col("arr"), 1, 7),
+        e => e.getField("yu").cast(DoubleType) / m1)
+      series
+        .withColumn("st", aggregate(
+          slice(col("arr"), lit(8), greatest(size(col("arr")) - 7, lit(0))),
+          struct(m1.as("l"), ((m2 - m1) / 7.0).as("t"), seas0.as("seas")),
+          (acc, e) => {
+            val y = e.getField("yu")
+            val sHead = element_at(acc.getField("seas"), 1)
+            val lNew = lit(0.3) * (y / sHead) +
+              lit(0.7) * (acc.getField("l") + acc.getField("t"))
+            val tNew = lit(0.1) * (lNew - acc.getField("l")) +
+              lit(0.9) * acc.getField("t")
+            val sNew = lit(0.2) * (y / lNew) + lit(0.8) * sHead
+            struct(lNew.as("l"), tNew.as("t"),
+              concat(slice(acc.getField("seas"), 2, 6), array(sNew)).as("seas"))
+          }))
+        .select(col("flag"), size(col("arr")).cast(LongType).as("n_days"),
+          round(col("st.l") / 100.0, 4).as("level"),
+          round(col("st.t") / 100.0, 4).as("trend"),
+          round(element_at(col("st.seas"), 1), 6).as("seasonal_1"),
+          round((col("st.l") + col("st.t")) * element_at(col("st.seas"), 1) / 100.0, 4)
+            .as("forecast_1"))
+        .orderBy(col("flag"))
+    },
+    Some("""WITH RECURSIVE d AS (SELECT l_returnflag AS flag,
+          epoch_us(date_trunc('day', l_shipdate)) // 86400000000 AS x,
+          CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * 100) AS BIGINT) AS yu
+        FROM lineitem WHERE year(l_shipdate) = 1995 GROUP BY 1, 2),
+      r AS (SELECT flag, yu, ROW_NUMBER() OVER (PARTITION BY flag ORDER BY x) AS rn,
+          COUNT(*) OVER (PARTITION BY flag) AS n
+        FROM d QUALIFY n >= 14),
+      init AS (SELECT flag, ANY_VALUE(n) AS n,
+          CAST(SUM(CASE WHEN rn <= 7 THEN yu ELSE 0 END) AS DOUBLE) / 7.0 AS m1,
+          CAST(SUM(CASE WHEN rn BETWEEN 8 AND 14 THEN yu ELSE 0 END) AS DOUBLE) / 7.0 AS m2,
+          list(yu ORDER BY rn) FILTER (WHERE rn <= 7) AS y7
+        FROM r GROUP BY flag),
+      hw AS (
+        SELECT flag, 7 AS rn, n, m1 AS level, (m2 - m1) / 7.0 AS trend,
+            list_transform(y7, v -> CAST(v AS DOUBLE) / m1) AS seas
+        FROM init
+        UNION ALL
+        SELECT r.flag, r.rn, hw.n,
+            0.3 * (r.yu / hw.seas[1]) + 0.7 * (hw.level + hw.trend) AS level,
+            0.1 * ((0.3 * (r.yu / hw.seas[1]) + 0.7 * (hw.level + hw.trend)) - hw.level)
+              + 0.9 * hw.trend AS trend,
+            hw.seas[2:7] ||
+              [0.2 * (r.yu / (0.3 * (r.yu / hw.seas[1]) + 0.7 * (hw.level + hw.trend)))
+                + 0.8 * hw.seas[1]] AS seas
+        FROM hw JOIN r ON r.flag = hw.flag AND r.rn = hw.rn + 1)
+      SELECT flag, CAST(n AS BIGINT) AS n_days,
+        round(level / 100.0, 4) AS level,
+        round(trend / 100.0, 4) AS trend,
+        round(seas[1], 6) AS seasonal_1,
+        round((level + trend) * seas[1] / 100.0, 4) AS forecast_1
+      FROM hw WHERE rn = n ORDER BY flag"""))
+
   val all: Seq[QueryDef] = Seq(
     q1Agg, q2Filter, q3Join, q4Semi, q5Multi, q6Window, q7TopK, q8Distinct,
     q9Rollup, q10Pivot, q11Anti, q12Expr, q13Percentiles, q14Subquery,
@@ -8173,6 +8447,7 @@ object Queries {
     q136Auc, q137Calibration, q138WoeIv, q139TargetEncode, q140LocalClustering,
     clusterDbscan, textZipf, etlLDiversity,
     q141Ipw, q142Conformal, etlLinkage, curateDsir, q145Did, q146KnnEval, q147Modularity, q148Allocation, q149Cuped, q150HoltWinters, q151Backtest, q152SessionEntropy, curateFilterChain, q153EventStudy, q154PowerMde,
+    q156Itemsets, q157HwMult, q158DriftPanel,
     etlMergeUpsert, etlConstraints, etlProvenance,
     graphPageRank, curateWeightedSample,
     etlUnionSources, etlValidate, etlCleanTransform, etlQualityReport,

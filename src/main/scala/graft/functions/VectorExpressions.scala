@@ -151,6 +151,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[TopKByScore].getName, "top_k_by"),
       (args: Seq[Expression]) => TopKByScore(args(0), args(1),
         args(2).eval().asInstanceOf[Number].intValue())))
+    ext.injectFunction((new FunctionIdentifier("top_k_by_long"),
+      new ExpressionInfo(classOf[TopKByScoreLong].getName, "top_k_by_long"),
+      (args: Seq[Expression]) => TopKByScoreLong(args(0), args(1),
+        args(2).eval().asInstanceOf[Number].intValue())))
     ext.injectFunction((new FunctionIdentifier("unicode_normalize"),
       new ExpressionInfo(classOf[UnicodeNormalize].getName, "unicode_normalize"),
       (args: Seq[Expression]) => UnicodeNormalize(args(0),

@@ -32,6 +32,15 @@ object vector {
     bridge.column(TopKByScore(bridge.expression(score), bridge.expression(id), k)
       .toAggregateExpression())
 
+  /** BIGINT-score twin of [[topKBy]]: exact integer comparisons for
+    * scores (quantized distances, counts) that may exceed 2^53, where
+    * a double cast could merge distinct scores and corrupt the id
+    * tie-break.
+    */
+  def topKByLong(score: Column, id: Column, k: Int): Column =
+    bridge.column(TopKByScoreLong(bridge.expression(score), bridge.expression(id), k)
+      .toAggregateExpression())
+
   /** Cosine similarity; null on zero vector / length mismatch (native codegen). */
   def cosine(a: Column, b: Column): Column = expr2(a, b, CosineSimilarity)
 

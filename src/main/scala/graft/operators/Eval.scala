@@ -43,13 +43,19 @@ object Eval {
     // score domain, not the fact
     val wOff = Window.orderBy(col("s")).rowsBetween(Window.unboundedPreceding, -1)
     val ranked = g.withColumn("off", coalesce(sum(col("c")).over(wOff), lit(0L)))
+    // r2 ≈ 2·n_pos·n silently overflows a LongType sum around n ≈ 1e10
+    // rows (the 100 TB scale this targets) — route the product through
+    // DECIMAL(38,0), like the other exact-moment families do.
+    val dec = DecimalType(38, 0)
     ranked.agg(
-        sum(col("p") * (lit(2L) * col("off") + col("c") + lit(1L))).as("r2"),
+        sum(col("p").cast(dec) *
+          (lit(2L) * col("off") + col("c") + lit(1L)).cast(dec)).as("r2"),
         sum(col("p")).as("n_pos"),
         sum(col("c") - col("p")).as("n_neg"),
         sum(col("c")).as("n"))
       .select(col("n"), col("n_pos"), col("n_neg"),
-        round((col("r2") - col("n_pos") * (col("n_pos") + 1)).cast(DoubleType) /
+        round((col("r2") - col("n_pos").cast(dec) * (col("n_pos") + 1).cast(dec))
+            .cast(DoubleType) /
           (lit(2.0) * col("n_pos").cast(DoubleType) * col("n_neg").cast(DoubleType)), 6)
           .as("auc"))
   }
@@ -74,8 +80,11 @@ object Eval {
       .withColumn("se_u", (col("p_u") - col("y") * lit(1000000L)) *
         (col("p_u") - col("y") * lit(1000000L)))
       .groupBy(col("bin"))
+      // se_u is up to 1e12 per row — a LongType sum overflows around
+      // 9e6 rows per bin; DECIMAL(38,0) like binaryAuc's midrank sum
       .agg(count(lit(1)).as("n"), sum(col("p_u")).as("sp"),
-        sum(col("y")).as("n_pos"), sum(col("se_u")).as("sse"))
+        sum(col("y")).as("n_pos"),
+        sum(col("se_u").cast(DecimalType(38, 0))).as("sse"))
       .select(col("bin"), col("n"), col("n_pos"),
         round(col("sp").cast(DoubleType) / col("n").cast(DoubleType) / 1.0e6, 6)
           .as("mean_pred"),

@@ -287,21 +287,25 @@ object Graph {
       .filter(col("lo").isNotNull && col("hi").isNotNull && col("lo") < col("hi"))
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val deg = e.select(col("lo").as("node"))
-      .unionAll(e.select(col("hi").as("node")))
-      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
-    val triCorners = e.as("e1")
-      .join(e.as("e2"), col("e1.hi") === col("e2.lo"))
-      .join(e.as("e3"),
-        col("e3.lo") === col("e1.lo") && col("e3.hi") === col("e2.hi"))
-      .select(explode(array(col("e1.lo"), col("e1.hi"), col("e2.hi"))).as("node"))
-      .groupBy(col("node")).agg(count(lit(1)).as("n_tri"))
-    deg.filter(col("deg") >= 2)
-      .join(triCorners, Seq("node"), "left")
-      .select(col("node"), col("deg"),
-        coalesce(col("n_tri"), lit(0L)).as("n_tri"),
-        round(lit(2.0) * coalesce(col("n_tri"), lit(0L)).cast("double") /
-          (col("deg") * (col("deg") - 1)).cast("double"), 6).as("local_cc"))
-      .orderBy(col("node"))
+    try {
+      val deg = e.select(col("lo").as("node"))
+        .unionAll(e.select(col("hi").as("node")))
+        .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+      val triCorners = e.as("e1")
+        .join(e.as("e2"), col("e1.hi") === col("e2.lo"))
+        .join(e.as("e3"),
+          col("e3.lo") === col("e1.lo") && col("e3.hi") === col("e2.hi"))
+        .select(explode(array(col("e1.lo"), col("e1.hi"), col("e2.hi"))).as("node"))
+        .groupBy(col("node")).agg(count(lit(1)).as("n_tri"))
+      deg.filter(col("deg") >= 2)
+        .join(triCorners, Seq("node"), "left")
+        .select(col("node"), col("deg"),
+          coalesce(col("n_tri"), lit(0L)).as("n_tri"),
+          round(lit(2.0) * coalesce(col("n_tri"), lit(0L)).cast("double") /
+            (col("deg") * (col("deg") - 1)).cast("double"), 6).as("local_cc"))
+        .orderBy(col("node"))
+        // materialize the O(nodes) result, then release the edge cache
+        .localCheckpoint(true)
+    } finally { e.unpersist(false) }
   }
 }

@@ -32,9 +32,9 @@ import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType, S
   * explode to zero bands and drop early, matching their zero matches.
   *
   * Guards: single band column on the left; both bounds reference only
-  * the right side; orderable primitive types (integral, date,
-  * timestamp, float/double — all truncation-monotone under the long
-  * cast); no equi conjunct between the sides (those plans already
+  * the right side; integral types only (short/int/long — time columns
+  * enter as epoch micros per the house convention; see [[bandable]]);
+  * no equi conjunct between the sides (those plans already
   * hash-join); deterministic bound expressions.
   */
 object RangeJoinRewriteRule extends Rule[LogicalPlan] with PredicateHelper {
@@ -53,8 +53,11 @@ object RangeJoinRewriteRule extends Rule[LogicalPlan] with PredicateHelper {
     case _ => false
   }
 
-  /** (leftCol, bound, boundIsLower, strict) from one conjunct, if it
+  /** (leftCol, bound, boundIsLower) from one conjunct, if it
     * constrains a left attribute by a right-only expression.
+    * Strictness is NOT tracked here — the original condition is
+    * re-applied verbatim on top of the banded join, so strict vs
+    * non-strict bounds only affect the final filter, not banding.
     */
   private def boundOf(e: Expression, left: LogicalPlan,
       right: LogicalPlan): Option[(Attribute, Expression, Boolean)] = {

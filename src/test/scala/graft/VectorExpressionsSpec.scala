@@ -68,6 +68,46 @@ class VectorExpressionsSpec extends SparkSpec {
     assert(viaSql == 2)
   }
 
+  test("top_k_by_long: exact above 2^53 where a double cast would merge scores") {
+    import spark.implicits._
+    // two scores that collide when cast to double (2^53 and 2^53+1):
+    // the long heap must keep them distinct and rank the larger first
+    val big = 1L << 53
+    val df = Seq((1L, big + 1, 11L), (1L, big, 5L), (1L, big + 1, 3L), (1L, 1L, 9L))
+      .toDF("g", "score", "id")
+    val out = df.groupBy(col("g"))
+      .agg(vector.topKByLong(col("score"), col("id"), 3).as("top"))
+      .select(explode(col("top")).as("t"))
+      .select(col("t.id"), col("t.score"), col("t.rank"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(out == Set((3L, big + 1, 1L), (11L, big + 1, 2L), (5L, big, 3L)))
+    // double heap on the same data CANNOT hold this ranking: big and
+    // big+1 round to the same double, so the id tie-break reorders to
+    // 3,5,11 — the exact long ranking is 3,11,5
+    val dOrder = df.groupBy(col("g"))
+      .agg(vector.topKBy(col("score").cast("double"), col("id"), 3).as("top"))
+      .select(explode(col("top")).as("t")).select(col("t.id"), col("t.rank"))
+      .collect().sortBy(_.getLong(1)).map(_.getLong(0)).toSeq
+    assert(dOrder == Seq(3L, 5L, 11L))
+    // SQL registration
+    df.createOrReplaceTempView("tkbl")
+    assert(spark.sql("SELECT g, top_k_by_long(score, id, 2) AS t FROM tkbl GROUP BY g")
+      .selectExpr("t[0].score").collect().head.getLong(0) == big + 1)
+  }
+
+  test("top_k_by_long: partial/merge agreement across many small partitions") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val rows = (1 to 400).map(i => (i.toLong % 5, rnd.nextInt(50).toLong, i.toLong))
+    val df1 = rows.toDF("g", "score", "id").repartition(1)
+    val df37 = rows.toDF("g", "score", "id").repartition(37)
+    def run(df: org.apache.spark.sql.DataFrame) = df.groupBy(col("g"))
+      .agg(vector.topKByLong(col("score"), col("id"), 7).as("top"))
+      .select(col("g"), col("top"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Any](1)).toMap
+    assert(run(df1) == run(df37))
+  }
+
   test("native cosine stays inside whole-stage codegen") {
     val emb = Tables(spark, sf("x"), "embeddings")
     val q = emb.limit(1).select(col("embedding").as("q_vec"))
