@@ -8136,6 +8136,52 @@ object Queries {
         round((1.959964 + 0.841621) * sd_u * sqrt(2.0 / (CAST(n AS DOUBLE) / 2.0)) / mean_u, 6) AS mde_rel
       FROM calc ORDER BY segment"""))
 
+  /** Order-velocity census THROUGH the opt-in range-join optimizer
+    * rewrite: for each 1995H1 order, how many orders arrived in the
+    * strictly-following 14 days — a pure range join (no equi key),
+    * the shape Spark's stock planner runs as a broadcast-nested-loop.
+    * The query runs in a CONF-SCOPED CHILD SESSION
+    * (`SparkSession.newSession()` — shares the SparkContext, isolates
+    * the SQL conf) with `spark.graft.rangeJoinRewrite=true`, so the
+    * flag can never leak into the rest of the suite. The DuckDB oracle
+    * is the plain inequality join; the plan contract (BNLJ eliminated,
+    * band generator present) is asserted in RangeRewriteSpec.
+    *
+    * Scale shape: with the rewrite ON the join is a hash equi-join on
+    * the 7-day band id (≤3 replicas per anchor interval) — shuffles
+    * O(n) rows instead of broadcasting a side and comparing O(n·m).
+    */
+  val q155RangeRewrite: QueryDef = QueryDef("q155_range_rewrite",
+    (s, dir) => {
+      val child = s.newSession()
+      child.conf.set(graft.plans.RangeJoinRewriteRule.ConfKey, "true")
+      child.conf.set(graft.plans.RangeJoinRewriteRule.BandKey, "7")
+      // the parent may run with the local spread on; a child session
+      // would re-spread and re-persist every table it reads — plain
+      // reads are the right cost for one query
+      child.conf.set(GraftSession.LocalSpreadKey, "false")
+      val day = floor(unix_micros(date_trunc("day", col("o_orderdate"))) /
+        lit(86400000000L)).cast(LongType)
+      val o = Tables(child, dir, "orders")
+        .filter(col("o_orderdate") >= to_timestamp(lit("1995-01-01 00:00:00")) &&
+          col("o_orderdate") < to_timestamp(lit("1995-07-01 00:00:00")))
+      val probes = o.select(col("o_orderkey").as("probe_ok"), day.as("day"))
+      val ivals = o.select(col("o_orderkey").as("anchor_ok"),
+        (day + 1).as("lo"), (day + 14).as("hi"))
+      probes.join(ivals, col("day") >= col("lo") && col("day") <= col("hi"))
+        .groupBy(col("anchor_ok"))
+        .agg(count(lit(1)).as("n_follow"))
+        .orderBy(col("anchor_ok"))
+    },
+    Some("""WITH o AS (SELECT o_orderkey,
+          epoch_us(date_trunc('day', o_orderdate)) // 86400000000 AS day
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+          AND o_orderdate < TIMESTAMP '1995-07-01 00:00:00')
+      SELECT a.o_orderkey AS anchor_ok, COUNT(*) AS n_follow
+      FROM o b JOIN o a ON b.day >= a.day + 1 AND b.day <= a.day + 14
+      GROUP BY 1 ORDER BY 1"""))
+
   /** Frequent itemsets of size 3 with association metrics — the
     * a-priori extension past q69_basket's pairs. Candidate triples are
     * built by joining the per-order FREQUENT-pair lists with
@@ -8447,7 +8493,7 @@ object Queries {
     q136Auc, q137Calibration, q138WoeIv, q139TargetEncode, q140LocalClustering,
     clusterDbscan, textZipf, etlLDiversity,
     q141Ipw, q142Conformal, etlLinkage, curateDsir, q145Did, q146KnnEval, q147Modularity, q148Allocation, q149Cuped, q150HoltWinters, q151Backtest, q152SessionEntropy, curateFilterChain, q153EventStudy, q154PowerMde,
-    q156Itemsets, q157HwMult, q158DriftPanel,
+    q155RangeRewrite, q156Itemsets, q157HwMult, q158DriftPanel,
     etlMergeUpsert, etlConstraints, etlProvenance,
     graphPageRank, curateWeightedSample,
     etlUnionSources, etlValidate, etlCleanTransform, etlQualityReport,

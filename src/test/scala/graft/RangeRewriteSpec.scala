@@ -80,6 +80,18 @@ class RangeRewriteSpec extends SparkSpec {
     }
   }
 
+  test("q155_range_rewrite: child session isolates the flag; plan hash-joins on the band") {
+    val q = Queries.all.find(_.name == "q155_range_rewrite").get
+    val df = q.fn(spark, sf("x"))
+    // the conf-scoped child session must not leak the flag back
+    assert(spark.conf.get(RangeJoinRewriteRule.ConfKey, "false") == "false")
+    // the rewrite fired: band generator in the optimized plan, no BNLJ
+    assert(df.queryExecution.optimizedPlan.toString.contains("__graft_band"),
+      df.queryExecution.optimizedPlan.toString)
+    assert(!hasBnlj(df), "banded rewrite must eliminate the BNLJ")
+    assert(df.count() > 0)
+  }
+
   test("rule off by default: plan untouched") {
     import spark.implicits._
     val a = Seq((1L, 5L)).toDF("ida", "t")
