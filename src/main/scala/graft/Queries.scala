@@ -8136,6 +8136,120 @@ object Queries {
         round((1.959964 + 0.841621) * sd_u * sqrt(2.0 / (CAST(n AS DOUBLE) / 2.0)) / mean_u, 6) AS mde_rel
       FROM calc ORDER BY segment"""))
 
+  /** RFM segment-MIGRATION matrix: q73's quintile scoring applied
+    * independently to two periods (each with its own recency anchor
+    * and its own exact-selection cuts — a fixed global cut would
+    * conflate drift with migration), customers collapsed to
+    * low/mid/high value tiers via the composite score
+    * (6−R) + F + M ∈ [3, 15], then the period-over-period transition
+    * census — the q52_transitions pattern on segments, with `new` /
+    * `churned` absorbing states for customers present in only one
+    * period. The customer-base health dashboard: where did last
+    * year's high-value customers GO.
+    *
+    * Scale shape: two selection passes over the O(customers) frames
+    * (each checkpointed for its three consumers), cuts broadcast back,
+    * one full-outer join on the customer key, O(tiers²) output.
+    */
+  val q159RfmMigration: QueryDef = QueryDef("q159_rfm_migration",
+    (s, dir) => {
+      val cutTs = to_timestamp(lit("1998-07-01 00:00:00"))
+      def tiers(oo: DataFrame): DataFrame = {
+        val maxDay = oo.agg(max(to_date(col("o_orderdate"))).as("d_max"))
+        val rfm = oo.crossJoin(broadcast(maxDay))
+          .groupBy(col("o_custkey"))
+          .agg(
+            min(datediff(col("d_max"), to_date(col("o_orderdate")))).as("recency"),
+            count(lit(1)).as("frequency"),
+            sum(dec(col("o_totalprice"))).as("monetary_d"))
+          .select(col("o_custkey"),
+            col("recency").cast(DoubleType).as("recency"),
+            col("frequency").cast(DoubleType).as("frequency"),
+            col("monetary_d").cast(DoubleType).as("monetary"))
+          .withColumn("g", lit("all"))
+          .localCheckpoint(true)
+        val ps = (1 to 4).map(_ / 5.0)
+        val cutsRow = Selection.exactQuantilesMulti(rfm, "g",
+            Seq("recency" -> ps, "frequency" -> ps, "monetary" -> ps))
+          .groupBy(col("vcol"))
+          .agg(collect_list(struct(col("p"), col("q"))).as("cs"))
+          .select(col("vcol"),
+            transform(array_sort(col("cs")), c => round(c.getField("q"), 4)).as("cuts"))
+          .groupBy()
+          .agg(
+            max(when(col("vcol") === "recency", col("cuts"))).as("rc"),
+            max(when(col("vcol") === "frequency", col("cuts"))).as("fc"),
+            max(when(col("vcol") === "monetary", col("cuts"))).as("mc"))
+        def qScore(cuts: String, c: String): Column =
+          lit(1) + size(filter(col(cuts), cut => col(c) > cut))
+        rfm.crossJoin(broadcast(cutsRow))
+          .select(col("o_custkey"),
+            ((lit(6) - qScore("rc", "recency")) + qScore("fc", "frequency") +
+              qScore("mc", "monetary")).as("v"))
+          .select(col("o_custkey"),
+            when(col("v") >= 12, "high").when(col("v") >= 8, "mid")
+              .otherwise("low").as("tier"))
+      }
+      val o = t(s, dir, "orders")
+      val p1 = tiers(o.filter(col("o_orderdate") < cutTs))
+      val p2 = tiers(o.filter(col("o_orderdate") >= cutTs))
+      p1.withColumnRenamed("tier", "t1")
+        .join(p2.withColumnRenamed("tier", "t2"), Seq("o_custkey"), "full_outer")
+        .select(coalesce(col("t1"), lit("new")).as("seg_from"),
+          coalesce(col("t2"), lit("churned")).as("seg_to"))
+        .groupBy(col("seg_from"), col("seg_to"))
+        .agg(count(lit(1)).as("n_customers"))
+        .orderBy(col("seg_from"), col("seg_to"))
+    },
+    Some("""WITH
+      p1o AS (SELECT * FROM orders WHERE o_orderdate < TIMESTAMP '1998-07-01 00:00:00'),
+      p2o AS (SELECT * FROM orders WHERE o_orderdate >= TIMESTAMP '1998-07-01 00:00:00'),
+      r1 AS (SELECT o_custkey,
+          CAST(MIN(date_diff('day', CAST(date_trunc('day', o_orderdate) AS DATE),
+            (SELECT MAX(CAST(date_trunc('day', o_orderdate) AS DATE)) FROM p1o))) AS DOUBLE) AS recency,
+          CAST(COUNT(*) AS DOUBLE) AS frequency,
+          CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS monetary
+        FROM p1o GROUP BY o_custkey),
+      c1 AS (SELECT
+          [round(x, 4) FOR x IN quantile_cont(recency, [0.2, 0.4, 0.6, 0.8])] AS rc,
+          [round(x, 4) FOR x IN quantile_cont(frequency, [0.2, 0.4, 0.6, 0.8])] AS fc,
+          [round(x, 4) FOR x IN quantile_cont(monetary, [0.2, 0.4, 0.6, 0.8])] AS mc
+        FROM r1),
+      s1 AS (SELECT o_custkey,
+          CASE WHEN (6 - (1 + len(list_filter(rc, x -> recency > x))))
+              + (1 + len(list_filter(fc, x -> frequency > x)))
+              + (1 + len(list_filter(mc, x -> monetary > x))) >= 12 THEN 'high'
+            WHEN (6 - (1 + len(list_filter(rc, x -> recency > x))))
+              + (1 + len(list_filter(fc, x -> frequency > x)))
+              + (1 + len(list_filter(mc, x -> monetary > x))) >= 8 THEN 'mid'
+            ELSE 'low' END AS tier
+        FROM r1 CROSS JOIN c1),
+      r2 AS (SELECT o_custkey,
+          CAST(MIN(date_diff('day', CAST(date_trunc('day', o_orderdate) AS DATE),
+            (SELECT MAX(CAST(date_trunc('day', o_orderdate) AS DATE)) FROM p2o))) AS DOUBLE) AS recency,
+          CAST(COUNT(*) AS DOUBLE) AS frequency,
+          CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS monetary
+        FROM p2o GROUP BY o_custkey),
+      c2 AS (SELECT
+          [round(x, 4) FOR x IN quantile_cont(recency, [0.2, 0.4, 0.6, 0.8])] AS rc,
+          [round(x, 4) FOR x IN quantile_cont(frequency, [0.2, 0.4, 0.6, 0.8])] AS fc,
+          [round(x, 4) FOR x IN quantile_cont(monetary, [0.2, 0.4, 0.6, 0.8])] AS mc
+        FROM r2),
+      s2 AS (SELECT o_custkey,
+          CASE WHEN (6 - (1 + len(list_filter(rc, x -> recency > x))))
+              + (1 + len(list_filter(fc, x -> frequency > x)))
+              + (1 + len(list_filter(mc, x -> monetary > x))) >= 12 THEN 'high'
+            WHEN (6 - (1 + len(list_filter(rc, x -> recency > x))))
+              + (1 + len(list_filter(fc, x -> frequency > x)))
+              + (1 + len(list_filter(mc, x -> monetary > x))) >= 8 THEN 'mid'
+            ELSE 'low' END AS tier
+        FROM r2 CROSS JOIN c2)
+      SELECT COALESCE(s1.tier, 'new') AS seg_from,
+        COALESCE(s2.tier, 'churned') AS seg_to,
+        COUNT(*) AS n_customers
+      FROM s1 FULL OUTER JOIN s2 ON s1.o_custkey = s2.o_custkey
+      GROUP BY 1, 2 ORDER BY 1, 2"""))
+
   /** Order-velocity census THROUGH the opt-in range-join optimizer
     * rewrite: for each 1995H1 order, how many orders arrived in the
     * strictly-following 14 days — a pure range join (no equi key),
@@ -8272,7 +8386,7 @@ object Queries {
     */
   val q158DriftPanel: QueryDef = QueryDef("q158_drift_panel",
     (s, dir) => {
-      val cutTs = to_timestamp(lit("1996-01-01 00:00:00"))
+      val cutTs = to_timestamp(lit("1998-07-01 00:00:00"))
       val li = t(s, dir, "lineitem")
         .select(col("l_shipdate"),
           col("l_quantity").cast(DoubleType).as("quantity"),
@@ -8329,7 +8443,7 @@ object Queries {
           CAST(l_extendedprice AS DOUBLE) AS price,
           CAST(l_discount AS DOUBLE) AS discount
         FROM lineitem),
-      ref AS (SELECT * FROM li WHERE l_shipdate < TIMESTAMP '1996-01-01 00:00:00'),
+      ref AS (SELECT * FROM li WHERE l_shipdate < TIMESTAMP '1998-07-01 00:00:00'),
       cuts AS (
         SELECT 'quantity' AS vcol,
           [round(x, 4) FOR x IN quantile_cont(quantity, [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9])] AS cuts FROM ref
@@ -8337,7 +8451,7 @@ object Queries {
         SELECT 'price', [round(x, 4) FOR x IN quantile_cont(price, [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9])] FROM ref
         UNION ALL
         SELECT 'discount', [round(x, 4) FOR x IN quantile_cont(discount, [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9])] FROM ref),
-      long AS (SELECT CASE WHEN l_shipdate < TIMESTAMP '1996-01-01 00:00:00' THEN 'ref' ELSE 'cur' END AS period,
+      long AS (SELECT CASE WHEN l_shipdate < TIMESTAMP '1998-07-01 00:00:00' THEN 'ref' ELSE 'cur' END AS period,
           u.vcol, u.v
         FROM li, UNNEST([
           {'vcol': 'quantity', 'v': quantity},
@@ -8493,7 +8607,7 @@ object Queries {
     q136Auc, q137Calibration, q138WoeIv, q139TargetEncode, q140LocalClustering,
     clusterDbscan, textZipf, etlLDiversity,
     q141Ipw, q142Conformal, etlLinkage, curateDsir, q145Did, q146KnnEval, q147Modularity, q148Allocation, q149Cuped, q150HoltWinters, q151Backtest, q152SessionEntropy, curateFilterChain, q153EventStudy, q154PowerMde,
-    q155RangeRewrite, q156Itemsets, q157HwMult, q158DriftPanel,
+    q155RangeRewrite, q156Itemsets, q157HwMult, q158DriftPanel, q159RfmMigration,
     etlMergeUpsert, etlConstraints, etlProvenance,
     graphPageRank, curateWeightedSample,
     etlUnionSources, etlValidate, etlCleanTransform, etlQualityReport,
