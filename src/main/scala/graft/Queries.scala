@@ -8136,6 +8136,19 @@ object Queries {
         round((1.959964 + 0.841621) * sd_u * sqrt(2.0 / (CAST(n AS DOUBLE) / 2.0)) / mean_u, 6) AS mde_rel
       FROM calc ORDER BY segment"""))
 
+  /** Kleinberg 2-state burst detection over per-user event streams —
+    * the HMM complement to the gaps-and-islands `q112_bursts`
+    * (Timeseries.kleinbergBursts: Viterbi forward pass as a HOF fold,
+    * burst-step counts carried alongside the costs so no backtrack).
+    * Rows-only: ln inside a recursion is not bit-reproducible across
+    * engines; TimeseriesSpec pins the fold EXACTLY against a
+    * driver-side reference Viterbi and a planted-burst case.
+    */
+  val tsKleinberg: QueryDef = QueryDef("ts_kleinberg",
+    (s, dir) => Timeseries.kleinbergBursts(
+      t(s, dir, "events"), "user_id", "ts", s = 2.0, gamma = 1.0, minEvents = 10),
+    None)
+
   /** RFM segment-MIGRATION matrix: q73's quintile scoring applied
     * independently to two periods (each with its own recency anchor
     * and its own exact-selection cuts — a fixed global cut would
@@ -8608,6 +8621,7 @@ object Queries {
     clusterDbscan, textZipf, etlLDiversity,
     q141Ipw, q142Conformal, etlLinkage, curateDsir, q145Did, q146KnnEval, q147Modularity, q148Allocation, q149Cuped, q150HoltWinters, q151Backtest, q152SessionEntropy, curateFilterChain, q153EventStudy, q154PowerMde,
     q155RangeRewrite, q156Itemsets, q157HwMult, q158DriftPanel, q159RfmMigration,
+    tsKleinberg,
     etlMergeUpsert, etlConstraints, etlProvenance,
     graphPageRank, curateWeightedSample,
     etlUnionSources, etlValidate, etlCleanTransform, etlQualityReport,

@@ -254,6 +254,69 @@ object Refresh {
     }
   }
 
+  /** Streaming per-window quantiles with MERGEABLE KLL sketch state —
+    * the quantile twin of [[windowedDistinct]]: the aggregation state
+    * is a ~5 KB KLL sketch binary per window regardless of row count
+    * (exact per-window quantiles would buffer O(rows) state), so
+    * late-arriving batches merge into existing window state at
+    * sketch-merge cost. Rank error is the KLL bound (~1.7% two-sided
+    * at k=200), asserted in StreamingSpec.
+    */
+  def windowedQuantiles(events: DataFrame, tsCol: String, valueCol: String,
+      windowLen: String, watermark: String, k: Int = 200): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), windowLen))
+      .agg(expr(s"kll_sketch_agg_double(CAST(${graft.operators.Sketches.qid(valueCol)} AS DOUBLE), $k)").as("sk"),
+        count(lit(1)).as("n_events"))
+      .select(col("window.start").as("window_start"),
+        expr("kll_sketch_get_quantile_double(sk, CAST(0.5 AS DOUBLE))").as("p50"),
+        expr("kll_sketch_get_quantile_double(sk, CAST(0.95 AS DOUBLE))").as("p95"),
+        col("n_events"))
+
+  final case class UserQuantiles(user_id: Long, n: Long, p50: Double, p95: Double)
+
+  /** transformWithState processor holding a KLL sketch BINARY in
+    * ValueState: running per-key quantiles maintained incrementally
+    * across micro-batches. The sketch serializes to ~5 KB independent
+    * of n — the bounded-state form of "running p50/p95 per entity"
+    * (an exact running quantile needs O(n) state per key). For n < k
+    * the sketch is exact, so small keys read out precisely.
+    */
+  private class RunningQuantilesProcessor(k: Int)
+      extends StatefulProcessor[Long, (Long, Double), UserQuantiles] {
+    @transient private var state: ValueState[Array[Byte]] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[Array[Byte]]("kll",
+        org.apache.spark.sql.Encoders.BINARY, TTLConfig.NONE)
+    override def handleInputRows(key: Long, rows: Iterator[(Long, Double)],
+        tv: TimerValues): Iterator[UserQuantiles] = {
+      import org.apache.datasketches.kll.KllDoublesSketch
+      import org.apache.datasketches.memory.Memory
+      val sk = if (state.exists())
+        KllDoublesSketch.heapify(Memory.wrap(state.get()))
+      else KllDoublesSketch.newHeapInstance(k)
+      rows.foreach { case (_, v) => sk.update(v) }
+      state.update(sk.toByteArray)
+      Iterator.single(UserQuantiles(key, sk.getN,
+        sk.getQuantile(0.5), sk.getQuantile(0.95)))
+    }
+  }
+
+  /** Running per-user value quantiles via `transformWithState` with
+    * KLL sketch state — the quantile sibling of [[runningUserStats]]
+    * (same RocksDB state-store requirements).
+    */
+  def runningQuantiles(events: DataFrame, k: Int = 200): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.selectExpr("user_id", "value").as[(Long, Double)]
+      .groupByKey(_._1)
+      .transformWithState(new RunningQuantilesProcessor(k),
+        TimeMode.None(), OutputMode.Update())
+      .toDF()
+  }
+
   /** Continuously-maintained per-user lifetime stats via Spark 4's
     * `transformWithState`. O(users) state in the RocksDB store (the
     * required provider for this API — set

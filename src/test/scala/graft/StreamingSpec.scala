@@ -307,6 +307,53 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("windowedQuantiles: KLL sketch state merges across batches; exact for n < k") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, Double)]
+    val df = mem.toDF().toDF("ts", "value")
+    val agg = Refresh.windowedQuantiles(df, "ts", "value", "1 hour", "2 hours")
+    val q = agg.writeStream.format("memory").queryName("wq").outputMode(OutputMode.Update).start()
+    def at(m: Int) = Timestamp.valueOf(f"2026-01-01 10:$m%02d:00")
+    mem.addData((1 to 10).map(i => (at(i), i.toDouble)): _*)
+    q.processAllAvailable()
+    // second batch merges into the SAME window's sketch state
+    mem.addData((11 to 20).map(i => (at(i), i.toDouble)): _*)
+    q.processAllAvailable()
+    val rows = spark.table("wq").collect()
+      .map(r => (r.getAs[Long]("n_events"), r.getAs[Double]("p50"), r.getAs[Double]("p95")))
+    q.stop()
+    // n=20 < k=200 → sketch exact: inclusive rank → p50 = 10th smallest
+    assert(rows.contains((20L, 10.0, 19.0)) || rows.contains((20L, 10.0, 20.0)),
+      rows.mkString(", "))
+  }
+
+  test("runningQuantiles: transformWithState KLL ValueState accumulates across batches") {
+    withRocksDb {
+      import spark.implicits._
+      implicit val sqlCtx = spark.sqlContext
+      val mem = MemoryStream[(Long, Double)]
+      val df = mem.toDF().toDF("user_id", "value")
+      val q = Refresh.runningQuantiles(df)
+        .writeStream.format("memory").queryName("tws_quant")
+        .outputMode(OutputMode.Update).start()
+      mem.addData((1 to 5).map(i => (1L, i.toDouble)): _*)
+      q.processAllAvailable()
+      mem.addData((6 to 10).map(i => (1L, i.toDouble)): _*)
+      q.processAllAvailable()
+      val rows = spark.table("tws_quant").as[(Long, Long, Double, Double)].collect().toSet
+      q.stop()
+      // after batch 1: n=5 over 1..5 (exact, n < k)
+      assert(rows.exists { case (u, n, p50, _) => u == 1L && n == 5L && p50 == 3.0 })
+      // after batch 2: state survived — n=10 over 1..10
+      val b2 = rows.find { case (_, n, _, _) => n == 10L }
+      assert(b2.isDefined, rows.mkString(", "))
+      val (_, _, p50, p95) = b2.get
+      // KLL exact for n < k; inclusive-rank readout lands on 5 or 6 / 10
+      assert((p50 == 5.0 || p50 == 6.0) && (p95 == 10.0 || p95 == 9.0), b2.toString)
+    }
+  }
+
   test("inactivityAlerts: transformWithState event-time timers fire past last_seen+gap") {
     withRocksDb {
       import spark.implicits._
