@@ -8136,6 +8136,152 @@ object Queries {
         round((1.959964 + 0.841621) * sd_u * sqrt(2.0 / (CAST(n AS DOUBLE) / 2.0)) / mean_u, 6) AS mde_rel
       FROM calc ORDER BY segment"""))
 
+  /** Good–Turing frequency-of-frequencies census per source: how many
+    * token types occur exactly c times, the Good–Turing smoothed count
+    * c* = (c+1)·N_{c+1}/N_c, and the unseen-mass estimate P₀ = N₁/N —
+    * the standard answer to "how much vocabulary has this corpus NOT
+    * seen yet" (coverage planning for tokenizer/vocab builds). Exact
+    * integer counts everywhere; the two divisions are single IEEE ops.
+    *
+    * Scale shape: token census → frequency census are two partial-agg
+    * shuffles, the second on the O(distinct counts) frame; the c*
+    * lookup is a self-join on that tiny frame; totals broadcast back.
+    */
+  val textGoodTuring: QueryDef = QueryDef("text_good_turing",
+    (s, dir) => {
+      val tc = t(s, dir, "documents")
+        .select(col("source"), explode(TextAnalysis.tokens(col("text"))).as("token"))
+        .groupBy(col("source"), col("token")).agg(count(lit(1)).as("c"))
+      val fof = tc.groupBy(col("source"), col("c"))
+        .agg(count(lit(1)).as("n_types"))
+        // O(sources · distinct-counts): totals, the c+1 lookup, and
+        // the output all read it
+        .localCheckpoint(true)
+      val tot = fof.groupBy(col("source"))
+        .agg(sum(col("c") * col("n_types")).as("n_tokens"),
+          sum(col("n_types")).as("n_types_total"),
+          sum(when(col("c") === 1, col("n_types")).otherwise(0L)).as("n1"))
+      fof.filter(col("c") <= 10)
+        .join(fof.select(col("source"), (col("c") - 1).as("c"),
+          col("n_types").as("n_next")), Seq("source", "c"), "left")
+        .join(broadcast(tot), Seq("source"))
+        .select(col("source"), col("c"), col("n_types"),
+          round((col("c") + 1).cast(DoubleType) * coalesce(col("n_next"), lit(0L)) /
+            col("n_types").cast(DoubleType), 6).as("c_star"),
+          col("n_tokens"), col("n_types_total"),
+          round(col("n1").cast(DoubleType) / col("n_tokens").cast(DoubleType), 6)
+            .as("p_unseen"))
+        .orderBy(col("source"), col("c"))
+    },
+    Some("""WITH tok AS (SELECT source,
+          unnest(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS token
+        FROM documents),
+      tc AS (SELECT source, token, COUNT(*) AS c FROM tok GROUP BY 1, 2),
+      fof AS (SELECT source, c, COUNT(*) AS n_types FROM tc GROUP BY 1, 2),
+      tot AS (SELECT source, SUM(c * n_types) AS n_tokens, SUM(n_types) AS n_types_total,
+          SUM(CASE WHEN c = 1 THEN n_types ELSE 0 END) AS n1
+        FROM fof GROUP BY 1)
+      SELECT fof.source AS source, fof.c AS c, fof.n_types AS n_types,
+        round((fof.c + 1) * CAST(COALESCE(nx.n_types, 0) AS DOUBLE) /
+          CAST(fof.n_types AS DOUBLE), 6) AS c_star,
+        CAST(tot.n_tokens AS BIGINT) AS n_tokens,
+        CAST(tot.n_types_total AS BIGINT) AS n_types_total,
+        round(CAST(tot.n1 AS DOUBLE) / CAST(tot.n_tokens AS DOUBLE), 6) AS p_unseen
+      FROM fof
+      LEFT JOIN fof nx ON nx.source = fof.source AND nx.c = fof.c + 1
+      JOIN tot ON tot.source = fof.source
+      WHERE fof.c <= 10
+      ORDER BY source, c"""))
+
+  /** Poisson overdispersion census of the daily order-arrival process
+    * per priority class: dispersion index D = s²/x̄ (≫1 ⇒ the
+    * arrivals cluster — a Poisson-rate capacity model underestimates
+    * peak load). Moments combine from exact integer sums (S₁, S₂ over
+    * daily counts), so mean/variance/D are each one IEEE expression
+    * over exact integers — order-independent and oracle-stable.
+    */
+  val q161Dispersion: QueryDef = QueryDef("q161_dispersion",
+    (s, dir) => {
+      val daily = t(s, dir, "orders")
+        .groupBy(col("o_orderpriority").as("prio"),
+          to_date(col("o_orderdate")).as("day"))
+        .agg(count(lit(1)).as("n"))
+      daily.groupBy(col("prio"))
+        .agg(count(lit(1)).as("d_days"), sum(col("n")).as("s1"),
+          sum(col("n") * col("n")).as("s2"))
+        .select(col("prio"), col("d_days"), col("s1").as("n_orders"),
+          round(col("s1").cast(DoubleType) / col("d_days").cast(DoubleType), 6).as("mean"),
+          round((col("s2") * col("d_days") - col("s1") * col("s1")).cast(DoubleType) /
+            (col("d_days") * (col("d_days") - 1)).cast(DoubleType) /
+            col("d_days").cast(DoubleType), 6).as("variance"),
+          round((col("s2") * col("d_days") - col("s1") * col("s1")).cast(DoubleType) /
+            (col("d_days") * (col("d_days") - 1)).cast(DoubleType) /
+            col("d_days").cast(DoubleType) /
+            (col("s1").cast(DoubleType) / col("d_days").cast(DoubleType)), 6)
+            .as("dispersion"))
+        .orderBy(col("prio"))
+    },
+    Some("""WITH daily AS (SELECT o_orderpriority AS prio,
+          CAST(date_trunc('day', o_orderdate) AS DATE) AS day, COUNT(*) AS n
+        FROM orders GROUP BY 1, 2),
+      m AS (SELECT prio, COUNT(*) AS d_days, SUM(n) AS s1, SUM(n * n) AS s2
+        FROM daily GROUP BY 1)
+      SELECT prio, d_days, CAST(s1 AS BIGINT) AS n_orders,
+        round(CAST(s1 AS DOUBLE) / d_days, 6) AS mean,
+        round(CAST(s2 * d_days - s1 * s1 AS DOUBLE) / (d_days * (d_days - 1)) / d_days, 6) AS variance,
+        round(CAST(s2 * d_days - s1 * s1 AS DOUBLE) / (d_days * (d_days - 1)) / d_days /
+          (CAST(s1 AS DOUBLE) / d_days), 6) AS dispersion
+      FROM m ORDER BY prio"""))
+
+  /** Multi-touch attribution with exponential TIME-DECAY credit —
+    * the model between q48's first/last-touch extremes: every
+    * touchpoint in the 7 days before a purchase earns weight
+    * 2^(6−age_days) (integer units 1..64 — halving per day of age,
+    * EXACT arithmetic), normalized per conversion, summed per channel.
+    * Per-conversion weight sums are exact integers; each share is one
+    * IEEE division; the final per-channel credit sum rounds to 4dp
+    * (double-sum reorder noise is ~1e-14, far inside).
+    *
+    * Scale shape: the touch–conversion pairing is an equi-join on the
+    * user key with the 7-day band filter on top (per-user event counts
+    * are bounded — the sessionization contract), one window over the
+    * per-conversion pair group, one partial-agg shuffle to O(channels).
+    */
+  val q162DecayAttribution: QueryDef = QueryDef("q162_decay_attribution",
+    (s, dir) => {
+      val usWeek = 7L * 86400000000L
+      val ev = t(s, dir, "events")
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          unix_micros(col("ts")).as("tu"))
+      val conv = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("conv_id"), col("tu").as("tp"))
+      val touches = ev.filter(col("event_type") =!= "purchase")
+      val pairs = touches.join(conv, Seq("user_id"))
+        .filter(col("tu") < col("tp") && col("tp") - col("tu") <= usWeek)
+        .withColumn("age_d", floor((col("tp") - col("tu")) / lit(86400000000L)).cast(LongType))
+        .withColumn("w_u", expr("shiftleft(CAST(1 AS BIGINT), CAST(6 - age_d AS INT))"))
+      val shared = pairs.withColumn("sw",
+        sum(col("w_u")).over(Window.partitionBy(col("conv_id"))))
+      shared
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_touches"),
+          round(sum(col("w_u").cast(DoubleType) / col("sw").cast(DoubleType)), 4)
+            .as("credit"))
+        .orderBy(col("event_type"))
+    },
+    Some("""WITH ev AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS tu FROM events),
+      conv AS (SELECT user_id, event_id AS conv_id, tu AS tp FROM ev WHERE event_type = 'purchase'),
+      pairs AS (SELECT t.event_type, t.user_id, conv.conv_id,
+          (tp - t.tu) // 86400000000 AS age_d
+        FROM ev t JOIN conv ON t.user_id = conv.user_id
+        WHERE t.event_type <> 'purchase' AND t.tu < conv.tp
+          AND conv.tp - t.tu <= 604800000000),
+      w AS (SELECT event_type, conv_id, (1::BIGINT << (6 - age_d)) AS w_u FROM pairs),
+      sh AS (SELECT event_type, w_u, SUM(w_u) OVER (PARTITION BY conv_id) AS sw FROM w)
+      SELECT event_type, COUNT(*) AS n_touches,
+        round(SUM(CAST(w_u AS DOUBLE) / CAST(sw AS DOUBLE)), 4) AS credit
+      FROM sh GROUP BY 1 ORDER BY 1"""))
+
   /** Kleinberg 2-state burst detection over per-user event streams —
     * the HMM complement to the gaps-and-islands `q112_bursts`
     * (Timeseries.kleinbergBursts: Viterbi forward pass as a HOF fold,
@@ -8621,7 +8767,7 @@ object Queries {
     clusterDbscan, textZipf, etlLDiversity,
     q141Ipw, q142Conformal, etlLinkage, curateDsir, q145Did, q146KnnEval, q147Modularity, q148Allocation, q149Cuped, q150HoltWinters, q151Backtest, q152SessionEntropy, curateFilterChain, q153EventStudy, q154PowerMde,
     q155RangeRewrite, q156Itemsets, q157HwMult, q158DriftPanel, q159RfmMigration,
-    tsKleinberg,
+    tsKleinberg, textGoodTuring, q161Dispersion, q162DecayAttribution,
     etlMergeUpsert, etlConstraints, etlProvenance,
     graphPageRank, curateWeightedSample,
     etlUnionSources, etlValidate, etlCleanTransform, etlQualityReport,
