@@ -8136,6 +8136,146 @@ object Queries {
         round((1.959964 + 0.841621) * sd_u * sqrt(2.0 / (CAST(n AS DOUBLE) / 2.0)) / mean_u, 6) AS mde_rel
       FROM calc ORDER BY segment"""))
 
+  /** ABC inventory classification: parts ranked by revenue, classed A
+    * while the cumulative share stays ≤ 80%, B to 95%, C after — the
+    * warehouse-ops standard for "which SKUs deserve cycle counting".
+    * The class boundary comparison is EXACT: cum·100 ≤ total·80 in
+    * DECIMAL (never a double share against 0.8 — a one-ulp drift at
+    * the crossing part would flip its class in one engine only).
+    *
+    * Scale shape: the fact collapses to the O(parts) revenue frame in
+    * one partial-agg shuffle; the cumulative window runs on that
+    * aggregated frame (the q78 sort-sweep precedent), and the final
+    * census is O(3).
+    */
+  val q163Abc: QueryDef = QueryDef("q163_abc",
+    (s, dir) => {
+      val rev = t(s, dir, "lineitem")
+        .groupBy(col("l_partkey"))
+        .agg(sum(dec(col("l_extendedprice"))).as("rev"))
+      val tot = rev.agg(sum(col("rev")).as("total"))
+      val w = Window.orderBy(desc("rev"), col("l_partkey"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      rev.crossJoin(broadcast(tot))
+        .withColumn("cum", sum(col("rev")).over(w))
+        .withColumn("rnk", row_number().over(Window.orderBy(desc("rev"), col("l_partkey"))))
+        .withColumn("cls",
+          when(col("cum") * 100 <= col("total") * 80, "A")
+            .when(col("cum") * 100 <= col("total") * 95, "B")
+            .otherwise("C"))
+        .groupBy(col("cls"))
+        .agg(count(lit(1)).as("n_parts"),
+          round(sum(col("rev")).cast(DoubleType), 2).as("revenue"),
+          round(sum(col("rev")).cast(DoubleType) /
+            max(col("total")).cast(DoubleType), 6).as("rev_share"),
+          min(col("rnk")).as("rank_lo"), max(col("rnk")).as("rank_hi"))
+        .orderBy(col("cls"))
+    },
+    Some("""WITH rev AS (SELECT l_partkey, SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS rev
+        FROM lineitem GROUP BY 1),
+      tot AS (SELECT SUM(rev) AS total FROM rev),
+      ranked AS (SELECT l_partkey, rev, total,
+          SUM(rev) OVER (ORDER BY rev DESC, l_partkey ROWS UNBOUNDED PRECEDING) AS cum,
+          ROW_NUMBER() OVER (ORDER BY rev DESC, l_partkey) AS rnk
+        FROM rev CROSS JOIN tot),
+      classed AS (SELECT *,
+          CASE WHEN cum * 100 <= total * 80 THEN 'A'
+            WHEN cum * 100 <= total * 95 THEN 'B' ELSE 'C' END AS cls
+        FROM ranked)
+      SELECT cls, COUNT(*) AS n_parts,
+        round(CAST(SUM(rev) AS DOUBLE), 2) AS revenue,
+        round(CAST(SUM(rev) AS DOUBLE) / CAST(MAX(total) AS DOUBLE), 6) AS rev_share,
+        MIN(rnk) AS rank_lo, MAX(rnk) AS rank_hi
+      FROM classed GROUP BY cls ORDER BY cls"""))
+
+  /** Repeat-purchase probability curve: P(a customer places an
+    * (n+1)-th order | they placed an n-th) for n = 1..10 — the
+    * retention curve marketing reads before any LTV model (cf.
+    * q39_retention's cohort form; this is the order-number form).
+    * Suffix sums run over the O(distinct order-counts) census frame
+    * against a generated 1..10 spine — exact integers, one division.
+    */
+  val q164RepeatCurve: QueryDef = QueryDef("q164_repeat_curve",
+    (s, dir) => {
+      val kdist = t(s, dir, "orders")
+        .groupBy(col("o_custkey")).agg(count(lit(1)).as("k"))
+        .groupBy(col("k")).agg(count(lit(1)).as("nc"))
+      val spine = t(s, dir, "orders").agg(lit(1).as("one"))
+        .select(explode(sequence(lit(1L), lit(10L))).as("n"))
+      spine.join(broadcast(kdist), col("k") >= col("n"))
+        .groupBy(col("n"))
+        .agg(sum(col("nc")).as("at_risk"),
+          sum(when(col("k") >= col("n") + 1, col("nc")).otherwise(0L)).as("repeated"))
+        .select(col("n"), col("at_risk"), col("repeated"),
+          round(col("repeated").cast(DoubleType) / col("at_risk").cast(DoubleType), 6)
+            .as("p_repeat"))
+        .orderBy(col("n"))
+    },
+    Some("""WITH kdist AS (SELECT k, COUNT(*) AS nc FROM
+          (SELECT o_custkey, COUNT(*) AS k FROM orders GROUP BY 1) GROUP BY 1),
+      spine AS (SELECT unnest(range(1, 11)) AS n)
+      SELECT n, CAST(SUM(nc) AS BIGINT) AS at_risk,
+        CAST(SUM(CASE WHEN k >= n + 1 THEN nc ELSE 0 END) AS BIGINT) AS repeated,
+        round(CAST(SUM(CASE WHEN k >= n + 1 THEN nc ELSE 0 END) AS DOUBLE) /
+          CAST(SUM(nc) AS DOUBLE), 6) AS p_repeat
+      FROM spine JOIN kdist ON k >= n
+      GROUP BY n ORDER BY n"""))
+
+  /** Markov next-event prediction EVAL: the q52 transition matrix
+    * trained on the first period, frozen, then scored on the second —
+    * per current-state top-1 accuracy, the honest check that the
+    * journey model actually predicts (same walk-forward ethic as
+    * q151_backtest). Deterministic argmax: count desc, type asc.
+    *
+    * Scale shape: train and eval transitions are each one lag window
+    * over the user-partitioned events; the trained matrix collapses
+    * to O(types²) and broadcasts into the eval aggregation.
+    */
+  val q165MarkovEval: QueryDef = QueryDef("q165_markov_eval",
+    (s, dir) => {
+      val splitTs = to_timestamp(lit("1998-07-01 00:00:00"))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      def transitions(df: DataFrame): DataFrame = df
+        .withColumn("prev", lag(col("event_type"), 1).over(w))
+        .filter(col("prev").isNotNull)
+        .select(col("prev"), col("event_type").as("next"))
+      val ev = t(s, dir, "events")
+      val pred = transitions(ev.filter(col("ts") < splitTs))
+        .groupBy(col("prev"), col("next")).agg(count(lit(1)).as("n"))
+        .groupBy(col("prev"))
+        .agg(min(struct((-col("n")).as("neg"), col("next").as("nx"))).as("m"))
+        .select(col("prev"), col("m.nx").as("predicted"))
+      transitions(ev.filter(col("ts") >= splitTs))
+        .join(broadcast(pred), Seq("prev"), "left")
+        .groupBy(col("prev"))
+        .agg(count(lit(1)).as("n_eval"),
+          max(col("predicted")).as("predicted"),
+          sum(when(col("next") === col("predicted"), 1L).otherwise(0L)).as("n_correct"))
+        .select(col("prev"), col("predicted"), col("n_eval"), col("n_correct"),
+          round(col("n_correct").cast(DoubleType) / col("n_eval").cast(DoubleType), 6)
+            .as("accuracy"))
+        .orderBy(col("prev"))
+    },
+    Some("""WITH tr_train AS (SELECT prev, event_type AS next FROM
+          (SELECT event_type, LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+           FROM events WHERE ts < TIMESTAMP '1998-07-01 00:00:00')
+        WHERE prev IS NOT NULL),
+      model AS (SELECT prev, next AS predicted FROM
+          (SELECT prev, next, COUNT(*) AS n,
+            ROW_NUMBER() OVER (PARTITION BY prev ORDER BY n DESC, next) AS rn
+           FROM tr_train GROUP BY 1, 2)
+        WHERE rn = 1),
+      tr_eval AS (SELECT prev, event_type AS next FROM
+          (SELECT event_type, LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+           FROM events WHERE ts >= TIMESTAMP '1998-07-01 00:00:00')
+        WHERE prev IS NOT NULL)
+      SELECT tr_eval.prev AS prev, MAX(predicted) AS predicted,
+        COUNT(*) AS n_eval,
+        CAST(SUM(CASE WHEN next = predicted THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+        round(CAST(SUM(CASE WHEN next = predicted THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6) AS accuracy
+      FROM tr_eval LEFT JOIN model ON model.prev = tr_eval.prev
+      GROUP BY 1 ORDER BY 1"""))
+
   /** Good–Turing frequency-of-frequencies census per source: how many
     * token types occur exactly c times, the Good–Turing smoothed count
     * c* = (c+1)·N_{c+1}/N_c, and the unseen-mass estimate P₀ = N₁/N —
@@ -8768,6 +8908,7 @@ object Queries {
     q141Ipw, q142Conformal, etlLinkage, curateDsir, q145Did, q146KnnEval, q147Modularity, q148Allocation, q149Cuped, q150HoltWinters, q151Backtest, q152SessionEntropy, curateFilterChain, q153EventStudy, q154PowerMde,
     q155RangeRewrite, q156Itemsets, q157HwMult, q158DriftPanel, q159RfmMigration,
     tsKleinberg, textGoodTuring, q161Dispersion, q162DecayAttribution,
+    q163Abc, q164RepeatCurve, q165MarkovEval,
     etlMergeUpsert, etlConstraints, etlProvenance,
     graphPageRank, curateWeightedSample,
     etlUnionSources, etlValidate, etlCleanTransform, etlQualityReport,
