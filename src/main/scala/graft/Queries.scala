@@ -8136,6 +8136,138 @@ object Queries {
         round((1.959964 + 0.841621) * sd_u * sqrt(2.0 / (CAST(n AS DOUBLE) / 2.0)) / mean_u, 6) AS mde_rel
       FROM calc ORDER BY segment"""))
 
+  /** STL-lite seasonal decomposition of the 1995 daily revenue
+    * series: trend = centered 7-day moving average (full windows
+    * only), seasonal = day-of-week mean of the detrended series,
+    * residual = the rest. All intermediates stay EXACT by working in
+    * 7ths-of-a-cent integer units: det7 = 7·y − S7 is an exact BIGINT
+    * (no y − S7/7 double drift), the per-dow seasonal mean is one
+    * division of an exact integer sum, and each output is a single
+    * IEEE expression over those exact quantities — the decomposition
+    * analogue of q130's anomaly flags with the full panel shipped.
+    *
+    * Scale shape: the fact collapses to the O(days) frame; the MA
+    * window, dow aggregation, and broadcast-back all run on it.
+    */
+  val q166Stl: QueryDef = QueryDef("q166_stl",
+    (s, dir) => {
+      val daily = t(s, dir, "lineitem")
+        .filter(year(col("l_shipdate")) === 1995)
+        .groupBy(floor(unix_micros(date_trunc("day", col("l_shipdate"))) /
+          lit(86400000000L)).cast(LongType).as("day"))
+        .agg(sum(dec(col("l_extendedprice")) * 100).cast(LongType).as("yu"))
+        .localCheckpoint(true) // O(days): MA window + dow agg + output
+      val w = Window.orderBy(col("day")).rowsBetween(-3, 3)
+      val det = daily
+        .withColumn("s7", sum(col("yu")).over(w))
+        .withColumn("n7", count(lit(1)).over(w))
+        .filter(col("n7") === 7)
+        .withColumn("det7", col("yu") * 7 - col("s7"))
+        .withColumn("dow", pmod(col("day") + 4, lit(7))) // epoch day 0 = Thursday
+      val seas = det.groupBy(col("dow"))
+        .agg((sum(col("det7")).cast(DoubleType) / count(lit(1)).cast(DoubleType))
+          .as("seas7"))
+      det.join(broadcast(seas), Seq("dow"))
+        .select(col("day"), round(col("yu") / lit(100.0), 2).as("revenue"),
+          round(col("s7").cast(DoubleType) / 700.0, 4).as("trend"),
+          round(col("seas7") / 700.0, 4).as("seasonal"),
+          round((col("det7").cast(DoubleType) - col("seas7")) / 700.0, 4).as("residual"))
+        .orderBy(col("day"))
+    },
+    Some("""WITH daily AS (SELECT
+          epoch_us(date_trunc('day', l_shipdate)) // 86400000000 AS day,
+          CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * 100) AS BIGINT) AS yu
+        FROM lineitem WHERE year(l_shipdate) = 1995 GROUP BY 1),
+      ma AS (SELECT day, yu,
+          SUM(yu) OVER w AS s7, COUNT(*) OVER w AS n7
+        FROM daily WINDOW w AS (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+      det AS (SELECT day, yu, s7, yu * 7 - s7 AS det7, (day + 4) % 7 AS dow
+        FROM ma WHERE n7 = 7),
+      seas AS (SELECT dow, CAST(SUM(det7) AS DOUBLE) / COUNT(*) AS seas7
+        FROM det GROUP BY 1)
+      SELECT day, round(yu / 100.0, 2) AS revenue,
+        round(CAST(s7 AS DOUBLE) / 700.0, 4) AS trend,
+        round(seas7 / 700.0, 4) AS seasonal,
+        round((CAST(det7 AS DOUBLE) - seas7) / 700.0, 4) AS residual
+      FROM det JOIN seas USING (dow)
+      ORDER BY day"""))
+
+  /** Per-brand return-rate audit with the Wilson score LOWER bound
+    * (z = 1.96): the ranking statistic that doesn't reward tiny
+    * samples — a brand with 2/3 returns ranks below one with 40/100
+    * (the raw rate would invert that). Counts are exact integers; the
+    * Wilson formula is one fixed-shape IEEE expression over them,
+    * identical op order in both engines.
+    */
+  val q167ReturnRate: QueryDef = QueryDef("q167_return_rate",
+    (s, dir) => {
+      val g = t(s, dir, "lineitem")
+        .join(broadcast(t(s, dir, "part").select(col("p_partkey"), col("p_brand"))),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("l_returnflag") === "R", 1L).otherwise(0L)).as("r"))
+      val z = lit(1.96)
+      val p = col("r").cast(DoubleType) / col("n").cast(DoubleType)
+      val nD = col("n").cast(DoubleType)
+      val wilsonLb = (p + z * z / (lit(2.0) * nD) -
+        z * sqrt(p * (lit(1.0) - p) / nD + z * z / (lit(4.0) * nD * nD))) /
+        (lit(1.0) + z * z / nD)
+      g.select(col("p_brand"), col("n"), col("r"),
+          round(p, 6).as("return_rate"),
+          round(wilsonLb, 6).as("wilson_lb"))
+        .orderBy(col("p_brand"))
+    },
+    Some("""WITH g AS (SELECT p_brand, COUNT(*) AS n,
+          SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS r
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        GROUP BY 1)
+      SELECT p_brand, n, CAST(r AS BIGINT) AS r,
+        round(CAST(r AS DOUBLE) / CAST(n AS DOUBLE), 6) AS return_rate,
+        round((CAST(r AS DOUBLE) / CAST(n AS DOUBLE) + 1.96 * 1.96 / (2.0 * CAST(n AS DOUBLE)) -
+          1.96 * sqrt((CAST(r AS DOUBLE) / CAST(n AS DOUBLE)) * (1.0 - CAST(r AS DOUBLE) / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE) +
+            1.96 * 1.96 / (4.0 * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))) /
+          (1.0 + 1.96 * 1.96 / CAST(n AS DOUBLE)), 6) AS wilson_lb
+      FROM g ORDER BY p_brand"""))
+
+  /** Deduplication SAVINGS report — what the exact-dedup pass is
+    * worth, by duplicate-cluster size: clusters, docs, redundant
+    * copies, and the redundant characters that deletion reclaims
+    * (total chars minus the kept min-doc_id survivor's — the
+    * storage-planning readout on top of dedup_exact; reference keeps
+    * no such audit, its reports stop at row counts, server.js:200-219).
+    * Exact integer accounting throughout.
+    */
+  val dedupSavings: QueryDef = QueryDef("dedup_savings",
+    (s, dir) => {
+      val d = t(s, dir, "documents")
+        .select(col("doc_id"), length(col("text")).cast(LongType).as("len"),
+          md5(regexp_replace(lower(trim(col("text"))), "\\s+", " ")).as("digest"))
+      val clusters = d.groupBy(col("digest"))
+        .agg(count(lit(1)).as("sz"), sum(col("len")).as("chars"),
+          min(struct(col("doc_id"), col("len"))).as("keep"))
+      clusters.groupBy(col("sz"))
+        .agg(count(lit(1)).as("n_clusters"),
+          sum(col("sz")).as("n_docs"),
+          sum(col("sz") - 1).as("n_redundant"),
+          sum(col("chars") - col("keep.len")).as("chars_redundant"))
+        .orderBy(col("sz"))
+    },
+    Some("""WITH d AS (SELECT doc_id, length(text) AS len,
+          md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS digest
+        FROM documents),
+      clusters AS (SELECT digest, COUNT(*) AS sz, SUM(len) AS chars,
+          MIN(doc_id) AS keep_id
+        FROM d GROUP BY 1),
+      kept AS (SELECT c.digest AS digest, d.len AS keep_len
+        FROM clusters c JOIN d ON d.digest = c.digest AND d.doc_id = c.keep_id)
+      SELECT sz, COUNT(*) AS n_clusters,
+        CAST(SUM(sz) AS BIGINT) AS n_docs,
+        CAST(SUM(sz - 1) AS BIGINT) AS n_redundant,
+        CAST(SUM(chars - keep_len) AS BIGINT) AS chars_redundant
+      FROM clusters JOIN kept USING (digest)
+      GROUP BY sz ORDER BY sz"""))
+
   /** ABC inventory classification: parts ranked by revenue, classed A
     * while the cumulative share stays ≤ 80%, B to 95%, C after — the
     * warehouse-ops standard for "which SKUs deserve cycle counting".
@@ -8908,7 +9040,7 @@ object Queries {
     q141Ipw, q142Conformal, etlLinkage, curateDsir, q145Did, q146KnnEval, q147Modularity, q148Allocation, q149Cuped, q150HoltWinters, q151Backtest, q152SessionEntropy, curateFilterChain, q153EventStudy, q154PowerMde,
     q155RangeRewrite, q156Itemsets, q157HwMult, q158DriftPanel, q159RfmMigration,
     tsKleinberg, textGoodTuring, q161Dispersion, q162DecayAttribution,
-    q163Abc, q164RepeatCurve, q165MarkovEval,
+    q163Abc, q164RepeatCurve, q165MarkovEval, q166Stl, q167ReturnRate, dedupSavings,
     etlMergeUpsert, etlConstraints, etlProvenance,
     graphPageRank, curateWeightedSample,
     etlUnionSources, etlValidate, etlCleanTransform, etlQualityReport,
