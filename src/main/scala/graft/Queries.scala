@@ -8136,6 +8136,133 @@ object Queries {
         round((1.959964 + 0.841621) * sd_u * sqrt(2.0 / (CAST(n AS DOUBLE) / 2.0)) / mean_u, 6) AS mde_rel
       FROM calc ORDER BY segment"""))
 
+  /** Heaps'-law vocabulary growth per source: token and type totals
+    * at the half-corpus prefix (docs up to the id-range midpoint) vs
+    * the full corpus, and the Heaps exponent β = ln(V₂/V₁)/ln(N₂/N₁)
+    * — "how fast does vocabulary keep growing", the scaling input to
+    * tokenizer-vocab sizing (complements text_good_turing's unseen
+    * mass). ONE conditional-aggregation pass computes both prefix and
+    * full totals; β is two lns and a division over exact integers.
+    */
+  val q168Heaps: QueryDef = QueryDef("q168_heaps",
+    (s, dir) => {
+      val bounds = t(s, dir, "documents").groupBy(col("source").as("bsrc"))
+        .agg(((min(col("doc_id")) + max(col("doc_id"))) / 2).cast(LongType).as("mid"))
+      val tok = t(s, dir, "documents")
+        .select(col("source"), col("doc_id"),
+          explode(TextAnalysis.tokens(col("text"))).as("token"))
+        .join(broadcast(bounds), col("source") === col("bsrc"))
+      tok.groupBy(col("source"))
+        .agg(
+          sum(when(col("doc_id") <= col("mid"), 1L).otherwise(0L)).as("n1"),
+          countDistinct(when(col("doc_id") <= col("mid"), col("token"))).as("v1"),
+          count(lit(1)).as("n2"),
+          countDistinct(col("token")).as("v2"))
+        .select(col("source"), col("n1"), col("v1"), col("n2"), col("v2"),
+          round(log(col("v2").cast(DoubleType) / col("v1").cast(DoubleType)) /
+            log(col("n2").cast(DoubleType) / col("n1").cast(DoubleType)), 6)
+            .as("heaps_beta"))
+        .orderBy(col("source"))
+    },
+    Some("""WITH bounds AS (SELECT source, (MIN(doc_id) + MAX(doc_id)) // 2 AS mid
+        FROM documents GROUP BY 1),
+      tok AS (SELECT d.source, d.doc_id, b.mid,
+          unnest(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS token
+        FROM documents d JOIN bounds b ON b.source = d.source)
+      SELECT source,
+        CAST(SUM(CASE WHEN doc_id <= mid THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+        COUNT(DISTINCT CASE WHEN doc_id <= mid THEN token END) AS v1,
+        COUNT(*) AS n2,
+        COUNT(DISTINCT token) AS v2,
+        round(ln(CAST(COUNT(DISTINCT token) AS DOUBLE) /
+            COUNT(DISTINCT CASE WHEN doc_id <= mid THEN token END)) /
+          ln(CAST(COUNT(*) AS DOUBLE) /
+            SUM(CASE WHEN doc_id <= mid THEN 1 ELSE 0 END)), 6) AS heaps_beta
+      FROM tok GROUP BY source ORDER BY source"""))
+
+  /** Sequential-pattern support census (SPADE-style existence, length
+    * 3): for every ordered type triple a→b→c, how many users' event
+    * streams contain it as a SUBSEQUENCE (gaps allowed — q107's
+    * trigram paths count only contiguous steps). Existence via the
+    * greedy earliest-extension: take a's earliest occurrence, then
+    * b's earliest strictly after, then any c after that — greedy is
+    * optimal for subsequence existence, and min() makes it one
+    * aggregation per stage instead of a combinatorial search.
+    *
+    * Scale shape: two stage joins on the user key (each stage frame
+    * is O(users · types), types bounded); exact integer support.
+    */
+  val q169SeqPatterns: QueryDef = QueryDef("q169_seq_patterns",
+    (s, dir) => {
+      val ev = t(s, dir, "events")
+        .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("tu"))
+        .localCheckpoint(true) // three stage scans
+      val nUsers = ev.select(col("user_id")).distinct()
+        .agg(count(lit(1)).as("n_users"))
+      val fa = ev.groupBy(col("user_id"), col("event_type").as("a"))
+        .agg(min(col("tu")).as("ta"))
+      val fb = ev.as("e").join(fa.as("f"), col("e.user_id") === col("f.user_id") &&
+          col("e.tu") > col("f.ta"))
+        .groupBy(col("f.user_id").as("user_id"), col("a"), col("e.event_type").as("b"))
+        .agg(min(col("e.tu")).as("tb"))
+      val abc = ev.as("e2").join(fb.as("g"), col("e2.user_id") === col("g.user_id") &&
+          col("e2.tu") > col("g.tb"))
+        .select(col("g.user_id").as("user_id"), col("a"), col("b"),
+          col("e2.event_type").as("c"))
+        .distinct()
+      abc.groupBy(col("a"), col("b"), col("c"))
+        .agg(count(lit(1)).as("n_users"))
+        .filter(col("n_users") >= 5)
+        .crossJoin(broadcast(nUsers.withColumnRenamed("n_users", "total_users")))
+        .select(col("a"), col("b"), col("c"), col("n_users"),
+          round(col("n_users").cast(DoubleType) / col("total_users").cast(DoubleType), 6)
+            .as("support"))
+        .orderBy(col("a"), col("b"), col("c"))
+    },
+    Some("""WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS tu FROM events),
+      n AS (SELECT COUNT(DISTINCT user_id) AS total_users FROM ev),
+      fa AS (SELECT user_id, event_type AS a, MIN(tu) AS ta FROM ev GROUP BY 1, 2),
+      fb AS (SELECT fa.user_id, a, e.event_type AS b, MIN(e.tu) AS tb
+        FROM ev e JOIN fa ON e.user_id = fa.user_id AND e.tu > fa.ta
+        GROUP BY 1, 2, 3),
+      abc AS (SELECT DISTINCT fb.user_id, a, b, e.event_type AS c
+        FROM ev e JOIN fb ON e.user_id = fb.user_id AND e.tu > fb.tb)
+      SELECT a, b, c, COUNT(*) AS n_users,
+        round(CAST(COUNT(*) AS DOUBLE) / (SELECT total_users FROM n), 6) AS support
+      FROM abc GROUP BY 1, 2, 3 HAVING COUNT(*) >= 5
+      ORDER BY a, b, c"""))
+
+  /** Top-k WITH TIES per group (`RANK() <= k` — ANSI FETCH FIRST k
+    * ROWS WITH TIES semantics): the relational-surface sibling of
+    * q59's row_number top-N and q119's native heap operator, for when
+    * equal-valued rows must all ship. The rank window runs on the
+    * O(customers) aggregated frame partitioned by nation.
+    */
+  val q170TopkTies: QueryDef = QueryDef("q170_topk_ties",
+    (s, dir) => {
+      val rev = t(s, dir, "orders")
+        .join(broadcast(t(s, dir, "customer")
+          .select(col("c_custkey"), col("c_nationkey"))),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_nationkey"), col("o_custkey"))
+        .agg(sum(dec(col("o_totalprice"))).as("rev"))
+      rev.withColumn("rnk", rank().over(
+          Window.partitionBy(col("c_nationkey")).orderBy(desc("rev"))))
+        .filter(col("rnk") <= 3)
+        .select(col("c_nationkey"), col("o_custkey"),
+          col("rev").cast(DoubleType).as("revenue"), col("rnk"))
+        .orderBy(col("c_nationkey"), col("rnk"), col("o_custkey"))
+    },
+    Some("""WITH rev AS (SELECT c_nationkey, o_custkey,
+          SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS rev
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY 1, 2),
+      ranked AS (SELECT *, RANK() OVER (PARTITION BY c_nationkey ORDER BY rev DESC) AS rnk
+        FROM rev)
+      SELECT c_nationkey, o_custkey, CAST(rev AS DOUBLE) AS revenue, rnk
+      FROM ranked WHERE rnk <= 3
+      ORDER BY c_nationkey, rnk, o_custkey"""))
+
   /** STL-lite seasonal decomposition of the 1995 daily revenue
     * series: trend = centered 7-day moving average (full windows
     * only), seasonal = day-of-week mean of the detrended series,
@@ -9041,6 +9168,7 @@ object Queries {
     q155RangeRewrite, q156Itemsets, q157HwMult, q158DriftPanel, q159RfmMigration,
     tsKleinberg, textGoodTuring, q161Dispersion, q162DecayAttribution,
     q163Abc, q164RepeatCurve, q165MarkovEval, q166Stl, q167ReturnRate, dedupSavings,
+    q168Heaps, q169SeqPatterns, q170TopkTies,
     etlMergeUpsert, etlConstraints, etlProvenance,
     graphPageRank, curateWeightedSample,
     etlUnionSources, etlValidate, etlCleanTransform, etlQualityReport,
