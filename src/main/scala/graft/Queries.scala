@@ -8136,6 +8136,137 @@ object Queries {
         round((1.959964 + 0.841621) * sd_u * sqrt(2.0 / (CAST(n AS DOUBLE) / 2.0)) / mean_u, 6) AS mde_rel
       FROM calc ORDER BY segment"""))
 
+  /** MinHash-LSH band-tuning report: for the OBSERVED pair-similarity
+    * distribution (the exact n-gram Jaccard pairs), the candidate
+    * probability P = 1−(1−s^r)^b of three (bands, rows) configs —
+    * including the shipped 16×4 — per similarity bucket. This is how
+    * the LSH knobs get chosen operationally: read where each config's
+    * S-curve crosses your dedup threshold against the mass actually
+    * present. All powers are EXPLICIT square-chains (s⁴ = (s²)²,
+    * x¹⁶ = (((x²)²)²)² …) — fixed IEEE op order, no pow(), so both
+    * engines agree bit-for-bit before the 6dp round.
+    */
+  val q171LshTuning: QueryDef = QueryDef("q171_lsh_tuning",
+    (s, dir) => {
+      val pairs = Dedup.ngramJaccardPairs(t(s, dir, "documents"),
+        "doc_id", "text", "lang", "n_chars", lenBand = 50, n = 3,
+        minJaccard = 0.1, maxGramDf = 10000L)
+      val sCol = col("jaccard")
+      val s2 = sCol * sCol
+      val s4 = s2 * s2
+      val s8 = s4 * s4
+      def pow2k(x: Column, k: Int): Column = (1 to k).foldLeft(x)((c, _) => c * c)
+      // b×r: 16×4 (shipped), 8×8, 32×2
+      val p16x4 = lit(1.0) - pow2k(lit(1.0) - s4, 4)
+      val p8x8  = lit(1.0) - pow2k(lit(1.0) - s8, 3)
+      val p32x2 = lit(1.0) - pow2k(lit(1.0) - s2, 5)
+      pairs
+        .withColumn("bucket", floor(sCol * 20).cast(LongType))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_pairs"),
+          round(sum(p16x4) / count(lit(1)), 6).as("p_cand_16x4"),
+          round(sum(p8x8) / count(lit(1)), 6).as("p_cand_8x8"),
+          round(sum(p32x2) / count(lit(1)), 6).as("p_cand_32x2"))
+        .orderBy(col("bucket"))
+    },
+    Some("""WITH tok AS (SELECT doc_id, lang, n_chars,
+        string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS w
+        FROM documents),
+      g AS (SELECT doc_id, lang, n_chars,
+        unnest(list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2] FOR i IN range(1, len(w) - 1)])) AS gram
+        FROM tok WHERE len(w) >= 3),
+      hot AS (SELECT gram FROM g GROUP BY gram HAVING COUNT(*) > 10000),
+      gp AS (SELECT * FROM g WHERE gram NOT IN (SELECT gram FROM hot)),
+      sz AS (SELECT doc_id, COUNT(*) AS sz FROM g GROUP BY doc_id),
+      cand AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+        FROM gp a JOIN gp b ON a.gram = b.gram AND a.lang = b.lang
+          AND a.doc_id < b.doc_id AND abs(a.n_chars - b.n_chars) <= 50
+        GROUP BY 1, 2),
+      pairs AS (SELECT round(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 6) AS s
+        FROM cand JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b),
+      f AS (SELECT s FROM pairs WHERE s >= 0.1),
+      p0 AS (SELECT s, s * s AS s2 FROM f),
+      p1 AS (SELECT s, s2, s2 * s2 AS s4 FROM p0),
+      p2 AS (SELECT s, s2, s4, s4 * s4 AS s8 FROM p1),
+      -- square-chains matching the Spark fold exactly:
+      -- a = 1-s4 (^16: 4 squarings), b = 1-s8 (^8: 3), c = 1-s2 (^32: 5)
+      l0 AS (SELECT s, 1.0 - s4 AS a, 1.0 - s8 AS b, 1.0 - s2 AS c FROM p2),
+      l1 AS (SELECT s, a * a AS a, b * b AS b, c * c AS c FROM l0),
+      l2 AS (SELECT s, a * a AS a, b * b AS b, c * c AS c FROM l1),
+      l3 AS (SELECT s, a * a AS a, b * b AS b, c * c AS c FROM l2),
+      l4 AS (SELECT s, a * a AS a, b AS b, c * c AS c FROM l3),
+      l5 AS (SELECT s, a, b, c * c AS c FROM l4)
+      SELECT CAST(FLOOR(s * 20) AS BIGINT) AS bucket, COUNT(*) AS n_pairs,
+        round(SUM(1.0 - a) / COUNT(*), 6) AS p_cand_16x4,
+        round(SUM(1.0 - b) / COUNT(*), 6) AS p_cand_8x8,
+        round(SUM(1.0 - c) / COUNT(*), 6) AS p_cand_32x2
+      FROM l5 GROUP BY 1 ORDER BY 1"""))
+
+  /** Indexed series (base-period = 100): monthly revenue per market
+    * segment rebased to each segment's first month — the BI standard
+    * for comparing growth across segments of different absolute size.
+    * The base month rides a first_value window on the O(segments ×
+    * months) aggregated frame; the index is one division of exact
+    * DECIMAL sums.
+    */
+  val q172IndexedSeries: QueryDef = QueryDef("q172_indexed_series",
+    (s, dir) => {
+      val monthly = t(s, dir, "orders")
+        .join(broadcast(t(s, dir, "customer")
+          .select(col("c_custkey"), col("c_mktsegment"))),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment").as("segment"),
+          date_trunc("month", col("o_orderdate")).as("month"))
+        .agg(sum(dec(col("o_totalprice"))).as("rev"))
+      val w = Window.partitionBy(col("segment")).orderBy(col("month"))
+      monthly
+        .withColumn("base", first(col("rev")).over(w))
+        .select(col("segment"), col("month"),
+          round(col("rev").cast(DoubleType), 2).as("revenue"),
+          round(col("rev").cast(DoubleType) / col("base").cast(DoubleType) * 100.0, 4)
+            .as("index_100"))
+        .orderBy(col("segment"), col("month"))
+    },
+    Some("""WITH monthly AS (SELECT c_mktsegment AS segment,
+          date_trunc('month', o_orderdate) AS month,
+          SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS rev
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY 1, 2)
+      SELECT segment, month,
+        round(CAST(rev AS DOUBLE), 2) AS revenue,
+        round(CAST(rev AS DOUBLE) /
+          CAST(FIRST_VALUE(rev) OVER (PARTITION BY segment ORDER BY month) AS DOUBLE) * 100.0, 4)
+          AS index_100
+      FROM monthly ORDER BY segment, month"""))
+
+  /** 2-D binned density (hexbin-lite): the (quantity, price-decile)
+    * joint distribution of lineitems — the scatter-compression every
+    * plotting front-end needs at 100 TB (ship O(bins²) cells, never
+    * points). Integer bin arithmetic; price bins are fixed $10k-wide
+    * cells so the grid is deterministic without a quantile pass.
+    */
+  val q173Density2d: QueryDef = QueryDef("q173_density2d",
+    (s, dir) => {
+      val binned = t(s, dir, "lineitem")
+        .select(col("l_quantity").cast(LongType).as("qbin"),
+          floor(dec(col("l_extendedprice")) / 10000).cast(LongType).as("pbin"))
+      val tot = binned.agg(count(lit(1)).as("n_total"))
+      binned.groupBy(col("qbin"), col("pbin"))
+        .agg(count(lit(1)).as("n"))
+        .crossJoin(broadcast(tot))
+        .select(col("qbin"), col("pbin"), col("n"),
+          round(col("n").cast(DoubleType) / col("n_total").cast(DoubleType), 6)
+            .as("density"))
+        .orderBy(col("qbin"), col("pbin"))
+    },
+    Some("""WITH b AS (SELECT CAST(l_quantity AS BIGINT) AS qbin,
+          CAST(FLOOR(CAST(l_extendedprice AS DECIMAL(12,2)) / 10000) AS BIGINT) AS pbin
+        FROM lineitem),
+      tot AS (SELECT COUNT(*) AS n_total FROM b)
+      SELECT qbin, pbin, COUNT(*) AS n,
+        round(CAST(COUNT(*) AS DOUBLE) / (SELECT n_total FROM tot), 6) AS density
+      FROM b GROUP BY 1, 2 ORDER BY 1, 2"""))
+
   /** Heaps'-law vocabulary growth per source: token and type totals
     * at the half-corpus prefix (docs up to the id-range midpoint) vs
     * the full corpus, and the Heaps exponent β = ln(V₂/V₁)/ln(N₂/N₁)
@@ -9169,6 +9300,7 @@ object Queries {
     tsKleinberg, textGoodTuring, q161Dispersion, q162DecayAttribution,
     q163Abc, q164RepeatCurve, q165MarkovEval, q166Stl, q167ReturnRate, dedupSavings,
     q168Heaps, q169SeqPatterns, q170TopkTies,
+    q171LshTuning, q172IndexedSeries, q173Density2d,
     etlMergeUpsert, etlConstraints, etlProvenance,
     graphPageRank, curateWeightedSample,
     etlUnionSources, etlValidate, etlCleanTransform, etlQualityReport,
