@@ -8202,6 +8202,116 @@ object Queries {
         round(SUM(1.0 - c) / COUNT(*), 6) AS p_cand_32x2
       FROM l5 GROUP BY 1 ORDER BY 1"""))
 
+  /** k-fold AUC panel (Eval.groupedAuc): the q136 classifier fixture
+    * scored per deterministic fold (custkey mod 5) — the slice-eval
+    * that catches "the model is only good on one fold". Same
+    * collapsed-domain integer midranks, all windows partitioned by
+    * fold.
+    */
+  val q174CvAuc: QueryDef = QueryDef("q174_cv_auc",
+    (s, dir) => Eval.groupedAuc(
+        scoredCustomers(s, dir).withColumn("fold", pmod(col("c_custkey"), lit(5L))),
+        col("fold"), col("score_u"), col("pos"))
+      .withColumnRenamed("grp", "fold")
+      .orderBy(col("fold")),
+    Some(s"""WITH $scoredSql,
+      g AS (SELECT c_custkey % 5 AS fold, score_u AS sc, COUNT(*) AS c,
+          CAST(SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS p
+        FROM scored GROUP BY 1, 2),
+      o AS (SELECT fold, sc, c, p, COALESCE(SUM(c) OVER (PARTITION BY fold ORDER BY sc
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off FROM g),
+      agg AS (SELECT fold, CAST(SUM(p * (2 * off + c + 1)) AS BIGINT) AS r2,
+          CAST(SUM(p) AS BIGINT) AS np, CAST(SUM(c - p) AS BIGINT) AS nn,
+          CAST(SUM(c) AS BIGINT) AS n FROM o GROUP BY fold)
+      SELECT fold, n, np AS n_pos, nn AS n_neg,
+        CASE WHEN np > 0 AND nn > 0
+          THEN round(CAST(r2 - np * (np + 1) AS DOUBLE) / (2.0 * np * nn), 6)
+        END AS auc
+      FROM agg ORDER BY fold"""))
+
+  /** Watermark-sizing report: how much data a streaming watermark of
+    * each candidate delay would drop. Per-user out-of-orderness =
+    * keyed frontier (running max event time over arrival order, the
+    * event-id sequence) minus the event's own time — exactly the
+    * lateness the keyed state store sees; the panel counts events
+    * later than 1m / 10m / 1h / 1d. Exact integer microseconds; one
+    * user-partitioned window + one conditional aggregation.
+    */
+  val q175LateArrival: QueryDef = QueryDef("q175_late_arrival",
+    (s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val late = t(s, dir, "events")
+        .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("tu"))
+        .withColumn("frontier", max(col("tu")).over(w))
+        .withColumn("late_us", greatest(col("frontier") - col("tu"), lit(0L)))
+        .filter(col("frontier").isNotNull)
+      late.select(explode(array(
+          lit(60000000L), lit(600000000L), lit(3600000000L), lit(86400000000L)))
+          .as("threshold_us"), col("late_us"))
+        .groupBy(col("threshold_us"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(when(col("late_us") > col("threshold_us"), 1L).otherwise(0L)).as("n_late"))
+        .select(col("threshold_us"), col("n_events"), col("n_late"),
+          round(col("n_late").cast(DoubleType) / col("n_events").cast(DoubleType), 6)
+            .as("late_share"))
+        .orderBy(col("threshold_us"))
+    },
+    Some("""WITH ev AS (SELECT user_id, event_id, epoch_us(ts) AS tu FROM events),
+      f AS (SELECT user_id, tu,
+          MAX(tu) OVER (PARTITION BY user_id ORDER BY event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS frontier
+        FROM ev),
+      late AS (SELECT greatest(frontier - tu, 0) AS late_us FROM f WHERE frontier IS NOT NULL),
+      thr AS (SELECT unnest([60000000, 600000000, 3600000000, 86400000000]) AS threshold_us)
+      SELECT CAST(threshold_us AS BIGINT) AS threshold_us, COUNT(*) AS n_events,
+        CAST(SUM(CASE WHEN late_us > threshold_us THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
+        round(CAST(SUM(CASE WHEN late_us > threshold_us THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6) AS late_share
+      FROM late CROSS JOIN thr
+      GROUP BY 1 ORDER BY 1"""))
+
+  /** Connected-component SIZE DISTRIBUTION of the part co-purchase
+    * graph (components via the convergence-run Dedup.connectedComponents
+    * — the same operator the near-dup clustering ships): components
+    * per size plus each size tier's share of all nodes. The
+    * graph-health readout (is there a giant component?) that decides
+    * whether the downstream per-component work is balanced.
+    */
+  val q176ComponentSizes: QueryDef = QueryDef("q176_component_sizes",
+    (s, dir) => {
+      val op = t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+      val edges = op.as("a")
+        .join(op.as("b"), col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+        .groupBy(col("a.pk").as("id_a"), col("b.pk").as("id_b"))
+        .agg(count(lit(1)).as("w")).filter(col("w") >= 2)
+        .select(col("id_a"), col("id_b"))
+      val sizes = Dedup.connectedComponents(edges)
+        .groupBy(col("cluster")).agg(count(lit(1)).as("sz"))
+      val tot = sizes.agg(sum(col("sz")).as("n_nodes"))
+      sizes.groupBy(col("sz"))
+        .agg(count(lit(1)).as("n_components"))
+        .crossJoin(broadcast(tot))
+        .select(col("sz"), col("n_components"),
+          round((col("sz") * col("n_components")).cast(DoubleType) /
+            col("n_nodes").cast(DoubleType), 6).as("node_share"))
+        .orderBy(col("sz"))
+    },
+    Some("""WITH RECURSIVE op AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+      e AS (SELECT a.pk AS id_a, b.pk AS id_b FROM op a JOIN op b
+        ON a.ok = b.ok AND a.pk < b.pk GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+      edges AS (SELECT id_a AS s, id_b AS d FROM e UNION ALL SELECT id_b, id_a FROM e),
+      reach(id, r) AS (
+        SELECT s, s FROM (SELECT DISTINCT s FROM edges)
+        UNION
+        SELECT edges.s, reach.r FROM edges JOIN reach ON edges.d = reach.id),
+      comp AS (SELECT id, MIN(r) AS cluster FROM reach GROUP BY id),
+      sizes AS (SELECT cluster, COUNT(*) AS sz FROM comp GROUP BY 1),
+      tot AS (SELECT SUM(sz) AS n_nodes FROM sizes)
+      SELECT sz, COUNT(*) AS n_components,
+        round(CAST(sz * COUNT(*) AS DOUBLE) / (SELECT n_nodes FROM tot), 6) AS node_share
+      FROM sizes GROUP BY sz ORDER BY sz"""))
+
   /** Indexed series (base-period = 100): monthly revenue per market
     * segment rebased to each segment's first month — the BI standard
     * for comparing growth across segments of different absolute size.
@@ -9301,6 +9411,7 @@ object Queries {
     q163Abc, q164RepeatCurve, q165MarkovEval, q166Stl, q167ReturnRate, dedupSavings,
     q168Heaps, q169SeqPatterns, q170TopkTies,
     q171LshTuning, q172IndexedSeries, q173Density2d,
+    q174CvAuc, q175LateArrival, q176ComponentSizes,
     etlMergeUpsert, etlConstraints, etlProvenance,
     graphPageRank, curateWeightedSample,
     etlUnionSources, etlValidate, etlCleanTransform, etlQualityReport,

@@ -400,9 +400,19 @@ object Dedup {
     while (i < maxIter && !converged) {
       val msgs = edges.join(labels, edges("src") === labels("id"))
         .select(col("dst").as("id"), col("cluster"))
-      val next = msgs.unionByName(labels.select(col("id"), col("cluster")))
+      val next0 = msgs.unionByName(labels.select(col("id"), col("cluster")))
         .groupBy("id").agg(min(col("cluster")).as("cluster"))
-        .persist()
+      // `labels` feeds BOTH the join and the union, so the logical
+      // plan DOUBLES per iteration — a long-diameter component (a
+      // giant co-purchase component needs ~10 rounds) grows a 2^k-node
+      // plan whose analysis alone OOMs the driver (observed: 2 GB plan
+      // strings at sf0.01). Truncate lineage with an EAGER
+      // localCheckpoint every 3rd round; other rounds keep the cheap
+      // persist (1 job/iteration). Never a LAZY localCheckpoint here —
+      // multi-consumer lazy checkpoints deadlock the DAG scheduler on
+      // the RDDCheckpointData lock (SKILL gotcha).
+      val next = if ((i + 1) % 3 == 0) next0.localCheckpoint(true)
+        else next0.persist()
       val s = labelSum(next)
       converged = s.compareTo(prevSum) == 0
       prevSum = s

@@ -60,6 +60,38 @@ object Eval {
           .as("auc"))
   }
 
+  /** Per-group [[binaryAuc]] — same collapsed-score-domain midrank
+    * identity with every window/aggregation partitioned by `group`:
+    * the k-fold / per-segment model-eval form ("is the model only good
+    * on one slice"). Same DECIMAL(38,0) midrank sums.
+    */
+  def groupedAuc(df: DataFrame, group: Column, score: Column,
+      label: Column): DataFrame = {
+    val g = df.select(group.as("grp"), score.as("s"),
+        when(label, 1L).otherwise(0L).as("y"))
+      .groupBy(col("grp"), col("s"))
+      .agg(count(lit(1)).as("c"), sum(col("y")).as("p"))
+    val wOff = Window.partitionBy(col("grp")).orderBy(col("s"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ranked = g.withColumn("off", coalesce(sum(col("c")).over(wOff), lit(0L)))
+    val dec = DecimalType(38, 0)
+    ranked.groupBy(col("grp"))
+      .agg(
+        sum(col("p").cast(dec) *
+          (lit(2L) * col("off") + col("c") + lit(1L)).cast(dec)).as("r2"),
+        sum(col("p")).as("n_pos"),
+        sum(col("c") - col("p")).as("n_neg"),
+        sum(col("c")).as("n"))
+      .select(col("grp"), col("n"), col("n_pos"), col("n_neg"),
+        // degenerate-group guard: a one-class group has no ROC (and
+        // ANSI throws on the zero divisor)
+        when(col("n_pos") > 0 && col("n_neg") > 0,
+          round((col("r2") - col("n_pos").cast(dec) * (col("n_pos") + 1).cast(dec))
+              .cast(DoubleType) /
+            (lit(2.0) * col("n_pos").cast(DoubleType) * col("n_neg").cast(DoubleType)), 6))
+          .as("auc"))
+  }
+
   /** Reliability diagram + per-bin Brier decomposition for a predicted
     * probability expressed in exact millionths (`pU` ∈ [0, 1e6] as a
     * LONG — the caller scales however it scores; integer units keep
