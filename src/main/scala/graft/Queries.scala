@@ -8202,6 +8202,165 @@ object Queries {
         round(SUM(1.0 - c) / COUNT(*), 6) AS p_cand_32x2
       FROM l5 GROUP BY 1 ORDER BY 1"""))
 
+  /** Contamination overlap-RATE report — the graded companion to the
+    * binary curate_decontaminate drop: per training doc, the share of
+    * its distinct 4-grams that appear anywhere in the eval split
+    * (doc_id % 97), plus the corpus mean. The drop threshold becomes
+    * a POLICY choice read off this distribution instead of "any
+    * overlap kills". Exact integer gram counts; the eval gram set
+    * broadcasts (it is the small split by construction).
+    */
+  val curateOverlapRate: QueryDef = QueryDef("curate_overlap_rate",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val grams = docs
+        .select(col("doc_id"), explode(Dedup.shingles(
+          TextAnalysis.tokens(col("text")), 4)).as("gram"))
+      val evalGrams = grams.filter(col("doc_id") % 97 === 0)
+        .select(col("gram")).distinct()
+      val perDoc = grams.filter(col("doc_id") % 97 =!= 0)
+        .join(broadcast(evalGrams.withColumn("hit", lit(1L))), Seq("gram"), "left")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_grams"),
+          sum(coalesce(col("hit"), lit(0L))).as("n_overlap"))
+        .localCheckpoint(true) // mean reads it too
+      val mean = perDoc.agg((sum(col("n_overlap")).cast(DoubleType) /
+        sum(col("n_grams")).cast(DoubleType)).as("corpus_rate"))
+      perDoc.crossJoin(broadcast(mean))
+        .select(col("doc_id"), col("n_grams"), col("n_overlap"),
+          round(col("n_overlap").cast(DoubleType) / col("n_grams").cast(DoubleType), 6)
+            .as("overlap_rate"),
+          round(col("corpus_rate"), 6).as("corpus_rate"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH tok AS (SELECT doc_id,
+        string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS w
+        FROM documents),
+      g AS (SELECT doc_id, unnest(list_distinct(
+          [w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]
+           FOR i IN range(1, len(w) - 2)])) AS gram
+        FROM tok WHERE len(w) >= 4),
+      eg AS (SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0),
+      perdoc AS (SELECT g.doc_id, COUNT(*) AS n_grams,
+          CAST(SUM(CASE WHEN eg.gram IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_overlap
+        FROM g LEFT JOIN eg ON eg.gram = g.gram
+        WHERE g.doc_id % 97 <> 0
+        GROUP BY 1),
+      m AS (SELECT CAST(SUM(n_overlap) AS DOUBLE) / CAST(SUM(n_grams) AS DOUBLE) AS corpus_rate
+        FROM perdoc)
+      SELECT doc_id, n_grams, n_overlap,
+        round(CAST(n_overlap AS DOUBLE) / CAST(n_grams AS DOUBLE), 6) AS overlap_rate,
+        round((SELECT corpus_rate FROM m), 6) AS corpus_rate
+      FROM perdoc ORDER BY doc_id"""))
+
+  /** Token-length quantile panel per source (p50/p90/p99 + max via the
+    * exact-selection operator, all sources sharing the passes) — the
+    * context-window / packing-efficiency planning table: how many
+    * documents exceed the sequence length at each candidate cutoff.
+    */
+  val textLengthPanel: QueryDef = QueryDef("text_length_panel",
+    (s, dir) => {
+      val lens = t(s, dir, "documents")
+        .select(col("source"), TextAnalysis.tokenCount(col("text"))
+          .cast(DoubleType).as("n_tok"))
+        .localCheckpoint(true) // selection passes + the over-limit census
+      val qs = Selection.exactQuantiles(lens, "source", "n_tok",
+          Seq(0.5, 0.9, 0.99))
+        .groupBy(col("source"))
+        .agg(max(when(col("p") === 0.5, col("q"))).as("p50"),
+          max(when(col("p") === 0.9, col("q"))).as("p90"),
+          max(when(col("p") === 0.99, col("q"))).as("p99"))
+      val census = lens.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), max(col("n_tok")).cast(LongType).as("max_tok"),
+          sum(when(col("n_tok") > 256, 1L).otherwise(0L)).as("over_256"),
+          sum(when(col("n_tok") > 512, 1L).otherwise(0L)).as("over_512"))
+      census.join(broadcast(qs), Seq("source"))
+        .select(col("source"), col("n_docs"),
+          round(col("p50"), 4).as("p50"), round(col("p90"), 4).as("p90"),
+          round(col("p99"), 4).as("p99"), col("max_tok"),
+          col("over_256"), col("over_512"))
+        .orderBy(col("source"))
+    },
+    Some("""WITH lens AS (SELECT source,
+          CAST(len(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS DOUBLE) AS n_tok
+        FROM documents)
+      SELECT source, COUNT(*) AS n_docs,
+        round(quantile_cont(n_tok, 0.5), 4) AS p50,
+        round(quantile_cont(n_tok, 0.9), 4) AS p90,
+        round(quantile_cont(n_tok, 0.99), 4) AS p99,
+        CAST(MAX(n_tok) AS BIGINT) AS max_tok,
+        CAST(SUM(CASE WHEN n_tok > 256 THEN 1 ELSE 0 END) AS BIGINT) AS over_256,
+        CAST(SUM(CASE WHEN n_tok > 512 THEN 1 ELSE 0 END) AS BIGINT) AS over_512
+      FROM lens GROUP BY source ORDER BY source"""))
+
+  /** Cohen's kappa between the heuristic language-ID and the labeled
+    * `lang` column: chance-corrected agreement from the exact
+    * confusion counts (pₒ = accuracy, pₑ from the marginals) — the
+    * classifier-audit statistic that a raw accuracy number inflates
+    * on skewed label mixes. One census pass; kappa is one fixed IEEE
+    * expression over exact integers.
+    */
+  val q177Kappa: QueryDef = QueryDef("q177_kappa",
+    (s, dir) => {
+      val preds = t(s, dir, "documents")
+        .select(col("doc_id"), col("lang").as("actual"),
+          TextAnalysis.langIdOf(TextAnalysis.tokens(col("text")), col("text"))
+            .as("predicted"))
+      val cells = preds.groupBy(col("actual"), col("predicted"))
+        .agg(count(lit(1)).as("c"))
+        .localCheckpoint(true) // marginals + diagonal + total read it
+      val tot = cells.agg(sum(col("c")).as("n"),
+        sum(when(col("actual") === col("predicted"), col("c")).otherwise(0L)).as("agree"))
+      // marginal products and n² overflow a LongType around 3e9 docs —
+      // DECIMAL(38,0) for the sum, double-first for the quotient
+      val D38 = DecimalType(38, 0)
+      val pe = cells.groupBy(col("actual")).agg(sum(col("c")).as("ra"))
+        .join(cells.groupBy(col("predicted")).agg(sum(col("c")).as("ca")),
+          col("actual") === col("predicted"))
+        .agg(sum(col("ra").cast(D38) * col("ca").cast(D38)).as("pe_num"))
+      val nD = col("n").cast(DoubleType)
+      val peD = col("pe_num").cast(DoubleType) / (nD * nD)
+      tot.crossJoin(broadcast(pe))
+        .select(col("n"), col("agree"),
+          round(col("agree").cast(DoubleType) / nD, 6).as("p_o"),
+          round(peD, 6).as("p_e"),
+          round((col("agree").cast(DoubleType) / nD - peD) / (lit(1.0) - peD), 6)
+            .as("kappa"))
+    },
+    Some("""WITH t AS (SELECT doc_id, lang, text,
+        string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS w
+        FROM documents),
+      sc AS (SELECT doc_id, lang,
+        len(list_filter(w, x -> x IN ('the','and','of','to','is','that','it','was','for','with','this','have','are','be','not','from','they'))) AS s_en,
+        len(list_filter(w, x -> x IN ('le','les','des','du','et','est','une','que','qui','dans','pour','pas','vous','je','sur','avec','ne','ce','il','au','aux','son','ses'))) AS s_fr,
+        len(list_filter(w, x -> x IN ('el','los','las','y','una','que','por','para','con','no','su','como','pero','muy','sin','sobre','se','lo','del','al','más'))) AS s_es,
+        len(list_filter(w, x -> x IN ('der','die','das','und','ist','von','mit','den','ein','eine','nicht','zu','im','auf','für','sich','dem','auch','werden','bei','einer','nach'))) AS s_de,
+        len(regexp_extract_all(text, '[\x{4e00}-\x{9fff}]')) AS cjk,
+        GREATEST(CAST(length(text) AS DOUBLE), 1.0) AS n
+        FROM t),
+      preds AS (SELECT lang AS actual,
+        CASE WHEN CAST(cjk AS DOUBLE) / n > 0.15 THEN 'zh'
+             WHEN s_en + s_fr + s_es + s_de = 0 THEN 'und'
+             WHEN s_en >= GREATEST(s_fr, s_es, s_de) THEN 'en'
+             WHEN s_fr >= GREATEST(s_es, s_de) THEN 'fr'
+             WHEN s_es >= s_de THEN 'es'
+             ELSE 'de' END AS predicted
+        FROM sc),
+      cells AS (SELECT actual, predicted, COUNT(*) AS c FROM preds GROUP BY 1, 2),
+      tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n,
+          CAST(SUM(CASE WHEN actual = predicted THEN c ELSE 0 END) AS BIGINT) AS agree
+        FROM cells),
+      pe AS (SELECT CAST(SUM(ra * ca) AS BIGINT) AS pe_num FROM
+          (SELECT actual, SUM(c) AS ra FROM cells GROUP BY 1) r
+        JOIN (SELECT predicted, SUM(c) AS ca FROM cells GROUP BY 1) p
+          ON r.actual = p.predicted)
+      SELECT n, agree,
+        round(CAST(agree AS DOUBLE) / n, 6) AS p_o,
+        round(CAST(pe_num AS DOUBLE) / (CAST(n AS DOUBLE) * n), 6) AS p_e,
+        round((CAST(agree AS DOUBLE) / n - CAST(pe_num AS DOUBLE) / (CAST(n AS DOUBLE) * n)) /
+          (1.0 - CAST(pe_num AS DOUBLE) / (CAST(n AS DOUBLE) * n)), 6) AS kappa
+      FROM tot CROSS JOIN pe"""))
+
   /** k-fold AUC panel (Eval.groupedAuc): the q136 classifier fixture
     * scored per deterministic fold (custkey mod 5) — the slice-eval
     * that catches "the model is only good on one fold". Same
@@ -9412,6 +9571,7 @@ object Queries {
     q168Heaps, q169SeqPatterns, q170TopkTies,
     q171LshTuning, q172IndexedSeries, q173Density2d,
     q174CvAuc, q175LateArrival, q176ComponentSizes,
+    curateOverlapRate, textLengthPanel, q177Kappa,
     etlMergeUpsert, etlConstraints, etlProvenance,
     graphPageRank, curateWeightedSample,
     etlUnionSources, etlValidate, etlCleanTransform, etlQualityReport,
