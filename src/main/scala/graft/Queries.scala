@@ -8202,6 +8202,155 @@ object Queries {
         round(SUM(1.0 - c) / COUNT(*), 6) AS p_cand_32x2
       FROM l5 GROUP BY 1 ORDER BY 1"""))
 
+  /** Character-class census per source: ASCII / CJK / digit /
+    * whitespace shares of the raw text — the tokenizer-planning table
+    * (byte-fallback pressure, script mix) next to text_langid's
+    * per-doc call. Map-side regexp counts, one partial-agg shuffle,
+    * exact integer totals.
+    */
+  val textCharsetCensus: QueryDef = QueryDef("text_charset_census",
+    (s, dir) => t(s, dir, "documents")
+      .select(col("source"),
+        length(col("text")).cast(LongType).as("n_chars"),
+        regexp_count(col("text"), lit("[\\x00-\\x7F]")).cast(LongType).as("ascii"),
+        regexp_count(col("text"), lit("[\\u4e00-\\u9fff]")).cast(LongType).as("cjk"),
+        regexp_count(col("text"), lit("[0-9]")).cast(LongType).as("digit"),
+        regexp_count(col("text"), lit("\\s")).cast(LongType).as("ws"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("n_chars"),
+        round(sum(col("ascii")).cast(DoubleType) / sum(col("n_chars")).cast(DoubleType), 6).as("ascii_share"),
+        round(sum(col("cjk")).cast(DoubleType) / sum(col("n_chars")).cast(DoubleType), 6).as("cjk_share"),
+        round(sum(col("digit")).cast(DoubleType) / sum(col("n_chars")).cast(DoubleType), 6).as("digit_share"),
+        round(sum(col("ws")).cast(DoubleType) / sum(col("n_chars")).cast(DoubleType), 6).as("ws_share"))
+      .orderBy(col("source")),
+    Some("""SELECT source, COUNT(*) AS n_docs,
+        CAST(SUM(length(text)) AS BIGINT) AS n_chars,
+        round(CAST(SUM(len(regexp_extract_all(text, '[\x00-\x7f]'))) AS DOUBLE) /
+          SUM(length(text)), 6) AS ascii_share,
+        round(CAST(SUM(len(regexp_extract_all(text, '[\x{4e00}-\x{9fff}]'))) AS DOUBLE) /
+          SUM(length(text)), 6) AS cjk_share,
+        round(CAST(SUM(len(regexp_extract_all(text, '[0-9]'))) AS DOUBLE) /
+          SUM(length(text)), 6) AS digit_share,
+        round(CAST(SUM(len(regexp_extract_all(text, '\s'))) AS DOUBLE) /
+          SUM(length(text)), 6) AS ws_share
+      FROM documents GROUP BY source ORDER BY source"""))
+
+  /** Mixture-plan table: given a UNIFORM target share per source,
+    * the sampling factor target·N_total/N_s each source needs — the
+    * planning step in front of curate_mixture's executed sample
+    * (factor < 1 ⇒ downsample at that rate; factor > 1 ⇒ oversample
+    * ceil(factor) epochs). One census pass; exact integer counts, one
+    * IEEE division per row.
+    */
+  val curateMixturePlan: QueryDef = QueryDef("curate_mixture_plan",
+    (s, dir) => {
+      val census = t(s, dir, "documents")
+        .groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+        .localCheckpoint(true) // total + per-row factor read it
+      val tot = census.agg(sum(col("n_docs")).as("n_total"),
+        count(lit(1)).as("n_sources"))
+      census.crossJoin(broadcast(tot))
+        .withColumn("factor",
+          col("n_total").cast(DoubleType) /
+            (col("n_sources").cast(DoubleType) * col("n_docs").cast(DoubleType)))
+        .select(col("source"), col("n_docs"),
+          round(col("n_docs").cast(DoubleType) / col("n_total").cast(DoubleType), 6)
+            .as("current_share"),
+          round(lit(1.0) / col("n_sources").cast(DoubleType), 6).as("target_share"),
+          round(col("factor"), 6).as("factor"),
+          round(least(lit(1.0), col("factor")), 6).as("sample_rate"),
+          ceil(col("factor")).cast(LongType).as("epochs_needed"))
+        .orderBy(col("source"))
+    },
+    Some("""WITH census AS (SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY 1),
+      tot AS (SELECT CAST(SUM(n_docs) AS DOUBLE) AS n_total,
+          CAST(COUNT(*) AS DOUBLE) AS n_sources FROM census)
+      SELECT source, n_docs,
+        round(n_docs / n_total, 6) AS current_share,
+        round(1.0 / n_sources, 6) AS target_share,
+        round(n_total / (n_sources * n_docs), 6) AS factor,
+        round(least(1.0, n_total / (n_sources * n_docs)), 6) AS sample_rate,
+        CAST(CEIL(n_total / (n_sources * n_docs)) AS BIGINT) AS epochs_needed
+      FROM census CROSS JOIN tot ORDER BY source"""))
+
+  /** Cramér's V association panel: chi-square (the q75 rounded-
+    * contribution DECIMAL sum, order-independent) normalized to
+    * [0, 1] as V = √(χ²/(n·min(r−1, c−1))) for TWO categorical pairs
+    * in one output — the "which dimensions actually relate"
+    * screening matrix a feature-selection pass starts from.
+    */
+  val q178CramersV: QueryDef = QueryDef("q178_cramers_v",
+    (s, dir) => {
+      def vOf(cellsIn: DataFrame, label: String): DataFrame = {
+        val cells = cellsIn.localCheckpoint(true)
+        val rt = cells.groupBy(col("a")).agg(sum(col("o")).as("rt"))
+        val ct = cells.groupBy(col("b")).agg(sum(col("o")).as("ct"))
+        val n  = cells.agg(sum(col("o")).as("n"))
+        val oD = coalesce(col("o"), lit(0L)).cast(DoubleType)
+        val eD = col("rt").cast(DoubleType) * col("ct").cast(DoubleType) / col("n").cast(DoubleType)
+        val grid = rt.crossJoin(broadcast(ct)).crossJoin(broadcast(n))
+          .join(cells, Seq("a", "b"), "left")
+          .withColumn("contrib",
+            round((oD - eD) * (oD - eD) / eD, 6).cast(DecimalType(18, 6)))
+        val dims = rt.agg(count(lit(1)).as("nr"))
+          .crossJoin(broadcast(ct.agg(count(lit(1)).as("nc"))))
+        grid.agg(sum(col("contrib")).as("chi2d"),
+            sum(coalesce(col("o"), lit(0L))).as("n_obs"))
+          .crossJoin(broadcast(dims))
+          .select(lit(label).as("pair"), col("n_obs"),
+            ((col("nr") - 1) * (col("nc") - 1)).as("dof"),
+            col("chi2d").cast(DoubleType).as("chi2"),
+            round(sqrt(col("chi2d").cast(DoubleType) /
+              (col("n_obs").cast(DoubleType) *
+                least(col("nr") - 1, col("nc") - 1).cast(DoubleType))), 6)
+              .as("cramers_v"))
+      }
+      val p1 = t(s, dir, "orders")
+        .join(broadcast(t(s, dir, "customer")
+          .select(col("c_custkey"), col("c_mktsegment"))),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy(col("o_orderpriority").as("a"), col("c_mktsegment").as("b"))
+        .agg(count(lit(1)).as("o"))
+      val p2 = t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag").as("a"), col("l_linestatus").as("b"))
+        .agg(count(lit(1)).as("o"))
+      vOf(p1, "priority_x_segment").unionByName(vOf(p2, "returnflag_x_linestatus"))
+        .orderBy(col("pair"))
+    },
+    Some("""WITH c1 AS (SELECT o_orderpriority AS a, c_mktsegment AS b, COUNT(*) AS o
+        FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY 1, 2),
+      r1 AS (SELECT a, SUM(o) AS rt FROM c1 GROUP BY a),
+      t1 AS (SELECT b, SUM(o) AS ct FROM c1 GROUP BY b),
+      n1 AS (SELECT CAST(SUM(o) AS DOUBLE) AS n FROM c1),
+      g1 AS (SELECT r1.a, t1.b, CAST(COALESCE(o, 0) AS DOUBLE) AS o,
+          CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / (SELECT n FROM n1) AS e
+        FROM r1 CROSS JOIN t1 LEFT JOIN c1 ON c1.a = r1.a AND c1.b = t1.b),
+      s1 AS (SELECT 'priority_x_segment' AS pair,
+          CAST(SUM(CAST(o AS BIGINT)) AS BIGINT) AS n_obs,
+          ((SELECT COUNT(*) FROM r1) - 1) * ((SELECT COUNT(*) FROM t1) - 1) AS dof,
+          CAST(SUM(CAST(round((o - e) * (o - e) / e, 6) AS DECIMAL(18,6))) AS DOUBLE) AS chi2,
+          round(sqrt(CAST(SUM(CAST(round((o - e) * (o - e) / e, 6) AS DECIMAL(18,6))) AS DOUBLE) /
+            (CAST(SUM(CAST(o AS BIGINT)) AS DOUBLE) *
+             LEAST((SELECT COUNT(*) FROM r1) - 1, (SELECT COUNT(*) FROM t1) - 1))), 6) AS cramers_v
+        FROM g1),
+      c2 AS (SELECT l_returnflag AS a, l_linestatus AS b, COUNT(*) AS o
+        FROM lineitem GROUP BY 1, 2),
+      r2 AS (SELECT a, SUM(o) AS rt FROM c2 GROUP BY a),
+      t2 AS (SELECT b, SUM(o) AS ct FROM c2 GROUP BY b),
+      n2 AS (SELECT CAST(SUM(o) AS DOUBLE) AS n FROM c2),
+      g2 AS (SELECT r2.a, t2.b, CAST(COALESCE(o, 0) AS DOUBLE) AS o,
+          CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / (SELECT n FROM n2) AS e
+        FROM r2 CROSS JOIN t2 LEFT JOIN c2 ON c2.a = r2.a AND c2.b = t2.b),
+      s2 AS (SELECT 'returnflag_x_linestatus' AS pair,
+          CAST(SUM(CAST(o AS BIGINT)) AS BIGINT) AS n_obs,
+          ((SELECT COUNT(*) FROM r2) - 1) * ((SELECT COUNT(*) FROM t2) - 1) AS dof,
+          CAST(SUM(CAST(round((o - e) * (o - e) / e, 6) AS DECIMAL(18,6))) AS DOUBLE) AS chi2,
+          round(sqrt(CAST(SUM(CAST(round((o - e) * (o - e) / e, 6) AS DECIMAL(18,6))) AS DOUBLE) /
+            (CAST(SUM(CAST(o AS BIGINT)) AS DOUBLE) *
+             LEAST((SELECT COUNT(*) FROM r2) - 1, (SELECT COUNT(*) FROM t2) - 1))), 6) AS cramers_v
+        FROM g2)
+      SELECT * FROM s1 UNION ALL SELECT * FROM s2 ORDER BY pair"""))
+
   /** Contamination overlap-RATE report — the graded companion to the
     * binary curate_decontaminate drop: per training doc, the share of
     * its distinct 4-grams that appear anywhere in the eval split
@@ -9572,6 +9721,7 @@ object Queries {
     q171LshTuning, q172IndexedSeries, q173Density2d,
     q174CvAuc, q175LateArrival, q176ComponentSizes,
     curateOverlapRate, textLengthPanel, q177Kappa,
+    textCharsetCensus, curateMixturePlan, q178CramersV,
     etlMergeUpsert, etlConstraints, etlProvenance,
     graphPageRank, curateWeightedSample,
     etlUnionSources, etlValidate, etlCleanTransform, etlQualityReport,
