@@ -9677,6 +9677,476 @@ object Queries {
         round((level + trend) * seas[1] / 100.0, 4) AS forecast_1
       FROM hw WHERE rn = n ORDER BY flag"""))
 
+  /** One-way ANOVA F-test across order priorities on order value —
+    * "does priority class shift spend?", the k-group extension of
+    * q106_welch_ttest. Per-group moments (n, Σx, Σx²) ride one
+    * partial-aggregated shuffle as exact DECIMALs; the per-group
+    * correction terms sx²/n fold over the GROUP-SORTED O(k) array
+    * (sort_array + aggregate ↔ list ORDER BY + list_reduce), so both
+    * engines run the identical double-op sequence — bit-exact with NO
+    * quantization, which matters because at ~1e14 magnitudes a 4-dp
+    * quantize sits below the double ULP and the double→DECIMAL cast
+    * semantics diverge between engines. O(groups) final frame.
+    */
+  val q179Anova: QueryDef = QueryDef("q179_anova",
+    (s, dir) => {
+      val g = t(s, dir, "orders")
+        .select(col("o_orderpriority").as("grp"), dec(col("o_totalprice")).as("x"))
+        .groupBy(col("grp"))
+        .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+          sum(col("x") * col("x")).as("sxx"))
+        .withColumn("term", col("sx").cast(DoubleType) * col("sx").cast(DoubleType) /
+          col("n").cast(DoubleType))
+      val a = g.agg(count(lit(1)).as("k"), sum(col("n")).as("n_tot"),
+        sum(col("sx")).as("sx_tot"), sum(col("sxx")).as("sxx_tot"),
+        sort_array(collect_list(struct(col("grp"), col("term")))).as("terms"))
+        .withColumn("cm", aggregate(col("terms"), lit(0.0),
+          (acc, e) => acc + e.getField("term")))
+      val nD = col("n_tot").cast(DoubleType)
+      val ssb = col("cm") -
+        col("sx_tot").cast(DoubleType) * col("sx_tot").cast(DoubleType) / nD
+      val ssw = col("sxx_tot").cast(DoubleType) - col("cm")
+      a.select(col("k"), col("n_tot").as("n"),
+        round(ssb, 2).as("ss_between"), round(ssw, 2).as("ss_within"),
+        round((ssb / (col("k") - 1).cast(DoubleType)) /
+          (ssw / (nD - col("k").cast(DoubleType))), 6).as("f_stat"))
+    },
+    Some("""WITH g AS (SELECT o_orderpriority AS grp, COUNT(*) AS n,
+          SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS sx,
+          SUM(CAST(o_totalprice AS DECIMAL(12,2)) * CAST(o_totalprice AS DECIMAL(12,2))) AS sxx
+        FROM orders GROUP BY 1),
+      a AS (SELECT COUNT(*) AS k, SUM(n) AS n_tot, SUM(sx) AS sx_tot, SUM(sxx) AS sxx_tot,
+          list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+            list(CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n ORDER BY grp)),
+            (acc, x) -> acc + x) AS cm
+        FROM g)
+      SELECT CAST(k AS BIGINT) AS k, CAST(n_tot AS BIGINT) AS n,
+        round(CAST(cm AS DOUBLE) - CAST(sx_tot AS DOUBLE) * CAST(sx_tot AS DOUBLE) / n_tot, 2) AS ss_between,
+        round(CAST(sxx_tot AS DOUBLE) - CAST(cm AS DOUBLE), 2) AS ss_within,
+        round((CAST(cm AS DOUBLE) - CAST(sx_tot AS DOUBLE) * CAST(sx_tot AS DOUBLE) / n_tot) / (k - 1) /
+          ((CAST(sxx_tot AS DOUBLE) - CAST(cm AS DOUBLE)) / (n_tot - k)), 6) AS f_stat
+      FROM a"""))
+
+  /** Kruskal–Wallis H: the rank-based (distribution-free) companion of
+    * q179_anova — account balance across all five market segments,
+    * with the tie correction. Midranks come from the q94_mannwhitney
+    * bin+offset machinery (1024-bin value-domain partition, offsets
+    * via a window over the O(bins) frame, within-bin cumulative
+    * window) so there is NO global single-partition sort; doubled
+    * rank-sums accumulate in DECIMAL(38,0) (exact past 2^63), and the
+    * per-group H terms fold in group-sorted order (bit-exact on both
+    * engines at any magnitude — see q179_anova).
+    */
+  val q180Kruskal: QueryDef = QueryDef("q180_kruskal",
+    (s, dir) => {
+      val D38 = DecimalType(38, 0)
+      val base = t(s, dir, "customer")
+        .select(col("c_mktsegment").as("grp"), dec(col("c_acctbal")).as("v"))
+      val g = base.groupBy(col("grp"), col("v")).agg(count(lit(1)).as("c"))
+      val pv = g.groupBy(col("v")).agg(sum(col("c")).as("ct")).localCheckpoint(true)
+      val bounds = pv.agg(min(col("v")).as("lo"), max(col("v")).as("hi"))
+      val binned = pv.crossJoin(broadcast(bounds))
+        .withColumn("bin", least(greatest(floor(
+            (col("v").cast(DoubleType) - col("lo").cast(DoubleType)) /
+              ((col("hi").cast(DoubleType) - col("lo").cast(DoubleType)) / 1024.0 + 1e-9)
+          ).cast(LongType), lit(0L)), lit(1023L)))
+      val wBins = Window.orderBy(col("bin")).rowsBetween(Window.unboundedPreceding, -1)
+      val offsets = binned.groupBy(col("bin")).agg(sum(col("ct")).as("bn"))
+        .withColumn("boff", coalesce(sum(col("bn")).over(wBins), lit(0L)))
+        .select(col("bin"), col("boff"))
+      val wIn = Window.partitionBy(col("bin")).orderBy(col("v"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val ranks = binned.join(broadcast(offsets), "bin")
+        .withColumn("cb", col("boff") + sum(col("ct")).over(wIn) - col("ct"))
+        .select(col("v"), col("ct"), col("cb"))
+        .localCheckpoint(true) // feeds both the per-group join and the tie sum
+      val gj = g.join(ranks, "v")
+        .groupBy(col("grp"))
+        .agg(sum(col("c").cast(D38) *
+            (lit(2L) * col("cb") + col("ct") + 1).cast(D38)).as("r2"),
+          sum(col("c")).as("nj"))
+      val tie = ranks.agg(
+        sum(col("ct").cast(D38) * col("ct").cast(D38) * col("ct").cast(D38) -
+          col("ct").cast(D38)).as("tie3"),
+        sum(col("ct")).as("n"))
+      // per-group H terms fold in group-sorted order (bit-exact on
+      // both engines at any magnitude — see q179_anova)
+      val terms = gj
+        .withColumn("term", col("r2").cast(DoubleType) / 2 *
+          (col("r2").cast(DoubleType) / 2) / col("nj").cast(DoubleType))
+        .agg(count(lit(1)).as("k"),
+          sort_array(collect_list(struct(col("grp"), col("term")))).as("ts"))
+        .withColumn("srt", aggregate(col("ts"), lit(0.0),
+          (acc, e) => acc + e.getField("term")))
+      val nD = col("n").cast(DoubleType)
+      val h = lit(12.0) / (nD * (nD + 1.0)) * col("srt").cast(DoubleType) -
+        lit(3.0) * (nD + 1.0)
+      terms.crossJoin(broadcast(tie))
+        .select(col("k"), col("n"), round(h, 6).as("h"),
+          round(h / (lit(1.0) - col("tie3").cast(DoubleType) / (nD * nD * nD - nD)), 6)
+            .as("h_adj"))
+    },
+    Some("""WITH base AS (SELECT c_mktsegment AS grp, CAST(c_acctbal AS DECIMAL(12,2)) AS v
+        FROM customer),
+      g AS (SELECT grp, v, COUNT(*) AS c FROM base GROUP BY 1, 2),
+      pv AS (SELECT v, SUM(c) AS ct FROM g GROUP BY 1),
+      r AS (SELECT v, ct,
+          SUM(ct) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - ct AS cb
+        FROM pv),
+      gj AS (SELECT g.grp,
+          CAST(SUM(CAST(g.c AS DECIMAL(38,0)) * CAST(2 * r.cb + r.ct + 1 AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS r2,
+          SUM(g.c) AS nj
+        FROM g JOIN r ON g.v = r.v GROUP BY 1),
+      tie AS (SELECT CAST(SUM(CAST(ct AS DECIMAL(38,0)) * CAST(ct AS DECIMAL(38,0)) * CAST(ct AS DECIMAL(38,0))
+            - CAST(ct AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS tie3,
+          CAST(SUM(ct) AS BIGINT) AS n FROM pv),
+      terms AS (SELECT COUNT(*) AS k,
+          list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+            list(CAST(r2 AS DOUBLE) / 2 * (CAST(r2 AS DOUBLE) / 2) / nj ORDER BY grp)),
+            (acc, x) -> acc + x) AS srt
+        FROM gj)
+      SELECT CAST(k AS BIGINT) AS k, n,
+        round(12.0 / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0)) * CAST(srt AS DOUBLE)
+          - 3.0 * (CAST(n AS DOUBLE) + 1.0), 6) AS h,
+        round((12.0 / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0)) * CAST(srt AS DOUBLE)
+            - 3.0 * (CAST(n AS DOUBLE) + 1.0)) /
+          (1.0 - CAST(tie3 AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE) - CAST(n AS DOUBLE))), 6) AS h_adj
+      FROM terms CROSS JOIN tie"""))
+
+  /** Standardized effect sizes for the two-segment balance contrast —
+    * the "is the difference MEANINGFUL" companion to q106's "is it
+    * significant": pooled-sd Cohen's d, its small-sample Hedges' g
+    * correction, and control-sd Glass's Δ. Same exact-moment shape as
+    * q106_welch_ttest (one partial-agg shuffle, O(1) final frame).
+    */
+  val q181EffectSize: QueryDef = QueryDef("q181_effect_size",
+    (s, dir) => {
+      val g = t(s, dir, "customer")
+        .filter(col("c_mktsegment").isin("AUTOMOBILE", "HOUSEHOLD"))
+        .select(col("c_mktsegment").as("seg"), dec(col("c_acctbal")).as("x"))
+        .groupBy(col("seg"))
+        .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+          sum(col("x") * col("x")).as("sxx"))
+        .withColumn("m", col("sx").cast(DoubleType) / col("n").cast(DoubleType))
+        .withColumn("v", (col("sxx").cast(DoubleType) -
+          col("sx").cast(DoubleType) * col("sx").cast(DoubleType) / col("n").cast(DoubleType)) /
+          (col("n") - 1).cast(DoubleType))
+      val a = g.filter(col("seg") === "AUTOMOBILE")
+        .select(col("n").as("n1"), col("m").as("m1"), col("v").as("v1"))
+      val b = g.filter(col("seg") === "HOUSEHOLD")
+        .select(col("n").as("n2"), col("m").as("m2"), col("v").as("v2"))
+      val n1 = col("n1").cast(DoubleType); val n2 = col("n2").cast(DoubleType)
+      val sp = sqrt(((col("n1") - 1).cast(DoubleType) * col("v1") +
+        (col("n2") - 1).cast(DoubleType) * col("v2")) / (n1 + n2 - 2.0))
+      val d = (col("m1") - col("m2")) / sp
+      a.crossJoin(broadcast(b))
+        .select(col("n1"), col("n2"),
+          round(col("m1"), 4).as("mean1"), round(col("m2"), 4).as("mean2"),
+          round(d, 6).as("cohen_d"),
+          round(d * (lit(1.0) - lit(3.0) / (lit(4.0) * (n1 + n2) - 9.0)), 6).as("hedges_g"),
+          round((col("m1") - col("m2")) / sqrt(col("v2")), 6).as("glass_delta"))
+    },
+    Some("""WITH g AS (SELECT c_mktsegment AS seg, COUNT(*) AS n,
+          SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS sx,
+          SUM(CAST(c_acctbal AS DECIMAL(12,2)) * CAST(c_acctbal AS DECIMAL(12,2))) AS sxx
+        FROM customer WHERE c_mktsegment IN ('AUTOMOBILE', 'HOUSEHOLD') GROUP BY 1),
+      m AS (SELECT seg, n, CAST(sx AS DOUBLE) / n AS m,
+          (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n) / (n - 1) AS v
+        FROM g),
+      a AS (SELECT n AS n1, m AS m1, v AS v1 FROM m WHERE seg = 'AUTOMOBILE'),
+      b AS (SELECT n AS n2, m AS m2, v AS v2 FROM m WHERE seg = 'HOUSEHOLD')
+      SELECT n1, n2, round(m1, 4) AS mean1, round(m2, 4) AS mean2,
+        round((m1 - m2) / sqrt((CAST(n1 - 1 AS DOUBLE) * v1 + CAST(n2 - 1 AS DOUBLE) * v2) / (CAST(n1 AS DOUBLE) + n2 - 2.0)), 6) AS cohen_d,
+        round((m1 - m2) / sqrt((CAST(n1 - 1 AS DOUBLE) * v1 + CAST(n2 - 1 AS DOUBLE) * v2) / (CAST(n1 AS DOUBLE) + n2 - 2.0))
+          * (1.0 - 3.0 / (4.0 * (CAST(n1 AS DOUBLE) + n2) - 9.0)), 6) AS hedges_g,
+        round((m1 - m2) / sqrt(v2), 6) AS glass_delta
+      FROM a CROSS JOIN b"""))
+
+  /** HITS hubs/authorities (Graph.hits) on the customer→supplier
+    * co-purchase bipartite graph — top-10 hub customers and top-10
+    * authority suppliers by final L1 share. Fixed 4-iteration power
+    * method, NO per-step renormalization (shares are scale-free), so
+    * the recursive-CTE oracle can replay the exact double arithmetic;
+    * ppm rounding at 4 dp absorbs summation-order ULP noise exactly
+    * as in graph_pagerank. Rank-free top-10 (TakeOrdered per role).
+    */
+  val q182Hits: QueryDef = QueryDef("q182_hits",
+    (s, dir) => {
+      val edges = t(s, dir, "orders")
+        .join(t(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("o_custkey"), col("l_suppkey"))
+        .agg(count(lit(1)).cast(DoubleType).as("w"))
+        .select(col("o_custkey").as("src"),
+          (col("l_suppkey") + 1000000000L).as("dst"), col("w"))
+      val scored = Graph.hits(edges, "src", "dst", "w", iterations = 4)
+        .withColumn("share_ppm", round(col("share") * 1000000.0, 4))
+      val hub = scored.filter(col("role") === "hub")
+        .orderBy(desc("share_ppm"), col("node")).limit(10)
+      val auth = scored.filter(col("role") === "authority")
+        .orderBy(desc("share_ppm"), col("node")).limit(10)
+      hub.unionAll(auth).select(col("role"), col("node"), col("share_ppm"))
+        .orderBy(col("role"), desc("share_ppm"), col("node"))
+    },
+    Some("""WITH RECURSIVE
+      edges AS (
+        SELECT o_custkey AS src, l_suppkey + 1000000000 AS dst,
+               CAST(COUNT(*) AS DOUBLE) AS w
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        GROUP BY 1, 2),
+      hubs AS (
+        SELECT 0 AS iter, src AS node, CAST(1.0 AS DOUBLE) AS hub
+        FROM (SELECT DISTINCT src FROM edges)
+        UNION ALL
+        SELECT (SELECT MAX(h0.iter) FROM hubs h0) + 1, e2.src,
+          SUM(e2.w * a.auth)
+        FROM edges e2 JOIN (
+          SELECT e.dst, SUM(e.w * h.hub) AS auth
+          FROM edges e JOIN hubs h ON e.src = h.node
+          GROUP BY e.dst) a ON e2.dst = a.dst
+        WHERE (SELECT MAX(h1.iter) FROM hubs h1) < 4
+        GROUP BY e2.src),
+      hf AS (SELECT node, hub FROM hubs WHERE iter = 4),
+      af AS (SELECT e.dst AS node, SUM(e.w * h.hub) AS auth
+        FROM edges e JOIN (SELECT node, hub FROM hubs WHERE iter = 3) h
+          ON e.src = h.node
+        GROUP BY e.dst),
+      shares AS (
+        SELECT 'hub' AS role, node,
+          round(hub / (SELECT SUM(hub) FROM hf) * 1000000.0, 4) AS share_ppm FROM hf
+        UNION ALL
+        SELECT 'authority', node,
+          round(auth / (SELECT SUM(auth) FROM af) * 1000000.0, 4) FROM af),
+      top AS (SELECT role, node, share_ppm,
+          row_number() OVER (PARTITION BY role ORDER BY share_ppm DESC, node) AS rn
+        FROM shares)
+      SELECT role, node, share_ppm FROM top WHERE rn <= 10
+      ORDER BY role, share_ppm DESC, node"""))
+
+  /** Directed degree assortativity (out-degree of source vs in-degree
+    * of destination, Pearson over edges) of the purchase graph — "do
+    * prolific customers concentrate on popular suppliers?" The
+    * mixing-pattern diagnostic behind sampling and partitioning
+    * choices for graph workloads (positive r ⇒ hub-hub hotspots ⇒
+    * skew-salt the join). Degrees from two partial-agg shuffles, one
+    * edge join each, exact integer moments in DECIMAL(38,0); the
+    * correlation assembles in doubles on the O(1) frame.
+    */
+  val q183Assortativity: QueryDef = QueryDef("q183_assortativity",
+    (s, dir) => {
+      val D38 = DecimalType(38, 0)
+      val e = t(s, dir, "orders")
+        .join(t(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("src"), col("l_suppkey").as("dst"))
+        .distinct()
+      val outd = e.groupBy(col("src")).agg(count(lit(1)).as("xd"))
+      val ind = e.groupBy(col("dst")).agg(count(lit(1)).as("yd"))
+      val m = e.join(outd, "src").join(ind, "dst")
+        .agg(count(lit(1)).as("n_edges"),
+          sum(col("xd").cast(D38)).as("sx"), sum(col("yd").cast(D38)).as("sy"),
+          sum(col("xd").cast(D38) * col("yd").cast(D38)).as("sxy"),
+          sum(col("xd").cast(D38) * col("xd").cast(D38)).as("sxx"),
+          sum(col("yd").cast(D38) * col("yd").cast(D38)).as("syy"))
+      val nD = col("n_edges").cast(DoubleType)
+      val sx = col("sx").cast(DoubleType); val sy = col("sy").cast(DoubleType)
+      val num = nD * col("sxy").cast(DoubleType) - sx * sy
+      val den = sqrt((nD * col("sxx").cast(DoubleType) - sx * sx) *
+        (nD * col("syy").cast(DoubleType) - sy * sy))
+      m.select(col("n_edges"),
+        round(sx / nD, 4).as("mean_out_deg"),
+        round(sy / nD, 4).as("mean_in_deg"),
+        round(num / den, 6).as("assortativity"))
+    },
+    Some("""WITH e AS (SELECT DISTINCT o_custkey AS src, l_suppkey AS dst
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+      outd AS (SELECT src, COUNT(*) AS xd FROM e GROUP BY 1),
+      ind AS (SELECT dst, COUNT(*) AS yd FROM e GROUP BY 1),
+      m AS (SELECT COUNT(*) AS n_edges,
+          SUM(CAST(xd AS DECIMAL(38,0))) AS sx, SUM(CAST(yd AS DECIMAL(38,0))) AS sy,
+          SUM(CAST(xd AS DECIMAL(38,0)) * CAST(yd AS DECIMAL(38,0))) AS sxy,
+          SUM(CAST(xd AS DECIMAL(38,0)) * CAST(xd AS DECIMAL(38,0))) AS sxx,
+          SUM(CAST(yd AS DECIMAL(38,0)) * CAST(yd AS DECIMAL(38,0))) AS syy
+        FROM e JOIN outd USING (src) JOIN ind USING (dst))
+      SELECT CAST(n_edges AS BIGINT) AS n_edges,
+        round(CAST(sx AS DOUBLE) / n_edges, 4) AS mean_out_deg,
+        round(CAST(sy AS DOUBLE) / n_edges, 4) AS mean_in_deg,
+        round((CAST(n_edges AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+          sqrt((CAST(n_edges AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
+               (CAST(n_edges AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6) AS assortativity
+      FROM m"""))
+
+  /** 14-day Wilder RSI over the per-returnflag daily revenue series —
+    * the classic overbought/oversold momentum gauge, and the third
+    * member of the recursive-smoother family (q70 EWMA, q108 Holt):
+    * Wilder smoothing IS an EWMA with α=1/14 over gains and losses
+    * separately. Day deltas stay exact integer cents; the seed (mean
+    * of the first 14) is an exact-integer sum; both folds replay
+    * bit-identically in the oracle via list_reduce. One partial-agg
+    * shuffle to the O(flags × days) frame; folds are map-side HOFs.
+    */
+  val q184Rsi: QueryDef = QueryDef("q184_rsi",
+    (s, dir) => {
+      val series = t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag").as("flag"),
+          floor(unix_micros(date_trunc("day", col("l_shipdate"))) / lit(86400000000L))
+            .cast(LongType).as("x"))
+        .agg(sum(dec(col("l_extendedprice")) * 100).cast(LongType).as("yu"))
+        .groupBy(col("flag"))
+        .agg(sort_array(collect_list(struct(col("x"), col("yu")))).as("arr"))
+        .filter(size(col("arr")) >= 15)
+      val n = size(col("arr"))
+      // both slices must be exactly n-1 long: zip_with pads the shorter
+      // side with NULLs, and greatest(NULL, 0) would fabricate a
+      // trailing zero delta (one phantom smoothing step)
+      val deltas = zip_with(slice(col("arr"), lit(2), n - 1), slice(col("arr"), lit(1), n - 1),
+        (a, b) => a.getField("yu") - b.getField("yu"))
+      val withD = series.withColumn("gains",
+          transform(deltas, d => greatest(d, lit(0L))))
+        .withColumn("losses", transform(deltas, d => greatest(-d, lit(0L))))
+      def wilder(c: Column): Column = {
+        val seed = aggregate(slice(c, 1, 14), lit(0L), (acc, x) => acc + x)
+          .cast(DoubleType) / 14.0
+        aggregate(slice(c, 15, 100000), seed,
+          (acc, x) => (acc * 13.0 + x.cast(DoubleType)) / 14.0)
+      }
+      val ag = col("avg_gain"); val al = col("avg_loss")
+      withD
+        .withColumn("avg_gain", wilder(col("gains")))
+        .withColumn("avg_loss", wilder(col("losses")))
+        .select(col("flag"), n.cast(LongType).as("n_days"),
+          round(ag / 100.0, 4).as("avg_gain"),
+          round(al / 100.0, 4).as("avg_loss"),
+          when(al === 0.0, 100.0)
+            .otherwise(round(lit(100.0) - lit(100.0) / (lit(1.0) + ag / al), 4))
+            .as("rsi"))
+        .orderBy(col("flag"))
+    },
+    Some("""WITH d AS (SELECT l_returnflag AS flag,
+          epoch_us(date_trunc('day', l_shipdate)) // 86400000000 AS x,
+          CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * 100) AS BIGINT) AS yu
+        FROM lineitem GROUP BY 1, 2),
+      r AS (SELECT flag, x, yu - lag(yu) OVER (PARTITION BY flag ORDER BY x) AS delta,
+          COUNT(*) OVER (PARTITION BY flag) AS n FROM d),
+      a AS (SELECT flag, ANY_VALUE(n) AS n_days,
+          list(greatest(delta, 0) ORDER BY x) AS gains,
+          list(greatest(-delta, 0) ORDER BY x) AS losses
+        FROM r WHERE delta IS NOT NULL GROUP BY flag HAVING COUNT(*) >= 14),
+      f AS (SELECT flag, n_days,
+          list_reduce(list_prepend(CAST(list_reduce(gains[:14], (a2, b2) -> a2 + b2) AS DOUBLE) / 14.0,
+            list_transform(gains[15:], v -> CAST(v AS DOUBLE))),
+            (acc, x) -> (acc * 13.0 + x) / 14.0) AS ag,
+          list_reduce(list_prepend(CAST(list_reduce(losses[:14], (a2, b2) -> a2 + b2) AS DOUBLE) / 14.0,
+            list_transform(losses[15:], v -> CAST(v AS DOUBLE))),
+            (acc, x) -> (acc * 13.0 + x) / 14.0) AS al
+        FROM a)
+      SELECT flag, n_days, round(ag / 100.0, 4) AS avg_gain,
+        round(al / 100.0, 4) AS avg_loss,
+        CASE WHEN al = 0.0 THEN 100.0
+          ELSE round(100.0 - 100.0 / (1.0 + ag / al), 4) END AS rsi
+      FROM f ORDER BY flag"""))
+
+  /** Page–Hinkley changepoint statistic over the global daily revenue
+    * series — the sequential-drift detector the streaming literature
+    * pairs with concept drift (CUSUM's running-mean-referenced twin;
+    * q83 uses a fixed split, PH self-references the expanding mean).
+    * dev_t = x_t − mean(x_1..t); PH_t = cumsum(dev) − min cumsum(dev).
+    * All windows ride ONE ordered pass over the O(days) aggregated
+    * frame (cumsum/rownum → dev → cumsum → running min — same sort,
+    * no extra exchange); the peak is read off with max + equality
+    * filter (min-day tie-break), never a global argmax sort.
+    */
+  val q185PageHinkley: QueryDef = QueryDef("q185_page_hinkley",
+    (s, dir) => {
+      val daily = t(s, dir, "lineitem")
+        .groupBy(floor(unix_micros(date_trunc("day", col("l_shipdate"))) /
+          lit(86400000000L)).cast(LongType).as("x"))
+        .agg(sum(dec(col("l_extendedprice")) * 100).cast(LongType).as("yu"))
+      val w = Window.orderBy(col("x")).rowsBetween(Window.unboundedPreceding, 0)
+      val ph = daily
+        .withColumn("csum", sum(col("yu")).over(w))
+        .withColumn("rn", count(lit(1)).over(w))
+        .withColumn("dev", col("yu").cast(DoubleType) -
+          col("csum").cast(DoubleType) / col("rn").cast(DoubleType))
+        .withColumn("cs", sum(col("dev")).over(w))
+        .withColumn("phr", round((col("cs") - min(col("cs")).over(w)) / 100.0, 4))
+        .select(col("x"), col("phr"))
+        .localCheckpoint(true) // max frame + equality filter both read it
+      val mx = ph.agg(count(lit(1)).as("n_days"), max(col("phr")).as("max_ph"))
+      ph.crossJoin(broadcast(mx))
+        .filter(col("phr") === col("max_ph"))
+        .groupBy(col("n_days"), col("max_ph"))
+        .agg(min(col("x")).as("peak_day"))
+        .select(col("n_days"), col("peak_day"), col("max_ph"))
+    },
+    Some("""WITH d AS (SELECT epoch_us(date_trunc('day', l_shipdate)) // 86400000000 AS x,
+          CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * 100) AS BIGINT) AS yu
+        FROM lineitem GROUP BY 1),
+      w1 AS (SELECT x, yu,
+          SUM(yu) OVER (ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS csum,
+          ROW_NUMBER() OVER (ORDER BY x) AS rn FROM d),
+      w2 AS (SELECT x, CAST(yu AS DOUBLE) - CAST(csum AS DOUBLE) / rn AS dev FROM w1),
+      w3 AS (SELECT x, SUM(dev) OVER (ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cs FROM w2),
+      w4 AS (SELECT x, round((cs - MIN(cs) OVER (ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) / 100.0, 4) AS phr FROM w3),
+      mx AS (SELECT COUNT(*) AS n_days, MAX(phr) AS max_ph FROM w4)
+      SELECT n_days, MIN(x) AS peak_day, max_ph
+      FROM w4 CROSS JOIN mx WHERE phr = max_ph GROUP BY n_days, max_ph"""))
+
+  /** Croston's method for intermittent demand — the forecaster for
+    * sparse series where EWMA/Holt mislead (demand for size-1 parts
+    * arrives in bursts with empty gaps): separate exponential
+    * smoothers (α=0.2) over the nonzero demand SIZES and the
+    * inter-arrival INTERVALS; rate = size / interval. The two folds
+    * are independent (Croston updates both only at demand points), so
+    * each replays bit-exactly via list_reduce; sizes stay integer
+    * quantity-cents, intervals integer days, seeds = first element.
+    */
+  val q186Croston: QueryDef = QueryDef("q186_croston",
+    (s, dir) => {
+      val dem = t(s, dir, "lineitem")
+        .join(t(s, dir, "part").filter(col("p_size") === 1),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand").as("mfgr"),
+          floor(unix_micros(date_trunc("day", col("l_shipdate"))) / lit(86400000000L))
+            .cast(LongType).as("x"))
+        .agg(sum(col("l_quantity").cast(D) * 100).cast(LongType).as("zu"))
+        .groupBy(col("mfgr"))
+        .agg(sort_array(collect_list(struct(col("x"), col("zu")))).as("arr"))
+        .filter(size(col("arr")) >= 2)
+      val zs = transform(col("arr"), e => e.getField("zu").cast(DoubleType))
+      val days = transform(col("arr"), e => e.getField("x"))
+      val nd = size(col("arr"))
+      val qs = concat(array(lit(1.0)),
+        zip_with(slice(days, lit(2), nd - 1), slice(days, lit(1), nd - 1),
+          (a, b) => (a - b).cast(DoubleType)))
+      def ses(c: Column): Column =
+        aggregate(slice(c, 2, 100000), element_at(c, 1),
+          (acc, x) => acc * 0.8 + x * 0.2)
+      dem.withColumn("zh", ses(zs)).withColumn("qh", ses(qs))
+        .select(col("mfgr"), size(col("arr")).cast(LongType).as("n_demands"),
+          round(col("zh") / 100.0, 4).as("demand_size"),
+          round(col("qh"), 4).as("interval_days"),
+          round(col("zh") / col("qh") / 100.0, 6).as("rate_per_day"))
+        .orderBy(col("mfgr"))
+    },
+    Some("""WITH dem AS (SELECT p_brand AS mfgr,
+          epoch_us(date_trunc('day', l_shipdate)) // 86400000000 AS x,
+          CAST(SUM(CAST(l_quantity AS DECIMAL(12,2)) * 100) AS BIGINT) AS zu
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE p_size = 1 GROUP BY 1, 2),
+      r AS (SELECT mfgr, x, zu,
+          CAST(COALESCE(x - lag(x) OVER (PARTITION BY mfgr ORDER BY x), 1) AS DOUBLE) AS q
+        FROM dem),
+      a AS (SELECT mfgr, list(CAST(zu AS DOUBLE) ORDER BY x) AS zs,
+          list(q ORDER BY x) AS qs, COUNT(*) AS n
+        FROM r GROUP BY 1 HAVING COUNT(*) >= 2),
+      f AS (SELECT mfgr, n,
+          list_reduce(zs, (acc, x) -> acc * 0.8 + x * 0.2) AS zh,
+          list_reduce(qs, (acc, x) -> acc * 0.8 + x * 0.2) AS qh
+        FROM a)
+      SELECT mfgr, n AS n_demands, round(zh / 100.0, 4) AS demand_size,
+        round(qh, 4) AS interval_days,
+        round(zh / qh / 100.0, 6) AS rate_per_day
+      FROM f ORDER BY mfgr"""))
+
   val all: Seq[QueryDef] = Seq(
     q1Agg, q2Filter, q3Join, q4Semi, q5Multi, q6Window, q7TopK, q8Distinct,
     q9Rollup, q10Pivot, q11Anti, q12Expr, q13Percentiles, q14Subquery,
@@ -9722,6 +10192,8 @@ object Queries {
     q174CvAuc, q175LateArrival, q176ComponentSizes,
     curateOverlapRate, textLengthPanel, q177Kappa,
     textCharsetCensus, curateMixturePlan, q178CramersV,
+    q179Anova, q180Kruskal, q181EffectSize, q182Hits, q183Assortativity,
+    q184Rsi, q185PageHinkley, q186Croston,
     etlMergeUpsert, etlConstraints, etlProvenance,
     graphPageRank, curateWeightedSample,
     etlUnionSources, etlValidate, etlCleanTransform, etlQualityReport,

@@ -93,6 +93,61 @@ object Graph {
     ranks
   }
 
+  /** HITS hubs-and-authorities, fixed iteration count (Kleinberg's
+    * link-analysis twin of [[pageRank]] — on a bipartite purchase
+    * graph the hub score ranks "customers whose baskets span the
+    * important suppliers" and the authority score ranks "suppliers
+    * the important customers converge on").
+    *
+    * Power iteration WITHOUT per-step renormalization (scores only
+    * ever enter as ratios, so the scale factor cancels; doubles hold
+    * the growth for any realistic iteration count) — a single L1
+    * normalization at the end yields shares. Per iteration: two
+    * shuffle join+agg pairs (edges ⋈ hubs by src → auth; edges ⋈
+    * auths by dst → hub), each eagerly localCheckpoint'ed so the plan
+    * stays O(1) deep. Returns (role, node, share) with role ∈
+    * {hub, authority}; shares sum to 1 within each role.
+    */
+  def hits(edges: DataFrame, src: String, dst: String, weight: String,
+      iterations: Int = 4): DataFrame = {
+    require(iterations >= 1, s"iterations must be >= 1: $iterations")
+    val e = edges.select(col(src).cast("long").as("src"),
+      col(dst).cast("long").as("dst"), col(weight).cast("double").as("w"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    var hubs = e.select(col("src").as("node")).distinct()
+      .select(col("node"), lit(1.0).as("hub"))
+      .localCheckpoint(true)
+    var auths: DataFrame = null
+    var i = 0
+    while (i < iterations) {
+      val a = e.join(hubs.withColumnRenamed("node", "src"), "src")
+        .groupBy(col("dst").as("node"))
+        .agg(sum(col("w") * col("hub")).as("auth"))
+        .localCheckpoint(true)
+      val prevH = hubs
+      hubs = e.join(a.withColumnRenamed("node", "dst"), "dst")
+        .groupBy(col("src").as("node"))
+        .agg(sum(col("w") * col("auth")).as("hub"))
+        .localCheckpoint(true)
+      prevH.unpersist(false)
+      if (auths != null) auths.unpersist(false)
+      auths = a
+      i += 1
+    }
+    e.unpersist(false)
+    // totals as broadcast 1-row frames (never driver scalars) — the
+    // share projection stays one job per role
+    val hTot = hubs.agg(sum(col("hub")).as("tot"))
+    val aTot = auths.agg(sum(col("auth")).as("tot"))
+    hubs.crossJoin(broadcast(hTot))
+      .select(lit("hub").as("role"), col("node"),
+        (col("hub") / col("tot")).as("share"))
+      .unionAll(auths.crossJoin(broadcast(aTot))
+        .select(lit("authority").as("role"), col("node"),
+          (col("auth") / col("tot")).as("share")))
+  }
+
   /** k-hop reachability: for every node with at least one out-edge,
     * the number of DISTINCT nodes reachable in 1..k hops (the start
     * node itself excluded even if a cycle returns to it). The

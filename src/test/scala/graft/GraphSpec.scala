@@ -126,4 +126,36 @@ class GraphSpec extends SparkSpec {
     assert(r.getLong(2) == 5L && r.getLong(3) == 1L)
     assert(math.abs(r.getDouble(4) - 0.6) < 1e-9)               // 3·1/5
   }
+
+  /** Driver-side reference HITS: same un-normalized power iteration,
+    * L1 shares at the end. */
+  private def refHits(edges: Seq[(Long, Long, Double)],
+      iterations: Int): (Map[Long, Double], Map[Long, Double]) = {
+    var hubs = edges.map(_._1).distinct.map(_ -> 1.0).toMap
+    var auths = Map.empty[Long, Double]
+    for (_ <- 1 to iterations) {
+      auths = edges.groupBy(_._2).view
+        .mapValues(_.map(e => e._3 * hubs(e._1)).sum).toMap
+      hubs = edges.filter(e => auths.contains(e._2)).groupBy(_._1).view
+        .mapValues(_.map(e => e._3 * auths(e._2)).sum).toMap
+    }
+    val ht = hubs.values.sum; val at = auths.values.sum
+    (hubs.view.mapValues(_ / ht).toMap, auths.view.mapValues(_ / at).toMap)
+  }
+
+  test("hits: matches the reference implementation; shares sum to 1 per role") {
+    import spark.implicits._
+    val edges = Seq((1L, 10L, 2.0), (1L, 11L, 1.0), (2L, 10L, 1.0),
+      (3L, 11L, 3.0), (3L, 12L, 1.0), (4L, 12L, 2.0), (4L, 10L, 1.0))
+    val got = Graph.hits(edges.toDF("src", "dst", "w"), "src", "dst", "w", iterations = 4)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val (hubs, auths) = refHits(edges, 4)
+    hubs.foreach { case (n, s) =>
+      assert(math.abs(got(("hub", n)) - s) < 1e-12, s"hub $n") }
+    auths.foreach { case (n, s) =>
+      assert(math.abs(got(("authority", n)) - s) < 1e-12, s"auth $n") }
+    val bySum = got.groupBy(_._1._1).view.mapValues(_.values.sum)
+    bySum.foreach { case (role, s) =>
+      assert(math.abs(s - 1.0) < 1e-12, s"$role shares sum to 1: $s") }
+  }
 }
