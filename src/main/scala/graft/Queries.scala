@@ -10147,6 +10147,241 @@ object Queries {
         round(zh / qh / 100.0, 6) AS rate_per_day
       FROM f ORDER BY mfgr"""))
 
+  /** Empirical-Bayes beta-binomial shrinkage of per-part return rates
+    * — the classic "don't trust a 2/3 return rate" estimator: fit a
+    * beta prior to the population of raw rates by method of moments,
+    * then shrink every part toward it in proportion to its evidence.
+    * Per-part rates quantize to exact DECIMAL(18,6) before the
+    * population moments (order-independent sums; a raw double Σp²
+    * would be partition-order-dependent), so prior and posteriors are
+    * engine-exact. One partial-agg shuffle + O(parts) frames; top-20
+    * by shrunk rate is rank-free TakeOrdered.
+    */
+  val q187EbShrinkage: QueryDef = QueryDef("q187_eb_shrinkage",
+    (s, dir) => {
+      val D186 = DecimalType(18, 6)
+      val parts = t(s, dir, "lineitem")
+        .groupBy(col("l_partkey").as("partkey"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("l_returnflag") === "R", 1L).otherwise(0L)).as("r"))
+        .filter(col("n") >= 5)
+        .withColumn("p6", round(col("r").cast(DoubleType) / col("n").cast(DoubleType), 6)
+          .cast(D186))
+        .localCheckpoint(true) // prior moments + posterior scan both read it
+      val prior = parts.agg(count(lit(1)).as("m"),
+          sum(col("p6")).as("sp"), sum(col("p6") * col("p6")).as("spp"))
+        .withColumn("mu", col("sp").cast(DoubleType) / col("m").cast(DoubleType))
+        .withColumn("v", (col("spp").cast(DoubleType) -
+          col("sp").cast(DoubleType) * col("sp").cast(DoubleType) / col("m").cast(DoubleType)) /
+          (col("m") - 1).cast(DoubleType))
+        .withColumn("c", col("mu") * (lit(1.0) - col("mu")) / col("v") - 1.0)
+        .select((col("mu") * col("c")).as("alpha"),
+          ((lit(1.0) - col("mu")) * col("c")).as("beta"))
+      parts.crossJoin(broadcast(prior))
+        .select(col("partkey"), col("n").as("n_trials"), col("r").as("n_returns"),
+          col("p6").cast(DoubleType).as("raw_rate"),
+          round((col("r").cast(DoubleType) + col("alpha")) /
+            (col("n").cast(DoubleType) + col("alpha") + col("beta")), 6).as("eb_rate"),
+          round(col("alpha"), 4).as("prior_alpha"),
+          round(col("beta"), 4).as("prior_beta"))
+        .orderBy(desc("eb_rate"), col("partkey"))
+        .limit(20)
+    },
+    Some("""WITH parts AS (SELECT l_partkey AS partkey, COUNT(*) AS n,
+          CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS r
+        FROM lineitem GROUP BY 1 HAVING COUNT(*) >= 5),
+      q AS (SELECT partkey, n, r,
+          CAST(round(CAST(r AS DOUBLE) / n, 6) AS DECIMAL(18,6)) AS p6 FROM parts),
+      pr AS (SELECT COUNT(*) AS m, SUM(p6) AS sp, SUM(p6 * p6) AS spp FROM q),
+      ab AS (SELECT mu * c AS alpha, (1.0 - mu) * c AS beta FROM (
+          SELECT CAST(sp AS DOUBLE) / m AS mu,
+            (CAST(spp AS DOUBLE) - CAST(sp AS DOUBLE) * CAST(sp AS DOUBLE) / m) / (m - 1) AS v,
+            m FROM pr),
+          LATERAL (SELECT mu * (1.0 - mu) / v - 1.0 AS c))
+      SELECT partkey, n AS n_trials, r AS n_returns,
+        CAST(p6 AS DOUBLE) AS raw_rate,
+        round((CAST(r AS DOUBLE) + alpha) / (CAST(n AS DOUBLE) + alpha + beta), 6) AS eb_rate,
+        round(alpha, 4) AS prior_alpha, round(beta, 4) AS prior_beta
+      FROM q CROSS JOIN ab
+      ORDER BY eb_rate DESC, partkey LIMIT 20"""))
+
+  /** Simplified (centroid-based) silhouette per embedding label — the
+    * cluster-cohesion audit for a labeled corpus: a = distance to own
+    * centroid, b = distance to the nearest OTHER centroid, s=(b−a)/
+    * max(a,b). The q113 companion that also measures separation, not
+    * just cohesion. Same integer-quantization discipline: components
+    * at 1e7 units, per-dim squared diffs floor-quantized to 1e12
+    * units and summed exactly, the per-point s quantized to micros
+    * and averaged with the exact floor-half-up integer mean — every
+    * cross-engine reduction is integer. Centroids broadcast (O(k·d));
+    * the point×centroid expansion is the standard k-means assignment
+    * shape, map-side.
+    */
+  val q188Silhouette: QueryDef = QueryDef("q188_silhouette",
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("label"),
+          posexplode(col("embedding")).as(Seq("dim", "v")))
+        .select(col("vec_id"), col("label"), col("dim"),
+          floor(col("v").cast(DoubleType) * lit(1.0e7) + lit(0.5)).as("i"))
+      val cent = emb.groupBy(col("label"), col("dim"))
+        .agg((sum(col("i")).cast(DoubleType) / (lit(1.0e7) * count(lit(1)))).as("c"))
+        .select(col("label").as("clabel"), col("dim"), col("c"))
+      val d2 = emb.join(broadcast(cent), Seq("dim"))
+        .groupBy(col("vec_id"), col("label"), col("clabel"))
+        .agg((sum(floor((col("i").cast(DoubleType) / lit(1.0e7) - col("c")) *
+            (col("i").cast(DoubleType) / lit(1.0e7) - col("c")) * lit(1.0e12) + lit(0.5)))
+          .cast(DoubleType) / lit(1.0e12)).as("d2"))
+      val ab = d2.groupBy(col("vec_id"), col("label"))
+        .agg(sum(when(col("clabel") === col("label"), col("d2"))).as("a2"),
+          min(when(col("clabel") =!= col("label"), col("d2"))).as("b2"))
+        .withColumn("sil", (sqrt(col("b2")) - sqrt(col("a2"))) /
+          greatest(sqrt(col("a2")), sqrt(col("b2"))))
+        .withColumn("micro", floor(col("sil") * lit(1.0e6) + lit(0.5)))
+      ab.groupBy(col("label"))
+        .agg(count(lit(1)).as("n_vecs"),
+          ((floor((lit(2L) * (sum(col("micro")) + lit(2000000L) * count(lit(1))) + count(lit(1))) /
+              (lit(2.0) * count(lit(1)))) - lit(2000000L)) / lit(1.0e6))
+            .as("avg_silhouette"))
+        .orderBy(col("label"))
+    },
+    Some("""WITH e AS (SELECT vec_id, label,
+          CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * 1.0e7 + 0.5) AS BIGINT) AS i,
+          unnest(range(1, len(embedding) + 1)) AS dim
+        FROM embeddings),
+      cent AS (SELECT label AS clabel, dim,
+          CAST(SUM(i) AS DOUBLE) / (1.0e7 * COUNT(*)) AS c
+        FROM e GROUP BY 1, 2),
+      d2 AS (SELECT e.vec_id, e.label, cent.clabel,
+          CAST(SUM(CAST(FLOOR((CAST(e.i AS DOUBLE) / 1.0e7 - cent.c) *
+            (CAST(e.i AS DOUBLE) / 1.0e7 - cent.c) * 1.0e12 + 0.5) AS BIGINT)) AS DOUBLE) / 1.0e12 AS d2
+        FROM e JOIN cent ON e.dim = cent.dim
+        GROUP BY 1, 2, 3),
+      ab AS (SELECT vec_id, label,
+          SUM(CASE WHEN clabel = label THEN d2 END) AS a2,
+          MIN(CASE WHEN clabel <> label THEN d2 END) AS b2
+        FROM d2 GROUP BY 1, 2),
+      sil AS (SELECT label,
+          CAST(FLOOR((sqrt(b2) - sqrt(a2)) / greatest(sqrt(a2), sqrt(b2)) * 1.0e6 + 0.5) AS BIGINT) AS micro
+        FROM ab)
+      SELECT label, COUNT(*) AS n_vecs,
+        (FLOOR((2 * (SUM(micro) + 2000000 * COUNT(*)) + COUNT(*)) / (2.0 * COUNT(*))) - 2000000) / 1.0e6 AS avg_silhouette
+      FROM sil GROUP BY label ORDER BY label"""))
+
+  /** Herfindahl–Hirschman market-concentration index per region —
+    * each nation's revenue share within its region, HHI = Σ share²
+    * (×10000 in the antitrust convention) plus the CR4 top-4
+    * concentration ratio. Shares quantize to DECIMAL(18,8) before
+    * squaring so the concentration sums are exact integers-in-decimal
+    * on both engines; the ranking window runs on the O(nations)
+    * aggregated frame.
+    */
+  val q189Hhi: QueryDef = QueryDef("q189_hhi",
+    (s, dir) => {
+      val D188 = DecimalType(18, 8)
+      val rev = t(s, dir, "orders")
+        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(t(s, dir, "nation"), col("c_nationkey") === col("n_nationkey"))
+        .join(t(s, dir, "region"), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name").as("region"), col("n_name").as("nation"))
+        .agg(sum(dec(col("o_totalprice"))).as("rev"))
+      val wTot = Window.partitionBy(col("region"))
+      val wRank = Window.partitionBy(col("region"))
+        .orderBy(desc("rev"), col("nation"))
+      rev
+        .withColumn("share", round(col("rev").cast(DoubleType) /
+          sum(col("rev")).over(wTot).cast(DoubleType), 8).cast(D188))
+        .withColumn("rk", row_number().over(wRank))
+        .groupBy(col("region"))
+        .agg(count(lit(1)).as("n_nations"),
+          round((sum(col("share") * col("share")) * 10000).cast(DoubleType), 4).as("hhi"),
+          round(sum(when(col("rk") <= 4, col("share")).otherwise(lit(0).cast(D188)))
+            .cast(DoubleType), 6).as("cr4"))
+        .orderBy(col("region"))
+    },
+    Some("""WITH rev AS (SELECT r_name AS region, n_name AS nation,
+          SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS rev
+        FROM orders JOIN customer ON o_custkey = c_custkey
+          JOIN nation ON c_nationkey = n_nationkey
+          JOIN region ON n_regionkey = r_regionkey
+        GROUP BY 1, 2),
+      sh AS (SELECT region, nation,
+          CAST(round(CAST(rev AS DOUBLE) /
+            CAST(SUM(rev) OVER (PARTITION BY region) AS DOUBLE), 8) AS DECIMAL(18,8)) AS share,
+          ROW_NUMBER() OVER (PARTITION BY region ORDER BY rev DESC, nation) AS rk
+        FROM rev)
+      SELECT region, COUNT(*) AS n_nations,
+        round(CAST(SUM(share * share) * 10000 AS DOUBLE), 4) AS hhi,
+        round(CAST(SUM(CASE WHEN rk <= 4 THEN share ELSE CAST(0 AS DECIMAL(18,8)) END) AS DOUBLE), 6) AS cr4
+      FROM sh GROUP BY region ORDER BY region"""))
+
+  /** Nelson–Aalen cumulative hazard (+ its standard error) over the
+    * signup→purchase survival fixture of q98_kaplan_meier — the
+    * additive-hazard twin (H(t) = Σ d/n at-risk) preferred when
+    * hazards, not survival fractions, drive the decision. Same
+    * one-pass suffix-sum at-risk construction; both cumulative sums
+    * ride the same ordered window over the O(durations) frame, so the
+    * double accumulation is sequential and engine-identical.
+    */
+  val q190NelsonAalen: QueryDef = QueryDef("q190_nelson_aalen",
+    (s, dir) => {
+      val ev = t(s, dir, "events")
+      val signup = ev.filter(col("event_type") === "signup")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("s_ts"))
+      val purch = ev.filter(col("event_type") === "purchase")
+        .join(signup, Seq("user_id"))
+        .filter(col("ts") >= col("s_ts"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("p_ts"))
+      val horizon = ev.agg(max(col("ts")).as("h_ts"))
+      val subj = signup.join(purch, Seq("user_id"), "left")
+        .crossJoin(broadcast(horizon))
+        .select(col("user_id"), col("p_ts").isNotNull.as("converted"),
+          floor((unix_micros(coalesce(col("p_ts"), col("h_ts"))) -
+            unix_micros(col("s_ts"))) / lit(86400000000.0))
+            .cast(LongType).as("dur"))
+      val byDur = subj.groupBy(col("dur"))
+        .agg(sum(when(col("converted"), 1L).otherwise(0L)).as("n_event"),
+          count(lit(1)).as("n_leave"))
+      val wRisk = Window.orderBy(col("dur")).rowsBetween(0, Window.unboundedFollowing)
+      val wRun = Window.orderBy(col("dur")).rowsBetween(Window.unboundedPreceding, 0)
+      val nr = col("n_risk").cast(DoubleType)
+      byDur
+        .withColumn("n_risk", sum(col("n_leave")).over(wRisk))
+        .withColumn("haz", sum(col("n_event").cast(DoubleType) / nr).over(wRun))
+        .withColumn("hvar", sum(col("n_event").cast(DoubleType) / (nr * nr)).over(wRun))
+        .filter(col("n_event") > 0)
+        .select(col("dur"), col("n_risk"), col("n_event"),
+          round(col("haz"), 6).as("cum_hazard"),
+          round(sqrt(col("hvar")), 6).as("se"))
+        .orderBy(col("dur"))
+    },
+    Some("""WITH signup AS (SELECT user_id, MIN(ts) AS s_ts
+        FROM events WHERE event_type = 'signup' GROUP BY 1),
+      purch AS (SELECT e.user_id, MIN(e.ts) AS p_ts
+        FROM events e JOIN signup su USING (user_id)
+        WHERE e.event_type = 'purchase' AND e.ts >= su.s_ts GROUP BY 1),
+      horizon AS (SELECT MAX(ts) AS h_ts FROM events),
+      subj AS (SELECT su.user_id, (p.p_ts IS NOT NULL) AS converted,
+          (epoch_us(COALESCE(p.p_ts, h.h_ts)) - epoch_us(su.s_ts)) // 86400000000 AS dur
+        FROM signup su LEFT JOIN purch p USING (user_id) CROSS JOIN horizon h),
+      by_dur AS (SELECT dur,
+          CAST(SUM(CASE WHEN converted THEN 1 ELSE 0 END) AS BIGINT) AS n_event,
+          COUNT(*) AS n_leave
+        FROM subj GROUP BY 1),
+      risk AS (SELECT dur, n_event,
+          CAST(SUM(n_leave) OVER (ORDER BY dur
+            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS BIGINT) AS n_risk
+        FROM by_dur),
+      curve AS (SELECT dur, n_risk, n_event,
+          SUM(CAST(n_event AS DOUBLE) / CAST(n_risk AS DOUBLE)) OVER (ORDER BY dur
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS haz,
+          SUM(CAST(n_event AS DOUBLE) / (CAST(n_risk AS DOUBLE) * CAST(n_risk AS DOUBLE)))
+            OVER (ORDER BY dur ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS hvar
+        FROM risk)
+      SELECT dur, n_risk, n_event, round(haz, 6) AS cum_hazard,
+        round(sqrt(hvar), 6) AS se
+      FROM curve WHERE n_event > 0 ORDER BY dur"""))
+
   val all: Seq[QueryDef] = Seq(
     q1Agg, q2Filter, q3Join, q4Semi, q5Multi, q6Window, q7TopK, q8Distinct,
     q9Rollup, q10Pivot, q11Anti, q12Expr, q13Percentiles, q14Subquery,
@@ -10194,6 +10429,7 @@ object Queries {
     textCharsetCensus, curateMixturePlan, q178CramersV,
     q179Anova, q180Kruskal, q181EffectSize, q182Hits, q183Assortativity,
     q184Rsi, q185PageHinkley, q186Croston,
+    q187EbShrinkage, q188Silhouette, q189Hhi, q190NelsonAalen,
     etlMergeUpsert, etlConstraints, etlProvenance,
     graphPageRank, curateWeightedSample,
     etlUnionSources, etlValidate, etlCleanTransform, etlQualityReport,
