@@ -10382,6 +10382,162 @@ object Queries {
         round(sqrt(hvar), 6) AS se
       FROM curve WHERE n_event > 0 ORDER BY dur"""))
 
+  /** Per-source bigram language-model perplexity with absolute
+    * discounting (D=0.75) interpolated against the bigram-tail
+    * unigram — the sequence-aware upgrade of text_logprob's unigram
+    * scorer, and the standard LM-quality gate for corpus mixing
+    * ("which ingestion feed reads like language?"). Every model
+    * probability assembles from exact integer counts (heads, tails,
+    * follower fan-out, total) so per-term doubles are engine-exact;
+    * the per-source Σ n·ln p is order-sensitive only at ~1e-12 —
+    * far inside the 6-dp rounding (the text_logprob precedent).
+    * Scale shape: bigram instances group once per (source,w1,w2);
+    * model joins are hash-partitioned on token keys; nothing is
+    * collected or broadcast except nothing — the total is a 1-row
+    * crossJoin.
+    */
+  val textBigramLm: QueryDef = QueryDef("text_bigram_lm",
+    (s, dir) => {
+      val tok = t(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          posexplode(split(regexp_replace(lower(trim(col("text"))), "\\s+", " "), " "))
+            .as(Seq("pos", "w1")))
+      val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      val bigrams = tok.withColumn("w2", lead(col("w1"), 1).over(wDoc))
+        .filter(col("w2").isNotNull)
+        .groupBy(col("source"), col("w1"), col("w2"))
+        .agg(count(lit(1)).as("n"))
+        .localCheckpoint(true) // model counts AND scoring both read it
+      val big = bigrams.groupBy(col("w1"), col("w2")).agg(sum(col("n")).as("c12"))
+      val heads = big.groupBy(col("w1"))
+        .agg(sum(col("c12")).as("c1"), count(lit(1)).as("fol"))
+      val tails = big.groupBy(col("w2")).agg(sum(col("c12")).as("c2"))
+      val ntot = big.agg(sum(col("c12")).cast(DoubleType).as("nb"))
+      val p = greatest(col("c12").cast(DoubleType) - 0.75, lit(0.0)) /
+        col("c1").cast(DoubleType) +
+        lit(0.75) * col("fol").cast(DoubleType) / col("c1").cast(DoubleType) *
+        (col("c2").cast(DoubleType) / col("nb"))
+      bigrams.join(big, Seq("w1", "w2")).join(heads, "w1").join(tails, "w2")
+        .crossJoin(broadcast(ntot))
+        .groupBy(col("source"))
+        .agg(sum(col("n")).as("n_bigrams"),
+          (-(sum(col("n").cast(DoubleType) * log(p))) /
+            sum(col("n")).cast(DoubleType)).as("hnat"))
+        .select(col("source"), col("n_bigrams"),
+          round(col("hnat") / lit(math.log(2.0)), 6).as("entropy_bits"),
+          round(exp(col("hnat")), 4).as("perplexity"))
+        .orderBy(col("source"))
+    },
+    Some("""WITH tok AS (SELECT doc_id, source,
+          string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS w
+        FROM documents),
+      bi AS (SELECT doc_id, source,
+          unnest([w[i] || ' ' || w[i+1] FOR i IN range(1, len(w))]) AS gram
+        FROM tok WHERE len(w) >= 2),
+      bigrams AS (SELECT source, split_part(gram, ' ', 1) AS w1,
+          split_part(gram, ' ', 2) AS w2, COUNT(*) AS n
+        FROM bi GROUP BY 1, 2, 3),
+      big AS (SELECT w1, w2, SUM(n) AS c12 FROM bigrams GROUP BY 1, 2),
+      heads AS (SELECT w1, SUM(c12) AS c1, COUNT(*) AS fol FROM big GROUP BY 1),
+      tails AS (SELECT w2, SUM(c12) AS c2 FROM big GROUP BY 1),
+      ntot AS (SELECT CAST(SUM(c12) AS DOUBLE) AS nb FROM big),
+      scored AS (SELECT source, n,
+          greatest(CAST(c12 AS DOUBLE) - 0.75, 0.0) / CAST(c1 AS DOUBLE) +
+            0.75 * CAST(fol AS DOUBLE) / CAST(c1 AS DOUBLE) * (CAST(c2 AS DOUBLE) / nb) AS p
+        FROM bigrams JOIN big USING (w1, w2) JOIN heads USING (w1)
+          JOIN tails USING (w2) CROSS JOIN ntot),
+      agg AS (SELECT source, CAST(SUM(n) AS BIGINT) AS n_bigrams,
+          -SUM(n * ln(p)) / SUM(n) AS hnat
+        FROM scored GROUP BY 1)
+      SELECT source, n_bigrams, round(hnat / ln(2.0), 6) AS entropy_bits,
+        round(exp(hnat), 4) AS perplexity
+      FROM agg ORDER BY source"""))
+
+  /** Winnowing fingerprint selection (the MOSS scheme): 5-token
+    * k-grams hashed with md5, minimum per 4-gram sliding window,
+    * distinct minima = the document's fingerprint set — the
+    * position-robust dedup signature guaranteeing any shared run of
+    * ≥ 8 tokens yields a shared fingerprint. md5 hex strings compare
+    * lexicographically = numerically (fixed-width lowercase hex), so
+    * BOTH engines pick identical minima with no custom hash bridge.
+    * Entirely map-side HOF work per document; the census is one
+    * projection (no shuffle beyond the final order).
+    */
+  val textWinnowing: QueryDef = QueryDef("text_winnowing",
+    (s, dir) => {
+      val w = split(regexp_replace(lower(trim(col("text"))), "\\s+", " "), " ")
+      val grams = transform(sequence(lit(1), size(w) - 4),
+        i => md5(array_join(slice(w, i, lit(5)), " ")))
+      val mins = transform(sequence(lit(1), size(col("grams")) - 3),
+        j => array_min(slice(col("grams"), j, lit(4))))
+      t(s, dir, "documents")
+        .filter(size(w) >= 8)
+        .withColumn("grams", grams)
+        .withColumn("fps", array_distinct(mins))
+        .select(col("doc_id"), size(col("grams")).cast(LongType).as("n_grams"),
+          size(col("fps")).cast(LongType).as("n_fingerprints"),
+          round(size(col("fps")).cast(DoubleType) /
+            size(col("grams")).cast(DoubleType), 4).as("density"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH tok AS (SELECT doc_id,
+          string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS w
+        FROM documents),
+      g AS (SELECT doc_id,
+          [md5(array_to_string(w[i:i+4], ' ')) FOR i IN range(1, len(w) - 3)] AS grams
+        FROM tok WHERE len(w) >= 8),
+      f AS (SELECT doc_id, len(grams) AS n_grams,
+          len(list_distinct([list_min(grams[j:j+3]) FOR j IN range(1, len(grams) - 2)])) AS n_fp
+        FROM g)
+      SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams,
+        CAST(n_fp AS BIGINT) AS n_fingerprints,
+        round(CAST(n_fp AS DOUBLE) / n_grams, 4) AS density
+      FROM f ORDER BY doc_id"""))
+
+  /** Church–Gale term burstiness: variance-to-mean ratio of per-doc
+    * counts (zeros included) for the top-50 terms by collection
+    * frequency — separates topical terms (bursty, VMR ≫ 1) from
+    * function words (Poisson-ish, VMR ≈ 1), the signal behind
+    * stopword lists and df-based pruning thresholds. Moments are
+    * exact integers (Σc, Σc² over the doc-term frame; zero docs enter
+    * through N_docs, never materialized); VMR assembles in doubles on
+    * the O(terms) frame. Top-50 is rank-free TakeOrdered.
+    */
+  val textBurstiness: QueryDef = QueryDef("text_burstiness",
+    (s, dir) => {
+      val D38 = DecimalType(38, 0)
+      val nDocs = t(s, dir, "documents").agg(count(lit(1)).as("nd"))
+      val dt = t(s, dir, "documents")
+        .select(col("doc_id"),
+          explode(split(regexp_replace(lower(trim(col("text"))), "\\s+", " "), " "))
+            .as("term"))
+        .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("c"))
+      val stats = dt.groupBy(col("term"))
+        .agg(sum(col("c")).as("cf"), count(lit(1)).as("df"),
+          sum(col("c").cast(D38) * col("c").cast(D38)).as("cc"))
+      val ndD = col("nd").cast(DoubleType)
+      val mu = col("cf").cast(DoubleType) / ndD
+      val ex2 = col("cc").cast(DoubleType) / ndD
+      stats.crossJoin(broadcast(nDocs))
+        .select(col("term"), col("cf"), col("df"),
+          round((ex2 - mu * mu) / mu, 6).as("vmr"))
+        .orderBy(desc("cf"), col("term"))
+        .limit(50)
+    },
+    Some("""WITH nd AS (SELECT COUNT(*) AS nd FROM documents),
+      dt AS (SELECT doc_id,
+          unnest(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS term
+        FROM documents),
+      c AS (SELECT doc_id, term, COUNT(*) AS c FROM dt GROUP BY 1, 2),
+      stats AS (SELECT term, CAST(SUM(c) AS BIGINT) AS cf, COUNT(*) AS df,
+          CAST(SUM(CAST(c AS DECIMAL(38,0)) * CAST(c AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS cc
+        FROM c GROUP BY 1)
+      SELECT term, cf, df,
+        round((CAST(cc AS DOUBLE) / nd - (CAST(cf AS DOUBLE) / nd) * (CAST(cf AS DOUBLE) / nd)) /
+          (CAST(cf AS DOUBLE) / nd), 6) AS vmr
+      FROM stats CROSS JOIN nd
+      ORDER BY cf DESC, term LIMIT 50"""))
+
   val all: Seq[QueryDef] = Seq(
     q1Agg, q2Filter, q3Join, q4Semi, q5Multi, q6Window, q7TopK, q8Distinct,
     q9Rollup, q10Pivot, q11Anti, q12Expr, q13Percentiles, q14Subquery,
@@ -10430,6 +10586,7 @@ object Queries {
     q179Anova, q180Kruskal, q181EffectSize, q182Hits, q183Assortativity,
     q184Rsi, q185PageHinkley, q186Croston,
     q187EbShrinkage, q188Silhouette, q189Hhi, q190NelsonAalen,
+    textBigramLm, textWinnowing, textBurstiness,
     etlMergeUpsert, etlConstraints, etlProvenance,
     graphPageRank, curateWeightedSample,
     etlUnionSources, etlValidate, etlCleanTransform, etlQualityReport,
