@@ -10538,6 +10538,226 @@ object Queries {
       FROM stats CROSS JOIN nd
       ORDER BY cf DESC, term LIMIT 50"""))
 
+  /** Per-brand price elasticity of demand: log-log OLS of quantity on
+    * realized unit price (elasticity = the slope) — the pricing twin
+    * of q65_regression. Both log coordinates quantize to
+    * DECIMAL(18,6) BEFORE the moment sums (ln values are ≤ ~12, where
+    * a 6-dp round is far above the double ULP, so the quantize is
+    * engine-exact — unlike raw double Σln which would be
+    * partition-order-dependent). One partial-agg shuffle; O(brands)
+    * final frame.
+    */
+  val q191Elasticity: QueryDef = QueryDef("q191_elasticity",
+    (s, dir) => {
+      val D186 = DecimalType(18, 6)
+      val li = t(s, dir, "lineitem")
+      val pt = t(s, dir, "part").select(col("p_partkey"), col("p_brand"))
+      val base = li.join(broadcast(pt), col("l_partkey") === col("p_partkey"))
+        .select(col("p_brand"),
+          round(log(col("l_extendedprice").cast(DoubleType) /
+            col("l_quantity").cast(DoubleType)), 6).cast(D186).as("x"),
+          round(log(col("l_quantity").cast(DoubleType)), 6).cast(D186).as("y"))
+      val m = base.groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+          sum(col("x") * col("x")).as("sxx"), sum(col("x") * col("y")).as("sxy"),
+          sum(col("y") * col("y")).as("syy"))
+      val nD = col("n").cast(DoubleType)
+      val sx = col("sx").cast(DoubleType); val sy = col("sy").cast(DoubleType)
+      val covN = nD * col("sxy").cast(DoubleType) - sx * sy
+      val varX = nD * col("sxx").cast(DoubleType) - sx * sx
+      val varY = nD * col("syy").cast(DoubleType) - sy * sy
+      m.select(col("p_brand"), col("n"),
+          round(covN / varX, 6).as("elasticity"),
+          round(covN * covN / (varX * varY), 6).as("r2"))
+        .orderBy(col("p_brand"))
+    },
+    Some("""WITH base AS (SELECT p_brand,
+          CAST(round(ln(CAST(l_extendedprice AS DOUBLE) / CAST(l_quantity AS DOUBLE)), 6) AS DECIMAL(18,6)) AS x,
+          CAST(round(ln(CAST(l_quantity AS DOUBLE)), 6) AS DECIMAL(18,6)) AS y
+        FROM lineitem JOIN part ON l_partkey = p_partkey),
+      m AS (SELECT p_brand, COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+          SUM(x * x) AS sxx, SUM(x * y) AS sxy, SUM(y * y) AS syy
+        FROM base GROUP BY 1)
+      SELECT p_brand, n,
+        round((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+              (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6) AS elasticity,
+        round((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) *
+              (n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+              ((n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
+               (n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6) AS r2
+      FROM m ORDER BY p_brand"""))
+
+  /** Single-changepoint binary segmentation of the daily revenue
+    * series: the split maximizing the between-segment sum of squares,
+    * gain(t) = (n·S_t − t·S_n)² / (n·t·(n−t)) — CUSUM/Page-Hinkley's
+    * offline companion, and the first recursion level of the standard
+    * binary-segmentation changepoint algorithm. Prefix sums stay
+    * exact integer cents via one ordered window over the O(days)
+    * frame; the numerator assembles in DECIMAL(38,0) before the
+    * single double division, so the argmax ranks identical values on
+    * both engines (max + equality filter, min-day tie-break).
+    */
+  val q192BinarySeg: QueryDef = QueryDef("q192_binary_seg",
+    (s, dir) => {
+      val D38 = DecimalType(38, 0)
+      val daily = t(s, dir, "lineitem")
+        .groupBy(floor(unix_micros(date_trunc("day", col("l_shipdate"))) /
+          lit(86400000000L)).cast(LongType).as("x"))
+        .agg(sum(dec(col("l_extendedprice")) * 100).cast(LongType).as("yu"))
+      val w = Window.orderBy(col("x")).rowsBetween(Window.unboundedPreceding, 0)
+      val pre = daily
+        .withColumn("st", sum(col("yu")).over(w))
+        .withColumn("rn", count(lit(1)).over(w))
+        .localCheckpoint(true) // totals + gain scan + argmax filter
+      val tot = pre.agg(max(col("rn")).as("n"), max(col("st")).as("sn"))
+      val nD = col("n").cast(DoubleType); val tD = col("rn").cast(DoubleType)
+      val a = col("n").cast(D38) * col("st").cast(D38) -
+        col("rn").cast(D38) * col("sn").cast(D38)
+      val gains = pre.crossJoin(broadcast(tot))
+        .filter(col("rn") < col("n"))
+        .withColumn("gain", round(a.cast(DoubleType) * a.cast(DoubleType) /
+          (nD * tD * (nD - tD)) / 10000.0, 2))
+        .localCheckpoint(true)
+      val mx = gains.agg(max(col("gain")).as("max_gain"))
+      gains.crossJoin(broadcast(mx))
+        .filter(col("gain") === col("max_gain"))
+        .groupBy(col("n"), col("sn"), col("max_gain"))
+        .agg(min_by(struct(col("x"), col("rn"), col("st")), col("x")).as("pk"))
+        .select(col("n").as("n_days"), col("pk.x").as("split_day"),
+          round(col("pk.st").cast(DoubleType) / col("pk.rn").cast(DoubleType) / 100.0, 2)
+            .as("mean_before"),
+          round((col("sn") - col("pk.st")).cast(DoubleType) /
+            (col("n") - col("pk.rn")).cast(DoubleType) / 100.0, 2).as("mean_after"),
+          col("max_gain"))
+    },
+    Some("""WITH d AS (SELECT epoch_us(date_trunc('day', l_shipdate)) // 86400000000 AS x,
+          CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * 100) AS BIGINT) AS yu
+        FROM lineitem GROUP BY 1),
+      pre AS (SELECT x,
+          SUM(yu) OVER (ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS st,
+          ROW_NUMBER() OVER (ORDER BY x) AS rn FROM d),
+      tot AS (SELECT MAX(rn) AS n, MAX(st) AS sn FROM pre),
+      gains AS (SELECT x, rn, st, n, sn,
+          round(CAST(CAST(n AS DECIMAL(38,0)) * st - CAST(rn AS DECIMAL(38,0)) * sn AS DOUBLE) *
+                CAST(CAST(n AS DECIMAL(38,0)) * st - CAST(rn AS DECIMAL(38,0)) * sn AS DOUBLE) /
+            (CAST(n AS DOUBLE) * rn * (CAST(n AS DOUBLE) - rn)) / 10000.0, 2) AS gain
+        FROM pre CROSS JOIN tot WHERE rn < n),
+      mx AS (SELECT MAX(gain) AS max_gain FROM gains),
+      pk AS (SELECT * FROM gains CROSS JOIN mx WHERE gain = max_gain
+        ORDER BY x LIMIT 1)
+      SELECT CAST(n AS BIGINT) AS n_days, x AS split_day,
+        round(CAST(st AS DOUBLE) / rn / 100.0, 2) AS mean_before,
+        round(CAST(sn - st AS DOUBLE) / (n - rn) / 100.0, 2) AS mean_after,
+        max_gain
+      FROM pk"""))
+
+  /** Damped-trend Holt smoothing (φ=0.9) — the M-competition default
+    * that q108's linear trend overshoots on long horizons: the trend
+    * decays geometrically, forecast_1 = l + φ·t. Identical fixture
+    * and fold discipline to q108_holt (exact per-day DECIMAL rollup →
+    * double fold replayed by the recursive-CTE oracle).
+    */
+  val q193DampedHolt: QueryDef = QueryDef("q193_damped_holt",
+    (s, dir) => {
+      val series = t(s, dir, "lineitem")
+        .filter(year(col("l_shipdate")) === 1995)
+        .groupBy(col("l_returnflag").as("flag"),
+          floor(unix_micros(date_trunc("day", col("l_shipdate"))) / lit(86400000000L))
+            .cast(LongType).as("x"))
+        .agg(sum(dec(col("l_extendedprice"))).cast(DoubleType).as("y"))
+        .groupBy(col("flag"))
+        .agg(sort_array(collect_list(struct(col("x"), col("y")))).as("arr"))
+      val y1 = element_at(col("arr"), 1).getField("y")
+      val y2 = element_at(col("arr"), 2).getField("y")
+      series
+        .withColumn("st", aggregate(
+          slice(col("arr"), lit(3), greatest(size(col("arr")) - 2, lit(0))),
+          struct((y2).as("l"), (y2 - y1).as("t")),
+          (acc, e) => {
+            val y = e.getField("y")
+            val damped = lit(0.9) * acc.getField("t")
+            val lNew = lit(0.3) * y + lit(0.7) * (acc.getField("l") + damped)
+            struct(lNew.as("l"),
+              (lit(0.1) * (lNew - acc.getField("l")) + lit(0.9) * damped).as("t"))
+          }))
+        .select(col("flag"), size(col("arr")).cast(LongType).as("n_days"),
+          round(col("st.l"), 4).as("level"),
+          round(col("st.t"), 4).as("trend"),
+          round(col("st.l") + lit(0.9) * col("st.t"), 4).as("forecast_1"))
+        .orderBy(col("flag"))
+    },
+    Some("""WITH RECURSIVE d AS (SELECT l_returnflag AS flag,
+          epoch_us(date_trunc('day', l_shipdate)) // 86400000000 AS x,
+          CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS DOUBLE) AS y
+        FROM lineitem WHERE year(l_shipdate) = 1995 GROUP BY 1, 2),
+      r AS (SELECT flag, y, ROW_NUMBER() OVER (PARTITION BY flag ORDER BY x) AS rn,
+          COUNT(*) OVER (PARTITION BY flag) AS n
+        FROM d),
+      hw AS (
+        SELECT r2.flag, r2.rn, r2.n, r2.y,
+            r2.y AS level, r2.y - r1.y AS trend
+        FROM r r2 JOIN r r1 ON r1.flag = r2.flag AND r1.rn = 1
+        WHERE r2.rn = 2
+        UNION ALL
+        SELECT r.flag, r.rn, r.n, r.y,
+            0.3 * r.y + 0.7 * (hw.level + 0.9 * hw.trend) AS level,
+            0.1 * ((0.3 * r.y + 0.7 * (hw.level + 0.9 * hw.trend)) - hw.level)
+              + 0.9 * (0.9 * hw.trend) AS trend
+        FROM hw JOIN r ON r.flag = hw.flag AND r.rn = hw.rn + 1)
+      SELECT flag, CAST(n AS BIGINT) AS n_days,
+        round(level, 4) AS level, round(trend, 4) AS trend,
+        round(level + 0.9 * trend, 4) AS forecast_1
+      FROM hw WHERE rn = n ORDER BY flag"""))
+
+  /** Winnowing near-dup candidate pairs: documents sharing ≥ 3
+    * winnowing fingerprints (the text_winnowing signature) — the MOSS
+    * plagiarism-detector join, completing fingerprint selection into
+    * an actual dedup operator. Hot fingerprints (boilerplate phrases)
+    * are dropped at df > 50 — the same stop-gram guard as the n-gram
+    * dedup family, bounding per-key join fan-out at df² (mirrored in
+    * the oracle, so the guard itself is verified). Shared-count is
+    * exact integer arithmetic; the pair aggregation partial-aggs
+    * before its shuffle.
+    */
+  val dedupWinnowing: QueryDef = QueryDef("dedup_winnowing",
+    (s, dir) => {
+      val w = split(regexp_replace(lower(trim(col("text"))), "\\s+", " "), " ")
+      val grams = transform(sequence(lit(1), size(w) - 4),
+        i => md5(array_join(slice(w, i, lit(5)), " ")))
+      val fps = t(s, dir, "documents")
+        .filter(size(w) >= 8)
+        .withColumn("grams", grams)
+        .select(col("doc_id"), explode(array_distinct(
+          transform(sequence(lit(1), size(col("grams")) - 3),
+            j => array_min(slice(col("grams"), j, lit(4)))))).as("fp"))
+      val cold = fps.groupBy(col("fp")).agg(count(lit(1)).as("df"))
+        .filter(col("df") <= 50)
+      val guarded = fps.join(cold, "fp")
+      guarded.select(col("fp"), col("doc_id").as("a"))
+        .join(guarded.select(col("fp"), col("doc_id").as("b")), "fp")
+        .filter(col("a") < col("b"))
+        .groupBy(col("a"), col("b"))
+        .agg(count(lit(1)).as("n_shared"))
+        .filter(col("n_shared") >= 3)
+        .orderBy(col("a"), col("b"))
+    },
+    Some("""WITH tok AS (SELECT doc_id,
+          string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS w
+        FROM documents),
+      g AS (SELECT doc_id,
+          [md5(array_to_string(w[i:i+4], ' ')) FOR i IN range(1, len(w) - 3)] AS grams
+        FROM tok WHERE len(w) >= 8),
+      fps AS (SELECT doc_id,
+          unnest(list_distinct([list_min(grams[j:j+3]) FOR j IN range(1, len(grams) - 2)])) AS fp
+        FROM g),
+      cold AS (SELECT fp FROM fps GROUP BY fp HAVING COUNT(*) <= 50),
+      guarded AS (SELECT f.doc_id, f.fp FROM fps f JOIN cold USING (fp))
+      SELECT g1.doc_id AS a, g2.doc_id AS b, COUNT(*) AS n_shared
+      FROM guarded g1 JOIN guarded g2 ON g1.fp = g2.fp AND g1.doc_id < g2.doc_id
+      GROUP BY 1, 2 HAVING COUNT(*) >= 3
+      ORDER BY a, b"""))
+
   val all: Seq[QueryDef] = Seq(
     q1Agg, q2Filter, q3Join, q4Semi, q5Multi, q6Window, q7TopK, q8Distinct,
     q9Rollup, q10Pivot, q11Anti, q12Expr, q13Percentiles, q14Subquery,
@@ -10587,6 +10807,7 @@ object Queries {
     q184Rsi, q185PageHinkley, q186Croston,
     q187EbShrinkage, q188Silhouette, q189Hhi, q190NelsonAalen,
     textBigramLm, textWinnowing, textBurstiness,
+    q191Elasticity, q192BinarySeg, q193DampedHolt, dedupWinnowing,
     etlMergeUpsert, etlConstraints, etlProvenance,
     graphPageRank, curateWeightedSample,
     etlUnionSources, etlValidate, etlCleanTransform, etlQualityReport,
