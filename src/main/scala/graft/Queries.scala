@@ -10758,6 +10758,175 @@ object Queries {
       GROUP BY 1, 2 HAVING COUNT(*) >= 3
       ORDER BY a, b"""))
 
+  /** Dynamic-time-warping distance between the 1995 daily revenue
+    * curves of returnflag N vs R — the shape-similarity measure that
+    * tolerates phase shift (a promo that lands a week later still
+    * matches), where lockstep measures (q100_xcorr) don't. The full
+    * O(n1·n2) DP runs as a fold over series-1 whose accumulator is
+    * the current DP ROW (array), with an inner fold building each row
+    * left-to-right — and because costs are |Δ| in integer cents, the
+    * whole DP is EXACT integer arithmetic: no float anywhere until
+    * the final display division. The oracle replays it with a
+    * recursive CTE (outer loop) + list_reduce (inner), bit-for-bit.
+    * Scale: the fact scan partial-aggs to O(days); the DP cost is
+    * days², independent of fact rows (the q99_theilsen argument).
+    */
+  val q194Dtw: QueryDef = QueryDef("q194_dtw",
+    (s, dir) => {
+      val daily = t(s, dir, "lineitem")
+        .filter(year(col("l_shipdate")) === 1995 && col("l_returnflag").isin("N", "R"))
+        .groupBy(col("l_returnflag").as("flag"),
+          floor(unix_micros(date_trunc("day", col("l_shipdate"))) / lit(86400000000L))
+            .cast(LongType).as("x"))
+        .agg(sum(dec(col("l_extendedprice")) * 100).cast(LongType).as("yu"))
+        .localCheckpoint(true) // both per-flag arrays read it
+      def arrOf(flag: String): DataFrame = daily.filter(col("flag") === flag)
+        .agg(sort_array(collect_list(struct(col("x"), col("yu")))).as("s"))
+        .select(transform(col("s"), e => e.getField("yu")).as(s"a_$flag"))
+      val one = arrOf("N").crossJoin(broadcast(arrOf("R")))
+      val a1 = col("a_N"); val a2 = col("a_R")
+      val n1 = size(a1); val n2 = size(a2)
+      val row1 = aggregate(slice(a2, lit(2), greatest(n2 - 1, lit(0))),
+        array(abs(element_at(a1, 1) - element_at(a2, 1))),
+        (acc, v) => concat(acc, array(element_at(acc, size(acc)) +
+          abs(element_at(a1, 1) - v))))
+      val dp = aggregate(slice(a1, lit(2), greatest(n1 - 1, lit(0))), row1,
+        (prev, y) => aggregate(sequence(lit(2), n2),
+          array(element_at(prev, 1) + abs(y - element_at(a2, 1))),
+          (acc, j) => concat(acc, array(abs(y - element_at(a2, j)) +
+            least(element_at(prev, j), element_at(prev, j - 1),
+              element_at(acc, size(acc)))))))
+      one.withColumn("dtw", element_at(dp, n2))
+        .select(n1.cast(LongType).as("n1"), n2.cast(LongType).as("n2"),
+          round(col("dtw").cast(DoubleType) / 100.0, 2).as("dtw_dollars"),
+          round(col("dtw").cast(DoubleType) / 100.0 / (n1 + n2).cast(DoubleType), 4)
+            .as("per_step"))
+    },
+    Some("""WITH RECURSIVE d AS (SELECT l_returnflag AS flag,
+          epoch_us(date_trunc('day', l_shipdate)) // 86400000000 AS x,
+          CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * 100) AS BIGINT) AS yu
+        FROM lineitem WHERE year(l_shipdate) = 1995 AND l_returnflag IN ('N', 'R')
+        GROUP BY 1, 2),
+      arrs AS (SELECT
+          (SELECT list(yu ORDER BY x) FROM d WHERE flag = 'N') AS a1,
+          (SELECT list(yu ORDER BY x) FROM d WHERE flag = 'R') AS a2),
+      init AS (SELECT a1, a2, len(a1) AS n1, len(a2) AS n2,
+          list_reduce(
+            [[abs(a1[1] - a2[1])]] || list_transform(a2[2:], v -> [v]),
+            (acc, x) -> acc || [acc[len(acc)] + abs(a1[1] - x[1])]) AS row1
+        FROM arrs),
+      dp AS (
+        SELECT 1 AS i, row1 AS dprow, a1, a2, n1, n2 FROM init
+        UNION ALL
+        SELECT i + 1,
+          list_reduce(
+            [[dprow[1] + abs(a1[i+1] - a2[1])]] || list_transform(range(2, n2 + 1), j -> [j]),
+            (acc, x) -> acc || [abs(a1[i+1] - a2[x[1]]) +
+              least(dprow[x[1]], dprow[x[1] - 1], acc[len(acc)])]),
+          a1, a2, n1, n2
+        FROM dp WHERE i < n1)
+      SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+        round(CAST(dprow[n2] AS DOUBLE) / 100.0, 2) AS dtw_dollars,
+        round(CAST(dprow[n2] AS DOUBLE) / 100.0 / (n1 + n2), 4) AS per_step
+      FROM dp WHERE i = n1"""))
+
+  /** Sample-ratio-mismatch audit for a 4-arm experiment split
+    * (user_id mod 4, expected uniform): the chi-square
+    * goodness-of-fit every experimentation platform runs BEFORE
+    * reading any metric — a skewed allocation invalidates q63/q149
+    * style readouts outright. Exact integer observed/expected-×4
+    * arithmetic until the final division; one partial-agg shuffle on
+    * an O(users) frame → O(1) output.
+    */
+  val q195Srm: QueryDef = QueryDef("q195_srm",
+    (s, dir) => {
+      val D38 = DecimalType(38, 0)
+      val arms = t(s, dir, "events")
+        .select(col("user_id")).distinct()
+        .groupBy(pmod(col("user_id"), lit(4L)).as("arm"))
+        .agg(count(lit(1)).as("o"))
+        .localCheckpoint(true) // totals + deviation scan both read it
+      val tot = arms.agg(count(lit(1)).as("k"), sum(col("o")).as("n"))
+      // chi2 = Σ (o − n/4)²/(n/4) = Σ(4o − n)² / (4·n), exact ints
+      val dev = lit(4L) * col("o") - col("n")
+      arms.crossJoin(broadcast(tot))
+        .groupBy(col("k"), col("n"))
+        .agg(sum(dev.cast(D38) * dev.cast(D38)).as("dev2"),
+          max(abs(dev)).as("maxdev"))
+        .select(col("k").as("n_arms"), col("n").as("n_users"),
+          round(col("dev2").cast(DoubleType) / (lit(4.0) * col("n").cast(DoubleType)), 6)
+            .as("chi2"),
+          round(col("maxdev").cast(DoubleType) / 4.0 / col("n").cast(DoubleType), 6)
+            .as("max_share_dev"))
+    },
+    Some("""WITH u AS (SELECT DISTINCT user_id FROM events),
+      arms AS (SELECT user_id % 4 AS arm, COUNT(*) AS o FROM u GROUP BY 1),
+      tot AS (SELECT COUNT(*) AS k, CAST(SUM(o) AS BIGINT) AS n FROM arms),
+      m AS (SELECT k, n,
+          CAST(SUM(CAST(4 * o - n AS DECIMAL(38,0)) * CAST(4 * o - n AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS dev2,
+          MAX(abs(4 * o - n)) AS maxdev
+        FROM arms CROSS JOIN tot GROUP BY k, n)
+      SELECT CAST(k AS BIGINT) AS n_arms, n AS n_users,
+        round(CAST(dev2 AS DOUBLE) / (4.0 * n), 6) AS chi2,
+        round(CAST(maxdev AS DOUBLE) / 4.0 / n, 6) AS max_share_dev
+      FROM m"""))
+
+  /** Tukey-style pairwise contrasts after q179's ANOVA: every pair of
+    * order priorities gets its mean difference and standard error
+    * from the pooled within-group variance (MSW via the same
+    * group-sorted bit-exact fold as q179) — the "WHICH groups differ"
+    * follow-up an omnibus F can't answer. The pair expansion runs on
+    * the O(k) frame (k² pairs); MSW rides in as a broadcast 1-row
+    * frame.
+    */
+  val q196Tukey: QueryDef = QueryDef("q196_tukey",
+    (s, dir) => {
+      val g = t(s, dir, "orders")
+        .select(col("o_orderpriority").as("grp"), dec(col("o_totalprice")).as("x"))
+        .groupBy(col("grp"))
+        .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+          sum(col("x") * col("x")).as("sxx"))
+        .withColumn("term", col("sx").cast(DoubleType) * col("sx").cast(DoubleType) /
+          col("n").cast(DoubleType))
+        .localCheckpoint(true) // MSW fold + both pair sides read it
+      val msw = g.agg(count(lit(1)).as("k"), sum(col("n")).as("n_tot"),
+          sum(col("sxx")).as("sxx_tot"),
+          sort_array(collect_list(struct(col("grp"), col("term")))).as("terms"))
+        .select(((col("sxx_tot").cast(DoubleType) -
+          aggregate(col("terms"), lit(0.0), (acc, e) => acc + e.getField("term"))) /
+          (col("n_tot") - col("k")).cast(DoubleType)).as("msw"))
+      val a = g.select(col("grp").as("grp_a"), col("n").as("na"),
+        (col("sx").cast(DoubleType) / col("n").cast(DoubleType)).as("ma"))
+      val b = g.select(col("grp").as("grp_b"), col("n").as("nb"),
+        (col("sx").cast(DoubleType) / col("n").cast(DoubleType)).as("mb"))
+      a.crossJoin(b).filter(col("grp_a") < col("grp_b"))
+        .crossJoin(broadcast(msw))
+        .select(col("grp_a"), col("grp_b"),
+          round(col("mb") - col("ma"), 4).as("diff"),
+          round(sqrt(col("msw") * (lit(1.0) / col("na").cast(DoubleType) +
+            lit(1.0) / col("nb").cast(DoubleType))), 4).as("se"),
+          round((col("mb") - col("ma")) /
+            sqrt(col("msw") * (lit(1.0) / col("na").cast(DoubleType) +
+              lit(1.0) / col("nb").cast(DoubleType))), 6).as("t_stat"))
+        .orderBy(col("grp_a"), col("grp_b"))
+    },
+    Some("""WITH g AS (SELECT o_orderpriority AS grp, COUNT(*) AS n,
+          SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS sx,
+          SUM(CAST(o_totalprice AS DECIMAL(12,2)) * CAST(o_totalprice AS DECIMAL(12,2))) AS sxx
+        FROM orders GROUP BY 1),
+      msw AS (SELECT (CAST(SUM(sxx) AS DOUBLE) -
+            list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+              list(CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n ORDER BY grp)),
+              (acc, x) -> acc + x)) /
+          (SUM(n) - COUNT(*)) AS msw FROM g),
+      m AS (SELECT grp, n, CAST(sx AS DOUBLE) / n AS mean FROM g)
+      SELECT a.grp AS grp_a, b.grp AS grp_b,
+        round(b.mean - a.mean, 4) AS diff,
+        round(sqrt(msw * (1.0 / a.n + 1.0 / b.n)), 4) AS se,
+        round((b.mean - a.mean) / sqrt(msw * (1.0 / a.n + 1.0 / b.n)), 6) AS t_stat
+      FROM m a JOIN m b ON a.grp < b.grp CROSS JOIN msw
+      ORDER BY grp_a, grp_b"""))
+
   val all: Seq[QueryDef] = Seq(
     q1Agg, q2Filter, q3Join, q4Semi, q5Multi, q6Window, q7TopK, q8Distinct,
     q9Rollup, q10Pivot, q11Anti, q12Expr, q13Percentiles, q14Subquery,
@@ -10808,6 +10977,7 @@ object Queries {
     q187EbShrinkage, q188Silhouette, q189Hhi, q190NelsonAalen,
     textBigramLm, textWinnowing, textBurstiness,
     q191Elasticity, q192BinarySeg, q193DampedHolt, dedupWinnowing,
+    q194Dtw, q195Srm, q196Tukey,
     etlMergeUpsert, etlConstraints, etlProvenance,
     graphPageRank, curateWeightedSample,
     etlUnionSources, etlValidate, etlCleanTransform, etlQualityReport,
