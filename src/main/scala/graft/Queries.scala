@@ -10927,6 +10927,237 @@ object Queries {
       FROM m a JOIN m b ON a.grp < b.grp CROSS JOIN msw
       ORDER BY grp_a, grp_b"""))
 
+  /** SAX symbolization (Piecewise Aggregate Approximation + Gaussian
+    * breakpoints) of each flag's 1995 daily revenue — the standard
+    * time-series-mining reduction that turns a numeric series into a
+    * short alphabet string for motif/anomaly matching. 7-day PAA
+    * segments from exact integer sums; z-scores against exact
+    * DECIMAL series moments; 4-symbol alphabet at breakpoints
+    * (−0.6745, 0, 0.6745). All shuffles are partial-aggregated; the
+    * string assembles with an ordered aggregation on the O(segments)
+    * frame.
+    */
+  val q197Sax: QueryDef = QueryDef("q197_sax",
+    (s, dir) => {
+      val D38 = DecimalType(38, 0)
+      val daily = t(s, dir, "lineitem")
+        .filter(year(col("l_shipdate")) === 1995)
+        .groupBy(col("l_returnflag").as("flag"),
+          floor(unix_micros(date_trunc("day", col("l_shipdate"))) / lit(86400000000L))
+            .cast(LongType).as("x"))
+        .agg(sum(dec(col("l_extendedprice")) * 100).cast(LongType).as("yu"))
+        .localCheckpoint(true) // segment rollup + series moments both read it
+      val wFlag = Window.partitionBy(col("flag")).orderBy(col("x"))
+      val paa = daily.withColumn("rn", row_number().over(wFlag))
+        .withColumn("seg", floor((col("rn") - 1) / 7).cast(LongType))
+        .groupBy(col("flag"), col("seg"))
+        .agg((sum(col("yu")).cast(DoubleType) / count(lit(1)).cast(DoubleType)).as("paa"))
+      val mom = daily.groupBy(col("flag"))
+        .agg(count(lit(1)).as("n"), sum(col("yu")).cast(D38).as("s1"),
+          sum(col("yu").cast(D38) * col("yu").cast(D38)).as("s2"))
+        .withColumn("mu", col("s1").cast(DoubleType) / col("n").cast(DoubleType))
+        .withColumn("sd", sqrt((col("s2").cast(DoubleType) -
+          col("s1").cast(DoubleType) * col("s1").cast(DoubleType) / col("n").cast(DoubleType)) /
+          (col("n") - 1).cast(DoubleType)))
+      val z = (col("paa") - col("mu")) / col("sd")
+      paa.join(broadcast(mom), "flag")
+        .withColumn("sym", when(z < -0.6745, "a").when(z < 0.0, "b")
+          .when(z < 0.6745, "c").otherwise("d"))
+        .groupBy(col("flag"))
+        .agg(max(col("n")).as("n_days"),
+          count(lit(1)).as("n_segments"),
+          concat_ws("", transform(sort_array(collect_list(struct(col("seg"), col("sym")))),
+            e => e.getField("sym"))).as("sax"))
+        .orderBy(col("flag"))
+    },
+    Some("""WITH d AS (SELECT l_returnflag AS flag,
+          epoch_us(date_trunc('day', l_shipdate)) // 86400000000 AS x,
+          CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * 100) AS BIGINT) AS yu
+        FROM lineitem WHERE year(l_shipdate) = 1995 GROUP BY 1, 2),
+      r AS (SELECT flag, x, yu, ROW_NUMBER() OVER (PARTITION BY flag ORDER BY x) AS rn FROM d),
+      paa AS (SELECT flag, (rn - 1) // 7 AS seg,
+          CAST(SUM(yu) AS DOUBLE) / COUNT(*) AS paa
+        FROM r GROUP BY 1, 2),
+      mom AS (SELECT flag, COUNT(*) AS n,
+          CAST(SUM(CAST(yu AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS s1,
+          CAST(SUM(CAST(yu AS DECIMAL(38,0)) * CAST(yu AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS s2
+        FROM d GROUP BY 1),
+      z AS (SELECT paa.flag, paa.seg, mom.n,
+          (paa.paa - CAST(s1 AS DOUBLE) / n) /
+            sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n) / (n - 1)) AS z
+        FROM paa JOIN mom USING (flag)),
+      sym AS (SELECT flag, seg, n,
+          CASE WHEN z < -0.6745 THEN 'a' WHEN z < 0.0 THEN 'b'
+               WHEN z < 0.6745 THEN 'c' ELSE 'd' END AS sym
+        FROM z)
+      SELECT flag, CAST(MAX(n) AS BIGINT) AS n_days, COUNT(*) AS n_segments,
+        string_agg(sym, '' ORDER BY seg) AS sax
+      FROM sym GROUP BY flag ORDER BY flag"""))
+
+  /** Matrix-profile discord discovery (lite): the 7-day window of the
+    * 1995 daily revenue series whose nearest-neighbor distance to any
+    * non-overlapping window is LARGEST — the principled "most
+    * anomalous week" definition (a week is anomalous only if nothing
+    * else in the year looks like it). All pair distances are exact
+    * integer cents² in DECIMAL(38,0); the argmax is max + equality
+    * filter with min-day tie-break. Scale shape: the fact scan
+    * partial-aggs to O(days); the O(days²) pair join runs on that
+    * aggregated frame, independent of fact rows (q99/q194 argument).
+    */
+  val q198Discord: QueryDef = QueryDef("q198_discord",
+    (s, dir) => {
+      val D38 = DecimalType(38, 0)
+      val daily = t(s, dir, "lineitem")
+        .filter(year(col("l_shipdate")) === 1995)
+        .groupBy(floor(unix_micros(date_trunc("day", col("l_shipdate"))) /
+          lit(86400000000L)).cast(LongType).as("x"))
+        .agg(sum(dec(col("l_extendedprice")) * 100).cast(LongType).as("yu"))
+      val wins = daily
+        .withColumn("rn", row_number().over(Window.orderBy(col("x"))))
+        .withColumn("arr", collect_list(col("yu"))
+          .over(Window.orderBy(col("x")).rowsBetween(0, 6)))
+        .filter(size(col("arr")) === 7)
+        .select(col("rn"), col("x"), col("arr"))
+        .localCheckpoint(true) // both sides of the pair join read it
+      val a = wins.select(col("rn").as("rn_a"), col("x").as("x_a"), col("arr").as("aa"))
+      val b = wins.select(col("rn").as("rn_b"), col("arr").as("ab"))
+      val d2 = aggregate(
+        zip_with(col("aa"), col("ab"),
+          (p, q) => (p.cast(D38) - q.cast(D38)) * (p.cast(D38) - q.cast(D38))),
+        lit(0).cast(D38), (acc, v) => acc + v)
+      val nn = a.join(b, abs(col("rn_a") - col("rn_b")) >= 7)
+        .withColumn("d2", d2)
+        .groupBy(col("rn_a"), col("x_a"))
+        .agg(min(col("d2")).as("nnd"))
+        .localCheckpoint(true)
+      val mx = nn.agg(count(lit(1)).as("n_windows"), max(col("nnd")).as("max_nnd"))
+      nn.crossJoin(broadcast(mx))
+        .filter(col("nnd") === col("max_nnd"))
+        .groupBy(col("n_windows"), col("max_nnd"))
+        .agg(min(col("x_a")).as("discord_day"))
+        .select(col("n_windows"), col("discord_day"),
+          round(sqrt(col("max_nnd").cast(DoubleType)) / 100.0, 2).as("nn_dist_dollars"))
+    },
+    Some("""WITH d AS (SELECT epoch_us(date_trunc('day', l_shipdate)) // 86400000000 AS x,
+          CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * 100) AS BIGINT) AS yu
+        FROM lineitem WHERE year(l_shipdate) = 1995 GROUP BY 1),
+      w AS (SELECT x, ROW_NUMBER() OVER (ORDER BY x) AS rn,
+          list(yu) OVER (ORDER BY x ROWS BETWEEN CURRENT ROW AND 6 FOLLOWING) AS arr
+        FROM d),
+      wins AS (SELECT rn, x, arr FROM w WHERE len(arr) = 7),
+      pairs AS (SELECT a.rn AS rn_a, a.x AS x_a,
+          list_reduce([CAST(a.arr[k] - b.arr[k] AS DECIMAL(38,0)) *
+            CAST(a.arr[k] - b.arr[k] AS DECIMAL(38,0)) FOR k IN range(1, 8)],
+            (acc, v) -> acc + v) AS d2
+        FROM wins a JOIN wins b ON abs(a.rn - b.rn) >= 7),
+      nn AS (SELECT rn_a, x_a, MIN(d2) AS nnd FROM pairs GROUP BY 1, 2),
+      mx AS (SELECT COUNT(*) AS n_windows, MAX(nnd) AS max_nnd FROM nn)
+      SELECT n_windows, MIN(x_a) AS discord_day,
+        round(sqrt(CAST(max_nnd AS DOUBLE)) / 100.0, 2) AS nn_dist_dollars
+      FROM nn CROSS JOIN mx WHERE nnd = max_nnd GROUP BY n_windows, max_nnd"""))
+
+  /** Bipartite rich-club panel of the purchase graph: for each degree
+    * threshold k, the density of edges among (customers with > k
+    * suppliers) × (suppliers with > k customers) — "do the busiest
+    * buyers and busiest sellers preferentially interconnect?", the
+    * thresholded sibling of q183's single assortativity number.
+    * Exact integer counts throughout; the ×5 threshold expansion is a
+    * map-side explode over the already-aggregated edge+degree frame.
+    */
+  val q199RichClub: QueryDef = QueryDef("q199_rich_club",
+    (s, dir) => {
+      val ks = array(lit(1L), lit(2L), lit(4L), lit(8L), lit(16L))
+      val e = t(s, dir, "orders")
+        .join(t(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("src"), col("l_suppkey").as("dst"))
+        .distinct()
+        .localCheckpoint(true) // degrees + edge panel read it
+      val outd = e.groupBy(col("src")).agg(count(lit(1)).as("xd")).localCheckpoint(true)
+      val ind = e.groupBy(col("dst")).agg(count(lit(1)).as("yd")).localCheckpoint(true)
+      val spine = s.range(1).select(explode(ks).as("k"))
+      val ek = e.join(outd, "src").join(ind, "dst")
+        .select(explode(ks).as("k"), col("xd"), col("yd"))
+        .filter(col("xd") > col("k") && col("yd") > col("k"))
+        .groupBy(col("k")).agg(count(lit(1)).as("n_edges"))
+      val ns = outd.select(explode(ks).as("k"), col("xd"))
+        .filter(col("xd") > col("k")).groupBy(col("k")).agg(count(lit(1)).as("n_src"))
+      val nd = ind.select(explode(ks).as("k"), col("yd"))
+        .filter(col("yd") > col("k")).groupBy(col("k")).agg(count(lit(1)).as("n_dst"))
+      spine.join(ns, Seq("k"), "left").join(nd, Seq("k"), "left")
+        .join(ek, Seq("k"), "left")
+        .select(col("k"),
+          coalesce(col("n_src"), lit(0L)).as("n_src"),
+          coalesce(col("n_dst"), lit(0L)).as("n_dst"),
+          coalesce(col("n_edges"), lit(0L)).as("n_edges"),
+          when(coalesce(col("n_src"), lit(0L)) > 0 && coalesce(col("n_dst"), lit(0L)) > 0,
+            round(coalesce(col("n_edges"), lit(0L)).cast(DoubleType) /
+              (col("n_src").cast(DoubleType) * col("n_dst").cast(DoubleType)), 6))
+            .as("density"))
+        .orderBy(col("k"))
+    },
+    Some("""WITH e AS (SELECT DISTINCT o_custkey AS src, l_suppkey AS dst
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+      outd AS (SELECT src, COUNT(*) AS xd FROM e GROUP BY 1),
+      ind AS (SELECT dst, COUNT(*) AS yd FROM e GROUP BY 1),
+      spine AS (SELECT CAST(unnest([1, 2, 4, 8, 16]) AS BIGINT) AS k),
+      ek AS (SELECT k, COUNT(*) AS n_edges
+        FROM e JOIN outd USING (src) JOIN ind USING (dst) CROSS JOIN spine
+        WHERE xd > k AND yd > k GROUP BY 1),
+      ns AS (SELECT k, COUNT(*) AS n_src FROM outd CROSS JOIN spine WHERE xd > k GROUP BY 1),
+      nd AS (SELECT k, COUNT(*) AS n_dst FROM ind CROSS JOIN spine WHERE yd > k GROUP BY 1)
+      SELECT k, COALESCE(n_src, 0) AS n_src, COALESCE(n_dst, 0) AS n_dst,
+        COALESCE(n_edges, 0) AS n_edges,
+        CASE WHEN COALESCE(n_src, 0) > 0 AND COALESCE(n_dst, 0) > 0 THEN
+          round(CAST(COALESCE(n_edges, 0) AS DOUBLE) /
+            (CAST(n_src AS DOUBLE) * n_dst), 6) END AS density
+      FROM spine LEFT JOIN ns USING (k) LEFT JOIN nd USING (k) LEFT JOIN ek USING (k)
+      ORDER BY k"""))
+
+  /** Entropy rate of the q52 user-journey Markov chain — how
+    * predictable the next event is given the current one: H =
+    * −Σ_ij (c_ij/N)·ln(c_ij/c_i), with the uniform bound ln(k) and
+    * the predictability efficiency H/ln(k). All probabilities are
+    * exact integer-count ratios; the Σ over the O(states²) cell frame
+    * is a plain double sum (noise ~1e-16 per the text_entropy
+    * precedent, absorbed by the 6-dp rounding).
+    */
+  val q200MarkovEntropy: QueryDef = QueryDef("q200_markov_entropy",
+    (s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val cells = t(s, dir, "events")
+        .withColumn("prev", lag(col("event_type"), 1).over(w))
+        .filter(col("prev").isNotNull)
+        .groupBy(col("prev"), col("event_type").as("nxt"))
+        .agg(count(lit(1)).as("c"))
+        .localCheckpoint(true)
+      val rows = cells.groupBy(col("prev")).agg(sum(col("c")).as("c1"))
+      val nD = col("n").cast(DoubleType)
+      cells.join(rows, "prev")
+        .agg(countDistinct(col("prev")).as("n_states"), sum(col("c")).as("n"),
+          sum(col("c").cast(DoubleType) *
+            log(col("c").cast(DoubleType) / col("c1").cast(DoubleType))).as("clnp"))
+        .select(col("n_states"), col("n").as("n_transitions"),
+          round(-col("clnp") / nD, 6).as("entropy_rate"),
+          round(log(col("n_states").cast(DoubleType)), 6).as("uniform_entropy"),
+          round(-col("clnp") / nD / log(col("n_states").cast(DoubleType)), 6)
+            .as("efficiency"))
+    },
+    Some("""WITH tr AS (SELECT user_id, event_type,
+          LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        FROM events),
+      cells AS (SELECT prev, event_type AS nxt, COUNT(*) AS c
+        FROM tr WHERE prev IS NOT NULL GROUP BY 1, 2),
+      rows_ AS (SELECT prev, SUM(c) AS c1 FROM cells GROUP BY 1),
+      agg AS (SELECT COUNT(DISTINCT cells.prev) AS n_states,
+          CAST(SUM(c) AS BIGINT) AS n,
+          SUM(c * ln(CAST(c AS DOUBLE) / c1)) AS clnp
+        FROM cells JOIN rows_ USING (prev))
+      SELECT n_states, n AS n_transitions,
+        round(-clnp / n, 6) AS entropy_rate,
+        round(ln(CAST(n_states AS DOUBLE)), 6) AS uniform_entropy,
+        round(-clnp / n / ln(CAST(n_states AS DOUBLE)), 6) AS efficiency
+      FROM agg"""))
+
   val all: Seq[QueryDef] = Seq(
     q1Agg, q2Filter, q3Join, q4Semi, q5Multi, q6Window, q7TopK, q8Distinct,
     q9Rollup, q10Pivot, q11Anti, q12Expr, q13Percentiles, q14Subquery,
@@ -10978,6 +11209,7 @@ object Queries {
     textBigramLm, textWinnowing, textBurstiness,
     q191Elasticity, q192BinarySeg, q193DampedHolt, dedupWinnowing,
     q194Dtw, q195Srm, q196Tukey,
+    q197Sax, q198Discord, q199RichClub, q200MarkovEntropy,
     etlMergeUpsert, etlConstraints, etlProvenance,
     graphPageRank, curateWeightedSample,
     etlUnionSources, etlValidate, etlCleanTransform, etlQualityReport,
