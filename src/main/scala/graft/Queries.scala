@@ -11158,6 +11158,713 @@ object Queries {
         round(-clnp / n / ln(CAST(n_states AS DOUBLE)), 6) AS efficiency
       FROM agg"""))
 
+  /** Brown–Forsythe (median-based Levene) variance-homogeneity test:
+    * do order totals have equal spread across the five priority
+    * classes? The robust companion to q179_anova — the F statistic is
+    * computed on absolute deviations from the GROUP MEDIAN, so a
+    * heavy-tailed class can't masquerade as a variance difference.
+    *
+    * Exactness: per-group medians come from the exact-selection
+    * operator (4-dp pinned, the etl_impute convention); deviations are
+    * quantized to integer milli-units (F is scale-invariant, so the
+    * quantization unit cancels); moments accumulate in DECIMAL(38,0)
+    * and the per-group (Σz)²/n terms fold in group-sorted order —
+    * bit-exact vs the oracle at any magnitude (the q179 pattern).
+    */
+  val q201Levene: QueryDef = QueryDef("q201_levene",
+    (s, dir) => {
+      val D38 = DecimalType(38, 0)
+      val base = t(s, dir, "orders")
+        .select(col("o_orderpriority").as("grp"), col("o_totalprice").as("x"))
+      val med = Selection.exactQuantiles(base, "grp", "x", Seq(0.5))
+        .groupBy(col("grp")).agg(round(max(col("q")), 4).as("med"))
+      val g = base.join(broadcast(med), "grp")
+        .withColumn("zq", floor(abs(col("x") - col("med")) * 1000.0 + 0.5)
+          .cast(LongType))
+        .groupBy(col("grp"))
+        .agg(count(lit(1)).as("n"), sum(col("zq").cast(D38)).as("sx"),
+          sum((col("zq") * col("zq")).cast(D38)).as("sxx"))
+        .withColumn("term", col("sx").cast(DoubleType) * col("sx").cast(DoubleType) /
+          col("n").cast(DoubleType))
+      val a = g.agg(count(lit(1)).as("k"), sum(col("n")).as("n_tot"),
+        sum(col("sx")).as("sx_tot"), sum(col("sxx")).as("sxx_tot"),
+        sort_array(collect_list(struct(col("grp"), col("term")))).as("terms"))
+        .withColumn("cm", aggregate(col("terms"), lit(0.0),
+          (acc, e) => acc + e.getField("term")))
+      val nD = col("n_tot").cast(DoubleType)
+      val ssb = col("cm") -
+        col("sx_tot").cast(DoubleType) * col("sx_tot").cast(DoubleType) / nD
+      val ssw = col("sxx_tot").cast(DoubleType) - col("cm")
+      a.select(col("k"), col("n_tot").as("n"),
+        round((ssb / (col("k") - 1).cast(DoubleType)) /
+          (ssw / (nD - col("k").cast(DoubleType))), 6).as("f_stat"))
+    },
+    Some("""WITH base AS (SELECT o_orderpriority AS grp, o_totalprice AS x FROM orders),
+      med AS (SELECT grp, round(quantile_cont(x, 0.5), 4) AS med FROM base GROUP BY 1),
+      g AS (SELECT grp, COUNT(*) AS n,
+          SUM(CAST(CAST(FLOOR(ABS(x - med) * 1000.0 + 0.5) AS BIGINT) AS DECIMAL(38,0))) AS sx,
+          SUM(CAST(CAST(FLOOR(ABS(x - med) * 1000.0 + 0.5) AS BIGINT) *
+            CAST(FLOOR(ABS(x - med) * 1000.0 + 0.5) AS BIGINT) AS DECIMAL(38,0))) AS sxx
+        FROM base JOIN med USING (grp) GROUP BY 1),
+      a AS (SELECT COUNT(*) AS k, SUM(n) AS n_tot, SUM(sx) AS sx_tot, SUM(sxx) AS sxx_tot,
+          list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+            list(CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n ORDER BY grp)),
+            (acc, x) -> acc + x) AS cm
+        FROM g)
+      SELECT CAST(k AS BIGINT) AS k, CAST(n_tot AS BIGINT) AS n,
+        round((CAST(cm AS DOUBLE) - CAST(sx_tot AS DOUBLE) * CAST(sx_tot AS DOUBLE) / n_tot) / (k - 1) /
+          ((CAST(sxx_tot AS DOUBLE) - CAST(cm AS DOUBLE)) / (n_tot - k)), 6) AS f_stat
+      FROM a"""))
+
+  /** McNemar paired-proportion test: did the set of ACTIVE customers
+    * change between the first and second half of the order history?
+    * Each customer is their own control (bought-in-H1 vs bought-in-H2
+    * on the SAME subject), so only the discordant cells drive the
+    * statistic — the within-subject sibling of q63_ab_lift's
+    * two-sample z. Pure integer contingency counts (one partial-agg
+    * pass over orders + a broadcast-joined customer spine), so every
+    * cell is exact; the χ² forms are one IEEE division each.
+    */
+  val q202Mcnemar: QueryDef = QueryDef("q202_mcnemar",
+    (s, dir) => {
+      val split = lit("1998-07-01 00:00:00").cast(TimestampType)
+      val per = t(s, dir, "orders").groupBy(col("o_custkey"))
+        .agg(max(when(col("o_orderdate") < split, 1).otherwise(0)).as("h1"),
+          max(when(col("o_orderdate") >= split, 1).otherwise(0)).as("h2"))
+      val cells = t(s, dir, "customer").select(col("c_custkey"))
+        .join(per, col("c_custkey") === col("o_custkey"), "left")
+        .select(coalesce(col("h1"), lit(0)).as("h1"),
+          coalesce(col("h2"), lit(0)).as("h2"))
+        .agg(count(lit(1)).as("n_customers"),
+          sum(when(col("h1") === 1 && col("h2") === 1, 1L).otherwise(0L)).as("n_both"),
+          sum(when(col("h1") === 1 && col("h2") === 0, 1L).otherwise(0L)).as("n_only_pre"),
+          sum(when(col("h1") === 0 && col("h2") === 1, 1L).otherwise(0L)).as("n_only_post"),
+          sum(when(col("h1") === 0 && col("h2") === 0, 1L).otherwise(0L)).as("n_neither"))
+      val b = col("n_only_pre").cast(DoubleType)
+      val c = col("n_only_post").cast(DoubleType)
+      cells.select(col("n_customers"), col("n_both"), col("n_only_pre"),
+        col("n_only_post"), col("n_neither"),
+        round((b - c) * (b - c) / (b + c), 6).as("chi2"),
+        round((abs(b - c) - 1.0) * (abs(b - c) - 1.0) / (b + c), 6).as("chi2_cc"))
+    },
+    Some("""WITH per AS (SELECT o_custkey,
+          MAX(CASE WHEN o_orderdate < TIMESTAMP '1998-07-01' THEN 1 ELSE 0 END) AS h1,
+          MAX(CASE WHEN o_orderdate >= TIMESTAMP '1998-07-01' THEN 1 ELSE 0 END) AS h2
+        FROM orders GROUP BY 1),
+      j AS (SELECT COALESCE(h1, 0) AS h1, COALESCE(h2, 0) AS h2
+        FROM customer LEFT JOIN per ON c_custkey = o_custkey),
+      cells AS (SELECT COUNT(*) AS n_customers,
+          CAST(SUM(CASE WHEN h1 = 1 AND h2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_both,
+          CAST(SUM(CASE WHEN h1 = 1 AND h2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_only_pre,
+          CAST(SUM(CASE WHEN h1 = 0 AND h2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_only_post,
+          CAST(SUM(CASE WHEN h1 = 0 AND h2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_neither
+        FROM j)
+      SELECT n_customers, n_both, n_only_pre, n_only_post, n_neither,
+        round((CAST(n_only_pre AS DOUBLE) - n_only_post) * (CAST(n_only_pre AS DOUBLE) - n_only_post)
+          / (n_only_pre + n_only_post), 6) AS chi2,
+        round((ABS(CAST(n_only_pre AS DOUBLE) - n_only_post) - 1.0) *
+          (ABS(CAST(n_only_pre AS DOUBLE) - n_only_post) - 1.0)
+          / (n_only_pre + n_only_post), 6) AS chi2_cc
+      FROM cells"""))
+
+  /** Two-group log-rank survival test: does signup→purchase conversion
+    * differ between the even/odd user arms? The inferential companion
+    * to the q98_kaplan_meier curve and q190_nelson_aalen hazard — at
+    * every distinct event time the arm-1 event count is compared to
+    * its hypergeometric expectation given the shared risk set, and the
+    * (O−E)²/V statistic is χ²(1) under the null.
+    *
+    * Scale shape: ONE partial-agg pass builds the per-duration
+    * (events, leavers) × arm frame; at-risk counts are suffix sums on
+    * that O(times) frame (the q98 trick), and each time's O−E and V
+    * contributions are pinned to 1e-12 units so the sums are
+    * order-independent longs — exact on both engines.
+    */
+  val q203Logrank: QueryDef = QueryDef("q203_logrank",
+    (s, dir) => {
+      val ev = t(s, dir, "events")
+      val signup = ev.filter(col("event_type") === "signup")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("s_ts"))
+      val purch = ev.filter(col("event_type") === "purchase")
+        .join(signup, Seq("user_id"))
+        .filter(col("ts") >= col("s_ts"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("p_ts"))
+      val horizon = ev.agg(max(col("ts")).as("h_ts"))
+      val subj = signup.join(purch, Seq("user_id"), "left")
+        .crossJoin(broadcast(horizon))
+        .select((col("user_id") % 2).cast(IntegerType).as("arm"),
+          col("p_ts").isNotNull.as("converted"),
+          floor((unix_micros(coalesce(col("p_ts"), col("h_ts"))) -
+            unix_micros(col("s_ts"))) / lit(86400000000.0))
+            .cast(LongType).as("dur"))
+      val byDur = subj.groupBy(col("dur")).agg(
+        sum(when(col("converted") && col("arm") === 1, 1L).otherwise(0L)).as("d1"),
+        sum(when(col("converted"), 1L).otherwise(0L)).as("d"),
+        sum(when(col("arm") === 1, 1L).otherwise(0L)).as("l1"),
+        count(lit(1)).as("l"))
+      val wRisk = Window.orderBy(col("dur")).rowsBetween(0, Window.unboundedFollowing)
+      val nD = col("n").cast(DoubleType)
+      val n1D = col("n1").cast(DoubleType)
+      val dD = col("d").cast(DoubleType)
+      val r = byDur
+        .withColumn("n1", sum(col("l1")).over(wRisk))
+        .withColumn("n", sum(col("l")).over(wRisk))
+        .filter(col("d") > 0)
+        .withColumn("oe_q", floor((col("d1").cast(DoubleType) - dD * n1D / nD)
+          * 1.0e12 + 0.5).cast(LongType))
+        .withColumn("v_q", when(col("n") > 1,
+          floor(dD * (n1D / nD) * (lit(1.0) - n1D / nD) *
+            ((col("n") - col("d")).cast(DoubleType) / (col("n") - 1).cast(DoubleType))
+            * 1.0e12 + 0.5).cast(LongType)).otherwise(lit(0L)))
+      r.agg(count(lit(1)).as("n_times"), sum(col("oe_q")).as("oeq"),
+          sum(col("v_q")).as("vq"))
+        .select(col("n_times"),
+          round(col("oeq").cast(DoubleType) / 1.0e12, 6).as("o_minus_e"),
+          round(col("vq").cast(DoubleType) / 1.0e12, 6).as("var_sum"),
+          round((col("oeq").cast(DoubleType) / 1.0e12) *
+            (col("oeq").cast(DoubleType) / 1.0e12) /
+            (col("vq").cast(DoubleType) / 1.0e12), 6).as("chi2"))
+    },
+    Some("""WITH signup AS (SELECT user_id, MIN(ts) AS s_ts
+        FROM events WHERE event_type = 'signup' GROUP BY 1),
+      purch AS (SELECT e.user_id, MIN(e.ts) AS p_ts
+        FROM events e JOIN signup su USING (user_id)
+        WHERE e.event_type = 'purchase' AND e.ts >= su.s_ts GROUP BY 1),
+      horizon AS (SELECT MAX(ts) AS h_ts FROM events),
+      subj AS (SELECT CAST(su.user_id % 2 AS INTEGER) AS arm,
+          (p.p_ts IS NOT NULL) AS converted,
+          (epoch_us(COALESCE(p.p_ts, h.h_ts)) - epoch_us(su.s_ts)) // 86400000000 AS dur
+        FROM signup su LEFT JOIN purch p USING (user_id) CROSS JOIN horizon h),
+      by_dur AS (SELECT dur,
+          CAST(SUM(CASE WHEN converted AND arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS d1,
+          CAST(SUM(CASE WHEN converted THEN 1 ELSE 0 END) AS BIGINT) AS d,
+          CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS l1,
+          COUNT(*) AS l
+        FROM subj GROUP BY 1),
+      risk AS (SELECT dur, d1, d,
+          CAST(SUM(l1) OVER (ORDER BY dur
+            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS BIGINT) AS n1,
+          CAST(SUM(l) OVER (ORDER BY dur
+            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS BIGINT) AS n
+        FROM by_dur),
+      contrib AS (SELECT
+          CAST(FLOOR((CAST(d1 AS DOUBLE) - CAST(d AS DOUBLE) * n1 / n) * 1.0e12 + 0.5) AS BIGINT) AS oe_q,
+          CASE WHEN n > 1 THEN CAST(FLOOR(CAST(d AS DOUBLE) * (CAST(n1 AS DOUBLE) / n) *
+              (1.0 - CAST(n1 AS DOUBLE) / n) *
+              (CAST(n - d AS DOUBLE) / CAST(n - 1 AS DOUBLE)) * 1.0e12 + 0.5) AS BIGINT)
+            ELSE 0 END AS v_q
+        FROM risk WHERE d > 0)
+      SELECT COUNT(*) AS n_times,
+        round(CAST(SUM(oe_q) AS DOUBLE) / 1.0e12, 6) AS o_minus_e,
+        round(CAST(SUM(v_q) AS DOUBLE) / 1.0e12, 6) AS var_sum,
+        round((CAST(SUM(oe_q) AS DOUBLE) / 1.0e12) * (CAST(SUM(oe_q) AS DOUBLE) / 1.0e12) /
+          (CAST(SUM(v_q) AS DOUBLE) / 1.0e12), 6) AS chi2
+      FROM contrib"""))
+
+  /** Theil T inequality index with exact between/within decomposition:
+    * how unequal are order totals, and how much of that inequality is
+    * explained by priority class vs within-class spread? The additive
+    * entropy-based inequality measure (T = (1/N)Σ(x/μ)ln(x/μ)) that —
+    * unlike q67_gini — decomposes EXACTLY into between + within.
+    *
+    * Scale shape: μ comes from one exact DECIMAL sum; the per-row
+    * (x/μ)ln(x/μ) contributions are pinned to 1e-9 units inside the
+    * SAME per-group partial agg that builds the group means, so the
+    * whole query is one shuffle to an O(groups) frame; the between
+    * terms pin at 1e-12 on that frame. All sums are integer-exact and
+    * order-independent on both engines.
+    */
+  val q204Theil: QueryDef = QueryDef("q204_theil",
+    (s, dir) => {
+      val D38 = DecimalType(38, 0)
+      val base = t(s, dir, "orders")
+        .select(col("o_orderpriority").as("grp"), col("o_totalprice").as("x"))
+      val tot = base.agg(sum(dec(col("x"))).as("sxt"), count(lit(1)).as("n"))
+      val g = base.crossJoin(broadcast(tot))
+        .withColumn("mu", col("sxt").cast(DoubleType) / col("n").cast(DoubleType))
+        .groupBy(col("grp"))
+        .agg(count(lit(1)).as("ng"), sum(dec(col("x"))).as("sxg"),
+          sum(floor((col("x") / col("mu")) * log(col("x") / col("mu")) * 1.0e9 + 0.5)
+            .cast(D38)).as("tg"),
+          max(col("mu")).as("mu"), max(col("n")).as("n"))
+      val mug = col("sxg").cast(DoubleType) / col("ng").cast(DoubleType)
+      val out = g
+        .withColumn("bq", floor((col("ng").cast(DoubleType) / col("n").cast(DoubleType)) *
+          (mug / col("mu")) * log(mug / col("mu")) * 1.0e12 + 0.5).cast(LongType))
+        .agg(count(lit(1)).as("k"), max(col("n")).as("n"),
+          sum(col("tg")).as("tsum"), sum(col("bq")).as("bsum"))
+      val tTot = out("tsum").cast(DoubleType) / 1.0e9 / out("n").cast(DoubleType)
+      val tBet = out("bsum").cast(DoubleType) / 1.0e12
+      out.select(col("n"), col("k"),
+        round(tTot, 6).as("theil_total"),
+        round(tBet, 6).as("theil_between"),
+        round(tTot - tBet, 6).as("theil_within"))
+    },
+    Some("""WITH base AS (SELECT o_orderpriority AS grp, o_totalprice AS x FROM orders),
+      tot AS (SELECT SUM(CAST(x AS DECIMAL(12,2))) AS sxt, COUNT(*) AS n FROM base),
+      g AS (SELECT grp, COUNT(*) AS ng, SUM(CAST(x AS DECIMAL(12,2))) AS sxg,
+          SUM(CAST(FLOOR((x / (CAST(sxt AS DOUBLE) / n)) * ln(x / (CAST(sxt AS DOUBLE) / n)) * 1.0e9 + 0.5) AS DECIMAL(38,0))) AS tg,
+          MAX(CAST(sxt AS DOUBLE) / n) AS mu, MAX(n) AS n
+        FROM base CROSS JOIN tot GROUP BY 1),
+      o AS (SELECT COUNT(*) AS k, MAX(n) AS n, SUM(tg) AS tsum,
+          SUM(CAST(FLOOR((CAST(ng AS DOUBLE) / n) * ((CAST(sxg AS DOUBLE) / ng) / mu) *
+            ln((CAST(sxg AS DOUBLE) / ng) / mu) * 1.0e12 + 0.5) AS BIGINT)) AS bsum
+        FROM g)
+      SELECT CAST(n AS BIGINT) AS n, CAST(k AS BIGINT) AS k,
+        round(CAST(tsum AS DOUBLE) / 1.0e9 / n, 6) AS theil_total,
+        round(CAST(bsum AS DOUBLE) / 1.0e12, 6) AS theil_between,
+        round(CAST(tsum AS DOUBLE) / 1.0e9 / n - CAST(bsum AS DOUBLE) / 1.0e12, 6) AS theil_within
+      FROM o"""))
+
+  /** Link prediction on the customer co-purchase graph: for customer
+    * pairs sharing suppliers, score candidate edges by common-neighbor
+    * count and Adamic–Adar (Σ 1/ln deg z — rare shared suppliers count
+    * more). The "who will co-buy next" companion to q127_item_cf.
+    *
+    * Scale shape: each supplier's neighborhood is truncated to its 32
+    * strongest customer ties via the bounded `top_k_by` heap BEFORE
+    * pairing (the LSH-style candidate bound — pair volume is O(S·32²)
+    * regardless of fact rows), while AA weights use the FULL supplier
+    * degree. AA contributions pin to 1e-12 units; ranking is on exact
+    * integers (cn, aaq) so the top-30 is deterministic on both engines.
+    */
+  val q205Linkpred: QueryDef = QueryDef("q205_linkpred",
+    (s, dir) => {
+      val e = t(s, dir, "orders")
+        .join(t(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("o_custkey").as("c"), col("l_suppkey").as("sk"))
+        .agg(count(lit(1)).as("w"))
+        .filter(col("w") >= 2)
+        .localCheckpoint(true)
+      val deg = e.groupBy(col("sk")).agg(count(lit(1)).as("degz"))
+      val top = e.groupBy(col("sk"))
+        .agg(vector.topKByLong(col("w"), col("c"), 32).as("tp"))
+        .select(col("sk"), explode(col("tp.id")).as("c"))
+      val pairs = top.as("a").join(top.as("b"),
+          col("a.sk") === col("b.sk") && col("a.c") < col("b.c"))
+        .select(col("a.c").as("ca"), col("b.c").as("cb"), col("a.sk").as("sk"))
+      pairs.join(broadcast(deg), "sk")
+        .groupBy(col("ca"), col("cb"))
+        .agg(count(lit(1)).as("cn"),
+          sum(floor(lit(1.0) / log(col("degz").cast(DoubleType)) * 1.0e12 + 0.5)
+            .cast(LongType)).as("aaq"))
+        .orderBy(col("cn").desc, col("aaq").desc, col("ca"), col("cb"))
+        .limit(30)
+        .select(col("ca"), col("cb"), col("cn"),
+          round(col("aaq").cast(DoubleType) / 1.0e12, 6).as("adamic_adar"))
+    },
+    Some("""WITH e AS (SELECT o_custkey AS c, l_suppkey AS sk, COUNT(*) AS w
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+      deg AS (SELECT sk, COUNT(*) AS degz FROM e GROUP BY 1),
+      top AS (SELECT sk, c FROM (
+          SELECT sk, c, ROW_NUMBER() OVER (PARTITION BY sk ORDER BY w DESC, c) AS rn
+          FROM e) WHERE rn <= 32),
+      pairs AS (SELECT a.c AS ca, b.c AS cb, a.sk AS sk
+        FROM top a JOIN top b ON a.sk = b.sk AND a.c < b.c),
+      sc AS (SELECT ca, cb, COUNT(*) AS cn,
+          CAST(SUM(CAST(FLOOR(1.0 / ln(CAST(degz AS DOUBLE)) * 1.0e12 + 0.5) AS BIGINT)) AS BIGINT) AS aaq
+        FROM pairs JOIN deg USING (sk) GROUP BY 1, 2)
+      SELECT ca, cb, cn, round(CAST(aaq AS DOUBLE) / 1.0e12, 6) AS adamic_adar
+      FROM sc ORDER BY cn DESC, aaq DESC, ca, cb LIMIT 30"""))
+
+  /** Closed-form ridge regression (λ=10, centered 2-feature normal
+    * equations): predict an order's total from its line count and
+    * total quantity. The L2-regularized sibling of q65_regression /
+    * q133_logit — the 2×2 system is solved exactly from ONE partial-agg
+    * moment pass (no iteration, no gradient steps).
+    *
+    * Exactness: all nine moments accumulate in DECIMAL (features are
+    * integral, y is exact 2-dp money), so the centered Gram entries
+    * are identical doubles on both engines and the closed-form solve
+    * is the same few IEEE ops.
+    */
+  val q206Ridge: QueryDef = QueryDef("q206_ridge",
+    (s, dir) => {
+      val feats = t(s, dir, "lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg(count(lit(1)).as("x1"), sum(dec(col("l_quantity"))).as("x2"))
+      val m = t(s, dir, "orders")
+        .join(feats, col("o_orderkey") === col("l_orderkey"))
+        .select(col("x1").cast(D).as("x1"), col("x2").cast(D).as("x2"),
+          dec(col("o_totalprice")).as("y"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("x1")).as("s1"), sum(col("x2")).as("s2"), sum(col("y")).as("sy"),
+          sum(col("x1") * col("x1")).as("s11"), sum(col("x2") * col("x2")).as("s22"),
+          sum(col("x1") * col("x2")).as("s12"),
+          sum(col("x1") * col("y")).as("s1y"), sum(col("x2") * col("y")).as("s2y"))
+      val nD = col("n").cast(DoubleType)
+      def d(c: String): Column = col(c).cast(DoubleType)
+      val a11 = d("s11") - d("s1") * d("s1") / nD + lit(10.0)
+      val a22 = d("s22") - d("s2") * d("s2") / nD + lit(10.0)
+      val a12 = d("s12") - d("s1") * d("s2") / nD
+      val b1 = d("s1y") - d("s1") * d("sy") / nD
+      val b2 = d("s2y") - d("s2") * d("sy") / nD
+      val det = a11 * a22 - a12 * a12
+      val beta1 = (a22 * b1 - a12 * b2) / det
+      val beta2 = (a11 * b2 - a12 * b1) / det
+      m.select(col("n"), round(beta1, 6).as("beta_lines"),
+        round(beta2, 6).as("beta_qty"),
+        round(d("sy") / nD - beta1 * (d("s1") / nD) - beta2 * (d("s2") / nD), 6)
+          .as("intercept"))
+    },
+    Some("""WITH feats AS (SELECT l_orderkey, CAST(COUNT(*) AS DECIMAL(12,2)) AS x1,
+          CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(12,2)) AS x2
+        FROM lineitem GROUP BY 1),
+      m AS (SELECT COUNT(*) AS n,
+          SUM(x1) AS s1, SUM(x2) AS s2, SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS sy,
+          SUM(x1 * x1) AS s11, SUM(x2 * x2) AS s22, SUM(x1 * x2) AS s12,
+          SUM(x1 * CAST(o_totalprice AS DECIMAL(12,2))) AS s1y,
+          SUM(x2 * CAST(o_totalprice AS DECIMAL(12,2))) AS s2y
+        FROM orders JOIN feats ON o_orderkey = l_orderkey),
+      c AS (SELECT n,
+          CAST(s11 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n + 10.0 AS a11,
+          CAST(s22 AS DOUBLE) - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE) / n + 10.0 AS a22,
+          CAST(s12 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s2 AS DOUBLE) / n AS a12,
+          CAST(s1y AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(sy AS DOUBLE) / n AS b1,
+          CAST(s2y AS DOUBLE) - CAST(s2 AS DOUBLE) * CAST(sy AS DOUBLE) / n AS b2,
+          CAST(s1 AS DOUBLE) / n AS m1, CAST(s2 AS DOUBLE) / n AS m2,
+          CAST(sy AS DOUBLE) / n AS my
+        FROM m)
+      SELECT n,
+        round((a22 * b1 - a12 * b2) / (a11 * a22 - a12 * a12), 6) AS beta_lines,
+        round((a11 * b2 - a12 * b1) / (a11 * a22 - a12 * a12), 6) AS beta_qty,
+        round(my - (a22 * b1 - a12 * b2) / (a11 * a22 - a12 * a12) * m1
+          - (a11 * b2 - a12 * b1) / (a11 * a22 - a12 * a12) * m2, 6) AS intercept
+      FROM c"""))
+
+  /** k-distance outlier census over the embedding corpus: each
+    * vector's distance to its 10th nearest neighbor (the classic
+    * kNN-distance outlier score / DBSCAN eps-elbow diagnostic), top-20
+    * most isolated vectors. Complements cluster_dbscan (which needs
+    * exactly this curve to pick eps) and q146_knn_eval.
+    *
+    * Scale shape: the corpus streams once against a broadcast copy of
+    * itself and the bounded `top_k_by` long-score heap keeps only k=10
+    * candidates per partition — shuffle volume is O(partitions·k), the
+    * ann_bruteforce contract. Distances are exact integer squared
+    * distances in 1e-7 quantized units (the q146 convention), so
+    * ranking and tie-breaks are bit-deterministic.
+    */
+  val q207KnnOutlier: QueryDef = QueryDef("q207_knn_outlier",
+    (s, dir) => {
+      val pts = t(s, dir, "embeddings")
+        .select(col("vec_id"),
+          transform(col("embedding"),
+            x => floor(x.cast(DoubleType) * 1.0e7 + 0.5).cast(LongType)).as("vu"))
+        .localCheckpoint(true)
+      val d2 = aggregate(
+        zip_with(col("vu"), col("bvu"), (x, y) => (x - y) * (x - y)),
+        lit(0L), (acc, v) => acc + v)
+      pts.select(col("vec_id").as("ia"), col("vu"))
+        .crossJoin(broadcast(pts.select(col("vec_id").as("ib"), col("vu").as("bvu"))))
+        .filter(col("ia") =!= col("ib"))
+        .withColumn("negd2", -d2)
+        .groupBy(col("ia"))
+        .agg(vector.topKByLong(col("negd2"), col("ib"), 10).as("top"))
+        .withColumn("kd2", -element_at(col("top.score"), 10))
+        .orderBy(col("kd2").desc, col("ia"))
+        .limit(20)
+        .select(col("ia").as("vec_id"),
+          round(sqrt(col("kd2").cast(DoubleType)) / 1.0e7, 6).as("k_dist"))
+    },
+    Some("""WITH v AS (SELECT vec_id, list_transform(embedding,
+          x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1.0e7 + 0.5) AS BIGINT)) AS vu
+        FROM embeddings),
+      p AS (SELECT a.vec_id AS ia, b.vec_id AS ib,
+          CAST(list_sum(list_transform(range(1, len(a.vu) + 1),
+            i -> (a.vu[i] - b.vu[i]) * (a.vu[i] - b.vu[i]))) AS BIGINT) AS d2
+        FROM v a JOIN v b ON a.vec_id <> b.vec_id),
+      kd AS (SELECT ia, d2 AS kd2 FROM (
+          SELECT ia, d2, ROW_NUMBER() OVER (PARTITION BY ia ORDER BY d2, ib) AS rn
+          FROM p) WHERE rn = 10)
+      SELECT ia AS vec_id, round(sqrt(CAST(kd2 AS DOUBLE)) / 1.0e7, 6) AS k_dist
+      FROM kd ORDER BY kd2 DESC, ia LIMIT 20"""))
+
+  /** Mahalanobis outlier census in (total spend, order count) space:
+    * top-20 customers by squared Mahalanobis distance from the
+    * centroid — the correlation-aware multivariate outlier score the
+    * per-column z-score audits (q56_mad_outliers) can't express (a
+    * high-spend high-frequency customer may be NORMAL even when both
+    * marginals look extreme).
+    *
+    * Exactness: the 2×2 covariance comes from one DECIMAL moment pass;
+    * the closed-form inverse and per-customer quadratic form are the
+    * same IEEE ops on both engines, and ranking is on 1e-9-pinned
+    * integer scores with a key tie-break.
+    */
+  val q208Mahalanobis: QueryDef = QueryDef("q208_mahalanobis",
+    (s, dir) => {
+      val per = t(s, dir, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(sum(dec(col("o_totalprice"))).as("spend"), count(lit(1)).as("cnt"))
+        .localCheckpoint(true)
+      val m = per.agg(count(lit(1)).as("n"),
+        sum(col("spend")).as("s1"), sum(col("cnt").cast(D)).as("s2"),
+        sum(col("spend") * col("spend")).as("s11"),
+        sum(col("cnt").cast(D) * col("cnt").cast(D)).as("s22"),
+        sum(col("spend") * col("cnt").cast(D)).as("s12"))
+      val nD = col("n").cast(DoubleType)
+      def d(c: String): Column = col(c).cast(DoubleType)
+      val joined = per.crossJoin(broadcast(m))
+        .withColumn("m1", d("s1") / nD).withColumn("m2", d("s2") / nD)
+        .withColumn("c11", d("s11") / nD - (d("s1") / nD) * (d("s1") / nD))
+        .withColumn("c22", d("s22") / nD - (d("s2") / nD) * (d("s2") / nD))
+        .withColumn("c12", d("s12") / nD - (d("s1") / nD) * (d("s2") / nD))
+        .withColumn("det", col("c11") * col("c22") - col("c12") * col("c12"))
+        .withColumn("dx", col("spend").cast(DoubleType) - col("m1"))
+        .withColumn("dy", col("cnt").cast(DoubleType) - col("m2"))
+        .withColumn("d2", (col("dx") * (col("c22") * col("dx") - col("c12") * col("dy")) +
+          col("dy") * (col("c11") * col("dy") - col("c12") * col("dx"))) / col("det"))
+        .withColumn("d2q", floor(col("d2") * 1.0e9 + 0.5).cast(LongType))
+      joined.orderBy(col("d2q").desc, col("o_custkey"))
+        .limit(20)
+        .select(col("o_custkey"), col("spend"), col("cnt").as("n_orders"),
+          round(col("d2q").cast(DoubleType) / 1.0e9, 6).as("mahalanobis_sq"))
+    },
+    Some("""WITH per AS (SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS spend,
+          COUNT(*) AS cnt
+        FROM orders GROUP BY 1),
+      m AS (SELECT COUNT(*) AS n, SUM(spend) AS s1,
+          SUM(CAST(cnt AS DECIMAL(12,2))) AS s2,
+          SUM(spend * spend) AS s11,
+          SUM(CAST(cnt AS DECIMAL(12,2)) * CAST(cnt AS DECIMAL(12,2))) AS s22,
+          SUM(spend * CAST(cnt AS DECIMAL(12,2))) AS s12
+        FROM per),
+      j AS (SELECT o_custkey, spend, cnt,
+          CAST(spend AS DOUBLE) - CAST(s1 AS DOUBLE) / n AS dx,
+          CAST(cnt AS DOUBLE) - CAST(s2 AS DOUBLE) / n AS dy,
+          CAST(s11 AS DOUBLE) / n - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n) AS c11,
+          CAST(s22 AS DOUBLE) / n - (CAST(s2 AS DOUBLE) / n) * (CAST(s2 AS DOUBLE) / n) AS c22,
+          CAST(s12 AS DOUBLE) / n - (CAST(s1 AS DOUBLE) / n) * (CAST(s2 AS DOUBLE) / n) AS c12
+        FROM per CROSS JOIN m),
+      sc AS (SELECT o_custkey, spend, cnt,
+          CAST(FLOOR((dx * (c22 * dx - c12 * dy) + dy * (c11 * dy - c12 * dx)) /
+            (c11 * c22 - c12 * c12) * 1.0e9 + 0.5) AS BIGINT) AS d2q
+        FROM j)
+      SELECT o_custkey, spend, cnt AS n_orders,
+        round(CAST(d2q AS DOUBLE) / 1.0e9, 6) AS mahalanobis_sq
+      FROM sc ORDER BY d2q DESC, o_custkey LIMIT 20"""))
+
+  /** Circular (directional) statistics of activity time-of-day per
+    * event type: mean event hour, mean resultant length R (0 = hours
+    * uniform around the clock, 1 = perfectly concentrated) and the
+    * Rayleigh z = nR² uniformity test. Hour-of-day is an angle, not a
+    * line — a 23:30/00:30 split averages to midnight here instead of
+    * noon, which is why the linear q101_seasonal machinery can't
+    * express this audit.
+    *
+    * Scale shape: ONE partial agg collapses the stream to the
+    * O(types·24) hour-census frame; the cos/sin resultants fold over
+    * that tiny frame with 1e-6-pinned per-cell terms (exact integer
+    * sums both engines — same trig inputs, same quantization).
+    */
+  val q209HourCircular: QueryDef = QueryDef("q209_hour_circular",
+    (s, dir) => {
+      val D38 = DecimalType(38, 0)
+      val byHour = t(s, dir, "events")
+        .groupBy(col("event_type"), hour(col("ts")).as("h"))
+        .agg(count(lit(1)).as("c"))
+      val theta = col("h").cast(DoubleType) * (lit(3.141592653589793) / 12.0)
+      val g = byHour
+        .withColumn("cq", floor(col("c").cast(DoubleType) * cos(theta) * 1.0e6 + 0.5)
+          .cast(D38))
+        .withColumn("sq", floor(col("c").cast(DoubleType) * sin(theta) * 1.0e6 + 0.5)
+          .cast(D38))
+        .groupBy(col("event_type"))
+        .agg(sum(col("c")).as("n"), sum(col("cq")).as("cs"), sum(col("sq")).as("ss"))
+      val cD = g("cs").cast(DoubleType) / 1.0e6
+      val sD = g("ss").cast(DoubleType) / 1.0e6
+      val nD = col("n").cast(DoubleType)
+      val r = sqrt(cD * cD + sD * sD) / nD
+      val meanHour = (atan2(sD, cD) * (lit(12.0) / 3.141592653589793) + 24.0) % 24.0
+      g.select(col("event_type"), col("n"),
+          round(meanHour, 6).as("mean_hour"),
+          round(r, 6).as("resultant_r"),
+          round(nD * r * r, 6).as("rayleigh_z"))
+        .orderBy(col("event_type"))
+    },
+    Some("""WITH byh AS (SELECT event_type, CAST(hour(ts) AS INTEGER) AS h, COUNT(*) AS c
+        FROM events GROUP BY 1, 2),
+      g AS (SELECT event_type, CAST(SUM(c) AS BIGINT) AS n,
+          SUM(CAST(FLOOR(c * cos(h * (3.141592653589793 / 12.0)) * 1.0e6 + 0.5) AS DECIMAL(38,0))) AS cs,
+          SUM(CAST(FLOOR(c * sin(h * (3.141592653589793 / 12.0)) * 1.0e6 + 0.5) AS DECIMAL(38,0))) AS ss
+        FROM byh GROUP BY 1)
+      SELECT event_type, n,
+        round((atan2(CAST(ss AS DOUBLE) / 1.0e6, CAST(cs AS DOUBLE) / 1.0e6) * (12.0 / 3.141592653589793) + 24.0) % 24.0, 6) AS mean_hour,
+        round(sqrt((CAST(cs AS DOUBLE) / 1.0e6) * (CAST(cs AS DOUBLE) / 1.0e6) +
+          (CAST(ss AS DOUBLE) / 1.0e6) * (CAST(ss AS DOUBLE) / 1.0e6)) / n, 6) AS resultant_r,
+        round(n * (sqrt((CAST(cs AS DOUBLE) / 1.0e6) * (CAST(cs AS DOUBLE) / 1.0e6) +
+          (CAST(ss AS DOUBLE) / 1.0e6) * (CAST(ss AS DOUBLE) / 1.0e6)) / n) *
+          (sqrt((CAST(cs AS DOUBLE) / 1.0e6) * (CAST(cs AS DOUBLE) / 1.0e6) +
+          (CAST(ss AS DOUBLE) / 1.0e6) * (CAST(ss AS DOUBLE) / 1.0e6)) / n), 6) AS rayleigh_z
+      FROM g ORDER BY event_type"""))
+
+  /** Ljung–Box portmanteau whiteness test on daily revenue: mean-
+    * centered autocorrelations r₁..r₇ and the cumulative
+    * Q_h = n(n+2)Σ r_k²/(n−k) — "is there ANY autocorrelation left"
+    * (the residual-diagnostic companion to q76_acf's per-lag Pearson
+    * view, as used after fitting q108_holt / q150_holt_winters).
+    *
+    * Exactness: numerators expand to pure DECIMAL moment sums
+    * (Σxy − x̄(Σx+Σy) + n_k·x̄² — no per-row float products), the lag
+    * branches share one checkpointed O(days) frame, and the Q_k
+    * cumulation runs over 1e-15-pinned integer terms.
+    */
+  val q210LjungBox: QueryDef = QueryDef("q210_ljung_box",
+    (s, dir) => {
+      val daily = t(s, dir, "lineitem")
+        .groupBy(date_trunc("day", col("l_shipdate")).as("day"))
+        .agg(sum(dec(col("l_extendedprice"))).cast(DecimalType(18, 2)).as("rev"))
+        .localCheckpoint(true)
+      val tot = daily.agg(count(lit(1)).as("n"), sum(col("rev")).as("sr"),
+        sum(col("rev") * col("rev")).as("srr"))
+      val w = Window.orderBy(col("day"))
+      val lagged = (1 to 7).map { k =>
+        daily.select(lit(k).as("lag_k"), col("rev").as("y"),
+          lag(col("rev"), k).over(w).as("x"))
+      }.reduce(_ unionAll _).filter(col("x").isNotNull)
+      val m = lagged.groupBy(col("lag_k"))
+        .agg(count(lit(1)).as("nk"), sum(col("x") * col("y")).as("sxy"),
+          sum(col("x")).as("sx"), sum(col("y")).as("sy"))
+        .crossJoin(broadcast(tot))
+      val nD = col("n").cast(DoubleType)
+      val mean = col("sr").cast(DoubleType) / nD
+      val den = col("srr").cast(DoubleType) - nD * mean * mean
+      val num = col("sxy").cast(DoubleType) -
+        mean * (col("sx").cast(DoubleType) + col("sy").cast(DoubleType)) +
+        col("nk").cast(DoubleType) * mean * mean
+      val wq = Window.orderBy(col("lag_k"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      m.withColumn("r", num / den)
+        .withColumn("tq", floor(col("r") * col("r") /
+          (nD - col("lag_k").cast(DoubleType)) * 1.0e15 + 0.5).cast(LongType))
+        .withColumn("q", nD * (nD + 2.0) * (sum(col("tq")).over(wq).cast(DoubleType) / 1.0e15))
+        .select(col("lag_k"), col("n"), round(col("r"), 6).as("acf"),
+          round(col("q"), 6).as("ljung_box_q"))
+        .orderBy(col("lag_k"))
+    },
+    Some("""WITH d AS (SELECT date_trunc('day', l_shipdate) AS day,
+          CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS rev
+        FROM lineitem GROUP BY 1),
+      tot AS (SELECT COUNT(*) AS n, SUM(rev) AS sr, SUM(rev * rev) AS srr FROM d),
+      l AS (
+        SELECT 1 AS lag_k, rev AS y, lag(rev, 1) OVER (ORDER BY day) AS x FROM d
+        UNION ALL SELECT 2, rev, lag(rev, 2) OVER (ORDER BY day) FROM d
+        UNION ALL SELECT 3, rev, lag(rev, 3) OVER (ORDER BY day) FROM d
+        UNION ALL SELECT 4, rev, lag(rev, 4) OVER (ORDER BY day) FROM d
+        UNION ALL SELECT 5, rev, lag(rev, 5) OVER (ORDER BY day) FROM d
+        UNION ALL SELECT 6, rev, lag(rev, 6) OVER (ORDER BY day) FROM d
+        UNION ALL SELECT 7, rev, lag(rev, 7) OVER (ORDER BY day) FROM d),
+      m AS (SELECT lag_k, COUNT(*) AS nk, SUM(x * y) AS sxy, SUM(x) AS sx, SUM(y) AS sy
+        FROM l WHERE x IS NOT NULL GROUP BY 1),
+      r AS (SELECT lag_k, n,
+          (CAST(sxy AS DOUBLE) - (CAST(sr AS DOUBLE) / n) * (CAST(sx AS DOUBLE) + CAST(sy AS DOUBLE))
+            + nk * (CAST(sr AS DOUBLE) / n) * (CAST(sr AS DOUBLE) / n)) /
+          (CAST(srr AS DOUBLE) - n * (CAST(sr AS DOUBLE) / n) * (CAST(sr AS DOUBLE) / n)) AS r
+        FROM m CROSS JOIN tot),
+      tq AS (SELECT lag_k, n, r,
+          CAST(FLOOR(r * r / (n - lag_k) * 1.0e15 + 0.5) AS BIGINT) AS tq
+        FROM r)
+      SELECT lag_k, n, round(r, 6) AS acf,
+        round(n * (CAST(n AS DOUBLE) + 2.0) * (CAST(SUM(tq) OVER (ORDER BY lag_k
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) / 1.0e15), 6) AS ljung_box_q
+      FROM tq ORDER BY lag_k"""))
+
+  /** Hurst exponent of daily revenue via rescaled-range (R/S)
+    * analysis: average R/S over disjoint blocks of 8/16/32/64 days,
+    * then the log-log OLS slope — H≈0.5 random walk, H>0.5 persistent
+    * trend, H<0.5 mean-reverting. The long-memory diagnostic beside
+    * q76_acf's short-lag view.
+    *
+    * Scale shape: everything past the one fact partial-agg runs on the
+    * O(days·4) block frame — running sums are windows partitioned by
+    * (size, block), per-block R/S pins to 1e-9 integers, and the final
+    * 4-point regression folds over 1e-12-pinned log-log moments.
+    */
+  val q211Hurst: QueryDef = QueryDef("q211_hurst",
+    (s, dir) => {
+      val daily = t(s, dir, "lineitem")
+        .groupBy(date_trunc("day", col("l_shipdate")).as("day"))
+        .agg(sum(dec(col("l_extendedprice"))).cast(DecimalType(18, 2)).as("rev"))
+        .withColumn("idx", row_number().over(Window.orderBy(col("day"))) - 1)
+        .localCheckpoint(true)
+      val sized = daily.select(col("idx"), col("rev"),
+          explode(array(lit(8), lit(16), lit(32), lit(64))).as("m"))
+        .withColumn("blk", floor(col("idx") / col("m")).cast(LongType))
+        .withColumn("pos", col("idx") % col("m"))
+      val bs = sized.groupBy(col("m"), col("blk"))
+        .agg(count(lit(1)).as("cnt"), sum(col("rev")).as("s"),
+          sum(col("rev") * col("rev")).as("ss"))
+        .filter(col("cnt") === col("m"))
+      val wBlk = Window.partitionBy(col("m"), col("blk")).orderBy(col("pos"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val mD = col("m").cast(DoubleType)
+      val mean = col("s").cast(DoubleType) / mD
+      val sd = sqrt(col("ss").cast(DoubleType) / mD - mean * mean)
+      val cum = sum(col("rev")).over(wBlk).cast(DoubleType) -
+        (col("pos") + 1).cast(DoubleType) * mean
+      val blocks = sized.join(bs, Seq("m", "blk"))
+        .withColumn("cum", cum)
+        .groupBy(col("m"), col("blk"))
+        .agg((max(col("cum")) - min(col("cum"))).as("rng"),
+          max(sd).as("sd"))
+        .filter(col("sd") > 0)
+        .withColumn("rsq", floor(col("rng") / col("sd") * 1.0e9 + 0.5).cast(LongType))
+      val perM = blocks.groupBy(col("m"))
+        .agg(count(lit(1)).as("n_blocks"), sum(col("rsq")).as("srs"))
+        .withColumn("ars", col("srs").cast(DoubleType) /
+          col("n_blocks").cast(DoubleType) / 1.0e9)
+        .withColumn("lx", log(col("m").cast(DoubleType)))
+        .withColumn("ly", log(col("ars")))
+      val pinned = perM.agg(count(lit(1)).as("k"),
+        sum(floor(col("lx") * 1.0e12 + 0.5).cast(LongType)).as("px"),
+        sum(floor(col("ly") * 1.0e12 + 0.5).cast(LongType)).as("py"),
+        sum(floor(col("lx") * col("lx") * 1.0e12 + 0.5).cast(LongType)).as("pxx"),
+        sum(floor(col("lx") * col("ly") * 1.0e12 + 0.5).cast(LongType)).as("pxy"),
+        max(when(col("m") === 8, round(col("ars"), 6))).as("rs8"),
+        max(when(col("m") === 64, round(col("ars"), 6))).as("rs64"))
+      val kD = col("k").cast(DoubleType)
+      def p(c: String): Column = col(c).cast(DoubleType) / 1.0e12
+      pinned.select(col("k").as("n_sizes"), col("rs8"), col("rs64"),
+        round((kD * p("pxy") - p("px") * p("py")) /
+          (kD * p("pxx") - p("px") * p("px")), 6).as("hurst"))
+    },
+    Some("""WITH d AS (SELECT day, rev, ROW_NUMBER() OVER (ORDER BY day) - 1 AS idx
+        FROM (SELECT date_trunc('day', l_shipdate) AS day,
+            CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS rev
+          FROM lineitem GROUP BY 1)),
+      sized AS (SELECT idx, rev, m, idx // m AS blk, idx % m AS pos
+        FROM d CROSS JOIN (SELECT UNNEST([8, 16, 32, 64]) AS m)),
+      bs AS (SELECT m, blk, COUNT(*) AS cnt, SUM(rev) AS s, SUM(rev * rev) AS ss
+        FROM sized GROUP BY 1, 2 HAVING COUNT(*) = m),
+      wc AS (SELECT sized.m, sized.blk, sized.pos, sized.rev, bs.s, bs.ss,
+          CAST(SUM(sized.rev) OVER (PARTITION BY sized.m, sized.blk ORDER BY sized.pos
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) -
+            (sized.pos + 1) * (CAST(bs.s AS DOUBLE) / bs.m) AS cum
+        FROM sized JOIN bs USING (m, blk)),
+      blocks AS (SELECT m, blk,
+          MAX(cum) - MIN(cum) AS rng,
+          MAX(sqrt(CAST(ss AS DOUBLE) / m - (CAST(s AS DOUBLE) / m) * (CAST(s AS DOUBLE) / m))) AS sd
+        FROM wc GROUP BY 1, 2),
+      rsq AS (SELECT m, CAST(FLOOR(rng / sd * 1.0e9 + 0.5) AS BIGINT) AS rsq
+        FROM blocks WHERE sd > 0),
+      perm AS (SELECT m, COUNT(*) AS n_blocks,
+          CAST(SUM(rsq) AS DOUBLE) / COUNT(*) / 1.0e9 AS ars
+        FROM rsq GROUP BY 1),
+      pinned AS (SELECT COUNT(*) AS k,
+          SUM(CAST(FLOOR(ln(CAST(m AS DOUBLE)) * 1.0e12 + 0.5) AS BIGINT)) AS px,
+          SUM(CAST(FLOOR(ln(ars) * 1.0e12 + 0.5) AS BIGINT)) AS py,
+          SUM(CAST(FLOOR(ln(CAST(m AS DOUBLE)) * ln(CAST(m AS DOUBLE)) * 1.0e12 + 0.5) AS BIGINT)) AS pxx,
+          SUM(CAST(FLOOR(ln(CAST(m AS DOUBLE)) * ln(ars) * 1.0e12 + 0.5) AS BIGINT)) AS pxy,
+          MAX(CASE WHEN m = 8 THEN round(ars, 6) END) AS rs8,
+          MAX(CASE WHEN m = 64 THEN round(ars, 6) END) AS rs64
+        FROM perm)
+      SELECT CAST(k AS BIGINT) AS n_sizes, rs8, rs64,
+        round((k * (CAST(pxy AS DOUBLE) / 1.0e12) - (CAST(px AS DOUBLE) / 1.0e12) * (CAST(py AS DOUBLE) / 1.0e12)) /
+          (k * (CAST(pxx AS DOUBLE) / 1.0e12) - (CAST(px AS DOUBLE) / 1.0e12) * (CAST(px AS DOUBLE) / 1.0e12)), 6) AS hurst
+      FROM pinned"""))
+
   val all: Seq[QueryDef] = Seq(
     q1Agg, q2Filter, q3Join, q4Semi, q5Multi, q6Window, q7TopK, q8Distinct,
     q9Rollup, q10Pivot, q11Anti, q12Expr, q13Percentiles, q14Subquery,
@@ -11210,6 +11917,9 @@ object Queries {
     q191Elasticity, q192BinarySeg, q193DampedHolt, dedupWinnowing,
     q194Dtw, q195Srm, q196Tukey,
     q197Sax, q198Discord, q199RichClub, q200MarkovEntropy,
+    q201Levene, q202Mcnemar, q203Logrank, q204Theil,
+    q205Linkpred, q206Ridge, q207KnnOutlier, q208Mahalanobis,
+    q209HourCircular, q210LjungBox, q211Hurst,
     etlMergeUpsert, etlConstraints, etlProvenance,
     graphPageRank, curateWeightedSample,
     etlUnionSources, etlValidate, etlCleanTransform, etlQualityReport,
