@@ -11865,6 +11865,290 @@ object Queries {
           (k * (CAST(pxx AS DOUBLE) / 1.0e12) - (CAST(px AS DOUBLE) / 1.0e12) * (CAST(px AS DOUBLE) / 1.0e12)), 6) AS hurst
       FROM pinned"""))
 
+  /** NDCG@10 ranking evaluation per market segment: score customers
+    * by account balance (the "model"), grade relevance by realized
+    * order count (0–3, capped), and compare the model's top-10
+    * discounted cumulative gain to the ideal ordering's. The ranking-
+    * quality eval beside the classification family (q136_auc,
+    * q117_lift_table) — position-discounted, graded, top-k bounded.
+    *
+    * Exactness: both rankings are integer-deterministic (score DESC,
+    * key ASC), per-rank gains (2^rel−1)/log2(rank+1) pin to 1e-9 units
+    * before the per-segment sum, and NDCG is one IEEE division.
+    */
+  val q212Ndcg: QueryDef = QueryDef("q212_ndcg",
+    (s, dir) => {
+      val per = t(s, dir, "customer")
+        .join(t(s, dir, "orders").groupBy(col("o_custkey"))
+          .agg(count(lit(1)).as("n_orders")),
+          col("c_custkey") === col("o_custkey"), "left")
+        .select(col("c_mktsegment").as("seg"), col("c_custkey"),
+          col("c_acctbal"), least(coalesce(col("n_orders"), lit(0L)), lit(3L)).as("rel"))
+        .localCheckpoint(true)
+      val wModel = Window.partitionBy(col("seg"))
+        .orderBy(col("c_acctbal").desc, col("c_custkey"))
+      val wIdeal = Window.partitionBy(col("seg"))
+        .orderBy(col("rel").desc, col("c_custkey"))
+      val gain = pow(lit(2.0), col("rel").cast(DoubleType)) - 1.0
+      val ranked = per
+        .withColumn("rn", row_number().over(wModel))
+        .withColumn("irn", row_number().over(wIdeal))
+      val dcgq = sum(when(col("rn") <= 10,
+        floor(gain / (log(col("rn").cast(DoubleType) + 1.0) / log(lit(2.0))) *
+          1.0e9 + 0.5).cast(LongType)).otherwise(0L))
+      val idcgq = sum(when(col("irn") <= 10,
+        floor(gain / (log(col("irn").cast(DoubleType) + 1.0) / log(lit(2.0))) *
+          1.0e9 + 0.5).cast(LongType)).otherwise(0L))
+      ranked.groupBy(col("seg"))
+        .agg(count(lit(1)).as("n"), dcgq.as("dq"), idcgq.as("iq"))
+        .select(col("seg"), col("n"),
+          round(col("dq").cast(DoubleType) / 1.0e9, 6).as("dcg10"),
+          round(col("iq").cast(DoubleType) / 1.0e9, 6).as("idcg10"),
+          round(col("dq").cast(DoubleType) / col("iq").cast(DoubleType), 6)
+            .as("ndcg10"))
+        .orderBy(col("seg"))
+    },
+    Some("""WITH per AS (SELECT c_mktsegment AS seg, c_custkey, c_acctbal,
+          LEAST(COALESCE(n_orders, 0), 3) AS rel
+        FROM customer LEFT JOIN (SELECT o_custkey, COUNT(*) AS n_orders
+          FROM orders GROUP BY 1) o ON c_custkey = o_custkey),
+      ranked AS (SELECT seg, rel,
+          ROW_NUMBER() OVER (PARTITION BY seg ORDER BY c_acctbal DESC, c_custkey) AS rn,
+          ROW_NUMBER() OVER (PARTITION BY seg ORDER BY rel DESC, c_custkey) AS irn
+        FROM per),
+      agg AS (SELECT seg, COUNT(*) AS n,
+          SUM(CASE WHEN rn <= 10 THEN CAST(FLOOR((pow(2.0, rel) - 1.0) /
+            (ln(CAST(rn AS DOUBLE) + 1.0) / ln(2.0)) * 1.0e9 + 0.5) AS BIGINT) ELSE 0 END) AS dq,
+          SUM(CASE WHEN irn <= 10 THEN CAST(FLOOR((pow(2.0, rel) - 1.0) /
+            (ln(CAST(irn AS DOUBLE) + 1.0) / ln(2.0)) * 1.0e9 + 0.5) AS BIGINT) ELSE 0 END) AS iq
+        FROM ranked GROUP BY 1)
+      SELECT seg, n, round(CAST(dq AS DOUBLE) / 1.0e9, 6) AS dcg10,
+        round(CAST(iq AS DOUBLE) / 1.0e9, 6) AS idcg10,
+        round(CAST(dq AS DOUBLE) / iq, 6) AS ndcg10
+      FROM agg ORDER BY seg"""))
+
+  /** Average precision (area under the precision–recall curve) per
+    * market segment: balance-ranked customers vs binary "heavy buyer"
+    * relevance (≥5 orders). AP = mean over relevant rows of
+    * precision@their-rank — the full-list, order-sensitive companion
+    * to q212_ndcg's top-10 view, and the right eval when positives
+    * are rare (q136_auc's AUC overstates rare-positive rankers).
+    *
+    * Exactness: precision@k = cumrel/k is a per-row rational pinned to
+    * 1e-12 units; one window pass, one partial agg per segment.
+    */
+  val q213AvgPrecision: QueryDef = QueryDef("q213_avg_precision",
+    (s, dir) => {
+      val per = t(s, dir, "customer")
+        .join(t(s, dir, "orders").groupBy(col("o_custkey"))
+          .agg(count(lit(1)).as("n_orders")),
+          col("c_custkey") === col("o_custkey"), "left")
+        .select(col("c_mktsegment").as("seg"), col("c_custkey"),
+          col("c_acctbal"),
+          when(coalesce(col("n_orders"), lit(0L)) >= 5, 1L).otherwise(0L).as("rel"))
+      val wModel = Window.partitionBy(col("seg"))
+        .orderBy(col("c_acctbal").desc, col("c_custkey"))
+      val ranked = per
+        .withColumn("rn", row_number().over(wModel))
+        .withColumn("cumrel", sum(col("rel")).over(wModel
+          .rowsBetween(Window.unboundedPreceding, 0)))
+      ranked.groupBy(col("seg"))
+        .agg(count(lit(1)).as("n"), sum(col("rel")).as("n_rel"),
+          sum(when(col("rel") === 1,
+            floor(col("cumrel").cast(DoubleType) / col("rn").cast(DoubleType) *
+              1.0e12 + 0.5).cast(LongType)).otherwise(0L)).as("apq"))
+        .select(col("seg"), col("n"), col("n_rel"),
+          round(col("apq").cast(DoubleType) / 1.0e12 /
+            col("n_rel").cast(DoubleType), 6).as("avg_precision"))
+        .orderBy(col("seg"))
+    },
+    Some("""WITH per AS (SELECT c_mktsegment AS seg, c_custkey, c_acctbal,
+          CASE WHEN COALESCE(n_orders, 0) >= 5 THEN 1 ELSE 0 END AS rel
+        FROM customer LEFT JOIN (SELECT o_custkey, COUNT(*) AS n_orders
+          FROM orders GROUP BY 1) o ON c_custkey = o_custkey),
+      ranked AS (SELECT seg, rel,
+          ROW_NUMBER() OVER (PARTITION BY seg ORDER BY c_acctbal DESC, c_custkey) AS rn,
+          SUM(rel) OVER (PARTITION BY seg ORDER BY c_acctbal DESC, c_custkey
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumrel
+        FROM per)
+      SELECT seg, COUNT(*) AS n, CAST(SUM(rel) AS BIGINT) AS n_rel,
+        round(CAST(SUM(CASE WHEN rel = 1 THEN CAST(FLOOR(CAST(cumrel AS DOUBLE) / rn * 1.0e12 + 0.5) AS BIGINT)
+          ELSE 0 END) AS DOUBLE) / 1.0e12 / SUM(rel), 6) AS avg_precision
+      FROM ranked GROUP BY seg ORDER BY seg"""))
+
+  /** Markov removal-effect channel attribution: model user journeys
+    * (events up to first purchase) as a first-order Markov chain, then
+    * credit each channel by how much the chain's conversion
+    * probability DROPS when that channel is deleted (Anderl et al.'s
+    * removal effect) — the principled multi-touch model beside
+    * q48_attribution's first/last-touch and q162's time-decay
+    * heuristics, because it credits channels that feed conversions
+    * indirectly through later states.
+    *
+    * Mechanics: transition probabilities and start distribution come
+    * from partial-agg passes; conversion probabilities run 8
+    * synchronous value-iteration rounds simultaneously for the full
+    * chain AND every single-channel-removed variant (one O(variants ×
+    * states²) frame — independent of fact rows, so the 100 TB cost is
+    * the two fact passes). Each round's Σ P·p terms pin to 1e-15
+    * integer units so all 8 rounds stay in exact lockstep with the
+    * oracle's unrolled-CTE replay.
+    */
+  val q214MarkovAttribution: QueryDef = QueryDef("q214_markov_attribution",
+    (s, dir) => {
+      val ev = t(s, dir, "events")
+      val wU = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val fp = ev.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("fp_ts"))
+      val kept = ev.join(fp, Seq("user_id"), "left")
+        .filter(col("fp_ts").isNull || col("ts") <= col("fp_ts"))
+        .withColumn("nxt", lead(col("event_type"), 1).over(wU))
+        .withColumn("rn", row_number().over(wU))
+        .localCheckpoint(true)
+      val occ = kept.filter(col("event_type") =!= "purchase")
+        .groupBy(col("event_type").as("src")).agg(count(lit(1)).as("tot"))
+      val tc = kept.filter(col("event_type") =!= "purchase" && col("nxt").isNotNull)
+        .groupBy(col("event_type").as("src"), col("nxt").as("dst"))
+        .agg(count(lit(1)).as("cnt"))
+      val trans = tc.join(occ, "src")
+        .select(col("src"), col("dst"),
+          (col("cnt").cast(DoubleType) / col("tot").cast(DoubleType)).as("tp"))
+      val variants = occ.select(col("src").as("rmv"))
+        .unionAll(occ.agg(count(lit(1))).select(lit("__none__").as("rmv")))
+      val states = kept.select(col("event_type").as("st")).distinct()
+      val vstates = variants.crossJoin(states)
+        .filter(col("rmv") === "__none__" || col("st") =!= col("rmv"))
+        .localCheckpoint(true)
+      val vtrans = variants.crossJoin(trans)
+        .filter(col("rmv") === "__none__" ||
+          (col("src") =!= col("rmv") && col("dst") =!= col("rmv")))
+        .localCheckpoint(true)
+      var p = vstates.withColumn("pcur",
+        when(col("st") === "purchase", lit(1.0)).otherwise(lit(0.0)))
+      for (_ <- 1 to 8) {
+        val step = vtrans.as("t")
+          .join(p.select(col("rmv").as("prmv"), col("st").as("pst"), col("pcur")),
+            col("t.rmv") === col("prmv") && col("t.dst") === col("pst"))
+          .groupBy(col("t.rmv").as("rmv"), col("t.src").as("st"))
+          .agg(sum(floor(col("tp") * col("pcur") * 1.0e15 + 0.5).cast(LongType))
+            .as("acc"))
+        p = vstates.join(step, Seq("rmv", "st"), "left")
+          .select(col("rmv"), col("st"),
+            when(col("st") === "purchase", lit(1.0))
+              .otherwise(coalesce(col("acc").cast(DoubleType) / 1.0e15, lit(0.0)))
+              .as("pcur"))
+          .localCheckpoint(true)
+      }
+      val pi = kept.filter(col("rn") === 1)
+        .groupBy(col("event_type").as("st")).agg(count(lit(1)).as("pc"))
+      val nU = pi.agg(sum(col("pc")).as("nu"))
+      val v = variants.crossJoin(pi.crossJoin(broadcast(nU)))
+        .join(p, Seq("rmv", "st"), "left")
+        .groupBy(col("rmv"))
+        .agg(sum(floor(col("pc").cast(DoubleType) / col("nu").cast(DoubleType) *
+          coalesce(col("pcur"), lit(0.0)) * 1.0e12 + 0.5).cast(LongType)).as("vq"))
+        .withColumn("v", col("vq").cast(DoubleType) / 1.0e12)
+        .localCheckpoint(true)
+      val vfull = v.filter(col("rmv") === "__none__")
+        .select(col("v").as("v_full"))
+      val re = v.filter(col("rmv") =!= "__none__")
+        .crossJoin(broadcast(vfull))
+        .withColumn("removal_effect", (col("v_full") - col("v")) / col("v_full"))
+        .withColumn("req", floor(col("removal_effect") * 1.0e12 + 0.5).cast(LongType))
+      val tot = re.agg(sum(col("req")).as("sq"))
+      re.crossJoin(broadcast(tot))
+        .select(col("rmv").as("channel"), round(col("v_full"), 6).as("v_full"),
+          round(col("v"), 6).as("v_removed"),
+          round(col("removal_effect"), 6).as("removal_effect"),
+          round(col("req").cast(DoubleType) / col("sq").cast(DoubleType), 6)
+            .as("share"))
+        .orderBy(col("channel"))
+    },
+    Some("""WITH fp AS (SELECT user_id, MIN(ts) AS fp_ts FROM events
+        WHERE event_type = 'purchase' GROUP BY 1),
+      kept AS (SELECT e.user_id, e.event_type,
+          LEAD(e.event_type) OVER (PARTITION BY e.user_id ORDER BY e.ts, e.event_id) AS nxt,
+          ROW_NUMBER() OVER (PARTITION BY e.user_id ORDER BY e.ts, e.event_id) AS rn
+        FROM events e LEFT JOIN fp USING (user_id)
+        WHERE fp.fp_ts IS NULL OR e.ts <= fp.fp_ts),
+      occ AS (SELECT event_type AS src, COUNT(*) AS tot FROM kept
+        WHERE event_type <> 'purchase' GROUP BY 1),
+      tc AS (SELECT event_type AS src, nxt AS dst, COUNT(*) AS cnt FROM kept
+        WHERE event_type <> 'purchase' AND nxt IS NOT NULL GROUP BY 1, 2),
+      trans AS (SELECT tc.src, tc.dst, CAST(cnt AS DOUBLE) / tot AS tp
+        FROM tc JOIN occ USING (src)),
+      variants AS (SELECT src AS rmv FROM occ UNION ALL SELECT '__none__'),
+      states AS (SELECT DISTINCT event_type AS st FROM kept),
+      vstates AS (SELECT rmv, st FROM variants CROSS JOIN states
+        WHERE rmv = '__none__' OR st <> rmv),
+      vtrans AS (SELECT rmv, src, dst, tp FROM variants CROSS JOIN trans
+        WHERE rmv = '__none__' OR (src <> rmv AND dst <> rmv)),
+      p0 AS (SELECT rmv, st, CASE WHEN st = 'purchase' THEN 1.0 ELSE 0.0 END AS pcur FROM vstates),
+      p1 AS (SELECT v.rmv, v.st, CASE WHEN v.st = 'purchase' THEN 1.0
+          ELSE COALESCE(CAST(s.acc AS DOUBLE) / 1.0e15, 0.0) END AS pcur
+        FROM vstates v LEFT JOIN (SELECT t.rmv, t.src AS st,
+            SUM(CAST(FLOOR(t.tp * p.pcur * 1.0e15 + 0.5) AS BIGINT)) AS acc
+          FROM vtrans t JOIN p0 p ON t.rmv = p.rmv AND t.dst = p.st GROUP BY 1, 2) s
+        ON v.rmv = s.rmv AND v.st = s.st),
+      p2 AS (SELECT v.rmv, v.st, CASE WHEN v.st = 'purchase' THEN 1.0
+          ELSE COALESCE(CAST(s.acc AS DOUBLE) / 1.0e15, 0.0) END AS pcur
+        FROM vstates v LEFT JOIN (SELECT t.rmv, t.src AS st,
+            SUM(CAST(FLOOR(t.tp * p.pcur * 1.0e15 + 0.5) AS BIGINT)) AS acc
+          FROM vtrans t JOIN p1 p ON t.rmv = p.rmv AND t.dst = p.st GROUP BY 1, 2) s
+        ON v.rmv = s.rmv AND v.st = s.st),
+      p3 AS (SELECT v.rmv, v.st, CASE WHEN v.st = 'purchase' THEN 1.0
+          ELSE COALESCE(CAST(s.acc AS DOUBLE) / 1.0e15, 0.0) END AS pcur
+        FROM vstates v LEFT JOIN (SELECT t.rmv, t.src AS st,
+            SUM(CAST(FLOOR(t.tp * p.pcur * 1.0e15 + 0.5) AS BIGINT)) AS acc
+          FROM vtrans t JOIN p2 p ON t.rmv = p.rmv AND t.dst = p.st GROUP BY 1, 2) s
+        ON v.rmv = s.rmv AND v.st = s.st),
+      p4 AS (SELECT v.rmv, v.st, CASE WHEN v.st = 'purchase' THEN 1.0
+          ELSE COALESCE(CAST(s.acc AS DOUBLE) / 1.0e15, 0.0) END AS pcur
+        FROM vstates v LEFT JOIN (SELECT t.rmv, t.src AS st,
+            SUM(CAST(FLOOR(t.tp * p.pcur * 1.0e15 + 0.5) AS BIGINT)) AS acc
+          FROM vtrans t JOIN p3 p ON t.rmv = p.rmv AND t.dst = p.st GROUP BY 1, 2) s
+        ON v.rmv = s.rmv AND v.st = s.st),
+      p5 AS (SELECT v.rmv, v.st, CASE WHEN v.st = 'purchase' THEN 1.0
+          ELSE COALESCE(CAST(s.acc AS DOUBLE) / 1.0e15, 0.0) END AS pcur
+        FROM vstates v LEFT JOIN (SELECT t.rmv, t.src AS st,
+            SUM(CAST(FLOOR(t.tp * p.pcur * 1.0e15 + 0.5) AS BIGINT)) AS acc
+          FROM vtrans t JOIN p4 p ON t.rmv = p.rmv AND t.dst = p.st GROUP BY 1, 2) s
+        ON v.rmv = s.rmv AND v.st = s.st),
+      p6 AS (SELECT v.rmv, v.st, CASE WHEN v.st = 'purchase' THEN 1.0
+          ELSE COALESCE(CAST(s.acc AS DOUBLE) / 1.0e15, 0.0) END AS pcur
+        FROM vstates v LEFT JOIN (SELECT t.rmv, t.src AS st,
+            SUM(CAST(FLOOR(t.tp * p.pcur * 1.0e15 + 0.5) AS BIGINT)) AS acc
+          FROM vtrans t JOIN p5 p ON t.rmv = p.rmv AND t.dst = p.st GROUP BY 1, 2) s
+        ON v.rmv = s.rmv AND v.st = s.st),
+      p7 AS (SELECT v.rmv, v.st, CASE WHEN v.st = 'purchase' THEN 1.0
+          ELSE COALESCE(CAST(s.acc AS DOUBLE) / 1.0e15, 0.0) END AS pcur
+        FROM vstates v LEFT JOIN (SELECT t.rmv, t.src AS st,
+            SUM(CAST(FLOOR(t.tp * p.pcur * 1.0e15 + 0.5) AS BIGINT)) AS acc
+          FROM vtrans t JOIN p6 p ON t.rmv = p.rmv AND t.dst = p.st GROUP BY 1, 2) s
+        ON v.rmv = s.rmv AND v.st = s.st),
+      p8 AS (SELECT v.rmv, v.st, CASE WHEN v.st = 'purchase' THEN 1.0
+          ELSE COALESCE(CAST(s.acc AS DOUBLE) / 1.0e15, 0.0) END AS pcur
+        FROM vstates v LEFT JOIN (SELECT t.rmv, t.src AS st,
+            SUM(CAST(FLOOR(t.tp * p.pcur * 1.0e15 + 0.5) AS BIGINT)) AS acc
+          FROM vtrans t JOIN p7 p ON t.rmv = p.rmv AND t.dst = p.st GROUP BY 1, 2) s
+        ON v.rmv = s.rmv AND v.st = s.st),
+      pi AS (SELECT event_type AS st, COUNT(*) AS pc FROM kept WHERE rn = 1 GROUP BY 1),
+      nu AS (SELECT SUM(pc) AS nu FROM pi),
+      vv AS (SELECT variants.rmv,
+          CAST(SUM(CAST(FLOOR(CAST(pc AS DOUBLE) / nu.nu * COALESCE(p8.pcur, 0.0) * 1.0e12 + 0.5) AS BIGINT)) AS DOUBLE) / 1.0e12 AS v
+        FROM variants CROSS JOIN pi CROSS JOIN nu
+        LEFT JOIN p8 ON p8.rmv = variants.rmv AND p8.st = pi.st
+        GROUP BY 1),
+      vf AS (SELECT v AS v_full FROM vv WHERE rmv = '__none__'),
+      re AS (SELECT rmv, v, v_full, (v_full - v) / v_full AS removal_effect,
+          CAST(FLOOR((v_full - v) / v_full * 1.0e12 + 0.5) AS BIGINT) AS req
+        FROM vv CROSS JOIN vf WHERE rmv <> '__none__'),
+      tot AS (SELECT SUM(req) AS sq FROM re)
+      SELECT rmv AS channel, round(v_full, 6) AS v_full, round(v, 6) AS v_removed,
+        round(removal_effect, 6) AS removal_effect,
+        round(CAST(req AS DOUBLE) / sq, 6) AS share
+      FROM re CROSS JOIN tot ORDER BY channel"""))
+
   val all: Seq[QueryDef] = Seq(
     q1Agg, q2Filter, q3Join, q4Semi, q5Multi, q6Window, q7TopK, q8Distinct,
     q9Rollup, q10Pivot, q11Anti, q12Expr, q13Percentiles, q14Subquery,
@@ -11920,6 +12204,7 @@ object Queries {
     q201Levene, q202Mcnemar, q203Logrank, q204Theil,
     q205Linkpred, q206Ridge, q207KnnOutlier, q208Mahalanobis,
     q209HourCircular, q210LjungBox, q211Hurst,
+    q212Ndcg, q213AvgPrecision, q214MarkovAttribution,
     etlMergeUpsert, etlConstraints, etlProvenance,
     graphPageRank, curateWeightedSample,
     etlUnionSources, etlValidate, etlCleanTransform, etlQualityReport,
