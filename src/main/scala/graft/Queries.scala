@@ -12149,6 +12149,182 @@ object Queries {
         round(CAST(req AS DOUBLE) / sq, 6) AS share
       FROM re CROSS JOIN tot ORDER BY channel"""))
 
+  /** Pettitt rank-based changepoint test on daily revenue: the
+    * nonparametric "did the level shift, and when" test — K = max|U_t|
+    * where U_t = 2·Σ_{i≤t}R_i − t(n+1) over global midranks, with the
+    * closed-form significance approximation. The distribution-free
+    * companion to q83_cusum / q185_page_hinkley / q192_binary_seg
+    * (those score mean shifts; this one is outlier-robust).
+    *
+    * Exactness: midranks come from the value-group frame (doubled
+    * midranks 2R = 2·cumbefore + ct + 1 are INTEGERS — the
+    * q180_kruskal trick), so every U_t is an exact BIGINT and the
+    * argmax day is integer-deterministic.
+    */
+  val q215Pettitt: QueryDef = QueryDef("q215_pettitt",
+    (s, dir) => {
+      val daily = t(s, dir, "lineitem")
+        .groupBy(date_trunc("day", col("l_shipdate")).as("day"))
+        .agg(sum(dec(col("l_extendedprice"))).cast(DecimalType(18, 2)).as("rev"))
+        .localCheckpoint(true)
+      val pv = daily.groupBy(col("rev").as("v")).agg(count(lit(1)).as("ct"))
+      val wV = Window.orderBy(col("v")).rowsBetween(Window.unboundedPreceding, -1)
+      val ranks = pv.withColumn("cb", coalesce(sum(col("ct")).over(wV), lit(0L)))
+        .select(col("v"), (lit(2L) * col("cb") + col("ct") + 1L).as("r2"))
+      val n1 = daily.agg(count(lit(1)).as("n"))
+      val wD = Window.orderBy(col("day")).rowsBetween(Window.unboundedPreceding, 0)
+      val u = daily.join(ranks, col("rev") === col("v"))
+        .withColumn("tpos", row_number().over(Window.orderBy(col("day"))))
+        .withColumn("cum2", sum(col("r2")).over(wD))
+        .crossJoin(broadcast(n1))
+        .filter(col("tpos") < col("n"))
+        .withColumn("u", col("cum2") - col("tpos") * (col("n") + 1L))
+      val nD = col("n").cast(DoubleType)
+      u.orderBy(abs(col("u")).desc, col("day"))
+        .limit(1)
+        .select(col("n"), col("day").as("cp_day"), abs(col("u")).as("k_stat"),
+          round(lit(2.0) * exp(lit(-6.0) * abs(col("u")).cast(DoubleType) *
+            abs(col("u")).cast(DoubleType) / (nD * nD * nD + nD * nD)), 6)
+            .as("p_approx"))
+    },
+    Some("""WITH d AS (SELECT date_trunc('day', l_shipdate) AS day,
+          CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS rev
+        FROM lineitem GROUP BY 1),
+      pv AS (SELECT rev AS v, COUNT(*) AS ct FROM d GROUP BY 1),
+      ranks AS (SELECT v, 2 * COALESCE(SUM(ct) OVER (ORDER BY v
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + ct + 1 AS r2
+        FROM pv),
+      n1 AS (SELECT COUNT(*) AS n FROM d),
+      u AS (SELECT day, n,
+          SUM(r2) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            - (ROW_NUMBER() OVER (ORDER BY day)) * (n + 1) AS u,
+          ROW_NUMBER() OVER (ORDER BY day) AS tpos
+        FROM d JOIN ranks ON rev = v CROSS JOIN n1)
+      SELECT CAST(n AS BIGINT) AS n, day AS cp_day, CAST(ABS(u) AS BIGINT) AS k_stat,
+        round(2.0 * exp(-6.0 * CAST(ABS(u) AS DOUBLE) * ABS(u) /
+          (CAST(n AS DOUBLE) * n * n + CAST(n AS DOUBLE) * n)), 6) AS p_approx
+      FROM u WHERE tpos < n
+      ORDER BY ABS(u) DESC, day LIMIT 1"""))
+
+  /** ROC curve points behind q136_auc's scalar: sweep 19 evenly spaced
+    * balance thresholds and report the exact confusion counts, TPR /
+    * FPR / precision and Youden's J at each — the table a monitoring
+    * dashboard plots, and the operating-point selector (max J) for the
+    * heavy-buyer classifier.
+    *
+    * Scale shape: customers partial-agg to a 20-bin histogram split by
+    * label (threshold membership is an exact floor-bin comparison, so
+    * NO per-threshold pass over the data); cumulative counts are
+    * suffix sums on the O(bins) spine with empty bins zero-filled.
+    */
+  val q216RocPoints: QueryDef = QueryDef("q216_roc_points",
+    (s, dir) => {
+      val per = t(s, dir, "customer")
+        .join(t(s, dir, "orders").groupBy(col("o_custkey"))
+          .agg(count(lit(1)).as("n_orders")),
+          col("c_custkey") === col("o_custkey"), "left")
+        .select(col("c_acctbal").as("bal"),
+          when(coalesce(col("n_orders"), lit(0L)) >= 5, 1L).otherwise(0L).as("pos"))
+      val st = per.agg(min(col("bal")).as("lo"), max(col("bal")).as("hi"),
+        sum(col("pos")).as("np"), (count(lit(1)) - sum(col("pos"))).as("nn"))
+      val step = (col("hi") - col("lo")) / 20.0
+      val bins = per.crossJoin(broadcast(st))
+        .withColumn("bin", least(floor((col("bal") - col("lo")) / step)
+          .cast(LongType), lit(19L)))
+        .groupBy(col("bin"))
+        .agg(sum(col("pos")).as("bp"), sum(lit(1L) - col("pos")).as("bn"))
+      val spine = st.select(explode(sequence(lit(0L), lit(19L))).as("bin"),
+        col("lo"), col("hi"), col("np"), col("nn"))
+      val wSuf = Window.orderBy(col("bin")).rowsBetween(0, Window.unboundedFollowing)
+      val cum = spine.join(bins, Seq("bin"), "left")
+        .withColumn("tp", sum(coalesce(col("bp"), lit(0L))).over(wSuf))
+        .withColumn("fp", sum(coalesce(col("bn"), lit(0L))).over(wSuf))
+        .filter(col("bin") >= 1)
+      val tpr = col("tp").cast(DoubleType) / col("np").cast(DoubleType)
+      val fpr = col("fp").cast(DoubleType) / col("nn").cast(DoubleType)
+      cum.select(col("bin").as("cut"),
+          round(col("lo") + col("bin").cast(DoubleType) * ((col("hi") - col("lo")) / 20.0), 4)
+            .as("threshold"),
+          col("tp"), col("fp"), round(tpr, 6).as("tpr"), round(fpr, 6).as("fpr"),
+          round(col("tp").cast(DoubleType) /
+            greatest(col("tp") + col("fp"), lit(1L)).cast(DoubleType), 6).as("precision"),
+          round(tpr - fpr, 6).as("youden_j"))
+        .orderBy(col("cut"))
+    },
+    Some("""WITH per AS (SELECT c_acctbal AS bal,
+          CASE WHEN COALESCE(n_orders, 0) >= 5 THEN 1 ELSE 0 END AS pos
+        FROM customer LEFT JOIN (SELECT o_custkey, COUNT(*) AS n_orders
+          FROM orders GROUP BY 1) o ON c_custkey = o_custkey),
+      st AS (SELECT MIN(bal) AS lo, MAX(bal) AS hi, SUM(pos) AS np,
+          COUNT(*) - SUM(pos) AS nn FROM per),
+      bins AS (SELECT LEAST(CAST(FLOOR((bal - lo) / ((hi - lo) / 20.0)) AS BIGINT), 19) AS bin,
+          SUM(pos) AS bp, SUM(1 - pos) AS bn
+        FROM per CROSS JOIN st GROUP BY 1),
+      spine AS (SELECT UNNEST(range(0, 20)) AS bin, lo, hi, np, nn FROM st),
+      cum AS (SELECT spine.bin, lo, hi, np, nn,
+          SUM(COALESCE(bp, 0)) OVER (ORDER BY spine.bin
+            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS tp,
+          SUM(COALESCE(bn, 0)) OVER (ORDER BY spine.bin
+            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS fp
+        FROM spine LEFT JOIN bins ON spine.bin = bins.bin)
+      SELECT bin AS cut,
+        round(lo + bin * ((hi - lo) / 20.0), 4) AS threshold,
+        CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+        round(CAST(tp AS DOUBLE) / np, 6) AS tpr,
+        round(CAST(fp AS DOUBLE) / nn, 6) AS fpr,
+        round(CAST(tp AS DOUBLE) / GREATEST(tp + fp, 1), 6) AS precision,
+        round(CAST(tp AS DOUBLE) / np - CAST(fp AS DOUBLE) / nn, 6) AS youden_j
+      FROM cum WHERE bin >= 1 ORDER BY cut"""))
+
+  /** Gumbel extreme-value fit on monthly block maxima of daily
+    * revenue: method-of-moments location/scale (β = s√6/π,
+    * μ = m̄ − γβ) and the 12/60-month return levels — "how big a
+    * revenue spike should capacity planning expect once a year / once
+    * in five years". Extreme-value analysis is a different question
+    * from every central-tendency statistic in the suite.
+    *
+    * Exactness: block maxima are exact DECIMAL maxes, the two moments
+    * accumulate in DECIMAL over the O(months) frame, and the fit +
+    * return levels are a handful of identical IEEE ops.
+    */
+  val q217Gumbel: QueryDef = QueryDef("q217_gumbel",
+    (s, dir) => {
+      val mmax = t(s, dir, "lineitem")
+        .groupBy(date_trunc("day", col("l_shipdate")).as("day"))
+        .agg(sum(dec(col("l_extendedprice"))).cast(DecimalType(18, 2)).as("rev"))
+        .groupBy(date_trunc("month", col("day")).as("month"))
+        .agg(max(col("rev")).as("mx"))
+      val m = mmax.agg(count(lit(1)).as("n"), sum(col("mx")).as("sm"),
+        sum(col("mx") * col("mx")).as("smm"))
+      val nD = col("n").cast(DoubleType)
+      val mean = col("sm").cast(DoubleType) / nD
+      val variance = (col("smm").cast(DoubleType) - nD * mean * mean) / (nD - 1.0)
+      val beta = sqrt(variance) * 0.7796968012336403 // √6/π
+      val mu = mean - lit(0.5772156649015329) * beta
+      def rl(tYears: Double): Column =
+        mu - beta * log(-log(lit(1.0) - 1.0 / tYears))
+      m.select(col("n").as("n_months"), round(mu, 4).as("gumbel_mu"),
+        round(beta, 4).as("gumbel_beta"),
+        round(rl(12.0), 4).as("return_level_12"),
+        round(rl(60.0), 4).as("return_level_60"))
+    },
+    Some("""WITH d AS (SELECT date_trunc('day', l_shipdate) AS day,
+          CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS rev
+        FROM lineitem GROUP BY 1),
+      mm AS (SELECT date_trunc('month', day) AS month, MAX(rev) AS mx FROM d GROUP BY 1),
+      m AS (SELECT COUNT(*) AS n, SUM(mx) AS sm, SUM(mx * mx) AS smm FROM mm),
+      fit AS (SELECT n,
+          CAST(sm AS DOUBLE) / n AS mean,
+          sqrt((CAST(smm AS DOUBLE) - n * (CAST(sm AS DOUBLE) / n) * (CAST(sm AS DOUBLE) / n)) / (n - 1.0))
+            * 0.7796968012336403 AS beta
+        FROM m)
+      SELECT CAST(n AS BIGINT) AS n_months,
+        round(mean - 0.5772156649015329 * beta, 4) AS gumbel_mu,
+        round(beta, 4) AS gumbel_beta,
+        round(mean - 0.5772156649015329 * beta - beta * ln(-ln(1.0 - 1.0 / 12.0)), 4) AS return_level_12,
+        round(mean - 0.5772156649015329 * beta - beta * ln(-ln(1.0 - 1.0 / 60.0)), 4) AS return_level_60
+      FROM fit"""))
+
   val all: Seq[QueryDef] = Seq(
     q1Agg, q2Filter, q3Join, q4Semi, q5Multi, q6Window, q7TopK, q8Distinct,
     q9Rollup, q10Pivot, q11Anti, q12Expr, q13Percentiles, q14Subquery,
@@ -12205,6 +12381,7 @@ object Queries {
     q205Linkpred, q206Ridge, q207KnnOutlier, q208Mahalanobis,
     q209HourCircular, q210LjungBox, q211Hurst,
     q212Ndcg, q213AvgPrecision, q214MarkovAttribution,
+    q215Pettitt, q216RocPoints, q217Gumbel,
     etlMergeUpsert, etlConstraints, etlProvenance,
     graphPageRank, curateWeightedSample,
     etlUnionSources, etlValidate, etlCleanTransform, etlQualityReport,

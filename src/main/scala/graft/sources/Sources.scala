@@ -81,6 +81,16 @@ object Readers {
     */
   def avro(spark: SparkSession, path: String): DataFrame =
     AvroIO.read(spark, path)
+
+  /** XML — Spark 4's built-in XML datasource (one row per `rowTag`
+    * element; attributes surface as `_attr` columns). The ingestion
+    * path for feed/export dumps that still arrive as XML.
+    */
+  def xml(spark: SparkSession, path: String, rowTag: String = "row",
+      schema: Option[StructType] = None): DataFrame = {
+    val r = spark.read.option("rowTag", rowTag)
+    schema.fold(r)(s => r.schema(s)).xml(path)
+  }
 }
 
 object Writers {
@@ -118,6 +128,11 @@ object Writers {
 
   /** Avro sink (container files, one per partition — see [[AvroIO]]). */
   def avro(df: DataFrame, path: String): Unit = AvroIO.write(df, path)
+
+  /** XML sink (built-in datasource; one `rowTag` element per row). */
+  def xml(df: DataFrame, path: String, rowTag: String = "row",
+      rootTag: String = "rows", mode: SaveMode = SaveMode.Overwrite): Unit =
+    df.write.mode(mode).option("rowTag", rowTag).option("rootTag", rootTag).xml(path)
 
   /** Write `df` as exactly ONE file at `file` (not a directory): the
     * reference's download endpoints serve a single artifact

@@ -82,6 +82,23 @@ class SourcesSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThresh)
   }
 
+  test("xml round-trip preserves values incl. nulls via the built-in datasource") {
+    Writers.xml(df, s"$tmp/x", rowTag = "rec")
+    val back = Readers.xml(spark, s"$tmp/x", rowTag = "rec")
+    assert(back.count() == 3)
+    val r1 = back.filter(col("id") === 1).collect().head
+    assert(r1.getAs[String]("name") == "MIT" && r1.getAs[Double]("score") == 42.5)
+    // null country round-trips as null (absent element)
+    assert(back.filter(col("id") === 2).select(col("country")).collect().head.isNullAt(0))
+    // explicit schema read pins types without inference
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("name", StringType),
+      StructField("country", StringType), StructField("score", DoubleType)))
+    val typed = Readers.xml(spark, s"$tmp/x", rowTag = "rec", schema = Some(schema))
+    assert(typed.schema.map(_.dataType) == schema.map(_.dataType))
+    assert(typed.agg(sum(col("score"))).collect().head.getDouble(0) == 50.5)
+  }
+
   test("orc round-trip preserves schema; text reads one line per row") {
     Writers.orc(df, s"$tmp/o")
     val back = Readers.orc(spark, s"$tmp/o")
