@@ -12325,6 +12325,221 @@ object Queries {
         round(mean - 0.5772156649015329 * beta - beta * ln(-ln(1.0 - 1.0 / 60.0)), 4) AS return_level_60
       FROM fit"""))
 
+  /** Friedman repeated-measures rank test: do the five order-priority
+    * classes differ in monthly revenue once the month-to-month level
+    * is blocked out? Each complete month ranks its five class
+    * revenues; χ²_F compares rank-sum dispersion — the within-block
+    * companion to q179_anova/q180_kruskal (those pool across months,
+    * so a seasonal level shift can drown the class effect).
+    *
+    * Exactness: within-block doubled midranks 2r = 2(rank−1) +
+    * tie-count + 1 are integers (the q180 trick via rank() +
+    * count-equal windows on the O(months·5) frame), so the rank sums
+    * and the χ² numerator are exact BIGINTs.
+    */
+  val q218Friedman: QueryDef = QueryDef("q218_friedman",
+    (s, dir) => {
+      val cell = t(s, dir, "orders")
+        .groupBy(date_trunc("month", col("o_orderdate")).as("blk"),
+          col("o_orderpriority").as("trt"))
+        .agg(sum(dec(col("o_totalprice"))).as("v"))
+      val k = 5
+      val complete = cell.groupBy(col("blk")).agg(count(lit(1)).as("nt"))
+        .filter(col("nt") === k).select(col("blk"))
+      val wRank = Window.partitionBy(col("blk")).orderBy(col("v"))
+      val wEq = Window.partitionBy(col("blk"), col("v"))
+      val ranked = cell.join(complete, "blk")
+        .withColumn("r2", lit(2L) * (rank().over(wRank) - 1) +
+          count(lit(1)).over(wEq) + 1L)
+      val rj = ranked.groupBy(col("trt"))
+        .agg(sum(col("r2")).as("r2j"), count(lit(1)).as("b"))
+      val agg = rj.agg(max(col("b")).as("b"), count(lit(1)).as("k"),
+        sum(col("r2j") * col("r2j")).as("sr2"))
+      val bD = col("b").cast(DoubleType)
+      val kD = col("k").cast(DoubleType)
+      agg.select(col("b"), col("k"),
+        round(lit(12.0) / (bD * kD * (kD + 1.0)) *
+          (col("sr2").cast(DoubleType) / 4.0) - lit(3.0) * bD * (kD + 1.0), 6)
+          .as("chi2_f"))
+    },
+    Some("""WITH cell AS (SELECT date_trunc('month', o_orderdate) AS blk,
+          o_orderpriority AS trt, SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS v
+        FROM orders GROUP BY 1, 2),
+      complete AS (SELECT blk FROM cell GROUP BY 1 HAVING COUNT(*) = 5),
+      ranked AS (SELECT trt,
+          2 * (RANK() OVER (PARTITION BY cell.blk ORDER BY v) - 1) +
+            COUNT(*) OVER (PARTITION BY cell.blk, v) + 1 AS r2
+        FROM cell JOIN complete USING (blk)),
+      rj AS (SELECT trt, CAST(SUM(r2) AS BIGINT) AS r2j, COUNT(*) AS b FROM ranked GROUP BY 1),
+      agg AS (SELECT MAX(b) AS b, COUNT(*) AS k, SUM(r2j * r2j) AS sr2 FROM rj)
+      SELECT CAST(b AS BIGINT) AS b, CAST(k AS BIGINT) AS k,
+        round(12.0 / (CAST(b AS DOUBLE) * k * (k + 1.0)) *
+          (CAST(sr2 AS DOUBLE) / 4.0) - 3.0 * CAST(b AS DOUBLE) * (k + 1.0), 6) AS chi2_f
+      FROM agg"""))
+
+  /** Cochran's Q: did customer activity change across 1995/1996/1997?
+    * The k-treatment generalization of q202_mcnemar — per customer a
+    * binary "bought that year" triple, Q = (k−1)[kΣC_j²−(ΣC_j)²] /
+    * (kΣR_i−ΣR_i²) — χ²(k−1) under "no year effect". All-zero and
+    * all-one customers contribute nothing to the denominator, so the
+    * statistic is driven entirely by switchers (the McNemar property).
+    *
+    * Pure integer contingency arithmetic off two partial-agg passes —
+    * exact on both engines.
+    */
+  val q219CochranQ: QueryDef = QueryDef("q219_cochran_q",
+    (s, dir) => {
+      val per = t(s, dir, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(max(when(year(col("o_orderdate")) === 1995, 1L).otherwise(0L)).as("y1"),
+          max(when(year(col("o_orderdate")) === 1996, 1L).otherwise(0L)).as("y2"),
+          max(when(year(col("o_orderdate")) === 1997, 1L).otherwise(0L)).as("y3"))
+      val agg = per.agg(count(lit(1)).as("n"),
+        sum(col("y1")).as("c1"), sum(col("y2")).as("c2"), sum(col("y3")).as("c3"),
+        sum((col("y1") + col("y2") + col("y3")) *
+          (col("y1") + col("y2") + col("y3"))).as("sr2"),
+        sum(col("y1") + col("y2") + col("y3")).as("sr"))
+      val k = lit(3.0)
+      val cSum = (col("c1") + col("c2") + col("c3")).cast(DoubleType)
+      val c2Sum = (col("c1") * col("c1") + col("c2") * col("c2") +
+        col("c3") * col("c3")).cast(DoubleType)
+      val den = k * col("sr").cast(DoubleType) - col("sr2").cast(DoubleType)
+      agg.select(col("n"), col("c1"), col("c2"), col("c3"),
+        round((k - 1.0) * (k * c2Sum - cSum * cSum) / den, 6).as("cochran_q"))
+    },
+    Some("""WITH per AS (SELECT o_custkey,
+          MAX(CASE WHEN year(o_orderdate) = 1995 THEN 1 ELSE 0 END) AS y1,
+          MAX(CASE WHEN year(o_orderdate) = 1996 THEN 1 ELSE 0 END) AS y2,
+          MAX(CASE WHEN year(o_orderdate) = 1997 THEN 1 ELSE 0 END) AS y3
+        FROM orders GROUP BY 1),
+      agg AS (SELECT COUNT(*) AS n,
+          CAST(SUM(y1) AS BIGINT) AS c1, CAST(SUM(y2) AS BIGINT) AS c2,
+          CAST(SUM(y3) AS BIGINT) AS c3,
+          CAST(SUM((y1 + y2 + y3) * (y1 + y2 + y3)) AS BIGINT) AS sr2,
+          CAST(SUM(y1 + y2 + y3) AS BIGINT) AS sr
+        FROM per)
+      SELECT n, c1, c2, c3,
+        round((3.0 - 1.0) * (3.0 * CAST(c1 * c1 + c2 * c2 + c3 * c3 AS DOUBLE) -
+          CAST(c1 + c2 + c3 AS DOUBLE) * (c1 + c2 + c3)) /
+          (3.0 * CAST(sr AS DOUBLE) - sr2), 6) AS cochran_q
+      FROM agg"""))
+
+  /** Wald–Wolfowitz runs test: is the daily-revenue series's
+    * above/below-median sign pattern random, or does it cluster in
+    * trends? Counts sign runs and scores (R − μ_R)/σ_R — the
+    * randomness audit underneath every trend statistic in the suite
+    * (a significant q93_kendall means little if the series fails
+    * basic exchangeability).
+    *
+    * Exactness: the median is the two-middle-row average on the
+    * O(days) frame (the q99_theilsen convention), run boundaries are
+    * integer lag comparisons, and μ_R/σ_R are closed-form rationals of
+    * the exact n₁/n₂ counts.
+    */
+  val q220RunsTest: QueryDef = QueryDef("q220_runs_test",
+    (s, dir) => {
+      val daily = t(s, dir, "lineitem")
+        .groupBy(date_trunc("day", col("l_shipdate")).as("day"))
+        .agg(sum(dec(col("l_extendedprice"))).cast(DecimalType(18, 2)).as("rev"))
+        .localCheckpoint(true)
+      val wAsc = Window.orderBy(col("rev"), col("day"))
+      val nRow = daily.agg(count(lit(1)).as("nd"))
+      val med = daily.withColumn("rn", row_number().over(wAsc))
+        .crossJoin(broadcast(nRow))
+        .filter(col("rn") === (col("nd") + 1) / 2 || col("rn") === col("nd") / 2 + 1)
+        .agg(avg(col("rev").cast(DoubleType)).as("med"))
+      val signs = daily.crossJoin(broadcast(med))
+        .filter(col("rev").cast(DoubleType) =!= col("med"))
+        .withColumn("sgn", when(col("rev").cast(DoubleType) > col("med"), 1).otherwise(0))
+        .withColumn("prev", lag(col("sgn"), 1).over(Window.orderBy(col("day"))))
+      val agg = signs.agg(
+        sum(col("sgn")).as("n1"), sum(lit(1) - col("sgn")).as("n2"),
+        (sum(when(col("prev").isNull || col("prev") =!= col("sgn"), 1L)
+          .otherwise(0L))).as("runs"))
+      val n1D = col("n1").cast(DoubleType)
+      val n2D = col("n2").cast(DoubleType)
+      val nD = n1D + n2D
+      val muR = lit(2.0) * n1D * n2D / nD + 1.0
+      val sigR = sqrt(lit(2.0) * n1D * n2D * (lit(2.0) * n1D * n2D - n1D - n2D) /
+        (nD * nD * (nD - 1.0)))
+      agg.select(col("n1"), col("n2"), col("runs"),
+        round(muR, 6).as("expected_runs"),
+        round((col("runs").cast(DoubleType) - muR) / sigR, 6).as("z"))
+    },
+    Some("""WITH d AS (SELECT date_trunc('day', l_shipdate) AS day,
+          CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS rev
+        FROM lineitem GROUP BY 1),
+      nrow AS (SELECT COUNT(*) AS nd FROM d),
+      med AS (SELECT AVG(CAST(rev AS DOUBLE)) AS med FROM (
+          SELECT rev, ROW_NUMBER() OVER (ORDER BY rev, day) AS rn FROM d) r
+        CROSS JOIN nrow
+        WHERE rn = (nd + 1) // 2 OR rn = nd // 2 + 1),
+      signs AS (SELECT day, CASE WHEN CAST(rev AS DOUBLE) > med THEN 1 ELSE 0 END AS sgn
+        FROM d CROSS JOIN med WHERE CAST(rev AS DOUBLE) <> med),
+      runs AS (SELECT sgn, LAG(sgn, 1) OVER (ORDER BY day) AS prev FROM signs),
+      agg AS (SELECT CAST(SUM(sgn) AS BIGINT) AS n1, CAST(SUM(1 - sgn) AS BIGINT) AS n2,
+          CAST(SUM(CASE WHEN prev IS NULL OR prev <> sgn THEN 1 ELSE 0 END) AS BIGINT) AS runs
+        FROM runs)
+      SELECT n1, n2, runs,
+        round(2.0 * n1 * n2 / (CAST(n1 AS DOUBLE) + n2) + 1.0, 6) AS expected_runs,
+        round((runs - (2.0 * n1 * n2 / (CAST(n1 AS DOUBLE) + n2) + 1.0)) /
+          sqrt(2.0 * n1 * n2 * (2.0 * CAST(n1 AS DOUBLE) * n2 - n1 - n2) /
+            ((CAST(n1 AS DOUBLE) + n2) * (CAST(n1 AS DOUBLE) + n2) * (CAST(n1 AS DOUBLE) + n2 - 1.0))), 6) AS z
+      FROM agg"""))
+
+  /** Lorenz curve decile table behind q67_gini's scalar: customers in
+    * ascending-spend deciles, each decile's share of total spend and
+    * the cumulative share — the "bottom 50% hold x%" concentration
+    * table an inequality dashboard plots, with the diagonal gap
+    * (cum population share − cum spend share) whose area is the Gini.
+    *
+    * Exactness: decile assignment is ntile over an integer-
+    * deterministic ordering (spend, custkey), spend sums stay DECIMAL
+    * to the O(10) frame, and shares are single divisions there.
+    */
+  val q221LorenzPoints: QueryDef = QueryDef("q221_lorenz_points",
+    (s, dir) => {
+      val per = t(s, dir, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(sum(dec(col("o_totalprice"))).as("spend"))
+      val wAsc = Window.orderBy(col("spend"), col("o_custkey"))
+      val dec10 = per.withColumn("decile", ntile(10).over(wAsc))
+        .groupBy(col("decile"))
+        .agg(count(lit(1)).as("n"), sum(col("spend")).as("dspend"))
+      val wCum = Window.orderBy(col("decile"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val wAll = Window.orderBy(col("decile"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      dec10
+        .withColumn("cumn", sum(col("n")).over(wCum))
+        .withColumn("cums", sum(col("dspend")).over(wCum))
+        .withColumn("totn", sum(col("n")).over(wAll))
+        .withColumn("tots", sum(col("dspend")).over(wAll))
+        .select(col("decile"), col("n"),
+          round(col("dspend").cast(DoubleType) / col("tots").cast(DoubleType), 6)
+            .as("decile_share"),
+          round(col("cums").cast(DoubleType) / col("tots").cast(DoubleType), 6)
+            .as("cum_spend_share"),
+          round(col("cumn").cast(DoubleType) / col("totn").cast(DoubleType) -
+            col("cums").cast(DoubleType) / col("tots").cast(DoubleType), 6)
+            .as("diagonal_gap"))
+        .orderBy(col("decile"))
+    },
+    Some("""WITH per AS (SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS spend
+        FROM orders GROUP BY 1),
+      d AS (SELECT NTILE(10) OVER (ORDER BY spend, o_custkey) AS decile, spend FROM per),
+      g AS (SELECT decile, COUNT(*) AS n, SUM(spend) AS dspend FROM d GROUP BY 1),
+      c AS (SELECT decile, n, dspend,
+          SUM(n) OVER (ORDER BY decile ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumn,
+          SUM(dspend) OVER (ORDER BY decile ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cums,
+          SUM(n) OVER () AS totn, SUM(dspend) OVER () AS tots
+        FROM g)
+      SELECT decile, n,
+        round(CAST(dspend AS DOUBLE) / CAST(tots AS DOUBLE), 6) AS decile_share,
+        round(CAST(cums AS DOUBLE) / CAST(tots AS DOUBLE), 6) AS cum_spend_share,
+        round(CAST(cumn AS DOUBLE) / totn - CAST(cums AS DOUBLE) / CAST(tots AS DOUBLE), 6) AS diagonal_gap
+      FROM c ORDER BY decile"""))
+
   val all: Seq[QueryDef] = Seq(
     q1Agg, q2Filter, q3Join, q4Semi, q5Multi, q6Window, q7TopK, q8Distinct,
     q9Rollup, q10Pivot, q11Anti, q12Expr, q13Percentiles, q14Subquery,
@@ -12382,6 +12597,7 @@ object Queries {
     q209HourCircular, q210LjungBox, q211Hurst,
     q212Ndcg, q213AvgPrecision, q214MarkovAttribution,
     q215Pettitt, q216RocPoints, q217Gumbel,
+    q218Friedman, q219CochranQ, q220RunsTest, q221LorenzPoints,
     etlMergeUpsert, etlConstraints, etlProvenance,
     graphPageRank, curateWeightedSample,
     etlUnionSources, etlValidate, etlCleanTransform, etlQualityReport,
