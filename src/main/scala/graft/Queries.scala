@@ -12540,6 +12540,221 @@ object Queries {
         round(CAST(cumn AS DOUBLE) / totn - CAST(cums AS DOUBLE) / CAST(tots AS DOUBLE), 6) AS diagonal_gap
       FROM c ORDER BY decile"""))
 
+  /** Benjamini–Hochberg FDR panel: per-nation Welch z vs the rest of
+    * the corpus on order value, two-sided normal p-values, and the BH
+    * step-up adjustment across the 25-nation family — the
+    * multiple-testing discipline every per-group screening query
+    * (q106_welch, q63_ab_lift) needs before anyone acts on "nation X
+    * is significant" (25 tests at α=0.05 expect ~1 false hit).
+    *
+    * Determinism: moments are exact DECIMAL; Φ uses the
+    * Abramowitz–Stegun 5-term Horner polynomial written identically in
+    * both engines (same IEEE ops, bit-identical p); the BH adjusted
+    * p = suffix-MIN of p·N/rank is order-independent (min needs no
+    * pinning) over the integer-deterministic (p, nation) ranking.
+    */
+  val q222BhFdr: QueryDef = QueryDef("q222_bh_fdr",
+    (s, dir) => {
+      val g = t(s, dir, "orders")
+        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .select(col("n_name").as("nation"), dec(col("o_totalprice")).as("y"))
+        .groupBy(col("nation"))
+        .agg(count(lit(1)).as("n"), sum(col("y")).as("sy"),
+          sum(col("y") * col("y")).as("syy"))
+      val tot = g.agg(sum(col("n")).as("nt"), sum(col("sy")).as("syt"),
+        sum(col("syy")).as("syyt"), count(lit(1)).as("fam"))
+      val nD = col("n").cast(DoubleType)
+      val rnD = (col("nt") - col("n")).cast(DoubleType)
+      val mi = col("sy").cast(DoubleType) / nD
+      val mr = (col("syt") - col("sy")).cast(DoubleType) / rnD
+      val vi = (col("syy").cast(DoubleType) - nD * mi * mi) / (nD - 1.0)
+      val vr = ((col("syyt") - col("syy")).cast(DoubleType) - rnD * mr * mr) / (rnD - 1.0)
+      val z = (mi - mr) / sqrt(vi / nD + vr / rnD)
+      val az = abs(col("z"))
+      val tt = lit(1.0) / (lit(1.0) + lit(0.2316419) * az)
+      val poly = tt * (lit(0.319381530) + tt * (lit(-0.356563782) +
+        tt * (lit(1.781477937) + tt * (lit(-1.821255978) + tt * lit(1.330274429)))))
+      val p = lit(2.0) * exp(-az * az / 2.0) * lit(0.3989422804014327) * poly
+      val wRank = Window.orderBy(col("p"), col("nation"))
+      val wSuf = Window.orderBy(col("p"), col("nation"))
+        .rowsBetween(0, Window.unboundedFollowing)
+      g.crossJoin(broadcast(tot))
+        .withColumn("z", z)
+        .withColumn("p", p)
+        .withColumn("rk", row_number().over(wRank))
+        .withColumn("p_adj", least(min(col("p") * col("fam").cast(DoubleType) /
+          col("rk").cast(DoubleType)).over(wSuf), lit(1.0)))
+        .select(col("nation"), col("n"), round(col("z"), 6).as("z"),
+          round(col("p"), 6).as("p_value"), round(col("p_adj"), 6).as("p_bh"),
+          (col("p_adj") < 0.05).as("significant"))
+        .orderBy(col("nation"))
+    },
+    Some("""WITH g AS (SELECT n_name AS nation, COUNT(*) AS n,
+          SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS sy,
+          SUM(CAST(o_totalprice AS DECIMAL(12,2)) * CAST(o_totalprice AS DECIMAL(12,2))) AS syy
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY 1),
+      tot AS (SELECT SUM(n) AS nt, SUM(sy) AS syt, SUM(syy) AS syyt, COUNT(*) AS fam FROM g),
+      zt AS (SELECT nation, n,
+          (CAST(sy AS DOUBLE) / n - CAST(syt - sy AS DOUBLE) / (nt - n)) /
+          sqrt(((CAST(syy AS DOUBLE) - n * (CAST(sy AS DOUBLE) / n) * (CAST(sy AS DOUBLE) / n)) / (n - 1.0)) / n +
+            ((CAST(syyt - syy AS DOUBLE) - (nt - n) * (CAST(syt - sy AS DOUBLE) / (nt - n)) * (CAST(syt - sy AS DOUBLE) / (nt - n))) / (nt - n - 1.0)) / (nt - n)) AS z,
+          fam
+        FROM g CROSS JOIN tot),
+      pv AS (SELECT nation, n, z, fam,
+          2.0 * exp(-ABS(z) * ABS(z) / 2.0) * 0.3989422804014327 *
+            ((1.0 / (1.0 + 0.2316419 * ABS(z))) * (0.319381530 + (1.0 / (1.0 + 0.2316419 * ABS(z))) * (-0.356563782 +
+             (1.0 / (1.0 + 0.2316419 * ABS(z))) * (1.781477937 + (1.0 / (1.0 + 0.2316419 * ABS(z))) * (-1.821255978 +
+             (1.0 / (1.0 + 0.2316419 * ABS(z))) * 1.330274429))))) AS p
+        FROM zt),
+      rk AS (SELECT nation, n, z, p, fam,
+          ROW_NUMBER() OVER (ORDER BY p, nation) AS rk
+        FROM pv),
+      adj AS (SELECT nation, n, z, p,
+          LEAST(MIN(p * fam / rk) OVER (ORDER BY p, nation
+            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING), 1.0) AS p_adj
+        FROM rk)
+      SELECT nation, n, round(z, 6) AS z, round(p, 6) AS p_value,
+        round(p_adj, 6) AS p_bh, (p_adj < 0.05) AS significant
+      FROM adj ORDER BY nation"""))
+
+  /** Cook's distance influence diagnostics for the daily-revenue OLS
+    * trend: which single days, if dropped, would most move the fitted
+    * line? D_i = e_i²/(2s²)·h_i/(1−h_i)² with exact-moment leverage
+    * h_i — the regression-audit companion to q65_regression (a slope
+    * is only trustworthy once you know no one day owns it). Top-10
+    * days by 1e-9-pinned score.
+    *
+    * Everything derives from one DECIMAL moment pass over the O(days)
+    * frame; per-day residual/leverage/score are identical IEEE ops.
+    */
+  val q223CooksDistance: QueryDef = QueryDef("q223_cooks_distance",
+    (s, dir) => {
+      val daily = t(s, dir, "lineitem")
+        .groupBy(date_trunc("day", col("l_shipdate")).as("day"))
+        .agg(sum(dec(col("l_extendedprice"))).cast(DecimalType(18, 2)).as("rev"))
+        .withColumn("x", (row_number().over(Window.orderBy(col("day"))) - 1)
+          .cast(LongType))
+        .localCheckpoint(true)
+      val m = daily.agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        sum(col("x") * col("x")).as("sxx"), sum(col("rev")).as("sy"),
+        sum(col("x").cast(DecimalType(18, 2)) * col("rev")).as("sxy"),
+        sum(col("rev") * col("rev")).as("syy"))
+      val nD = col("n").cast(DoubleType)
+      def d(c: String): Column = col(c).cast(DoubleType)
+      val xb = d("sx") / nD
+      val yb = d("sy") / nD
+      val sxxC = d("sxx") - nD * xb * xb
+      val b = (d("sxy") - nD * xb * yb) / sxxC
+      val a = yb - b * xb
+      val sse = (d("syy") - nD * yb * yb) - b * b * sxxC
+      val s2 = sse / (nD - 2.0)
+      val scored = daily.crossJoin(broadcast(m))
+        .withColumn("e", col("rev").cast(DoubleType) - (a + b * col("x").cast(DoubleType)))
+        .withColumn("h", lit(1.0) / nD +
+          (col("x").cast(DoubleType) - xb) * (col("x").cast(DoubleType) - xb) / sxxC)
+        .withColumn("cook", col("e") * col("e") / (lit(2.0) * s2) *
+          (col("h") / ((lit(1.0) - col("h")) * (lit(1.0) - col("h")))))
+        .withColumn("cq", floor(col("cook") * 1.0e9 + 0.5).cast(LongType))
+      scored.orderBy(col("cq").desc, col("day"))
+        .limit(10)
+        .select(col("day"), round(col("e"), 2).as("residual"),
+          round(col("h"), 6).as("leverage"),
+          round(col("cq").cast(DoubleType) / 1.0e9, 6).as("cooks_d"))
+    },
+    Some("""WITH d AS (SELECT day, rev, ROW_NUMBER() OVER (ORDER BY day) - 1 AS x
+        FROM (SELECT date_trunc('day', l_shipdate) AS day,
+            CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS rev
+          FROM lineitem GROUP BY 1)),
+      m AS (SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(x * x) AS sxx, SUM(rev) AS sy,
+          SUM(CAST(x AS DECIMAL(18,2)) * rev) AS sxy, SUM(rev * rev) AS syy
+        FROM d),
+      f AS (SELECT n, CAST(sx AS DOUBLE) / n AS xb, CAST(sy AS DOUBLE) / n AS yb,
+          CAST(sxx AS DOUBLE) - n * (CAST(sx AS DOUBLE) / n) * (CAST(sx AS DOUBLE) / n) AS sxxc,
+          sxy, syy FROM m),
+      fit AS (SELECT n, xb, yb, sxxc,
+          (CAST(sxy AS DOUBLE) - n * xb * yb) / sxxc AS b,
+          ((CAST(syy AS DOUBLE) - n * yb * yb) -
+            ((CAST(sxy AS DOUBLE) - n * xb * yb) / sxxc) * ((CAST(sxy AS DOUBLE) - n * xb * yb) / sxxc) * sxxc)
+            / (n - 2.0) AS s2
+        FROM f),
+      scored AS (SELECT day,
+          CAST(rev AS DOUBLE) - ((yb - b * xb) + b * x) AS e,
+          1.0 / n + (x - xb) * (x - xb) / sxxc AS h
+        FROM d CROSS JOIN fit),
+      cq AS (SELECT day, e, h,
+          CAST(FLOOR(e * e / (2.0 * (SELECT s2 FROM fit)) *
+            (h / ((1.0 - h) * (1.0 - h))) * 1.0e9 + 0.5) AS BIGINT) AS cq
+        FROM scored)
+      SELECT day, round(e, 2) AS residual, round(h, 6) AS leverage,
+        round(CAST(cq AS DOUBLE) / 1.0e9, 6) AS cooks_d
+      FROM cq ORDER BY cq DESC, day LIMIT 10"""))
+
+  /** Durbin–Watson test on the daily-revenue trend residuals:
+    * DW = Σ(e_t−e_{t−1})²/Σe_t² (≈2 when residuals are white, →0
+    * under positive serial correlation) plus the implied lag-1 ρ — the
+    * OLS-validity audit q223_cooks_distance's influence view doesn't
+    * cover (autocorrelated residuals silently shrink q65-style
+    * standard errors).
+    *
+    * Residuals derive from the same exact-moment fit; numerator and
+    * denominator terms pin to integer units (magnitudes ~1e12, so unit
+    * pinning loses <1e-12 relative) making both sums order-free.
+    */
+  val q224DurbinWatson: QueryDef = QueryDef("q224_durbin_watson",
+    (s, dir) => {
+      val daily = t(s, dir, "lineitem")
+        .groupBy(date_trunc("day", col("l_shipdate")).as("day"))
+        .agg(sum(dec(col("l_extendedprice"))).cast(DecimalType(18, 2)).as("rev"))
+        .withColumn("x", (row_number().over(Window.orderBy(col("day"))) - 1)
+          .cast(LongType))
+        .localCheckpoint(true)
+      val m = daily.agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        sum(col("x") * col("x")).as("sxx"), sum(col("rev")).as("sy"),
+        sum(col("x").cast(DecimalType(18, 2)) * col("rev")).as("sxy"))
+      val nD = col("n").cast(DoubleType)
+      def d(c: String): Column = col(c).cast(DoubleType)
+      val xb = d("sx") / nD
+      val yb = d("sy") / nD
+      val b = (d("sxy") - nD * xb * yb) / (d("sxx") - nD * xb * xb)
+      val res = daily.crossJoin(broadcast(m))
+        .withColumn("e", col("rev").cast(DoubleType) - ((yb - b * xb) + b * col("x").cast(DoubleType)))
+        .withColumn("ep", lag(col("e"), 1).over(Window.orderBy(col("day"))))
+      val agg = res.agg(count(lit(1)).as("n"),
+        sum(floor(col("e") * col("e") + 0.5).cast(LongType)).as("den"),
+        sum(when(col("ep").isNotNull,
+          floor((col("e") - col("ep")) * (col("e") - col("ep")) + 0.5).cast(LongType))
+          .otherwise(0L)).as("num"))
+      val dw = col("num").cast(DoubleType) / col("den").cast(DoubleType)
+      agg.select(col("n"), round(dw, 6).as("durbin_watson"),
+        round(lit(1.0) - dw / 2.0, 6).as("rho_implied"))
+    },
+    Some("""WITH d AS (SELECT day, rev, ROW_NUMBER() OVER (ORDER BY day) - 1 AS x
+        FROM (SELECT date_trunc('day', l_shipdate) AS day,
+            CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS rev
+          FROM lineitem GROUP BY 1)),
+      m AS (SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(x * x) AS sxx, SUM(rev) AS sy,
+          SUM(CAST(x AS DECIMAL(18,2)) * rev) AS sxy
+        FROM d),
+      fit AS (SELECT n, CAST(sx AS DOUBLE) / n AS xb, CAST(sy AS DOUBLE) / n AS yb,
+          (CAST(sxy AS DOUBLE) - n * (CAST(sx AS DOUBLE) / n) * (CAST(sy AS DOUBLE) / n)) /
+          (CAST(sxx AS DOUBLE) - n * (CAST(sx AS DOUBLE) / n) * (CAST(sx AS DOUBLE) / n)) AS b
+        FROM m),
+      res AS (SELECT day,
+          CAST(rev AS DOUBLE) - ((yb - b * xb) + b * x) AS e
+        FROM d CROSS JOIN fit),
+      lagged AS (SELECT e, LAG(e, 1) OVER (ORDER BY day) AS ep FROM res),
+      agg AS (SELECT COUNT(*) AS n,
+          CAST(SUM(CAST(FLOOR(e * e + 0.5) AS BIGINT)) AS BIGINT) AS den,
+          CAST(SUM(CASE WHEN ep IS NOT NULL
+            THEN CAST(FLOOR((e - ep) * (e - ep) + 0.5) AS BIGINT) ELSE 0 END) AS BIGINT) AS num
+        FROM lagged)
+      SELECT n, round(CAST(num AS DOUBLE) / den, 6) AS durbin_watson,
+        round(1.0 - CAST(num AS DOUBLE) / den / 2.0, 6) AS rho_implied
+      FROM agg"""))
+
   val all: Seq[QueryDef] = Seq(
     q1Agg, q2Filter, q3Join, q4Semi, q5Multi, q6Window, q7TopK, q8Distinct,
     q9Rollup, q10Pivot, q11Anti, q12Expr, q13Percentiles, q14Subquery,
@@ -12598,6 +12813,7 @@ object Queries {
     q212Ndcg, q213AvgPrecision, q214MarkovAttribution,
     q215Pettitt, q216RocPoints, q217Gumbel,
     q218Friedman, q219CochranQ, q220RunsTest, q221LorenzPoints,
+    q222BhFdr, q223CooksDistance, q224DurbinWatson,
     etlMergeUpsert, etlConstraints, etlProvenance,
     graphPageRank, curateWeightedSample,
     etlUnionSources, etlValidate, etlCleanTransform, etlQualityReport,
