@@ -303,6 +303,55 @@ object Refresh {
     }
   }
 
+  final case class DriftStatus(key: Long, n_since_reset: Long, ph: Double, alarms: Long)
+
+  /** transformWithState processor: Page–Hinkley mean-increase drift
+    * state per key (running mean, cumulative deviation m_T and its
+    * minimum — a few doubles, O(1) per key). On PH = m_T − min > λ the
+    * detector fires and resets, so `alarms` counts distinct drift
+    * episodes. The streaming twin of the batch q185_page_hinkley
+    * query: the batch form replays history; this one maintains the
+    * statistic incrementally so a level shift on a metric stream
+    * raises an alert within the micro-batch that crosses λ.
+    */
+  private class PageHinkleyProcessor(delta: Double, lambda: Double)
+      extends StatefulProcessor[Long, (Long, Double), DriftStatus] {
+    @transient private var state: ValueState[PhCell] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[PhCell]("ph",
+        org.apache.spark.sql.Encoders.product[PhCell], TTLConfig.NONE)
+    override def handleInputRows(key: Long, rows: Iterator[(Long, Double)],
+        tv: TimerValues): Iterator[DriftStatus] = {
+      var c = if (state.exists()) state.get() else PhCell(0L, 0.0, 0.0, 0.0, 0L)
+      rows.foreach { case (_, v) =>
+        val n = c.n + 1
+        val mean = c.mean + (v - c.mean) / n
+        val mt = c.mt + (v - mean - delta)
+        val mtMin = math.min(c.mtMin, mt)
+        c = if (mt - mtMin > lambda) PhCell(0L, 0.0, 0.0, 0.0, c.alarms + 1)
+          else PhCell(n, mean, mt, mtMin, c.alarms)
+      }
+      state.update(c)
+      Iterator.single(DriftStatus(key, c.n, c.mt - c.mtMin, c.alarms))
+    }
+  }
+
+  /** Streaming Page–Hinkley drift monitor over a keyed value stream
+    * (`user_id`, `value` columns, like [[runningUserStats]]): emits
+    * the refreshed PH statistic and episode count per touched key each
+    * micro-batch. RocksDB state store required, state is O(keys)·O(1).
+    */
+  def driftMonitor(events: DataFrame, delta: Double = 0.005,
+      lambda: Double = 50.0): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.selectExpr("user_id", "value").as[(Long, Double)]
+      .groupByKey(_._1)
+      .transformWithState(new PageHinkleyProcessor(delta, lambda),
+        TimeMode.None(), OutputMode.Update())
+      .toDF()
+  }
+
   /** Running per-user value quantiles via `transformWithState` with
     * KLL sketch state — the quantile sibling of [[runningUserStats]]
     * (same RocksDB state-store requirements).
@@ -487,6 +536,7 @@ object Refresh {
   * dropping the state (de)serializer to interpreted mode.
   */
 final case class StatsCell(n: Long, total: Double, mx: Double)
+final case class PhCell(n: Long, mean: Double, mt: Double, mtMin: Double, alarms: Long)
 
 /** Top-level for the same Janino/encoder reason as [[StatsCell]]. */
 final case class ScoredId(score: Double, id: Long)

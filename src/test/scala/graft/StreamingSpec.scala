@@ -307,6 +307,29 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("driftMonitor: Page-Hinkley state fires on a level shift, stays quiet on a flat series") {
+    withRocksDb {
+      import spark.implicits._
+      implicit val sqlCtx = spark.sqlContext
+      val mem = MemoryStream[(Long, Double)]
+      val df = mem.toDF().toDF("user_id", "value")
+      val q = Refresh.driftMonitor(df, delta = 0.005, lambda = 50.0)
+        .writeStream.format("memory").queryName("tws_drift")
+        .outputMode(OutputMode.Update).start()
+      // batch 1: both keys at a flat level
+      mem.addData((1 to 20).flatMap(_ => Seq((1L, 10.0), (2L, 40.0))): _*)
+      q.processAllAvailable()
+      // batch 2: key 1 level-shifts +20, key 2 stays flat
+      mem.addData((1 to 20).flatMap(_ => Seq((1L, 30.0), (2L, 40.0))): _*)
+      q.processAllAvailable()
+      val byKey = spark.table("tws_drift").as[(Long, Long, Double, Long)]
+        .collect().groupBy(_._1).map { case (k, rows) => k -> rows.map(_._4).max }
+      q.stop()
+      assert(byKey(1L) >= 1L, s"shifted key never alarmed: $byKey") // drift caught
+      assert(byKey(2L) == 0L, s"flat key alarmed: $byKey")          // no false alarm
+    }
+  }
+
   test("windowedQuantiles: KLL sketch state merges across batches; exact for n < k") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
