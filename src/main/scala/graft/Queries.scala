@@ -12755,6 +12755,261 @@ object Queries {
         round(1.0 - CAST(num AS DOUBLE) / den / 2.0, 6) AS rho_implied
       FROM agg"""))
 
+  /** Lincoln–Petersen / Chapman capture–recapture estimate: how many
+    * customers exist, inferred ONLY from the overlap between two
+    * activity windows (1995-96 "capture", 1997-98 "recapture")? The
+    * mark-recapture estimator data teams use to size a population a
+    * log only samples (how many real users, how many near-dup
+    * clusters) — checked here against the known customer-table truth.
+    *
+    * Three exact distinct-counts in one pass (marked / recaught /
+    * both); the estimators and the Chapman standard error are a
+    * handful of identical IEEE ops on those integers.
+    */
+  val q225CaptureRecapture: QueryDef = QueryDef("q225_capture_recapture",
+    (s, dir) => {
+      val flags = t(s, dir, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(max(when(year(col("o_orderdate")).between(1995, 1996), 1L)
+          .otherwise(0L)).as("p1"),
+          max(when(year(col("o_orderdate")).between(1997, 1998), 1L)
+            .otherwise(0L)).as("p2"))
+      val cnt = flags.agg(sum(col("p1")).as("n1"), sum(col("p2")).as("n2"),
+        sum(col("p1") * col("p2")).as("m"))
+        .crossJoin(broadcast(t(s, dir, "customer").agg(count(lit(1)).as("n_true"))))
+      def d(c: String): Column = col(c).cast(DoubleType)
+      val chap = (d("n1") + 1.0) * (d("n2") + 1.0) / (d("m") + 1.0) - 1.0
+      val se = sqrt((d("n1") + 1.0) * (d("n2") + 1.0) * (d("n1") - d("m")) *
+        (d("n2") - d("m")) / ((d("m") + 1.0) * (d("m") + 1.0) * (d("m") + 2.0)))
+      cnt.select(col("n1"), col("n2"), col("m"), col("n_true"),
+        round(d("n1") * d("n2") / d("m"), 2).as("est_lincoln"),
+        round(chap, 2).as("est_chapman"), round(se, 2).as("se_chapman"))
+    },
+    Some("""WITH flags AS (SELECT o_custkey,
+          MAX(CASE WHEN year(o_orderdate) BETWEEN 1995 AND 1996 THEN 1 ELSE 0 END) AS p1,
+          MAX(CASE WHEN year(o_orderdate) BETWEEN 1997 AND 1998 THEN 1 ELSE 0 END) AS p2
+        FROM orders GROUP BY 1),
+      cnt AS (SELECT CAST(SUM(p1) AS BIGINT) AS n1, CAST(SUM(p2) AS BIGINT) AS n2,
+          CAST(SUM(p1 * p2) AS BIGINT) AS m,
+          (SELECT COUNT(*) FROM customer) AS n_true
+        FROM flags)
+      SELECT n1, n2, m, n_true,
+        round(CAST(n1 AS DOUBLE) * n2 / m, 2) AS est_lincoln,
+        round((CAST(n1 AS DOUBLE) + 1.0) * (CAST(n2 AS DOUBLE) + 1.0) / (CAST(m AS DOUBLE) + 1.0) - 1.0, 2) AS est_chapman,
+        round(sqrt((CAST(n1 AS DOUBLE) + 1.0) * (CAST(n2 AS DOUBLE) + 1.0) * (CAST(n1 AS DOUBLE) - m) *
+          (CAST(n2 AS DOUBLE) - m) / ((CAST(m AS DOUBLE) + 1.0) * (CAST(m AS DOUBLE) + 1.0) * (CAST(m AS DOUBLE) + 2.0))), 2) AS se_chapman
+      FROM cnt"""))
+
+  /** Bounded harmonic centrality on the co-purchase customer graph:
+    * Σ 1/d over nodes within 3 hops — the "how quickly can this
+    * customer's neighborhood be reached" ranking that, unlike
+    * graph_pagerank's flow view or q182's HITS, is distance-based and
+    * robust on disconnected graphs (unreachable nodes contribute 0,
+    * not ∞). Top-20 by exact 6·Σ-units integer score.
+    *
+    * Scale shape: edges are the q205-style supplier-blocked pairs
+    * (bounded top-32 neighborhoods, cn ≥ 2 ties only), and the 3 BFS
+    * rings are distinct-joins that never materialize paths — ring k is
+    * set-subtracted from rings < k, so each (node, reached) pair
+    * appears once.
+    */
+  val q226HarmonicCentrality: QueryDef = QueryDef("q226_harmonic_centrality",
+    (s, dir) => {
+      val e0 = t(s, dir, "orders")
+        .join(t(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("o_custkey").as("c"), col("l_suppkey").as("sk"))
+        .agg(count(lit(1)).as("w"))
+        .filter(col("w") >= 2)
+      val top = e0.groupBy(col("sk"))
+        .agg(vector.topKByLong(col("w"), col("c"), 32).as("tp"))
+        .select(col("sk"), explode(col("tp.id")).as("c"))
+      val pairs = top.as("a").join(top.as("b"),
+          col("a.sk") === col("b.sk") && col("a.c") < col("b.c"))
+        .groupBy(col("a.c").as("ca"), col("b.c").as("cb"))
+        .agg(count(lit(1)).as("cn"))
+        .filter(col("cn") >= 2)
+      val edges = pairs.select(col("ca").as("u"), col("cb").as("v"))
+        .unionAll(pairs.select(col("cb").as("u"), col("ca").as("v")))
+        .distinct()
+        .localCheckpoint(true)
+      val l1 = edges.select(col("u").as("a"), col("v").as("r")).distinct()
+        .localCheckpoint(true)
+      val l2 = l1.join(edges.select(col("u").as("r"), col("v").as("r2")), "r")
+        .select(col("a"), col("r2").as("r")).distinct()
+        .filter(col("a") =!= col("r"))
+        .join(l1, Seq("a", "r"), "left_anti")
+        .localCheckpoint(true)
+      val l3 = l2.join(edges.select(col("u").as("r"), col("v").as("r3")), "r")
+        .select(col("a"), col("r3").as("r")).distinct()
+        .filter(col("a") =!= col("r"))
+        .join(l1, Seq("a", "r"), "left_anti")
+        .join(l2, Seq("a", "r"), "left_anti")
+      val score = l1.groupBy(col("a")).agg(count(lit(1)).as("n1"))
+        .join(l2.groupBy(col("a")).agg(count(lit(1)).as("n2")), Seq("a"), "left")
+        .join(l3.groupBy(col("a")).agg(count(lit(1)).as("n3")), Seq("a"), "left")
+        .withColumn("h6", lit(6L) * col("n1") + lit(3L) * coalesce(col("n2"), lit(0L)) +
+          lit(2L) * coalesce(col("n3"), lit(0L)))
+      score.orderBy(col("h6").desc, col("a"))
+        .limit(20)
+        .select(col("a").as("custkey"), col("n1"),
+          coalesce(col("n2"), lit(0L)).as("n2"), coalesce(col("n3"), lit(0L)).as("n3"),
+          round(col("h6").cast(DoubleType) / 6.0, 6).as("harmonic"))
+    },
+    Some("""WITH e0 AS (SELECT o_custkey AS c, l_suppkey AS sk, COUNT(*) AS w
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+      top AS (SELECT sk, c FROM (
+          SELECT sk, c, ROW_NUMBER() OVER (PARTITION BY sk ORDER BY w DESC, c) AS rn
+          FROM e0) WHERE rn <= 32),
+      pairs AS (SELECT a.c AS ca, b.c AS cb FROM top a JOIN top b
+          ON a.sk = b.sk AND a.c < b.c
+        GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+      edges AS (SELECT ca AS u, cb AS v FROM pairs
+        UNION SELECT cb, ca FROM pairs),
+      l1 AS (SELECT DISTINCT u AS a, v AS r FROM edges),
+      l2 AS (SELECT DISTINCT l1.a, e.v AS r FROM l1 JOIN edges e ON l1.r = e.u
+        WHERE l1.a <> e.v
+          AND NOT EXISTS (SELECT 1 FROM l1 x WHERE x.a = l1.a AND x.r = e.v)),
+      l3 AS (SELECT DISTINCT l2.a, e.v AS r FROM l2 JOIN edges e ON l2.r = e.u
+        WHERE l2.a <> e.v
+          AND NOT EXISTS (SELECT 1 FROM l1 x WHERE x.a = l2.a AND x.r = e.v)
+          AND NOT EXISTS (SELECT 1 FROM l2 y WHERE y.a = l2.a AND y.r = e.v)),
+      score AS (SELECT c1.a, c1.n1, COALESCE(c2.n2, 0) AS n2, COALESCE(c3.n3, 0) AS n3,
+          6 * c1.n1 + 3 * COALESCE(c2.n2, 0) + 2 * COALESCE(c3.n3, 0) AS h6
+        FROM (SELECT a, COUNT(*) AS n1 FROM l1 GROUP BY 1) c1
+        LEFT JOIN (SELECT a, COUNT(*) AS n2 FROM l2 GROUP BY 1) c2 ON c1.a = c2.a
+        LEFT JOIN (SELECT a, COUNT(*) AS n3 FROM l3 GROUP BY 1) c3 ON c1.a = c3.a)
+      SELECT a AS custkey, CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+        CAST(n3 AS BIGINT) AS n3,
+        round(CAST(h6 AS DOUBLE) / 6.0, 6) AS harmonic
+      FROM score ORDER BY h6 DESC, a LIMIT 20"""))
+
+  /** Month-over-month customer-base Jaccard: how much does the set of
+    * active customers overlap with last month's? The set-similarity
+    * churn curve underneath q115_growth_accounting's counts — a
+    * stable business shows high overlap; acquisition bursts and churn
+    * waves both show up as dips. Pure integer set algebra
+    * (distinct-pairs partial agg + a self-join on adjacent months).
+    */
+  val q227MonthJaccard: QueryDef = QueryDef("q227_month_jaccard",
+    (s, dir) => {
+      val am = t(s, dir, "orders")
+        .select(date_trunc("month", col("o_orderdate")).as("month"),
+          col("o_custkey").as("c"))
+        .distinct()
+        .localCheckpoint(true)
+      val sizes = am.groupBy(col("month")).agg(count(lit(1)).as("n_active"))
+      val inter = am.as("cur")
+        .join(am.select(add_months(col("month"), 1).cast(TimestampType).as("month"),
+          col("c")).as("prv"), Seq("month", "c"))
+        .groupBy(col("month")).agg(count(lit(1)).as("inter"))
+      val wPrev = Window.orderBy(col("month"))
+      sizes
+        .withColumn("n_prev", lag(col("n_active"), 1).over(wPrev))
+        .join(inter, Seq("month"), "left")
+        .filter(col("n_prev").isNotNull)
+        .withColumn("i", coalesce(col("inter"), lit(0L)))
+        .select(col("month"), col("n_active"), col("n_prev"), col("i").as("n_common"),
+          round(col("i").cast(DoubleType) /
+            (col("n_active") + col("n_prev") - col("i")).cast(DoubleType), 6)
+            .as("jaccard"))
+        .orderBy(col("month"))
+    },
+    Some("""WITH am AS (SELECT DISTINCT date_trunc('month', o_orderdate) AS month,
+          o_custkey AS c FROM orders),
+      sizes AS (SELECT month, COUNT(*) AS n_active FROM am GROUP BY 1),
+      inter AS (SELECT cur.month, COUNT(*) AS inter
+        FROM am cur JOIN am prv
+          ON cur.month = prv.month + INTERVAL 1 MONTH AND cur.c = prv.c
+        GROUP BY 1),
+      seq AS (SELECT month, n_active,
+          LAG(n_active, 1) OVER (ORDER BY month) AS n_prev
+        FROM sizes)
+      SELECT seq.month, n_active, n_prev, COALESCE(inter, 0) AS n_common,
+        round(CAST(COALESCE(inter, 0) AS DOUBLE) /
+          (n_active + n_prev - COALESCE(inter, 0)), 6) AS jaccard
+      FROM seq LEFT JOIN inter ON seq.month = inter.month
+      WHERE n_prev IS NOT NULL ORDER BY seq.month"""))
+
+  /** Anderson–Darling normality test on standardized daily revenue:
+    * A² weights tail deviations from the normal CDF far more than
+    * q125_ks_test's max-gap, making it the preferred "is this metric
+    * normal enough for z-based alerting" gate; reported with the
+    * small-sample A* correction.
+    *
+    * Mechanics: mean/sd from exact DECIMAL moments; Φ via the same
+    * A&S Horner polynomial as q222_bh_fdr (bit-identical on both
+    * engines); the i ↔ n+1−i pairing is a self-join on row_number over
+    * the O(days) frame with 1e-9-pinned contributions.
+    */
+  val q228AndersonDarling: QueryDef = QueryDef("q228_anderson_darling",
+    (s, dir) => {
+      val daily = t(s, dir, "lineitem")
+        .groupBy(date_trunc("day", col("l_shipdate")).as("day"))
+        .agg(sum(dec(col("l_extendedprice"))).cast(DecimalType(18, 2)).as("rev"))
+        .localCheckpoint(true)
+      val m = daily.agg(count(lit(1)).as("n"), sum(col("rev")).as("sr"),
+        sum(col("rev") * col("rev")).as("srr"))
+      val nD = col("n").cast(DoubleType)
+      val mean = col("sr").cast(DoubleType) / nD
+      val sd = sqrt((col("srr").cast(DoubleType) - nD * mean * mean) / (nD - 1.0))
+      val z = (col("rev").cast(DoubleType) - mean) / sd
+      val az = abs(col("z"))
+      val tt = lit(1.0) / (lit(1.0) + lit(0.2316419) * az)
+      val poly = tt * (lit(0.319381530) + tt * (lit(-0.356563782) +
+        tt * (lit(1.781477937) + tt * (lit(-1.821255978) + tt * lit(1.330274429)))))
+      val q = exp(-az * az / 2.0) * lit(0.3989422804014327) * poly
+      val ranked = daily.crossJoin(broadcast(m))
+        .withColumn("z", z)
+        .withColumn("f", when(col("z") >= 0, lit(1.0) - q).otherwise(q))
+        .withColumn("rn", row_number().over(Window.orderBy(col("rev"), col("day"))))
+        .localCheckpoint(true)
+      val paired = ranked.select(col("rn"), col("f"), col("n"))
+        .join(ranked.select((col("n") - col("rn") + 1).as("rn"),
+          col("f").as("fm")), "rn")
+      val a2sum = paired.agg(max(col("n")).as("n"),
+        sum(floor((lit(2L) * col("rn") - 1).cast(DoubleType) *
+          (log(col("f")) + log(lit(1.0) - col("fm"))) * 1.0e9 + 0.5)
+          .cast(LongType)).as("sq"))
+      val a2 = -col("n").cast(DoubleType) -
+        (col("sq").cast(DoubleType) / 1.0e9) / col("n").cast(DoubleType)
+      a2sum.select(col("n"), round(a2, 6).as("a_sq"),
+        round(a2 * (lit(1.0) + lit(0.75) / col("n").cast(DoubleType) +
+          lit(2.25) / (col("n").cast(DoubleType) * col("n").cast(DoubleType))), 6)
+          .as("a_sq_star"))
+    },
+    Some("""WITH d AS (SELECT date_trunc('day', l_shipdate) AS day,
+          CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS rev
+        FROM lineitem GROUP BY 1),
+      m AS (SELECT COUNT(*) AS n, SUM(rev) AS sr, SUM(rev * rev) AS srr FROM d),
+      zf AS (SELECT day, rev, n,
+          (CAST(rev AS DOUBLE) - CAST(sr AS DOUBLE) / n) /
+            sqrt((CAST(srr AS DOUBLE) - n * (CAST(sr AS DOUBLE) / n) * (CAST(sr AS DOUBLE) / n)) / (n - 1.0)) AS z
+        FROM d CROSS JOIN m),
+      ff AS (SELECT day, rev, n, z,
+          CASE WHEN z >= 0
+            THEN 1.0 - exp(-ABS(z) * ABS(z) / 2.0) * 0.3989422804014327 *
+              ((1.0 / (1.0 + 0.2316419 * ABS(z))) * (0.319381530 + (1.0 / (1.0 + 0.2316419 * ABS(z))) * (-0.356563782 +
+               (1.0 / (1.0 + 0.2316419 * ABS(z))) * (1.781477937 + (1.0 / (1.0 + 0.2316419 * ABS(z))) * (-1.821255978 +
+               (1.0 / (1.0 + 0.2316419 * ABS(z))) * 1.330274429)))))
+            ELSE exp(-ABS(z) * ABS(z) / 2.0) * 0.3989422804014327 *
+              ((1.0 / (1.0 + 0.2316419 * ABS(z))) * (0.319381530 + (1.0 / (1.0 + 0.2316419 * ABS(z))) * (-0.356563782 +
+               (1.0 / (1.0 + 0.2316419 * ABS(z))) * (1.781477937 + (1.0 / (1.0 + 0.2316419 * ABS(z))) * (-1.821255978 +
+               (1.0 / (1.0 + 0.2316419 * ABS(z))) * 1.330274429)))))
+          END AS f
+        FROM zf),
+      ranked AS (SELECT f, n, ROW_NUMBER() OVER (ORDER BY rev, day) AS rn FROM ff),
+      paired AS (SELECT a.rn, a.f, b.f AS fm, a.n
+        FROM ranked a JOIN ranked b ON b.rn = a.n - a.rn + 1),
+      agg AS (SELECT MAX(n) AS n,
+          CAST(SUM(CAST(FLOOR((2 * rn - 1) * (ln(f) + ln(1.0 - fm)) * 1.0e9 + 0.5) AS BIGINT)) AS BIGINT) AS sq
+        FROM paired)
+      SELECT CAST(n AS BIGINT) AS n,
+        round(-CAST(n AS DOUBLE) - (CAST(sq AS DOUBLE) / 1.0e9) / n, 6) AS a_sq,
+        round((-CAST(n AS DOUBLE) - (CAST(sq AS DOUBLE) / 1.0e9) / n) *
+          (1.0 + 0.75 / n + 2.25 / (CAST(n AS DOUBLE) * n)), 6) AS a_sq_star
+      FROM agg"""))
+
   val all: Seq[QueryDef] = Seq(
     q1Agg, q2Filter, q3Join, q4Semi, q5Multi, q6Window, q7TopK, q8Distinct,
     q9Rollup, q10Pivot, q11Anti, q12Expr, q13Percentiles, q14Subquery,
@@ -12814,6 +13069,7 @@ object Queries {
     q215Pettitt, q216RocPoints, q217Gumbel,
     q218Friedman, q219CochranQ, q220RunsTest, q221LorenzPoints,
     q222BhFdr, q223CooksDistance, q224DurbinWatson,
+    q225CaptureRecapture, q226HarmonicCentrality, q227MonthJaccard, q228AndersonDarling,
     etlMergeUpsert, etlConstraints, etlProvenance,
     graphPageRank, curateWeightedSample,
     etlUnionSources, etlValidate, etlCleanTransform, etlQualityReport,
