@@ -13010,6 +13010,200 @@ object Queries {
           (1.0 + 0.75 / n + 2.25 / (CAST(n AS DOUBLE) * n)), 6) AS a_sq_star
       FROM agg"""))
 
+  /** 1:1 nearest-neighbor matching estimator with a caliper: match
+    * each treated customer (odd key — the synthetic assignment the
+    * experiment family shares) to the closest control on account
+    * balance and average the matched outcome differences — the
+    * matching ATT beside q141_ipw's weighting and q145_did's
+    * before/after identification. Unmatched or out-of-caliper treated
+    * units are reported, not silently dropped into the average.
+    *
+    * Scale shape: matching is NOT a pairwise join — one sorted window
+    * pass finds the nearest preceding/following control for every
+    * treated row (IGNORE NULLS last/first over the balance ordering),
+    * so the cost is one sort of the O(customers) frame. Distances and
+    * the kept diff are exact-decimal-derived doubles; ties prefer the
+    * preceding control on both engines.
+    */
+  val q229Matching: QueryDef = QueryDef("q229_matching",
+    (s, dir) => {
+      val outcome = t(s, dir, "orders").groupBy(col("o_custkey"))
+        .agg(sum(dec(col("o_totalprice"))).as("spend"))
+      val base = t(s, dir, "customer")
+        .join(outcome, col("c_custkey") === col("o_custkey"), "left")
+        .select(col("c_custkey").as("ck"), col("c_acctbal").as("bal"),
+          (col("c_custkey") % 2 === 1).as("treated"),
+          coalesce(col("spend"), lit(java.math.BigDecimal.ZERO).cast(DecimalType(22, 2)))
+            .as("y"))
+      val wPrev = Window.orderBy(col("bal"), col("ck"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val wNext = Window.orderBy(col("bal"), col("ck"))
+        .rowsBetween(1, Window.unboundedFollowing)
+      val cb = when(!col("treated"), col("bal"))
+      val cy = when(!col("treated"), col("y"))
+      val matched = base
+        .withColumn("pb", last(cb, ignoreNulls = true).over(wPrev))
+        .withColumn("py", last(cy, ignoreNulls = true).over(wPrev))
+        .withColumn("nb", first(cb, ignoreNulls = true).over(wNext))
+        .withColumn("ny", first(cy, ignoreNulls = true).over(wNext))
+        .filter(col("treated"))
+        .withColumn("dp", abs(col("bal") - col("pb")))
+        .withColumn("dn", abs(col("nb") - col("bal")))
+        .withColumn("use_prev", col("pb").isNotNull &&
+          (col("nb").isNull || col("dp") <= col("dn")))
+        .withColumn("mdist", when(col("use_prev"), col("dp")).otherwise(col("dn")))
+        .withColumn("my", when(col("use_prev"), col("py")).otherwise(col("ny")))
+        .withColumn("kept", col("mdist").isNotNull && col("mdist") <= 100.0)
+      matched.agg(count(lit(1)).as("n_treated"),
+          sum(when(col("kept"), 1L).otherwise(0L)).as("n_matched"),
+          sum(when(col("kept"), col("y") - col("my"))).as("dsum"))
+        .select(col("n_treated"), col("n_matched"),
+          round(col("dsum").cast(DoubleType) / col("n_matched").cast(DoubleType), 4)
+            .as("att"))
+    },
+    Some("""WITH outcome AS (SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS spend
+        FROM orders GROUP BY 1),
+      base AS (SELECT c_custkey AS ck, c_acctbal AS bal,
+          (c_custkey % 2 = 1) AS treated,
+          COALESCE(spend, CAST(0 AS DECIMAL(22,2))) AS y
+        FROM customer LEFT JOIN outcome ON c_custkey = o_custkey),
+      w AS (SELECT ck, bal, treated, y,
+          LAST_VALUE(CASE WHEN NOT treated THEN bal END IGNORE NULLS) OVER
+            (ORDER BY bal, ck ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pb,
+          LAST_VALUE(CASE WHEN NOT treated THEN y END IGNORE NULLS) OVER
+            (ORDER BY bal, ck ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS py,
+          FIRST_VALUE(CASE WHEN NOT treated THEN bal END IGNORE NULLS) OVER
+            (ORDER BY bal, ck ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nb,
+          FIRST_VALUE(CASE WHEN NOT treated THEN y END IGNORE NULLS) OVER
+            (ORDER BY bal, ck ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS ny
+        FROM base),
+      m AS (SELECT ck, bal, y,
+          CASE WHEN pb IS NOT NULL AND (nb IS NULL OR ABS(bal - pb) <= ABS(nb - bal))
+            THEN ABS(bal - pb) ELSE ABS(nb - bal) END AS mdist,
+          CASE WHEN pb IS NOT NULL AND (nb IS NULL OR ABS(bal - pb) <= ABS(nb - bal))
+            THEN py ELSE ny END AS my
+        FROM w WHERE treated),
+      agg AS (SELECT COUNT(*) AS n_treated,
+          CAST(SUM(CASE WHEN mdist IS NOT NULL AND mdist <= 100.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_matched,
+          SUM(CASE WHEN mdist IS NOT NULL AND mdist <= 100.0 THEN y - my END) AS dsum
+        FROM m)
+      SELECT n_treated, n_matched,
+        round(CAST(dsum AS DOUBLE) / n_matched, 4) AS att
+      FROM agg"""))
+
+  /** Qini uplift curve by activity decile: rank users by engagement,
+    * split by the synthetic even/odd assignment, and report each
+    * cumulative decile's incremental conversions over the
+    * control-scaled baseline — the uplift-model eval that tells a
+    * targeting team how deep to go down the score list (q117's lift
+    * table measures response, not INCREMENTAL response).
+    *
+    * All counts are exact integers off one per-user pass; curve points
+    * are rationals of cumulative counts on the O(10) frame.
+    */
+  val q230Qini: QueryDef = QueryDef("q230_qini",
+    (s, dir) => {
+      val per = t(s, dir, "events")
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("activity"),
+          max(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("conv"))
+        .withColumn("treated", col("user_id") % 2 === 1)
+      val wRank = Window.orderBy(col("activity").desc, col("user_id"))
+      val dec10 = per.withColumn("decile", ntile(10).over(wRank))
+        .groupBy(col("decile"))
+        .agg(sum(when(col("treated"), 1L).otherwise(0L)).as("nt"),
+          sum(when(!col("treated"), 1L).otherwise(0L)).as("nc"),
+          sum(when(col("treated"), col("conv")).otherwise(0L)).as("ct"),
+          sum(when(!col("treated"), col("conv")).otherwise(0L)).as("cc"))
+      val wCum = Window.orderBy(col("decile"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val cum = dec10
+        .withColumn("cnt", sum(col("nt")).over(wCum))
+        .withColumn("cnc", sum(col("nc")).over(wCum))
+        .withColumn("cct", sum(col("ct")).over(wCum))
+        .withColumn("ccc", sum(col("cc")).over(wCum))
+      cum.select(col("decile"), col("cnt"), col("cnc"), col("cct"), col("ccc"),
+          round(col("cct").cast(DoubleType) / col("cnt").cast(DoubleType) -
+            col("ccc").cast(DoubleType) / col("cnc").cast(DoubleType), 6).as("uplift"),
+          round(col("cct").cast(DoubleType) -
+            col("ccc").cast(DoubleType) * col("cnt").cast(DoubleType) /
+              col("cnc").cast(DoubleType), 6).as("qini"))
+        .orderBy(col("decile"))
+    },
+    Some("""WITH per AS (SELECT user_id, COUNT(*) AS activity,
+          MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv,
+          (user_id % 2 = 1) AS treated
+        FROM events GROUP BY 1),
+      d AS (SELECT NTILE(10) OVER (ORDER BY activity DESC, user_id) AS decile,
+          treated, conv FROM per),
+      g AS (SELECT decile,
+          CAST(SUM(CASE WHEN treated THEN 1 ELSE 0 END) AS BIGINT) AS nt,
+          CAST(SUM(CASE WHEN NOT treated THEN 1 ELSE 0 END) AS BIGINT) AS nc,
+          CAST(SUM(CASE WHEN treated THEN conv ELSE 0 END) AS BIGINT) AS ct,
+          CAST(SUM(CASE WHEN NOT treated THEN conv ELSE 0 END) AS BIGINT) AS cc
+        FROM d GROUP BY 1),
+      cum AS (SELECT decile,
+          SUM(nt) OVER (ORDER BY decile ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cnt,
+          SUM(nc) OVER (ORDER BY decile ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cnc,
+          SUM(ct) OVER (ORDER BY decile ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cct,
+          SUM(cc) OVER (ORDER BY decile ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ccc
+        FROM g)
+      SELECT decile, CAST(cnt AS BIGINT) AS cnt, CAST(cnc AS BIGINT) AS cnc,
+        CAST(cct AS BIGINT) AS cct, CAST(ccc AS BIGINT) AS ccc,
+        round(CAST(cct AS DOUBLE) / cnt - CAST(ccc AS DOUBLE) / cnc, 6) AS uplift,
+        round(CAST(cct AS DOUBLE) - CAST(ccc AS DOUBLE) * cnt / cnc, 6) AS qini
+      FROM cum ORDER BY decile"""))
+
+  /** XYZ demand-variability classification: per part, the coefficient
+    * of variation of weekly shipped quantity buckets it X (steady,
+    * CV < 0.5), Y (< 1.0) or Z (erratic) — the forecastability axis
+    * that pairs with q163_abc's value axis in every inventory-policy
+    * matrix. Census per class plus the exact pinned average CV.
+    *
+    * One partial-agg to the (part, week) frame, one to per-part
+    * moments (DECIMAL-exact), classification and the 1e-6-pinned CV
+    * fold on the O(parts) frame.
+    */
+  val q231Xyz: QueryDef = QueryDef("q231_xyz",
+    (s, dir) => {
+      val weekly = t(s, dir, "lineitem")
+        .groupBy(col("l_partkey"), date_trunc("week", col("l_shipdate")).as("wk"))
+        .agg(sum(dec(col("l_quantity"))).as("q"))
+      val perPart = weekly.groupBy(col("l_partkey"))
+        .agg(count(lit(1)).as("nw"), sum(col("q")).as("sq"),
+          sum(col("q") * col("q")).as("sqq"))
+        .filter(col("nw") >= 4)
+      val nD = col("nw").cast(DoubleType)
+      val mean = col("sq").cast(DoubleType) / nD
+      val cv = sqrt((col("sqq").cast(DoubleType) - nD * mean * mean) / (nD - 1.0)) / mean
+      val classed = perPart
+        .withColumn("cv", cv)
+        .withColumn("xyz", when(col("cv") < 0.5, "X")
+          .when(col("cv") < 1.0, "Y").otherwise("Z"))
+        .withColumn("cvq", floor(col("cv") * 1.0e6 + 0.5).cast(LongType))
+      classed.groupBy(col("xyz"))
+        .agg(count(lit(1)).as("n_parts"), sum(col("cvq")).as("scv"))
+        .select(col("xyz"), col("n_parts"),
+          round(col("scv").cast(DoubleType) / 1.0e6 /
+            col("n_parts").cast(DoubleType), 6).as("avg_cv"))
+        .orderBy(col("xyz"))
+    },
+    Some("""WITH weekly AS (SELECT l_partkey, date_trunc('week', l_shipdate) AS wk,
+          SUM(CAST(l_quantity AS DECIMAL(12,2))) AS q
+        FROM lineitem GROUP BY 1, 2),
+      per AS (SELECT l_partkey, COUNT(*) AS nw, SUM(q) AS sq, SUM(q * q) AS sqq
+        FROM weekly GROUP BY 1 HAVING COUNT(*) >= 4),
+      cvs AS (SELECT l_partkey,
+          sqrt((CAST(sqq AS DOUBLE) - nw * (CAST(sq AS DOUBLE) / nw) * (CAST(sq AS DOUBLE) / nw)) / (nw - 1.0))
+            / (CAST(sq AS DOUBLE) / nw) AS cv
+        FROM per),
+      classed AS (SELECT CASE WHEN cv < 0.5 THEN 'X' WHEN cv < 1.0 THEN 'Y' ELSE 'Z' END AS xyz,
+          CAST(FLOOR(cv * 1.0e6 + 0.5) AS BIGINT) AS cvq
+        FROM cvs)
+      SELECT xyz, COUNT(*) AS n_parts,
+        round(CAST(SUM(cvq) AS DOUBLE) / 1.0e6 / COUNT(*), 6) AS avg_cv
+      FROM classed GROUP BY 1 ORDER BY 1"""))
+
   val all: Seq[QueryDef] = Seq(
     q1Agg, q2Filter, q3Join, q4Semi, q5Multi, q6Window, q7TopK, q8Distinct,
     q9Rollup, q10Pivot, q11Anti, q12Expr, q13Percentiles, q14Subquery,
@@ -13070,6 +13264,7 @@ object Queries {
     q218Friedman, q219CochranQ, q220RunsTest, q221LorenzPoints,
     q222BhFdr, q223CooksDistance, q224DurbinWatson,
     q225CaptureRecapture, q226HarmonicCentrality, q227MonthJaccard, q228AndersonDarling,
+    q229Matching, q230Qini, q231Xyz,
     etlMergeUpsert, etlConstraints, etlProvenance,
     graphPageRank, curateWeightedSample,
     etlUnionSources, etlValidate, etlCleanTransform, etlQualityReport,
