@@ -13204,6 +13204,226 @@ object Queries {
         round(CAST(SUM(cvq) AS DOUBLE) / 1.0e6 / COUNT(*), 6) AS avg_cv
       FROM classed GROUP BY 1 ORDER BY 1"""))
 
+  /** 2-component Gaussian mixture fit on order totals via 5 EM
+    * rounds: the "is this price distribution two populations"
+    * decomposition (retail vs wholesale) that no single-mode moment
+    * statistic in the suite can answer. Deterministic init (quartile
+    * anchors of the exact min/max span, pooled sd), then synchronous
+    * E/M rounds.
+    *
+    * Exact lockstep: each round's responsibilities pin to 1e-9
+    * integer units, so the M-step sums are integer*DECIMAL products -
+    * order-independent and replayed by the oracle's unrolled CTE
+    * chain (generated from the same per-round template below);
+    * component-2 sums are the exact complement of component 1 against
+    * the global DECIMAL totals, so each round is ONE aggregation pass
+    * over the fact frame. Collapse guards (GREATEST floors on the
+    * responsibility denominator, component masses, and variances) are
+    * applied identically in both engines - in the non-degenerate case
+    * GREATEST returns its argument bit-unchanged, so the guard is
+    * free; ANSI double division can throw on zero and conditional
+    * guards are unsafe under codegen subexpression hoisting, hence
+    * value-level floors.
+    */
+  val q232GaussianEm: QueryDef = QueryDef("q232_gaussian_em",
+    (s, dir) => {
+      val D38 = DecimalType(38, 0)
+      val base = t(s, dir, "orders")
+        .select(dec(col("o_totalprice")).as("x"))
+        .localCheckpoint(true)
+      val gt = base.agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        sum(col("x") * col("x")).as("sxx"),
+        min(col("x")).as("mn"), max(col("x")).as("mx"))
+      val nD = col("n").cast(DoubleType)
+      val sd0 = sqrt(greatest(col("sxx").cast(DoubleType) / nD -
+        (col("sx").cast(DoubleType) / nD) * (col("sx").cast(DoubleType) / nD),
+        lit(1.0e-12)))
+      val span = col("mx").cast(DoubleType) - col("mn").cast(DoubleType)
+      var params = gt.select(col("n"), col("sx"), col("sxx"),
+        lit(0.5).as("w1"),
+        (col("mn").cast(DoubleType) + lit(0.25) * span).as("mu1"),
+        sd0.as("sd1"),
+        (col("mn").cast(DoubleType) + lit(0.75) * span).as("mu2"),
+        sd0.as("sd2"))
+        .localCheckpoint(true)
+      for (_ <- 1 to 5) {
+        val xd = col("x").cast(DoubleType)
+        val d1 = col("w1") * (exp(-(xd - col("mu1")) * (xd - col("mu1")) /
+          (lit(2.0) * col("sd1") * col("sd1"))) / col("sd1"))
+        val d2 = (lit(1.0) - col("w1")) * (exp(-(xd - col("mu2")) * (xd - col("mu2")) /
+          (lit(2.0) * col("sd2") * col("sd2"))) / col("sd2"))
+        val r = d1 / greatest(d1 + d2, lit(1.0e-300))
+        val sums = base.crossJoin(broadcast(params))
+          .withColumn("rq", floor(r * 1.0e9 + 0.5).cast(DecimalType(10, 0)))
+          .agg(sum(col("rq")).cast(D38).as("n1q"),
+            sum(col("rq") * col("x")).as("s1x"),
+            sum(col("rq") * col("x") * col("x")).as("s1xx"),
+            max(col("n")).as("n"), max(col("sx")).as("sx"), max(col("sxx")).as("sxx"))
+        val n1qD = greatest(col("n1q").cast(DoubleType), lit(1.0))
+        val n2qD = greatest(col("n").cast(DoubleType) * 1.0e9 -
+          col("n1q").cast(DoubleType), lit(1.0))
+        val m1 = col("s1x").cast(DoubleType) / n1qD
+        val m2 = (col("sx").cast(DoubleType) * 1.0e9 - col("s1x").cast(DoubleType)) / n2qD
+        val v1 = col("s1xx").cast(DoubleType) / n1qD - m1 * m1
+        val v2 = (col("sxx").cast(DoubleType) * 1.0e9 - col("s1xx").cast(DoubleType)) /
+          n2qD - m2 * m2
+        params = sums.select(col("n"), col("sx"), col("sxx"),
+          (col("n1q").cast(DoubleType) / 1.0e9 / col("n").cast(DoubleType)).as("w1"),
+          m1.as("mu1"), sqrt(greatest(v1, lit(1.0e-12))).as("sd1"),
+          m2.as("mu2"), sqrt(greatest(v2, lit(1.0e-12))).as("sd2"))
+          .localCheckpoint(true)
+      }
+      params.select(col("n"), round(col("w1"), 6).as("w1"),
+        round(col("mu1"), 2).as("mu1"), round(col("sd1"), 2).as("sd1"),
+        round(col("mu2"), 2).as("mu2"), round(col("sd2"), 2).as("sd2"))
+    },
+    Some {
+      // The oracle unrolls the same 5 E/M rounds; each round is the
+      // same SQL template instantiated against the previous params
+      // CTE, exactly mirroring the loop above.
+      def estep(prev: String, out: String): String =
+        s"""$out AS (SELECT SUM(rq) AS n1q,
+          SUM(CAST(rq AS DECIMAL(19,0)) * x) AS s1x,
+          SUM(CAST(rq AS DECIMAL(19,0)) * x * x) AS s1xx,
+          MAX(n) AS n, MAX(sx) AS sx, MAX(sxx) AS sxx
+        FROM (SELECT x, n, sx, sxx,
+            CAST(FLOOR(
+              (w1 * (exp(-(CAST(x AS DOUBLE) - mu1) * (CAST(x AS DOUBLE) - mu1) / (2.0 * sd1 * sd1)) / sd1)) /
+              GREATEST(
+                w1 * (exp(-(CAST(x AS DOUBLE) - mu1) * (CAST(x AS DOUBLE) - mu1) / (2.0 * sd1 * sd1)) / sd1) +
+                (1.0 - w1) * (exp(-(CAST(x AS DOUBLE) - mu2) * (CAST(x AS DOUBLE) - mu2) / (2.0 * sd2 * sd2)) / sd2),
+                1.0e-300) * 1.0e9 + 0.5) AS DECIMAL(10,0)) AS rq
+          FROM base CROSS JOIN $prev))"""
+      def mstep(prev: String, out: String): String =
+        s"""$out AS (SELECT n, sx, sxx,
+          CAST(n1q AS DOUBLE) / 1.0e9 / CAST(n AS DOUBLE) AS w1,
+          CAST(s1x AS DOUBLE) / GREATEST(CAST(n1q AS DOUBLE), 1.0) AS mu1,
+          sqrt(GREATEST(CAST(s1xx AS DOUBLE) / GREATEST(CAST(n1q AS DOUBLE), 1.0) -
+            (CAST(s1x AS DOUBLE) / GREATEST(CAST(n1q AS DOUBLE), 1.0)) *
+            (CAST(s1x AS DOUBLE) / GREATEST(CAST(n1q AS DOUBLE), 1.0)), 1.0e-12)) AS sd1,
+          (CAST(sx AS DOUBLE) * 1.0e9 - CAST(s1x AS DOUBLE)) /
+            GREATEST(CAST(n AS DOUBLE) * 1.0e9 - CAST(n1q AS DOUBLE), 1.0) AS mu2,
+          sqrt(GREATEST((CAST(sxx AS DOUBLE) * 1.0e9 - CAST(s1xx AS DOUBLE)) /
+              GREATEST(CAST(n AS DOUBLE) * 1.0e9 - CAST(n1q AS DOUBLE), 1.0) -
+            ((CAST(sx AS DOUBLE) * 1.0e9 - CAST(s1x AS DOUBLE)) /
+              GREATEST(CAST(n AS DOUBLE) * 1.0e9 - CAST(n1q AS DOUBLE), 1.0)) *
+            ((CAST(sx AS DOUBLE) * 1.0e9 - CAST(s1x AS DOUBLE)) /
+              GREATEST(CAST(n AS DOUBLE) * 1.0e9 - CAST(n1q AS DOUBLE), 1.0)), 1.0e-12)) AS sd2
+        FROM $prev)"""
+      val rounds = (1 to 5).map { i =>
+        estep(s"p${i - 1}", s"s$i") + ",\n      " + mstep(s"s$i", s"p$i")
+      }.mkString(",\n      ")
+      s"""WITH base AS (SELECT CAST(o_totalprice AS DECIMAL(12,2)) AS x FROM orders),
+      gt AS (SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(x * x) AS sxx,
+          MIN(x) AS mn, MAX(x) AS mx FROM base),
+      p0 AS (SELECT n, sx, sxx, 0.5 AS w1,
+          CAST(mn AS DOUBLE) + 0.25 * (CAST(mx AS DOUBLE) - CAST(mn AS DOUBLE)) AS mu1,
+          sqrt(GREATEST(CAST(sxx AS DOUBLE) / n - (CAST(sx AS DOUBLE) / n) * (CAST(sx AS DOUBLE) / n), 1.0e-12)) AS sd1,
+          CAST(mn AS DOUBLE) + 0.75 * (CAST(mx AS DOUBLE) - CAST(mn AS DOUBLE)) AS mu2,
+          sqrt(GREATEST(CAST(sxx AS DOUBLE) / n - (CAST(sx AS DOUBLE) / n) * (CAST(sx AS DOUBLE) / n), 1.0e-12)) AS sd2
+        FROM gt),
+      $rounds
+      SELECT CAST(n AS BIGINT) AS n, round(w1, 6) AS w1,
+        round(mu1, 2) AS mu1, round(sd1, 2) AS sd1,
+        round(mu2, 2) AS mu2, round(sd2, 2) AS sd2
+      FROM p5"""
+    })
+
+  /** Negative-binomial fit of per-customer order counts (zeros
+    * included): method-of-moments r/p from exact DECIMAL moments,
+    * then an observed-vs-expected table for k = 0..6 — the
+    * distributional answer to q161_dispersion's "is it overdispersed"
+    * flag (an NB with small r IS the overdispersion model, and the
+    * table shows where Poisson would misprice the tail).
+    *
+    * Expected masses avoid pow(): rising-factorial coefficients and
+    * (1−p)^k are explicit multiplication chains per k (identical IEEE
+    * ops), p^r is one exp(r·ln p); the k-spine is 7 rows off the
+    * 1-row moment frame. Equidispersed inputs (var ≤ mean, where NB
+    * moment-matching is undefined and the divisor hits 0) floor the
+    * overdispersion excess at 1e-6 — the limit r→∞ Poisson-like fit —
+    * identically in both engines; ANSI double division throws on 0.
+    */
+  val q233NbFit: QueryDef = QueryDef("q233_nb_fit",
+    (s, dir) => {
+      val per = t(s, dir, "customer")
+        .join(t(s, dir, "orders").groupBy(col("o_custkey"))
+          .agg(count(lit(1)).as("k")),
+          col("c_custkey") === col("o_custkey"), "left")
+        .select(coalesce(col("k"), lit(0L)).as("k"))
+        .localCheckpoint(true)
+      val m = per.agg(count(lit(1)).as("n"), sum(col("k")).as("sk"),
+        sum(col("k") * col("k")).as("skk"))
+      val nD = col("n").cast(DoubleType)
+      val mean = col("sk").cast(DoubleType) / nD
+      val varP = col("skk").cast(DoubleType) / nD - mean * mean
+      val od = greatest(varP - mean, lit(1.0e-6))
+      val fit = m.select(col("n"), mean.as("mean"), varP.as("v"),
+        (mean * mean / od).as("r"), (mean / (mean + od)).as("p"))
+      val obs = per.groupBy(least(col("k"), lit(6L)).as("k"))
+        .agg(count(lit(1)).as("observed"))
+      val spine = fit.select(explode(sequence(lit(0L), lit(6L))).as("k"),
+        col("n"), col("mean"), col("v"), col("r"), col("p"))
+      val rr = col("r")
+      val q1 = lit(1.0) - col("p")
+      val coef = when(col("k") === 0, lit(1.0))
+        .when(col("k") === 1, rr)
+        .when(col("k") === 2, rr * (rr + 1.0) / 2.0)
+        .when(col("k") === 3, rr * (rr + 1.0) * (rr + 2.0) / 6.0)
+        .when(col("k") === 4, rr * (rr + 1.0) * (rr + 2.0) * (rr + 3.0) / 24.0)
+        .when(col("k") === 5, rr * (rr + 1.0) * (rr + 2.0) * (rr + 3.0) * (rr + 4.0) / 120.0)
+        .otherwise(rr * (rr + 1.0) * (rr + 2.0) * (rr + 3.0) * (rr + 4.0) * (rr + 5.0) / 720.0)
+      val qk = when(col("k") === 0, lit(1.0))
+        .when(col("k") === 1, q1)
+        .when(col("k") === 2, q1 * q1)
+        .when(col("k") === 3, q1 * q1 * q1)
+        .when(col("k") === 4, q1 * q1 * q1 * q1)
+        .when(col("k") === 5, q1 * q1 * q1 * q1 * q1)
+        .otherwise(q1 * q1 * q1 * q1 * q1 * q1)
+      spine
+        .withColumn("expected", coef * exp(col("r") * log(col("p"))) * qk *
+          col("n").cast(DoubleType))
+        .join(obs, Seq("k"), "left")
+        .select(col("k"), round(col("r"), 6).as("nb_r"), round(col("p"), 6).as("nb_p"),
+          coalesce(col("observed"), lit(0L)).as("observed"),
+          round(col("expected"), 4).as("expected"))
+        .orderBy(col("k"))
+    },
+    Some("""WITH per AS (SELECT COALESCE(k, 0) AS k FROM customer
+        LEFT JOIN (SELECT o_custkey, COUNT(*) AS k FROM orders GROUP BY 1) o
+          ON c_custkey = o_custkey),
+      m AS (SELECT COUNT(*) AS n, SUM(k) AS sk, SUM(k * k) AS skk FROM per),
+      mv AS (SELECT n, CAST(sk AS DOUBLE) / n AS mean,
+          CAST(skk AS DOUBLE) / n - (CAST(sk AS DOUBLE) / n) * (CAST(sk AS DOUBLE) / n) AS v
+        FROM m),
+      fit AS (SELECT n, mean, v,
+          mean * mean / GREATEST(v - mean, 1.0e-6) AS r,
+          mean / (mean + GREATEST(v - mean, 1.0e-6)) AS p
+        FROM mv),
+      obs AS (SELECT LEAST(k, 6) AS k, COUNT(*) AS observed FROM per GROUP BY 1),
+      spine AS (SELECT UNNEST(range(0, 7)) AS k, n, mean, v, r, p FROM fit),
+      ex AS (SELECT k, n, r, p,
+          CASE WHEN k = 0 THEN 1.0
+            WHEN k = 1 THEN r
+            WHEN k = 2 THEN r * (r + 1.0) / 2.0
+            WHEN k = 3 THEN r * (r + 1.0) * (r + 2.0) / 6.0
+            WHEN k = 4 THEN r * (r + 1.0) * (r + 2.0) * (r + 3.0) / 24.0
+            WHEN k = 5 THEN r * (r + 1.0) * (r + 2.0) * (r + 3.0) * (r + 4.0) / 120.0
+            ELSE r * (r + 1.0) * (r + 2.0) * (r + 3.0) * (r + 4.0) * (r + 5.0) / 720.0 END *
+          exp(r * ln(p)) *
+          CASE WHEN k = 0 THEN 1.0
+            WHEN k = 1 THEN (1.0 - p)
+            WHEN k = 2 THEN (1.0 - p) * (1.0 - p)
+            WHEN k = 3 THEN (1.0 - p) * (1.0 - p) * (1.0 - p)
+            WHEN k = 4 THEN (1.0 - p) * (1.0 - p) * (1.0 - p) * (1.0 - p)
+            WHEN k = 5 THEN (1.0 - p) * (1.0 - p) * (1.0 - p) * (1.0 - p) * (1.0 - p)
+            ELSE (1.0 - p) * (1.0 - p) * (1.0 - p) * (1.0 - p) * (1.0 - p) * (1.0 - p) END *
+          n AS expected
+        FROM spine)
+      SELECT ex.k, round(r, 6) AS nb_r, round(p, 6) AS nb_p,
+        COALESCE(observed, 0) AS observed, round(expected, 4) AS expected
+      FROM ex LEFT JOIN obs ON ex.k = obs.k ORDER BY ex.k"""))
+
   val all: Seq[QueryDef] = Seq(
     q1Agg, q2Filter, q3Join, q4Semi, q5Multi, q6Window, q7TopK, q8Distinct,
     q9Rollup, q10Pivot, q11Anti, q12Expr, q13Percentiles, q14Subquery,
@@ -13264,7 +13484,7 @@ object Queries {
     q218Friedman, q219CochranQ, q220RunsTest, q221LorenzPoints,
     q222BhFdr, q223CooksDistance, q224DurbinWatson,
     q225CaptureRecapture, q226HarmonicCentrality, q227MonthJaccard, q228AndersonDarling,
-    q229Matching, q230Qini, q231Xyz,
+    q229Matching, q230Qini, q231Xyz, q232GaussianEm, q233NbFit,
     etlMergeUpsert, etlConstraints, etlProvenance,
     graphPageRank, curateWeightedSample,
     etlUnionSources, etlValidate, etlCleanTransform, etlQualityReport,
