@@ -13424,6 +13424,368 @@ object Queries {
         COALESCE(observed, 0) AS observed, round(expected, 4) AS expected
       FROM ex LEFT JOIN obs ON ex.k = obs.k ORDER BY ex.k"""))
 
+  /** Yule–Walker AR(2) fit of the daily-revenue series per return
+    * flag: φ₁/φ₂ from the lag-1/lag-2 autocorrelations (the q210
+    * mean-centered moment expansion, two lags), plus the implied
+    * 1-step forecast from the last two observations — the "how much
+    * structure is an AR(2) worth" companion to q76_acf (which reads
+    * the correlations) and q108_holt (which smooths instead of fits).
+    *
+    * One O(days) aggregated frame per flag; lag products ride two
+    * window-lag branches over the checkpointed frame and expand to
+    * pure DECIMAL moment sums — no per-row float products anywhere.
+    */
+  val q234YuleWalker: QueryDef = QueryDef("q234_yule_walker",
+    (s, dir) => {
+      val daily = t(s, dir, "lineitem")
+        .filter(year(col("l_shipdate")) === 1995)
+        .groupBy(col("l_returnflag").as("flag"),
+          date_trunc("day", col("l_shipdate")).as("day"))
+        .agg(sum(dec(col("l_extendedprice"))).cast(DecimalType(18, 2)).as("rev"))
+        .localCheckpoint(true)
+      val tot = daily.groupBy(col("flag"))
+        .agg(count(lit(1)).as("n"), sum(col("rev")).as("sr"),
+          sum(col("rev") * col("rev")).as("srr"))
+      val w = Window.partitionBy(col("flag")).orderBy(col("day"))
+      val lagged = (1 to 2).map { k =>
+        daily.select(col("flag"), lit(k).as("lag_k"), col("rev").as("y"),
+          lag(col("rev"), k).over(w).as("x"))
+      }.reduce(_ unionAll _).filter(col("x").isNotNull)
+      val m = lagged.groupBy(col("flag"), col("lag_k"))
+        .agg(count(lit(1)).as("nk"), sum(col("x") * col("y")).as("sxy"),
+          sum(col("x")).as("sx"), sum(col("y")).as("sy"))
+      val nD = col("n").cast(DoubleType)
+      val mean = col("sr").cast(DoubleType) / nD
+      val den = col("srr").cast(DoubleType) - nD * mean * mean
+      val num = col("sxy").cast(DoubleType) -
+        mean * (col("sx").cast(DoubleType) + col("sy").cast(DoubleType)) +
+        col("nk").cast(DoubleType) * mean * mean
+      val rk = m.join(tot, Seq("flag"))
+        .withColumn("r", num / den)
+        .groupBy(col("flag"))
+        .agg(max(col("n")).as("n"), max(col("sr")).as("sr"),
+          max(when(col("lag_k") === 1, col("r"))).as("r1"),
+          max(when(col("lag_k") === 2, col("r"))).as("r2"))
+      val tail2 = daily
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("flag")).orderBy(col("day").desc)))
+        .filter(col("rn") <= 2)
+        .groupBy(col("flag"))
+        .agg(max(when(col("rn") === 1, col("rev"))).cast(DoubleType).as("y_last"),
+          max(when(col("rn") === 2, col("rev"))).cast(DoubleType).as("y_prev"))
+      val d1 = lit(1.0) - col("r1") * col("r1")
+      val phi1 = col("r1") * (lit(1.0) - col("r2")) / d1
+      val phi2 = (col("r2") - col("r1") * col("r1")) / d1
+      rk.join(tail2, Seq("flag"))
+        .withColumn("mu", col("sr").cast(DoubleType) / col("n").cast(DoubleType))
+        .withColumn("p1", phi1).withColumn("p2", phi2)
+        .select(col("flag"), col("n"),
+          round(col("r1"), 6).as("r1"), round(col("r2"), 6).as("r2"),
+          round(col("p1"), 6).as("phi1"), round(col("p2"), 6).as("phi2"),
+          round(col("mu") + col("p1") * (col("y_last") - col("mu")) +
+            col("p2") * (col("y_prev") - col("mu")), 2).as("forecast_1"))
+        .orderBy(col("flag"))
+    },
+    Some("""WITH d AS (SELECT l_returnflag AS flag, date_trunc('day', l_shipdate) AS day,
+          CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS rev
+        FROM lineitem WHERE year(l_shipdate) = 1995 GROUP BY 1, 2),
+      tot AS (SELECT flag, COUNT(*) AS n, SUM(rev) AS sr, SUM(rev * rev) AS srr
+        FROM d GROUP BY 1),
+      l AS (
+        SELECT flag, 1 AS lag_k, rev AS y,
+          lag(rev, 1) OVER (PARTITION BY flag ORDER BY day) AS x FROM d
+        UNION ALL SELECT flag, 2, rev,
+          lag(rev, 2) OVER (PARTITION BY flag ORDER BY day) FROM d),
+      m AS (SELECT flag, lag_k, COUNT(*) AS nk, SUM(x * y) AS sxy,
+          SUM(x) AS sx, SUM(y) AS sy
+        FROM l WHERE x IS NOT NULL GROUP BY 1, 2),
+      r AS (SELECT m.flag, lag_k, n, sr,
+          (CAST(sxy AS DOUBLE) - (CAST(sr AS DOUBLE) / n) * (CAST(sx AS DOUBLE) + CAST(sy AS DOUBLE))
+            + nk * (CAST(sr AS DOUBLE) / n) * (CAST(sr AS DOUBLE) / n)) /
+          (CAST(srr AS DOUBLE) - n * (CAST(sr AS DOUBLE) / n) * (CAST(sr AS DOUBLE) / n)) AS r
+        FROM m JOIN tot ON m.flag = tot.flag),
+      rk AS (SELECT flag, MAX(n) AS n, MAX(sr) AS sr,
+          MAX(CASE WHEN lag_k = 1 THEN r END) AS r1,
+          MAX(CASE WHEN lag_k = 2 THEN r END) AS r2
+        FROM r GROUP BY 1),
+      t2 AS (SELECT flag,
+          MAX(CASE WHEN rn = 1 THEN CAST(rev AS DOUBLE) END) AS y_last,
+          MAX(CASE WHEN rn = 2 THEN CAST(rev AS DOUBLE) END) AS y_prev
+        FROM (SELECT flag, rev,
+            ROW_NUMBER() OVER (PARTITION BY flag ORDER BY day DESC) AS rn FROM d)
+        WHERE rn <= 2 GROUP BY 1)
+      SELECT rk.flag, n, round(r1, 6) AS r1, round(r2, 6) AS r2,
+        round(r1 * (1.0 - r2) / (1.0 - r1 * r1), 6) AS phi1,
+        round((r2 - r1 * r1) / (1.0 - r1 * r1), 6) AS phi2,
+        round(CAST(sr AS DOUBLE) / n
+          + (r1 * (1.0 - r2) / (1.0 - r1 * r1)) * (y_last - CAST(sr AS DOUBLE) / n)
+          + ((r2 - r1 * r1) / (1.0 - r1 * r1)) * (y_prev - CAST(sr AS DOUBLE) / n), 2) AS forecast_1
+      FROM rk JOIN t2 ON rk.flag = t2.flag ORDER BY rk.flag"""))
+
+  /** Theta-method forecast (θ=2, the M3-competition benchmark
+    * winner): per flag, the 1996 daily series decomposes into the
+    * OLS trend line (theta=0) and the double-curvature theta=2 line
+    * z_t = 2y_t − (a + b·t); SES (α=0.5) folds over z, and the 1-step
+    * forecast averages the damped-curvature SES level with the
+    * extrapolated trend — the standard "drift + adaptive level" blend
+    * beside q108_holt (recursive trend) and q193 (damped trend).
+    *
+    * OLS a/b come from one exact DECIMAL moment pass (integer day
+    * index × integer-cents revenue); the SES fold is the q108 HOF
+    * pattern so both engines chain identical IEEE doubles.
+    */
+  val q235Theta: QueryDef = QueryDef("q235_theta",
+    (s, dir) => {
+      val daily = t(s, dir, "lineitem")
+        .filter(year(col("l_shipdate")) === 1996)
+        .groupBy(col("l_returnflag").as("flag"),
+          date_trunc("day", col("l_shipdate")).as("day"))
+        .agg(sum(dec(col("l_extendedprice"))).cast(DecimalType(18, 2)).as("rev"))
+        .withColumn("i", row_number().over(
+          Window.partitionBy(col("flag")).orderBy(col("day"))).cast(LongType))
+        .localCheckpoint(true)
+      val m = daily.groupBy(col("flag"))
+        .agg(count(lit(1)).as("n"), sum(col("i")).as("si"),
+          sum(col("i") * col("i")).as("sii"),
+          sum(col("rev")).as("sy"),
+          sum(col("rev") * col("i")).as("siy"))
+      val nD = col("n").cast(DoubleType)
+      val b = (nD * col("siy").cast(DoubleType) -
+        col("si").cast(DoubleType) * col("sy").cast(DoubleType)) /
+        (nD * col("sii").cast(DoubleType) -
+          col("si").cast(DoubleType) * col("si").cast(DoubleType))
+      val a = (col("sy").cast(DoubleType) - b * col("si").cast(DoubleType)) / nD
+      val fitted = m.select(col("flag"), col("n"), a.as("a"), b.as("b"))
+      val arr = daily.groupBy(col("flag"))
+        .agg(sort_array(collect_list(struct(col("i"),
+          col("rev").cast(DoubleType).as("y")))).as("arr"))
+      arr.join(fitted, Seq("flag"))
+        .withColumn("z0", lit(2.0) * element_at(col("arr"), 1).getField("y") -
+          (col("a") + col("b")))
+        .withColumn("ses", aggregate(
+          slice(col("arr"), lit(2), greatest(size(col("arr")) - 1, lit(0))),
+          col("z0"),
+          (acc, e) => lit(0.5) * (lit(2.0) * e.getField("y") -
+            (col("a") + col("b") * e.getField("i").cast(DoubleType))) +
+            lit(0.5) * acc))
+        .select(col("flag"), col("n"),
+          round(col("a"), 4).as("intercept"), round(col("b"), 4).as("slope"),
+          round(col("ses"), 4).as("theta2_ses"),
+          round(lit(0.5) * (col("a") + col("b") *
+            (col("n").cast(DoubleType) + 1.0)) +
+            lit(0.5) * col("ses"), 4).as("forecast_1"))
+        .orderBy(col("flag"))
+    },
+    Some("""WITH RECURSIVE d AS (SELECT flag, day,
+          CAST(rev AS DECIMAL(18,2)) AS rev,
+          CAST(ROW_NUMBER() OVER (PARTITION BY flag ORDER BY day) AS BIGINT) AS i
+        FROM (SELECT l_returnflag AS flag, date_trunc('day', l_shipdate) AS day,
+            SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS rev
+          FROM lineitem WHERE year(l_shipdate) = 1996 GROUP BY 1, 2)),
+      m AS (SELECT flag, COUNT(*) AS n, SUM(i) AS si, SUM(i * i) AS sii,
+          SUM(rev) AS sy, SUM(rev * i) AS siy
+        FROM d GROUP BY 1),
+      ab AS (SELECT flag, n,
+          (n * CAST(siy AS DOUBLE) - CAST(si AS DOUBLE) * CAST(sy AS DOUBLE)) /
+            (n * CAST(sii AS DOUBLE) - CAST(si AS DOUBLE) * CAST(si AS DOUBLE)) AS b,
+          (CAST(sy AS DOUBLE) - (n * CAST(siy AS DOUBLE) - CAST(si AS DOUBLE) * CAST(sy AS DOUBLE)) /
+            (n * CAST(sii AS DOUBLE) - CAST(si AS DOUBLE) * CAST(si AS DOUBLE)) * CAST(si AS DOUBLE)) / n AS a
+        FROM m),
+      ses AS (
+        SELECT d.flag, d.i, ab.n, ab.a, ab.b,
+            2.0 * CAST(d.rev AS DOUBLE) - (ab.a + ab.b) AS lvl
+        FROM d JOIN ab ON d.flag = ab.flag WHERE d.i = 1
+        UNION ALL
+        SELECT d.flag, d.i, ses.n, ses.a, ses.b,
+            0.5 * (2.0 * CAST(d.rev AS DOUBLE) - (ses.a + ses.b * d.i)) + 0.5 * ses.lvl
+        FROM ses JOIN d ON d.flag = ses.flag AND d.i = ses.i + 1)
+      SELECT flag, n, round(a, 4) AS intercept, round(b, 4) AS slope,
+        round(lvl, 4) AS theta2_ses,
+        round(0.5 * (a + b * (CAST(n AS DOUBLE) + 1.0)) + 0.5 * lvl, 4) AS forecast_1
+      FROM ses WHERE i = n ORDER BY flag"""))
+
+  /** Wald SPRT sequential A/B readout: the even/odd-custkey arms'
+    * daily URGENT-order rates accumulate the sequential log-likelihood
+    * ratio for H1 "rate = 25%" vs H0 "rate = 20%", and the first day
+    * the LLR leaves the (ln β/(1−α), ln (1−β)/α) corridor is the
+    * decision day — the "how early could this experiment have
+    * stopped" companion to the fixed-horizon q63/q149/q154 readouts.
+    *
+    * LLR weights are 10-dp-pinned literal constants (identical in
+    * both engines — no cross-engine ln drift); the accumulation is an
+    * exact integer cumulative sum over the O(arms·days) frame, so the
+    * crossing day is engine-exact.
+    */
+  val q236Sprt: QueryDef = QueryDef("q236_sprt",
+    (s, dir) => {
+      // ln(0.25/0.20) = 0.2231435513, ln(0.75/0.80) = -0.0645385211,
+      // ln(0.95/0.05) = 2.9444389792, ln(0.05/0.95) = -2.9444389792
+      val daily = t(s, dir, "orders")
+        .groupBy((col("o_custkey") % 2).cast(LongType).as("arm"),
+          date_trunc("day", col("o_orderdate")).as("day"))
+        .agg(count(lit(1)).as("n_all"),
+          sum(when(col("o_orderpriority") === "1-URGENT", 1L).otherwise(0L)).as("n_pos"))
+      val w = Window.partitionBy(col("arm")).orderBy(col("day"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val llr = daily
+        .withColumn("cpos", sum(col("n_pos")).over(w))
+        .withColumn("call", sum(col("n_all")).over(w))
+        .withColumn("llr_u", floor(
+          col("cpos").cast(DoubleType) * lit(0.2231435513) * 1.0e6 + 0.5).cast(LongType) +
+          floor((col("call") - col("cpos")).cast(DoubleType) *
+            lit(-0.0645385211) * 1.0e6 + 0.5).cast(LongType))
+      val dec6 = llr
+        .withColumn("verdict",
+          when(col("llr_u") >= floor(lit(2.9444389792) * 1.0e6 + 0.5).cast(LongType), lit("accept_h1"))
+            .when(col("llr_u") <= floor(lit(-2.9444389792) * 1.0e6 + 0.5).cast(LongType), lit("accept_h0"))
+            .otherwise(lit("continue")))
+      val crossed = dec6.filter(col("verdict") =!= "continue")
+        .groupBy(col("arm")).agg(min(col("day")).as("decision_day"))
+      val fin = dec6
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("arm")).orderBy(col("day").desc)))
+        .filter(col("rn") === 1)
+        .select(col("arm"), col("call").as("n_total"), col("cpos").as("n_urgent"),
+          round(col("llr_u").cast(DoubleType) / 1.0e6, 6).as("final_llr"))
+      fin.join(crossed, Seq("arm"), "left")
+        .join(dec6.select(col("arm"), col("day").as("decision_day"),
+          col("verdict").as("decision")), Seq("arm", "decision_day"), "left")
+        .select(col("arm"), col("n_total"), col("n_urgent"), col("final_llr"),
+          col("decision_day"), coalesce(col("decision"), lit("continue")).as("decision"))
+        .orderBy(col("arm"))
+    },
+    Some("""WITH d AS (SELECT o_custkey % 2 AS arm, date_trunc('day', o_orderdate) AS day,
+          COUNT(*) AS n_all,
+          SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS n_pos
+        FROM orders GROUP BY 1, 2),
+      c AS (SELECT arm, day, n_all, n_pos,
+          SUM(n_pos) OVER (PARTITION BY arm ORDER BY day
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cpos,
+          SUM(n_all) OVER (PARTITION BY arm ORDER BY day
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS call
+        FROM d),
+      l AS (SELECT arm, day, cpos, call,
+          CAST(FLOOR(CAST(cpos AS DOUBLE) * 0.2231435513 * 1.0e6 + 0.5) AS BIGINT) +
+          CAST(FLOOR(CAST(call - cpos AS DOUBLE) * (-0.0645385211) * 1.0e6 + 0.5) AS BIGINT) AS llr_u
+        FROM c),
+      v AS (SELECT arm, day, cpos, call, llr_u,
+          CASE WHEN llr_u >= CAST(FLOOR(2.9444389792 * 1.0e6 + 0.5) AS BIGINT) THEN 'accept_h1'
+            WHEN llr_u <= CAST(FLOOR(-2.9444389792 * 1.0e6 + 0.5) AS BIGINT) THEN 'accept_h0'
+            ELSE 'continue' END AS verdict
+        FROM l),
+      crossed AS (SELECT arm, MIN(day) AS decision_day FROM v
+        WHERE verdict <> 'continue' GROUP BY 1),
+      fin AS (SELECT arm, CAST(call AS BIGINT) AS n_total, CAST(cpos AS BIGINT) AS n_urgent,
+          round(CAST(llr_u AS DOUBLE) / 1.0e6, 6) AS final_llr
+        FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY arm ORDER BY day DESC) AS rn FROM v)
+        WHERE rn = 1)
+      SELECT fin.arm, n_total, n_urgent, final_llr, crossed.decision_day,
+        COALESCE(v.verdict, 'continue') AS decision
+      FROM fin LEFT JOIN crossed ON fin.arm = crossed.arm
+      LEFT JOIN v ON v.arm = fin.arm AND v.day = crossed.decision_day
+      ORDER BY fin.arm"""))
+
+  /** Chow structural-break test on the 1995 daily-revenue trend:
+    * does the OLS line differ before vs after 1995-07-01? F =
+    * ((SSE_pooled − SSE_1 − SSE_2)/k) / ((SSE_1+SSE_2)/(n−2k)), k=2 —
+    * the "did the regime change at a KNOWN date" inferential
+    * companion to q192_binary_seg (which searches for the date) and
+    * q153_event_study (which aligns on per-unit dates).
+    *
+    * All three SSEs come from ONE conditional-aggregation pass of
+    * exact DECIMAL moments (integer day index × integer-cents
+    * revenue): SSE = Syy − (Sy² Sxx − 2 Sy Sx Sxy + n Sxy²)/(n Sxx −
+    * Sx²) per segment, pooled from the summed segment moments. SSEs
+    * report in millions at 4dp: DuckDB's DECIMAL(38,4)→DOUBLE cast is
+    * two-step (unscaled→double, /1e4) while Spark's is correctly
+    * rounded, so the raw Syy conversion can differ ~0.05 absolute
+    * above 2^53 — invisible at the million scale, and F cancels it.
+    */
+  val q237Chow: QueryDef = QueryDef("q237_chow",
+    (s, dir) => {
+      val daily = t(s, dir, "lineitem")
+        .filter(year(col("l_shipdate")) === 1995)
+        .groupBy(date_trunc("day", col("l_shipdate")).as("day"))
+        .agg(sum(dec(col("l_extendedprice"))).cast(DecimalType(18, 2)).as("rev"))
+        .withColumn("i", datediff(col("day"), lit("1995-01-01")).cast(LongType))
+        .withColumn("seg", when(col("day") < "1995-07-01", 1L).otherwise(2L))
+      val m = daily.groupBy(col("seg"))
+        .agg(count(lit(1)).as("n"), sum(col("i")).as("sx"),
+          sum(col("i") * col("i")).as("sxx"),
+          sum(col("rev")).as("sy"),
+          sum(col("rev") * col("i")).as("sxy"),
+          sum(col("rev") * col("rev")).as("syy"))
+        .localCheckpoint(true)
+      def sse(n: Column, sx: Column, sxx: Column, sy: Column,
+          sxy: Column, syy: Column): Column = {
+        val nD = n.cast(DoubleType); val sxD = sx.cast(DoubleType)
+        val sxxD = sxx.cast(DoubleType); val syD = sy.cast(DoubleType)
+        val sxyD = sxy.cast(DoubleType); val syyD = syy.cast(DoubleType)
+        val d = nD * sxxD - sxD * sxD
+        val b = (nD * sxyD - sxD * syD) / d
+        val a = (syD - b * sxD) / nD
+        syyD - a * syD - b * sxyD
+      }
+      val seg = m.select(col("seg"), col("n"),
+        sse(col("n"), col("sx"), col("sxx"), col("sy"), col("sxy"), col("syy")).as("sse"))
+      val pooled = m.agg(sum(col("n")).as("n"), sum(col("sx")).as("sx"),
+        sum(col("sxx")).as("sxx"), sum(col("sy")).as("sy"),
+        sum(col("sxy")).as("sxy"), sum(col("syy")).as("syy"))
+        .select(col("n"),
+          sse(col("n"), col("sx"), col("sxx"), col("sy"), col("sxy"), col("syy")).as("sse_pooled"))
+      val wide = seg.groupBy()
+        .agg(sum(col("n")).as("n_check"),
+          max(when(col("seg") === 1, col("n"))).as("n1"),
+          max(when(col("seg") === 2, col("n"))).as("n2"),
+          max(when(col("seg") === 1, col("sse"))).as("sse1"),
+          max(when(col("seg") === 2, col("sse"))).as("sse2"))
+      wide.crossJoin(broadcast(pooled))
+        .withColumn("f_chow",
+          ((col("sse_pooled") - col("sse1") - col("sse2")) / lit(2.0)) /
+            ((col("sse1") + col("sse2")) /
+              (col("n").cast(DoubleType) - lit(4.0))))
+        .select(col("n"), col("n1"), col("n2"),
+          round(col("sse1") / 1.0e6, 4).as("sse1_m"),
+          round(col("sse2") / 1.0e6, 4).as("sse2_m"),
+          round(col("sse_pooled") / 1.0e6, 4).as("sse_pooled_m"),
+          round(col("f_chow"), 6).as("f_chow"))
+    },
+    Some("""WITH d AS (SELECT date_trunc('day', l_shipdate) AS day,
+          CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS rev
+        FROM lineitem WHERE year(l_shipdate) = 1995 GROUP BY 1),
+      e AS (SELECT CAST(datediff('day', DATE '1995-01-01', CAST(day AS DATE)) AS BIGINT) AS i,
+          rev, CASE WHEN day < TIMESTAMP '1995-07-01' THEN 1 ELSE 2 END AS seg
+        FROM d),
+      m AS (SELECT seg, COUNT(*) AS n, SUM(i) AS sx, SUM(i * i) AS sxx,
+          SUM(rev) AS sy, SUM(rev * i) AS sxy, SUM(rev * rev) AS syy
+        FROM e GROUP BY 1),
+      sg AS (SELECT seg, n,
+          CAST(syy AS DOUBLE)
+            - (CAST(sy AS DOUBLE) - (n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+                (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) * CAST(sx AS DOUBLE)) / n * CAST(sy AS DOUBLE)
+            - (n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+                (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) * CAST(sxy AS DOUBLE) AS sse
+        FROM m),
+      p AS (SELECT n,
+          CAST(syy AS DOUBLE)
+            - (CAST(sy AS DOUBLE) - (n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+                (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) * CAST(sx AS DOUBLE)) / n * CAST(sy AS DOUBLE)
+            - (n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+                (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) * CAST(sxy AS DOUBLE) AS sse_pooled
+        FROM (SELECT SUM(n) AS n, SUM(sx) AS sx, SUM(sxx) AS sxx,
+            SUM(sy) AS sy, SUM(sxy) AS sxy, SUM(syy) AS syy FROM m)),
+      wide AS (SELECT MAX(CASE WHEN seg = 1 THEN n END) AS n1,
+          MAX(CASE WHEN seg = 2 THEN n END) AS n2,
+          MAX(CASE WHEN seg = 1 THEN sse END) AS sse1,
+          MAX(CASE WHEN seg = 2 THEN sse END) AS sse2
+        FROM sg)
+      SELECT CAST(n AS BIGINT) AS n, n1, n2,
+        round(sse1 / 1.0e6, 4) AS sse1_m, round(sse2 / 1.0e6, 4) AS sse2_m,
+        round(sse_pooled / 1.0e6, 4) AS sse_pooled_m,
+        round(((sse_pooled - sse1 - sse2) / 2.0) /
+          ((sse1 + sse2) / (CAST(n AS DOUBLE) - 4.0)), 6) AS f_chow
+      FROM wide CROSS JOIN p"""))
+
   val all: Seq[QueryDef] = Seq(
     q1Agg, q2Filter, q3Join, q4Semi, q5Multi, q6Window, q7TopK, q8Distinct,
     q9Rollup, q10Pivot, q11Anti, q12Expr, q13Percentiles, q14Subquery,
@@ -13485,6 +13847,7 @@ object Queries {
     q222BhFdr, q223CooksDistance, q224DurbinWatson,
     q225CaptureRecapture, q226HarmonicCentrality, q227MonthJaccard, q228AndersonDarling,
     q229Matching, q230Qini, q231Xyz, q232GaussianEm, q233NbFit,
+    q234YuleWalker, q235Theta, q236Sprt, q237Chow,
     etlMergeUpsert, etlConstraints, etlProvenance,
     graphPageRank, curateWeightedSample,
     etlUnionSources, etlValidate, etlCleanTransform, etlQualityReport,
