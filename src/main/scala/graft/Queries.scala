@@ -13786,6 +13786,438 @@ object Queries {
           ((sse1 + sse2) / (CAST(n AS DOUBLE) - 4.0)), 6) AS f_chow
       FROM wide CROSS JOIN p"""))
 
+  /** Poisson-bootstrap confidence interval for the mean order total:
+    * B=64 replicates in ONE pass — each (row, replicate) draws a
+    * Poisson(1) weight from an md5-seeded uniform (the distributed
+    * bootstrap: at n→∞ multinomial resampling converges to i.i.d.
+    * Poisson(1) weights, and weights need no global coordination, so
+    * the replicate loop rides a map-side explode and partial-aggs to
+    * an O(B) frame — the resampling scheme that works at 100 TB where
+    * "draw n rows with replacement" cannot).
+    *
+    * Determinism: u32 = first 8 md5 hex digits of key_replicate
+    * (identical strings both engines), weights from pinned integer
+    * CDF thresholds, replicate means are exact-DECIMAL / integer
+    * ratios pinned to 1e-6 before the percentile order stats.
+    */
+  val q238PoissonBootstrap: QueryDef = QueryDef("q238_poisson_bootstrap",
+    (s, dir) => {
+      val u = col("u")
+      val w = when(u < 1580030168L, 0L).when(u < 3160060337L, 1L)
+        .when(u < 3950075421L, 2L).when(u < 4213413783L, 3L)
+        .when(u < 4279248373L, 4L).when(u < 4292415291L, 5L)
+        .when(u < 4294609777L, 6L).when(u < 4294923276L, 7L).otherwise(8L)
+      val reps = t(s, dir, "orders")
+        .select(col("o_orderkey"), dec(col("o_totalprice")).as("x"))
+        .withColumn("b", explode(sequence(lit(1), lit(64))))
+        .withColumn("u", conv(substring(md5(concat(
+          col("o_orderkey").cast(StringType), lit("_"),
+          col("b").cast(StringType))), 1, 8), 16, 10).cast(LongType))
+        .withColumn("w", w)
+        .groupBy(col("b"))
+        .agg(sum(col("w")).as("sw"), sum(col("w") * col("x")).as("swx"))
+        .withColumn("mu", floor(col("swx").cast(DoubleType) /
+          col("sw").cast(DoubleType) * 1.0e6 + 0.5).cast(LongType))
+      val ranked = reps
+        .withColumn("rk", row_number().over(Window.orderBy(col("mu"), col("b"))))
+      val stats = ranked.agg(
+        count(lit(1)).as("n_reps"),
+        sum(col("mu")).as("smu"),
+        sum(col("mu").cast(DecimalType(19, 0)) * col("mu")).cast(DecimalType(38, 0)).as("smu2"),
+        max(when(col("rk") === 2, col("mu"))).as("lo_u"),
+        max(when(col("rk") === 63, col("mu"))).as("hi_u"))
+      val full = t(s, dir, "orders")
+        .agg(count(lit(1)).as("n"), sum(dec(col("o_totalprice"))).as("sx"))
+      val bD = col("n_reps").cast(DoubleType)
+      val mb = col("smu").cast(DoubleType) / bD
+      stats.crossJoin(broadcast(full))
+        .select(col("n"),
+          round(col("sx").cast(DoubleType) / col("n").cast(DoubleType), 6).as("full_mean"),
+          round(mb / 1.0e6, 6).as("boot_mean"),
+          round(col("lo_u").cast(DoubleType) / 1.0e6, 6).as("ci_lo"),
+          round(col("hi_u").cast(DoubleType) / 1.0e6, 6).as("ci_hi"),
+          round(sqrt((col("smu2").cast(DoubleType) - bD * mb * mb) /
+            (bD - 1.0)) / 1.0e6, 6).as("boot_se"))
+    },
+    Some("""WITH reps AS (SELECT b,
+          CAST(SUM(w) AS BIGINT) AS sw, SUM(w * x) AS swx
+        FROM (SELECT x, b,
+            CASE WHEN u < 1580030168 THEN 0 WHEN u < 3160060337 THEN 1
+              WHEN u < 3950075421 THEN 2 WHEN u < 4213413783 THEN 3
+              WHEN u < 4279248373 THEN 4 WHEN u < 4292415291 THEN 5
+              WHEN u < 4294609777 THEN 6 WHEN u < 4294923276 THEN 7
+              ELSE 8 END AS w
+          FROM (SELECT CAST(o_totalprice AS DECIMAL(12,2)) AS x, r.b,
+              CAST('0x' || substr(md5(o_orderkey || '_' || r.b), 1, 8) AS BIGINT) AS u
+            FROM orders CROSS JOIN (SELECT UNNEST(range(1, 65)) AS b) r))
+        GROUP BY 1),
+      mus AS (SELECT b, CAST(FLOOR(CAST(swx AS DOUBLE) / CAST(sw AS DOUBLE) * 1.0e6 + 0.5) AS BIGINT) AS mu
+        FROM reps),
+      ranked AS (SELECT mu, ROW_NUMBER() OVER (ORDER BY mu, b) AS rk FROM mus),
+      st AS (SELECT COUNT(*) AS n_reps, CAST(SUM(mu) AS DECIMAL(38,0)) AS smu,
+          CAST(SUM(CAST(mu AS DECIMAL(19,0)) * mu) AS DECIMAL(38,0)) AS smu2,
+          MAX(CASE WHEN rk = 2 THEN mu END) AS lo_u,
+          MAX(CASE WHEN rk = 63 THEN mu END) AS hi_u
+        FROM ranked),
+      fl AS (SELECT COUNT(*) AS n, SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS sx
+        FROM orders)
+      SELECT n, round(CAST(sx AS DOUBLE) / CAST(n AS DOUBLE), 6) AS full_mean,
+        round(CAST(smu AS DOUBLE) / n_reps / 1.0e6, 6) AS boot_mean,
+        round(CAST(lo_u AS DOUBLE) / 1.0e6, 6) AS ci_lo,
+        round(CAST(hi_u AS DOUBLE) / 1.0e6, 6) AS ci_hi,
+        round(sqrt((CAST(smu2 AS DOUBLE) - n_reps * (CAST(smu AS DOUBLE) / n_reps) *
+          (CAST(smu AS DOUBLE) / n_reps)) / (CAST(n_reps AS DOUBLE) - 1.0)) / 1.0e6, 6) AS boot_se
+      FROM st CROSS JOIN fl"""))
+
+  /** Delete-one-nation jackknife for the mean customer balance: each
+    * replicate drops one nation's customers, the replicate means come
+    * straight from the complement of exact per-nation DECIMAL sums
+    * (no second data pass — the O(groups) frame IS the resampling),
+    * and the grouped-jackknife SE/bias follow. The structured sibling
+    * of q238's row-level bootstrap: at 100 TB you jackknife over
+    * shards/sources exactly like this.
+    */
+  val q239Jackknife: QueryDef = QueryDef("q239_jackknife",
+    (s, dir) => {
+      val g = t(s, dir, "customer")
+        .groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("ng"), sum(dec(col("c_acctbal"))).as("sg"))
+        .localCheckpoint(true)
+      val tot = g.agg(sum(col("ng")).as("n"), sum(col("sg")).as("sx"),
+        count(lit(1)).as("gcnt"))
+      val mi = g.crossJoin(broadcast(tot))
+        .withColumn("mi_u", floor(
+          (col("sx") - col("sg")).cast(DoubleType) /
+            (col("n") - col("ng")).cast(DoubleType) * 1.0e9 + 0.5).cast(LongType))
+      val st = mi.agg(max(col("gcnt")).as("g"), max(col("n")).as("n"),
+        max(col("sx")).as("sx"),
+        sum(col("mi_u")).as("smi"),
+        sum(col("mi_u").cast(DecimalType(19, 0)) * col("mi_u")).cast(DecimalType(38, 0)).as("smi2"))
+      val gD = col("g").cast(DoubleType)
+      val mj = col("smi").cast(DoubleType) / gD / 1.0e9
+      val fullMean = col("sx").cast(DoubleType) / col("n").cast(DoubleType)
+      st.select(col("g").as("n_groups"), col("n"),
+        round(fullMean, 6).as("full_mean"),
+        round(mj, 6).as("jack_mean"),
+        round((gD - 1.0) * (fullMean - mj), 6).as("bias_est"),
+        round(sqrt((gD - 1.0) / gD *
+          (col("smi2").cast(DoubleType) / 1.0e18 -
+            gD * (mj * mj))), 6).as("jack_se"))
+    },
+    Some("""WITH g AS (SELECT c_nationkey, COUNT(*) AS ng,
+          SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS sg
+        FROM customer GROUP BY 1),
+      tot AS (SELECT CAST(SUM(ng) AS BIGINT) AS n, SUM(sg) AS sx, COUNT(*) AS gcnt FROM g),
+      mi AS (SELECT gcnt, n, sx,
+          CAST(FLOOR(CAST(sx - sg AS DOUBLE) / CAST(n - ng AS DOUBLE) * 1.0e9 + 0.5) AS BIGINT) AS mi_u
+        FROM g CROSS JOIN tot),
+      st AS (SELECT MAX(gcnt) AS g, MAX(n) AS n, MAX(sx) AS sx,
+          CAST(SUM(mi_u) AS DECIMAL(38,0)) AS smi,
+          CAST(SUM(CAST(mi_u AS DECIMAL(19,0)) * mi_u) AS DECIMAL(38,0)) AS smi2
+        FROM mi)
+      SELECT g AS n_groups, n,
+        round(CAST(sx AS DOUBLE) / CAST(n AS DOUBLE), 6) AS full_mean,
+        round(CAST(smi AS DOUBLE) / g / 1.0e9, 6) AS jack_mean,
+        round((CAST(g AS DOUBLE) - 1.0) * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)
+          - CAST(smi AS DOUBLE) / g / 1.0e9), 6) AS bias_est,
+        round(sqrt((CAST(g AS DOUBLE) - 1.0) / g *
+          (CAST(smi2 AS DOUBLE) / 1.0e18 -
+            g * (CAST(smi AS DOUBLE) / g / 1.0e9) * (CAST(smi AS DOUBLE) / g / 1.0e9))), 6) AS jack_se
+      FROM st"""))
+
+  /** Isotonic (PAV) calibration of the q137 score: 20 score bins,
+    * then the pool-adjacent-violators solution via the exact max-min
+    * identity iso_i = max_{j≤i} min_{k≥i} avg(y on bins j..k) — pure
+    * relational algebra on the O(bins²) prefix-sum pair frame instead
+    * of a sequential merge loop, so the "fit" is three tiny joins
+    * after ONE fact pass. Averages compare as exact floor-divided
+    * 1e-12 integers — no float ties anywhere.
+    */
+  val q240Isotonic: QueryDef = QueryDef("q240_isotonic",
+    (s, dir) => {
+      val sc = scoredCustomers(s, dir)
+      val bounds = sc.agg(min(col("score_u")).as("lo"), max(col("score_u")).as("hi"))
+      val cells = sc.crossJoin(broadcast(bounds))
+        .withColumn("p_u", expr("((score_u - lo) * 1000000L) div (hi - lo)"))
+        .withColumn("bin", expr("(p_u * 20) div 1000001").cast(LongType))
+        .groupBy(col("bin"))
+        .agg(count(lit(1)).as("w"), sum(when(col("pos"), 1L).otherwise(0L)).as("c"))
+        .localCheckpoint(true)
+      val wCum = Window.orderBy(col("bin")).rowsBetween(Window.unboundedPreceding, 0)
+      val cums = cells
+        .withColumn("cw", sum(col("w")).over(wCum))
+        .withColumn("cc", sum(col("c")).over(wCum))
+        .select(col("bin"), col("w"), col("c"), col("cw"), col("cc"))
+        .localCheckpoint(true)
+      val lo = cums.select(col("bin").as("j"),
+        (col("cw") - col("w")).as("cwj"), (col("cc") - col("c")).as("ccj"))
+      val hi2 = cums.select(col("bin").as("k"), col("cw").as("cwk"), col("cc").as("cck"))
+      val pairs = lo.join(hi2, col("j") <= col("k"))
+        .withColumn("au", expr("((cck - ccj) * 1000000000000L) div (cwk - cwj)"))
+      val spine = cums.select(col("bin").as("i"))
+      val mn = spine.join(pairs, col("j") <= col("i") && col("k") >= col("i"))
+        .groupBy(col("i"), col("j")).agg(min(col("au")).as("mn"))
+      val iso = mn.groupBy(col("i")).agg(max(col("mn")).as("iso_u"))
+      cells.join(iso, col("bin") === col("i"))
+        .select(col("bin"), col("w").as("n"), col("c").as("n_pos"),
+          round(col("c").cast(DoubleType) / col("w").cast(DoubleType), 6).as("raw_rate"),
+          round(col("iso_u").cast(DoubleType) / 1.0e12, 6).as("iso_rate"))
+        .orderBy(col("bin"))
+    },
+    Some(s"""WITH $scoredSql,
+      b AS (SELECT MIN(score_u) AS lo, MAX(score_u) AS hi FROM scored),
+      cells AS (SELECT ((((score_u - lo) * 1000000) // (hi - lo)) * 20) // 1000001 AS bin,
+          COUNT(*) AS w, CAST(SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS c
+        FROM scored CROSS JOIN b GROUP BY 1),
+      cums AS (SELECT bin, w, c,
+          CAST(SUM(w) OVER (ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cw,
+          CAST(SUM(c) OVER (ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cc
+        FROM cells),
+      pairs AS (SELECT l.bin AS j, r.bin AS k,
+          ((r.cc - (l.cc - l.c)) * 1000000000000) // (r.cw - (l.cw - l.w)) AS au
+        FROM cums l JOIN cums r ON l.bin <= r.bin),
+      mn AS (SELECT i.bin AS i, p.j, MIN(p.au) AS mn
+        FROM cums i JOIN pairs p ON p.j <= i.bin AND p.k >= i.bin
+        GROUP BY 1, 2),
+      iso AS (SELECT i, MAX(mn) AS iso_u FROM mn GROUP BY 1)
+      SELECT bin, w AS n, c AS n_pos,
+        round(CAST(c AS DOUBLE) / w, 6) AS raw_rate,
+        round(CAST(iso_u AS DOUBLE) / 1.0e12, 6) AS iso_rate
+      FROM cells JOIN iso ON bin = i ORDER BY bin"""))
+
+  /** Restricted mean survival time at τ = 30/60/90 days over the
+    * q98 Kaplan–Meier conversion curve: the step-function integral
+    * ∫₀^τ S(t)dt — "expected conversion-free days in the first τ" —
+    * the single-number survival summary that stays defined when the
+    * median never crosses. Contributions are step-area products of
+    * the engine-identical KM survival chain and integer day widths,
+    * pinned to 1e-6 before the O(curve) sum.
+    */
+  val q241Rmst: QueryDef = QueryDef("q241_rmst",
+    (s, dir) => {
+      val ev = t(s, dir, "events")
+      val signup = ev.filter(col("event_type") === "signup")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("s_ts"))
+      val purch = ev.filter(col("event_type") === "purchase")
+        .join(signup, Seq("user_id"))
+        .filter(col("ts") >= col("s_ts"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("p_ts"))
+      val horizon = ev.agg(max(col("ts")).as("h_ts"))
+      val subj = signup.join(purch, Seq("user_id"), "left")
+        .crossJoin(broadcast(horizon))
+        .select(col("p_ts").isNotNull.as("converted"),
+          floor((unix_micros(coalesce(col("p_ts"), col("h_ts"))) -
+            unix_micros(col("s_ts"))) / lit(86400000000.0))
+            .cast(LongType).as("dur"))
+      val byDur = subj.groupBy(col("dur"))
+        .agg(sum(when(col("converted"), 1L).otherwise(0L)).as("n_event"),
+          count(lit(1)).as("n_leave"))
+      val wRisk = Window.orderBy(col("dur")).rowsBetween(0, Window.unboundedFollowing)
+      val wRun = Window.orderBy(col("dur")).rowsBetween(Window.unboundedPreceding, 0)
+      val curve = byDur
+        .withColumn("n_risk", sum(col("n_leave")).over(wRisk))
+        .withColumn("lnf", when(col("n_event") > 0 && col("n_event") < col("n_risk"),
+          log(lit(1.0) - col("n_event").cast(DoubleType) / col("n_risk").cast(DoubleType)))
+          .otherwise(lit(0.0)))
+        .withColumn("hit0", max(when(col("n_event") === col("n_risk"), 1).otherwise(0)).over(wRun))
+        .withColumn("surv", when(col("hit0") > 0, lit(0.0))
+          .otherwise(exp(sum(col("lnf")).over(wRun))))
+        .filter(col("n_event") > 0)
+        .select(col("dur"), col("surv"))
+      val w = Window.orderBy(col("dur"))
+      val steps = curve
+        .withColumn("prev_surv", coalesce(lag(col("surv"), 1).over(w), lit(1.0)))
+        .withColumn("prev_dur", coalesce(lag(col("dur"), 1).over(w), lit(0L)))
+        .localCheckpoint(true)
+      val taus = steps.crossJoin(broadcast(
+        steps.sparkSession.range(1).select(
+          explode(array(lit(30L), lit(60L), lit(90L))).as("tau"))))
+      val contrib = floor(col("prev_surv") *
+        (least(col("dur"), col("tau")) - least(col("prev_dur"), col("tau")))
+          .cast(DoubleType) * 1.0e6 + 0.5).cast(LongType)
+      val tail = steps
+        .withColumn("rn", row_number().over(Window.orderBy(col("dur").desc)))
+        .filter(col("rn") === 1)
+        .select(col("dur").as("last_dur"), col("surv").as("last_surv"))
+      taus.withColumn("cq", contrib)
+        .groupBy(col("tau")).agg(sum(col("cq")).as("sq"))
+        .crossJoin(broadcast(tail))
+        .withColumn("rmst",
+          (col("sq").cast(DoubleType) +
+            floor(col("last_surv") * (col("tau") -
+              least(col("last_dur"), col("tau"))).cast(DoubleType) * 1.0e6 + 0.5)) / 1.0e6)
+        .select(col("tau"), round(col("rmst"), 6).as("rmst_days"),
+          round(col("rmst") / col("tau").cast(DoubleType), 6).as("rmst_share"))
+        .orderBy(col("tau"))
+    },
+    Some("""WITH signup AS (SELECT user_id, MIN(ts) AS s_ts
+        FROM events WHERE event_type = 'signup' GROUP BY 1),
+      purch AS (SELECT e.user_id, MIN(e.ts) AS p_ts
+        FROM events e JOIN signup su USING (user_id)
+        WHERE e.event_type = 'purchase' AND e.ts >= su.s_ts GROUP BY 1),
+      horizon AS (SELECT MAX(ts) AS h_ts FROM events),
+      subj AS (SELECT (p.p_ts IS NOT NULL) AS converted,
+          (epoch_us(COALESCE(p.p_ts, h.h_ts)) - epoch_us(su.s_ts)) // 86400000000 AS dur
+        FROM signup su LEFT JOIN purch p USING (user_id) CROSS JOIN horizon h),
+      by_dur AS (SELECT dur,
+          CAST(SUM(CASE WHEN converted THEN 1 ELSE 0 END) AS BIGINT) AS n_event,
+          COUNT(*) AS n_leave
+        FROM subj GROUP BY 1),
+      risk AS (SELECT dur, n_event,
+          CAST(SUM(n_leave) OVER (ORDER BY dur
+            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS BIGINT) AS n_risk
+        FROM by_dur),
+      curve AS (SELECT dur, n_risk, n_event,
+          CASE WHEN MAX(CASE WHEN n_event = n_risk THEN 1 ELSE 0 END)
+              OVER (ORDER BY dur ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) > 0
+            THEN 0.0
+            ELSE exp(SUM(CASE WHEN n_event > 0 AND n_event < n_risk
+              THEN ln(1.0 - CAST(n_event AS DOUBLE) / CAST(n_risk AS DOUBLE))
+              ELSE 0.0 END) OVER (ORDER BY dur
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) END AS surv
+        FROM risk),
+      steps AS (SELECT dur, surv,
+          COALESCE(lag(surv, 1) OVER (ORDER BY dur), 1.0) AS prev_surv,
+          COALESCE(lag(dur, 1) OVER (ORDER BY dur), 0) AS prev_dur
+        FROM curve WHERE n_event > 0),
+      tail AS (SELECT dur AS last_dur, surv AS last_surv
+        FROM (SELECT dur, surv, ROW_NUMBER() OVER (ORDER BY dur DESC) AS rn FROM steps)
+        WHERE rn = 1),
+      taus AS (SELECT UNNEST([30, 60, 90]) AS tau),
+      sums AS (SELECT tau,
+          CAST(SUM(CAST(FLOOR(prev_surv * (LEAST(dur, tau) - LEAST(prev_dur, tau)) * 1.0e6 + 0.5) AS BIGINT)) AS BIGINT) AS sq
+        FROM steps CROSS JOIN taus GROUP BY 1),
+      fin AS (SELECT tau,
+          (CAST(sq AS DOUBLE) + FLOOR(last_surv * (tau - LEAST(last_dur, tau)) * 1.0e6 + 0.5)) / 1.0e6 AS rmst
+        FROM sums CROSS JOIN tail)
+      SELECT tau, round(rmst, 6) AS rmst_days,
+        round(rmst / tau, 6) AS rmst_share
+      FROM fin ORDER BY tau"""))
+
+  /** Mean reciprocal rank + hit@k of the balance-ranked customer list
+    * against the heavy-buyer label, one query per nation — the
+    * "where does the first relevant result land" eval that AP/NDCG
+    * average away. Reciprocal ranks pin to 1e-12 integers; one window
+    * pass, O(nations) aggregation.
+    */
+  val q242Mrr: QueryDef = QueryDef("q242_mrr",
+    (s, dir) => {
+      val per = t(s, dir, "customer")
+        .join(t(s, dir, "orders").groupBy(col("o_custkey"))
+          .agg(count(lit(1)).as("n_orders")),
+          col("c_custkey") === col("o_custkey"), "left")
+        .select(col("c_nationkey").as("q"), col("c_custkey"), col("c_acctbal"),
+          (coalesce(col("n_orders"), lit(0L)) >= 5).as("rel"))
+      val wq = Window.partitionBy(col("q"))
+        .orderBy(col("c_acctbal").desc, col("c_custkey"))
+      val firsts = per
+        .withColumn("rn", row_number().over(wq))
+        .filter(col("rel"))
+        .groupBy(col("q")).agg(min(col("rn")).as("fr"))
+      firsts.agg(count(lit(1)).as("n_queries"),
+        sum(expr("1000000000000L div fr")).as("srr"),
+        sum(when(col("fr") <= 1, 1L).otherwise(0L)).as("hits_1"),
+        sum(when(col("fr") <= 3, 1L).otherwise(0L)).as("hits_3"),
+        sum(when(col("fr") <= 10, 1L).otherwise(0L)).as("hits_10"))
+        .select(col("n_queries"),
+          round(col("srr").cast(DoubleType) / 1.0e12 /
+            col("n_queries").cast(DoubleType), 6).as("mrr"),
+          col("hits_1"), col("hits_3"), col("hits_10"))
+    },
+    Some("""WITH per AS (SELECT c_nationkey AS q, c_custkey, c_acctbal,
+          COALESCE(n_orders, 0) >= 5 AS rel
+        FROM customer LEFT JOIN (SELECT o_custkey, COUNT(*) AS n_orders
+          FROM orders GROUP BY 1) o ON c_custkey = o_custkey),
+      firsts AS (SELECT q, MIN(rn) AS fr
+        FROM (SELECT q, rel,
+            ROW_NUMBER() OVER (PARTITION BY q ORDER BY c_acctbal DESC, c_custkey) AS rn
+          FROM per)
+        WHERE rel GROUP BY 1)
+      SELECT COUNT(*) AS n_queries,
+        round(CAST(SUM(1000000000000 // fr) AS DOUBLE) / 1.0e12 / COUNT(*), 6) AS mrr,
+        CAST(SUM(CASE WHEN fr <= 1 THEN 1 ELSE 0 END) AS BIGINT) AS hits_1,
+        CAST(SUM(CASE WHEN fr <= 3 THEN 1 ELSE 0 END) AS BIGINT) AS hits_3,
+        CAST(SUM(CASE WHEN fr <= 10 THEN 1 ELSE 0 END) AS BIGINT) AS hits_10
+      FROM firsts"""))
+
+  /** t-closeness release audit — the third leg of the privacy triad
+    * beside etl_k_anonymity and etl_l_diversity: for each
+    * quasi-identifier class (nation, segment), the Earth-Mover
+    * distance between the class's balance-band distribution and the
+    * global one over the ORDERED bands, EMD = Σ|cumP − cumQ|/(m−1).
+    * Cross-multiplied integer cumulative diffs (|cum_c·N − cum_C·n_g|)
+    * make every class's t engine-exact before the one final division;
+    * the worst class surfaces through the struct-max argmax.
+    */
+  val etlTCloseness: QueryDef = QueryDef("etl_t_closeness",
+    (s, dir) => {
+      val rows = t(s, dir, "customer")
+        .select(col("c_nationkey").as("nk"), col("c_mktsegment").as("seg"),
+          floor(col("c_acctbal") / 1000).cast(LongType).as("band"))
+        .localCheckpoint(true)
+      val global = rows.groupBy(col("band")).agg(count(lit(1)).as("cg"))
+      val bands = global.select(col("band"))
+      val classes = rows.groupBy(col("nk"), col("seg")).agg(count(lit(1)).as("ng"))
+      val cells = rows.groupBy(col("nk"), col("seg"), col("band"))
+        .agg(count(lit(1)).as("c"))
+      val grid = classes.crossJoin(broadcast(bands))
+        .join(cells, Seq("nk", "seg", "band"), "left")
+        .join(broadcast(global), Seq("band"))
+        .withColumn("c", coalesce(col("c"), lit(0L)))
+      val tot = rows.agg(count(lit(1)).as("nn"),
+        countDistinct(col("band")).as("m"))
+      val wCum = Window.partitionBy(col("nk"), col("seg")).orderBy(col("band"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val emd = grid
+        .withColumn("cumc", sum(col("c")).over(wCum))
+        .withColumn("cumg", sum(col("cg")).over(wCum))
+        .crossJoin(broadcast(tot))
+        .groupBy(col("nk"), col("seg"))
+        .agg(max(col("ng")).as("ng"), max(col("nn")).as("nn"), max(col("m")).as("m"),
+          sum(abs(col("cumc") * col("nn") - col("cumg") * col("ng"))).as("sd"))
+        .withColumn("t_u", floor(col("sd").cast(DoubleType) /
+          (col("ng") * col("nn")).cast(DoubleType) /
+          (col("m") - 1).cast(DoubleType) * 1.0e9 + 0.5).cast(LongType))
+      emd.agg(count(lit(1)).as("n_classes"),
+        round(max(col("t_u")).cast(DoubleType) / 1.0e9, 6).as("max_t"),
+        round(sum(col("t_u")).cast(DoubleType) / 1.0e9 /
+          count(lit(1)).cast(DoubleType), 6).as("avg_t"),
+        sum(when(col("t_u") > 300000000L, 1L).otherwise(0L)).as("classes_over_03"),
+        max(struct(col("t_u"), col("nk"), col("seg"))).as("worst"))
+        .select(col("n_classes"), col("max_t"), col("avg_t"),
+          col("classes_over_03"),
+          col("worst.nk").as("worst_nation"), col("worst.seg").as("worst_segment"))
+    },
+    Some("""WITH rows_ AS (SELECT c_nationkey AS nk, c_mktsegment AS seg,
+          CAST(floor(c_acctbal / 1000) AS BIGINT) AS band
+        FROM customer),
+      global AS (SELECT band, COUNT(*) AS cg FROM rows_ GROUP BY 1),
+      classes AS (SELECT nk, seg, COUNT(*) AS ng FROM rows_ GROUP BY 1, 2),
+      cells AS (SELECT nk, seg, band, COUNT(*) AS c FROM rows_ GROUP BY 1, 2, 3),
+      tot AS (SELECT COUNT(*) AS nn, COUNT(DISTINCT band) AS m FROM rows_),
+      grid AS (SELECT cl.nk, cl.seg, g.band, cl.ng, g.cg, COALESCE(ce.c, 0) AS c
+        FROM classes cl CROSS JOIN global g
+        LEFT JOIN cells ce ON ce.nk = cl.nk AND ce.seg = cl.seg AND ce.band = g.band),
+      emd AS (SELECT nk, seg, MAX(ng) AS ng, MAX(nn) AS nn, MAX(m) AS m,
+          CAST(SUM(ABS(cumc * nn - cumg * ng)) AS BIGINT) AS sd
+        FROM (SELECT nk, seg, ng, nn, m,
+            SUM(c) OVER (PARTITION BY nk, seg ORDER BY band
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumc,
+            SUM(cg) OVER (PARTITION BY nk, seg ORDER BY band
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumg
+          FROM grid CROSS JOIN tot)
+        GROUP BY 1, 2),
+      tu AS (SELECT nk, seg,
+          CAST(FLOOR(CAST(sd AS DOUBLE) / (CAST(ng AS DOUBLE) * nn) / (m - 1) * 1.0e9 + 0.5) AS BIGINT) AS t_u
+        FROM emd)
+      SELECT COUNT(*) AS n_classes,
+        round(CAST(MAX(t_u) AS DOUBLE) / 1.0e9, 6) AS max_t,
+        round(CAST(SUM(t_u) AS DOUBLE) / 1.0e9 / COUNT(*), 6) AS avg_t,
+        CAST(SUM(CASE WHEN t_u > 300000000 THEN 1 ELSE 0 END) AS BIGINT) AS classes_over_03,
+        MAX({'t': t_u, 'nk': nk, 'seg': seg}).nk AS worst_nation,
+        MAX({'t': t_u, 'nk': nk, 'seg': seg}).seg AS worst_segment
+      FROM tu"""))
+
   val all: Seq[QueryDef] = Seq(
     q1Agg, q2Filter, q3Join, q4Semi, q5Multi, q6Window, q7TopK, q8Distinct,
     q9Rollup, q10Pivot, q11Anti, q12Expr, q13Percentiles, q14Subquery,
@@ -13848,6 +14280,8 @@ object Queries {
     q225CaptureRecapture, q226HarmonicCentrality, q227MonthJaccard, q228AndersonDarling,
     q229Matching, q230Qini, q231Xyz, q232GaussianEm, q233NbFit,
     q234YuleWalker, q235Theta, q236Sprt, q237Chow,
+    q238PoissonBootstrap, q239Jackknife, q240Isotonic, q241Rmst, q242Mrr,
+    etlTCloseness,
     etlMergeUpsert, etlConstraints, etlProvenance,
     graphPageRank, curateWeightedSample,
     etlUnionSources, etlValidate, etlCleanTransform, etlQualityReport,
