@@ -14218,6 +14218,370 @@ object Queries {
         MAX({'t': t_u, 'nk': nk, 'seg': seg}).seg AS worst_segment
       FROM tu"""))
 
+  /** Dunning log-likelihood-ratio (G²) collocation mining over the
+    * corpus bigrams — the significance-aware companion to text_pmi
+    * (PMI overranks rare pairs; G² weighs the full 2×2 contingency of
+    * first-word × second-word margins in the bigram universe). Same
+    * tokenization and minCount as text_pmi; G² = 2·Σ O·ln(O/E) over
+    * the four cells, zero cells contribute zero; ranking is by the
+    * 1e-6-pinned statistic so the top-20 cut is engine-exact.
+    */
+  val textLlrCollocations: QueryDef = QueryDef("text_llr_collocations",
+    (s, dir) => {
+      val w = split(regexp_replace(lower(trim(col("text"))), "\\s+", " "), " ")
+      val toks = t(s, dir, "documents").select(w.as("w")).filter(size(col("w")) >= 2)
+      val bi = toks.select(explode(expr(
+        "transform(sequence(1, size(w) - 1), i -> struct(element_at(w, i) as w1, element_at(w, i + 1) as w2))")).as("g"))
+        .select(col("g.w1").as("w1"), col("g.w2").as("w2"))
+        .localCheckpoint(true)
+      val bic = bi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("k11"))
+        .filter(col("k11") >= 2)
+      val c1 = bi.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+      val c2 = bi.groupBy(col("w2")).agg(count(lit(1)).as("c2"))
+      val nTot = bi.agg(count(lit(1)).as("nn"))
+      def term(o: Column, e: Column): Column =
+        when(o > 0, o.cast(DoubleType) * log(o.cast(DoubleType) / e)).otherwise(lit(0.0))
+      val scored = bic.join(c1, Seq("w1")).join(c2, Seq("w2"))
+        .crossJoin(broadcast(nTot))
+        .withColumn("k12", col("c1") - col("k11"))
+        .withColumn("k21", col("c2") - col("k11"))
+        .withColumn("k22", col("nn") - col("c1") - col("c2") + col("k11"))
+      val nD = col("nn").cast(DoubleType)
+      val e11 = col("c1").cast(DoubleType) * col("c2").cast(DoubleType) / nD
+      val e12 = col("c1").cast(DoubleType) * (nD - col("c2").cast(DoubleType)) / nD
+      val e21 = (nD - col("c1").cast(DoubleType)) * col("c2").cast(DoubleType) / nD
+      val e22 = (nD - col("c1").cast(DoubleType)) * (nD - col("c2").cast(DoubleType)) / nD
+      scored
+        .withColumn("g2u", floor((term(col("k11"), e11) + term(col("k12"), e12) +
+          term(col("k21"), e21) + term(col("k22"), e22)) * lit(2.0) * 1.0e6 + 0.5)
+          .cast(LongType))
+        .select(concat(col("w1"), lit(" "), col("w2")).as("gram"),
+          col("k11").as("cab"), col("c1"), col("c2"),
+          round(col("g2u").cast(DoubleType) / 1.0e6, 6).as("g2"))
+        .orderBy(desc("g2"), col("gram"))
+        .limit(20)
+    },
+    Some("""WITH tok AS (SELECT
+        string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS w
+        FROM documents),
+      bi AS (SELECT unnest([{'w1': w[i], 'w2': w[i+1]} FOR i IN range(1, len(w))], recursive := true)
+        FROM tok WHERE len(w) >= 2),
+      bic AS (SELECT w1, w2, COUNT(*) AS k11 FROM bi GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+      m1 AS (SELECT w1, COUNT(*) AS c1 FROM bi GROUP BY 1),
+      m2 AS (SELECT w2, COUNT(*) AS c2 FROM bi GROUP BY 1),
+      nt AS (SELECT COUNT(*) AS nn FROM bi),
+      cells AS (SELECT bic.w1, bic.w2, k11, c1, c2, nn,
+          c1 - k11 AS k12, c2 - k11 AS k21, nn - c1 - c2 + k11 AS k22
+        FROM bic JOIN m1 ON bic.w1 = m1.w1 JOIN m2 ON bic.w2 = m2.w2 CROSS JOIN nt),
+      g AS (SELECT w1, w2, k11, c1, c2,
+          CAST(FLOOR(2.0 * (
+            (CASE WHEN k11 > 0 THEN k11 * ln(k11 / (CAST(c1 AS DOUBLE) * CAST(c2 AS DOUBLE) / nn)) ELSE 0.0 END) +
+            (CASE WHEN k12 > 0 THEN k12 * ln(k12 / (CAST(c1 AS DOUBLE) * (nn - CAST(c2 AS DOUBLE)) / nn)) ELSE 0.0 END) +
+            (CASE WHEN k21 > 0 THEN k21 * ln(k21 / ((nn - CAST(c1 AS DOUBLE)) * CAST(c2 AS DOUBLE) / nn)) ELSE 0.0 END) +
+            (CASE WHEN k22 > 0 THEN k22 * ln(k22 / ((nn - CAST(c1 AS DOUBLE)) * (nn - CAST(c2 AS DOUBLE)) / nn)) ELSE 0.0 END)
+          ) * 1.0e6 + 0.5) AS BIGINT) AS g2u
+        FROM cells)
+      SELECT w1 || ' ' || w2 AS gram, CAST(k11 AS BIGINT) AS cab,
+        CAST(c1 AS BIGINT) AS c1, CAST(c2 AS BIGINT) AS c2,
+        round(CAST(g2u AS DOUBLE) / 1.0e6, 6) AS g2
+      FROM g ORDER BY g2 DESC, gram LIMIT 20"""))
+
+  /** Permutation entropy of the daily-revenue series (embedding
+    * dimension 3, lag 1): census of the 6 ordinal patterns of
+    * consecutive triples, Shannon entropy of the pattern mix,
+    * normalized by ln 6 — the model-free "how random is this series"
+    * complexity measure (H*→1 noise, →0 deterministic monotone).
+    * Ordinal comparisons are exact DECIMAL; entropy contributions pin
+    * to 1e-9 per pattern on the O(6) census frame.
+    */
+  val q243PermutationEntropy: QueryDef = QueryDef("q243_permutation_entropy",
+    (s, dir) => {
+      val daily = t(s, dir, "lineitem")
+        .groupBy(date_trunc("day", col("l_shipdate")).as("day"))
+        .agg(sum(dec(col("l_extendedprice"))).cast(DecimalType(18, 2)).as("rev"))
+      val w = Window.orderBy(col("day"))
+      val trips = daily
+        .withColumn("b", lead(col("rev"), 1).over(w))
+        .withColumn("c", lead(col("rev"), 2).over(w))
+        .filter(col("c").isNotNull)
+      val a = col("rev")
+      val pat = when(a <= col("b") && col("b") <= col("c"), "abc")
+        .when(a <= col("c") && col("c") < col("b"), "acb")
+        .when(col("b") < a && a <= col("c"), "bac")
+        .when(col("b") <= col("c") && col("c") < a, "bca")
+        .when(col("c") < a && a <= col("b"), "cab")
+        .otherwise("cba")
+      val census = trips.select(pat.as("pattern"))
+        .groupBy(col("pattern")).agg(count(lit(1)).as("cnt"))
+      val tot = census.agg(sum(col("cnt")).as("n"))
+      val withH = census.crossJoin(broadcast(tot))
+        .withColumn("hu", floor(-(col("cnt").cast(DoubleType) / col("n").cast(DoubleType)) *
+          log(col("cnt").cast(DoubleType) / col("n").cast(DoubleType)) * 1.0e9 + 0.5)
+          .cast(LongType))
+      val h = withH.agg(sum(col("hu")).as("shu"))
+      withH.crossJoin(broadcast(h))
+        .select(col("pattern"), col("cnt"),
+          round(col("cnt").cast(DoubleType) / col("n").cast(DoubleType), 6).as("share"),
+          round(col("shu").cast(DoubleType) / 1.0e9, 6).as("perm_entropy"),
+          round(col("shu").cast(DoubleType) / 1.0e9 /
+            math.log(6.0), 6).as("perm_entropy_norm"))
+        .orderBy(col("pattern"))
+    },
+    Some(s"""WITH d AS (SELECT date_trunc('day', l_shipdate) AS day,
+          CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS rev
+        FROM lineitem GROUP BY 1),
+      trips AS (SELECT rev AS a,
+          lead(rev, 1) OVER (ORDER BY day) AS b,
+          lead(rev, 2) OVER (ORDER BY day) AS c
+        FROM d QUALIFY c IS NOT NULL),
+      census AS (SELECT CASE
+            WHEN a <= b AND b <= c THEN 'abc'
+            WHEN a <= c AND c < b THEN 'acb'
+            WHEN b < a AND a <= c THEN 'bac'
+            WHEN b <= c AND c < a THEN 'bca'
+            WHEN c < a AND a <= b THEN 'cab'
+            ELSE 'cba' END AS pattern, COUNT(*) AS cnt
+        FROM trips GROUP BY 1),
+      tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n FROM census),
+      hu AS (SELECT pattern, cnt, n,
+          CAST(FLOOR(-(CAST(cnt AS DOUBLE) / n) * ln(CAST(cnt AS DOUBLE) / n) * 1.0e9 + 0.5) AS BIGINT) AS hu
+        FROM census CROSS JOIN tot),
+      h AS (SELECT CAST(SUM(hu) AS BIGINT) AS shu FROM hu)
+      SELECT pattern, cnt, round(CAST(cnt AS DOUBLE) / n, 6) AS share,
+        round(CAST(shu AS DOUBLE) / 1.0e9, 6) AS perm_entropy,
+        round(CAST(shu AS DOUBLE) / 1.0e9 / ${math.log(6.0)}, 6) AS perm_entropy_norm
+      FROM hu CROSS JOIN h ORDER BY pattern"""))
+
+  /** Goertzel-free periodogram probe: spectral power of the
+    * mean-centered daily-revenue series at candidate periods 7/14/30
+    * days — "which calendar cycle dominates" (the frequency-domain
+    * companion to q101_seasonal's time-domain index). Trig weights
+    * come from ONE runtime table of cos/sin constants keyed by
+    * (period, day_index mod period); the SQL oracle embeds the SAME
+    * doubles via toString round-trip, so both engines multiply
+    * identical weights. Per-row terms pin to 1e-4 integers; the
+    * whole spectrum is an O(days·periods) join off the one
+    * partial-agg fact pass.
+    */
+  val q244Periodogram: QueryDef = QueryDef("q244_periodogram",
+    (s, dir) => {
+      import s.implicits._
+      val spine = (for { p <- Seq(7, 14, 30); k <- 0 until p }
+        yield (p.toLong, k.toLong, math.cos(2.0 * math.Pi * k / p),
+          math.sin(2.0 * math.Pi * k / p)))
+        .toDF("p", "k", "cosv", "sinv")
+      val daily = t(s, dir, "lineitem")
+        .groupBy(datediff(col("l_shipdate"), lit("1992-01-01").cast(DateType))
+          .cast(LongType).as("idx"))
+        .agg(sum(dec(col("l_extendedprice"))).cast(DecimalType(18, 2)).as("rev"))
+        .localCheckpoint(true)
+      val mu = daily.agg(round(sum(col("rev")).cast(DoubleType) /
+        count(lit(1)).cast(DoubleType), 2).cast(DecimalType(18, 2)).as("mu"),
+        count(lit(1)).as("n"))
+      val centered = daily.crossJoin(broadcast(mu))
+        .withColumn("y", (col("rev") - col("mu")).cast(DoubleType))
+      val terms = centered.join(broadcast(spine), col("k") === col("idx") % col("p"))
+        .withColumn("tc", floor(col("y") * col("cosv") * 1.0e4 + 0.5).cast(LongType))
+        .withColumn("ts", floor(col("y") * col("sinv") * 1.0e4 + 0.5).cast(LongType))
+      val pw = terms.groupBy(col("p"))
+        .agg(max(col("n")).as("n"), sum(col("tc")).as("sc"), sum(col("ts")).as("ss"))
+        .withColumn("power",
+          ((col("sc").cast(DoubleType) / 1.0e4) * (col("sc").cast(DoubleType) / 1.0e4) +
+            (col("ss").cast(DoubleType) / 1.0e4) * (col("ss").cast(DoubleType) / 1.0e4)) /
+            col("n").cast(DoubleType))
+      val totp = pw.agg(sum(floor(col("power") * 1.0e2 + 0.5).cast(LongType)).as("tp"))
+      pw.crossJoin(broadcast(totp))
+        .select(col("p").as("period"), col("n").as("n_days"),
+          round(col("power"), 2).as("power"),
+          round(floor(col("power") * 1.0e2 + 0.5) /
+            col("tp").cast(DoubleType), 6).as("power_share"))
+        .orderBy(col("period"))
+    },
+    Some {
+      val values = (for { p <- Seq(7, 14, 30); k <- 0 until p }
+        yield s"($p, $k, ${math.cos(2.0 * math.Pi * k / p)}, ${math.sin(2.0 * math.Pi * k / p)})")
+        .mkString(",\n        ")
+      s"""WITH spine(p, k, cosv, sinv) AS (VALUES
+        $values),
+      d AS (SELECT CAST(datediff('day', DATE '1992-01-01', CAST(l_shipdate AS DATE)) AS BIGINT) AS idx,
+          CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS rev
+        FROM lineitem GROUP BY 1),
+      mu AS (SELECT CAST(round(CAST(SUM(rev) AS DOUBLE) / COUNT(*), 2) AS DECIMAL(18,2)) AS mu,
+          COUNT(*) AS n FROM d),
+      c AS (SELECT idx, CAST(rev - mu AS DOUBLE) AS y, n FROM d CROSS JOIN mu),
+      terms AS (SELECT s.p, c.n,
+          CAST(FLOOR(c.y * s.cosv * 1.0e4 + 0.5) AS BIGINT) AS tc,
+          CAST(FLOOR(c.y * s.sinv * 1.0e4 + 0.5) AS BIGINT) AS ts
+        FROM c JOIN spine s ON s.k = c.idx % s.p),
+      pw AS (SELECT p, MAX(n) AS n,
+          CAST(SUM(tc) AS BIGINT) AS sc, CAST(SUM(ts) AS BIGINT) AS ss
+        FROM terms GROUP BY 1),
+      pp AS (SELECT p, n,
+          ((CAST(sc AS DOUBLE) / 1.0e4) * (CAST(sc AS DOUBLE) / 1.0e4) +
+           (CAST(ss AS DOUBLE) / 1.0e4) * (CAST(ss AS DOUBLE) / 1.0e4)) / n AS power
+        FROM pw),
+      tp AS (SELECT CAST(SUM(CAST(FLOOR(power * 1.0e2 + 0.5) AS BIGINT)) AS BIGINT) AS tp FROM pp)
+      SELECT p AS period, n AS n_days, round(power, 2) AS power,
+        round(FLOOR(power * 1.0e2 + 0.5) / CAST(tp AS DOUBLE), 6) AS power_share
+      FROM pp CROSS JOIN tp ORDER BY period"""
+    })
+
+  /** TextRank keyword extraction: PageRank over the word
+    * co-occurrence graph (window ≤ 2 in the stopword-filtered token
+    * stream, canonical undirected edges with count ≥ 2), 6
+    * synchronous damped iterations — the graph-centrality keyword
+    * ranker beside text_keywords' RAKE heuristic (degree-based) and
+    * text_tfidf (frequency-based).
+    *
+    * Scale shape: the only corpus pass is the map-side pair
+    * expansion; the PR loop runs on the O(vocab-edges) frame with one
+    * eager checkpoint per round. ppm rounding absorbs the
+    * summation-order ULP noise exactly as graph_pagerank does.
+    */
+  val textTextrank: QueryDef = QueryDef("text_textrank",
+    (s, dir) => {
+      val w = split(regexp_replace(lower(trim(col("text"))), "\\s+", " "), " ")
+      val wf = filter(w, x => length(x) >= 4)
+      val docs = t(s, dir, "documents").select(wf.as("wf")).filter(size(col("wf")) >= 2)
+      val p1 = docs.select(explode(expr(
+        "transform(sequence(1, size(wf) - 1), i -> struct(element_at(wf, i) as x, element_at(wf, i + 1) as y))")).as("g"))
+      val p2 = docs.filter(size(col("wf")) >= 3).select(explode(expr(
+        "transform(sequence(1, size(wf) - 2), i -> struct(element_at(wf, i) as x, element_at(wf, i + 2) as y))")).as("g"))
+      val und = p1.unionAll(p2)
+        .select(least(col("g.x"), col("g.y")).as("a"), greatest(col("g.x"), col("g.y")).as("b"))
+        .filter(col("a") =!= col("b"))
+        .groupBy(col("a"), col("b")).agg(count(lit(1)).as("w"))
+        .filter(col("w") >= 2)
+      val edges = und.select(col("a").as("src"), col("b").as("dst"), col("w"))
+        .unionAll(und.select(col("b").as("src"), col("a").as("dst"), col("w")))
+        .localCheckpoint(true)
+      val outw = edges.groupBy(col("src")).agg(sum(col("w")).as("ow"))
+      val trans = edges.join(outw, Seq("src"))
+        .select(col("src"), col("dst"),
+          (col("w").cast(DoubleType) / col("ow").cast(DoubleType)).as("frac"))
+        .localCheckpoint(true)
+      val nodes = edges.select(col("src").as("word")).distinct().localCheckpoint(true)
+      val nn = nodes.agg(count(lit(1)).as("n"))
+      var pr = nodes.crossJoin(broadcast(nn))
+        .select(col("word"), col("n"), (lit(1.0) / col("n").cast(DoubleType)).as("rank"))
+        .localCheckpoint(true)
+      for (_ <- 1 to 6) {
+        val contrib = trans.join(pr, col("src") === col("word"))
+          .groupBy(col("dst")).agg(sum(col("frac") * col("rank")).as("contrib"))
+        pr = pr.join(contrib, col("word") === col("dst"), "left")
+          .select(col("word"), col("n"),
+            (lit(0.15) / col("n").cast(DoubleType) +
+              lit(0.85) * coalesce(col("contrib"), lit(0.0))).as("rank"))
+          .localCheckpoint(true)
+      }
+      pr.select(col("word"), round(col("rank") * 1000000.0, 4).as("rank_ppm"))
+        .orderBy(desc("rank_ppm"), col("word"))
+        .limit(20)
+    },
+    Some("""WITH RECURSIVE tok AS (SELECT
+        list_filter(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' '),
+          x -> len(x) >= 4) AS wf
+        FROM documents),
+      prs AS (
+        SELECT unnest([{'x': wf[i], 'y': wf[i+1]} FOR i IN range(1, len(wf))], recursive := true)
+        FROM tok WHERE len(wf) >= 2
+        UNION ALL
+        SELECT unnest([{'x': wf[i], 'y': wf[i+2]} FOR i IN range(1, len(wf) - 1)], recursive := true)
+        FROM tok WHERE len(wf) >= 3),
+      und AS (SELECT LEAST(x, y) AS a, GREATEST(x, y) AS b, COUNT(*) AS w
+        FROM prs WHERE x <> y GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+      edges AS (SELECT a AS src, b AS dst, w FROM und
+        UNION ALL SELECT b, a, w FROM und),
+      outw AS (SELECT src, CAST(SUM(w) AS BIGINT) AS ow FROM edges GROUP BY 1),
+      trans AS (SELECT e.src, e.dst, CAST(e.w AS DOUBLE) / o.ow AS frac
+        FROM edges e JOIN outw o USING (src)),
+      nodes AS (SELECT DISTINCT src AS word FROM edges),
+      nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nodes),
+      pr AS (
+        SELECT 0 AS iter, word, 1.0 / (SELECT n FROM nn) AS rank FROM nodes
+        UNION ALL
+        SELECT (SELECT MAX(p0.iter) FROM pr p0) + 1, nd.word,
+          0.15 / (SELECT n FROM nn) + 0.85 * COALESCE(agg.contrib, 0.0)
+        FROM nodes nd
+        LEFT JOIN (
+          SELECT t.dst AS word, SUM(t.frac * p.rank) AS contrib
+          FROM trans t JOIN pr p ON t.src = p.word
+          GROUP BY t.dst) agg ON agg.word = nd.word
+        WHERE (SELECT MAX(p4.iter) FROM pr p4) < 6)
+      SELECT word, round(rank * 1000000.0, 4) AS rank_ppm
+      FROM pr WHERE iter = 6
+      ORDER BY rank_ppm DESC, word
+      LIMIT 20"""))
+
+  /** 4-truss peeling of the co-purchase part graph: edges must sit in
+    * ≥ 2 triangles among surviving edges; three synchronous peel
+    * rounds (support recomputed each round over survivors only) —
+    * the cohesive-subgraph mining step between q74's global triangle
+    * census and q103's degree-based k-core (truss is the stricter,
+    * triangle-based community core). Exact integer supports; per
+    * round ONE edge-edge-edge join on the canonical a<b edge list.
+    */
+  val q245Ktruss: QueryDef = QueryDef("q245_ktruss",
+    (s, dir) => {
+      val baskets = t(s, dir, "lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg(array_sort(collect_set(col("l_partkey"))).as("ps"))
+      var edges = baskets
+        .select(explode(flatten(transform(col("ps"), (x, i) =>
+          transform(slice(col("ps"), i + 2, size(col("ps"))),
+            y => struct(x.as("a"), y.as("b")))))).as("pr"))
+        .select(col("pr.a").as("a"), col("pr.b").as("b"))
+        .groupBy(col("a"), col("b")).agg(count(lit(1)).as("w"))
+        .filter(col("w") >= 2)
+        .select(col("a"), col("b"))
+        .localCheckpoint(true)
+      val counts = collection.mutable.ArrayBuffer[DataFrame]()
+      counts += edges.agg(lit(0L).as("round"), count(lit(1)).as("n_edges"))
+      for (r <- 1 to 3) {
+        val e1 = edges
+        val tri = e1.join(e1.select(col("a").as("a2"), col("b").as("c")),
+            col("a2") === col("a") && col("c") > col("b"))
+          .join(e1.select(col("a").as("a3"), col("b").as("b3")),
+            col("a3") === col("b") && col("b3") === col("c"))
+          .select(col("a"), col("b"), col("c"))
+        val sup = tri.select(col("a").as("x"), col("b").as("y"))
+          .unionAll(tri.select(col("a").as("x"), col("c").as("y")))
+          .unionAll(tri.select(col("b").as("x"), col("c").as("y")))
+          .groupBy(col("x"), col("y")).agg(count(lit(1)).as("sup"))
+        edges = edges.join(sup,
+            col("x") === col("a") && col("y") === col("b"), "left")
+          .filter(coalesce(col("sup"), lit(0L)) >= 2)
+          .select(col("a"), col("b"))
+          .localCheckpoint(true)
+        counts += edges.agg(lit(r.toLong).as("round"), count(lit(1)).as("n_edges"))
+      }
+      counts.reduce(_ unionAll _).orderBy(col("round"))
+    },
+    Some {
+      def round(prev: String, tri: String, sup: String, out: String): String =
+        s"""$tri AS (SELECT e1.a, e1.b, e2.b AS c
+          FROM $prev e1
+          JOIN $prev e2 ON e2.a = e1.a AND e2.b > e1.b
+          JOIN $prev e3 ON e3.a = e1.b AND e3.b = e2.b),
+        $sup AS (SELECT x, y, COUNT(*) AS sup FROM (
+            SELECT a AS x, b AS y FROM $tri
+            UNION ALL SELECT a, c FROM $tri
+            UNION ALL SELECT b, c FROM $tri) GROUP BY 1, 2),
+        $out AS (SELECT e.a, e.b FROM $prev e
+          JOIN $sup s ON s.x = e.a AND s.y = e.b WHERE s.sup >= 2)"""
+      s"""WITH op AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+        e0 AS (SELECT a.pk AS a, b.pk AS b FROM op a JOIN op b ON a.ok = b.ok AND a.pk < b.pk
+          GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+        ${round("e0", "t1", "s1", "e1")},
+        ${round("e1", "t2", "s2", "e2")},
+        ${round("e2", "t3", "s3", "e3")}
+        SELECT 0 AS round, COUNT(*) AS n_edges FROM e0
+        UNION ALL SELECT 1, COUNT(*) FROM e1
+        UNION ALL SELECT 2, COUNT(*) FROM e2
+        UNION ALL SELECT 3, COUNT(*) FROM e3
+        ORDER BY round"""
+    })
+
   val all: Seq[QueryDef] = Seq(
     q1Agg, q2Filter, q3Join, q4Semi, q5Multi, q6Window, q7TopK, q8Distinct,
     q9Rollup, q10Pivot, q11Anti, q12Expr, q13Percentiles, q14Subquery,
@@ -14281,7 +14645,8 @@ object Queries {
     q229Matching, q230Qini, q231Xyz, q232GaussianEm, q233NbFit,
     q234YuleWalker, q235Theta, q236Sprt, q237Chow,
     q238PoissonBootstrap, q239Jackknife, q240Isotonic, q241Rmst, q242Mrr,
-    etlTCloseness,
+    etlTCloseness, textLlrCollocations, q243PermutationEntropy, q244Periodogram,
+    textTextrank, q245Ktruss,
     etlMergeUpsert, etlConstraints, etlProvenance,
     graphPageRank, curateWeightedSample,
     etlUnionSources, etlValidate, etlCleanTransform, etlQualityReport,
