@@ -14582,6 +14582,279 @@ object Queries {
         ORDER BY round"""
     })
 
+  /** Histogram-based outlier score (HBOS): per-customer anomaly score
+    * −Σ_f ln p_f over three independent feature histograms (20
+    * equal-width balance bins, order count capped at 10, segment
+    * frequency) — the linear-time, density-product outlier detector
+    * that needs no pairwise distances (contrast q207's k-NN and
+    * q208's Mahalanobis). Histograms are O(bins) broadcast frames off
+    * one fact pass; per-feature −ln p pins to 1e-9 integers so the
+    * score sum and the top-20 ranking are engine-exact.
+    */
+  val q246Hbos: QueryDef = QueryDef("q246_hbos",
+    (s, dir) => {
+      val base = t(s, dir, "customer")
+        .join(t(s, dir, "orders").groupBy(col("o_custkey"))
+          .agg(count(lit(1)).as("n_orders")),
+          col("c_custkey") === col("o_custkey"), "left")
+        .select(col("c_custkey"),
+          (dec(col("c_acctbal")) * 100).cast(LongType).as("bal_u"),
+          least(coalesce(col("n_orders"), lit(0L)), lit(10L)).as("oc"),
+          col("c_mktsegment").as("seg"))
+        .localCheckpoint(true)
+      val bounds = base.agg(min(col("bal_u")).as("lo"), max(col("bal_u")).as("hi"),
+        count(lit(1)).as("n"))
+      val feat = base.crossJoin(broadcast(bounds))
+        .withColumn("balbin", expr("((bal_u - lo) * 20) div (hi - lo + 1)"))
+      val h1 = feat.groupBy(col("balbin")).agg(count(lit(1)).as("c1"))
+      val h2 = feat.groupBy(col("oc")).agg(count(lit(1)).as("c2"))
+      val h3 = feat.groupBy(col("seg")).agg(count(lit(1)).as("c3"))
+      def nl(c: Column, n: Column): Column =
+        floor(-log(c.cast(DoubleType) / n.cast(DoubleType)) * 1.0e9 + 0.5).cast(LongType)
+      feat.join(broadcast(h1), Seq("balbin"))
+        .join(broadcast(h2), Seq("oc"))
+        .join(broadcast(h3), Seq("seg"))
+        .withColumn("score_u", nl(col("c1"), col("n")) + nl(col("c2"), col("n")) +
+          nl(col("c3"), col("n")))
+        .select(col("c_custkey"), col("balbin"), col("oc"), col("seg"),
+          round(col("score_u").cast(DoubleType) / 1.0e9, 6).as("hbos"))
+        .orderBy(desc("hbos"), col("c_custkey"))
+        .limit(20)
+    },
+    Some("""WITH base AS (SELECT c_custkey,
+          CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT) AS bal_u,
+          LEAST(COALESCE(n_orders, 0), 10) AS oc, c_mktsegment AS seg
+        FROM customer LEFT JOIN (SELECT o_custkey, COUNT(*) AS n_orders
+          FROM orders GROUP BY 1) o ON c_custkey = o_custkey),
+      b AS (SELECT MIN(bal_u) AS lo, MAX(bal_u) AS hi, COUNT(*) AS n FROM base),
+      feat AS (SELECT c_custkey, ((bal_u - lo) * 20) // (hi - lo + 1) AS balbin,
+          oc, seg, n
+        FROM base CROSS JOIN b),
+      h1 AS (SELECT balbin, COUNT(*) AS c1 FROM feat GROUP BY 1),
+      h2 AS (SELECT oc, COUNT(*) AS c2 FROM feat GROUP BY 1),
+      h3 AS (SELECT seg, COUNT(*) AS c3 FROM feat GROUP BY 1)
+      SELECT c_custkey, balbin, oc, seg,
+        round(CAST(
+          CAST(FLOOR(-ln(CAST(c1 AS DOUBLE) / n) * 1.0e9 + 0.5) AS BIGINT) +
+          CAST(FLOOR(-ln(CAST(c2 AS DOUBLE) / n) * 1.0e9 + 0.5) AS BIGINT) +
+          CAST(FLOOR(-ln(CAST(c3 AS DOUBLE) / n) * 1.0e9 + 0.5) AS BIGINT)
+        AS DOUBLE) / 1.0e9, 6) AS hbos
+      FROM feat JOIN h1 USING (balbin) JOIN h2 USING (oc) JOIN h3 USING (seg)
+      ORDER BY hbos DESC, c_custkey LIMIT 20"""))
+
+  /** Cronbach's alpha over the three yearly order-count "items"
+    * (1995/1996/1997) per customer — the internal-consistency
+    * reliability of the activity panel: α = k/(k−1)·(1 − Σ item
+    * variances / variance of the item sum). All moments are exact
+    * integer sums off ONE conditional-aggregation pass; the item
+    * variances and total variance divide out at the end.
+    */
+  val q247Cronbach: QueryDef = QueryDef("q247_cronbach",
+    (s, dir) => {
+      val per = t(s, dir, "customer")
+        .join(t(s, dir, "orders").filter(year(col("o_orderdate")).between(1995, 1997)),
+          col("c_custkey") === col("o_custkey"), "left")
+        .groupBy(col("c_custkey"))
+        .agg(sum(when(year(col("o_orderdate")) === 1995, 1L).otherwise(0L)).as("y1"),
+          sum(when(year(col("o_orderdate")) === 1996, 1L).otherwise(0L)).as("y2"),
+          sum(when(year(col("o_orderdate")) === 1997, 1L).otherwise(0L)).as("y3"))
+        .withColumn("tt", col("y1") + col("y2") + col("y3"))
+      val m = per.agg(count(lit(1)).as("n"),
+        sum(col("y1")).as("s1"), sum(col("y1") * col("y1")).as("ss1"),
+        sum(col("y2")).as("s2"), sum(col("y2") * col("y2")).as("ss2"),
+        sum(col("y3")).as("s3"), sum(col("y3") * col("y3")).as("ss3"),
+        sum(col("tt")).as("st"), sum(col("tt") * col("tt")).as("sst"))
+      val nD = col("n").cast(DoubleType)
+      def v(ss: Column, sx: Column): Column =
+        ss.cast(DoubleType) / nD - (sx.cast(DoubleType) / nD) * (sx.cast(DoubleType) / nD)
+      val sumVar = v(col("ss1"), col("s1")) + v(col("ss2"), col("s2")) +
+        v(col("ss3"), col("s3"))
+      val varT = v(col("sst"), col("st"))
+      m.select(col("n"), lit(3L).as("k"),
+        round(sumVar, 6).as("sum_item_var"),
+        round(varT, 6).as("var_total"),
+        round(lit(1.5) * (lit(1.0) - sumVar / varT), 6).as("cronbach_alpha"))
+    },
+    Some("""WITH per AS (SELECT c_custkey,
+          CAST(SUM(CASE WHEN year(o_orderdate) = 1995 THEN 1 ELSE 0 END) AS BIGINT) AS y1,
+          CAST(SUM(CASE WHEN year(o_orderdate) = 1996 THEN 1 ELSE 0 END) AS BIGINT) AS y2,
+          CAST(SUM(CASE WHEN year(o_orderdate) = 1997 THEN 1 ELSE 0 END) AS BIGINT) AS y3
+        FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+          AND year(o_orderdate) BETWEEN 1995 AND 1997
+        GROUP BY 1),
+      w AS (SELECT *, y1 + y2 + y3 AS tt FROM per),
+      m AS (SELECT COUNT(*) AS n,
+          SUM(y1) AS s1, SUM(y1 * y1) AS ss1,
+          SUM(y2) AS s2, SUM(y2 * y2) AS ss2,
+          SUM(y3) AS s3, SUM(y3 * y3) AS ss3,
+          SUM(tt) AS st, SUM(tt * tt) AS sst
+        FROM w)
+      SELECT n, 3 AS k,
+        round((CAST(ss1 AS DOUBLE) / n - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n))
+            + (CAST(ss2 AS DOUBLE) / n - (CAST(s2 AS DOUBLE) / n) * (CAST(s2 AS DOUBLE) / n))
+            + (CAST(ss3 AS DOUBLE) / n - (CAST(s3 AS DOUBLE) / n) * (CAST(s3 AS DOUBLE) / n)), 6) AS sum_item_var,
+        round(CAST(sst AS DOUBLE) / n - (CAST(st AS DOUBLE) / n) * (CAST(st AS DOUBLE) / n), 6) AS var_total,
+        round(1.5 * (1.0 - (
+            (CAST(ss1 AS DOUBLE) / n - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n))
+            + (CAST(ss2 AS DOUBLE) / n - (CAST(s2 AS DOUBLE) / n) * (CAST(s2 AS DOUBLE) / n))
+            + (CAST(ss3 AS DOUBLE) / n - (CAST(s3 AS DOUBLE) / n) * (CAST(s3 AS DOUBLE) / n))
+          ) / (CAST(sst AS DOUBLE) / n - (CAST(st AS DOUBLE) / n) * (CAST(st AS DOUBLE) / n))), 6) AS cronbach_alpha
+      FROM m"""))
+
+  /** One-way intraclass correlation ICC(1,1) treating the three
+    * yearly order counts as repeated measures per customer: MSB/MSW
+    * from the q179 ANOVA identities on exact integer moments,
+    * ICC = (MSB − MSW)/(MSB + (k−1)·MSW) — "how much of activity
+    * variance is a stable customer trait vs year-to-year noise", the
+    * reliability companion to q247's alpha.
+    */
+  val q248Icc: QueryDef = QueryDef("q248_icc",
+    (s, dir) => {
+      val per = t(s, dir, "customer")
+        .join(t(s, dir, "orders").filter(year(col("o_orderdate")).between(1995, 1997)),
+          col("c_custkey") === col("o_custkey"), "left")
+        .groupBy(col("c_custkey"))
+        .agg(sum(when(year(col("o_orderdate")) === 1995, 1L).otherwise(0L)).as("y1"),
+          sum(when(year(col("o_orderdate")) === 1996, 1L).otherwise(0L)).as("y2"),
+          sum(when(year(col("o_orderdate")) === 1997, 1L).otherwise(0L)).as("y3"))
+      val m = per.agg(count(lit(1)).as("n"),
+        sum(col("y1") + col("y2") + col("y3")).as("g"),
+        sum(col("y1") * col("y1") + col("y2") * col("y2") +
+          col("y3") * col("y3")).as("ssq"),
+        sum((col("y1") + col("y2") + col("y3")) *
+          (col("y1") + col("y2") + col("y3"))).as("srow2"))
+      val nD = col("n").cast(DoubleType)
+      val k = lit(3.0)
+      val ssb = col("srow2").cast(DoubleType) / k -
+        col("g").cast(DoubleType) * col("g").cast(DoubleType) / (nD * k)
+      val ssw = col("ssq").cast(DoubleType) - col("srow2").cast(DoubleType) / k
+      val msb = ssb / (nD - 1.0)
+      val msw = ssw / (nD * (k - 1.0))
+      m.select(col("n"), lit(3L).as("k"),
+        round(msb, 6).as("ms_between"),
+        round(msw, 6).as("ms_within"),
+        round((msb - msw) / (msb + (k - 1.0) * msw), 6).as("icc_1_1"))
+    },
+    Some("""WITH per AS (SELECT c_custkey,
+          CAST(SUM(CASE WHEN year(o_orderdate) = 1995 THEN 1 ELSE 0 END) AS BIGINT) AS y1,
+          CAST(SUM(CASE WHEN year(o_orderdate) = 1996 THEN 1 ELSE 0 END) AS BIGINT) AS y2,
+          CAST(SUM(CASE WHEN year(o_orderdate) = 1997 THEN 1 ELSE 0 END) AS BIGINT) AS y3
+        FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+          AND year(o_orderdate) BETWEEN 1995 AND 1997
+        GROUP BY 1),
+      m AS (SELECT COUNT(*) AS n,
+          SUM(y1 + y2 + y3) AS g,
+          SUM(y1 * y1 + y2 * y2 + y3 * y3) AS ssq,
+          SUM((y1 + y2 + y3) * (y1 + y2 + y3)) AS srow2
+        FROM per),
+      f AS (SELECT n,
+          (CAST(srow2 AS DOUBLE) / 3.0 - CAST(g AS DOUBLE) * CAST(g AS DOUBLE) / (CAST(n AS DOUBLE) * 3.0)) / (CAST(n AS DOUBLE) - 1.0) AS msb,
+          (CAST(ssq AS DOUBLE) - CAST(srow2 AS DOUBLE) / 3.0) / (CAST(n AS DOUBLE) * 2.0) AS msw
+        FROM m)
+      SELECT n, 3 AS k, round(msb, 6) AS ms_between, round(msw, 6) AS ms_within,
+        round((msb - msw) / (msb + 2.0 * msw), 6) AS icc_1_1
+      FROM f"""))
+
+  /** Differentially-private count release (ε = 1 per key): per-nation
+    * customer counts plus seeded Laplace(1/ε) noise via the inverse
+    * CDF of an md5-derived uniform — the publishable-aggregate
+    * mechanism that completes the privacy family (k-anon / l-div /
+    * t-closeness audit the raw release; this one actually perturbs).
+    * The uniform is (u32 + 0.5)/2^32 from identical hash strings in
+    * both engines, so the noise draw — and therefore the released
+    * value — is reproducible and engine-exact to the 6dp rounding.
+    */
+  val etlDpRelease: QueryDef = QueryDef("etl_dp_release",
+    (s, dir) => {
+      val cnt = t(s, dir, "customer")
+        .groupBy(col("c_nationkey")).agg(count(lit(1)).as("true_count"))
+        .withColumn("u32", conv(substring(md5(concat(lit("dp_v1_"),
+          col("c_nationkey").cast(StringType))), 1, 8), 16, 10).cast(LongType))
+        .withColumn("u", (col("u32").cast(DoubleType) + 0.5) / 4294967296.0)
+        .withColumn("noise",
+          when(col("u") < 0.5, log(col("u") * 2.0))
+            .otherwise(-log((lit(1.0) - col("u")) * 2.0)))
+        .withColumn("released", col("true_count").cast(DoubleType) + col("noise"))
+      val err = cnt.agg(
+        sum(floor(abs(col("noise")) * 1.0e6 + 0.5).cast(LongType)).as("l1u"),
+        count(lit(1)).as("g"))
+      cnt.crossJoin(broadcast(err))
+        .select(col("c_nationkey"), col("true_count"),
+          round(col("released"), 6).as("released"),
+          round(col("noise"), 6).as("noise"),
+          round(col("l1u").cast(DoubleType) / 1.0e6 /
+            col("g").cast(DoubleType), 6).as("mean_abs_noise"))
+        .orderBy(col("c_nationkey"))
+    },
+    Some("""WITH cnt AS (SELECT c_nationkey, COUNT(*) AS true_count,
+          CAST('0x' || substr(md5('dp_v1_' || c_nationkey), 1, 8) AS BIGINT) AS u32
+        FROM customer GROUP BY 1),
+      nz AS (SELECT c_nationkey, true_count,
+          CASE WHEN (CAST(u32 AS DOUBLE) + 0.5) / 4294967296.0 < 0.5
+            THEN ln((CAST(u32 AS DOUBLE) + 0.5) / 4294967296.0 * 2.0)
+            ELSE -ln((1.0 - (CAST(u32 AS DOUBLE) + 0.5) / 4294967296.0) * 2.0) END AS noise
+        FROM cnt),
+      err AS (SELECT CAST(SUM(CAST(FLOOR(ABS(noise) * 1.0e6 + 0.5) AS BIGINT)) AS BIGINT) AS l1u,
+          COUNT(*) AS g FROM nz)
+      SELECT c_nationkey, true_count,
+        round(CAST(true_count AS DOUBLE) + noise, 6) AS released,
+        round(noise, 6) AS noise,
+        round(CAST(l1u AS DOUBLE) / 1.0e6 / g, 6) AS mean_abs_noise
+      FROM nz CROSS JOIN err ORDER BY c_nationkey"""))
+
+  /** Blocking-quality report for record linkage: three candidate
+    * blocking schemes over the customer table (nation; nation ×
+    * segment — the etl_linkage production scheme; nation × segment ×
+    * balance band) scored on candidate-pair volume, reduction ratio
+    * vs the full n², and worst-block share — the "which blocking key
+    * do I ship" sizing readout that must precede any 100 TB linkage
+    * run (a skewed block re-creates the quadratic blowup blocking
+    * exists to prevent). Pure integer arithmetic off three O(blocks)
+    * frames.
+    */
+  val etlBlockingQuality: QueryDef = QueryDef("etl_blocking_quality",
+    (s, dir) => {
+      val base = t(s, dir, "customer")
+        .select(col("c_nationkey").as("nk"), col("c_mktsegment").as("seg"),
+          floor(col("c_acctbal") / 1000).cast(LongType).as("band"))
+        .localCheckpoint(true)
+      val n = base.agg(count(lit(1)).as("n"))
+      def scheme(name: String, keys: Seq[Column]): DataFrame =
+        base.groupBy(keys: _*).agg(count(lit(1)).as("bs"))
+          .agg(lit(name).as("scheme"), count(lit(1)).as("n_blocks"),
+            sum(expr("(bs * (bs - 1)) div 2")).as("cand_pairs"),
+            max(col("bs")).as("max_block"))
+      val rows = scheme("1_nation", Seq(col("nk")))
+        .unionAll(scheme("2_nation_segment", Seq(col("nk"), col("seg"))))
+        .unionAll(scheme("3_nation_segment_band", Seq(col("nk"), col("seg"), col("band"))))
+      rows.crossJoin(broadcast(n))
+        .select(col("scheme"), col("n_blocks"), col("cand_pairs"), col("max_block"),
+          round(lit(1.0) - col("cand_pairs").cast(DoubleType) /
+            (col("n").cast(DoubleType) * (col("n").cast(DoubleType) - 1.0) / 2.0), 6)
+            .as("reduction_ratio"),
+          round(col("max_block").cast(DoubleType) / col("n").cast(DoubleType), 6)
+            .as("max_block_share"))
+        .orderBy(col("scheme"))
+    },
+    Some("""WITH base AS (SELECT c_nationkey AS nk, c_mktsegment AS seg,
+          CAST(floor(c_acctbal / 1000) AS BIGINT) AS band
+        FROM customer),
+      n AS (SELECT COUNT(*) AS n FROM base),
+      s1 AS (SELECT '1_nation' AS scheme, COUNT(*) AS n_blocks,
+          CAST(SUM(bs * (bs - 1) / 2) AS BIGINT) AS cand_pairs, MAX(bs) AS max_block
+        FROM (SELECT COUNT(*) AS bs FROM base GROUP BY nk)),
+      s2 AS (SELECT '2_nation_segment', COUNT(*),
+          CAST(SUM(bs * (bs - 1) / 2) AS BIGINT), MAX(bs)
+        FROM (SELECT COUNT(*) AS bs FROM base GROUP BY nk, seg)),
+      s3 AS (SELECT '3_nation_segment_band', COUNT(*),
+          CAST(SUM(bs * (bs - 1) / 2) AS BIGINT), MAX(bs)
+        FROM (SELECT COUNT(*) AS bs FROM base GROUP BY nk, seg, band)),
+      u AS (SELECT * FROM s1 UNION ALL SELECT * FROM s2 UNION ALL SELECT * FROM s3)
+      SELECT scheme, n_blocks, cand_pairs, max_block,
+        round(1.0 - CAST(cand_pairs AS DOUBLE) / (CAST(n AS DOUBLE) * (n - 1.0) / 2.0), 6) AS reduction_ratio,
+        round(CAST(max_block AS DOUBLE) / n, 6) AS max_block_share
+      FROM u CROSS JOIN n ORDER BY scheme"""))
+
   val all: Seq[QueryDef] = Seq(
     q1Agg, q2Filter, q3Join, q4Semi, q5Multi, q6Window, q7TopK, q8Distinct,
     q9Rollup, q10Pivot, q11Anti, q12Expr, q13Percentiles, q14Subquery,
@@ -14647,6 +14920,7 @@ object Queries {
     q238PoissonBootstrap, q239Jackknife, q240Isotonic, q241Rmst, q242Mrr,
     etlTCloseness, textLlrCollocations, q243PermutationEntropy, q244Periodogram,
     textTextrank, q245Ktruss,
+    q246Hbos, q247Cronbach, q248Icc, etlDpRelease, etlBlockingQuality,
     etlMergeUpsert, etlConstraints, etlProvenance,
     graphPageRank, curateWeightedSample,
     etlUnionSources, etlValidate, etlCleanTransform, etlQualityReport,
