@@ -14855,6 +14855,409 @@ object Queries {
         round(CAST(max_block AS DOUBLE) / n, 6) AS max_block_share
       FROM u CROSS JOIN n ORDER BY scheme"""))
 
+  /** Exact Shapley-value channel attribution over the 4-channel
+    * exposure lattice (click/error/signup/view before first
+    * purchase): coalition value v(S) = observed conversion rate of
+    * journeys with exposure set exactly S, and each channel's Shapley
+    * share φ_c = Σ_{S∌c} |S|!(k−1−|S|)!/k! · (v(S∪c) − v(S)) — the
+    * axiomatic alternative to q48's first/last-touch and q214's
+    * Markov removal effect. k=4 ⇒ 16 masks: the whole lattice is an
+    * O(2^k) broadcast frame off ONE journey aggregation, weights are
+    * exact 24ths, v pins to 1e-9 by integer floor-division — the sum
+    * is engine-exact integer arithmetic until one final /24e9.
+    */
+  val q249ShapleyAttribution: QueryDef = QueryDef("q249_shapley_attribution",
+    (s, dir) => {
+      val ev = t(s, dir, "events")
+      val fp = ev.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("p_ts"))
+      val expo = ev.join(fp, Seq("user_id"), "left")
+        .filter(col("event_type") =!= "purchase" &&
+          (col("p_ts").isNull || col("ts") < col("p_ts")))
+        .groupBy(col("user_id"))
+        .agg((max(when(col("event_type") === "click", 1L).otherwise(0L)) +
+          max(when(col("event_type") === "error", 2L).otherwise(0L)) +
+          max(when(col("event_type") === "signup", 4L).otherwise(0L)) +
+          max(when(col("event_type") === "view", 8L).otherwise(0L))).as("mask"))
+      val journeys = ev.select(col("user_id")).distinct()
+        .join(expo, Seq("user_id"), "left")
+        .join(fp, Seq("user_id"), "left")
+        .select(coalesce(col("mask"), lit(0L)).as("mask"),
+          col("p_ts").isNotNull.as("conv"))
+      val sets = journeys.groupBy(col("mask"))
+        .agg(count(lit(1)).as("n"), sum(when(col("conv"), 1L).otherwise(0L)).as("c"))
+      val spine = t(s, dir, "events").sparkSession.range(16)
+        .select(col("id").as("m"))
+      val v = spine.join(sets, col("m") === col("mask"), "left")
+        .select(col("m"),
+          coalesce(expr("(c * 1000000000L) div n"), lit(0L)).as("vu"),
+          coalesce(col("n"), lit(0L)).as("n"))
+        .localCheckpoint(true)
+      val channels = v.sparkSession.range(4)
+        .select(when(col("id") === 0, "click").when(col("id") === 1, "error")
+          .when(col("id") === 2, "signup").otherwise("view").as("channel"),
+          when(col("id") === 0, 1L).when(col("id") === 1, 2L)
+            .when(col("id") === 2, 4L).otherwise(8L).as("cb"))
+      val wn = when(expr("bit_count(m)") === 0, 6L)
+        .when(expr("bit_count(m)") === 1, 2L)
+        .when(expr("bit_count(m)") === 2, 2L).otherwise(6L)
+      val phi = channels.join(v, expr("(m & cb) = 0"))
+        .join(v.select(col("m").as("m2"), col("vu").as("vu2")),
+          expr("m2 = (m | cb)"))
+        .withColumn("term", wn * (col("vu2") - col("vu")))
+        .groupBy(col("channel")).agg(sum(col("term")).as("phi_u"))
+      val tot = phi.agg(sum(col("phi_u")).as("tot_u"),
+        count(lit(1)).as("k"))
+      val base = journeys.agg(count(lit(1)).as("n_journeys"),
+        sum(when(col("conv"), 1L).otherwise(0L)).as("n_conv"))
+      phi.crossJoin(broadcast(tot)).crossJoin(broadcast(base))
+        .select(col("channel"),
+          round(col("phi_u").cast(DoubleType) / 24.0 / 1.0e9, 6).as("shapley"),
+          round(col("phi_u").cast(DoubleType) /
+            when(col("tot_u") === 0, 1L).otherwise(col("tot_u")).cast(DoubleType), 6)
+            .as("share"),
+          col("n_journeys"),
+          round(col("n_conv").cast(DoubleType) /
+            col("n_journeys").cast(DoubleType), 6).as("conv_rate"))
+        .orderBy(col("channel"))
+    },
+    Some("""WITH fp AS (SELECT user_id, MIN(ts) AS p_ts FROM events
+        WHERE event_type = 'purchase' GROUP BY 1),
+      expo AS (SELECT e.user_id,
+          MAX(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) +
+          MAX(CASE WHEN event_type = 'error' THEN 2 ELSE 0 END) +
+          MAX(CASE WHEN event_type = 'signup' THEN 4 ELSE 0 END) +
+          MAX(CASE WHEN event_type = 'view' THEN 8 ELSE 0 END) AS mask
+        FROM events e LEFT JOIN fp USING (user_id)
+        WHERE event_type <> 'purchase' AND (p_ts IS NULL OR ts < p_ts)
+        GROUP BY 1),
+      journeys AS (SELECT COALESCE(mask, 0) AS mask, (p_ts IS NOT NULL) AS conv
+        FROM (SELECT DISTINCT user_id FROM events) u
+        LEFT JOIN expo USING (user_id) LEFT JOIN fp USING (user_id)),
+      sets AS (SELECT mask, COUNT(*) AS n,
+          CAST(SUM(CASE WHEN conv THEN 1 ELSE 0 END) AS BIGINT) AS c
+        FROM journeys GROUP BY 1),
+      spine AS (SELECT UNNEST(range(0, 16)) AS m),
+      v AS (SELECT m, COALESCE((c * 1000000000) // n, 0) AS vu, COALESCE(n, 0) AS n
+        FROM spine LEFT JOIN sets ON m = mask),
+      channels AS (SELECT 'click' AS channel, 1 AS cb
+        UNION ALL SELECT 'error', 2 UNION ALL SELECT 'signup', 4
+        UNION ALL SELECT 'view', 8),
+      phi AS (SELECT channel, CAST(SUM(
+          (CASE (m // 1) % 2 + (m // 2) % 2 + (m // 4) % 2 + (m // 8) % 2
+            WHEN 0 THEN 6 WHEN 1 THEN 2 WHEN 2 THEN 2 ELSE 6 END) *
+          (v2.vu - v.vu)) AS BIGINT) AS phi_u
+        FROM channels
+        JOIN v ON (v.m & cb) = 0
+        JOIN (SELECT m AS m2, vu FROM v) v2 ON v2.m2 = (v.m | cb)
+        GROUP BY 1),
+      tot AS (SELECT CAST(SUM(phi_u) AS BIGINT) AS tot_u FROM phi),
+      base AS (SELECT COUNT(*) AS n_journeys,
+          CAST(SUM(CASE WHEN conv THEN 1 ELSE 0 END) AS BIGINT) AS n_conv
+        FROM journeys)
+      SELECT channel,
+        round(CAST(phi_u AS DOUBLE) / 24.0 / 1.0e9, 6) AS shapley,
+        round(CAST(phi_u AS DOUBLE) / (CASE WHEN tot_u = 0 THEN 1 ELSE tot_u END), 6) AS share,
+        n_journeys,
+        round(CAST(n_conv AS DOUBLE) / n_journeys, 6) AS conv_rate
+      FROM phi CROSS JOIN tot CROSS JOIN base ORDER BY channel"""))
+
+  /** Huber-loss robust trend via 3 IRLS rounds on the 1995 daily
+    * revenue series: ordinary OLS seeds the fit, δ freezes at
+    * 1.345·RMSE₀, then each round reweights days by the Huber ψ
+    * (w = min(1, δ/|r|), value-level floors — no conditional
+    * divisions) and refits from 1e-9-pinned weighted moments on the
+    * O(days) frame — the outlier-resistant middle ground between
+    * q65's OLS and q99's Theil–Sen (which pays days² for full
+    * robustness). All decimal→double conversions go through the
+    * explicit unscaled/10^s two-step so both engines see identical
+    * doubles above 2^53.
+    */
+  val q250Huber: QueryDef = QueryDef("q250_huber",
+    (s, dir) => {
+      def d2(c: Column, s10: Long, div: Double): Column =
+        c.multiply(lit(s10)).cast(DecimalType(38, 0)).cast(DoubleType) / lit(div)
+      val daily = t(s, dir, "lineitem")
+        .filter(year(col("l_shipdate")) === 1995)
+        .groupBy(date_trunc("day", col("l_shipdate")).as("day"))
+        .agg(sum(dec(col("l_extendedprice"))).cast(DecimalType(18, 2)).as("rev"))
+        .withColumn("i", datediff(col("day"), lit("1995-01-01")).cast(LongType))
+        .select(col("i"), col("rev"))
+        .localCheckpoint(true)
+      val m0 = daily.agg(count(lit(1)).as("n"), sum(col("i")).as("sx"),
+        sum(col("i") * col("i")).as("sxx"), sum(col("rev")).as("sy"),
+        sum(col("rev") * col("i")).as("sxy"),
+        sum(col("rev") * col("rev")).as("syy"))
+      val nD = col("n").cast(DoubleType)
+      val syD = d2(col("sy"), 100L, 100.0)
+      val sxyD = d2(col("sxy"), 100L, 100.0)
+      val syyD = d2(col("syy"), 10000L, 10000.0)
+      val d0 = nD * col("sxx").cast(DoubleType) -
+        col("sx").cast(DoubleType) * col("sx").cast(DoubleType)
+      val b0 = (nD * sxyD - col("sx").cast(DoubleType) * syD) / d0
+      val a0 = (syD - b0 * col("sx").cast(DoubleType)) / nD
+      var fit = m0.select(col("n"), b0.as("b"), a0.as("a"),
+        (lit(1.345) * sqrt(greatest(syyD - a0 * syD - b0 * sxyD, lit(1.0e-9)) / nD))
+          .as("delta"))
+        .localCheckpoint(true)
+      for (_ <- 1 to 3) {
+        val r = col("rev").cast(DoubleType) - col("a") - col("b") * col("i").cast(DoubleType)
+        val wgt = least(lit(1.0), col("delta") / greatest(abs(r), lit(1.0e-9)))
+        val wm = daily.crossJoin(broadcast(fit))
+          .withColumn("wu", floor(wgt * 1.0e9 + 0.5).cast(LongType))
+          .agg(max(col("n")).as("n"), max(col("delta")).as("delta"),
+            sum(col("wu")).as("sw"),
+            sum(col("wu") * col("i")).as("swx"),
+            sum((col("wu") * col("i")).cast(DecimalType(38, 0)) * col("i")).as("swxx"),
+            sum(col("wu").cast(DecimalType(19, 0)) * col("rev")).as("swy"),
+            sum((col("wu") * col("i")).cast(DecimalType(19, 0)) * col("rev")).as("swxy"))
+        val swD = col("sw").cast(DoubleType)
+        val swxD = col("swx").cast(DoubleType)
+        val swxxD = col("swxx").cast(DoubleType)
+        val swyD = d2(col("swy"), 100L, 100.0)
+        val swxyD = d2(col("swxy"), 100L, 100.0)
+        val den = swD * swxxD - swxD * swxD
+        val b1 = (swD * swxyD - swxD * swyD) / den
+        val a1 = (swyD - b1 * swxD) / swD
+        fit = wm.select(col("n"), b1.as("b"), a1.as("a"), col("delta"))
+          .localCheckpoint(true)
+      }
+      fit.select(col("n"),
+        round(col("a"), 4).as("intercept"),
+        round(col("b"), 4).as("slope"),
+        round(col("delta"), 4).as("delta"))
+    },
+    Some {
+      def roundSql(prev: String, out: String): String =
+        s"""$out AS (SELECT n, delta,
+          (CAST(sw AS DOUBLE) * (CAST(CAST(swxy * 100 AS DECIMAL(38,0)) AS DOUBLE) / 100.0)
+            - CAST(swx AS DOUBLE) * (CAST(CAST(swy * 100 AS DECIMAL(38,0)) AS DOUBLE) / 100.0)) /
+            (CAST(sw AS DOUBLE) * CAST(swxx AS DOUBLE) - CAST(swx AS DOUBLE) * CAST(swx AS DOUBLE)) AS b,
+          ((CAST(CAST(swy * 100 AS DECIMAL(38,0)) AS DOUBLE) / 100.0)
+            - (CAST(sw AS DOUBLE) * (CAST(CAST(swxy * 100 AS DECIMAL(38,0)) AS DOUBLE) / 100.0)
+               - CAST(swx AS DOUBLE) * (CAST(CAST(swy * 100 AS DECIMAL(38,0)) AS DOUBLE) / 100.0)) /
+              (CAST(sw AS DOUBLE) * CAST(swxx AS DOUBLE) - CAST(swx AS DOUBLE) * CAST(swx AS DOUBLE))
+              * CAST(swx AS DOUBLE)) / CAST(sw AS DOUBLE) AS a
+        FROM (SELECT MAX(n) AS n, MAX(delta) AS delta,
+            CAST(SUM(wu) AS BIGINT) AS sw,
+            CAST(SUM(wu * i) AS BIGINT) AS swx,
+            CAST(SUM(CAST(wu * i AS DECIMAL(38,0)) * i) AS DECIMAL(38,0)) AS swxx,
+            SUM(CAST(wu AS DECIMAL(19,0)) * rev) AS swy,
+            SUM(CAST(wu * i AS DECIMAL(19,0)) * rev) AS swxy
+          FROM (SELECT d.i, d.rev, f.n, f.delta,
+              CAST(FLOOR(LEAST(1.0,
+                f.delta / GREATEST(ABS(CAST(d.rev AS DOUBLE) - f.a - f.b * d.i), 1.0e-9))
+                * 1.0e9 + 0.5) AS BIGINT) AS wu
+            FROM d CROSS JOIN $prev f)))"""
+      s"""WITH d AS (SELECT
+          CAST(datediff('day', DATE '1995-01-01', CAST(day AS DATE)) AS BIGINT) AS i, rev
+        FROM (SELECT date_trunc('day', l_shipdate) AS day,
+            CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS rev
+          FROM lineitem WHERE year(l_shipdate) = 1995 GROUP BY 1)),
+      m0 AS (SELECT COUNT(*) AS n, SUM(i) AS sx, SUM(i * i) AS sxx,
+          SUM(rev) AS sy, SUM(rev * i) AS sxy, SUM(rev * rev) AS syy
+        FROM d),
+      f0 AS (SELECT n,
+          (n * (CAST(CAST(sxy * 100 AS DECIMAL(38,0)) AS DOUBLE) / 100.0) - CAST(sx AS DOUBLE) * (CAST(CAST(sy * 100 AS DECIMAL(38,0)) AS DOUBLE) / 100.0)) /
+            (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS b,
+          ((CAST(CAST(sy * 100 AS DECIMAL(38,0)) AS DOUBLE) / 100.0)
+            - (n * (CAST(CAST(sxy * 100 AS DECIMAL(38,0)) AS DOUBLE) / 100.0) - CAST(sx AS DOUBLE) * (CAST(CAST(sy * 100 AS DECIMAL(38,0)) AS DOUBLE) / 100.0)) /
+              (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) * CAST(sx AS DOUBLE)) / n AS a
+        FROM m0),
+      fd AS (SELECT f0.n, f0.b, f0.a,
+          1.345 * sqrt(GREATEST((CAST(CAST(syy * 10000 AS DECIMAL(38,0)) AS DOUBLE) / 10000.0)
+            - f0.a * (CAST(CAST(sy * 100 AS DECIMAL(38,0)) AS DOUBLE) / 100.0)
+            - f0.b * (CAST(CAST(sxy * 100 AS DECIMAL(38,0)) AS DOUBLE) / 100.0), 1.0e-9) / f0.n) AS delta
+        FROM f0 CROSS JOIN m0),
+      ${roundSql("fd", "f1")},
+      ${roundSql("f1", "f2")},
+      ${roundSql("f2", "f3")}
+      SELECT n, round(a, 4) AS intercept, round(b, 4) AS slope,
+        round(delta, 4) AS delta
+      FROM f3"""
+    })
+
+  /** TSB (Teunter–Syntetos–Babai) intermittent-demand forecast for
+    * sparse SKUs: unlike q186's Croston (which only updates on demand
+    * periods and so never decays after obsolescence), TSB updates the
+    * demand-probability estimate EVERY week (α=0.1) and the size
+    * estimate on demand weeks (β=0.2); forecast = p·z. The 20 most
+    * intermittent parts, dense weekly spine rebuilt per part from a
+    * map lookup, the whole recursion ONE codegen HOF fold per part —
+    * both engines chain identical IEEE doubles (integer quantities,
+    * pinned init).
+    */
+  val q251Tsb: QueryDef = QueryDef("q251_tsb",
+    (s, dir) => {
+      val wk = t(s, dir, "lineitem")
+        .groupBy(col("l_partkey").as("pk"),
+          floor(datediff(col("l_shipdate"), lit("1992-01-01").cast(DateType)) / 7)
+            .cast(LongType).as("w"))
+        .agg(sum(col("l_quantity").cast(DecimalType(12, 0))).cast(LongType).as("q"))
+        .localCheckpoint(true)
+      val bounds = wk.agg(min(col("w")).as("wmin"), max(col("w")).as("wmax"))
+      val parts = wk.groupBy(col("pk"))
+        .agg(count(lit(1)).as("ndw"), sum(col("q")).as("totq"))
+        .orderBy(col("ndw"), col("pk")).limit(20)
+      val arrs = wk.join(parts, Seq("pk"))
+        .groupBy(col("pk"))
+        .agg(max(col("ndw")).as("ndw"), max(col("totq")).as("totq"),
+          map_from_entries(collect_list(struct(col("w"), col("q")))).as("m"))
+        .crossJoin(broadcast(bounds))
+        .withColumn("arr", expr(
+          "transform(sequence(wmin, wmax), w -> coalesce(element_at(m, w), 0L))"))
+      val z0 = floor(col("totq").cast(DoubleType) /
+        col("ndw").cast(DoubleType) * 1.0e6 + 0.5) / 1.0e6
+      arrs
+        .withColumn("st", aggregate(col("arr"),
+          struct(lit(0.3).as("p"), z0.as("z")),
+          (acc, d) => struct(
+            (acc.getField("p") + lit(0.1) *
+              (when(d > 0, 1.0).otherwise(0.0) - acc.getField("p"))).as("p"),
+            when(d > 0, acc.getField("z") + lit(0.2) *
+              (d.cast(DoubleType) - acc.getField("z")))
+              .otherwise(acc.getField("z")).as("z"))))
+        .select(col("pk").as("partkey"),
+          (col("wmax") - col("wmin") + 1).as("n_weeks"),
+          col("ndw").as("n_demand_weeks"),
+          round(col("st.p"), 6).as("p_demand"),
+          round(col("st.z"), 6).as("z_size"),
+          round(col("st.p") * col("st.z"), 6).as("forecast"))
+        .orderBy(col("partkey"))
+    },
+    Some("""WITH RECURSIVE wk AS (SELECT l_partkey AS pk,
+          CAST(datediff('day', DATE '1992-01-01', CAST(l_shipdate AS DATE)) // 7 AS BIGINT) AS w,
+          CAST(SUM(CAST(l_quantity AS DECIMAL(12,0))) AS BIGINT) AS q
+        FROM lineitem GROUP BY 1, 2),
+      bounds AS (SELECT MIN(w) AS wmin, MAX(w) AS wmax FROM wk),
+      parts AS (SELECT pk, COUNT(*) AS ndw, CAST(SUM(q) AS BIGINT) AS totq
+        FROM wk GROUP BY 1
+        ORDER BY ndw, pk LIMIT 20),
+      spine AS (SELECT p.pk, p.ndw, p.totq, s.w,
+          COALESCE(wk.q, 0) AS q,
+          s.w - b.wmin + 1 AS idx, b.wmax - b.wmin + 1 AS nw
+        FROM parts p
+        CROSS JOIN bounds b
+        CROSS JOIN (SELECT UNNEST(range((SELECT wmin FROM bounds),
+          (SELECT wmax FROM bounds) + 1)) AS w) s
+        LEFT JOIN wk ON wk.pk = p.pk AND wk.w = s.w),
+      ts AS (
+        SELECT pk, ndw, totq, idx, nw,
+            CAST(0.3 AS DOUBLE) + 0.1 * ((CASE WHEN q > 0 THEN 1.0 ELSE 0.0 END) - 0.3) AS p,
+            CASE WHEN q > 0
+              THEN FLOOR(CAST(totq AS DOUBLE) / ndw * 1.0e6 + 0.5) / 1.0e6
+                + 0.2 * (q - FLOOR(CAST(totq AS DOUBLE) / ndw * 1.0e6 + 0.5) / 1.0e6)
+              ELSE FLOOR(CAST(totq AS DOUBLE) / ndw * 1.0e6 + 0.5) / 1.0e6 END AS z
+        FROM spine WHERE idx = 1
+        UNION ALL
+        SELECT sp.pk, sp.ndw, sp.totq, sp.idx, sp.nw,
+            CAST(ts.p + 0.1 * ((CASE WHEN sp.q > 0 THEN 1.0 ELSE 0.0 END) - ts.p) AS DOUBLE),
+            CASE WHEN sp.q > 0 THEN ts.z + 0.2 * (sp.q - ts.z) ELSE ts.z END
+        FROM ts JOIN spine sp ON sp.pk = ts.pk AND sp.idx = ts.idx + 1)
+      SELECT pk AS partkey, nw AS n_weeks, ndw AS n_demand_weeks,
+        round(p, 6) AS p_demand, round(z, 6) AS z_size,
+        round(p * z, 6) AS forecast
+      FROM ts WHERE idx = nw ORDER BY partkey"""))
+
+  /** Net / gross revenue retention by month: NRR = this month's
+    * revenue from LAST month's buyers over last month's revenue
+    * (expansion counts), GRR caps each retained customer at their
+    * prior spend (contraction only) — the SaaS-style cohort health
+    * panel that q115's count-based growth accounting can't price.
+    * Exact DECIMAL revenue sums end-to-end; one self-join of the
+    * O(customer-months) frame on (customer, month+1).
+    */
+  val q252Nrr: QueryDef = QueryDef("q252_nrr",
+    (s, dir) => {
+      val cm = t(s, dir, "orders")
+        .groupBy(col("o_custkey").as("ck"),
+          ((year(col("o_orderdate")) - 1992) * 12 + month(col("o_orderdate")) - 1)
+            .cast(LongType).as("m"))
+        .agg(sum(dec(col("o_totalprice"))).cast(DecimalType(18, 2)).as("rev"))
+        .localCheckpoint(true)
+      val cur = cm.select(col("ck").as("ck2"), col("m").as("mc"), col("rev").as("rev_c"))
+      val joined = cm.join(cur,
+          col("ck") === col("ck2") && col("mc") === col("m") + 1, "left")
+        .select(col("ck"), col("m"), col("rev"),
+          coalesce(col("rev_c"), lit(java.math.BigDecimal.ZERO).cast(DecimalType(18, 2)))
+            .as("rev_next"))
+      joined.groupBy((col("m") + 1).as("month_idx"))
+        .agg(count(lit(1)).as("n_base_customers"),
+          sum(col("rev")).cast(DecimalType(38, 2)).as("base_rev"),
+          sum(col("rev_next")).cast(DecimalType(38, 2)).as("retained_rev"),
+          sum(least(col("rev"), col("rev_next"))).cast(DecimalType(38, 2)).as("capped_rev"))
+        .filter(col("month_idx") <= 71)
+        .select(col("month_idx"), col("n_base_customers"),
+          col("base_rev").cast(DoubleType).as("base_rev"),
+          round(col("retained_rev").cast(DoubleType) /
+            col("base_rev").cast(DoubleType), 6).as("nrr"),
+          round(col("capped_rev").cast(DoubleType) /
+            col("base_rev").cast(DoubleType), 6).as("grr"))
+        .orderBy(col("month_idx"))
+    },
+    Some("""WITH cm AS (SELECT o_custkey AS ck,
+          CAST((year(o_orderdate) - 1992) * 12 + month(o_orderdate) - 1 AS BIGINT) AS m,
+          CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS rev
+        FROM orders GROUP BY 1, 2),
+      j AS (SELECT a.ck, a.m, a.rev,
+          COALESCE(b.rev, CAST(0 AS DECIMAL(18,2))) AS rev_next
+        FROM cm a LEFT JOIN cm b ON b.ck = a.ck AND b.m = a.m + 1)
+      SELECT m + 1 AS month_idx, COUNT(*) AS n_base_customers,
+        CAST(CAST(SUM(rev) AS DECIMAL(38,2)) AS DOUBLE) AS base_rev,
+        round(CAST(CAST(SUM(rev_next) AS DECIMAL(38,2)) AS DOUBLE) /
+          CAST(CAST(SUM(rev) AS DECIMAL(38,2)) AS DOUBLE), 6) AS nrr,
+        round(CAST(CAST(SUM(LEAST(rev, rev_next)) AS DECIMAL(38,2)) AS DOUBLE) /
+          CAST(CAST(SUM(rev) AS DECIMAL(38,2)) AS DOUBLE), 6) AS grr
+      FROM j WHERE m <= 70 GROUP BY 1 ORDER BY 1"""))
+
+  /** Fleiss' kappa agreement of three deterministic document-quality
+    * raters (char count ≥ 200, token count ≥ 40, mean token length
+    * ≥ 5 via the exact integer cross-compare 5·tokens ≤ chars) — the
+    * multi-rater chance-corrected agreement that q177's two-rater
+    * Cohen kappa can't express. Per-subject agreement P_i and both
+    * marginals are pure integer arithmetic; one corpus pass.
+    */
+  val q253Fleiss: QueryDef = QueryDef("q253_fleiss",
+    (s, dir) => {
+      val wcnt = size(split(regexp_replace(lower(trim(col("text"))), "\\s+", " "), " "))
+      val rated = t(s, dir, "documents")
+        .select((when(col("n_chars") >= 200, 1L).otherwise(0L) +
+          when(wcnt >= 40, 1L).otherwise(0L) +
+          when(wcnt * 5 <= col("n_chars"), 1L).otherwise(0L)).as("np"))
+      val m = rated.agg(count(lit(1)).as("n"),
+        sum(col("np")).as("spos"),
+        sum(col("np") * col("np") + (lit(3L) - col("np")) * (lit(3L) - col("np")))
+          .as("sq"))
+      val nD = col("n").cast(DoubleType)
+      val pPos = col("spos").cast(DoubleType) / (nD * 3.0)
+      val pBar = (col("sq").cast(DoubleType) - nD * 3.0) / (nD * 6.0)
+      val pE = pPos * pPos + (lit(1.0) - pPos) * (lit(1.0) - pPos)
+      m.select(col("n"), lit(3L).as("n_raters"),
+        round(pPos, 6).as("p_pos"),
+        round(pBar, 6).as("p_bar"),
+        round(pE, 6).as("p_e"),
+        round((pBar - pE) / (lit(1.0) - pE), 6).as("fleiss_kappa"))
+    },
+    Some("""WITH rated AS (SELECT
+          (CASE WHEN n_chars >= 200 THEN 1 ELSE 0 END) +
+          (CASE WHEN len(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) >= 40 THEN 1 ELSE 0 END) +
+          (CASE WHEN len(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) * 5 <= n_chars THEN 1 ELSE 0 END) AS np
+        FROM documents),
+      m AS (SELECT COUNT(*) AS n, CAST(SUM(np) AS BIGINT) AS spos,
+          CAST(SUM(np * np + (3 - np) * (3 - np)) AS BIGINT) AS sq
+        FROM rated)
+      SELECT n, 3 AS n_raters,
+        round(CAST(spos AS DOUBLE) / (CAST(n AS DOUBLE) * 3.0), 6) AS p_pos,
+        round((CAST(sq AS DOUBLE) - CAST(n AS DOUBLE) * 3.0) / (CAST(n AS DOUBLE) * 6.0), 6) AS p_bar,
+        round((CAST(spos AS DOUBLE) / (CAST(n AS DOUBLE) * 3.0)) * (CAST(spos AS DOUBLE) / (CAST(n AS DOUBLE) * 3.0))
+          + (1.0 - CAST(spos AS DOUBLE) / (CAST(n AS DOUBLE) * 3.0)) * (1.0 - CAST(spos AS DOUBLE) / (CAST(n AS DOUBLE) * 3.0)), 6) AS p_e,
+        round(((CAST(sq AS DOUBLE) - CAST(n AS DOUBLE) * 3.0) / (CAST(n AS DOUBLE) * 6.0)
+            - ((CAST(spos AS DOUBLE) / (CAST(n AS DOUBLE) * 3.0)) * (CAST(spos AS DOUBLE) / (CAST(n AS DOUBLE) * 3.0))
+              + (1.0 - CAST(spos AS DOUBLE) / (CAST(n AS DOUBLE) * 3.0)) * (1.0 - CAST(spos AS DOUBLE) / (CAST(n AS DOUBLE) * 3.0)))) /
+          (1.0 - ((CAST(spos AS DOUBLE) / (CAST(n AS DOUBLE) * 3.0)) * (CAST(spos AS DOUBLE) / (CAST(n AS DOUBLE) * 3.0))
+              + (1.0 - CAST(spos AS DOUBLE) / (CAST(n AS DOUBLE) * 3.0)) * (1.0 - CAST(spos AS DOUBLE) / (CAST(n AS DOUBLE) * 3.0)))), 6) AS fleiss_kappa
+      FROM m"""))
+
   val all: Seq[QueryDef] = Seq(
     q1Agg, q2Filter, q3Join, q4Semi, q5Multi, q6Window, q7TopK, q8Distinct,
     q9Rollup, q10Pivot, q11Anti, q12Expr, q13Percentiles, q14Subquery,
@@ -14921,6 +15324,7 @@ object Queries {
     etlTCloseness, textLlrCollocations, q243PermutationEntropy, q244Periodogram,
     textTextrank, q245Ktruss,
     q246Hbos, q247Cronbach, q248Icc, etlDpRelease, etlBlockingQuality,
+    q249ShapleyAttribution, q250Huber, q251Tsb, q252Nrr, q253Fleiss,
     etlMergeUpsert, etlConstraints, etlProvenance,
     graphPageRank, curateWeightedSample,
     etlUnionSources, etlValidate, etlCleanTransform, etlQualityReport,
