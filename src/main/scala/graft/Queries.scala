@@ -15258,6 +15258,330 @@ object Queries {
               + (1.0 - CAST(spos AS DOUBLE) / (CAST(n AS DOUBLE) * 3.0)) * (1.0 - CAST(spos AS DOUBLE) / (CAST(n AS DOUBLE) * 3.0)))), 6) AS fleiss_kappa
       FROM m"""))
 
+  /** Jarque–Bera normality test of daily revenue: JB = n/6·(S² +
+    * K²/4) from skewness and excess kurtosis — the moment-based
+    * normality screen beside q228's Anderson–Darling (which weighs
+    * tails via the ECDF). Residuals center on the 2dp-pinned mean
+    * (q130's trick), scale to millions as doubles, and the 3rd/4th
+    * powers pin to 1e-6 integers per day — DECIMAL can't hold rev⁴,
+    * so the pinning IS the portability mechanism.
+    */
+  val q254JarqueBera: QueryDef = QueryDef("q254_jarque_bera",
+    (s, dir) => {
+      val daily = t(s, dir, "lineitem")
+        .groupBy(date_trunc("day", col("l_shipdate")).as("day"))
+        .agg(sum(dec(col("l_extendedprice"))).cast(DecimalType(18, 2)).as("rev"))
+        .localCheckpoint(true)
+      val mu = daily.agg(round(sum(col("rev")).cast(DoubleType) /
+        count(lit(1)).cast(DoubleType), 2).cast(DecimalType(18, 2)).as("mu"))
+      val r = daily.crossJoin(broadcast(mu))
+        .withColumn("rm", (col("rev") - col("mu")).cast(DoubleType) / 1.0e6)
+      val m = r.agg(count(lit(1)).as("n"),
+        sum(floor(col("rm") * col("rm") * 1.0e6 + 0.5).cast(LongType)).as("s2"),
+        sum(floor(col("rm") * col("rm") * col("rm") * 1.0e6 + 0.5).cast(LongType)).as("s3"),
+        sum(floor(col("rm") * col("rm") * col("rm") * col("rm") * 1.0e6 + 0.5)
+          .cast(LongType)).as("s4"))
+      val nD = col("n").cast(DoubleType)
+      val m2 = col("s2").cast(DoubleType) / 1.0e6 / nD
+      val m3 = col("s3").cast(DoubleType) / 1.0e6 / nD
+      val m4 = col("s4").cast(DoubleType) / 1.0e6 / nD
+      val skew = m3 / sqrt(m2 * m2 * m2)
+      val kurt = m4 / (m2 * m2) - 3.0
+      m.select(col("n"),
+        round(skew, 6).as("skewness"),
+        round(kurt, 6).as("excess_kurtosis"),
+        round(nD / 6.0 * (skew * skew + kurt * kurt / 4.0), 6).as("jarque_bera"))
+    },
+    Some("""WITH d AS (SELECT date_trunc('day', l_shipdate) AS day,
+          CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS rev
+        FROM lineitem GROUP BY 1),
+      mu AS (SELECT CAST(round(CAST(SUM(rev) AS DOUBLE) / COUNT(*), 2) AS DECIMAL(18,2)) AS mu FROM d),
+      r AS (SELECT CAST(rev - mu AS DOUBLE) / 1.0e6 AS rm FROM d CROSS JOIN mu),
+      m AS (SELECT COUNT(*) AS n,
+          CAST(SUM(CAST(FLOOR(rm * rm * 1.0e6 + 0.5) AS BIGINT)) AS BIGINT) AS s2,
+          CAST(SUM(CAST(FLOOR(rm * rm * rm * 1.0e6 + 0.5) AS BIGINT)) AS BIGINT) AS s3,
+          CAST(SUM(CAST(FLOOR(rm * rm * rm * rm * 1.0e6 + 0.5) AS BIGINT)) AS BIGINT) AS s4
+        FROM r),
+      f AS (SELECT n,
+          (CAST(s3 AS DOUBLE) / 1.0e6 / n) / sqrt((CAST(s2 AS DOUBLE) / 1.0e6 / n)
+            * (CAST(s2 AS DOUBLE) / 1.0e6 / n) * (CAST(s2 AS DOUBLE) / 1.0e6 / n)) AS skew,
+          (CAST(s4 AS DOUBLE) / 1.0e6 / n) / ((CAST(s2 AS DOUBLE) / 1.0e6 / n)
+            * (CAST(s2 AS DOUBLE) / 1.0e6 / n)) - 3.0 AS kurt
+        FROM m)
+      SELECT n, round(skew, 6) AS skewness, round(kurt, 6) AS excess_kurtosis,
+        round(CAST(n AS DOUBLE) / 6.0 * (skew * skew + kurt * kurt / 4.0), 6) AS jarque_bera
+      FROM f"""))
+
+  /** Page's L trend test for ORDERED alternatives across the five
+    * priority classes within month blocks: L = Σ j·R_j over the q218
+    * Friedman doubled midranks with j = the priority's own order —
+    * rejects "all equal" specifically against "monotone in priority",
+    * which Friedman's omnibus χ² cannot. Exact BIGINT rank sums; the
+    * closed-form z uses μ_L = b·k(k+1)²/4 and σ²_L =
+    * b·k²(k+1)²(k−1)/144.
+    */
+  val q255PageTrend: QueryDef = QueryDef("q255_page_trend",
+    (s, dir) => {
+      val cell = t(s, dir, "orders")
+        .groupBy(date_trunc("month", col("o_orderdate")).as("blk"),
+          col("o_orderpriority").as("trt"))
+        .agg(sum(dec(col("o_totalprice"))).as("v"))
+      val complete = cell.groupBy(col("blk")).agg(count(lit(1)).as("nt"))
+        .filter(col("nt") === 5).select(col("blk"))
+      val wRank = Window.partitionBy(col("blk")).orderBy(col("v"))
+      val wEq = Window.partitionBy(col("blk"), col("v"))
+      val ranked = cell.join(complete, "blk")
+        .withColumn("r2", lit(2L) * (rank().over(wRank) - 1) +
+          count(lit(1)).over(wEq) + 1L)
+        .withColumn("j", substring(col("trt"), 1, 1).cast(LongType))
+      val rj = ranked.groupBy(col("j"))
+        .agg(sum(col("r2")).as("r2j"), count(lit(1)).as("b"))
+      val agg = rj.agg(max(col("b")).as("b"), count(lit(1)).as("k"),
+        sum(col("j") * col("r2j")).as("l2"))
+      val bD = col("b").cast(DoubleType)
+      val kD = col("k").cast(DoubleType)
+      val lD = col("l2").cast(DoubleType) / 2.0
+      val muL = bD * kD * (kD + 1.0) * (kD + 1.0) / 4.0
+      val sdL = sqrt(bD * kD * kD * (kD + 1.0) * (kD + 1.0) * (kD - 1.0) / 144.0)
+      agg.select(col("b"), col("k"),
+        round(lD, 2).as("page_l"),
+        round(muL, 2).as("mu_l"),
+        round((lD - muL) / sdL, 6).as("z"))
+    },
+    Some("""WITH cell AS (SELECT date_trunc('month', o_orderdate) AS blk,
+          o_orderpriority AS trt, SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS v
+        FROM orders GROUP BY 1, 2),
+      complete AS (SELECT blk FROM cell GROUP BY 1 HAVING COUNT(*) = 5),
+      ranked AS (SELECT CAST(substring(trt, 1, 1) AS BIGINT) AS j,
+          2 * (RANK() OVER (PARTITION BY cell.blk ORDER BY v) - 1) +
+            COUNT(*) OVER (PARTITION BY cell.blk, v) + 1 AS r2
+        FROM cell JOIN complete USING (blk)),
+      rj AS (SELECT j, CAST(SUM(r2) AS BIGINT) AS r2j, COUNT(*) AS b FROM ranked GROUP BY 1),
+      agg AS (SELECT MAX(b) AS b, COUNT(*) AS k, CAST(SUM(j * r2j) AS BIGINT) AS l2 FROM rj)
+      SELECT CAST(b AS BIGINT) AS b, CAST(k AS BIGINT) AS k,
+        round(CAST(l2 AS DOUBLE) / 2.0, 2) AS page_l,
+        round(CAST(b AS DOUBLE) * k * (k + 1.0) * (k + 1.0) / 4.0, 2) AS mu_l,
+        round((CAST(l2 AS DOUBLE) / 2.0 - CAST(b AS DOUBLE) * k * (k + 1.0) * (k + 1.0) / 4.0) /
+          sqrt(CAST(b AS DOUBLE) * k * k * (k + 1.0) * (k + 1.0) * (k - 1.0) / 144.0), 6) AS z
+      FROM agg"""))
+
+  /** Jonckheere–Terpstra ordered-alternative test: do order totals
+    * rise monotonically with priority urgency? JT = Σ_{g<h} U(g,h)
+    * over the 10 ordered group pairs, with every U computed from the
+    * collapsed value census (per-value group counts + running
+    * cumulative counts — O(distinct values), never O(n²) pairs; ties
+    * count half via the doubled-U convention). The independent-groups
+    * counterpart of q255's within-block Page test; z uses the
+    * standard no-ties moments.
+    */
+  val q256Jonckheere: QueryDef = QueryDef("q256_jonckheere",
+    (s, dir) => {
+      val rows = t(s, dir, "orders")
+        .select(substring(col("o_orderpriority"), 1, 1).cast(LongType).as("g"),
+          dec(col("o_totalprice")).as("v"))
+      val cCols = (1L to 5L).map(j =>
+        sum(when(col("g") === j, 1L).otherwise(0L)).as(s"c$j"))
+      val census = rows.groupBy(col("v")).agg(cCols.head, cCols.tail: _*)
+      val w = Window.orderBy(col("v")).rowsBetween(Window.unboundedPreceding, -1)
+      var cum = census
+      for (j <- 1 to 5)
+        cum = cum.withColumn(s"p$j", coalesce(sum(col(s"c$j")).over(w), lit(0L)))
+      val u2 = (for { g <- 1 to 4; h <- (g + 1) to 5 } yield
+        lit(2L) * col(s"c$h") * col(s"p$g") + col(s"c$g") * col(s"c$h"))
+        .reduce(_ + _)
+      val sizes = rows.groupBy(col("g")).agg(count(lit(1)).as("ng"))
+      val szAgg = sizes.agg(sum(col("ng")).as("n"),
+        sum(col("ng") * col("ng")).as("sn2"),
+        sum(col("ng").cast(DecimalType(19, 0)) * col("ng") *
+          (lit(2L) * col("ng") + 3L)).cast(DecimalType(38, 0)).as("sn23"))
+      val jt = cum.agg(sum(u2).as("jt2"))
+      jt.crossJoin(broadcast(szAgg))
+        .withColumn("jtd", col("jt2").cast(DoubleType) / 2.0)
+        .withColumn("mu", (col("n").cast(DoubleType) * col("n").cast(DoubleType) -
+          col("sn2").cast(DoubleType)) / 4.0)
+        .withColumn("sd", sqrt((col("n").cast(DoubleType) * col("n").cast(DoubleType) *
+          (lit(2.0) * col("n").cast(DoubleType) + 3.0) -
+          col("sn23").cast(DoubleType)) / 72.0))
+        .select(col("n"), round(col("jtd"), 1).as("jt"),
+          round(col("mu"), 1).as("mu_jt"),
+          round((col("jtd") - col("mu")) / col("sd"), 6).as("z"))
+    },
+    Some("""WITH rows_ AS (SELECT CAST(substring(o_orderpriority, 1, 1) AS BIGINT) AS g,
+          CAST(o_totalprice AS DECIMAL(12,2)) AS v
+        FROM orders),
+      census AS (SELECT v,
+          CAST(SUM(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+          CAST(SUM(CASE WHEN g = 2 THEN 1 ELSE 0 END) AS BIGINT) AS c2,
+          CAST(SUM(CASE WHEN g = 3 THEN 1 ELSE 0 END) AS BIGINT) AS c3,
+          CAST(SUM(CASE WHEN g = 4 THEN 1 ELSE 0 END) AS BIGINT) AS c4,
+          CAST(SUM(CASE WHEN g = 5 THEN 1 ELSE 0 END) AS BIGINT) AS c5
+        FROM rows_ GROUP BY 1),
+      cum AS (SELECT *,
+          COALESCE(CAST(SUM(c1) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS p1,
+          COALESCE(CAST(SUM(c2) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS p2,
+          COALESCE(CAST(SUM(c3) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS p3,
+          COALESCE(CAST(SUM(c4) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS p4
+        FROM census),
+      jt AS (SELECT CAST(SUM(
+          2 * c2 * p1 + c1 * c2 +
+          2 * c3 * p1 + c1 * c3 + 2 * c3 * p2 + c2 * c3 +
+          2 * c4 * p1 + c1 * c4 + 2 * c4 * p2 + c2 * c4 + 2 * c4 * p3 + c3 * c4 +
+          2 * c5 * p1 + c1 * c5 + 2 * c5 * p2 + c2 * c5 + 2 * c5 * p3 + c3 * c5 + 2 * c5 * p4 + c4 * c5
+        ) AS BIGINT) AS jt2 FROM cum),
+      sz AS (SELECT CAST(SUM(ng) AS BIGINT) AS n,
+          CAST(SUM(ng * ng) AS BIGINT) AS sn2,
+          CAST(SUM(CAST(ng AS DECIMAL(19,0)) * ng * (2 * ng + 3)) AS DECIMAL(38,0)) AS sn23
+        FROM (SELECT g, COUNT(*) AS ng FROM rows_ GROUP BY 1))
+      SELECT n, round(CAST(jt2 AS DOUBLE) / 2.0, 1) AS jt,
+        round((CAST(n AS DOUBLE) * n - CAST(sn2 AS DOUBLE)) / 4.0, 1) AS mu_jt,
+        round((CAST(jt2 AS DOUBLE) / 2.0 - (CAST(n AS DOUBLE) * n - CAST(sn2 AS DOUBLE)) / 4.0) /
+          sqrt((CAST(n AS DOUBLE) * n * (2.0 * n + 3.0) - CAST(sn23 AS DOUBLE)) / 72.0), 6) AS z
+      FROM jt CROSS JOIN sz"""))
+
+  /** Weibull reliability fit of order-to-first-ship latency via
+    * median-rank regression: midrank plotting positions F_i =
+    * (r_i − 0.3)/(n + 0.4) over the collapsed duration census, then
+    * OLS of ln(−ln(1−F)) on ln(t) — shape k (slope) and scale λ
+    * (exp(−a/k)), the parametric-survival companion to q98/q241's
+    * nonparametric curve and q123's empirical SLA table. Census rows
+    * carry multiplicities, per-row log terms pin to 1e-9, and the
+    * weighted OLS runs on integer sums — O(distinct durations).
+    */
+  val q257Weibull: QueryDef = QueryDef("q257_weibull",
+    (s, dir) => {
+      val dur = t(s, dir, "lineitem")
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderkey"))
+        .agg((datediff(min(col("l_shipdate")), min(col("o_orderdate"))))
+          .cast(LongType).as("d"))
+        .filter(col("d") >= 1)
+        .groupBy(col("d")).agg(count(lit(1)).as("cnt"))
+        .localCheckpoint(true)
+      val n = dur.agg(sum(col("cnt")).as("n"))
+      val w = Window.orderBy(col("d")).rowsBetween(Window.unboundedPreceding, -1)
+      val pp = dur
+        .withColumn("prior", coalesce(sum(col("cnt")).over(w), lit(0L)))
+        .crossJoin(broadcast(n))
+        .withColumn("f", (col("prior").cast(DoubleType) +
+          (col("cnt").cast(DoubleType) + 1.0) / 2.0 - 0.3) /
+          (col("n").cast(DoubleType) + 0.4))
+        .withColumn("x", floor(log(col("d").cast(DoubleType)) * 1.0e9 + 0.5).cast(LongType))
+        .withColumn("y", floor(log(-log(lit(1.0) - col("f"))) * 1.0e9 + 0.5).cast(LongType))
+      val m = pp.agg(max(col("n")).as("n"), count(lit(1)).as("nd"),
+        sum(col("cnt")).as("sw"),
+        sum(col("cnt") * col("x")).as("swx"),
+        sum(col("cnt") * col("y")).as("swy"),
+        sum((col("cnt") * col("x")).cast(DecimalType(38, 0)) * col("x")).as("swxx"),
+        sum((col("cnt") * col("x")).cast(DecimalType(38, 0)) * col("y")).as("swxy"))
+      val swD = col("sw").cast(DoubleType)
+      val sxD = col("swx").cast(DoubleType) / 1.0e9
+      val syD = col("swy").cast(DoubleType) / 1.0e9
+      val sxxD = col("swxx").cast(DoubleType) / 1.0e18
+      val sxyD = col("swxy").cast(DoubleType) / 1.0e18
+      val k = (swD * sxyD - sxD * syD) / (swD * sxxD - sxD * sxD)
+      val a = (syD - k * sxD) / swD
+      val lam = exp(-a / k)
+      m.select(col("n"), col("nd").as("n_distinct_durations"),
+        round(k, 6).as("shape_k"),
+        round(lam, 6).as("scale_lambda"),
+        round(lam * pow(lit(math.log(2.0)), lit(1.0) / k), 6).as("median_days"))
+    },
+    Some(s"""WITH dur AS (SELECT d, COUNT(*) AS cnt FROM (
+          SELECT o_orderkey,
+            CAST(datediff('day', MIN(CAST(o_orderdate AS DATE)), MIN(CAST(l_shipdate AS DATE))) AS BIGINT) AS d
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+          GROUP BY 1) WHERE d >= 1 GROUP BY 1),
+      n AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n FROM dur),
+      pp AS (SELECT d, cnt, n,
+          CAST(FLOOR(ln(CAST(d AS DOUBLE)) * 1.0e9 + 0.5) AS BIGINT) AS x,
+          CAST(FLOOR(ln(-ln(1.0 - (
+            (COALESCE(CAST(SUM(cnt) OVER (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0)
+              + (CAST(cnt AS DOUBLE) + 1.0) / 2.0 - 0.3) / (CAST(n AS DOUBLE) + 0.4)
+          ))) * 1.0e9 + 0.5) AS BIGINT) AS y
+        FROM dur CROSS JOIN n),
+      m AS (SELECT MAX(n) AS n, COUNT(*) AS nd,
+          CAST(SUM(cnt) AS BIGINT) AS sw,
+          CAST(SUM(cnt * x) AS BIGINT) AS swx,
+          CAST(SUM(cnt * y) AS BIGINT) AS swy,
+          CAST(SUM(CAST(cnt * x AS DECIMAL(38,0)) * x) AS DECIMAL(38,0)) AS swxx,
+          CAST(SUM(CAST(cnt * x AS DECIMAL(38,0)) * y) AS DECIMAL(38,0)) AS swxy
+        FROM pp),
+      f AS (SELECT n, nd,
+          (CAST(sw AS DOUBLE) * (CAST(swxy AS DOUBLE) / 1.0e18) - (CAST(swx AS DOUBLE) / 1.0e9) * (CAST(swy AS DOUBLE) / 1.0e9)) /
+            (CAST(sw AS DOUBLE) * (CAST(swxx AS DOUBLE) / 1.0e18) - (CAST(swx AS DOUBLE) / 1.0e9) * (CAST(swx AS DOUBLE) / 1.0e9)) AS k,
+          sw, swx, swy
+        FROM m),
+      g AS (SELECT n, nd, k,
+          ((CAST(swy AS DOUBLE) / 1.0e9) - k * (CAST(swx AS DOUBLE) / 1.0e9)) / CAST(sw AS DOUBLE) AS a
+        FROM f)
+      SELECT n, nd AS n_distinct_durations,
+        round(k, 6) AS shape_k,
+        round(exp(-a / k), 6) AS scale_lambda,
+        round(exp(-a / k) * pow(${math.log(2.0)}, 1.0 / k), 6) AS median_days
+      FROM g"""))
+
+  /** Market-model decomposition: each return flag's daily revenue
+    * regressed on the total-market daily revenue — beta (systematic
+    * sensitivity), alpha, and R² (share of variance explained by the
+    * market) per flag, all from ONE exact DECIMAL moment pass over
+    * the O(days·flags) frame joined to the O(days) market series.
+    * The cross-sectional factor-model reading of what q100_xcorr
+    * measures pairwise.
+    */
+  val q258MarketModel: QueryDef = QueryDef("q258_market_model",
+    (s, dir) => {
+      val daily = t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag").as("flag"),
+          date_trunc("day", col("l_shipdate")).as("day"))
+        .agg(sum(dec(col("l_extendedprice"))).cast(DecimalType(18, 2)).as("y"))
+        .localCheckpoint(true)
+      val mkt = daily.groupBy(col("day"))
+        .agg(sum(col("y")).cast(DecimalType(20, 2)).as("x"))
+      val m = daily.join(mkt, Seq("day"))
+        .groupBy(col("flag"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+          sum(col("x") * col("x")).as("sxx"),
+          sum(col("x") * col("y")).as("sxy"),
+          sum(col("y") * col("y")).as("syy"))
+      def d2(c: Column, mul: Long, div: Double): Column =
+        c.multiply(lit(mul)).cast(DecimalType(38, 0)).cast(DoubleType) / lit(div)
+      val nD = col("n").cast(DoubleType)
+      val sxD = d2(col("sx"), 100L, 100.0)
+      val syD = d2(col("sy"), 100L, 100.0)
+      val sxxD = d2(col("sxx"), 10000L, 10000.0)
+      val sxyD = d2(col("sxy"), 10000L, 10000.0)
+      val syyD = d2(col("syy"), 10000L, 10000.0)
+      val covXY = sxyD / nD - (sxD / nD) * (syD / nD)
+      val varX = sxxD / nD - (sxD / nD) * (sxD / nD)
+      val varY = syyD / nD - (syD / nD) * (syD / nD)
+      val beta = covXY / varX
+      m.select(col("flag"), col("n"),
+        round(beta, 6).as("beta"),
+        round(syD / nD - beta * (sxD / nD), 2).as("alpha"),
+        round(covXY * covXY / (varX * varY), 6).as("r2"))
+        .orderBy(col("flag"))
+    },
+    Some("""WITH d AS (SELECT l_returnflag AS flag, date_trunc('day', l_shipdate) AS day,
+          CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS y
+        FROM lineitem GROUP BY 1, 2),
+      mkt AS (SELECT day, CAST(SUM(y) AS DECIMAL(20,2)) AS x FROM d GROUP BY 1),
+      m AS (SELECT flag, COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+          SUM(x * x) AS sxx, SUM(x * y) AS sxy, SUM(y * y) AS syy
+        FROM d JOIN mkt USING (day) GROUP BY 1),
+      f AS (SELECT flag, n,
+          CAST(CAST(sx * 100 AS DECIMAL(38,0)) AS DOUBLE) / 100.0 / n AS mx,
+          CAST(CAST(sy * 100 AS DECIMAL(38,0)) AS DOUBLE) / 100.0 / n AS my,
+          CAST(CAST(sxy * 10000 AS DECIMAL(38,0)) AS DOUBLE) / 10000.0 / n AS mxy,
+          CAST(CAST(sxx * 10000 AS DECIMAL(38,0)) AS DOUBLE) / 10000.0 / n AS mxx,
+          CAST(CAST(syy * 10000 AS DECIMAL(38,0)) AS DOUBLE) / 10000.0 / n AS myy
+        FROM m)
+      SELECT flag, n,
+        round((mxy - mx * my) / (mxx - mx * mx), 6) AS beta,
+        round(my - (mxy - mx * my) / (mxx - mx * mx) * mx, 2) AS alpha,
+        round((mxy - mx * my) * (mxy - mx * my) / ((mxx - mx * mx) * (myy - my * my)), 6) AS r2
+      FROM f ORDER BY flag"""))
+
   val all: Seq[QueryDef] = Seq(
     q1Agg, q2Filter, q3Join, q4Semi, q5Multi, q6Window, q7TopK, q8Distinct,
     q9Rollup, q10Pivot, q11Anti, q12Expr, q13Percentiles, q14Subquery,
@@ -15325,6 +15649,7 @@ object Queries {
     textTextrank, q245Ktruss,
     q246Hbos, q247Cronbach, q248Icc, etlDpRelease, etlBlockingQuality,
     q249ShapleyAttribution, q250Huber, q251Tsb, q252Nrr, q253Fleiss,
+    q254JarqueBera, q255PageTrend, q256Jonckheere, q257Weibull, q258MarketModel,
     etlMergeUpsert, etlConstraints, etlProvenance,
     graphPageRank, curateWeightedSample,
     etlUnionSources, etlValidate, etlCleanTransform, etlQualityReport,
