@@ -15582,6 +15582,302 @@ object Queries {
         round((mxy - mx * my) * (mxy - mx * my) / ((mxx - mx * mx) * (myy - my * my)), 6) AS r2
       FROM f ORDER BY flag"""))
 
+  /** Bass diffusion fit of customer adoption: monthly new adopters
+    * n_t regressed on cumulative adopters N_{t−1} and N²_{t−1} (the
+    * discrete Bass identity n = pm + (q−p)N − (q/m)N²), solved in
+    * closed form by Cramer's rule over exact integer moments — the
+    * innovation/imitation decomposition (p, q) and implied market
+    * size m of the adoption curve. One O(months) frame; N⁴ sums ride
+    * DECIMAL(38,0) so no overflow at any scale.
+    */
+  val q259BassDiffusion: QueryDef = QueryDef("q259_bass_diffusion",
+    (s, dir) => {
+      val adopt = t(s, dir, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(min(((year(col("o_orderdate")) - 1992) * 12 +
+          month(col("o_orderdate")) - 1).cast(LongType)).as("m0"))
+        .groupBy(col("m0")).agg(count(lit(1)).as("n_new"))
+      val w = Window.orderBy(col("m0")).rowsBetween(Window.unboundedPreceding, -1)
+      val series = adopt
+        .withColumn("nprev", coalesce(sum(col("n_new")).over(w), lit(0L)))
+        .filter(col("m0") > 0)
+      val mom = series.agg(count(lit(1)).as("t"),
+        sum(col("nprev")).as("s1"),
+        sum(col("nprev") * col("nprev")).as("s2"),
+        sum((col("nprev") * col("nprev")).cast(DecimalType(38, 0)) * col("nprev")).as("s3"),
+        sum(((col("nprev") * col("nprev")).cast(DecimalType(38, 0)) *
+          col("nprev") * col("nprev"))).as("s4"),
+        sum(col("n_new")).as("sy"),
+        sum(col("n_new") * col("nprev")).as("sy1"),
+        sum((col("n_new") * col("nprev")).cast(DecimalType(38, 0)) * col("nprev")).as("sy2"))
+      val tD = col("t").cast(DoubleType)
+      val s1 = col("s1").cast(DoubleType); val s2 = col("s2").cast(DoubleType)
+      val s3 = col("s3").cast(DoubleType); val s4 = col("s4").cast(DoubleType)
+      val sy = col("sy").cast(DoubleType); val sy1 = col("sy1").cast(DoubleType)
+      val sy2 = col("sy2").cast(DoubleType)
+      // Cramer's rule on [[t,s1,s2],[s1,s2,s3],[s2,s3,s4]]·[a,b,c] = [sy,sy1,sy2]
+      val det = tD * (s2 * s4 - s3 * s3) - s1 * (s1 * s4 - s3 * s2) +
+        s2 * (s1 * s3 - s2 * s2)
+      val aN = sy * (s2 * s4 - s3 * s3) - s1 * (sy1 * s4 - s3 * sy2) +
+        s2 * (sy1 * s3 - s2 * sy2)
+      val bN = tD * (sy1 * s4 - sy2 * s3) - sy * (s1 * s4 - s3 * s2) +
+        s2 * (s1 * sy2 - s2 * sy1)
+      val cN = tD * (s2 * sy2 - s3 * sy1) - s1 * (s1 * sy2 - s3 * sy) +
+        sy * (s1 * s3 - s2 * s2)
+      val a = aN / det; val b = bN / det; val c = cN / det
+      val mroot = (-b - sqrt(greatest(b * b - lit(4.0) * a * c, lit(0.0)))) /
+        (lit(2.0) * c)
+      mom.select(col("t").as("n_months"),
+        round(a, 6).as("coef_a"), round(b, 6).as("coef_b"), round(c, 9).as("coef_c"),
+        round(mroot, 2).as("market_m"),
+        round(a / mroot, 6).as("p_innovation"),
+        round(-c * mroot, 6).as("q_imitation"))
+    },
+    Some("""WITH adopt AS (SELECT m0, COUNT(*) AS n_new FROM (
+          SELECT o_custkey, CAST(MIN((year(o_orderdate) - 1992) * 12 + month(o_orderdate) - 1) AS BIGINT) AS m0
+          FROM orders GROUP BY 1) GROUP BY 1),
+      series AS (SELECT m0, n_new,
+          COALESCE(CAST(SUM(n_new) OVER (ORDER BY m0 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS nprev
+        FROM adopt QUALIFY m0 > 0),
+      mom AS (SELECT COUNT(*) AS t,
+          CAST(SUM(nprev) AS BIGINT) AS s1,
+          CAST(SUM(nprev * nprev) AS BIGINT) AS s2,
+          CAST(SUM(CAST(nprev * nprev AS DECIMAL(38,0)) * nprev) AS DECIMAL(38,0)) AS s3,
+          CAST(SUM(CAST(nprev * nprev AS DECIMAL(38,0)) * nprev * nprev) AS DECIMAL(38,0)) AS s4,
+          CAST(SUM(n_new) AS BIGINT) AS sy,
+          CAST(SUM(n_new * nprev) AS BIGINT) AS sy1,
+          CAST(SUM(CAST(n_new * nprev AS DECIMAL(38,0)) * nprev) AS DECIMAL(38,0)) AS sy2
+        FROM series),
+      f AS (SELECT t,
+          CAST(t AS DOUBLE) AS td, CAST(s1 AS DOUBLE) AS s1, CAST(s2 AS DOUBLE) AS s2,
+          CAST(s3 AS DOUBLE) AS s3, CAST(s4 AS DOUBLE) AS s4,
+          CAST(sy AS DOUBLE) AS sy, CAST(sy1 AS DOUBLE) AS sy1, CAST(sy2 AS DOUBLE) AS sy2
+        FROM mom),
+      g AS (SELECT t,
+          (sy * (s2 * s4 - s3 * s3) - s1 * (sy1 * s4 - s3 * sy2) + s2 * (sy1 * s3 - s2 * sy2)) /
+            (td * (s2 * s4 - s3 * s3) - s1 * (s1 * s4 - s3 * s2) + s2 * (s1 * s3 - s2 * s2)) AS a,
+          (td * (sy1 * s4 - sy2 * s3) - sy * (s1 * s4 - s3 * s2) + s2 * (s1 * sy2 - s2 * sy1)) /
+            (td * (s2 * s4 - s3 * s3) - s1 * (s1 * s4 - s3 * s2) + s2 * (s1 * s3 - s2 * s2)) AS b,
+          (td * (s2 * sy2 - s3 * sy1) - s1 * (s1 * sy2 - s3 * sy) + sy * (s1 * s3 - s2 * s2)) /
+            (td * (s2 * s4 - s3 * s3) - s1 * (s1 * s4 - s3 * s2) + s2 * (s1 * s3 - s2 * s2)) AS c
+        FROM f),
+      h AS (SELECT t, a, b, c,
+          (-b - sqrt(GREATEST(b * b - 4.0 * a * c, 0.0))) / (2.0 * c) AS m
+        FROM g)
+      SELECT t AS n_months, round(a, 6) AS coef_a, round(b, 6) AS coef_b,
+        round(c, 9) AS coef_c, round(m, 2) AS market_m,
+        round(a / m, 6) AS p_innovation, round(-c * m, 6) AS q_imitation
+      FROM h"""))
+
+  /** Two-way ANOVA (returnflag × linestatus on extended price):
+    * sequential (Type I) main-effect, interaction and error sums of
+    * squares from the cell-means identities — Σ T²/n terms over the
+    * O(cells) frames minus the correction factor — with F ratios for
+    * both factors and the interaction; the factorial extension of
+    * q179's one-way F. Exact DECIMAL cell totals; all >2^53
+    * conversions through the two-step cast.
+    */
+  val q260Anova2: QueryDef = QueryDef("q260_anova2",
+    (s, dir) => {
+      def d2(c: Column): Column =
+        c.multiply(lit(100L)).cast(DecimalType(38, 0)).cast(DoubleType) / 100.0
+      val cells = t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag").as("fa"), col("l_linestatus").as("fb"))
+        .agg(count(lit(1)).as("n"), sum(dec(col("l_extendedprice"))).as("tt"),
+          sum((dec(col("l_extendedprice")) * dec(col("l_extendedprice")))
+            .cast(DecimalType(38, 4))).as("ss"))
+        .localCheckpoint(true)
+      val tot = cells.agg(sum(col("n")).as("n"), sum(col("tt")).as("g"),
+        sum(col("ss")).as("ssq"))
+      def tsq(df: DataFrame, keys: Column*): DataFrame =
+        df.groupBy(keys: _*).agg(sum(col("n")).as("ng"), sum(col("tt")).as("tg"))
+          .agg(sum(floor(d2(col("tg")) * d2(col("tg")) /
+            col("ng").cast(DoubleType) * 1.0e2 + 0.5).cast(LongType)).as("u"),
+            count(lit(1)).as("lv"))
+      val ta = tsq(cells, col("fa"))
+        .select(col("u").as("ua"), col("lv").as("la"))
+      val tb = tsq(cells, col("fb"))
+        .select(col("u").as("ub"), col("lv").as("lb"))
+      val tab = tsq(cells, col("fa"), col("fb"))
+        .select(col("u").as("uab"), col("lv").as("lab"))
+      val j = tot.crossJoin(broadcast(ta)).crossJoin(broadcast(tb))
+        .crossJoin(broadcast(tab))
+      val nD = col("n").cast(DoubleType)
+      val cf = d2(col("g")) * d2(col("g")) / nD
+      val ssqD = col("ssq").multiply(lit(10000L)).cast(DecimalType(38, 0))
+        .cast(DoubleType) / 10000.0
+      val ssa = col("ua").cast(DoubleType) / 1.0e2 - cf
+      val ssb = col("ub").cast(DoubleType) / 1.0e2 - cf
+      val ssCells = col("uab").cast(DoubleType) / 1.0e2 - cf
+      val ssab = ssCells - ssa - ssb
+      val sse = ssqD - col("uab").cast(DoubleType) / 1.0e2
+      val dfa = col("la").cast(DoubleType) - 1.0
+      val dfb = col("lb").cast(DoubleType) - 1.0
+      val dfab = dfa * dfb
+      val dfe = nD - col("lab").cast(DoubleType)
+      j.select(col("n"),
+        round(ssa / 1.0e12, 6).as("ss_a_t"),
+        round(ssb / 1.0e12, 6).as("ss_b_t"),
+        round(ssab / 1.0e12, 6).as("ss_ab_t"),
+        round(sse / 1.0e12, 6).as("ss_err_t"),
+        round((ssa / dfa) / (sse / dfe), 6).as("f_a"),
+        round((ssb / dfb) / (sse / dfe), 6).as("f_b"),
+        round((ssab / dfab) / (sse / dfe), 6).as("f_ab"))
+    },
+    Some("""WITH cells AS (SELECT l_returnflag AS fa, l_linestatus AS fb,
+          COUNT(*) AS n, SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS tt,
+          CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2)) AS DECIMAL(38,4))) AS DECIMAL(38,4)) AS ss
+        FROM lineitem GROUP BY 1, 2),
+      tot AS (SELECT CAST(SUM(n) AS BIGINT) AS n, SUM(tt) AS g, SUM(ss) AS ssq FROM cells),
+      ta AS (SELECT CAST(SUM(CAST(FLOOR(
+            (CAST(CAST(tg * 100 AS DECIMAL(38,0)) AS DOUBLE) / 100.0) *
+            (CAST(CAST(tg * 100 AS DECIMAL(38,0)) AS DOUBLE) / 100.0) / ng * 1.0e2 + 0.5) AS BIGINT)) AS BIGINT) AS ua,
+          COUNT(*) AS la
+        FROM (SELECT fa, CAST(SUM(n) AS BIGINT) AS ng, SUM(tt) AS tg FROM cells GROUP BY 1)),
+      tb AS (SELECT CAST(SUM(CAST(FLOOR(
+            (CAST(CAST(tg * 100 AS DECIMAL(38,0)) AS DOUBLE) / 100.0) *
+            (CAST(CAST(tg * 100 AS DECIMAL(38,0)) AS DOUBLE) / 100.0) / ng * 1.0e2 + 0.5) AS BIGINT)) AS BIGINT) AS ub,
+          COUNT(*) AS lb
+        FROM (SELECT fb, CAST(SUM(n) AS BIGINT) AS ng, SUM(tt) AS tg FROM cells GROUP BY 1)),
+      tab AS (SELECT CAST(SUM(CAST(FLOOR(
+            (CAST(CAST(tt * 100 AS DECIMAL(38,0)) AS DOUBLE) / 100.0) *
+            (CAST(CAST(tt * 100 AS DECIMAL(38,0)) AS DOUBLE) / 100.0) / n * 1.0e2 + 0.5) AS BIGINT)) AS BIGINT) AS uab,
+          COUNT(*) AS lab
+        FROM cells),
+      f AS (SELECT n,
+          (CAST(CAST(g * 100 AS DECIMAL(38,0)) AS DOUBLE) / 100.0) *
+          (CAST(CAST(g * 100 AS DECIMAL(38,0)) AS DOUBLE) / 100.0) / n AS cf,
+          CAST(CAST(ssq * 10000 AS DECIMAL(38,0)) AS DOUBLE) / 10000.0 AS ssq,
+          CAST(ua AS DOUBLE) / 1.0e2 AS ua, CAST(ub AS DOUBLE) / 1.0e2 AS ub,
+          CAST(uab AS DOUBLE) / 1.0e2 AS uab,
+          CAST(la AS DOUBLE) AS la, CAST(lb AS DOUBLE) AS lb, CAST(lab AS DOUBLE) AS lab
+        FROM tot CROSS JOIN ta CROSS JOIN tb CROSS JOIN tab)
+      SELECT n,
+        round((ua - cf) / 1.0e12, 6) AS ss_a_t,
+        round((ub - cf) / 1.0e12, 6) AS ss_b_t,
+        round((uab - cf - (ua - cf) - (ub - cf)) / 1.0e12, 6) AS ss_ab_t,
+        round((ssq - uab) / 1.0e12, 6) AS ss_err_t,
+        round(((ua - cf) / (la - 1.0)) / ((ssq - uab) / (n - lab)), 6) AS f_a,
+        round(((ub - cf) / (lb - 1.0)) / ((ssq - uab) / (n - lab)), 6) AS f_b,
+        round(((uab - cf - (ua - cf) - (ub - cf)) / ((la - 1.0) * (lb - 1.0))) / ((ssq - uab) / (n - lab)), 6) AS f_ab
+      FROM f"""))
+
+  /** Hilbert-curve layout key on the 16×16 (quantity-bin, price-bin)
+    * grid — the locality-preserving sibling of q36's Z-order writer
+    * (Hilbert has no Z-curve "jumps": consecutive indices are always
+    * grid-adjacent, so range scans touch fewer tiles at 100 TB). The
+    * order-4 xy→d walk is 4 unrolled rotate-and-accumulate levels of
+    * pure integer arithmetic, identical in both engines; output is
+    * the populated-cell census in Hilbert order.
+    */
+  val q261Hilbert: QueryDef = QueryDef("q261_hilbert",
+    (s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val bounds = li.agg(min(dec(col("l_extendedprice"))).as("plo"),
+        max(dec(col("l_extendedprice"))).as("phi"))
+      val cells = li.crossJoin(broadcast(bounds))
+        .withColumn("x", least(floor((col("l_quantity").cast(LongType) - 1) * 16 / 50)
+          .cast(LongType), lit(15L)))
+        .withColumn("y", least(floor(
+          (dec(col("l_extendedprice")) - col("plo")).cast(DoubleType) * 16.0 /
+            (col("phi") - col("plo") + lit(0.01)).cast(DoubleType)).cast(LongType),
+          lit(15L)))
+        .groupBy(col("x"), col("y")).agg(count(lit(1)).as("cnt"))
+      var d = lit(0L); var xx = col("x"); var yy = col("y")
+      for (sLev <- Seq(8L, 4L, 2L, 1L)) {
+        val rx = (xx / sLev % 2).cast(LongType)
+        val ry = (yy / sLev % 2).cast(LongType)
+        d = d + lit(sLev * sLev) * ((lit(3L) * rx).bitwiseXOR(ry))
+        val nx = when(ry === 0, when(rx === 1, lit(15L) - yy).otherwise(yy))
+          .otherwise(xx)
+        val ny = when(ry === 0, when(rx === 1, lit(15L) - xx).otherwise(xx))
+          .otherwise(yy)
+        xx = nx; yy = ny
+      }
+      cells.withColumn("hilbert_d", d)
+        .select(col("x").as("q_bin"), col("y").as("p_bin"), col("cnt"),
+          col("hilbert_d"))
+        .orderBy(col("hilbert_d"), col("q_bin"), col("p_bin"))
+    },
+    Some {
+      def lev(prev: String, out: String, sl: Long): String =
+        s"""$out AS (SELECT q_bin, p_bin, cnt,
+          d + ${sl * sl} * xor(3 * ((x // $sl) % 2), (y // $sl) % 2) AS d,
+          CASE WHEN (y // $sl) % 2 = 0 THEN
+            CASE WHEN (x // $sl) % 2 = 1 THEN 15 - y ELSE y END
+          ELSE x END AS x,
+          CASE WHEN (y // $sl) % 2 = 0 THEN
+            CASE WHEN (x // $sl) % 2 = 1 THEN 15 - x ELSE x END
+          ELSE y END AS y
+        FROM $prev)"""
+      s"""WITH b AS (SELECT MIN(CAST(l_extendedprice AS DECIMAL(12,2))) AS plo,
+          MAX(CAST(l_extendedprice AS DECIMAL(12,2))) AS phi FROM lineitem),
+      cells AS (SELECT x, y, COUNT(*) AS cnt FROM (
+          SELECT LEAST(CAST(FLOOR((CAST(l_quantity AS BIGINT) - 1) * 16 / 50) AS BIGINT), 15) AS x,
+            LEAST(CAST(FLOOR(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) - plo AS DOUBLE) * 16.0 /
+              CAST(phi - plo + 0.01 AS DOUBLE)) AS BIGINT), 15) AS y
+          FROM lineitem CROSS JOIN b)
+        GROUP BY 1, 2),
+      l0 AS (SELECT x AS q_bin, y AS p_bin, cnt, CAST(0 AS BIGINT) AS d, x, y FROM cells),
+      ${lev("l0", "l1", 8L)},
+      ${lev("l1", "l2", 4L)},
+      ${lev("l2", "l3", 2L)},
+      ${lev("l3", "l4", 1L)}
+      SELECT q_bin, p_bin, cnt, d AS hilbert_d
+      FROM l4 ORDER BY hilbert_d, q_bin, p_bin"""
+    })
+
+  /** Seasonal Mann–Kendall trend test on daily revenue: Kendall's S
+    * computed within each weekday season (so the weekly cycle can't
+    * masquerade as trend), summed across seasons with the closed-form
+    * variance Σ n_s(n_s−1)(2n_s+5)/18 — the nonparametric "is revenue
+    * drifting" monitor beside q93's single-series tau. Pair counting
+    * runs on the O(days²/7) calendar-bounded self-join of the daily
+    * frame — cost independent of fact rows.
+    */
+  val q262SeasonalMk: QueryDef = QueryDef("q262_seasonal_mk",
+    (s, dir) => {
+      val daily = t(s, dir, "lineitem")
+        .filter(year(col("l_shipdate")).between(1995, 1996))
+        .groupBy(datediff(col("l_shipdate"), lit("1992-01-01").cast(DateType))
+          .cast(LongType).as("d"))
+        .agg(sum(dec(col("l_extendedprice"))).cast(DecimalType(18, 2)).as("rev"))
+        .withColumn("dow", col("d") % 7)
+        .localCheckpoint(true)
+      val b = daily.select(col("dow").as("dow2"), col("d").as("d2"), col("rev").as("rev2"))
+      val sPairs = daily.join(b, col("dow") === col("dow2") && col("d2") > col("d"))
+        .agg(sum(when(col("rev2") > col("rev"), 1L)
+          .when(col("rev2") < col("rev"), -1L).otherwise(0L)).as("s"))
+      val varS = daily.groupBy(col("dow")).agg(count(lit(1)).as("ns"))
+        .agg(sum(col("ns")).as("n"),
+          sum(col("ns") * (col("ns") - 1) * (lit(2L) * col("ns") + 5L)).as("v18"))
+      sPairs.crossJoin(broadcast(varS))
+        .withColumn("vs", col("v18").cast(DoubleType) / 18.0)
+        .withColumn("z",
+          when(col("s") > 0, (col("s").cast(DoubleType) - 1.0) / sqrt(col("vs")))
+            .when(col("s") < 0, (col("s").cast(DoubleType) + 1.0) / sqrt(col("vs")))
+            .otherwise(lit(0.0)))
+        .select(col("n").as("n_days"), col("s").as("mk_s"),
+          round(col("vs"), 2).as("var_s"), round(col("z"), 6).as("z"))
+    },
+    Some("""WITH d AS (SELECT
+          CAST(datediff('day', DATE '1992-01-01', CAST(l_shipdate AS DATE)) AS BIGINT) AS d,
+          CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS rev
+        FROM lineitem WHERE year(l_shipdate) BETWEEN 1995 AND 1996 GROUP BY 1),
+      w AS (SELECT d, rev, d % 7 AS dow FROM d),
+      sp AS (SELECT CAST(SUM(CASE WHEN b.rev > a.rev THEN 1
+            WHEN b.rev < a.rev THEN -1 ELSE 0 END) AS BIGINT) AS s
+        FROM w a JOIN w b ON a.dow = b.dow AND b.d > a.d),
+      vs AS (SELECT CAST(SUM(ns) AS BIGINT) AS n,
+          CAST(SUM(ns * (ns - 1) * (2 * ns + 5)) AS BIGINT) AS v18
+        FROM (SELECT dow, COUNT(*) AS ns FROM w GROUP BY 1))
+      SELECT n AS n_days, s AS mk_s,
+        round(CAST(v18 AS DOUBLE) / 18.0, 2) AS var_s,
+        round(CASE WHEN s > 0 THEN (CAST(s AS DOUBLE) - 1.0) / sqrt(CAST(v18 AS DOUBLE) / 18.0)
+          WHEN s < 0 THEN (CAST(s AS DOUBLE) + 1.0) / sqrt(CAST(v18 AS DOUBLE) / 18.0)
+          ELSE 0.0 END, 6) AS z
+      FROM sp CROSS JOIN vs"""))
+
   val all: Seq[QueryDef] = Seq(
     q1Agg, q2Filter, q3Join, q4Semi, q5Multi, q6Window, q7TopK, q8Distinct,
     q9Rollup, q10Pivot, q11Anti, q12Expr, q13Percentiles, q14Subquery,
@@ -15650,6 +15946,7 @@ object Queries {
     q246Hbos, q247Cronbach, q248Icc, etlDpRelease, etlBlockingQuality,
     q249ShapleyAttribution, q250Huber, q251Tsb, q252Nrr, q253Fleiss,
     q254JarqueBera, q255PageTrend, q256Jonckheere, q257Weibull, q258MarketModel,
+    q259BassDiffusion, q260Anova2, q261Hilbert, q262SeasonalMk,
     etlMergeUpsert, etlConstraints, etlProvenance,
     graphPageRank, curateWeightedSample,
     etlUnionSources, etlValidate, etlCleanTransform, etlQualityReport,
