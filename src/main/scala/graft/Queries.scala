@@ -15878,6 +15878,349 @@ object Queries {
           ELSE 0.0 END, 6) AS z
       FROM sp CROSS JOIN vs"""))
 
+  /** Laspeyres / Paasche / Fisher price indices vs the 1995 base
+    * year: per-part unit prices as 1e-6-pinned integer rationals
+    * (Σ cents·1e6 div Σ qty), base- and current-quantity weighted
+    * baskets over parts present in both periods, and the Fisher
+    * geometric mean — the classic index-number triad, all sums exact
+    * DECIMAL until one final division per index.
+    */
+  val q263PriceIndex: QueryDef = QueryDef("q263_price_index",
+    (s, dir) => {
+      val pp = t(s, dir, "lineitem")
+        .filter(year(col("l_shipdate")).between(1995, 1997))
+        .groupBy(col("l_partkey").as("pk"), year(col("l_shipdate")).as("yr"))
+        .agg(sum((dec(col("l_extendedprice")) * 100).cast(DecimalType(20, 0)))
+          .cast(LongType).as("cents"),
+          sum(col("l_quantity").cast(DecimalType(12, 0))).cast(LongType).as("qty"))
+        .withColumn("p_u", expr("(cents * 10000L) div qty"))
+        .localCheckpoint(true)
+      val base = pp.filter(col("yr") === 1995)
+        .select(col("pk"), col("p_u").as("p0"), col("qty").as("q0"))
+      val curr = pp.filter(col("yr") > 1995)
+      val j = curr.join(base, Seq("pk"))
+      j.groupBy(col("yr"))
+        .agg(count(lit(1)).as("n_parts"),
+          sum((col("p_u") * col("q0")).cast(DecimalType(38, 0))).as("ptq0"),
+          sum((col("p0") * col("q0")).cast(DecimalType(38, 0))).as("p0q0"),
+          sum((col("p_u") * col("qty")).cast(DecimalType(38, 0))).as("ptqt"),
+          sum((col("p0") * col("qty")).cast(DecimalType(38, 0))).as("p0qt"))
+        .withColumn("laspeyres", col("ptq0").cast(DoubleType) / col("p0q0").cast(DoubleType))
+        .withColumn("paasche", col("ptqt").cast(DoubleType) / col("p0qt").cast(DoubleType))
+        .select(col("yr").as("year"), col("n_parts"),
+          round(col("laspeyres"), 6).as("laspeyres"),
+          round(col("paasche"), 6).as("paasche"),
+          round(sqrt(col("laspeyres") * col("paasche")), 6).as("fisher"))
+        .orderBy(col("year"))
+    },
+    Some("""WITH pp AS (SELECT l_partkey AS pk, year(l_shipdate) AS yr,
+          (CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS DECIMAL(20,0))) AS BIGINT) * 10000)
+            // CAST(SUM(CAST(l_quantity AS DECIMAL(12,0))) AS BIGINT) AS p_u,
+          CAST(SUM(CAST(l_quantity AS DECIMAL(12,0))) AS BIGINT) AS qty
+        FROM lineitem WHERE year(l_shipdate) BETWEEN 1995 AND 1997 GROUP BY 1, 2),
+      base AS (SELECT pk, p_u AS p0, qty AS q0 FROM pp WHERE yr = 1995),
+      j AS (SELECT c.yr, c.p_u, c.qty, b.p0, b.q0
+        FROM pp c JOIN base b USING (pk) WHERE c.yr > 1995),
+      agg AS (SELECT yr, COUNT(*) AS n_parts,
+          CAST(SUM(CAST(p_u AS DECIMAL(19,0)) * q0) AS DECIMAL(38,0)) AS ptq0,
+          CAST(SUM(CAST(p0 AS DECIMAL(19,0)) * q0) AS DECIMAL(38,0)) AS p0q0,
+          CAST(SUM(CAST(p_u AS DECIMAL(19,0)) * qty) AS DECIMAL(38,0)) AS ptqt,
+          CAST(SUM(CAST(p0 AS DECIMAL(19,0)) * qty) AS DECIMAL(38,0)) AS p0qt
+        FROM j GROUP BY 1)
+      SELECT yr AS year, n_parts,
+        round(CAST(ptq0 AS DOUBLE) / CAST(p0q0 AS DOUBLE), 6) AS laspeyres,
+        round(CAST(ptqt AS DOUBLE) / CAST(p0qt AS DOUBLE), 6) AS paasche,
+        round(sqrt((CAST(ptq0 AS DOUBLE) / CAST(p0q0 AS DOUBLE)) *
+          (CAST(ptqt AS DOUBLE) / CAST(p0qt AS DOUBLE))), 6) AS fisher
+      FROM agg ORDER BY year"""))
+
+  /** Newsvendor stocking quantiles from the weekly total-demand
+    * census: for critical ratios 50/80/95% the optimal order-up-to
+    * quantity is the smallest demand level whose cumulative count
+    * clears ratio·n (exact integer cross-compare), with the expected
+    * shortfall and overage at that Q as exact integer census sums —
+    * the inventory-planning readout on top of the distribution
+    * machinery, all O(distinct weekly demands).
+    */
+  val q264Newsvendor: QueryDef = QueryDef("q264_newsvendor",
+    (s, dir) => {
+      val weekly = t(s, dir, "lineitem")
+        .groupBy(date_trunc("week", col("l_shipdate")).as("wk"))
+        .agg(sum(col("l_quantity").cast(DecimalType(12, 0))).cast(LongType).as("d"))
+      val census = weekly.groupBy(col("d")).agg(count(lit(1)).as("c"))
+        .localCheckpoint(true)
+      val n = census.agg(sum(col("c")).as("n"))
+      val wc = Window.orderBy(col("d")).rowsBetween(Window.unboundedPreceding, 0)
+      val cum = census.withColumn("cumc", sum(col("c")).over(wc))
+        .crossJoin(broadcast(n))
+      val ratios = census.sparkSession.range(1)
+        .select(explode(array(lit(50L), lit(80L), lit(95L))).as("r"))
+      val qstar = cum.crossJoin(broadcast(ratios))
+        .filter(col("cumc") * 100 >= col("r") * col("n"))
+        .groupBy(col("r")).agg(min(col("d")).as("q_star"), max(col("n")).as("n"))
+      val exp = qstar.join(census.select(col("d").as("d2"), col("c").as("c2")),
+          lit(true), "cross")
+        .groupBy(col("r"), col("q_star"), col("n"))
+        .agg(sum(when(col("d2") > col("q_star"),
+          (col("d2") - col("q_star")) * col("c2")).otherwise(0L)).as("short_sum"),
+          sum(when(col("d2") < col("q_star"),
+            (col("q_star") - col("d2")) * col("c2")).otherwise(0L)).as("over_sum"),
+          sum(when(col("d2") <= col("q_star"), col("c2")).otherwise(0L)).as("served"))
+      exp.select(col("r").as("critical_ratio_pct"), col("q_star"),
+        round(col("short_sum").cast(DoubleType) / col("n").cast(DoubleType), 4)
+          .as("expected_shortfall"),
+        round(col("over_sum").cast(DoubleType) / col("n").cast(DoubleType), 4)
+          .as("expected_overage"),
+        round(col("served").cast(DoubleType) / col("n").cast(DoubleType), 6)
+          .as("achieved_service"))
+        .orderBy(col("critical_ratio_pct"))
+    },
+    Some("""WITH weekly AS (SELECT date_trunc('week', l_shipdate) AS wk,
+          CAST(SUM(CAST(l_quantity AS DECIMAL(12,0))) AS BIGINT) AS d
+        FROM lineitem GROUP BY 1),
+      census AS (SELECT d, COUNT(*) AS c FROM weekly GROUP BY 1),
+      n AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM census),
+      cum AS (SELECT d, c,
+          CAST(SUM(c) OVER (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cumc
+        FROM census),
+      ratios AS (SELECT UNNEST([50, 80, 95]) AS r),
+      qstar AS (SELECT r, MIN(d) AS q_star, MAX(n) AS n
+        FROM cum CROSS JOIN n CROSS JOIN ratios
+        WHERE cumc * 100 >= r * n GROUP BY 1),
+      e AS (SELECT r, q_star, n,
+          CAST(SUM(CASE WHEN d > q_star THEN (d - q_star) * c ELSE 0 END) AS BIGINT) AS short_sum,
+          CAST(SUM(CASE WHEN d < q_star THEN (q_star - d) * c ELSE 0 END) AS BIGINT) AS over_sum,
+          CAST(SUM(CASE WHEN d <= q_star THEN c ELSE 0 END) AS BIGINT) AS served
+        FROM qstar CROSS JOIN census GROUP BY 1, 2, 3)
+      SELECT r AS critical_ratio_pct, q_star,
+        round(CAST(short_sum AS DOUBLE) / n, 4) AS expected_shortfall,
+        round(CAST(over_sum AS DOUBLE) / n, 4) AS expected_overage,
+        round(CAST(served AS DOUBLE) / n, 6) AS achieved_service
+      FROM e ORDER BY critical_ratio_pct"""))
+
+  /** ABC × XYZ planning matrix: q163's cumulative-revenue value
+    * classes crossed with q231's demand-variability classes into the
+    * 9-cell inventory-policy census (AX = automate, CZ = make to
+    * order) — both classifications re-derived with their original
+    * exact arithmetic, joined on the part key, one output row per
+    * occupied cell.
+    */
+  val q265AbcXyz: QueryDef = QueryDef("q265_abc_xyz",
+    (s, dir) => {
+      val rev = t(s, dir, "lineitem")
+        .groupBy(col("l_partkey"))
+        .agg(sum(dec(col("l_extendedprice"))).as("rev"))
+      val tot = rev.agg(sum(col("rev")).as("total"))
+      val w = Window.orderBy(desc("rev"), col("l_partkey"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val abc = rev.crossJoin(broadcast(tot))
+        .withColumn("cum", sum(col("rev")).over(w))
+        .withColumn("abc",
+          when(col("cum") * 100 <= col("total") * 80, "A")
+            .when(col("cum") * 100 <= col("total") * 95, "B")
+            .otherwise("C"))
+        .select(col("l_partkey"), col("abc"), col("rev"), col("total"))
+      val weekly = t(s, dir, "lineitem")
+        .groupBy(col("l_partkey"), date_trunc("week", col("l_shipdate")).as("wk"))
+        .agg(sum(dec(col("l_quantity"))).as("q"))
+      val nD = col("nw").cast(DoubleType)
+      val mean = col("sq").cast(DoubleType) / nD
+      val xyz = weekly.groupBy(col("l_partkey"))
+        .agg(count(lit(1)).as("nw"), sum(col("q")).as("sq"),
+          sum(col("q") * col("q")).as("sqq"))
+        .filter(col("nw") >= 4)
+        .withColumn("cv", sqrt((col("sqq").cast(DoubleType) - nD * mean * mean) /
+          (nD - 1.0)) / mean)
+        .withColumn("xyz", when(col("cv") < 0.5, "X")
+          .when(col("cv") < 1.0, "Y").otherwise("Z"))
+        .select(col("l_partkey"), col("xyz"))
+      abc.join(xyz, Seq("l_partkey"))
+        .groupBy(col("abc"), col("xyz"))
+        .agg(count(lit(1)).as("n_parts"),
+          round(sum(col("rev")).cast(DoubleType) /
+            max(col("total")).cast(DoubleType), 6).as("rev_share"))
+        .orderBy(col("abc"), col("xyz"))
+    },
+    Some("""WITH rev AS (SELECT l_partkey, SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS rev
+        FROM lineitem GROUP BY 1),
+      tot AS (SELECT SUM(rev) AS total FROM rev),
+      abc AS (SELECT l_partkey, rev, total,
+          CASE WHEN SUM(rev) OVER (ORDER BY rev DESC, l_partkey
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) * 100 <= total * 80 THEN 'A'
+            WHEN SUM(rev) OVER (ORDER BY rev DESC, l_partkey
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) * 100 <= total * 95 THEN 'B'
+            ELSE 'C' END AS abc
+        FROM rev CROSS JOIN tot),
+      weekly AS (SELECT l_partkey, date_trunc('week', l_shipdate) AS wk,
+          SUM(CAST(l_quantity AS DECIMAL(12,2))) AS q
+        FROM lineitem GROUP BY 1, 2),
+      xyz AS (SELECT l_partkey,
+          CASE WHEN sqrt((CAST(sqq AS DOUBLE) - nw * (CAST(sq AS DOUBLE) / nw) * (CAST(sq AS DOUBLE) / nw)) / (nw - 1.0))
+              / (CAST(sq AS DOUBLE) / nw) < 0.5 THEN 'X'
+            WHEN sqrt((CAST(sqq AS DOUBLE) - nw * (CAST(sq AS DOUBLE) / nw) * (CAST(sq AS DOUBLE) / nw)) / (nw - 1.0))
+              / (CAST(sq AS DOUBLE) / nw) < 1.0 THEN 'Y'
+            ELSE 'Z' END AS xyz
+        FROM (SELECT l_partkey, COUNT(*) AS nw, SUM(q) AS sq, SUM(q * q) AS sqq
+          FROM weekly GROUP BY 1)
+        WHERE nw >= 4)
+      SELECT abc, xyz, COUNT(*) AS n_parts,
+        round(CAST(SUM(rev) AS DOUBLE) / CAST(MAX(total) AS DOUBLE), 6) AS rev_share
+      FROM abc JOIN xyz USING (l_partkey)
+      GROUP BY 1, 2 ORDER BY 1, 2"""))
+
+  /** Two-sample Cramér–von Mises test (A-returns vs R-returns on
+    * extended price): T = nm/N²·Σ over all N observations of
+    * (F_n−G_m)², computed on the collapsed value census with
+    * cross-multiplied integer ECDF numerators — the whole-curve
+    * companion to q125's sup-norm KS (CvM weighs EVERY gap, not just
+    * the worst one). DECIMAL-routed c·d² sums; O(distinct values).
+    */
+  val q266CramerVonMises: QueryDef = QueryDef("q266_cramer_von_mises",
+    (s, dir) => {
+      val li = t(s, dir, "lineitem").filter(col("l_returnflag").isin("A", "R"))
+        .select(dec(col("l_extendedprice")).as("v"),
+          (col("l_returnflag") === "A").as("isx"))
+      val census = li.groupBy(col("v"))
+        .agg(count(lit(1)).as("c"), sum(when(col("isx"), 1L).otherwise(0L)).as("cx"))
+      val wc = Window.orderBy(col("v")).rowsBetween(Window.unboundedPreceding, 0)
+      val tot = census.agg(sum(col("c")).as("nn"), sum(col("cx")).as("n"))
+      val terms = census
+        .withColumn("cumA", sum(col("cx")).over(wc))
+        .withColumn("cumN", sum(col("c")).over(wc))
+        .crossJoin(broadcast(tot))
+        .withColumn("m", col("nn") - col("n"))
+        .withColumn("dnum", col("cumA") * col("m") -
+          (col("cumN") - col("cumA")) * col("n"))
+        .withColumn("term", (col("c").cast(DecimalType(19, 0)) *
+          col("dnum") * col("dnum")).cast(DecimalType(38, 0)))
+      terms.groupBy(col("n"), col("m"), col("nn"))
+        .agg(sum(col("term")).as("st"))
+        .select(col("n"), col("m"),
+          round(col("st").cast(DoubleType) /
+            (col("n").cast(DoubleType) * col("m").cast(DoubleType)) /
+            (col("n").cast(DoubleType) * col("m").cast(DoubleType)) *
+            (col("n").cast(DoubleType) * col("m").cast(DoubleType) /
+              (col("nn").cast(DoubleType) * col("nn").cast(DoubleType))), 6)
+            .as("cvm_t"))
+    },
+    Some("""WITH li AS (SELECT CAST(l_extendedprice AS DECIMAL(12,2)) AS v,
+          (l_returnflag = 'A') AS isx
+        FROM lineitem WHERE l_returnflag IN ('A', 'R')),
+      census AS (SELECT v, COUNT(*) AS c,
+          CAST(SUM(CASE WHEN isx THEN 1 ELSE 0 END) AS BIGINT) AS cx
+        FROM li GROUP BY 1),
+      tot AS (SELECT CAST(SUM(c) AS BIGINT) AS nn, CAST(SUM(cx) AS BIGINT) AS n FROM census),
+      terms AS (SELECT c,
+          cumA * (nn - n) - (cumN - cumA) * n AS dnum, n, nn - n AS m, nn
+        FROM (SELECT c, cx, n, nn,
+            CAST(SUM(cx) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cumA,
+            CAST(SUM(c) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cumN
+          FROM census CROSS JOIN tot)),
+      agg AS (SELECT n, m, nn,
+          CAST(SUM(CAST(CAST(c AS DECIMAL(19,0)) * dnum * dnum AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS st
+        FROM terms GROUP BY 1, 2, 3)
+      SELECT n, m,
+        round(CAST(st AS DOUBLE) / (CAST(n AS DOUBLE) * m) / (CAST(n AS DOUBLE) * m) *
+          (CAST(n AS DOUBLE) * m / (CAST(nn AS DOUBLE) * nn)), 6) AS cvm_t
+      FROM agg"""))
+
+  /** Rank-biased overlap (p = 0.9) between the 1995 and 1996 top-20
+    * revenue part rankings: agreement-at-depth from each common
+    * part's max(rank₁, rank₂), geometric depth weights from ONE
+    * runtime power table the oracle embeds verbatim (the q244
+    * toString trick) — the top-weighted "did my top-k list change"
+    * stability metric that Kendall/Spearman (whole-permutation) and
+    * plain overlap (unweighted) both miss.
+    */
+  val q267Rbo: QueryDef = QueryDef("q267_rbo",
+    (s, dir) => {
+      import s.implicits._
+      val k = 20
+      val powers = (1 to k).map(d => (d.toLong, math.pow(0.9, d)))
+        .toDF("depth", "wp")
+      def topk(yr: Int): DataFrame = t(s, dir, "lineitem")
+        .filter(year(col("l_shipdate")) === yr)
+        .groupBy(col("l_partkey"))
+        .agg(sum(dec(col("l_extendedprice"))).as("rev"))
+        .withColumn("r", row_number().over(Window.orderBy(desc("rev"), col("l_partkey"))))
+        .filter(col("r") <= k)
+        .select(col("l_partkey"), col("r"))
+      val a = topk(1995); val b = topk(1996).select(col("l_partkey"), col("r").as("r2"))
+      val common = a.join(b, Seq("l_partkey"))
+        .select(greatest(col("r"), col("r2")).as("dmin"))
+      val agree = common.crossJoin(broadcast(powers))
+        .filter(col("dmin") <= col("depth"))
+        .groupBy(col("depth"), col("wp")).agg(count(lit(1)).as("xd"))
+      val sums = agree
+        .agg(sum(floor(col("xd").cast(DoubleType) / col("depth").cast(DoubleType) *
+          col("wp") * 1.0e12 + 0.5).cast(LongType)).as("su"),
+          max(when(col("depth") === k, col("xd"))).as("xk"))
+      sums.select(lit(k.toLong).as("k"),
+        coalesce(col("xk"), lit(0L)).as("overlap_at_k"),
+        round((lit(1.0) - 0.9) / 0.9 * (col("su").cast(DoubleType) / 1.0e12) +
+          coalesce(col("xk"), lit(0L)).cast(DoubleType) / k *
+            lit(math.pow(0.9, k)), 6).as("rbo"))
+    },
+    Some {
+      val powersSql = (1 to 20).map(d => s"($d, ${math.pow(0.9, d)})").mkString(", ")
+      s"""WITH powers(depth, wp) AS (VALUES $powersSql),
+      a AS (SELECT l_partkey, ROW_NUMBER() OVER (ORDER BY rev DESC, l_partkey) AS r
+        FROM (SELECT l_partkey, SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS rev
+          FROM lineitem WHERE year(l_shipdate) = 1995 GROUP BY 1)
+        QUALIFY r <= 20),
+      b AS (SELECT l_partkey, ROW_NUMBER() OVER (ORDER BY rev DESC, l_partkey) AS r2
+        FROM (SELECT l_partkey, SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS rev
+          FROM lineitem WHERE year(l_shipdate) = 1996 GROUP BY 1)
+        QUALIFY r2 <= 20),
+      common AS (SELECT GREATEST(a.r, b.r2) AS dmin FROM a JOIN b USING (l_partkey)),
+      agree AS (SELECT depth, wp, COUNT(*) AS xd
+        FROM common CROSS JOIN powers WHERE dmin <= depth GROUP BY 1, 2),
+      sums AS (SELECT
+          CAST(SUM(CAST(FLOOR(CAST(xd AS DOUBLE) / depth * wp * 1.0e12 + 0.5) AS BIGINT)) AS BIGINT) AS su,
+          MAX(CASE WHEN depth = 20 THEN xd END) AS xk
+        FROM agree)
+      SELECT 20 AS k, COALESCE(xk, 0) AS overlap_at_k,
+        round((1.0 - 0.9) / 0.9 * (CAST(su AS DOUBLE) / 1.0e12) +
+          CAST(COALESCE(xk, 0) AS DOUBLE) / 20 * ${math.pow(0.9, 20)}, 6) AS rbo
+      FROM sums"""
+    })
+
+  /** Yule's K lexical-repetitiveness characteristic per source:
+    * K = 10⁴·(Σ m²·V_m − N)/N² over the frequency-of-frequencies
+    * spectrum (the text_good_turing frame) — size-invariant where
+    * plain type/token ratios are not, the stylometric constant of
+    * the corpus. Pure integer spectrum sums; O(distinct counts).
+    */
+  val textYuleK: QueryDef = QueryDef("text_yule_k",
+    (s, dir) => {
+      val w = split(regexp_replace(lower(trim(col("text"))), "\\s+", " "), " ")
+      val toks = t(s, dir, "documents")
+        .select(col("source"), explode(w).as("tk"))
+      val freq = toks.groupBy(col("source"), col("tk")).agg(count(lit(1)).as("m"))
+      val spec = freq.groupBy(col("source"), col("m")).agg(count(lit(1)).as("vm"))
+      spec.groupBy(col("source"))
+        .agg(sum(col("m") * col("vm")).as("n_tokens"),
+          sum(col("vm")).as("n_types"),
+          sum((col("m") * col("m")).cast(DecimalType(38, 0)) * col("vm")).as("sm2"))
+        .select(col("source"), col("n_tokens"), col("n_types"),
+          round(lit(10000.0) * (col("sm2").cast(DoubleType) -
+            col("n_tokens").cast(DoubleType)) /
+            (col("n_tokens").cast(DoubleType) * col("n_tokens").cast(DoubleType)), 6)
+            .as("yule_k"))
+        .orderBy(col("source"))
+    },
+    Some("""WITH tok AS (SELECT source,
+          unnest(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS tk
+        FROM documents),
+      freq AS (SELECT source, tk, COUNT(*) AS m FROM tok GROUP BY 1, 2),
+      spec AS (SELECT source, m, COUNT(*) AS vm FROM freq GROUP BY 1, 2)
+      SELECT source,
+        CAST(SUM(m * vm) AS BIGINT) AS n_tokens,
+        CAST(SUM(vm) AS BIGINT) AS n_types,
+        round(10000.0 * (CAST(SUM(CAST(m * m AS DECIMAL(38,0)) * vm) AS DOUBLE) - SUM(m * vm)) /
+          (CAST(SUM(m * vm) AS DOUBLE) * SUM(m * vm)), 6) AS yule_k
+      FROM spec GROUP BY 1 ORDER BY 1"""))
+
   val all: Seq[QueryDef] = Seq(
     q1Agg, q2Filter, q3Join, q4Semi, q5Multi, q6Window, q7TopK, q8Distinct,
     q9Rollup, q10Pivot, q11Anti, q12Expr, q13Percentiles, q14Subquery,
@@ -15947,6 +16290,7 @@ object Queries {
     q249ShapleyAttribution, q250Huber, q251Tsb, q252Nrr, q253Fleiss,
     q254JarqueBera, q255PageTrend, q256Jonckheere, q257Weibull, q258MarketModel,
     q259BassDiffusion, q260Anova2, q261Hilbert, q262SeasonalMk,
+    q263PriceIndex, q264Newsvendor, q265AbcXyz, q266CramerVonMises, q267Rbo, textYuleK,
     etlMergeUpsert, etlConstraints, etlProvenance,
     graphPageRank, curateWeightedSample,
     etlUnionSources, etlValidate, etlCleanTransform, etlQualityReport,
