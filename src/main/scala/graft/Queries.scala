@@ -16221,6 +16221,326 @@ object Queries {
           (CAST(SUM(m * vm) AS DOUBLE) * SUM(m * vm)), 6) AS yule_k
       FROM spec GROUP BY 1 ORDER BY 1"""))
 
+  /** Distribution-distance panel between the 1995 and 1996 order
+    * totals: total variation, Hellinger and Bhattacharyya over 20
+    * equal-width bins — three different sensitivities in ONE census
+    * pass (TV = worst-case probability gap, Hellinger = curvature
+    * near disagreement, Bhattacharyya = overlap mass), the
+    * multi-metric companion to the single-number q61 PSI / q125 KS /
+    * q266 CvM family. Cross-multiplied integer TV; sqrt terms pinned
+    * 1e-9 per bin.
+    */
+  val q268DistDistancePanel: QueryDef = QueryDef("q268_dist_distance_panel",
+    (s, dir) => {
+      val o = t(s, dir, "orders").filter(year(col("o_orderdate")).isin(1995, 1996))
+        .select((year(col("o_orderdate")) === 1995).as("isa"),
+          dec(col("o_totalprice")).as("v"))
+      val bounds = o.agg(min(col("v")).as("lo"), max(col("v")).as("hi"))
+      val binned = o.crossJoin(broadcast(bounds))
+        .withColumn("bin", least(floor((col("v") - col("lo")).cast(DoubleType) * 20.0 /
+          (col("hi") - col("lo") + lit(0.01)).cast(DoubleType)).cast(LongType), lit(19L)))
+        .groupBy(col("bin"))
+        .agg(sum(when(col("isa"), 1L).otherwise(0L)).as("ca"),
+          sum(when(!col("isa"), 1L).otherwise(0L)).as("cb"))
+      val tot = binned.agg(sum(col("ca")).as("na"), sum(col("cb")).as("nb"))
+      val terms = binned.crossJoin(broadcast(tot))
+        .withColumn("tvnum", abs(col("ca") * col("nb") - col("cb") * col("na")))
+        .withColumn("bc_u", floor(sqrt(
+          (col("ca").cast(DoubleType) / col("na").cast(DoubleType)) *
+            (col("cb").cast(DoubleType) / col("nb").cast(DoubleType))) * 1.0e9 + 0.5)
+          .cast(LongType))
+      terms.groupBy(col("na"), col("nb"))
+        .agg(sum(col("tvnum")).as("stv"), sum(col("bc_u")).as("sbc"),
+          count(lit(1)).as("n_bins"))
+        .select(col("na"), col("nb"), col("n_bins"),
+          round(col("stv").cast(DoubleType) /
+            (col("na").cast(DoubleType) * col("nb").cast(DoubleType)) / 2.0, 6)
+            .as("total_variation"),
+          round(col("sbc").cast(DoubleType) / 1.0e9, 6).as("bhattacharyya"),
+          round(sqrt(greatest(lit(1.0) - col("sbc").cast(DoubleType) / 1.0e9,
+            lit(0.0))), 6).as("hellinger"))
+    },
+    Some("""WITH o AS (SELECT (year(o_orderdate) = 1995) AS isa,
+          CAST(o_totalprice AS DECIMAL(12,2)) AS v
+        FROM orders WHERE year(o_orderdate) IN (1995, 1996)),
+      b AS (SELECT MIN(v) AS lo, MAX(v) AS hi FROM o),
+      binned AS (SELECT LEAST(CAST(FLOOR(CAST(v - lo AS DOUBLE) * 20.0 /
+            CAST(hi - lo + 0.01 AS DOUBLE)) AS BIGINT), 19) AS bin,
+          CAST(SUM(CASE WHEN isa THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+          CAST(SUM(CASE WHEN isa THEN 0 ELSE 1 END) AS BIGINT) AS cb
+        FROM o CROSS JOIN b GROUP BY 1),
+      tot AS (SELECT CAST(SUM(ca) AS BIGINT) AS na, CAST(SUM(cb) AS BIGINT) AS nb FROM binned),
+      terms AS (SELECT na, nb,
+          ABS(ca * nb - cb * na) AS tvnum,
+          CAST(FLOOR(sqrt((CAST(ca AS DOUBLE) / na) * (CAST(cb AS DOUBLE) / nb)) * 1.0e9 + 0.5) AS BIGINT) AS bc_u
+        FROM binned CROSS JOIN tot)
+      SELECT na, nb, COUNT(*) AS n_bins,
+        round(CAST(SUM(tvnum) AS DOUBLE) / (CAST(na AS DOUBLE) * nb) / 2.0, 6) AS total_variation,
+        round(CAST(SUM(bc_u) AS DOUBLE) / 1.0e9, 6) AS bhattacharyya,
+        round(sqrt(GREATEST(1.0 - CAST(SUM(bc_u) AS DOUBLE) / 1.0e9, 0.0)), 6) AS hellinger
+      FROM terms GROUP BY 1, 2"""))
+
+  /** Burrows' Delta stylometric distance between sources: the 30
+    * corpus-wide most-frequent words' per-source relative frequencies
+    * are z-scored across sources, and Delta(a,b) = mean |z_a − z_b|
+    * over those words — the authorship-attribution metric that reads
+    * function-word PROFILES where text_source_overlap reads
+    * vocabulary sets. Frequencies pin to 1e-9 per-mille integers; the
+    * z and Delta stages run on O(sources·30) frames.
+    */
+  val textBurrowsDelta: QueryDef = QueryDef("text_burrows_delta",
+    (s, dir) => {
+      val w = split(regexp_replace(lower(trim(col("text"))), "\\s+", " "), " ")
+      val toks = t(s, dir, "documents").select(col("source"), explode(w).as("tk"))
+        .localCheckpoint(true)
+      val top = toks.groupBy(col("tk")).agg(count(lit(1)).as("ct"))
+        .orderBy(desc("ct"), col("tk")).limit(30)
+      val srcTot = toks.groupBy(col("source")).agg(count(lit(1)).as("nt"))
+      val cell = toks.join(broadcast(top.select(col("tk"))), Seq("tk"))
+        .groupBy(col("source"), col("tk")).agg(count(lit(1)).as("c"))
+      val grid = srcTot.crossJoin(broadcast(top.select(col("tk"))))
+        .join(cell, Seq("source", "tk"), "left")
+        .withColumn("f_u", expr("(coalesce(c, 0L) * 1000000000L) div nt"))
+      val stats = grid.groupBy(col("tk"))
+        .agg(count(lit(1)).as("ns"), sum(col("f_u")).as("sf"),
+          sum(col("f_u").cast(DecimalType(19, 0)) * col("f_u"))
+            .cast(DecimalType(38, 0)).as("sff"))
+      val nsD = col("ns").cast(DoubleType)
+      val mean = col("sf").cast(DoubleType) / nsD
+      val sd = sqrt(greatest(col("sff").cast(DoubleType) / nsD - mean * mean,
+        lit(1.0)))
+      val z = grid.join(broadcast(stats), Seq("tk"))
+        .withColumn("z_u", floor((col("f_u").cast(DoubleType) - mean) / sd *
+          1.0e6 + 0.5).cast(LongType))
+        .select(col("source"), col("tk"), col("z_u"))
+        .localCheckpoint(true)
+      val z2 = z.select(col("source").as("source2"), col("tk"),
+        col("z_u").as("z_u2"))
+      z.join(z2, Seq("tk")).filter(col("source") < col("source2"))
+        .groupBy(col("source"), col("source2"))
+        .agg(count(lit(1)).as("n_words"), sum(abs(col("z_u") - col("z_u2"))).as("sd"))
+        .select(col("source"), col("source2"),
+          round(col("sd").cast(DoubleType) / 1.0e6 /
+            col("n_words").cast(DoubleType), 6).as("burrows_delta"))
+        .orderBy(col("source"), col("source2"))
+    },
+    Some("""WITH tok AS (SELECT source,
+          unnest(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS tk
+        FROM documents),
+      top AS (SELECT tk, COUNT(*) AS ct FROM tok GROUP BY 1
+        ORDER BY ct DESC, tk LIMIT 30),
+      st AS (SELECT source, COUNT(*) AS nt FROM tok GROUP BY 1),
+      cell AS (SELECT source, tk, COUNT(*) AS c FROM tok
+        WHERE tk IN (SELECT tk FROM top) GROUP BY 1, 2),
+      grid AS (SELECT st.source, top.tk,
+          (COALESCE(cell.c, 0) * 1000000000) // st.nt AS f_u
+        FROM st CROSS JOIN top
+        LEFT JOIN cell ON cell.source = st.source AND cell.tk = top.tk),
+      stats AS (SELECT tk, COUNT(*) AS ns, CAST(SUM(f_u) AS BIGINT) AS sf,
+          CAST(SUM(CAST(f_u AS DECIMAL(19,0)) * f_u) AS DECIMAL(38,0)) AS sff
+        FROM grid GROUP BY 1),
+      z AS (SELECT g.source, g.tk,
+          CAST(FLOOR((g.f_u - CAST(sf AS DOUBLE) / ns) /
+            sqrt(GREATEST(CAST(sff AS DOUBLE) / ns -
+              (CAST(sf AS DOUBLE) / ns) * (CAST(sf AS DOUBLE) / ns), 1.0)) * 1.0e6 + 0.5) AS BIGINT) AS z_u
+        FROM grid g JOIN stats USING (tk))
+      SELECT a.source, b.source AS source2,
+        round(CAST(SUM(ABS(a.z_u - b.z_u)) AS DOUBLE) / 1.0e6 / COUNT(*), 6) AS burrows_delta
+      FROM z a JOIN z b ON a.tk = b.tk AND a.source < b.source
+      GROUP BY 1, 2 ORDER BY 1, 2"""))
+
+  /** Iterative proportional fitting (raking) of the nation × segment
+    * customer table to uniform target margins: 3 synchronous row/
+    * column scaling rounds on the O(cells) frame, weights pinned to
+    * 1e-9 after every scaling so both engines iterate identical
+    * integers — the survey-reweighting / matrix-balancing primitive
+    * (the same loop is RAS in economics). Output: per-cell final
+    * weight and the worst remaining margin error.
+    */
+  val q269Raking: QueryDef = QueryDef("q269_raking",
+    (s, dir) => {
+      val cells = t(s, dir, "customer")
+        .groupBy(col("c_nationkey").as("nk"), col("c_mktsegment").as("seg"))
+        .agg(count(lit(1)).as("c"))
+        .withColumn("w_u", col("c") * 1000000000L)
+        .localCheckpoint(true)
+      val tot = cells.agg(sum(col("c")).as("n"), countDistinct(col("nk")).as("nr"),
+        countDistinct(col("seg")).as("nc"))
+      var cur = cells.crossJoin(broadcast(tot)).localCheckpoint(true)
+      for (_ <- 1 to 3) {
+        val rowTot = cur.groupBy(col("nk")).agg(sum(col("w_u")).as("rt"))
+        val afterRow = cur.join(broadcast(rowTot), Seq("nk"))
+          .withColumn("w_u", floor(col("w_u").cast(DoubleType) *
+            (col("n").cast(DoubleType) / col("nr").cast(DoubleType)) /
+            (col("rt").cast(DoubleType) / 1.0e9) + 0.5).cast(LongType))
+          .drop("rt")
+        val colTot = afterRow.groupBy(col("seg")).agg(sum(col("w_u")).as("ct2"))
+        cur = afterRow.join(broadcast(colTot), Seq("seg"))
+          .withColumn("w_u", floor(col("w_u").cast(DoubleType) *
+            (col("n").cast(DoubleType) / col("nc").cast(DoubleType)) /
+            (col("ct2").cast(DoubleType) / 1.0e9) + 0.5).cast(LongType))
+          .drop("ct2")
+          .localCheckpoint(true)
+      }
+      val rowErr = cur.groupBy(col("nk"))
+        .agg(max(col("n")).as("n"), max(col("nr")).as("nr"), sum(col("w_u")).as("rt"))
+        .select(max(abs(col("rt").cast(DoubleType) / 1.0e9 -
+          col("n").cast(DoubleType) / col("nr").cast(DoubleType))).as("max_row_err"))
+      cur.groupBy(col("nk"))
+        .agg(count(lit(1)).as("n_segments"),
+          round(sum(col("w_u")).cast(DoubleType) / 1.0e9, 4).as("raked_row_total"),
+          round(min(col("w_u")).cast(DoubleType) / 1.0e9, 4).as("min_cell_w"),
+          round(max(col("w_u")).cast(DoubleType) / 1.0e9, 4).as("max_cell_w"))
+        .crossJoin(broadcast(rowErr))
+        .select(col("nk"), col("n_segments"), col("raked_row_total"),
+          col("min_cell_w"), col("max_cell_w"),
+          round(col("max_row_err"), 6).as("max_row_err"))
+        .orderBy(col("nk"))
+    },
+    Some {
+      def round(prev: String, out: String, tag: Int): String =
+        s"""ar$tag AS (SELECT nk, seg, n, nr, nc,
+          CAST(FLOOR(w_u * ((CAST(n AS DOUBLE) / nr) /
+            (CAST(rt AS DOUBLE) / 1.0e9)) + 0.5) AS BIGINT) AS w_u
+        FROM (SELECT c.*, CAST(SUM(w_u) OVER (PARTITION BY nk) AS BIGINT) AS rt FROM $prev c)),
+        $out AS (SELECT nk, seg, n, nr, nc,
+          CAST(FLOOR(w_u * ((CAST(n AS DOUBLE) / nc) /
+            (CAST(ct2 AS DOUBLE) / 1.0e9)) + 0.5) AS BIGINT) AS w_u
+        FROM (SELECT a.*, CAST(SUM(w_u) OVER (PARTITION BY seg) AS BIGINT) AS ct2 FROM ar$tag a))"""
+      s"""WITH cells AS (SELECT c_nationkey AS nk, c_mktsegment AS seg,
+          COUNT(*) AS c, COUNT(*) * 1000000000 AS w_u
+        FROM customer GROUP BY 1, 2),
+      tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n,
+          COUNT(DISTINCT nk) AS nr, COUNT(DISTINCT seg) AS nc FROM cells),
+      r0 AS (SELECT nk, seg, n, nr, nc, CAST(w_u AS BIGINT) AS w_u
+        FROM cells CROSS JOIN tot),
+      ${round("r0", "r1", 1)},
+      ${round("r1", "r2", 2)},
+      ${round("r2", "r3", 3)},
+      rerr AS (SELECT MAX(ABS(CAST(rt AS DOUBLE) / 1.0e9 - CAST(n AS DOUBLE) / nr)) AS max_row_err
+        FROM (SELECT nk, MAX(n) AS n, MAX(nr) AS nr, CAST(SUM(w_u) AS BIGINT) AS rt
+          FROM r3 GROUP BY 1))
+      SELECT nk, COUNT(*) AS n_segments,
+        round(CAST(SUM(w_u) AS DOUBLE) / 1.0e9, 4) AS raked_row_total,
+        round(CAST(MIN(w_u) AS DOUBLE) / 1.0e9, 4) AS min_cell_w,
+        round(CAST(MAX(w_u) AS DOUBLE) / 1.0e9, 4) AS max_cell_w,
+        round(MAX(max_row_err), 6) AS max_row_err
+      FROM r3 CROSS JOIN rerr GROUP BY 1 ORDER BY 1"""
+    })
+
+  /** Cochran–Armitage trend-in-proportions test: does the URGENT-
+    * order share of customers' activity trend monotonically across
+    * the five ordered balance quintiles? Z from the exact integer
+    * score moments (scores 1..5) — the proportions counterpart of
+    * q256's Jonckheere on continuous responses; one fact pass plus
+    * O(groups) arithmetic.
+    */
+  val q270CochranArmitage: QueryDef = QueryDef("q270_cochran_armitage",
+    (s, dir) => {
+      val cust = t(s, dir, "customer")
+        .withColumn("g", ntile(5).over(Window.orderBy(col("c_acctbal"), col("c_custkey")))
+          .cast(LongType))
+      val per = cust.join(t(s, dir, "orders"),
+          col("c_custkey") === col("o_custkey"), "left")
+        .groupBy(col("c_custkey"), col("g"))
+        .agg(max(when(col("o_orderpriority") === "1-URGENT", 1L).otherwise(0L))
+          .as("y"))
+      val gr = per.groupBy(col("g"))
+        .agg(count(lit(1)).as("ng"), sum(col("y")).as("rg"))
+      val m = gr.agg(sum(col("ng")).as("n"), sum(col("rg")).as("r"),
+        sum(col("g") * col("ng")).as("sn1"),
+        sum(col("g") * col("g") * col("ng")).as("sn2"),
+        sum(col("g") * col("rg")).as("sr1"))
+      val nD = col("n").cast(DoubleType)
+      val p = col("r").cast(DoubleType) / nD
+      val sbar = col("sn1").cast(DoubleType) / nD
+      val num = col("sr1").cast(DoubleType) - p * col("sn1").cast(DoubleType)
+      val varT = p * (lit(1.0) - p) *
+        (col("sn2").cast(DoubleType) - nD * sbar * sbar)
+      m.select(col("n"), col("r").as("n_pos"),
+        round(num, 4).as("trend_num"),
+        round((num / sqrt(varT)), 6).as("z"))
+    },
+    Some("""WITH cust AS (SELECT c_custkey,
+          CAST(NTILE(5) OVER (ORDER BY c_acctbal, c_custkey) AS BIGINT) AS g
+        FROM customer),
+      per AS (SELECT c_custkey, g,
+          CAST(MAX(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT) AS y
+        FROM cust LEFT JOIN orders ON c_custkey = o_custkey
+        GROUP BY 1, 2),
+      gr AS (SELECT g, COUNT(*) AS ng, CAST(SUM(y) AS BIGINT) AS rg FROM per GROUP BY 1),
+      m AS (SELECT CAST(SUM(ng) AS BIGINT) AS n, CAST(SUM(rg) AS BIGINT) AS r,
+          CAST(SUM(g * ng) AS BIGINT) AS sn1,
+          CAST(SUM(g * g * ng) AS BIGINT) AS sn2,
+          CAST(SUM(g * rg) AS BIGINT) AS sr1
+        FROM gr)
+      SELECT n, r AS n_pos,
+        round(CAST(sr1 AS DOUBLE) - (CAST(r AS DOUBLE) / n) * sn1, 4) AS trend_num,
+        round((CAST(sr1 AS DOUBLE) - (CAST(r AS DOUBLE) / n) * sn1) /
+          sqrt((CAST(r AS DOUBLE) / n) * (1.0 - CAST(r AS DOUBLE) / n) *
+            (CAST(sn2 AS DOUBLE) - n * (CAST(sn1 AS DOUBLE) / n) * (CAST(sn1 AS DOUBLE) / n))), 6) AS z
+      FROM m"""))
+
+  /** Directly and indirectly standardized return rates by nation:
+    * each nation's lineitem return rate re-weighted to the GLOBAL
+    * order-priority mix (direct), and the observed/expected ratio
+    * under national priority mixes (indirect, the SMR) — the
+    * epidemiology-style adjustment that makes nations with different
+    * order-type mixes comparable (the causal cousin of q132's
+    * Simpson audit). Per-stratum rates as 1e-9 floor-divided
+    * integers; every sum exact until the final ratios.
+    */
+  val q271StandardizedRates: QueryDef = QueryDef("q271_standardized_rates",
+    (s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .select(col("c_nationkey").as("nk"), col("o_orderpriority").as("pri"),
+          when(col("l_returnflag") === "R", 1L).otherwise(0L).as("ret"))
+      val cell = li.groupBy(col("nk"), col("pri"))
+        .agg(count(lit(1)).as("n"), sum(col("ret")).as("r"))
+        .localCheckpoint(true)
+      val std = cell.groupBy(col("pri"))
+        .agg(sum(col("n")).as("wn"), sum(col("r")).as("wr"))
+      val j = cell.join(broadcast(std), Seq("pri"))
+        .withColumn("rate_u", expr("(r * 1000000000L) div n"))
+        .withColumn("srate_u", expr("(wr * 1000000000L) div wn"))
+      j.groupBy(col("nk"))
+        .agg(sum(col("n")).as("n"), sum(col("r")).as("obs"),
+          sum(col("rate_u").cast(DecimalType(19, 0)) * col("wn"))
+            .cast(DecimalType(38, 0)).as("dnum"),
+          sum(col("wn")).as("wtot"),
+          sum(col("srate_u").cast(DecimalType(19, 0)) * col("n"))
+            .cast(DecimalType(38, 0)).as("exp_u"))
+        .select(col("nk"), col("n"),
+          round(col("obs").cast(DoubleType) / col("n").cast(DoubleType), 6)
+            .as("crude_rate"),
+          round(col("dnum").cast(DoubleType) / 1.0e9 /
+            col("wtot").cast(DoubleType), 6).as("direct_std_rate"),
+          round(col("obs").cast(DoubleType) /
+            (col("exp_u").cast(DoubleType) / 1.0e9), 6).as("smr"))
+        .orderBy(col("nk"))
+    },
+    Some("""WITH li AS (SELECT c_nationkey AS nk, o_orderpriority AS pri,
+          CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS ret
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey),
+      cell AS (SELECT nk, pri, COUNT(*) AS n, CAST(SUM(ret) AS BIGINT) AS r
+        FROM li GROUP BY 1, 2),
+      std AS (SELECT pri, CAST(SUM(n) AS BIGINT) AS wn, CAST(SUM(r) AS BIGINT) AS wr
+        FROM cell GROUP BY 1),
+      j AS (SELECT nk, n, r, wn,
+          (r * 1000000000) // n AS rate_u,
+          (wr * 1000000000) // wn AS srate_u
+        FROM cell JOIN std USING (pri))
+      SELECT nk, CAST(SUM(n) AS BIGINT) AS n,
+        round(CAST(SUM(r) AS DOUBLE) / SUM(n), 6) AS crude_rate,
+        round(CAST(SUM(CAST(rate_u AS DECIMAL(19,0)) * wn) AS DOUBLE) / 1.0e9 /
+          CAST(SUM(wn) AS DOUBLE), 6) AS direct_std_rate,
+        round(CAST(SUM(r) AS DOUBLE) /
+          (CAST(SUM(CAST(srate_u AS DECIMAL(19,0)) * n) AS DOUBLE) / 1.0e9), 6) AS smr
+      FROM j GROUP BY 1 ORDER BY 1"""))
+
   val all: Seq[QueryDef] = Seq(
     q1Agg, q2Filter, q3Join, q4Semi, q5Multi, q6Window, q7TopK, q8Distinct,
     q9Rollup, q10Pivot, q11Anti, q12Expr, q13Percentiles, q14Subquery,
@@ -16291,6 +16611,7 @@ object Queries {
     q254JarqueBera, q255PageTrend, q256Jonckheere, q257Weibull, q258MarketModel,
     q259BassDiffusion, q260Anova2, q261Hilbert, q262SeasonalMk,
     q263PriceIndex, q264Newsvendor, q265AbcXyz, q266CramerVonMises, q267Rbo, textYuleK,
+    q268DistDistancePanel, textBurrowsDelta, q269Raking, q270CochranArmitage, q271StandardizedRates,
     etlMergeUpsert, etlConstraints, etlProvenance,
     graphPageRank, curateWeightedSample,
     etlUnionSources, etlValidate, etlCleanTransform, etlQualityReport,
