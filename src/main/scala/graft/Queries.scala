@@ -13037,15 +13037,19 @@ object Queries {
             .as("y"))
       val wPrev = Window.orderBy(col("bal"), col("ck"))
         .rowsBetween(Window.unboundedPreceding, -1)
-      val wNext = Window.orderBy(col("bal"), col("ck"))
-        .rowsBetween(1, Window.unboundedFollowing)
+      // "nearest FOLLOWING control" as a running last() over the
+      // DESC ordering: an UNBOUNDED FOLLOWING first() frame makes
+      // Spark's WindowExec rescan the tail per row (O(n^2) on the
+      // global sort); the reversed running-last is the O(n) shape.
+      val wNextRev = Window.orderBy(col("bal").desc, col("ck").desc)
+        .rowsBetween(Window.unboundedPreceding, -1)
       val cb = when(!col("treated"), col("bal"))
       val cy = when(!col("treated"), col("y"))
       val matched = base
         .withColumn("pb", last(cb, ignoreNulls = true).over(wPrev))
         .withColumn("py", last(cy, ignoreNulls = true).over(wPrev))
-        .withColumn("nb", first(cb, ignoreNulls = true).over(wNext))
-        .withColumn("ny", first(cy, ignoreNulls = true).over(wNext))
+        .withColumn("nb", last(cb, ignoreNulls = true).over(wNextRev))
+        .withColumn("ny", last(cy, ignoreNulls = true).over(wNextRev))
         .filter(col("treated"))
         .withColumn("dp", abs(col("bal") - col("pb")))
         .withColumn("dn", abs(col("nb") - col("bal")))
