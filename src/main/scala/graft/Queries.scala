@@ -16545,6 +16545,203 @@ object Queries {
           (CAST(SUM(CAST(srate_u AS DECIMAL(19,0)) * n) AS DOUBLE) / 1.0e9), 6) AS smr
       FROM j GROUP BY 1 ORDER BY 1"""))
 
+  /** Per-document perplexity under the corpus Kneser–Ney bigram LM
+    * (text_bigram_lm's model applied at DOCUMENT granularity): the
+    * top-20 highest-perplexity documents — the "weird text" quality
+    * filter a corpus-level entropy number can't give you (CCNet runs
+    * exactly this doc-level LM filter). Per-bigram log terms pin to
+    * 1e-9 integers before the per-doc sum, so the ranking is
+    * engine-exact; model frames are vocabulary-bounded broadcasts.
+    */
+  val textDocPerplexity: QueryDef = QueryDef("text_doc_perplexity",
+    (s, dir) => {
+      val tok = t(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          posexplode(split(regexp_replace(lower(trim(col("text"))), "\\s+", " "), " "))
+            .as(Seq("pos", "w1")))
+      val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      val docBi = tok.withColumn("w2", lead(col("w1"), 1).over(wDoc))
+        .filter(col("w2").isNotNull)
+        .groupBy(col("doc_id"), col("source"), col("w1"), col("w2"))
+        .agg(count(lit(1)).as("n"))
+        .localCheckpoint(true)
+      val big = docBi.groupBy(col("w1"), col("w2")).agg(sum(col("n")).as("c12"))
+      val heads = big.groupBy(col("w1"))
+        .agg(sum(col("c12")).as("c1"), count(lit(1)).as("fol"))
+      val tails = big.groupBy(col("w2")).agg(sum(col("c12")).as("c2"))
+      val ntot = big.agg(sum(col("c12")).cast(DoubleType).as("nb"))
+      val p = greatest(col("c12").cast(DoubleType) - 0.75, lit(0.0)) /
+        col("c1").cast(DoubleType) +
+        lit(0.75) * col("fol").cast(DoubleType) / col("c1").cast(DoubleType) *
+        (col("c2").cast(DoubleType) / col("nb"))
+      docBi.join(big, Seq("w1", "w2")).join(heads, "w1").join(tails, "w2")
+        .crossJoin(broadcast(ntot))
+        .withColumn("lu", floor(col("n").cast(DoubleType) * log(p) * 1.0e9 + 0.5)
+          .cast(LongType))
+        .groupBy(col("doc_id"), col("source"))
+        .agg(sum(col("n")).as("n_bigrams"), sum(col("lu")).as("slu"))
+        .withColumn("ppl_u", floor(exp(-(col("slu").cast(DoubleType) / 1.0e9) /
+          col("n_bigrams").cast(DoubleType)) * 1.0e4 + 0.5).cast(LongType))
+        .select(col("doc_id"), col("source"), col("n_bigrams"),
+          round(col("ppl_u").cast(DoubleType) / 1.0e4, 4).as("perplexity"))
+        .orderBy(desc("perplexity"), col("doc_id"))
+        .limit(20)
+    },
+    Some("""WITH tok AS (SELECT doc_id, source,
+          string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS w
+        FROM documents),
+      bi AS (SELECT doc_id, source,
+          unnest([w[i] || ' ' || w[i+1] FOR i IN range(1, len(w))]) AS gram
+        FROM tok WHERE len(w) >= 2),
+      doc_bi AS (SELECT doc_id, source, split_part(gram, ' ', 1) AS w1,
+          split_part(gram, ' ', 2) AS w2, COUNT(*) AS n
+        FROM bi GROUP BY 1, 2, 3, 4),
+      big AS (SELECT w1, w2, SUM(n) AS c12 FROM doc_bi GROUP BY 1, 2),
+      heads AS (SELECT w1, SUM(c12) AS c1, COUNT(*) AS fol FROM big GROUP BY 1),
+      tails AS (SELECT w2, SUM(c12) AS c2 FROM big GROUP BY 1),
+      ntot AS (SELECT CAST(SUM(c12) AS DOUBLE) AS nb FROM big),
+      scored AS (SELECT doc_id, source, n,
+          CAST(FLOOR(n * ln(
+            greatest(CAST(c12 AS DOUBLE) - 0.75, 0.0) / CAST(c1 AS DOUBLE) +
+              0.75 * CAST(fol AS DOUBLE) / CAST(c1 AS DOUBLE) * (CAST(c2 AS DOUBLE) / nb)
+          ) * 1.0e9 + 0.5) AS BIGINT) AS lu
+        FROM doc_bi JOIN big USING (w1, w2) JOIN heads USING (w1)
+          JOIN tails USING (w2) CROSS JOIN ntot),
+      agg AS (SELECT doc_id, source, CAST(SUM(n) AS BIGINT) AS n_bigrams,
+          CAST(SUM(lu) AS BIGINT) AS slu
+        FROM scored GROUP BY 1, 2)
+      SELECT doc_id, source, n_bigrams,
+        round(CAST(FLOOR(exp(-(CAST(slu AS DOUBLE) / 1.0e9) / n_bigrams) * 1.0e4 + 0.5) AS BIGINT)
+          / 1.0e4, 4) AS perplexity
+      FROM agg ORDER BY perplexity DESC, doc_id LIMIT 20"""))
+
+  /** Exact-duplicate SURVIVORSHIP: within each normalized-text digest
+    * cluster keep the best representative (longest, then smallest
+    * doc_id) — the "which copy do we keep" policy layer over
+    * dedup_exact (which only finds the clusters) and dedup_savings
+    * (which only prices them); per-source census of kept vs dropped
+    * documents and characters. Struct-max argmax per digest — one
+    * shuffle on the uniform digest key.
+    */
+  val curateKeepBest: QueryDef = QueryDef("curate_keep_best",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("source"), col("n_chars"),
+          md5(regexp_replace(lower(trim(col("text"))), "\\s+", " ")).as("dg"))
+        .localCheckpoint(true)
+      val best = docs.groupBy(col("dg"))
+        .agg(max(struct(col("n_chars"), (-col("doc_id")).as("negid"))).as("b"))
+        .select(col("dg"), col("b.n_chars").as("bc"), (-col("b.negid")).as("keep_id"))
+      docs.join(best, Seq("dg"))
+        .withColumn("kept", col("doc_id") === col("keep_id"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+          sum(when(!col("kept"), 1L).otherwise(0L)).as("n_dropped"),
+          sum(when(!col("kept"), col("n_chars")).otherwise(0L)).as("chars_saved"))
+        .withColumn("kept_share",
+          round(col("n_kept").cast(DoubleType) / col("n_docs").cast(DoubleType), 6))
+        .orderBy(col("source"))
+    },
+    Some("""WITH docs AS (SELECT doc_id, source, n_chars,
+          md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS dg
+        FROM documents),
+      best AS (SELECT dg,
+          MAX({'n_chars': n_chars, 'negid': -doc_id}).negid * -1 AS keep_id
+        FROM docs GROUP BY 1)
+      SELECT source, COUNT(*) AS n_docs,
+        CAST(SUM(CASE WHEN doc_id = keep_id THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        CAST(SUM(CASE WHEN doc_id = keep_id THEN 0 ELSE 1 END) AS BIGINT) AS n_dropped,
+        CAST(SUM(CASE WHEN doc_id = keep_id THEN 0 ELSE n_chars END) AS BIGINT) AS chars_saved,
+        round(CAST(SUM(CASE WHEN doc_id = keep_id THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6) AS kept_share
+      FROM docs JOIN best USING (dg)
+      GROUP BY 1 ORDER BY 1"""))
+
+  /** Neyman-allocated stratified document sample: 100 docs across
+    * token-count deciles with n_h ∝ N_h·S_h (within-stratum SD from
+    * exact integer moments, largest-remainder integerization so the
+    * total is exactly 100), then each stratum's quota filled by
+    * deterministic md5 order — q148's allocation arithmetic turned
+    * into an actual curation operator: variance-optimal eval-set
+    * sampling that any 100 TB corpus audit needs. All O(strata)
+    * frames past the one corpus pass; the selection is a per-stratum
+    * bounded rank.
+    */
+  val curateStratifiedSample: QueryDef = QueryDef("curate_stratified_sample",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"),
+          size(split(regexp_replace(lower(trim(col("text"))), "\\s+", " "), " "))
+            .cast(LongType).as("tok"))
+        .withColumn("h", ntile(10).over(Window.orderBy(col("tok"), col("doc_id")))
+          .cast(LongType))
+        .localCheckpoint(true)
+      val strata = docs.groupBy(col("h"))
+        .agg(count(lit(1)).as("nh"), sum(col("tok")).as("st"),
+          sum(col("tok") * col("tok")).as("stt"))
+      val nD = col("nh").cast(DoubleType)
+      val sd = sqrt(greatest(col("stt").cast(DoubleType) / nD -
+        (col("st").cast(DoubleType) / nD) * (col("st").cast(DoubleType) / nD),
+        lit(0.0)))
+      val wu = strata.withColumn("u", col("nh") * floor(sd * 1.0e6 + 0.5).cast(LongType))
+      val totU = wu.agg(sum(col("u")).as("tu"))
+      val alloc = wu.crossJoin(broadcast(totU))
+        .withColumn("base", expr("(100 * u) div tu"))
+        .withColumn("frac", expr("(100 * u) % tu"))
+      val give = alloc.agg((lit(100L) - sum(col("base"))).as("extra"))
+      val ranked = alloc.crossJoin(broadcast(give))
+        .withColumn("fr", row_number().over(Window.orderBy(desc("frac"), col("h"))))
+        .withColumn("n_h", col("base") + when(col("fr") <= col("extra"), 1L).otherwise(0L))
+      val sampled = docs
+        .withColumn("hr", row_number().over(Window.partitionBy(col("h"))
+          .orderBy(md5(concat(lit("strat_"), col("doc_id").cast(StringType))), col("doc_id"))))
+        .join(ranked.select(col("h"), col("n_h")), Seq("h"))
+        .filter(col("hr") <= col("n_h"))
+        .groupBy(col("h")).agg(count(lit(1)).as("n_sampled"),
+          sum(col("tok")).as("tok_sampled"))
+      ranked.join(sampled, Seq("h"), "left")
+        .select(col("h").as("stratum"), col("nh").as("n_stratum"),
+          round(col("u").cast(DoubleType) / 1.0e6 / col("nh").cast(DoubleType), 4)
+            .as("stratum_sd"),
+          col("n_h").as("allocated"),
+          coalesce(col("n_sampled"), lit(0L)).as("n_sampled"),
+          coalesce(col("tok_sampled"), lit(0L)).as("tok_sampled"))
+        .orderBy(col("stratum"))
+    },
+    Some("""WITH docs AS (SELECT doc_id,
+          CAST(len(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS BIGINT) AS tok
+        FROM documents),
+      deciled AS (SELECT doc_id, tok,
+          CAST(NTILE(10) OVER (ORDER BY tok, doc_id) AS BIGINT) AS h
+        FROM docs),
+      strata AS (SELECT h, COUNT(*) AS nh, CAST(SUM(tok) AS BIGINT) AS st,
+          CAST(SUM(tok * tok) AS BIGINT) AS stt
+        FROM deciled GROUP BY 1),
+      wu AS (SELECT h, nh,
+          nh * CAST(FLOOR(sqrt(GREATEST(CAST(stt AS DOUBLE) / nh -
+            (CAST(st AS DOUBLE) / nh) * (CAST(st AS DOUBLE) / nh), 0.0)) * 1.0e6 + 0.5) AS BIGINT) AS u
+        FROM strata),
+      tu AS (SELECT CAST(SUM(u) AS BIGINT) AS tu FROM wu),
+      alloc AS (SELECT h, nh, u, (100 * u) // tu AS base, (100 * u) % tu AS frac
+        FROM wu CROSS JOIN tu),
+      give AS (SELECT 100 - CAST(SUM(base) AS BIGINT) AS extra FROM alloc),
+      ranked AS (SELECT h, nh, u, base + (CASE WHEN
+            ROW_NUMBER() OVER (ORDER BY frac DESC, h) <= extra THEN 1 ELSE 0 END) AS n_h
+        FROM alloc CROSS JOIN give),
+      sampled AS (SELECT d.h, COUNT(*) AS n_sampled, CAST(SUM(d.tok) AS BIGINT) AS tok_sampled
+        FROM (SELECT h, tok,
+            ROW_NUMBER() OVER (PARTITION BY h
+              ORDER BY md5('strat_' || doc_id), doc_id) AS hr
+          FROM deciled) d
+        JOIN ranked r ON d.h = r.h
+        WHERE d.hr <= r.n_h GROUP BY 1)
+      SELECT r.h AS stratum, r.nh AS n_stratum,
+        round(CAST(u AS DOUBLE) / 1.0e6 / nh, 4) AS stratum_sd,
+        n_h AS allocated,
+        COALESCE(n_sampled, 0) AS n_sampled,
+        COALESCE(tok_sampled, 0) AS tok_sampled
+      FROM ranked r LEFT JOIN sampled s ON r.h = s.h ORDER BY 1"""))
+
   val all: Seq[QueryDef] = Seq(
     q1Agg, q2Filter, q3Join, q4Semi, q5Multi, q6Window, q7TopK, q8Distinct,
     q9Rollup, q10Pivot, q11Anti, q12Expr, q13Percentiles, q14Subquery,
@@ -16616,6 +16813,7 @@ object Queries {
     q259BassDiffusion, q260Anova2, q261Hilbert, q262SeasonalMk,
     q263PriceIndex, q264Newsvendor, q265AbcXyz, q266CramerVonMises, q267Rbo, textYuleK,
     q268DistDistancePanel, textBurrowsDelta, q269Raking, q270CochranArmitage, q271StandardizedRates,
+    textDocPerplexity, curateKeepBest, curateStratifiedSample,
     etlMergeUpsert, etlConstraints, etlProvenance,
     graphPageRank, curateWeightedSample,
     etlUnionSources, etlValidate, etlCleanTransform, etlQualityReport,
