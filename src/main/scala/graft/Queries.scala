@@ -16742,6 +16742,393 @@ object Queries {
         COALESCE(tok_sampled, 0) AS tok_sampled
       FROM ranked r LEFT JOIN sampled s ON r.h = s.h ORDER BY 1"""))
 
+  /** X̄-R statistical process control chart over weekly subgroups of
+    * daily revenue (subgroup size 7): grand mean and mean range set
+    * the control limits with the classic n=7 constants (A2=0.419,
+    * D3=0.076, D4=1.924, 3dp-pinned literals), and the
+    * out-of-control census counts mean- and range-rule breaches — the
+    * Shewhart chart beside q109's Bollinger (which self-scales) and
+    * q83's CUSUM (which accumulates). Subgroup stats are exact
+    * DECIMAL; only complete 7-day weeks enter the limits.
+    */
+  val q272XbarR: QueryDef = QueryDef("q272_xbar_r",
+    (s, dir) => {
+      val daily = t(s, dir, "lineitem")
+        .groupBy(floor(datediff(col("l_shipdate"), lit("1992-01-01").cast(DateType)) / 7)
+          .cast(LongType).as("wk"),
+          datediff(col("l_shipdate"), lit("1992-01-01").cast(DateType))
+            .cast(LongType).as("d"))
+        .agg(sum(dec(col("l_extendedprice"))).cast(DecimalType(18, 2)).as("rev"))
+      val sub = daily.groupBy(col("wk"))
+        .agg(count(lit(1)).as("nd"), sum(col("rev")).as("sr"),
+          min(col("rev")).as("mn"), max(col("rev")).as("mx"))
+        .filter(col("nd") === 7)
+        .withColumn("xbar", col("sr").cast(DoubleType) / 7.0)
+        .withColumn("r", (col("mx") - col("mn")).cast(DoubleType))
+        .localCheckpoint(true)
+      val limits = sub.agg(count(lit(1)).as("n_weeks"),
+        (sum(floor(col("xbar") * 100 + 0.5).cast(LongType)).cast(DoubleType) / 100.0 /
+          count(lit(1)).cast(DoubleType)).as("xbb"),
+        (sum(floor(col("r") * 100 + 0.5).cast(LongType)).cast(DoubleType) / 100.0 /
+          count(lit(1)).cast(DoubleType)).as("rb"))
+      sub.crossJoin(broadcast(limits))
+        .withColumn("x_ucl", col("xbb") + lit(0.419) * col("rb"))
+        .withColumn("x_lcl", col("xbb") - lit(0.419) * col("rb"))
+        .withColumn("r_ucl", lit(1.924) * col("rb"))
+        .withColumn("r_lcl", lit(0.076) * col("rb"))
+        .agg(max(col("n_weeks")).as("n_weeks"),
+          round(max(col("xbb")), 2).as("x_center"),
+          round(max(col("rb")), 2).as("r_center"),
+          sum(when(col("xbar") > col("x_ucl") || col("xbar") < col("x_lcl"), 1L)
+            .otherwise(0L)).as("x_breaches"),
+          sum(when(col("r") > col("r_ucl") || col("r") < col("r_lcl"), 1L)
+            .otherwise(0L)).as("r_breaches"))
+    },
+    Some("""WITH daily AS (SELECT
+          CAST(datediff('day', DATE '1992-01-01', CAST(l_shipdate AS DATE)) // 7 AS BIGINT) AS wk,
+          CAST(datediff('day', DATE '1992-01-01', CAST(l_shipdate AS DATE)) AS BIGINT) AS d,
+          CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS rev
+        FROM lineitem GROUP BY 1, 2),
+      sub AS (SELECT wk, COUNT(*) AS nd, SUM(rev) AS sr, MIN(rev) AS mn, MAX(rev) AS mx
+        FROM daily GROUP BY 1 HAVING COUNT(*) = 7),
+      w AS (SELECT wk, CAST(sr AS DOUBLE) / 7.0 AS xbar, CAST(mx - mn AS DOUBLE) AS r
+        FROM sub),
+      limits AS (SELECT COUNT(*) AS n_weeks,
+          CAST(SUM(CAST(FLOOR(xbar * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 / COUNT(*) AS xbb,
+          CAST(SUM(CAST(FLOOR(r * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 / COUNT(*) AS rb
+        FROM w)
+      SELECT MAX(n_weeks) AS n_weeks,
+        round(MAX(xbb), 2) AS x_center, round(MAX(rb), 2) AS r_center,
+        CAST(SUM(CASE WHEN xbar > xbb + 0.419 * rb OR xbar < xbb - 0.419 * rb
+          THEN 1 ELSE 0 END) AS BIGINT) AS x_breaches,
+        CAST(SUM(CASE WHEN r > 1.924 * rb OR r < 0.076 * rb
+          THEN 1 ELSE 0 END) AS BIGINT) AS r_breaches
+      FROM w CROSS JOIN limits"""))
+
+  /** Deming (errors-in-variables, λ=1) regression between the A-flag
+    * and R-flag daily revenue series: slope = (s_yy − s_xx +
+    * √((s_yy−s_xx)² + 4s_xy²)) / (2 s_xy) in closed form from the
+    * centered DECIMAL moments — the symmetric fit for when BOTH
+    * series carry noise and OLS(y|x) ≠ 1/OLS(x|y) (q258's market
+    * model conditions on x being exact). Two-step >2^53 casts.
+    */
+  val q273Deming: QueryDef = QueryDef("q273_deming",
+    (s, dir) => {
+      def d2(c: Column, mul: Long, div: Double): Column =
+        c.multiply(lit(mul)).cast(DecimalType(38, 0)).cast(DoubleType) / lit(div)
+      val daily = t(s, dir, "lineitem")
+        .filter(col("l_returnflag").isin("A", "R"))
+        .groupBy(date_trunc("day", col("l_shipdate")).as("day"))
+        .agg(sum(when(col("l_returnflag") === "A", dec(col("l_extendedprice"))))
+          .cast(DecimalType(18, 2)).as("x"),
+          sum(when(col("l_returnflag") === "R", dec(col("l_extendedprice"))))
+            .cast(DecimalType(18, 2)).as("y"))
+        .filter(col("x").isNotNull && col("y").isNotNull)
+      val m = daily.agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        sum(col("y")).as("sy"), sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"), sum(col("x") * col("y")).as("sxy"))
+      val nD = col("n").cast(DoubleType)
+      val mx = d2(col("sx"), 100L, 100.0) / nD
+      val my = d2(col("sy"), 100L, 100.0) / nD
+      val vxx = d2(col("sxx"), 10000L, 10000.0) / nD - mx * mx
+      val vyy = d2(col("syy"), 10000L, 10000.0) / nD - my * my
+      val vxy = d2(col("sxy"), 10000L, 10000.0) / nD - mx * my
+      val slope = (vyy - vxx + sqrt((vyy - vxx) * (vyy - vxx) +
+        lit(4.0) * vxy * vxy)) / (lit(2.0) * vxy)
+      m.select(col("n"),
+        round(slope, 6).as("deming_slope"),
+        round(my - slope * mx, 2).as("deming_intercept"),
+        round(vxy / sqrt(vxx * vyy), 6).as("pearson_r"))
+    },
+    Some("""WITH daily AS (SELECT date_trunc('day', l_shipdate) AS day,
+          CAST(SUM(CASE WHEN l_returnflag = 'A' THEN CAST(l_extendedprice AS DECIMAL(12,2)) END) AS DECIMAL(18,2)) AS x,
+          CAST(SUM(CASE WHEN l_returnflag = 'R' THEN CAST(l_extendedprice AS DECIMAL(12,2)) END) AS DECIMAL(18,2)) AS y
+        FROM lineitem WHERE l_returnflag IN ('A', 'R') GROUP BY 1),
+      d2 AS (SELECT * FROM daily WHERE x IS NOT NULL AND y IS NOT NULL),
+      m AS (SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+          SUM(x * x) AS sxx, SUM(y * y) AS syy, SUM(x * y) AS sxy
+        FROM d2),
+      f AS (SELECT n,
+          CAST(CAST(sx * 100 AS DECIMAL(38,0)) AS DOUBLE) / 100.0 / n AS mx,
+          CAST(CAST(sy * 100 AS DECIMAL(38,0)) AS DOUBLE) / 100.0 / n AS my,
+          CAST(CAST(sxx * 10000 AS DECIMAL(38,0)) AS DOUBLE) / 10000.0 / n AS mxx,
+          CAST(CAST(syy * 10000 AS DECIMAL(38,0)) AS DOUBLE) / 10000.0 / n AS myy,
+          CAST(CAST(sxy * 10000 AS DECIMAL(38,0)) AS DOUBLE) / 10000.0 / n AS mxy
+        FROM m),
+      g AS (SELECT n, mx, my,
+          mxx - mx * mx AS vxx, myy - my * my AS vyy, mxy - mx * my AS vxy
+        FROM f)
+      SELECT n,
+        round((vyy - vxx + sqrt((vyy - vxx) * (vyy - vxx) + 4.0 * vxy * vxy)) / (2.0 * vxy), 6) AS deming_slope,
+        round(my - (vyy - vxx + sqrt((vyy - vxx) * (vyy - vxx) + 4.0 * vxy * vxy)) / (2.0 * vxy) * mx, 2) AS deming_intercept,
+        round(vxy / sqrt(vxx * vyy), 6) AS pearson_r
+      FROM g"""))
+
+  /** Partial correlation of quantity and extended price CONTROLLING
+    * for discount: r_xy·z = (r_xy − r_xz·r_yz)/√((1−r_xz²)(1−r_yz²))
+    * from one exact DECIMAL moment pass over the three lineitem
+    * columns — "is the raw correlation just the confounder" in one
+    * closed form, the bivariate version of what q141's IPW does for
+    * treatment effects.
+    */
+  val q274PartialCorr: QueryDef = QueryDef("q274_partial_corr",
+    (s, dir) => {
+      val li = t(s, dir, "lineitem").select(
+        col("l_quantity").cast(DecimalType(12, 0)).as("x"),
+        dec(col("l_extendedprice")).as("y"),
+        rate(col("l_discount")).as("z"))
+      val m = li.agg(count(lit(1)).as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"), sum(col("z")).as("sz"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum((col("y") * col("y")).cast(DecimalType(38, 4))).as("syy"),
+        sum(col("z") * col("z")).as("szz"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("z")).as("sxz"),
+        sum(col("y") * col("z")).as("syz"))
+      def d2(c: Column, mul: Long, div: Double): Column =
+        c.multiply(lit(mul)).cast(DecimalType(38, 0)).cast(DoubleType) / lit(div)
+      val nD = col("n").cast(DoubleType)
+      def corr3(sab: Column, sa: Column, sb: Column,
+          saa: Column, sbb: Column): Column = {
+        val cov = sab / nD - (sa / nD) * (sb / nD)
+        val va = saa / nD - (sa / nD) * (sa / nD)
+        val vb = sbb / nD - (sb / nD) * (sb / nD)
+        cov / sqrt(va * vb)
+      }
+      val sxD = col("sx").cast(DoubleType)
+      val syD = d2(col("sy"), 100L, 100.0)
+      val szD = d2(col("sz"), 100L, 100.0)
+      val sxxD = col("sxx").cast(DoubleType)
+      val syyD = d2(col("syy"), 10000L, 10000.0)
+      val szzD = d2(col("szz"), 10000L, 10000.0)
+      val sxyD = d2(col("sxy"), 100L, 100.0)
+      val sxzD = d2(col("sxz"), 100L, 100.0)
+      val syzD = d2(col("syz"), 10000L, 10000.0)
+      val rxy = corr3(sxyD, sxD, syD, sxxD, syyD)
+      val rxz = corr3(sxzD, sxD, szD, sxxD, szzD)
+      val ryz = corr3(syzD, syD, szD, syyD, szzD)
+      m.select(col("n"),
+        round(rxy, 6).as("r_qty_price"),
+        round(rxz, 6).as("r_qty_disc"),
+        round(ryz, 6).as("r_price_disc"),
+        round((rxy - rxz * ryz) /
+          sqrt((lit(1.0) - rxz * rxz) * (lit(1.0) - ryz * ryz)), 6)
+          .as("partial_r_given_disc"))
+    },
+    Some("""WITH li AS (SELECT CAST(l_quantity AS DECIMAL(12,0)) AS x,
+          CAST(l_extendedprice AS DECIMAL(12,2)) AS y,
+          CAST(l_discount AS DECIMAL(4,2)) AS z
+        FROM lineitem),
+      m AS (SELECT COUNT(*) AS n,
+          SUM(x) AS sx, SUM(y) AS sy, SUM(z) AS sz,
+          SUM(x * x) AS sxx, CAST(SUM(CAST(y * y AS DECIMAL(38,4))) AS DECIMAL(38,4)) AS syy,
+          SUM(z * z) AS szz,
+          SUM(x * y) AS sxy, SUM(x * z) AS sxz, SUM(y * z) AS syz
+        FROM li),
+      f AS (SELECT n,
+          CAST(sx AS DOUBLE) AS sx,
+          CAST(CAST(sy * 100 AS DECIMAL(38,0)) AS DOUBLE) / 100.0 AS sy,
+          CAST(CAST(sz * 100 AS DECIMAL(38,0)) AS DOUBLE) / 100.0 AS sz,
+          CAST(sxx AS DOUBLE) AS sxx,
+          CAST(CAST(syy * 10000 AS DECIMAL(38,0)) AS DOUBLE) / 10000.0 AS syy,
+          CAST(CAST(szz * 10000 AS DECIMAL(38,0)) AS DOUBLE) / 10000.0 AS szz,
+          CAST(CAST(sxy * 100 AS DECIMAL(38,0)) AS DOUBLE) / 100.0 AS sxy,
+          CAST(CAST(sxz * 100 AS DECIMAL(38,0)) AS DOUBLE) / 100.0 AS sxz,
+          CAST(CAST(syz * 10000 AS DECIMAL(38,0)) AS DOUBLE) / 10000.0 AS syz
+        FROM m),
+      r AS (SELECT n,
+          (sxy / n - (sx / n) * (sy / n)) /
+            sqrt((sxx / n - (sx / n) * (sx / n)) * (syy / n - (sy / n) * (sy / n))) AS rxy,
+          (sxz / n - (sx / n) * (sz / n)) /
+            sqrt((sxx / n - (sx / n) * (sx / n)) * (szz / n - (sz / n) * (sz / n))) AS rxz,
+          (syz / n - (sy / n) * (sz / n)) /
+            sqrt((syy / n - (sy / n) * (sy / n)) * (szz / n - (sz / n) * (sz / n))) AS ryz
+        FROM f)
+      SELECT n, round(rxy, 6) AS r_qty_price, round(rxz, 6) AS r_qty_disc,
+        round(ryz, 6) AS r_price_disc,
+        round((rxy - rxz * ryz) / sqrt((1.0 - rxz * rxz) * (1.0 - ryz * ryz)), 6) AS partial_r_given_disc
+      FROM r"""))
+
+  /** Variance inflation factors for the three lineitem regressors
+    * (quantity, discount, tax): VIF_j = 1/(1 − R²_j) with each R²
+    * from the closed-form 3-variable correlation identities (for the
+    * 2-predictor auxiliary regressions R²_j = (r²_ab + r²_ac −
+    * 2 r_ab r_ac r_bc)/(1 − r²_bc)) — the multicollinearity audit
+    * that must precede any q133/q206-style multivariate fit; one
+    * exact moment pass, O(1) arithmetic.
+    */
+  val q275Vif: QueryDef = QueryDef("q275_vif",
+    (s, dir) => {
+      val li = t(s, dir, "lineitem").select(
+        col("l_quantity").cast(DecimalType(12, 0)).as("a"),
+        rate(col("l_discount")).as("b"),
+        rate(col("l_tax")).as("c"))
+      val m = li.agg(count(lit(1)).as("n"),
+        sum(col("a")).as("sa"), sum(col("b")).as("sb"), sum(col("c")).as("sc"),
+        sum(col("a") * col("a")).as("saa"),
+        sum(col("b") * col("b")).as("sbb"),
+        sum(col("c") * col("c")).as("scc"),
+        sum(col("a") * col("b")).as("sab"),
+        sum(col("a") * col("c")).as("sac"),
+        sum(col("b") * col("c")).as("sbc"))
+      val nD = col("n").cast(DoubleType)
+      def corr(sab: Column, sa: Column, sb: Column,
+          saa: Column, sbb: Column): Column = {
+        val cov = sab.cast(DoubleType) / nD -
+          (sa.cast(DoubleType) / nD) * (sb.cast(DoubleType) / nD)
+        val va = saa.cast(DoubleType) / nD -
+          (sa.cast(DoubleType) / nD) * (sa.cast(DoubleType) / nD)
+        val vb = sbb.cast(DoubleType) / nD -
+          (sb.cast(DoubleType) / nD) * (sb.cast(DoubleType) / nD)
+        cov / sqrt(va * vb)
+      }
+      val rab = corr(col("sab"), col("sa"), col("sb"), col("saa"), col("sbb"))
+      val rac = corr(col("sac"), col("sa"), col("sc"), col("saa"), col("scc"))
+      val rbc = corr(col("sbc"), col("sb"), col("sc"), col("sbb"), col("scc"))
+      def vif(r1: Column, r2: Column, r3: Column): Column =
+        lit(1.0) / (lit(1.0) -
+          (r1 * r1 + r2 * r2 - lit(2.0) * r1 * r2 * r3) / (lit(1.0) - r3 * r3))
+      m.select(col("n"),
+        round(rab, 6).as("r_qty_disc"),
+        round(rac, 6).as("r_qty_tax"),
+        round(rbc, 6).as("r_disc_tax"),
+        round(vif(rab, rac, rbc), 6).as("vif_quantity"),
+        round(vif(rab, rbc, rac), 6).as("vif_discount"),
+        round(vif(rac, rbc, rab), 6).as("vif_tax"))
+    },
+    Some("""WITH li AS (SELECT CAST(l_quantity AS DECIMAL(12,0)) AS a,
+          CAST(l_discount AS DECIMAL(4,2)) AS b, CAST(l_tax AS DECIMAL(4,2)) AS c
+        FROM lineitem),
+      m AS (SELECT COUNT(*) AS n,
+          SUM(a) AS sa, SUM(b) AS sb, SUM(c) AS sc,
+          SUM(a * a) AS saa, SUM(b * b) AS sbb, SUM(c * c) AS scc,
+          SUM(a * b) AS sab, SUM(a * c) AS sac, SUM(b * c) AS sbc
+        FROM li),
+      r AS (SELECT n,
+          (CAST(sab AS DOUBLE) / n - (CAST(sa AS DOUBLE) / n) * (CAST(sb AS DOUBLE) / n)) /
+            sqrt((CAST(saa AS DOUBLE) / n - (CAST(sa AS DOUBLE) / n) * (CAST(sa AS DOUBLE) / n)) *
+                 (CAST(sbb AS DOUBLE) / n - (CAST(sb AS DOUBLE) / n) * (CAST(sb AS DOUBLE) / n))) AS rab,
+          (CAST(sac AS DOUBLE) / n - (CAST(sa AS DOUBLE) / n) * (CAST(sc AS DOUBLE) / n)) /
+            sqrt((CAST(saa AS DOUBLE) / n - (CAST(sa AS DOUBLE) / n) * (CAST(sa AS DOUBLE) / n)) *
+                 (CAST(scc AS DOUBLE) / n - (CAST(sc AS DOUBLE) / n) * (CAST(sc AS DOUBLE) / n))) AS rac,
+          (CAST(sbc AS DOUBLE) / n - (CAST(sb AS DOUBLE) / n) * (CAST(sc AS DOUBLE) / n)) /
+            sqrt((CAST(sbb AS DOUBLE) / n - (CAST(sb AS DOUBLE) / n) * (CAST(sb AS DOUBLE) / n)) *
+                 (CAST(scc AS DOUBLE) / n - (CAST(sc AS DOUBLE) / n) * (CAST(sc AS DOUBLE) / n))) AS rbc
+        FROM m)
+      SELECT n, round(rab, 6) AS r_qty_disc, round(rac, 6) AS r_qty_tax,
+        round(rbc, 6) AS r_disc_tax,
+        round(1.0 / (1.0 - (rab * rab + rac * rac - 2.0 * rab * rac * rbc) / (1.0 - rbc * rbc)), 6) AS vif_quantity,
+        round(1.0 / (1.0 - (rab * rab + rbc * rbc - 2.0 * rab * rbc * rac) / (1.0 - rac * rac)), 6) AS vif_discount,
+        round(1.0 / (1.0 - (rac * rac + rbc * rbc - 2.0 * rac * rbc * rab) / (1.0 - rab * rab)), 6) AS vif_tax
+      FROM r"""))
+
+  /** Granger-causality F (1 lag): does yesterday's A-flag revenue
+    * help predict today's R-flag revenue beyond R's own lag? The
+    * restricted model (y ~ y₁) and unrestricted (y ~ y₁ + x₁, solved
+    * by 3×3 Cramer over exact lag moments) SSEs give F =
+    * (SSE_r − SSE_u)/(SSE_u/(n−3)) — the predictive-causality test on
+    * top of the q100 lag machinery. Series pin to exact integer cents
+    * (decimal→long, no double rounding) and products ride
+    * DECIMAL(38,0); moments re-scale to millions only at the final
+    * double stage.
+    */
+  val q276Granger: QueryDef = QueryDef("q276_granger",
+    (s, dir) => {
+      val daily = t(s, dir, "lineitem")
+        .filter(col("l_returnflag").isin("A", "R"))
+        .groupBy(date_trunc("day", col("l_shipdate")).as("day"))
+        .agg(sum(when(col("l_returnflag") === "R", dec(col("l_extendedprice"))))
+          .cast(DecimalType(18, 2)).as("yr"),
+          sum(when(col("l_returnflag") === "A", dec(col("l_extendedprice"))))
+            .cast(DecimalType(18, 2)).as("xr"))
+      val w = Window.orderBy(col("day"))
+      val lagged = daily
+        .withColumn("yu", col("yr").multiply(lit(100)).cast(LongType))
+        .withColumn("xu", col("xr").multiply(lit(100)).cast(LongType))
+        .withColumn("y1u", lag(col("yu"), 1).over(w))
+        .withColumn("x1u", lag(col("xu"), 1).over(w))
+        .filter(col("yu").isNotNull && col("y1u").isNotNull && col("x1u").isNotNull)
+        .select(col("yu"), col("y1u"), col("x1u"))
+      val m = lagged.agg(count(lit(1)).as("n"),
+        sum(col("yu")).as("sy"), sum(col("y1u")).as("s1"), sum(col("x1u")).as("s2"),
+        sum(col("y1u").cast(DecimalType(19, 0)) * col("y1u")).cast(DecimalType(38, 0)).as("s11"),
+        sum(col("x1u").cast(DecimalType(19, 0)) * col("x1u")).cast(DecimalType(38, 0)).as("s22"),
+        sum(col("y1u").cast(DecimalType(19, 0)) * col("x1u")).cast(DecimalType(38, 0)).as("s12"),
+        sum(col("yu").cast(DecimalType(19, 0)) * col("yu")).cast(DecimalType(38, 0)).as("syy"),
+        sum(col("yu").cast(DecimalType(19, 0)) * col("y1u")).cast(DecimalType(38, 0)).as("sy1"),
+        sum(col("yu").cast(DecimalType(19, 0)) * col("x1u")).cast(DecimalType(38, 0)).as("sy2"))
+      val nD = col("n").cast(DoubleType)
+      def dd(c: Column): Column = c.cast(DoubleType) / 1.0e16
+      val sy = col("sy").cast(DoubleType) / 1.0e8
+      val s1 = col("s1").cast(DoubleType) / 1.0e8
+      val s2 = col("s2").cast(DoubleType) / 1.0e8
+      val s11 = dd(col("s11")); val s22 = dd(col("s22")); val s12 = dd(col("s12"))
+      val syy = dd(col("syy")); val sy1 = dd(col("sy1")); val sy2 = dd(col("sy2"))
+      // restricted: y = a + b*y1
+      val dR = nD * s11 - s1 * s1
+      val bR = (nD * sy1 - s1 * sy) / dR
+      val aR = (sy - bR * s1) / nD
+      val sseR = syy - aR * sy - bR * sy1
+      // unrestricted: y = a + b*y1 + c*x1, Cramer on [[n,s1,s2],[s1,s11,s12],[s2,s12,s22]]
+      val det = nD * (s11 * s22 - s12 * s12) - s1 * (s1 * s22 - s12 * s2) +
+        s2 * (s1 * s12 - s11 * s2)
+      val aU = (sy * (s11 * s22 - s12 * s12) - s1 * (sy1 * s22 - s12 * sy2) +
+        s2 * (sy1 * s12 - s11 * sy2)) / det
+      val bU = (nD * (sy1 * s22 - sy2 * s12) - sy * (s1 * s22 - s12 * s2) +
+        s2 * (s1 * sy2 - sy1 * s2)) / det
+      val cU = (nD * (s11 * sy2 - s12 * sy1) - s1 * (s1 * sy2 - s12 * sy) +
+        sy * (s1 * s12 - s11 * s2)) / det
+      val sseU = syy - aU * sy - bU * sy1 - cU * sy2
+      m.select(col("n"),
+        round(sseR, 6).as("sse_restricted_m"),
+        round(sseU, 6).as("sse_unrestricted_m"),
+        round(cU, 6).as("x_lag_coef"),
+        round((sseR - sseU) / (sseU / (nD - 3.0)), 6).as("granger_f"))
+    },
+    Some("""WITH daily AS (SELECT date_trunc('day', l_shipdate) AS day,
+          CAST(SUM(CASE WHEN l_returnflag = 'R' THEN CAST(l_extendedprice AS DECIMAL(12,2)) END) AS DECIMAL(18,2)) AS yr,
+          CAST(SUM(CASE WHEN l_returnflag = 'A' THEN CAST(l_extendedprice AS DECIMAL(12,2)) END) AS DECIMAL(18,2)) AS xr
+        FROM lineitem WHERE l_returnflag IN ('A', 'R') GROUP BY 1),
+      lagged AS (SELECT
+          CAST(yr * 100 AS BIGINT) AS yu,
+          lag(CAST(yr * 100 AS BIGINT), 1) OVER (ORDER BY day) AS y1u,
+          lag(CAST(xr * 100 AS BIGINT), 1) OVER (ORDER BY day) AS x1u
+        FROM daily
+        QUALIFY yu IS NOT NULL AND y1u IS NOT NULL AND x1u IS NOT NULL),
+      m AS (SELECT COUNT(*) AS n,
+          CAST(SUM(yu) AS BIGINT) AS sy, CAST(SUM(y1u) AS BIGINT) AS s1, CAST(SUM(x1u) AS BIGINT) AS s2,
+          CAST(SUM(CAST(y1u AS DECIMAL(19,0)) * y1u) AS DECIMAL(38,0)) AS s11,
+          CAST(SUM(CAST(x1u AS DECIMAL(19,0)) * x1u) AS DECIMAL(38,0)) AS s22,
+          CAST(SUM(CAST(y1u AS DECIMAL(19,0)) * x1u) AS DECIMAL(38,0)) AS s12,
+          CAST(SUM(CAST(yu AS DECIMAL(19,0)) * yu) AS DECIMAL(38,0)) AS syy,
+          CAST(SUM(CAST(yu AS DECIMAL(19,0)) * y1u) AS DECIMAL(38,0)) AS sy1,
+          CAST(SUM(CAST(yu AS DECIMAL(19,0)) * x1u) AS DECIMAL(38,0)) AS sy2
+        FROM lagged),
+      f AS (SELECT n, CAST(n AS DOUBLE) AS nd,
+          CAST(sy AS DOUBLE) / 1.0e8 AS sy, CAST(s1 AS DOUBLE) / 1.0e8 AS s1, CAST(s2 AS DOUBLE) / 1.0e8 AS s2,
+          CAST(s11 AS DOUBLE) / 1.0e16 AS s11, CAST(s22 AS DOUBLE) / 1.0e16 AS s22,
+          CAST(s12 AS DOUBLE) / 1.0e16 AS s12, CAST(syy AS DOUBLE) / 1.0e16 AS syy,
+          CAST(sy1 AS DOUBLE) / 1.0e16 AS sy1, CAST(sy2 AS DOUBLE) / 1.0e16 AS sy2
+        FROM m),
+      g AS (SELECT n, nd, sy, sy1, sy2, syy,
+          (nd * sy1 - s1 * sy) / (nd * s11 - s1 * s1) AS bR,
+          (sy - (nd * sy1 - s1 * sy) / (nd * s11 - s1 * s1) * s1) / nd AS aR,
+          nd * (s11 * s22 - s12 * s12) - s1 * (s1 * s22 - s12 * s2) + s2 * (s1 * s12 - s11 * s2) AS det,
+          s1, s2, s11, s22, s12
+        FROM f),
+      h AS (SELECT n, nd, sy, sy1, sy2, syy, aR, bR,
+          (sy * (s11 * s22 - s12 * s12) - s1 * (sy1 * s22 - s12 * sy2) + s2 * (sy1 * s12 - s11 * sy2)) / det AS aU,
+          (nd * (sy1 * s22 - sy2 * s12) - sy * (s1 * s22 - s12 * s2) + s2 * (s1 * sy2 - sy1 * s2)) / det AS bU,
+          (nd * (s11 * sy2 - s12 * sy1) - s1 * (s1 * sy2 - s12 * sy) + sy * (s1 * s12 - s11 * s2)) / det AS cU
+        FROM g)
+      SELECT n,
+        round(syy - aR * sy - bR * sy1, 6) AS sse_restricted_m,
+        round(syy - aU * sy - bU * sy1 - cU * sy2, 6) AS sse_unrestricted_m,
+        round(cU, 6) AS x_lag_coef,
+        round(((syy - aR * sy - bR * sy1) - (syy - aU * sy - bU * sy1 - cU * sy2)) /
+          ((syy - aU * sy - bU * sy1 - cU * sy2) / (nd - 3.0)), 6) AS granger_f
+      FROM h"""))
+
   val all: Seq[QueryDef] = Seq(
     q1Agg, q2Filter, q3Join, q4Semi, q5Multi, q6Window, q7TopK, q8Distinct,
     q9Rollup, q10Pivot, q11Anti, q12Expr, q13Percentiles, q14Subquery,
@@ -16814,6 +17201,7 @@ object Queries {
     q263PriceIndex, q264Newsvendor, q265AbcXyz, q266CramerVonMises, q267Rbo, textYuleK,
     q268DistDistancePanel, textBurrowsDelta, q269Raking, q270CochranArmitage, q271StandardizedRates,
     textDocPerplexity, curateKeepBest, curateStratifiedSample,
+    q272XbarR, q273Deming, q274PartialCorr, q275Vif, q276Granger,
     etlMergeUpsert, etlConstraints, etlProvenance,
     graphPageRank, curateWeightedSample,
     etlUnionSources, etlValidate, etlCleanTransform, etlQualityReport,
