@@ -17129,6 +17129,212 @@ object Queries {
           ((syy - aU * sy - bU * sy1 - cU * sy2) / (nd - 3.0)), 6) AS granger_f
       FROM h"""))
 
+  /** L28 engagement histogram + stickiness: for the busiest calendar
+    * month, the distribution of active-days-per-user (the classic
+    * "smile graph" that separates tourists from power users) plus
+    * avg-DAU/MAU stickiness — the product-engagement census beside
+    * q115's retained/new/churned accounting. Pure integer counting
+    * in two partial-agg passes.
+    */
+  val q277L28: QueryDef = QueryDef("q277_l28",
+    (s, dir) => {
+      val ev = t(s, dir, "events")
+        .select(col("user_id"), date_trunc("month", col("ts")).as("mo"),
+          date_trunc("day", col("ts")).as("day"))
+      val busiest = ev.groupBy(col("mo")).agg(countDistinct(col("user_id")).as("mau"))
+        .orderBy(desc("mau"), col("mo")).limit(1)
+      val month = ev.join(broadcast(busiest), Seq("mo"))
+      val perUser = month.groupBy(col("user_id"))
+        .agg(countDistinct(col("day")).as("active_days"), max(col("mau")).as("mau"))
+      val dau = month.groupBy(col("day"))
+        .agg(countDistinct(col("user_id")).as("dau"))
+        .agg(sum(col("dau")).as("sdau"), count(lit(1)).as("ndays"))
+      perUser.groupBy(col("active_days"))
+        .agg(count(lit(1)).as("n_users"), max(col("mau")).as("mau"))
+        .crossJoin(broadcast(dau))
+        .select(col("active_days"), col("n_users"),
+          round(col("n_users").cast(DoubleType) / col("mau").cast(DoubleType), 6)
+            .as("user_share"),
+          round(col("sdau").cast(DoubleType) / col("ndays").cast(DoubleType) /
+            col("mau").cast(DoubleType), 6).as("stickiness"))
+        .orderBy(col("active_days"))
+    },
+    Some("""WITH ev AS (SELECT user_id, date_trunc('month', ts) AS mo,
+          date_trunc('day', ts) AS day
+        FROM events),
+      busiest AS (SELECT mo, COUNT(DISTINCT user_id) AS mau FROM ev GROUP BY 1
+        ORDER BY mau DESC, mo LIMIT 1),
+      month AS (SELECT ev.* , busiest.mau FROM ev JOIN busiest USING (mo)),
+      per_user AS (SELECT user_id, COUNT(DISTINCT day) AS active_days, MAX(mau) AS mau
+        FROM month GROUP BY 1),
+      dau AS (SELECT CAST(SUM(dau) AS BIGINT) AS sdau, COUNT(*) AS ndays
+        FROM (SELECT day, COUNT(DISTINCT user_id) AS dau FROM month GROUP BY 1))
+      SELECT active_days, COUNT(*) AS n_users,
+        round(CAST(COUNT(*) AS DOUBLE) / MAX(mau), 6) AS user_share,
+        round(CAST(MAX(sdau) AS DOUBLE) / MAX(ndays) / MAX(mau), 6) AS stickiness
+      FROM per_user CROSS JOIN dau
+      GROUP BY 1 ORDER BY 1"""))
+
+  /** Cohort payback period: for each signup-quarter order cohort,
+    * the first month where cumulative revenue per cohort member
+    * crosses the 50k acquisition-cost threshold — q110's LTV curve
+    * collapsed to the one number finance asks for, with the curve's
+    * exact DECIMAL cumulative sums deciding the crossing by integer
+    * cross-compare (no float drift at the boundary).
+    */
+  val q278Payback: QueryDef = QueryDef("q278_payback",
+    (s, dir) => {
+      val first = t(s, dir, "orders").groupBy(col("o_custkey"))
+        .agg(min(date_trunc("quarter", col("o_orderdate"))).as("cohort"))
+      val sized = first.groupBy(col("cohort")).agg(count(lit(1)).as("n_cust"))
+      val rev = t(s, dir, "orders").join(first, Seq("o_custkey"))
+        .groupBy(col("cohort"),
+          (months_between(date_trunc("month", col("o_orderdate")), col("cohort")))
+            .cast(LongType).as("age"))
+        .agg(sum(dec(col("o_totalprice"))).cast(DecimalType(20, 2)).as("rev"))
+      val wCum = Window.partitionBy(col("cohort")).orderBy(col("age"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val curve = rev.join(broadcast(sized), Seq("cohort"))
+        .withColumn("cum", sum(col("rev")).over(wCum))
+      val crossed = curve
+        .filter(col("cum") >= col("n_cust").cast(DecimalType(20, 2)) * 50000)
+        .groupBy(col("cohort")).agg(min(col("age")).as("payback_month"))
+      sized.join(crossed, Seq("cohort"), "left")
+        .join(curve.groupBy(col("cohort")).agg(max(col("cum")).as("ltv_total")),
+          Seq("cohort"))
+        .select(col("cohort"), col("n_cust"),
+          round(col("ltv_total").cast(DoubleType) /
+            col("n_cust").cast(DoubleType), 2).as("ltv_per_cust"),
+          coalesce(col("payback_month"), lit(-1L)).as("payback_month"))
+        .orderBy(col("cohort"))
+    },
+    Some("""WITH first_ AS (SELECT o_custkey,
+          MIN(date_trunc('quarter', o_orderdate)) AS cohort
+        FROM orders GROUP BY 1),
+      sized AS (SELECT cohort, COUNT(*) AS n_cust FROM first_ GROUP BY 1),
+      rev AS (SELECT cohort,
+          CAST(datediff('month', CAST(cohort AS DATE),
+            CAST(date_trunc('month', o_orderdate) AS DATE)) AS BIGINT) AS age,
+          CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(20,2)) AS rev
+        FROM orders JOIN first_ USING (o_custkey) GROUP BY 1, 2),
+      curve AS (SELECT cohort, age, n_cust,
+          SUM(rev) OVER (PARTITION BY cohort ORDER BY age
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        FROM rev JOIN sized USING (cohort)),
+      crossed AS (SELECT cohort, MIN(age) AS payback_month
+        FROM curve WHERE cum >= CAST(n_cust AS DECIMAL(20,2)) * 50000 GROUP BY 1),
+      ltv AS (SELECT cohort, MAX(cum) AS ltv_total FROM curve GROUP BY 1)
+      SELECT sized.cohort, n_cust,
+        round(CAST(ltv_total AS DOUBLE) / n_cust, 2) AS ltv_per_cust,
+        COALESCE(payback_month, -1) AS payback_month
+      FROM sized LEFT JOIN crossed USING (cohort) JOIN ltv ON ltv.cohort = sized.cohort
+      ORDER BY sized.cohort"""))
+
+  /** Cost-optimal decision threshold: q216's exact suffix-sum
+    * confusion counts re-priced with an asymmetric cost matrix
+    * (FN = 5·FP) — the argmin-cost operating point and the cost
+    * curve around it, chosen by integer cost cross-compare with a
+    * deterministic tie rule. The "so which cutoff do we ship"
+    * decision layer over the ROC table.
+    */
+  val q279CostThreshold: QueryDef = QueryDef("q279_cost_threshold",
+    (s, dir) => {
+      val sc = scoredCustomers(s, dir)
+      val bounds = sc.agg(min(col("score_u")).as("lo"), max(col("score_u")).as("hi"))
+      val binned = sc.crossJoin(broadcast(bounds))
+        .withColumn("p_u", expr("((score_u - lo) * 1000000L) div (hi - lo)"))
+        .withColumn("bin", expr("(p_u * 20) div 1000001"))
+        .groupBy(col("bin"))
+        .agg(count(lit(1)).as("n"), sum(when(col("pos"), 1L).otherwise(0L)).as("np"))
+      val wSuf = Window.orderBy(col("bin")).rowsBetween(0, Window.unboundedFollowing)
+      val tot = binned.agg(sum(col("n")).as("nt"), sum(col("np")).as("npt"))
+      val pts = binned
+        .withColumn("pred_pos", sum(col("n")).over(wSuf))
+        .withColumn("tp", sum(col("np")).over(wSuf))
+        .crossJoin(broadcast(tot))
+        .withColumn("fp", col("pred_pos") - col("tp"))
+        .withColumn("fn", col("npt") - col("tp"))
+        .withColumn("cost", col("fp") + lit(5L) * col("fn"))
+      val best = pts.orderBy(col("cost"), col("bin")).limit(1)
+        .select(col("bin").as("best_bin"), col("cost").as("best_cost"))
+      pts.crossJoin(broadcast(best))
+        .filter(abs(col("bin") - col("best_bin")) <= 2)
+        .select(col("bin"), col("tp"), col("fp"), col("fn"), col("cost"),
+          (col("bin") === col("best_bin")).as("is_optimal"),
+          round(col("tp").cast(DoubleType) /
+            greatest(col("tp") + col("fn"), lit(1L)).cast(DoubleType), 6).as("recall"),
+          round(col("tp").cast(DoubleType) /
+            greatest(col("tp") + col("fp"), lit(1L)).cast(DoubleType), 6).as("precision"))
+        .orderBy(col("bin"))
+    },
+    Some(s"""WITH $scoredSql,
+      b AS (SELECT MIN(score_u) AS lo, MAX(score_u) AS hi FROM scored),
+      binned AS (SELECT ((((score_u - lo) * 1000000) // (hi - lo)) * 20) // 1000001 AS bin,
+          COUNT(*) AS n, CAST(SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS np
+        FROM scored CROSS JOIN b GROUP BY 1),
+      tot AS (SELECT CAST(SUM(n) AS BIGINT) AS nt, CAST(SUM(np) AS BIGINT) AS npt FROM binned),
+      pts AS (SELECT bin,
+          CAST(SUM(n) OVER (ORDER BY bin ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS BIGINT) AS pred_pos,
+          CAST(SUM(np) OVER (ORDER BY bin ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS BIGINT) AS tp,
+          npt
+        FROM binned CROSS JOIN tot),
+      costed AS (SELECT bin, tp, pred_pos - tp AS fp, npt - tp AS fn,
+          (pred_pos - tp) + 5 * (npt - tp) AS cost
+        FROM pts),
+      best AS (SELECT bin AS best_bin, cost AS best_cost FROM costed
+        ORDER BY cost, bin LIMIT 1)
+      SELECT bin, tp, fp, fn, cost, (bin = best_bin) AS is_optimal,
+        round(CAST(tp AS DOUBLE) / GREATEST(tp + fn, 1), 6) AS recall,
+        round(CAST(tp AS DOUBLE) / GREATEST(tp + fp, 1), 6) AS precision
+      FROM costed CROSS JOIN best
+      WHERE ABS(bin - best_bin) <= 2 ORDER BY bin"""))
+
+  /** Average-nearest-neighbor-degree curve k_nn(k) on the co-purchase
+    * graph: for each degree class, the mean degree of its members'
+    * neighbors — the full assortativity STRUCTURE (rising = hub-hub
+    * wiring, falling = hub-leaf) where q183 reports one Pearson
+    * number. Exact integer degree sums over one edge-degree join;
+    * 1e-6 floor-divided per-node means.
+    */
+  val q280KnnDegree: QueryDef = QueryDef("q280_knn_degree",
+    (s, dir) => {
+      val baskets = t(s, dir, "lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg(array_sort(collect_set(col("l_partkey"))).as("ps"))
+      val und = baskets
+        .select(explode(flatten(transform(col("ps"), (x, i) =>
+          transform(slice(col("ps"), i + 2, size(col("ps"))),
+            y => struct(x.as("a"), y.as("b")))))).as("pr"))
+        .select(col("pr.a").as("a"), col("pr.b").as("b"))
+        .groupBy(col("a"), col("b")).agg(count(lit(1)).as("w"))
+        .filter(col("w") >= 2)
+      val edges = und.select(col("a").as("u"), col("b").as("v"))
+        .unionAll(und.select(col("b").as("u"), col("a").as("v")))
+        .localCheckpoint(true)
+      val deg = edges.groupBy(col("u")).agg(count(lit(1)).as("k"))
+      val nbr = edges.join(deg.select(col("u").as("v"), col("k").as("kv")), Seq("v"))
+        .groupBy(col("u")).agg(sum(col("kv")).as("sk"), count(lit(1)).as("nn"))
+      deg.join(nbr, Seq("u"))
+        .withColumn("knn_u", expr("(sk * 1000000L) div nn"))
+        .groupBy(col("k"))
+        .agg(count(lit(1)).as("n_nodes"), sum(col("knn_u")).as("sknn"))
+        .select(col("k").as("degree"), col("n_nodes"),
+          round(col("sknn").cast(DoubleType) / 1.0e6 /
+            col("n_nodes").cast(DoubleType), 6).as("avg_neighbor_degree"))
+        .orderBy(col("degree"))
+    },
+    Some("""WITH op AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+      und AS (SELECT a.pk AS a, b.pk AS b FROM op a JOIN op b ON a.ok = b.ok AND a.pk < b.pk
+        GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+      edges AS (SELECT a AS u, b AS v FROM und UNION ALL SELECT b, a FROM und),
+      deg AS (SELECT u, COUNT(*) AS k FROM edges GROUP BY 1),
+      nbr AS (SELECT e.u, CAST(SUM(d.k) AS BIGINT) AS sk, COUNT(*) AS nn
+        FROM edges e JOIN deg d ON d.u = e.v GROUP BY 1)
+      SELECT deg.k AS degree, COUNT(*) AS n_nodes,
+        round(CAST(SUM((sk * 1000000) // nn) AS DOUBLE) / 1.0e6 / COUNT(*), 6) AS avg_neighbor_degree
+      FROM deg JOIN nbr USING (u)
+      GROUP BY 1 ORDER BY 1"""))
+
   val all: Seq[QueryDef] = Seq(
     q1Agg, q2Filter, q3Join, q4Semi, q5Multi, q6Window, q7TopK, q8Distinct,
     q9Rollup, q10Pivot, q11Anti, q12Expr, q13Percentiles, q14Subquery,
@@ -17202,6 +17408,7 @@ object Queries {
     q268DistDistancePanel, textBurrowsDelta, q269Raking, q270CochranArmitage, q271StandardizedRates,
     textDocPerplexity, curateKeepBest, curateStratifiedSample,
     q272XbarR, q273Deming, q274PartialCorr, q275Vif, q276Granger,
+    q277L28, q278Payback, q279CostThreshold, q280KnnDegree,
     etlMergeUpsert, etlConstraints, etlProvenance,
     graphPageRank, curateWeightedSample,
     etlUnionSources, etlValidate, etlCleanTransform, etlQualityReport,
