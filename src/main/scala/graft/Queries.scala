@@ -17335,6 +17335,361 @@ object Queries {
       FROM deg JOIN nbr USING (u)
       GROUP BY 1 ORDER BY 1"""))
 
+  /** Poisson GLM of daily order arrivals on a linear time trend
+    * (log link, 3 IRLS rounds) — the count-data regression that
+    * completes the GLM family beside q65's linear and q133's
+    * logistic fits: exposure-free rate trend with multiplicative
+    * interpretation exp(b). Working weights/responses pin to 1e-6 /
+    * 1e-9 integers each round on the O(days) frame; the oracle
+    * unrolls the same template.
+    */
+  val q281PoissonGlm: QueryDef = QueryDef("q281_poisson_glm",
+    (s, dir) => {
+      val daily = t(s, dir, "orders")
+        .groupBy(datediff(col("o_orderdate"), lit("1992-01-01").cast(DateType))
+          .cast(LongType).as("d"))
+        .agg(count(lit(1)).as("y"))
+        .withColumn("x", col("d").cast(DoubleType) / 1000.0)
+        .localCheckpoint(true)
+      val init = daily.agg(count(lit(1)).as("n"), sum(col("y")).as("sy"))
+        .select(col("n"),
+          log(col("sy").cast(DoubleType) / col("n").cast(DoubleType)).as("a"),
+          lit(0.0).as("b"))
+      var fit = init.localCheckpoint(true)
+      for (_ <- 1 to 3) {
+        val mu = exp(col("a") + col("b") * col("x"))
+        val wu = floor(mu * 1.0e6 + 0.5).cast(LongType)
+        val zu = floor((col("a") + col("b") * col("x") +
+          (col("y").cast(DoubleType) - mu) / greatest(mu, lit(1.0e-9))) * 1.0e9 + 0.5)
+          .cast(LongType)
+        val xu = floor(col("x") * 1.0e9 + 0.5).cast(LongType)
+        val m = daily.crossJoin(broadcast(fit))
+          .select(col("n"), wu.as("wu"), zu.as("zu"), xu.as("xu"))
+          .agg(max(col("n")).as("n"),
+            sum(col("wu")).as("sw"),
+            sum(col("wu").cast(DecimalType(19, 0)) * col("xu")).cast(DecimalType(38, 0)).as("swx"),
+            sum((col("wu").cast(DecimalType(19, 0)) * col("xu")).cast(DecimalType(38, 0))
+              .multiply(col("xu")).cast(DecimalType(38, 0))).cast(DecimalType(38, 0)).as("swxx"),
+            sum(col("wu").cast(DecimalType(19, 0)) * col("zu")).cast(DecimalType(38, 0)).as("swz"),
+            sum((col("wu").cast(DecimalType(19, 0)) * col("xu")).cast(DecimalType(38, 0))
+              .multiply(col("zu")).cast(DecimalType(38, 0)).cast(DecimalType(38, 0))).cast(DecimalType(38, 0)).as("swxz"))
+        val swD = col("sw").cast(DoubleType) / 1.0e6
+        val swxD = col("swx").cast(DoubleType) / 1.0e6 / 1.0e9
+        val swxxD = col("swxx").cast(DoubleType) / 1.0e6 / 1.0e18
+        val swzD = col("swz").cast(DoubleType) / 1.0e6 / 1.0e9
+        val swxzD = col("swxz").cast(DoubleType) / 1.0e6 / 1.0e18
+        val b1 = (swD * swxzD - swxD * swzD) / (swD * swxxD - swxD * swxD)
+        val a1 = (swzD - b1 * swxD) / swD
+        fit = m.select(col("n"), a1.as("a"), b1.as("b")).localCheckpoint(true)
+      }
+      fit.select(col("n"),
+        round(col("a"), 6).as("intercept"),
+        round(col("b"), 6).as("slope_per_1000d"),
+        round(exp(col("b") / 1000.0 * 365.0), 6).as("yearly_rate_ratio"))
+    },
+    Some {
+      def irls(prev: String, out: String): String =
+        s"""$out AS (SELECT n,
+          ((swz / sw) - ((sw * swxz - swx * swz) / (sw * swxx - swx * swx)) * (swx / sw)) AS a,
+          ((sw * swxz - swx * swz) / (sw * swxx - swx * swx)) AS b
+        FROM (SELECT MAX(n) AS n,
+            CAST(CAST(SUM(wu) AS DOUBLE) / 1.0e6 AS DOUBLE) AS sw,
+            CAST(SUM(CAST(wu AS DECIMAL(19,0)) * xu) AS DOUBLE) / 1.0e6 / 1.0e9 AS swx,
+            CAST(SUM(CAST(CAST(wu AS DECIMAL(19,0)) * xu AS DECIMAL(38,0)) * xu) AS DOUBLE) / 1.0e6 / 1.0e18 AS swxx,
+            CAST(SUM(CAST(wu AS DECIMAL(19,0)) * zu) AS DOUBLE) / 1.0e6 / 1.0e9 AS swz,
+            CAST(SUM(CAST(CAST(wu AS DECIMAL(19,0)) * xu AS DECIMAL(38,0)) * zu) AS DOUBLE) / 1.0e6 / 1.0e18 AS swxz
+          FROM (SELECT d.y, d.x, f.n, f.a, f.b,
+              CAST(FLOOR(exp(f.a + f.b * d.x) * 1.0e6 + 0.5) AS BIGINT) AS wu,
+              CAST(FLOOR((f.a + f.b * d.x +
+                (d.y - exp(f.a + f.b * d.x)) / GREATEST(exp(f.a + f.b * d.x), 1.0e-9)) * 1.0e9 + 0.5) AS BIGINT) AS zu,
+              CAST(FLOOR(d.x * 1.0e9 + 0.5) AS BIGINT) AS xu
+            FROM d CROSS JOIN $prev f)))"""
+      s"""WITH d AS (SELECT
+          CAST(datediff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS dd,
+          CAST(datediff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) AS DOUBLE) / 1000.0 AS x,
+          COUNT(*) AS y
+        FROM orders GROUP BY 1, 2),
+      f0 AS (SELECT COUNT(*) AS n,
+          ln(CAST(SUM(y) AS DOUBLE) / COUNT(*)) AS a, 0.0 AS b
+        FROM d),
+      ${irls("f0", "f1")},
+      ${irls("f1", "f2")},
+      ${irls("f2", "f3")}
+      SELECT n, round(a, 6) AS intercept, round(b, 6) AS slope_per_1000d,
+        round(exp(b / 1000.0 * 365.0), 6) AS yearly_rate_ratio
+      FROM f3"""
+    })
+
+  /** Competing-risks cumulative incidence (Aalen–Johansen): after
+    * signup, first PURCHASE competes with first ERROR — naive
+    * "1 − KM per cause" over-counts because it treats the rival
+    * event as censoring; CIF_k(t) = Σ S(t⁻)·d_k/n accumulates each
+    * cause's probability correctly. Overall survival rides the q98
+    * ln-sum chain; per-cause increments pin to 1e-9 before the
+    * running sum, all on the O(distinct durations) frame.
+    */
+  val q282CompetingRisks: QueryDef = QueryDef("q282_competing_risks",
+    (s, dir) => {
+      val ev = t(s, dir, "events")
+      val signup = ev.filter(col("event_type") === "signup")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("s_ts"))
+      def firstEv(tp: String, nm: String): DataFrame =
+        ev.filter(col("event_type") === tp)
+          .join(signup, Seq("user_id"))
+          .filter(col("ts") >= col("s_ts"))
+          .groupBy(col("user_id")).agg(min(col("ts")).as(nm))
+      val horizon = ev.agg(max(col("ts")).as("h_ts"))
+      val subj = signup.join(firstEv("purchase", "p_ts"), Seq("user_id"), "left")
+        .join(firstEv("error", "e_ts"), Seq("user_id"), "left")
+        .crossJoin(broadcast(horizon))
+        .withColumn("event",
+          when(col("p_ts").isNotNull &&
+            (col("e_ts").isNull || col("p_ts") <= col("e_ts")), 1L)
+            .when(col("e_ts").isNotNull, 2L).otherwise(0L))
+        .withColumn("end_ts",
+          when(col("event") === 1, col("p_ts"))
+            .when(col("event") === 2, col("e_ts")).otherwise(col("h_ts")))
+        .select(col("event"),
+          floor((unix_micros(col("end_ts")) - unix_micros(col("s_ts"))) /
+            lit(86400000000.0)).cast(LongType).as("dur"))
+      val byDur = subj.groupBy(col("dur"))
+        .agg(sum(when(col("event") === 1, 1L).otherwise(0L)).as("d1"),
+          sum(when(col("event") === 2, 1L).otherwise(0L)).as("d2"),
+          count(lit(1)).as("n_leave"))
+      val wRisk = Window.orderBy(col("dur")).rowsBetween(0, Window.unboundedFollowing)
+      val wRun = Window.orderBy(col("dur")).rowsBetween(Window.unboundedPreceding, 0)
+      val wPrev = Window.orderBy(col("dur")).rowsBetween(Window.unboundedPreceding, -1)
+      byDur
+        .withColumn("n_risk", sum(col("n_leave")).over(wRisk))
+        .withColumn("lnf", when(col("d1") + col("d2") > 0 &&
+          col("d1") + col("d2") < col("n_risk"),
+          log(lit(1.0) - (col("d1") + col("d2")).cast(DoubleType) /
+            col("n_risk").cast(DoubleType))).otherwise(lit(0.0)))
+        .withColumn("s_prev", exp(coalesce(sum(col("lnf")).over(wPrev), lit(0.0))))
+        .withColumn("i1", floor(col("s_prev") * col("d1").cast(DoubleType) /
+          col("n_risk").cast(DoubleType) * 1.0e9 + 0.5).cast(LongType))
+        .withColumn("i2", floor(col("s_prev") * col("d2").cast(DoubleType) /
+          col("n_risk").cast(DoubleType) * 1.0e9 + 0.5).cast(LongType))
+        .withColumn("cif1", sum(col("i1")).over(wRun).cast(DoubleType) / 1.0e9)
+        .withColumn("cif2", sum(col("i2")).over(wRun).cast(DoubleType) / 1.0e9)
+        .filter(col("d1") + col("d2") > 0)
+        .select(col("dur"), col("n_risk"), col("d1"), col("d2"),
+          round(col("cif1"), 6).as("cif_purchase"),
+          round(col("cif2"), 6).as("cif_error"))
+        .orderBy(col("dur"))
+    },
+    Some("""WITH signup AS (SELECT user_id, MIN(ts) AS s_ts FROM events
+        WHERE event_type = 'signup' GROUP BY 1),
+      fp AS (SELECT e.user_id, MIN(e.ts) AS p_ts FROM events e JOIN signup USING (user_id)
+        WHERE event_type = 'purchase' AND e.ts >= s_ts GROUP BY 1),
+      fe AS (SELECT e.user_id, MIN(e.ts) AS e_ts FROM events e JOIN signup USING (user_id)
+        WHERE event_type = 'error' AND e.ts >= s_ts GROUP BY 1),
+      horizon AS (SELECT MAX(ts) AS h_ts FROM events),
+      subj AS (SELECT
+          CASE WHEN p_ts IS NOT NULL AND (e_ts IS NULL OR p_ts <= e_ts) THEN 1
+            WHEN e_ts IS NOT NULL THEN 2 ELSE 0 END AS event,
+          (epoch_us(CASE WHEN p_ts IS NOT NULL AND (e_ts IS NULL OR p_ts <= e_ts) THEN p_ts
+            WHEN e_ts IS NOT NULL THEN e_ts ELSE h_ts END) - epoch_us(s_ts)) // 86400000000 AS dur
+        FROM signup LEFT JOIN fp USING (user_id) LEFT JOIN fe USING (user_id)
+        CROSS JOIN horizon),
+      by_dur AS (SELECT dur,
+          CAST(SUM(CASE WHEN event = 1 THEN 1 ELSE 0 END) AS BIGINT) AS d1,
+          CAST(SUM(CASE WHEN event = 2 THEN 1 ELSE 0 END) AS BIGINT) AS d2,
+          COUNT(*) AS n_leave
+        FROM subj GROUP BY 1),
+      risk AS (SELECT dur, d1, d2,
+          CAST(SUM(n_leave) OVER (ORDER BY dur
+            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS BIGINT) AS n_risk
+        FROM by_dur),
+      curve AS (SELECT dur, n_risk, d1, d2,
+          exp(COALESCE(SUM(CASE WHEN d1 + d2 > 0 AND d1 + d2 < n_risk
+            THEN ln(1.0 - CAST(d1 + d2 AS DOUBLE) / n_risk) ELSE 0.0 END)
+            OVER (ORDER BY dur ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0.0)) AS s_prev
+        FROM risk),
+      inc AS (SELECT dur, n_risk, d1, d2,
+          CAST(FLOOR(s_prev * d1 / n_risk * 1.0e9 + 0.5) AS BIGINT) AS i1,
+          CAST(FLOOR(s_prev * d2 / n_risk * 1.0e9 + 0.5) AS BIGINT) AS i2
+        FROM curve)
+      SELECT dur, n_risk, d1, d2,
+        round(CAST(SUM(i1) OVER (ORDER BY dur ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) / 1.0e9, 6) AS cif_purchase,
+        round(CAST(SUM(i2) OVER (ORDER BY dur ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) / 1.0e9, 6) AS cif_error
+      FROM inc QUALIFY d1 + d2 > 0 ORDER BY dur"""))
+
+  /** Delta-method confidence interval for the ratio metric revenue
+    * per order, by market segment: Var(ȳ/x̄) ≈ (v_y − 2R·c_xy +
+    * R²·v_x)/(n·x̄²) from exact per-customer DECIMAL moments — the
+    * correct uncertainty for ratio KPIs (a naive per-order t-test
+    * ignores that customers, not orders, are the i.i.d. unit). 6dp
+    * z constant; two-step >2^53 casts.
+    */
+  val q283RatioCi: QueryDef = QueryDef("q283_ratio_ci",
+    (s, dir) => {
+      def d2(c: Column, mul: Long, div: Double): Column =
+        c.multiply(lit(mul)).cast(DecimalType(38, 0)).cast(DoubleType) / lit(div)
+      val per = t(s, dir, "customer")
+        .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"), "left")
+        .groupBy(col("c_custkey"), col("c_mktsegment").as("seg"))
+        .agg(count(col("o_orderkey")).as("x"),
+          coalesce(sum(dec(col("o_totalprice"))),
+            lit(java.math.BigDecimal.ZERO)).cast(DecimalType(18, 2)).as("y"))
+      val m = per.groupBy(col("seg"))
+        .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+          sum(col("x") * col("x")).as("sxx"),
+          sum(col("y")).as("sy"),
+          sum((col("y") * col("y")).cast(DecimalType(38, 4))).as("syy"),
+          sum(col("y") * col("x")).as("sxy"))
+      val nD = col("n").cast(DoubleType)
+      val mx = col("sx").cast(DoubleType) / nD
+      val my = d2(col("sy"), 100L, 100.0) / nD
+      val vx = col("sxx").cast(DoubleType) / nD - mx * mx
+      val vy = d2(col("syy"), 10000L, 10000.0) / nD - my * my
+      val cxy = d2(col("sxy"), 100L, 100.0) / nD - mx * my
+      val r = my / mx
+      val se = sqrt((vy - lit(2.0) * r * cxy + r * r * vx) / nD) / mx
+      m.select(col("seg"), col("n"),
+        round(r, 4).as("rev_per_order"),
+        round(se, 4).as("se"),
+        round(r - lit(1.959964) * se, 4).as("ci_lo"),
+        round(r + lit(1.959964) * se, 4).as("ci_hi"))
+        .orderBy(col("seg"))
+    },
+    Some("""WITH per AS (SELECT c_custkey, c_mktsegment AS seg,
+          COUNT(o_orderkey) AS x,
+          CAST(COALESCE(SUM(CAST(o_totalprice AS DECIMAL(12,2))), 0) AS DECIMAL(18,2)) AS y
+        FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        GROUP BY 1, 2),
+      m AS (SELECT seg, COUNT(*) AS n, SUM(x) AS sx, SUM(x * x) AS sxx,
+          SUM(y) AS sy, CAST(SUM(CAST(y * y AS DECIMAL(38,4))) AS DECIMAL(38,4)) AS syy,
+          SUM(y * x) AS sxy
+        FROM per GROUP BY 1),
+      f AS (SELECT seg, n,
+          CAST(sx AS DOUBLE) / n AS mx,
+          CAST(CAST(sy * 100 AS DECIMAL(38,0)) AS DOUBLE) / 100.0 / n AS my,
+          CAST(sxx AS DOUBLE) / n - (CAST(sx AS DOUBLE) / n) * (CAST(sx AS DOUBLE) / n) AS vx,
+          CAST(CAST(syy * 10000 AS DECIMAL(38,0)) AS DOUBLE) / 10000.0 / n
+            - (CAST(CAST(sy * 100 AS DECIMAL(38,0)) AS DOUBLE) / 100.0 / n)
+            * (CAST(CAST(sy * 100 AS DECIMAL(38,0)) AS DOUBLE) / 100.0 / n) AS vy,
+          CAST(CAST(sxy * 100 AS DECIMAL(38,0)) AS DOUBLE) / 100.0 / n
+            - (CAST(sx AS DOUBLE) / n)
+            * (CAST(CAST(sy * 100 AS DECIMAL(38,0)) AS DOUBLE) / 100.0 / n) AS cxy
+        FROM m),
+      g AS (SELECT seg, n, my / mx AS r,
+          sqrt((vy - 2.0 * (my / mx) * cxy + (my / mx) * (my / mx) * vx) / n) / mx AS se
+        FROM f)
+      SELECT seg, n, round(r, 4) AS rev_per_order, round(se, 4) AS se,
+        round(r - 1.959964 * se, 4) AS ci_lo,
+        round(r + 1.959964 * se, 4) AS ci_hi
+      FROM g ORDER BY seg"""))
+
+  /** Yuen's trimmed-mean t-test (20% trim): URGENT vs LOW order
+    * totals compared by 20%-trimmed means with winsorized variances —
+    * the robust two-sample test that survives the heavy tails which
+    * invalidate q106's Welch t. Trim boundaries, partial-inclusion
+    * middle sums and winsorized moments all come from exact integer
+    * interval-overlap arithmetic on the per-group value census — no
+    * sort of the fact table, no float until the final statistic.
+    */
+  val q284YuenTtest: QueryDef = QueryDef("q284_yuen_ttest",
+    (s, dir) => {
+      val o = t(s, dir, "orders")
+        .filter(col("o_orderpriority").isin("1-URGENT", "5-LOW"))
+        .select((col("o_orderpriority") === "1-URGENT").as("isa"),
+          dec(col("o_totalprice")).as("v"))
+      val census = o.groupBy(col("isa"), col("v")).agg(count(lit(1)).as("c"))
+      val wCum = Window.partitionBy(col("isa")).orderBy(col("v"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val tot = census.groupBy(col("isa")).agg(sum(col("c")).as("n"))
+        .withColumn("k", expr("n div 5"))
+      val cum = census.withColumn("cumc", sum(col("c")).over(wCum))
+        .join(broadcast(tot), Seq("isa"))
+        .localCheckpoint(true)
+      val vLow = cum.filter(col("cumc") >= col("k") + 1)
+        .groupBy(col("isa")).agg(min(col("v")).as("v_lo"))
+      val vHigh = cum.filter(col("cumc") - col("c") < col("n") - col("k"))
+        .groupBy(col("isa")).agg(max(col("v")).as("v_hi"))
+      val mids = cum
+        .withColumn("lo_rank", col("cumc") - col("c") + 1)
+        .withColumn("ov", greatest(lit(0L),
+          least(col("cumc"), col("n") - col("k")) -
+            greatest(col("lo_rank"), col("k") + 1) + 1))
+        .groupBy(col("isa"))
+        .agg(max(col("n")).as("n"), max(col("k")).as("k"),
+          sum(col("ov").cast(DecimalType(19, 0)) * col("v")).cast(DecimalType(38, 2)).as("smid"),
+          sum((col("ov").cast(DecimalType(19, 0)) * col("v") * col("v"))
+            .cast(DecimalType(38, 4))).cast(DecimalType(38, 4)).as("smid2"))
+      val g = mids.join(vLow, Seq("isa")).join(vHigh, Seq("isa"))
+      def d2(c: Column, mul: Long, div: Double): Column =
+        c.multiply(lit(mul)).cast(DecimalType(38, 0)).cast(DoubleType) / lit(div)
+      val h = (col("n") - lit(2L) * col("k")).cast(DoubleType)
+      val tmean = d2(col("smid"), 100L, 100.0) / h
+      val wsum = d2(col("smid"), 100L, 100.0) +
+        col("k").cast(DoubleType) * (col("v_lo").cast(DoubleType) + col("v_hi").cast(DoubleType))
+      val wsum2 = d2(col("smid2"), 10000L, 10000.0) +
+        col("k").cast(DoubleType) * (col("v_lo").cast(DoubleType) * col("v_lo").cast(DoubleType) +
+          col("v_hi").cast(DoubleType) * col("v_hi").cast(DoubleType))
+      val nD = col("n").cast(DoubleType)
+      val wvar = (wsum2 - wsum * wsum / nD) / (nD - 1.0)
+      val stats = g.select(col("isa"), col("n"), col("k"),
+        tmean.as("tm"), wvar.as("wv"), h.as("h"))
+      val a = stats.filter(col("isa")).select(col("n").as("n1"), col("tm").as("tm1"),
+        col("wv").as("wv1"), col("h").as("h1"))
+      val b = stats.filter(!col("isa")).select(col("n").as("n2"), col("tm").as("tm2"),
+        col("wv").as("wv2"), col("h").as("h2"))
+      val d1t = (col("n1").cast(DoubleType) - 1.0) * col("wv1") /
+        (col("h1") * (col("h1") - 1.0))
+      val d2t = (col("n2").cast(DoubleType) - 1.0) * col("wv2") /
+        (col("h2") * (col("h2") - 1.0))
+      a.crossJoin(broadcast(b))
+        .select(col("n1"), col("n2"),
+          round(col("tm1"), 4).as("trimmed_mean_urgent"),
+          round(col("tm2"), 4).as("trimmed_mean_low"),
+          round((col("tm1") - col("tm2")) / sqrt(d1t + d2t), 6).as("yuen_t"),
+          round((d1t + d2t) * (d1t + d2t) /
+            (d1t * d1t / (col("h1") - 1.0) + d2t * d2t / (col("h2") - 1.0)), 2)
+            .as("df"))
+    },
+    Some("""WITH o AS (SELECT (o_orderpriority = '1-URGENT') AS isa,
+          CAST(o_totalprice AS DECIMAL(12,2)) AS v
+        FROM orders WHERE o_orderpriority IN ('1-URGENT', '5-LOW')),
+      census AS (SELECT isa, v, COUNT(*) AS c FROM o GROUP BY 1, 2),
+      tot AS (SELECT isa, CAST(SUM(c) AS BIGINT) AS n, CAST(SUM(c) AS BIGINT) // 5 AS k
+        FROM census GROUP BY 1),
+      cum AS (SELECT census.isa, v, c, n, k,
+          CAST(SUM(c) OVER (PARTITION BY census.isa ORDER BY v
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cumc
+        FROM census JOIN tot ON census.isa = tot.isa),
+      vlow AS (SELECT isa, MIN(v) AS v_lo FROM cum WHERE cumc >= k + 1 GROUP BY 1),
+      vhigh AS (SELECT isa, MAX(v) AS v_hi FROM cum WHERE cumc - c < n - k GROUP BY 1),
+      mids AS (SELECT isa, MAX(n) AS n, MAX(k) AS k,
+          CAST(SUM(CAST(ov AS DECIMAL(19,0)) * v) AS DECIMAL(38,2)) AS smid,
+          CAST(SUM(CAST(CAST(ov AS DECIMAL(19,0)) * v * v AS DECIMAL(38,4))) AS DECIMAL(38,4)) AS smid2
+        FROM (SELECT isa, v, n, k,
+            GREATEST(0, LEAST(cumc, n - k) - GREATEST(cumc - c + 1, k + 1) + 1) AS ov
+          FROM cum)
+        GROUP BY 1),
+      g AS (SELECT m.isa, n, k,
+          CAST(CAST(smid * 100 AS DECIMAL(38,0)) AS DOUBLE) / 100.0 / (n - 2 * k) AS tm,
+          ((CAST(CAST(smid2 * 10000 AS DECIMAL(38,0)) AS DOUBLE) / 10000.0
+              + k * (CAST(v_lo AS DOUBLE) * CAST(v_lo AS DOUBLE) + CAST(v_hi AS DOUBLE) * CAST(v_hi AS DOUBLE)))
+            - (CAST(CAST(smid * 100 AS DECIMAL(38,0)) AS DOUBLE) / 100.0
+              + k * (CAST(v_lo AS DOUBLE) + CAST(v_hi AS DOUBLE)))
+            * (CAST(CAST(smid * 100 AS DECIMAL(38,0)) AS DOUBLE) / 100.0
+              + k * (CAST(v_lo AS DOUBLE) + CAST(v_hi AS DOUBLE))) / n) / (n - 1.0) AS wv,
+          CAST(n - 2 * k AS DOUBLE) AS h
+        FROM mids m JOIN vlow USING (isa) JOIN vhigh USING (isa)),
+      ab AS (SELECT
+          (SELECT n FROM g WHERE isa) AS n1, (SELECT n FROM g WHERE NOT isa) AS n2,
+          (SELECT tm FROM g WHERE isa) AS tm1, (SELECT tm FROM g WHERE NOT isa) AS tm2,
+          (SELECT (n - 1.0) * wv / (h * (h - 1.0)) FROM g WHERE isa) AS d1t,
+          (SELECT (n - 1.0) * wv / (h * (h - 1.0)) FROM g WHERE NOT isa) AS d2t,
+          (SELECT h FROM g WHERE isa) AS h1, (SELECT h FROM g WHERE NOT isa) AS h2)
+      SELECT n1, n2, round(tm1, 4) AS trimmed_mean_urgent,
+        round(tm2, 4) AS trimmed_mean_low,
+        round((tm1 - tm2) / sqrt(d1t + d2t), 6) AS yuen_t,
+        round((d1t + d2t) * (d1t + d2t) /
+          (d1t * d1t / (h1 - 1.0) + d2t * d2t / (h2 - 1.0)), 2) AS df
+      FROM ab"""))
+
   val all: Seq[QueryDef] = Seq(
     q1Agg, q2Filter, q3Join, q4Semi, q5Multi, q6Window, q7TopK, q8Distinct,
     q9Rollup, q10Pivot, q11Anti, q12Expr, q13Percentiles, q14Subquery,
@@ -17409,6 +17764,7 @@ object Queries {
     textDocPerplexity, curateKeepBest, curateStratifiedSample,
     q272XbarR, q273Deming, q274PartialCorr, q275Vif, q276Granger,
     q277L28, q278Payback, q279CostThreshold, q280KnnDegree,
+    q281PoissonGlm, q282CompetingRisks, q283RatioCi, q284YuenTtest,
     etlMergeUpsert, etlConstraints, etlProvenance,
     graphPageRank, curateWeightedSample,
     etlUnionSources, etlValidate, etlCleanTransform, etlQualityReport,
