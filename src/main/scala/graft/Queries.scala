@@ -17690,6 +17690,300 @@ object Queries {
           (d1t * d1t / (h1 - 1.0) + d2t * d2t / (h2 - 1.0)), 2) AS df
       FROM ab"""))
 
+  /** Kulldorff temporal scan statistic over daily order counts: the
+    * most anomalous window of 3–28 days by the Poisson likelihood
+    * ratio c·ln(c/E) + (N−c)·ln((N−c)/(N−E)) against the uniform
+    * baseline — the "epidemic detection" scan that localizes WHERE
+    * the burst is (q112 finds runs, q185 finds mean shifts, this
+    * finds the single most surprising interval). Candidate windows
+    * ride a bounded self-join of the O(days) cumulative frame
+    * (days·26 pairs); counts are exact integers, the LLR pins at
+    * 1e-6 for an engine-exact argmax.
+    */
+  val q285ScanStatistic: QueryDef = QueryDef("q285_scan_statistic",
+    (s, dir) => {
+      val daily = t(s, dir, "orders")
+        .groupBy(datediff(col("o_orderdate"), lit("1992-01-01").cast(DateType))
+          .cast(LongType).as("d"))
+        .agg(count(lit(1)).as("c"))
+      val wCum = Window.orderBy(col("d")).rowsBetween(Window.unboundedPreceding, 0)
+      val cum = daily
+        .withColumn("i", row_number().over(Window.orderBy(col("d"))).cast(LongType))
+        .withColumn("cumc", sum(col("c")).over(wCum))
+        .localCheckpoint(true)
+      val tot = cum.agg(max(col("cumc")).as("nn"), max(col("i")).as("nd"))
+      val ends = cum.select(col("i").as("j"), col("d").as("d2"), col("cumc").as("cum2"))
+      val wins = cum.join(ends,
+          col("j") - col("i") >= 2 && col("j") - col("i") <= 27)
+        .crossJoin(broadcast(tot))
+        .withColumn("wc", col("cum2") - col("cumc") + col("c"))
+        .withColumn("wdays", col("j") - col("i") + 1)
+        .withColumn("ee", col("wdays").cast(DoubleType) *
+          col("nn").cast(DoubleType) / col("nd").cast(DoubleType))
+      val llr = when(col("wc").cast(DoubleType) > col("ee"),
+        floor((col("wc").cast(DoubleType) * log(col("wc").cast(DoubleType) / col("ee")) +
+          (col("nn") - col("wc")).cast(DoubleType) *
+            log((col("nn") - col("wc")).cast(DoubleType) /
+              (col("nn").cast(DoubleType) - col("ee")))) * 1.0e6 + 0.5).cast(LongType))
+        .otherwise(lit(0L))
+      wins.withColumn("llr_u", llr)
+        .select(struct(col("llr_u"), col("d").as("start_d"), col("d2").as("end_d"),
+          col("wdays"), col("wc")).as("s"))
+        .agg(max(col("s")).as("b"))
+        .select(col("b.start_d").as("window_start_day"),
+          col("b.end_d").as("window_end_day"),
+          col("b.wdays").as("window_days"),
+          col("b.wc").as("window_count"),
+          round(col("b.llr_u").cast(DoubleType) / 1.0e6, 6).as("scan_llr"))
+    },
+    Some("""WITH daily AS (SELECT
+          CAST(datediff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS d,
+          COUNT(*) AS c
+        FROM orders GROUP BY 1),
+      cum AS (SELECT d, c,
+          CAST(ROW_NUMBER() OVER (ORDER BY d) AS BIGINT) AS i,
+          CAST(SUM(c) OVER (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cumc
+        FROM daily),
+      tot AS (SELECT MAX(cumc) AS nn, MAX(i) AS nd FROM cum),
+      wins AS (SELECT a.d, b.d AS d2, b.j - a.i + 1 AS wdays,
+          b.cum2 - a.cumc + a.c AS wc, nn, nd
+        FROM cum a JOIN (SELECT i AS j, d, cumc AS cum2 FROM cum) b
+          ON b.j - a.i BETWEEN 2 AND 27
+        CROSS JOIN tot),
+      scored AS (SELECT d, d2, wdays, wc,
+          CASE WHEN CAST(wc AS DOUBLE) > wdays * (CAST(nn AS DOUBLE) / nd)
+            THEN CAST(FLOOR((wc * ln(wc / (wdays * (CAST(nn AS DOUBLE) / nd))) +
+              (nn - wc) * ln((nn - wc) / (CAST(nn AS DOUBLE) - wdays * (CAST(nn AS DOUBLE) / nd)))) * 1.0e6 + 0.5) AS BIGINT)
+            ELSE 0 END AS llr_u
+        FROM wins),
+      best AS (SELECT MAX({'llr_u': llr_u, 'start_d': d, 'end_d': d2,
+          'wdays': wdays, 'wc': wc}) AS b FROM scored)
+      SELECT b.start_d AS window_start_day, b.end_d AS window_end_day,
+        b.wdays AS window_days, b.wc AS window_count,
+        round(CAST(b.llr_u AS DOUBLE) / 1.0e6, 6) AS scan_llr
+      FROM best"""))
+
+  /** Peaks-over-threshold GPD tail fit of order totals: excesses
+    * above the exact p95 (selection via census cumulative counts),
+    * method-of-moments shape ξ and scale β from exact DECIMAL excess
+    * moments, and the implied 99.9% quantile — the tail model that
+    * uses EVERY extreme observation where q217's Gumbel keeps only
+    * block maxima. One census pass; O(1) closed forms.
+    */
+  val q286PotGpd: QueryDef = QueryDef("q286_pot_gpd",
+    (s, dir) => {
+      val census = t(s, dir, "orders")
+        .groupBy(dec(col("o_totalprice")).as("v")).agg(count(lit(1)).as("c"))
+      val wc = Window.orderBy(col("v")).rowsBetween(Window.unboundedPreceding, 0)
+      val tot = census.agg(sum(col("c")).as("n"))
+      val cum = census.withColumn("cumc", sum(col("c")).over(wc))
+        .crossJoin(broadcast(tot))
+        .localCheckpoint(true)
+      val u = cum.filter(col("cumc") * 100 >= col("n") * 95)
+        .agg(min(col("v")).as("u"))
+      val exc = cum.crossJoin(broadcast(u)).filter(col("v") > col("u"))
+        .withColumn("e", (col("v") - col("u")).cast(DecimalType(20, 2)))
+      val m = exc.agg(max(col("n")).as("n"), max(col("u")).as("u"),
+        sum(col("c")).as("ne"),
+        sum(col("c").cast(DecimalType(19, 0)) * col("e")).cast(DecimalType(38, 2)).as("se"),
+        sum((col("c").cast(DecimalType(19, 0)) * col("e") * col("e"))
+          .cast(DecimalType(38, 4))).cast(DecimalType(38, 4)).as("see"))
+      val neD = col("ne").cast(DoubleType)
+      val mean = col("se").cast(DoubleType) / neD
+      val varE = col("see").cast(DoubleType) / neD - mean * mean
+      val xi = lit(0.5) * (lit(1.0) - mean * mean / varE)
+      val beta = lit(0.5) * mean * (mean * mean / varE + 1.0)
+      val pExc = neD / col("n").cast(DoubleType)
+      val q999 = col("u").cast(DoubleType) + beta / xi *
+        (pow(pExc / lit(0.001), xi) - 1.0)
+      m.select(col("n"), col("ne").as("n_excess"),
+        round(col("u").cast(DoubleType), 2).as("threshold_p95"),
+        round(xi, 6).as("gpd_shape_xi"),
+        round(beta, 4).as("gpd_scale_beta"),
+        round(q999, 2).as("implied_q999"))
+    },
+    Some("""WITH census AS (SELECT CAST(o_totalprice AS DECIMAL(12,2)) AS v, COUNT(*) AS c
+        FROM orders GROUP BY 1),
+      tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM census),
+      cum AS (SELECT v, c, n,
+          CAST(SUM(c) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cumc
+        FROM census CROSS JOIN tot),
+      u AS (SELECT MIN(v) AS u FROM cum WHERE cumc * 100 >= n * 95),
+      exc AS (SELECT cum.*, CAST(v - u.u AS DECIMAL(20,2)) AS e, u.u
+        FROM cum CROSS JOIN u WHERE v > u.u),
+      m AS (SELECT MAX(n) AS n, MAX(u) AS u, CAST(SUM(c) AS BIGINT) AS ne,
+          CAST(SUM(CAST(c AS DECIMAL(19,0)) * e) AS DECIMAL(38,2)) AS se,
+          CAST(SUM(CAST(CAST(c AS DECIMAL(19,0)) * e * e AS DECIMAL(38,4))) AS DECIMAL(38,4)) AS see
+        FROM exc),
+      f AS (SELECT n, ne, CAST(u AS DOUBLE) AS u,
+          CAST(se AS DOUBLE) / ne AS mean,
+          CAST(see AS DOUBLE) / ne - (CAST(se AS DOUBLE) / ne) * (CAST(se AS DOUBLE) / ne) AS varE
+        FROM m),
+      g AS (SELECT n, ne, u, mean, varE,
+          0.5 * (1.0 - mean * mean / varE) AS xi,
+          0.5 * mean * (mean * mean / varE + 1.0) AS beta,
+          CAST(ne AS DOUBLE) / n AS pexc
+        FROM f)
+      SELECT n, ne AS n_excess, round(u, 2) AS threshold_p95,
+        round(xi, 6) AS gpd_shape_xi, round(beta, 4) AS gpd_scale_beta,
+        round(u + beta / xi * (pow(pexc / 0.001, xi) - 1.0), 2) AS implied_q999
+      FROM g"""))
+
+  /** Goh–Barabási burstiness coefficient B = (σ−μ)/(σ+μ) of each
+    * user's inter-event times, plus the memory coefficient
+    * (correlation of consecutive gaps) at corpus level — the
+    * two-number characterization of WHY events cluster (B > 0 bursty,
+    * memory > 0 long gaps follow long gaps), beside q112's run
+    * census and ts_kleinberg's state model. Per-user gap moments are
+    * exact integer seconds; one partial-agg pass each.
+    */
+  val q287BurstinessCoefficient: QueryDef = QueryDef("q287_burstiness_coefficient",
+    (s, dir) => {
+      val ev = t(s, dir, "events")
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+      val gaps = ev
+        .withColumn("gap", ((unix_micros(col("ts")) -
+          unix_micros(lag(col("ts"), 1).over(w))) / lit(1000000L)).cast(LongType))
+        .filter(col("gap").isNotNull)
+        .localCheckpoint(true)
+      val perUser = gaps.groupBy(col("user_id"))
+        .agg(count(lit(1)).as("ng"), sum(col("gap")).as("sg"),
+          sum(col("gap").cast(DecimalType(19, 0)) * col("gap"))
+            .cast(DecimalType(38, 0)).as("sgg"))
+        .filter(col("ng") >= 5)
+      val ngD = col("ng").cast(DoubleType)
+      val mu = col("sg").cast(DoubleType) / ngD
+      val sd = sqrt(greatest(col("sgg").cast(DoubleType) / ngD - mu * mu, lit(0.0)))
+      val withB = perUser.withColumn("b_u",
+        floor((sd - mu) / (sd + mu) * 1.0e9 + 0.5).cast(LongType))
+      val bStats = withB.agg(count(lit(1)).as("n_users"),
+        round(sum(col("b_u")).cast(DoubleType) / 1.0e9 /
+          count(lit(1)).cast(DoubleType), 6).as("mean_burstiness"),
+        sum(when(col("b_u") > 0, 1L).otherwise(0L)).as("n_bursty"))
+      val pairs = gaps
+        .withColumn("gap2", lead(col("gap"), 1).over(w))
+        .filter(col("gap2").isNotNull)
+      val mem = pairs.agg(count(lit(1)).as("np"),
+        sum(col("gap")).as("s1"), sum(col("gap2")).as("s2"),
+        sum(col("gap").cast(DecimalType(19, 0)) * col("gap")).cast(DecimalType(38, 0)).as("s11"),
+        sum(col("gap2").cast(DecimalType(19, 0)) * col("gap2")).cast(DecimalType(38, 0)).as("s22"),
+        sum(col("gap").cast(DecimalType(19, 0)) * col("gap2")).cast(DecimalType(38, 0)).as("s12"))
+      val npD = col("np").cast(DoubleType)
+      val m1 = col("s1").cast(DoubleType) / npD
+      val m2 = col("s2").cast(DoubleType) / npD
+      val memr = (col("s12").cast(DoubleType) / npD - m1 * m2) /
+        (sqrt(col("s11").cast(DoubleType) / npD - m1 * m1) *
+          sqrt(col("s22").cast(DoubleType) / npD - m2 * m2))
+      bStats.crossJoin(broadcast(mem.select(col("np"), round(memr, 6).as("memory"))))
+        .select(col("n_users"), col("mean_burstiness"),
+          round(col("n_bursty").cast(DoubleType) /
+            col("n_users").cast(DoubleType), 6).as("bursty_share"),
+          col("np").as("n_gap_pairs"), col("memory"))
+    },
+    Some("""WITH gaps AS (SELECT user_id,
+          (epoch_us(ts) - epoch_us(lag(ts, 1) OVER (PARTITION BY user_id ORDER BY ts))) // 1000000 AS gap,
+          (epoch_us(lead(ts, 1) OVER (PARTITION BY user_id ORDER BY ts)) - epoch_us(ts)) // 1000000 AS gap2x
+        FROM events),
+      g AS (SELECT user_id, gap FROM gaps WHERE gap IS NOT NULL),
+      per_user AS (SELECT user_id, COUNT(*) AS ng, CAST(SUM(gap) AS BIGINT) AS sg,
+          CAST(SUM(CAST(gap AS DECIMAL(19,0)) * gap) AS DECIMAL(38,0)) AS sgg
+        FROM g GROUP BY 1 HAVING COUNT(*) >= 5),
+      withb AS (SELECT CAST(FLOOR(
+          (sqrt(GREATEST(CAST(sgg AS DOUBLE) / ng - (CAST(sg AS DOUBLE) / ng) * (CAST(sg AS DOUBLE) / ng), 0.0))
+            - CAST(sg AS DOUBLE) / ng) /
+          (sqrt(GREATEST(CAST(sgg AS DOUBLE) / ng - (CAST(sg AS DOUBLE) / ng) * (CAST(sg AS DOUBLE) / ng), 0.0))
+            + CAST(sg AS DOUBLE) / ng) * 1.0e9 + 0.5) AS BIGINT) AS b_u
+        FROM per_user),
+      bstats AS (SELECT COUNT(*) AS n_users,
+          round(CAST(SUM(b_u) AS DOUBLE) / 1.0e9 / COUNT(*), 6) AS mean_burstiness,
+          CAST(SUM(CASE WHEN b_u > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_bursty
+        FROM withb),
+      pairs AS (SELECT gap, gap2x AS gap2 FROM gaps WHERE gap IS NOT NULL AND gap2x IS NOT NULL),
+      mem AS (SELECT COUNT(*) AS np,
+          CAST(SUM(gap) AS BIGINT) AS s1, CAST(SUM(gap2) AS BIGINT) AS s2,
+          CAST(SUM(CAST(gap AS DECIMAL(19,0)) * gap) AS DECIMAL(38,0)) AS s11,
+          CAST(SUM(CAST(gap2 AS DECIMAL(19,0)) * gap2) AS DECIMAL(38,0)) AS s22,
+          CAST(SUM(CAST(gap AS DECIMAL(19,0)) * gap2) AS DECIMAL(38,0)) AS s12
+        FROM pairs)
+      SELECT n_users, mean_burstiness,
+        round(CAST(n_bursty AS DOUBLE) / n_users, 6) AS bursty_share,
+        np AS n_gap_pairs,
+        round((CAST(s12 AS DOUBLE) / np - (CAST(s1 AS DOUBLE) / np) * (CAST(s2 AS DOUBLE) / np)) /
+          (sqrt(CAST(s11 AS DOUBLE) / np - (CAST(s1 AS DOUBLE) / np) * (CAST(s1 AS DOUBLE) / np)) *
+           sqrt(CAST(s22 AS DOUBLE) / np - (CAST(s2 AS DOUBLE) / np) * (CAST(s2 AS DOUBLE) / np))), 6) AS memory
+      FROM bstats CROSS JOIN mem"""))
+
+  /** TF-IDF cosine similarity matrix between sources: per-source
+    * term vectors over the corpus top-100 vocabulary, idf-weighted,
+    * pairwise cosine on the O(sources·100) profile frame — the IR-
+    * standard "which sources write about the same things" reading
+    * beside text_burrows_delta (style) and text_source_overlap
+    * (sets). Weights pin to 1e-6 integers; dot/norm sums are exact
+    * DECIMAL.
+    */
+  val textSourceCosine: QueryDef = QueryDef("text_source_cosine",
+    (s, dir) => {
+      val w = split(regexp_replace(lower(trim(col("text"))), "\\s+", " "), " ")
+      val toks = t(s, dir, "documents").select(col("source"), explode(w).as("tk"))
+        .localCheckpoint(true)
+      val nSrc = toks.agg(countDistinct(col("source")).as("ns"))
+      val top = toks.groupBy(col("tk")).agg(count(lit(1)).as("ct"))
+        .orderBy(desc("ct"), col("tk")).limit(100).select(col("tk"))
+      val df = toks.join(broadcast(top), Seq("tk"))
+        .groupBy(col("tk")).agg(countDistinct(col("source")).as("df"))
+      val tf = toks.join(broadcast(top), Seq("tk"))
+        .groupBy(col("source"), col("tk")).agg(count(lit(1)).as("tf"))
+      val vec = tf.join(broadcast(df), Seq("tk"))
+        .crossJoin(broadcast(nSrc))
+        .withColumn("wt_u", floor(log(lit(1.0) + col("tf").cast(DoubleType)) *
+          log((col("ns").cast(DoubleType) + 1.0) / col("df").cast(DoubleType)) * 1.0e6 + 0.5)
+          .cast(LongType))
+        .select(col("source"), col("tk"), col("wt_u"))
+        .localCheckpoint(true)
+      val norms = vec.groupBy(col("source"))
+        .agg(sum(col("wt_u").cast(DecimalType(19, 0)) * col("wt_u"))
+          .cast(DecimalType(38, 0)).as("nrm2"))
+      val v2 = vec.select(col("source").as("source2"), col("tk"),
+        col("wt_u").as("wt_u2"))
+      vec.join(v2, Seq("tk")).filter(col("source") < col("source2"))
+        .groupBy(col("source"), col("source2"))
+        .agg(sum(col("wt_u").cast(DecimalType(19, 0)) * col("wt_u2"))
+          .cast(DecimalType(38, 0)).as("dot"), count(lit(1)).as("n_shared"))
+        .join(broadcast(norms), Seq("source"))
+        .join(broadcast(norms.select(col("source").as("source2"),
+          col("nrm2").as("nrm2b"))), Seq("source2"))
+        .select(col("source"), col("source2"), col("n_shared"),
+          round(col("dot").cast(DoubleType) /
+            (sqrt(col("nrm2").cast(DoubleType)) *
+              sqrt(col("nrm2b").cast(DoubleType))), 6).as("cosine"))
+        .orderBy(col("source"), col("source2"))
+    },
+    Some("""WITH tok AS (SELECT source,
+          unnest(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS tk
+        FROM documents),
+      nsrc AS (SELECT COUNT(DISTINCT source) AS ns FROM tok),
+      top AS (SELECT tk FROM (SELECT tk, COUNT(*) AS ct FROM tok GROUP BY 1
+        ORDER BY ct DESC, tk LIMIT 100)),
+      df AS (SELECT tk, COUNT(DISTINCT source) AS df FROM tok
+        WHERE tk IN (SELECT tk FROM top) GROUP BY 1),
+      tf AS (SELECT source, tk, COUNT(*) AS tf FROM tok
+        WHERE tk IN (SELECT tk FROM top) GROUP BY 1, 2),
+      vec AS (SELECT source, tf.tk,
+          CAST(FLOOR(ln(1.0 + CAST(tf AS DOUBLE)) *
+            ln((CAST(ns AS DOUBLE) + 1.0) / df) * 1.0e6 + 0.5) AS BIGINT) AS wt_u
+        FROM tf JOIN df ON tf.tk = df.tk CROSS JOIN nsrc),
+      norms AS (SELECT source,
+          CAST(SUM(CAST(wt_u AS DECIMAL(19,0)) * wt_u) AS DECIMAL(38,0)) AS nrm2
+        FROM vec GROUP BY 1)
+      SELECT a.source, b.source AS source2, COUNT(*) AS n_shared,
+        round(CAST(CAST(SUM(CAST(a.wt_u AS DECIMAL(19,0)) * b.wt_u) AS DECIMAL(38,0)) AS DOUBLE) /
+          (sqrt(CAST(na.nrm2 AS DOUBLE)) * sqrt(CAST(nb.nrm2 AS DOUBLE))), 6) AS cosine
+      FROM vec a JOIN vec b ON a.tk = b.tk AND a.source < b.source
+      JOIN norms na ON na.source = a.source
+      JOIN norms nb ON nb.source = b.source
+      GROUP BY a.source, b.source, na.nrm2, nb.nrm2
+      ORDER BY a.source, b.source"""))
+
   val all: Seq[QueryDef] = Seq(
     q1Agg, q2Filter, q3Join, q4Semi, q5Multi, q6Window, q7TopK, q8Distinct,
     q9Rollup, q10Pivot, q11Anti, q12Expr, q13Percentiles, q14Subquery,
@@ -17765,6 +18059,7 @@ object Queries {
     q272XbarR, q273Deming, q274PartialCorr, q275Vif, q276Granger,
     q277L28, q278Payback, q279CostThreshold, q280KnnDegree,
     q281PoissonGlm, q282CompetingRisks, q283RatioCi, q284YuenTtest,
+    q285ScanStatistic, q286PotGpd, q287BurstinessCoefficient, textSourceCosine,
     etlMergeUpsert, etlConstraints, etlProvenance,
     graphPageRank, curateWeightedSample,
     etlUnionSources, etlValidate, etlCleanTransform, etlQualityReport,
