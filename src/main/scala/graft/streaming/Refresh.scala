@@ -352,6 +352,54 @@ object Refresh {
       .toDF()
   }
 
+  final case class CusumStatus(key: Long, n_since_reset: Long,
+      s_pos: Double, s_neg: Double, alarms: Long)
+
+  /** transformWithState processor: two-sided tabular CUSUM against a
+    * fixed target mean. S⁺ accumulates positive drift beyond the
+    * slack k, S⁻ negative drift; crossing h fires an alarm and resets
+    * both arms. O(1) doubles per key. The streaming twin of the batch
+    * q83_cusum changepoint statistic — and the classic SPC companion
+    * to the Page–Hinkley monitor above (PH tracks a self-estimated
+    * mean; CUSUM audits against an EXTERNAL target, so it also
+    * catches a stream that starts out already off-target).
+    */
+  private class CusumProcessor(target: Double, slack: Double, h: Double)
+      extends StatefulProcessor[Long, (Long, Double), CusumStatus] {
+    @transient private var state: ValueState[CusumCell] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[CusumCell]("cusum",
+        org.apache.spark.sql.Encoders.product[CusumCell], TTLConfig.NONE)
+    override def handleInputRows(key: Long, rows: Iterator[(Long, Double)],
+        tv: TimerValues): Iterator[CusumStatus] = {
+      var c = if (state.exists()) state.get() else CusumCell(0L, 0.0, 0.0, 0L)
+      rows.foreach { case (_, v) =>
+        val sp = math.max(0.0, c.sPos + (v - target - slack))
+        val sn = math.max(0.0, c.sNeg + (target - v - slack))
+        c = if (sp > h || sn > h) CusumCell(0L, 0.0, 0.0, c.alarms + 1)
+          else CusumCell(c.n + 1, sp, sn, c.alarms)
+      }
+      state.update(c)
+      Iterator.single(CusumStatus(key, c.n, c.sPos, c.sNeg, c.alarms))
+    }
+  }
+
+  /** Streaming two-sided CUSUM monitor over a keyed value stream
+    * (`user_id`, `value` columns): emits the refreshed S⁺/S⁻ arms and
+    * alarm-episode count per touched key each micro-batch. RocksDB
+    * state store required, state is O(keys)·O(1).
+    */
+  def cusumMonitor(events: DataFrame, target: Double, slack: Double = 0.5,
+      h: Double = 25.0): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.selectExpr("user_id", "value").as[(Long, Double)]
+      .groupByKey(_._1)
+      .transformWithState(new CusumProcessor(target, slack, h),
+        TimeMode.None(), OutputMode.Update())
+      .toDF()
+  }
+
   /** Running per-user value quantiles via `transformWithState` with
     * KLL sketch state — the quantile sibling of [[runningUserStats]]
     * (same RocksDB state-store requirements).
@@ -537,6 +585,7 @@ object Refresh {
   */
 final case class StatsCell(n: Long, total: Double, mx: Double)
 final case class PhCell(n: Long, mean: Double, mt: Double, mtMin: Double, alarms: Long)
+final case class CusumCell(n: Long, sPos: Double, sNeg: Double, alarms: Long)
 
 /** Top-level for the same Janino/encoder reason as [[StatsCell]]. */
 final case class ScoredId(score: Double, id: Long)

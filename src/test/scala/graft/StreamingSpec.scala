@@ -330,6 +330,30 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("cusumMonitor: two-sided CUSUM fires on off-target drift, stays quiet on-target") {
+    withRocksDb {
+      import spark.implicits._
+      implicit val sqlCtx = spark.sqlContext
+      val mem = MemoryStream[(Long, Double)]
+      val df = mem.toDF().toDF("user_id", "value")
+      // target 10, slack 0.5, h 25: key 1 runs +2 hot (1.5/obs after
+      // slack -> alarm inside ~17 obs), key 2 sits exactly on target
+      val q = Refresh.cusumMonitor(df, target = 10.0, slack = 0.5, h = 25.0)
+        .writeStream.format("memory").queryName("tws_cusum")
+        .outputMode(OutputMode.Update).start()
+      mem.addData((1 to 20).flatMap(_ => Seq((1L, 12.0), (2L, 10.0))): _*)
+      q.processAllAvailable()
+      // second batch: key 1 drops 2 BELOW target -> the S- arm must fire too
+      mem.addData((1 to 20).flatMap(_ => Seq((1L, 8.0), (2L, 10.0))): _*)
+      q.processAllAvailable()
+      val byKey = spark.table("tws_cusum").as[(Long, Long, Double, Double, Long)]
+        .collect().groupBy(_._1).map { case (k, rows) => k -> rows.map(_._5).max }
+      q.stop()
+      assert(byKey(1L) >= 2L, s"off-target key should alarm in both directions: $byKey")
+      assert(byKey(2L) == 0L, s"on-target key alarmed: $byKey")
+    }
+  }
+
   test("windowedQuantiles: KLL sketch state merges across batches; exact for n < k") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
