@@ -318,6 +318,29 @@ class TextAnalysisSpec extends SparkSpec {
       "interpreted helper and codegen path produce the identical ratio")
   }
 
+  test("jaroWinkler: textbook values, boost threshold, null-safety, codegen/eval agree") {
+    import spark.implicits._
+    val df = Seq(
+      (Option("MARTHA"), Option("MARHTA")),
+      (Option("DIXON"), Option("DICKSONX")),
+      (Option("JELLYFISH"), Option("SMELLYFISH")), // jaro > 0.7 but prefix 0 -> no boost
+      (Option("abc"), Option("abc")),
+      (Option(""), Option("abc")),
+      (None: Option[String], Option("x"))).toDF("a", "b")
+    val rows = df.select(graft.functions.text.jaroWinkler(col("a"), col("b")).as("s")).collect()
+    assert(math.abs(rows(0).getDouble(0) - 0.9611111111111111) < 1e-15)
+    assert(math.abs(rows(1).getDouble(0) - 0.8133333333333332) < 1e-15)
+    assert(math.abs(rows(2).getDouble(0) - 0.8962962962962964) < 1e-15)
+    assert(rows(3).getDouble(0) == 1.0)
+    assert(rows(4).getDouble(0) == 0.0)
+    assert(rows(5).isNullAt(0), "null in, null out")
+    val viaEval = graft.functions.JaroWinklerUtil.sim(
+      org.apache.spark.unsafe.types.UTF8String.fromString("MARTHA"),
+      org.apache.spark.unsafe.types.UTF8String.fromString("MARHTA"))
+    assert(rows(0).getDouble(0) == viaEval,
+      "interpreted helper and codegen path agree")
+  }
+
   test("dsirScore ranks target-domain-looking docs above base-looking ones") {
     import spark.implicits._
     // target docs speak "alpha beta"; base-only docs speak "gamma delta".
