@@ -93,6 +93,75 @@ object Graph {
     ranks
   }
 
+  /** Personalized PageRank / random walk with restart, fixed
+    * iteration count: the restart mass (and any dangling mass) goes
+    * to the SEED distribution instead of uniformly everywhere, so
+    * ranks measure proximity TO the seed set — the similarity /
+    * recommendation face of [[pageRank]] ("which nodes does a walk
+    * anchored at these seeds keep visiting"). Same one-action-per-
+    * iteration checkpoint discipline and cache hygiene as pageRank;
+    * `seeds` must expose a `node` column.
+    */
+  def personalizedPageRank(edges: DataFrame, src: String, dst: String,
+      weight: String, seeds: DataFrame, iterations: Int = 6,
+      damping: Double = 0.85): DataFrame = {
+    val e = edges.select(col(src).cast("long").as("src"),
+      col(dst).cast("long").as("dst"), col(weight).cast("double").as("w"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    val sd = seeds.select(col("node").cast("long").as("node")).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val ns = sd.count().toDouble
+    require(ns > 0, "personalizedPageRank needs a non-empty seed set")
+
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node")))
+      .distinct()
+      .join(sd.withColumn("is_seed", lit(true)), Seq("node"), "left")
+      .select(col("node"),
+        when(col("is_seed"), lit(1.0 / ns)).otherwise(lit(0.0)).as("e0"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    val outW = e.groupBy(col("src")).agg(sum(col("w")).as("out_w"))
+    val trans = e.join(outW, "src")
+      .select(col("src"), col("dst"), (col("w") / col("out_w")).as("frac"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    trans.count()
+    val dangling = nodes.select(col("node"))
+      .join(outW.select(col("src").as("node")), Seq("node"), "left_anti")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    dangling.count()
+
+    var ranks = nodes.select(col("node"), col("e0").as("rank"))
+      .localCheckpoint(true)
+    var i = 0
+    while (i < iterations) {
+      val mass = ranks.join(dangling, Seq("node"), "left_semi")
+        .agg(coalesce(sum(col("rank")), lit(0.0)).as("dmass"))
+      val contribs = trans
+        .join(ranks.withColumnRenamed("node", "src"), "src")
+        .groupBy(col("dst").as("node"))
+        .agg(sum(col("frac") * col("rank")).as("contrib"))
+      val prev = ranks
+      ranks = nodes
+        .join(contribs, Seq("node"), "left")
+        .crossJoin(broadcast(mass))
+        .select(col("node"),
+          (lit(1.0 - damping) * col("e0") +
+            lit(damping) * (coalesce(col("contrib"), lit(0.0)) +
+              col("dmass") * col("e0"))).as("rank"))
+        .localCheckpoint(true)
+      prev.unpersist(false)
+      i += 1
+    }
+    e.unpersist(false)
+    sd.unpersist(false)
+    nodes.unpersist(false)
+    trans.unpersist(false)
+    dangling.unpersist(false)
+    ranks
+  }
+
   /** HITS hubs-and-authorities, fixed iteration count (Kleinberg's
     * link-analysis twin of [[pageRank]] — on a bipartite purchase
     * graph the hub score ranks "customers whose baskets span the
