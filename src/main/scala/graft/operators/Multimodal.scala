@@ -136,6 +136,57 @@ object Multimodal {
       } catch { case scala.util.control.NonFatal(_) => None }
     }
 
+  final case class ColorProfile(id: Long, width: Int, height: Int,
+      mean_r: Double, mean_g: Double, mean_b: Double,
+      top_bucket: Int, top_share: Double)
+
+  /** REAL pixel-level dominant-color profile: decode via javax.imageio,
+    * quantize each pixel to a 64-cell RGB cube (2 bits/channel), and
+    * report the modal cell's share plus the exact mean channel values
+    * — the cheap visual-content fingerprint a multimodal curation
+    * pipeline uses for near-solid/flat-image filtering and
+    * palette-based stratification. Map-side only (mapPartitions, no
+    * shuffle); undecodable blobs drop, like [[resizeImages]].
+    */
+  def dominantColors(df: DataFrame): Dataset[ColorProfile] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col("id"), col("data")).as[(Long, Array[Byte])].mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.flatMap { case (id, bytes) => dominantColorsOne(id, bytes) }
+    }
+  }
+
+  private[graft] def dominantColorsOne(id: Long,
+      bytes: Array[Byte]): Option[ColorProfile] =
+    try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      if (img == null) None
+      else {
+        val w = img.getWidth; val h = img.getHeight
+        val buckets = new Array[Long](64)
+        var sr = 0L; var sg = 0L; var sb = 0L
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val rgb = img.getRGB(x, y)
+            val r = (rgb >> 16) & 0xff; val g = (rgb >> 8) & 0xff; val b = rgb & 0xff
+            sr += r; sg += g; sb += b
+            buckets(((r >> 6) << 4) | ((g >> 6) << 2) | (b >> 6)) += 1L
+            x += 1
+          }
+          y += 1
+        }
+        val n = w.toLong * h
+        var best = 0
+        var i = 1
+        while (i < 64) { if (buckets(i) > buckets(best)) best = i; i += 1 }
+        Some(ColorProfile(id, w, h, sr.toDouble / n, sg.toDouble / n,
+          sb.toDouble / n, best, buckets(best).toDouble / n))
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+
   /** Frame sampling: treat the blob as fixed-size frames, keep every
     * `everyN`-th. Pure expressions (sequence + explode + substring),
     * so sampling composes with partition pruning and predicate

@@ -66,6 +66,29 @@ class MultimodalSpec extends SparkSpec {
     bos.toByteArray
   }
 
+  test("dominantColors: modal bucket and exact channel means from real pixels") {
+    import spark.implicits._
+    // solid red 8x8, and the half-red/half-blue split image
+    val solid = {
+      val img = new java.awt.image.BufferedImage(8, 8,
+        java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+      for (y <- 0 until 8; x <- 0 until 8) img.setRGB(x, y, 0xFF0000)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val blobs = Seq((1L, solid), (2L, encodedImage("png", 8, 8)),
+      (3L, "not an image".getBytes)).toDF("id", "data")
+    val out = Multimodal.dominantColors(blobs).collect().map(r => r.id -> r).toMap
+    assert(!out.contains(3L), "undecodable blobs are dropped")
+    val s = out(1L)
+    assert(s.mean_r == 255.0 && s.mean_g == 0.0 && s.mean_b == 0.0)
+    assert(s.top_bucket == ((255 >> 6) << 4) && s.top_share == 1.0)
+    val h = out(2L) // half red half blue: red bucket wins ties? both 0.5
+    assert(math.abs(h.top_share - 0.5) < 1e-12)
+    assert(h.mean_r == 127.5 && h.mean_b == 127.5 && h.mean_g == 0.0)
+  }
+
   test("resizeImages really decodes, resamples, and re-encodes pixels (all four JDK formats)") {
     import spark.implicits._
     val blobs = Seq(
