@@ -191,6 +191,94 @@ object Similarity {
       qId, id, k)
   }
 
+  /** Product-quantization codebooks: `m` subspaces × `ksub` L2
+    * centroids each, trained with local Lloyd iterations on the same
+    * deterministic lowest-xxhash64 sample as [[trainCentroids]] (the
+    * FAISS recipe — codebooks come from a sample, the corpus only
+    * pays the single distributed encode pass). Returned shape:
+    * codebooks(j)(k) = centroid k of subspace j, each of dim/m floats.
+    */
+  private[graft] def trainPqCodebooks(corpus: DataFrame, vec: String, dim: Int,
+      m: Int, ksub: Int, sampleN: Int = 4096, iters: Int = 8): Array[Array[Array[Double]]] = {
+    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+    val dsub = dim / m
+    val sample = corpus
+      .select(col(vec).as("v"), xxhash64(col(vec)).as("h"))
+      .orderBy(col("h")).limit(sampleN)
+      .collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    require(sample.length >= ksub, s"sample ${sample.length} smaller than ksub $ksub")
+    (0 until m).toArray.map { j =>
+      val pts = sample.map(v => java.util.Arrays.copyOfRange(v, j * dsub, (j + 1) * dsub))
+      var cents = pts.take(ksub).map(_.clone())
+      (0 until iters).foreach { _ =>
+        val sums   = Array.fill(ksub)(new Array[Double](dsub))
+        val counts = new Array[Int](ksub)
+        pts.foreach { p =>
+          var best = 0; var bestD = Double.MaxValue; var c = 0
+          while (c < ksub) {
+            var d = 0.0; var i = 0
+            while (i < dsub) { val t = p(i) - cents(c)(i); d += t * t; i += 1 }
+            if (d < bestD) { bestD = d; best = c }
+            c += 1
+          }
+          var i = 0
+          while (i < dsub) { sums(best)(i) += p(i); i += 1 }
+          counts(best) += 1
+        }
+        cents = cents.zipWithIndex.map { case (old, c) =>
+          if (counts(c) == 0) old else sums(c).map(_ / counts(c))
+        }
+      }
+      cents
+    }
+  }
+
+  /** PQ encode: adds `<vec>_pq: array<int>` of m codes — per subspace
+    * the argmin-L2 centroid, computed as argmax(x·c − ‖c‖²/2) so each
+    * candidate is ONE codegen'd vec_dot on the sliced subvector plus
+    * a literal. Entirely map-side; codebooks ride as expression
+    * literals, no broadcast state. m bytes replace dim floats — the
+    * 64-dim float32 embedding compresses 64× at ADC-search quality.
+    */
+  def pqEncode(df: DataFrame, vec: String, dim: Int,
+      codebooks: Array[Array[Array[Double]]]): DataFrame = {
+    val m = codebooks.length
+    val dsub = dim / m
+    df.withColumn(s"${vec}_pq", array((0 until m).map { j =>
+      val sub = slice(col(vec), j * dsub + 1, dsub)
+      element_at(array_sort(array(codebooks(j).zipWithIndex.map { case (c, k) =>
+        struct((-(vector.dot(sub, typedLit(c.toSeq)) -
+          lit(c.map(x => x * x).sum / 2.0))).as("negscore"), lit(k).as("code"))
+      }: _*)), 1).getField("code")
+    }: _*))
+  }
+
+  /** PQ ANN via asymmetric distance computation: queries score
+    * against the RECONSTRUCTED corpus vectors (q·x̂ = Σⱼ qⱼ·c_{j,code}
+    * — the ADC identity), so the search never touches the original
+    * floats: one encode pass over the corpus, then a scan of the
+    * O(m)-int code column per query with the bounded top-k aggregate.
+    * The compressed-domain scale path between brute force (exact,
+    * full floats) and IVF (pruned, full floats); recall floor vs
+    * brute force asserted in RecallSpec.
+    */
+  def pqTopK(corpus: DataFrame, queries: DataFrame,
+      id: String, vec: String, qId: String, qVec: String,
+      dim: Int, k: Int, m: Int = 8, ksub: Int = 64,
+      sampleN: Int = 4096): DataFrame = {
+    val cbs = trainPqCodebooks(corpus, vec, dim, m, ksub, sampleN)
+    val enc = pqEncode(corpus, vec, dim, cbs)
+      .select(col(id), col(s"${vec}_pq").as("codes"))
+    val cbLit = typedLit(cbs.map(_.map(_.toSeq).toSeq).toSeq)
+    val xhat = flatten(transform(col("codes"), (c, j) =>
+      element_at(element_at(cbLit, j + 1), c + 1)))
+    val scored = enc.crossJoin(broadcast(queries))
+      .select(col(qId), col(id),
+        round(vector.cosine(col(qVec), xhat), 4).as("cos"))
+    rankTopK(scored, qId, id, k)
+  }
+
   /** Symmetric per-vector int8 quantization: scale = max|x|/127,
     * q = round(x/scale) as a byte array. A float32 embedding store is
     * 4× the bytes of int8 at ≲1% cosine error — at 100 TB of

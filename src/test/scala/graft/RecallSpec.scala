@@ -85,4 +85,49 @@ class RecallSpec extends SparkSpec {
     val mean = recalls.sum / recalls.size
     assert(mean >= 0.5, f"mean ann_lsh recall $mean%.3f below 0.5 floor")
   }
+
+  test("ann_pq top-k recall ≥0.4 of brute-force top-k (compressed-domain search)") {
+    val emb = Tables(spark, dir, "embeddings")
+    val q = emb.filter(col("vec_id") % 97 === 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    def topSets(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+      df.collect()
+        .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("vec_id")))
+        .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    val exact = topSets(Similarity.bruteForceTopK(emb, q,
+      "vec_id", "embedding", "q_id", "q_vec", 5))
+    val approx = topSets(Similarity.pqTopK(emb, q,
+      "vec_id", "embedding", "q_id", "q_vec", dim = 64, k = 5, m = 8, ksub = 64))
+    assert(exact.nonEmpty)
+    val recalls = exact.map { case (qid, truth) =>
+      approx.getOrElse(qid, Set.empty).count(truth).toDouble / truth.size
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.4, f"mean ann_pq recall $mean%.3f below 0.4 floor")
+  }
+
+  test("pq encode is deterministic and reconstruction preserves cosine ≥0.8 on average") {
+    val emb = Tables(spark, dir, "embeddings").filter(col("vec_id") < 256)
+    val cbs = Similarity.trainPqCodebooks(emb, "embedding", dim = 64, m = 8, ksub = 64)
+    val enc1 = Similarity.pqEncode(emb, "embedding", 64, cbs)
+      .select(col("vec_id"), col("embedding_pq")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    val enc2 = Similarity.pqEncode(emb, "embedding", 64, cbs)
+      .select(col("vec_id"), col("embedding_pq")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(enc1 == enc2, "pq codes must be deterministic")
+    assert(enc1.values.forall(codes => codes.length == 8 && codes.forall(c => c >= 0 && c < 64)))
+    // reconstruction fidelity: cos(x, x̂) averaged over the sample
+    val rows = emb.select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    val cosines = enc1.map { case (id, codes) =>
+      val xhat = codes.zipWithIndex.flatMap { case (c, j) => cbs(j)(c) }.toArray
+      val x = rows(id)
+      val dot = x.zip(xhat).map { case (a, b) => a * b }.sum
+      val na = math.sqrt(x.map(v => v * v).sum); val nb = math.sqrt(xhat.map(v => v * v).sum)
+      dot / (na * nb)
+    }
+    val meanCos = cosines.sum / cosines.size
+    assert(meanCos >= 0.8, f"mean reconstruction cosine $meanCos%.3f below 0.8")
+  }
 }
