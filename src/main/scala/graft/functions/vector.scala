@@ -44,6 +44,18 @@ object vector {
   /** Cosine similarity; null on zero vector / length mismatch (native codegen). */
   def cosine(a: Column, b: Column): Column = expr2(a, b, CosineSimilarity)
 
+  /** Mergeable bloom-filter sketch over a BIGINT key (see [[BloomAgg]]):
+    * fixed-size bit-array partials OR-merge, output is the serialized
+    * sketch binary.
+    */
+  def bloomAgg(key: Column, numBits: Int, numHashes: Int): Column =
+    bridge.column(BloomAgg(bridge.expression(key), numBits, numHashes)
+      .toAggregateExpression())
+
+  /** Probe a [[bloomAgg]] sketch: false ⇒ definitely absent. */
+  def bloomMightContain(sketch: Column, key: Column): Column =
+    expr2(sketch, key, BloomMightContain)
+
   def norm(a: Column): Column = sqrt(dot(a, a))
 
   /** l2 distance (composed from codegen'd dots: ‖a-b‖² = aa - 2ab + bb). */

@@ -29,6 +29,48 @@ import org.apache.spark.sql.functions._
   */
 object Sketches {
 
+  /** ONE bloom-filter sketch of `df[key]` as a 1-row binary frame —
+    * the mergeable MEMBERSHIP sketch beside HLL (counts) / KLL
+    * (quantiles) / CMS (frequencies) / theta (set algebra). Map-side
+    * partials are fixed-size bit arrays OR-merged at combine, so the
+    * build shuffles O(partitions · numBits/8) bytes regardless of
+    * build-side row count; the sketch persists/broadcasts as ordinary
+    * binary data and probes from any session — the portable sibling
+    * of the planner's internal runtime bloom join filter.
+    */
+  def bloomFilter(df: DataFrame, key: String,
+      numBits: Int = 1 << 18, numHashes: Int = 6): DataFrame =
+    df.agg(graft.functions.vector.bloomAgg(col(key).cast("long"), numBits, numHashes)
+      .as("bloom"))
+
+  /** Bloom pre-filter census: probe `probe[probeKey]` against a bloom
+    * of `build[buildKey]` and report pass counts vs exact membership —
+    * n_probe / n_pass / n_member / n_false_pass / observed fpr. At
+    * 100 TB this is the audit that sizes a bloom pre-filter before a
+    * shuffly semi join: the probe is one broadcast 1-row crossJoin +
+    * a codegen'd bit test per fact row.
+    */
+  def bloomJoinCensus(build: DataFrame, buildKey: String,
+      probe: DataFrame, probeKey: String,
+      numBits: Int = 1 << 18, numHashes: Int = 6): DataFrame = {
+    val sk = bloomFilter(build, buildKey, numBits, numHashes)
+    val members = build.select(col(buildKey).cast("long").as("__bk")).distinct()
+      .withColumn("__member", lit(true))
+    probe.select(col(probeKey).cast("long").as("__pk"))
+      .join(broadcast(members), col("__pk") === col("__bk"), "left")
+      .crossJoin(broadcast(sk))
+      .select(col("__pk"),
+        coalesce(col("__member"), lit(false)).as("m"),
+        graft.functions.vector.bloomMightContain(col("bloom"), col("__pk")).as("p"))
+      .agg(count(lit(1)).as("n_probe"),
+        sum(when(col("p"), 1L).otherwise(0L)).as("n_pass"),
+        sum(when(col("m"), 1L).otherwise(0L)).as("n_member"),
+        sum(when(col("p") && !col("m"), 1L).otherwise(0L)).as("n_false_pass"),
+        sum(when(!col("p") && col("m"), 1L).otherwise(0L)).as("n_false_negative"))
+      .withColumn("fpr", round(col("n_false_pass").cast("double") /
+        greatest(col("n_probe") - col("n_member"), lit(1L)).cast("double"), 6))
+  }
+
   /** Backtick-quote an identifier for splicing into SQL text (column
     * names with spaces/dots/hyphens would otherwise fail to parse or
     * resolve as nested-field paths).

@@ -152,4 +152,27 @@ class SketchSpec extends SparkSpec {
         s"window $wend: approx ${approx(wend)} vs exact $ex")
     }
   }
+
+  test("bloom sketch: zero false negatives, FPR ≤ 1%, census consistent") {
+    val dir = sf("customer")
+    val row = Queries.sketchBloom.fn(spark, dir).collect()(0)
+    assert(row.getAs[Long]("n_false_negative") == 0L,
+      "bloom filters NEVER drop true members")
+    assert(row.getAs[Long]("n_pass") ==
+      row.getAs[Long]("n_member") + row.getAs[Long]("n_false_pass"))
+    assert(row.getAs[Double]("fpr") <= 0.01,
+      s"observed fpr ${row.getAs[Double]("fpr")} above 1% for 2^16 bits / 6 hashes")
+  }
+
+  test("bloom sketch bytes are partitioning-independent (OR-merge exactness)") {
+    import graft.operators.Sketches
+    val dir = sf("customer")
+    val cust = Tables(spark, dir, "customer")
+    val a = Sketches.bloomFilter(cust, "c_custkey", numBits = 1 << 12, numHashes = 4)
+      .collect()(0).getAs[Array[Byte]]("bloom")
+    val b = Sketches.bloomFilter(cust.repartition(7), "c_custkey", numBits = 1 << 12, numHashes = 4)
+      .collect()(0).getAs[Array[Byte]]("bloom")
+    assert(java.util.Arrays.equals(a, b),
+      "sketch must be identical under any partitioning (merge = bitwise OR)")
+  }
 }
