@@ -62,6 +62,17 @@ final class BloomBuffer(val numBits: Int, val numHashes: Int) {
     }
   }
 
+  /** Probe without serializing — for stateful-stream consumers. */
+  def contains(key: Long): Boolean = {
+    var j = 0
+    while (j < numHashes) {
+      val p = BloomProbe.bitPos(key, j, numBits)
+      if ((bits(p >> 3) & (1 << (p & 7))) == 0) return false
+      j += 1
+    }
+    true
+  }
+
   def or(other: BloomBuffer): Unit = {
     var i = 0
     while (i < bits.length) { bits(i) = (bits(i) | other.bits(i)).toByte; i += 1 }

@@ -451,4 +451,27 @@ class StreamingSpec extends SparkSpec {
       assert(last("b") == Seq((4.0, 0L), (4.0, 4L)), last.toString)   // tie → ascending id
     }
   }
+
+  test("bloomDedupStream: duplicates always dropped across batches, fresh keys pass") {
+    withRocksDb {
+      import spark.implicits._
+      implicit val sqlCtx = spark.sqlContext
+      val mem = MemoryStream[Long]
+      val df = mem.toDF().toDF("record_id")
+      val q = Refresh.bloomDedupStream(df, "record_id", shards = 4)
+        .writeStream.format("memory").queryName("tws_bloom")
+        .outputMode(OutputMode.Update).start()
+      mem.addData(1L, 2L, 3L, 2L, 1L) // within-batch dups
+      q.processAllAvailable()
+      mem.addData(1L, 2L, 4L, 5L)      // cross-batch dups + fresh keys
+      q.processAllAvailable()
+      val kept = spark.table("tws_bloom").as[(Long, Long)].collect().map(_._2).toSeq
+      q.stop()
+      // no false negatives: every id survives at most once
+      assert(kept.size == kept.distinct.size, s"duplicate emitted: $kept")
+      assert(kept.toSet.subsetOf(Set(1L, 2L, 3L, 4L, 5L)))
+      // 2^16 bits / 5 keys: false-positive drop of a fresh key is ~impossible
+      assert(kept.toSet == Set(1L, 2L, 3L, 4L, 5L), s"fresh key falsely dropped: $kept")
+    }
+  }
 }
