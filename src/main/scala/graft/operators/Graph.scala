@@ -432,4 +432,114 @@ object Graph {
         .localCheckpoint(true)
     } finally { e.unpersist(false) }
   }
+
+  /** Minimum spanning forest via Borůvka rounds — each round every
+    * component selects its minimum incident cross-edge (total order
+    * (w, src, dst), which makes equal-weight selection cycle-free),
+    * the selected edges join the forest, and touched components merge
+    * by a mini connected-components pass over the O(components)
+    * component graph. O(log n) rounds — THE distributed MST shape
+    * (sequential Kruskal needs a global sort + union-find). Each
+    * round: two hash joins on O(cross-edges) + the component-level CC
+    * (tiny); labels eagerly checkpointed per round. Returns the
+    * forest edges (src, dst, w).
+    */
+  def minimumSpanningForest(edges: DataFrame, src: String, dst: String,
+      weight: String, maxIter: Int = 16): DataFrame = {
+    // component-level edge list, carrying the ORIGINAL endpoints of
+    // the lightest underlying edge: Borůvka with graph CONTRACTION —
+    // after each merge round the edge list re-aggregates to one min
+    // edge per component pair, so the working set shrinks
+    // geometrically and later rounds are near-free. Total order
+    // (w, osrc, odst) makes equal-weight selection cycle-free.
+    var cedges = edges.select(
+        least(col(src).cast("long"), col(dst).cast("long")).as("osrc"),
+        greatest(col(src).cast("long"), col(dst).cast("long")).as("odst"),
+        col(weight).cast("long").as("w"))
+      .filter(col("osrc") =!= col("odst"))
+      .groupBy(col("osrc"), col("odst")).agg(min(col("w")).as("w"))
+      .select(col("osrc").as("ca"), col("odst").as("cb"),
+        struct(col("w"), col("osrc"), col("odst"),
+          col("osrc").as("eca"), col("odst").as("ecb")).as("edge"))
+      .localCheckpoint(true)
+    val session = cedges.sparkSession
+    val roundCaches = scala.collection.mutable.ArrayBuffer[DataFrame]()
+    var forest: DataFrame = null
+    var round = 0
+    var done = false
+    val collectCap = 1000001
+    while (round < maxIter && !done) {
+      // per-component minimum incident edge (components appear on
+      // both sides of the canonical pair list)
+      val selected = cedges.select(col("ca").as("comp"), col("edge"))
+        .unionAll(cedges.select(col("cb").as("comp"), col("edge")))
+        .groupBy(col("comp")).agg(min(col("edge")).as("edge"))
+        .select(col("edge")).distinct()
+        .persist()
+      roundCaches += selected
+      // the selected component pairs are O(components) — union-find
+      // merges them driver-side below the cap (the IVF
+      // driver-when-tiny hybrid); ONE collect is the round's only
+      // action beside the contraction checkpoint
+      val pairsLocal = selected
+        .select(col("edge.eca").as("a"), col("edge.ecb").as("b"))
+        .limit(collectCap).collect().map(r => (r.getLong(0), r.getLong(1)))
+      if (pairsLocal.isEmpty) { done = true }
+      else {
+        forest = if (forest == null) selected else forest.unionAll(selected)
+        val relabel: DataFrame = if (pairsLocal.length < collectCap) {
+          val parent = scala.collection.mutable.Map[Long, Long]()
+          def find(x: Long): Long = {
+            val p = parent.getOrElseUpdate(x, x)
+            if (p == x) x else { val r = find(p); parent(x) = r; r }
+          }
+          pairsLocal.foreach { case (a, b) =>
+            val (ra, rb) = (find(a), find(b))
+            if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+          }
+          // the union-find runs on COMPONENT ids (the edge struct
+          // carries the contracted endpoints eca/ecb alongside the
+          // original osrc/odst); untouched components keep their id
+          // via the left join below
+          val rows = parent.keys.toSeq.map(k => (k, find(k)))
+          import session.implicits._
+          rows.toDF("comp", "root")
+        } else {
+          Dedup.connectedComponents(selected
+            .select(col("edge.eca").as("id_a"), col("edge.ecb").as("id_b")))
+            .select(col("id").as("comp"), col("cluster").as("root"))
+        }
+        // contract: relabel both endpoints, drop now-internal edges,
+        // keep the min edge per merged pair
+        val ra = relabel.select(col("comp").as("ca"), col("root").as("ra"))
+        val rb = relabel.select(col("comp").as("cb"), col("root").as("rb"))
+        cedges = cedges
+          .join(broadcast(ra), Seq("ca"), "left")
+          .join(broadcast(rb), Seq("cb"), "left")
+          .select(coalesce(col("ra"), col("ca")).as("na"),
+            coalesce(col("rb"), col("cb")).as("nb"), col("edge"))
+          .filter(col("na") =!= col("nb"))
+          .select(least(col("na"), col("nb")).as("ca"),
+            greatest(col("na"), col("nb")).as("cb"), col("edge"))
+          .groupBy(col("ca"), col("cb"))
+          .agg(min(struct(col("edge.w"), col("edge.osrc"), col("edge.odst"))).as("e0"),
+            max(lit(1)).as("one"))
+          .select(col("ca"), col("cb"),
+            struct(col("e0.w"), col("e0.osrc"), col("e0.odst"),
+              col("ca").as("eca"), col("cb").as("ecb")).as("edge"))
+          .localCheckpoint(true)
+      }
+      round += 1
+    }
+    val out = if (forest == null)
+      session.emptyDataFrame.select(lit(0L).as("src"), lit(0L).as("dst"),
+        lit(0L).as("w")).limit(0)
+    else forest
+      .select(col("edge.osrc").as("src"), col("edge.odst").as("dst"),
+        col("edge.w").as("w"))
+      .distinct()
+      .localCheckpoint(true)
+    roundCaches.foreach(_.unpersist(false))
+    out
+  }
 }

@@ -158,4 +158,30 @@ class GraphSpec extends SparkSpec {
     bySum.foreach { case (role, s) =>
       assert(math.abs(s - 1.0) < 1e-12, s"$role shares sum to 1: $s") }
   }
+
+  test("minimumSpanningForest matches driver-side Kruskal exactly (weight and edge set)") {
+    import spark.implicits._
+    // deterministic weighted graph: two components + parallel edges + ties
+    val edges = Seq(
+      (1L, 2L, 4L), (2L, 3L, 4L), (1L, 3L, 2L), (3L, 4L, 7L), (2L, 4L, 9L),
+      (1L, 4L, 7L), (5L, 6L, 1L), (6L, 7L, 5L), (5L, 7L, 5L), (2L, 1L, 8L))
+    val got = Graph.minimumSpanningForest(edges.toDF("a", "b", "w"), "a", "b", "w")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // reference Kruskal under the same (w, src, dst) total order on
+    // canonicalized deduped edges
+    val canon = edges.map { case (a, b, w) => (math.min(a, b), math.max(a, b), w) }
+      .groupBy(e => (e._1, e._2)).map { case (k, es) => (k._1, k._2, es.map(_._3).min) }
+      .toSeq.sortBy(e => (e._3, e._1, e._2))
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = { val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r } }
+    val ref = canon.flatMap { case (a, b, w) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra == rb) None else { parent(ra) = rb; Some((a, b, w)) }
+    }.toSet
+    assert(got == ref, s"forest mismatch: got ${got -- ref} extra, missing ${ref -- got}")
+    assert(got.toSeq.map(_._3).sum == ref.toSeq.map(_._3).sum)
+    // spanning forest size: n_nodes - n_components = 7 - 2
+    assert(got.size == 5)
+  }
 }
