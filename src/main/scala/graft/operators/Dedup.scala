@@ -173,9 +173,17 @@ object Dedup {
     docs.select(col(id).as("id"), TextAnalysis.tokens(col(text)).as("toks"))
       .select(col("id"), shingles(col("toks"), n).as("grams"))
 
-  private def signaturesFromGrams(grams: DataFrame, numPerm: Int): DataFrame = {
+  private def signaturesFromGrams(grams: DataFrame, numPerm: Int): DataFrame =
+    sigsFromGramRows(grams.select(col("id"), explode(col("grams")).as("gram")), numPerm)
+
+  /** Signature core over an already-exploded (id, gram) frame — shared
+    * by the array-based path above and the weighted replica expansion
+    * ([[weightedMinhashSignatures]]), whose gram stream never exists
+    * as a per-doc array.
+    */
+  private def sigsFromGramRows(gramRows: DataFrame, numPerm: Int): DataFrame = {
     require(numPerm <= 4096, "at most 64×64 distinct rotation pairs")
-    val g = grams.select(col("id"), explode(col("grams")).as("gram"))
+    val g = gramRows
       .withColumn("h1", xxhash64(col("gram")))
       .withColumn("h2", xxhash64(col("gram"), lit(1)))
     def rol(c: Column, r: Int): Column =
@@ -278,6 +286,83 @@ object Dedup {
       n: Int = 3): DataFrame =
     survivorsByCluster(docs, id,
       minhashVerifiedPairs(docs, id, text, minJaccard, numPerm, bands, n))
+
+  /** Per-doc token multiset with counts capped at `cap`: (id, token,
+    * w). The weighted-Jaccard base frame — capping bounds the replica
+    * expansion AND matches retrieval practice (tf saturates; a page
+    * repeating one word 500× is not 500× more similar to itself).
+    */
+  private def weightedTokenFrame(docs: DataFrame, id: String, text: String,
+      cap: Int): DataFrame =
+    docs.select(col(id).as("id"), explode(TextAnalysis.tokens(col(text))).as("token"))
+      .groupBy(col("id"), col("token"))
+      .agg(least(count(lit(1)), lit(cap.toLong)).as("w"))
+
+  /** Weighted MinHash signatures via integer replica expansion: token
+    * t with capped count w becomes grams t#1..t#w, then the standard
+    * rotate-xor MinHash runs over the expanded multiset. For integer
+    * weights this makes the collision probability EXACTLY the weighted
+    * Jaccard Σmin(wa,wb)/Σmax(wa,wb) (plain MinHash over the replica
+    * union/intersection) — the provable discrete special case of ICWS,
+    * without ICWS's per-(feature,perm) gamma draws. Cost: stream is
+    * Σw ≤ cap·|tokens| gram rows into the same map-side min partial
+    * agg as the unweighted path — no per-doc array materialization.
+    */
+  def weightedMinhashSignatures(docs: DataFrame, id: String, text: String,
+      numPerm: Int = 64, cap: Int = 16): DataFrame =
+    sigsFromGramRows(
+      weightedTokenFrame(docs, id, text, cap)
+        .withColumn("r", explode(sequence(lit(1L), col("w"))))
+        .select(col("id"), concat_ws("#", col("token"), col("r")).as("gram")),
+      numPerm)
+
+  /** LSH candidates over the weighted signatures — same banding as
+    * the unweighted path; collision rate tracks weighted Jaccard.
+    */
+  def wminhashCandidates(docs: DataFrame, id: String, text: String,
+      numPerm: Int = 64, bands: Int = 32, cap: Int = 16,
+      maxBucket: Int = 1000): DataFrame =
+    lshCandidatesFromSigs(weightedMinhashSignatures(docs, id, text, numPerm, cap),
+      numPerm, bands, maxBucket)
+
+  /** Weighted-MinHash candidates verified with the EXACT capped
+    * weighted Jaccard Σmin/Σmax from the token-count frame — (id_a,
+    * id_b, wj) pairs. The tf frame is materialized once (persist) and
+    * consumed three times: replica-expanded signatures plus both
+    * verification sides; the result eagerly checkpoints before the
+    * cache releases (the Dedup.containment discipline). Catches the
+    * near-dups plain MinHash over-merges: set-identical docs with very
+    * different term frequencies score 1.0 unweighted but Σmin/Σmax
+    * weighted.
+    */
+  def wminhashVerifiedPairs(docs: DataFrame, id: String, text: String,
+      minWJaccard: Double = 0.5, numPerm: Int = 64, bands: Int = 32,
+      cap: Int = 16): DataFrame = {
+    val tf = weightedTokenFrame(docs, id, text, cap).persist()
+    try {
+      val cand = lshCandidatesFromSigs(
+        sigsFromGramRows(
+          tf.withColumn("r", explode(sequence(lit(1L), col("w"))))
+            .select(col("id"), concat_ws("#", col("token"), col("r")).as("gram")),
+          numPerm),
+        numPerm, bands, maxBucket = 1000)
+      val tot = tf.groupBy(col("id")).agg(sum(col("w")).as("tot"))
+      val inter = cand
+        .join(tf.select(col("id").as("id_a"), col("token"), col("w").as("wa")), "id_a")
+        .join(tf.select(col("id").as("id_b"), col("token"), col("w").as("wb")),
+          Seq("id_b", "token"))
+        .groupBy(col("id_a"), col("id_b"))
+        .agg(sum(least(col("wa"), col("wb"))).as("icap"))
+      inter
+        .join(tot.select(col("id").as("id_a"), col("tot").as("tot_a")), "id_a")
+        .join(tot.select(col("id").as("id_b"), col("tot").as("tot_b")), "id_b")
+        .withColumn("wj", col("icap").cast(DoubleType) /
+          (col("tot_a") + col("tot_b") - col("icap")).cast(DoubleType))
+        .filter(col("wj") >= minWJaccard)
+        .select(col("id_a"), col("id_b"), col("wj"))
+        .localCheckpoint(true)
+    } finally tf.unpersist()
+  }
 
   /** Edit-distance near-dup pairs for SHORT text fields (names,
     * titles): levenshtein ≤ maxDist inside a blocking column, with the

@@ -279,6 +279,41 @@ object Similarity {
     rankTopK(scored, qId, id, k)
   }
 
+  /** IVF-PQ composed index: coarse cell pruning (IVF) over
+    * PQ-compressed codes scored by asymmetric distance — the standard
+    * billion-scale ANN layout (one coarse quantizer to skip
+    * (1 − nProbe/nCells) of the corpus, m-byte codes instead of dim
+    * floats for what remains). Codes quantize the RAW vectors
+    * (by_residual = false), so the cell assignment and the codebooks
+    * train independently from the same deterministic sample. Per
+    * query the scan is |corpus|·nProbe/nCells code rows through the
+    * bounded top-k aggregate; the original float column is never read
+    * by the search — at 100 TB the float tier can live on cold
+    * storage. Recall floor vs brute force asserted in RecallSpec
+    * (compounds the IVF pruning loss and the PQ reconstruction loss).
+    */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame,
+      id: String, vec: String, qId: String, qVec: String,
+      dim: Int, k: Int, nCells: Int = 32, nProbe: Int = 4,
+      m: Int = 8, ksub: Int = 64, sampleN: Int = 4096): DataFrame = {
+    val centroids = trainCentroids(corpus, vec, nCells, dim, sampleN)
+    val cbs = trainPqCodebooks(corpus, vec, dim, m, ksub, sampleN)
+    val enc = pqEncode(corpus, vec, dim, cbs)
+      .select(col(id), col(s"${vec}_pq").as("codes"),
+        element_at(cellRanking(col(vec), centroids), 1).getField("cell").as("cell"))
+    val probes = queries.select(col(qId), col(qVec),
+      explode(transform(slice(cellRanking(col(qVec), centroids), 1, nProbe),
+        s => s.getField("cell"))).as("cell"))
+    val cbLit = typedLit(cbs.map(_.map(_.toSeq).toSeq).toSeq)
+    val xhat = flatten(transform(col("codes"), (c, j) =>
+      element_at(element_at(cbLit, j + 1), c + 1)))
+    val cand = enc.join(broadcast(probes), "cell")
+    rankTopK(
+      cand.select(col(qId), col(id),
+        round(vector.cosine(col(qVec), xhat), 4).as("cos")),
+      qId, id, k)
+  }
+
   /** Symmetric per-vector int8 quantization: scale = max|x|/127,
     * q = round(x/scale) as a byte array. A float32 embedding store is
     * 4× the bytes of int8 at ≲1% cosine error — at 100 TB of

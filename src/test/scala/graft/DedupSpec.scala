@@ -53,6 +53,23 @@ class DedupSpec extends SparkSpec {
     assert(surv.contains(4L))
   }
 
+  test("weighted minhash: Σmin/Σmax verified exactly, set-equal ≠ weight-equal") {
+    import spark.implicits._
+    val wdocs = Seq(
+      (1L, "spark spark spark shuffle"),            // {spark:3, shuffle:1}
+      (2L, "spark spark spark shuffle join"),       // wj(1,2) = 4/5
+      (6L, "spark shuffle"),                        // set-equal to 1, wj = 2/4
+      (7L, "flink kafka streams state backend")     // disjoint
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.wminhashVerifiedPairs(wdocs, "doc_id", "text",
+        minWJaccard = 0.3, numPerm = 64, bands = 32)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")) -> r.getAs[Double]("wj")).toMap
+    assert(math.abs(pairs((1L, 2L)) - 0.8) < 1e-9)
+    // plain (set) Jaccard of 1 vs 6 is 1.0; the weighted score is 0.5
+    assert(math.abs(pairs((1L, 6L)) - 0.5) < 1e-9)
+    assert(!pairs.keys.exists { case (a, b) => a == 7L || b == 7L })
+  }
+
   test("simhash: identical text → identical hash; near text → small hamming") {
     val sig = Dedup.simhash(docs, "doc_id", "text").collect()
       .map(r => r.getAs[Long]("id") -> r.getAs[Long]("simhash")).toMap

@@ -130,4 +130,55 @@ class RecallSpec extends SparkSpec {
     val meanCos = cosines.sum / cosines.size
     assert(meanCos >= 0.8, f"mean reconstruction cosine $meanCos%.3f below 0.8")
   }
+
+  test("weighted-minhash verified pairs recall ≥0.9 of exact all-pairs weighted Jaccard") {
+    val docs = Tables(spark, dir, "documents")
+    // exact ground truth: all-pairs capped weighted Jaccard from the
+    // tf frame (test-only O(n²) via the token join — 500 docs)
+    val tf = docs
+      .select(col("doc_id").as("id"), explode(graft.operators.TextAnalysis.tokens(col("text"))).as("token"))
+      .groupBy(col("id"), col("token"))
+      .agg(least(count(lit(1)), lit(16L)).as("w"))
+      .persist()
+    val tot = tf.groupBy(col("id")).agg(sum(col("w")).as("tot"))
+    val truth = tf.select(col("id").as("id_a"), col("token"), col("w").as("wa"))
+      .join(tf.select(col("id").as("id_b"), col("token"), col("w").as("wb")), Seq("token"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(sum(least(col("wa"), col("wb"))).as("icap"))
+      .join(tot.select(col("id").as("id_a"), col("tot").as("tot_a")), "id_a")
+      .join(tot.select(col("id").as("id_b"), col("tot").as("tot_b")), "id_b")
+      .withColumn("wj", col("icap").cast(org.apache.spark.sql.types.DoubleType) /
+        (col("tot_a") + col("tot_b") - col("icap")).cast(org.apache.spark.sql.types.DoubleType))
+      .filter(col("wj") >= 0.5)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    tf.unpersist()
+    assert(truth.nonEmpty, "sf0.001 documents should contain wj≥0.5 near-dups")
+    val found = Dedup.wminhashVerifiedPairs(docs, "doc_id", "text", minWJaccard = 0.5)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    assert(found.subsetOf(truth), "exact Σmin/Σmax verification makes precision 1.0")
+    val recall = found.size.toDouble / truth.size
+    assert(recall >= 0.9, s"wminhash recall $recall (${found.size}/${truth.size})")
+  }
+
+  test("ann_ivfpq top-k recall ≥0.3 of brute-force top-k (pruned + compressed)") {
+    val emb = Tables(spark, dir, "embeddings")
+    val q = emb.filter(col("vec_id") % 97 === 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    def topSets(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+      df.collect()
+        .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("vec_id")))
+        .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    val exact = topSets(Similarity.bruteForceTopK(emb, q,
+      "vec_id", "embedding", "q_id", "q_vec", 5))
+    val approx = topSets(Similarity.ivfPqTopK(emb, q,
+      "vec_id", "embedding", "q_id", "q_vec", dim = 64, k = 5,
+      nCells = 32, nProbe = 8, m = 8, ksub = 64))
+    assert(exact.nonEmpty)
+    val recalls = exact.map { case (qid, truth) =>
+      approx.getOrElse(qid, Set.empty).count(truth).toDouble / truth.size
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.3, f"mean ann_ivfpq recall $mean%.3f below 0.3 floor")
+  }
 }
