@@ -73,9 +73,9 @@ case class UnicodeNormalize(child: Expression, form: String) extends UnaryExpres
   * [[UnicodeNormalize]].
   */
 object CompressRatioUtil {
-  def ratio(s: UTF8String): Double = {
+  def size(s: UTF8String): Long = {
     val raw = s.getBytes
-    if (raw.length == 0) return 1.0
+    if (raw.length == 0) return 0L
     val d = new java.util.zip.Deflater(java.util.zip.Deflater.BEST_SPEED, true)
     try {
       d.setInput(raw)
@@ -83,8 +83,13 @@ object CompressRatioUtil {
       val buf = new Array[Byte](8192)
       var compressed = 0L
       while (!d.finished()) compressed += d.deflate(buf)
-      compressed.toDouble / raw.length
+      compressed
     } finally d.end()
+  }
+
+  def ratio(s: UTF8String): Double = {
+    val raw = s.numBytes()
+    if (raw == 0) 1.0 else size(s).toDouble / raw
   }
 }
 
@@ -103,6 +108,30 @@ case class CompressRatio(child: Expression) extends UnaryExpression {
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c => s"graft.functions.CompressRatioUtil.ratio($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Deflate compressed SIZE in bytes (same fixed deflate parameters as
+  * [[CompressRatio]]) — the building block for normalized compression
+  * distance: NCD(a,b) = (C(ab) − min(C(a),C(b))) / max(C(a),C(b)).
+  */
+case class CompressSize(child: Expression) extends UnaryExpression {
+  override def prettyName: String = "compress_size"
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType != StringType)
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires a string argument, got ${child.dataType.catalogString}")
+    else TypeCheckResult.TypeCheckSuccess
+
+  override protected def nullSafeEval(input: Any): Any =
+    CompressRatioUtil.size(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.CompressRatioUtil.size($c)")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
@@ -196,6 +225,9 @@ object text {
 
   def compressRatio(c: Column): Column =
     bridge.column(CompressRatio(bridge.expression(c)))
+
+  def compressSize(c: Column): Column =
+    bridge.column(CompressSize(bridge.expression(c)))
 
   def jaroWinkler(l: Column, r: Column): Column =
     bridge.column(JaroWinkler(bridge.expression(l), bridge.expression(r)))

@@ -400,6 +400,77 @@ object Refresh {
       .toDF()
   }
 
+  final case class GsCell(nT: Long, sT: Double, ssT: Double,
+      nC: Long, sC: Double, ssC: Double, sinceLook: Long, looks: Long,
+      decided: Long, zLast: Double, bLast: Double)
+  final case class GsStatus(key: Long, looks: Long, n_total: Long,
+      z: Double, boundary: Double, decision: String)
+
+  /** transformWithState processor: O'Brien–Fleming group-sequential
+    * experiment monitor. Per experiment key it accumulates Welch
+    * moment sums for both arms (six doubles — O(1) state); every
+    * `lookEvery` observations it takes an interim LOOK k ≤ maxLooks
+    * and compares the Welch z against the OBF boundary
+    * z_k = z_final·√(K/k) — wide early, narrowing to z_final at the
+    * last look, which is what keeps the overall type-I error near the
+    * nominal level across K peeks. Crossing stops the experiment
+    * (sticky `decided` state; further data no longer flips it) — the
+    * streaming twin of the batch q380_group_sequential looks table.
+    */
+  private class GroupSequentialProcessor(lookEvery: Long, maxLooks: Int,
+      zFinal: Double) extends StatefulProcessor[Long, (Long, Long, Double), GsStatus] {
+    @transient private var state: ValueState[GsCell] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[GsCell]("gs",
+        org.apache.spark.sql.Encoders.product[GsCell], TTLConfig.NONE)
+    override def handleInputRows(key: Long, rows: Iterator[(Long, Long, Double)],
+        tv: TimerValues): Iterator[GsStatus] = {
+      var c = if (state.exists()) state.get()
+        else GsCell(0L, 0.0, 0.0, 0L, 0.0, 0.0, 0L, 0L, 0L, 0.0, 0.0)
+      rows.foreach { case (_, arm, v) =>
+        c = if (arm == 1L)
+          c.copy(nT = c.nT + 1, sT = c.sT + v, ssT = c.ssT + v * v,
+            sinceLook = c.sinceLook + 1)
+        else c.copy(nC = c.nC + 1, sC = c.sC + v, ssC = c.ssC + v * v,
+          sinceLook = c.sinceLook + 1)
+        if (c.decided == 0L && c.sinceLook >= lookEvery && c.looks < maxLooks &&
+            c.nT >= 2 && c.nC >= 2) {
+          val mT = c.sT / c.nT; val mC = c.sC / c.nC
+          val vT = math.max(c.ssT / c.nT - mT * mT, 1e-12)
+          val vC = math.max(c.ssC / c.nC - mC * mC, 1e-12)
+          val z = (mT - mC) / math.sqrt(vT / c.nT + vC / c.nC)
+          val k = c.looks + 1
+          val b = zFinal * math.sqrt(maxLooks.toDouble / k)
+          c = c.copy(sinceLook = 0L, looks = k, zLast = z, bLast = b,
+            decided = if (math.abs(z) > b) 1L else 0L)
+        }
+      }
+      state.update(c)
+      val decision =
+        if (c.decided == 1L) "stop_efficacy"
+        else if (c.looks >= maxLooks) "stop_futility"
+        else "continue"
+      Iterator.single(GsStatus(key, c.looks, c.nT + c.nC, c.zLast, c.bLast, decision))
+    }
+  }
+
+  /** Streaming O'Brien–Fleming group-sequential monitor over a keyed
+    * experiment stream (`key`, `arm` ∈ {0 control, 1 treatment},
+    * `value` columns): emits the latest interim look's Welch z, its
+    * OBF boundary and the continue/stop decision per touched key each
+    * micro-batch. RocksDB state store required; state is O(keys)·O(1).
+    */
+  def groupSequentialMonitor(events: DataFrame, lookEvery: Long = 50L,
+      maxLooks: Int = 5, zFinal: Double = 1.96): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.selectExpr("key", "arm", "value").as[(Long, Long, Double)]
+      .groupByKey(_._1)
+      .transformWithState(new GroupSequentialProcessor(lookEvery, maxLooks, zFinal),
+        TimeMode.None(), OutputMode.Update())
+      .toDF()
+  }
+
   /** Running per-user value quantiles via `transformWithState` with
     * KLL sketch state — the quantile sibling of [[runningUserStats]]
     * (same RocksDB state-store requirements).

@@ -354,6 +354,38 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("groupSequentialMonitor: OBF look stops a strong lift early, keeps a null running") {
+    withRocksDb {
+      import spark.implicits._
+      implicit val sqlCtx = spark.sqlContext
+      val mem = MemoryStream[(Long, Long, Double)]
+      val df = mem.toDF().toDF("key", "arm", "value")
+      val q = Refresh.groupSequentialMonitor(df, lookEvery = 50L, maxLooks = 5, zFinal = 1.96)
+        .writeStream.format("memory").queryName("tws_gs")
+        .outputMode(OutputMode.Update).start()
+      // key 1: treatment +10 lift; key 2: both arms identical (null)
+      def batch(base: Double): Seq[(Long, Long, Double)] =
+        (1 to 30).flatMap { i =>
+          val jit = (i % 5) * 0.1
+          Seq((1L, 1L, base + 10.0 + jit), (1L, 0L, base + jit),
+            (2L, 1L, base + jit), (2L, 0L, base + jit))
+        }
+      mem.addData(batch(10.0): _*)
+      q.processAllAvailable()
+      mem.addData(batch(10.0): _*)
+      q.processAllAvailable()
+      val rows = spark.table("tws_gs")
+        .as[(Long, Long, Long, Double, Double, String)].collect()
+      q.stop()
+      val k1 = rows.filter(_._1 == 1L).maxBy(_._3)
+      val k2 = rows.filter(_._1 == 2L).maxBy(_._3)
+      assert(k1._6 == "stop_efficacy", s"lifted key did not stop: $k1")
+      // first-look OBF boundary is z_final*sqrt(K/1), wide on purpose
+      assert(k1._5 > 1.96, s"interim boundary should exceed the final z: $k1")
+      assert(k2._6 == "continue" && math.abs(k2._4) < 1.0, s"null key stopped: $k2")
+    }
+  }
+
   test("windowedQuantiles: KLL sketch state merges across batches; exact for n < k") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

@@ -307,6 +307,32 @@ class TextAnalysisSpec extends SparkSpec {
     assert(run().toSeq == rows.toSeq, "deterministic under re-run")
   }
 
+  test("compressSize/NCD: identity near 0, unrelated near 1, symmetric, ratio consistent") {
+    import spark.implicits._
+    val prose = "The five boxing wizards jump quickly over a lazy dog while " +
+      "seventy jovial zookeepers quietly mixed bright vats of liquid oxygen. " * 10
+    val rnd = new scala.util.Random(7)
+    val noise = Array.fill(2400)((rnd.nextInt(94) + 33).toChar).mkString
+    def ncd(a: String, b: String): Double = {
+      val r = Seq((a, b)).toDF("a", "b").select(
+        graft.functions.text.compressSize(col("a")).as("ca"),
+        graft.functions.text.compressSize(col("b")).as("cb"),
+        graft.functions.text.compressSize(concat(col("a"), lit(" "), col("b"))).as("cab"))
+        .collect()(0)
+      (r.getLong(2) - math.min(r.getLong(0), r.getLong(1))).toDouble /
+        math.max(r.getLong(0), r.getLong(1))
+    }
+    assert(ncd(prose, prose) < 0.1, "self-NCD must be near zero")
+    assert(ncd(prose, noise) > 0.7, "incompressible unrelated text lands near 1")
+    assert(math.abs(ncd(prose, noise) - ncd(noise, prose)) < 0.1, "roughly symmetric")
+    // size and ratio expressions agree: ratio = size / octet_length
+    val chk = Seq(prose).toDF("t").select(
+      graft.functions.text.compressSize(col("t")).as("s"),
+      graft.functions.text.compressRatio(col("t")).as("r"),
+      octet_length(col("t")).as("n")).collect()(0)
+    assert(math.abs(chk.getLong(0).toDouble / chk.getInt(2) - chk.getDouble(1)) < 1e-12)
+  }
+
   test("compressRatio: null-safe and codegen/eval agree") {
     import spark.implicits._
     val df = Seq(Some("abc abc abc abc"), None).toDF("text")
