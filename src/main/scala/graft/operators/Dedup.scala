@@ -364,6 +364,34 @@ object Dedup {
     } finally tf.unpersist()
   }
 
+  /** Crawl-shard boundary-overlap pairs: doc A's LAST k tokens equal
+    * doc B's FIRST k tokens — the shard-stitching artifact none of the
+    * whole-doc near-dup members target. The join key is the overlap
+    * string itself (verification is inherent); a ≤maxDf frequency
+    * guard per fingerprint side blocks boilerplate-key skew. Docs
+    * shorter than 2k tokens are excluded. Linear: one partial-agg per
+    * side + one equi-join.
+    */
+  def boundaryOverlapPairs(docs: DataFrame, id: String, text: String,
+      k: Int = 8, maxDf: Int = 50): DataFrame = {
+    val toks = docs
+      .select(col(id).as("did"), TextAnalysis.tokens(col(text)).as("w"))
+      .filter(size(col("w")) >= 2 * k)
+      .select(col("did"),
+        concat_ws(" ", slice(col("w"), 1, k)).as("head_fp"),
+        concat_ws(" ", slice(col("w"), -k, k)).as("tail_fp"))
+      .localCheckpoint(true)
+    def guard(df: DataFrame): DataFrame = {
+      val freq = df.groupBy(col("fp")).agg(count(lit(1)).as("f")).filter(col("f") <= maxDf)
+      df.join(freq.select(col("fp")), "fp")
+    }
+    val tails = guard(toks.select(col("did").as("id_a"), col("tail_fp").as("fp")))
+    val heads = guard(toks.select(col("did").as("id_b"), col("head_fp").as("fp")))
+    tails.join(heads, "fp")
+      .filter(col("id_a") =!= col("id_b"))
+      .select(col("id_a"), col("id_b"), col("fp").as("overlap"))
+  }
+
   /** Edit-distance near-dup pairs for SHORT text fields (names,
     * titles): levenshtein ≤ maxDist inside a blocking column, with the
     * |lenₐ−len_b| ≤ maxDist lower bound applied before the quadratic

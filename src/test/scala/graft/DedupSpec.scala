@@ -70,6 +70,19 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.keys.exists { case (a, b) => a == 7L || b == 7L })
   }
 
+  test("boundary overlap: stitched shard tails match heads, unrelated docs don't") {
+    import spark.implicits._
+    val w = (1 to 40).map(i => s"w$i")
+    val stitched = Seq(
+      (1L, w.take(24).mkString(" ")),                 // ends with w17..w24
+      (2L, (w.slice(16, 24) ++ w.drop(24)).mkString(" ")), // starts with w17..w24
+      (3L, (41 to 80).map(i => s"v$i").mkString(" ")) // unrelated
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.boundaryOverlapPairs(stitched, "doc_id", "text", k = 8)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    assert(pairs == Set((1L, 2L)), s"expected exactly the stitched pair: $pairs")
+  }
+
   test("simhash: identical text → identical hash; near text → small hamming") {
     val sig = Dedup.simhash(docs, "doc_id", "text").collect()
       .map(r => r.getAs[Long]("id") -> r.getAs[Long]("simhash")).toMap
