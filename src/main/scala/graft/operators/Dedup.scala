@@ -320,7 +320,7 @@ object Dedup {
     * the unweighted path; collision rate tracks weighted Jaccard.
     */
   def wminhashCandidates(docs: DataFrame, id: String, text: String,
-      numPerm: Int = 64, bands: Int = 32, cap: Int = 16,
+      numPerm: Int = 63, bands: Int = 21, cap: Int = 16,
       maxBucket: Int = 1000): DataFrame =
     lshCandidatesFromSigs(weightedMinhashSignatures(docs, id, text, numPerm, cap),
       numPerm, bands, maxBucket)
@@ -336,7 +336,7 @@ object Dedup {
     * weighted.
     */
   def wminhashVerifiedPairs(docs: DataFrame, id: String, text: String,
-      minWJaccard: Double = 0.5, numPerm: Int = 64, bands: Int = 32,
+      minWJaccard: Double = 0.5, numPerm: Int = 63, bands: Int = 21,
       cap: Int = 16): DataFrame = {
     val tf = weightedTokenFrame(docs, id, text, cap).persist()
     try {
