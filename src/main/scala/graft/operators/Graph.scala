@@ -376,17 +376,26 @@ object Graph {
       (sum(col("deg")) / 2).cast("long").as("n_edges"),
       sum(col("deg") * (col("deg") - 1) / 2).cast("long").as("n_wedges"))
 
-    val tri = e.as("e1")
-      .join(e.as("e2"), col("e1.hi") === col("e2.lo"))
-      .join(e.as("e3"),
-        col("e3.lo") === col("e1.lo") && col("e3.hi") === col("e2.hi"))
-      .agg(count(lit(1)).as("n_triangles"))
+    try {
+      // Both 1-row frames are eagerly pinned (localCheckpoint) so the
+      // wedge aggregation and the two-hop triangle join each run
+      // EXACTLY once, under the plan shape chosen here — not re-planned
+      // inside the final crossJoin's broadcast subquery, where a cold
+      // AQE cache made the first run's shape (and time) drift.
+      val nw = nodesWedges.localCheckpoint(true)
+      val tri = e.as("e1")
+        .join(e.as("e2"), col("e1.hi") === col("e2.lo"))
+        .join(e.as("e3"),
+          col("e3.lo") === col("e1.lo") && col("e3.hi") === col("e2.hi"))
+        .agg(count(lit(1)).as("n_triangles"))
+        .localCheckpoint(true)
 
-    nodesWedges.crossJoin(broadcast(tri))
-      .select(col("n_nodes"), col("n_edges"), col("n_wedges"), col("n_triangles"),
-        round(when(col("n_wedges") > 0,
-            lit(3.0) * col("n_triangles") / col("n_wedges"))
-          .otherwise(lit(0.0)), 6).as("transitivity"))
+      nw.crossJoin(broadcast(tri))
+        .select(col("n_nodes"), col("n_edges"), col("n_wedges"), col("n_triangles"),
+          round(when(col("n_wedges") > 0,
+              lit(3.0) * col("n_triangles") / col("n_wedges"))
+            .otherwise(lit(0.0)), 6).as("transitivity"))
+    } finally e.unpersist(false)
   }
 
   /** Per-node LOCAL clustering coefficient: cc(v) = 2·t(v) / (d(v)·(d(v)−1))
@@ -455,7 +464,7 @@ object Graph {
     var cedges = edges.select(
         least(col(src).cast("long"), col(dst).cast("long")).as("osrc"),
         greatest(col(src).cast("long"), col(dst).cast("long")).as("odst"),
-        col(weight).cast("long").as("w"))
+        col(weight).cast("double").as("w"))
       .filter(col("osrc") =!= col("odst"))
       .groupBy(col("osrc"), col("odst")).agg(min(col("w")).as("w"))
       .select(col("osrc").as("ca"), col("odst").as("cb"),
@@ -533,7 +542,7 @@ object Graph {
     }
     val out = if (forest == null)
       session.emptyDataFrame.select(lit(0L).as("src"), lit(0L).as("dst"),
-        lit(0L).as("w")).limit(0)
+        lit(0.0).as("w")).limit(0)
     else forest
       .select(col("edge.osrc").as("src"), col("edge.odst").as("dst"),
         col("edge.w").as("w"))

@@ -54,10 +54,15 @@ object Sketches {
       probe: DataFrame, probeKey: String,
       numBits: Int = 1 << 18, numHashes: Int = 6): DataFrame = {
     val sk = bloomFilter(build, buildKey, numBits, numHashes)
+    // exact-membership side: NO broadcast hint — the census is only
+    // meaningful when the build side is big enough to justify a bloom
+    // pre-filter, at which point a forced broadcast of its distinct
+    // key set would OOM the driver; let the planner (AQE) pick
+    // broadcast only when the key set actually fits.
     val members = build.select(col(buildKey).cast("long").as("__bk")).distinct()
       .withColumn("__member", lit(true))
     probe.select(col(probeKey).cast("long").as("__pk"))
-      .join(broadcast(members), col("__pk") === col("__bk"), "left")
+      .join(members, col("__pk") === col("__bk"), "left")
       .crossJoin(broadcast(sk))
       .select(col("__pk"),
         coalesce(col("__member"), lit(false)).as("m"),

@@ -400,9 +400,6 @@ object Refresh {
       .toDF()
   }
 
-  final case class GsCell(nT: Long, sT: Double, ssT: Double,
-      nC: Long, sC: Double, ssC: Double, sinceLook: Long, looks: Long,
-      decided: Long, zLast: Double, bLast: Double)
   final case class GsStatus(key: Long, looks: Long, n_total: Long,
       z: Double, boundary: Double, decision: String)
 
@@ -689,7 +686,9 @@ object Refresh {
       numBits: Int = 1 << 16, numHashes: Int = 6): DataFrame = {
     val spark = events.sparkSession
     import spark.implicits._
-    events.selectExpr(s"pmod(xxhash64($keyCol), $shards) AS shard", s"$keyCol AS rk")
+    events.select(
+        pmod(xxhash64(col(keyCol)), lit(shards.toLong)).as("shard"),
+        col(keyCol).cast("long").as("rk"))
       .as[(Long, Long)]
       .groupByKey(_._1)
       .transformWithState(new BloomDedupProcessor(numBits, numHashes),
@@ -706,6 +705,9 @@ object Refresh {
 final case class StatsCell(n: Long, total: Double, mx: Double)
 final case class PhCell(n: Long, mean: Double, mt: Double, mtMin: Double, alarms: Long)
 final case class CusumCell(n: Long, sPos: Double, sNeg: Double, alarms: Long)
+final case class GsCell(nT: Long, sT: Double, ssT: Double,
+    nC: Long, sC: Double, ssC: Double, sinceLook: Long, looks: Long,
+    decided: Long, zLast: Double, bLast: Double)
 
 /** Top-level for the same Janino/encoder reason as [[StatsCell]]. */
 final case class ScoredId(score: Double, id: Long)

@@ -166,7 +166,7 @@ class GraphSpec extends SparkSpec {
       (1L, 2L, 4L), (2L, 3L, 4L), (1L, 3L, 2L), (3L, 4L, 7L), (2L, 4L, 9L),
       (1L, 4L, 7L), (5L, 6L, 1L), (6L, 7L, 5L), (5L, 7L, 5L), (2L, 1L, 8L))
     val got = Graph.minimumSpanningForest(edges.toDF("a", "b", "w"), "a", "b", "w")
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2).toLong)).toSet
     // reference Kruskal under the same (w, src, dst) total order on
     // canonicalized deduped edges
     val canon = edges.map { case (a, b, w) => (math.min(a, b), math.max(a, b), w) }
@@ -183,5 +183,16 @@ class GraphSpec extends SparkSpec {
     assert(got.toSeq.map(_._3).sum == ref.toSeq.map(_._3).sum)
     // spanning forest size: n_nodes - n_components = 7 - 2
     assert(got.size == 5)
+  }
+
+  test("minimumSpanningForest honors fractional (double) weights") {
+    import spark.implicits._
+    // with long truncation both edges of the triangle would tie at
+    // w=1 and the heavier 1.9 edge could win; double weights must
+    // pick 1.1 + 1.2 and drop 1.9
+    val edges = Seq((1L, 2L, 1.9), (2L, 3L, 1.1), (1L, 3L, 1.2))
+    val got = Graph.minimumSpanningForest(edges.toDF("a", "b", "w"), "a", "b", "w")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == Set((2L, 3L, 1.1), (1L, 3L, 1.2)))
   }
 }
