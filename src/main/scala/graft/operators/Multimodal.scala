@@ -424,4 +424,168 @@ object Multimodal {
       Some((src.getSampleRate.toDouble, ch, nFrames.toLong, rms))
     } catch { case scala.util.control.NonFatal(_) => None }
   }
+
+  // ───────────────────────── video containers ─────────────────────────
+
+  final case class VideoHeader(container: String, width: Int, height: Int,
+      duration_ms: Long, codec: String)
+  final case class VideoMeta(id: Long, n_bytes: Long, container: String,
+      width: Int, height: Int, duration_ms: Long, codec: String)
+
+  /** Parse a real video CONTAINER header — the video twin of
+    * [[parseImageHeader]]: MP4/ISO-BMFF (`moov`→`mvhd` timescale/
+    * duration, `tkhd` 16.16-fixed dims, `stsd` sample-entry fourcc),
+    * AVI/RIFF (`avih` dims + µs-per-frame × total-frames, `strh`
+    * `vids` handler fourcc), and WebM/Matroska (EBML vint walk:
+    * Segment→Info TimecodeScale/Duration, Tracks→TrackEntry CodecID +
+    * Video PixelWidth/PixelHeight). Pure byte logic on the first
+    * bytes of the blob — container metadata needs no codec, which is
+    * exactly why a 100 TB curation pass can afford it on every row.
+    * Returns None for unrecognized bytes.
+    */
+  private[graft] def parseVideoHeader(bytes: Array[Byte]): Option[VideoHeader] = {
+    if (bytes == null || bytes.length < 12) return None
+    def u8(i: Int): Int = bytes(i) & 0xff
+    def be16(i: Int): Int = (u8(i) << 8) | u8(i + 1)
+    def be32(i: Int): Long = ((be16(i).toLong << 16) | be16(i + 2)) & 0xffffffffL
+    def be64(i: Int): Long = (be32(i) << 32) | be32(i + 4)
+    def le16(i: Int): Int = u8(i) | (u8(i + 1) << 8)
+    def le32(i: Int): Long = (le16(i).toLong | (le16(i + 2).toLong << 16)) & 0xffffffffL
+    def fourcc(i: Int): String = new String(bytes, i, 4, "ISO-8859-1")
+    val n = bytes.length
+
+    if (n >= 12 && fourcc(4) == "ftyp") {
+      // ISO base media file: walk top-level boxes, then recurse into
+      // the container boxes that matter.
+      var timescale = 0L; var duration = 0L
+      var w = 0; var h = 0; var codec = ""
+      def walk(from: Long, to: Long, depth: Int): Unit = {
+        var i = from
+        while (i + 8 <= to && depth < 8) {
+          var sz = be32(i.toInt)
+          val typ = fourcc(i.toInt + 4)
+          var hdr = 8L
+          if (sz == 1L && i + 16 <= to) { sz = be64(i.toInt + 8); hdr = 16L }
+          else if (sz == 0L) sz = to - i
+          if (sz < hdr) return
+          val end = math.min(i + sz, to)
+          typ match {
+            case "moov" | "trak" | "mdia" | "minf" | "stbl" =>
+              walk(i + hdr, end, depth + 1)
+            case "mvhd" if timescale == 0L =>
+              val p = (i + hdr).toInt
+              if (u8(p) == 1 && p + 28 <= n) { timescale = be32(p + 20); duration = be64(p + 24) }
+              else if (p + 20 <= n) { timescale = be32(p + 12); duration = be32(p + 16) }
+            case "tkhd" if w == 0 =>
+              val p = (i + hdr).toInt
+              val off = if (u8(p) == 1) 88 else 76
+              if (p + off + 8 <= n) {
+                w = (be32(p + off) >> 16).toInt
+                h = (be32(p + off + 4) >> 16).toInt
+              }
+            case "stsd" if codec.isEmpty =>
+              val p = (i + hdr).toInt
+              if (p + 16 <= n && be32(p + 4) >= 1) codec = fourcc(p + 12)
+            case _ => ()
+          }
+          i = end
+        }
+      }
+      walk(0L, n.toLong, 0)
+      val durMs = if (timescale > 0) duration * 1000L / timescale else 0L
+      Some(VideoHeader("mp4", w, h, durMs, codec))
+    } else if (n >= 12 && fourcc(0) == "RIFF" && fourcc(8) == "AVI ") {
+      // RIFF chunks: scan for avih (main header) and the first vids strh
+      var usPerFrame = 0L; var totalFrames = 0L
+      var w = 0; var h = 0; var codec = ""
+      var i = 12
+      def scan(from: Int, to: Int, depth: Int): Unit = {
+        var j = from
+        while (j + 8 <= to && depth < 6) {
+          val ck = fourcc(j)
+          val sz = le32(j + 4)
+          val body = j + 8
+          val end = math.min(body + sz, to.toLong).toInt
+          if (ck == "LIST") scan(body + 4, end, depth + 1)
+          else if (ck == "avih" && body + 40 <= n) {
+            usPerFrame = le32(body); totalFrames = le32(body + 16)
+            w = le32(body + 32).toInt; h = le32(body + 36).toInt
+          } else if (ck == "strh" && body + 12 <= n && fourcc(body) == "vids" && codec.isEmpty)
+            codec = fourcc(body + 4)
+          j = end + (sz.toInt & 1) // RIFF chunks are 2-byte aligned
+        }
+      }
+      scan(i, n, 0)
+      Some(VideoHeader("avi", w, h, usPerFrame * totalFrames / 1000L, codec))
+    } else if (u8(0) == 0x1a && u8(1) == 0x45 && u8(2) == 0xdf && u8(3) == 0xa3) {
+      // Matroska/WebM: EBML vints — IDs keep their marker bits, sizes strip them
+      var pos = 0
+      def vint(keepMarker: Boolean): Long = {
+        if (pos >= n) return -1L
+        val first = u8(pos)
+        var len = 1
+        var mask = 0x80
+        while (len <= 8 && (first & mask) == 0) { len += 1; mask >>= 1 }
+        if (len > 8 || pos + len > n) { pos = n; return -1L }
+        var v = if (keepMarker) first.toLong else (first & (mask - 1)).toLong
+        var k = 1
+        while (k < len) { v = (v << 8) | u8(pos + k); k += 1 }
+        pos += len
+        v
+      }
+      var tcScale = 1000000L; var durationTc = 0.0
+      var w = 0; var h = 0; var codec = ""
+      def walkEbml(to: Int, depth: Int): Unit = {
+        while (pos < to && depth < 8) {
+          val id = vint(keepMarker = true)
+          val sz = vint(keepMarker = false)
+          if (id < 0 || sz < 0) return
+          val end = math.min(pos + sz, to.toLong).toInt
+          id match {
+            case 0x18538067L | 0x1549A966L | 0x1654AE6BL | 0xAEL | 0xE0L => // Segment/Info/Tracks/TrackEntry/Video
+              walkEbml(end, depth + 1)
+            case 0x2AD7B1L => // TimecodeScale (uint)
+              var v = 0L; var k = pos; while (k < end) { v = (v << 8) | u8(k); k += 1 }
+              tcScale = v; pos = end
+            case 0x4489L => // Duration (float 4/8 bytes)
+              if (sz == 4) durationTc = java.lang.Float.intBitsToFloat(be32(pos).toInt).toDouble
+              else if (sz == 8) durationTc = java.lang.Double.longBitsToDouble(be64(pos))
+              pos = end
+            case 0x86L => // CodecID (ascii)
+              if (codec.isEmpty) codec = new String(bytes, pos, sz.toInt, "ISO-8859-1")
+              pos = end
+            case 0xB0L => // PixelWidth
+              var v = 0L; var k = pos; while (k < end) { v = (v << 8) | u8(k); k += 1 }
+              w = v.toInt; pos = end
+            case 0xBAL => // PixelHeight
+              var v = 0L; var k = pos; while (k < end) { v = (v << 8) | u8(k); k += 1 }
+              h = v.toInt; pos = end
+            case _ => pos = end
+          }
+        }
+      }
+      walkEbml(n, 0)
+      val durMs = (durationTc * tcScale / 1e6).toLong
+      Some(VideoHeader("webm", w, h, durMs, codec))
+    } else None
+  }
+
+  /** Partition-batched video-container decode → typed metadata; bytes
+    * that are no known video container come back as "unknown" with
+    * zero dims (the drop-filter shape, exactly like [[decodeImageMeta]]).
+    */
+  def decodeVideoMeta(df: DataFrame): Dataset[VideoMeta] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col("id"), col("data")).as[(Long, Array[Byte])].mapPartitions { it =>
+      it.map { case (id, bytes) =>
+        val nb = if (bytes == null) 0L else bytes.length.toLong
+        parseVideoHeader(bytes) match {
+          case Some(v) => VideoMeta(id, nb, v.container, v.width, v.height,
+            v.duration_ms, v.codec)
+          case None => VideoMeta(id, nb, "unknown", 0, 0, 0L, "")
+        }
+      }
+    }
+  }
 }

@@ -468,6 +468,73 @@ object Refresh {
       .toDF()
   }
 
+  final case class MsprtStatus(key: Long, n_total: Long, ln_lambda: Double,
+      p_always_valid: Double, decision: String)
+
+  /** transformWithState processor: mSPRT always-valid experiment
+    * monitor (Johari et al. mixture SPRT) over a keyed binary-outcome
+    * stream — the ANYTIME companion of [[GroupSequentialProcessor]]'s
+    * fixed-look OBF schedule: no look calendar, every observation is
+    * a valid stopping point. State is four conversion counters +
+    * the running-peak lnΛ (O(1)); lnΛ = ½ln(V/(V+τ²)) +
+    * δ̂²τ²/(2V(V+τ²)) on the pooled-variance normal approximation,
+    * the always-valid p is exp(−max(0, peak lnΛ)) — monotone
+    * non-increasing by construction — and the decision is sticky in
+    * state once lnΛ crosses ln(1/α) (the OBF NaN-after-decision
+    * lesson: the decided flag persists, later batches re-emit the
+    * decided verdict and never flip it).
+    */
+  private class MsprtProcessor(tau2: Double, alpha: Double)
+      extends StatefulProcessor[Long, (Long, Long, Long), MsprtStatus] {
+    @transient private var state: ValueState[MsprtCell] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[MsprtCell]("msprt",
+        org.apache.spark.sql.Encoders.product[MsprtCell], TTLConfig.NONE)
+    override def handleInputRows(key: Long, rows: Iterator[(Long, Long, Long)],
+        tv: TimerValues): Iterator[MsprtStatus] = {
+      var c = if (state.exists()) state.get() else MsprtCell(0L, 0L, 0L, 0L, 0.0, 0L)
+      val lnThr = math.log(1.0 / alpha)
+      rows.foreach { case (_, arm, converted) =>
+        c = if (arm == 1L) c.copy(nT = c.nT + 1, cT = c.cT + converted)
+        else c.copy(nC = c.nC + 1, cC = c.cC + converted)
+        if (c.decided == 0L && c.nT > 0 && c.nC > 0) {
+          val pp = (c.cT + c.cC).toDouble / (c.nT + c.nC)
+          val v = pp * (1.0 - pp) * (1.0 / c.nT + 1.0 / c.nC)
+          if (v > 0.0) {
+            val d = c.cT.toDouble / c.nT - c.cC.toDouble / c.nC
+            val lnLam = 0.5 * math.log(v / (v + tau2)) +
+              d * d * tau2 / (2.0 * v * (v + tau2))
+            c = c.copy(peak = math.max(c.peak, lnLam),
+              decided = if (lnLam >= lnThr) 1L else 0L)
+          }
+        }
+      }
+      state.update(c)
+      Iterator.single(MsprtStatus(key, c.nT + c.nC,
+        c.peak, math.exp(-math.max(0.0, c.peak)),
+        if (c.decided == 1L) "reject_null" else "continue"))
+    }
+  }
+
+  /** Streaming mSPRT always-valid monitor over a keyed experiment
+    * stream (`key`, `arm` ∈ {0 control, 1 treatment}, `converted` ∈
+    * {0,1} columns): emits the running-peak lnΛ, the always-valid
+    * p-value, and a sticky continue/reject decision per touched key
+    * each micro-batch. RocksDB state store required; state is
+    * O(keys)·O(1) — the streaming twin of the batch q420_msprt looks
+    * table.
+    */
+  def msprtMonitor(events: DataFrame, tau2: Double = 0.01,
+      alpha: Double = 0.05): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.selectExpr("key", "arm", "converted").as[(Long, Long, Long)]
+      .groupByKey(_._1)
+      .transformWithState(new MsprtProcessor(tau2, alpha),
+        TimeMode.None(), OutputMode.Update())
+      .toDF()
+  }
+
   /** Running per-user value quantiles via `transformWithState` with
     * KLL sketch state — the quantile sibling of [[runningUserStats]]
     * (same RocksDB state-store requirements).
@@ -708,6 +775,8 @@ final case class CusumCell(n: Long, sPos: Double, sNeg: Double, alarms: Long)
 final case class GsCell(nT: Long, sT: Double, ssT: Double,
     nC: Long, sC: Double, ssC: Double, sinceLook: Long, looks: Long,
     decided: Long, zLast: Double, bLast: Double)
+final case class MsprtCell(nT: Long, cT: Long, nC: Long, cC: Long,
+    peak: Double, decided: Long)
 
 /** Top-level for the same Janino/encoder reason as [[StatsCell]]. */
 final case class ScoredId(score: Double, id: Long)

@@ -275,4 +275,86 @@ class MultimodalSpec extends SparkSpec {
     assert(pairs.contains((1L, 2L)), s"gain-scaled duplicate must pair: $pairs")
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L), s"reversed must not pair: $pairs")
   }
+
+  // ───────────────────────── video containers ─────────────────────────
+
+  private def be32(v: Long): Array[Byte] =
+    Array(((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+      ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+  private def le32(v: Long): Array[Byte] =
+    Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+  private def fcc(s: String): Array[Byte] = s.getBytes("ISO-8859-1")
+  private def box(typ: String, payload: Array[Byte]): Array[Byte] =
+    be32(payload.length + 8L) ++ fcc(typ) ++ payload
+
+  private def mp4Bytes: Array[Byte] = {
+    val ftyp = box("ftyp", fcc("isom") ++ be32(0))
+    // mvhd v0: flags + creation + modification + timescale=1000 + duration=5000
+    val mvhd = box("mvhd", be32(0) ++ be32(0) ++ be32(0) ++ be32(1000) ++ be32(5000))
+    // tkhd v0: 76 bytes of fields, then 16.16-fixed width/height
+    val tkhd = box("tkhd", Array.fill[Byte](76)(0) ++ be32(640L << 16) ++ be32(360L << 16))
+    val stsd = box("stsd", be32(0) ++ be32(1) ++ be32(86) ++ fcc("avc1"))
+    val trak = box("trak", tkhd ++ box("mdia", box("minf", box("stbl", stsd))))
+    ftyp ++ box("moov", mvhd ++ trak)
+  }
+
+  private def aviBytes: Array[Byte] = {
+    // avih: usPerFrame=33333, totalFrames=300 (+16), width=320 (+32), height=240 (+36)
+    val avih = fcc("avih") ++ le32(40) ++
+      le32(33333) ++ le32(0) ++ le32(0) ++ le32(0) ++ le32(300) ++
+      le32(0) ++ le32(1) ++ le32(0) ++ le32(320) ++ le32(240)
+    val strh = fcc("strh") ++ le32(16) ++ fcc("vids") ++ fcc("mjpg") ++ le32(0) ++ le32(0)
+    val hdrl = fcc("LIST") ++ le32((4 + avih.length + strh.length).toLong) ++
+      fcc("hdrl") ++ avih ++ strh
+    val body = fcc("AVI ") ++ hdrl
+    fcc("RIFF") ++ le32(body.length.toLong) ++ body
+  }
+
+  private def webmBytes: Array[Byte] = {
+    def sz(n: Int): Array[Byte] = Array((0x80 | n).toByte)
+    def el(id: Array[Byte], payload: Array[Byte]): Array[Byte] =
+      id ++ sz(payload.length) ++ payload
+    val ebmlHdr = el(Array(0x1a, 0x45, 0xdf, 0xa3).map(_.toByte), Array[Byte]())
+    val tcScale = el(Array(0x2a, 0xd7, 0xb1).map(_.toByte),
+      Array(0x0f, 0x42, 0x40).map(_.toByte)) // 1,000,000 ns
+    val durBits = java.lang.Float.floatToIntBits(12345.0f).toLong & 0xffffffffL
+    val duration = el(Array(0x44, 0x89).map(_.toByte), be32(durBits))
+    val info = el(Array(0x15, 0x49, 0xa9, 0x66).map(_.toByte), tcScale ++ duration)
+    val codecId = el(Array(0x86.toByte), fcc("V_VP9"))
+    val pw = el(Array(0xb0.toByte), Array(0x05, 0x00).map(_.toByte)) // 1280
+    val ph = el(Array(0xba.toByte), Array(0x02, 0xd0).map(_.toByte)) // 720
+    val video = el(Array(0xe0.toByte), pw ++ ph)
+    val trackEntry = el(Array(0xae.toByte), codecId ++ video)
+    val tracks = el(Array(0x16, 0x54, 0xae, 0x6b).map(_.toByte), trackEntry)
+    val segment = el(Array(0x18, 0x53, 0x80, 0x67).map(_.toByte), info ++ tracks)
+    ebmlHdr ++ segment
+  }
+
+  test("parseVideoHeader reads MP4 mvhd/tkhd/stsd, AVI avih/strh, WebM EBML exactly") {
+    val mp4 = Multimodal.parseVideoHeader(mp4Bytes).get
+    assert(mp4.container == "mp4" && mp4.width == 640 && mp4.height == 360 &&
+      mp4.duration_ms == 5000L && mp4.codec == "avc1", mp4.toString)
+    val avi = Multimodal.parseVideoHeader(aviBytes).get
+    assert(avi.container == "avi" && avi.width == 320 && avi.height == 240 &&
+      avi.duration_ms == 33333L * 300 / 1000 && avi.codec == "mjpg", avi.toString)
+    val webm = Multimodal.parseVideoHeader(webmBytes).get
+    assert(webm.container == "webm" && webm.width == 1280 && webm.height == 720 &&
+      webm.duration_ms == 12345L && webm.codec == "V_VP9", webm.toString)
+    assert(Multimodal.parseVideoHeader("not a video".getBytes).isEmpty)
+    assert(Multimodal.parseVideoHeader(null).isEmpty)
+  }
+
+  test("decodeVideoMeta: map-side container decode, junk flagged unknown") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, mp4Bytes), (2L, aviBytes), (3L, webmBytes),
+      (4L, "plain text bytes".getBytes)).toDF("id", "data")
+    val got = Multimodal.decodeVideoMeta(df).collect()
+      .map(m => m.id -> ((m.container, m.width, m.height, m.duration_ms, m.codec))).toMap
+    assert(got(1L) == (("mp4", 640, 360, 5000L, "avc1")))
+    assert(got(2L) == (("avi", 320, 240, 9999L, "mjpg")))
+    assert(got(3L) == (("webm", 1280, 720, 12345L, "V_VP9")))
+    assert(got(4L) == (("unknown", 0, 0, 0L, "")))
+  }
 }

@@ -354,6 +354,46 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("msprtMonitor: always-valid monitor rejects a strong lift, stays sticky, keeps a null running") {
+    withRocksDb {
+      import spark.implicits._
+      implicit val sqlCtx = spark.sqlContext
+      val mem = MemoryStream[(Long, Long, Long)]
+      val df = mem.toDF().toDF("key", "arm", "converted")
+      val q = Refresh.msprtMonitor(df, tau2 = 0.01, alpha = 0.05)
+        .writeStream.format("memory").queryName("tws_msprt")
+        .outputMode(OutputMode.Update).start()
+      // key 1: treatment converts 80%, control 10%; key 2: both 30%
+      def lifted: Seq[(Long, Long, Long)] = (1 to 50).flatMap { i =>
+        Seq((1L, 1L, if (i % 5 != 0) 1L else 0L), (1L, 0L, if (i % 10 == 0) 1L else 0L))
+      }
+      def nullArm: Seq[(Long, Long, Long)] = (1 to 50).flatMap { i =>
+        Seq((2L, 1L, if (i % 3 == 0) 1L else 0L), (2L, 0L, if (i % 3 == 0) 1L else 0L))
+      }
+      mem.addData((lifted ++ nullArm): _*)
+      q.processAllAvailable()
+      // second batch REVERSES key 1's effect — the decision must not flip
+      def reversed: Seq[(Long, Long, Long)] = (1 to 50).flatMap { i =>
+        Seq((1L, 1L, 0L), (1L, 0L, 1L))
+      }
+      mem.addData((reversed ++ nullArm): _*)
+      q.processAllAvailable()
+      val rows = spark.table("tws_msprt")
+        .as[(Long, Long, Double, Double, String)].collect()
+      q.stop()
+      val k1Latest = rows.filter(_._1 == 1L).maxBy(_._2)
+      val k2Latest = rows.filter(_._1 == 2L).maxBy(_._2)
+      assert(k1Latest._5 == "reject_null", s"lifted key not rejected: $k1Latest")
+      assert(k1Latest._4 < 0.05, s"always-valid p must sit under alpha: $k1Latest")
+      assert(k1Latest._2 == 200L, s"sticky decision must keep counting rows: $k1Latest")
+      assert(k2Latest._5 == "continue", s"null key stopped: $k2Latest")
+      // monotone: the always-valid p never increases across emissions for a key
+      val k1ps = rows.filter(_._1 == 1L).sortBy(_._2).map(_._4)
+      assert(k1ps.zip(k1ps.tail).forall { case (a, b) => b <= a + 1e-12 },
+        s"always-valid p must be monotone non-increasing: ${k1ps.mkString(",")}")
+    }
+  }
+
   test("groupSequentialMonitor: OBF look stops a strong lift early, keeps a null running") {
     withRocksDb {
       import spark.implicits._
