@@ -358,23 +358,45 @@ object Graph {
     * Returns ONE row: (n_nodes, n_edges, n_wedges, n_triangles,
     * transitivity = 3·triangles / wedges, 6dp).
     */
-  def triangleStats(edges: DataFrame, src: String, dst: String): DataFrame = {
-    val e = edges
+  /** Canonical (lo, hi) deduped undirected edge list — the shared
+    * input of the wedge aggregation and the two-hop triangle join.
+    * Exposed package-private so PlanSpec can assert the subplan
+    * contracts BEFORE [[triangleStats]] pins its 1-row frames.
+    */
+  private[graft] def triangleCanonicalEdges(
+      edges: DataFrame, src: String, dst: String): DataFrame =
+    edges
       .select(least(col(src), col(dst)).cast("long").as("lo"),
         greatest(col(src), col(dst)).cast("long").as("hi"))
       .filter(col("lo").isNotNull && col("hi").isNotNull && col("lo") < col("hi"))
       .distinct()
-      .persist(StorageLevel.MEMORY_AND_DISK)
 
-    // n_edges = Σdeg/2 rides the same degree aggregation — no separate
-    // count-the-edges job.
+  /** (n_nodes, n_edges, n_wedges) in ONE degree aggregation — n_edges
+    * = Σdeg/2 rides along, no separate count-the-edges job.
+    */
+  private[graft] def triangleWedgeAgg(e: DataFrame): DataFrame = {
     val deg = e.select(col("lo").as("node"))
       .unionAll(e.select(col("hi").as("node")))
       .groupBy(col("node")).agg(count(lit(1)).as("deg"))
-    val nodesWedges = deg.agg(
+    deg.agg(
       count(lit(1)).as("n_nodes"),
       (sum(col("deg")) / 2).cast("long").as("n_edges"),
       sum(col("deg") * (col("deg") - 1) / 2).cast("long").as("n_wedges"))
+  }
+
+  /** The node-iterator two-hop triangle join: each triangle a<b<c is
+    * found exactly once as e(a,b)⋈e(b,c)⋈e(a,c) — equi-joins only.
+    */
+  private[graft] def triangleJoinAgg(e: DataFrame): DataFrame =
+    e.as("e1")
+      .join(e.as("e2"), col("e1.hi") === col("e2.lo"))
+      .join(e.as("e3"),
+        col("e3.lo") === col("e1.lo") && col("e3.hi") === col("e2.hi"))
+      .agg(count(lit(1)).as("n_triangles"))
+
+  def triangleStats(edges: DataFrame, src: String, dst: String): DataFrame = {
+    val e = triangleCanonicalEdges(edges, src, dst)
+      .persist(StorageLevel.MEMORY_AND_DISK)
 
     try {
       // Both 1-row frames are eagerly pinned (localCheckpoint) so the
@@ -382,13 +404,14 @@ object Graph {
       // EXACTLY once, under the plan shape chosen here — not re-planned
       // inside the final crossJoin's broadcast subquery, where a cold
       // AQE cache made the first run's shape (and time) drift.
-      val nw = nodesWedges.localCheckpoint(true)
-      val tri = e.as("e1")
-        .join(e.as("e2"), col("e1.hi") === col("e2.lo"))
-        .join(e.as("e3"),
-          col("e3.lo") === col("e1.lo") && col("e3.hi") === col("e2.hi"))
-        .agg(count(lit(1)).as("n_triangles"))
-        .localCheckpoint(true)
+      // The pre-checkpoint plan contracts (hash joins + map-side
+      // partial aggregation, never a cartesian) are asserted by
+      // PlanSpec on triangleWedgeAgg/triangleJoinAgg directly — after
+      // the pin, the stitched plan observably reads two ExistingRDD
+      // 1-row frames crossed by a broadcast loop join, which is the
+      // intended O(1) shape.
+      val nw = triangleWedgeAgg(e).localCheckpoint(true)
+      val tri = triangleJoinAgg(e).localCheckpoint(true)
 
       nw.crossJoin(broadcast(tri))
         .select(col("n_nodes"), col("n_edges"), col("n_wedges"), col("n_triangles"),

@@ -443,7 +443,7 @@ object Multimodal {
     * exactly why a 100 TB curation pass can afford it on every row.
     * Returns None for unrecognized bytes.
     */
-  private[graft] def parseVideoHeader(bytes: Array[Byte]): Option[VideoHeader] = {
+  private[graft] def parseVideoHeader(bytes: Array[Byte]): Option[VideoHeader] = try {
     if (bytes == null || bytes.length < 12) return None
     def u8(i: Int): Int = bytes(i) & 0xff
     def be16(i: Int): Int = (u8(i) << 8) | u8(i + 1)
@@ -516,7 +516,12 @@ object Multimodal {
         }
       }
       scan(i, n, 0)
-      Some(VideoHeader("avi", w, h, usPerFrame * totalFrames / 1000L, codec))
+      // Both factors are unsigned 32-bit reads (each up to ~4.3e9); a
+      // corrupt header can overflow Long in the product — clamp to 0.
+      val durMs =
+        if (usPerFrame > 0 && totalFrames > Long.MaxValue / usPerFrame) 0L
+        else usPerFrame * totalFrames / 1000L
+      Some(VideoHeader("avi", w, h, durMs, codec))
     } else if (u8(0) == 0x1a && u8(1) == 0x45 && u8(2) == 0xdf && u8(3) == 0xa3) {
       // Matroska/WebM: EBML vints — IDs keep their marker bits, sizes strip them
       var pos = 0
@@ -548,11 +553,14 @@ object Multimodal {
               var v = 0L; var k = pos; while (k < end) { v = (v << 8) | u8(k); k += 1 }
               tcScale = v; pos = end
             case 0x4489L => // Duration (float 4/8 bytes)
-              if (sz == 4) durationTc = java.lang.Float.intBitsToFloat(be32(pos).toInt).toDouble
-              else if (sz == 8) durationTc = java.lang.Double.longBitsToDouble(be64(pos))
+              if (sz == 4 && pos + 4 <= n)
+                durationTc = java.lang.Float.intBitsToFloat(be32(pos).toInt).toDouble
+              else if (sz == 8 && pos + 8 <= n)
+                durationTc = java.lang.Double.longBitsToDouble(be64(pos))
               pos = end
-            case 0x86L => // CodecID (ascii)
-              if (codec.isEmpty) codec = new String(bytes, pos, sz.toInt, "ISO-8859-1")
+            case 0x86L => // CodecID (ascii) — length clamped to bytes present
+              if (codec.isEmpty && end > pos)
+                codec = new String(bytes, pos, end - pos, "ISO-8859-1")
               pos = end
             case 0xB0L => // PixelWidth
               var v = 0L; var k = pos; while (k < end) { v = (v << 8) | u8(k); k += 1 }
@@ -568,6 +576,10 @@ object Multimodal {
       val durMs = (durationTc * tcScale / 1e6).toLong
       Some(VideoHeader("webm", w, h, durMs, codec))
     } else None
+  } catch {
+    // A truncated/corrupt container must classify as unrecognized, not
+    // fail the task — same contract as parseImageHeader/parseAudioHeader.
+    case scala.util.control.NonFatal(_) => None
   }
 
   /** Partition-batched video-container decode → typed metadata; bytes

@@ -38,8 +38,18 @@ object Refresh {
     */
   def windowedCounts(events: DataFrame, tsCol: String, keyCol: String,
       valueCol: String, windowLen: String, watermark: String): DataFrame =
+    windowedCounts(events.withWatermark(tsCol, watermark),
+      tsCol, keyCol, valueCol, windowLen)
+
+  /** Watermark-INHERITING form for pipeline composition: Spark
+    * forbids redefining a watermark, so a stream that already
+    * declared one upstream (e.g. through [[dedupStreamBounded]])
+    * must flow into the aggregation as-is — found by the end-to-end
+    * pipeline spec, where dedup → windowed agg is the natural chain.
+    */
+  def windowedCounts(events: DataFrame, tsCol: String, keyCol: String,
+      valueCol: String, windowLen: String): DataFrame =
     events
-      .withWatermark(tsCol, watermark)
       .groupBy(window(col(tsCol), windowLen), col(keyCol))
       .agg(count(lit(1)).as("n"), sum(col(valueCol)).as("total"))
       .select(col("window.start").as("window_start"), col(keyCol),
@@ -134,6 +144,13 @@ object Refresh {
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
         val spark = batch.sparkSession
         import org.apache.spark.sql.expressions.Window
+        // Append-mode upstreams (windowed aggs) emit NOTHING until the
+        // watermark closes a window — an unguarded empty first batch
+        // would write a _SUCCESS-only directory that flips
+        // `initialized` while leaving no parquet footers to read, and
+        // every later batch dies on schema inference. Skip empty
+        // batches outright: there is nothing to merge.
+        if (!batch.isEmpty) {
         val keyCols = keys.map(col)
         val w = Window.partitionBy(keyCols: _*)
           .orderBy(desc(versionCol))
@@ -167,6 +184,7 @@ object Refresh {
         snapshot.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
           .option("partitionOverwriteMode", "dynamic")
           .partitionBy("__bkt").parquet(outDir)
+        }
         ()
       }
       .start()

@@ -208,13 +208,33 @@ class PlanSpec extends SparkSpec {
   }
 
   test("q74 triangles: ordered edge joins plan as hash joins — no cartesian/BNLJ anywhere") {
+    // triangleStats pins its two 1-row frames (localCheckpoint) so the
+    // final stitched plan observably reads two ExistingRDDs — the real
+    // contracts live on the PRE-checkpoint subplans, asserted here on
+    // the exact frames triangleStats builds internally.
+    import org.apache.spark.sql.functions.col
+    val edges = Tables(cold, sf("any"), "lineitem")
+      .select(col("l_partkey").as("p1"), col("l_suppkey").as("p2"))
+    val e = graft.operators.Graph.triangleCanonicalEdges(edges, "p1", "p2")
+
+    val pw = plan(graft.operators.Graph.triangleWedgeAgg(e))
+    assert(pw.contains("partial_count") || pw.contains("partial_sum"),
+      s"degree/wedge counts must partial-aggregate map-side:\n$pw")
+    assert(!pw.contains("CartesianProduct") && !pw.contains("BroadcastNestedLoopJoin"),
+      s"the wedge aggregation has no join at all:\n$pw")
+
+    val pt = plan(graft.operators.Graph.triangleJoinAgg(e))
+    assert(!pt.contains("CartesianProduct") && !pt.contains("BroadcastNestedLoopJoin"),
+      s"edge⋈edge joins must be equi-joins (hash/sort-merge):\n$pt")
+    assert(pt.contains("partial_count"),
+      s"triangle count must partial-aggregate before the final shuffle:\n$pt")
+
+    // Final stitch: two pinned 1-row frames crossed — a broadcast
+    // nested-loop Cross of 1×1 rows is the intended O(1) shape; a
+    // CartesianProduct (shuffle cross) is still forbidden.
     val p = plan(q(Queries.q74Triangles))
     assert(!p.contains("CartesianProduct"),
-      s"triangle counting must never plan a cartesian product:\n$p")
-    assert(!p.contains("BroadcastNestedLoopJoin") || p.contains("BuildRight, Cross"),
-      s"edge⋈edge joins must be equi-joins:\n$p")
-    assert(p.contains("partial_count"),
-      s"degree/wedge counts must partial-aggregate map-side:\n$p")
+      s"triangle counting must never plan a shuffle cartesian:\n$p")
   }
 
   test("text_oov: occurrences collapse BEFORE the vocab join, vocab side broadcasts") {

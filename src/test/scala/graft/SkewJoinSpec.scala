@@ -47,4 +47,39 @@ class SkewJoinSpec extends SparkSpec {
       SkewJoin.salted(big, small, Seq("k"), col("row_id"), 4, "full_outer")
     }
   }
+
+  test("AQE skew-join splitting and explicit salting don't fight: identical rows both modes") {
+    // The r8 verdict's open 100 TB operational question: salting is
+    // deliberately AQE-independent, but on a real cluster AQE's own
+    // skew splitter WILL also see the salted shuffle. Run the salted
+    // join under a child session with AQE skew handling forced
+    // aggressive (tiny thresholds, broadcast off so the join actually
+    // shuffles — the only path AQE's splitter touches) and with it
+    // disabled: AQE may only re-slice partitions, never change rows.
+    def run(aqeSkew: Boolean): (Set[Seq[Any]], String) = {
+      val s2 = spark.newSession()
+      s2.conf.set("spark.sql.adaptive.enabled", "true")
+      s2.conf.set("spark.sql.adaptive.skewJoin.enabled", aqeSkew.toString)
+      s2.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1.0")
+      s2.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "1KB")
+      s2.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "1KB")
+      s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      import s2.implicits._
+      val bigDf = ((1 to 900).map(i => (7L, i.toLong)) ++
+        (1 to 100).map(i => (i.toLong % 5, 1000L + i))).toDF("k", "row_id")
+      val smallDf = (0L to 10L).map(k => (k, s"dim$k")).toDF("k", "name")
+      val joined = SkewJoin.salted(bigDf, smallDf, Seq("k"), col("row_id"), salts = 8)
+        .select("k", "row_id", "name")
+      val rows = joined.collect().map(_.toSeq).toSet
+      (rows, joined.queryExecution.executedPlan.toString)
+    }
+    val (on, planOn) = run(aqeSkew = true)
+    val (off, _) = run(aqeSkew = false)
+    // broadcast disabled → the salted join really took the shuffle-join
+    // path AQE's skew splitter operates on
+    assert(planOn.contains("SortMergeJoin") || planOn.contains("ShuffledHashJoin"),
+      s"expected a shuffle join under the AQE-on run:\n$planOn")
+    assert(on == off, "AQE skew splitting changed the salted join's rows")
+    assert(on.size == 1000)
+  }
 }

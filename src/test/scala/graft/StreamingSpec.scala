@@ -546,4 +546,63 @@ class StreamingSpec extends SparkSpec {
       assert(kept.toSet == Set(1L, 2L, 3L, 4L, 5L), s"fresh key falsely dropped: $kept")
     }
   }
+
+  test("END-TO-END: file stream → clean → bounded dedup → windowed agg → merge-on-write, across a crash-and-resume") {
+    // The composition the r8 verdict flagged untested: every stage's
+    // state (file-source offsets, dedup keys, window aggregates) lives
+    // in ONE checkpoint; the restart must neither lose nor double-count.
+    import spark.implicits._
+    val root = tmp()
+    val src = s"$root/src"; val out = s"$root/out"; val ck = s"$root/ck"
+    def ts(s: String) = Timestamp.valueOf(s)
+
+    // batch 1: an in-batch duplicate id (2) and padded strings to clean
+    Seq(
+      (ts("2026-01-01 10:05:00"), 1L, " click ", 1.0),
+      (ts("2026-01-01 10:15:00"), 2L, "click", 2.0),
+      (ts("2026-01-01 10:15:00"), 2L, "click", 2.0),
+      (ts("2026-01-01 11:10:00"), 3L, "view", 5.0)
+    ).toDF("ts", "id", "event_type", "value").write.parquet(s"$src/b1")
+    val schema = spark.read.parquet(s"$src/b1").schema
+
+    def start() = {
+      val stream  = spark.readStream.schema(schema).parquet(s"$src/*")
+      val cleaned = graft.operators.Clean.standardize(stream)
+      val deduped = Refresh.dedupStreamBounded(cleaned, "ts", Seq("id"), "1 hour")
+      // watermark-inheriting overload: deduped already declared it
+      val agg     = Refresh.windowedCounts(deduped, "ts", "event_type", "value", "1 hour")
+      Refresh.upsertByKey(agg, Seq("window_start", "event_type"), "n", out, ck,
+        nBuckets = 4)
+    }
+    val q1 = start()
+    q1.processAllAvailable()
+    q1.stop() // crash: only the committed checkpoint survives
+
+    // batch 2 AFTER the crash: replays of ids 1 and 3 (must stay deduped
+    // by state recovered from the checkpoint) + fresh events pushing the
+    // watermark to 12:30, which closes the two morning windows
+    Seq(
+      (ts("2026-01-01 10:05:00"), 1L, "click", 1.0),
+      (ts("2026-01-01 11:10:00"), 3L, "view", 5.0),
+      (ts("2026-01-01 12:30:00"), 4L, "click", 4.0),
+      (ts("2026-01-01 13:30:00"), 5L, "view", 1.0)
+    ).toDF("ts", "id", "event_type", "value").write.parquet(s"$src/b2")
+
+    val q2 = start()
+    q2.processAllAvailable()
+    q2.stop()
+
+    val snap = spark.read.parquet(out)
+      .select(col("window_start").cast("string"), col("event_type"),
+        col("n"), col("total"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    // 10:00 click: ids 1+2 once each (in-batch dup AND post-restart replay
+    // both dropped, " click " trimmed); 11:00 view: id 3 once (replay
+    // dropped by recovered state). 12:00/13:00 windows not yet closed.
+    assert(snap == Set(
+      ("2026-01-01 10:00:00", "click", 2L, 3.0),
+      ("2026-01-01 11:00:00", "view", 1L, 5.0)), snap.toString)
+  }
 }
