@@ -123,6 +123,129 @@ object Refresh {
     events.withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark(keyCols)
 
+  /** The exactly-once cursor for the foreachBatch sinks: highest
+    * micro-batch id fully applied to the dataset at `outDir`, stored
+    * as a SIBLING file (`<outDir>.last_batch`) — beside, not inside,
+    * because [[applyCdcBatch]]'s full overwrite deletes everything
+    * under outDir. Written via temp + atomic rename AFTER the data
+    * write commits, so the marker can lag the data (crash between the
+    * two) but never lead it: a replayed batch either skips (marker
+    * present) or re-applies — and both sink merges are idempotent for
+    * a repeated batch, so either path converges to exactly-once state.
+    */
+  private[streaming] def lastAppliedBatch(
+      spark: SparkSession, outDir: String): Option[Long] = {
+    val p = new org.apache.hadoop.fs.Path(outDir + ".last_batch")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toLong)
+      finally in.close()
+    }
+  }
+
+  private def recordAppliedBatch(spark: SparkSession, outDir: String,
+      batchId: Long): Unit = {
+    val p = new org.apache.hadoop.fs.Path(outDir + ".last_batch")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new org.apache.hadoop.fs.Path(
+      outDir + s".last_batch.tmp-${java.util.UUID.randomUUID()}")
+    val out = fs.create(tmp, false)
+    try out.write(batchId.toString.getBytes("UTF-8")) finally out.close()
+    fs.delete(p, false)
+    if (!fs.rename(tmp, p)) { fs.delete(tmp, false) }
+  }
+
+  /** Apply ONE micro-batch of the merge-on-write upsert — the body of
+    * [[upsertByKey]], exposed so the exactly-once contract is testable
+    * without a running query: calling it twice with the same batchId
+    * is a no-op the second time (marker skip), and a replay AFTER a
+    * crash that lost the marker re-merges idempotently.
+    */
+  def applyUpsertBatch(batch: DataFrame, batchId: Long, keys: Seq[String],
+      versionCol: String, outDir: String, nBuckets: Int = 64): Unit = {
+    val spark = batch.sparkSession
+    import org.apache.spark.sql.expressions.Window
+    // Replay of an already-applied batch (restart after a crash that
+    // committed the sink but not the checkpoint): skip. Batch ids are
+    // monotone per checkpoint, so one high-water mark suffices.
+    if (lastAppliedBatch(spark, outDir).exists(_ >= batchId)) return
+    // Append-mode upstreams (windowed aggs) emit NOTHING until the
+    // watermark closes a window — an unguarded empty first batch
+    // would write a _SUCCESS-only directory that flips
+    // `initialized` while leaving no parquet footers to read, and
+    // every later batch dies on schema inference. Skip empty
+    // batches outright: there is nothing to merge.
+    if (!batch.isEmpty) {
+      val keyCols = keys.map(col)
+      val w = Window.partitionBy(keyCols: _*)
+        .orderBy(desc(versionCol))
+      val latest = batch
+        .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+        .withColumn("__bkt", pmod(xxhash64(keyCols: _*), lit(nBuckets)))
+      // "has a prior write happened" must be answered on whatever
+      // filesystem outDir lives on (HDFS/S3/local) — the Hadoop FS
+      // API, never java.io.File, which silently answers false off the
+      // driver's local disk and would make every batch a full rewrite.
+      // NOT the _SUCCESS marker: the dynamic-partition-overwrite commit
+      // protocol never writes one, so a _SUCCESS probe is false FOREVER
+      // on this sink and every batch silently degrades to
+      // write-latest-only — wiping any key that shares a bucket with an
+      // updated key (caught by the exactly-once replay spec: keys 3 and
+      // 4 colliding in one bucket of 4). The real signal is the
+      // dataset's own partition layout.
+      val outPath = new org.apache.hadoop.fs.Path(outDir)
+      val fs = outPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val initialized = fs.exists(outPath) &&
+        fs.listStatus(outPath).exists(s =>
+          s.isDirectory && s.getPath.getName.startsWith("__bkt="))
+      val merged =
+        if (initialized) {
+          val existing = spark.read.parquet(outDir)
+          val affected = latest.select(col("__bkt")).distinct()
+          existing
+            .join(broadcast(affected), Seq("__bkt"), "left_semi")   // only touched buckets
+            .join(latest.select(keyCols: _*), keys, "left_anti")    // drop superseded keys
+            .unionByName(latest)
+        } else latest
+      // materialize before overwriting the directory being read
+      val snapshot = merged.localCheckpoint(true)
+      // dynamic overwrite scoped to THIS write via the writer option —
+      // no session-conf mutation (a concurrent query in the same
+      // session would otherwise observe the flipped mode)
+      snapshot.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("__bkt").parquet(outDir)
+    }
+    recordAppliedBatch(spark, outDir, batchId)
+  }
+
+  /** Streaming eval-set decontamination gate: stream-static LEFT ANTI
+    * equi-join on the canonical text fingerprint
+    * (TextAnalysis.fingerprintMd5 — the same normalization the batch
+    * exact dedup uses), dropping any streamed document whose
+    * normalized text appears verbatim in the static eval frame.
+    * Stateless per micro-batch (no watermark, no state store) and the
+    * eval side broadcasts, so the stream is never shuffled. The
+    * n-gram OVERLAP form (Curation.decontaminate) needs a doc-level
+    * re-aggregation continuous mode can't express without closing a
+    * window — run THAT inside a foreachBatch sink when gram-level
+    * decontamination is required (each micro-batch is a full batch
+    * frame there); this gate is the in-stream exact-match companion.
+    */
+  def decontaminateStreamExact(stream: DataFrame, eval: DataFrame,
+      textCol: String): DataFrame = {
+    val evalFps = broadcast(
+      eval.select(graft.operators.TextAnalysis
+        .fingerprintMd5(col(textCol)).as("__fp")).distinct())
+    stream
+      .withColumn("__fp",
+        graft.operators.TextAnalysis.fingerprintMd5(col(textCol)))
+      .join(evalFps, Seq("__fp"), "left_anti")
+      .drop("__fp")
+  }
+
   /** Streaming upsert (merge-on-write) into a bucket-partitioned
     * parquet dataset via foreachBatch:
     *
@@ -135,60 +258,19 @@ object Refresh {
     * At scale the rewrite cost per batch is proportional to the
     * touched buckets, not the dataset: this is the standard
     * merge-on-write layout (what table formats do per file group)
-    * expressed with plain parquet + partition overwrite.
+    * expressed with plain parquet + partition overwrite. Restart
+    * replays are EXACTLY-ONCE: each applied batch id is recorded in a
+    * sibling marker ([[applyUpsertBatch]]), so foreachBatch's
+    * at-least-once contract never double-merges.
     */
   def upsertByKey(stream: DataFrame, keys: Seq[String], versionCol: String,
-      outDir: String, checkpointDir: String, nBuckets: Int = 64): StreamingQuery = {
+      outDir: String, checkpointDir: String, nBuckets: Int = 64): StreamingQuery =
     stream.writeStream
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
-        val spark = batch.sparkSession
-        import org.apache.spark.sql.expressions.Window
-        // Append-mode upstreams (windowed aggs) emit NOTHING until the
-        // watermark closes a window — an unguarded empty first batch
-        // would write a _SUCCESS-only directory that flips
-        // `initialized` while leaving no parquet footers to read, and
-        // every later batch dies on schema inference. Skip empty
-        // batches outright: there is nothing to merge.
-        if (!batch.isEmpty) {
-        val keyCols = keys.map(col)
-        val w = Window.partitionBy(keyCols: _*)
-          .orderBy(desc(versionCol))
-        val latest = batch
-          .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
-          .withColumn("__bkt", pmod(xxhash64(keyCols: _*), lit(nBuckets)))
-        // "has a prior write happened" must be answered on whatever
-        // filesystem outDir lives on (HDFS/S3/local) — the Hadoop FS
-        // API, never java.io.File, which silently answers false off the
-        // driver's local disk and would make every batch a full rewrite.
-        // The signal is the dataset's own _SUCCESS marker, not a
-        // hand-rolled sentinel file.
-        val outPath = new org.apache.hadoop.fs.Path(outDir)
-        val fs = outPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        val initialized =
-          fs.exists(new org.apache.hadoop.fs.Path(outPath, "_SUCCESS"))
-        val merged =
-          if (initialized) {
-            val existing = spark.read.parquet(outDir)
-            val affected = latest.select(col("__bkt")).distinct()
-            existing
-              .join(broadcast(affected), Seq("__bkt"), "left_semi")   // only touched buckets
-              .join(latest.select(keyCols: _*), keys, "left_anti")    // drop superseded keys
-              .unionByName(latest)
-          } else latest
-        // materialize before overwriting the directory being read
-        val snapshot = merged.localCheckpoint(true)
-        // dynamic overwrite scoped to THIS write via the writer option —
-        // no session-conf mutation (a concurrent query in the same
-        // session would otherwise observe the flipped mode)
-        snapshot.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-          .option("partitionOverwriteMode", "dynamic")
-          .partitionBy("__bkt").parquet(outDir)
-        }
-        ()
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        applyUpsertBatch(batch, batchId, keys, versionCol, outDir, nBuckets)
       }
       .start()
-  }
 
   /** Streaming CDC apply: each micro-batch of change rows (full-row
     * upserts + an optional tombstone flag) merges into a parquet
@@ -204,26 +286,79 @@ object Refresh {
       outDir: String, checkpointDir: String): StreamingQuery =
     changes.writeStream
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
-        val spark = batch.sparkSession
-        val outPath = new org.apache.hadoop.fs.Path(outDir)
-        val fs = outPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        val initialized =
-          fs.exists(new org.apache.hadoop.fs.Path(outPath, "_SUCCESS"))
-        val merged =
-          if (initialized)
-            graft.operators.Merge.upsert(spark.read.parquet(outDir), batch, keys, deleteCol)
-          else {
-            val live = deleteCol
-              .map(d => batch.filter(!coalesce(col(d), lit(false))))
-              .getOrElse(batch)
-            deleteCol.map(live.drop(_)).getOrElse(live)
-          }
-        val snapshot = merged.localCheckpoint(true)
-        snapshot.write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(outDir)
-        ()
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        applyCdcBatch(batch, batchId, keys, deleteCol, outDir)
       }
       .start()
+
+  /** Apply ONE micro-batch of the CDC merge — the body of
+    * [[cdcApply]], exposed for the same testable-exactly-once reason
+    * as [[applyUpsertBatch]]: a replayed batch id skips on the marker,
+    * and a replay that lost the marker (crash between data write and
+    * marker rename) re-merges idempotently (same key-unique changes
+    * onto the post-apply snapshot: updates rewrite identical values,
+    * tombstones re-delete absent keys).
+    */
+  def applyCdcBatch(batch: DataFrame, batchId: Long, keys: Seq[String],
+      deleteCol: Option[String], outDir: String): Unit = {
+    val spark = batch.sparkSession
+    if (lastAppliedBatch(spark, outDir).exists(_ >= batchId)) return
+    val outPath = new org.apache.hadoop.fs.Path(outDir)
+    val fs = outPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val initialized =
+      fs.exists(new org.apache.hadoop.fs.Path(outPath, "_SUCCESS"))
+    val merged =
+      if (initialized)
+        graft.operators.Merge.upsert(spark.read.parquet(outDir), batch, keys, deleteCol)
+      else {
+        val live = deleteCol
+          .map(d => batch.filter(!coalesce(col(d), lit(false))))
+          .getOrElse(batch)
+        deleteCol.map(live.drop(_)).getOrElse(live)
+      }
+    val snapshot = merged.localCheckpoint(true)
+    snapshot.write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(outDir)
+    recordAppliedBatch(spark, outDir, batchId)
+  }
+
+  /** Streaming CDC apply into a [[graft.sources.Snapshot]] table —
+    * the exactly-once-BY-CONSTRUCTION sink: each micro-batch commits
+    * one snapshot version carrying its batch id in the manifest, so
+    * the skip check and the data write are the SAME atomic manifest
+    * rename (no marker-lag window at all), and every batch boundary
+    * is a time-travelable version. Use this over [[cdcApply]] when
+    * the sink table needs snapshot isolation for concurrent readers.
+    */
+  def snapshotCdcApply(changes: DataFrame, keys: Seq[String],
+      deleteCol: Option[String], tableDir: String,
+      checkpointDir: String): StreamingQuery =
+    changes.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        applySnapshotCdcBatch(batch, batchId, keys, deleteCol, tableDir)
+      }
+      .start()
+
+  /** One micro-batch of [[snapshotCdcApply]]: skip if the table's
+    * manifest cursor already covers `batchId`, else upsert-commit a
+    * new version recording it.
+    */
+  def applySnapshotCdcBatch(batch: DataFrame, batchId: Long, keys: Seq[String],
+      deleteCol: Option[String], tableDir: String): Unit = {
+    val spark = batch.sparkSession
+    import graft.sources.Snapshot
+    if (Snapshot.lastBatchId(spark, tableDir).exists(_ >= batchId)) return
+    if (batch.isEmpty) return // nothing to merge; don't mint empty versions
+    if (Snapshot.latestVersion(spark, tableDir).isEmpty) {
+      val live = deleteCol
+        .map(d => batch.filter(!coalesce(col(d), lit(false))))
+        .getOrElse(batch)
+      Snapshot.commit(spark, tableDir,
+        deleteCol.map(live.drop(_)).getOrElse(live), Some(batchId))
+    } else
+      Snapshot.upsert(spark, tableDir, batch, keys, deleteCol, Some(batchId))
+    ()
+  }
 
   /** Stream-stream interval join: each left event matched to right
     * events with the same key whose time is within

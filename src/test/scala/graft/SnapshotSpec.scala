@@ -1,0 +1,143 @@
+package graft
+
+import graft.sources.Snapshot
+import graft.streaming.Refresh
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+class SnapshotSpec extends SparkSpec {
+
+  private def tmp() = Files.createTempDirectory("graft-snapshot").toString
+
+  private def rows(df: DataFrame): Set[(Long, String, Double)] =
+    df.select(col("id"), col("name"), col("score"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+
+  private def base = {
+    import spark.implicits._
+    Seq((1L, "a", 1.0), (2L, "b", 2.0), (3L, "c", 3.0), (4L, "d", 4.0))
+      .toDF("id", "name", "score")
+  }
+
+  test("commit → read round-trip; history records the version") {
+    val dir = tmp() + "/t"
+    val v = Snapshot.commit(spark, dir, base)
+    assert(v == 1L)
+    assert(rows(Snapshot.read(spark, dir)) == rows(base))
+    val h = Snapshot.history(spark, dir).collect()
+    assert(h.length == 1 && h.head.getLong(0) == 1L && h.head.getString(1) == "init")
+  }
+
+  test("upsert: update + insert + tombstone; old version still reads pre-upsert state") {
+    import spark.implicits._
+    val dir = tmp() + "/t"
+    Snapshot.commit(spark, dir, base)
+    val changes = Seq(
+      (2L, "b2", 20.0, false), // update
+      (5L, "e", 5.0, false),   // insert
+      (3L, "c", 3.0, true)     // delete
+    ).toDF("id", "name", "score", "is_deleted")
+    val v2 = Snapshot.upsert(spark, dir, changes, Seq("id"), Some("is_deleted"))
+    assert(v2 == 2L)
+    assert(rows(Snapshot.readVersion(spark, dir, 2)) ==
+      Set((1L, "a", 1.0), (2L, "b2", 20.0), (4L, "d", 4.0), (5L, "e", 5.0)))
+    // TIME TRAVEL: version 1 read AFTER the upsert is the pre-upsert table
+    assert(rows(Snapshot.readVersion(spark, dir, 1)) == rows(base))
+  }
+
+  test("upsert is file-granular copy-on-write: untouched files carry over by reference") {
+    import spark.implicits._
+    val dir = tmp() + "/t"
+    // two files split by id parity, so changes to odd ids never touch the even file
+    Snapshot.commit(spark, dir, base.repartition(2, col("id") % 2))
+    val m1 = Snapshot.history(spark, dir).collect().head.getLong(2)
+    assert(m1 == 2L, s"expected 2 data files, got $m1")
+    val changes = Seq((1L, "a2", 10.0)).toDF("id", "name", "score")
+    Snapshot.upsert(spark, dir, changes, Seq("id"))
+    // the manifests must SHARE the untouched file (reference, not copy)
+    val f = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def manifestFiles(v: Long): Set[String] = {
+      val p = new org.apache.hadoop.fs.Path(s"$dir/_versions/" + f"v$v%09d.json")
+      val in = f.open(p)
+      val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+      "\"(data/[^\"]+)\"".r.findAllMatchIn(text).map(_.group(1)).toSet
+    }
+    val shared = manifestFiles(1L).intersect(manifestFiles(2L))
+    assert(shared.nonEmpty, "upsert rewrote every file — not copy-on-write")
+    assert(rows(Snapshot.read(spark, dir)) ==
+      Set((1L, "a2", 10.0), (2L, "b", 2.0), (3L, "c", 3.0), (4L, "d", 4.0)))
+  }
+
+  test("append adds rows without rewriting previous files") {
+    import spark.implicits._
+    val dir = tmp() + "/t"
+    Snapshot.commit(spark, dir, base)
+    Snapshot.append(spark, dir, Seq((9L, "z", 9.0)).toDF("id", "name", "score"))
+    assert(rows(Snapshot.read(spark, dir)) == rows(base) + ((9L, "z", 9.0)))
+    assert(rows(Snapshot.readVersion(spark, dir, 1)) == rows(base))
+  }
+
+  test("concurrent-reader isolation: a frame pinned to v1 is unaffected by compaction and later upserts") {
+    import spark.implicits._
+    val dir = tmp() + "/t"
+    Snapshot.commit(spark, dir, base.repartition(4))
+    val pinned = Snapshot.readVersion(spark, dir, 1) // reader resolves v1's file list
+    Snapshot.compact(spark, dir, targetBytes = Long.MaxValue) // v2: one file
+    Snapshot.upsert(spark, dir,
+      Seq((1L, "mutated", -1.0)).toDF("id", "name", "score"), Seq("id")) // v3
+    // the pinned reader materializes AFTER both table mutations
+    assert(rows(pinned) == rows(base))
+    assert(rows(Snapshot.read(spark, dir)) ==
+      Set((1L, "mutated", -1.0), (2L, "b", 2.0), (3L, "c", 3.0), (4L, "d", 4.0)))
+  }
+
+  test("vacuum reclaims only versions beyond the retention window") {
+    import spark.implicits._
+    val dir = tmp() + "/t"
+    Snapshot.commit(spark, dir, base)                                      // v1
+    Snapshot.upsert(spark, dir,
+      Seq((1L, "a2", 10.0)).toDF("id", "name", "score"), Seq("id"))        // v2
+    Snapshot.compact(spark, dir, targetBytes = Long.MaxValue)              // v3
+    val deleted = Snapshot.vacuum(spark, dir, keepLast = 2)
+    assert(deleted > 0)
+    assert(Snapshot.versions(spark, dir) == Seq(2L, 3L))
+    // retained versions still read correctly (v2 shares files with nothing vacuumed-away)
+    assert(rows(Snapshot.readVersion(spark, dir, 2)) == rows(Snapshot.readVersion(spark, dir, 3)))
+  }
+
+  test("optimistic concurrency: a second committer of the same version fails loudly") {
+    val dir = tmp() + "/t"
+    Snapshot.commit(spark, dir, base)
+    // simulate the race's loser: version 1 already exists; the manifest
+    // promotion (rename-if-absent) must refuse to overwrite it — this is
+    // the single-winner primitive every commit path funnels through
+    intercept[java.util.ConcurrentModificationException] {
+      Snapshot.publishManifestForTest(spark, dir, 1L)
+    }
+    // and the table is untouched
+    assert(rows(Snapshot.read(spark, dir)) == rows(base))
+  }
+
+  test("exactly-once snapshot CDC sink: a replayed batch id is a no-op; distinct ids apply once each") {
+    import spark.implicits._
+    val dir = tmp() + "/t"
+    val b0 = base.withColumn("is_deleted", lit(false))
+    Refresh.applySnapshotCdcBatch(b0, 0L, Seq("id"), Some("is_deleted"), dir)
+    val b1 = Seq((2L, "b2", 20.0, false), (5L, "e", 5.0, false), (3L, "c", 3.0, true))
+      .toDF("id", "name", "score", "is_deleted")
+    Refresh.applySnapshotCdcBatch(b1, 1L, Seq("id"), Some("is_deleted"), dir)
+    val vAfter = Snapshot.latestVersion(spark, dir).get
+    // REPLAY batch 1 (restart after crash-before-checkpoint-commit)
+    Refresh.applySnapshotCdcBatch(b1, 1L, Seq("id"), Some("is_deleted"), dir)
+    assert(Snapshot.latestVersion(spark, dir).get == vAfter, "replay minted a new version")
+    assert(rows(Snapshot.read(spark, dir)) ==
+      Set((1L, "a", 1.0), (2L, "b2", 20.0), (4L, "d", 4.0), (5L, "e", 5.0)))
+    // next batch still applies
+    Refresh.applySnapshotCdcBatch(
+      Seq((6L, "f", 6.0, false)).toDF("id", "name", "score", "is_deleted"),
+      2L, Seq("id"), Some("is_deleted"), dir)
+    assert(rows(Snapshot.read(spark, dir)).contains((6L, "f", 6.0)))
+  }
+}

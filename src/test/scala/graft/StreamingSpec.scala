@@ -547,6 +547,60 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("exactly-once CDC sink: replayed batch id skips; marker-lost replay re-merges idempotently") {
+    import spark.implicits._
+    val out = tmp() + "/cdc"
+    def b(rows: (Long, String, Boolean)*) = rows.toSeq.toDF("id", "name", "is_deleted")
+    Refresh.applyCdcBatch(b((1L, "a", false), (2L, "b", false)), 0L, Seq("id"), Some("is_deleted"), out)
+    Refresh.applyCdcBatch(b((2L, "b2", false), (3L, "c", false), (1L, "a", true)),
+      1L, Seq("id"), Some("is_deleted"), out)
+    def state() = spark.read.parquet(out).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    val truth = Set((2L, "b2"), (3L, "c"))
+    assert(state() == truth)
+    // restart replay: same batch id → marker skip, no rewrite
+    val dataFile = new java.io.File(out).listFiles().filter(_.getName.startsWith("part-")).head
+    val mtime = dataFile.lastModified()
+    Refresh.applyCdcBatch(b((2L, "b2", false), (3L, "c", false), (1L, "a", true)),
+      1L, Seq("id"), Some("is_deleted"), out)
+    assert(state() == truth)
+    assert(dataFile.lastModified() == mtime, "replayed batch rewrote the sink")
+    // crash BETWEEN data write and marker: marker lost, replay re-applies —
+    // the merge itself must be idempotent
+    val fs = new org.apache.hadoop.fs.Path(out + ".last_batch")
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(out + ".last_batch"), false)
+    Refresh.applyCdcBatch(b((2L, "b2", false), (3L, "c", false), (1L, "a", true)),
+      1L, Seq("id"), Some("is_deleted"), out)
+    assert(state() == truth, "marker-lost replay diverged from exactly-once truth")
+    // and the cursor advanced back
+    Refresh.applyCdcBatch(b((4L, "d", false)), 2L, Seq("id"), Some("is_deleted"), out)
+    assert(state() == truth + ((4L, "d")))
+  }
+
+  test("exactly-once merge-on-write sink: replayed batch id skips; marker-lost replay converges") {
+    import spark.implicits._
+    val out = tmp() + "/mow"
+    def b(rows: (Long, Long, Double)*) = rows.toSeq.toDF("k", "ver", "v")
+    Refresh.applyUpsertBatch(b((1L, 1L, 10.0), (2L, 1L, 20.0)), 0L, Seq("k"), "ver", out, nBuckets = 4)
+    Refresh.applyUpsertBatch(b((2L, 2L, 25.0), (3L, 1L, 30.0)), 1L, Seq("k"), "ver", out, nBuckets = 4)
+    def state() = spark.read.parquet(out).select("k", "v").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSet
+    val truth = Set((1L, 10.0), (2L, 25.0), (3L, 30.0))
+    assert(state() == truth)
+    // replay with marker present: no-op
+    Refresh.applyUpsertBatch(b((2L, 2L, 25.0), (3L, 1L, 30.0)), 1L, Seq("k"), "ver", out, nBuckets = 4)
+    assert(state() == truth)
+    // marker lost mid-crash: replay re-merges idempotently
+    val fs = new org.apache.hadoop.fs.Path(out + ".last_batch")
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(out + ".last_batch"), false)
+    Refresh.applyUpsertBatch(b((2L, 2L, 25.0), (3L, 1L, 30.0)), 1L, Seq("k"), "ver", out, nBuckets = 4)
+    assert(state() == truth, "marker-lost replay diverged from exactly-once truth")
+    Refresh.applyUpsertBatch(b((4L, 1L, 40.0)), 2L, Seq("k"), "ver", out, nBuckets = 4)
+    assert(state() == truth + ((4L, 40.0)))
+  }
+
   test("END-TO-END: file stream → clean → bounded dedup → windowed agg → merge-on-write, across a crash-and-resume") {
     // The composition the r8 verdict flagged untested: every stage's
     // state (file-source offsets, dedup keys, window aggregates) lives
@@ -604,5 +658,78 @@ class StreamingSpec extends SparkSpec {
     assert(snap == Set(
       ("2026-01-01 10:00:00", "click", 2L, 3.0),
       ("2026-01-01 11:00:00", "view", 1L, 5.0)), snap.toString)
+  }
+
+  test("END-TO-END documents: file stream → clean → quality gate → decontamination → bounded dedup → windowed census → merge-on-write, across a crash-and-resume") {
+    // The r9 e2e chain grown by the two curation gates the verdict
+    // asked for: a map-side quality filter (token floor) and the
+    // stream-static exact-fingerprint decontamination anti-join. All
+    // stages share ONE checkpoint; the restart must neither lose nor
+    // double-count, and the replayed contaminated/low-quality docs
+    // must be re-dropped by the same stateless gates.
+    import spark.implicits._
+    val root = tmp()
+    val src = s"$root/src"; val out = s"$root/out"; val ck = s"$root/ck"
+    def ts(s: String) = Timestamp.valueOf(s)
+
+    // static eval set: its text must never reach the sink
+    val eval = Seq("the held out eval document").toDF("text")
+
+    // batch 1: doc 2 duplicated in-batch; doc 3 is a VERBATIM eval leak
+    // (modulo whitespace/case — the canonical-fingerprint match); doc 4
+    // fails the ≥3-token quality floor; doc 1 has padding to clean
+    Seq(
+      (ts("2026-01-01 10:05:00"), 1L, "web", " a perfectly good document "),
+      (ts("2026-01-01 10:15:00"), 2L, "web", "another good document here"),
+      (ts("2026-01-01 10:15:00"), 2L, "web", "another good document here"),
+      (ts("2026-01-01 10:20:00"), 3L, "web", "  The Held OUT eval DOCUMENT  "),
+      (ts("2026-01-01 10:25:00"), 4L, "web", "short one"),
+      (ts("2026-01-01 11:10:00"), 5L, "books", "five tokens of book text")
+    ).toDF("ts", "id", "source", "text").write.parquet(s"$src/b1")
+    val schema = spark.read.parquet(s"$src/b1").schema
+
+    def start() = {
+      val stream   = spark.readStream.schema(schema).parquet(s"$src/*")
+      val cleaned  = Clean.standardize(stream)
+      val quality  = cleaned.filter(
+        graft.operators.TextAnalysis.tokenCount(col("text")) >= 3)
+      val decon    = Refresh.decontaminateStreamExact(quality, eval, "text")
+      val deduped  = Refresh.dedupStreamBounded(decon, "ts", Seq("id"), "1 hour")
+        .withColumn("n_tokens",
+          graft.operators.TextAnalysis.tokenCount(col("text")))
+      val census   = Refresh.windowedCounts(deduped, "ts", "source",
+        "n_tokens", "1 hour")
+      Refresh.upsertByKey(census, Seq("window_start", "source"), "n", out, ck,
+        nBuckets = 4)
+    }
+    val q1 = start()
+    q1.processAllAvailable()
+    q1.stop() // crash
+
+    // post-crash batch: replays of ids 1 and 3 (dedup state + decon gate
+    // must re-drop them) plus fresh docs pushing the watermark past noon
+    Seq(
+      (ts("2026-01-01 10:05:00"), 1L, "web", "a perfectly good document"),
+      (ts("2026-01-01 10:20:00"), 3L, "web", "the held out eval document"),
+      (ts("2026-01-01 12:30:00"), 6L, "web", "post restart fresh document"),
+      (ts("2026-01-01 13:30:00"), 7L, "web", "another late fresh document")
+    ).toDF("ts", "id", "source", "text").write.parquet(s"$src/b2")
+
+    val q2 = start()
+    q2.processAllAvailable()
+    q2.stop()
+
+    val snap = spark.read.parquet(out)
+      .select(col("window_start").cast("string"), col("source"),
+        col("n"), col("total"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    // 10:00 web: docs 1 (4 tokens after trim) + 2 (4 tokens) — the dup,
+    // the eval leak, and the 2-token doc all dropped, replays re-dropped;
+    // 11:00 books: doc 5 (5 tokens). 12:00/13:00 windows not yet closed.
+    assert(snap == Set(
+      ("2026-01-01 10:00:00", "web", 2L, 8L),
+      ("2026-01-01 11:00:00", "books", 1L, 5L)), snap.toString)
   }
 }
