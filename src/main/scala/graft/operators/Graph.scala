@@ -574,4 +574,64 @@ object Graph {
     roundCaches.foreach(_.unpersist(false))
     out
   }
+
+  /** INCREMENTAL connected components: fold a DELTA edge batch into a
+    * frozen `(id, cluster)` labeling (the [[Dedup.connectedComponents]]
+    * contract — cluster = min id of the component) WITHOUT re-touching
+    * the full graph. The daily shape of entity resolution / near-dup
+    * clustering at 100 TB: yesterday's labeling is an artifact,
+    * today's edges are orders of magnitude smaller, and recomputing CC
+    * over the union graph every day is the thing this avoids.
+    *
+    * Algorithm — the classic label-contraction argument:
+    *   1. map each delta endpoint to its CURRENT label (left join;
+    *      nodes the labeling has never seen act as their own label);
+    *   2. run full CC on the LABEL graph — its nodes are component
+    *      representatives + new node ids, so its size is O(components
+    *      touched by the delta), never O(graph);
+    *   3. remap: every existing row whose cluster merged takes the new
+    *      min label (the merge table is O(delta) — broadcast), rows in
+    *      untouched components pass through unchanged; delta-only
+    *      nodes enter with their merged label.
+    *
+    * Correct because contracting a component to its representative
+    * preserves connectivity, and min-of-min labels = min over the
+    * merged node set — so the output equals full CC over
+    * (labeled graph ∪ delta), which is exactly what the DuckDB oracle
+    * of `graph_cc_incremental` recomputes.
+    *
+    * Scale shape: one pass over `labels` (the remap join, broadcast on
+    * the merge table), one pass over the delta (label resolution),
+    * CC iterations only on the contracted label graph.
+    */
+  def incrementalComponents(labels: DataFrame, deltaEdges: DataFrame,
+      idA: String = "id_a", idB: String = "id_b"): DataFrame = {
+    val lbl = labels
+      .select(col("id").cast("long").as("id"), col("cluster").cast("long").as("cluster"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val d = deltaEdges
+      .select(col(idA).cast("long").as("a"), col(idB).cast("long").as("b"))
+      .filter(col("a").isNotNull && col("b").isNotNull && col("a") =!= col("b"))
+      .localCheckpoint(true) // two consumers: label resolution + new-node scan
+    try {
+      val labelEdges = d
+        .join(lbl.select(col("id").as("a"), col("cluster").as("ca")), Seq("a"), "left")
+        .join(lbl.select(col("id").as("b"), col("cluster").as("cb")), Seq("b"), "left")
+        .select(coalesce(col("ca"), col("a")).as("la"),
+          coalesce(col("cb"), col("b")).as("lb"))
+        .filter(col("la") =!= col("lb"))
+      // CC on the contracted graph; (old label → merged min label)
+      val merges = Dedup.connectedComponents(labelEdges, "la", "lb")
+        .select(col("id").as("old_cluster"), col("cluster").as("new_cluster"))
+      val updated = lbl
+        .join(broadcast(merges), lbl("cluster") === merges("old_cluster"), "left")
+        .select(col("id"), coalesce(col("new_cluster"), col("cluster")).as("cluster"))
+      val newNodes = d
+        .select(explode(array(col("a"), col("b"))).as("id")).distinct()
+        .join(lbl.select(col("id")), Seq("id"), "left_anti")
+        .join(broadcast(merges), col("id") === merges("old_cluster"), "left")
+        .select(col("id"), coalesce(col("new_cluster"), col("id")).as("cluster"))
+      updated.unionByName(newNodes).localCheckpoint(true)
+    } finally lbl.unpersist(false)
+  }
 }

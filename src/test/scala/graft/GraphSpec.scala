@@ -195,4 +195,27 @@ class GraphSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     assert(got == Set((2L, 3L, 1.1), (1L, 3L, 1.2)))
   }
+
+  test("incrementalComponents: delta merges components, admits new nodes, leaves untouched labels alone") {
+    import spark.implicits._
+    // frozen labeling: {1,2} comp 1, {5,6} comp 5, {10} comp 10, {20,21} comp 20
+    val labels = Seq((1L, 1L), (2L, 1L), (5L, 5L), (6L, 5L),
+      (10L, 10L), (20L, 20L), (21L, 20L)).toDF("id", "cluster")
+    // delta: 2-5 merges comps 1+5; 10-11 extends comp 10 with a new
+    // node; 7-8 is an entirely new pair; comp 20 untouched
+    val delta = Seq((2L, 5L), (10L, 11L), (7L, 8L)).toDF("id_a", "id_b")
+    val got = Graph.incrementalComponents(labels, delta)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == Map(
+      1L -> 1L, 2L -> 1L, 5L -> 1L, 6L -> 1L,   // merged, min label wins
+      10L -> 10L, 11L -> 10L,                    // extended
+      7L -> 7L, 8L -> 7L,                        // new component
+      20L -> 20L, 21L -> 20L), got.toString)     // untouched passthrough
+    // matches from-scratch CC over the union graph (the oracle contract)
+    val union = Seq((1L, 2L), (5L, 6L), (20L, 21L)).toDF("id_a", "id_b")
+      .unionByName(delta)
+    val scratch = graft.operators.Dedup.connectedComponents(union)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == scratch, s"incremental $got vs scratch $scratch")
+  }
 }
