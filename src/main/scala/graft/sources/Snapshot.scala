@@ -179,6 +179,35 @@ object Snapshot {
     readVersion(spark, dir, latestVersion(spark, dir).getOrElse(
       throw new IllegalStateException(s"no committed version at $dir")))
 
+  /** Timestamp time travel: read the newest version committed at or
+    * before `tsMs` (epoch millis) — "the table as the 09:00 job saw
+    * it". Resolution is manifest commit time; fails loudly when the
+    * timestamp predates the first retained version (vacuum defines how
+    * far back this reaches, same contract as [[readVersion]]).
+    */
+  def readAsOf(spark: SparkSession, dir: String, tsMs: Long): DataFrame = {
+    val v = versions(spark, dir)
+      .map(v => v -> readManifest(spark, dir, v).tsMs)
+      .filter(_._2 <= tsMs)
+      .lastOption.map(_._1)
+      .getOrElse(throw new IllegalStateException(
+        s"no version at or before ts_ms=$tsMs at $dir (vacuumed or pre-history)"))
+    readVersion(spark, dir, v)
+  }
+
+  /** Change data feed between two retained versions: what changes
+    * batch turns version `from` into version `to`? One full-outer key
+    * join ([[graft.operators.Merge.diff]]) — rows tagged added /
+    * removed / changed with the `to`-side values (`from` values for
+    * removals). The downstream-sync primitive: a consumer at version N
+    * catches up to N+k by applying one diff instead of re-reading the
+    * table.
+    */
+  def changes(spark: SparkSession, dir: String, from: Long, to: Long,
+      keys: Seq[String]): DataFrame =
+    graft.operators.Merge.diff(
+      readVersion(spark, dir, from), readVersion(spark, dir, to), keys)
+
   /** The exactly-once cursor: highest streaming batch id ever
     * committed to this table (None for a pure-batch table).
     */

@@ -120,6 +120,28 @@ class SnapshotSpec extends SparkSpec {
     assert(rows(Snapshot.read(spark, dir)) == rows(base))
   }
 
+  test("readAsOf resolves the newest version at-or-before the timestamp; changes() yields the catch-up diff") {
+    import spark.implicits._
+    val dir = tmp() + "/t"
+    Snapshot.commit(spark, dir, base)                                   // v1
+    val t1 = System.currentTimeMillis()
+    Thread.sleep(5)
+    Snapshot.upsert(spark, dir,
+      Seq((2L, "b2", 20.0, false), (5L, "e", 5.0, false), (3L, "c", 3.0, true))
+        .toDF("id", "name", "score", "is_deleted"),
+      Seq("id"), Some("is_deleted"))                                    // v2
+    assert(rows(Snapshot.readAsOf(spark, dir, t1)) == rows(base))
+    assert(rows(Snapshot.readAsOf(spark, dir, System.currentTimeMillis())) ==
+      rows(Snapshot.readVersion(spark, dir, 2)))
+    intercept[IllegalStateException] { Snapshot.readAsOf(spark, dir, 0L) }
+    val diff = Snapshot.changes(spark, dir, 1L, 2L, Seq("id")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getString(3))).toSet
+    assert(diff == Set(
+      (2L, "b2", 20.0, "changed"),
+      (5L, "e", 5.0, "added"),
+      (3L, "c", 3.0, "removed")), diff.toString)
+  }
+
   test("exactly-once snapshot CDC sink: a replayed batch id is a no-op; distinct ids apply once each") {
     import spark.implicits._
     val dir = tmp() + "/t"
