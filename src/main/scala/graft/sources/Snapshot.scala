@@ -283,22 +283,47 @@ object Snapshot {
     * vacuumed version fails loudly on its next scan, which is the
     * contract: retention defines how long time travel reaches back).
     */
-  def vacuum(spark: SparkSession, dir: String, keepLast: Int = 2): Int = {
+  def vacuum(spark: SparkSession, dir: String, keepLast: Int = 2,
+      orphanGraceMs: Long = 24L * 3600 * 1000): Int = {
     require(keepLast >= 1, s"keepLast must be >= 1: $keepLast")
     val vs = versions(spark, dir)
     val (drop, keep) = vs.splitAt(math.max(0, vs.size - keepLast))
-    if (drop.isEmpty) return 0
     val f = fs(spark, dir)
     val keepFiles = keep.flatMap(readManifest(spark, dir, _).files).toSet
     val dropFiles = drop.flatMap(readManifest(spark, dir, _).files).toSet -- keepFiles
     dropFiles.foreach(rel => f.delete(new Path(s"$dir/$rel"), false))
     drop.foreach(v => f.delete(new Path(new Path(dir, VersionsDir), manifestName(v)), false))
+    // Orphan sweep: data files referenced by NO manifest at all — the
+    // residue of a commit that lost the optimistic race after writing
+    // its files (writeDataFiles succeeded, manifest rename didn't).
+    // Only files older than the grace window are swept, so an
+    // IN-FLIGHT commit (files written, manifest about to publish)
+    // is never collected — the same mtime-retention rule table
+    // formats use.
+    val referenced = versions(spark, dir)
+      .flatMap(readManifest(spark, dir, _).files).toSet
+    val dataRoot = new Path(dir, DataDir)
+    val cutoff = System.currentTimeMillis() - orphanGraceMs
+    val orphans =
+      if (!f.exists(dataRoot)) Seq.empty
+      else f.listStatus(dataRoot).toSeq.filter(_.isDirectory).flatMap(d =>
+        f.listStatus(d.getPath).toSeq.filter(_.isFile)
+          .filter(_.getModificationTime < cutoff)
+          .map(s => s"$DataDir/${d.getPath.getName}/${s.getPath.getName}")
+          .filterNot(referenced)
+          // a _SUCCESS/_committed marker in an orphaned commit dir is
+          // part of the same garbage
+          .filterNot(rel => referenced.exists(_.startsWith(
+            rel.substring(0, rel.lastIndexOf('/') + 1)))))
+    orphans.foreach(rel => f.delete(new Path(s"$dir/$rel"), false))
     // remove now-empty commit dirs (cosmetic; harmless if racing)
-    dropFiles.map(rel => rel.substring(0, rel.lastIndexOf('/'))).foreach { d =>
+    (dropFiles ++ orphans).map(rel => rel.substring(0, rel.lastIndexOf('/'))).foreach { d =>
       val p = new Path(s"$dir/$d")
-      if (f.exists(p) && f.listStatus(p).isEmpty) f.delete(p, false)
+      if (f.exists(p) && f.listStatus(p).forall(s =>
+          s.getPath.getName.startsWith("_") || s.getPath.getName.startsWith(".")))
+        f.delete(p, true)
     }
-    dropFiles.size
+    dropFiles.size + orphans.size
   }
 
   /** Test hook: attempt to publish an (empty) manifest at an explicit

@@ -120,6 +120,23 @@ class SnapshotSpec extends SparkSpec {
     assert(rows(Snapshot.read(spark, dir)) == rows(base))
   }
 
+  test("vacuum sweeps orphaned data files from failed commits, never in-flight ones inside the grace window") {
+    import spark.implicits._
+    val dir = tmp() + "/t"
+    Snapshot.commit(spark, dir, base)
+    // simulate a commit that wrote files but lost the manifest race:
+    // a data dir referenced by no manifest
+    Seq((99L, "orphan", 0.0)).toDF("id", "name", "score")
+      .write.parquet(s"$dir/data/orphan-commit")
+    // grace window keeps it…
+    assert(Snapshot.vacuum(spark, dir, keepLast = 5) == 0)
+    assert(new java.io.File(s"$dir/data/orphan-commit").exists())
+    // …zero grace sweeps it; live files untouched
+    assert(Snapshot.vacuum(spark, dir, keepLast = 5, orphanGraceMs = 0L) > 0)
+    assert(!new java.io.File(s"$dir/data/orphan-commit").exists())
+    assert(rows(Snapshot.read(spark, dir)) == rows(base))
+  }
+
   test("readAsOf resolves the newest version at-or-before the timestamp; changes() yields the catch-up diff") {
     import spark.implicits._
     val dir = tmp() + "/t"
