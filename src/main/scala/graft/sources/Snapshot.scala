@@ -244,9 +244,14 @@ object Snapshot {
           .collect().map(_.getString(0)).toSeq
     }
     // _metadata.file_path is an absolute URI; manifest paths are
-    // table-root-relative. A relative path maps to the unique URI that
-    // ends with "/<rel>" (commit-uuid dirs make the suffix unambiguous).
-    val touchedRel = prev.files.filter(rel => touchedAbs.exists(_.endsWith("/" + rel)))
+    // table-root-relative. Match on the BASENAME, which is globally
+    // unique (each write job stamps its own UUID into part file
+    // names), via a hash set — an O(files × touched) suffix scan
+    // would be quadratic in the driver at a 100 TB table's ~1e6
+    // manifest entries.
+    val touchedNames = touchedAbs.map(p => p.substring(p.lastIndexOf('/') + 1)).toSet
+    val touchedRel = prev.files.filter(rel =>
+      touchedNames.contains(rel.substring(rel.lastIndexOf('/') + 1)))
     val untouched = prev.files.filterNot(touchedRel.contains)
     val base = if (touchedRel.isEmpty) {
       // all-new keys: merge against an empty slice of the current schema
