@@ -163,5 +163,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectPlannerStrategy(_ => graft.plans.GraftStrategy)
     ext.injectOptimizerRule(_ => graft.plans.TopKRewriteRule)
     ext.injectOptimizerRule(_ => graft.plans.RangeJoinRewriteRule)
+    ext.injectOptimizerRule(_ => graft.plans.ApproxDistinctRewriteRule)
   }
 }
