@@ -24,4 +24,15 @@ class BenchSpec extends AnyFunSuite {
     assert(Bench.parseFlatNumbers("""{"value":1.0}""") === Map.empty)
     assert(Bench.parseFlatNumbers("") === Map.empty)
   }
+
+  test("parseFlatNumbers tolerates whitespace after colons (externally rewritten detail)") {
+    // the r10 round-close detail was rewritten by an external JSON
+    // serializer that emits `"queries": {` — the parse must not depend
+    // on the exact byte layout Bench itself writes
+    val detail =
+      """{"metric": "total", "value": 777.3, "n_queries": 2, """ +
+        """"regressions_vs_frozen": {"q1_agg": {"prior": 0.5, "now": 0.9}}, """ +
+        """"queries": {"q1_agg": 0.72, "q7_topk": 0.148}}"""
+    assert(Bench.parseFlatNumbers(detail) === Map("q1_agg" -> 0.72, "q7_topk" -> 0.148))
+  }
 }
