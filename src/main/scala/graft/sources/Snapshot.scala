@@ -1,13 +1,19 @@
 package graft.sources
 
-import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.hadoop.fs.{FileStatus, FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{And, Attribute, EqualNullSafe, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, In, IsNotNull, IsNull, LessThan, LessThanOrEqual, Literal, Or}
+import org.apache.spark.sql.execution.datasources.{FileIndex, HadoopFsRelation, PartitionDirectory}
+import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
 import org.json4s._
 import org.json4s.jackson.JsonMethods
 
 /** Manifest-pinned snapshot table layer: versioned parquet with
-  * snapshot-isolated reads and time travel.
+  * snapshot-isolated reads, time travel, file-level column statistics,
+  * and metadata-only data skipping.
   *
   * The reference refreshes by rewriting its artifacts in place
   * (reference server.js:100-137, and its README's upsert-strategy
@@ -27,43 +33,106 @@ import org.json4s.jackson.JsonMethods
   * }}}
   *
   * Manifest fields: version, op (init/replace/append/upsert/compact),
-  * files (table-root-relative), batch_id (the streaming micro-batch
-  * that produced the commit, null for batch ops), last_batch_id (the
-  * running max across the table's history — the exactly-once cursor
-  * for streaming sinks), ts_ms.
+  * schema (the snapshot's DDL — the source of truth for reads, so a
+  * version whose file set mixes pre- and post-evolution files still
+  * reads back with ONE schema, old files null-filled), files (each an
+  * object: table-root-relative path, bytes, rows, and per-column
+  * min/max/null-count statistics), batch_id (the streaming
+  * micro-batch that produced the commit, null for batch ops),
+  * last_batch_id (the running max across the table's history — the
+  * exactly-once cursor for streaming sinks), ts_ms (monotone
+  * non-decreasing across versions by construction, so timestamp time
+  * travel can binary-search).
   *
-  * Concurrency: optimistic, single-winner. The manifest is staged to
-  * a temp name and promoted with `FileSystem.rename`, which fails if
-  * the destination exists — two racing committers of version N+1
-  * produce one winner; the loser's exception tells it to re-read and
-  * retry. Readers never lock anything.
+  * ==Data skipping==
+  *
+  * [[writeDataFiles]] records min/max/null-count for the first
+  * [[MaxStatsCols]] supported-type columns of every file it writes
+  * (one distributed aggregation over the just-written files — O(commit
+  * size), never O(table)). [[readVersion]] serves the table through a
+  * manifest-backed [[FileIndex]], so Catalyst hands every pushed data
+  * filter to [[SnapshotFileIndex.listFiles]] and files whose stats
+  * PROVE they cannot match are never opened, listed, or scheduled —
+  * the scan's file list shrinks at PLANNING time from metadata alone.
+  * On a key-clustered layout (Z-order / range partitioning, see
+  * operators.Layout) a selective predicate reads a handful of files
+  * out of the ~800k a 100 TB table holds. Evaluation is conservative:
+  * any predicate shape or type the evaluator doesn't understand keeps
+  * the file.
+  *
+  * ==Concurrency==
+  *
+  * Optimistic, single-winner. Every operation captures the base
+  * version ONCE at start and publishes base+1: the manifest is staged
+  * to a temp name and promoted with [[conditionalPublish]]
+  * (rename-if-absent), so two racing committers produce one winner
+  * and the loser gets a ConcurrentModificationException telling it to
+  * re-read and retry — including when the interleaving commit landed
+  * while the loser was still writing data files (the base version was
+  * pinned before the write started, so the loser can never silently
+  * publish over a commit it never saw). Readers never lock anything.
+  *
+  * LOUD PORTABILITY CONTRACT: [[conditionalPublish]] relies on
+  * `FileSystem.rename` refusing to overwrite an existing destination
+  * — the HDFS and local-filesystem semantics. Object stores (S3A,
+  * GCS connectors) implement rename as a non-atomic copy+delete that
+  * silently OVERWRITES, which would turn the single-winner guarantee
+  * into last-writer-wins data loss. Deploying this layer on an object
+  * store requires swapping [[conditionalPublish]] for a
+  * conditional-put primitive (S3 `If-None-Match`, GCS preconditions)
+  * or an external lock — the same LogStore seam Delta Lake uses.
   *
   * Scale shape: manifests are O(files) text on the driver — at 100 TB
   * with 128 MB files that's ~800k entries per manifest, a few tens of
   * MB of metadata, read once per query plan (the same order as a
   * Hadoop directory listing, but consistent). [[upsert]] is
-  * file-granular copy-on-write: only files that CONTAIN a changed key
-  * are rewritten (found via the `_metadata.file_path` column, one
-  * semi-join — no full-table rewrite), so a key-clustered layout
-  * (Z-order / bucketing, see operators.Layout) bounds the rewrite to
-  * the touched key range. [[compact]] and [[vacuum]] split table
-  * maintenance from visibility: compaction publishes a new version
-  * while old versions stay readable until vacuum reclaims them.
+  * file-granular copy-on-write: candidate files come from the
+  * manifest's key-range statistics (metadata-only), then one
+  * `_metadata.file_path` semi-join over just the candidates pins the
+  * exact touched set — so a key-clustered layout bounds the rewrite
+  * to the touched key range without ever scanning the full snapshot.
+  * [[compact]] and [[vacuum]] split table maintenance from
+  * visibility: compaction publishes a new version while old versions
+  * stay readable until vacuum reclaims them.
   */
 object Snapshot {
 
   private val VersionsDir = "_versions"
   private val DataDir = "data"
+
+  /** Stats are recorded for the first this-many supported-type schema
+    * columns (the Delta convention): bounded metadata per file no
+    * matter how wide the table. String stats longer than
+    * [[MaxStatsStringLen]] are dropped (a truncated max is not a
+    * sound upper bound).
+    */
+  private[sources] val MaxStatsCols = 16
+  private[sources] val MaxStatsStringLen = 64
+
   private def manifestName(v: Long): String = f"v$v%09d.json"
 
   private def fs(spark: SparkSession, dir: String): FileSystem =
     new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  private final case class Manifest(version: Long, op: String,
-      files: Seq[String], batchId: Option[Long], lastBatchId: Option[Long],
-      tsMs: Long)
+  /** Per-column, per-file statistics. min/max are canonical strings
+    * (numeric types including date/timestamp encode as decimal
+    * strings — days / micros for the temporal types; strings as-is;
+    * booleans as true/false); None = unknown = never prune.
+    */
+  private[sources] final case class ColStats(
+      min: Option[String], max: Option[String], nulls: Long)
 
-  /** All committed versions, ascending. */
+  private[sources] final case class FileEntry(
+      path: String, bytes: Long, rows: Long, stats: Map[String, ColStats])
+
+  private[sources] final case class Manifest(version: Long, op: String,
+      schemaDdl: String, files: Seq[FileEntry], batchId: Option[Long],
+      lastBatchId: Option[Long], tsMs: Long) {
+    def schema: StructType =
+      if (schemaDdl.isEmpty) new StructType() else StructType.fromDDL(schemaDdl)
+  }
+
+  /** All committed versions, ascending. One directory listing. */
   def versions(spark: SparkSession, dir: String): Seq[Long] = {
     val f = fs(spark, dir)
     val vd = new Path(dir, VersionsDir)
@@ -85,93 +154,265 @@ object Snapshot {
       finally in.close()
     implicit val fmts: Formats = DefaultFormats
     val j = JsonMethods.parse(text)
+    val files = (j \ "files") match {
+      case JArray(entries) => entries.map { e =>
+        val stats = (e \ "stats") match {
+          case JObject(fields) => fields.map { case (name, s) =>
+            name -> ColStats(
+              (s \ "min").extractOpt[String],
+              (s \ "max").extractOpt[String],
+              (s \ "nulls").extractOrElse[Long](0L))
+          }.toMap
+          case _ => Map.empty[String, ColStats]
+        }
+        FileEntry(
+          (e \ "path").extract[String],
+          (e \ "bytes").extractOrElse[Long](0L),
+          (e \ "rows").extractOrElse[Long](-1L),
+          stats)
+      }
+      case _ => Seq.empty
+    }
     Manifest(
       (j \ "version").extract[Long],
       (j \ "op").extract[String],
-      (j \ "files").extract[Seq[String]],
+      (j \ "schema").extractOrElse[String](""),
+      files,
       (j \ "batch_id").extractOpt[Long],
       (j \ "last_batch_id").extractOpt[Long],
       (j \ "ts_ms").extract[Long])
   }
 
+  /** The single-winner publish primitive: promote `tmp` to `target`
+    * atomically, failing (false) when `target` already exists. The
+    * implementation is `FileSystem.rename`, whose no-overwrite
+    * atomicity holds on HDFS and local filesystems ONLY — see the
+    * object Scaladoc's portability contract before pointing a table
+    * at an object store.
+    */
+  private def conditionalPublish(f: FileSystem, tmp: Path, target: Path): Boolean =
+    !f.exists(target) && f.rename(tmp, target)
+
   private def writeManifest(spark: SparkSession, dir: String, m: Manifest): Unit = {
     val f = fs(spark, dir)
     val vd = new Path(dir, VersionsDir)
     f.mkdirs(vd)
-    def q(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
-    val json =
-      s"""{"version":${m.version},"op":${q(m.op)},""" +
-        s""""batch_id":${m.batchId.map(_.toString).getOrElse("null")},""" +
-        s""""last_batch_id":${m.lastBatchId.map(_.toString).getOrElse("null")},""" +
-        s""""ts_ms":${m.tsMs},""" +
-        s""""files":[${m.files.map(q).mkString(",")}]}"""
+    val json = JsonMethods.compact(JsonMethods.render(JObject(
+      "version" -> JLong(m.version),
+      "op" -> JString(m.op),
+      "schema" -> JString(m.schemaDdl),
+      "batch_id" -> m.batchId.map(JLong(_)).getOrElse(JNull),
+      "last_batch_id" -> m.lastBatchId.map(JLong(_)).getOrElse(JNull),
+      "ts_ms" -> JLong(m.tsMs),
+      "files" -> JArray(m.files.toList.map(e => JObject(
+        "path" -> JString(e.path),
+        "bytes" -> JLong(e.bytes),
+        "rows" -> JLong(e.rows),
+        "stats" -> JObject(e.stats.toList.sortBy(_._1).map { case (c, s) =>
+          c -> JObject(
+            "min" -> s.min.map(JString(_)).getOrElse(JNull),
+            "max" -> s.max.map(JString(_)).getOrElse(JNull),
+            "nulls" -> JLong(s.nulls))
+        })))))))
     val tmp = new Path(vd, s".tmp-${java.util.UUID.randomUUID()}")
     val out = f.create(tmp, false)
     try out.write(json.getBytes("UTF-8")) finally out.close()
     val target = new Path(vd, manifestName(m.version))
-    if (!f.rename(tmp, target)) {
+    if (!conditionalPublish(f, tmp, target)) {
       f.delete(tmp, false)
       throw new java.util.ConcurrentModificationException(
         s"version ${m.version} already committed at $dir — re-read latest and retry")
     }
   }
 
-  /** Write `df`'s rows as a fresh immutable file set under data/ and
-    * return the table-root-relative file paths.
+  // ---------------------------------------------------------------
+  // statistics encoding
+  // ---------------------------------------------------------------
+
+  /** Columns eligible for per-file stats: first MaxStatsCols fields of
+    * supported type, in schema order.
     */
-  private def writeDataFiles(spark: SparkSession, dir: String, df: DataFrame): Seq[String] = {
+  private def statsFields(schema: StructType): Seq[StructField] =
+    schema.fields.toSeq.take(MaxStatsCols).filter(f => f.dataType match {
+      case _: NumericType | StringType | DateType | TimestampType | BooleanType => true
+      case _ => false
+    })
+
+  /** min/max aggregation input for a stats column: temporal types are
+    * pre-encoded to their integer domain (days / micros) so the
+    * collected external value is a plain number.
+    */
+  private def statExpr(f: StructField) = f.dataType match {
+    case DateType => unix_date(col(f.name))
+    case TimestampType => unix_micros(col(f.name))
+    case _ => col(f.name)
+  }
+
+  /** Canonical string encoding of a collected min/max value; None
+    * drops the stat (unknown). Strings longer than MaxStatsStringLen
+    * are dropped — truncation would make max an unsound bound.
+    */
+  private def encodeStat(dt: DataType, v: Any): Option[String] = v match {
+    case null => None
+    case s: String => if (s.length <= MaxStatsStringLen) Some(s) else None
+    case d: java.lang.Double => if (d.isNaN) None else Some(d.toString)
+    case fl: java.lang.Float => if (fl.isNaN) None else Some(fl.toString)
+    case b: java.math.BigDecimal => Some(b.toPlainString)
+    case b: scala.math.BigDecimal => Some(b.bigDecimal.toPlainString)
+    case other => Some(other.toString) // integral types, booleans, pre-encoded temporals
+  }
+
+  /** Collect per-file entries (path, bytes, rows, column stats) for
+    * the files just written under `absDir` — ONE distributed
+    * aggregation grouped by `_metadata.file_path`, O(this commit's
+    * data), collected as O(this commit's files) rows on the driver.
+    */
+  private def collectEntries(spark: SparkSession, absDir: String, relDir: String,
+      schema: StructType): Seq[FileEntry] = {
+    // the listing defines the file set (an all-null-partition part
+    // file has rows the stats agg can't see per column; a ZERO-row
+    // part file produces no agg group at all but still belongs to the
+    // snapshot); the stats agg decorates it
+    val f = fs(spark, new Path(absDir).toString)
+    val listed =
+      if (!f.exists(new Path(absDir))) Seq.empty
+      else f.listStatus(new Path(absDir)).toSeq
+        .filter(s => s.isFile && s.getPath.getName.startsWith("part-"))
+        .map(s => s.getPath.getName -> s.getLen).sortBy(_._1)
+    if (listed.isEmpty) return Seq.empty
+    val df = spark.read.schema(schema).parquet(absDir)
+    val sf = statsFields(schema)
+    val aggs = count(lit(1)).as("__rows") +:
+      sf.flatMap(fld => Seq(
+        min(statExpr(fld)).as(s"__min_${fld.name}"),
+        max(statExpr(fld)).as(s"__max_${fld.name}"),
+        sum(when(col(fld.name).isNull, 1L).otherwise(0L)).as(s"__nulls_${fld.name}")))
+    val byName: Map[String, FileEntry] = df
+      .groupBy(col("_metadata.file_path").as("__fp"),
+        col("_metadata.file_size").as("__bytes"))
+      .agg(aggs.head, aggs.tail: _*)
+      .collect().toSeq.map { r =>
+        val abs = r.getAs[String]("__fp")
+        val name = abs.substring(abs.lastIndexOf('/') + 1)
+        val stats = sf.map { fld =>
+          fld.name -> ColStats(
+            encodeStat(fld.dataType, r.getAs[Any](s"__min_${fld.name}")),
+            encodeStat(fld.dataType, r.getAs[Any](s"__max_${fld.name}")),
+            r.getAs[Long](s"__nulls_${fld.name}"))
+        }.toMap
+        name -> FileEntry(s"$relDir/$name", r.getAs[Long]("__bytes"), r.getAs[Long]("__rows"), stats)
+      }.toMap
+    listed.map { case (name, bytes) =>
+      byName.getOrElse(name, FileEntry(s"$relDir/$name", bytes, 0L,
+        statsFields(schema).map(fld => fld.name -> ColStats(None, None, 0L)).toMap))
+    }
+  }
+
+  /** Write `df`'s rows as a fresh immutable file set under data/ and
+    * return the per-file entries (paths table-root-relative) with
+    * collected statistics.
+    */
+  private def writeDataFiles(spark: SparkSession, dir: String, df: DataFrame): Seq[FileEntry] = {
     val commitId = java.util.UUID.randomUUID().toString
     val rel = s"$DataDir/$commitId"
     df.write.mode(SaveMode.ErrorIfExists).parquet(s"$dir/$rel")
-    val f = fs(spark, dir)
-    f.listStatus(new Path(s"$dir/$rel")).toSeq
-      .filter(s => s.isFile && s.getPath.getName.startsWith("part-"))
-      .map(s => s"$rel/${s.getPath.getName}")
-      .sorted
+    collectEntries(spark, s"$dir/$rel", rel, df.schema)
   }
 
+  /** Publish at exactly base+1. `base` is the manifest the operation
+    * RESOLVED ITS INPUTS FROM, captured once at operation start — a
+    * commit that lands in between makes the publish fail instead of
+    * silently winning with stale derived state (the lost-update
+    * guard; the loser re-reads and retries).
+    */
   private def commitManifest(spark: SparkSession, dir: String, op: String,
-      files: Seq[String], batchId: Option[Long]): Long = {
-    val prev = latestVersion(spark, dir).map(readManifest(spark, dir, _))
-    val v = prev.map(_.version + 1).getOrElse(1L)
-    val last = (prev.flatMap(_.lastBatchId).toSeq ++ batchId.toSeq)
+      schemaDdl: String, files: Seq[FileEntry], batchId: Option[Long],
+      base: Option[Manifest]): Long = {
+    val v = base.map(_.version + 1).getOrElse(1L)
+    val last = (base.flatMap(_.lastBatchId).toSeq ++ batchId.toSeq)
       .reduceOption((a: Long, b: Long) => math.max(a, b))
-    writeManifest(spark, dir, Manifest(v, op, files, batchId, last,
-      System.currentTimeMillis()))
+    // ts_ms is monotone non-decreasing across versions (clock skew or
+    // sub-ms commits otherwise break readAsOf's binary search)
+    val ts = math.max(System.currentTimeMillis(), base.map(_.tsMs + 1).getOrElse(0L))
+    writeManifest(spark, dir, Manifest(v, op, schemaDdl, files, batchId, last, ts))
     v
   }
+
+  private def baseManifest(spark: SparkSession, dir: String): Option[Manifest] =
+    latestVersion(spark, dir).map(readManifest(spark, dir, _))
+
+  /** Manifest schemas are stored all-nullable — the same semantics
+    * `spark.read.parquet` infers for any parquet table, and a
+    * requirement for schema evolution: the vectorized reader refuses
+    * a file MISSING a column the read schema marks non-nullable, and
+    * every evolved version has such files by construction.
+    */
+  private def nullable(s: StructType): StructType =
+    StructType(s.fields.map(_.copy(nullable = true)))
 
   /** Publish `df` as the table's next FULL version (creates the table
     * at version 1). Returns the committed version.
     */
   def commit(spark: SparkSession, dir: String, df: DataFrame,
       batchId: Option[Long] = None): Long = {
-    val prevExists = latestVersion(spark, dir).isDefined
+    val base = baseManifest(spark, dir)
     val files = writeDataFiles(spark, dir, df)
-    commitManifest(spark, dir, if (prevExists) "replace" else "init", files, batchId)
+    commitManifest(spark, dir, if (base.isDefined) "replace" else "init",
+      nullable(df.schema).toDDL, files, batchId, base)
   }
 
   /** Append `df`'s rows as a new version: previous files carry over
     * untouched, only the new rows are written. The O(new data) ingest
-    * path — at 100 TB this is what a micro-batch loader calls.
+    * path — at 100 TB this is what a micro-batch loader calls. New
+    * columns in `df` evolve the table schema (old files read back
+    * null-filled); columns `df` lacks stay, with the new rows null.
     */
   def append(spark: SparkSession, dir: String, df: DataFrame,
       batchId: Option[Long] = None): Long = {
-    val prev = latestVersion(spark, dir).map(readManifest(spark, dir, _))
-      .map(_.files).getOrElse(Seq.empty)
+    val base = baseManifest(spark, dir)
+    val schema = nullable(base.map(m => mergeSchemas(m.schema, df.schema)).getOrElse(df.schema))
     val files = writeDataFiles(spark, dir, df)
-    commitManifest(spark, dir, "append", prev ++ files, batchId)
+    commitManifest(spark, dir, "append", schema.toDDL,
+      base.map(_.files).getOrElse(Seq.empty) ++ files, batchId, base)
   }
 
-  /** Snapshot-isolated read of a specific version. The file list is
-    * resolved from the manifest ONCE, here — later commits, upserts,
+  /** Evolve `cur` by `incoming`: unknown fields append (nullable), a
+    * same-name field must keep its type — silent type drift across
+    * immutable files would poison every later read.
+    */
+  private[sources] def mergeSchemas(cur: StructType, incoming: StructType): StructType = {
+    val byName = cur.fields.map(f => f.name -> f).toMap
+    incoming.fields.foreach { f =>
+      byName.get(f.name).foreach { prev =>
+        require(prev.dataType == f.dataType,
+          s"schema evolution cannot change column '${f.name}' from ${prev.dataType} to ${f.dataType}")
+      }
+    }
+    StructType(cur.fields ++
+      incoming.fields.filterNot(f => byName.contains(f.name)).map(_.copy(nullable = true)))
+  }
+
+  /** Snapshot-isolated read of a specific version through the
+    * manifest-backed file index: the file list is resolved from the
+    * manifest ONCE, here, and Catalyst's pushed filters prune files by
+    * the manifest statistics at planning time (see the object
+    * Scaladoc's Data skipping section). Later commits, upserts,
     * compactions, even a vacuum of OTHER versions cannot change what
     * this frame reads.
     */
   def readVersion(spark: SparkSession, dir: String, version: Long): DataFrame = {
     val m = readManifest(spark, dir, version)
-    if (m.files.isEmpty) spark.emptyDataFrame
-    else spark.read.parquet(m.files.map(rel => s"$dir/$rel"): _*)
+    val schema = m.schema
+    if (schema.isEmpty) return spark.emptyDataFrame
+    val index = new SnapshotFileIndex(dir, m.files, schema, m.tsMs)
+    val relation = HadoopFsRelation(
+      location = index,
+      partitionSchema = new StructType(),
+      dataSchema = schema,
+      bucketSpec = None,
+      fileFormat = new ParquetFileFormat(),
+      options = Map.empty)(spark)
+    spark.baseRelationToDataFrame(relation)
   }
 
   /** Read the latest committed version. */
@@ -181,18 +422,26 @@ object Snapshot {
 
   /** Timestamp time travel: read the newest version committed at or
     * before `tsMs` (epoch millis) — "the table as the 09:00 job saw
-    * it". Resolution is manifest commit time; fails loudly when the
-    * timestamp predates the first retained version (vacuum defines how
-    * far back this reaches, same contract as [[readVersion]]).
+    * it". Commit timestamps are monotone by construction, so this is
+    * a BINARY SEARCH over manifests — O(log versions) manifest reads,
+    * not one per retained version. Fails loudly when the timestamp
+    * predates the first retained version (vacuum defines how far back
+    * this reaches, same contract as [[readVersion]]).
     */
   def readAsOf(spark: SparkSession, dir: String, tsMs: Long): DataFrame = {
-    val v = versions(spark, dir)
-      .map(v => v -> readManifest(spark, dir, v).tsMs)
-      .filter(_._2 <= tsMs)
-      .lastOption.map(_._1)
-      .getOrElse(throw new IllegalStateException(
-        s"no version at or before ts_ms=$tsMs at $dir (vacuumed or pre-history)"))
-    readVersion(spark, dir, v)
+    val vs = versions(spark, dir).toIndexedSeq
+    def tsOf(i: Int): Long = readManifest(spark, dir, vs(i)).tsMs
+    if (vs.isEmpty || tsOf(0) > tsMs)
+      throw new IllegalStateException(
+        s"no version at or before ts_ms=$tsMs at $dir (vacuumed or pre-history)")
+    // invariant: ts(lo) <= tsMs; answer is the largest such index
+    var lo = 0
+    var hi = vs.size - 1
+    while (lo < hi) {
+      val mid = (lo + hi + 1) / 2
+      if (tsOf(mid) <= tsMs) lo = mid else hi = mid - 1
+    }
+    readVersion(spark, dir, vs(lo))
   }
 
   /** Change data feed between two retained versions: what changes
@@ -219,48 +468,100 @@ object Snapshot {
     * inserts + optional `deleteCol` tombstones, key-unique) onto the
     * latest version and publish the result as a new version.
     *
-    * Only files CONTAINING a changed key are rewritten: one pass over
-    * the current snapshot's `_metadata.file_path` semi-joined to the
-    * change keys finds them; untouched files carry into the new
-    * manifest verbatim. Inserts of brand-new keys ride the same
-    * rewrite (the merge is a full outer join), and a tombstoned key's
-    * file is by definition touched — so deletes need no extra pass.
-    * The per-commit collect is O(touched files) strings on the
-    * driver, bounded by the file count (never rows).
+    * Only files CONTAINING a changed key are rewritten, found in two
+    * narrowing steps: (1) metadata-only — files whose manifest
+    * key-range stats cannot intersect the change batch's key range
+    * are untouched by proof, no I/O; (2) one `_metadata.file_path`
+    * semi-join over just the surviving candidates pins the exact
+    * touched set. On a key-clustered layout step 1 alone bounds the
+    * rewrite to the touched key range. Untouched files carry into the
+    * new manifest verbatim (statistics included). Inserts of
+    * brand-new keys ride the same rewrite (the merge is a full outer
+    * join), and a tombstoned key's file is by definition touched — so
+    * deletes need no extra pass. The per-commit collect is O(touched
+    * files) strings on the driver, bounded by the file count (never
+    * rows).
+    *
+    * Schema evolution: columns in `changes` the table doesn't have
+    * yet are ADDED (old rows and untouched files read back null for
+    * them); `changes` must still carry every existing value column.
     */
   def upsert(spark: SparkSession, dir: String, changes: DataFrame,
       keys: Seq[String], deleteCol: Option[String] = None,
       batchId: Option[Long] = None): Long = {
-    val prev = readManifest(spark, dir, latestVersion(spark, dir).getOrElse(
-      throw new IllegalStateException(s"no committed version at $dir — commit() first")))
-    val current = if (prev.files.isEmpty) None
-      else Some(spark.read.parquet(prev.files.map(rel => s"$dir/$rel"): _*))
-    val touchedAbs: Seq[String] = current match {
-      case None => Seq.empty
-      case Some(cur) =>
+    val prev = baseManifest(spark, dir).getOrElse(
+      throw new IllegalStateException(s"no committed version at $dir — commit() first"))
+    val curSchema = prev.schema
+
+    // -- step 1: metadata-only candidate pruning by key-range stats --
+    val keyCol = keys.head
+    val changeKeyType = changes.schema(keyCol).dataType
+    val changeRange: Option[(String, String)] = {
+      val r = changes.agg(
+        min(statExpr(StructField(keyCol, changeKeyType))).as("__mn"),
+        max(statExpr(StructField(keyCol, changeKeyType))).as("__mx")).collect()(0)
+      for {
+        mn <- encodeStat(changeKeyType, r.get(0))
+        mx <- encodeStat(changeKeyType, r.get(1))
+      } yield (mn, mx)
+    }
+    def mayContainChangedKey(e: FileEntry): Boolean = (e.stats.get(keyCol), changeRange) match {
+      case (Some(cs), Some((cmn, cmx))) =>
+        // disjoint iff file.max < changes.min or file.min > changes.max;
+        // both sides are already in the canonical stat encoding
+        def cmp(a: String, b: String): Option[Int] = changeKeyType match {
+          case StringType => Some(a.compareTo(b))
+          case BooleanType => Some(a.toBoolean.compareTo(b.toBoolean))
+          case _: NumericType | DateType | TimestampType =>
+            try Some(BigDecimal(a).compare(BigDecimal(b)))
+            catch { case _: NumberFormatException => None }
+          case _ => None
+        }
+        val disjoint =
+          cs.max.flatMap(mx => cmp(mx, cmn)).exists(_ < 0) ||
+          cs.min.flatMap(mn => cmp(mn, cmx)).exists(_ > 0)
+        !disjoint
+      case _ => true // no stats → conservative
+    }
+    val candidates = prev.files.filter(mayContainChangedKey)
+
+    // -- step 2: exact touched set via _metadata over candidates only --
+    val touchedNames: Set[String] =
+      if (candidates.isEmpty) Set.empty
+      else {
+        val cur = spark.read.schema(curSchema)
+          .parquet(candidates.map(e => s"$dir/${e.path}"): _*)
         cur.select(keys.map(col) :+ col("_metadata.file_path").as("__fp"): _*)
           .join(changes.select(keys.map(col): _*).distinct(), keys, "left_semi")
           .select(col("__fp")).distinct()
-          .collect().map(_.getString(0)).toSeq
-    }
+          .collect().map(r => { val p = r.getString(0); p.substring(p.lastIndexOf('/') + 1) })
+          .toSet
+      }
     // _metadata.file_path is an absolute URI; manifest paths are
     // table-root-relative. Match on the BASENAME, which is globally
     // unique (each write job stamps its own UUID into part file
-    // names), via a hash set — an O(files × touched) suffix scan
-    // would be quadratic in the driver at a 100 TB table's ~1e6
-    // manifest entries.
-    val touchedNames = touchedAbs.map(p => p.substring(p.lastIndexOf('/') + 1)).toSet
-    val touchedRel = prev.files.filter(rel =>
-      touchedNames.contains(rel.substring(rel.lastIndexOf('/') + 1)))
-    val untouched = prev.files.filterNot(touchedRel.contains)
-    val base = if (touchedRel.isEmpty) {
+    // names), via hash sets — an O(files × touched) scan would be
+    // quadratic in the driver at a 100 TB table's ~1e6 entries.
+    val touched = prev.files.filter(e =>
+      touchedNames.contains(e.path.substring(e.path.lastIndexOf('/') + 1)))
+    val touchedPaths = touched.map(_.path).toSet
+    val untouched = prev.files.filterNot(e => touchedPaths.contains(e.path))
+
+    // -- schema evolution: new change columns extend the table --
+    val newSchema = mergeSchemas(curSchema,
+      StructType(changes.schema.fields.filterNot(f => deleteCol.contains(f.name))))
+    val addedCols = newSchema.fields.filterNot(f => curSchema.fieldNames.contains(f.name))
+
+    val base0 = if (touched.isEmpty) {
       // all-new keys: merge against an empty slice of the current schema
-      current.map(_.limit(0)).getOrElse(changes.drop(deleteCol.toSeq: _*).limit(0))
-    } else spark.read.parquet(touchedRel.map(rel => s"$dir/$rel"): _*)
-    val merged = graft.operators.Merge.upsert(
-      base.drop(deleteCol.toSeq: _*), changes, keys, deleteCol)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], curSchema)
+    } else spark.read.schema(curSchema).parquet(touched.map(e => s"$dir/${e.path}"): _*)
+    val base = addedCols.foldLeft(base0)((d, f) =>
+      d.withColumn(f.name, lit(null).cast(f.dataType)))
+    val merged = graft.operators.Merge.upsert(base, changes, keys, deleteCol)
     val newFiles = writeDataFiles(spark, dir, merged)
-    commitManifest(spark, dir, "upsert", untouched ++ newFiles, batchId)
+    commitManifest(spark, dir, "upsert", nullable(newSchema).toDDL,
+      untouched ++ newFiles, batchId, Some(prev))
   }
 
   /** Compact the LATEST version's files toward `targetBytes` each and
@@ -270,14 +571,13 @@ object Snapshot {
     */
   def compact(spark: SparkSession, dir: String,
       targetBytes: Long = 128L * 1024 * 1024): Long = {
-    val prev = readManifest(spark, dir, latestVersion(spark, dir).getOrElse(
-      throw new IllegalStateException(s"no committed version at $dir")))
-    val f = fs(spark, dir)
-    val bytes = prev.files.map(rel => f.getFileStatus(new Path(s"$dir/$rel")).getLen).sum
+    val prev = baseManifest(spark, dir).getOrElse(
+      throw new IllegalStateException(s"no committed version at $dir"))
+    val bytes = prev.files.map(_.bytes).sum
     val n = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
-    val df = spark.read.parquet(prev.files.map(rel => s"$dir/$rel"): _*).repartition(n)
+    val df = readVersion(spark, dir, prev.version).repartition(n)
     val files = writeDataFiles(spark, dir, df)
-    commitManifest(spark, dir, "compact", files, None)
+    commitManifest(spark, dir, "compact", prev.schemaDdl, files, None, Some(prev))
   }
 
   /** Garbage-collect: keep the newest `keepLast` versions, delete
@@ -294,8 +594,8 @@ object Snapshot {
     val vs = versions(spark, dir)
     val (drop, keep) = vs.splitAt(math.max(0, vs.size - keepLast))
     val f = fs(spark, dir)
-    val keepFiles = keep.flatMap(readManifest(spark, dir, _).files).toSet
-    val dropFiles = drop.flatMap(readManifest(spark, dir, _).files).toSet -- keepFiles
+    val keepFiles = keep.flatMap(readManifest(spark, dir, _).files.map(_.path)).toSet
+    val dropFiles = drop.flatMap(readManifest(spark, dir, _).files.map(_.path)).toSet -- keepFiles
     dropFiles.foreach(rel => f.delete(new Path(s"$dir/$rel"), false))
     drop.foreach(v => f.delete(new Path(new Path(dir, VersionsDir), manifestName(v)), false))
     // Orphan sweep: data files referenced by NO manifest at all — the
@@ -306,7 +606,7 @@ object Snapshot {
     // is never collected — the same mtime-retention rule table
     // formats use.
     val referenced = versions(spark, dir)
-      .flatMap(readManifest(spark, dir, _).files).toSet
+      .flatMap(readManifest(spark, dir, _).files.map(_.path)).toSet
     val dataRoot = new Path(dir, DataDir)
     val cutoff = System.currentTimeMillis() - orphanGraceMs
     val orphans =
@@ -337,7 +637,7 @@ object Snapshot {
     */
   private[graft] def publishManifestForTest(spark: SparkSession, dir: String,
       version: Long): Unit =
-    writeManifest(spark, dir, Manifest(version, "replace", Seq.empty, None,
+    writeManifest(spark, dir, Manifest(version, "replace", "", Seq.empty, None,
       None, System.currentTimeMillis()))
 
   /** Table history as a DataFrame: one row per retained version. */
@@ -348,4 +648,127 @@ object Snapshot {
       (m.version, m.op, m.files.size.toLong, m.batchId, m.lastBatchId)
     }.toDF("version", "op", "n_files", "batch_id", "last_batch_id")
   }
+
+  /** Test/diagnostics hook: the file paths a pruned scan of `version`
+    * would read under `filter` — resolved purely from manifest
+    * statistics, no file I/O. Mirrors exactly what
+    * [[SnapshotFileIndex.listFiles]] keeps for the same predicate.
+    */
+  private[graft] def candidateFilePaths(spark: SparkSession, dir: String,
+      version: Long, filter: org.apache.spark.sql.Column): Seq[String] = {
+    val df = readVersion(spark, dir, version)
+    val resolved = df.filter(filter).queryExecution.optimizedPlan.collect {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition
+    }
+    val m = readManifest(spark, dir, version)
+    val index = new SnapshotFileIndex(dir, m.files, m.schema, m.tsMs)
+    index.listFiles(Nil, resolved).flatMap(_.files.map(_.getPath.toString))
+  }
+}
+
+/** Manifest-backed [[FileIndex]]: lists a snapshot version's immutable
+  * file set straight from manifest metadata (no directory listing, no
+  * footer reads — FileStatus objects are synthesized from the recorded
+  * path/bytes), and prunes files whose recorded column statistics
+  * PROVE a pushed data filter cannot match. Evaluation is
+  * conservative: unknown predicate shapes, unsupported types, and
+  * missing stats all keep the file.
+  */
+private[sources] final class SnapshotFileIndex(
+    tableDir: String,
+    entries: Seq[Snapshot.FileEntry],
+    schema: StructType,
+    commitTsMs: Long) extends FileIndex {
+
+  private val fieldType: Map[String, DataType] =
+    schema.fields.map(f => f.name -> f.dataType).toMap
+
+  override val rootPaths: Seq[Path] = Seq(new Path(tableDir))
+  override def partitionSchema: StructType = new StructType()
+  override def sizeInBytes: Long = entries.map(_.bytes).sum
+  override def inputFiles: Array[String] =
+    entries.map(e => s"$tableDir/${e.path}").toArray
+  override def refresh(): Unit = ()
+
+  override def listFiles(partitionFilters: Seq[Expression],
+      dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
+    val kept = entries.filter(e => dataFilters.forall(f => mayMatch(e, f)))
+    val statuses = kept.map(e => new FileStatus(
+      e.bytes, false, 1, 128L * 1024 * 1024, commitTsMs,
+      new Path(s"$tableDir/${e.path}"))).toArray
+    Seq(PartitionDirectory(InternalRow.empty, statuses))
+  }
+
+  // -- conservative stats evaluation: false ONLY on proof of no match --
+
+  private def stats(e: Snapshot.FileEntry, a: Attribute): Option[Snapshot.ColStats] =
+    e.stats.get(a.name)
+
+  /** compare the column's recorded bound against a literal; None =
+    * cannot compare = never prune.
+    */
+  private def cmp(a: Attribute, encoded: String, litVal: Any): Option[Int] = {
+    if (litVal == null) return None
+    fieldType.get(a.name).flatMap {
+      case StringType => litVal match {
+        case s: org.apache.spark.unsafe.types.UTF8String => Some(encoded.compareTo(s.toString))
+        case _ => None
+      }
+      case BooleanType => litVal match {
+        case b: java.lang.Boolean => Some(encoded.toBoolean.compareTo(b.booleanValue()))
+        case _ => None
+      }
+      case _: NumericType | DateType | TimestampType =>
+        val l: Option[BigDecimal] = litVal match {
+          case d: org.apache.spark.sql.types.Decimal => Some(d.toBigDecimal)
+          case n: java.lang.Number => Some(BigDecimal(n.toString))
+          case _ => None
+        }
+        val eNum = try Some(BigDecimal(encoded)) catch { case _: NumberFormatException => None }
+        for (en <- eNum; lv <- l) yield en.compare(lv)
+      case _ => None
+    }
+  }
+
+  private def mayMatch(e: Snapshot.FileEntry, p: Expression): Boolean = p match {
+    case And(l, r) => mayMatch(e, l) && mayMatch(e, r)
+    case Or(l, r) => mayMatch(e, l) || mayMatch(e, r)
+    case EqualTo(a: Attribute, Literal(v, _)) => rangeContains(e, a, v)
+    case EqualTo(Literal(v, _), a: Attribute) => rangeContains(e, a, v)
+    case EqualNullSafe(a: Attribute, Literal(v, _)) if v != null => rangeContains(e, a, v)
+    case EqualNullSafe(Literal(v, _), a: Attribute) if v != null => rangeContains(e, a, v)
+    case LessThan(a: Attribute, Literal(v, _)) => minBelow(e, a, v, strict = true)
+    case LessThan(Literal(v, _), a: Attribute) => maxAbove(e, a, v, strict = true)
+    case LessThanOrEqual(a: Attribute, Literal(v, _)) => minBelow(e, a, v, strict = false)
+    case LessThanOrEqual(Literal(v, _), a: Attribute) => maxAbove(e, a, v, strict = false)
+    case GreaterThan(a: Attribute, Literal(v, _)) => maxAbove(e, a, v, strict = true)
+    case GreaterThan(Literal(v, _), a: Attribute) => minBelow(e, a, v, strict = true)
+    case GreaterThanOrEqual(a: Attribute, Literal(v, _)) => maxAbove(e, a, v, strict = false)
+    case GreaterThanOrEqual(Literal(v, _), a: Attribute) => minBelow(e, a, v, strict = false)
+    case In(a: Attribute, vs) if vs.nonEmpty && vs.forall(_.isInstanceOf[Literal]) =>
+      vs.exists { case Literal(v, _) => rangeContains(e, a, v) }
+    case IsNull(a: Attribute) =>
+      stats(e, a).forall(_.nulls > 0)
+    case IsNotNull(a: Attribute) =>
+      stats(e, a).forall(s => e.rows < 0 || s.nulls < e.rows)
+    case _ => true
+  }
+
+  /** file may hold a row with column == v: min <= v <= max */
+  private def rangeContains(e: Snapshot.FileEntry, a: Attribute, v: Any): Boolean =
+    stats(e, a).forall { s =>
+      val okMin = s.min.flatMap(cmp(a, _, v)).forall(_ <= 0)
+      val okMax = s.max.flatMap(cmp(a, _, v)).forall(_ >= 0)
+      okMin && okMax
+    }
+
+  /** file may hold a row with column < v (or <= v): min < v */
+  private def minBelow(e: Snapshot.FileEntry, a: Attribute, v: Any, strict: Boolean): Boolean =
+    stats(e, a).forall(_.min.flatMap(cmp(a, _, v))
+      .forall(c => if (strict) c < 0 else c <= 0))
+
+  /** file may hold a row with column > v (or >= v): max > v */
+  private def maxAbove(e: Snapshot.FileEntry, a: Attribute, v: Any, strict: Boolean): Boolean =
+    stats(e, a).forall(_.max.flatMap(cmp(a, _, v))
+      .forall(c => if (strict) c > 0 else c >= 0))
 }

@@ -159,6 +159,84 @@ class SnapshotSpec extends SparkSpec {
       (3L, "c", 3.0, "removed")), diff.toString)
   }
 
+  test("data skipping: a selective predicate on a range-clustered table prunes files from manifest stats alone") {
+    import spark.implicits._
+    val dir = tmp() + "/t"
+    // 100 ids range-clustered into 4 files → disjoint per-file id ranges
+    val wide = (1L to 100L).map(i => (i, s"n$i", i.toDouble)).toDF("id", "name", "score")
+    Snapshot.commit(spark, dir, wide.repartitionByRange(4, col("id")))
+    val all = Snapshot.candidateFilePaths(spark, dir, 1L, lit(true))
+    assert(all.size == 4, s"expected 4 data files, got ${all.size}")
+    // point lookup: exactly one file's [min,max] can contain id=7
+    val eq = Snapshot.candidateFilePaths(spark, dir, 1L, col("id") === 7L)
+    assert(eq.size == 1, s"id=7 should prune to 1 file, kept ${eq.size}")
+    // range predicate: top-quartile ids live in one file
+    val gt = Snapshot.candidateFilePaths(spark, dir, 1L, col("id") > 90L)
+    assert(gt.size == 1, s"id>90 should prune to 1 file, kept ${gt.size}")
+    // string stats prune too
+    assert(Snapshot.candidateFilePaths(spark, dir, 1L, col("name") === "zzz").isEmpty)
+    // and the PRUNED scan still answers correctly end-to-end
+    assert(Snapshot.read(spark, dir).where(col("id") === 7L)
+      .select(col("name")).collect().map(_.getString(0)).toSeq == Seq("n7"))
+    assert(Snapshot.read(spark, dir).where(col("id") > 90L).count() == 10L)
+  }
+
+  test("upsert uses key-range stats: one changed key on a range-clustered table rewrites exactly one file") {
+    import spark.implicits._
+    val dir = tmp() + "/t"
+    val wide = (1L to 100L).map(i => (i, s"n$i", i.toDouble)).toDF("id", "name", "score")
+    Snapshot.commit(spark, dir, wide.repartitionByRange(4, col("id")))
+    Snapshot.upsert(spark, dir, Seq((7L, "CHANGED", -7.0)).toDF("id", "name", "score"), Seq("id"))
+    val f = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def manifestFiles(v: Long): Set[String] = {
+      val p = new org.apache.hadoop.fs.Path(s"$dir/_versions/" + f"v$v%09d.json")
+      val in = f.open(p)
+      val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+      "\"path\":\"(data/[^\"]+)\"".r.findAllMatchIn(text).map(_.group(1)).toSet
+    }
+    val carried = manifestFiles(1L).intersect(manifestFiles(2L))
+    assert(carried.size == 3, s"expected 3 of 4 files carried untouched, got ${carried.size}")
+    assert(rows(Snapshot.read(spark, dir)).contains((7L, "CHANGED", -7.0)))
+    assert(Snapshot.read(spark, dir).count() == 100L)
+  }
+
+  test("schema evolution: upsert with an added column null-fills old rows at the new version; the old version is unchanged") {
+    import spark.implicits._
+    val dir = tmp() + "/t"
+    Snapshot.commit(spark, dir, base.repartition(2, col("id") % 2))          // v1
+    val changes = Seq((2L, "b2", 20.0, "eu"), (5L, "e", 5.0, "us"))
+      .toDF("id", "name", "score", "region")                                 // NEW column
+    Snapshot.upsert(spark, dir, changes, Seq("id"))                          // v2
+    val v2 = Snapshot.readVersion(spark, dir, 2)
+    assert(v2.columns.toSeq == Seq("id", "name", "score", "region"))
+    val byId = v2.collect().map(r => r.getLong(0) -> Option(r.getString(3))).toMap
+    assert(byId(2L).contains("eu") && byId(5L).contains("us"))
+    // rows from untouched files AND unmodified rows in rewritten files read back null
+    assert(byId(1L).isEmpty && byId(3L).isEmpty && byId(4L).isEmpty)
+    // time travel: v1 still has the ORIGINAL schema
+    assert(Snapshot.readVersion(spark, dir, 1).columns.toSeq == Seq("id", "name", "score"))
+    // type drift is refused loudly
+    intercept[IllegalArgumentException] {
+      Snapshot.upsert(spark, dir,
+        Seq((1L, "x", 1.0, 9L)).toDF("id", "name", "score", "region"), Seq("id"))
+    }
+  }
+
+  test("schema evolution: append with a new column evolves the table; appended rows null-fill columns they lack") {
+    import spark.implicits._
+    val dir = tmp() + "/t"
+    Snapshot.commit(spark, dir, base)                                        // v1
+    Snapshot.append(spark, dir,
+      Seq((9L, 0.99)).toDF("id", "weight"))                                  // v2: new col, missing name/score
+    val v2 = Snapshot.read(spark, dir)
+    assert(v2.columns.toSeq == Seq("id", "name", "score", "weight"))
+    val r9 = v2.where(col("id") === 9L).collect().head
+    assert(r9.isNullAt(1) && r9.isNullAt(2) && r9.getDouble(3) == 0.99)
+    assert(v2.where(col("id") === 1L).collect().head.isNullAt(3))
+    assert(v2.count() == 5L)
+  }
+
   test("exactly-once snapshot CDC sink: a replayed batch id is a no-op; distinct ids apply once each") {
     import spark.implicits._
     val dir = tmp() + "/t"
