@@ -127,7 +127,8 @@ object Snapshot {
 
   private[sources] final case class Manifest(version: Long, op: String,
       schemaDdl: String, files: Seq[FileEntry], batchId: Option[Long],
-      lastBatchId: Option[Long], tsMs: Long) {
+      lastBatchId: Option[Long], txnApp: Option[String],
+      txnBatch: Option[Long], tsMs: Long) {
     def schema: StructType =
       if (schemaDdl.isEmpty) new StructType() else StructType.fromDDL(schemaDdl)
   }
@@ -180,6 +181,8 @@ object Snapshot {
       files,
       (j \ "batch_id").extractOpt[Long],
       (j \ "last_batch_id").extractOpt[Long],
+      (j \ "txn_app").extractOpt[String],
+      (j \ "txn_batch").extractOpt[Long],
       (j \ "ts_ms").extract[Long])
   }
 
@@ -203,6 +206,8 @@ object Snapshot {
       "schema" -> JString(m.schemaDdl),
       "batch_id" -> m.batchId.map(JLong(_)).getOrElse(JNull),
       "last_batch_id" -> m.lastBatchId.map(JLong(_)).getOrElse(JNull),
+      "txn_app" -> m.txnApp.map(JString(_)).getOrElse(JNull),
+      "txn_batch" -> m.txnBatch.map(JLong(_)).getOrElse(JNull),
       "ts_ms" -> JLong(m.tsMs),
       "files" -> JArray(m.files.toList.map(e => JObject(
         "path" -> JString(e.path),
@@ -327,14 +332,27 @@ object Snapshot {
     */
   private def commitManifest(spark: SparkSession, dir: String, op: String,
       schemaDdl: String, files: Seq[FileEntry], batchId: Option[Long],
-      base: Option[Manifest]): Long = {
+      txnApp: Option[String], base: Option[Manifest]): Long = {
     val v = base.map(_.version + 1).getOrElse(1L)
     val last = (base.flatMap(_.lastBatchId).toSeq ++ batchId.toSeq)
       .reduceOption((a: Long, b: Long) => math.max(a, b))
+    // The per-writer txn cursor (txnApp, txnBatch) — the table-format
+    // txnAppId/txnVersion idea: batch ids are only monotone WITHIN one
+    // streaming query (one checkpoint), so when a DIFFERENT app writes
+    // the cursor RESETS to its batch id instead of taking a max that
+    // would swallow the new query's replays. Batch commits (no
+    // batchId) carry the previous cursor forward unchanged.
+    val (app, tb) = batchId match {
+      case Some(b) =>
+        val a = txnApp.getOrElse("default")
+        val prev = base.filter(_.txnApp.contains(a)).flatMap(_.txnBatch)
+        (Some(a), Some(prev.fold(b)(math.max(_, b))))
+      case None => (base.flatMap(_.txnApp), base.flatMap(_.txnBatch))
+    }
     // ts_ms is monotone non-decreasing across versions (clock skew or
     // sub-ms commits otherwise break readAsOf's binary search)
     val ts = math.max(System.currentTimeMillis(), base.map(_.tsMs + 1).getOrElse(0L))
-    writeManifest(spark, dir, Manifest(v, op, schemaDdl, files, batchId, last, ts))
+    writeManifest(spark, dir, Manifest(v, op, schemaDdl, files, batchId, last, app, tb, ts))
     v
   }
 
@@ -354,11 +372,11 @@ object Snapshot {
     * at version 1). Returns the committed version.
     */
   def commit(spark: SparkSession, dir: String, df: DataFrame,
-      batchId: Option[Long] = None): Long = {
+      batchId: Option[Long] = None, txnApp: Option[String] = None): Long = {
     val base = baseManifest(spark, dir)
     val files = writeDataFiles(spark, dir, df)
     commitManifest(spark, dir, if (base.isDefined) "replace" else "init",
-      nullable(df.schema).toDDL, files, batchId, base)
+      nullable(df.schema).toDDL, files, batchId, txnApp, base)
   }
 
   /** Append `df`'s rows as a new version: previous files carry over
@@ -368,12 +386,12 @@ object Snapshot {
     * null-filled); columns `df` lacks stay, with the new rows null.
     */
   def append(spark: SparkSession, dir: String, df: DataFrame,
-      batchId: Option[Long] = None): Long = {
+      batchId: Option[Long] = None, txnApp: Option[String] = None): Long = {
     val base = baseManifest(spark, dir)
     val schema = nullable(base.map(m => mergeSchemas(m.schema, df.schema)).getOrElse(df.schema))
     val files = writeDataFiles(spark, dir, df)
     commitManifest(spark, dir, "append", schema.toDDL,
-      base.map(_.files).getOrElse(Seq.empty) ++ files, batchId, base)
+      base.map(_.files).getOrElse(Seq.empty) ++ files, batchId, txnApp, base)
   }
 
   /** Evolve `cur` by `incoming`: unknown fields append (nullable), a
@@ -464,6 +482,19 @@ object Snapshot {
     latestVersion(spark, dir).flatMap(v =>
       readManifest(spark, dir, v).lastBatchId)
 
+  /** The per-writer exactly-once cursor: (txnApp, highest batch id
+    * that app has committed). A streaming sink must skip a batch ONLY
+    * when the stored app matches its own identity — batch ids restart
+    * at 0 for a fresh checkpoint, so an identity-blind `>= batchId`
+    * check against [[lastBatchId]] would silently discard every batch
+    * a NEW query writes to an existing table.
+    */
+  def lastTxn(spark: SparkSession, dir: String): Option[(String, Long)] =
+    latestVersion(spark, dir).flatMap { v =>
+      val m = readManifest(spark, dir, v)
+      for (b <- m.txnBatch) yield (m.txnApp.getOrElse("default"), b)
+    }
+
   /** File-granular copy-on-write MERGE: apply `changes` (updates +
     * inserts + optional `deleteCol` tombstones, key-unique) onto the
     * latest version and publish the result as a new version.
@@ -488,7 +519,7 @@ object Snapshot {
     */
   def upsert(spark: SparkSession, dir: String, changes: DataFrame,
       keys: Seq[String], deleteCol: Option[String] = None,
-      batchId: Option[Long] = None): Long = {
+      batchId: Option[Long] = None, txnApp: Option[String] = None): Long = {
     val prev = baseManifest(spark, dir).getOrElse(
       throw new IllegalStateException(s"no committed version at $dir — commit() first"))
     val curSchema = prev.schema
@@ -561,7 +592,7 @@ object Snapshot {
     val merged = graft.operators.Merge.upsert(base, changes, keys, deleteCol)
     val newFiles = writeDataFiles(spark, dir, merged)
     commitManifest(spark, dir, "upsert", nullable(newSchema).toDDL,
-      untouched ++ newFiles, batchId, Some(prev))
+      untouched ++ newFiles, batchId, txnApp, Some(prev))
   }
 
   /** Compact the LATEST version's files toward `targetBytes` each and
@@ -577,7 +608,7 @@ object Snapshot {
     val n = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
     val df = readVersion(spark, dir, prev.version).repartition(n)
     val files = writeDataFiles(spark, dir, df)
-    commitManifest(spark, dir, "compact", prev.schemaDdl, files, None, Some(prev))
+    commitManifest(spark, dir, "compact", prev.schemaDdl, files, None, None, Some(prev))
   }
 
   /** Garbage-collect: keep the newest `keepLast` versions, delete
@@ -638,7 +669,7 @@ object Snapshot {
   private[graft] def publishManifestForTest(spark: SparkSession, dir: String,
       version: Long): Unit =
     writeManifest(spark, dir, Manifest(version, "replace", "", Seq.empty, None,
-      None, System.currentTimeMillis()))
+      None, None, None, System.currentTimeMillis()))
 
   /** Table history as a DataFrame: one row per retained version. */
   def history(spark: SparkSession, dir: String): DataFrame = {

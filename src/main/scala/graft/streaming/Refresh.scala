@@ -123,27 +123,55 @@ object Refresh {
     events.withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark(keyCols)
 
-  /** The exactly-once cursor for the foreachBatch sinks: highest
-    * micro-batch id fully applied to the dataset at `outDir`, stored
-    * as a SIBLING file (`<outDir>.last_batch`) — beside, not inside,
-    * because [[applyCdcBatch]]'s full overwrite deletes everything
-    * under outDir. Written via temp + atomic rename AFTER the data
-    * write commits, so the marker can lag the data (crash between the
-    * two) but never lead it: a replayed batch either skips (marker
-    * present) or re-applies — and both sink merges are idempotent for
-    * a repeated batch, so either path converges to exactly-once state.
+  /** Writer identity for the exactly-once cursors: the streaming
+    * QUERY id (stable across restarts of the same checkpoint — it
+    * lives in the checkpoint metadata), read from the local property
+    * StreamExecution sets on the foreachBatch thread. Direct batch
+    * calls (tests, backfills) fall back to a fixed identity, which
+    * reproduces the plain high-water-mark behavior.
+    */
+  private[streaming] def txnIdentity(spark: SparkSession): String =
+    Option(spark.sparkContext.getLocalProperty("sql.streaming.queryId"))
+      .getOrElse("default")
+
+  /** The exactly-once cursor for the foreachBatch sinks: writer
+    * identity + highest micro-batch id it fully applied to the dataset
+    * at `outDir`, stored as a SIBLING file (`<outDir>.last_batch`) —
+    * beside, not inside, because [[applyCdcBatch]]'s full overwrite
+    * deletes everything under outDir. Written via temp + atomic rename
+    * AFTER the data write commits, so the marker can lag the data
+    * (crash between the two) but never lead it: a replayed batch
+    * either skips (marker present) or re-applies — and both sink
+    * merges are idempotent for a repeated batch, so either path
+    * converges to exactly-once state. The identity half is what makes
+    * a FRESH checkpoint pointed at an existing outDir safe: its batch
+    * ids restart at 0, and an identity-blind `>=` check would silently
+    * skip every one of its batches.
     */
   private[streaming] def lastAppliedBatch(
-      spark: SparkSession, outDir: String): Option[Long] = {
+      spark: SparkSession, outDir: String): Option[(String, Long)] = {
     val p = new org.apache.hadoop.fs.Path(outDir + ".last_batch")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) None
     else {
       val in = fs.open(p)
-      try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toLong)
-      finally in.close()
+      val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+        finally in.close()
+      text.lastIndexOf(':') match {
+        case -1 => Some(("default", text.toLong)) // pre-identity marker
+        case i => Some((text.substring(0, i), text.substring(i + 1).toLong))
+      }
     }
   }
+
+  /** Skip rule shared by the marker sinks: covered iff the SAME writer
+    * already applied this batch id.
+    */
+  private def alreadyApplied(spark: SparkSession, outDir: String,
+      batchId: Long): Boolean =
+    lastAppliedBatch(spark, outDir).exists { case (app, b) =>
+      app == txnIdentity(spark) && b >= batchId
+    }
 
   private def recordAppliedBatch(spark: SparkSession, outDir: String,
       batchId: Long): Unit = {
@@ -152,7 +180,8 @@ object Refresh {
     val tmp = new org.apache.hadoop.fs.Path(
       outDir + s".last_batch.tmp-${java.util.UUID.randomUUID()}")
     val out = fs.create(tmp, false)
-    try out.write(batchId.toString.getBytes("UTF-8")) finally out.close()
+    try out.write(s"${txnIdentity(spark)}:$batchId".getBytes("UTF-8"))
+    finally out.close()
     fs.delete(p, false)
     if (!fs.rename(tmp, p)) { fs.delete(tmp, false) }
   }
@@ -170,7 +199,7 @@ object Refresh {
     // Replay of an already-applied batch (restart after a crash that
     // committed the sink but not the checkpoint): skip. Batch ids are
     // monotone per checkpoint, so one high-water mark suffices.
-    if (lastAppliedBatch(spark, outDir).exists(_ >= batchId)) return
+    if (alreadyApplied(spark, outDir, batchId)) return
     // Append-mode upstreams (windowed aggs) emit NOTHING until the
     // watermark closes a window — an unguarded empty first batch
     // would write a _SUCCESS-only directory that flips
@@ -302,7 +331,7 @@ object Refresh {
   def applyCdcBatch(batch: DataFrame, batchId: Long, keys: Seq[String],
       deleteCol: Option[String], outDir: String): Unit = {
     val spark = batch.sparkSession
-    if (lastAppliedBatch(spark, outDir).exists(_ >= batchId)) return
+    if (alreadyApplied(spark, outDir, batchId)) return
     val outPath = new org.apache.hadoop.fs.Path(outDir)
     val fs = outPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val initialized =
@@ -347,16 +376,20 @@ object Refresh {
       deleteCol: Option[String], tableDir: String): Unit = {
     val spark = batch.sparkSession
     import graft.sources.Snapshot
-    if (Snapshot.lastBatchId(spark, tableDir).exists(_ >= batchId)) return
+    val app = txnIdentity(spark)
+    // identity-aware skip: only THIS writer's cursor counts — a fresh
+    // checkpoint's batch 0 against an existing table must apply
+    if (Snapshot.lastTxn(spark, tableDir).exists { case (a, b) =>
+        a == app && b >= batchId }) return
     if (batch.isEmpty) return // nothing to merge; don't mint empty versions
     if (Snapshot.latestVersion(spark, tableDir).isEmpty) {
       val live = deleteCol
         .map(d => batch.filter(!coalesce(col(d), lit(false))))
         .getOrElse(batch)
       Snapshot.commit(spark, tableDir,
-        deleteCol.map(live.drop(_)).getOrElse(live), Some(batchId))
+        deleteCol.map(live.drop(_)).getOrElse(live), Some(batchId), Some(app))
     } else
-      Snapshot.upsert(spark, tableDir, batch, keys, deleteCol, Some(batchId))
+      Snapshot.upsert(spark, tableDir, batch, keys, deleteCol, Some(batchId), Some(app))
     ()
   }
 

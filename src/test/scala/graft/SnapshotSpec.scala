@@ -159,6 +159,36 @@ class SnapshotSpec extends SparkSpec {
       (3L, "c", 3.0, "removed")), diff.toString)
   }
 
+  test("exactly-once cursor is writer-scoped: a NEW streaming query's batch 0 against an existing table applies instead of silently skipping") {
+    import spark.implicits._
+    val dir = tmp() + "/t"
+    val sc = spark.sparkContext
+    try {
+      // query A writes batches 0 and 1
+      sc.setLocalProperty("sql.streaming.queryId", "query-A")
+      Refresh.applySnapshotCdcBatch(base.withColumn("is_deleted", lit(false)),
+        0L, Seq("id"), Some("is_deleted"), dir)
+      Refresh.applySnapshotCdcBatch(
+        Seq((5L, "e", 5.0, false)).toDF("id", "name", "score", "is_deleted"),
+        1L, Seq("id"), Some("is_deleted"), dir)
+      assert(Snapshot.read(spark, dir).count() == 5L)
+      // a FRESH checkpoint (new query id) restarts batch ids at 0 —
+      // its batch 0 must APPLY, not match query A's high-water mark
+      sc.setLocalProperty("sql.streaming.queryId", "query-B")
+      Refresh.applySnapshotCdcBatch(
+        Seq((6L, "f", 6.0, false)).toDF("id", "name", "score", "is_deleted"),
+        0L, Seq("id"), Some("is_deleted"), dir)
+      assert(rows(Snapshot.read(spark, dir)).contains((6L, "f", 6.0)),
+        "new writer's batch 0 was silently skipped by the old writer's cursor")
+      // and query B's own replay of batch 0 IS a no-op
+      val vAfter = Snapshot.latestVersion(spark, dir).get
+      Refresh.applySnapshotCdcBatch(
+        Seq((6L, "f", 6.0, false)).toDF("id", "name", "score", "is_deleted"),
+        0L, Seq("id"), Some("is_deleted"), dir)
+      assert(Snapshot.latestVersion(spark, dir).get == vAfter, "replay minted a new version")
+    } finally sc.setLocalProperty("sql.streaming.queryId", null)
+  }
+
   test("data skipping: a selective predicate on a range-clustered table prunes files from manifest stats alone") {
     import spark.implicits._
     val dir = tmp() + "/t"

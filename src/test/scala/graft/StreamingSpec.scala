@@ -578,6 +578,29 @@ class StreamingSpec extends SparkSpec {
     assert(state() == truth + ((4L, "d")))
   }
 
+  test("marker cursor is writer-scoped: a fresh checkpoint's batch 0 applies to an existing sink dir") {
+    import spark.implicits._
+    val out = tmp() + "/cdc2"
+    def b(rows: (Long, String, Boolean)*) = rows.toSeq.toDF("id", "name", "is_deleted")
+    def state() = spark.read.parquet(out).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    val sc = spark.sparkContext
+    try {
+      sc.setLocalProperty("sql.streaming.queryId", "query-A")
+      Refresh.applyCdcBatch(b((1L, "a", false)), 0L, Seq("id"), Some("is_deleted"), out)
+      Refresh.applyCdcBatch(b((2L, "b", false)), 1L, Seq("id"), Some("is_deleted"), out)
+      assert(state() == Set((1L, "a"), (2L, "b")))
+      // new query id (fresh checkpoint) restarts at batch 0: must apply
+      sc.setLocalProperty("sql.streaming.queryId", "query-B")
+      Refresh.applyCdcBatch(b((3L, "c", false)), 0L, Seq("id"), Some("is_deleted"), out)
+      assert(state() == Set((1L, "a"), (2L, "b"), (3L, "c")),
+        "new writer's batch 0 was silently skipped by the old writer's marker")
+      // its own replay still skips
+      Refresh.applyCdcBatch(b((3L, "CHANGED", false)), 0L, Seq("id"), Some("is_deleted"), out)
+      assert(state() == Set((1L, "a"), (2L, "b"), (3L, "c")))
+    } finally sc.setLocalProperty("sql.streaming.queryId", null)
+  }
+
   test("exactly-once merge-on-write sink: replayed batch id skips; marker-lost replay converges") {
     import spark.implicits._
     val out = tmp() + "/mow"
@@ -599,6 +622,63 @@ class StreamingSpec extends SparkSpec {
     assert(state() == truth, "marker-lost replay diverged from exactly-once truth")
     Refresh.applyUpsertBatch(b((4L, 1L, 40.0)), 2L, Seq("k"), "ver", out, nBuckets = 4)
     assert(state() == truth + ((4L, 40.0)))
+  }
+
+  test("END-TO-END snapshot sink: CDC file stream → snapshotCdcApply across a crash-and-resume; versions time-travel; a replayed batch id is a no-op") {
+    // Composes the two table-layer flagships: every micro-batch is one
+    // snapshot COMMIT (skip check and data publish are the same atomic
+    // manifest rename), so the sink is exactly-once by construction
+    // AND every batch boundary stays readable via time travel.
+    import graft.sources.Snapshot
+    import spark.implicits._
+    val root = tmp()
+    val src = s"$root/src"; val tbl = s"$root/tbl"; val ck = s"$root/ck"
+
+    Seq((1L, "a", 1.0, false), (2L, "b", 2.0, false))
+      .toDF("id", "name", "score", "is_deleted").write.parquet(s"$src/b1")
+    val schema = spark.read.parquet(s"$src/b1").schema
+    def start() = Refresh.snapshotCdcApply(
+      spark.readStream.schema(schema).parquet(s"$src/*"),
+      Seq("id"), Some("is_deleted"), tbl, ck)
+    def state(v: Long) = Snapshot.readVersion(spark, tbl, v)
+      .select("id", "name", "score").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+
+    val q1 = start()
+    q1.processAllAvailable()
+    q1.stop() // crash: the checkpoint and the committed snapshot survive
+    val v1 = Snapshot.latestVersion(spark, tbl).get
+    assert(state(v1) == Set((1L, "a", 1.0), (2L, "b", 2.0)))
+
+    // post-crash batch: update 2, tombstone 1, insert 3
+    Seq((2L, "b2", 20.0, false), (1L, "a", 1.0, true), (3L, "c", 3.0, false))
+      .toDF("id", "name", "score", "is_deleted").write.parquet(s"$src/b2")
+    val q2 = start()
+    q2.processAllAvailable()
+    val queryId = q2.id.toString // stable across restarts of this checkpoint
+    q2.stop()
+    val v2 = Snapshot.latestVersion(spark, tbl).get
+    assert(v2 > v1)
+    assert(state(v2) == Set((2L, "b2", 20.0), (3L, "c", 3.0)))
+    // TIME TRAVEL: the pre-crash version still reads its exact state
+    assert(state(v1) == Set((1L, "a", 1.0), (2L, "b", 2.0)))
+    // the manifest cursor carries this query's identity
+    assert(Snapshot.lastTxn(spark, tbl).exists(_._1 == queryId))
+
+    // REPLAY the applied batch id under the same identity (restart
+    // after a crash that committed the table but lost the checkpoint
+    // commit): must not mint a version
+    val sc = spark.sparkContext
+    try {
+      sc.setLocalProperty("sql.streaming.queryId", queryId)
+      val replayId = Snapshot.lastTxn(spark, tbl).get._2
+      Refresh.applySnapshotCdcBatch(
+        Seq((2L, "b2", 20.0, false), (1L, "a", 1.0, true), (3L, "c", 3.0, false))
+          .toDF("id", "name", "score", "is_deleted"),
+        replayId, Seq("id"), Some("is_deleted"), tbl)
+      assert(Snapshot.latestVersion(spark, tbl).get == v2, "replay minted a new version")
+      assert(state(v2) == Set((2L, "b2", 20.0), (3L, "c", 3.0)))
+    } finally sc.setLocalProperty("sql.streaming.queryId", null)
   }
 
   test("END-TO-END: file stream → clean → bounded dedup → windowed agg → merge-on-write, across a crash-and-resume") {
