@@ -28,11 +28,18 @@ import org.apache.spark.sql.types._
   * their exact plan); FILTER clauses carry over on the wrapper; the
   * replacement keeps the original `resultId`, so downstream
   * references bind unchanged (both functions return LongType).
-  * Injected LAST in the optimizer (the "User Provided Optimizers"
-  * batch), after RewriteDistinctAggregates — which leaves
-  * single-distinct aggregates intact for the planner, exactly the
-  * shape matched here; multi-distinct plans were already expanded and
-  * are deliberately not touched.
+  *
+  * Rule placement (matters for the multi-distinct case):
+  * `injectOptimizerRule` adds to the operator-optimization batches,
+  * which run BEFORE `RewriteDistinctAggregates` expands multi-distinct
+  * aggregates. So an Aggregate carrying SEVERAL single-column
+  * `COUNT(DISTINCT x)`s still has its original shape when this rule
+  * fires, and EVERY one of them is rewritten — deliberately: that is
+  * the rewrite's biggest win, because the exact plan for k distinct
+  * columns is an Expand that multiplies the shuffled row count by
+  * k+1, while k sketches ride ONE ordinary hash aggregation. Only the
+  * multi-COLUMN `COUNT(DISTINCT a, b)` form keeps its exact plan
+  * (pinned, with the two-distinct case, in ApproxDistinctSpec).
   */
 object ApproxDistinctRewriteRule extends Rule[LogicalPlan] {
   val ConfKey = "spark.graft.approxDistinct"

@@ -611,6 +611,141 @@ object Snapshot {
     commitManifest(spark, dir, "compact", prev.schemaDdl, files, None, None, Some(prev))
   }
 
+  /** OPTIMIZE-style maintenance policy: rewrite ONLY the small files
+    * (below `smallBytes`), binned toward `targetBytes` apiece;
+    * well-sized files carry into the new version BY REFERENCE,
+    * statistics included. This is the policy layer [[compact]] lacks —
+    * compact is a full-table rewrite (O(table) I/O every call), while
+    * a streaming-ingest table accretes a long tail of tiny files whose
+    * rewrite cost is O(small residue) only. The q120_storage_report
+    * shape (file-size census from `_metadata`) is exactly what decides
+    * `smallBytes` in production.
+    *
+    * `clusterBy`: when given, the rewritten residue is range-
+    * partitioned and sorted on these columns, so the replacement files
+    * get DISJOINT key ranges in the manifest stats — restoring data-
+    * skipping power over the merged residue of many interleaved
+    * appends (each append's files overlap every other's key range; the
+    * optimize output's don't).
+    *
+    * Returns the committed version, or None when fewer than `minFiles`
+    * files qualify — a no-op mints no version, so a cron-scheduled
+    * optimize converges instead of rewriting the same bin forever.
+    */
+  def optimize(spark: SparkSession, dir: String,
+      targetBytes: Long = 128L * 1024 * 1024,
+      smallBytes: Long = 32L * 1024 * 1024,
+      clusterBy: Seq[String] = Nil,
+      minFiles: Int = 2): Option[Long] = {
+    val prev = baseManifest(spark, dir).getOrElse(
+      throw new IllegalStateException(s"no committed version at $dir"))
+    val (small, kept) = prev.files.partition(_.bytes < smallBytes)
+    if (small.size < minFiles) return None
+    val schema = prev.schema
+    val df0 = spark.read.schema(schema).parquet(small.map(e => s"$dir/${e.path}"): _*)
+    val n = math.max(1, math.ceil(small.map(_.bytes).sum.toDouble / targetBytes).toInt)
+    val df =
+      if (clusterBy.isEmpty) df0.repartition(n)
+      else df0.repartitionByRange(n, clusterBy.map(col): _*)
+        .sortWithinPartitions(clusterBy.map(col): _*)
+    val files = writeDataFiles(spark, dir, df)
+    Some(commitManifest(spark, dir, "optimize", prev.schemaDdl,
+      kept ++ files, None, None, Some(prev)))
+  }
+
+  // ---------------------------------------------------------------
+  // multi-table consistent pins
+  // ---------------------------------------------------------------
+
+  private val PinsDir = "_pins"
+  private def pinName(p: Long): String = f"p$p%09d.json"
+
+  /** Pin the CURRENT version of every table in `tables` (name →
+    * table dir) into one atomic pin manifest under `metaDir` and
+    * return the pin id. The cross-table analogue of a single table's
+    * manifest: a report that joins orders-table v12 with customer-
+    * table v9 can record the pair and re-run against exactly those
+    * bytes forever — individual tables keep committing underneath,
+    * invisible to pinned readers. Publication uses the same
+    * [[conditionalPublish]] single-winner primitive (and inherits its
+    * HDFS/local portability contract).
+    *
+    * The pin records versions resolved table-by-table, so it is a
+    * CONSISTENT CUT only if no writer commits mid-pin; a pin taken
+    * while ingest runs is still a valid pair of versions, just not
+    * necessarily the pair any single instant saw — same contract as
+    * BEGIN-less cross-database reads. Run pins from the coordination
+    * point that also schedules the writers when an exact cut matters.
+    */
+  def pinTables(spark: SparkSession, metaDir: String,
+      tables: Map[String, String]): Long = {
+    require(tables.nonEmpty, "pinTables needs at least one table")
+    val resolved = tables.toSeq.sortBy(_._1).map { case (name, tdir) =>
+      val v = latestVersion(spark, tdir).getOrElse(
+        throw new IllegalStateException(s"no committed version at $tdir (table '$name')"))
+      (name, tdir, v)
+    }
+    val f = fs(spark, metaDir)
+    val pd = new Path(metaDir, PinsDir)
+    f.mkdirs(pd)
+    val next = pins(spark, metaDir).lastOption.getOrElse(0L) + 1
+    val json = JsonMethods.compact(JsonMethods.render(JObject(
+      "pin" -> JLong(next),
+      "ts_ms" -> JLong(System.currentTimeMillis()),
+      "tables" -> JArray(resolved.toList.map { case (name, tdir, v) =>
+        JObject("name" -> JString(name), "dir" -> JString(tdir), "version" -> JLong(v))
+      }))))
+    val tmp = new Path(pd, s".tmp-${java.util.UUID.randomUUID()}")
+    val out = f.create(tmp, false)
+    try out.write(json.getBytes("UTF-8")) finally out.close()
+    if (!conditionalPublish(f, tmp, new Path(pd, pinName(next)))) {
+      f.delete(tmp, false)
+      throw new java.util.ConcurrentModificationException(
+        s"pin $next already committed at $metaDir — re-read and retry")
+    }
+    next
+  }
+
+  /** All committed pin ids at `metaDir`, ascending. */
+  def pins(spark: SparkSession, metaDir: String): Seq[Long] = {
+    val f = fs(spark, metaDir)
+    val pd = new Path(metaDir, PinsDir)
+    if (!f.exists(pd)) Seq.empty
+    else f.listStatus(pd).toSeq.map(_.getPath.getName)
+      .filter(_.matches("p\\d{9}\\.json"))
+      .map(_.stripPrefix("p").stripSuffix(".json").toLong)
+      .sorted
+  }
+
+  /** The (table name → (dir, version)) map a pin recorded. */
+  def pinnedVersions(spark: SparkSession, metaDir: String,
+      pin: Long): Map[String, (String, Long)] = {
+    val f = fs(spark, metaDir)
+    val p = new Path(new Path(metaDir, PinsDir), pinName(pin))
+    val in = f.open(p)
+    val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    implicit val fmts: Formats = DefaultFormats
+    (JsonMethods.parse(text) \ "tables") match {
+      case JArray(ts) => ts.map { t =>
+        (t \ "name").extract[String] ->
+          (((t \ "dir").extract[String], (t \ "version").extract[Long]))
+      }.toMap
+      case _ => Map.empty
+    }
+  }
+
+  /** Read table `name` exactly as pin `pin` recorded it — snapshot-
+    * isolated via [[readVersion]], so the whole pinned table SET is
+    * immutable together.
+    */
+  def readPinned(spark: SparkSession, metaDir: String, pin: Long,
+      name: String): DataFrame = {
+    val (tdir, v) = pinnedVersions(spark, metaDir, pin).getOrElse(name,
+      throw new IllegalArgumentException(s"pin $pin at $metaDir has no table '$name'"))
+    readVersion(spark, tdir, v)
+  }
+
   /** Garbage-collect: keep the newest `keepLast` versions, delete
     * older manifests and every data file no kept manifest references.
     * Returns the number of data files deleted. This is the ONLY

@@ -58,6 +58,35 @@ class ApproxDistinctSpec extends SparkSpec {
     multi.collect().foreach(r => assert(r.getLong(1) == exact(r.getInt(0))))
   }
 
+  test("two single-column distincts: BOTH rewrite (no Expand), each estimate in band") {
+    // The rule runs in the operator-optimization batch, BEFORE
+    // RewriteDistinctAggregates expands multi-distinct plans — so a
+    // k-distinct aggregate is rewritten whole, trading the k+1-way
+    // Expand for k mergeable sketches in ONE hash aggregation. This
+    // pins that documented behavior.
+    val s = onSession()
+    import s.implicits._
+    def frame(ss: SparkSession) = {
+      import ss.implicits._
+      (1 to 24000).map(i => (i % 5, (i % 3000).toLong, (i % 700).toLong)).toDF("g", "a", "b")
+    }
+    val q = frame(s).groupBy($"g")
+      .agg(countDistinct($"a").as("nda"), countDistinct($"b").as("ndb"))
+    val opt = q.queryExecution.optimizedPlan.toString
+    assert("approx_count_distinct".r.findAllIn(opt).size == 2, s"expected 2 HLL++ aggs:\n$opt")
+    assert(!opt.toLowerCase.contains("distinct "), s"exact distinct survived:\n$opt")
+    assert(!q.queryExecution.executedPlan.toString.contains("Expand"),
+      "multi-distinct Expand survived the rewrite")
+    val exact = frame(spark).groupBy($"g")
+      .agg(countDistinct($"a").as("nda"), countDistinct($"b").as("ndb"))
+      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
+    q.collect().foreach { r =>
+      val (ea, eb) = exact(r.getInt(0))
+      assert(math.abs(r.getLong(1) - ea.toDouble) / ea < 0.2, s"a: est=${r.getLong(1)} exact=$ea")
+      assert(math.abs(r.getLong(2) - eb.toDouble) / eb < 0.2, s"b: est=${r.getLong(2)} exact=$eb")
+    }
+  }
+
   test("rsd conf tightens the sketch") {
     val s = onSession()
     s.conf.set(ApproxDistinctRewriteRule.RsdKey, "0.01")

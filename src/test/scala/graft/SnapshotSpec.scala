@@ -287,4 +287,96 @@ class SnapshotSpec extends SparkSpec {
       2L, Seq("id"), Some("is_deleted"), dir)
     assert(rows(Snapshot.read(spark, dir)).contains((6L, "f", 6.0)))
   }
+
+  private def fileSizes(paths: Seq[String]): Map[String, Long] =
+    paths.map { p =>
+      val local = p.stripPrefix("file:")
+      p -> new java.io.File(local).length()
+    }.toMap
+
+  test("optimize rewrites only the small-file residue; well-sized files carry over by reference; a no-op mints no version") {
+    import spark.implicits._
+    val dir = tmp() + "/t"
+    // one well-sized file + four tiny appended files (the streaming-ingest tail)
+    val big = (1L to 5000L).map(i => (i, s"n$i", i.toDouble)).toDF("id", "name", "score")
+    Snapshot.commit(spark, dir, big.repartition(1))                          // v1
+    (0 until 4).foreach { k =>
+      val tail = Seq((10000L + k, s"t$k", k.toDouble)).toDF("id", "name", "score")
+      Snapshot.append(spark, dir, tail.repartition(1))                       // v2..v5
+    }
+    val before = Snapshot.read(spark, dir).inputFiles.toSeq
+    assert(before.size == 5)
+    val sizes = fileSizes(before)
+    val bigPath = sizes.maxBy(_._2)._1
+    // threshold between the big file and the tail: exactly the 4 tiny files qualify
+    val v = Snapshot.optimize(spark, dir, smallBytes = sizes(bigPath)).get
+    assert(v == 6L)
+    val after = Snapshot.read(spark, dir).inputFiles.toSeq
+    assert(after.size == 2, s"expected big + 1 merged file, got ${after.size}")
+    assert(after.contains(bigPath), "well-sized file was rewritten instead of carried by reference")
+    assert(Snapshot.read(spark, dir).count() == 5004L)
+    assert(Snapshot.read(spark, dir).where(col("id") >= 10000L).count() == 4L)
+    // old version pinned pre-optimize still reads its exact file set
+    assert(Snapshot.readVersion(spark, dir, 5L).count() == 5004L)
+    val h = Snapshot.history(spark, dir).collect().last
+    assert(h.getLong(0) == 6L && h.getString(1) == "optimize")
+    // converged: only the merged residue remains below threshold → no-op, no version
+    assert(Snapshot.optimize(spark, dir, smallBytes = sizes(bigPath)).isEmpty)
+    assert(Snapshot.latestVersion(spark, dir).contains(6L))
+  }
+
+  test("optimize clusterBy restores data skipping over interleaved appends") {
+    import spark.implicits._
+    val dir = tmp() + "/t"
+    // 4 interleaved appends: every file's id range spans [1,400] →
+    // a selective predicate can prune NOTHING before optimize
+    (0 until 4).foreach { k =>
+      val slice = (1L to 400L).filter(_ % 4 == k)
+        .map(i => (i, s"n$i", i.toDouble)).toDF("id", "name", "score")
+      if (k == 0) Snapshot.commit(spark, dir, slice.repartition(1))
+      else Snapshot.append(spark, dir, slice.repartition(1))
+    }
+    val v0 = Snapshot.latestVersion(spark, dir).get
+    assert(Snapshot.candidateFilePaths(spark, dir, v0, col("id") <= 100L).size == 4,
+      "interleaved appends should defeat skipping before optimize")
+    val total = fileSizes(Snapshot.read(spark, dir).inputFiles.toSeq).values.sum
+    // target ≈ quarter of the residue → 4 range-disjoint output files
+    val v = Snapshot.optimize(spark, dir, targetBytes = math.max(1L, total / 4),
+      smallBytes = Long.MaxValue, clusterBy = Seq("id")).get
+    val kept = Snapshot.candidateFilePaths(spark, dir, v, col("id") <= 100L)
+    val all = Snapshot.candidateFilePaths(spark, dir, v, lit(true))
+    assert(all.size >= 3, s"expected multiple range-clustered files, got ${all.size}")
+    assert(kept.size < all.size,
+      s"clusterBy optimize should restore pruning: kept ${kept.size} of ${all.size}")
+    assert(Snapshot.read(spark, dir).count() == 400L)
+    assert(Snapshot.read(spark, dir).where(col("id") <= 100L).count() == 100L)
+  }
+
+  test("multi-table pin: one pin freezes a consistent set of table versions across later commits") {
+    import spark.implicits._
+    val root = tmp()
+    val (dirA, dirB, meta) = (root + "/a", root + "/b", root + "/meta")
+    Snapshot.commit(spark, dirA, base)                                       // a@v1
+    Snapshot.commit(spark, dirB,
+      Seq((1L, 100.0), (2L, 200.0)).toDF("id", "amount"))                    // b@v1
+    val pin1 = Snapshot.pinTables(spark, meta, Map("a" -> dirA, "b" -> dirB))
+    assert(pin1 == 1L)
+    // both tables move on
+    Snapshot.upsert(spark, dirA, Seq((2L, "b2", 20.0)).toDF("id", "name", "score"), Seq("id"))
+    Snapshot.commit(spark, dirB, Seq((1L, -1.0)).toDF("id", "amount"))
+    val pin2 = Snapshot.pinTables(spark, meta, Map("a" -> dirA, "b" -> dirB))
+    assert(Snapshot.pins(spark, meta) == Seq(1L, 2L))
+    assert(Snapshot.pinnedVersions(spark, meta, pin1) ==
+      Map("a" -> ((dirA, 1L)), "b" -> ((dirB, 1L))))
+    // pin 1 still reads the ORIGINAL pair — cross-table consistency
+    assert(rows(Snapshot.readPinned(spark, meta, pin1, "a")) == rows(base))
+    assert(Snapshot.readPinned(spark, meta, pin1, "b").agg(sum(col("amount")))
+      .collect().head.getDouble(0) == 300.0)
+    // pin 2 reads the current pair; a joined report over the pinned set is stable
+    assert(rows(Snapshot.readPinned(spark, meta, pin2, "a")).contains((2L, "b2", 20.0)))
+    assert(Snapshot.readPinned(spark, meta, pin2, "b").count() == 1L)
+    intercept[IllegalArgumentException] {
+      Snapshot.readPinned(spark, meta, pin1, "missing")
+    }
+  }
 }
