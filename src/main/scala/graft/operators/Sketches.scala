@@ -156,6 +156,30 @@ object Sketches {
       .orderBy(col("wend"))
   }
 
+  /** HLL set-cardinality estimates via inclusion–exclusion: |A|, |B|,
+    * and |A ∪ B| straight from sketch space (HLL unions losslessly),
+    * |A ∩ B| = |A| + |B| − |A ∪ B| clamped at 0. HLL cannot intersect
+    * in sketch space (theta can — [[thetaSetOps]] is the exact-algebra
+    * path); inclusion–exclusion is the standard workaround when only
+    * HLL state exists (e.g. pre-aggregated per-segment sketches from a
+    * metrics store), and its RELATIVE error grows as |A∪B|/|A∩B| —
+    * each estimate's absolute error scales with its own set's size,
+    * and the subtraction concentrates all three errors onto the
+    * (smaller) intersection. SketchSpec pins the bound.
+    */
+  def hllSetEstimates(df: DataFrame, key: String,
+      inA: Column, inB: Column, lgK: Int = 12): DataFrame =
+    df.withColumn("__in_a", inA).withColumn("__in_b", inB)
+      .agg(
+        expr(s"hll_sketch_agg(CASE WHEN __in_a THEN ${qid(key)} END, $lgK)").as("ska"),
+        expr(s"hll_sketch_agg(CASE WHEN __in_b THEN ${qid(key)} END, $lgK)").as("skb"))
+      .select(
+        expr("hll_sketch_estimate(ska)").as("approx_a"),
+        expr("hll_sketch_estimate(skb)").as("approx_b"),
+        expr("hll_sketch_estimate(hll_union(ska, skb))").as("approx_union"))
+      .withColumn("approx_intersect_ie",
+        greatest(col("approx_a") + col("approx_b") - col("approx_union"), lit(0L)))
+
   def thetaSetOps(df: DataFrame, key: String,
       inA: Column, inB: Column, lgK: Int = 12): DataFrame =
     df.withColumn("__in_a", inA).withColumn("__in_b", inB)

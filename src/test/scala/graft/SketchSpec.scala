@@ -106,6 +106,26 @@ class SketchSpec extends SparkSpec {
     ok(r.getAs[Long]("approx_a_minus_b").toDouble, (a -- b).size, "A\\B")
   }
 
+  test("hllSetEstimates: inclusion-exclusion intersection within 10% of exact; direct estimates within 5%") {
+    val dir = sf("events")
+    val ev = Tables(spark, dir, "events")
+    val r = Queries.sketchHllIe.fn(spark, dir).collect().head
+    val a = ev.filter(col("event_type") === "click")
+      .select(col("user_id")).distinct().collect().map(_.getLong(0)).toSet
+    val b = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id")).distinct().collect().map(_.getLong(0)).toSet
+    def ok(est: Double, ex: Int, tol: Double, what: String): Unit =
+      assert(ex == 0 || math.abs(est - ex) / ex <= tol, s"$what: $est vs $ex")
+    // HLL estimates |A|, |B|, |A∪B| directly (lgK=12 → ~1.6% rsd)
+    ok(r.getAs[Long]("approx_a").toDouble, a.size, 0.05, "A")
+    ok(r.getAs[Long]("approx_b").toDouble, b.size, 0.05, "B")
+    ok(r.getAs[Long]("approx_union").toDouble, (a ++ b).size, 0.05, "A∪B")
+    // the intersection inherits all three absolute errors — the IE
+    // premium the operator docstring warns about. Here |A∩B| is a
+    // large share of |A∪B|, so 10% is a sound ceiling.
+    ok(r.getAs[Long]("approx_intersect_ie").toDouble, (a & b).size, 0.10, "A∩B (IE)")
+  }
+
   test("kllQuantiles: merged p50 lands within 3% rank error of the distribution") {
     val dir = sf("lineitem")
     val li = Tables(spark, dir, "lineitem")
