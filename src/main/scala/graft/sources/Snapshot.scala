@@ -653,6 +653,38 @@ object Snapshot {
       kept ++ files, None, None, Some(prev)))
   }
 
+  /** Metadata-only maintenance report feeding [[optimize]]: a
+    * power-of-two size-class census of the latest version's files
+    * straight from the manifest — NO file or directory I/O (the
+    * q120_storage_report shape needs a `_metadata` scan because plain
+    * parquet has no manifest; a snapshot table answers from metadata
+    * alone, which at 100 TB is the difference between a driver-side
+    * lookup and a cluster job). One row per occupied size class with
+    * the would-rewrite flag at `smallBytes` and the projected
+    * post-optimize file count at `targetBytes` — exactly the inputs a
+    * scheduled-optimize decision needs.
+    */
+  def optimizeReport(spark: SparkSession, dir: String,
+      smallBytes: Long = 32L * 1024 * 1024,
+      targetBytes: Long = 128L * 1024 * 1024): DataFrame = {
+    import spark.implicits._
+    val prev = baseManifest(spark, dir).getOrElse(
+      throw new IllegalStateException(s"no committed version at $dir"))
+    val smallTotal = prev.files.filter(_.bytes < smallBytes).map(_.bytes).sum
+    val projected = math.max(1, math.ceil(smallTotal.toDouble / targetBytes).toInt)
+    prev.files
+      .map(e => (63 - java.lang.Long.numberOfLeadingZeros(math.max(1L, e.bytes)),
+        e.bytes, e.bytes < smallBytes))
+      .groupBy(t => (t._1, t._3)).toSeq
+      .map { case ((cls, rewrite), fs) =>
+        (cls, fs.size.toLong, fs.map(_._2).sum, rewrite,
+          if (rewrite && smallTotal > 0) projected.toLong else 0L)
+      }
+      .toDF("log2_size_class", "n_files", "bytes", "would_rewrite",
+        "projected_files_after")
+      .orderBy(col("log2_size_class"))
+  }
+
   // ---------------------------------------------------------------
   // multi-table consistent pins
   // ---------------------------------------------------------------

@@ -393,6 +393,45 @@ object Refresh {
     ()
   }
 
+  /** Streaming APPEND into a [[graft.sources.Snapshot]] table — the
+    * exactly-once ingest sink for insert-only streams (event logs,
+    * CDC-free fact feeds): each micro-batch becomes one `append`
+    * version (O(batch) I/O — previous files carry over by manifest
+    * reference), the batch id rides the manifest so skip check and
+    * data publish are one atomic rename, and every batch boundary is
+    * a time-travelable version. Pair with a scheduled
+    * [[graft.sources.Snapshot.optimize]] to fold the accumulated
+    * small-file tail back into well-sized, skippable files — the two
+    * halves of the standard streaming-table maintenance loop.
+    */
+  def snapshotAppend(rows: DataFrame, tableDir: String,
+      checkpointDir: String): StreamingQuery =
+    rows.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        applySnapshotAppendBatch(batch, batchId, tableDir)
+      }
+      .start()
+
+  /** One micro-batch of [[snapshotAppend]]: skip if THIS writer's
+    * manifest cursor already covers `batchId`, else append-commit a
+    * new version recording it.
+    */
+  def applySnapshotAppendBatch(batch: DataFrame, batchId: Long,
+      tableDir: String): Unit = {
+    val spark = batch.sparkSession
+    import graft.sources.Snapshot
+    val app = txnIdentity(spark)
+    if (Snapshot.lastTxn(spark, tableDir).exists { case (a, b) =>
+        a == app && b >= batchId }) return
+    if (batch.isEmpty) return // don't mint empty versions
+    if (Snapshot.latestVersion(spark, tableDir).isEmpty)
+      Snapshot.commit(spark, tableDir, batch, Some(batchId), Some(app))
+    else
+      Snapshot.append(spark, tableDir, batch, Some(batchId), Some(app))
+    ()
+  }
+
   /** Stream-stream interval join: each left event matched to right
     * events with the same key whose time is within
     * [leftTs - lookback, leftTs]. BOTH sides carry watermarks and the

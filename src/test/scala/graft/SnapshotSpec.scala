@@ -352,6 +352,28 @@ class SnapshotSpec extends SparkSpec {
     assert(Snapshot.read(spark, dir).where(col("id") <= 100L).count() == 100L)
   }
 
+  test("optimizeReport: metadata-only size census flags the small-file residue and projects the merge") {
+    import spark.implicits._
+    val dir = tmp() + "/t"
+    val big = (1L to 5000L).map(i => (i, s"n$i", i.toDouble)).toDF("id", "name", "score")
+    Snapshot.commit(spark, dir, big.repartition(1))
+    (0 until 3).foreach { k =>
+      Snapshot.append(spark, dir,
+        Seq((9000L + k, s"t$k", k.toDouble)).toDF("id", "name", "score").repartition(1))
+    }
+    val sizes = fileSizes(Snapshot.read(spark, dir).inputFiles.toSeq)
+    val bigBytes = sizes.values.max
+    val rep = Snapshot.optimizeReport(spark, dir,
+      smallBytes = bigBytes, targetBytes = 1L << 30).collect()
+    val (small, kept) = rep.partition(_.getAs[Boolean]("would_rewrite"))
+    assert(small.map(_.getAs[Long]("n_files")).sum == 3, rep.mkString("; "))
+    assert(kept.map(_.getAs[Long]("n_files")).sum == 1)
+    // 3 tiny files fold into ONE projected output at a 1 GiB target
+    assert(small.forall(_.getAs[Long]("projected_files_after") == 1L))
+    // the census is pure manifest metadata: bytes must reconcile with disk
+    assert(rep.map(_.getAs[Long]("bytes")).sum == sizes.values.sum)
+  }
+
   test("multi-table pin: one pin freezes a consistent set of table versions across later commits") {
     import spark.implicits._
     val root = tmp()
