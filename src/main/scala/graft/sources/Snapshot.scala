@@ -147,7 +147,7 @@ object Snapshot {
   def latestVersion(spark: SparkSession, dir: String): Option[Long] =
     versions(spark, dir).lastOption
 
-  private def readManifest(spark: SparkSession, dir: String, v: Long): Manifest = {
+  private[sources] def readManifest(spark: SparkSession, dir: String, v: Long): Manifest = {
     val f = fs(spark, dir)
     val p = new Path(new Path(dir, VersionsDir), manifestName(v))
     val in = f.open(p)

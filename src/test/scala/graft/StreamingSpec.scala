@@ -722,6 +722,63 @@ class StreamingSpec extends SparkSpec {
     assert(Snapshot.readVersion(spark, tbl, v1).count() == 2L)
   }
 
+  test("snapshot STREAMING SOURCE: offsets are versions; resume reads only new appends; a rewrite fails loudly unless skipRewrites") {
+    import graft.sources.Snapshot
+    import spark.implicits._
+    val root = tmp()
+    val tbl = s"$root/tbl"; val ck = s"$root/ck"
+    Snapshot.commit(spark, tbl, Seq((1L, "a"), (2L, "b")).toDF("id", "name"))   // v1
+    Snapshot.append(spark, tbl, Seq((3L, "c")).toDF("id", "name"))              // v2
+
+    val seen = scala.collection.mutable.ArrayBuffer[(Long, Set[Long])]()
+    def start() = spark.readStream.format("graft-snapshot").load(tbl)
+      .writeStream.option("checkpointLocation", ck)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        seen.synchronized {
+          seen += ((batchId, batch.select("id").collect().map(_.getLong(0)).toSet))
+        }
+        ()
+      }
+      .start()
+
+    // first run: one batch carrying ALL committed versions' rows
+    val q1 = start(); q1.processAllAvailable(); q1.stop()
+    assert(seen.flatMap(_._2).toSet == Set(1L, 2L, 3L), seen.toString)
+
+    // append while the stream is DOWN; restart resumes from the
+    // checkpointed version offset and reads ONLY the new rows
+    Snapshot.append(spark, tbl, Seq((4L, "d")).toDF("id", "name"))              // v3
+    seen.clear()
+    val q2 = start(); q2.processAllAvailable(); q2.stop()
+    assert(seen.flatMap(_._2).toSet == Set(4L), s"resume re-read old rows: $seen")
+
+    // a REWRITE version (upsert) cannot be represented as a row stream
+    Snapshot.upsert(spark, tbl, Seq((2L, "B2")).toDF("id", "name"), Seq("id"))  // v4
+    val q3 = start()
+    val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q3.processAllAvailable()
+    }
+    q3.stop()
+    assert(ex.getMessage.contains("rewrite") || Option(ex.getCause)
+      .exists(_.getMessage.contains("rewrite")), ex.getMessage)
+
+    // skipRewrites: maintenance versions pass silently, later appends flow
+    Snapshot.append(spark, tbl, Seq((5L, "e")).toDF("id", "name"))              // v5
+    seen.clear()
+    val q4 = spark.readStream.format("graft-snapshot")
+      .option("skipRewrites", "true").load(tbl)
+      .writeStream.option("checkpointLocation", ck)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        seen.synchronized {
+          seen += ((batchId, batch.select("id").collect().map(_.getLong(0)).toSet))
+        }
+        ()
+      }
+      .start()
+    q4.processAllAvailable(); q4.stop()
+    assert(seen.flatMap(_._2).toSet == Set(5L), s"skipRewrites emitted rewrite rows: $seen")
+  }
+
   test("END-TO-END: file stream → clean → bounded dedup → windowed agg → merge-on-write, across a crash-and-resume") {
     // The composition the r8 verdict flagged untested: every stage's
     // state (file-source offsets, dedup keys, window aggregates) lives
