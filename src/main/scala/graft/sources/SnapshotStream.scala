@@ -8,8 +8,8 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl}
 import org.apache.spark.sql.execution.datasources.PartitionedFile
 import org.apache.spark.sql.graft.ParquetReadBridge
 import org.apache.spark.sql.sources.DataSourceRegister
@@ -97,11 +97,19 @@ private final class SnapshotStreamTable(tableSchema: StructType, dir: String)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     val startLatest = "latest".equalsIgnoreCase(options.getOrDefault("startingVersion", ""))
     val skipRewrites = options.getBoolean("skipRewrites", false)
-    new ScanBuilder {
+    val maxVersions = options.getLong("maxVersionsPerBatch", Long.MaxValue)
+    require(maxVersions >= 1, s"maxVersionsPerBatch must be >= 1: $maxVersions")
+    // column pruning: the stream reads ONLY the projected columns off
+    // disk — on a wide 100 TB table the difference between tailing a
+    // few key columns and decoding every page of every row group
+    new ScanBuilder with SupportsPushDownRequiredColumns {
+      private var required: StructType = tableSchema
+      override def pruneColumns(requiredSchema: StructType): Unit =
+        required = requiredSchema
       override def build(): Scan = new Scan {
-        override def readSchema(): StructType = tableSchema
+        override def readSchema(): StructType = required
         override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-          new SnapshotMicroBatchStream(dir, tableSchema, startLatest, skipRewrites)
+          new SnapshotMicroBatchStream(dir, required, startLatest, skipRewrites, maxVersions)
       }
     }
   }
@@ -113,7 +121,8 @@ private final case class SnapshotOffset(v: Long) extends Offset {
 }
 
 private final class SnapshotMicroBatchStream(dir: String, schema: StructType,
-    startLatest: Boolean, skipRewrites: Boolean) extends MicroBatchStream {
+    startLatest: Boolean, skipRewrites: Boolean, maxVersions: Long)
+    extends MicroBatchStream with SupportsAdmissionControl {
 
   private def spark = SparkSession.active
 
@@ -123,6 +132,22 @@ private final class SnapshotMicroBatchStream(dir: String, schema: StructType,
 
   override def latestOffset(): Offset =
     SnapshotOffset(Snapshot.latestVersion(spark, dir).getOrElse(0L))
+
+  // admission control: a restart against a long-ingested table (or a
+  // from-genesis backfill) advances at most `maxVersionsPerBatch`
+  // versions per micro-batch instead of swallowing the whole history
+  // as one giant batch — bounded batch size, checkpointed progress
+  // after each slice
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val latest = Snapshot.latestVersion(spark, dir).getOrElse(0L)
+    val from = start.asInstanceOf[SnapshotOffset].v
+    // saturating: from + Long.MaxValue must not wrap
+    SnapshotOffset(if (latest - from <= maxVersions) latest else from + maxVersions)
+  }
+
+  override def reportLatestOffset(): Offset = latestOffset()
 
   override def deserializeOffset(json: String): Offset =
     SnapshotOffset(""""version"\s*:\s*(\d+)""".r.findFirstMatchIn(json)

@@ -779,6 +779,38 @@ class StreamingSpec extends SparkSpec {
     assert(seen.flatMap(_._2).toSet == Set(5L), s"skipRewrites emitted rewrite rows: $seen")
   }
 
+  test("snapshot source admission control + column pruning: maxVersionsPerBatch slices the backfill; the scan serves only projected columns") {
+    import graft.sources.Snapshot
+    import spark.implicits._
+    val root = tmp()
+    val tbl = s"$root/tbl"
+    Snapshot.commit(spark, tbl, Seq((1L, "a", 10.0)).toDF("id", "name", "score")) // v1
+    (2L to 4L).foreach(i =>
+      Snapshot.append(spark, tbl, Seq((i, s"n$i", i * 10.0)).toDF("id", "name", "score")))
+    // v1..v4 committed BEFORE the stream starts: an uncapped source
+    // would swallow all four as one batch; capped at 1 version/batch
+    // the backfill arrives as four checkpointed slices
+    val batches = scala.collection.mutable.ArrayBuffer[(Long, Seq[String], Set[Long])]()
+    val q = spark.readStream.format("graft-snapshot")
+      .option("maxVersionsPerBatch", "1").load(tbl)
+      .select(col("id")) // prune: name/score must never reach the scan output
+      .writeStream.option("checkpointLocation", s"$root/ck")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        batches.synchronized {
+          batches += ((batchId, batch.columns.toSeq,
+            batch.collect().map(_.getLong(0)).toSet))
+        }
+        ()
+      }
+      .start()
+    q.processAllAvailable(); q.stop()
+    val nonEmpty = batches.filter(_._3.nonEmpty)
+    assert(nonEmpty.size == 4, s"expected 4 one-version slices, got $batches")
+    assert(nonEmpty.map(_._3) == Seq(Set(1L), Set(2L), Set(3L), Set(4L)),
+      s"slices out of version order: $batches")
+    assert(batches.forall(_._2 == Seq("id")), s"pruning leaked columns: $batches")
+  }
+
   test("END-TO-END: file stream → clean → bounded dedup → windowed agg → merge-on-write, across a crash-and-resume") {
     // The composition the r8 verdict flagged untested: every stage's
     // state (file-source offsets, dedup keys, window aggregates) lives
