@@ -628,6 +628,13 @@ object Snapshot {
     * appends (each append's files overlap every other's key range; the
     * optimize output's don't).
     *
+    * `zorderBy`: the TWO-dimensional layout alternative — the residue
+    * is rewritten in Morton (Z-curve) order over the pair
+    * (operators.Layout.zorderBy), so BOTH columns' manifest min/max
+    * ranges tighten per file and a box predicate on either or both
+    * prunes; `clusterBy` only serves its leading column. Mutually
+    * exclusive with `clusterBy`.
+    *
     * Returns the committed version, or None when fewer than `minFiles`
     * files qualify — a no-op mints no version, so a cron-scheduled
     * optimize converges instead of rewriting the same bin forever.
@@ -636,7 +643,10 @@ object Snapshot {
       targetBytes: Long = 128L * 1024 * 1024,
       smallBytes: Long = 32L * 1024 * 1024,
       clusterBy: Seq[String] = Nil,
-      minFiles: Int = 2): Option[Long] = {
+      minFiles: Int = 2,
+      zorderBy: Option[(String, String)] = None): Option[Long] = {
+    require(clusterBy.isEmpty || zorderBy.isEmpty,
+      "optimize: clusterBy and zorderBy are mutually exclusive")
     val prev = baseManifest(spark, dir).getOrElse(
       throw new IllegalStateException(s"no committed version at $dir"))
     val (small, kept) = prev.files.partition(_.bytes < smallBytes)
@@ -644,10 +654,13 @@ object Snapshot {
     val schema = prev.schema
     val df0 = spark.read.schema(schema).parquet(small.map(e => s"$dir/${e.path}"): _*)
     val n = math.max(1, math.ceil(small.map(_.bytes).sum.toDouble / targetBytes).toInt)
-    val df =
-      if (clusterBy.isEmpty) df0.repartition(n)
-      else df0.repartitionByRange(n, clusterBy.map(col): _*)
-        .sortWithinPartitions(clusterBy.map(col): _*)
+    val df = zorderBy match {
+      case Some((a, b)) => graft.operators.Layout.zorderBy(df0, col(a), col(b), n)
+      case None =>
+        if (clusterBy.isEmpty) df0.repartition(n)
+        else df0.repartitionByRange(n, clusterBy.map(col): _*)
+          .sortWithinPartitions(clusterBy.map(col): _*)
+    }
     val files = writeDataFiles(spark, dir, df)
     Some(commitManifest(spark, dir, "optimize", prev.schemaDdl,
       kept ++ files, None, None, Some(prev)))
@@ -767,6 +780,18 @@ object Snapshot {
     }
   }
 
+  /** Every version of `tableDir` that ANY pin at `metaDir` still
+    * references — the retention input that makes [[vacuum]] pin-safe:
+    * `vacuum(spark, dir, keepLast, alsoKeep = pinnedVersionsOf(spark,
+    * metaDir, dir))`. O(pins) manifest-sized reads on the driver.
+    */
+  def pinnedVersionsOf(spark: SparkSession, metaDir: String,
+      tableDir: String): Set[Long] =
+    pins(spark, metaDir).flatMap(p =>
+      pinnedVersions(spark, metaDir, p).values.collect {
+        case (d, v) if d == tableDir => v
+      }).toSet
+
   /** Read table `name` exactly as pin `pin` recorded it — snapshot-
     * isolated via [[readVersion]], so the whole pinned table SET is
     * immutable together.
@@ -778,7 +803,9 @@ object Snapshot {
     readVersion(spark, tdir, v)
   }
 
-  /** Garbage-collect: keep the newest `keepLast` versions, delete
+  /** Garbage-collect: keep the newest `keepLast` versions (plus any in
+    * `alsoKeep` — feed [[pinnedVersionsOf]] here so multi-table pins
+    * and slow streaming consumers never lose their bytes), delete
     * older manifests and every data file no kept manifest references.
     * Returns the number of data files deleted. This is the ONLY
     * operation that removes bytes — retention policy is an explicit,
@@ -787,10 +814,12 @@ object Snapshot {
     * contract: retention defines how long time travel reaches back).
     */
   def vacuum(spark: SparkSession, dir: String, keepLast: Int = 2,
-      orphanGraceMs: Long = 24L * 3600 * 1000): Int = {
+      orphanGraceMs: Long = 24L * 3600 * 1000,
+      alsoKeep: Set[Long] = Set.empty): Int = {
     require(keepLast >= 1, s"keepLast must be >= 1: $keepLast")
     val vs = versions(spark, dir)
-    val (drop, keep) = vs.splitAt(math.max(0, vs.size - keepLast))
+    val keepSet = vs.takeRight(keepLast).toSet ++ alsoKeep
+    val (keep, drop) = vs.partition(keepSet.contains)
     val f = fs(spark, dir)
     val keepFiles = keep.flatMap(readManifest(spark, dir, _).files.map(_.path)).toSet
     val dropFiles = drop.flatMap(readManifest(spark, dir, _).files.map(_.path)).toSet -- keepFiles

@@ -374,6 +374,48 @@ class SnapshotSpec extends SparkSpec {
     assert(rep.map(_.getAs[Long]("bytes")).sum == sizes.values.sum)
   }
 
+  test("optimize zorderBy: a box predicate on BOTH dimensions prunes the rewritten residue") {
+    import spark.implicits._
+    val dir = tmp() + "/t"
+    // 32×32 grid arriving as 4 interleaved appends — no per-file
+    // locality in either dimension before optimize
+    (0 until 4).foreach { k =>
+      val slice = (0 until 1024).filter(_ % 4 == k)
+        .map(i => ((i % 32).toLong, (i / 32).toLong, i.toLong)).toDF("x", "y", "id")
+      if (k == 0) Snapshot.commit(spark, dir, slice.repartition(1))
+      else Snapshot.append(spark, dir, slice.repartition(1))
+    }
+    val total = fileSizes(Snapshot.read(spark, dir).inputFiles.toSeq).values.sum
+    val v = Snapshot.optimize(spark, dir, targetBytes = math.max(1L, total / 8),
+      smallBytes = Long.MaxValue, zorderBy = Some(("x", "y"))).get
+    val box = col("x") < 8L && col("y") < 8L
+    val all = Snapshot.candidateFilePaths(spark, dir, v, lit(true))
+    val kept = Snapshot.candidateFilePaths(spark, dir, v, box)
+    assert(all.size >= 4, s"expected several z-ordered files, got ${all.size}")
+    assert(kept.size < all.size,
+      s"z-order should prune the 2-D box: kept ${kept.size} of ${all.size}")
+    assert(Snapshot.read(spark, dir).where(box).count() == 64L)
+    assert(Snapshot.read(spark, dir).count() == 1024L)
+  }
+
+  test("pin-aware vacuum: alsoKeep = pinnedVersionsOf keeps a pinned version readable past the retention window") {
+    import spark.implicits._
+    val root = tmp()
+    val (dir, meta) = (root + "/t", root + "/meta")
+    Snapshot.commit(spark, dir, base)                                        // v1
+    Snapshot.append(spark, dir, Seq((5L, "e", 5.0)).toDF("id", "name", "score")) // v2
+    val pin = Snapshot.pinTables(spark, meta, Map("t" -> dir))               // pins v2
+    Snapshot.commit(spark, dir, base)                                        // v3
+    Snapshot.commit(spark, dir, base)                                        // v4
+    val keep = Snapshot.pinnedVersionsOf(spark, meta, dir)
+    assert(keep == Set(2L))
+    Snapshot.vacuum(spark, dir, keepLast = 1, alsoKeep = keep)
+    // the pinned version survives retention; unpinned history is gone
+    assert(Snapshot.readPinned(spark, meta, pin, "t").count() == 5L)
+    assert(Snapshot.versions(spark, dir) == Seq(2L, 4L))
+    intercept[Exception] { Snapshot.readVersion(spark, dir, 1L).count() }
+  }
+
   test("multi-table pin: one pin freezes a consistent set of table versions across later commits") {
     import spark.implicits._
     val root = tmp()
