@@ -1,7 +1,7 @@
 package graft.sources
 
 import org.apache.hadoop.fs.{FileStatus, FileSystem, Path}
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{And, Attribute, EqualNullSafe, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, In, IsNotNull, IsNull, LessThan, LessThanOrEqual, Literal, Or}
 import org.apache.spark.sql.execution.datasources.{FileIndex, HadoopFsRelation, PartitionDirectory}
@@ -32,12 +32,14 @@ import org.json4s.jackson.JsonMethods
   *   data/<commit-uuid>/part-*   immutable data files, one dir/commit
   * }}}
   *
-  * Manifest fields: version, op (init/replace/append/upsert/compact),
+  * Manifest fields: version, op (init/replace/append/upsert/delete/
+  * compact/optimize/restore),
   * schema (the snapshot's DDL — the source of truth for reads, so a
   * version whose file set mixes pre- and post-evolution files still
   * reads back with ONE schema, old files null-filled), files (each an
-  * object: table-root-relative path, bytes, rows, and per-column
-  * min/max/null-count statistics), batch_id (the streaming
+  * object: table-root-relative path, bytes, rows, per-column
+  * min/max/null-count statistics, and an optional `dv` deletion-vector
+  * reference — see Merge-on-read deletes below), batch_id (the streaming
   * micro-batch that produced the commit, null for batch ops),
   * last_batch_id (the running max across the table's history — the
   * exactly-once cursor for streaming sinks), ts_ms (monotone
@@ -59,6 +61,21 @@ import org.json4s.jackson.JsonMethods
   * out of the ~800k a 100 TB table holds. Evaluation is conservative:
   * any predicate shape or type the evaluator doesn't understand keeps
   * the file.
+  *
+  * ==Merge-on-read deletes (deletion vectors)==
+  *
+  * [[deleteWhere]] removes rows WITHOUT rewriting data files: matching
+  * (file, row-position) pairs are written to a deletion-vector parquet
+  * dataset and each partially-hit file carries a `dv` reference in the
+  * manifest (a file whose every row died is dropped outright —
+  * metadata-only). Readers remove deleted positions with one anti join
+  * ([[readEntries]]); files without a dv keep the exact pre-dv fast
+  * path. [[upsert]], [[compact]] and [[optimize]] materialize dvs away
+  * whenever they rewrite a file, and optimize treats EVERY dv'd file
+  * as residue — so routine maintenance bounds the anti join's right
+  * side. The copy-on-write/merge-on-read split mirrors what the
+  * production table formats converged on: upsert rewrites (it must
+  * produce merged rows anyway), delete defers.
   *
   * ==Concurrency==
   *
@@ -122,8 +139,16 @@ object Snapshot {
   private[sources] final case class ColStats(
       min: Option[String], max: Option[String], nulls: Long)
 
+  /** Merge-on-read deletion vector reference: `path` is the
+    * table-root-relative directory of a parquet dataset of
+    * (__dv_file, __dv_pos) rows naming deleted row positions;
+    * `deleted` is how many of THIS file's physical rows it marks.
+    */
+  private[sources] final case class DvRef(path: String, deleted: Long)
+
   private[sources] final case class FileEntry(
-      path: String, bytes: Long, rows: Long, stats: Map[String, ColStats])
+      path: String, bytes: Long, rows: Long, stats: Map[String, ColStats],
+      dv: Option[DvRef] = None)
 
   private[sources] final case class Manifest(version: Long, op: String,
       schemaDdl: String, files: Seq[FileEntry], batchId: Option[Long],
@@ -166,11 +191,18 @@ object Snapshot {
           }.toMap
           case _ => Map.empty[String, ColStats]
         }
+        val dv = (e \ "dv") match {
+          case o: JObject => Some(DvRef(
+            (o \ "path").extract[String],
+            (o \ "deleted").extractOrElse[Long](0L)))
+          case _ => None
+        }
         FileEntry(
           (e \ "path").extract[String],
           (e \ "bytes").extractOrElse[Long](0L),
           (e \ "rows").extractOrElse[Long](-1L),
-          stats)
+          stats,
+          dv)
       }
       case _ => Seq.empty
     }
@@ -213,6 +245,9 @@ object Snapshot {
         "path" -> JString(e.path),
         "bytes" -> JLong(e.bytes),
         "rows" -> JLong(e.rows),
+        "dv" -> e.dv.map(d => JObject(
+          "path" -> JString(d.path),
+          "deleted" -> JLong(d.deleted))).getOrElse(JNull),
         "stats" -> JObject(e.stats.toList.sortBy(_._1).map { case (c, s) =>
           c -> JObject(
             "min" -> s.min.map(JString(_)).getOrElse(JNull),
@@ -420,9 +455,18 @@ object Snapshot {
     */
   def readVersion(spark: SparkSession, dir: String, version: Long): DataFrame = {
     val m = readManifest(spark, dir, version)
-    val schema = m.schema
-    if (schema.isEmpty) return spark.emptyDataFrame
-    val index = new SnapshotFileIndex(dir, m.files, schema, m.tsMs)
+    readEntries(spark, dir, m.files, m.schema, m.tsMs)
+  }
+
+  private def baseName(rel: String): String =
+    rel.substring(rel.lastIndexOf('/') + 1)
+
+  /** Scan `entries` through the manifest-backed file index (stats
+    * pruning applies), IGNORING deletion vectors.
+    */
+  private def scanEntries(spark: SparkSession, dir: String,
+      entries: Seq[FileEntry], schema: StructType, tsMs: Long): DataFrame = {
+    val index = new SnapshotFileIndex(dir, entries, schema, tsMs)
     val relation = HadoopFsRelation(
       location = index,
       partitionSchema = new StructType(),
@@ -431,6 +475,42 @@ object Snapshot {
       fileFormat = new ParquetFileFormat(),
       options = Map.empty)(spark)
     spark.baseRelationToDataFrame(relation)
+  }
+
+  /** DV-aware snapshot scan. Files without a deletion vector take the
+    * unchanged fast path (one manifest-indexed scan — for a table with
+    * no deletes the plan is byte-identical to before DVs existed).
+    * Files WITH a DV are scanned with their `_metadata` row position
+    * and the deleted (file, position) pairs are removed by ONE
+    * left-anti join against the union of the referenced DV datasets.
+    *
+    * Soundness of reading the dv datasets UNFILTERED: part-file
+    * basenames are globally unique (every write job stamps its own
+    * UUID), and an entry only ever re-points to a SUPERSET dv (the
+    * delete merge unions old positions), so a stale dv row either
+    * names a basename no live file has or duplicates a pair the
+    * current dv already holds — it can never delete a live row of a
+    * different or rewritten file. Scale shape: the anti join's right
+    * side is O(deleted rows not yet materialized away); [[optimize]]
+    * and [[compact]] rewrite dv'd files and purge it to zero, which is
+    * the maintenance policy that bounds merge-on-read read cost.
+    */
+  private[sources] def readEntries(spark: SparkSession, dir: String,
+      entries: Seq[FileEntry], schema: StructType, tsMs: Long): DataFrame = {
+    if (schema.isEmpty) return spark.emptyDataFrame
+    val (dved, clean) = entries.partition(_.dv.isDefined)
+    val cleanDf = scanEntries(spark, dir, clean, schema, tsMs)
+    if (dved.isEmpty) return cleanDf
+    val dvDirs = dved.flatMap(_.dv.map(_.path)).distinct
+    val dv = spark.read.parquet(dvDirs.map(d => s"$dir/$d"): _*)
+    val scanned = scanEntries(spark, dir, dved, schema, tsMs)
+      .withColumn("__gf", element_at(split(col("_metadata.file_path"), "/"), -1))
+      .withColumn("__gp", col("_metadata.row_index"))
+    val alive = scanned.join(dv,
+        scanned("__gf") === dv("__dv_file") && scanned("__gp") === dv("__dv_pos"),
+        "left_anti")
+      .drop("__gf", "__gp")
+    if (clean.isEmpty) alive else cleanDf.unionByName(alive)
   }
 
   /** Read the latest committed version. */
@@ -586,13 +666,110 @@ object Snapshot {
     val base0 = if (touched.isEmpty) {
       // all-new keys: merge against an empty slice of the current schema
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], curSchema)
-    } else spark.read.schema(curSchema).parquet(touched.map(e => s"$dir/${e.path}"): _*)
+    } else
+      // DV-aware: a touched file's deleted rows must NOT be resurrected
+      // by the rewrite — and since the rewrite output is a fresh file
+      // set, the dv is materialized away for every touched file
+      readEntries(spark, dir, touched, curSchema, prev.tsMs)
     val base = addedCols.foldLeft(base0)((d, f) =>
       d.withColumn(f.name, lit(null).cast(f.dataType)))
     val merged = graft.operators.Merge.upsert(base, changes, keys, deleteCol)
     val newFiles = writeDataFiles(spark, dir, merged)
     commitManifest(spark, dir, "upsert", nullable(newSchema).toDDL,
       untouched ++ newFiles, batchId, txnApp, Some(prev))
+  }
+
+  /** MERGE-ON-READ DELETE: remove the rows matching `condition` from
+    * the latest version WITHOUT rewriting data files. Three narrowing
+    * steps decide each file's fate:
+    *
+    *   1. metadata-only — files whose manifest statistics prove the
+    *      predicate cannot match carry over untouched (the same
+    *      evaluator the read path's data skipping uses);
+    *   2. one scan over the surviving candidates records each matching
+    *      row's (file, position) into a deletion-vector parquet
+    *      dataset — O(candidate files) I/O, O(matched rows) output,
+    *      ZERO data-file rewrites (compare [[upsert]]'s copy-on-write,
+    *      which rewrites every touched file: a delete of 100 rows
+    *      spread over 100 128 MB files costs ~13 GB of rewrite under
+    *      copy-on-write and ~4 KB of dv under merge-on-read);
+    *   3. a file whose every physical row is now deleted is DROPPED
+    *      from the manifest outright (metadata-only full-file delete);
+    *      a partially-deleted file carries with a [[DvRef]], its old
+    *      dv positions (if any) UNIONED into the new dataset so each
+    *      entry always references one complete dv.
+    *
+    * Readers apply dvs as one anti join ([[readEntries]]); versions
+    * before the delete still read every row (time travel unaffected);
+    * [[upsert]]/[[compact]]/[[optimize]] materialize dvs away when
+    * they rewrite. Returns None (no version minted) when nothing
+    * matched — a cron'd retention delete converges like [[optimize]].
+    */
+  def deleteWhere(spark: SparkSession, dir: String, condition: Column,
+      batchId: Option[Long] = None, txnApp: Option[String] = None): Option[Long] = {
+    val prev = baseManifest(spark, dir).getOrElse(
+      throw new IllegalStateException(s"no committed version at $dir"))
+    val schema = prev.schema
+    val f = fs(spark, dir)
+
+    // -- step 1: metadata-only candidate pruning via the read path's
+    //    own stats evaluator (resolve the predicate against the scan) --
+    val resolved = readVersion(spark, dir, prev.version).filter(condition)
+      .queryExecution.optimizedPlan.collect {
+        case fl: org.apache.spark.sql.catalyst.plans.logical.Filter => fl.condition
+      }
+    val index = new SnapshotFileIndex(dir, prev.files, schema, prev.tsMs)
+    val candNames = index.listFiles(Nil, resolved)
+      .flatMap(_.files.map(_.getPath.getName)).toSet
+    val candidates = prev.files.filter(e => candNames.contains(baseName(e.path)))
+    if (candidates.isEmpty) return None
+
+    // -- step 2: one scan, matched (file, pos) pairs straight to disk.
+    //    Rows an existing dv already deleted may re-match; the union
+    //    below dedupes them, so no dv pre-filter is needed here. --
+    val cand = spark.read.schema(schema).parquet(candidates.map(e => s"$dir/${e.path}"): _*)
+    val matched = cand.filter(condition)
+      .select(element_at(split(col("_metadata.file_path"), "/"), -1).as("__dv_file"),
+        col("_metadata.row_index").as("__dv_pos"))
+    val rel1 = s"$DataDir/${java.util.UUID.randomUUID()}"
+    matched.write.mode(SaveMode.ErrorIfExists).parquet(s"$dir/$rel1")
+    val m1 = spark.read.parquet(s"$dir/$rel1")
+    val newCounts: Map[String, Long] = m1.groupBy(col("__dv_file")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    if (newCounts.isEmpty) { f.delete(new Path(s"$dir/$rel1"), true); return None }
+    val touchedNames = newCounts.keySet
+    val needMerge = candidates.filter(e =>
+      e.dv.isDefined && touchedNames.contains(baseName(e.path)))
+
+    // -- step 3: merge prior dvs of re-deleted files so every entry
+    //    references ONE complete dv dataset --
+    val (finalRel, finalDv) = if (needMerge.isEmpty) (rel1, m1) else {
+      import spark.implicits._
+      val names = needMerge.map(e => baseName(e.path)).toDF("__dv_file")
+      val old = spark.read.parquet(needMerge.flatMap(_.dv.map(d => s"$dir/${d.path}")).distinct: _*)
+        .join(names, Seq("__dv_file"), "left_semi")
+      val rel2 = s"$DataDir/${java.util.UUID.randomUUID()}"
+      m1.unionByName(old).distinct().write.mode(SaveMode.ErrorIfExists).parquet(s"$dir/$rel2")
+      f.delete(new Path(s"$dir/$rel1"), true)
+      (rel2, spark.read.parquet(s"$dir/$rel2"))
+    }
+    val totals: Map[String, Long] = finalDv.groupBy(col("__dv_file")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+
+    val files = prev.files.flatMap { e =>
+      val name = baseName(e.path)
+      if (!touchedNames.contains(name)) Some(e)
+      else {
+        val deleted = totals(name)
+        if (e.rows >= 0 && deleted >= e.rows) None // whole file dead: drop it
+        else Some(e.copy(dv = Some(DvRef(finalRel, deleted))))
+      }
+    }
+    // every touched file fully dropped → the dv dataset is unreferenced
+    if (!files.exists(_.dv.exists(_.path == finalRel)))
+      f.delete(new Path(s"$dir/$finalRel"), true)
+    Some(commitManifest(spark, dir, "delete", prev.schemaDdl, files,
+      batchId, txnApp, Some(prev)))
   }
 
   /** Compact the LATEST version's files toward `targetBytes` each and
@@ -609,6 +786,21 @@ object Snapshot {
     val df = readVersion(spark, dir, prev.version).repartition(n)
     val files = writeDataFiles(spark, dir, df)
     commitManifest(spark, dir, "compact", prev.schemaDdl, files, None, None, Some(prev))
+  }
+
+  /** RESTORE: make the table's next version an exact replay of
+    * `toVersion`'s file set (dv refs included) — rolling back a bad
+    * write is a METADATA-ONLY commit, zero data I/O, and the bad
+    * versions stay readable for forensics until [[vacuum]] reclaims
+    * them. `toVersion` must still be retained. The base is pinned like
+    * every other commit, so a restore racing a writer loses cleanly.
+    */
+  def restore(spark: SparkSession, dir: String, toVersion: Long): Long = {
+    val prev = baseManifest(spark, dir).getOrElse(
+      throw new IllegalStateException(s"no committed version at $dir"))
+    val target = readManifest(spark, dir, toVersion)
+    commitManifest(spark, dir, "restore", target.schemaDdl, target.files,
+      None, None, Some(prev))
   }
 
   /** OPTIMIZE-style maintenance policy: rewrite ONLY the small files
@@ -649,10 +841,13 @@ object Snapshot {
       "optimize: clusterBy and zorderBy are mutually exclusive")
     val prev = baseManifest(spark, dir).getOrElse(
       throw new IllegalStateException(s"no committed version at $dir"))
-    val (small, kept) = prev.files.partition(_.bytes < smallBytes)
+    // dv'd files join the residue regardless of size: OPTIMIZE is the
+    // maintenance pass that PURGES deletion vectors (rewriting the file
+    // without its deleted rows), restoring the no-anti-join fast read
+    val (small, kept) = prev.files.partition(e => e.bytes < smallBytes || e.dv.isDefined)
     if (small.size < minFiles) return None
     val schema = prev.schema
-    val df0 = spark.read.schema(schema).parquet(small.map(e => s"$dir/${e.path}"): _*)
+    val df0 = readEntries(spark, dir, small, schema, prev.tsMs)
     val n = math.max(1, math.ceil(small.map(_.bytes).sum.toDouble / targetBytes).toInt)
     val df = zorderBy match {
       case Some((a, b)) => graft.operators.Layout.zorderBy(df0, col(a), col(b), n)
@@ -821,8 +1016,19 @@ object Snapshot {
     val keepSet = vs.takeRight(keepLast).toSet ++ alsoKeep
     val (keep, drop) = vs.partition(keepSet.contains)
     val f = fs(spark, dir)
-    val keepFiles = keep.flatMap(readManifest(spark, dir, _).files.map(_.path)).toSet
-    val dropFiles = drop.flatMap(readManifest(spark, dir, _).files.map(_.path)).toSet -- keepFiles
+    // A manifest references data files by exact path and dv DATASETS by
+    // directory; expand each referenced dv dir to its files once so the
+    // keep/drop/orphan logic stays file-granular throughout.
+    def expandDvDirs(rels: Set[String]): Set[String] = rels.flatMap { rel =>
+      val p = new Path(s"$dir/$rel")
+      if (!f.exists(p)) Set.empty[String]
+      else f.listStatus(p).toSeq.filter(_.isFile)
+        .map(s => s"$rel/${s.getPath.getName}").toSet
+    }
+    def manifestPaths(m: Manifest): Set[String] =
+      m.files.map(_.path).toSet ++ expandDvDirs(m.files.flatMap(_.dv.map(_.path)).toSet)
+    val keepFiles = keep.flatMap(v => manifestPaths(readManifest(spark, dir, v))).toSet
+    val dropFiles = drop.flatMap(v => manifestPaths(readManifest(spark, dir, v))).toSet -- keepFiles
     dropFiles.foreach(rel => f.delete(new Path(s"$dir/$rel"), false))
     drop.foreach(v => f.delete(new Path(new Path(dir, VersionsDir), manifestName(v)), false))
     // Orphan sweep: data files referenced by NO manifest at all — the
@@ -833,7 +1039,7 @@ object Snapshot {
     // is never collected — the same mtime-retention rule table
     // formats use.
     val referenced = versions(spark, dir)
-      .flatMap(readManifest(spark, dir, _).files.map(_.path)).toSet
+      .flatMap(v => manifestPaths(readManifest(spark, dir, v))).toSet
     val dataRoot = new Path(dir, DataDir)
     val cutoff = System.currentTimeMillis() - orphanGraceMs
     val orphans =

@@ -443,4 +443,130 @@ class SnapshotSpec extends SparkSpec {
       Snapshot.readPinned(spark, meta, pin1, "missing")
     }
   }
+
+  // ---------------------------------------------------------------
+  // merge-on-read deletion vectors + restore
+  // ---------------------------------------------------------------
+
+  private def manifestText(dir: String, v: Long): String = {
+    val f = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val p = new org.apache.hadoop.fs.Path(s"$dir/_versions/" + f"v$v%09d.json")
+    val in = f.open(p)
+    try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+  }
+
+  private def dataPartFiles(dir: String, v: Long): Set[String] =
+    "\"(data/[^\"]*part-[^\"]+)\"".r.findAllMatchIn(manifestText(dir, v))
+      .map(_.group(1)).toSet
+
+  test("deleteWhere is merge-on-read: zero data files rewritten, read excludes the rows, time travel unaffected") {
+    val dir = tmp() + "/t"
+    Snapshot.commit(spark, dir, base.repartition(2, col("id") % 2)) // v1: two files
+    val v = Snapshot.deleteWhere(spark, dir, col("id") === 1L)
+    assert(v.contains(2L))
+    // every v1 data file carries into v2 BY REFERENCE — merge-on-read
+    assert(dataPartFiles(dir, 1L) == dataPartFiles(dir, 2L),
+      "deleteWhere rewrote a data file — not merge-on-read")
+    assert(manifestText(dir, 2L).contains("\"dv\":{\"path\""))
+    assert(rows(Snapshot.read(spark, dir)) ==
+      Set((2L, "b", 2.0), (3L, "c", 3.0), (4L, "d", 4.0)))
+    // version 1 still reads every row
+    assert(rows(Snapshot.readVersion(spark, dir, 1L)) == rows(base))
+    // pushed predicates still work through the dv anti join
+    assert(rows(Snapshot.read(spark, dir).where(col("id") <= 2L)) ==
+      Set((2L, "b", 2.0)))
+    // a delete matching nothing mints no version
+    assert(Snapshot.deleteWhere(spark, dir, col("id") === 99L).isEmpty)
+    assert(Snapshot.versions(spark, dir) == Seq(1L, 2L))
+  }
+
+  test("deleteWhere drops a fully-dead file from the manifest outright (metadata-only)") {
+    val dir = tmp() + "/t"
+    // range layout: file [1,2] and file [3,4]
+    Snapshot.commit(spark, dir, base.repartitionByRange(2, col("id")))
+    Snapshot.deleteWhere(spark, dir, col("id") <= 2L) // kills the whole low file
+    val h = Snapshot.history(spark, dir).collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+    assert(h(2L) == 1L, s"expected the dead file dropped, manifest has ${h(2L)} files")
+    // the surviving file is untouched and carries NO dv (its rows all live —
+    // the delete's stats pruning never even scanned it)
+    assert(!manifestText(dir, 2L).contains("\"dv\":{"))
+    assert(rows(Snapshot.read(spark, dir)) == Set((3L, "c", 3.0), (4L, "d", 4.0)))
+  }
+
+  test("a second delete on the same file merges the dv (old positions union new)") {
+    val dir = tmp() + "/t"
+    Snapshot.commit(spark, dir, base.repartition(1))
+    Snapshot.deleteWhere(spark, dir, col("id") === 1L) // v2: dv {1}
+    Snapshot.deleteWhere(spark, dir, col("id") === 3L) // v3: dv {1, 3} merged
+    assert(manifestText(dir, 3L).contains("\"deleted\":2"))
+    assert(rows(Snapshot.read(spark, dir)) == Set((2L, "b", 2.0), (4L, "d", 4.0)))
+    // intermediate version sees only the first delete
+    assert(rows(Snapshot.readVersion(spark, dir, 2L)) ==
+      Set((2L, "b", 2.0), (3L, "c", 3.0), (4L, "d", 4.0)))
+  }
+
+  test("upsert on a dv'd file does not resurrect deleted rows and materializes the dv away") {
+    import spark.implicits._
+    val dir = tmp() + "/t"
+    Snapshot.commit(spark, dir, base.repartition(1))
+    Snapshot.deleteWhere(spark, dir, col("id") === 1L)
+    Snapshot.upsert(spark, dir,
+      Seq((3L, "c2", 30.0)).toDF("id", "name", "score"), Seq("id"))
+    assert(rows(Snapshot.read(spark, dir)) ==
+      Set((2L, "b", 2.0), (3L, "c2", 30.0), (4L, "d", 4.0)))
+    assert(!manifestText(dir, 3L).contains("\"dv\":{"),
+      "rewrite must purge the deletion vector")
+  }
+
+  test("optimize treats every dv'd file as residue and purges its deletion vector") {
+    val dir = tmp() + "/t"
+    Snapshot.commit(spark, dir, base.repartition(2, col("id") % 2))
+    Snapshot.deleteWhere(spark, dir, col("id") === 1L)
+    // smallBytes = 0: nothing qualifies by size — dv'd files must still rewrite
+    val v = Snapshot.optimize(spark, dir, smallBytes = 0L, minFiles = 1)
+    assert(v.contains(3L))
+    assert(!manifestText(dir, 3L).contains("\"dv\":{"))
+    assert(rows(Snapshot.read(spark, dir)) ==
+      Set((2L, "b", 2.0), (3L, "c", 3.0), (4L, "d", 4.0)))
+  }
+
+  test("vacuum keeps dv datasets of retained versions and sweeps them once unreferenced") {
+    val dir = tmp() + "/t"
+    Snapshot.commit(spark, dir, base.repartition(1))          // v1
+    Snapshot.deleteWhere(spark, dir, col("id") === 1L)        // v2: dv
+    val dvDir = "\"dv\":\\{\"path\":\"(data/[^\"]+)\"".r
+      .findFirstMatchIn(manifestText(dir, 2L)).get.group(1)
+    Snapshot.compact(spark, dir, targetBytes = Long.MaxValue) // v3: dv-free
+    Snapshot.vacuum(spark, dir, keepLast = 2, orphanGraceMs = 0L) // drops v1 only
+    val f = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(f.exists(new org.apache.hadoop.fs.Path(s"$dir/$dvDir")),
+      "vacuum swept a dv dataset still referenced by a retained version")
+    assert(rows(Snapshot.readVersion(spark, dir, 2L)) ==
+      Set((2L, "b", 2.0), (3L, "c", 3.0), (4L, "d", 4.0)))
+    Snapshot.vacuum(spark, dir, keepLast = 1, orphanGraceMs = 0L) // drops v2
+    assert(!f.exists(new org.apache.hadoop.fs.Path(s"$dir/$dvDir")),
+      "vacuum kept an unreferenced dv dataset")
+    assert(rows(Snapshot.read(spark, dir)) ==
+      Set((2L, "b", 2.0), (3L, "c", 3.0), (4L, "d", 4.0)))
+  }
+
+  test("restore rolls the table back as a metadata-only commit; the rolled-back versions stay readable") {
+    import spark.implicits._
+    val dir = tmp() + "/t"
+    Snapshot.commit(spark, dir, base)                                           // v1
+    Snapshot.upsert(spark, dir,
+      Seq((1L, "bad", -1.0)).toDF("id", "name", "score"), Seq("id"))            // v2
+    val before = dataPartFiles(dir, 1L) ++ dataPartFiles(dir, 2L)
+    val v3 = Snapshot.restore(spark, dir, 1L)
+    assert(v3 == 3L)
+    // metadata-only: v3 references exactly v1's files, nothing new written
+    assert(dataPartFiles(dir, 3L) == dataPartFiles(dir, 1L))
+    assert((dataPartFiles(dir, 3L) -- before).isEmpty)
+    assert(rows(Snapshot.read(spark, dir)) == rows(base))
+    // the bad version is still there for forensics
+    assert(rows(Snapshot.readVersion(spark, dir, 2L)).contains((1L, "bad", -1.0)))
+    assert(Snapshot.history(spark, dir).collect().map(_.getString(1)).last == "restore")
+  }
 }
