@@ -28,7 +28,15 @@ import org.json4s.jackson.JsonMethods
   *
   * Layout under the table root:
   * {{{
-  *   _versions/v000000001.json   one manifest per committed version
+  *   _versions/v000000001.json   one version file per commit: v1 (and
+  *                               legacy manifests) carry the full file
+  *                               listing; later versions are DELTAS
+  *                               (add/remove/setdv actions) — O(that
+  *                               commit's changes), never O(table)
+  *   _versions/c000000010.json   checkpoint sidecar every
+  *                               CheckpointInterval-th version: the
+  *                               full materialized listing, bounding
+  *                               every reader's reconstruction chain
   *   data/<commit-uuid>/part-*   immutable data files, one dir/commit
   * }}}
   *
@@ -99,10 +107,17 @@ import org.json4s.jackson.JsonMethods
   * conditional-put primitive (S3 `If-None-Match`, GCS preconditions)
   * or an external lock — the same LogStore seam Delta Lake uses.
   *
-  * Scale shape: manifests are O(files) text on the driver — at 100 TB
-  * with 128 MB files that's ~800k entries per manifest, a few tens of
-  * MB of metadata, read once per query plan (the same order as a
-  * Hadoop directory listing, but consistent). [[upsert]] is
+  * Scale shape: COMMIT metadata is O(that commit's changes) — an
+  * append to a ~800k-file 100 TB table writes a delta of its new
+  * entries (hundreds of bytes), not a 40 MB full listing; the full
+  * listing is only materialized by the every-CheckpointInterval-th
+  * checkpoint, amortizing the O(files) serialization to 1/interval of
+  * commits. READ-side resolution is one checkpoint (a few tens of MB
+  * at 800k entries, the same order as a Hadoop directory listing but
+  * consistent) plus ≤ interval−1 small deltas, once per query plan.
+  * The in-memory file list an operation manipulates is still O(files)
+  * driver heap — ~100 MB of FileEntry objects at 800k files, the same
+  * envelope every manifest-based format's driver carries. [[upsert]] is
   * file-granular copy-on-write: candidate files come from the
   * manifest's key-range statistics (metadata-only), then one
   * `_metadata.file_path` semi-join over just the candidates pins the
@@ -172,15 +187,42 @@ object Snapshot {
   def latestVersion(spark: SparkSession, dir: String): Option[Long] =
     versions(spark, dir).lastOption
 
-  private[sources] def readManifest(spark: SparkSession, dir: String, v: Long): Manifest = {
-    val f = fs(spark, dir)
-    val p = new Path(new Path(dir, VersionsDir), manifestName(v))
+  /** A version file is a DELTA (add/remove/setdv actions against the
+    * previous version) except v1 and legacy manifests, which carry the
+    * full `files` listing. Every [[CheckpointInterval]]-th commit also
+    * writes a sidecar checkpoint (`cNNNNNNNNN.json`, the full
+    * materialized listing), so reconstruction reads one checkpoint
+    * plus at most CheckpointInterval−1 O(changes)-sized deltas. This
+    * is what bounds commit metadata at scale: a single append to a
+    * ~800k-file 100 TB table writes an O(1)-entry delta (~hundreds of
+    * bytes), not an O(files) ~40 MB listing — the same write-
+    * amplification fix the production table formats' delta-log /
+    * snapshot-avro designs exist for.
+    */
+  private[graft] val CheckpointInterval = 10L
+
+  private def checkpointName(v: Long): String = f"c$v%09d.json"
+
+  private def readJson(f: FileSystem, p: Path): JValue = {
     val in = f.open(p)
     val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
       finally in.close()
+    JsonMethods.parse(text)
+  }
+
+  private def parseDv(o: JValue): Option[DvRef] = {
     implicit val fmts: Formats = DefaultFormats
-    val j = JsonMethods.parse(text)
-    val files = (j \ "files") match {
+    o match {
+      case obj: JObject => Some(DvRef(
+        (obj \ "path").extract[String],
+        (obj \ "deleted").extractOrElse[Long](0L)))
+      case _ => None
+    }
+  }
+
+  private def parseEntries(j: JValue): Seq[FileEntry] = {
+    implicit val fmts: Formats = DefaultFormats
+    j match {
       case JArray(entries) => entries.map { e =>
         val stats = (e \ "stats") match {
           case JObject(fields) => fields.map { case (name, s) =>
@@ -191,21 +233,22 @@ object Snapshot {
           }.toMap
           case _ => Map.empty[String, ColStats]
         }
-        val dv = (e \ "dv") match {
-          case o: JObject => Some(DvRef(
-            (o \ "path").extract[String],
-            (o \ "deleted").extractOrElse[Long](0L)))
-          case _ => None
-        }
         FileEntry(
           (e \ "path").extract[String],
           (e \ "bytes").extractOrElse[Long](0L),
           (e \ "rows").extractOrElse[Long](-1L),
           stats,
-          dv)
+          parseDv(e \ "dv"))
       }
       case _ => Seq.empty
     }
+  }
+
+  /** Build a Manifest from a version/checkpoint file's scalar fields
+    * plus an already-resolved file list.
+    */
+  private def manifestOf(j: JValue, files: Seq[FileEntry]): Manifest = {
+    implicit val fmts: Formats = DefaultFormats
     Manifest(
       (j \ "version").extract[Long],
       (j \ "op").extract[String],
@@ -218,6 +261,56 @@ object Snapshot {
       (j \ "ts_ms").extract[Long])
   }
 
+  /** Replay one delta on top of the previous version's state. */
+  private def applyDelta(m: Manifest, j: JValue): Manifest = {
+    implicit val fmts: Formats = DefaultFormats
+    val removed: Set[String] = (j \ "remove") match {
+      case JArray(xs) => xs.map(_.extract[String]).toSet
+      case _ => Set.empty
+    }
+    val setdv: Map[String, Option[DvRef]] = (j \ "setdv") match {
+      case JArray(xs) => xs.map { x =>
+        (x \ "path").extract[String] -> parseDv(x \ "dv")
+      }.toMap
+      case _ => Map.empty
+    }
+    val carried = m.files.filterNot(e => removed.contains(e.path))
+      .map(e => setdv.get(e.path).fold(e)(dv => e.copy(dv = dv)))
+    manifestOf(j, carried ++ parseEntries(j \ "add"))
+  }
+
+  /** Resolve version `v`'s full manifest: walk back to the nearest
+    * full state (a checkpoint sidecar, or a version file carrying a
+    * full listing — v1 and legacy manifests), then replay the deltas
+    * forward. O(1) checkpoint read + ≤ CheckpointInterval−1 delta
+    * reads, each O(that commit's changes).
+    */
+  private[sources] def readManifest(spark: SparkSession, dir: String, v: Long): Manifest = {
+    val f = fs(spark, dir)
+    val vd = new Path(dir, VersionsDir)
+    var deltas = List.empty[JValue]
+    var state: Option[Manifest] = None
+    var w = v
+    while (state.isEmpty) {
+      val cp = new Path(vd, checkpointName(w))
+      if (f.exists(cp)) {
+        val j = readJson(f, cp)
+        state = Some(manifestOf(j, parseEntries(j \ "files")))
+      } else {
+        val p = new Path(vd, manifestName(w))
+        if (!f.exists(p)) throw new IllegalStateException(
+          s"cannot reconstruct version $v at $dir: version file $w is gone " +
+            "(vacuumed?) and no checkpoint covers the gap")
+        val j = readJson(f, p)
+        (j \ "files") match {
+          case JArray(_) => state = Some(manifestOf(j, parseEntries(j \ "files")))
+          case _ => deltas ::= j; w -= 1
+        }
+      }
+    }
+    deltas.foldLeft(state.get)(applyDelta)
+  }
+
   /** The single-winner publish primitive: promote `tmp` to `target`
     * atomically, failing (false) when `target` already exists. The
     * implementation is `FileSystem.rename`, whose no-overwrite
@@ -228,42 +321,85 @@ object Snapshot {
   private def conditionalPublish(f: FileSystem, tmp: Path, target: Path): Boolean =
     !f.exists(target) && f.rename(tmp, target)
 
-  private def writeManifest(spark: SparkSession, dir: String, m: Manifest): Unit = {
+  private def dvJson(dv: Option[DvRef]): JValue =
+    dv.map(d => JObject(
+      "path" -> JString(d.path),
+      "deleted" -> JLong(d.deleted))).getOrElse(JNull)
+
+  private def entryJson(e: FileEntry): JObject = JObject(
+    "path" -> JString(e.path),
+    "bytes" -> JLong(e.bytes),
+    "rows" -> JLong(e.rows),
+    "dv" -> dvJson(e.dv),
+    "stats" -> JObject(e.stats.toList.sortBy(_._1).map { case (c, s) =>
+      c -> JObject(
+        "min" -> s.min.map(JString(_)).getOrElse(JNull),
+        "max" -> s.max.map(JString(_)).getOrElse(JNull),
+        "nulls" -> JLong(s.nulls))
+    }))
+
+  private def scalarFields(m: Manifest): List[(String, JValue)] = List(
+    "version" -> JLong(m.version),
+    "op" -> JString(m.op),
+    "schema" -> JString(m.schemaDdl),
+    "batch_id" -> m.batchId.map(JLong(_)).getOrElse(JNull),
+    "last_batch_id" -> m.lastBatchId.map(JLong(_)).getOrElse(JNull),
+    "txn_app" -> m.txnApp.map(JString(_)).getOrElse(JNull),
+    "txn_batch" -> m.txnBatch.map(JLong(_)).getOrElse(JNull),
+    "ts_ms" -> JLong(m.tsMs))
+
+  /** Stage `json` to a temp name and promote it to `name` with the
+    * single-winner primitive; CME on losing the race.
+    */
+  private def publishJson(spark: SparkSession, dir: String, name: String,
+      json: JValue): Unit = {
     val f = fs(spark, dir)
     val vd = new Path(dir, VersionsDir)
     f.mkdirs(vd)
-    val json = JsonMethods.compact(JsonMethods.render(JObject(
-      "version" -> JLong(m.version),
-      "op" -> JString(m.op),
-      "schema" -> JString(m.schemaDdl),
-      "batch_id" -> m.batchId.map(JLong(_)).getOrElse(JNull),
-      "last_batch_id" -> m.lastBatchId.map(JLong(_)).getOrElse(JNull),
-      "txn_app" -> m.txnApp.map(JString(_)).getOrElse(JNull),
-      "txn_batch" -> m.txnBatch.map(JLong(_)).getOrElse(JNull),
-      "ts_ms" -> JLong(m.tsMs),
-      "files" -> JArray(m.files.toList.map(e => JObject(
-        "path" -> JString(e.path),
-        "bytes" -> JLong(e.bytes),
-        "rows" -> JLong(e.rows),
-        "dv" -> e.dv.map(d => JObject(
-          "path" -> JString(d.path),
-          "deleted" -> JLong(d.deleted))).getOrElse(JNull),
-        "stats" -> JObject(e.stats.toList.sortBy(_._1).map { case (c, s) =>
-          c -> JObject(
-            "min" -> s.min.map(JString(_)).getOrElse(JNull),
-            "max" -> s.max.map(JString(_)).getOrElse(JNull),
-            "nulls" -> JLong(s.nulls))
-        })))))))
     val tmp = new Path(vd, s".tmp-${java.util.UUID.randomUUID()}")
     val out = f.create(tmp, false)
-    try out.write(json.getBytes("UTF-8")) finally out.close()
-    val target = new Path(vd, manifestName(m.version))
-    if (!conditionalPublish(f, tmp, target)) {
+    try out.write(JsonMethods.compact(JsonMethods.render(json)).getBytes("UTF-8"))
+      finally out.close()
+    if (!conditionalPublish(f, tmp, new Path(vd, name))) {
       f.delete(tmp, false)
       throw new java.util.ConcurrentModificationException(
-        s"version ${m.version} already committed at $dir — re-read latest and retry")
+        s"$name already committed at $dir — re-read latest and retry")
     }
   }
+
+  /** Write a FULL version file (v1 / the legacy-compatible shape). */
+  private def writeManifest(spark: SparkSession, dir: String, m: Manifest): Unit =
+    publishJson(spark, dir, manifestName(m.version), JObject(
+      scalarFields(m) :+ ("files" -> JArray(m.files.toList.map(entryJson)))))
+
+  /** Write version `m` as a DELTA against `base`: only added entries,
+    * removed paths, and dv re-pointings are serialized — O(this
+    * commit's changes) metadata, never O(table files).
+    */
+  private def writeDelta(spark: SparkSession, dir: String, m: Manifest,
+      base: Manifest): Unit = {
+    val baseByPath = base.files.map(e => e.path -> e).toMap
+    val newPaths = m.files.map(_.path).toSet
+    val added = m.files.filter(e => !baseByPath.contains(e.path))
+    val removed = base.files.collect { case e if !newPaths.contains(e.path) => e.path }
+    val setdv = m.files.filter(e => baseByPath.get(e.path).exists(_.dv != e.dv))
+    publishJson(spark, dir, manifestName(m.version), JObject(
+      scalarFields(m) ++ List(
+        "add" -> JArray(added.toList.map(entryJson)),
+        "remove" -> JArray(removed.toList.map(JString(_))),
+        "setdv" -> JArray(setdv.toList.map(e => JObject(
+          "path" -> JString(e.path),
+          "dv" -> dvJson(e.dv)))))))
+  }
+
+  /** Materialize `m` as a checkpoint sidecar. Idempotent: the content
+    * for a given version is deterministic, so losing the publish race
+    * to another writer of the SAME checkpoint is success.
+    */
+  private def writeCheckpoint(spark: SparkSession, dir: String, m: Manifest): Unit =
+    try publishJson(spark, dir, checkpointName(m.version), JObject(
+      scalarFields(m) :+ ("files" -> JArray(m.files.toList.map(entryJson)))))
+    catch { case _: java.util.ConcurrentModificationException => () }
 
   // ---------------------------------------------------------------
   // statistics encoding
@@ -387,7 +523,15 @@ object Snapshot {
     // ts_ms is monotone non-decreasing across versions (clock skew or
     // sub-ms commits otherwise break readAsOf's binary search)
     val ts = math.max(System.currentTimeMillis(), base.map(_.tsMs + 1).getOrElse(0L))
-    writeManifest(spark, dir, Manifest(v, op, schemaDdl, files, batchId, last, app, tb, ts))
+    val m = Manifest(v, op, schemaDdl, files, batchId, last, app, tb, ts)
+    base match {
+      case None => writeManifest(spark, dir, m) // v1: full listing
+      case Some(b) => writeDelta(spark, dir, m, b) // O(changes) metadata
+    }
+    // periodic checkpoint bounds every reader's reconstruction chain;
+    // written AFTER the version wins its race, so it never races a
+    // competing commit — only a competing checkpointer (idempotent)
+    if (v % CheckpointInterval == 0) writeCheckpoint(spark, dir, m)
     v
   }
 
@@ -1029,8 +1173,26 @@ object Snapshot {
       m.files.map(_.path).toSet ++ expandDvDirs(m.files.flatMap(_.dv.map(_.path)).toSet)
     val keepFiles = keep.flatMap(v => manifestPaths(readManifest(spark, dir, v))).toSet
     val dropFiles = drop.flatMap(v => manifestPaths(readManifest(spark, dir, v))).toSet -- keepFiles
+    // Chain-head checkpoints BEFORE anything is deleted: a kept version
+    // whose predecessor is dropped must still reconstruct once the
+    // predecessor's delta file is gone, so materialize it (no-op when a
+    // checkpoint already exists or the version file carries a full
+    // listing — v1 / legacy).
+    val vd = new Path(dir, VersionsDir)
+    keep.filterNot(v => keepSet.contains(v - 1)).foreach { v =>
+      if (!f.exists(new Path(vd, checkpointName(v)))) {
+        val isFull = (readJson(f, new Path(vd, manifestName(v))) \ "files") match {
+          case JArray(_) => true
+          case _ => false
+        }
+        if (!isFull) writeCheckpoint(spark, dir, readManifest(spark, dir, v))
+      }
+    }
     dropFiles.foreach(rel => f.delete(new Path(s"$dir/$rel"), false))
-    drop.foreach(v => f.delete(new Path(new Path(dir, VersionsDir), manifestName(v)), false))
+    drop.foreach { v =>
+      f.delete(new Path(vd, manifestName(v)), false)
+      f.delete(new Path(vd, checkpointName(v)), false)
+    }
     // Orphan sweep: data files referenced by NO manifest at all — the
     // residue of a commit that lost the optimistic race after writing
     // its files (writeDataFiles succeeded, manifest rename didn't).
@@ -1063,6 +1225,15 @@ object Snapshot {
     }
     dropFiles.size + orphans.size
   }
+
+  /** Test hook: version `v`'s fully-resolved file list as
+    * (path, dvPath, dvDeletedRows) — what the delta-log reconstruction
+    * yields, without tests having to parse manifest JSON themselves.
+    */
+  private[graft] def filesForTest(spark: SparkSession, dir: String,
+      v: Long): Seq[(String, Option[String], Long)] =
+    readManifest(spark, dir, v).files.map(e =>
+      (e.path, e.dv.map(_.path), e.dv.map(_.deleted).getOrElse(0L)))
 
   /** Test hook: attempt to publish an (empty) manifest at an explicit
     * version — exercises the rename-if-absent single-winner primitive

@@ -40,8 +40,9 @@ import org.apache.spark.sql.vectorized.ColumnarBatch
   * The source requires an APPEND-ONLY version history past its start
   * offset (`init`/`append` ops — what [[graft.streaming.Refresh
   * .snapshotAppend]] produces). An `upsert`/`replace`/`compact`/
-  * `optimize` version REWRITES rows, which a row-stream cannot
-  * represent (Delta's streaming source has the same restriction
+  * `optimize`/`delete`/`restore` version REWRITES or REMOVES rows,
+  * which an append row-stream cannot represent (Delta's streaming
+  * source has the same restriction
   * without `skipChangeCommits`); hitting one fails loudly rather than
   * silently re-emitting rewritten rows. `option("startingVersion",
   * "latest")` starts past history (new rows only);

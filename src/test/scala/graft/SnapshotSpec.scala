@@ -56,14 +56,8 @@ class SnapshotSpec extends SparkSpec {
     val changes = Seq((1L, "a2", 10.0)).toDF("id", "name", "score")
     Snapshot.upsert(spark, dir, changes, Seq("id"))
     // the manifests must SHARE the untouched file (reference, not copy)
-    val f = new org.apache.hadoop.fs.Path(dir)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    def manifestFiles(v: Long): Set[String] = {
-      val p = new org.apache.hadoop.fs.Path(s"$dir/_versions/" + f"v$v%09d.json")
-      val in = f.open(p)
-      val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
-      "\"(data/[^\"]+)\"".r.findAllMatchIn(text).map(_.group(1)).toSet
-    }
+    def manifestFiles(v: Long): Set[String] =
+      Snapshot.filesForTest(spark, dir, v).map(_._1).toSet
     val shared = manifestFiles(1L).intersect(manifestFiles(2L))
     assert(shared.nonEmpty, "upsert rewrote every file — not copy-on-write")
     assert(rows(Snapshot.read(spark, dir)) ==
@@ -217,16 +211,14 @@ class SnapshotSpec extends SparkSpec {
     val wide = (1L to 100L).map(i => (i, s"n$i", i.toDouble)).toDF("id", "name", "score")
     Snapshot.commit(spark, dir, wide.repartitionByRange(4, col("id")))
     Snapshot.upsert(spark, dir, Seq((7L, "CHANGED", -7.0)).toDF("id", "name", "score"), Seq("id"))
-    val f = new org.apache.hadoop.fs.Path(dir)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    def manifestFiles(v: Long): Set[String] = {
-      val p = new org.apache.hadoop.fs.Path(s"$dir/_versions/" + f"v$v%09d.json")
-      val in = f.open(p)
-      val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
-      "\"path\":\"(data/[^\"]+)\"".r.findAllMatchIn(text).map(_.group(1)).toSet
-    }
+    def manifestFiles(v: Long): Set[String] =
+      Snapshot.filesForTest(spark, dir, v).map(_._1).toSet
     val carried = manifestFiles(1L).intersect(manifestFiles(2L))
     assert(carried.size == 3, s"expected 3 of 4 files carried untouched, got ${carried.size}")
+    // and the upsert's DELTA names only the swap: 1 added file, 1 removed
+    val v2raw = rawVersionJson(dir, "v000000002.json")
+    assert("\"path\":\"data/".r.findAllIn(v2raw).size == 1, "delta must add exactly one file")
+    assert("\"remove\":\\[\"data/".r.findAllIn(v2raw).size == 1, "delta must remove exactly one file")
     assert(rows(Snapshot.read(spark, dir)).contains((7L, "CHANGED", -7.0)))
     assert(Snapshot.read(spark, dir).count() == 100L)
   }
@@ -448,17 +440,21 @@ class SnapshotSpec extends SparkSpec {
   // merge-on-read deletion vectors + restore
   // ---------------------------------------------------------------
 
-  private def manifestText(dir: String, v: Long): String = {
+  // fully-resolved (path, dvPath, dvDeleted) entries of a version
+  private def entries(dir: String, v: Long): Seq[(String, Option[String], Long)] =
+    Snapshot.filesForTest(spark, dir, v)
+
+  // RAW version-file JSON (delta or full) — for format-shape asserts only
+  private def rawVersionJson(dir: String, name: String): String = {
     val f = new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val p = new org.apache.hadoop.fs.Path(s"$dir/_versions/" + f"v$v%09d.json")
+    val p = new org.apache.hadoop.fs.Path(s"$dir/_versions/$name")
     val in = f.open(p)
     try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
   }
 
   private def dataPartFiles(dir: String, v: Long): Set[String] =
-    "\"(data/[^\"]*part-[^\"]+)\"".r.findAllMatchIn(manifestText(dir, v))
-      .map(_.group(1)).toSet
+    entries(dir, v).map(_._1).toSet
 
   test("deleteWhere is merge-on-read: zero data files rewritten, read excludes the rows, time travel unaffected") {
     val dir = tmp() + "/t"
@@ -468,7 +464,7 @@ class SnapshotSpec extends SparkSpec {
     // every v1 data file carries into v2 BY REFERENCE — merge-on-read
     assert(dataPartFiles(dir, 1L) == dataPartFiles(dir, 2L),
       "deleteWhere rewrote a data file — not merge-on-read")
-    assert(manifestText(dir, 2L).contains("\"dv\":{\"path\""))
+    assert(entries(dir, 2L).exists(_._2.isDefined), "expected a dv reference")
     assert(rows(Snapshot.read(spark, dir)) ==
       Set((2L, "b", 2.0), (3L, "c", 3.0), (4L, "d", 4.0)))
     // version 1 still reads every row
@@ -490,7 +486,7 @@ class SnapshotSpec extends SparkSpec {
     assert(h(2L) == 1L, s"expected the dead file dropped, manifest has ${h(2L)} files")
     // the surviving file is untouched and carries NO dv (its rows all live —
     // the delete's stats pruning never even scanned it)
-    assert(!manifestText(dir, 2L).contains("\"dv\":{"))
+    assert(entries(dir, 2L).forall(_._2.isEmpty))
     assert(rows(Snapshot.read(spark, dir)) == Set((3L, "c", 3.0), (4L, "d", 4.0)))
   }
 
@@ -499,7 +495,7 @@ class SnapshotSpec extends SparkSpec {
     Snapshot.commit(spark, dir, base.repartition(1))
     Snapshot.deleteWhere(spark, dir, col("id") === 1L) // v2: dv {1}
     Snapshot.deleteWhere(spark, dir, col("id") === 3L) // v3: dv {1, 3} merged
-    assert(manifestText(dir, 3L).contains("\"deleted\":2"))
+    assert(entries(dir, 3L).map(_._3).sum == 2L)
     assert(rows(Snapshot.read(spark, dir)) == Set((2L, "b", 2.0), (4L, "d", 4.0)))
     // intermediate version sees only the first delete
     assert(rows(Snapshot.readVersion(spark, dir, 2L)) ==
@@ -515,7 +511,7 @@ class SnapshotSpec extends SparkSpec {
       Seq((3L, "c2", 30.0)).toDF("id", "name", "score"), Seq("id"))
     assert(rows(Snapshot.read(spark, dir)) ==
       Set((2L, "b", 2.0), (3L, "c2", 30.0), (4L, "d", 4.0)))
-    assert(!manifestText(dir, 3L).contains("\"dv\":{"),
+    assert(entries(dir, 3L).forall(_._2.isEmpty),
       "rewrite must purge the deletion vector")
   }
 
@@ -526,7 +522,7 @@ class SnapshotSpec extends SparkSpec {
     // smallBytes = 0: nothing qualifies by size — dv'd files must still rewrite
     val v = Snapshot.optimize(spark, dir, smallBytes = 0L, minFiles = 1)
     assert(v.contains(3L))
-    assert(!manifestText(dir, 3L).contains("\"dv\":{"))
+    assert(entries(dir, 3L).forall(_._2.isEmpty))
     assert(rows(Snapshot.read(spark, dir)) ==
       Set((2L, "b", 2.0), (3L, "c", 3.0), (4L, "d", 4.0)))
   }
@@ -535,8 +531,7 @@ class SnapshotSpec extends SparkSpec {
     val dir = tmp() + "/t"
     Snapshot.commit(spark, dir, base.repartition(1))          // v1
     Snapshot.deleteWhere(spark, dir, col("id") === 1L)        // v2: dv
-    val dvDir = "\"dv\":\\{\"path\":\"(data/[^\"]+)\"".r
-      .findFirstMatchIn(manifestText(dir, 2L)).get.group(1)
+    val dvDir = entries(dir, 2L).flatMap(_._2).head
     Snapshot.compact(spark, dir, targetBytes = Long.MaxValue) // v3: dv-free
     Snapshot.vacuum(spark, dir, keepLast = 2, orphanGraceMs = 0L) // drops v1 only
     val f = new org.apache.hadoop.fs.Path(dir)
@@ -568,5 +563,63 @@ class SnapshotSpec extends SparkSpec {
     // the bad version is still there for forensics
     assert(rows(Snapshot.readVersion(spark, dir, 2L)).contains((1L, "bad", -1.0)))
     assert(Snapshot.history(spark, dir).collect().map(_.getString(1)).last == "restore")
+  }
+
+  // ---------------------------------------------------------------
+  // delta-log manifests: O(changes) commit metadata + checkpoints
+  // ---------------------------------------------------------------
+
+  test("a commit past v1 writes an O(changes) DELTA, not a full file listing") {
+    import spark.implicits._
+    val dir = tmp() + "/t"
+    Snapshot.commit(spark, dir, base.repartition(4))                 // v1: full, 4 files
+    Snapshot.append(spark, dir,
+      Seq((9L, "z", 9.0)).toDF("id", "name", "score").repartition(1)) // v2: 1 added file
+    val v1 = rawVersionJson(dir, "v000000001.json")
+    val v2 = rawVersionJson(dir, "v000000002.json")
+    assert(v1.contains("\"files\":["), "v1 must carry the full listing")
+    assert(!v2.contains("\"files\":["), "a later commit must be a delta")
+    assert(v2.contains("\"add\":["))
+    // the delta names ONLY the appended file — a fraction of the table
+    assert("data/[^\"]*part-".r.findAllIn(v2).size == 1,
+      "append delta must serialize exactly the added entries")
+    // reconstruction still resolves the full carried + added state
+    assert(entries(dir, 2L).size == entries(dir, 1L).size + 1)
+    assert(rows(Snapshot.read(spark, dir)) == rows(base) + ((9L, "z", 9.0)))
+  }
+
+  test("every CheckpointInterval-th commit writes a checkpoint sidecar that bounds reconstruction") {
+    import spark.implicits._
+    val dir = tmp() + "/t"
+    Snapshot.commit(spark, dir, base)
+    (2L to Snapshot.CheckpointInterval).foreach { k =>
+      Snapshot.append(spark, dir, Seq((100L + k, s"x$k", k.toDouble))
+        .toDF("id", "name", "score"))
+    }
+    val f = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(f.exists(new org.apache.hadoop.fs.Path(
+      s"$dir/_versions/" + f"c${Snapshot.CheckpointInterval}%09d.json")),
+      "expected a checkpoint at the interval boundary")
+    assert(Snapshot.read(spark, dir).count() ==
+      base.count() + Snapshot.CheckpointInterval - 1)
+  }
+
+  test("vacuum writes chain-head checkpoints so non-contiguous retained versions survive the dropped deltas") {
+    import spark.implicits._
+    val dir = tmp() + "/t"
+    Snapshot.commit(spark, dir, base)                                       // v1
+    (2L to 5L).foreach { k =>
+      Snapshot.append(spark, dir, Seq((100L + k, s"x$k", k.toDouble))
+        .toDF("id", "name", "score"))                                      // v2..v5
+    }
+    // keep {2, 4, 5}: v2 and v4 become chain heads (v1, v3 dropped)
+    Snapshot.vacuum(spark, dir, keepLast = 2, orphanGraceMs = 0L, alsoKeep = Set(2L))
+    assert(Snapshot.versions(spark, dir) == Seq(2L, 4L, 5L))
+    assert(Snapshot.readVersion(spark, dir, 2L).count() == 5L)
+    assert(Snapshot.readVersion(spark, dir, 4L).count() == 7L)
+    assert(Snapshot.readVersion(spark, dir, 5L).count() == 8L)
+    // and the dropped versions fail loudly, as before
+    intercept[Exception] { Snapshot.readVersion(spark, dir, 3L).count() }
   }
 }
