@@ -168,7 +168,9 @@ object Snapshot {
   private[sources] final case class Manifest(version: Long, op: String,
       schemaDdl: String, files: Seq[FileEntry], batchId: Option[Long],
       lastBatchId: Option[Long], txnApp: Option[String],
-      txnBatch: Option[Long], tsMs: Long) {
+      txnBatch: Option[Long], tsMs: Long,
+      constraints: Map[String, String] = Map.empty,
+      metrics: Map[String, Long] = Map.empty) {
     def schema: StructType =
       if (schemaDdl.isEmpty) new StructType() else StructType.fromDDL(schemaDdl)
   }
@@ -249,6 +251,17 @@ object Snapshot {
     */
   private def manifestOf(j: JValue, files: Seq[FileEntry]): Manifest = {
     implicit val fmts: Formats = DefaultFormats
+    val constraints: Map[String, String] = (j \ "constraints") match {
+      case JObject(fields) => fields.collect { case (k, JString(v)) => k -> v }.toMap
+      case _ => Map.empty
+    }
+    val metrics: Map[String, Long] = (j \ "metrics") match {
+      case JObject(fields) => fields.collect {
+        case (k, JLong(v)) => k -> v
+        case (k, JInt(v)) => k -> v.toLong
+      }.toMap
+      case _ => Map.empty
+    }
     Manifest(
       (j \ "version").extract[Long],
       (j \ "op").extract[String],
@@ -258,7 +271,9 @@ object Snapshot {
       (j \ "last_batch_id").extractOpt[Long],
       (j \ "txn_app").extractOpt[String],
       (j \ "txn_batch").extractOpt[Long],
-      (j \ "ts_ms").extract[Long])
+      (j \ "ts_ms").extract[Long],
+      constraints,
+      metrics)
   }
 
   /** Replay one delta on top of the previous version's state. */
@@ -346,7 +361,11 @@ object Snapshot {
     "last_batch_id" -> m.lastBatchId.map(JLong(_)).getOrElse(JNull),
     "txn_app" -> m.txnApp.map(JString(_)).getOrElse(JNull),
     "txn_batch" -> m.txnBatch.map(JLong(_)).getOrElse(JNull),
-    "ts_ms" -> JLong(m.tsMs))
+    "ts_ms" -> JLong(m.tsMs),
+    "constraints" -> JObject(m.constraints.toList.sortBy(_._1)
+      .map { case (k, v) => k -> (JString(v): JValue) }),
+    "metrics" -> JObject(m.metrics.toList.sortBy(_._1)
+      .map { case (k, v) => k -> (JLong(v): JValue) }))
 
   /** Stage `json` to a temp name and promote it to `name` with the
     * single-winner primitive; CME on losing the race.
@@ -486,13 +505,35 @@ object Snapshot {
 
   /** Write `df`'s rows as a fresh immutable file set under data/ and
     * return the per-file entries (paths table-root-relative) with
-    * collected statistics.
+    * collected statistics. When the table carries CHECK `constraints`,
+    * the written rows are validated (one aggregation over the just-
+    * written, page-cache-warm commit — O(commit), never O(table)) and
+    * a violation aborts BEFORE any manifest publish: the data dir is
+    * removed, no version is minted, readers never see the bad rows.
+    * SQL CHECK semantics: only a FALSE predicate violates; NULL passes.
     */
-  private def writeDataFiles(spark: SparkSession, dir: String, df: DataFrame): Seq[FileEntry] = {
+  private def writeDataFiles(spark: SparkSession, dir: String, df: DataFrame,
+      constraints: Map[String, String] = Map.empty): Seq[FileEntry] = {
     val commitId = java.util.UUID.randomUUID().toString
     val rel = s"$DataDir/$commitId"
     df.write.mode(SaveMode.ErrorIfExists).parquet(s"$dir/$rel")
-    collectEntries(spark, s"$dir/$rel", rel, df.schema)
+    val entries = collectEntries(spark, s"$dir/$rel", rel, df.schema)
+    if (constraints.nonEmpty && entries.nonEmpty) {
+      val written = spark.read.schema(df.schema).parquet(s"$dir/$rel")
+      val names = constraints.keys.toSeq.sorted
+      val aggs = names.map(n => sum(when(
+        not(coalesce(expr(constraints(n)), lit(true))), 1L).otherwise(0L)).as(n))
+      val r = written.agg(aggs.head, aggs.tail: _*).collect()(0)
+      val bad = names.map(n => n -> r.getAs[Long](n)).filter(_._2 > 0)
+      if (bad.nonEmpty) {
+        fs(spark, dir).delete(new Path(s"$dir/$rel"), true)
+        throw new IllegalArgumentException(
+          s"CHECK constraint violated at $dir: " +
+            bad.map { case (n, c) => s"'$n' (${constraints(n)}) by $c row(s)" }.mkString("; ") +
+            " — commit aborted, no version published")
+      }
+    }
+    entries
   }
 
   /** Publish at exactly base+1. `base` is the manifest the operation
@@ -503,7 +544,9 @@ object Snapshot {
     */
   private def commitManifest(spark: SparkSession, dir: String, op: String,
       schemaDdl: String, files: Seq[FileEntry], batchId: Option[Long],
-      txnApp: Option[String], base: Option[Manifest]): Long = {
+      txnApp: Option[String], base: Option[Manifest],
+      constraintsOverride: Option[Map[String, String]] = None,
+      metrics: Map[String, Long] = Map.empty): Long = {
     val v = base.map(_.version + 1).getOrElse(1L)
     val last = (base.flatMap(_.lastBatchId).toSeq ++ batchId.toSeq)
       .reduceOption((a: Long, b: Long) => math.max(a, b))
@@ -523,7 +566,10 @@ object Snapshot {
     // ts_ms is monotone non-decreasing across versions (clock skew or
     // sub-ms commits otherwise break readAsOf's binary search)
     val ts = math.max(System.currentTimeMillis(), base.map(_.tsMs + 1).getOrElse(0L))
-    val m = Manifest(v, op, schemaDdl, files, batchId, last, app, tb, ts)
+    // constraints are table state: carried forward unchanged unless this
+    // commit is an ALTER; metrics are per-commit, never carried
+    val cons = constraintsOverride.getOrElse(base.map(_.constraints).getOrElse(Map.empty))
+    val m = Manifest(v, op, schemaDdl, files, batchId, last, app, tb, ts, cons, metrics)
     base match {
       case None => writeManifest(spark, dir, m) // v1: full listing
       case Some(b) => writeDelta(spark, dir, m, b) // O(changes) metadata
@@ -553,9 +599,12 @@ object Snapshot {
   def commit(spark: SparkSession, dir: String, df: DataFrame,
       batchId: Option[Long] = None, txnApp: Option[String] = None): Long = {
     val base = baseManifest(spark, dir)
-    val files = writeDataFiles(spark, dir, df)
+    val files = writeDataFiles(spark, dir, df,
+      base.map(_.constraints).getOrElse(Map.empty))
     commitManifest(spark, dir, if (base.isDefined) "replace" else "init",
-      nullable(df.schema).toDDL, files, batchId, txnApp, base)
+      nullable(df.schema).toDDL, files, batchId, txnApp, base,
+      metrics = Map("files_added" -> files.size.toLong,
+        "rows_written" -> files.map(_.rows).sum))
   }
 
   /** Append `df`'s rows as a new version: previous files carry over
@@ -568,9 +617,12 @@ object Snapshot {
       batchId: Option[Long] = None, txnApp: Option[String] = None): Long = {
     val base = baseManifest(spark, dir)
     val schema = nullable(base.map(m => mergeSchemas(m.schema, df.schema)).getOrElse(df.schema))
-    val files = writeDataFiles(spark, dir, df)
+    val files = writeDataFiles(spark, dir, df,
+      base.map(_.constraints).getOrElse(Map.empty))
     commitManifest(spark, dir, "append", schema.toDDL,
-      base.map(_.files).getOrElse(Seq.empty) ++ files, batchId, txnApp, base)
+      base.map(_.files).getOrElse(Seq.empty) ++ files, batchId, txnApp, base,
+      metrics = Map("files_added" -> files.size.toLong,
+        "rows_written" -> files.map(_.rows).sum))
   }
 
   /** Evolve `cur` by `incoming`: unknown fields append (nullable), a
@@ -818,9 +870,12 @@ object Snapshot {
     val base = addedCols.foldLeft(base0)((d, f) =>
       d.withColumn(f.name, lit(null).cast(f.dataType)))
     val merged = graft.operators.Merge.upsert(base, changes, keys, deleteCol)
-    val newFiles = writeDataFiles(spark, dir, merged)
+    val newFiles = writeDataFiles(spark, dir, merged, prev.constraints)
     commitManifest(spark, dir, "upsert", nullable(newSchema).toDDL,
-      untouched ++ newFiles, batchId, txnApp, Some(prev))
+      untouched ++ newFiles, batchId, txnApp, Some(prev),
+      metrics = Map("files_rewritten" -> touched.size.toLong,
+        "files_added" -> newFiles.size.toLong,
+        "rows_written" -> newFiles.map(_.rows).sum))
   }
 
   /** MERGE-ON-READ DELETE: remove the rows matching `condition` from
@@ -912,8 +967,15 @@ object Snapshot {
     // every touched file fully dropped → the dv dataset is unreferenced
     if (!files.exists(_.dv.exists(_.path == finalRel)))
       f.delete(new Path(s"$dir/$finalRel"), true)
+    val prevDeleted: Map[String, Long] = prev.files
+      .map(e => baseName(e.path) -> e.dv.map(_.deleted).getOrElse(0L)).toMap
     Some(commitManifest(spark, dir, "delete", prev.schemaDdl, files,
-      batchId, txnApp, Some(prev)))
+      batchId, txnApp, Some(prev),
+      metrics = Map(
+        "rows_deleted" -> touchedNames.toSeq
+          .map(n => totals(n) - prevDeleted.getOrElse(n, 0L)).sum,
+        "files_dropped" -> (prev.files.size - files.size).toLong,
+        "files_dv" -> files.count(_.dv.exists(_.path == finalRel)).toLong)))
   }
 
   /** Compact the LATEST version's files toward `targetBytes` each and
@@ -929,8 +991,52 @@ object Snapshot {
     val n = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
     val df = readVersion(spark, dir, prev.version).repartition(n)
     val files = writeDataFiles(spark, dir, df)
-    commitManifest(spark, dir, "compact", prev.schemaDdl, files, None, None, Some(prev))
+    commitManifest(spark, dir, "compact", prev.schemaDdl, files, None, None, Some(prev),
+      metrics = Map("files_rewritten" -> prev.files.size.toLong,
+        "files_added" -> files.size.toLong))
   }
+
+  /** ALTER: add a named CHECK constraint (a SQL boolean predicate over
+    * the table's columns). EXISTING rows are validated once, up front —
+    * one scan, the ALTER TABLE ADD CONSTRAINT contract — and every
+    * later [[commit]]/[[append]]/[[upsert]] validates its written rows
+    * in an O(commit) pass, aborting BEFORE any manifest publish on a
+    * violation. Maintenance ops ([[compact]]/[[optimize]]/[[restore]]/
+    * [[deleteWhere]]) never re-validate: row content is invariant
+    * under them, so the add-time scan plus per-write gates keep the
+    * invariant without taxing maintenance. SQL CHECK semantics: only
+    * FALSE violates; NULL passes. The constraint set rides the
+    * manifest (versioned table state), so time travel sees the
+    * constraints of its era.
+    */
+  def addConstraint(spark: SparkSession, dir: String, name: String,
+      predicate: String): Long = {
+    val prev = baseManifest(spark, dir).getOrElse(
+      throw new IllegalStateException(s"no committed version at $dir"))
+    require(!prev.constraints.contains(name),
+      s"constraint '$name' already exists at $dir")
+    val violating = readVersion(spark, dir, prev.version)
+      .filter(not(coalesce(expr(predicate), lit(true)))).limit(1).count()
+    require(violating == 0L,
+      s"cannot add constraint '$name' ($predicate) at $dir: existing rows violate it")
+    commitManifest(spark, dir, "alter", prev.schemaDdl, prev.files,
+      None, None, Some(prev),
+      constraintsOverride = Some(prev.constraints + (name -> predicate)))
+  }
+
+  /** ALTER: drop a named CHECK constraint (metadata-only commit). */
+  def dropConstraint(spark: SparkSession, dir: String, name: String): Long = {
+    val prev = baseManifest(spark, dir).getOrElse(
+      throw new IllegalStateException(s"no committed version at $dir"))
+    require(prev.constraints.contains(name), s"no constraint '$name' at $dir")
+    commitManifest(spark, dir, "alter", prev.schemaDdl, prev.files,
+      None, None, Some(prev),
+      constraintsOverride = Some(prev.constraints - name))
+  }
+
+  /** The latest version's CHECK constraints (name → SQL predicate). */
+  def constraintsOf(spark: SparkSession, dir: String): Map[String, String] =
+    baseManifest(spark, dir).map(_.constraints).getOrElse(Map.empty)
 
   /** RESTORE: make the table's next version an exact replay of
     * `toVersion`'s file set (dv refs included) — rolling back a bad
@@ -938,13 +1044,18 @@ object Snapshot {
     * versions stay readable for forensics until [[vacuum]] reclaims
     * them. `toVersion` must still be retained. The base is pinned like
     * every other commit, so a restore racing a writer loses cleanly.
+    * CHECK constraints restore WITH the data (the restored rows were
+    * validated under `toVersion`'s constraint set, not the current
+    * one).
     */
   def restore(spark: SparkSession, dir: String, toVersion: Long): Long = {
     val prev = baseManifest(spark, dir).getOrElse(
       throw new IllegalStateException(s"no committed version at $dir"))
     val target = readManifest(spark, dir, toVersion)
     commitManifest(spark, dir, "restore", target.schemaDdl, target.files,
-      None, None, Some(prev))
+      None, None, Some(prev),
+      constraintsOverride = Some(target.constraints),
+      metrics = Map("restored_to_version" -> toVersion))
   }
 
   /** OPTIMIZE-style maintenance policy: rewrite ONLY the small files
@@ -1002,7 +1113,9 @@ object Snapshot {
     }
     val files = writeDataFiles(spark, dir, df)
     Some(commitManifest(spark, dir, "optimize", prev.schemaDdl,
-      kept ++ files, None, None, Some(prev)))
+      kept ++ files, None, None, Some(prev),
+      metrics = Map("files_rewritten" -> small.size.toLong,
+        "files_added" -> files.size.toLong)))
   }
 
   /** Metadata-only maintenance report feeding [[optimize]]: a
@@ -1244,13 +1357,16 @@ object Snapshot {
     writeManifest(spark, dir, Manifest(version, "replace", "", Seq.empty, None,
       None, None, None, System.currentTimeMillis()))
 
-  /** Table history as a DataFrame: one row per retained version. */
+  /** Table history as a DataFrame: one row per retained version, with
+    * that commit's operation metrics (rows_written / rows_deleted /
+    * files_added / files_rewritten / …).
+    */
   def history(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     versions(spark, dir).map { v =>
       val m = readManifest(spark, dir, v)
-      (m.version, m.op, m.files.size.toLong, m.batchId, m.lastBatchId)
-    }.toDF("version", "op", "n_files", "batch_id", "last_batch_id")
+      (m.version, m.op, m.files.size.toLong, m.batchId, m.lastBatchId, m.metrics)
+    }.toDF("version", "op", "n_files", "batch_id", "last_batch_id", "metrics")
   }
 
   /** Test/diagnostics hook: the file paths a pruned scan of `version`

@@ -170,6 +170,8 @@ private final class SnapshotMicroBatchStream(dir: String, schema: StructType,
       m.op match {
         case "init" | "append" =>
           added.foreach(e => parts += SnapshotInputPartition(s"$dir/${e.path}", e.bytes))
+        case "alter" => // metadata-only (constraints); no rows moved — pass through
+          ()
         case other if skipRewrites => // documented opt-in: rewrite versions carry no NEW rows
           ()
         case other =>

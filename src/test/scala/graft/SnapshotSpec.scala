@@ -622,4 +622,58 @@ class SnapshotSpec extends SparkSpec {
     // and the dropped versions fail loudly, as before
     intercept[Exception] { Snapshot.readVersion(spark, dir, 3L).count() }
   }
+
+  // ---------------------------------------------------------------
+  // CHECK constraints + per-commit operation metrics
+  // ---------------------------------------------------------------
+
+  test("CHECK constraint gates writes: a violating commit aborts with no version, a passing one lands, drop lifts the gate") {
+    import spark.implicits._
+    val dir = tmp() + "/t"
+    Snapshot.commit(spark, dir, base)                                   // v1
+    Snapshot.addConstraint(spark, dir, "score_pos", "score > 0")       // v2 (alter)
+    assert(Snapshot.constraintsOf(spark, dir) == Map("score_pos" -> "score > 0"))
+    val bad = Seq((8L, "h", -8.0)).toDF("id", "name", "score")
+    val ex = intercept[IllegalArgumentException] { Snapshot.append(spark, dir, bad) }
+    assert(ex.getMessage.contains("score_pos"))
+    // the aborted write minted NO version and left no readable rows
+    assert(Snapshot.versions(spark, dir) == Seq(1L, 2L))
+    assert(Snapshot.read(spark, dir).count() == 4L)
+    // a passing append lands; upserts are gated too
+    Snapshot.append(spark, dir, Seq((9L, "z", 9.0)).toDF("id", "name", "score")) // v3
+    intercept[IllegalArgumentException] {
+      Snapshot.upsert(spark, dir, Seq((1L, "a", -1.0)).toDF("id", "name", "score"), Seq("id"))
+    }
+    assert(rows(Snapshot.read(spark, dir)).contains((1L, "a", 1.0)), "aborted upsert must not mutate")
+    // a NULL predicate value passes (SQL CHECK semantics: only FALSE violates)
+    Snapshot.append(spark, dir,
+      Seq((10L, "j", Option.empty[Double])).toDF("id", "name", "score")) // v4
+    // drop lifts the gate
+    Snapshot.dropConstraint(spark, dir, "score_pos")                   // v5
+    Snapshot.append(spark, dir, bad)                                   // v6 now fine
+    assert(Snapshot.read(spark, dir).where(col("score") === -8.0).count() == 1L)
+  }
+
+  test("addConstraint validates EXISTING rows and refuses when they violate") {
+    val dir = tmp() + "/t"
+    Snapshot.commit(spark, dir, base)
+    intercept[IllegalArgumentException] {
+      Snapshot.addConstraint(spark, dir, "impossible", "score > 3.5")
+    }
+    assert(Snapshot.constraintsOf(spark, dir).isEmpty)
+    assert(Snapshot.versions(spark, dir) == Seq(1L))
+  }
+
+  test("history carries per-commit operation metrics (rows_written, rows_deleted, files_*)") {
+    import spark.implicits._
+    val dir = tmp() + "/t"
+    Snapshot.commit(spark, dir, base)                                        // v1
+    Snapshot.append(spark, dir, Seq((9L, "z", 9.0)).toDF("id", "name", "score")) // v2
+    Snapshot.deleteWhere(spark, dir, col("id") <= 2L)                        // v3
+    val h = Snapshot.history(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getMap[String, Long](5).toMap).toMap
+    assert(h(1L)("rows_written") == 4L)
+    assert(h(2L)("rows_written") == 1L && h(2L)("files_added") >= 1L)
+    assert(h(3L)("rows_deleted") == 2L)
+  }
 }
