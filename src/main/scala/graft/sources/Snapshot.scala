@@ -657,6 +657,20 @@ object Snapshot {
   private def baseName(rel: String): String =
     rel.substring(rel.lastIndexOf('/') + 1)
 
+  /** Resolve a manifest file reference against the table root.
+    * References are normally table-root-relative (`data/...`); a
+    * SHALLOW CLONE records absolute references into its source table,
+    * which resolve as themselves. [[vacuum]] must never delete through
+    * a foreign (absolute) reference — see [[isOwnPath]].
+    */
+  private[sources] def absPath(dir: String, ref: String): String =
+    if (ref.startsWith("/") || ref.contains(":/")) ref else s"$dir/$ref"
+
+  /** True when `ref` points inside THIS table's own data dir (the only
+    * bytes its maintenance is allowed to delete).
+    */
+  private def isOwnPath(ref: String): Boolean = ref.startsWith(s"$DataDir/")
+
   /** Scan `entries` through the manifest-backed file index (stats
     * pruning applies), IGNORING deletion vectors.
     */
@@ -698,7 +712,7 @@ object Snapshot {
     val cleanDf = scanEntries(spark, dir, clean, schema, tsMs)
     if (dved.isEmpty) return cleanDf
     val dvDirs = dved.flatMap(_.dv.map(_.path)).distinct
-    val dv = spark.read.parquet(dvDirs.map(d => s"$dir/$d"): _*)
+    val dv = spark.read.parquet(dvDirs.map(d => absPath(dir, d)): _*)
     val scanned = scanEntries(spark, dir, dved, schema, tsMs)
       .withColumn("__gf", element_at(split(col("_metadata.file_path"), "/"), -1))
       .withColumn("__gp", col("_metadata.row_index"))
@@ -837,7 +851,7 @@ object Snapshot {
       if (candidates.isEmpty) Set.empty
       else {
         val cur = spark.read.schema(curSchema)
-          .parquet(candidates.map(e => s"$dir/${e.path}"): _*)
+          .parquet(candidates.map(e => absPath(dir, e.path)): _*)
         cur.select(keys.map(col) :+ col("_metadata.file_path").as("__fp"): _*)
           .join(changes.select(keys.map(col): _*).distinct(), keys, "left_semi")
           .select(col("__fp")).distinct()
@@ -926,7 +940,7 @@ object Snapshot {
     // -- step 2: one scan, matched (file, pos) pairs straight to disk.
     //    Rows an existing dv already deleted may re-match; the union
     //    below dedupes them, so no dv pre-filter is needed here. --
-    val cand = spark.read.schema(schema).parquet(candidates.map(e => s"$dir/${e.path}"): _*)
+    val cand = spark.read.schema(schema).parquet(candidates.map(e => absPath(dir, e.path)): _*)
     val matched = cand.filter(condition)
       .select(element_at(split(col("_metadata.file_path"), "/"), -1).as("__dv_file"),
         col("_metadata.row_index").as("__dv_pos"))
@@ -945,7 +959,7 @@ object Snapshot {
     val (finalRel, finalDv) = if (needMerge.isEmpty) (rel1, m1) else {
       import spark.implicits._
       val names = needMerge.map(e => baseName(e.path)).toDF("__dv_file")
-      val old = spark.read.parquet(needMerge.flatMap(_.dv.map(d => s"$dir/${d.path}")).distinct: _*)
+      val old = spark.read.parquet(needMerge.flatMap(_.dv.map(d => absPath(dir, d.path))).distinct: _*)
         .join(names, Seq("__dv_file"), "left_semi")
       val rel2 = s"$DataDir/${java.util.UUID.randomUUID()}"
       m1.unionByName(old).distinct().write.mode(SaveMode.ErrorIfExists).parquet(s"$dir/$rel2")
@@ -994,6 +1008,39 @@ object Snapshot {
     commitManifest(spark, dir, "compact", prev.schemaDdl, files, None, None, Some(prev),
       metrics = Map("files_rewritten" -> prev.files.size.toLong,
         "files_added" -> files.size.toLong))
+  }
+
+  /** SHALLOW CLONE: create a new table at `dstDir` whose version 1
+    * references the SOURCE table's current files (and deletion
+    * vectors) by absolute path — ZERO data copied, metadata-only. The
+    * clone then diverges freely: its upserts/deletes/appends write its
+    * own files, carrying untouched source references along; the source
+    * never sees any of it. The dev/test-against-prod primitive every
+    * table format grew.
+    *
+    * Contracts: (1) the clone's [[vacuum]] never deletes through a
+    * foreign reference (it owns only its own `data/`); (2) vacuuming
+    * or compact-then-vacuuming the SOURCE can remove files the clone
+    * still references — pin the cloned source version
+    * (`vacuum(alsoKeep=...)`) for as long as the clone must live, the
+    * same lifetime rule shallow clones carry everywhere; (3) source
+    * and clone must live on the same filesystem scheme.
+    */
+  def cloneShallow(spark: SparkSession, srcDir: String, dstDir: String): Long = {
+    require(latestVersion(spark, dstDir).isEmpty,
+      s"clone target $dstDir already holds a table")
+    val src = baseManifest(spark, srcDir).getOrElse(
+      throw new IllegalStateException(s"no committed version at $srcDir"))
+    // qualify the source root so the recorded references stay valid no
+    // matter what working directory later resolves them
+    val srcRoot = fs(spark, srcDir).makeQualified(new Path(srcDir)).toString
+    val files = src.files.map(e => e.copy(
+      path = absPath(srcRoot, e.path),
+      dv = e.dv.map(d => d.copy(path = absPath(srcRoot, d.path)))))
+    commitManifest(spark, dstDir, "clone", src.schemaDdl, files, None, None, None,
+      constraintsOverride = Some(src.constraints),
+      metrics = Map("cloned_files" -> files.size.toLong,
+        "cloned_from_version" -> src.version))
   }
 
   /** ALTER: add a named CHECK constraint (a SQL boolean predicate over
@@ -1277,7 +1324,7 @@ object Snapshot {
     // directory; expand each referenced dv dir to its files once so the
     // keep/drop/orphan logic stays file-granular throughout.
     def expandDvDirs(rels: Set[String]): Set[String] = rels.flatMap { rel =>
-      val p = new Path(s"$dir/$rel")
+      val p = new Path(absPath(dir, rel))
       if (!f.exists(p)) Set.empty[String]
       else f.listStatus(p).toSeq.filter(_.isFile)
         .map(s => s"$rel/${s.getPath.getName}").toSet
@@ -1301,7 +1348,12 @@ object Snapshot {
         if (!isFull) writeCheckpoint(spark, dir, readManifest(spark, dir, v))
       }
     }
-    dropFiles.foreach(rel => f.delete(new Path(s"$dir/$rel"), false))
+    // FOREIGN references (a shallow clone's absolute paths into its
+    // source table) are NEVER deleted — a clone's vacuum owns only its
+    // own data dir. (Conversely, vacuuming the SOURCE can strand its
+    // clones — the same documented hazard every shallow-clone design
+    // carries; see cloneShallow's scaladoc.)
+    dropFiles.filter(isOwnPath).foreach(rel => f.delete(new Path(s"$dir/$rel"), false))
     drop.foreach { v =>
       f.delete(new Path(vd, manifestName(v)), false)
       f.delete(new Path(vd, checkpointName(v)), false)
@@ -1330,13 +1382,14 @@ object Snapshot {
             rel.substring(0, rel.lastIndexOf('/') + 1)))))
     orphans.foreach(rel => f.delete(new Path(s"$dir/$rel"), false))
     // remove now-empty commit dirs (cosmetic; harmless if racing)
-    (dropFiles ++ orphans).map(rel => rel.substring(0, rel.lastIndexOf('/'))).foreach { d =>
-      val p = new Path(s"$dir/$d")
-      if (f.exists(p) && f.listStatus(p).forall(s =>
-          s.getPath.getName.startsWith("_") || s.getPath.getName.startsWith(".")))
-        f.delete(p, true)
-    }
-    dropFiles.size + orphans.size
+    (dropFiles.filter(isOwnPath) ++ orphans)
+      .map(rel => rel.substring(0, rel.lastIndexOf('/'))).foreach { d =>
+        val p = new Path(s"$dir/$d")
+        if (f.exists(p) && f.listStatus(p).forall(s =>
+            s.getPath.getName.startsWith("_") || s.getPath.getName.startsWith(".")))
+          f.delete(p, true)
+      }
+    dropFiles.count(isOwnPath) + orphans.size
   }
 
   /** Test hook: version `v`'s fully-resolved file list as
@@ -1407,7 +1460,7 @@ private[sources] final class SnapshotFileIndex(
   override def partitionSchema: StructType = new StructType()
   override def sizeInBytes: Long = entries.map(_.bytes).sum
   override def inputFiles: Array[String] =
-    entries.map(e => s"$tableDir/${e.path}").toArray
+    entries.map(e => Snapshot.absPath(tableDir, e.path)).toArray
   override def refresh(): Unit = ()
 
   override def listFiles(partitionFilters: Seq[Expression],
@@ -1415,7 +1468,7 @@ private[sources] final class SnapshotFileIndex(
     val kept = entries.filter(e => dataFilters.forall(f => mayMatch(e, f)))
     val statuses = kept.map(e => new FileStatus(
       e.bytes, false, 1, 128L * 1024 * 1024, commitTsMs,
-      new Path(s"$tableDir/${e.path}"))).toArray
+      new Path(Snapshot.absPath(tableDir, e.path)))).toArray
     Seq(PartitionDirectory(InternalRow.empty, statuses))
   }
 

@@ -169,7 +169,8 @@ private final class SnapshotMicroBatchStream(dir: String, schema: StructType,
       val added = m.files.filterNot(e => prev.contains(e.path))
       m.op match {
         case "init" | "append" =>
-          added.foreach(e => parts += SnapshotInputPartition(s"$dir/${e.path}", e.bytes))
+          added.foreach(e =>
+            parts += SnapshotInputPartition(Snapshot.absPath(dir, e.path), e.bytes))
         case "alter" => // metadata-only (constraints); no rows moved — pass through
           ()
         case other if skipRewrites => // documented opt-in: rewrite versions carry no NEW rows

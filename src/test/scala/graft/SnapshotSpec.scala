@@ -664,6 +664,38 @@ class SnapshotSpec extends SparkSpec {
     assert(Snapshot.versions(spark, dir) == Seq(1L))
   }
 
+  test("shallow clone: zero-copy table that diverges without ever touching the source") {
+    import spark.implicits._
+    val root = tmp()
+    val (src, dst) = (root + "/src", root + "/clone")
+    Snapshot.commit(spark, src, base.repartitionByRange(2, col("id"))) // files [1,2] [3,4]
+    Snapshot.addConstraint(spark, src, "score_pos", "score > 0")
+    assert(Snapshot.cloneShallow(spark, src, dst) == 1L)
+    val f = new org.apache.hadoop.fs.Path(dst)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // METADATA-ONLY: the clone has no data dir of its own yet
+    assert(!f.exists(new org.apache.hadoop.fs.Path(s"$dst/data")))
+    assert(rows(Snapshot.read(spark, dst)) == rows(base))
+    // table state (constraints) rides along
+    intercept[IllegalArgumentException] {
+      Snapshot.append(spark, dst, Seq((8L, "h", -8.0)).toDF("id", "name", "score"))
+    }
+    // the clone diverges: upsert rewrites a foreign file LOCALLY, delete
+    // dv's a local file — the source never changes
+    Snapshot.upsert(spark, dst,
+      Seq((1L, "cloned", 10.0)).toDF("id", "name", "score"), Seq("id"))  // v2
+    Snapshot.deleteWhere(spark, dst, col("id") === 2L)                   // v3
+    assert(rows(Snapshot.read(spark, dst)) ==
+      Set((1L, "cloned", 10.0), (3L, "c", 3.0), (4L, "d", 4.0)))
+    assert(rows(Snapshot.read(spark, src)) == rows(base))
+    // the clone's vacuum owns only its own data dir: dropping clone
+    // history never deletes through a foreign reference
+    Snapshot.vacuum(spark, dst, keepLast = 1, orphanGraceMs = 0L)
+    assert(rows(Snapshot.read(spark, dst)) ==
+      Set((1L, "cloned", 10.0), (3L, "c", 3.0), (4L, "d", 4.0)))
+    assert(rows(Snapshot.read(spark, src)) == rows(base))
+  }
+
   test("history carries per-commit operation metrics (rows_written, rows_deleted, files_*)") {
     import spark.implicits._
     val dir = tmp() + "/t"
