@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Batch MERGE (upsert + delete) semantics as a relational operator.
@@ -69,5 +69,134 @@ object Merge {
       .select(keys.map(col) ++ valueCols.map(v =>
         when(col("__n_present").isNotNull, col(s"__n_$v"))
           .otherwise(col(s"__o_$v")).as(v)) :+ col("change_type"): _*)
+  }
+
+  // -----------------------------------------------------------------
+  // multi-clause MERGE (ANSI MERGE INTO / Delta-merge shape)
+  // -----------------------------------------------------------------
+
+  /** One WHEN clause of a multi-clause [[merge]]. Conditions and SET /
+    * VALUES expressions reference the two sides through [[tgt]] and
+    * [[src]]; a `condition` of None means unconditional (plain
+    * `WHEN MATCHED THEN ...`).
+    */
+  sealed trait MergeClause
+  /** WHEN MATCHED [AND cond] THEN UPDATE SET col -> expr, ... (columns
+    * absent from `set` keep their target values). */
+  final case class MatchedUpdate(condition: Option[Column],
+      set: Map[String, Column]) extends MergeClause
+  /** WHEN MATCHED [AND cond] THEN DELETE. */
+  final case class MatchedDelete(condition: Option[Column]) extends MergeClause
+  /** WHEN NOT MATCHED [AND cond] THEN INSERT (cols) VALUES (exprs) —
+    * target columns absent from `values` insert NULL. */
+  final case class NotMatchedInsert(condition: Option[Column],
+      values: Map[String, Column]) extends MergeClause
+  /** WHEN NOT MATCHED [AND cond] THEN INSERT * — every target column
+    * takes the same-named source column (NULL when the source lacks it). */
+  final case class NotMatchedInsertAll(condition: Option[Column]) extends MergeClause
+  /** WHEN NOT MATCHED BY SOURCE [AND cond] THEN UPDATE SET ... */
+  final case class NotMatchedBySourceUpdate(condition: Option[Column],
+      set: Map[String, Column]) extends MergeClause
+  /** WHEN NOT MATCHED BY SOURCE [AND cond] THEN DELETE. */
+  final case class NotMatchedBySourceDelete(condition: Option[Column]) extends MergeClause
+
+  /** The TARGET side's `name` column inside a clause condition or SET
+    * expression. NULL on a not-matched-by-target row (a plain key
+    * column reads the coalesced join key instead — reference keys
+    * directly with `col(key)`).
+    */
+  def tgt(name: String): Column = col(s"__t_$name")
+
+  /** The SOURCE side's `name` column inside a clause expression. */
+  def src(name: String): Column = col(s"__s_$name")
+
+  /** Multi-clause MERGE of `source` into `target` on equi-`keys` (each
+    * key unique per side, the MERGE cardinality contract): the full
+    * ANSI/Delta clause surface — conditional UPDATE / DELETE on match,
+    * conditional INSERT on no target match, conditional UPDATE /
+    * DELETE on no source match — generalizing [[upsert]] (which is the
+    * one-clause update+insert+tombstone special case).
+    *
+    * Semantics: within each group (matched / not-matched /
+    * not-matched-by-source) clauses fire FIRST-MATCH in the order
+    * given; a row no clause claims passes through unchanged (or, for a
+    * source-only row, is not inserted). A NULL clause condition is
+    * false (SQL WHEN semantics). Output columns are the target's;
+    * every written value is cast to the target column's type.
+    *
+    * Scale shape: ONE full-outer shuffle join on the key — identical
+    * to [[upsert]]; the whole clause cascade folds into per-column
+    * CASE expressions inside the join's project, so clause count never
+    * adds passes. By-source clauses cost nothing extra HERE, but see
+    * `Snapshot.mergeInto` for why they break file-granular pruning at
+    * the table layer.
+    */
+  def merge(target: DataFrame, source: DataFrame, keys: Seq[String],
+      clauses: Seq[MergeClause]): DataFrame = {
+    require(clauses.nonEmpty, "merge needs at least one WHEN clause")
+    val tCols = target.columns.filterNot(keys.contains).toSeq
+    val sCols = source.columns.filterNot(keys.contains).toSeq
+    // keys are duplicated into the per-side namespaces so clause
+    // conditions can test side presence through them too; the plain
+    // key column survives the USING join coalesced (insert rows get
+    // the source key, target-only rows the target key)
+    val t = target.select(keys.map(col) ++
+      (keys ++ tCols).map(c => col(c).as(s"__t_$c")) :+
+      lit(true).as("__t_present"): _*)
+    val s = source.select(keys.map(col) ++
+      (keys ++ sCols).map(c => col(c).as(s"__s_$c")) :+
+      lit(true).as("__s_present"): _*)
+    val j = t.join(s, keys, "full_outer")
+
+    // ---- fate resolution: which clause (if any) claims each row ----
+    def firstMatch(group: Seq[(MergeClause, Int)], keep: String): Column =
+      group.foldRight(lit(keep): Column) { case ((c, i), els) =>
+        val cond = c match {
+          case MatchedUpdate(cd, _) => cd
+          case MatchedDelete(cd) => cd
+          case NotMatchedInsert(cd, _) => cd
+          case NotMatchedInsertAll(cd) => cd
+          case NotMatchedBySourceUpdate(cd, _) => cd
+          case NotMatchedBySourceDelete(cd) => cd
+        }
+        when(cond.getOrElse(lit(true)), lit(s"c$i")).otherwise(els)
+      }
+    val indexed = clauses.zipWithIndex
+    val matchedG = indexed.filter { case (c, _) =>
+      c.isInstanceOf[MatchedUpdate] || c.isInstanceOf[MatchedDelete] }
+    val insertG = indexed.filter { case (c, _) =>
+      c.isInstanceOf[NotMatchedInsert] || c.isInstanceOf[NotMatchedInsertAll] }
+    val bySourceG = indexed.filter { case (c, _) =>
+      c.isInstanceOf[NotMatchedBySourceUpdate] ||
+        c.isInstanceOf[NotMatchedBySourceDelete] }
+    val fate =
+      when(col("__t_present").isNotNull && col("__s_present").isNotNull,
+        firstMatch(matchedG, "keep"))
+      .when(col("__t_present").isNull, firstMatch(insertG, "drop"))
+      .otherwise(firstMatch(bySourceG, "keep"))
+    val dead = indexed.collect {
+      case (_: MatchedDelete, i) => s"c$i"
+      case (_: NotMatchedBySourceDelete, i) => s"c$i"
+    } :+ "drop"
+
+    // ---- per-column value under each surviving fate ----
+    def valueOf(c: String): Column = {
+      val keep = col(s"__t_$c")
+      indexed.foldRight(keep) { case ((cl, i), els) =>
+        val v: Option[Column] = cl match {
+          case MatchedUpdate(_, set) => Some(set.getOrElse(c, keep))
+          case NotMatchedBySourceUpdate(_, set) => Some(set.getOrElse(c, keep))
+          case NotMatchedInsert(_, values) =>
+            Some(values.getOrElse(c, lit(null)))
+          case NotMatchedInsertAll(_) =>
+            Some(if (sCols.contains(c)) col(s"__s_$c") else lit(null))
+          case _ => None // delete fates are filtered out before this projects
+        }
+        v.fold(els)(x => when(col("__fate") === s"c$i", x).otherwise(els))
+      }.cast(target.schema(c).dataType).as(c)
+    }
+    j.withColumn("__fate", fate)
+      .filter(!col("__fate").isin(dead: _*))
+      .select(keys.map(col) ++ tCols.map(valueOf): _*)
   }
 }

@@ -165,12 +165,26 @@ object Snapshot {
       path: String, bytes: Long, rows: Long, stats: Map[String, ColStats],
       dv: Option[DvRef] = None)
 
+  /** `mapping` is the COLUMN-MAPPING table state: logical column name →
+    * physical (in-file) column name, storing only non-identity entries.
+    * Data files always carry PHYSICAL names; the manifest's `schema`
+    * is the LOGICAL read schema. A rename is therefore a metadata-only
+    * commit (the logical name moves, the physical name — and every
+    * immutable file — stays), and a drop hides the physical column
+    * without touching a byte. `retired` is the set of physical names
+    * no longer reachable from any logical column (dropped columns):
+    * retained files may still CONTAIN those physical columns, so a
+    * later re-add of the same logical name must bind a FRESH physical
+    * name or the dropped data would silently resurrect.
+    */
   private[sources] final case class Manifest(version: Long, op: String,
       schemaDdl: String, files: Seq[FileEntry], batchId: Option[Long],
       lastBatchId: Option[Long], txnApp: Option[String],
       txnBatch: Option[Long], tsMs: Long,
       constraints: Map[String, String] = Map.empty,
-      metrics: Map[String, Long] = Map.empty) {
+      metrics: Map[String, Long] = Map.empty,
+      mapping: Map[String, String] = Map.empty,
+      retired: Set[String] = Set.empty) {
     def schema: StructType =
       if (schemaDdl.isEmpty) new StructType() else StructType.fromDDL(schemaDdl)
   }
@@ -262,6 +276,14 @@ object Snapshot {
       }.toMap
       case _ => Map.empty
     }
+    val mapping: Map[String, String] = (j \ "mapping") match {
+      case JObject(fields) => fields.collect { case (k, JString(v)) => k -> v }.toMap
+      case _ => Map.empty
+    }
+    val retired: Set[String] = (j \ "retired") match {
+      case JArray(xs) => xs.collect { case JString(x) => x }.toSet
+      case _ => Set.empty
+    }
     Manifest(
       (j \ "version").extract[Long],
       (j \ "op").extract[String],
@@ -273,7 +295,9 @@ object Snapshot {
       (j \ "txn_batch").extractOpt[Long],
       (j \ "ts_ms").extract[Long],
       constraints,
-      metrics)
+      metrics,
+      mapping,
+      retired)
   }
 
   /** Replay one delta on top of the previous version's state. */
@@ -365,7 +389,10 @@ object Snapshot {
     "constraints" -> JObject(m.constraints.toList.sortBy(_._1)
       .map { case (k, v) => k -> (JString(v): JValue) }),
     "metrics" -> JObject(m.metrics.toList.sortBy(_._1)
-      .map { case (k, v) => k -> (JLong(v): JValue) }))
+      .map { case (k, v) => k -> (JLong(v): JValue) }),
+    "mapping" -> JObject(m.mapping.toList.sortBy(_._1)
+      .map { case (k, v) => k -> (JString(v): JValue) }),
+    "retired" -> JArray(m.retired.toList.sorted.map(JString(_))))
 
   /** Stage `json` to a temp name and promote it to `name` with the
     * single-winner primitive; CME on losing the race.
@@ -513,13 +540,19 @@ object Snapshot {
     * SQL CHECK semantics: only a FALSE predicate violates; NULL passes.
     */
   private def writeDataFiles(spark: SparkSession, dir: String, df: DataFrame,
-      constraints: Map[String, String] = Map.empty): Seq[FileEntry] = {
+      constraints: Map[String, String] = Map.empty,
+      mapping: Map[String, String] = Map.empty): Seq[FileEntry] = {
     val commitId = java.util.UUID.randomUUID().toString
     val rel = s"$DataDir/$commitId"
-    df.write.mode(SaveMode.ErrorIfExists).parquet(s"$dir/$rel")
-    val entries = collectEntries(spark, s"$dir/$rel", rel, df.schema)
+    // files always carry PHYSICAL names; `df` arrives logical
+    val dfPhys = toPhysical(df, mapping)
+    dfPhys.write.mode(SaveMode.ErrorIfExists).parquet(s"$dir/$rel")
+    val entries = collectEntries(spark, s"$dir/$rel", rel, dfPhys.schema)
     if (constraints.nonEmpty && entries.nonEmpty) {
-      val written = spark.read.schema(df.schema).parquet(s"$dir/$rel")
+      // constraint predicates reference LOGICAL names: read the written
+      // physical files back under the logical labels (positional)
+      val written = spark.read.schema(dfPhys.schema).parquet(s"$dir/$rel")
+        .toDF(df.schema.fieldNames.toIndexedSeq: _*)
       val names = constraints.keys.toSeq.sorted
       val aggs = names.map(n => sum(when(
         not(coalesce(expr(constraints(n)), lit(true))), 1L).otherwise(0L)).as(n))
@@ -546,7 +579,8 @@ object Snapshot {
       schemaDdl: String, files: Seq[FileEntry], batchId: Option[Long],
       txnApp: Option[String], base: Option[Manifest],
       constraintsOverride: Option[Map[String, String]] = None,
-      metrics: Map[String, Long] = Map.empty): Long = {
+      metrics: Map[String, Long] = Map.empty,
+      mappingOverride: Option[(Map[String, String], Set[String])] = None): Long = {
     val v = base.map(_.version + 1).getOrElse(1L)
     val last = (base.flatMap(_.lastBatchId).toSeq ++ batchId.toSeq)
       .reduceOption((a: Long, b: Long) => math.max(a, b))
@@ -569,7 +603,13 @@ object Snapshot {
     // constraints are table state: carried forward unchanged unless this
     // commit is an ALTER; metrics are per-commit, never carried
     val cons = constraintsOverride.getOrElse(base.map(_.constraints).getOrElse(Map.empty))
-    val m = Manifest(v, op, schemaDdl, files, batchId, last, app, tb, ts, cons, metrics)
+    // column mapping is table state like constraints: carried forward
+    // unchanged unless this commit is an ALTER/evolution that changes it
+    val (mp, ret) = mappingOverride.getOrElse(
+      (base.map(_.mapping).getOrElse(Map.empty),
+        base.map(_.retired).getOrElse(Set.empty)))
+    val m = Manifest(v, op, schemaDdl, files, batchId, last, app, tb, ts, cons,
+      metrics, mp, ret)
     base match {
       case None => writeManifest(spark, dir, m) // v1: full listing
       case Some(b) => writeDelta(spark, dir, m, b) // O(changes) metadata
@@ -593,6 +633,72 @@ object Snapshot {
   private def nullable(s: StructType): StructType =
     StructType(s.fields.map(_.copy(nullable = true)))
 
+  // ---------------------------------------------------------------
+  // column mapping (logical ↔ physical names)
+  // ---------------------------------------------------------------
+
+  /** The in-file counterpart of logical `schema`: each field renamed to
+    * its physical name. Identity when `mapping` is empty (legacy and
+    * never-altered tables) — the common path pays nothing.
+    */
+  private[sources] def physicalSchema(schema: StructType, mapping: Map[String, String]): StructType =
+    if (mapping.isEmpty) schema
+    else StructType(schema.fields.map(f => f.copy(name = mapping.getOrElse(f.name, f.name))))
+
+  /** True when `mapping` actually renames a field of `schema`. */
+  private def mapsAny(schema: StructType, mapping: Map[String, String]): Boolean =
+    mapping.nonEmpty && schema.fields.exists(f => mapping.contains(f.name))
+
+  /** Rename a logical frame's columns to their physical names for
+    * writing. Positional (`toDF`), so it cannot collide mid-rename the
+    * way a chain of `withColumnRenamed` can (rename a→b while b→a).
+    */
+  private def toPhysical(df: DataFrame, mapping: Map[String, String]): DataFrame =
+    if (mapping.isEmpty) df
+    else df.toDF(df.schema.fields.map(f => mapping.getOrElse(f.name, f.name)).toIndexedSeq: _*)
+
+  /** Assign physical names for columns being ADDED to the table
+    * (explicit [[addColumn]] or append/upsert schema evolution). A new
+    * logical name binds itself as physical unless that physical slot
+    * is taken — live under another logical column (possible after a
+    * rename) or retired (a dropped column whose data still sits in
+    * retained files, which a re-bind would resurrect) — in which case
+    * a versioned fresh name is minted. Returns added-name → physical
+    * for EVERY added field (identity included; callers store only
+    * non-identity entries in the manifest).
+    */
+  private def assignPhysical(base: Manifest, added: Seq[StructField]): Map[String, String] = {
+    val taken = scala.collection.mutable.Set.empty[String]
+    taken ++= base.schema.fields.map(f => base.mapping.getOrElse(f.name, f.name))
+    taken ++= base.retired
+    added.map { f =>
+      val phys =
+        if (!taken.contains(f.name)) f.name
+        else Iterator.from(1).map(i => s"${f.name}_r$i").find(!taken.contains(_)).get
+      taken += phys
+      f.name -> phys
+    }.toMap
+  }
+
+  /** Refuse an ALTER that would break a stored CHECK constraint: every
+    * predicate must still resolve against the post-alter logical
+    * schema (drop the constraint first, then the column).
+    */
+  private def requireConstraintsResolve(spark: SparkSession,
+      constraints: Map[String, String], schema: StructType, alter: String): Unit = {
+    if (constraints.isEmpty) return
+    val probe = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    constraints.foreach { case (name, pred) =>
+      try probe.filter(expr(pred)).queryExecution.analyzed
+      catch { case e: org.apache.spark.sql.AnalysisException =>
+        throw new IllegalArgumentException(
+          s"cannot $alter: CHECK constraint '$name' ($pred) would no longer " +
+            s"resolve — drop the constraint first (${e.getMessage})")
+      }
+    }
+  }
+
   /** Publish `df` as the table's next FULL version (creates the table
     * at version 1). Returns the committed version.
     */
@@ -601,10 +707,14 @@ object Snapshot {
     val base = baseManifest(spark, dir)
     val files = writeDataFiles(spark, dir, df,
       base.map(_.constraints).getOrElse(Map.empty))
+    // a full replace references none of the old files, so the column
+    // mapping resets to identity — retained versions keep THEIR OWN
+    // manifest's mapping for time travel
     commitManifest(spark, dir, if (base.isDefined) "replace" else "init",
       nullable(df.schema).toDDL, files, batchId, txnApp, base,
       metrics = Map("files_added" -> files.size.toLong,
-        "rows_written" -> files.map(_.rows).sum))
+        "rows_written" -> files.map(_.rows).sum),
+      mappingOverride = Some((Map.empty, Set.empty)))
   }
 
   /** Append `df`'s rows as a new version: previous files carry over
@@ -617,12 +727,19 @@ object Snapshot {
       batchId: Option[Long] = None, txnApp: Option[String] = None): Long = {
     val base = baseManifest(spark, dir)
     val schema = nullable(base.map(m => mergeSchemas(m.schema, df.schema)).getOrElse(df.schema))
+    val mapping = base match {
+      case None => Map.empty[String, String]
+      case Some(b) =>
+        val added = schema.fields.filterNot(f => b.schema.fieldNames.contains(f.name))
+        b.mapping ++ assignPhysical(b, added.toSeq).filter { case (l, p) => l != p }
+    }
     val files = writeDataFiles(spark, dir, df,
-      base.map(_.constraints).getOrElse(Map.empty))
+      base.map(_.constraints).getOrElse(Map.empty), mapping)
     commitManifest(spark, dir, "append", schema.toDDL,
       base.map(_.files).getOrElse(Seq.empty) ++ files, batchId, txnApp, base,
       metrics = Map("files_added" -> files.size.toLong,
-        "rows_written" -> files.map(_.rows).sum))
+        "rows_written" -> files.map(_.rows).sum),
+      mappingOverride = Some((mapping, base.map(_.retired).getOrElse(Set.empty))))
   }
 
   /** Evolve `cur` by `incoming`: unknown fields append (nullable), a
@@ -651,7 +768,7 @@ object Snapshot {
     */
   def readVersion(spark: SparkSession, dir: String, version: Long): DataFrame = {
     val m = readManifest(spark, dir, version)
-    readEntries(spark, dir, m.files, m.schema, m.tsMs)
+    readEntries(spark, dir, m.files, m.schema, m.tsMs, m.mapping)
   }
 
   private def baseName(rel: String): String =
@@ -706,21 +823,32 @@ object Snapshot {
     * the maintenance policy that bounds merge-on-read read cost.
     */
   private[sources] def readEntries(spark: SparkSession, dir: String,
-      entries: Seq[FileEntry], schema: StructType, tsMs: Long): DataFrame = {
+      entries: Seq[FileEntry], schema: StructType, tsMs: Long,
+      mapping: Map[String, String] = Map.empty): DataFrame = {
     if (schema.isEmpty) return spark.emptyDataFrame
+    // files carry PHYSICAL names: scan physical, label logical last.
+    // The rename is a pure Project of aliases, so pushed filters on
+    // logical names rewrite through it and reach the scan (and the
+    // manifest stats, which are physical-keyed) untouched; when the
+    // table was never altered the projection is skipped entirely and
+    // the plan is byte-identical to the pre-mapping layer.
+    val phys = physicalSchema(schema, mapping)
+    def toLogical(df: DataFrame): DataFrame =
+      if (!mapsAny(schema, mapping)) df
+      else df.toDF(schema.fieldNames.toIndexedSeq: _*)
     val (dved, clean) = entries.partition(_.dv.isDefined)
-    val cleanDf = scanEntries(spark, dir, clean, schema, tsMs)
-    if (dved.isEmpty) return cleanDf
+    val cleanDf = scanEntries(spark, dir, clean, phys, tsMs)
+    if (dved.isEmpty) return toLogical(cleanDf)
     val dvDirs = dved.flatMap(_.dv.map(_.path)).distinct
     val dv = spark.read.parquet(dvDirs.map(d => absPath(dir, d)): _*)
-    val scanned = scanEntries(spark, dir, dved, schema, tsMs)
+    val scanned = scanEntries(spark, dir, dved, phys, tsMs)
       .withColumn("__gf", element_at(split(col("_metadata.file_path"), "/"), -1))
       .withColumn("__gp", col("_metadata.row_index"))
     val alive = scanned.join(dv,
         scanned("__gf") === dv("__dv_file") && scanned("__gp") === dv("__dv_pos"),
         "left_anti")
       .drop("__gf", "__gp")
-    if (clean.isEmpty) alive else cleanDf.unionByName(alive)
+    toLogical(if (clean.isEmpty) alive else cleanDf.unionByName(alive))
   }
 
   /** Read the latest committed version. */
@@ -736,7 +864,15 @@ object Snapshot {
     * predates the first retained version (vacuum defines how far back
     * this reaches, same contract as [[readVersion]]).
     */
-  def readAsOf(spark: SparkSession, dir: String, tsMs: Long): DataFrame = {
+  def readAsOf(spark: SparkSession, dir: String, tsMs: Long): DataFrame =
+    readVersion(spark, dir, versionAtOrBefore(spark, dir, tsMs))
+
+  /** The newest version committed at or before `tsMs` — the timestamp
+    * time-travel resolution [[readAsOf]] and the DSv2 `timestampAsOf`
+    * option share. Binary search over the monotone commit timestamps.
+    */
+  private[sources] def versionAtOrBefore(spark: SparkSession, dir: String,
+      tsMs: Long): Long = {
     val vs = versions(spark, dir).toIndexedSeq
     def tsOf(i: Int): Long = readManifest(spark, dir, vs(i)).tsMs
     if (vs.isEmpty || tsOf(0) > tsMs)
@@ -749,7 +885,7 @@ object Snapshot {
       val mid = (lo + hi + 1) / 2
       if (tsOf(mid) <= tsMs) lo = mid else hi = mid - 1
     }
-    readVersion(spark, dir, vs(lo))
+    vs(lo)
   }
 
   /** Change data feed between two retained versions: what changes
@@ -807,18 +943,21 @@ object Snapshot {
     * yet are ADDED (old rows and untouched files read back null for
     * them); `changes` must still carry every existing value column.
     */
-  def upsert(spark: SparkSession, dir: String, changes: DataFrame,
-      keys: Seq[String], deleteCol: Option[String] = None,
-      batchId: Option[Long] = None, txnApp: Option[String] = None): Long = {
-    val prev = baseManifest(spark, dir).getOrElse(
-      throw new IllegalStateException(s"no committed version at $dir — commit() first"))
-    val curSchema = prev.schema
-
+  /** Steps 1+2 of a key-wise file-granular rewrite ([[upsert]] /
+    * [[mergeInto]]): candidate files from the manifest's key-range
+    * statistics (metadata-only, no I/O), then the EXACT touched set via
+    * one `_metadata.file_path` semi-join over just the candidates.
+    * Returns (touched, untouched) partitioning the snapshot's files.
+    */
+  private def touchedByKeys(spark: SparkSession, dir: String, prev: Manifest,
+      changeKeys: DataFrame, keys: Seq[String]): (Seq[FileEntry], Seq[FileEntry]) = {
     // -- step 1: metadata-only candidate pruning by key-range stats --
     val keyCol = keys.head
-    val changeKeyType = changes.schema(keyCol).dataType
+    // manifest stats are keyed by PHYSICAL column names
+    val physKeyCol = prev.mapping.getOrElse(keyCol, keyCol)
+    val changeKeyType = changeKeys.schema(keyCol).dataType
     val changeRange: Option[(String, String)] = {
-      val r = changes.agg(
+      val r = changeKeys.agg(
         min(statExpr(StructField(keyCol, changeKeyType))).as("__mn"),
         max(statExpr(StructField(keyCol, changeKeyType))).as("__mx")).collect()(0)
       for {
@@ -826,7 +965,7 @@ object Snapshot {
         mx <- encodeStat(changeKeyType, r.get(1))
       } yield (mn, mx)
     }
-    def mayContainChangedKey(e: FileEntry): Boolean = (e.stats.get(keyCol), changeRange) match {
+    def mayContainChangedKey(e: FileEntry): Boolean = (e.stats.get(physKeyCol), changeRange) match {
       case (Some(cs), Some((cmn, cmx))) =>
         // disjoint iff file.max < changes.min or file.min > changes.max;
         // both sides are already in the canonical stat encoding
@@ -847,13 +986,16 @@ object Snapshot {
     val candidates = prev.files.filter(mayContainChangedKey)
 
     // -- step 2: exact touched set via _metadata over candidates only --
+    val curSchema = prev.schema
     val touchedNames: Set[String] =
       if (candidates.isEmpty) Set.empty
       else {
-        val cur = spark.read.schema(curSchema)
+        val cur = spark.read.schema(physicalSchema(curSchema, prev.mapping))
           .parquet(candidates.map(e => absPath(dir, e.path)): _*)
-        cur.select(keys.map(col) :+ col("_metadata.file_path").as("__fp"): _*)
-          .join(changes.select(keys.map(col): _*).distinct(), keys, "left_semi")
+        cur.select(keys.map(k =>
+            col(prev.mapping.getOrElse(k, k)).as(k)) :+
+            col("_metadata.file_path").as("__fp"): _*)
+          .join(changeKeys.select(keys.map(col): _*).distinct(), keys, "left_semi")
           .select(col("__fp")).distinct()
           .collect().map(r => { val p = r.getString(0); p.substring(p.lastIndexOf('/') + 1) })
           .toSet
@@ -866,12 +1008,23 @@ object Snapshot {
     val touched = prev.files.filter(e =>
       touchedNames.contains(e.path.substring(e.path.lastIndexOf('/') + 1)))
     val touchedPaths = touched.map(_.path).toSet
-    val untouched = prev.files.filterNot(e => touchedPaths.contains(e.path))
+    (touched, prev.files.filterNot(e => touchedPaths.contains(e.path)))
+  }
+
+  def upsert(spark: SparkSession, dir: String, changes: DataFrame,
+      keys: Seq[String], deleteCol: Option[String] = None,
+      batchId: Option[Long] = None, txnApp: Option[String] = None): Long = {
+    val prev = baseManifest(spark, dir).getOrElse(
+      throw new IllegalStateException(s"no committed version at $dir — commit() first"))
+    val curSchema = prev.schema
+    val (touched, untouched) = touchedByKeys(spark, dir, prev, changes, keys)
 
     // -- schema evolution: new change columns extend the table --
     val newSchema = mergeSchemas(curSchema,
       StructType(changes.schema.fields.filterNot(f => deleteCol.contains(f.name))))
     val addedCols = newSchema.fields.filterNot(f => curSchema.fieldNames.contains(f.name))
+    val newMapping = prev.mapping ++
+      assignPhysical(prev, addedCols.toSeq).filter { case (l, p) => l != p }
 
     val base0 = if (touched.isEmpty) {
       // all-new keys: merge against an empty slice of the current schema
@@ -880,12 +1033,66 @@ object Snapshot {
       // DV-aware: a touched file's deleted rows must NOT be resurrected
       // by the rewrite — and since the rewrite output is a fresh file
       // set, the dv is materialized away for every touched file
-      readEntries(spark, dir, touched, curSchema, prev.tsMs)
+      readEntries(spark, dir, touched, curSchema, prev.tsMs, prev.mapping)
     val base = addedCols.foldLeft(base0)((d, f) =>
       d.withColumn(f.name, lit(null).cast(f.dataType)))
     val merged = graft.operators.Merge.upsert(base, changes, keys, deleteCol)
-    val newFiles = writeDataFiles(spark, dir, merged, prev.constraints)
+    val newFiles = writeDataFiles(spark, dir, merged, prev.constraints, newMapping)
     commitManifest(spark, dir, "upsert", nullable(newSchema).toDDL,
+      untouched ++ newFiles, batchId, txnApp, Some(prev),
+      metrics = Map("files_rewritten" -> touched.size.toLong,
+        "files_added" -> newFiles.size.toLong,
+        "rows_written" -> newFiles.map(_.rows).sum),
+      mappingOverride = Some((newMapping, prev.retired)))
+  }
+
+  /** Multi-clause MERGE INTO the latest version — the full ANSI/Delta
+    * clause surface over the snapshot layer: conditional UPDATE/DELETE
+    * on match, conditional INSERT (or INSERT *) on no target match,
+    * conditional UPDATE/DELETE on no source match. Clause semantics
+    * are [[graft.operators.Merge.merge]]'s (first-match within each
+    * group, unclaimed rows pass through); this method adds the
+    * file-granular copy-on-write table story around them.
+    *
+    * Scale shape: WITHOUT by-source clauses, only files that can
+    * contain a source key are rewritten — the same two-step narrowing
+    * as [[upsert]] (metadata key-range stats, then one `_metadata`
+    * semi-join over candidates), so a key-clustered layout bounds the
+    * rewrite to the touched key range and inserts ride the rewrite.
+    * WITH a NOT MATCHED BY SOURCE clause the merge is inherently
+    * table-wide (any file might hold a row whose key is absent from
+    * the source — key pruning is unsound by definition), so every file
+    * is rewritten; the same cliff every table format documents. Prefer
+    * expressing retention deletes as [[deleteWhere]] (merge-on-read,
+    * stats-prunable) and keep by-source merges for genuine
+    * full-reconciliation syncs.
+    *
+    * Deletion vectors on touched files are honored (deleted rows
+    * cannot resurrect) and materialized away by the rewrite. The
+    * commit carries rows_written / files_rewritten / files_added
+    * metrics and the usual exactly-once batch/txn cursors.
+    */
+  def mergeInto(spark: SparkSession, dir: String, source: DataFrame,
+      keys: Seq[String], clauses: Seq[graft.operators.Merge.MergeClause],
+      batchId: Option[Long] = None, txnApp: Option[String] = None): Long = {
+    import graft.operators.Merge
+    val prev = baseManifest(spark, dir).getOrElse(
+      throw new IllegalStateException(s"no committed version at $dir — commit() first"))
+    val curSchema = prev.schema
+    val bySource = clauses.exists {
+      case _: Merge.NotMatchedBySourceUpdate | _: Merge.NotMatchedBySourceDelete => true
+      case _ => false
+    }
+    val (touched, untouched) =
+      if (bySource) (prev.files, Seq.empty[FileEntry]) // table-wide by definition
+      else touchedByKeys(spark, dir, prev, source.select(keys.map(col): _*), keys)
+    val base =
+      if (touched.isEmpty)
+        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], curSchema)
+      else readEntries(spark, dir, touched, curSchema, prev.tsMs, prev.mapping)
+    val merged = Merge.merge(base, source, keys, clauses)
+    val newFiles = writeDataFiles(spark, dir, merged, prev.constraints, prev.mapping)
+    commitManifest(spark, dir, "merge", prev.schemaDdl,
       untouched ++ newFiles, batchId, txnApp, Some(prev),
       metrics = Map("files_rewritten" -> touched.size.toLong,
         "files_added" -> newFiles.size.toLong,
@@ -927,11 +1134,16 @@ object Snapshot {
 
     // -- step 1: metadata-only candidate pruning via the read path's
     //    own stats evaluator (resolve the predicate against the scan) --
+    // the optimizer pushes the filter below readVersion's logical-
+    // rename projection, so the collected condition references
+    // PHYSICAL attributes — matching the physical-keyed manifest stats
+    // (an unpushable condition stays logical and simply prunes nothing)
     val resolved = readVersion(spark, dir, prev.version).filter(condition)
       .queryExecution.optimizedPlan.collect {
         case fl: org.apache.spark.sql.catalyst.plans.logical.Filter => fl.condition
       }
-    val index = new SnapshotFileIndex(dir, prev.files, schema, prev.tsMs)
+    val index = new SnapshotFileIndex(dir, prev.files,
+      physicalSchema(schema, prev.mapping), prev.tsMs)
     val candNames = index.listFiles(Nil, resolved)
       .flatMap(_.files.map(_.getPath.getName)).toSet
     val candidates = prev.files.filter(e => candNames.contains(baseName(e.path)))
@@ -940,10 +1152,16 @@ object Snapshot {
     // -- step 2: one scan, matched (file, pos) pairs straight to disk.
     //    Rows an existing dv already deleted may re-match; the union
     //    below dedupes them, so no dv pre-filter is needed here. --
-    val cand = spark.read.schema(schema).parquet(candidates.map(e => absPath(dir, e.path)): _*)
+    //    `condition` references LOGICAL names: scan physical, relabel
+    //    logical, and carry the metadata struct through the projection.
+    val candPhys = spark.read.schema(physicalSchema(schema, prev.mapping))
+      .parquet(candidates.map(e => absPath(dir, e.path)): _*)
+    val cand = candPhys.select(schema.fields.toSeq.map(f =>
+        col(prev.mapping.getOrElse(f.name, f.name)).as(f.name)) :+
+        col("_metadata").as("__meta"): _*)
     val matched = cand.filter(condition)
-      .select(element_at(split(col("_metadata.file_path"), "/"), -1).as("__dv_file"),
-        col("_metadata.row_index").as("__dv_pos"))
+      .select(element_at(split(col("__meta.file_path"), "/"), -1).as("__dv_file"),
+        col("__meta.row_index").as("__dv_pos"))
     val rel1 = s"$DataDir/${java.util.UUID.randomUUID()}"
     matched.write.mode(SaveMode.ErrorIfExists).parquet(s"$dir/$rel1")
     val m1 = spark.read.parquet(s"$dir/$rel1")
@@ -1004,7 +1222,7 @@ object Snapshot {
     val bytes = prev.files.map(_.bytes).sum
     val n = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
     val df = readVersion(spark, dir, prev.version).repartition(n)
-    val files = writeDataFiles(spark, dir, df)
+    val files = writeDataFiles(spark, dir, df, mapping = prev.mapping)
     commitManifest(spark, dir, "compact", prev.schemaDdl, files, None, None, Some(prev),
       metrics = Map("files_rewritten" -> prev.files.size.toLong,
         "files_added" -> files.size.toLong))
@@ -1040,7 +1258,8 @@ object Snapshot {
     commitManifest(spark, dstDir, "clone", src.schemaDdl, files, None, None, None,
       constraintsOverride = Some(src.constraints),
       metrics = Map("cloned_files" -> files.size.toLong,
-        "cloned_from_version" -> src.version))
+        "cloned_from_version" -> src.version),
+      mappingOverride = Some((src.mapping, src.retired)))
   }
 
   /** ALTER: add a named CHECK constraint (a SQL boolean predicate over
@@ -1085,6 +1304,95 @@ object Snapshot {
   def constraintsOf(spark: SparkSession, dir: String): Map[String, String] =
     baseManifest(spark, dir).map(_.constraints).getOrElse(Map.empty)
 
+  /** ALTER: rename column `from` to `to` — METADATA-ONLY. The logical
+    * name moves; the PHYSICAL in-file name (and therefore every
+    * immutable data file, all recorded statistics, and any deletion
+    * vectors) stays exactly as written: zero data I/O, however many
+    * petabytes the table holds. This is the column-mapping idea the
+    * production table formats converged on — without it a rename is a
+    * full-table rewrite. Reads of the new version label the column
+    * `to`; time travel to earlier versions still reads `from` (each
+    * manifest carries the mapping of its era). Writers keep working
+    * unchanged: appends/upserts take LOGICAL names and the write path
+    * translates. A streaming source that pinned its schema pre-rename
+    * keeps reading, because the physical name it resolved never moved.
+    * CHECK constraints referencing `from` must be dropped first
+    * (refused loudly — this layer does not rewrite SQL predicates).
+    */
+  def renameColumn(spark: SparkSession, dir: String, from: String, to: String): Long = {
+    val prev = baseManifest(spark, dir).getOrElse(
+      throw new IllegalStateException(s"no committed version at $dir"))
+    val schema = prev.schema
+    require(schema.fieldNames.contains(from), s"no column '$from' at $dir")
+    require(!schema.fieldNames.contains(to),
+      s"cannot rename '$from' to '$to' at $dir: column '$to' already exists")
+    val phys = prev.mapping.getOrElse(from, from)
+    val newSchema = StructType(schema.fields.map(f =>
+      if (f.name == from) f.copy(name = to) else f))
+    requireConstraintsResolve(spark, prev.constraints, newSchema,
+      s"rename column '$from' to '$to'")
+    val newMapping = (prev.mapping - from) ++
+      (if (phys == to) Map.empty else Map(to -> phys))
+    commitManifest(spark, dir, "alter", newSchema.toDDL, prev.files,
+      None, None, Some(prev),
+      metrics = Map("columns_renamed" -> 1L),
+      mappingOverride = Some((newMapping, prev.retired)))
+  }
+
+  /** ALTER: drop a column — METADATA-ONLY. Retained files still hold
+    * the physical bytes (time travel to pre-drop versions reads them);
+    * the current version simply stops projecting the column, so the
+    * scan never decodes its pages (columnar formats make an unread
+    * column genuinely free). The physical name is RETIRED: a later
+    * re-add of the same logical name binds a fresh physical name, so
+    * dropped data can never silently resurrect — the correctness trap
+    * every name-based (non-mapped) schema evolution falls into.
+    * Storage is reclaimed lazily as rewrites (upsert/compact/optimize)
+    * drop the column from the files they touch.
+    */
+  def dropColumn(spark: SparkSession, dir: String, name: String): Long = {
+    val prev = baseManifest(spark, dir).getOrElse(
+      throw new IllegalStateException(s"no committed version at $dir"))
+    val schema = prev.schema
+    require(schema.fieldNames.contains(name), s"no column '$name' at $dir")
+    require(schema.fields.length >= 2, s"cannot drop the only column of $dir")
+    val phys = prev.mapping.getOrElse(name, name)
+    val newSchema = StructType(schema.fields.filterNot(_.name == name))
+    requireConstraintsResolve(spark, prev.constraints, newSchema,
+      s"drop column '$name'")
+    commitManifest(spark, dir, "alter", newSchema.toDDL, prev.files,
+      None, None, Some(prev),
+      metrics = Map("columns_dropped" -> 1L),
+      mappingOverride = Some((prev.mapping - name, prev.retired + phys)))
+  }
+
+  /** ALTER: add a nullable column (`ddlType` e.g. "INT", "DECIMAL(12,2)")
+    * — METADATA-ONLY. Existing rows read back null until a write fills
+    * the column. If the logical name was ever dropped, the new column
+    * binds a FRESH physical name (see [[dropColumn]]), so it starts
+    * genuinely empty instead of resurrecting old bytes.
+    */
+  def addColumn(spark: SparkSession, dir: String, name: String, ddlType: String): Long = {
+    val prev = baseManifest(spark, dir).getOrElse(
+      throw new IllegalStateException(s"no committed version at $dir"))
+    val schema = prev.schema
+    require(!schema.fieldNames.contains(name), s"column '$name' already exists at $dir")
+    val field = StructType.fromDDL(s"`$name` $ddlType").fields.head.copy(nullable = true)
+    val assigned = assignPhysical(prev, Seq(field))
+    val newMapping = prev.mapping ++ assigned.filter { case (l, p) => l != p }
+    commitManifest(spark, dir, "alter",
+      StructType(schema.fields :+ field).toDDL, prev.files,
+      None, None, Some(prev),
+      metrics = Map("columns_added" -> 1L),
+      mappingOverride = Some((newMapping, prev.retired)))
+  }
+
+  /** The latest version's column mapping (logical → physical;
+    * non-identity entries only) — diagnostics/tests.
+    */
+  def columnMappingOf(spark: SparkSession, dir: String): Map[String, String] =
+    baseManifest(spark, dir).map(_.mapping).getOrElse(Map.empty)
+
   /** RESTORE: make the table's next version an exact replay of
     * `toVersion`'s file set (dv refs included) — rolling back a bad
     * write is a METADATA-ONLY commit, zero data I/O, and the bad
@@ -1102,7 +1410,8 @@ object Snapshot {
     commitManifest(spark, dir, "restore", target.schemaDdl, target.files,
       None, None, Some(prev),
       constraintsOverride = Some(target.constraints),
-      metrics = Map("restored_to_version" -> toVersion))
+      metrics = Map("restored_to_version" -> toVersion),
+      mappingOverride = Some((target.mapping, target.retired)))
   }
 
   /** OPTIMIZE-style maintenance policy: rewrite ONLY the small files
@@ -1149,7 +1458,7 @@ object Snapshot {
     val (small, kept) = prev.files.partition(e => e.bytes < smallBytes || e.dv.isDefined)
     if (small.size < minFiles) return None
     val schema = prev.schema
-    val df0 = readEntries(spark, dir, small, schema, prev.tsMs)
+    val df0 = readEntries(spark, dir, small, schema, prev.tsMs, prev.mapping)
     val n = math.max(1, math.ceil(small.map(_.bytes).sum.toDouble / targetBytes).toInt)
     val df = zorderBy match {
       case Some((a, b)) => graft.operators.Layout.zorderBy(df0, col(a), col(b), n)
@@ -1158,7 +1467,7 @@ object Snapshot {
         else df0.repartitionByRange(n, clusterBy.map(col): _*)
           .sortWithinPartitions(clusterBy.map(col): _*)
     }
-    val files = writeDataFiles(spark, dir, df)
+    val files = writeDataFiles(spark, dir, df, mapping = prev.mapping)
     Some(commitManifest(spark, dir, "optimize", prev.schemaDdl,
       kept ++ files, None, None, Some(prev),
       metrics = Map("files_rewritten" -> small.size.toLong,
@@ -1434,7 +1743,8 @@ object Snapshot {
       case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition
     }
     val m = readManifest(spark, dir, version)
-    val index = new SnapshotFileIndex(dir, m.files, m.schema, m.tsMs)
+    val index = new SnapshotFileIndex(dir, m.files,
+      physicalSchema(m.schema, m.mapping), m.tsMs)
     index.listFiles(Nil, resolved).flatMap(_.files.map(_.getPath.toString))
   }
 }

@@ -4,16 +4,19 @@ import java.util
 
 import scala.jdk.CollectionConverters._
 
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{And => CAnd, AttributeReference, EqualNullSafe => CEqualNullSafe, EqualTo => CEqualTo, Expression, GreaterThan => CGreaterThan, GreaterThanOrEqual => CGreaterThanOrEqual, In => CIn, IsNotNull => CIsNotNull, IsNull => CIsNull, LessThan => CLessThan, LessThanOrEqual => CLessThanOrEqual, Literal, Or => COr}
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl}
 import org.apache.spark.sql.execution.datasources.PartitionedFile
 import org.apache.spark.sql.graft.ParquetReadBridge
 import org.apache.spark.sql.sources.DataSourceRegister
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.{sources => v1}
+import org.apache.spark.sql.types.{LongType, StringType, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.sql.vectorized.ColumnarBatch
 
@@ -68,9 +71,7 @@ final class SnapshotStreamProvider extends TableProvider with DataSourceRegister
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     val dir = SnapshotStreamProvider.tableDir(options)
     val spark = SparkSession.active
-    val v = Snapshot.latestVersion(spark, dir).getOrElse(
-      throw new IllegalStateException(
-        s"graft-snapshot stream: no committed version at $dir"))
+    val v = SnapshotStreamProvider.resolveVersion(spark, dir, options)
     Snapshot.readManifest(spark, dir, v).schema
   }
 
@@ -87,6 +88,22 @@ private object SnapshotStreamProvider {
       "graft-snapshot stream needs the table dir: readStream.format(\"graft-snapshot\").load(dir)")
     p
   }
+
+  /** The version a BATCH read resolves to: `versionAsOf` wins, then
+    * `timestampAsOf` (epoch millis, binary-searched over the monotone
+    * commit timestamps), else latest. Streaming ignores both (its
+    * offsets ARE versions).
+    */
+  def resolveVersion(spark: SparkSession, dir: String,
+      options: CaseInsensitiveStringMap): Long = {
+    val byVersion = Option(options.get("versionAsOf")).map(_.toLong)
+    val byTs = Option(options.get("timestampAsOf"))
+      .map(ts => Snapshot.versionAtOrBefore(spark, dir, ts.toLong))
+    byVersion.orElse(byTs).getOrElse(
+      Snapshot.latestVersion(spark, dir).getOrElse(
+        throw new IllegalStateException(
+          s"graft-snapshot: no committed version at $dir")))
+  }
 }
 
 private final class SnapshotStreamTable(tableSchema: StructType, dir: String)
@@ -94,7 +111,7 @@ private final class SnapshotStreamTable(tableSchema: StructType, dir: String)
   override def name(): String = s"graft-snapshot `$dir`"
   override def schema(): StructType = tableSchema
   override def capabilities(): util.Set[TableCapability] =
-    Set(TableCapability.MICRO_BATCH_READ).asJava
+    Set(TableCapability.MICRO_BATCH_READ, TableCapability.BATCH_READ).asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     val startLatest = "latest".equalsIgnoreCase(options.getOrDefault("startingVersion", ""))
     val skipRewrites = options.getBoolean("skipRewrites", false)
@@ -103,15 +120,184 @@ private final class SnapshotStreamTable(tableSchema: StructType, dir: String)
     // column pruning: the stream reads ONLY the projected columns off
     // disk — on a wide 100 TB table the difference between tailing a
     // few key columns and decoding every page of every row group
-    new ScanBuilder with SupportsPushDownRequiredColumns {
+    new ScanBuilder with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
       private var required: StructType = tableSchema
+      private var pushed: Array[v1.Filter] = Array.empty
       override def pruneColumns(requiredSchema: StructType): Unit =
         required = requiredSchema
+      // ALL filters are returned as post-scan (Spark re-evaluates every
+      // one), so the manifest-stats pruning below is purely advisory —
+      // correctness never rests on the pruning evaluator
+      override def pushFilters(filters: Array[v1.Filter]): Array[v1.Filter] = {
+        pushed = filters; filters
+      }
+      override def pushedFilters(): Array[v1.Filter] = pushed
       override def build(): Scan = new Scan {
         override def readSchema(): StructType = required
-        override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-          new SnapshotMicroBatchStream(dir, required, startLatest, skipRewrites, maxVersions)
+        override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream = {
+          // data files carry PHYSICAL column names (see Snapshot's
+          // column-mapping state): resolve the mapping once at stream
+          // start and read the physical counterparts of the required
+          // columns. Sound across a LATER rename — a live logical
+          // column's physical name never changes — and a later drop
+          // only makes new files lack the column (the bridge
+          // null-fills), exactly the pinned-schema contract.
+          val spark = SparkSession.active
+          val mapping = Snapshot.latestVersion(spark, dir)
+            .map(v => Snapshot.readManifest(spark, dir, v).mapping)
+            .getOrElse(Map.empty)
+          val physRequired =
+            if (mapping.isEmpty) required
+            else StructType(required.fields.map(f =>
+              f.copy(name = mapping.getOrElse(f.name, f.name))))
+          new SnapshotMicroBatchStream(dir, physRequired, startLatest, skipRewrites, maxVersions)
+        }
+        override def toBatch(): Batch = {
+          val spark = SparkSession.active
+          val v = SnapshotStreamProvider.resolveVersion(spark, dir, options)
+          new SnapshotBatchScan(dir, Snapshot.readManifest(spark, dir, v),
+            required, pushed)
+        }
       }
+    }
+  }
+}
+
+/** BATCH side of the `graft-snapshot` DSv2 source: one scan of a
+  * pinned version (`versionAsOf` / `timestampAsOf` / latest), one
+  * input partition per manifest file surviving stats pruning.
+  *
+  * - FILE SKIPPING: pushed v1 filters are converted to catalyst
+  *   predicates over the version's PHYSICAL schema and evaluated by
+  *   the same [[SnapshotFileIndex]] machinery the library read path
+  *   uses — files whose manifest statistics refute the predicate are
+  *   never planned. Every filter is also declared post-scan, so Spark
+  *   re-applies it row-wise: pruning is advisory, correctness isn't.
+  * - COLUMN MAPPING: the reader decodes PHYSICAL column names (this
+  *   version's mapping), labeled back by position under the logical
+  *   read schema.
+  * - DELETION VECTORS: a dv'd file's partition carries its dv parquet
+  *   file list; the reader first loads the positions deleted FOR THIS
+  *   FILE into a hash set, then drops those rows by running row
+  *   position — sound because a whole-file, filterless, unsplit
+  *   parquet read yields rows in file order, the same order
+  *   `_metadata.row_index` numbered when the dv was written. dv-free
+  *   files skip all of it. Per-partition dv load is O(dv bytes); the
+  *   maintenance contract (optimize purges dvs) bounds it exactly as
+  *   it bounds the library read path's anti join.
+  */
+private final class SnapshotBatchScan(dir: String, m: Snapshot.Manifest,
+    required: StructType, filters: Array[v1.Filter]) extends Batch {
+
+  private def spark = SparkSession.active
+
+  /** v1 filter → catalyst predicate over PHYSICAL attribute names;
+    * None = not convertible = unusable for pruning (but still applied
+    * row-wise by Spark). AND prunes with whichever side converts; OR
+    * needs both.
+    */
+  private def toCatalyst(f: v1.Filter): Option[Expression] = {
+    def attr(name: String): Option[AttributeReference] =
+      m.schema.fields.find(_.name == name).map(fl =>
+        AttributeReference(m.mapping.getOrElse(name, name), fl.dataType)())
+    f match {
+      case v1.EqualTo(a, v) => attr(a).map(CEqualTo(_, Literal(v)))
+      case v1.EqualNullSafe(a, v) => attr(a).map(CEqualNullSafe(_, Literal(v)))
+      case v1.GreaterThan(a, v) => attr(a).map(CGreaterThan(_, Literal(v)))
+      case v1.GreaterThanOrEqual(a, v) => attr(a).map(CGreaterThanOrEqual(_, Literal(v)))
+      case v1.LessThan(a, v) => attr(a).map(CLessThan(_, Literal(v)))
+      case v1.LessThanOrEqual(a, v) => attr(a).map(CLessThanOrEqual(_, Literal(v)))
+      case v1.In(a, vs) if vs.nonEmpty => attr(a).map(ar => CIn(ar, vs.toSeq.map(Literal(_))))
+      case v1.IsNull(a) => attr(a).map(CIsNull(_))
+      case v1.IsNotNull(a) => attr(a).map(CIsNotNull(_))
+      case v1.And(l, r) => (toCatalyst(l), toCatalyst(r)) match {
+        case (Some(a), Some(b)) => Some(CAnd(a, b))
+        case (one, other) => one.orElse(other) // conjunct pruning is sound one-sided
+      }
+      case v1.Or(l, r) => for (a <- toCatalyst(l); b <- toCatalyst(r)) yield COr(a, b)
+      case _ => None
+    }
+  }
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val s = spark
+    val phys = Snapshot.physicalSchema(m.schema, m.mapping)
+    val exprs = filters.flatMap(toCatalyst).toSeq
+    val index = new SnapshotFileIndex(dir, m.files, phys, m.tsMs)
+    val keptNames = index.listFiles(Nil, exprs)
+      .flatMap(_.files.map(_.getPath.getName)).toSet
+    val fs = new Path(dir).getFileSystem(s.sparkContext.hadoopConfiguration)
+    m.files.toArray.collect {
+      case e if keptNames.contains(e.path.substring(e.path.lastIndexOf('/') + 1)) =>
+        val abs = Snapshot.absPath(dir, e.path)
+        val dvFiles: Array[(String, Long)] = e.dv.toArray.flatMap { d =>
+          val p = new Path(Snapshot.absPath(dir, d.path))
+          if (!fs.exists(p)) Array.empty[(String, Long)]
+          else fs.listStatus(p).filter(st => st.isFile && !st.getPath.getName.startsWith("_"))
+            .map(st => (st.getPath.toString, st.getLen))
+        }
+        SnapshotBatchPartition(abs, e.bytes,
+          abs.substring(abs.lastIndexOf('/') + 1), dvFiles): InputPartition
+    }
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val physRequired =
+      if (m.mapping.isEmpty) required
+      else StructType(required.fields.map(f =>
+        f.copy(name = m.mapping.getOrElse(f.name, f.name))))
+    new SnapshotBatchReaderFactory(
+      ParquetReadBridge.reader(spark, physRequired, Map.empty),
+      ParquetReadBridge.reader(spark, SnapshotBatchScan.DvSchema, Map.empty))
+  }
+}
+
+private object SnapshotBatchScan {
+  val DvSchema: StructType = new StructType()
+    .add("__dv_file", StringType).add("__dv_pos", LongType)
+}
+
+private final case class SnapshotBatchPartition(absPath: String, bytes: Long,
+    baseName: String, dvFiles: Array[(String, Long)]) extends InputPartition
+
+private final class SnapshotBatchReaderFactory(
+    readFile: PartitionedFile => Iterator[InternalRow],
+    readDv: PartitionedFile => Iterator[InternalRow])
+    extends PartitionReaderFactory {
+
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[SnapshotBatchPartition]
+    new PartitionReader[InternalRow] {
+      private def flat(it: Iterator[InternalRow]): Iterator[InternalRow] = it.flatMap {
+        case b: ColumnarBatch => b.rowIterator().asScala
+        case r => Iterator.single(r)
+      }
+      // deleted row positions for THIS file (empty for dv-free files —
+      // the fast path allocates nothing)
+      private val deleted: java.util.HashSet[Long] =
+        if (p.dvFiles.isEmpty) null
+        else {
+          val set = new java.util.HashSet[Long]()
+          p.dvFiles.foreach { case (path, bytes) =>
+            flat(readDv(ParquetReadBridge.wholeFile(path, bytes))).foreach { r =>
+              if (!r.isNullAt(0) && r.getUTF8String(0).toString == p.baseName)
+                set.add(r.getLong(1))
+            }
+          }
+          set
+        }
+      private var pos = -1L
+      private val rows: Iterator[InternalRow] =
+        flat(readFile(ParquetReadBridge.wholeFile(p.absPath, p.bytes))).filter { _ =>
+          pos += 1
+          deleted == null || !deleted.contains(pos)
+        }
+      private var current: InternalRow = _
+      override def next(): Boolean = {
+        if (rows.hasNext) { current = rows.next(); true } else false
+      }
+      override def get(): InternalRow = current
+      override def close(): Unit = ()
     }
   }
 }

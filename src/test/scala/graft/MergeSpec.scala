@@ -78,4 +78,102 @@ class MergeSpec extends SparkSpec {
       .orderBy("k2").collect().map(_.getDouble(2)).toSeq
     assert(out == Seq(1.0, 9.0))
   }
+
+  // -----------------------------------------------------------------
+  // multi-clause MERGE
+  // -----------------------------------------------------------------
+
+  import Merge.{tgt, src, MatchedUpdate, MatchedDelete, NotMatchedInsert,
+    NotMatchedInsertAll, NotMatchedBySourceUpdate, NotMatchedBySourceDelete}
+
+  private def target4 = {
+    import spark.implicits._
+    Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0), (4L, "d", 40.0))
+      .toDF("k", "name", "bal")
+  }
+
+  test("multi-clause: conditional update, conditional delete, conditional insert, by-source delete, unclaimed passthrough") {
+    import spark.implicits._
+    val source = Seq(
+      (1L, "A", 100.0),  // matched, bal<15 → update fires
+      (2L, "B", -1.0),   // matched, source bal<0 → delete fires
+      (3L, "C", 300.0),  // matched, neither condition → passthrough
+      (8L, "H", 80.0),   // not matched, v>50 → insert fires
+      (9L, "I", 5.0))    // not matched, v<=50 → NOT inserted
+      .toDF("k", "nm", "v")
+    val out = Merge.merge(target4, source, Seq("k"), Seq(
+      MatchedDelete(Some(src("v") < 0)),
+      MatchedUpdate(Some(tgt("bal") < 15.0),
+        Map("name" -> src("nm"), "bal" -> src("v"))),
+      NotMatchedInsert(Some(src("v") > 50.0),
+        Map("name" -> src("nm"), "bal" -> src("v"))),
+      // target rows absent from the source: keep 3? no — 3 matches;
+      // 4 is target-only with bal 40 → delete when bal > 35
+      NotMatchedBySourceDelete(Some(tgt("bal") > 35.0))))
+      .orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq
+    assert(out == Seq((1L, "A", 100.0), (3L, "c", 30.0), (8L, "H", 80.0)))
+  }
+
+  test("multi-clause: first-match order within a group decides") {
+    import spark.implicits._
+    val source = Seq((1L, 99.0)).toDF("k", "v")
+    // both clauses' conditions hold; the FIRST (set bal=v) must win
+    val first = Merge.merge(target4, source, Seq("k"), Seq(
+      MatchedUpdate(Some(src("v") > 0), Map("bal" -> src("v"))),
+      MatchedUpdate(None, Map("bal" -> lit(-1.0)))))
+      .filter(col("k") === 1L).collect().head.getDouble(2)
+    assert(first == 99.0)
+    val swapped = Merge.merge(target4, source, Seq("k"), Seq(
+      MatchedUpdate(None, Map("bal" -> lit(-1.0))),
+      MatchedUpdate(Some(src("v") > 0), Map("bal" -> src("v")))))
+      .filter(col("k") === 1L).collect().head.getDouble(2)
+    assert(swapped == -1.0)
+  }
+
+  test("multi-clause: INSERT * maps same-named source columns, nulls the rest; plain INSERT nulls unlisted columns") {
+    import spark.implicits._
+    val source = Seq((7L, "g"), (8L, "h")).toDF("k", "name") // no bal column
+    val all = Merge.merge(target4, source, Seq("k"),
+      Seq(NotMatchedInsertAll(None))).filter(col("k") >= 7L)
+      .orderBy("k").collect()
+    assert(all.map(_.getString(1)).toSeq == Seq("g", "h"))
+    assert(all.forall(_.isNullAt(2)), "INSERT * must null-fill missing source columns")
+    val listed = Merge.merge(target4, source, Seq("k"),
+      Seq(NotMatchedInsert(None, Map("bal" -> lit(7.0)))))
+      .filter(col("k") >= 7L).orderBy("k").collect()
+    assert(listed.forall(_.isNullAt(1)), "unlisted columns insert NULL")
+    assert(listed.map(_.getDouble(2)).toSeq == Seq(7.0, 7.0))
+  }
+
+  test("multi-clause: by-source UPDATE flags stale rows; matched rows and claimed inserts coexist") {
+    import spark.implicits._
+    val source = Seq((1L, 11.0)).toDF("k", "v")
+    val out = Merge.merge(target4, source, Seq("k"), Seq(
+      MatchedUpdate(None, Map("bal" -> src("v"))),
+      NotMatchedBySourceUpdate(Some(tgt("bal") >= 30.0), Map("name" -> lit("stale")))))
+      .orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq
+    assert(out == Seq((1L, "a", 11.0), (2L, "b", 20.0),
+      (3L, "stale", 30.0), (4L, "stale", 40.0)))
+  }
+
+  test("multi-clause merge with update-all + insert-all reproduces upsert exactly") {
+    import spark.implicits._
+    val changes = Seq((2L, "b2", 22.0), (9L, "i", 90.0)).toDF("k", "name", "bal")
+    val viaMerge = Merge.merge(target4, changes, Seq("k"), Seq(
+      MatchedUpdate(None, Map("name" -> src("name"), "bal" -> src("bal"))),
+      NotMatchedInsertAll(None)))
+    val viaUpsert = Merge.upsert(target4, changes, Seq("k"))
+    assert(graft.operators.Integrity.same(viaMerge.orderBy("k"), viaUpsert.orderBy("k")))
+  }
+
+  test("multi-clause: NULL clause condition is false (SQL WHEN semantics)") {
+    import spark.implicits._
+    val source = Seq((1L, null.asInstanceOf[java.lang.Double])).toDF("k", "v")
+    val out = Merge.merge(target4, source, Seq("k"), Seq(
+      MatchedUpdate(Some(src("v") > 0), Map("bal" -> lit(-1.0)))))
+      .filter(col("k") === 1L).collect().head.getDouble(2)
+    assert(out == 10.0, "a NULL condition must not fire the clause")
+  }
 }

@@ -708,4 +708,218 @@ class SnapshotSpec extends SparkSpec {
     assert(h(2L)("rows_written") == 1L && h(2L)("files_added") >= 1L)
     assert(h(3L)("rows_deleted") == 2L)
   }
+
+  // -----------------------------------------------------------------
+  // DSv2 BATCH read: spark.read.format("graft-snapshot")
+  // -----------------------------------------------------------------
+
+  test("DSv2 batch read: latest + versionAsOf/timestampAsOf time travel, file pruning from pushed filters, dv- and mapping-aware") {
+    import spark.implicits._
+    val dir = tmp() + "/t"
+    val wide = (1L to 100L).map(i => (i, s"n$i", i.toDouble)).toDF("id", "name", "score")
+    Snapshot.commit(spark, dir, wide.repartitionByRange(4, col("id")))      // v1
+    val t1 = System.currentTimeMillis()
+    Thread.sleep(5)
+    Snapshot.deleteWhere(spark, dir, col("id") >= 10L && col("id") <= 19L)  // v2 (dv)
+    Snapshot.renameColumn(spark, dir, "score", "points")                     // v3
+
+    // latest: renamed column, dv rows gone
+    val now = spark.read.format("graft-snapshot").load(dir)
+    assert(now.columns.toSeq == Seq("id", "name", "points"))
+    assert(now.count() == 90L)
+    assert(now.where(col("id") === 15L).isEmpty, "dv'd row leaked through the DSv2 reader")
+    assert(now.where(col("id") === 42L).select(col("points"))
+      .collect()(0).getDouble(0) == 42.0)
+    // aggregate sanity across dv + mapping
+    assert(now.agg(sum(col("points"))).collect()(0).getDouble(0) ==
+      (1L to 100L).map(_.toDouble).sum - (10L to 19L).map(_.toDouble).sum)
+
+    // versionAsOf 1: pre-delete, pre-rename era
+    val v1 = spark.read.format("graft-snapshot").option("versionAsOf", "1").load(dir)
+    assert(v1.columns.toSeq == Seq("id", "name", "score"))
+    assert(v1.count() == 100L)
+    // timestampAsOf at v1's commit time resolves to v1
+    val byTs = spark.read.format("graft-snapshot")
+      .option("timestampAsOf", t1.toString).load(dir)
+    assert(byTs.count() == 100L)
+
+    // advisory file pruning: a point predicate on the range-clustered
+    // key plans ONE input partition (of 4 files), on the RENAMED name
+    val pruned = now.where(col("id") === 77L)
+    assert(pruned.rdd.getNumPartitions == 1,
+      s"expected 1 planned partition, got ${pruned.rdd.getNumPartitions}")
+    assert(pruned.select(col("name")).collect().map(_.getString(0)).toSeq == Seq("n77"))
+    // and an impossible predicate plans zero partitions
+    assert(now.where(col("id") > 1000L).rdd.getNumPartitions == 0)
+  }
+
+  // -----------------------------------------------------------------
+  // multi-clause MERGE INTO
+  // -----------------------------------------------------------------
+
+  test("mergeInto is file-granular without by-source clauses; a by-source clause goes table-wide by definition") {
+    import spark.implicits._
+    import graft.operators.Merge.{src, tgt, MatchedUpdate, NotMatchedInsertAll, NotMatchedBySourceDelete}
+    val dir = tmp() + "/t"
+    val wide = (1L to 100L).map(i => (i, s"n$i", i.toDouble)).toDF("id", "name", "score")
+    Snapshot.commit(spark, dir, wide.repartitionByRange(4, col("id")))      // v1
+    // keys 5 and 7 live in file 1 of 4; 200 is an insert
+    val source = Seq((5L, 500.0), (7L, 700.0), (200L, 2000.0)).toDF("id", "v")
+    Snapshot.mergeInto(spark, dir, source, Seq("id"), Seq(
+      MatchedUpdate(None, Map("score" -> src("v"))),
+      NotMatchedInsertAll(None)))                                           // v2
+    def files(v: Long): Set[String] =
+      Snapshot.filesForTest(spark, dir, v).map(_._1).toSet
+    assert(files(1L).intersect(files(2L)).size == 3,
+      "matched+insert merge must rewrite only the key-touched file")
+    val now = Snapshot.read(spark, dir)
+    assert(now.count() == 101L)
+    assert(now.where(col("id") === 5L).select(col("score"))
+      .collect()(0).getDouble(0) == 500.0)
+    assert(now.where(col("id") === 200L).select(col("name"))
+      .collect()(0).isNullAt(0), "INSERT * must null-fill the missing source column")
+    val h = Snapshot.history(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(h(2L) == "merge")
+    // by-source clause: every file is a candidate (key pruning is
+    // unsound when absence from the source is what fires the clause)
+    Snapshot.mergeInto(spark, dir, source, Seq("id"), Seq(
+      MatchedUpdate(None, Map("score" -> src("v"))),
+      NotMatchedBySourceDelete(Some(tgt("id") > 90L && tgt("id") < 100L)))) // v3
+    assert(files(2L).intersect(files(3L)).isEmpty,
+      "a by-source clause must rewrite the whole table")
+    assert(Snapshot.read(spark, dir).count() == 92L) // 101 − ids 91..99
+  }
+
+  // -----------------------------------------------------------------
+  // column mapping: metadata-only RENAME / DROP / ADD COLUMN
+  // -----------------------------------------------------------------
+
+  test("renameColumn is metadata-only: identical file set, new logical name, time travel reads the old name") {
+    val dir = tmp() + "/t"
+    Snapshot.commit(spark, dir, base)                                        // v1
+    val v2 = Snapshot.renameColumn(spark, dir, "score", "points")           // v2
+    assert(v2 == 2L)
+    def files(v: Long): Set[String] =
+      Snapshot.filesForTest(spark, dir, v).map(_._1).toSet
+    assert(files(1L) == files(2L), "rename must not touch a single data file")
+    val now = Snapshot.read(spark, dir)
+    assert(now.columns.toSeq == Seq("id", "name", "points"))
+    assert(now.select(col("id"), col("points")).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSet ==
+      Set((1L, 1.0), (2L, 2.0), (3L, 3.0), (4L, 4.0)))
+    // pre-rename version still reads under its own era's name
+    assert(Snapshot.readVersion(spark, dir, 1L).columns.toSeq ==
+      Seq("id", "name", "score"))
+  }
+
+  test("data skipping survives a rename: pruning works on the NEW logical name") {
+    import spark.implicits._
+    val dir = tmp() + "/t"
+    val wide = (1L to 100L).map(i => (i, s"n$i", i.toDouble)).toDF("id", "name", "score")
+    Snapshot.commit(spark, dir, wide.repartitionByRange(4, col("id")))
+    Snapshot.renameColumn(spark, dir, "id", "row_id")
+    // the pushed filter on the logical name rewrites through the rename
+    // projection to the physical attribute the stats are keyed by
+    val eq = Snapshot.candidateFilePaths(spark, dir, 2L, col("row_id") === 7L)
+    assert(eq.size == 1, s"row_id=7 should prune to 1 file, kept ${eq.size}")
+    assert(Snapshot.read(spark, dir).where(col("row_id") === 7L)
+      .select(col("name")).collect().map(_.getString(0)).toSeq == Seq("n7"))
+  }
+
+  test("writes after a rename keep working on logical names; upsert stats-prunes on the renamed key") {
+    import spark.implicits._
+    val dir = tmp() + "/t"
+    val wide = (1L to 100L).map(i => (i, s"n$i", i.toDouble)).toDF("id", "name", "score")
+    Snapshot.commit(spark, dir, wide.repartitionByRange(4, col("id")))      // v1
+    Snapshot.renameColumn(spark, dir, "id", "row_id")                        // v2
+    Snapshot.append(spark, dir,
+      Seq((101L, "n101", 101.0)).toDF("row_id", "name", "score"))            // v3
+    Snapshot.upsert(spark, dir,
+      Seq((7L, "CHANGED", -7.0)).toDF("row_id", "name", "score"), Seq("row_id")) // v4
+    val now = Snapshot.read(spark, dir)
+    assert(now.count() == 101L)
+    assert(now.where(col("row_id") === 7L).select(col("name"))
+      .collect().map(_.getString(0)).toSeq == Seq("CHANGED"))
+    // file-granular: the upsert carried ≥3 of the 4 original files over
+    def files(v: Long): Set[String] =
+      Snapshot.filesForTest(spark, dir, v).map(_._1).toSet
+    assert(files(1L).intersect(files(4L)).size >= 3,
+      "renamed-key upsert must still be file-granular copy-on-write")
+  }
+
+  test("dropColumn hides data metadata-only; a re-added column starts empty (no resurrection)") {
+    import spark.implicits._
+    val dir = tmp() + "/t"
+    Snapshot.commit(spark, dir, base)                                        // v1
+    val v2 = Snapshot.dropColumn(spark, dir, "score")                        // v2
+    def files(v: Long): Set[String] =
+      Snapshot.filesForTest(spark, dir, v).map(_._1).toSet
+    assert(files(1L) == files(2L), "drop must not touch a single data file")
+    assert(Snapshot.read(spark, dir).columns.toSeq == Seq("id", "name"))
+    // time travel still reads the dropped column
+    assert(Snapshot.readVersion(spark, dir, 1L).select(sum(col("score")))
+      .collect()(0).getDouble(0) == 10.0)
+    // re-add the same logical name: binds a FRESH physical slot, so the
+    // old bytes (still sitting in v1's files) must NOT come back
+    Snapshot.addColumn(spark, dir, "score", "DOUBLE")                        // v3
+    val readded = Snapshot.read(spark, dir)
+    assert(readded.columns.toSeq == Seq("id", "name", "score"))
+    assert(readded.where(col("score").isNotNull).count() == 0L,
+      "re-added column resurrected dropped data")
+    // new writes fill only the new slot
+    Snapshot.append(spark, dir, Seq((5L, "e", 50.0)).toDF("id", "name", "score")) // v4
+    val after = Snapshot.read(spark, dir)
+    assert(after.where(col("score").isNotNull).count() == 1L)
+    assert(after.where(col("id") === 5L).select(col("score"))
+      .collect()(0).getDouble(0) == 50.0)
+  }
+
+  test("rename swap via a temp name routes each logical name to the right physical bytes") {
+    val dir = tmp() + "/t"
+    Snapshot.commit(spark, dir, base)
+    Snapshot.renameColumn(spark, dir, "name", "tmp_swap")
+    Snapshot.renameColumn(spark, dir, "score", "name")
+    Snapshot.renameColumn(spark, dir, "tmp_swap", "score")
+    // logical `name` now carries the old score doubles; `score` the strings
+    val out = Snapshot.read(spark, dir)
+      .select(col("id"), col("name"), col("score"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getString(2))).toSet
+    assert(out == Set((1L, 1.0, "a"), (2L, 2.0, "b"), (3L, 3.0, "c"), (4L, 4.0, "d")))
+  }
+
+  test("rename/drop refuse while a CHECK constraint references the column") {
+    val dir = tmp() + "/t"
+    Snapshot.commit(spark, dir, base)
+    Snapshot.addConstraint(spark, dir, "score_pos", "score >= 0")
+    intercept[IllegalArgumentException] {
+      Snapshot.renameColumn(spark, dir, "score", "points")
+    }
+    intercept[IllegalArgumentException] {
+      Snapshot.dropColumn(spark, dir, "score")
+    }
+    Snapshot.dropConstraint(spark, dir, "score_pos")
+    Snapshot.renameColumn(spark, dir, "score", "points") // now fine
+    assert(Snapshot.read(spark, dir).columns.contains("points"))
+  }
+
+  test("restore and shallow clone carry the column mapping; deleteWhere prunes and deletes on the renamed name") {
+    import spark.implicits._
+    val dir = tmp() + "/t"
+    val wide = (1L to 40L).map(i => (i, s"n$i", i.toDouble)).toDF("id", "name", "score")
+    Snapshot.commit(spark, dir, wide.repartitionByRange(4, col("id")))      // v1
+    Snapshot.renameColumn(spark, dir, "id", "row_id")                        // v2
+    // merge-on-read delete through the renamed logical name
+    Snapshot.deleteWhere(spark, dir, col("row_id") <= 5L)                    // v3
+    assert(Snapshot.read(spark, dir).count() == 35L)
+    // clone carries the mapping
+    val cloneDir = tmp() + "/clone"
+    Snapshot.cloneShallow(spark, dir, cloneDir)
+    assert(Snapshot.read(spark, cloneDir).columns.toSeq == Seq("row_id", "name", "score"))
+    assert(Snapshot.read(spark, cloneDir).count() == 35L)
+    // restore to v1 brings the OLD name back (mapping is versioned state)
+    Snapshot.restore(spark, dir, 1L)                                         // v4
+    assert(Snapshot.read(spark, dir).columns.toSeq == Seq("id", "name", "score"))
+    assert(Snapshot.read(spark, dir).count() == 40L)
+  }
 }
