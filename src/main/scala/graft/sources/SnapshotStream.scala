@@ -8,10 +8,12 @@ import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{And => CAnd, AttributeReference, EqualNullSafe => CEqualNullSafe, EqualTo => CEqualTo, Expression, GreaterThan => CGreaterThan, GreaterThanOrEqual => CGreaterThanOrEqual, In => CIn, IsNotNull => CIsNotNull, IsNull => CIsNull, LessThan => CLessThan, LessThanOrEqual => CLessThanOrEqual, Literal, Or => COr}
-import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl}
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
+import org.apache.spark.sql.sources.InsertableRelation
 import org.apache.spark.sql.execution.datasources.PartitionedFile
 import org.apache.spark.sql.graft.ParquetReadBridge
 import org.apache.spark.sql.sources.DataSourceRegister
@@ -106,12 +108,46 @@ private object SnapshotStreamProvider {
   }
 }
 
-private final class SnapshotStreamTable(tableSchema: StructType, dir: String)
-    extends Table with SupportsRead {
+/** The DSv2 Table for a snapshot dir. `pinned` fixes the version a
+  * BATCH scan reads (the catalog's `VERSION AS OF` path); None defers
+  * to scan options (`versionAsOf`/`timestampAsOf`) or latest.
+  */
+private[sources] final class SnapshotStreamTable(tableSchema: StructType, dir: String,
+    pinned: Option[Long] = None)
+    extends Table with SupportsRead with SupportsWrite {
   override def name(): String = s"graft-snapshot `$dir`"
   override def schema(): StructType = tableSchema
   override def capabilities(): util.Set[TableCapability] =
-    Set(TableCapability.MICRO_BATCH_READ, TableCapability.BATCH_READ).asJava
+    Set(TableCapability.MICRO_BATCH_READ, TableCapability.BATCH_READ,
+      TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE).asJava
+
+  /** Batch WRITE as the V1 fallback (the same route the built-in JDBC
+    * source takes): INSERT INTO / append mode → [[Snapshot.append]]
+    * (one O(batch) version, previous files carried by reference);
+    * INSERT OVERWRITE / truncate → [[Snapshot.commit]] (a full-replace
+    * version — old versions stay time-travelable until vacuum). Every
+    * write inherits the layer's contracts: atomic single-winner
+    * publish, CHECK-constraint gates, column-mapping translation,
+    * schema evolution on append.
+    */
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder with SupportsTruncate {
+      private var overwrite = false
+      override def truncate(): WriteBuilder = { overwrite = true; this }
+      override def build(): Write = new V1Write {
+        override def toInsertableRelation: InsertableRelation =
+          new InsertableRelation {
+            override def insert(data: org.apache.spark.sql.DataFrame,
+                legacyOverwrite: Boolean): Unit = {
+              val s = data.sparkSession
+              if (overwrite || legacyOverwrite ||
+                  Snapshot.latestVersion(s, dir).isEmpty)
+                Snapshot.commit(s, dir, data)
+              else Snapshot.append(s, dir, data)
+            }
+          }
+      }
+    }
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     val startLatest = "latest".equalsIgnoreCase(options.getOrDefault("startingVersion", ""))
     val skipRewrites = options.getBoolean("skipRewrites", false)
@@ -154,7 +190,8 @@ private final class SnapshotStreamTable(tableSchema: StructType, dir: String)
         }
         override def toBatch(): Batch = {
           val spark = SparkSession.active
-          val v = SnapshotStreamProvider.resolveVersion(spark, dir, options)
+          val v = pinned.getOrElse(
+            SnapshotStreamProvider.resolveVersion(spark, dir, options))
           new SnapshotBatchScan(dir, Snapshot.readManifest(spark, dir, v),
             required, pushed)
         }

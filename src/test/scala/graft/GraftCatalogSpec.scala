@@ -1,0 +1,113 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.sources.Snapshot
+import org.apache.spark.sql.functions._
+
+/** The pure-SQL surface of the snapshot table layer: a DSv2
+  * TableCatalog (`graft.sources.GraftCatalog`) registered at runtime,
+  * driven entirely through `spark.sql`.
+  */
+class GraftCatalogSpec extends SparkSpec {
+
+  private lazy val warehouse: String = {
+    val w = Files.createTempDirectory("graft-warehouse").toString
+    spark.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.graft.warehouse", w)
+    w
+  }
+
+  test("CREATE TABLE / INSERT INTO / SELECT / VERSION AS OF / INSERT OVERWRITE / DROP TABLE — all through SQL") {
+    warehouse
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
+    spark.sql("CREATE TABLE graft.db.t (id BIGINT, name STRING, bal DOUBLE)")
+    spark.sql("INSERT INTO graft.db.t VALUES (1, 'a', 10.0), (2, 'b', 20.0)")
+    spark.sql("INSERT INTO graft.db.t VALUES (3, 'c', 30.0)")
+    assert(spark.sql("SELECT count(*) FROM graft.db.t").collect()(0).getLong(0) == 3L)
+    assert(spark.sql("SELECT sum(bal) FROM graft.db.t").collect()(0).getDouble(0) == 60.0)
+    // every INSERT was one append version: v1 empty, v2 two rows, v3 three
+    assert(spark.sql("SELECT count(*) FROM graft.db.t VERSION AS OF 1")
+      .collect()(0).getLong(0) == 0L)
+    assert(spark.sql("SELECT count(*) FROM graft.db.t VERSION AS OF 2")
+      .collect()(0).getLong(0) == 2L)
+    // INSERT OVERWRITE = a full-replace version; history stays readable
+    spark.sql("INSERT OVERWRITE graft.db.t VALUES (9, 'z', 90.0)")
+    assert(spark.sql("SELECT count(*) FROM graft.db.t").collect()(0).getLong(0) == 1L)
+    assert(spark.sql("SELECT count(*) FROM graft.db.t VERSION AS OF 3")
+      .collect()(0).getLong(0) == 3L)
+    // listTables sees it; DROP removes it
+    assert(spark.sql("SHOW TABLES IN graft.db").collect().map(_.getString(1)).contains("t"))
+    spark.sql("DROP TABLE graft.db.t")
+    assert(!spark.sql("SHOW TABLES IN graft.db").collect().map(_.getString(1)).contains("t"))
+  }
+
+  test("ALTER TABLE RENAME/DROP/ADD COLUMN are metadata-only commits through SQL; time travel reads each era's names") {
+    warehouse
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
+    spark.sql("CREATE TABLE graft.db.alt (id BIGINT, score DOUBLE, note STRING)")
+    spark.sql("INSERT INTO graft.db.alt VALUES (1, 1.5, 'n1'), (2, 2.5, 'n2')")
+    val dir = s"$warehouse/db/alt"
+    val filesBefore = Snapshot.history(spark, dir).count()
+    spark.sql("ALTER TABLE graft.db.alt RENAME COLUMN score TO points")
+    spark.sql("ALTER TABLE graft.db.alt DROP COLUMN note")
+    spark.sql("ALTER TABLE graft.db.alt ADD COLUMN note STRING")
+    assert(spark.sql("SELECT * FROM graft.db.alt").columns.toSeq ==
+      Seq("id", "points", "note"))
+    // renamed column reads old bytes; re-added note is EMPTY (fresh slot)
+    assert(spark.sql("SELECT sum(points) FROM graft.db.alt")
+      .collect()(0).getDouble(0) == 4.0)
+    assert(spark.sql("SELECT count(note) FROM graft.db.alt")
+      .collect()(0).getLong(0) == 0L)
+    // pre-alter version still answers under its own names
+    assert(spark.sql("SELECT count(note) FROM graft.db.alt VERSION AS OF 2")
+      .collect()(0).getLong(0) == 2L)
+    // and the three ALTERs moved zero data files
+    val m = Snapshot.columnMappingOf(spark, dir)
+    assert(m("points") == "score" && m("note") != "note")
+    assert(Snapshot.history(spark, dir).count() == filesBefore + 3)
+  }
+
+  test("INSERT INTO after a rename writes through the mapping; pushed filters still prune the SQL scan") {
+    warehouse
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
+    spark.sql("CREATE TABLE graft.db.p (id BIGINT, v DOUBLE)")
+    import spark.implicits._
+    (1L to 50L).map(i => (i, i.toDouble)).toDF("id", "v")
+      .repartitionByRange(2, col("id"))
+      .createOrReplaceTempView("src50")
+    spark.sql("INSERT INTO graft.db.p SELECT * FROM src50")
+    spark.sql("ALTER TABLE graft.db.p RENAME COLUMN v TO value")
+    spark.sql("INSERT INTO graft.db.p VALUES (51, 51.0)")
+    assert(spark.sql("SELECT sum(value) FROM graft.db.p")
+      .collect()(0).getDouble(0) == (1 to 51).map(_.toDouble).sum)
+    // point predicate on a stats-disjoint layout prunes planned partitions
+    val pruned = spark.sql("SELECT value FROM graft.db.p WHERE id = 51")
+    assert(pruned.collect().map(_.getDouble(0)).toSeq == Seq(51.0))
+    assert(pruned.rdd.getNumPartitions <= 2,
+      s"expected <=2 planned partitions, got ${pruned.rdd.getNumPartitions}")
+  }
+
+  test("TIMESTAMP AS OF through SQL resolves the era's version") {
+    warehouse
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
+    spark.sql("CREATE TABLE graft.db.ts (id BIGINT)")
+    spark.sql("INSERT INTO graft.db.ts VALUES (1)")
+    val t = new java.sql.Timestamp(System.currentTimeMillis())
+    Thread.sleep(5)
+    spark.sql("INSERT INTO graft.db.ts VALUES (2)")
+    assert(spark.sql(s"SELECT count(*) FROM graft.db.ts TIMESTAMP AS OF '$t'")
+      .collect()(0).getLong(0) == 1L)
+  }
+
+  test("table maintenance composes: a deleteWhere'd catalog table reads dv-filtered through SQL") {
+    warehouse
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
+    spark.sql("CREATE TABLE graft.db.d (id BIGINT, v DOUBLE)")
+    import spark.implicits._
+    spark.sql("INSERT INTO graft.db.d SELECT id, CAST(id AS DOUBLE) FROM range(1, 101)")
+    Snapshot.deleteWhere(spark, s"$warehouse/db/d", col("id") <= 10L)
+    assert(spark.sql("SELECT count(*) FROM graft.db.d").collect()(0).getLong(0) == 90L)
+    assert(spark.sql("SELECT min(id) FROM graft.db.d").collect()(0).getLong(0) == 11L)
+  }
+}
