@@ -42,10 +42,12 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   *
   * ALTERs route to the metadata-only column-mapping commits: RENAME /
   * DROP / ADD COLUMN never touch a data byte regardless of table size.
-  * Row-level SQL (UPDATE/DELETE/MERGE INTO) is not wired into the
-  * analyzer (that needs SupportsRowLevelOperations); use the library
-  * API (`Snapshot.deleteWhere` / `upsert` / `mergeInto`) — the same
-  * split most formats shipped with first.
+  * `DELETE FROM t [WHERE …]` works too (SupportsDelete → the
+  * MERGE-ON-READ `Snapshot.deleteWhere`: deletion vectors, zero file
+  * rewrites). UPDATE/MERGE INTO SQL is not wired into the analyzer
+  * (that needs the full SupportsRowLevelOperations plumbing); use the
+  * library API (`Snapshot.upsert` / `mergeInto`) — the same split most
+  * formats shipped with first.
   */
 final class GraftCatalog extends TableCatalog with SupportsNamespaces {
 

@@ -114,12 +114,33 @@ private object SnapshotStreamProvider {
   */
 private[sources] final class SnapshotStreamTable(tableSchema: StructType, dir: String,
     pinned: Option[Long] = None)
-    extends Table with SupportsRead with SupportsWrite {
+    extends Table with SupportsRead with SupportsWrite
+    with org.apache.spark.sql.connector.catalog.SupportsDelete {
   override def name(): String = s"graft-snapshot `$dir`"
   override def schema(): StructType = tableSchema
   override def capabilities(): util.Set[TableCapability] =
     Set(TableCapability.MICRO_BATCH_READ, TableCapability.BATCH_READ,
       TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE).asJava
+
+  /** SQL `DELETE FROM t WHERE …` — MERGE-ON-READ through
+    * [[Snapshot.deleteWhere]]: matched row positions go to a deletion
+    * vector, ZERO data files are rewritten, manifest stats prune the
+    * candidate files first, and a file whose every row dies drops from
+    * the manifest outright. `canDeleteWhere` accepts only conditions
+    * that translate EXACTLY (a partial translation would delete the
+    * wrong rows); Spark raises its standard cannot-delete error
+    * otherwise. A bare `DELETE FROM t` arrives as AlwaysTrue and
+    * empties the table metadata-only (every file fully dead).
+    */
+  override def canDeleteWhere(filters: Array[v1.Filter]): Boolean =
+    filters.forall(f => SnapshotStreamTable.filterToColumn(f).isDefined)
+
+  override def deleteWhere(filters: Array[v1.Filter]): Unit = {
+    val cond = filters.toSeq.flatMap(SnapshotStreamTable.filterToColumn)
+      .reduceOption(_ && _)
+      .getOrElse(org.apache.spark.sql.functions.lit(true))
+    Snapshot.deleteWhere(SparkSession.active, dir, cond)
+  }
 
   /** Batch WRITE as the V1 fallback (the same route the built-in JDBC
     * source takes): INSERT INTO / append mode → [[Snapshot.append]]
@@ -223,6 +244,37 @@ private[sources] final class SnapshotStreamTable(tableSchema: StructType, dir: S
   *   maintenance contract (optimize purges dvs) bounds it exactly as
   *   it bounds the library read path's anti join.
   */
+private object SnapshotStreamTable {
+  import org.apache.spark.sql.Column
+  import org.apache.spark.sql.functions.{col, lit}
+
+  /** EXACT v1-filter → Column translation for SQL DELETE: every node
+    * must convert or the whole condition is rejected (None) — unlike
+    * the scan path's pruning, a delete acts on what it matches, so
+    * partial translation is never sound.
+    */
+  def filterToColumn(f: v1.Filter): Option[Column] = f match {
+    case v1.EqualTo(a, v) => Some(col(a) === lit(v))
+    case v1.EqualNullSafe(a, v) => Some(col(a) <=> lit(v))
+    case v1.GreaterThan(a, v) => Some(col(a) > lit(v))
+    case v1.GreaterThanOrEqual(a, v) => Some(col(a) >= lit(v))
+    case v1.LessThan(a, v) => Some(col(a) < lit(v))
+    case v1.LessThanOrEqual(a, v) => Some(col(a) <= lit(v))
+    case v1.In(a, vs) => Some(col(a).isin(vs.toIndexedSeq: _*))
+    case v1.IsNull(a) => Some(col(a).isNull)
+    case v1.IsNotNull(a) => Some(col(a).isNotNull)
+    case v1.StringStartsWith(a, v) => Some(col(a).startsWith(v))
+    case v1.StringEndsWith(a, v) => Some(col(a).endsWith(v))
+    case v1.StringContains(a, v) => Some(col(a).contains(v))
+    case v1.Not(c) => filterToColumn(c).map(!_)
+    case v1.And(l, r) => for (a <- filterToColumn(l); b <- filterToColumn(r)) yield a && b
+    case v1.Or(l, r) => for (a <- filterToColumn(l); b <- filterToColumn(r)) yield a || b
+    case _: v1.AlwaysTrue => Some(lit(true))
+    case _: v1.AlwaysFalse => Some(lit(false))
+    case _ => None
+  }
+}
+
 private final class SnapshotBatchScan(dir: String, m: Snapshot.Manifest,
     required: StructType, filters: Array[v1.Filter]) extends Batch {
 

@@ -100,6 +100,28 @@ class GraftCatalogSpec extends SparkSpec {
       .collect()(0).getLong(0) == 1L)
   }
 
+  test("SQL DELETE FROM is merge-on-read: zero files rewritten, history time-travels, bare DELETE empties metadata-only") {
+    warehouse
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
+    spark.sql("CREATE TABLE graft.db.del (id BIGINT, v DOUBLE)")
+    spark.sql("INSERT INTO graft.db.del SELECT id, CAST(id AS DOUBLE) FROM range(1, 101)")
+    val dir = s"$warehouse/db/del"
+    def files(ver: Long): Set[String] =
+      Snapshot.filesForTest(spark, dir, ver).map(_._1).toSet
+    spark.sql("DELETE FROM graft.db.del WHERE id <= 20 AND v > 5.0")    // v3
+    assert(spark.sql("SELECT count(*) FROM graft.db.del").collect()(0).getLong(0) == 85L)
+    assert(files(2L) == files(3L), "SQL DELETE must not rewrite a data file (merge-on-read)")
+    assert(spark.sql("SELECT count(*) FROM graft.db.del VERSION AS OF 2")
+      .collect()(0).getLong(0) == 100L)
+    // bare DELETE FROM: every row-bearing file fully dead → dropped
+    // metadata-only (CREATE TABLE's zero-row part file may remain —
+    // it holds nothing to delete)
+    spark.sql("DELETE FROM graft.db.del")                                // v4
+    assert(spark.sql("SELECT count(*) FROM graft.db.del").collect()(0).getLong(0) == 0L)
+    assert(files(4L).subsetOf(files(1L)),
+      "bare DELETE must drop every row-bearing file from the manifest")
+  }
+
   test("table maintenance composes: a deleteWhere'd catalog table reads dv-filtered through SQL") {
     warehouse
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
