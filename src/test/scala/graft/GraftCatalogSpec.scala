@@ -122,6 +122,39 @@ class GraftCatalogSpec extends SparkSpec {
       "bare DELETE must drop every row-bearing file from the manifest")
   }
 
+  test("DataFrameWriterV2: writeTo(...).append() / overwrite commit append and replace versions") {
+    warehouse
+    import spark.implicits._
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
+    spark.sql("CREATE TABLE graft.db.w2 (id BIGINT, v DOUBLE)")
+    Seq((1L, 1.0), (2L, 2.0)).toDF("id", "v").writeTo("graft.db.w2").append()
+    Seq((3L, 3.0)).toDF("id", "v").writeTo("graft.db.w2").append()
+    assert(spark.table("graft.db.w2").count() == 3L)
+    Seq((9L, 9.0)).toDF("id", "v").writeTo("graft.db.w2")
+      .overwrite(org.apache.spark.sql.functions.lit(true))
+    assert(spark.table("graft.db.w2").count() == 1L)
+    // every write was a version; appends time-travel
+    assert(spark.sql("SELECT count(*) FROM graft.db.w2 VERSION AS OF 3")
+      .collect()(0).getLong(0) == 3L)
+    val ops = Snapshot.history(spark, s"$warehouse/db/w2").collect()
+      .map(_.getString(1)).toSeq
+    assert(ops == Seq("init", "append", "append", "replace"))
+  }
+
+  test("CBO sees manifest sizes: a small catalog table auto-broadcasts in a join (sizeInBytes from metadata, no file I/O)") {
+    warehouse
+    import spark.implicits._
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
+    spark.sql("CREATE TABLE graft.db.dim (k BIGINT, name STRING)")
+    spark.sql("INSERT INTO graft.db.dim SELECT id, 'n' || id FROM range(0, 100)")
+    val fact = (0L until 10000L).map(i => (i, i % 100)).toDF("row", "k")
+    val joined = fact.join(spark.table("graft.db.dim"), "k")
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"small snapshot table should broadcast from manifest stats:\n$plan")
+    assert(joined.count() == 10000L)
+  }
+
   test("table maintenance composes: a deleteWhere'd catalog table reads dv-filtered through SQL") {
     warehouse
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
