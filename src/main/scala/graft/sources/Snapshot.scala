@@ -1210,6 +1210,164 @@ object Snapshot {
         "files_dv" -> files.count(_.dv.exists(_.path == finalRel)).toLong)))
   }
 
+  /** Shared predicate narrowing for the row-level writers
+    * ([[updateWhere]] / [[replaceWhere]]): metadata-only candidate
+    * pruning through the read path's own stats evaluator, then ONE
+    * dv-aware scan of the candidates counting the LIVE rows
+    * `condition` matches per file. Rows an existing deletion vector
+    * already removed are anti-joined out BEFORE the match test — a
+    * dead row must neither force a rewrite nor miscount a full-file
+    * drop. Returns (candidate entries, matched-live-rows per file
+    * basename); both driver-side structures are O(files), never rows.
+    */
+  private def matchedLivePerFile(spark: SparkSession, dir: String, prev: Manifest,
+      condition: Column): (Seq[FileEntry], Map[String, Long]) = {
+    val schema = prev.schema
+    // resolve the predicate against the scan so the collected condition
+    // references PHYSICAL attributes, matching the physical-keyed
+    // manifest stats (same trick as deleteWhere; an unpushable
+    // condition stays logical and simply prunes nothing)
+    val resolved = readVersion(spark, dir, prev.version).filter(condition)
+      .queryExecution.optimizedPlan.collect {
+        case fl: org.apache.spark.sql.catalyst.plans.logical.Filter => fl.condition
+      }
+    val index = new SnapshotFileIndex(dir, prev.files,
+      physicalSchema(schema, prev.mapping), prev.tsMs)
+    val candNames = index.listFiles(Nil, resolved)
+      .flatMap(_.files.map(_.getPath.getName)).toSet
+    val candidates = prev.files.filter(e => candNames.contains(baseName(e.path)))
+    if (candidates.isEmpty) return (candidates, Map.empty)
+    val candPhys = spark.read.schema(physicalSchema(schema, prev.mapping))
+      .parquet(candidates.map(e => absPath(dir, e.path)): _*)
+    val cand = candPhys.select(schema.fields.toSeq.map(f =>
+        col(prev.mapping.getOrElse(f.name, f.name)).as(f.name)) :+
+        col("_metadata").as("__meta"): _*)
+      .withColumn("__gf", element_at(split(col("__meta.file_path"), "/"), -1))
+      .withColumn("__gp", col("__meta.row_index"))
+    val dvDirs = candidates.flatMap(_.dv.map(_.path)).distinct
+    val live = if (dvDirs.isEmpty) cand else {
+      val dv = spark.read.parquet(dvDirs.map(d => absPath(dir, d)): _*)
+      cand.join(dv, cand("__gf") === dv("__dv_file") && cand("__gp") === dv("__dv_pos"),
+        "left_anti")
+    }
+    val counts = live.filter(condition).groupBy(col("__gf")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    (candidates, counts)
+  }
+
+  /** Predicate-targeted UPDATE (`UPDATE t SET c = expr, … WHERE p`):
+    * copy-on-write over ONLY the files holding a matching live row.
+    * Narrowing is [[matchedLivePerFile]]'s two steps — manifest-stats
+    * pruning (a range-clustered table bounds the rewrite to the
+    * predicate's key range, exactly like [[upsert]]'s key narrowing),
+    * then one dv-aware candidate scan for the exact touched set — so
+    * at a 100 TB table an update confined to one day's partition-range
+    * rewrites that range and carries every other file by manifest
+    * reference, statistics included.
+    *
+    * SQL UPDATE semantics: only rows where `condition` is TRUE change
+    * (NULL keeps the old row, mirroring DELETE's NULL-never-deletes);
+    * SET expressions see the OLD row values (`price -> col("price") * 2`
+    * works), are cast to the column's declared type, and may only name
+    * existing columns — widening belongs to [[addColumn]]/[[upsert]]
+    * evolution, not a row writer. CHECK constraints re-validate the
+    * rewritten rows and abort before any manifest publish; deletion
+    * vectors on touched files are honored (dead rows cannot
+    * resurrect) and materialized away by the rewrite. Returns None
+    * when nothing matched — no version minted, the same cron-safe
+    * convergence as [[deleteWhere]] and [[optimize]].
+    */
+  def updateWhere(spark: SparkSession, dir: String, condition: Column,
+      set: Map[String, Column], batchId: Option[Long] = None,
+      txnApp: Option[String] = None): Option[Long] = {
+    val prev = baseManifest(spark, dir).getOrElse(
+      throw new IllegalStateException(s"no committed version at $dir"))
+    val schema = prev.schema
+    val unknown = set.keys.filterNot(schema.fieldNames.contains).toSeq.sorted
+    require(unknown.isEmpty,
+      s"updateWhere: SET names columns the table lacks: ${unknown.mkString(", ")}")
+    val (_, counts) = matchedLivePerFile(spark, dir, prev, condition)
+    if (counts.isEmpty) return None
+    val touchedNames = counts.keySet
+    val (touched, untouched) =
+      prev.files.partition(e => touchedNames.contains(baseName(e.path)))
+    val base = readEntries(spark, dir, touched, schema, prev.tsMs, prev.mapping)
+    val updated = base.select(schema.fields.toSeq.map { f =>
+      set.get(f.name) match {
+        case Some(e) => when(coalesce(condition, lit(false)), e.cast(f.dataType))
+          .otherwise(col(f.name)).as(f.name)
+        case None => col(f.name)
+      }
+    }: _*)
+    val newFiles = writeDataFiles(spark, dir, updated, prev.constraints, prev.mapping)
+    Some(commitManifest(spark, dir, "update", prev.schemaDdl,
+      untouched ++ newFiles, batchId, txnApp, Some(prev),
+      metrics = Map("rows_updated" -> counts.values.sum,
+        "files_rewritten" -> touched.size.toLong,
+        "files_added" -> newFiles.size.toLong,
+        "rows_written" -> newFiles.map(_.rows).sum)))
+  }
+
+  /** Atomic predicate overwrite (the `replaceWhere` idiom): in ONE
+    * version, delete every live row matching `condition` and insert
+    * `data` in its place — the backfill/restatement primitive ("replace
+    * March with the recomputed March") that otherwise needs a delete
+    * and an append with a visible inconsistent state in between.
+    *
+    * Contract: every replacement row must itself satisfy `condition`
+    * (checked in one O(data) aggregation, abort before any write) —
+    * otherwise the op would smuggle rows into ranges it did not claim
+    * and re-running it would not converge. With the contract held the
+    * op is idempotent by content: a re-run replaces its own output.
+    *
+    * File fates, decided from [[matchedLivePerFile]]'s dv-aware
+    * counts: a file whose every live row matches is DROPPED outright
+    * (metadata-only — the common case when the predicate aligns with a
+    * range-clustered layout, e.g. replacing whole days of an ingest
+    * clustered by day); a partially-matching file is rewritten keeping
+    * only its non-matching rows (its dv materialized away); a file the
+    * stats prove disjoint — or that holds no matching live row —
+    * carries by reference. Time travel is unaffected: the pre-replace
+    * version still reads the old range until [[vacuum]].
+    */
+  def replaceWhere(spark: SparkSession, dir: String, condition: Column,
+      data: DataFrame, batchId: Option[Long] = None,
+      txnApp: Option[String] = None): Long = {
+    val prev = baseManifest(spark, dir).getOrElse(
+      throw new IllegalStateException(s"no committed version at $dir"))
+    val schema = prev.schema
+    val missing = schema.fieldNames.filterNot(data.columns.contains).toSeq
+    require(missing.isEmpty,
+      s"replaceWhere: data lacks table columns: ${missing.mkString(", ")}")
+    val aligned = data.select(schema.fields.toSeq.map(f =>
+      col(f.name).cast(f.dataType).as(f.name)): _*)
+    val strays = aligned.filter(!coalesce(condition, lit(false))).limit(1).count()
+    require(strays == 0L,
+      "replaceWhere: every replacement row must satisfy the predicate " +
+        "(rows outside the claimed range would make the overwrite non-idempotent)")
+    val (_, counts) = matchedLivePerFile(spark, dir, prev, condition)
+    val touchedNames = counts.keySet
+    def liveRows(e: FileEntry): Long = e.rows - e.dv.map(_.deleted).getOrElse(0L)
+    val (touched, carried) =
+      prev.files.partition(e => touchedNames.contains(baseName(e.path)))
+    val (dead, partial) = touched.partition(e =>
+      e.rows >= 0 && counts(baseName(e.path)) >= liveRows(e))
+    val kept =
+      if (partial.isEmpty) Seq.empty[FileEntry]
+      else writeDataFiles(spark, dir,
+        readEntries(spark, dir, partial, schema, prev.tsMs, prev.mapping)
+          .filter(!coalesce(condition, lit(false))),
+        prev.constraints, prev.mapping)
+    val newFiles = writeDataFiles(spark, dir, aligned, prev.constraints, prev.mapping)
+    commitManifest(spark, dir, "replace_where", prev.schemaDdl,
+      carried ++ kept ++ newFiles, batchId, txnApp, Some(prev),
+      metrics = Map("rows_deleted" -> counts.values.sum,
+        "files_dropped" -> dead.size.toLong,
+        "files_rewritten" -> partial.size.toLong,
+        "files_added" -> (kept.size + newFiles.size).toLong,
+        "rows_written" -> (kept ++ newFiles).map(_.rows).sum))
+  }
+
   /** Compact the LATEST version's files toward `targetBytes` each and
     * publish the result as a new version. Unlike an in-place rewrite
     * (Writers.compact's rename swap), readers pinned to any existing

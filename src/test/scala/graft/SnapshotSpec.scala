@@ -922,4 +922,106 @@ class SnapshotSpec extends SparkSpec {
     assert(Snapshot.read(spark, dir).columns.toSeq == Seq("id", "name", "score"))
     assert(Snapshot.read(spark, dir).count() == 40L)
   }
+
+  // ---------------------------------------------------------------
+  // row-level writers: updateWhere / replaceWhere
+  // ---------------------------------------------------------------
+
+  test("updateWhere is file-granular copy-on-write: stats-disjoint files carry by reference; no match mints no version") {
+    val dir = tmp() + "/t"
+    // range layout: file [1,2] and file [3,4] — the predicate only
+    // touches the low range, so the high file must carry by reference
+    Snapshot.commit(spark, dir, base.repartitionByRange(2, col("id")))
+    val v = Snapshot.updateWhere(spark, dir, col("id") <= 2L,
+      Map("score" -> (col("score") * 10), "name" -> concat(col("name"), lit("!"))))
+    assert(v.contains(2L))
+    assert(rows(Snapshot.read(spark, dir)) ==
+      Set((1L, "a!", 10.0), (2L, "b!", 20.0), (3L, "c", 3.0), (4L, "d", 4.0)))
+    // the untouched high file carries over BY REFERENCE
+    assert(dataPartFiles(dir, 2L).intersect(dataPartFiles(dir, 1L)).size == 1)
+    // time travel: v1 still reads pre-update values
+    assert(rows(Snapshot.readVersion(spark, dir, 1L)) == rows(base))
+    // history metrics record the update
+    val met = Snapshot.history(spark, dir).where(col("version") === 2L)
+      .select(col("metrics")).collect()(0).getMap[String, Long](0)
+    assert(met("rows_updated") == 2L && met("files_rewritten") == 1L)
+    // a predicate matching nothing mints no version (cron-safe)
+    assert(Snapshot.updateWhere(spark, dir, col("id") === 99L,
+      Map("score" -> lit(0.0))).isEmpty)
+    assert(Snapshot.versions(spark, dir) == Seq(1L, 2L))
+    // an unknown SET column is refused loudly
+    intercept[IllegalArgumentException] {
+      Snapshot.updateWhere(spark, dir, col("id") === 1L, Map("nope" -> lit(1)))
+    }
+  }
+
+  test("updateWhere honors deletion vectors: a dead row neither updates nor resurrects, and the rewrite purges the dv") {
+    val dir = tmp() + "/t"
+    Snapshot.commit(spark, dir, base.repartition(1))
+    Snapshot.deleteWhere(spark, dir, col("id") === 1L)              // v2: dv {1}
+    // predicate covers the dead row AND a live one
+    val v = Snapshot.updateWhere(spark, dir, col("id") <= 2L,
+      Map("score" -> lit(99.0)))
+    assert(v.contains(3L))
+    assert(rows(Snapshot.read(spark, dir)) ==
+      Set((2L, "b", 99.0), (3L, "c", 3.0), (4L, "d", 4.0)))
+    assert(entries(dir, 3L).forall(_._2.isEmpty), "rewrite must purge the dv")
+    // only the LIVE matching row counts as updated
+    val met = Snapshot.history(spark, dir).where(col("version") === 3L)
+      .select(col("metrics")).collect()(0).getMap[String, Long](0)
+    assert(met("rows_updated") == 1L)
+  }
+
+  test("updateWhere re-validates CHECK constraints and aborts before publish on a violation") {
+    val dir = tmp() + "/t"
+    Snapshot.commit(spark, dir, base.repartition(1))
+    Snapshot.addConstraint(spark, dir, "score_pos", "score > 0")     // v2
+    intercept[IllegalArgumentException] {
+      Snapshot.updateWhere(spark, dir, col("id") === 1L, Map("score" -> lit(-5.0)))
+    }
+    assert(Snapshot.versions(spark, dir) == Seq(1L, 2L), "no version on abort")
+    assert(rows(Snapshot.read(spark, dir)) == rows(base))
+  }
+
+  test("replaceWhere: full-file drop + partial rewrite + carry in ONE version; replacement rows must satisfy the predicate") {
+    import spark.implicits._
+    val dir = tmp() + "/t"
+    // three range files: [1,2], [3,4], [5,6]
+    val six = (1L to 6L).map(i => (i, s"n$i", i.toDouble)).toDF("id", "name", "score")
+    Snapshot.commit(spark, dir, six.repartitionByRange(3, col("id")))
+    // predicate fully covers [1,2], splits [3,4] at id=3, misses [5,6]
+    val repl = Seq((1L, "r1", 100.0), (3L, "r3", 300.0)).toDF("id", "name", "score")
+    val v = Snapshot.replaceWhere(spark, dir, col("id") <= 3L, repl)
+    assert(v == 2L)
+    assert(rows(Snapshot.read(spark, dir)) ==
+      Set((1L, "r1", 100.0), (3L, "r3", 300.0), (4L, "n4", 4.0),
+        (5L, "n5", 5.0), (6L, "n6", 6.0)))
+    val met = Snapshot.history(spark, dir).where(col("version") === 2L)
+      .select(col("metrics")).collect()(0).getMap[String, Long](0)
+    assert(met("files_dropped") == 1L, "whole-range file must drop metadata-only")
+    assert(met("files_rewritten") == 1L, "split file must rewrite keep-rows")
+    assert(met("rows_deleted") == 3L)
+    // the disjoint [5,6] file carries BY REFERENCE
+    assert(dataPartFiles(dir, 2L).intersect(dataPartFiles(dir, 1L)).nonEmpty)
+    // time travel: v1 unchanged
+    assert(Snapshot.readVersion(spark, dir, 1L).count() == 6L)
+    // the contract: replacement rows outside the predicate are refused
+    intercept[IllegalArgumentException] {
+      Snapshot.replaceWhere(spark, dir, col("id") <= 2L,
+        Seq((9L, "x", 9.0)).toDF("id", "name", "score"))
+    }
+    assert(Snapshot.versions(spark, dir) == Seq(1L, 2L))
+  }
+
+  test("replaceWhere into an empty predicate region is a pure atomic insert") {
+    import spark.implicits._
+    val dir = tmp() + "/t"
+    Snapshot.commit(spark, dir, base.repartitionByRange(2, col("id")))
+    val v = Snapshot.replaceWhere(spark, dir, col("id") >= 100L,
+      Seq((100L, "z", 0.5)).toDF("id", "name", "score"))
+    assert(v == 2L)
+    assert(Snapshot.read(spark, dir).count() == 5L)
+    // every pre-existing file carried by reference (nothing matched)
+    assert(dataPartFiles(dir, 1L).subsetOf(dataPartFiles(dir, 2L)))
+  }
 }
