@@ -130,7 +130,7 @@ import org.json4s.jackson.JsonMethods
 object Snapshot {
 
   private val VersionsDir = "_versions"
-  private val DataDir = "data"
+  private[sources] val DataDir = "data"
 
   /** Stats are recorded for the first this-many supported-type schema
     * columns (the Delta convention): bounded metadata per file no
@@ -489,7 +489,7 @@ object Snapshot {
     * aggregation grouped by `_metadata.file_path`, O(this commit's
     * data), collected as O(this commit's files) rows on the driver.
     */
-  private def collectEntries(spark: SparkSession, absDir: String, relDir: String,
+  private[sources] def collectEntries(spark: SparkSession, absDir: String, relDir: String,
       schema: StructType): Seq[FileEntry] = {
     // the listing defines the file set (an all-null-partition part
     // file has rows the stats agg can't see per column; a ZERO-row
@@ -548,26 +548,51 @@ object Snapshot {
     val dfPhys = toPhysical(df, mapping)
     dfPhys.write.mode(SaveMode.ErrorIfExists).parquet(s"$dir/$rel")
     val entries = collectEntries(spark, s"$dir/$rel", rel, dfPhys.schema)
-    if (constraints.nonEmpty && entries.nonEmpty) {
-      // constraint predicates reference LOGICAL names: read the written
-      // physical files back under the logical labels (positional)
-      val written = spark.read.schema(dfPhys.schema).parquet(s"$dir/$rel")
-        .toDF(df.schema.fieldNames.toIndexedSeq: _*)
-      val names = constraints.keys.toSeq.sorted
-      val aggs = names.map(n => sum(when(
-        not(coalesce(expr(constraints(n)), lit(true))), 1L).otherwise(0L)).as(n))
-      val r = written.agg(aggs.head, aggs.tail: _*).collect()(0)
-      val bad = names.map(n => n -> r.getAs[Long](n)).filter(_._2 > 0)
-      if (bad.nonEmpty) {
-        fs(spark, dir).delete(new Path(s"$dir/$rel"), true)
-        throw new IllegalArgumentException(
-          s"CHECK constraint violated at $dir: " +
-            bad.map { case (n, c) => s"'$n' (${constraints(n)}) by $c row(s)" }.mkString("; ") +
-            " — commit aborted, no version published")
-      }
-    }
+    if (entries.nonEmpty)
+      validateWritten(spark, dir, rel, dfPhys.schema,
+        df.schema.fieldNames.toSeq, constraints)
     entries
   }
+
+  /** Constraint gate shared by [[writeDataFiles]] and the DSv2
+    * row-level write path: ONE aggregation over the freshly written
+    * physical files at `dir/rel` (read back under their LOGICAL
+    * labels, positional), abort — delete the written data and throw,
+    * no manifest published — on any violating row. No-op when the
+    * table has no constraints.
+    */
+  private[sources] def validateWritten(spark: SparkSession, dir: String, rel: String,
+      physSchema: StructType, logicalNames: Seq[String],
+      constraints: Map[String, String]): Unit = {
+    if (constraints.isEmpty) return
+    val written = spark.read.schema(physSchema).parquet(s"$dir/$rel")
+      .toDF(logicalNames.toIndexedSeq: _*)
+    val names = constraints.keys.toSeq.sorted
+    val aggs = names.map(n => sum(when(
+      not(coalesce(expr(constraints(n)), lit(true))), 1L).otherwise(0L)).as(n))
+    val r = written.agg(aggs.head, aggs.tail: _*).collect()(0)
+    val bad = names.map(n => n -> r.getAs[Long](n)).filter(_._2 > 0)
+    if (bad.nonEmpty) {
+      fs(spark, dir).delete(new Path(s"$dir/$rel"), true)
+      throw new IllegalArgumentException(
+        s"CHECK constraint violated at $dir: " +
+          bad.map { case (n, c) => s"'$n' (${constraints(n)}) by $c row(s)" }.mkString("; ") +
+          " — commit aborted, no version published")
+    }
+  }
+
+  /** Publish a DSv2 row-level (SQL UPDATE / DELETE / MERGE) replace
+    * commit: `files` is the COMPLETE new listing (carried + written),
+    * resolved against `base` captured when the operation's scan
+    * planned — the same pinned-base lost-update guard as every other
+    * writer (an interleaved commit fails this publish; Spark surfaces
+    * the error and the statement re-runs against fresh state).
+    */
+  private[sources] def publishRowLevel(spark: SparkSession, dir: String,
+      base: Manifest, files: Seq[FileEntry], op: String,
+      metrics: Map[String, Long]): Long =
+    commitManifest(spark, dir, op, base.schemaDdl, files, None, None, Some(base),
+      metrics = metrics)
 
   /** Publish at exactly base+1. `base` is the manifest the operation
     * RESOLVED ITS INPUTS FROM, captured once at operation start — a
@@ -771,7 +796,7 @@ object Snapshot {
     readEntries(spark, dir, m.files, m.schema, m.tsMs, m.mapping)
   }
 
-  private def baseName(rel: String): String =
+  private[sources] def baseName(rel: String): String =
     rel.substring(rel.lastIndexOf('/') + 1)
 
   /** Resolve a manifest file reference against the table root.

@@ -115,7 +115,26 @@ private object SnapshotStreamProvider {
 private[sources] final class SnapshotStreamTable(tableSchema: StructType, dir: String,
     pinned: Option[Long] = None)
     extends Table with SupportsRead with SupportsWrite
-    with org.apache.spark.sql.connector.catalog.SupportsDelete {
+    with org.apache.spark.sql.connector.catalog.SupportsDelete
+    with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations
+    with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns {
+
+  /** SQL UPDATE / MERGE INTO / untranslatable DELETE — the group-based
+    * row-level rewrite path ([[GraftRowLevelOperation]]). Exactly-
+    * translatable DELETEs never get here: [[canDeleteWhere]] keeps
+    * them on the metadata-only deletion-vector fast path.
+    */
+  override def newRowLevelOperationBuilder(
+      info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
+      : org.apache.spark.sql.connector.write.RowLevelOperationBuilder =
+    new GraftRowLevelOperationBuilder(dir, info)
+
+  /** `_file` — the table-root-relative data file of each row (the
+    * group id of the row-level rewrite path; also queryable directly:
+    * `SELECT _file, count(*) FROM t GROUP BY _file`).
+    */
+  override def metadataColumns(): Array[org.apache.spark.sql.connector.catalog.MetadataColumn] =
+    Array(SnapshotStreamTable.FileMetadataColumn)
   override def name(): String = s"graft-snapshot `$dir`"
   override def schema(): StructType = tableSchema
   override def capabilities(): util.Set[TableCapability] =
@@ -248,6 +267,17 @@ private object SnapshotStreamTable {
   import org.apache.spark.sql.Column
   import org.apache.spark.sql.functions.{col, lit}
 
+  /** The `_file` metadata column: table-root-relative path of the data
+    * file each row came from.
+    */
+  val FileColumnName = "_file"
+  object FileMetadataColumn extends org.apache.spark.sql.connector.catalog.MetadataColumn {
+    override def name(): String = FileColumnName
+    override def dataType(): org.apache.spark.sql.types.DataType = StringType
+    override def isNullable: Boolean = false
+    override def comment(): String = "table-root-relative data file path of the row"
+  }
+
   /** EXACT v1-filter → Column translation for SQL DELETE: every node
     * must convert or the whole condition is rejected (None) — unlike
     * the scan path's pruning, a delete acts on what it matches, so
@@ -275,8 +305,9 @@ private object SnapshotStreamTable {
   }
 }
 
-private final class SnapshotBatchScan(dir: String, m: Snapshot.Manifest,
-    required: StructType, filters: Array[v1.Filter]) extends Batch {
+private[sources] final class SnapshotBatchScan(dir: String, m: Snapshot.Manifest,
+    required: StructType, filters: Array[v1.Filter],
+    entriesFn: Option[() => Seq[Snapshot.FileEntry]] = None) extends Batch {
 
   private def spark = SparkSession.active
 
@@ -310,13 +341,16 @@ private final class SnapshotBatchScan(dir: String, m: Snapshot.Manifest,
 
   override def planInputPartitions(): Array[InputPartition] = {
     val s = spark
+    // entriesFn: late-bound file list — the row-level scan narrows it
+    // via runtime group filtering AFTER this Batch is constructed
+    val entries = entriesFn.map(_()).getOrElse(m.files)
     val phys = Snapshot.physicalSchema(m.schema, m.mapping)
     val exprs = filters.flatMap(toCatalyst).toSeq
-    val index = new SnapshotFileIndex(dir, m.files, phys, m.tsMs)
+    val index = new SnapshotFileIndex(dir, entries, phys, m.tsMs)
     val keptNames = index.listFiles(Nil, exprs)
       .flatMap(_.files.map(_.getPath.getName)).toSet
     val fs = new Path(dir).getFileSystem(s.sparkContext.hadoopConfiguration)
-    m.files.toArray.collect {
+    entries.toArray.collect {
       case e if keptNames.contains(e.path.substring(e.path.lastIndexOf('/') + 1)) =>
         val abs = Snapshot.absPath(dir, e.path)
         val dvFiles: Array[(String, Long)] = e.dv.toArray.flatMap { d =>
@@ -326,18 +360,29 @@ private final class SnapshotBatchScan(dir: String, m: Snapshot.Manifest,
             .map(st => (st.getPath.toString, st.getLen))
         }
         SnapshotBatchPartition(abs, e.bytes,
-          abs.substring(abs.lastIndexOf('/') + 1), dvFiles): InputPartition
+          abs.substring(abs.lastIndexOf('/') + 1), dvFiles, e.path): InputPartition
     }
   }
 
   override def createReaderFactory(): PartitionReaderFactory = {
+    // the `_file` metadata column is produced by the READER, not read
+    // from parquet: split it off the data schema (it is always LAST —
+    // metadata output follows data output in the relation contract)
+    val fileIdx = required.fieldNames.indexOf(SnapshotStreamTable.FileColumnName)
+    require(fileIdx < 0 || fileIdx == required.fields.length - 1,
+      s"${SnapshotStreamTable.FileColumnName} must be the trailing read column, " +
+        s"got schema ${required.fieldNames.mkString(",")}")
+    val dataRequired =
+      if (fileIdx < 0) required
+      else StructType(required.fields.filterNot(_.name == SnapshotStreamTable.FileColumnName))
     val physRequired =
-      if (m.mapping.isEmpty) required
-      else StructType(required.fields.map(f =>
+      if (m.mapping.isEmpty) dataRequired
+      else StructType(dataRequired.fields.map(f =>
         f.copy(name = m.mapping.getOrElse(f.name, f.name))))
     new SnapshotBatchReaderFactory(
       ParquetReadBridge.reader(spark, physRequired, Map.empty),
-      ParquetReadBridge.reader(spark, SnapshotBatchScan.DvSchema, Map.empty))
+      ParquetReadBridge.reader(spark, SnapshotBatchScan.DvSchema, Map.empty),
+      emitFile = fileIdx >= 0)
   }
 }
 
@@ -347,11 +392,13 @@ private object SnapshotBatchScan {
 }
 
 private final case class SnapshotBatchPartition(absPath: String, bytes: Long,
-    baseName: String, dvFiles: Array[(String, Long)]) extends InputPartition
+    baseName: String, dvFiles: Array[(String, Long)], relPath: String)
+    extends InputPartition
 
 private final class SnapshotBatchReaderFactory(
     readFile: PartitionedFile => Iterator[InternalRow],
-    readDv: PartitionedFile => Iterator[InternalRow])
+    readDv: PartitionedFile => Iterator[InternalRow],
+    emitFile: Boolean = false)
     extends PartitionReaderFactory {
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
@@ -375,6 +422,12 @@ private final class SnapshotBatchReaderFactory(
           }
           set
         }
+      // `_file` metadata column: one reused concat row per partition
+      private val fileTail: InternalRow =
+        if (!emitFile) null
+        else new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+          Array[Any](org.apache.spark.unsafe.types.UTF8String.fromString(p.relPath)))
+      private val joined = new org.apache.spark.sql.catalyst.expressions.JoinedRow
       private var pos = -1L
       private val rows: Iterator[InternalRow] =
         flat(readFile(ParquetReadBridge.wholeFile(p.absPath, p.bytes))).filter { _ =>
@@ -383,7 +436,10 @@ private final class SnapshotBatchReaderFactory(
         }
       private var current: InternalRow = _
       override def next(): Boolean = {
-        if (rows.hasNext) { current = rows.next(); true } else false
+        if (rows.hasNext) {
+          current = if (fileTail == null) rows.next() else joined(rows.next(), fileTail)
+          true
+        } else false
       }
       override def get(): InternalRow = current
       override def close(): Unit = ()

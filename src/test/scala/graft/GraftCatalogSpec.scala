@@ -165,4 +165,138 @@ class GraftCatalogSpec extends SparkSpec {
     assert(spark.sql("SELECT count(*) FROM graft.db.d").collect()(0).getLong(0) == 90L)
     assert(spark.sql("SELECT min(id) FROM graft.db.d").collect()(0).getLong(0) == 11L)
   }
+
+  // ---------------------------------------------------------------
+  // row-level SQL: UPDATE / MERGE INTO / rewrite DELETE
+  // ---------------------------------------------------------------
+
+  test("SQL UPDATE rewrites through the row-level path: values change, history records an update version, time travel intact") {
+    warehouse
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
+    spark.sql("CREATE TABLE graft.db.u (id BIGINT, name STRING, bal DOUBLE)")
+    spark.sql("INSERT INTO graft.db.u VALUES (1, 'a', 10.0), (2, 'b', 20.0), (3, 'c', 30.0)")
+    spark.sql("UPDATE graft.db.u SET bal = bal * 2, name = concat(name, '!') WHERE id <= 2")
+    val rows = spark.sql("SELECT id, name, bal FROM graft.db.u ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq
+    assert(rows == Seq((1L, "a!", 20.0), (2L, "b!", 40.0), (3L, "c", 30.0)))
+    val dir = s"$warehouse/db/u"
+    val ops = Snapshot.history(spark, dir).orderBy(col("version"))
+      .collect().map(_.getString(1)).toSeq
+    assert(ops == Seq("init", "append", "update"))
+    // pre-update version reads the old values
+    assert(spark.sql("SELECT sum(bal) FROM graft.db.u VERSION AS OF 2")
+      .collect()(0).getDouble(0) == 60.0)
+  }
+
+  test("SQL UPDATE with a subquery condition — the planner shape no predicate API expresses") {
+    warehouse
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
+    spark.sql("CREATE TABLE graft.db.u2 (id BIGINT, grp STRING, bal DOUBLE)")
+    spark.sql("INSERT INTO graft.db.u2 VALUES (1, 'x', 5.0), (2, 'x', 50.0), (3, 'y', 7.0), (4, 'y', 70.0)")
+    // bump every row whose balance is below its group's average
+    spark.sql("""UPDATE graft.db.u2 SET bal = bal + 100 WHERE bal < (
+      SELECT avg(bal) FROM graft.db.u2 VERSION AS OF 2)""")
+    val bals = spark.sql("SELECT id, bal FROM graft.db.u2 ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(bals == Seq((1L, 105.0), (2L, 50.0), (3L, 107.0), (4L, 70.0)))
+  }
+
+  test("SQL MERGE INTO: matched update + not-matched insert through the row-level path") {
+    warehouse
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
+    spark.sql("CREATE TABLE graft.db.m (id BIGINT, name STRING, bal DOUBLE)")
+    spark.sql("INSERT INTO graft.db.m VALUES (1, 'a', 10.0), (2, 'b', 20.0)")
+    spark.sql("""
+      MERGE INTO graft.db.m t
+      USING (SELECT * FROM VALUES (2, 'B', 200.0), (3, 'C', 300.0) AS s(id, name, bal)) s
+      ON t.id = s.id
+      WHEN MATCHED THEN UPDATE SET *
+      WHEN NOT MATCHED THEN INSERT *""")
+    val rows = spark.sql("SELECT id, name, bal FROM graft.db.m ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq
+    assert(rows == Seq((1L, "a", 10.0), (2L, "B", 200.0), (3L, "C", 300.0)))
+    val ops = Snapshot.history(spark, s"$warehouse/db/m").orderBy(col("version"))
+      .collect().map(_.getString(1)).toSeq
+    assert(ops == Seq("init", "append", "merge"))
+  }
+
+  test("SQL DELETE with an untranslatable predicate falls back to the row-level rewrite; translatable stays merge-on-read") {
+    warehouse
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
+    spark.sql("CREATE TABLE graft.db.rd (id BIGINT, bal DOUBLE)")
+    spark.sql("INSERT INTO graft.db.rd SELECT id, CAST(id AS DOUBLE) FROM range(1, 31)")
+    // modulo is not a v1 filter → canDeleteWhere = false → rewrite path
+    spark.sql("DELETE FROM graft.db.rd WHERE id % 3 = 0")
+    assert(spark.sql("SELECT count(*) FROM graft.db.rd").collect()(0).getLong(0) == 20L)
+    assert(spark.sql("SELECT count(*) FROM graft.db.rd WHERE id % 3 = 0")
+      .collect()(0).getLong(0) == 0L)
+    val dir = s"$warehouse/db/rd"
+    val hist = Snapshot.history(spark, dir).orderBy(col("version"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(hist.last._2 == "delete")
+    // a translatable predicate must still short-circuit to the dv path:
+    // the file set of the new version is IDENTICAL (merge-on-read)
+    val before = Snapshot.filesForTest(spark, dir, hist.last._1).map(_._1).toSet
+    spark.sql("DELETE FROM graft.db.rd WHERE id <= 5")
+    val vNow = Snapshot.versions(spark, dir).max
+    val after = Snapshot.filesForTest(spark, dir, vNow).map(_._1).toSet
+    assert(after == before, "translatable SQL DELETE must stay merge-on-read (dv), not rewrite")
+    assert(spark.sql("SELECT count(*) FROM graft.db.rd").collect()(0).getLong(0) == 16L)
+  }
+
+  test("SQL UPDATE is FILE-GRANULAR via runtime group filtering: untouched files carry by reference") {
+    warehouse
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
+    spark.sql("CREATE TABLE graft.db.ug (id BIGINT, bal DOUBLE)")
+    // two range-disjoint files via the library API (SQL INSERT would
+    // write one file per task anyway; range layout makes it explicit)
+    import spark.implicits._
+    val dir = s"$warehouse/db/ug"
+    Snapshot.append(spark, dir,
+      (1L to 40L).map(i => (i, i.toDouble)).toDF("id", "bal")
+        .repartitionByRange(2, col("id")))                      // files [1,20], [21,40]
+    // v2 = CREATE's empty init file (if any) + the two range files
+    val v2Files = Snapshot.filesForTest(spark, dir, 2L).map(_._1).toSet
+    spark.sql("UPDATE graft.db.ug SET bal = bal + 1000 WHERE id <= 10")
+    val v3 = Snapshot.versions(spark, dir).max
+    val v3Files = Snapshot.filesForTest(spark, dir, v3).map(_._1).toSet
+    // exactly ONE file (the low range) was rewritten; everything else
+    // carried BY REFERENCE
+    assert(v3Files.intersect(v2Files).size == v2Files.size - 1,
+      s"expected exactly one replaced file, v2=$v2Files v3=$v3Files")
+    // values correct on both sides of the boundary
+    assert(spark.sql("SELECT sum(bal) FROM graft.db.ug").collect()(0).getDouble(0) ==
+      (1 to 40).map(_.toDouble).sum + 10 * 1000.0)
+    // metrics record the narrowed rewrite
+    val met = Snapshot.history(spark, dir).where(col("version") === v3)
+      .select(col("metrics")).collect()(0).getMap[String, Long](0)
+    assert(met("files_rewritten") == 1L, s"expected 1 rewritten, got $met")
+  }
+
+  test("SELECT _file metadata column works directly") {
+    warehouse
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
+    spark.sql("CREATE TABLE graft.db.mf (id BIGINT)")
+    spark.sql("INSERT INTO graft.db.mf VALUES (1), (2)")
+    spark.sql("INSERT INTO graft.db.mf VALUES (3)")
+    val byFile = spark.sql("SELECT _file, count(*) AS n FROM graft.db.mf GROUP BY _file")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(byFile.values.sum == 3L)
+    assert(byFile.keys.forall(_.startsWith("data/")), s"got ${byFile.keys}")
+  }
+
+  test("SQL UPDATE re-validates CHECK constraints and aborts with no version on a violation") {
+    warehouse
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
+    spark.sql("CREATE TABLE graft.db.uc (id BIGINT, bal DOUBLE)")
+    spark.sql("INSERT INTO graft.db.uc VALUES (1, 10.0), (2, 20.0)")
+    val dir = s"$warehouse/db/uc"
+    Snapshot.addConstraint(spark, dir, "bal_pos", "bal > 0")
+    val vBefore = Snapshot.versions(spark, dir).max
+    intercept[Exception] {
+      spark.sql("UPDATE graft.db.uc SET bal = -1.0 WHERE id = 1")
+    }
+    assert(Snapshot.versions(spark, dir).max == vBefore, "no version on abort")
+    assert(spark.sql("SELECT sum(bal) FROM graft.db.uc").collect()(0).getDouble(0) == 30.0)
+  }
 }
