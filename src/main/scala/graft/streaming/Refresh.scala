@@ -432,6 +432,54 @@ object Refresh {
     ()
   }
 
+  /** Exactly-once streaming PARTITION OVERWRITE into a snapshot table
+    * (`Snapshot.replaceWhere` per micro-batch) — the "recompute and
+    * overwrite the day" idiom: each batch carries fully-recomputed
+    * rows for one or more values of `partitionCol`; the sink
+    * atomically replaces exactly those partitions' rows with the
+    * batch, in ONE version per batch. Re-emitting a partition in a
+    * later batch REPLACES it (vs [[snapshotAppend]]'s accumulate),
+    * which is what makes late full-partition restatements idempotent
+    * at the table: the final state is "last write per partition wins",
+    * and a crash-replayed batch id is a manifest-cursor no-op.
+    *
+    * Scale shape: the batch's distinct partition values are collected
+    * (bounded by partitions-touched-per-batch — a recompute pipeline
+    * emits a handful); on a table range-clustered by `partitionCol`
+    * the replace drops/rewrites only the touched range's files.
+    */
+  def snapshotReplaceWhere(rows: DataFrame, tableDir: String,
+      partitionCol: String, checkpointDir: String): StreamingQuery =
+    rows.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        applySnapshotReplaceBatch(batch, batchId, tableDir, partitionCol)
+      }
+      .start()
+
+  /** One micro-batch of [[snapshotReplaceWhere]]: skip on a covered
+    * cursor, commit the table on first contact, else replaceWhere the
+    * batch's partition-value set.
+    */
+  def applySnapshotReplaceBatch(batch: DataFrame, batchId: Long,
+      tableDir: String, partitionCol: String): Unit = {
+    val spark = batch.sparkSession
+    import graft.sources.Snapshot
+    val app = txnIdentity(spark)
+    if (Snapshot.lastTxn(spark, tableDir).exists { case (a, b) =>
+        a == app && b >= batchId }) return
+    if (batch.isEmpty) return // don't mint empty versions
+    if (Snapshot.latestVersion(spark, tableDir).isEmpty) {
+      Snapshot.commit(spark, tableDir, batch, Some(batchId), Some(app))
+      return
+    }
+    val parts = batch.select(col(partitionCol)).distinct()
+      .collect().map(_.get(0)).toSeq
+    Snapshot.replaceWhere(spark, tableDir,
+      col(partitionCol).isin(parts: _*), batch, Some(batchId), Some(app))
+    ()
+  }
+
   /** Stream-stream interval join: each left event matched to right
     * events with the same key whose time is within
     * [leftTs - lookback, leftTs]. BOTH sides carry watermarks and the

@@ -722,6 +722,50 @@ class StreamingSpec extends SparkSpec {
     assert(Snapshot.readVersion(spark, tbl, v1).count() == 2L)
   }
 
+  test("exactly-once snapshot REPLACE-WHERE sink: a re-emitted partition is replaced, not duplicated; replay is a no-op; untouched partitions carry") {
+    import graft.sources.Snapshot
+    import spark.implicits._
+    val root = tmp()
+    val src = s"$root/src"; val tbl = s"$root/tbl"; val ck = s"$root/ck"
+    // batch 1: days 1 and 2 (first contact → plain commit)
+    Seq((1L, "d1-a", 10.0), (1L, "d1-b", 11.0), (2L, "d2-a", 20.0))
+      .toDF("day", "k", "v").write.parquet(s"$src/b1")
+    val schema = spark.read.parquet(s"$src/b1").schema
+    def start() = Refresh.snapshotReplaceWhere(
+      spark.readStream.schema(schema).parquet(s"$src/*"), tbl, "day", ck)
+
+    val q1 = start(); q1.processAllAvailable(); q1.stop() // crash
+    val v1 = Snapshot.latestVersion(spark, tbl).get
+    assert(Snapshot.read(spark, tbl).count() == 3L)
+    // batch 2: day 2 RESTATED (one row, new value) + day 3 appears
+    Seq((2L, "d2-R", 99.0), (3L, "d3-a", 30.0))
+      .toDF("day", "k", "v").write.parquet(s"$src/b2")
+    val q2 = start(); q2.processAllAvailable()
+    val queryId = q2.id.toString
+    q2.stop()
+    val v2 = Snapshot.latestVersion(spark, tbl).get
+    assert(v2 > v1)
+    val now = Snapshot.read(spark, tbl)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+    assert(now == Set((1L, "d1-a", 10.0), (1L, "d1-b", 11.0),
+      (2L, "d2-R", 99.0), (3L, "d3-a", 30.0)),
+      s"day 2 must be REPLACED by its restatement, got $now")
+    // time travel: pre-restatement day 2 still reads at v1
+    assert(Snapshot.readVersion(spark, tbl, v1)
+      .where(col("day") === 2L).count() == 1L)
+    // replay under the same identity: no new version, no data change
+    val sc = spark.sparkContext
+    try {
+      sc.setLocalProperty("sql.streaming.queryId", queryId)
+      val replayId = Snapshot.lastTxn(spark, tbl).get._2
+      Refresh.applySnapshotReplaceBatch(
+        Seq((2L, "d2-R", 99.0), (3L, "d3-a", 30.0)).toDF("day", "k", "v"),
+        replayId, tbl, "day")
+      assert(Snapshot.latestVersion(spark, tbl).get == v2, "replay minted a version")
+      assert(Snapshot.read(spark, tbl).count() == 4L, "replay duplicated rows")
+    } finally sc.setLocalProperty("sql.streaming.queryId", null)
+  }
+
   test("snapshot STREAMING SOURCE: offsets are versions; resume reads only new appends; a rewrite fails loudly unless skipRewrites") {
     import graft.sources.Snapshot
     import spark.implicits._
