@@ -56,6 +56,17 @@ object vector {
   def bloomMightContain(sketch: Column, key: Column): Column =
     expr2(sketch, key, BloomMightContain)
 
+  /** Mergeable VarOpt weighted-sampling sketch (see [[VarOptAgg]]):
+    * bounded k-item weighted sample with unbiased subset sums.
+    */
+  def varoptAgg(item: Column, weight: Column, k: Int): Column =
+    bridge.column(VarOptAgg(bridge.expression(item), bridge.expression(weight), k)
+      .toAggregateExpression())
+
+  /** Explode a [[varoptAgg]] binary to (item, adjusted-weight) rows. */
+  def varoptSamples(sketch: Column): Column =
+    bridge.column(VarOptSamples(bridge.expression(sketch)))
+
   def norm(a: Column): Column = sqrt(dot(a, a))
 
   /** l2 distance (composed from codegen'd dots: ‖a-b‖² = aa - 2ab + bb). */

@@ -180,6 +180,42 @@ object Sketches {
       .withColumn("approx_intersect_ie",
         greatest(col("approx_a") + col("approx_b") - col("approx_union"), lit(0L)))
 
+  /** VarOpt weighted-sample readout: ONE mergeable k-item weighted
+    * sample of (`item`, `weight`) (graft's `varopt_agg` — the
+    * SAMPLING member of the sketch family), then each class's weight
+    * sum estimated from the sample's inclusion-adjusted weights
+    * beside the exact answer. The 100 TB serving shape: the fact scan
+    * happens once to build an O(k) sketch; ANY later segment question
+    * is a broadcast join of the k sample rows against the dimension —
+    * no second fact pass (here the exact twin runs only to report the
+    * estimation error). Σ adjusted weights over ALL samples equals
+    * the exact total by the VarOpt invariant; per-class sums are
+    * unbiased with near-optimal variance.
+    */
+  def varoptShares(df: DataFrame, item: String, weight: String, cls: String,
+      k: Int): DataFrame = {
+    val base = df.select(col(item).as("it"),
+      col(weight).cast("double").as("w"), col(cls).as("cls")).persist()
+    try {
+      val sk = base.agg(graft.functions.vector.varoptAgg(col("it"), col("w"), k).as("sk"))
+      val samples = sk.select(explode(graft.functions.vector.varoptSamples(col("sk"))).as("s"))
+        .select(col("s.item").as("it"), col("s.weight").as("sw"))
+      val est = base.select(col("it"), col("cls")).distinct()
+        .join(broadcast(samples), "it")
+        .groupBy(col("cls"))
+        .agg(sum(col("sw")).as("est_weight"), count(lit(1)).as("n_sampled"))
+      val exact = base.groupBy(col("cls")).agg(sum(col("w")).as("exact_weight"))
+      exact.join(est, Seq("cls"), "left")
+        .select(col("cls"), round(col("exact_weight"), 2).as("exact_weight"),
+          round(coalesce(col("est_weight"), lit(0.0)), 2).as("est_weight"),
+          coalesce(col("n_sampled"), lit(0L)).as("n_sampled"),
+          round(abs(coalesce(col("est_weight"), lit(0.0)) - col("exact_weight")) /
+            col("exact_weight"), 4).as("rel_err"))
+        .orderBy(col("cls"))
+        .localCheckpoint(true)
+    } finally base.unpersist(false)
+  }
+
   def thetaSetOps(df: DataFrame, key: String,
       inA: Column, inB: Column, lgK: Int = 12): DataFrame =
     df.withColumn("__in_a", inA).withColumn("__in_b", inB)

@@ -195,4 +195,24 @@ class SketchSpec extends SparkSpec {
     assert(java.util.Arrays.equals(a, b),
       "sketch must be identical under any partitioning (merge = bitwise OR)")
   }
+
+  test("varopt sample: total weight is exact (the VarOpt invariant); subset sums within 25% across a multi-partition merge") {
+    import graft.operators.Sketches
+    import spark.implicits._
+    // 20k items, 4 classes, weights 1..100 — built multi-partition so
+    // the union/merge path genuinely runs
+    val df = (1L to 20000L).map(i => (i, ((i % 100) + 1).toDouble, s"c${i % 4}"))
+      .toDF("it", "w", "cls").repartition(8)
+    val out = Sketches.varoptShares(df, "it", "w", "cls", k = 512)
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(2))).toSeq
+    assert(out.map(_._1).sorted == Seq("c0", "c1", "c2", "c3"))
+    val exactTotal = out.map(_._2).sum
+    val estTotal = out.map(_._3).sum
+    assert(math.abs(estTotal - exactTotal) / exactTotal < 1e-9,
+      s"Σ adjusted weights must equal the exact total: $estTotal vs $exactTotal")
+    out.foreach { case (cls, ex, est) =>
+      assert(math.abs(est - ex) / ex <= 0.25,
+        s"class $cls subset-sum estimate $est drifted beyond 25% of $ex")
+    }
+  }
 }
