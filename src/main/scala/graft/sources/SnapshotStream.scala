@@ -135,6 +135,33 @@ private[sources] final class SnapshotStreamTable(tableSchema: StructType, dir: S
     */
   override def metadataColumns(): Array[org.apache.spark.sql.connector.catalog.MetadataColumn] =
     Array(SnapshotStreamTable.FileMetadataColumn)
+
+  /** Ops surface for `DESCRIBE EXTENDED` / `SHOW TBLPROPERTIES`: the
+    * table state a maintenance scheduler reads first — resolved from
+    * the manifest alone, zero file I/O. Computed lazily so plain
+    * reads/writes never pay it.
+    */
+  override def properties(): util.Map[String, String] = {
+    import scala.jdk.CollectionConverters._
+    Snapshot.latestVersion(spark_, dir) match {
+      case None => java.util.Collections.emptyMap()
+      case Some(v) =>
+        val m = Snapshot.readManifest(spark_, dir, v)
+        val props = scala.collection.mutable.LinkedHashMap(
+          "graft.version" -> (pinned.getOrElse(v)).toString,
+          "graft.latest_version" -> v.toString,
+          "graft.last_operation" -> m.op,
+          "graft.num_files" -> m.files.size.toString,
+          "graft.size_bytes" -> m.files.map(_.bytes).sum.toString,
+          "graft.num_rows" -> m.files.map(_.rows).sum.toString,
+          "graft.num_dv_files" -> m.files.count(_.dv.isDefined).toString)
+        if (m.constraints.nonEmpty)
+          props += ("graft.constraints" -> m.constraints.keys.toSeq.sorted.mkString(","))
+        props.asJava
+    }
+  }
+
+  private def spark_ = SparkSession.active
   override def name(): String = s"graft-snapshot `$dir`"
   override def schema(): StructType = tableSchema
   override def capabilities(): util.Set[TableCapability] =

@@ -285,6 +285,19 @@ class GraftCatalogSpec extends SparkSpec {
     assert(byFile.keys.forall(_.startsWith("data/")), s"got ${byFile.keys}")
   }
 
+  test("SHOW TBLPROPERTIES exposes version/file/row state from the manifest alone") {
+    warehouse
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
+    spark.sql("CREATE TABLE graft.db.props (id BIGINT)")
+    spark.sql("INSERT INTO graft.db.props VALUES (1), (2), (3)")
+    val props = spark.sql("SHOW TBLPROPERTIES graft.db.props")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(props("graft.latest_version") == "2")
+    assert(props("graft.last_operation") == "append")
+    assert(props("graft.num_rows") == "3")
+    assert(props("graft.num_files").toLong >= 1L)
+  }
+
   test("SQL UPDATE re-validates CHECK constraints and aborts with no version on a violation") {
     warehouse
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
