@@ -194,17 +194,29 @@ object Sketches {
     */
   def varoptShares(df: DataFrame, item: String, weight: String, cls: String,
       k: Int): DataFrame = {
+    // the sketch silently skips non-positive weights (they can never
+    // be sampled) — drop them from the exact side too, or a class of
+    // zero-weight rows would report an unreachable exact total (and a
+    // 0 denominator → NaN rel_err)
     val base = df.select(col(item).as("it"),
-      col(weight).cast("double").as("w"), col(cls).as("cls")).persist()
+      col(weight).cast("double").as("w"), col(cls).as("cls"))
+      .filter(col("w") > 0.0).persist()
     try {
       val sk = base.agg(graft.functions.vector.varoptAgg(col("it"), col("w"), k).as("sk"))
       val samples = sk.select(explode(graft.functions.vector.varoptSamples(col("sk"))).as("s"))
         .select(col("s.item").as("it"), col("s.weight").as("sw"))
-      val est = base.select(col("it"), col("cls")).distinct()
+      // ONE canonical class per item (deterministic max tie-break):
+      // an item listed under two classes would otherwise credit its
+      // sampled weight to BOTH, breaking the exact-total invariant.
+      // The exact side aggregates under the SAME canonical mapping so
+      // the two columns stay comparable.
+      val classOf = base.groupBy(col("it")).agg(max(col("cls")).as("cls"))
+      val est = classOf
         .join(broadcast(samples), "it")
         .groupBy(col("cls"))
         .agg(sum(col("sw")).as("est_weight"), count(lit(1)).as("n_sampled"))
-      val exact = base.groupBy(col("cls")).agg(sum(col("w")).as("exact_weight"))
+      val exact = base.drop("cls").join(classOf, "it")
+        .groupBy(col("cls")).agg(sum(col("w")).as("exact_weight"))
       exact.join(est, Seq("cls"), "left")
         .select(col("cls"), round(col("exact_weight"), 2).as("exact_weight"),
           round(coalesce(col("est_weight"), lit(0.0)), 2).as("est_weight"),

@@ -248,6 +248,11 @@ private final class RowLevelReplaceWrite(op: GraftRowLevelOperation,
         case RowLevelOperation.Command.DELETE => "delete"
         case RowLevelOperation.Command.MERGE => "merge"
       }
+      // zero-match statement (runtime filtering narrowed the scan to
+      // nothing and the write produced nothing): mint NO version —
+      // the same cron-safe convergence as the library updateWhere/
+      // deleteWhere, instead of growing history with identical states
+      if (entries.isEmpty && op.replacedPaths.isEmpty) return
       // files the (possibly runtime-narrowed) scan did NOT read carry
       // into the new version by manifest reference, statistics and
       // deletion vectors included

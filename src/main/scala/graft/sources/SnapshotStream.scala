@@ -145,11 +145,16 @@ private[sources] final class SnapshotStreamTable(tableSchema: StructType, dir: S
     import scala.jdk.CollectionConverters._
     Snapshot.latestVersion(spark_, dir) match {
       case None => java.util.Collections.emptyMap()
-      case Some(v) =>
+      case Some(latest) =>
+        // a version-pinned (time-travel) table reports THAT version's
+        // stats — pairing the pinned version number with the latest
+        // manifest's counts would mislead exactly the ops reader this
+        // surface exists for
+        val v = pinned.getOrElse(latest)
         val m = Snapshot.readManifest(spark_, dir, v)
         val props = scala.collection.mutable.LinkedHashMap(
-          "graft.version" -> (pinned.getOrElse(v)).toString,
-          "graft.latest_version" -> v.toString,
+          "graft.version" -> v.toString,
+          "graft.latest_version" -> latest.toString,
           "graft.last_operation" -> m.op,
           "graft.num_files" -> m.files.size.toString,
           "graft.size_bytes" -> m.files.map(_.bytes).sum.toString,

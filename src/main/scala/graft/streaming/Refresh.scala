@@ -475,8 +475,18 @@ object Refresh {
     }
     val parts = batch.select(col(partitionCol)).distinct()
       .collect().map(_.get(0)).toSeq
-    Snapshot.replaceWhere(spark, tableDir,
-      col(partitionCol).isin(parts: _*), batch, Some(batchId), Some(app))
+    // a NULL partition value must claim the NULL partition explicitly:
+    // isin(null, …) evaluates to NULL for the null row, which would
+    // trip replaceWhere's rows-must-satisfy-predicate contract and
+    // wedge the stream (the replay re-fails forever)
+    val nonNull = parts.filter(_ != null)
+    val cond0 =
+      if (nonNull.isEmpty) lit(false)
+      else col(partitionCol).isin(nonNull: _*)
+    val cond =
+      if (parts.contains(null)) cond0 || col(partitionCol).isNull
+      else cond0
+    Snapshot.replaceWhere(spark, tableDir, cond, batch, Some(batchId), Some(app))
     ()
   }
 

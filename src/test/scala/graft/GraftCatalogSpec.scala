@@ -285,6 +285,19 @@ class GraftCatalogSpec extends SparkSpec {
     assert(byFile.keys.forall(_.startsWith("data/")), s"got ${byFile.keys}")
   }
 
+  test("a zero-match SQL UPDATE mints NO version (cron-safe convergence, like the library writers)") {
+    warehouse
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
+    spark.sql("CREATE TABLE graft.db.zm (id BIGINT, bal DOUBLE)")
+    spark.sql("INSERT INTO graft.db.zm VALUES (1, 10.0), (2, 20.0)")
+    val dir = s"$warehouse/db/zm"
+    val before = Snapshot.versions(spark, dir).max
+    spark.sql("UPDATE graft.db.zm SET bal = 0.0 WHERE id = 999")
+    assert(Snapshot.versions(spark, dir).max == before,
+      "no-op UPDATE must not grow version history")
+    assert(spark.sql("SELECT sum(bal) FROM graft.db.zm").collect()(0).getDouble(0) == 30.0)
+  }
+
   test("SHOW TBLPROPERTIES exposes version/file/row state from the manifest alone") {
     warehouse
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")

@@ -215,4 +215,20 @@ class SketchSpec extends SparkSpec {
         s"class $cls subset-sum estimate $est drifted beyond 25% of $ex")
     }
   }
+
+  test("varopt sample: an item listed under two classes is credited ONCE (canonical class), keeping the total invariant") {
+    import graft.operators.Sketches
+    import spark.implicits._
+    // every item appears under BOTH classes; naive per-class crediting
+    // would double the estimated total
+    val df = (1L to 5000L).flatMap(i =>
+        Seq((i, ((i % 50) + 1).toDouble, "a"), (i, ((i % 50) + 1).toDouble, "b")))
+      .toDF("it", "w", "cls").repartition(4)
+    val out = Sketches.varoptShares(df, "it", "w", "cls", k = 256)
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(2))).toSeq
+    val exactTotal = out.map(_._2).sum
+    val estTotal = out.map(_._3).sum
+    assert(math.abs(estTotal - exactTotal) / exactTotal < 1e-9,
+      s"duplicate-class items must not double-count: est $estTotal vs exact $exactTotal")
+  }
 }

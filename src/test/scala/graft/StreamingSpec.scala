@@ -763,6 +763,14 @@ class StreamingSpec extends SparkSpec {
         replayId, tbl, "day")
       assert(Snapshot.latestVersion(spark, tbl).get == v2, "replay minted a version")
       assert(Snapshot.read(spark, tbl).count() == 4L, "replay duplicated rows")
+      // a NULL partition value claims the NULL partition (isin(null,…)
+      // would evaluate NULL and wedge the stream on the contract check)
+      Refresh.applySnapshotReplaceBatch(
+        Seq((Some(4L), "d4-a", 40.0), (Option.empty[Long], "dN-a", 0.5))
+          .toDF("day", "k", "v"),
+        replayId + 1, tbl, "day")
+      assert(Snapshot.read(spark, tbl).count() == 6L)
+      assert(Snapshot.read(spark, tbl).where(col("day").isNull).count() == 1L)
     } finally sc.setLocalProperty("sql.streaming.queryId", null)
   }
 
