@@ -285,6 +285,49 @@ class GraftCatalogSpec extends SparkSpec {
     assert(byFile.keys.forall(_.startsWith("data/")), s"got ${byFile.keys}")
   }
 
+  test("SQL UPDATE on a dv'd table: deleted rows neither update nor resurrect; the rewrite purges the dv") {
+    warehouse
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
+    spark.sql("CREATE TABLE graft.db.udv (id BIGINT, bal DOUBLE)")
+    spark.sql("INSERT INTO graft.db.udv SELECT id, CAST(id AS DOUBLE) FROM range(1, 11)")
+    val dir = s"$warehouse/db/udv"
+    Snapshot.deleteWhere(spark, dir, col("id") <= 3L)       // dv {1,2,3}
+    // predicate covers dead rows AND live ones
+    spark.sql("UPDATE graft.db.udv SET bal = bal + 100 WHERE id <= 5")
+    val rows = spark.sql("SELECT id, bal FROM graft.db.udv ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(rows == (4L to 10L).map(i =>
+      (i, if (i <= 5) i + 100.0 else i.toDouble)),
+      s"dead rows must stay dead and live ones update: $rows")
+    // the rewritten version carries no deletion vector
+    val v = Snapshot.versions(spark, dir).max
+    assert(Snapshot.filesForTest(spark, dir, v).forall(_._2.isEmpty),
+      "row-level rewrite must materialize the dv away")
+  }
+
+  test("SQL UPDATE and MERGE with a DELETE clause work through a RENAMED column") {
+    warehouse
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
+    spark.sql("CREATE TABLE graft.db.urn (id BIGINT, amount DOUBLE)")
+    spark.sql("INSERT INTO graft.db.urn VALUES (1, 10.0), (2, 20.0), (3, 30.0)")
+    spark.sql("ALTER TABLE graft.db.urn RENAME COLUMN amount TO total")
+    // UPDATE through the renamed logical name (files carry the OLD
+    // physical name — the write must translate)
+    spark.sql("UPDATE graft.db.urn SET total = total * 2 WHERE id = 1")
+    // MERGE with a DELETE clause
+    spark.sql("""MERGE INTO graft.db.urn t
+      USING (SELECT * FROM VALUES (2), (3) AS s(id)) s ON t.id = s.id
+      WHEN MATCHED AND t.total > 25.0 THEN DELETE
+      WHEN MATCHED THEN UPDATE SET total = 0.0""")
+    val rows = spark.sql("SELECT id, total FROM graft.db.urn ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(rows == Seq((1L, 20.0), (2L, 0.0)),
+      s"expected id 3 deleted, id 2 zeroed, id 1 doubled: $rows")
+    // pre-rename era still reads the OLD name
+    assert(spark.sql("SELECT sum(amount) FROM graft.db.urn VERSION AS OF 2")
+      .collect()(0).getDouble(0) == 60.0)
+  }
+
   test("a zero-match SQL UPDATE mints NO version (cron-safe convergence, like the library writers)") {
     warehouse
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
