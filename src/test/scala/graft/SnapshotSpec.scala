@@ -1013,6 +1013,23 @@ class SnapshotSpec extends SparkSpec {
     assert(Snapshot.versions(spark, dir) == Seq(1L, 2L))
   }
 
+  test("updateWhere speaks logical names on a RENAMED table and stats-prunes on the renamed key") {
+    import spark.implicits._
+    val dir = tmp() + "/t"
+    val forty = (1L to 40L).map(i => (i, s"n$i", i.toDouble)).toDF("id", "name", "score")
+    Snapshot.commit(spark, dir, forty.repartitionByRange(4, col("id")))   // v1: 4 range files
+    Snapshot.renameColumn(spark, dir, "id", "row_id")                     // v2
+    val v = Snapshot.updateWhere(spark, dir, col("row_id") <= 10L,
+      Map("score" -> (col("score") * 10)))
+    assert(v.contains(3L))
+    // only the low-range file rewrote; three carried by reference
+    assert(dataPartFiles(dir, 3L).intersect(dataPartFiles(dir, 1L)).size == 3,
+      "stats pruning must hold on the renamed key")
+    val out = Snapshot.read(spark, dir).where(col("row_id") <= 11L)
+      .orderBy(col("row_id")).collect().map(r => r.getDouble(2)).toSeq
+    assert(out == (1L to 10L).map(_ * 10.0) ++ Seq(11.0))
+  }
+
   test("replaceWhere into an empty predicate region is a pure atomic insert") {
     import spark.implicits._
     val dir = tmp() + "/t"

@@ -774,6 +774,45 @@ class StreamingSpec extends SparkSpec {
     } finally sc.setLocalProperty("sql.streaming.queryId", null)
   }
 
+  test("snapshot STREAMING SOURCE treats a SQL row-level UPDATE version as a rewrite: loud failure, skipRewrites passes it") {
+    import graft.sources.Snapshot
+    import spark.implicits._
+    val root = tmp()
+    val wh = s"$root/wh"
+    spark.conf.set("spark.sql.catalog.gsrc", "graft.sources.GraftCatalog")
+    spark.conf.set(s"spark.sql.catalog.gsrc.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gsrc.db")
+    spark.sql("CREATE TABLE gsrc.db.s (id BIGINT, v DOUBLE)")
+    spark.sql("INSERT INTO gsrc.db.s VALUES (1, 1.0), (2, 2.0)")
+    spark.sql("UPDATE gsrc.db.s SET v = 9.0 WHERE id = 1")   // an 'update' rewrite version
+    val tbl = s"$wh/db/s"
+    // default: the rewrite version must fail the stream loudly
+    val ck1 = s"$root/ck1"
+    val q1 = spark.readStream.format("graft-snapshot").load(tbl)
+      .writeStream.option("checkpointLocation", ck1)
+      .format("noop").start()
+    val failed = try { q1.processAllAvailable(); false }
+      catch { case e: Throwable =>
+        e.toString.contains("rewrite") || Option(e.getCause).exists(_.getMessage != null &&
+          e.getCause.getMessage.contains("rewrite")) }
+      finally q1.stop()
+    assert(failed, "a SQL UPDATE version must fail an append-only stream loudly")
+    // skipRewrites: the stream passes the update version (its rows are
+    // not re-emitted — the documented tradeoff) and keeps going
+    val ck2 = s"$root/ck2"
+    val seen = scala.collection.mutable.ArrayBuffer[Long]()
+    val q2 = spark.readStream.format("graft-snapshot")
+      .option("skipRewrites", "true").load(tbl)
+      .writeStream.option("checkpointLocation", ck2)
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        seen.synchronized { seen ++= b.select("id").collect().map(_.getLong(0)) }
+        ()
+      }.start()
+    q2.processAllAvailable(); q2.stop()
+    assert(seen.sorted == Seq(1L, 2L),
+      s"skipRewrites must emit the original append rows only: $seen")
+  }
+
   test("snapshot STREAMING SOURCE: offsets are versions; resume reads only new appends; a rewrite fails loudly unless skipRewrites") {
     import graft.sources.Snapshot
     import spark.implicits._
