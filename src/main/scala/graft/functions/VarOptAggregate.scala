@@ -50,11 +50,16 @@ case class VarOptAgg(itemExpr: Expression, weightExpr: Expression, k: Int,
       input: InternalRow): VarOptItemsSketch[java.lang.Long] = {
     val item = itemExpr.eval(input)
     val w = weightExpr.eval(input)
-    // null or non-positive weight rows contribute nothing (a zero
-    // weight can never be sampled; negative is a caller bug VarOpt
-    // itself would throw on)
-    if (item != null && w != null && w.asInstanceOf[Double] > 0.0)
-      buf.update(item.asInstanceOf[Long], w.asInstanceOf[Double])
+    // null item/weight and ZERO weight rows contribute nothing (a zero
+    // weight can never be sampled). A NEGATIVE weight is a caller bug:
+    // silently skipping it would bias every subset-sum estimate, so it
+    // fails loudly here — the same contract VarOpt itself enforces.
+    if (item != null && w != null) {
+      val wd = w.asInstanceOf[Double]
+      if (wd < 0.0) throw new IllegalArgumentException(
+        s"varopt_agg: negative weight $wd for item $item — weights must be >= 0")
+      if (wd > 0.0) buf.update(item.asInstanceOf[Long], wd)
+    }
     buf
   }
 

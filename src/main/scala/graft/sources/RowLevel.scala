@@ -104,11 +104,21 @@ private[sources] final class GraftRowLevelOperation(dir: String,
     new ScanBuilder {
       override def build(): Scan = {
         val spark = SparkSession.active
-        val v = Snapshot.latestVersion(spark, dir).getOrElse(
-          throw new IllegalStateException(s"no committed version at $dir"))
-        val m = Snapshot.readManifest(spark, dir, v)
-        base = m
-        if (replacedPaths == null) replacedPaths = m.files.map(_.path).toSet
+        // the manifest is pinned ONCE per operation: every build of this
+        // operation's scan (Spark may plan it more than once) and the
+        // eventual commit resolve against the SAME version — re-pinning
+        // on a later build could mix file sets from two manifests if a
+        // concurrent commit landed in between, and the base+1 publish
+        // guard (keyed to the newer base) would not catch the mix
+        val m = GraftRowLevelOperation.this.synchronized {
+          if (base == null) {
+            val v = Snapshot.latestVersion(spark, dir).getOrElse(
+              throw new IllegalStateException(s"no committed version at $dir"))
+            base = Snapshot.readManifest(spark, dir, v)
+            replacedPaths = base.files.map(_.path).toSet
+          }
+          base
+        }
         // full-schema, filterless, dv-aware scan (+ the trailing
         // `_file` metadata column): ReplaceData's input must carry
         // EVERY live row of every replaced group — pushing the

@@ -138,32 +138,48 @@ private[sources] final class SnapshotStreamTable(tableSchema: StructType, dir: S
 
   /** Ops surface for `DESCRIBE EXTENDED` / `SHOW TBLPROPERTIES`: the
     * table state a maintenance scheduler reads first — resolved from
-    * the manifest alone, zero file I/O. Computed lazily so plain
-    * reads/writes never pay it.
+    * the manifest alone, zero file I/O. Memoized per latest version:
+    * Spark may call `Table.properties()` in planning paths beyond
+    * DESCRIBE, and repeated manifest reads per statement add latency
+    * on remote storage — the cache invalidates itself when a new
+    * version lands (the latestVersion listing is the only per-call
+    * I/O) and plain reads/writes that never ask never pay anything.
     */
+  @volatile private var propsCache: (Long, util.Map[String, String]) = _
+
   override def properties(): util.Map[String, String] = {
-    import scala.jdk.CollectionConverters._
     Snapshot.latestVersion(spark_, dir) match {
       case None => java.util.Collections.emptyMap()
       case Some(latest) =>
-        // a version-pinned (time-travel) table reports THAT version's
-        // stats — pairing the pinned version number with the latest
-        // manifest's counts would mislead exactly the ops reader this
-        // surface exists for
-        val v = pinned.getOrElse(latest)
-        val m = Snapshot.readManifest(spark_, dir, v)
-        val props = scala.collection.mutable.LinkedHashMap(
-          "graft.version" -> v.toString,
-          "graft.latest_version" -> latest.toString,
-          "graft.last_operation" -> m.op,
-          "graft.num_files" -> m.files.size.toString,
-          "graft.size_bytes" -> m.files.map(_.bytes).sum.toString,
-          "graft.num_rows" -> m.files.map(_.rows).sum.toString,
-          "graft.num_dv_files" -> m.files.count(_.dv.isDefined).toString)
-        if (m.constraints.nonEmpty)
-          props += ("graft.constraints" -> m.constraints.keys.toSeq.sorted.mkString(","))
-        props.asJava
+        val cached = propsCache
+        if (cached != null && cached._1 == latest) cached._2
+        else {
+          val computed = computeProperties(latest)
+          propsCache = (latest, computed)
+          computed
+        }
     }
+  }
+
+  private def computeProperties(latest: Long): util.Map[String, String] = {
+    import scala.jdk.CollectionConverters._
+    // a version-pinned (time-travel) table reports THAT version's
+    // stats — pairing the pinned version number with the latest
+    // manifest's counts would mislead exactly the ops reader this
+    // surface exists for
+    val v = pinned.getOrElse(latest)
+    val m = Snapshot.readManifest(spark_, dir, v)
+    val props = scala.collection.mutable.LinkedHashMap(
+      "graft.version" -> v.toString,
+      "graft.latest_version" -> latest.toString,
+      "graft.last_operation" -> m.op,
+      "graft.num_files" -> m.files.size.toString,
+      "graft.size_bytes" -> m.files.map(_.bytes).sum.toString,
+      "graft.num_rows" -> m.files.map(_.rows).sum.toString,
+      "graft.num_dv_files" -> m.files.count(_.dv.isDefined).toString)
+    if (m.constraints.nonEmpty)
+      props += ("graft.constraints" -> m.constraints.keys.toSeq.sorted.mkString(","))
+    props.asJava
   }
 
   private def spark_ = SparkSession.active
