@@ -6,9 +6,13 @@ import scala.jdk.CollectionConverters._
 
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
-import org.apache.spark.sql.connector.catalog.{Identifier, NamespaceChange, SupportsNamespaces, Table, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.catalog.{Identifier, NamespaceChange, StagedTable, StagingTableCatalog, SupportsNamespaces, SupportsRead, SupportsWrite, Table, TableCapability, TableCatalog, TableChange}
 import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{LocalScan, Scan, ScanBuilder}
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, V1Write, Write, WriteBuilder}
+import org.apache.spark.sql.sources.InsertableRelation
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
@@ -49,7 +53,8 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * library API (`Snapshot.upsert` / `mergeInto`) — the same split most
   * formats shipped with first.
   */
-final class GraftCatalog extends TableCatalog with SupportsNamespaces {
+final class GraftCatalog extends TableCatalog with SupportsNamespaces
+    with StagingTableCatalog {
 
   private var catalogName: String = _
   private var warehouse: String = _
@@ -98,20 +103,37 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces {
 
   override def loadTable(ident: Identifier): Table = {
     val dir = tableDir(ident)
-    val v = Snapshot.latestVersion(spark, dir).getOrElse(
-      throw new NoSuchTableException(ident))
-    new SnapshotStreamTable(Snapshot.readManifest(spark, dir, v).schema, dir)
+    Snapshot.latestVersion(spark, dir) match {
+      case Some(v) =>
+        new SnapshotStreamTable(Snapshot.readManifest(spark, dir, v).schema, dir)
+      case None =>
+        // Iceberg-style METADATA TABLE: `SELECT * FROM graft.db.t.history`
+        // resolves here with namespace [db, t] and name "history" — when
+        // that namespace path IS a table, serve its commit log as a
+        // driver-local scan (one manifest-sized read per version, zero
+        // data I/O)
+        val ns = ident.namespace()
+        if (ident.name() == "history" && ns.nonEmpty) {
+          val parent = (warehouse +: ns.toSeq.map(checkPart)).mkString("/")
+          if (isTable(parent)) return new SnapshotHistoryTable(parent)
+        }
+        throw new NoSuchTableException(ident)
+    }
   }
 
   /** `VERSION AS OF <v>` — the scan is PINNED to that manifest (its
     * file set, schema, and column mapping), immutable under any later
-    * commit.
+    * commit. A NON-numeric version resolves as a TAG name
+    * ([[Snapshot.createTag]]): `VERSION AS OF 'pre_migration'`.
     */
   override def loadTable(ident: Identifier, version: String): Table = {
     val dir = tableDir(ident)
     val v = try version.toLong catch {
-      case _: NumberFormatException => throw new IllegalArgumentException(
-        s"graft VERSION AS OF takes a numeric snapshot version, got '$version'")
+      case _: NumberFormatException =>
+        Snapshot.tags(spark, dir).getOrElse(version,
+          throw new IllegalArgumentException(
+            s"graft VERSION AS OF: '$version' is neither a numeric snapshot " +
+              s"version nor a tag at $dir"))
     }
     require(Snapshot.versions(spark, dir).contains(v),
       s"no version $v at $dir (vacuumed or never committed)")
@@ -125,18 +147,87 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces {
     new SnapshotStreamTable(Snapshot.readManifest(spark, dir, v).schema, dir, Some(v))
   }
 
+  /** PARTITIONED BY (identity transforms) + layout/stats TBLPROPERTIES
+    * → the table's [[Snapshot.TableSpec]]. Identity partitioning is
+    * FILE-LEVEL value clustering (writes shuffle by the partition
+    * columns; the columns always carry min/max stats; partition
+    * predicates prune as a special case of manifest-stats skipping) —
+    * no directory-per-value layout to drift. Supported properties:
+    * `graft.stats_cols` / `graft.bloom_cols` (comma-separated column
+    * lists), `graft.bloom_bits` (bits per per-file bloom).
+    */
+  private def specFrom(schema: StructType, partitions: Array[Transform],
+      properties: util.Map[String, String]): Snapshot.TableSpec = {
+    val partCols = partitions.toSeq.map { t =>
+      if (t.name == "identity" && t.references.length == 1)
+        t.references()(0).fieldNames().mkString(".")
+      else throw new UnsupportedOperationException(
+        s"graft tables support identity PARTITIONED BY only, got $t — " +
+          "use optimize(clusterBy/zorderBy) for derived layouts")
+    }
+    val unknownPart = partCols.filterNot(schema.fieldNames.contains)
+    require(unknownPart.isEmpty,
+      s"PARTITIONED BY names unknown column(s): ${unknownPart.mkString(", ")}")
+    def csv(key: String): Seq[String] = Option(properties.get(key))
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
+    Snapshot.TableSpec(
+      partitionCols = partCols,
+      statsCols = csv("graft.stats_cols"),
+      bloomCols = csv("graft.bloom_cols"),
+      bloomBits = Option(properties.get("graft.bloom_bits")).map(_.toInt)
+        .getOrElse(Snapshot.DefaultBloomBits))
+  }
+
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform], properties: util.Map[String, String]): Table = {
-    require(partitions.isEmpty,
-      "graft tables take no PARTITIONED BY: layout is the snapshot layer's " +
-        "optimize(clusterBy/zorderBy) + manifest-stats skipping")
     val dir = tableDir(ident)
     if (isTable(dir)) throw new TableAlreadyExistsException(ident.namespace().toSeq :+ ident.name())
     // version 1 = the schema with zero rows; every later INSERT is an
     // O(batch) append version
     Snapshot.commit(spark, dir,
-      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema))
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema),
+      spec = Some(specFrom(schema, partitions, properties)))
     new SnapshotStreamTable(schema, dir)
+  }
+
+  // ---------------------------------------------------------------
+  // atomic CTAS / RTAS (StagingTableCatalog)
+  // ---------------------------------------------------------------
+
+  /** `CREATE TABLE … AS SELECT`: the SELECT's rows are STAGED as data
+    * files with no manifest; only `commitStagedChanges` publishes
+    * version 1 (through the single-winner primitive, so two racing
+    * CTAS of one name produce one table). A failure anywhere —
+    * mid-SELECT, mid-write — aborts to a state with NO table: no
+    * `_versions/`, no directory, no namespace entry.
+    */
+  override def stageCreate(ident: Identifier, schema: StructType,
+      partitions: Array[Transform], properties: util.Map[String, String]): StagedTable = {
+    val dir = tableDir(ident)
+    if (isTable(dir)) throw new TableAlreadyExistsException(ident.namespace().toSeq :+ ident.name())
+    new GraftStagedTable(ident, dir, schema,
+      specFrom(schema, partitions, properties), replace = false)
+  }
+
+  /** `REPLACE TABLE … AS SELECT`: stages like CTAS, publishes ONE
+    * full-replace version — the old table stays readable (and
+    * time-travelable) until the commit instant; a failed RTAS leaves
+    * it untouched. REPLACE re-DEFINES the table: constraints and
+    * column mapping reset with the new definition.
+    */
+  override def stageReplace(ident: Identifier, schema: StructType,
+      partitions: Array[Transform], properties: util.Map[String, String]): StagedTable = {
+    val dir = tableDir(ident)
+    if (!isTable(dir)) throw new NoSuchTableException(ident)
+    new GraftStagedTable(ident, dir, schema,
+      specFrom(schema, partitions, properties), replace = true)
+  }
+
+  override def stageCreateOrReplace(ident: Identifier, schema: StructType,
+      partitions: Array[Transform], properties: util.Map[String, String]): StagedTable = {
+    val dir = tableDir(ident)
+    new GraftStagedTable(ident, dir, schema,
+      specFrom(schema, partitions, properties), replace = isTable(dir))
   }
 
   /** SQL ALTER TABLE routed to the METADATA-ONLY column-mapping
@@ -224,4 +315,110 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces {
       fs.delete(d, true)
     }
   }
+}
+
+/** The staged CTAS/RTAS table: collects the SELECT's rows as staged
+  * (unreferenced) data files; `commitStagedChanges` is the ONLY
+  * publish point; `abortStagedChanges` removes every staged byte —
+  * and for a CREATE, the whole directory, leaving no table.
+  */
+private[sources] final class GraftStagedTable(ident: Identifier, dir: String,
+    tableSchema: StructType, spec: Snapshot.TableSpec, replace: Boolean)
+    extends StagedTable with SupportsWrite {
+
+  private def spark = SparkSession.active
+
+  /** (relDir, entries) staged by the write; empty until insert runs. */
+  @volatile private var staged: Option[(String, Seq[Snapshot.FileEntry])] = None
+
+  override def name(): String = s"graft-staged `$dir`"
+  override def schema(): StructType = tableSchema
+  override def capabilities(): util.Set[TableCapability] =
+    Set(TableCapability.V1_BATCH_WRITE, TableCapability.BATCH_READ,
+      TableCapability.TRUNCATE).asJava
+
+  /** RTAS plans a truncating overwrite against the staged table;
+    * truncate IS the replace semantics here (the staged rows become
+    * the whole content), so it is accepted as a no-op flag.
+    */
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder with org.apache.spark.sql.connector.write.SupportsTruncate {
+      override def truncate(): WriteBuilder = this
+      override def build(): Write = new V1Write {
+        override def toInsertableRelation: InsertableRelation =
+          new InsertableRelation {
+            override def insert(data: org.apache.spark.sql.DataFrame,
+                overwrite: Boolean): Unit = {
+              // align to the declared schema positionally (CTAS output
+              // names follow the SELECT; the table's names rule)
+              val aligned = data.toDF(tableSchema.fieldNames.toIndexedSeq: _*)
+              staged = Some(Snapshot.stageDataFiles(data.sparkSession, dir,
+                aligned, spec))
+            }
+          }
+      }
+    }
+
+  override def commitStagedChanges(): Unit = {
+    val entries = staged.map(_._2).getOrElse(Seq.empty)
+    val nullable = StructType(tableSchema.fields.map(_.copy(nullable = true)))
+    try Snapshot.publishStaged(spark, dir, nullable.toDDL, entries, spec, replace)
+    catch { case e: Throwable => abortStagedChanges(); throw e }
+  }
+
+  override def abortStagedChanges(): Unit = {
+    val f = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!replace) f.delete(new Path(dir), true) // CREATE aborts to NO table
+    else staged.foreach { case (rel, _) => Snapshot.discardStaged(spark, dir, rel) }
+  }
+}
+
+/** Iceberg-style `history` metadata table: the commit log of a
+  * snapshot table as a queryable relation —
+  * `SELECT * FROM graft.db.t.history` — resolved entirely on the
+  * driver from manifests ([[LocalScan]]): zero executors, zero data
+  * I/O, O(versions) manifest-sized reads. Metrics ride as a
+  * deterministic sorted-key JSON string so any commit shape fits one
+  * schema.
+  */
+private[sources] final class SnapshotHistoryTable(dir: String)
+    extends Table with SupportsRead {
+
+  private def spark = SparkSession.active
+
+  private val historySchema: StructType = StructType.fromDDL(
+    "version BIGINT, op STRING, n_files BIGINT, n_rows BIGINT, " +
+      "size_bytes BIGINT, batch_id BIGINT, metrics STRING")
+
+  override def name(): String = s"graft-history `$dir`"
+  override def schema(): StructType = historySchema
+  override def capabilities(): util.Set[TableCapability] =
+    Set(TableCapability.BATCH_READ).asJava
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan = new LocalScan {
+        override def readSchema(): StructType = historySchema
+        override def rows(): Array[InternalRow] = {
+          import org.apache.spark.unsafe.types.UTF8String
+          val s = spark
+          Snapshot.versions(s, dir).map { v =>
+            val m = Snapshot.readManifest(s, dir, v)
+            val metricsJson = m.metrics.toSeq.sortBy(_._1)
+              .map { case (k, n) => s""""$k":$n""" }.mkString("{", ",", "}")
+            new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+              Array[Any](
+                m.version,
+                UTF8String.fromString(m.op),
+                m.files.size.toLong,
+                // LIVE rows: physical rows minus dv-masked positions —
+                // what a reader of this version actually sees
+                m.files.map(e => e.rows - e.dv.map(_.deleted).getOrElse(0L)).sum,
+                m.files.map(_.bytes).sum,
+                m.batchId.map(java.lang.Long.valueOf).orNull,
+                UTF8String.fromString(metricsJson)))
+          }.toArray
+        }
+      }
+    }
 }

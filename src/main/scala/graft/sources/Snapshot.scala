@@ -161,9 +161,48 @@ object Snapshot {
     */
   private[sources] final case class DvRef(path: String, deleted: Long)
 
+  /** `blooms`: per-column bloom filters over xxhash64(value), base64 in
+    * the manifest — the point-lookup complement to min/max stats for
+    * HIGH-CARDINALITY UNCLUSTERED keys, where every file's range spans
+    * the whole domain and range pruning keeps everything. Only columns
+    * in the table's [[TableSpec.bloomCols]] carry one.
+    */
   private[sources] final case class FileEntry(
       path: String, bytes: Long, rows: Long, stats: Map[String, ColStats],
-      dv: Option[DvRef] = None)
+      dv: Option[DvRef] = None, blooms: Map[String, String] = Map.empty)
+
+  /** Versioned TABLE LAYOUT + STATS configuration, carried in the
+    * manifest like constraints and column mapping:
+    *
+    *   - `partitionCols`: identity partition columns (`PARTITIONED BY`
+    *     through the catalog). Writes CLUSTER rows by these columns
+    *     (one shuffle per commit batch) so each file holds few
+    *     partition values, and the columns always get min/max stats —
+    *     partition pruning is then a special case of the existing
+    *     manifest-stats skipping, with no directory-per-value layout
+    *     to keep consistent.
+    *   - `statsCols`: which columns carry min/max/null stats. Empty =
+    *     the first-[[MaxStatsCols]] default. Lets a wide table put its
+    *     stats budget on the columns queries actually filter.
+    *   - `bloomCols` + `bloomBits`: per-file bloom filters (see
+    *     [[FileEntry.blooms]]). SIZE CONTRACT, loudly: each bloom
+    *     costs ~bloomBits/8 bytes per file per column IN THE MANIFEST
+    *     (base64 ×4/3); size bloomBits ≥ 10× the expected rows per
+    *     file for a useful false-positive rate. This is for tables
+    *     whose point-lookup latency matters — entity/dimension tables
+    *     of thousands of files — not an 800k-file fact table, where
+    *     footer-level blooms are the right layer.
+    *
+    * Changing the spec ([[setTableSpec]]) is a metadata-only commit
+    * applying to FUTURE files; existing entries keep the stats they
+    * were written with (pruning is per-file conservative either way).
+    */
+  final case class TableSpec(partitionCols: Seq[String] = Nil,
+      statsCols: Seq[String] = Nil, bloomCols: Seq[String] = Nil,
+      bloomBits: Int = DefaultBloomBits)
+
+  private[sources] val DefaultBloomBits: Int = 1 << 17
+  private[sources] val BloomHashes: Int = 7
 
   /** `mapping` is the COLUMN-MAPPING table state: logical column name →
     * physical (in-file) column name, storing only non-identity entries.
@@ -184,7 +223,8 @@ object Snapshot {
       constraints: Map[String, String] = Map.empty,
       metrics: Map[String, Long] = Map.empty,
       mapping: Map[String, String] = Map.empty,
-      retired: Set[String] = Set.empty) {
+      retired: Set[String] = Set.empty,
+      spec: TableSpec = TableSpec()) {
     def schema: StructType =
       if (schemaDdl.isEmpty) new StructType() else StructType.fromDDL(schemaDdl)
   }
@@ -249,12 +289,17 @@ object Snapshot {
           }.toMap
           case _ => Map.empty[String, ColStats]
         }
+        val blooms: Map[String, String] = (e \ "blooms") match {
+          case JObject(fields) => fields.collect { case (k, JString(v)) => k -> v }.toMap
+          case _ => Map.empty
+        }
         FileEntry(
           (e \ "path").extract[String],
           (e \ "bytes").extractOrElse[Long](0L),
           (e \ "rows").extractOrElse[Long](-1L),
           stats,
-          parseDv(e \ "dv"))
+          parseDv(e \ "dv"),
+          blooms)
       }
       case _ => Seq.empty
     }
@@ -284,6 +329,15 @@ object Snapshot {
       case JArray(xs) => xs.collect { case JString(x) => x }.toSet
       case _ => Set.empty
     }
+    def strList(v: JValue): Seq[String] = v match {
+      case JArray(xs) => xs.collect { case JString(x) => x }
+      case _ => Nil
+    }
+    val spec = TableSpec(
+      strList(j \ "partition_cols"),
+      strList(j \ "stats_cols"),
+      strList(j \ "bloom_cols"),
+      (j \ "bloom_bits").extractOrElse[Int](DefaultBloomBits))
     Manifest(
       (j \ "version").extract[Long],
       (j \ "op").extract[String],
@@ -297,7 +351,8 @@ object Snapshot {
       constraints,
       metrics,
       mapping,
-      retired)
+      retired,
+      spec)
   }
 
   /** Replay one delta on top of the previous version's state. */
@@ -365,17 +420,26 @@ object Snapshot {
       "path" -> JString(d.path),
       "deleted" -> JLong(d.deleted))).getOrElse(JNull)
 
-  private def entryJson(e: FileEntry): JObject = JObject(
-    "path" -> JString(e.path),
-    "bytes" -> JLong(e.bytes),
-    "rows" -> JLong(e.rows),
-    "dv" -> dvJson(e.dv),
-    "stats" -> JObject(e.stats.toList.sortBy(_._1).map { case (c, s) =>
-      c -> JObject(
-        "min" -> s.min.map(JString(_)).getOrElse(JNull),
-        "max" -> s.max.map(JString(_)).getOrElse(JNull),
-        "nulls" -> JLong(s.nulls))
-    }))
+  private def entryJson(e: FileEntry): JObject = {
+    val baseFields: List[(String, JValue)] = List(
+      "path" -> JString(e.path),
+      "bytes" -> JLong(e.bytes),
+      "rows" -> JLong(e.rows),
+      "dv" -> dvJson(e.dv),
+      "stats" -> JObject(e.stats.toList.sortBy(_._1).map { case (c, s) =>
+        c -> (JObject(
+          "min" -> s.min.map(JString(_)).getOrElse(JNull),
+          "max" -> s.max.map(JString(_)).getOrElse(JNull),
+          "nulls" -> JLong(s.nulls)): JValue)
+      }))
+    // blooms are the bulky field: omitted entirely for the (default)
+    // bloom-less table so its manifests don't change shape or size
+    val bloomField: List[(String, JValue)] =
+      if (e.blooms.isEmpty) Nil
+      else List("blooms" -> JObject(e.blooms.toList.sortBy(_._1)
+        .map { case (c, b) => c -> (JString(b): JValue) }))
+    JObject(baseFields ++ bloomField)
+  }
 
   private def scalarFields(m: Manifest): List[(String, JValue)] = List(
     "version" -> JLong(m.version),
@@ -392,7 +456,11 @@ object Snapshot {
       .map { case (k, v) => k -> (JLong(v): JValue) }),
     "mapping" -> JObject(m.mapping.toList.sortBy(_._1)
       .map { case (k, v) => k -> (JString(v): JValue) }),
-    "retired" -> JArray(m.retired.toList.sorted.map(JString(_))))
+    "retired" -> JArray(m.retired.toList.sorted.map(JString(_))),
+    "partition_cols" -> JArray(m.spec.partitionCols.toList.map(JString(_))),
+    "stats_cols" -> JArray(m.spec.statsCols.toList.map(JString(_))),
+    "bloom_cols" -> JArray(m.spec.bloomCols.toList.map(JString(_))),
+    "bloom_bits" -> JLong(m.spec.bloomBits.toLong))
 
   /** Stage `json` to a temp name and promote it to `name` with the
     * single-winner primitive; CME on losing the race.
@@ -418,22 +486,48 @@ object Snapshot {
     publishJson(spark, dir, manifestName(m.version), JObject(
       scalarFields(m) :+ ("files" -> JArray(m.files.toList.map(entryJson)))))
 
+  /** A commit's logical ACTION against its base: the file entries it
+    * adds, the base paths it removes (rewrites or drops), and the base
+    * entries whose deletion vector it re-points. This is what a delta
+    * file serializes — and what the optimistic-retry rebase replays
+    * onto a newer base when the commit loses its publish race.
+    */
+  private[sources] final case class CommitAction(added: Seq[FileEntry],
+      removed: Set[String], setdv: Map[String, Option[DvRef]]) {
+    def touched: Set[String] = removed ++ setdv.keySet
+  }
+
+  private def actionOf(baseFiles: Seq[FileEntry], files: Seq[FileEntry]): CommitAction = {
+    val baseByPath = baseFiles.map(e => e.path -> e).toMap
+    val newPaths = files.map(_.path).toSet
+    CommitAction(
+      added = files.filter(e => !baseByPath.contains(e.path)),
+      removed = baseFiles.collect { case e if !newPaths.contains(e.path) => e.path }.toSet,
+      setdv = files.collect {
+        case e if baseByPath.get(e.path).exists(_.dv != e.dv) => e.path -> e.dv
+      }.toMap)
+  }
+
+  /** Replay an action onto (a possibly newer) `files` listing — the
+    * same shape as [[applyDelta]], driver-side.
+    */
+  private def rebaseFiles(files: Seq[FileEntry], a: CommitAction): Seq[FileEntry] =
+    files.filterNot(e => a.removed.contains(e.path))
+      .map(e => a.setdv.get(e.path).fold(e)(dv => e.copy(dv = dv))) ++ a.added
+
   /** Write version `m` as a DELTA against `base`: only added entries,
     * removed paths, and dv re-pointings are serialized — O(this
     * commit's changes) metadata, never O(table files).
     */
   private def writeDelta(spark: SparkSession, dir: String, m: Manifest,
       base: Manifest): Unit = {
-    val baseByPath = base.files.map(e => e.path -> e).toMap
-    val newPaths = m.files.map(_.path).toSet
-    val added = m.files.filter(e => !baseByPath.contains(e.path))
-    val removed = base.files.collect { case e if !newPaths.contains(e.path) => e.path }
-    val setdv = m.files.filter(e => baseByPath.get(e.path).exists(_.dv != e.dv))
+    val a = actionOf(base.files, m.files)
+    val setdvEntries = m.files.filter(e => a.setdv.contains(e.path))
     publishJson(spark, dir, manifestName(m.version), JObject(
       scalarFields(m) ++ List(
-        "add" -> JArray(added.toList.map(entryJson)),
-        "remove" -> JArray(removed.toList.map(JString(_))),
-        "setdv" -> JArray(setdv.toList.map(e => JObject(
+        "add" -> JArray(a.added.toList.map(entryJson)),
+        "remove" -> JArray(a.removed.toList.sorted.map(JString(_))),
+        "setdv" -> JArray(setdvEntries.toList.map(e => JObject(
           "path" -> JString(e.path),
           "dv" -> dvJson(e.dv)))))))
   }
@@ -451,14 +545,39 @@ object Snapshot {
   // statistics encoding
   // ---------------------------------------------------------------
 
-  /** Columns eligible for per-file stats: first MaxStatsCols fields of
-    * supported type, in schema order.
+  private def statsSupported(f: StructField): Boolean = f.dataType match {
+    case _: NumericType | StringType | DateType | TimestampType | BooleanType => true
+    case _ => false
+  }
+
+  /** Columns eligible for per-file stats. Default (no configured
+    * statsCols): first [[MaxStatsCols]] supported-type fields in
+    * schema order — the Delta convention, bounded metadata however
+    * wide the table. A configured `spec.statsCols` replaces the
+    * default (a wide table spends its stats budget on the filter
+    * columns); identity `spec.partitionCols` are ALWAYS included, so
+    * partition predicates prune no matter where the column sits in
+    * the schema. `spec` speaks PHYSICAL column names here (the
+    * caller translates — manifest stats are physical-keyed).
     */
-  private def statsFields(schema: StructType): Seq[StructField] =
-    schema.fields.toSeq.take(MaxStatsCols).filter(f => f.dataType match {
-      case _: NumericType | StringType | DateType | TimestampType | BooleanType => true
-      case _ => false
-    })
+  private def statsFields(schema: StructType, spec: TableSpec): Seq[StructField] = {
+    val base =
+      if (spec.statsCols.isEmpty) schema.fields.toSeq.take(MaxStatsCols)
+      else schema.fields.toSeq.filter(f => spec.statsCols.contains(f.name))
+    val withParts = base ++ schema.fields.toSeq.filter(f =>
+      spec.partitionCols.contains(f.name) && !base.exists(_.name == f.name))
+    withParts.filter(statsSupported)
+  }
+
+  /** Translate a logical-name spec to the physical names the data
+    * files (and therefore per-file stats/blooms) carry.
+    */
+  private def physSpec(spec: TableSpec, mapping: Map[String, String]): TableSpec =
+    if (mapping.isEmpty) spec
+    else spec.copy(
+      partitionCols = spec.partitionCols.map(c => mapping.getOrElse(c, c)),
+      statsCols = spec.statsCols.map(c => mapping.getOrElse(c, c)),
+      bloomCols = spec.bloomCols.map(c => mapping.getOrElse(c, c)))
 
   /** min/max aggregation input for a stats column: temporal types are
     * pre-encoded to their integer domain (days / micros) so the
@@ -484,13 +603,14 @@ object Snapshot {
     case other => Some(other.toString) // integral types, booleans, pre-encoded temporals
   }
 
-  /** Collect per-file entries (path, bytes, rows, column stats) for
-    * the files just written under `absDir` — ONE distributed
-    * aggregation grouped by `_metadata.file_path`, O(this commit's
-    * data), collected as O(this commit's files) rows on the driver.
+  /** Collect per-file entries (path, bytes, rows, column stats, and —
+    * when the spec asks — per-column bloom filters) for the files just
+    * written under `absDir` — ONE distributed aggregation grouped by
+    * `_metadata.file_path`, O(this commit's data), collected as O(this
+    * commit's files) rows on the driver. `spec` speaks PHYSICAL names.
     */
   private[sources] def collectEntries(spark: SparkSession, absDir: String, relDir: String,
-      schema: StructType): Seq[FileEntry] = {
+      schema: StructType, spec: TableSpec = TableSpec()): Seq[FileEntry] = {
     // the listing defines the file set (an all-null-partition part
     // file has rows the stats agg can't see per column; a ZERO-row
     // part file produces no agg group at all but still belongs to the
@@ -503,12 +623,17 @@ object Snapshot {
         .map(s => s.getPath.getName -> s.getLen).sortBy(_._1)
     if (listed.isEmpty) return Seq.empty
     val df = spark.read.schema(schema).parquet(absDir)
-    val sf = statsFields(schema)
-    val aggs = count(lit(1)).as("__rows") +:
+    val sf = statsFields(schema, spec)
+    // bloom keys are xxhash64(value) — type-agnostic, and the probe
+    // side (SnapshotFileIndex) hashes its literal the same way
+    val bloomFlds = schema.fields.toSeq.filter(fl => spec.bloomCols.contains(fl.name))
+    val aggs = (count(lit(1)).as("__rows") +:
       sf.flatMap(fld => Seq(
         min(statExpr(fld)).as(s"__min_${fld.name}"),
         max(statExpr(fld)).as(s"__max_${fld.name}"),
-        sum(when(col(fld.name).isNull, 1L).otherwise(0L)).as(s"__nulls_${fld.name}")))
+        sum(when(col(fld.name).isNull, 1L).otherwise(0L)).as(s"__nulls_${fld.name}")))) ++
+      bloomFlds.map(fld => graft.functions.vector.bloomAgg(
+        xxhash64(col(fld.name)), spec.bloomBits, BloomHashes).as(s"__bloom_${fld.name}"))
     val byName: Map[String, FileEntry] = df
       .groupBy(col("_metadata.file_path").as("__fp"),
         col("_metadata.file_size").as("__bytes"))
@@ -522,11 +647,16 @@ object Snapshot {
             encodeStat(fld.dataType, r.getAs[Any](s"__max_${fld.name}")),
             r.getAs[Long](s"__nulls_${fld.name}"))
         }.toMap
-        name -> FileEntry(s"$relDir/$name", r.getAs[Long]("__bytes"), r.getAs[Long]("__rows"), stats)
+        val blooms = bloomFlds.flatMap { fld =>
+          Option(r.getAs[Array[Byte]](s"__bloom_${fld.name}")).map(b =>
+            fld.name -> java.util.Base64.getEncoder.encodeToString(b))
+        }.toMap
+        name -> FileEntry(s"$relDir/$name", r.getAs[Long]("__bytes"),
+          r.getAs[Long]("__rows"), stats, None, blooms)
       }.toMap
     listed.map { case (name, bytes) =>
       byName.getOrElse(name, FileEntry(s"$relDir/$name", bytes, 0L,
-        statsFields(schema).map(fld => fld.name -> ColStats(None, None, 0L)).toMap))
+        sf.map(fld => fld.name -> ColStats(None, None, 0L)).toMap))
     }
   }
 
@@ -539,20 +669,80 @@ object Snapshot {
     * removed, no version is minted, readers never see the bad rows.
     * SQL CHECK semantics: only a FALSE predicate violates; NULL passes.
     */
+  /** `cluster = false` (compact/optimize): the caller owns the layout
+    * — its repartition/range/z-order choice must not be re-shuffled by
+    * the partition clustering below.
+    */
   private def writeDataFiles(spark: SparkSession, dir: String, df: DataFrame,
       constraints: Map[String, String] = Map.empty,
-      mapping: Map[String, String] = Map.empty): Seq[FileEntry] = {
+      mapping: Map[String, String] = Map.empty,
+      spec: TableSpec = TableSpec(),
+      cluster: Boolean = true): Seq[FileEntry] = {
     val commitId = java.util.UUID.randomUUID().toString
     val rel = s"$DataDir/$commitId"
+    // identity partitioning: CLUSTER the batch by the partition columns
+    // (one hash shuffle over this commit's rows, never the table) so
+    // each written file holds few partition values and the always-
+    // collected partition-column stats make partition predicates prune
+    // at planning time — file-level value clustering instead of a
+    // directory-per-value layout
+    val present = spec.partitionCols.filter(df.columns.contains)
+    val clustered =
+      if (!cluster || present.isEmpty || present.size != spec.partitionCols.size) df
+      else df.repartition(present.map(col): _*)
     // files always carry PHYSICAL names; `df` arrives logical
-    val dfPhys = toPhysical(df, mapping)
+    val dfPhys = toPhysical(clustered, mapping)
     dfPhys.write.mode(SaveMode.ErrorIfExists).parquet(s"$dir/$rel")
-    val entries = collectEntries(spark, s"$dir/$rel", rel, dfPhys.schema)
+    val entries = collectEntries(spark, s"$dir/$rel", rel, dfPhys.schema,
+      physSpec(spec, mapping))
     if (entries.nonEmpty)
       validateWritten(spark, dir, rel, dfPhys.schema,
         df.schema.fieldNames.toSeq, constraints)
     entries
   }
+
+  /** Stage `df` as immutable data files under `dir`'s data/ WITHOUT
+    * any manifest publish — the write half of atomic CTAS/RTAS
+    * ([[GraftCatalog]] staging): the staged catalog later publishes
+    * them ([[publishStaged]]) or discards them ([[discardStaged]]).
+    * Returns (relative commit dir, entries). A reader can never see
+    * staged bytes: nothing references them until the publish wins.
+    */
+  private[sources] def stageDataFiles(spark: SparkSession, dir: String,
+      df: DataFrame, spec: TableSpec): (String, Seq[FileEntry]) = {
+    val rel = s"$DataDir/${java.util.UUID.randomUUID()}"
+    val present = spec.partitionCols.filter(df.columns.contains)
+    val clustered =
+      if (present.isEmpty || present.size != spec.partitionCols.size) df
+      else df.repartition(present.map(col): _*)
+    clustered.write.mode(SaveMode.ErrorIfExists).parquet(s"$dir/$rel")
+    (rel, collectEntries(spark, s"$dir/$rel", rel, clustered.schema, spec))
+  }
+
+  /** Publish staged entries as the table's first version (CTAS) or as
+    * a full-replace version (RTAS). CREATE atomicity rides the same
+    * single-winner v1 publish as every commit: two racing CTAS of the
+    * same table produce one table. RTAS resets constraints and column
+    * mapping — REPLACE TABLE re-DEFINES the table, unlike
+    * INSERT OVERWRITE which only replaces rows.
+    */
+  private[sources] def publishStaged(spark: SparkSession, dir: String,
+      schemaDdl: String, files: Seq[FileEntry], spec: TableSpec,
+      replace: Boolean): Long = {
+    val base = if (replace) baseManifest(spark, dir) else None
+    commitManifest(spark, dir, if (base.isDefined) "replace" else "init",
+      schemaDdl, files, None, None, base,
+      constraintsOverride = Some(Map.empty),
+      metrics = Map("files_added" -> files.size.toLong,
+        "rows_written" -> files.map(_.rows).sum),
+      mappingOverride = Some((Map.empty, Set.empty)),
+      specOverride = Some(spec))
+  }
+
+  /** Remove a staged-but-never-published commit dir (CTAS abort). */
+  private[sources] def discardStaged(spark: SparkSession, dir: String,
+      rel: String): Unit =
+    fs(spark, dir).delete(new Path(s"$dir/$rel"), true)
 
   /** Constraint gate shared by [[writeDataFiles]] and the DSv2
     * row-level write path: ONE aggregation over the freshly written
@@ -594,56 +784,206 @@ object Snapshot {
     commitManifest(spark, dir, op, base.schemaDdl, files, None, None, Some(base),
       metrics = metrics)
 
-  /** Publish at exactly base+1. `base` is the manifest the operation
-    * RESOLVED ITS INPUTS FROM, captured once at operation start — a
-    * commit that lands in between makes the publish fail instead of
-    * silently winning with stale derived state (the lost-update
-    * guard; the loser re-reads and retries).
+  // ---------------------------------------------------------------
+  // optimistic concurrency: conflict matrix + rebase-and-retry
+  // ---------------------------------------------------------------
+
+  /** Ops a LOSER may rebase over a winner (everything that acts on a
+    * subset of files); an alter/replace/restore/clone loser re-runs
+    * wholesale — its semantics claim the whole table state.
+    */
+  private val RebasableOps: Set[String] =
+    Set("append", "optimize", "compact", "upsert", "merge", "delete",
+      "update", "replace_where")
+
+  /** Ops that MUTATE rows by key or predicate: two of these can
+    * overlap on keys/predicates without overlapping on files (e.g.
+    * both inserting the same new key), so key-level conflict is not
+    * provable at file granularity — they always conflict pairwise.
+    */
+  private val RowWriterOps: Set[String] =
+    Set("upsert", "merge", "delete", "update", "replace_where")
+
+  private[sources] val MaxCommitRetries = 10
+
+  /** Test seam: when non-null, invoked ONCE at the start of the next
+    * commitManifest call (after the caller captured its base, before
+    * any publish attempt), then cleared — lets a spec land a competing
+    * commit deterministically inside the race window without timing
+    * threads.
+    */
+  @volatile private[graft] var raceForTest: () => Unit = null
+
+  /** The scalar state + touched-path set of committed version `v`,
+    * read from its raw DELTA file — O(that commit's changes), never a
+    * full reconstruction. None when the file carries a full listing
+    * (legacy shape) whose action cannot be cheaply derived.
+    */
+  private def readWinner(spark: SparkSession, dir: String,
+      v: Long): Option[(Manifest, Set[String])] = {
+    val f = fs(spark, dir)
+    val p = new Path(new Path(dir, VersionsDir), manifestName(v))
+    if (!f.exists(p)) return None
+    val j = readJson(f, p)
+    (j \ "files") match {
+      case JArray(_) => None // full listing: not a delta, action unknown
+      case _ =>
+        val removed: Set[String] = (j \ "remove") match {
+          case JArray(xs) => xs.collect { case JString(x) => x }.toSet
+          case _ => Set.empty
+        }
+        val setdvPaths: Set[String] = (j \ "setdv") match {
+          case JArray(xs) => xs.flatMap(x => (x \ "path") match {
+            case JString(s) => Some(s)
+            case _ => None
+          }).toSet
+          case _ => Set.empty
+        }
+        Some((manifestOf(j, Seq.empty), removed ++ setdvPaths))
+    }
+  }
+
+  /** The LOGICAL CONFLICT MATRIX: can a loser running `myOp` (touching
+    * `myTouched` base files) rebase over committed `winner`? None =
+    * commutes; Some(reason) = true conflict, fail loudly.
+    *
+    *   - a winner that changed TABLE STATE (schema, column mapping,
+    *     retired set, constraints) or ran a whole-table-state op
+    *     (alter/replace/restore/clone/init) never commutes: the
+    *     loser's derived data was computed under state that no longer
+    *     holds;
+    *   - two ROW WRITERS (upsert/merge/update/delete/replaceWhere)
+    *     never commute: both may have claimed the same KEY without
+    *     claiming the same FILE (e.g. both inserting a new key), and
+    *     key overlap is not provable from file metadata — the judge
+    *     of last resort is the caller re-running against fresh state;
+    *   - otherwise commutes iff the file sets are DISJOINT: the loser
+    *     must not remove/rewrite/re-dv a file the winner already
+    *     removed/rewrote/re-dv'd (a blind append touches nothing, so
+    *     it commutes with every surviving winner — Delta's
+    *     append-vs-anything rule; an optimize commutes with appends
+    *     and with deletes confined to files it did not rewrite).
+    */
+  private def conflictReason(myOp: String, myTouched: Set[String],
+      b0: Manifest, winner: Manifest, winnerTouched: Set[String]): Option[String] = {
+    if (!RebasableOps.contains(winner.op))
+      Some(s"committed op '${winner.op}' claims whole-table state")
+    else if (winner.schemaDdl != b0.schemaDdl || winner.mapping != b0.mapping ||
+        winner.retired != b0.retired || winner.constraints != b0.constraints ||
+        winner.spec != b0.spec)
+      Some(s"committed '${winner.op}' changed the table's schema/mapping/constraints/spec")
+    else if (RowWriterOps.contains(myOp) && RowWriterOps.contains(winner.op))
+      Some(s"row-writing '$myOp' vs committed row-writing '${winner.op}': " +
+        "key overlap is not provable at file granularity")
+    else {
+      val overlap = myTouched intersect winnerTouched
+      if (overlap.nonEmpty)
+        Some(s"both rewrote/removed ${overlap.size} file(s), e.g. '${overlap.head}'")
+      else None
+    }
+  }
+
+  /** Publish at base+1 with OPTIMISTIC RETRY. `base` is the manifest
+    * the operation RESOLVED ITS INPUTS FROM, captured once at
+    * operation start — a commit that lands in between makes the first
+    * publish fail (the lost-update guard). The loser then reads each
+    * interleaved winner's DELTA file (O(changes), no reconstruction),
+    * checks the logical conflict matrix ([[conflictReason]]), and on
+    * all-commute REBASES its action onto the new latest and retries —
+    * bounded by [[MaxCommitRetries]] — so a streaming append and a
+    * cron optimize interleave without killing either side, while an
+    * overlapping pair of upserts still fails loudly. Data files
+    * written before the race are reused verbatim by the rebased
+    * manifest: retry costs metadata only.
     */
   private def commitManifest(spark: SparkSession, dir: String, op: String,
       schemaDdl: String, files: Seq[FileEntry], batchId: Option[Long],
       txnApp: Option[String], base: Option[Manifest],
       constraintsOverride: Option[Map[String, String]] = None,
       metrics: Map[String, Long] = Map.empty,
-      mappingOverride: Option[(Map[String, String], Set[String])] = None): Long = {
-    val v = base.map(_.version + 1).getOrElse(1L)
-    val last = (base.flatMap(_.lastBatchId).toSeq ++ batchId.toSeq)
-      .reduceOption((a: Long, b: Long) => math.max(a, b))
-    // The per-writer txn cursor (txnApp, txnBatch) — the table-format
-    // txnAppId/txnVersion idea: batch ids are only monotone WITHIN one
-    // streaming query (one checkpoint), so when a DIFFERENT app writes
-    // the cursor RESETS to its batch id instead of taking a max that
-    // would swallow the new query's replays. Batch commits (no
-    // batchId) carry the previous cursor forward unchanged.
-    val (app, tb) = batchId match {
-      case Some(b) =>
-        val a = txnApp.getOrElse("default")
-        val prev = base.filter(_.txnApp.contains(a)).flatMap(_.txnBatch)
-        (Some(a), Some(prev.fold(b)(math.max(_, b))))
-      case None => (base.flatMap(_.txnApp), base.flatMap(_.txnBatch))
+      mappingOverride: Option[(Map[String, String], Set[String])] = None,
+      specOverride: Option[TableSpec] = None): Long = {
+    val race = raceForTest
+    if (race != null) { raceForTest = null; race() }
+    def build(b: Option[Manifest], fl: Seq[FileEntry]): Manifest = {
+      val v = b.map(_.version + 1).getOrElse(1L)
+      val last = (b.flatMap(_.lastBatchId).toSeq ++ batchId.toSeq)
+        .reduceOption((a: Long, x: Long) => math.max(a, x))
+      // The per-writer txn cursor (txnApp, txnBatch) — the table-format
+      // txnAppId/txnVersion idea: batch ids are only monotone WITHIN one
+      // streaming query (one checkpoint), so when a DIFFERENT app writes
+      // the cursor RESETS to its batch id instead of taking a max that
+      // would swallow the new query's replays. Batch commits (no
+      // batchId) carry the previous cursor forward unchanged.
+      val (app, tb) = batchId match {
+        case Some(bi) =>
+          val a = txnApp.getOrElse("default")
+          val prev = b.filter(_.txnApp.contains(a)).flatMap(_.txnBatch)
+          (Some(a), Some(prev.fold(bi)(math.max(_, bi))))
+        case None => (b.flatMap(_.txnApp), b.flatMap(_.txnBatch))
+      }
+      // ts_ms is monotone non-decreasing across versions (clock skew or
+      // sub-ms commits otherwise break readAsOf's binary search)
+      val ts = math.max(System.currentTimeMillis(), b.map(_.tsMs + 1).getOrElse(0L))
+      // constraints are table state: carried forward unchanged unless this
+      // commit is an ALTER; metrics are per-commit, never carried
+      val cons = constraintsOverride.getOrElse(b.map(_.constraints).getOrElse(Map.empty))
+      // column mapping is table state like constraints: carried forward
+      // unchanged unless this commit is an ALTER/evolution that changes it
+      val (mp, ret) = mappingOverride.getOrElse(
+        (b.map(_.mapping).getOrElse(Map.empty),
+          b.map(_.retired).getOrElse(Set.empty)))
+      // the layout/stats spec is table state like constraints: carried
+      // forward unchanged unless this commit sets it
+      val sp = specOverride.getOrElse(b.map(_.spec).getOrElse(TableSpec()))
+      Manifest(v, op, schemaDdl, fl, batchId, last, app, tb, ts, cons,
+        metrics, mp, ret, sp)
     }
-    // ts_ms is monotone non-decreasing across versions (clock skew or
-    // sub-ms commits otherwise break readAsOf's binary search)
-    val ts = math.max(System.currentTimeMillis(), base.map(_.tsMs + 1).getOrElse(0L))
-    // constraints are table state: carried forward unchanged unless this
-    // commit is an ALTER; metrics are per-commit, never carried
-    val cons = constraintsOverride.getOrElse(base.map(_.constraints).getOrElse(Map.empty))
-    // column mapping is table state like constraints: carried forward
-    // unchanged unless this commit is an ALTER/evolution that changes it
-    val (mp, ret) = mappingOverride.getOrElse(
-      (base.map(_.mapping).getOrElse(Map.empty),
-        base.map(_.retired).getOrElse(Set.empty)))
-    val m = Manifest(v, op, schemaDdl, files, batchId, last, app, tb, ts, cons,
-      metrics, mp, ret)
-    base match {
-      case None => writeManifest(spark, dir, m) // v1: full listing
-      case Some(b) => writeDelta(spark, dir, m, b) // O(changes) metadata
+    // my action vs MY base, derived once — what a rebase replays
+    val myAction = base.map(b => actionOf(b.files, files))
+    var cur = base
+    var curFiles = files
+    var attempt = 0
+    while (true) {
+      val m = build(cur, curFiles)
+      try {
+        cur match {
+          case None => writeManifest(spark, dir, m) // v1: full listing
+          case Some(b) => writeDelta(spark, dir, m, b) // O(changes) metadata
+        }
+        // periodic checkpoint bounds every reader's reconstruction chain;
+        // written AFTER the version wins its race, so it never races a
+        // competing commit — only a competing checkpointer (idempotent)
+        if (m.version % CheckpointInterval == 0) writeCheckpoint(spark, dir, m)
+        return m.version
+      } catch {
+        case e: java.util.ConcurrentModificationException =>
+          attempt += 1
+          // no rebase for table creation or whole-table-state ops, and
+          // never unbounded
+          if (base.isEmpty || !RebasableOps.contains(op) ||
+              attempt > MaxCommitRetries) throw e
+          val b0 = base.get
+          val act = myAction.get
+          val latest = latestVersion(spark, dir).getOrElse(throw e)
+          ((cur.get.version + 1) to latest).foreach { w =>
+            val (wm, wTouched) = readWinner(spark, dir, w).getOrElse(
+              throw new java.util.ConcurrentModificationException(
+                s"commit of '$op' at $dir lost to version $w, which carries a " +
+                  "full listing — cannot derive its action; re-read and retry"))
+            conflictReason(op, act.touched, b0, wm, wTouched).foreach { reason =>
+              throw new java.util.ConcurrentModificationException(
+                s"commit of '$op' at $dir conflicts with committed version $w " +
+                  s"(op '${wm.op}'): $reason — re-run the operation against " +
+                  "fresh state")
+            }
+          }
+          val nb = readManifest(spark, dir, latest)
+          curFiles = rebaseFiles(nb.files, act)
+          cur = Some(nb)
+      }
     }
-    // periodic checkpoint bounds every reader's reconstruction chain;
-    // written AFTER the version wins its race, so it never races a
-    // competing commit — only a competing checkpointer (idempotent)
-    if (v % CheckpointInterval == 0) writeCheckpoint(spark, dir, m)
-    v
+    throw new IllegalStateException("unreachable")
   }
 
   private def baseManifest(spark: SparkSession, dir: String): Option[Manifest] =
@@ -725,13 +1065,17 @@ object Snapshot {
   }
 
   /** Publish `df` as the table's next FULL version (creates the table
-    * at version 1). Returns the committed version.
+    * at version 1). Returns the committed version. `spec` sets the
+    * table's layout/stats configuration at creation (or re-sets it on
+    * a full replace); None carries the existing spec forward.
     */
   def commit(spark: SparkSession, dir: String, df: DataFrame,
-      batchId: Option[Long] = None, txnApp: Option[String] = None): Long = {
+      batchId: Option[Long] = None, txnApp: Option[String] = None,
+      spec: Option[TableSpec] = None): Long = {
     val base = baseManifest(spark, dir)
+    val effSpec = spec.orElse(base.map(_.spec)).getOrElse(TableSpec())
     val files = writeDataFiles(spark, dir, df,
-      base.map(_.constraints).getOrElse(Map.empty))
+      base.map(_.constraints).getOrElse(Map.empty), spec = effSpec)
     // a full replace references none of the old files, so the column
     // mapping resets to identity — retained versions keep THEIR OWN
     // manifest's mapping for time travel
@@ -739,8 +1083,35 @@ object Snapshot {
       nullable(df.schema).toDDL, files, batchId, txnApp, base,
       metrics = Map("files_added" -> files.size.toLong,
         "rows_written" -> files.map(_.rows).sum),
-      mappingOverride = Some((Map.empty, Set.empty)))
+      mappingOverride = Some((Map.empty, Set.empty)),
+      specOverride = Some(effSpec))
   }
+
+  /** ALTER the table's layout/stats spec ([[TableSpec]]) — a
+    * METADATA-ONLY commit. Applies to FUTURE writes: existing file
+    * entries keep the stats they were written with (per-file
+    * conservative pruning makes the mix sound); run [[optimize]] to
+    * rewrite history under the new spec. Partition/stats/bloom columns
+    * must exist in the current schema.
+    */
+  def setTableSpec(spark: SparkSession, dir: String, spec: TableSpec): Long = {
+    val prev = baseManifest(spark, dir).getOrElse(
+      throw new IllegalStateException(s"no committed version at $dir"))
+    val names = prev.schema.fieldNames.toSet
+    val unknown = (spec.partitionCols ++ spec.statsCols ++ spec.bloomCols)
+      .filterNot(names.contains).distinct
+    require(unknown.isEmpty,
+      s"setTableSpec: unknown column(s) ${unknown.mkString(", ")} at $dir")
+    require(spec.bloomBits >= 64, s"bloomBits too small: ${spec.bloomBits}")
+    commitManifest(spark, dir, "alter", prev.schemaDdl, prev.files,
+      None, None, Some(prev),
+      metrics = Map("spec_changed" -> 1L),
+      specOverride = Some(spec))
+  }
+
+  /** The latest version's layout/stats spec — diagnostics/tests. */
+  def tableSpecOf(spark: SparkSession, dir: String): TableSpec =
+    baseManifest(spark, dir).map(_.spec).getOrElse(TableSpec())
 
   /** Append `df`'s rows as a new version: previous files carry over
     * untouched, only the new rows are written. The O(new data) ingest
@@ -759,7 +1130,8 @@ object Snapshot {
         b.mapping ++ assignPhysical(b, added.toSeq).filter { case (l, p) => l != p }
     }
     val files = writeDataFiles(spark, dir, df,
-      base.map(_.constraints).getOrElse(Map.empty), mapping)
+      base.map(_.constraints).getOrElse(Map.empty), mapping,
+      base.map(_.spec).getOrElse(TableSpec()))
     commitManifest(spark, dir, "append", schema.toDDL,
       base.map(_.files).getOrElse(Seq.empty) ++ files, batchId, txnApp, base,
       metrics = Map("files_added" -> files.size.toLong,
@@ -1062,7 +1434,8 @@ object Snapshot {
     val base = addedCols.foldLeft(base0)((d, f) =>
       d.withColumn(f.name, lit(null).cast(f.dataType)))
     val merged = graft.operators.Merge.upsert(base, changes, keys, deleteCol)
-    val newFiles = writeDataFiles(spark, dir, merged, prev.constraints, newMapping)
+    val newFiles = writeDataFiles(spark, dir, merged, prev.constraints, newMapping,
+      prev.spec)
     commitManifest(spark, dir, "upsert", nullable(newSchema).toDDL,
       untouched ++ newFiles, batchId, txnApp, Some(prev),
       metrics = Map("files_rewritten" -> touched.size.toLong,
@@ -1116,7 +1489,8 @@ object Snapshot {
         spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], curSchema)
       else readEntries(spark, dir, touched, curSchema, prev.tsMs, prev.mapping)
     val merged = Merge.merge(base, source, keys, clauses)
-    val newFiles = writeDataFiles(spark, dir, merged, prev.constraints, prev.mapping)
+    val newFiles = writeDataFiles(spark, dir, merged, prev.constraints, prev.mapping,
+      prev.spec)
     commitManifest(spark, dir, "merge", prev.schemaDdl,
       untouched ++ newFiles, batchId, txnApp, Some(prev),
       metrics = Map("files_rewritten" -> touched.size.toLong,
@@ -1324,13 +1698,121 @@ object Snapshot {
         case None => col(f.name)
       }
     }: _*)
-    val newFiles = writeDataFiles(spark, dir, updated, prev.constraints, prev.mapping)
+    val newFiles = writeDataFiles(spark, dir, updated, prev.constraints, prev.mapping,
+      prev.spec)
     Some(commitManifest(spark, dir, "update", prev.schemaDdl,
       untouched ++ newFiles, batchId, txnApp, Some(prev),
       metrics = Map("rows_updated" -> counts.values.sum,
         "files_rewritten" -> touched.size.toLong,
         "files_added" -> newFiles.size.toLong,
         "rows_written" -> newFiles.map(_.rows).sum)))
+  }
+
+  /** MERGE-ON-READ UPDATE: the deletion-vector counterpart of
+    * [[updateWhere]] — matched live rows are TOMBSTONED into a dv (the
+    * [[deleteWhere]] machinery) and their updated versions APPENDED as
+    * fresh files, in ONE commit, with ZERO data-file rewrites. A point
+    * update of one row in a 1 GB file costs ~a KB of dv plus one tiny
+    * new file instead of rewriting the gigabyte — O(rows touched), the
+    * same write-amplification fix dvs bought DELETE. The trade is the
+    * reader-side anti join on the dv'd files until [[optimize]]
+    * materializes them away — the documented merge-on-read maintenance
+    * contract. Choose [[updateWhere]] (copy-on-write) when updates are
+    * dense per file, this when they are sparse point touches.
+    *
+    * Semantics are identical to [[updateWhere]]: TRUE-only matching,
+    * SET sees old values and casts to declared types, CHECK
+    * constraints validate the new rows BEFORE any manifest publish
+    * (the dv dataset is cleaned up on abort), None when nothing
+    * matched. A file whose EVERY live row matched drops from the
+    * manifest outright (all its rows move to the new files).
+    */
+  def updateWhereMor(spark: SparkSession, dir: String, condition: Column,
+      set: Map[String, Column], batchId: Option[Long] = None,
+      txnApp: Option[String] = None): Option[Long] = {
+    val prev = baseManifest(spark, dir).getOrElse(
+      throw new IllegalStateException(s"no committed version at $dir"))
+    val schema = prev.schema
+    val unknown = set.keys.filterNot(schema.fieldNames.contains).toSeq.sorted
+    require(unknown.isEmpty,
+      s"updateWhereMor: SET names columns the table lacks: ${unknown.mkString(", ")}")
+    val (candidates, counts) = matchedLivePerFile(spark, dir, prev, condition)
+    if (counts.isEmpty) return None
+    val f = fs(spark, dir)
+    val touchedNames = counts.keySet
+    val touched = candidates.filter(e => touchedNames.contains(baseName(e.path)))
+
+    // ONE dv-aware scan of just the touched files; `matched` feeds BOTH
+    // outputs (updated rows + tombstone positions), persisted so the
+    // two writes share the work
+    val candPhys = spark.read.schema(physicalSchema(schema, prev.mapping))
+      .parquet(touched.map(e => absPath(dir, e.path)): _*)
+    val cand = candPhys.select(schema.fields.toSeq.map(fl =>
+        col(prev.mapping.getOrElse(fl.name, fl.name)).as(fl.name)) :+
+        col("_metadata").as("__meta"): _*)
+      .withColumn("__gf", element_at(split(col("__meta.file_path"), "/"), -1))
+      .withColumn("__gp", col("__meta.row_index"))
+    val dvDirs = touched.flatMap(_.dv.map(_.path)).distinct
+    val live = if (dvDirs.isEmpty) cand else {
+      val dv = spark.read.parquet(dvDirs.map(d => absPath(dir, d)): _*)
+      cand.join(dv, cand("__gf") === dv("__dv_file") && cand("__gp") === dv("__dv_pos"),
+        "left_anti")
+    }
+    val matched = live.filter(condition).persist()
+    try {
+      // (a) the updated rows — constraint-gated BEFORE any dv lands
+      val updated = matched.select(schema.fields.toSeq.map { fl =>
+        set.get(fl.name) match {
+          case Some(e) => e.cast(fl.dataType).as(fl.name)
+          case None => col(fl.name)
+        }
+      }: _*)
+      val newFiles = writeDataFiles(spark, dir, updated, prev.constraints,
+        prev.mapping, prev.spec)
+
+      // (b) tombstones: per-file fates — full-match files DROP (their
+      // rows all moved), partial files carry a dv (old positions
+      // unioned in, so each entry references ONE complete dataset)
+      def liveRows(e: FileEntry): Long = e.rows - e.dv.map(_.deleted).getOrElse(0L)
+      val (dead, partial) = touched.partition(e =>
+        e.rows >= 0 && counts(baseName(e.path)) >= liveRows(e))
+      val partialNames = partial.map(e => baseName(e.path)).toSet
+      var finalRel: Option[String] = None
+      var totals: Map[String, Long] = Map.empty
+      if (partial.nonEmpty) {
+        import spark.implicits._
+        val pairs = matched.filter(col("__gf").isin(partialNames.toSeq: _*))
+          .select(col("__gf").as("__dv_file"), col("__gp").as("__dv_pos"))
+        val withOld = partial.filter(_.dv.isDefined) match {
+          case Seq() => pairs
+          case withDv =>
+            val names = withDv.map(e => baseName(e.path)).toDF("__dv_file")
+            val old = spark.read.parquet(
+                withDv.flatMap(_.dv.map(d => absPath(dir, d.path))).distinct: _*)
+              .join(names, Seq("__dv_file"), "left_semi")
+            pairs.unionByName(old).distinct()
+        }
+        val rel = s"$DataDir/${java.util.UUID.randomUUID()}"
+        withOld.write.mode(SaveMode.ErrorIfExists).parquet(s"$dir/$rel")
+        totals = spark.read.parquet(s"$dir/$rel").groupBy(col("__dv_file")).count()
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        finalRel = Some(rel)
+      }
+      val files = prev.files.flatMap { e =>
+        val name = baseName(e.path)
+        if (!touchedNames.contains(name)) Some(e)
+        else if (!partialNames.contains(name)) None // whole file moved: drop
+        else Some(e.copy(dv = finalRel.map(rel => DvRef(rel, totals(name)))))
+      } ++ newFiles
+      Some(commitManifest(spark, dir, "update", prev.schemaDdl, files,
+        batchId, txnApp, Some(prev),
+        metrics = Map("rows_updated" -> counts.values.sum,
+          "files_rewritten" -> 0L,
+          "files_dropped" -> dead.size.toLong,
+          "files_dv" -> partial.size.toLong,
+          "files_added" -> newFiles.size.toLong,
+          "rows_written" -> newFiles.map(_.rows).sum)))
+    } finally matched.unpersist()
   }
 
   /** Atomic predicate overwrite (the `replaceWhere` idiom): in ONE
@@ -1354,10 +1836,15 @@ object Snapshot {
     * stats prove disjoint — or that holds no matching live row —
     * carries by reference. Time travel is unaffected: the pre-replace
     * version still reads the old range until [[vacuum]].
+    *
+    * Returns None — no version minted — when the operation would be an
+    * exact no-op (no live row matches AND the replacement data is
+    * empty): a cron'd restatement converges like [[updateWhere]] and
+    * [[deleteWhere]] instead of growing history with identical states.
     */
   def replaceWhere(spark: SparkSession, dir: String, condition: Column,
       data: DataFrame, batchId: Option[Long] = None,
-      txnApp: Option[String] = None): Long = {
+      txnApp: Option[String] = None): Option[Long] = {
     val prev = baseManifest(spark, dir).getOrElse(
       throw new IllegalStateException(s"no committed version at $dir"))
     val schema = prev.schema
@@ -1371,6 +1858,9 @@ object Snapshot {
       "replaceWhere: every replacement row must satisfy the predicate " +
         "(rows outside the claimed range would make the overwrite non-idempotent)")
     val (_, counts) = matchedLivePerFile(spark, dir, prev, condition)
+    // exact no-op (nothing to delete, nothing to insert): mint NO
+    // version — an identical manifest state must not grow history
+    if (counts.isEmpty && aligned.isEmpty) return None
     val touchedNames = counts.keySet
     def liveRows(e: FileEntry): Long = e.rows - e.dv.map(_.deleted).getOrElse(0L)
     val (touched, carried) =
@@ -1382,15 +1872,16 @@ object Snapshot {
       else writeDataFiles(spark, dir,
         readEntries(spark, dir, partial, schema, prev.tsMs, prev.mapping)
           .filter(!coalesce(condition, lit(false))),
-        prev.constraints, prev.mapping)
-    val newFiles = writeDataFiles(spark, dir, aligned, prev.constraints, prev.mapping)
-    commitManifest(spark, dir, "replace_where", prev.schemaDdl,
+        prev.constraints, prev.mapping, prev.spec)
+    val newFiles = writeDataFiles(spark, dir, aligned, prev.constraints, prev.mapping,
+      prev.spec)
+    Some(commitManifest(spark, dir, "replace_where", prev.schemaDdl,
       carried ++ kept ++ newFiles, batchId, txnApp, Some(prev),
       metrics = Map("rows_deleted" -> counts.values.sum,
         "files_dropped" -> dead.size.toLong,
         "files_rewritten" -> partial.size.toLong,
         "files_added" -> (kept.size + newFiles.size).toLong,
-        "rows_written" -> (kept ++ newFiles).map(_.rows).sum))
+        "rows_written" -> (kept ++ newFiles).map(_.rows).sum)))
   }
 
   /** Compact the LATEST version's files toward `targetBytes` each and
@@ -1405,7 +1896,8 @@ object Snapshot {
     val bytes = prev.files.map(_.bytes).sum
     val n = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
     val df = readVersion(spark, dir, prev.version).repartition(n)
-    val files = writeDataFiles(spark, dir, df, mapping = prev.mapping)
+    val files = writeDataFiles(spark, dir, df, mapping = prev.mapping,
+      spec = prev.spec, cluster = false)
     commitManifest(spark, dir, "compact", prev.schemaDdl, files, None, None, Some(prev),
       metrics = Map("files_rewritten" -> prev.files.size.toLong,
         "files_added" -> files.size.toLong))
@@ -1650,7 +2142,8 @@ object Snapshot {
         else df0.repartitionByRange(n, clusterBy.map(col): _*)
           .sortWithinPartitions(clusterBy.map(col): _*)
     }
-    val files = writeDataFiles(spark, dir, df, mapping = prev.mapping)
+    val files = writeDataFiles(spark, dir, df, mapping = prev.mapping,
+      spec = prev.spec, cluster = false)
     Some(commitManifest(spark, dir, "optimize", prev.schemaDdl,
       kept ++ files, None, None, Some(prev),
       metrics = Map("files_rewritten" -> small.size.toLong,
@@ -1794,9 +2287,117 @@ object Snapshot {
     readVersion(spark, tdir, v)
   }
 
+  // ---------------------------------------------------------------
+  // tags: named version refs on one table
+  // ---------------------------------------------------------------
+
+  private val RefsDir = "_refs"
+
+  private def refName(name: String): String = {
+    require(name.matches("[A-Za-z0-9][A-Za-z0-9._-]*"),
+      s"illegal tag name '$name' (want [A-Za-z0-9][A-Za-z0-9._-]*)")
+    s"$name.json"
+  }
+
+  /** TAG a retained version with a stable name — the single-table
+    * analogue of [[pinTables]]: `createTag(dir, "pre_migration")`
+    * names the bytes a rollback, audit, or eval re-run will need,
+    * and [[vacuum]] keeps every tagged version automatically (no
+    * alsoKeep bookkeeping). Tags are immutable single-winner publishes
+    * (re-tagging a name fails loudly; delete first) and resolve
+    * through the catalog's `VERSION AS OF '<tag>'` as well as
+    * [[readTag]]. Metadata-only: a tag is one tiny JSON ref.
+    */
+  def createTag(spark: SparkSession, dir: String, name: String,
+      version: Option[Long] = None): Long = {
+    val v = version.getOrElse(latestVersion(spark, dir).getOrElse(
+      throw new IllegalStateException(s"no committed version at $dir")))
+    require(versions(spark, dir).contains(v),
+      s"cannot tag version $v at $dir: not a retained version")
+    val f = fs(spark, dir)
+    val rd = new Path(dir, RefsDir)
+    f.mkdirs(rd)
+    val json = JsonMethods.compact(JsonMethods.render(JObject(
+      "name" -> JString(name), "version" -> JLong(v),
+      "ts_ms" -> JLong(System.currentTimeMillis()))))
+    val tmp = new Path(rd, s".tmp-${java.util.UUID.randomUUID()}")
+    val out = f.create(tmp, false)
+    try out.write(json.getBytes("UTF-8")) finally out.close()
+    if (!conditionalPublish(f, tmp, new Path(rd, refName(name)))) {
+      f.delete(tmp, false)
+      throw new java.util.ConcurrentModificationException(
+        s"tag '$name' already exists at $dir — delete it first")
+    }
+    v
+  }
+
+  /** All tags at `dir` (name → version). One directory listing plus
+    * one tiny read per tag.
+    */
+  def tags(spark: SparkSession, dir: String): Map[String, Long] = {
+    val f = fs(spark, dir)
+    val rd = new Path(dir, RefsDir)
+    if (!f.exists(rd)) return Map.empty
+    implicit val fmts: Formats = DefaultFormats
+    f.listStatus(rd).toSeq
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".json") &&
+        !s.getPath.getName.startsWith("."))
+      .map { s =>
+        val j = readJson(f, s.getPath)
+        (j \ "name").extract[String] -> (j \ "version").extract[Long]
+      }.toMap
+  }
+
+  /** Read the version tag `name` pinned — snapshot-isolated forever
+    * (vacuum keeps tagged versions).
+    */
+  def readTag(spark: SparkSession, dir: String, name: String): DataFrame =
+    readVersion(spark, dir, tags(spark, dir).getOrElse(name,
+      throw new IllegalArgumentException(s"no tag '$name' at $dir")))
+
+  /** Drop tag `name`; its version becomes vacuumable again (unless
+    * retained otherwise). Returns whether the tag existed.
+    */
+  def deleteTag(spark: SparkSession, dir: String, name: String): Boolean =
+    fs(spark, dir).delete(new Path(new Path(dir, RefsDir), refName(name)), false)
+
+  /** VACUUM DRY-RUN: what would `vacuum(keepLast, alsoKeep)` reclaim,
+    * as a DataFrame — one row per RETAINED-OR-DROPPED version with its
+    * op, keep/drop fate, and the files+bytes EXCLUSIVE to the dropped
+    * set (shared files are charged to no dropped version; they
+    * survive). Computed from manifests alone — zero data I/O, no
+    * deletion, safe to run anywhere. The retention-policy review
+    * surface: "what does keepLast=2 actually cost me?".
+    */
+  def vacuumReport(spark: SparkSession, dir: String, keepLast: Int = 2,
+      alsoKeep: Set[Long] = Set.empty): DataFrame = {
+    import spark.implicits._
+    require(keepLast >= 1, s"keepLast must be >= 1: $keepLast")
+    val vs = versions(spark, dir)
+    val keepSet = vs.takeRight(keepLast).toSet ++ alsoKeep ++
+      tags(spark, dir).values.toSet
+    val manifests = vs.map(v => v -> readManifest(spark, dir, v)).toMap
+    val keptFiles = vs.filter(keepSet.contains)
+      .flatMap(v => manifests(v).files.map(_.path)).toSet
+    // each reclaimable file is charged ONCE, to the first dropped
+    // version referencing it — so SUM(reclaimable_*) is the true total
+    val charged = scala.collection.mutable.Set.empty[String]
+    vs.map { v =>
+      val m = manifests(v)
+      val kept = keepSet.contains(v)
+      val exclusive =
+        if (kept) Seq.empty
+        else m.files.filter(e => !keptFiles.contains(e.path) && isOwnPath(e.path) &&
+          charged.add(e.path))
+      (v, m.op, kept, exclusive.size.toLong, exclusive.map(_.bytes).sum)
+    }.toDF("version", "op", "kept", "reclaimable_files", "reclaimable_bytes")
+      .orderBy(col("version"))
+  }
+
   /** Garbage-collect: keep the newest `keepLast` versions (plus any in
     * `alsoKeep` — feed [[pinnedVersionsOf]] here so multi-table pins
-    * and slow streaming consumers never lose their bytes), delete
+    * and slow streaming consumers never lose their bytes — and every
+    * [[createTag]]-tagged version, automatically), delete
     * older manifests and every data file no kept manifest references.
     * Returns the number of data files deleted. This is the ONLY
     * operation that removes bytes — retention policy is an explicit,
@@ -1809,7 +2410,8 @@ object Snapshot {
       alsoKeep: Set[Long] = Set.empty): Int = {
     require(keepLast >= 1, s"keepLast must be >= 1: $keepLast")
     val vs = versions(spark, dir)
-    val keepSet = vs.takeRight(keepLast).toSet ++ alsoKeep
+    val keepSet = vs.takeRight(keepLast).toSet ++ alsoKeep ++
+      tags(spark, dir).values.toSet
     val (keep, drop) = vs.partition(keepSet.contains)
     val f = fs(spark, dir)
     // A manifest references data files by exact path and dv DATASETS by
@@ -1892,6 +2494,13 @@ object Snapshot {
       v: Long): Seq[(String, Option[String], Long)] =
     readManifest(spark, dir, v).files.map(e =>
       (e.path, e.dv.map(_.path), e.dv.map(_.deleted).getOrElse(0L)))
+
+  /** Test hook: per-file stats key sets of version `v` — which columns
+    * each file entry carries min/max/null stats for (physical names).
+    */
+  private[graft] def statsKeysForTest(spark: SparkSession, dir: String,
+      v: Long): Seq[Set[String]] =
+    readManifest(spark, dir, v).files.map(_.stats.keySet)
 
   /** Test hook: attempt to publish an (empty) manifest at an explicit
     * version — exercises the rename-if-absent single-winner primitive
@@ -1999,10 +2608,10 @@ private[sources] final class SnapshotFileIndex(
   private def mayMatch(e: Snapshot.FileEntry, p: Expression): Boolean = p match {
     case And(l, r) => mayMatch(e, l) && mayMatch(e, r)
     case Or(l, r) => mayMatch(e, l) || mayMatch(e, r)
-    case EqualTo(a: Attribute, Literal(v, _)) => rangeContains(e, a, v)
-    case EqualTo(Literal(v, _), a: Attribute) => rangeContains(e, a, v)
-    case EqualNullSafe(a: Attribute, Literal(v, _)) if v != null => rangeContains(e, a, v)
-    case EqualNullSafe(Literal(v, _), a: Attribute) if v != null => rangeContains(e, a, v)
+    case EqualTo(a: Attribute, Literal(v, _)) => pointContains(e, a, v)
+    case EqualTo(Literal(v, _), a: Attribute) => pointContains(e, a, v)
+    case EqualNullSafe(a: Attribute, Literal(v, _)) if v != null => pointContains(e, a, v)
+    case EqualNullSafe(Literal(v, _), a: Attribute) if v != null => pointContains(e, a, v)
     case LessThan(a: Attribute, Literal(v, _)) => minBelow(e, a, v, strict = true)
     case LessThan(Literal(v, _), a: Attribute) => maxAbove(e, a, v, strict = true)
     case LessThanOrEqual(a: Attribute, Literal(v, _)) => minBelow(e, a, v, strict = false)
@@ -2012,7 +2621,7 @@ private[sources] final class SnapshotFileIndex(
     case GreaterThanOrEqual(a: Attribute, Literal(v, _)) => maxAbove(e, a, v, strict = false)
     case GreaterThanOrEqual(Literal(v, _), a: Attribute) => minBelow(e, a, v, strict = false)
     case In(a: Attribute, vs) if vs.nonEmpty && vs.forall(_.isInstanceOf[Literal]) =>
-      vs.exists { case Literal(v, _) => rangeContains(e, a, v) }
+      vs.exists { case Literal(v, _) => pointContains(e, a, v) }
     case IsNull(a: Attribute) =>
       stats(e, a).forall(_.nulls > 0)
     case IsNotNull(a: Attribute) =>
@@ -2027,6 +2636,30 @@ private[sources] final class SnapshotFileIndex(
       val okMax = s.max.flatMap(cmp(a, _, v)).forall(_ >= 0)
       okMin && okMax
     }
+
+  /** POINT lookup: range stats AND — when the file carries a bloom for
+    * the column — the bloom. On a high-cardinality UNCLUSTERED key the
+    * range test keeps every file (each spans the whole domain); the
+    * bloom is what actually prunes. `false` only on proof-of-absence;
+    * a literal the hash path can't reproduce keeps the file.
+    */
+  private def pointContains(e: Snapshot.FileEntry, a: Attribute, v: Any): Boolean = {
+    if (!rangeContains(e, a, v)) return false
+    e.blooms.get(a.name) match {
+      case None => true
+      case Some(b64) =>
+        if (v == null) return true
+        // hash the literal EXACTLY as the writer's bloom key was built:
+        // xxhash64(value) over the column's native type
+        val key = try {
+          new org.apache.spark.sql.catalyst.expressions.XxHash64(
+            Seq(Literal(v, fieldType.getOrElse(a.name, a.dataType))))
+            .eval(InternalRow.empty).asInstanceOf[Long]
+        } catch { case _: Exception => return true } // unhashable: keep
+        graft.functions.BloomProbe.mightContain(
+          java.util.Base64.getDecoder.decode(b64), key)
+    }
+  }
 
   /** file may hold a row with column < v (or <= v): min < v */
   private def minBelow(e: Snapshot.FileEntry, a: Attribute, v: Any, strict: Boolean): Boolean =

@@ -354,6 +354,124 @@ class GraftCatalogSpec extends SparkSpec {
     assert(props("graft.num_files").toLong >= 1L)
   }
 
+  // ---------------------------------------------------------------
+  // atomic CTAS / RTAS (StagingTableCatalog)
+  // ---------------------------------------------------------------
+
+  test("CREATE TABLE AS SELECT is atomic: one init version with the SELECT's rows; a failed CTAS leaves NO table, directory, or namespace entry") {
+    warehouse
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
+    spark.sql("CREATE TABLE graft.db.ctas AS " +
+      "SELECT id, id * 2 AS dbl FROM range(100)")
+    assert(spark.sql("SELECT count(*), sum(dbl) FROM graft.db.ctas")
+      .collect()(0).toSeq == Seq(100L, 9900L))
+    // ONE version: the CTAS staged its files and published exactly once
+    assert(Snapshot.versions(spark, s"$warehouse/db/ctas") == Seq(1L))
+    // CTAS into an existing name fails and leaves the original intact
+    intercept[Exception] {
+      spark.sql("CREATE TABLE graft.db.ctas AS SELECT 1 AS x")
+    }
+    assert(spark.sql("SELECT count(*) FROM graft.db.ctas").collect()(0).getLong(0) == 100L)
+    // a CTAS whose SELECT fails mid-execution aborts to NOTHING
+    intercept[Exception] {
+      spark.sql("CREATE TABLE graft.db.broken AS " +
+        "SELECT raise_error('boom') AS x FROM range(10)")
+    }
+    assert(!new java.io.File(s"$warehouse/db/broken").exists(),
+      "failed CTAS must leave no directory")
+    assert(!spark.sql("SHOW TABLES IN graft.db").collect()
+      .map(_.getString(1)).contains("broken"))
+  }
+
+  test("REPLACE TABLE AS SELECT publishes ONE replace version; the old definition time-travels; a failed RTAS leaves the table untouched") {
+    warehouse
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
+    spark.sql("CREATE TABLE graft.db.rt AS SELECT id FROM range(5)")
+    spark.sql("REPLACE TABLE graft.db.rt AS " +
+      "SELECT id AS k, CAST(id AS DOUBLE) / 2 AS half FROM range(10)")
+    assert(spark.sql("SELECT count(*), sum(half) FROM graft.db.rt")
+      .collect()(0).toSeq == Seq(10L, 22.5))
+    assert(spark.sql("SELECT * FROM graft.db.rt").columns.toSeq == Seq("k", "half"))
+    // old definition still readable at v1
+    assert(spark.sql("SELECT count(*) FROM graft.db.rt VERSION AS OF 1")
+      .collect()(0).getLong(0) == 5L)
+    // failed RTAS: table unchanged, no version minted
+    val before = Snapshot.versions(spark, s"$warehouse/db/rt")
+    intercept[Exception] {
+      spark.sql("REPLACE TABLE graft.db.rt AS " +
+        "SELECT raise_error('boom') AS x FROM range(1)")
+    }
+    assert(Snapshot.versions(spark, s"$warehouse/db/rt") == before)
+    assert(spark.sql("SELECT count(*) FROM graft.db.rt").collect()(0).getLong(0) == 10L)
+    // CREATE OR REPLACE works on both existing and fresh names
+    spark.sql("CREATE OR REPLACE TABLE graft.db.rt AS SELECT 1 AS one")
+    spark.sql("CREATE OR REPLACE TABLE graft.db.rt2 AS SELECT 2 AS two")
+    assert(spark.sql("SELECT one FROM graft.db.rt").collect()(0).getInt(0) == 1)
+    assert(spark.sql("SELECT two FROM graft.db.rt2").collect()(0).getInt(0) == 2)
+  }
+
+  test("PARTITIONED BY (identity): partition predicates prune files from manifest stats; INSERTs cluster by the partition column") {
+    warehouse
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
+    spark.sql("CREATE TABLE graft.db.pt (id BIGINT, day STRING, v DOUBLE) " +
+      "PARTITIONED BY (day)")
+    val dir = s"$warehouse/db/pt"
+    assert(Snapshot.tableSpecOf(spark, dir).partitionCols == Seq("day"))
+    // one INSERT spanning 4 days: the write clusters by day, so each
+    // file holds few day values and day predicates prune
+    spark.sql("INSERT INTO graft.db.pt " +
+      "SELECT id, concat('d', CAST(id % 4 AS STRING)) AS day, CAST(id AS DOUBLE) " +
+      "FROM range(400)")
+    val v = Snapshot.versions(spark, dir).max
+    val all = Snapshot.statsKeysForTest(spark, dir, v).size
+    val kept = Snapshot.candidateFilePaths(spark, dir, v, col("day") === lit("d1"))
+    assert(kept.size < all,
+      s"partition predicate must prune (kept ${kept.size}/$all)")
+    assert(spark.sql("SELECT count(*) FROM graft.db.pt WHERE day = 'd1'")
+      .collect()(0).getLong(0) == 100L)
+    // non-identity transforms are refused loudly
+    intercept[Exception] {
+      spark.sql("CREATE TABLE graft.db.ptb (id BIGINT, ts TIMESTAMP) " +
+        "PARTITIONED BY (days(ts))")
+    }
+  }
+
+  test("history metadata table: SELECT * FROM graft.db.t.history serves the commit log driver-locally") {
+    warehouse
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
+    spark.sql("CREATE TABLE graft.db.h (id BIGINT)")
+    spark.sql("INSERT INTO graft.db.h VALUES (1), (2)")
+    spark.sql("INSERT INTO graft.db.h VALUES (3)")
+    spark.sql("DELETE FROM graft.db.h WHERE id = 1")
+    val hist = spark.sql(
+      "SELECT version, op, n_rows FROM graft.db.h.history ORDER BY version")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(hist.toSeq == Seq(
+      (1L, "init", 0L), (2L, "append", 2L), (3L, "append", 3L),
+      (4L, "delete", 2L))) // n_rows is LIVE rows: the dv masks one
+    // metrics ride as deterministic JSON
+    val met = spark.sql("SELECT metrics FROM graft.db.h.history WHERE version = 4")
+      .collect()(0).getString(0)
+    assert(met.contains("\"rows_deleted\":1"))
+    // a history request for a non-table still fails loudly
+    intercept[Exception] { spark.sql("SELECT * FROM graft.db.nope.history").collect() }
+  }
+
+  test("VERSION AS OF '<tag>' resolves named pins through SQL") {
+    warehouse
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
+    spark.sql("CREATE TABLE graft.db.tg AS SELECT id FROM range(3)")
+    val dir = s"$warehouse/db/tg"
+    Snapshot.createTag(spark, dir, "golden")
+    spark.sql("INSERT INTO graft.db.tg SELECT id FROM range(100, 110)")
+    assert(spark.sql("SELECT count(*) FROM graft.db.tg").collect()(0).getLong(0) == 13L)
+    assert(spark.sql("SELECT count(*) FROM graft.db.tg VERSION AS OF 'golden'")
+      .collect()(0).getLong(0) == 3L)
+    intercept[Exception] {
+      spark.sql("SELECT * FROM graft.db.tg VERSION AS OF 'nope'").collect()
+    }
+  }
+
   test("SQL UPDATE re-validates CHECK constraints and aborts with no version on a violation") {
     warehouse
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")

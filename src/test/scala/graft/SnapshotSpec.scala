@@ -114,6 +114,102 @@ class SnapshotSpec extends SparkSpec {
     assert(rows(Snapshot.read(spark, dir)) == rows(base))
   }
 
+  // ---------------------------------------------------------------
+  // optimistic concurrency: rebase-and-retry + logical conflict matrix
+  // ---------------------------------------------------------------
+
+  test("OCC retry: two interleaved appends BOTH land (loser rebases onto the winner)") {
+    import spark.implicits._
+    val dir = tmp() + "/t"
+    Snapshot.commit(spark, dir, base) // v1
+    // the competing append lands inside the loser's race window: after
+    // the loser pinned v1 and wrote its data files, before its publish
+    Snapshot.raceForTest = () =>
+      Snapshot.append(spark, dir, Seq((10L, "w", 10.0)).toDF("id", "name", "score"))
+    val v = Snapshot.append(spark, dir,
+      Seq((11L, "l", 11.0)).toDF("id", "name", "score"))
+    assert(v == 3L, "the loser must rebase and land at v3, not fail")
+    val ids = Snapshot.read(spark, dir).select("id").collect().map(_.getLong(0)).toSet
+    assert(ids == Set(1L, 2L, 3L, 4L, 10L, 11L), "BOTH appended rows must be readable")
+    assert(Snapshot.versions(spark, dir) == Seq(1L, 2L, 3L))
+  }
+
+  test("OCC retry: an append losing to a cron optimize rebases and lands (the flagship streaming-beside-maintenance interleave)") {
+    import spark.implicits._
+    val dir = tmp() + "/t"
+    Snapshot.commit(spark, dir, base.repartition(4)) // v1: 4 small files
+    Snapshot.raceForTest = () => {
+      val ov = Snapshot.optimize(spark, dir, smallBytes = Long.MaxValue)
+      assert(ov.contains(2L), "the interleaved optimize must win v2")
+    }
+    val v = Snapshot.append(spark, dir,
+      Seq((10L, "s", 10.0)).toDF("id", "name", "score"))
+    assert(v == 3L)
+    assert(Snapshot.read(spark, dir).count() == 5L,
+      "optimize output AND the appended row must both survive")
+    val ops = Snapshot.history(spark, dir).orderBy(col("version"))
+      .select("op").collect().map(_.getString(0)).toSeq
+    assert(ops == Seq("init", "optimize", "append"))
+  }
+
+  test("OCC retry: an optimize losing to an append rebases — the appended rows survive the compaction") {
+    import spark.implicits._
+    val dir = tmp() + "/t"
+    Snapshot.commit(spark, dir, base.repartition(4)) // v1: 4 small files
+    Snapshot.raceForTest = () =>
+      Snapshot.append(spark, dir, Seq((10L, "w", 10.0)).toDF("id", "name", "score"))
+    val v = Snapshot.optimize(spark, dir, smallBytes = Long.MaxValue)
+    assert(v.contains(3L), "the optimize must rebase over the append and land")
+    val ids = Snapshot.read(spark, dir).select("id").collect().map(_.getLong(0)).toSet
+    assert(ids == Set(1L, 2L, 3L, 4L, 10L), "the interleaved append's row must survive")
+    // the winner's appended file carried into the rebased optimize by reference
+    assert(dataPartFiles(dir, 2L).intersect(dataPartFiles(dir, 3L)).nonEmpty)
+  }
+
+  test("OCC conflict matrix: two interleaved upserts still fail LOUDLY (key overlap unprovable at file granularity)") {
+    import spark.implicits._
+    val dir = tmp() + "/t"
+    Snapshot.commit(spark, dir, base) // v1
+    Snapshot.raceForTest = () =>
+      Snapshot.upsert(spark, dir,
+        Seq((9L, "w", 9.0)).toDF("id", "name", "score"), Seq("id"))
+    val e = intercept[java.util.ConcurrentModificationException] {
+      Snapshot.upsert(spark, dir,
+        Seq((9L, "l", -9.0)).toDF("id", "name", "score"), Seq("id"))
+    }
+    assert(e.getMessage.contains("row-writing"))
+    // the WINNER's upsert is in; the loser's never half-landed
+    assert(rows(Snapshot.read(spark, dir)).contains((9L, "w", 9.0)))
+    assert(!rows(Snapshot.read(spark, dir)).contains((9L, "l", -9.0)))
+    assert(Snapshot.versions(spark, dir) == Seq(1L, 2L))
+  }
+
+  test("OCC conflict matrix: an append losing to a table-state change (ALTER) fails — its rows were validated under stale constraints") {
+    import spark.implicits._
+    val dir = tmp() + "/t"
+    Snapshot.commit(spark, dir, base)
+    Snapshot.raceForTest = () =>
+      Snapshot.addConstraint(spark, dir, "pos", "score >= 0")
+    intercept[java.util.ConcurrentModificationException] {
+      Snapshot.append(spark, dir, Seq((10L, "x", -1.0)).toDF("id", "name", "score"))
+    }
+    // the constraint landed; the unvalidated negative row did not
+    assert(Snapshot.constraintsOf(spark, dir).contains("pos"))
+    assert(Snapshot.read(spark, dir).count() == 4L)
+  }
+
+  test("OCC retry: a merge-on-read delete losing to an append commutes when the appended files are untouched") {
+    import spark.implicits._
+    val dir = tmp() + "/t"
+    Snapshot.commit(spark, dir, base) // v1
+    Snapshot.raceForTest = () =>
+      Snapshot.append(spark, dir, Seq((10L, "w", 10.0)).toDF("id", "name", "score"))
+    val v = Snapshot.deleteWhere(spark, dir, col("id") === 2L)
+    assert(v.contains(3L), "the dv delete must rebase over the blind append")
+    val ids = Snapshot.read(spark, dir).select("id").collect().map(_.getLong(0)).toSet
+    assert(ids == Set(1L, 3L, 4L, 10L))
+  }
+
   test("vacuum sweeps orphaned data files from failed commits, never in-flight ones inside the grace window") {
     import spark.implicits._
     val dir = tmp() + "/t"
@@ -992,7 +1088,7 @@ class SnapshotSpec extends SparkSpec {
     // predicate fully covers [1,2], splits [3,4] at id=3, misses [5,6]
     val repl = Seq((1L, "r1", 100.0), (3L, "r3", 300.0)).toDF("id", "name", "score")
     val v = Snapshot.replaceWhere(spark, dir, col("id") <= 3L, repl)
-    assert(v == 2L)
+    assert(v.contains(2L))
     assert(rows(Snapshot.read(spark, dir)) ==
       Set((1L, "r1", 100.0), (3L, "r3", 300.0), (4L, "n4", 4.0),
         (5L, "n5", 5.0), (6L, "n6", 6.0)))
@@ -1036,9 +1132,177 @@ class SnapshotSpec extends SparkSpec {
     Snapshot.commit(spark, dir, base.repartitionByRange(2, col("id")))
     val v = Snapshot.replaceWhere(spark, dir, col("id") >= 100L,
       Seq((100L, "z", 0.5)).toDF("id", "name", "score"))
-    assert(v == 2L)
+    assert(v.contains(2L))
     assert(Snapshot.read(spark, dir).count() == 5L)
     // every pre-existing file carried by reference (nothing matched)
     assert(dataPartFiles(dir, 1L).subsetOf(dataPartFiles(dir, 2L)))
+  }
+
+  // ---------------------------------------------------------------
+  // merge-on-read UPDATE
+  // ---------------------------------------------------------------
+
+  test("updateWhereMor: a point UPDATE rewrites ZERO data files — dv + one tiny new file; optimize purges it back to clean") {
+    import spark.implicits._
+    val dir = tmp() + "/t"
+    val forty = (1L to 40L).map(i => (i, s"n$i", i.toDouble)).toDF("id", "name", "score")
+    Snapshot.commit(spark, dir, forty.repartitionByRange(4, col("id"))) // v1: 4 files
+    val v1Files = dataPartFiles(dir, 1L)
+    val v = Snapshot.updateWhereMor(spark, dir, col("id") === 7L,
+      Map("score" -> lit(700.0)))
+    assert(v.contains(2L))
+    // EVERY v1 data file still referenced (zero rewrites), plus new file(s)
+    assert(v1Files.subsetOf(dataPartFiles(dir, 2L)), "point MoR update must not rewrite")
+    val met = Snapshot.history(spark, dir).where(col("version") === 2L)
+      .select(col("metrics")).collect()(0).getMap[String, Long](0)
+    assert(met("files_rewritten") == 0L)
+    assert(met("rows_updated") == 1L && met("files_dv") == 1L)
+    // read sees the new value exactly once
+    val got = Snapshot.read(spark, dir).where(col("id") === 7L)
+      .select(col("score")).collect().map(_.getDouble(0)).toSeq
+    assert(got == Seq(700.0))
+    assert(Snapshot.read(spark, dir).count() == 40L)
+    // time travel: v1 still reads the old value
+    assert(Snapshot.readVersion(spark, dir, 1L).where(col("id") === 7L)
+      .select(col("score")).collect()(0).getDouble(0) == 7.0)
+    // semantics match the copy-on-write updateWhere: NULL never matches
+    assert(Snapshot.updateWhereMor(spark, dir, col("id") === -1L,
+      Map("score" -> lit(0.0))).isEmpty, "no match mints no version")
+    // maintenance: optimize materializes the dv away, values survive
+    Snapshot.optimize(spark, dir, smallBytes = Long.MaxValue).get
+    val cur = Snapshot.latestVersion(spark, dir).get
+    assert(Snapshot.filesForTest(spark, dir, cur).forall(_._2.isEmpty), "dv purged")
+    assert(Snapshot.read(spark, dir).where(col("id") === 7L)
+      .select(col("score")).collect()(0).getDouble(0) == 700.0)
+  }
+
+  test("updateWhereMor: a file whose every live row matches DROPS from the manifest; constraints still gate") {
+    import spark.implicits._
+    val dir = tmp() + "/t"
+    val six = (1L to 6L).map(i => (i, s"n$i", i.toDouble)).toDF("id", "name", "score")
+    Snapshot.commit(spark, dir, six.repartitionByRange(3, col("id"))) // [1,2][3,4][5,6]
+    Snapshot.addConstraint(spark, dir, "pos", "score >= 0")
+    // the [1,2] file fully matches → dropped outright, its rows move
+    val v = Snapshot.updateWhereMor(spark, dir, col("id") <= 2L,
+      Map("score" -> (col("score") * 10)))
+    assert(v.contains(3L))
+    val met = Snapshot.history(spark, dir).where(col("version") === 3L)
+      .select(col("metrics")).collect()(0).getMap[String, Long](0)
+    assert(met("files_dropped") == 1L && met("files_dv") == 0L)
+    assert(rows(Snapshot.read(spark, dir)) ==
+      Set((1L, "n1", 10.0), (2L, "n2", 20.0), (3L, "n3", 3.0),
+        (4L, "n4", 4.0), (5L, "n5", 5.0), (6L, "n6", 6.0)))
+    // a violating SET aborts BEFORE any dv or manifest lands
+    intercept[IllegalArgumentException] {
+      Snapshot.updateWhereMor(spark, dir, col("id") === 5L,
+        Map("score" -> lit(-1.0)))
+    }
+    assert(Snapshot.versions(spark, dir) == Seq(1L, 2L, 3L))
+    assert(Snapshot.read(spark, dir).where(col("id") === 5L)
+      .select(col("score")).collect()(0).getDouble(0) == 5.0)
+  }
+
+  // ---------------------------------------------------------------
+  // configurable stats columns + per-file manifest blooms
+  // ---------------------------------------------------------------
+
+  test("manifest blooms prune point lookups on an UNCLUSTERED high-cardinality key where min/max cannot") {
+    import spark.implicits._
+    val dir = tmp() + "/t"
+    // interleaved keys: every file's [min,max] spans the whole domain,
+    // so range stats keep ALL files for any point lookup
+    val df = (0L until 4000L).map(i => (i, s"u$i")).toDF("uid", "name")
+      .repartition(4, col("uid")) // hash layout: every file spans the domain
+    Snapshot.commit(spark, dir, df,
+      spec = Some(Snapshot.TableSpec(bloomCols = Seq("uid"), bloomBits = 1 << 16)))
+    val all = dataPartFiles(dir, 1L)
+    assert(all.size == 4)
+    // range-only sanity: the probe key sits inside every file's range
+    val cand = Snapshot.candidateFilePaths(spark, dir, 1L, col("uid") === 1234L)
+    assert(cand.size < all.size,
+      s"bloom must prune (kept ${cand.size}/${all.size})")
+    // typically exactly 1 survives at this fp rate
+    assert(cand.nonEmpty, "the true file must survive (no false negatives)")
+    // correctness: the row is found
+    assert(Snapshot.read(spark, dir).where(col("uid") === 1234L).count() == 1L)
+    // a key that does not exist prunes everything or reads empty
+    assert(Snapshot.read(spark, dir).where(col("uid") === 999999L).count() == 0L)
+  }
+
+  test("setTableSpec: configured statsCols replace the first-16 default; partition cols always carry stats") {
+    import spark.implicits._
+    val dir = tmp() + "/t"
+    Snapshot.commit(spark, dir,
+      Seq((1L, "a", 1.0, "d1")).toDF("id", "name", "score", "day"))
+    Snapshot.setTableSpec(spark, dir,
+      Snapshot.TableSpec(partitionCols = Seq("day"), statsCols = Seq("score")))
+    assert(Snapshot.tableSpecOf(spark, dir).statsCols == Seq("score"))
+    Snapshot.append(spark, dir,
+      Seq((2L, "b", 2.0, "d2")).toDF("id", "name", "score", "day"))
+    // the appended file's stats: score (configured) + day (partition), NOT id
+    val m = Snapshot.readVersion(spark, dir, 3L)
+    assert(m.count() == 2L)
+    val appended = Snapshot.statsKeysForTest(spark, dir, 3L)
+    assert(appended.exists(ks => ks == Set("score", "day")),
+      s"appended file must carry exactly configured+partition stats, got $appended")
+    // unknown column refused
+    intercept[IllegalArgumentException] {
+      Snapshot.setTableSpec(spark, dir, Snapshot.TableSpec(statsCols = Seq("nope")))
+    }
+  }
+
+  // ---------------------------------------------------------------
+  // tags + vacuum dry-run
+  // ---------------------------------------------------------------
+
+  test("tags: named version pins survive vacuum automatically; re-tagging fails loudly; delete releases") {
+    import spark.implicits._
+    val dir = tmp() + "/t"
+    Snapshot.commit(spark, dir, base)                                  // v1
+    Snapshot.createTag(spark, dir, "golden")                           // pins v1
+    Snapshot.commit(spark, dir, Seq((9L, "z", 9.0)).toDF("id", "name", "score")) // v2
+    Snapshot.commit(spark, dir, Seq((10L, "y", 1.0)).toDF("id", "name", "score")) // v3
+    intercept[java.util.ConcurrentModificationException] {
+      Snapshot.createTag(spark, dir, "golden", Some(2L))
+    }
+    // vacuum keepLast=1 would normally drop v1+v2; the tag keeps v1
+    Snapshot.vacuum(spark, dir, keepLast = 1)
+    assert(Snapshot.versions(spark, dir) == Seq(1L, 3L))
+    assert(rows(Snapshot.readTag(spark, dir, "golden")) == rows(base))
+    // deleting the tag releases the version to the next vacuum
+    assert(Snapshot.deleteTag(spark, dir, "golden"))
+    Snapshot.vacuum(spark, dir, keepLast = 1)
+    assert(Snapshot.versions(spark, dir) == Seq(3L))
+  }
+
+  test("vacuumReport: the dry run predicts exactly what vacuum reclaims, and deletes nothing") {
+    import spark.implicits._
+    val dir = tmp() + "/t"
+    Snapshot.commit(spark, dir, base.repartitionByRange(4, col("id"))) // v1: 4 files
+    Snapshot.commit(spark, dir, base.repartitionByRange(2, col("id"))) // v2: replace, 2 files
+    Snapshot.append(spark, dir, Seq((9L, "z", 9.0)).toDF("id", "name", "score")) // v3
+    val rep = Snapshot.vacuumReport(spark, dir, keepLast = 1)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getBoolean(2), r.getLong(3)))
+    assert(rep.toSeq == Seq(
+      (1L, "init", false, 4L),     // v1's 4 files are exclusive to the dropped set
+      (2L, "replace", false, 0L),  // v2's files are shared with kept v3 → charged nowhere
+      (3L, "append", true, 0L)))
+    // the dry run deleted nothing
+    assert(Snapshot.versions(spark, dir) == Seq(1L, 2L, 3L))
+    assert(Snapshot.readVersion(spark, dir, 1L).count() == 4L)
+    // and the real vacuum reclaims exactly the predicted 4 files
+    assert(Snapshot.vacuum(spark, dir, keepLast = 1) == 4)
+  }
+
+  test("replaceWhere exact no-op (empty data, no matches) mints NO version — cron-safe convergence") {
+    import spark.implicits._
+    val dir = tmp() + "/t"
+    Snapshot.commit(spark, dir, base.repartitionByRange(2, col("id")))
+    val empty = Seq.empty[(Long, String, Double)].toDF("id", "name", "score")
+    assert(Snapshot.replaceWhere(spark, dir, col("id") >= 100L, empty).isEmpty)
+    assert(Snapshot.versions(spark, dir) == Seq(1L), "no-op must not grow history")
+    // but deleting a real range with empty replacement data IS a change
+    assert(Snapshot.replaceWhere(spark, dir, col("id") === 1L, empty).contains(2L))
+    assert(Snapshot.read(spark, dir).count() == 3L)
   }
 }

@@ -722,6 +722,50 @@ class StreamingSpec extends SparkSpec {
     assert(Snapshot.readVersion(spark, tbl, v1).count() == 2L)
   }
 
+  test("streaming append BESIDE a cron optimize: the interleaved maintenance commit no longer kills the stream — the append rebases and BOTH land") {
+    import graft.sources.Snapshot
+    import spark.implicits._
+    val root = tmp()
+    val src = s"$root/src"; val tbl = s"$root/tbl"; val ck = s"$root/ck"
+    Seq((1L, "a"), (2L, "b")).toDF("id", "name").write.parquet(s"$src/b1")
+    val schema = spark.read.parquet(s"$src/b1").schema
+    def start() = Refresh.snapshotAppend(
+      spark.readStream.schema(schema).parquet(s"$src/*"), tbl, ck)
+
+    val q1 = start(); q1.processAllAvailable(); q1.stop()
+    Seq((3L, "c"), (4L, "d")).toDF("id", "name").write.parquet(s"$src/b2")
+    val q2 = start(); q2.processAllAvailable(); q2.stop()
+    assert(Snapshot.read(spark, tbl).count() == 4L)
+    // arm the race: the cron optimize lands INSIDE the next streaming
+    // append's commit window (after the batch pinned its base and wrote
+    // its files, before its manifest publish) — the exact interleave
+    // that used to fail the stream outright
+    val optimizedV = new java.util.concurrent.atomic.AtomicLong(-1L)
+    Snapshot.raceForTest = () => optimizedV.set(
+      Snapshot.optimize(spark, tbl, smallBytes = Long.MaxValue).get)
+    Seq((5L, "e"), (6L, "f")).toDF("id", "name").write.parquet(s"$src/b3")
+    val q3 = start(); q3.processAllAvailable(); q3.stop()
+    assert(optimizedV.get() == 3L, "the interleaved optimize must have won v3")
+    assert(Snapshot.latestVersion(spark, tbl).contains(4L),
+      "the streaming append must rebase onto the optimize and land at v4")
+    assert(Snapshot.read(spark, tbl).count() == 6L,
+      "optimize output AND the streamed batch must both be readable")
+    val ops = Snapshot.history(spark, tbl).orderBy(col("version"))
+      .select("op").collect().map(_.getString(0)).toSeq
+    assert(ops == Seq("init", "append", "optimize", "append"))
+    // exactly-once cursor survived the rebase: replaying the batch under
+    // the stream's identity mints nothing
+    val sc = spark.sparkContext
+    try {
+      sc.setLocalProperty("sql.streaming.queryId", q3.id.toString)
+      Refresh.applySnapshotAppendBatch(
+        Seq((5L, "e"), (6L, "f")).toDF("id", "name"),
+        Snapshot.lastTxn(spark, tbl).get._2, tbl)
+      assert(Snapshot.latestVersion(spark, tbl).contains(4L))
+      assert(Snapshot.read(spark, tbl).count() == 6L)
+    } finally sc.setLocalProperty("sql.streaming.queryId", null)
+  }
+
   test("exactly-once snapshot REPLACE-WHERE sink: a re-emitted partition is replaced, not duplicated; replay is a no-op; untouched partitions carry") {
     import graft.sources.Snapshot
     import spark.implicits._
