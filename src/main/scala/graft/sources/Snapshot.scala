@@ -905,6 +905,7 @@ object Snapshot {
       specOverride: Option[TableSpec] = None): Long = {
     val race = raceForTest
     if (race != null) { raceForTest = null; race() }
+    var rebases = 0
     def build(b: Option[Manifest], fl: Seq[FileEntry]): Manifest = {
       val v = b.map(_.version + 1).getOrElse(1L)
       val last = (b.flatMap(_.lastBatchId).toSeq ++ batchId.toSeq)
@@ -936,8 +937,11 @@ object Snapshot {
       // the layout/stats spec is table state like constraints: carried
       // forward unchanged unless this commit sets it
       val sp = specOverride.getOrElse(b.map(_.spec).getOrElse(TableSpec()))
+      // observability: a commit that had to rebase says so in history()
+      val met = if (rebases == 0) metrics
+        else metrics + ("occ_rebases" -> rebases.toLong)
       Manifest(v, op, schemaDdl, fl, batchId, last, app, tb, ts, cons,
-        metrics, mp, ret, sp)
+        met, mp, ret, sp)
     }
     // my action vs MY base, derived once — what a rebase replays
     val myAction = base.map(b => actionOf(b.files, files))
@@ -981,6 +985,7 @@ object Snapshot {
           val nb = readManifest(spark, dir, latest)
           curFiles = rebaseFiles(nb.files, act)
           cur = Some(nb)
+          rebases = attempt
       }
     }
     throw new IllegalStateException("unreachable")

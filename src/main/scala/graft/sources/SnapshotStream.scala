@@ -50,7 +50,10 @@ import org.apache.spark.sql.vectorized.ColumnarBatch
   * source has the same restriction
   * without `skipChangeCommits`); hitting one fails loudly rather than
   * silently re-emitting rewritten rows. `option("startingVersion",
-  * "latest")` starts past history (new rows only);
+  * "latest")` starts past history (new rows only); a NUMERIC
+  * startingVersion starts after that version, and a TAG name starts
+  * after the tagged version — the batch-load-the-tag-then-tail
+  * handoff, with the tag keeping the boundary vacuum-safe;
   * `option("skipRewrites", "true")` opts into skipping non-append
   * versions (their ADDED files are not emitted — the documented
   * at-most-once-per-rewrite tradeoff, for tables that interleave
@@ -237,7 +240,7 @@ private[sources] final class SnapshotStreamTable(tableSchema: StructType, dir: S
       }
     }
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
-    val startLatest = "latest".equalsIgnoreCase(options.getOrDefault("startingVersion", ""))
+    val startingVersion = Option(options.get("startingVersion")).filter(_.nonEmpty)
     val skipRewrites = options.getBoolean("skipRewrites", false)
     val maxVersions = options.getLong("maxVersionsPerBatch", Long.MaxValue)
     require(maxVersions >= 1, s"maxVersionsPerBatch must be >= 1: $maxVersions")
@@ -274,7 +277,22 @@ private[sources] final class SnapshotStreamTable(tableSchema: StructType, dir: S
             if (mapping.isEmpty) required
             else StructType(required.fields.map(f =>
               f.copy(name = mapping.getOrElse(f.name, f.name))))
-          new SnapshotMicroBatchStream(dir, physRequired, startLatest, skipRewrites, maxVersions)
+          // startingVersion: "latest" (only rows committed after stream
+          // start), a NUMERIC version (consume from v+1 on — "I already
+          // hold v via a batch read"), or a TAG name resolved through
+          // the table's named refs (the handoff idiom: batch-load the
+          // tagged snapshot, then tail everything after it, exactly
+          // once, with the tag keeping the boundary version vacuum-safe)
+          val startVersion: Option[Long] = startingVersion.map {
+            case v if "latest".equalsIgnoreCase(v) =>
+              Snapshot.latestVersion(spark, dir).getOrElse(0L)
+            case v if v.forall(_.isDigit) => v.toLong
+            case tag => Snapshot.tags(spark, dir).getOrElse(tag,
+              throw new IllegalArgumentException(
+                s"graft-snapshot: startingVersion '$tag' is neither 'latest', " +
+                  s"a numeric version, nor a tag at $dir"))
+          }
+          new SnapshotMicroBatchStream(dir, physRequired, startVersion, skipRewrites, maxVersions)
         }
         override def toBatch(): Batch = {
           val spark = SparkSession.active
@@ -501,14 +519,12 @@ private final case class SnapshotOffset(v: Long) extends Offset {
 }
 
 private final class SnapshotMicroBatchStream(dir: String, schema: StructType,
-    startLatest: Boolean, skipRewrites: Boolean, maxVersions: Long)
+    startVersion: Option[Long], skipRewrites: Boolean, maxVersions: Long)
     extends MicroBatchStream with SupportsAdmissionControl {
 
   private def spark = SparkSession.active
 
-  override def initialOffset(): Offset =
-    SnapshotOffset(
-      if (startLatest) Snapshot.latestVersion(spark, dir).getOrElse(0L) else 0L)
+  override def initialOffset(): Offset = SnapshotOffset(startVersion.getOrElse(0L))
 
   override def latestOffset(): Offset =
     SnapshotOffset(Snapshot.latestVersion(spark, dir).getOrElse(0L))

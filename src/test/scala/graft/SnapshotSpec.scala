@@ -132,6 +132,10 @@ class SnapshotSpec extends SparkSpec {
     val ids = Snapshot.read(spark, dir).select("id").collect().map(_.getLong(0)).toSet
     assert(ids == Set(1L, 2L, 3L, 4L, 10L, 11L), "BOTH appended rows must be readable")
     assert(Snapshot.versions(spark, dir) == Seq(1L, 2L, 3L))
+    // the rebased commit reports itself in history()
+    val met = Snapshot.history(spark, dir).where(col("version") === 3L)
+      .select(col("metrics")).collect()(0).getMap[String, Long](0)
+    assert(met("occ_rebases") == 1L)
   }
 
   test("OCC retry: an append losing to a cron optimize rebases and lands (the flagship streaming-beside-maintenance interleave)") {

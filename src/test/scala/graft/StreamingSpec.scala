@@ -914,6 +914,40 @@ class StreamingSpec extends SparkSpec {
     assert(seen.flatMap(_._2).toSet == Set(5L), s"skipRewrites emitted rewrite rows: $seen")
   }
 
+  test("snapshot source startingVersion accepts a TAG: batch-load the tagged snapshot, stream everything after it") {
+    import graft.sources.Snapshot
+    import spark.implicits._
+    val root = tmp()
+    val tbl = s"$root/tbl"
+    Snapshot.commit(spark, tbl, Seq((1L, "a"), (2L, "b")).toDF("id", "name"))  // v1
+    Snapshot.append(spark, tbl, Seq((3L, "c")).toDF("id", "name"))             // v2
+    Snapshot.createTag(spark, tbl, "handoff")                                  // pins v2
+    Snapshot.append(spark, tbl, Seq((4L, "d")).toDF("id", "name"))             // v3
+    // the handoff idiom: the consumer batch-reads the tag...
+    assert(Snapshot.readTag(spark, tbl, "handoff").count() == 3L)
+    // ...then tails ONLY what landed after it
+    val seen = scala.collection.mutable.ArrayBuffer[Long]()
+    val q = spark.readStream.format("graft-snapshot")
+      .option("startingVersion", "handoff").load(tbl)
+      .writeStream.option("checkpointLocation", s"$root/ck")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        seen.synchronized { seen ++= batch.select("id").collect().map(_.getLong(0)) }
+        ()
+      }
+      .start()
+    q.processAllAvailable(); q.stop()
+    assert(seen.toSet == Set(4L), s"tag start must skip tagged history: $seen")
+    // an unknown ref fails loudly at stream start
+    val bad = spark.readStream.format("graft-snapshot")
+      .option("startingVersion", "nope").load(tbl)
+      .writeStream.option("checkpointLocation", s"$root/ck2")
+      .format("noop").start()
+    intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      bad.processAllAvailable()
+    }
+    bad.stop()
+  }
+
   test("snapshot source admission control + column pruning: maxVersionsPerBatch slices the backfill; the scan serves only projected columns") {
     import graft.sources.Snapshot
     import spark.implicits._
