@@ -689,7 +689,11 @@ object Snapshot {
     val present = spec.partitionCols.filter(df.columns.contains)
     val clustered =
       if (!cluster || present.isEmpty || present.size != spec.partitionCols.size) df
-      else df.repartition(present.map(col): _*)
+      // explicit count: AQE coalesces a bare repartition(cols) down to
+      // one partition on small batches, which would defeat the
+      // value-per-file layout the partition stats depend on
+      else df.repartition(spark.sessionState.conf.numShufflePartitions,
+        present.map(col): _*)
     // files always carry PHYSICAL names; `df` arrives logical
     val dfPhys = toPhysical(clustered, mapping)
     dfPhys.write.mode(SaveMode.ErrorIfExists).parquet(s"$dir/$rel")
@@ -714,7 +718,8 @@ object Snapshot {
     val present = spec.partitionCols.filter(df.columns.contains)
     val clustered =
       if (present.isEmpty || present.size != spec.partitionCols.size) df
-      else df.repartition(present.map(col): _*)
+      else df.repartition(spark.sessionState.conf.numShufflePartitions,
+        present.map(col): _*)
     clustered.write.mode(SaveMode.ErrorIfExists).parquet(s"$dir/$rel")
     (rel, collectEntries(spark, s"$dir/$rel", rel, clustered.schema, spec))
   }

@@ -259,7 +259,71 @@ private[sources] final class SnapshotStreamTable(tableSchema: StructType, dir: S
         pushed = filters; filters
       }
       override def pushedFilters(): Array[v1.Filter] = pushed
-      override def build(): Scan = new Scan {
+      override def build(): Scan = new Scan
+          with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering {
+        // RUNTIME file pruning (the file-level analogue of dynamic
+        // partition pruning): a join against a filtered dim hands this
+        // scan an IN(col, v…) predicate at EXECUTION time, and files
+        // whose manifest stats/blooms refute every value are dropped
+        // before any task launches. Reported attributes are the
+        // columns where file-level pruning actually bites — identity
+        // partition columns and bloom columns — so the optimizer never
+        // builds runtime-filter subqueries for columns whose stats
+        // can't prune anyway.
+        @volatile private var runtimeEntries: Option[Seq[graft.sources.Snapshot.FileEntry]] = None
+
+        private lazy val scanManifest: Snapshot.Manifest = {
+          val spark = SparkSession.active
+          val v = pinned.getOrElse(
+            SnapshotStreamProvider.resolveVersion(spark, dir, options))
+          Snapshot.readManifest(spark, dir, v)
+        }
+
+        override def filterAttributes()
+            : Array[org.apache.spark.sql.connector.expressions.NamedReference] = {
+          val m = scanManifest
+          (m.spec.partitionCols ++ m.spec.bloomCols).distinct
+            .filter(c => m.schema.fieldNames.contains(c))
+            .map(org.apache.spark.sql.connector.expressions.Expressions.column)
+            .toArray
+        }
+
+        override def filter(
+            predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate])
+            : Unit = {
+          val m = scanManifest
+          // v2 IN(col, literals…) → catalyst In over the PHYSICAL
+          // attribute (manifest stats/blooms are physical-keyed);
+          // anything unconvertible is ignored — pruning stays advisory
+          val exprs: Seq[Expression] = predicates.toSeq.flatMap { p =>
+            if (p.name() != "IN") None
+            else p.children().headOption match {
+              case Some(ref: org.apache.spark.sql.connector.expressions.NamedReference)
+                  if ref.fieldNames().length == 1 =>
+                val name = ref.fieldNames()(0)
+                m.schema.fields.find(_.name == name).flatMap { fld =>
+                  val lits = p.children().tail.flatMap {
+                    case l: org.apache.spark.sql.connector.expressions.Literal[_] =>
+                      Some(Literal(l.value, l.dataType()))
+                    case _ => None
+                  }
+                  if (lits.length == p.children().length - 1 && lits.nonEmpty)
+                    Some(CIn(AttributeReference(
+                      m.mapping.getOrElse(name, name), fld.dataType)(), lits.toSeq))
+                  else None
+                }
+              case _ => None
+            }
+          }
+          if (exprs.isEmpty) return
+          val phys = Snapshot.physicalSchema(m.schema, m.mapping)
+          val index = new SnapshotFileIndex(dir, m.files, phys, m.tsMs)
+          val keptNames = index.listFiles(Nil, exprs)
+            .flatMap(_.files.map(_.getPath.getName)).toSet
+          runtimeEntries = Some(m.files.filter(e =>
+            keptNames.contains(e.path.substring(e.path.lastIndexOf('/') + 1))))
+        }
+
         override def readSchema(): StructType = required
         override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream = {
           // data files carry PHYSICAL column names (see Snapshot's
@@ -295,11 +359,10 @@ private[sources] final class SnapshotStreamTable(tableSchema: StructType, dir: S
           new SnapshotMicroBatchStream(dir, physRequired, startVersion, skipRewrites, maxVersions)
         }
         override def toBatch(): Batch = {
-          val spark = SparkSession.active
-          val v = pinned.getOrElse(
-            SnapshotStreamProvider.resolveVersion(spark, dir, options))
-          new SnapshotBatchScan(dir, Snapshot.readManifest(spark, dir, v),
-            required, pushed)
+          // late-bound entries: BatchScanExec applies runtime filters
+          // (filter(...) above) and re-plans partitions afterwards
+          new SnapshotBatchScan(dir, scanManifest, required, pushed,
+            entriesFn = Some(() => runtimeEntries.getOrElse(scanManifest.files)))
         }
       }
     }
@@ -416,7 +479,7 @@ private[sources] final class SnapshotBatchScan(dir: String, m: Snapshot.Manifest
     val keptNames = index.listFiles(Nil, exprs)
       .flatMap(_.files.map(_.getPath.getName)).toSet
     val fs = new Path(dir).getFileSystem(s.sparkContext.hadoopConfiguration)
-    entries.toArray.collect {
+    val planned = entries.toArray.collect {
       case e if keptNames.contains(e.path.substring(e.path.lastIndexOf('/') + 1)) =>
         val abs = Snapshot.absPath(dir, e.path)
         val dvFiles: Array[(String, Long)] = e.dv.toArray.flatMap { d =>
@@ -428,6 +491,8 @@ private[sources] final class SnapshotBatchScan(dir: String, m: Snapshot.Manifest
         SnapshotBatchPartition(abs, e.bytes,
           abs.substring(abs.lastIndexOf('/') + 1), dvFiles, e.path): InputPartition
     }
+    SnapshotScanProbe.lastPlanned = planned.length
+    planned
   }
 
   override def createReaderFactory(): PartitionReaderFactory = {
@@ -455,6 +520,14 @@ private[sources] final class SnapshotBatchScan(dir: String, m: Snapshot.Manifest
 private object SnapshotBatchScan {
   val DvSchema: StructType = new StructType()
     .add("__dv_file", StringType).add("__dv_pos", LongType)
+}
+
+/** Test seam: how many input partitions (files) the most recent
+  * snapshot batch scan actually planned — the observable for runtime
+  * file pruning and stats skipping specs.
+  */
+private[graft] object SnapshotScanProbe {
+  @volatile var lastPlanned: Int = -1
 }
 
 private final case class SnapshotBatchPartition(absPath: String, bytes: Long,

@@ -1233,6 +1233,34 @@ class SnapshotSpec extends SparkSpec {
     assert(Snapshot.read(spark, dir).where(col("uid") === 999999L).count() == 0L)
   }
 
+  test("runtime FILE pruning: a join's dim-side filter prunes fact files at execution (file-level dynamic partition pruning on the DSv2 scan)") {
+    import spark.implicits._
+    import graft.sources.SnapshotScanProbe
+    val dir = tmp() + "/t"
+    // fact: identity-partitioned by day → 8 value-clustered files whose
+    // day stats are disjoint
+    val fact = (0L until 800L).map(i => (i, s"d${i % 8}", i.toDouble))
+      .toDF("id", "day", "v")
+    Snapshot.commit(spark, dir, fact,
+      spec = Some(Snapshot.TableSpec(partitionCols = Seq("day"))))
+    val total = Snapshot.filesForTest(spark, dir, 1L).size
+    assert(total >= 4, s"need a multi-file layout, got $total")
+    val ds = spark.read.format("graft-snapshot").load(dir)
+    // dim side: a REAL scan with a selective filter (a local relation
+    // would constant-fold the filter away and the planner would see no
+    // pruning filter to propagate)
+    val dimPath = tmp() + "/dim"
+    Seq(("d1", "keep"), ("d5", "keep"), ("d2", "drop"))
+      .toDF("day", "tag").write.parquet(dimPath)
+    val dim = spark.read.parquet(dimPath).where(col("tag") === "keep")
+    SnapshotScanProbe.lastPlanned = -1
+    val got = ds.join(dim, "day").agg(count(lit(1))).collect()(0).getLong(0)
+    assert(got == 200L, "join result must be exact")
+    assert(SnapshotScanProbe.lastPlanned >= 0, "probe never saw the scan")
+    assert(SnapshotScanProbe.lastPlanned < total,
+      s"runtime filter must prune files (planned ${SnapshotScanProbe.lastPlanned}/$total)")
+  }
+
   test("setTableSpec: configured statsCols replace the first-16 default; partition cols always carry stats") {
     import spark.implicits._
     val dir = tmp() + "/t"
