@@ -260,7 +260,26 @@ private[sources] final class SnapshotStreamTable(tableSchema: StructType, dir: S
       }
       override def pushedFilters(): Array[v1.Filter] = pushed
       override def build(): Scan = new Scan
-          with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering {
+          with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering
+          with org.apache.spark.sql.connector.read.SupportsReportStatistics {
+
+        /** CBO feed from the MANIFEST — zero file I/O: exact byte and
+          * LIVE-row totals of the pinned version (narrowed further
+          * when runtime filtering has already dropped files). This is
+          * what lets `graft.db.small_dim JOIN fact` BROADCAST the dim
+          * through the pure-SQL catalog path — without it a DSv2 scan
+          * reports "unknown" and Spark assumes worst-case size, so
+          * every join of catalog tables would sort-merge.
+          */
+        override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics =
+          new org.apache.spark.sql.connector.read.Statistics {
+            private val entries = runtimeEntries.getOrElse(scanManifest.files)
+            override def sizeInBytes(): java.util.OptionalLong =
+              java.util.OptionalLong.of(entries.map(_.bytes).sum)
+            override def numRows(): java.util.OptionalLong =
+              java.util.OptionalLong.of(entries.map(e =>
+                e.rows - e.dv.map(_.deleted).getOrElse(0L)).sum)
+          }
         // RUNTIME file pruning (the file-level analogue of dynamic
         // partition pruning): a join against a filtered dim hands this
         // scan an IN(col, v…) predicate at EXECUTION time, and files

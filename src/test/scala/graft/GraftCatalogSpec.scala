@@ -472,6 +472,19 @@ class GraftCatalogSpec extends SparkSpec {
     }
   }
 
+  test("catalog scans report manifest statistics: a small catalog dim BROADCASTS into a join with zero hints") {
+    warehouse
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
+    spark.sql("CREATE TABLE graft.db.dim_s AS SELECT id AS k, concat('n', id) AS name FROM range(50)")
+    spark.sql("CREATE TABLE graft.db.fact_s AS SELECT id, id % 50 AS k, CAST(id AS DOUBLE) AS v FROM range(20000)")
+    val out = spark.sql(
+      "SELECT count(*) FROM graft.db.fact_s f JOIN graft.db.dim_s d ON f.k = d.k")
+    assert(out.collect()(0).getLong(0) == 20000L)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"a 50-row catalog dim must broadcast (manifest stats feed the CBO):\n${plan.take(1500)}")
+  }
+
   test("SQL UPDATE re-validates CHECK constraints and aborts with no version on a violation") {
     warehouse
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
