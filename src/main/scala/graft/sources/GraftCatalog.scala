@@ -88,6 +88,19 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
   private def isTable(dir: String): Boolean =
     Snapshot.latestVersion(spark, dir).isDefined
 
+  /** Refuse creating a table at a path that exists as a NON-table
+    * directory (a namespace): committing would turn the namespace
+    * into a table, and a staged CTAS abort would delete it — and
+    * everything under it.
+    */
+  private def requireCreatable(ident: Identifier, dir: String): Unit = {
+    if (isTable(dir))
+      throw new TableAlreadyExistsException(ident.namespace().toSeq :+ ident.name())
+    require(!fs.exists(new Path(dir)) || fs.listStatus(new Path(dir)).isEmpty,
+      s"cannot create table at $dir: the path is an existing non-table " +
+        "directory (a namespace?)")
+  }
+
   // ---------------------------------------------------------------
   // tables
   // ---------------------------------------------------------------
@@ -181,7 +194,7 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform], properties: util.Map[String, String]): Table = {
     val dir = tableDir(ident)
-    if (isTable(dir)) throw new TableAlreadyExistsException(ident.namespace().toSeq :+ ident.name())
+    requireCreatable(ident, dir)
     // version 1 = the schema with zero rows; every later INSERT is an
     // O(batch) append version
     Snapshot.commit(spark, dir,
@@ -204,7 +217,7 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
   override def stageCreate(ident: Identifier, schema: StructType,
       partitions: Array[Transform], properties: util.Map[String, String]): StagedTable = {
     val dir = tableDir(ident)
-    if (isTable(dir)) throw new TableAlreadyExistsException(ident.namespace().toSeq :+ ident.name())
+    requireCreatable(ident, dir)
     new GraftStagedTable(ident, dir, schema,
       specFrom(schema, partitions, properties), replace = false)
   }
@@ -226,8 +239,10 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
   override def stageCreateOrReplace(ident: Identifier, schema: StructType,
       partitions: Array[Transform], properties: util.Map[String, String]): StagedTable = {
     val dir = tableDir(ident)
+    val replace = isTable(dir)
+    if (!replace) requireCreatable(ident, dir)
     new GraftStagedTable(ident, dir, schema,
-      specFrom(schema, partitions, properties), replace = isTable(dir))
+      specFrom(schema, partitions, properties), replace = replace)
   }
 
   /** SQL ALTER TABLE routed to the METADATA-ONLY column-mapping

@@ -2018,10 +2018,18 @@ object Snapshot {
       s"rename column '$from' to '$to'")
     val newMapping = (prev.mapping - from) ++
       (if (phys == to) Map.empty else Map(to -> phys))
+    // the layout/stats spec speaks LOGICAL names: it renames WITH the
+    // column (a stale name would silently stop partition clustering)
+    def ren(cs: Seq[String]) = cs.map(c => if (c == from) to else c)
+    val newSpec = prev.spec.copy(
+      partitionCols = ren(prev.spec.partitionCols),
+      statsCols = ren(prev.spec.statsCols),
+      bloomCols = ren(prev.spec.bloomCols))
     commitManifest(spark, dir, "alter", newSchema.toDDL, prev.files,
       None, None, Some(prev),
       metrics = Map("columns_renamed" -> 1L),
-      mappingOverride = Some((newMapping, prev.retired)))
+      mappingOverride = Some((newMapping, prev.retired)),
+      specOverride = Some(newSpec))
   }
 
   /** ALTER: drop a column — METADATA-ONLY. Retained files still hold
@@ -2045,6 +2053,13 @@ object Snapshot {
     val newSchema = StructType(schema.fields.filterNot(_.name == name))
     requireConstraintsResolve(spark, prev.constraints, newSchema,
       s"drop column '$name'")
+    // a column the layout/stats spec depends on cannot be dropped out
+    // from under it — same contract as constraints: change the spec
+    // first, then drop
+    require(!(prev.spec.partitionCols ++ prev.spec.statsCols ++
+        prev.spec.bloomCols).contains(name),
+      s"cannot drop column '$name' at $dir: the table spec " +
+        "(partition/stats/bloom columns) references it — setTableSpec first")
     commitManifest(spark, dir, "alter", newSchema.toDDL, prev.files,
       None, None, Some(prev),
       metrics = Map("columns_dropped" -> 1L),

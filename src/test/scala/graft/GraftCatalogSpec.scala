@@ -472,6 +472,35 @@ class GraftCatalogSpec extends SparkSpec {
     }
   }
 
+  test("creating a table at an existing namespace path is refused (a staged abort must never delete a namespace)") {
+    warehouse
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.guard")
+    spark.sql("CREATE TABLE graft.guard.inner_t (id BIGINT)")
+    // 'guard' is a namespace holding a table: both CREATE forms refuse
+    intercept[Exception] { spark.sql("CREATE TABLE graft.guard (id BIGINT)") }
+    intercept[Exception] { spark.sql("CREATE TABLE graft.guard AS SELECT 1 AS x") }
+    // the namespace and its table survived
+    assert(spark.sql("SELECT count(*) FROM graft.guard.inner_t")
+      .collect()(0).getLong(0) == 0L)
+  }
+
+  test("RENAME COLUMN renames the table spec with it; DROP of a spec column is refused") {
+    warehouse
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
+    spark.sql("CREATE TABLE graft.db.sp (id BIGINT, day STRING) PARTITIONED BY (day)")
+    val dir = s"$warehouse/db/sp"
+    spark.sql("ALTER TABLE graft.db.sp RENAME COLUMN day TO dt")
+    assert(Snapshot.tableSpecOf(spark, dir).partitionCols == Seq("dt"),
+      "the partition spec must follow the rename")
+    // clustering still applies under the new name: insert multi-day
+    // data and check the partition column still prunes
+    spark.sql("INSERT INTO graft.db.sp SELECT id, concat('d', CAST(id % 4 AS STRING)) FROM range(400)")
+    val v = Snapshot.versions(spark, dir).max
+    val kept = Snapshot.candidateFilePaths(spark, dir, v, col("dt") === lit("d2"))
+    assert(kept.size < Snapshot.statsKeysForTest(spark, dir, v).size)
+    intercept[Exception] { spark.sql("ALTER TABLE graft.db.sp DROP COLUMN dt") }
+  }
+
   test("catalog scans report manifest statistics: a small catalog dim BROADCASTS into a join with zero hints") {
     warehouse
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
