@@ -54,7 +54,8 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * formats shipped with first.
   */
 final class GraftCatalog extends TableCatalog with SupportsNamespaces
-    with StagingTableCatalog {
+    with StagingTableCatalog
+    with org.apache.spark.sql.connector.catalog.ProcedureCatalog {
 
   private var catalogName: String = _
   private var warehouse: String = _
@@ -285,6 +286,140 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
   }
 
   // ---------------------------------------------------------------
+  // stored procedures: CALL graft.system.<proc>(...)
+  // ---------------------------------------------------------------
+
+  import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
+  import org.apache.spark.sql.types.{BooleanType, LongType, StringType => SqlStringType}
+  import org.apache.spark.unsafe.types.UTF8String
+
+  /** The MAINTENANCE verbs as SQL stored procedures — the Iceberg
+    * `CALL` idiom, resolved through Spark's native ProcedureCatalog
+    * binding (named args, typed defaults, result sets):
+    *
+    * {{{
+    *   CALL graft.system.optimize(tbl => 'db.t', cluster_by => 'day')
+    *   CALL graft.system.vacuum(tbl => 'db.t', keep_last => 2)            -- DRY RUN by default
+    *   CALL graft.system.vacuum(tbl => 'db.t', dry_run => false)          -- actually deletes
+    *   CALL graft.system.create_tag(tbl => 'db.t', tag => 'golden')
+    *   CALL graft.system.restore(tbl => 'db.t', version => 3)
+    *   CALL graft.system.clone(source => 'db.t', target => 'dev.t_copy')
+    * }}}
+    *
+    * vacuum defaults to the DRY RUN (returning the reclaim report) —
+    * the one byte-deleting verb should never destroy on a bare call.
+    */
+  private def tableDirOf(tableName: String): String =
+    (warehouse +: tableName.split('.').toSeq.map(checkPart)).mkString("/")
+
+  private def proc(pname: String, params: Seq[ProcedureParameter])(
+      run: InternalRow => (StructType, Seq[Seq[Any]])): UnboundProcedure =
+    new UnboundProcedure {
+      override def name(): String = pname
+      override def description(): String = s"graft maintenance procedure $pname"
+      override def bind(inputType: StructType): BoundProcedure = new BoundProcedure {
+        override def name(): String = pname
+        override def description(): String = s"graft maintenance procedure $pname"
+        override def parameters(): Array[ProcedureParameter] = params.toArray
+        override def isDeterministic: Boolean = false
+        override def call(input: InternalRow): java.util.Iterator[Scan] = {
+          val (schema, out) = run(input)
+          val scan: Scan = new LocalScan {
+            override def readSchema(): StructType = schema
+            override def rows(): Array[InternalRow] = out.map(vs =>
+              new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+                vs.toArray): InternalRow).toArray
+          }
+          java.util.Collections.singletonList(scan).iterator()
+        }
+      }
+    }
+
+  private def in(n: String, dt: org.apache.spark.sql.types.DataType,
+      default: Option[String] = None): ProcedureParameter = {
+    val b = ProcedureParameter.in(n, dt)
+    default.foreach(b.defaultValue)
+    b.build()
+  }
+
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    if (namespace.sameElements(Array("system")))
+      GraftCatalog.ProcedureNames.map(n => Identifier.of(Array("system"), n)).toArray
+    else Array.empty
+
+  override def loadProcedure(ident: Identifier): UnboundProcedure = {
+    require(ident.namespace().sameElements(Array("system")),
+      s"graft procedures live under 'system': CALL $catalogName.system.<name>(...)")
+    ident.name() match {
+      case "optimize" => proc("optimize", Seq(
+          in("tbl", SqlStringType),
+          in("target_bytes", LongType, Some("134217728")),
+          in("small_bytes", LongType, Some("33554432")),
+          in("cluster_by", SqlStringType, Some("''")),
+          in("min_files", LongType, Some("2")))) { input =>
+        val dir = tableDirOf(input.getUTF8String(0).toString)
+        val clusterBy = input.getUTF8String(3).toString
+          .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+        val v = Snapshot.optimize(spark, dir,
+          targetBytes = input.getLong(1), smallBytes = input.getLong(2),
+          clusterBy = clusterBy, minFiles = input.getLong(4).toInt)
+        (StructType.fromDDL("version BIGINT"),
+          Seq(Seq(v.map(java.lang.Long.valueOf).orNull)))
+      }
+      case "vacuum" => proc("vacuum", Seq(
+          in("tbl", SqlStringType),
+          in("keep_last", LongType, Some("2")),
+          in("dry_run", BooleanType, Some("true")))) { input =>
+        val dir = tableDirOf(input.getUTF8String(0).toString)
+        val keepLast = input.getLong(1).toInt
+        if (input.getBoolean(2)) {
+          val rep = Snapshot.vacuumReport(spark, dir, keepLast).collect()
+          (StructType.fromDDL("version BIGINT, op STRING, kept BOOLEAN, " +
+              "reclaimable_files BIGINT, reclaimable_bytes BIGINT"),
+            rep.toSeq.map(r => Seq[Any](r.getLong(0),
+              UTF8String.fromString(r.getString(1)), r.getBoolean(2),
+              r.getLong(3), r.getLong(4))))
+        } else {
+          val n = Snapshot.vacuum(spark, dir, keepLast)
+          (StructType.fromDDL("deleted_files BIGINT"), Seq(Seq(n.toLong)))
+        }
+      }
+      case "create_tag" => proc("create_tag", Seq(
+          in("tbl", SqlStringType),
+          in("tag", SqlStringType),
+          in("version", LongType, Some("CAST(NULL AS BIGINT)")))) { input =>
+        val dir = tableDirOf(input.getUTF8String(0).toString)
+        val ver = if (input.isNullAt(2)) None else Some(input.getLong(2))
+        val v = Snapshot.createTag(spark, dir, input.getUTF8String(1).toString, ver)
+        (StructType.fromDDL("version BIGINT"), Seq(Seq(v)))
+      }
+      case "delete_tag" => proc("delete_tag", Seq(
+          in("tbl", SqlStringType), in("tag", SqlStringType))) { input =>
+        val dir = tableDirOf(input.getUTF8String(0).toString)
+        val deleted = Snapshot.deleteTag(spark, dir, input.getUTF8String(1).toString)
+        (StructType.fromDDL("deleted BOOLEAN"), Seq(Seq(deleted)))
+      }
+      case "restore" => proc("restore", Seq(
+          in("tbl", SqlStringType), in("version", LongType))) { input =>
+        val dir = tableDirOf(input.getUTF8String(0).toString)
+        val nv = Snapshot.restore(spark, dir, input.getLong(1))
+        (StructType.fromDDL("restored_to BIGINT, new_version BIGINT"),
+          Seq(Seq(input.getLong(1), nv)))
+      }
+      case "clone" => proc("clone", Seq(
+          in("source", SqlStringType), in("target", SqlStringType))) { input =>
+        val v = Snapshot.cloneShallow(spark,
+          tableDirOf(input.getUTF8String(0).toString),
+          tableDirOf(input.getUTF8String(1).toString))
+        (StructType.fromDDL("version BIGINT"), Seq(Seq(v)))
+      }
+      case other => throw new IllegalArgumentException(
+        s"unknown graft procedure '$other' — available: " +
+          GraftCatalog.ProcedureNames.mkString(", "))
+    }
+  }
+
+  // ---------------------------------------------------------------
   // namespaces (directories)
   // ---------------------------------------------------------------
 
@@ -330,6 +465,11 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
       fs.delete(d, true)
     }
   }
+}
+
+private[sources] object GraftCatalog {
+  val ProcedureNames: Seq[String] =
+    Seq("optimize", "vacuum", "create_tag", "delete_tag", "restore", "clone")
 }
 
 /** The staged CTAS/RTAS table: collects the SELECT's rows as staged

@@ -501,6 +501,54 @@ class GraftCatalogSpec extends SparkSpec {
     intercept[Exception] { spark.sql("ALTER TABLE graft.db.sp DROP COLUMN dt") }
   }
 
+  test("stored procedures: CALL graft.system.{optimize, vacuum, create_tag, restore, clone} drive maintenance through pure SQL") {
+    warehouse
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
+    spark.sql("CREATE TABLE graft.db.pc (id BIGINT, v DOUBLE)")
+    (1 to 4).foreach(i =>
+      spark.sql(s"INSERT INTO graft.db.pc VALUES ($i, $i.5)")) // v2..v5: small files
+    val dir = s"$warehouse/db/pc"
+
+    // optimize folds the ingest tail, returns the minted version
+    val ov = spark.sql(
+      "CALL graft.system.optimize(tbl => 'db.pc', small_bytes => 1000000)")
+      .collect()(0).getLong(0)
+    assert(ov == 6L)
+    assert(spark.sql("SELECT count(*) FROM graft.db.pc").collect()(0).getLong(0) == 4L)
+
+    // create_tag pins the optimized state by name; VERSION AS OF reads it
+    assert(spark.sql("CALL graft.system.create_tag(tbl => 'db.pc', tag => 'opt')")
+      .collect()(0).getLong(0) == 6L)
+    spark.sql("INSERT OVERWRITE graft.db.pc VALUES (99, 0.0)") // v7 restates
+    assert(spark.sql("SELECT count(*) FROM graft.db.pc VERSION AS OF 'opt'")
+      .collect()(0).getLong(0) == 4L)
+
+    // restore rolls back metadata-only
+    val rr = spark.sql("CALL graft.system.restore(tbl => 'db.pc', version => 6)").collect()(0)
+    assert(rr.getLong(0) == 6L && rr.getLong(1) == 8L)
+    assert(spark.sql("SELECT count(*) FROM graft.db.pc").collect()(0).getLong(0) == 4L)
+
+    // vacuum DRY RUN by default: returns the report, deletes nothing
+    val rep = spark.sql("CALL graft.system.vacuum(tbl => 'db.pc', keep_last => 1)")
+    assert(rep.columns.toSeq ==
+      Seq("version", "op", "kept", "reclaimable_files", "reclaimable_bytes"))
+    val before = Snapshot.versions(spark, dir)
+    assert(rep.count() == before.size.toLong)
+    assert(Snapshot.versions(spark, dir) == before, "dry run must not delete")
+    // the destructive form needs the explicit flag — tag + last survive
+    spark.sql("CALL graft.system.vacuum(tbl => 'db.pc', keep_last => 1, dry_run => false)")
+    assert(Snapshot.versions(spark, dir) == Seq(6L, 8L),
+      "vacuum keeps the tagged version and the head")
+
+    // clone: zero-copy dev table
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.dev")
+    assert(spark.sql("CALL graft.system.clone(source => 'db.pc', target => 'dev.pc_copy')")
+      .collect()(0).getLong(0) == 1L)
+    assert(spark.sql("SELECT count(*) FROM graft.dev.pc_copy").collect()(0).getLong(0) == 4L)
+    // unknown procedure fails loudly
+    intercept[Exception] { spark.sql("CALL graft.system.nope()") }
+  }
+
   test("catalog scans report manifest statistics: a small catalog dim BROADCASTS into a join with zero hints") {
     warehouse
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
