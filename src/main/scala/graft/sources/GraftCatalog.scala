@@ -127,9 +127,12 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
         // driver-local scan (one manifest-sized read per version, zero
         // data I/O)
         val ns = ident.namespace()
-        if (ident.name() == "history" && ns.nonEmpty) {
+        if ((ident.name() == "history" || ident.name() == "files") && ns.nonEmpty) {
           val parent = (warehouse +: ns.toSeq.map(checkPart)).mkString("/")
-          if (isTable(parent)) return new SnapshotHistoryTable(parent)
+          if (isTable(parent)) return {
+            if (ident.name() == "history") new SnapshotHistoryTable(parent)
+            else new SnapshotFilesTable(parent)
+          }
         }
         throw new NoSuchTableException(ident)
     }
@@ -526,6 +529,56 @@ private[sources] final class GraftStagedTable(ident: Identifier, dir: String,
     if (!replace) f.delete(new Path(dir), true) // CREATE aborts to NO table
     else staged.foreach { case (rel, _) => Snapshot.discardStaged(spark, dir, rel) }
   }
+}
+
+/** `files` metadata table: the LATEST version's file inventory —
+  * `SELECT * FROM graft.db.t.files` — path, size, physical/live rows,
+  * dv state, and the per-file min/max of every stats column as a
+  * sorted-key JSON string; driver-local from the manifest, zero data
+  * I/O. The debugging/ops surface behind every skipping question
+  * ("why didn't my predicate prune?" — look at the ranges).
+  */
+private[sources] final class SnapshotFilesTable(dir: String)
+    extends Table with SupportsRead {
+
+  private def spark = SparkSession.active
+
+  private val filesSchema: StructType = StructType.fromDDL(
+    "path STRING, bytes BIGINT, rows BIGINT, live_rows BIGINT, " +
+      "has_dv BOOLEAN, stats STRING")
+
+  override def name(): String = s"graft-files `$dir`"
+  override def schema(): StructType = filesSchema
+  override def capabilities(): util.Set[TableCapability] =
+    Set(TableCapability.BATCH_READ).asJava
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan = new LocalScan {
+        override def readSchema(): StructType = filesSchema
+        override def rows(): Array[InternalRow] = {
+          import org.apache.spark.unsafe.types.UTF8String
+          val s = spark
+          val v = Snapshot.latestVersion(s, dir).getOrElse(
+            throw new IllegalStateException(s"no committed version at $dir"))
+          Snapshot.readManifest(s, dir, v).files.map { e =>
+            val stats = e.stats.toSeq.sortBy(_._1).map { case (c, cs) =>
+              s""""$c":{"min":${cs.min.map(m => s""""$m"""").getOrElse("null")},""" +
+                s""""max":${cs.max.map(m => s""""$m"""").getOrElse("null")},""" +
+                s""""nulls":${cs.nulls}}"""
+            }.mkString("{", ",", "}")
+            new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+              Array[Any](
+                UTF8String.fromString(e.path),
+                e.bytes,
+                e.rows,
+                e.rows - e.dv.map(_.deleted).getOrElse(0L),
+                e.dv.isDefined,
+                UTF8String.fromString(stats)))
+          }.toArray
+        }
+      }
+    }
 }
 
 /** Iceberg-style `history` metadata table: the commit log of a

@@ -453,6 +453,18 @@ class GraftCatalogSpec extends SparkSpec {
     val met = spark.sql("SELECT metrics FROM graft.db.h.history WHERE version = 4")
       .collect()(0).getString(0)
     assert(met.contains("\"rows_deleted\":1"))
+    // the files metadata table: per-file inventory, dv-aware live rows
+    // (the deleted row's file either dropped whole — metadata-only —
+    // or carries a dv; both shapes must reconcile to 2 live rows)
+    val files = spark.sql(
+      "SELECT bytes > 0, rows, live_rows, has_dv FROM graft.db.h.files")
+      .collect().map(r => (r.getBoolean(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    assert(files.forall(_._1), "every file must report bytes")
+    assert(files.map(_._3).sum == 2L, "live rows must exclude the deleted one")
+    assert(files.map(_._2).sum - files.map(_._3).sum == files.count(_._4).toLong,
+      "physical minus live must equal the dv-masked rows")
+    val st = spark.sql("SELECT stats FROM graft.db.h.files LIMIT 1").collect()(0).getString(0)
+    assert(st.contains("\"id\":{\"min\":"), s"stats JSON must carry ranges: $st")
     // a history request for a non-table still fails loudly
     intercept[Exception] { spark.sql("SELECT * FROM graft.db.nope.history").collect() }
   }
