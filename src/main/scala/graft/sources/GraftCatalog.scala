@@ -525,9 +525,16 @@ private[sources] final class GraftStagedTable(ident: Identifier, dir: String,
   }
 
   override def abortStagedChanges(): Unit = {
-    val f = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!replace) f.delete(new Path(dir), true) // CREATE aborts to NO table
-    else staged.foreach { case (rel, _) => Snapshot.discardStaged(spark, dir, rel) }
+    val s = spark
+    // always drop OUR staged bytes
+    staged.foreach { case (rel, _) => Snapshot.discardStaged(s, dir, rel) }
+    // a CREATE aborts to NO table — but only when no committed table
+    // sits at the path: if a RACING CTAS won version 1 while we staged,
+    // deleting the directory would destroy the winner's table
+    if (!replace && Snapshot.latestVersion(s, dir).isEmpty) {
+      val f = new Path(dir).getFileSystem(s.sparkContext.hadoopConfiguration)
+      f.delete(new Path(dir), true)
+    }
   }
 }
 

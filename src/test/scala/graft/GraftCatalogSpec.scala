@@ -383,6 +383,24 @@ class GraftCatalogSpec extends SparkSpec {
       .map(_.getString(1)).contains("broken"))
   }
 
+  test("a CTAS losing the v1 publish race aborts WITHOUT destroying the winner's table") {
+    warehouse
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
+    val dir = s"$warehouse/db/race_ctas"
+    // the racing winner lands v1 inside the loser's publish window
+    Snapshot.raceForTest = () => {
+      import spark.implicits._
+      Snapshot.commit(spark, dir, Seq((1L, "winner")).toDF("id", "who"))
+    }
+    intercept[Exception] {
+      spark.sql("CREATE TABLE graft.db.race_ctas AS SELECT 2 AS id, 'loser' AS who")
+    }
+    // the winner's table survived the loser's abort
+    assert(Snapshot.versions(spark, dir) == Seq(1L),
+      "the loser's abort must not delete the winner's table")
+    assert(spark.sql("SELECT who FROM graft.db.race_ctas").collect()(0).getString(0) == "winner")
+  }
+
   test("REPLACE TABLE AS SELECT publishes ONE replace version; the old definition time-travels; a failed RTAS leaves the table untouched") {
     warehouse
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
