@@ -1326,6 +1326,107 @@ class SnapshotSpec extends SparkSpec {
     assert(Snapshot.vacuum(spark, dir, keepLast = 1) == 4)
   }
 
+  test("MODEL-BASED randomized op sequence: 30 mixed commits (append/upsert/CoW+MoR update/dv delete/replaceWhere/optimize/compact/restore) read back exactly the reference model at EVERY version") {
+    import spark.implicits._
+    val dir = tmp() + "/t"
+    val rnd = new scala.util.Random(42) // deterministic: no flakes
+    // the reference model: id → score, snapshotted per committed version
+    var model = Map.empty[Long, Double]
+    var history = Vector.empty[Map[Long, Double]] // history(v-1) = state at v
+    var nextId = 0L
+    def freshRows(n: Int): Seq[(Long, Double)] =
+      (0 until n).map { _ => nextId += 1; (nextId, rnd.nextInt(1000).toDouble) }
+    def df(rows: Seq[(Long, Double)]) = rows.toDF("id", "score")
+    def readState(v: Long): Map[Long, Double] =
+      Snapshot.readVersion(spark, dir, v).collect()
+        .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+
+    Snapshot.commit(spark, dir, df(freshRows(8)))
+    model = readState(1L)
+    history :+= model
+
+    (1 to 30).foreach { step =>
+      rnd.nextInt(8) match {
+        case 0 => // append
+          val rows = freshRows(1 + rnd.nextInt(4))
+          Snapshot.append(spark, dir, df(rows))
+          model ++= rows.toMap
+          history :+= model
+        case 1 => // upsert: update some existing + insert new
+          val existing = rnd.shuffle(model.keys.toSeq).take(rnd.nextInt(3))
+            .map(k => (k, rnd.nextInt(1000).toDouble))
+          val rows = existing ++ freshRows(rnd.nextInt(2))
+          if (rows.nonEmpty) {
+            Snapshot.upsert(spark, dir, df(rows), Seq("id"))
+            model ++= rows.toMap
+            history :+= model
+          }
+        case 2 => // merge-on-read delete of an id range
+          val lo = 1L + rnd.nextInt(nextId.toInt).toLong
+          val hi = lo + rnd.nextInt(5)
+          val v = Snapshot.deleteWhere(spark, dir,
+            col("id") >= lo && col("id") <= hi)
+          if (v.isDefined) {
+            model = model.filterNot { case (k, _) => k >= lo && k <= hi }
+            history :+= model
+          }
+        case 3 => // copy-on-write UPDATE
+          val lo = 1L + rnd.nextInt(nextId.toInt).toLong
+          val v = Snapshot.updateWhere(spark, dir,
+            col("id") >= lo && col("id") <= lo + 3, Map("score" -> lit(-1.0)))
+          if (v.isDefined) {
+            model = model.map { case (k, s) =>
+              k -> (if (k >= lo && k <= lo + 3) -1.0 else s) }
+            history :+= model
+          }
+        case 4 => // merge-on-read UPDATE
+          val lo = 1L + rnd.nextInt(nextId.toInt).toLong
+          val v = Snapshot.updateWhereMor(spark, dir,
+            col("id") >= lo && col("id") <= lo + 2, Map("score" -> lit(-2.0)))
+          if (v.isDefined) {
+            model = model.map { case (k, s) =>
+              k -> (if (k >= lo && k <= lo + 2) -2.0 else s) }
+            history :+= model
+          }
+        case 5 => // replaceWhere an id range with fresh content
+          val lo = 1L + rnd.nextInt(nextId.toInt).toLong
+          val hi = lo + rnd.nextInt(4)
+          val repl = (lo to hi).filter(_ => rnd.nextBoolean())
+            .map(k => (k, 7777.0))
+          val v = Snapshot.replaceWhere(spark, dir,
+            col("id") >= lo && col("id") <= hi, df(repl))
+          if (v.isDefined) {
+            model = model.filterNot { case (k, _) => k >= lo && k <= hi } ++
+              repl.toMap
+            history :+= model
+          }
+        case 6 => // maintenance: optimize or compact (state-invariant)
+          if (rnd.nextBoolean()) {
+            if (Snapshot.optimize(spark, dir, smallBytes = Long.MaxValue)
+              .isDefined) history :+= model
+          } else {
+            Snapshot.compact(spark, dir)
+            history :+= model
+          }
+        case 7 => // restore to a random retained version
+          val target = 1L + rnd.nextInt(history.size).toLong
+          Snapshot.restore(spark, dir, target)
+          model = history((target - 1L).toInt)
+          history :+= model
+      }
+      val latest = Snapshot.latestVersion(spark, dir).get
+      assert(latest == history.size.toLong,
+        s"step $step: version drift (latest=$latest, model history=${history.size})")
+      assert(readState(latest) == model,
+        s"step $step: live state diverged from the model")
+    }
+    // EVERY retained version still reads back its exact era
+    (1L to history.size.toLong).foreach { v =>
+      assert(readState(v) == history((v - 1L).toInt),
+        s"time travel to v$v diverged from the recorded model")
+    }
+  }
+
   test("replaceWhere exact no-op (empty data, no matches) mints NO version — cron-safe convergence") {
     import spark.implicits._
     val dir = tmp() + "/t"
