@@ -74,6 +74,14 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
 
   override def name(): String = catalogName
 
+  /** Opt in to SQL `ALTER TABLE … ADD/DROP CONSTRAINT` — the analyzer
+    * refuses constraint DDL for catalogs that don't declare it.
+    */
+  override def capabilities(): java.util.Set[
+      org.apache.spark.sql.connector.catalog.TableCatalogCapability] =
+    Set(org.apache.spark.sql.connector.catalog.TableCatalogCapability
+      .SUPPORT_TABLE_CONSTRAINT).asJava
+
   private def checkPart(p: String): String = {
     require(p.nonEmpty && !p.contains("/") && !p.startsWith("_") && !p.startsWith("."),
       s"illegal catalog name part '$p'")
@@ -207,6 +215,25 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
     new SnapshotStreamTable(schema, dir)
   }
 
+  /** CREATE TABLE with INLINE constraints (`CREATE TABLE t (…,
+    * CONSTRAINT c CHECK (…))`): the TableCatalog default silently
+    * DROPS TableInfo.constraints before delegating — override so a
+    * declared constraint is either enforced or refused, never lost.
+    */
+  override def createTable(ident: Identifier,
+      info: org.apache.spark.sql.connector.catalog.TableInfo): Table = {
+    val table = createTable(ident, info.schema(), info.partitions(), info.properties())
+    info.constraints().foreach {
+      case ck: org.apache.spark.sql.connector.catalog.constraints.Check =>
+        Snapshot.addConstraint(spark, tableDir(ident), ck.name(), ck.predicateSql())
+      case other =>
+        dropTable(ident) // never leave a half-created table behind a refusal
+        throw new UnsupportedOperationException(
+          s"graft tables support CHECK constraints only, got $other")
+    }
+    table
+  }
+
   // ---------------------------------------------------------------
   // atomic CTAS / RTAS (StagingTableCatalog)
   // ---------------------------------------------------------------
@@ -265,9 +292,23 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
       case c: TableChange.AddColumn =>
         require(c.fieldNames().length == 1, "nested column add is not supported")
         Snapshot.addColumn(spark, dir, c.fieldNames()(0), c.dataType().sql)
+      // ALTER TABLE t ADD CONSTRAINT name CHECK (...) — routed to the
+      // snapshot layer's versioned CHECK machinery: existing rows
+      // validated once up front, every later commit gated O(commit)
+      case c: TableChange.AddConstraint => c.constraint() match {
+        case ck: org.apache.spark.sql.connector.catalog.constraints.Check =>
+          Snapshot.addConstraint(spark, dir, ck.name(), ck.predicateSql())
+        case other => throw new UnsupportedOperationException(
+          s"graft tables support CHECK constraints only, got $other")
+      }
+      case c: TableChange.DropConstraint =>
+        if (!c.ifExists() ||
+            Snapshot.constraintsOf(spark, dir).contains(c.name()))
+          Snapshot.dropConstraint(spark, dir, c.name())
       case other => throw new UnsupportedOperationException(
         s"graft catalog cannot apply $other — supported ALTERs: " +
-          "RENAME COLUMN, DROP COLUMN, ADD COLUMN (all metadata-only)")
+          "RENAME COLUMN, DROP COLUMN, ADD COLUMN, ADD/DROP CONSTRAINT " +
+          "(all metadata-only)")
     }
     loadTable(ident)
   }

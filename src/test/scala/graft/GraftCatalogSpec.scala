@@ -592,6 +592,36 @@ class GraftCatalogSpec extends SparkSpec {
       s"a 50-row catalog dim must broadcast (manifest stats feed the CBO):\n${plan.take(1500)}")
   }
 
+  test("ALTER TABLE ADD/DROP CONSTRAINT routes SQL CHECK constraints to the versioned gate") {
+    warehouse
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
+    spark.sql("CREATE TABLE graft.db.ck (id BIGINT, bal DOUBLE)")
+    spark.sql("INSERT INTO graft.db.ck VALUES (1, 10.0)")
+    spark.sql("ALTER TABLE graft.db.ck ADD CONSTRAINT bal_pos CHECK (bal > 0)")
+    val dir = s"$warehouse/db/ck"
+    assert(Snapshot.constraintsOf(spark, dir).contains("bal_pos"))
+    // the gate holds: a violating INSERT aborts with no version
+    val before = Snapshot.versions(spark, dir).max
+    intercept[Exception] { spark.sql("INSERT INTO graft.db.ck VALUES (2, -5.0)") }
+    assert(Snapshot.versions(spark, dir).max == before)
+    // adding a constraint existing rows violate is refused
+    intercept[Exception] {
+      spark.sql("ALTER TABLE graft.db.ck ADD CONSTRAINT big CHECK (bal > 100)")
+    }
+    // drop releases the gate
+    spark.sql("ALTER TABLE graft.db.ck DROP CONSTRAINT bal_pos")
+    assert(Snapshot.constraintsOf(spark, dir).isEmpty)
+    spark.sql("INSERT INTO graft.db.ck VALUES (2, -5.0)")
+    assert(spark.sql("SELECT count(*) FROM graft.db.ck").collect()(0).getLong(0) == 2L)
+    // INLINE constraint at CREATE TABLE: enforced, never silently lost
+    spark.sql("CREATE TABLE graft.db.ck2 (id BIGINT, q BIGINT, " +
+      "CONSTRAINT q_pos CHECK (q >= 0))")
+    assert(Snapshot.constraintsOf(spark, s"$warehouse/db/ck2").contains("q_pos"))
+    intercept[Exception] { spark.sql("INSERT INTO graft.db.ck2 VALUES (1, -1)") }
+    spark.sql("INSERT INTO graft.db.ck2 VALUES (1, 1)")
+    assert(spark.sql("SELECT count(*) FROM graft.db.ck2").collect()(0).getLong(0) == 1L)
+  }
+
   test("SQL UPDATE re-validates CHECK constraints and aborts with no version on a violation") {
     warehouse
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
