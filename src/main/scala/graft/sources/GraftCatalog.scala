@@ -457,6 +457,19 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
           tableDirOf(input.getUTF8String(1).toString))
         (StructType.fromDDL("version BIGINT"), Seq(Seq(v)))
       }
+      case "set_spec" => proc("set_spec", Seq(
+          in("tbl", SqlStringType),
+          in("partition_cols", SqlStringType, Some("''")),
+          in("stats_cols", SqlStringType, Some("''")),
+          in("bloom_cols", SqlStringType, Some("''")),
+          in("bloom_bits", LongType, Some(Snapshot.DefaultBloomBits.toString)))) { input =>
+        def csv(i: Int): Seq[String] = input.getUTF8String(i).toString
+          .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+        val v = Snapshot.setTableSpec(spark,
+          tableDirOf(input.getUTF8String(0).toString),
+          Snapshot.TableSpec(csv(1), csv(2), csv(3), input.getLong(4).toInt))
+        (StructType.fromDDL("version BIGINT"), Seq(Seq(v)))
+      }
       case other => throw new IllegalArgumentException(
         s"unknown graft procedure '$other' — available: " +
           GraftCatalog.ProcedureNames.mkString(", "))
@@ -513,7 +526,8 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
 
 private[sources] object GraftCatalog {
   val ProcedureNames: Seq[String] =
-    Seq("optimize", "vacuum", "create_tag", "delete_tag", "restore", "clone")
+    Seq("optimize", "vacuum", "create_tag", "delete_tag", "restore", "clone",
+      "set_spec")
 }
 
 /** The staged CTAS/RTAS table: collects the SELECT's rows as staged

@@ -575,6 +575,13 @@ class GraftCatalogSpec extends SparkSpec {
     assert(spark.sql("CALL graft.system.clone(source => 'db.pc', target => 'dev.pc_copy')")
       .collect()(0).getLong(0) == 1L)
     assert(spark.sql("SELECT count(*) FROM graft.dev.pc_copy").collect()(0).getLong(0) == 4L)
+    // set_spec: layout/stats config through SQL, metadata-only
+    spark.sql("CALL graft.system.set_spec(tbl => 'db.pc', " +
+      "bloom_cols => 'id', bloom_bits => 65536)")
+    assert(Snapshot.tableSpecOf(spark, dir).bloomCols == Seq("id"))
+    intercept[Exception] {
+      spark.sql("CALL graft.system.set_spec(tbl => 'db.pc', stats_cols => 'nope')")
+    }
     // unknown procedure fails loudly
     intercept[Exception] { spark.sql("CALL graft.system.nope()") }
   }
