@@ -94,14 +94,23 @@ private object SnapshotStreamProvider {
     p
   }
 
-  /** The version a BATCH read resolves to: `versionAsOf` wins, then
-    * `timestampAsOf` (epoch millis, binary-searched over the monotone
-    * commit timestamps), else latest. Streaming ignores both (its
-    * offsets ARE versions).
+  /** The version a BATCH read resolves to: `versionAsOf` wins (a
+    * numeric snapshot version, or a TAG name resolved through the
+    * table's named refs — symmetric with the catalog's `VERSION AS OF
+    * '<tag>'` and the stream's `startingVersion`), then `timestampAsOf`
+    * (epoch millis, binary-searched over the monotone commit
+    * timestamps), else latest. Streaming ignores both (its offsets ARE
+    * versions).
     */
   def resolveVersion(spark: SparkSession, dir: String,
       options: CaseInsensitiveStringMap): Long = {
-    val byVersion = Option(options.get("versionAsOf")).map(_.toLong)
+    val byVersion = Option(options.get("versionAsOf")).map {
+      case v if v.nonEmpty && v.forall(_.isDigit) => v.toLong
+      case tag => Snapshot.tags(spark, dir).getOrElse(tag,
+        throw new IllegalArgumentException(
+          s"graft-snapshot: versionAsOf '$tag' is neither a numeric " +
+            s"version nor a tag at $dir"))
+    }
     val byTs = Option(options.get("timestampAsOf"))
       .map(ts => Snapshot.versionAtOrBefore(spark, dir, ts.toLong))
     byVersion.orElse(byTs).getOrElse(

@@ -838,6 +838,14 @@ class SnapshotSpec extends SparkSpec {
     val v1 = spark.read.format("graft-snapshot").option("versionAsOf", "1").load(dir)
     assert(v1.columns.toSeq == Seq("id", "name", "score"))
     assert(v1.count() == 100L)
+    // versionAsOf also resolves TAG names, symmetric with the catalog
+    Snapshot.createTag(spark, dir, "era1", Some(1L))
+    val byTag = spark.read.format("graft-snapshot")
+      .option("versionAsOf", "era1").load(dir)
+    assert(byTag.count() == 100L && byTag.columns.toSeq == Seq("id", "name", "score"))
+    intercept[Exception] {
+      spark.read.format("graft-snapshot").option("versionAsOf", "nope").load(dir)
+    }
     // timestampAsOf at v1's commit time resolves to v1
     val byTs = spark.read.format("graft-snapshot")
       .option("timestampAsOf", t1.toString).load(dir)
