@@ -125,6 +125,25 @@ object Bench {
       (frozen.get(name).filter(_ >= PlausibleFloor).toSeq ++ merged.get(name).toSeq)
         .reduceOption((a, b) => math.min(a, b))
 
+    // Adjudicated noise bands (optional BENCH_NOISE.json, same flat
+    // "queries" shape). The merged-minima ratchet keeps all-time-best
+    // floors forever, so a floor set in an exceptionally fast host
+    // window re-flags EVERY subsequent run (q224_durbin_watson fired
+    // in r11, r12, and the r12 driver run, each time re-adjudicated as
+    // the same ratchet). A PLANS-adjudicated line gets a band here: the
+    // regression guard compares against max(floor, band), so the WARN
+    // threshold reflects the quiet-host re-measure, not the one-off
+    // best. Bands NEVER enter the written detail — minima stay true —
+    // and only silence the specific adjudicated lines (each band cites
+    // its PLANS note).
+    val noise = {
+      val f = new java.io.File("BENCH_NOISE.json")
+      if (f.exists()) {
+        val src = scala.io.Source.fromFile(f)
+        try parseFlatNumbers(src.mkString) finally src.close()
+      } else Map.empty[String, Double]
+    }
+
     // Pre-materialize the memoized spread tables (count() forces the
     // repartition+persist in Tables.apply) BEFORE any query runs, so
     // the one-time spread cost can never land inside a measured (or
@@ -207,7 +226,7 @@ object Bench {
     // the baseline are eligible.
     def regsVs(base: Map[String, Double], tag: String) = {
       val rs = results.flatMap { case (name, secs) =>
-        base.get(name).collect {
+        base.get(name).map(p => math.max(p, noise.getOrElse(name, 0.0))).collect {
           case p if p > 0.2 && secs > p * 1.5 => (name, p, secs)
         }
       }
