@@ -195,12 +195,23 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
       s"PARTITIONED BY names unknown column(s): ${unknownPart.mkString(", ")}")
     def csv(key: String): Seq[String] = Option(properties.get(key))
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
-    Snapshot.TableSpec(
+    val spec = Snapshot.TableSpec(
       partitionCols = partCols,
       statsCols = csv("graft.stats_cols"),
       bloomCols = csv("graft.bloom_cols"),
       bloomBits = Option(properties.get("graft.bloom_bits")).map(_.toInt)
         .getOrElse(Snapshot.DefaultBloomBits))
+    // mirror setTableSpec's validation: a typo'd stats/bloom column at
+    // DDL time must fail THERE (silently ignoring it means the user
+    // believes blooms exist while nothing prunes), and a degenerate
+    // bloom_bits must not pass DDL only to throw ArithmeticException
+    // at the first INSERT's bit-position modulo
+    val unknownStat = (spec.statsCols ++ spec.bloomCols)
+      .filterNot(schema.fieldNames.contains).distinct
+    require(unknownStat.isEmpty,
+      s"graft.stats_cols/graft.bloom_cols name unknown column(s): ${unknownStat.mkString(", ")}")
+    require(spec.bloomBits >= 64, s"graft.bloom_bits too small: ${spec.bloomBits} (need >= 64)")
+    spec
   }
 
   override def createTable(ident: Identifier, schema: StructType,
@@ -584,11 +595,24 @@ private[sources] final class GraftStagedTable(ident: Identifier, dir: String,
     // always drop OUR staged bytes
     staged.foreach { case (rel, _) => Snapshot.discardStaged(s, dir, rel) }
     // a CREATE aborts to NO table — but only when no committed table
-    // sits at the path: if a RACING CTAS won version 1 while we staged,
-    // deleting the directory would destroy the winner's table
+    // sits at the path AND nothing else lives there: if a RACING CTAS
+    // won version 1 while we staged, deleting the directory would
+    // destroy the winner's table, and if a racing CTAS is still
+    // STAGING (no committed version yet either), a recursive delete
+    // would silently remove its staged data files — its later publish
+    // would then succeed (manifest publish never re-verifies file
+    // existence) and produce a v1 manifest referencing deleted
+    // parquet: a corrupt table. So the abort removes only what is
+    // provably debris: directory trees holding NO files (our own
+    // discardStaged above already emptied our commit dir).
     if (!replace && Snapshot.latestVersion(s, dir).isEmpty) {
       val f = new Path(dir).getFileSystem(s.sparkContext.hadoopConfiguration)
-      f.delete(new Path(dir), true)
+      def fileless(p: Path): Boolean = {
+        val ls = f.listStatus(p)
+        ls.forall(st => st.isDirectory && fileless(st.getPath))
+      }
+      val root = new Path(dir)
+      if (f.exists(root) && fileless(root)) f.delete(root, true)
     }
   }
 }
@@ -623,11 +647,17 @@ private[sources] final class SnapshotFilesTable(dir: String)
           val s = spark
           val v = Snapshot.latestVersion(s, dir).getOrElse(
             throw new IllegalStateException(s"no committed version at $dir"))
+          // min/max are user data (string column values can hold quotes,
+          // backslashes, control chars) — render through the JSON
+          // library, never by concatenation, or the stats column emits
+          // malformed JSON for exactly the values worth inspecting
+          def jstr(x: String): String = org.json4s.jackson.JsonMethods.compact(
+            org.json4s.jackson.JsonMethods.render(org.json4s.JString(x)))
           Snapshot.readManifest(s, dir, v).files.map { e =>
             val stats = e.stats.toSeq.sortBy(_._1).map { case (c, cs) =>
-              s""""$c":{"min":${cs.min.map(m => s""""$m"""").getOrElse("null")},""" +
-                s""""max":${cs.max.map(m => s""""$m"""").getOrElse("null")},""" +
-                s""""nulls":${cs.nulls}}"""
+              s"${jstr(c)}:{\"min\":${cs.min.map(jstr).getOrElse("null")}," +
+                s"\"max\":${cs.max.map(jstr).getOrElse("null")}," +
+                s"\"nulls\":${cs.nulls}}"
             }.mkString("{", ",", "}")
             new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
               Array[Any](

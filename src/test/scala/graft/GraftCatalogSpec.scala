@@ -401,6 +401,85 @@ class GraftCatalogSpec extends SparkSpec {
     assert(spark.sql("SELECT who FROM graft.db.race_ctas").collect()(0).getString(0) == "winner")
   }
 
+  test("a CTAS abort must not delete a CONCURRENTLY STAGING CTAS's files: the survivor publishes an intact table") {
+    import org.apache.spark.sql.connector.catalog.{Identifier, StagingTableCatalog, SupportsWrite}
+    import org.apache.spark.sql.connector.write.V1Write
+    import org.apache.spark.sql.types.StructType
+    import scala.jdk.CollectionConverters._
+    warehouse
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
+    val cat = spark.sessionState.catalogManager.catalog("graft")
+      .asInstanceOf[StagingTableCatalog]
+    val ident = Identifier.of(Array("db"), "stage_race2")
+    val schema = StructType.fromDDL("id BIGINT, who STRING")
+    // two writers stage the SAME identifier concurrently (neither has
+    // published yet — the PRE-publish race, distinct from the v1 race)
+    val s1 = cat.stageCreate(ident, schema,
+      Array.empty[org.apache.spark.sql.connector.expressions.Transform],
+      Map.empty[String, String].asJava)
+    val s2 = cat.stageCreate(ident, schema,
+      Array.empty[org.apache.spark.sql.connector.expressions.Transform],
+      Map.empty[String, String].asJava)
+    def insert(st: Any, who: String): Unit = {
+      import spark.implicits._
+      st.asInstanceOf[SupportsWrite].newWriteBuilder(null).build()
+        .asInstanceOf[V1Write].toInsertableRelation
+        .insert(Seq((1L, who)).toDF("id", "who"), false)
+    }
+    insert(s1, "loser")
+    insert(s2, "winner")
+    // the loser aborts FIRST — before the fix this recursively deleted
+    // the whole table dir, including the winner's staged parquet, and
+    // the winner's later publish minted a manifest over deleted files
+    s1.abortStagedChanges()
+    s2.commitStagedChanges()
+    val got = spark.sql("SELECT who FROM graft.db.stage_race2").collect()
+    assert(got.length == 1 && got(0).getString(0) == "winner",
+      "the survivor's staged data must still be readable after the other abort")
+  }
+
+  test("DDL-time spec validation: unknown stats/bloom columns and degenerate bloom_bits fail at CREATE, not at first INSERT") {
+    warehouse
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
+    intercept[Exception] {
+      spark.sql("CREATE TABLE graft.db.badspec1 (id BIGINT, v STRING) " +
+        "TBLPROPERTIES ('graft.bloom_cols'='nope')")
+    }
+    intercept[Exception] {
+      spark.sql("CREATE TABLE graft.db.badspec2 (id BIGINT, v STRING) " +
+        "TBLPROPERTIES ('graft.stats_cols'='id,ghost')")
+    }
+    intercept[Exception] {
+      spark.sql("CREATE TABLE graft.db.badspec3 (id BIGINT, v STRING) " +
+        "TBLPROPERTIES ('graft.bloom_cols'='id', 'graft.bloom_bits'='8')")
+    }
+    Seq("badspec1", "badspec2", "badspec3").foreach { t =>
+      assert(!new java.io.File(s"$warehouse/db/$t").exists,
+        s"refused DDL must leave no $t directory")
+    }
+    // the happy path still works
+    spark.sql("CREATE TABLE graft.db.goodspec (id BIGINT, v STRING) " +
+      "TBLPROPERTIES ('graft.bloom_cols'='id', 'graft.bloom_bits'='1024')")
+    spark.sql("INSERT INTO graft.db.goodspec VALUES (1, 'x')")
+    assert(spark.sql("SELECT count(*) FROM graft.db.goodspec")
+      .collect()(0).getLong(0) == 1L)
+  }
+
+  test("`files` metadata table emits VALID JSON stats even when string min/max hold quotes and backslashes") {
+    warehouse
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
+    spark.sql("CREATE TABLE graft.db.qstats (id BIGINT, v STRING)")
+    spark.sql("""INSERT INTO graft.db.qstats VALUES (1, 'say "hi"'), (2, 'a\\b')""")
+    val stats = spark.sql("SELECT stats FROM graft.db.qstats.files")
+      .collect().map(_.getString(0))
+    assert(stats.nonEmpty)
+    stats.foreach { s =>
+      // must parse as JSON — raw concatenation of quoted values did not
+      val parsed = org.json4s.jackson.JsonMethods.parse(s)
+      assert((parsed \ "v") != org.json4s.JNothing, s"stats JSON lacks column v: $s")
+    }
+  }
+
   test("REPLACE TABLE AS SELECT publishes ONE replace version; the old definition time-travels; a failed RTAS leaves the table untouched") {
     warehouse
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
