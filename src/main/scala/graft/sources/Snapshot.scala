@@ -2320,7 +2320,16 @@ object Snapshot {
 
   private def refName(name: String): String = {
     require(name.matches("[A-Za-z0-9][A-Za-z0-9._-]*"),
-      s"illegal tag name '$name' (want [A-Za-z0-9][A-Za-z0-9._-]*)")
+      s"illegal ref name '$name' (want [A-Za-z0-9][A-Za-z0-9._-]*)")
+    // all-digit names are rejected at CREATION: every resolution path
+    // (catalog VERSION AS OF, batch versionAsOf, stream startingVersion)
+    // tries numeric parse FIRST, so a tag named '2024' could never be
+    // resolved — and worse, would silently read snapshot version 2024
+    // if that version exists. Fail at the only point where the intent
+    // is unambiguous.
+    require(!name.forall(_.isDigit),
+      s"illegal ref name '$name': all-digit names collide with numeric " +
+        "snapshot versions in VERSION AS OF resolution — add a non-digit")
     s"$name.json"
   }
 
@@ -2386,6 +2395,206 @@ object Snapshot {
   def deleteTag(spark: SparkSession, dir: String, name: String): Boolean =
     fs(spark, dir).delete(new Path(new Path(dir, RefsDir), refName(name)), false)
 
+  // ---------------------------------------------------------------
+  // writable branches: write-audit-publish on one table
+  // ---------------------------------------------------------------
+
+  private val BranchesDir = "_branches"
+  // branch refs live in a SUBDIRECTORY of _refs so [[tags]] (which
+  // lists only files) can never misread a branch as a tag — a branch
+  // name must resolve to its HEAD, not its fork point
+  private val BranchRefsDir = s"$RefsDir/branches"
+
+  /** Root directory of branch `name` — a fully normal snapshot table
+    * (every Snapshot operation works against it unchanged). Forked
+    * data is referenced absolutely into the parent (shallow-clone
+    * mechanics, zero copy); NEW branch writes land under the branch's
+    * own data dir until [[fastForward]] moves them into the parent.
+    */
+  def branchDir(dir: String, name: String): String =
+    s"$dir/$BranchesDir/${refName(name).stripSuffix(".json")}"
+
+  /** CREATE BRANCH: fork a writable branch off version `version`
+    * (default: the current head) — the write-audit-publish entry
+    * point. The branch is a shallow clone under the table's own
+    * `_branches/<name>/`: committing to it never touches the main
+    * version chain (a reader of the table cannot observe branch
+    * writes), and the fork version is protected from [[vacuum]] for
+    * the branch's lifetime. Constraints, column mapping, and the
+    * layout spec fork with the data, so the branch enforces the same
+    * CHECKs main does. Publish with [[fastForward]]; abandon with
+    * [[deleteBranch]]. Returns the fork version.
+    */
+  def createBranch(spark: SparkSession, dir: String, name: String,
+      version: Option[Long] = None): Long = {
+    val v = version.getOrElse(latestVersion(spark, dir).getOrElse(
+      throw new IllegalStateException(s"no committed version at $dir")))
+    require(versions(spark, dir).contains(v),
+      s"cannot branch from version $v at $dir: not a retained version")
+    val bdir = branchDir(dir, name)
+    require(latestVersion(spark, bdir).isEmpty,
+      s"branch '$name' already exists at $dir — delete it first")
+    // the ref is the single-winner publish (same OCC as tags): it must
+    // win BEFORE the clone commits, so two racing createBranch calls
+    // can never interleave clone commits into one branch dir
+    val f = fs(spark, dir)
+    val rd = new Path(dir, BranchRefsDir)
+    f.mkdirs(rd)
+    val json = JsonMethods.compact(JsonMethods.render(JObject(
+      "name" -> JString(name), "fork_version" -> JLong(v),
+      "ts_ms" -> JLong(System.currentTimeMillis()))))
+    val tmp = new Path(rd, s".tmp-${java.util.UUID.randomUUID()}")
+    val out = f.create(tmp, false)
+    try out.write(json.getBytes("UTF-8")) finally out.close()
+    if (!conditionalPublish(f, tmp, new Path(rd, refName(name)))) {
+      f.delete(tmp, false)
+      throw new java.util.ConcurrentModificationException(
+        s"branch '$name' already exists at $dir — delete it first")
+    }
+    // seed the branch: manifest v1 references the fork version's files
+    // absolutely (zero data copied), carrying schema/constraints/
+    // mapping/spec so branch writes behave exactly like main writes
+    val src = readManifest(spark, dir, v)
+    val root = f.makeQualified(new Path(dir)).toString
+    val files = src.files.map(e => e.copy(
+      path = absPath(root, e.path),
+      dv = e.dv.map(d => d.copy(path = absPath(root, d.path)))))
+    commitManifest(spark, bdir, "branch", src.schemaDdl, files, None, None, None,
+      constraintsOverride = Some(src.constraints),
+      metrics = Map("fork_version" -> v, "forked_files" -> files.size.toLong),
+      mappingOverride = Some((src.mapping, src.retired)),
+      specOverride = Some(src.spec))
+    v
+  }
+
+  /** All branches at `dir` (name → fork version). */
+  def branches(spark: SparkSession, dir: String): Map[String, Long] = {
+    val f = fs(spark, dir)
+    val rd = new Path(dir, BranchRefsDir)
+    if (!f.exists(rd)) return Map.empty
+    implicit val fmts: Formats = DefaultFormats
+    f.listStatus(rd).toSeq
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".json") &&
+        !s.getPath.getName.startsWith("."))
+      .map { s =>
+        val j = readJson(f, s.getPath)
+        (j \ "name").extract[String] -> (j \ "fork_version").extract[Long]
+      }.toMap
+  }
+
+  /** Read branch `name`'s head — the audit surface of WAP: validation
+    * queries run against this before [[fastForward]] publishes.
+    */
+  def readBranch(spark: SparkSession, dir: String, name: String): DataFrame = {
+    require(branches(spark, dir).contains(name), s"no branch '$name' at $dir")
+    read(spark, branchDir(dir, name))
+  }
+
+  /** Abandon branch `name`: drop its ref and its entire metadata+data
+    * subtree. Main is untouched (branch data lives under `_branches/`;
+    * forked files are foreign absolute references, never deleted
+    * through). Returns whether the branch existed.
+    */
+  def deleteBranch(spark: SparkSession, dir: String, name: String): Boolean = {
+    val f = fs(spark, dir)
+    val had = f.delete(new Path(new Path(dir, BranchRefsDir), refName(name)), false)
+    f.delete(new Path(branchDir(dir, name)), true)
+    had
+  }
+
+  /** FAST-FORWARD: atomically publish branch `name`'s head as the
+    * table's next version — the "publish" step of write-audit-publish.
+    *
+    * Mechanics: the branch's own data commit dirs (written under
+    * `_branches/<name>/data/<uuid>/`) are RENAMED into the parent's
+    * `data/` (metadata-only on a real filesystem; commit-dir UUIDs are
+    * globally unique so collisions cannot happen), forked references
+    * that point back into the parent are relativized, and ONE manifest
+    * commit (op `fast_forward`) publishes the branch head's exact file
+    * set, schema, constraints, mapping, and spec onto main. The commit
+    * is the atomic point: until it wins, readers see old main; after
+    * it, exactly the audited branch state.
+    *
+    * Divergence fails loudly: if main advanced past the recorded fork
+    * version, this branch's state was not derived from current main —
+    * the caller must re-branch (or re-apply) against fresh state.
+    * `fast_forward` is deliberately NOT a rebasable op, so even a
+    * commit that lands inside the publish race window aborts it.
+    *
+    * The branch is CONSUMED on success (its ref and subtree are
+    * removed): its moved data dirs make the branch chain unreadable by
+    * construction, and a consumed branch cannot be double-published.
+    * On a lost race the moves are rolled back and the branch survives.
+    */
+  def fastForward(spark: SparkSession, dir: String, name: String): Long = {
+    val fork = branches(spark, dir).getOrElse(name,
+      throw new IllegalArgumentException(s"no branch '$name' at $dir"))
+    val bdir = branchDir(dir, name)
+    val head = baseManifest(spark, bdir).getOrElse(
+      throw new IllegalStateException(s"branch '$name' at $dir has no committed version"))
+    val main = baseManifest(spark, dir).getOrElse(
+      throw new IllegalStateException(s"no committed version at $dir"))
+    if (main.version != fork)
+      throw new java.util.ConcurrentModificationException(
+        s"fast-forward of branch '$name' at $dir: main advanced to version " +
+          s"${main.version} past the fork at $fork — the branch no longer " +
+          "descends from main's head; re-branch and re-apply")
+    val f = fs(spark, dir)
+    val root = f.makeQualified(new Path(dir)).toString
+    // A branch-head reference is one of exactly two shapes:
+    //   ABSOLUTE — a forked reference recorded by createBranch (always
+    //     qualified into the parent root) or a foreign reference the
+    //     parent itself carried (clone ancestry): relativize the former
+    //     back to `data/...`, pass the latter through untouched;
+    //   RELATIVE — a file the BRANCH wrote (`data/<uuid>/...` under the
+    //     branch root): keep the relative form (it resolves against the
+    //     parent root after the move) and record its commit dir for the
+    //     rename.
+    val moved = scala.collection.mutable.ListBuffer[String]() // rel commit dirs
+    // data-file refs name a FILE inside a commit dir; dv refs name the
+    // dv dataset DIRECTORY itself — the unit of the move is the commit
+    // dir in both cases
+    def adopt(ref: String, refIsDir: Boolean): String =
+      if (ref.startsWith("/") || ref.contains(":/")) {
+        if (ref.startsWith(s"$root/")) ref.stripPrefix(s"$root/") else ref
+      } else {
+        moved += (if (refIsDir) ref else ref.substring(0, ref.lastIndexOf('/')))
+        ref
+      }
+    val files = head.files.map { e =>
+      e.copy(path = adopt(e.path, refIsDir = false),
+        dv = e.dv.map(d => d.copy(path = adopt(d.path, refIsDir = true))))
+    }
+    val commitDirs = moved.distinct.toSeq
+    f.mkdirs(new Path(dir, DataDir))
+    def move(from: String, to: String, rels: Seq[String]): Unit = rels.foreach { rel =>
+      val src = new Path(s"$from/$rel")
+      val dst = new Path(s"$to/$rel")
+      if (f.exists(src) && !f.rename(src, dst))
+        throw new java.io.IOException(
+          s"fast-forward of '$name' at $dir: cannot move $src to $dst")
+    }
+    move(bdir, dir, commitDirs)
+    try {
+      val v = commitManifest(spark, dir, "fast_forward", head.schemaDdl, files,
+        None, None, Some(main),
+        constraintsOverride = Some(head.constraints),
+        metrics = Map("branch_head_version" -> head.version,
+          "fork_version" -> fork,
+          "moved_commit_dirs" -> commitDirs.size.toLong),
+        mappingOverride = Some((head.mapping, head.retired)),
+        specOverride = Some(head.spec))
+      deleteBranch(spark, dir, name)
+      v
+    } catch {
+      case e: Throwable =>
+        // lost the publish race (or failed): put the bytes back so the
+        // branch stays intact and re-publishable
+        move(dir, bdir, commitDirs)
+        throw e
+    }
+  }
+
   /** VACUUM DRY-RUN: what would `vacuum(keepLast, alsoKeep)` reclaim,
     * as a DataFrame — one row per RETAINED-OR-DROPPED version with its
     * op, keep/drop fate, and the files+bytes EXCLUSIVE to the dropped
@@ -2400,7 +2609,7 @@ object Snapshot {
     require(keepLast >= 1, s"keepLast must be >= 1: $keepLast")
     val vs = versions(spark, dir)
     val keepSet = vs.takeRight(keepLast).toSet ++ alsoKeep ++
-      tags(spark, dir).values.toSet
+      tags(spark, dir).values.toSet ++ branches(spark, dir).values.toSet
     val manifests = vs.map(v => v -> readManifest(spark, dir, v)).toMap
     val keptFiles = vs.filter(keepSet.contains)
       .flatMap(v => manifests(v).files.map(_.path)).toSet
@@ -2435,8 +2644,13 @@ object Snapshot {
       alsoKeep: Set[Long] = Set.empty): Int = {
     require(keepLast >= 1, s"keepLast must be >= 1: $keepLast")
     val vs = versions(spark, dir)
+    // live branches pin their fork version: the branch references the
+    // fork's files absolutely, so dropping it would strand the branch
+    // exactly the way vacuuming a clone's source strands the clone —
+    // except here both live under ONE table root, so the format can
+    // (and must) protect it
     val keepSet = vs.takeRight(keepLast).toSet ++ alsoKeep ++
-      tags(spark, dir).values.toSet
+      tags(spark, dir).values.toSet ++ branches(spark, dir).values.toSet
     val (keep, drop) = vs.partition(keepSet.contains)
     val f = fs(spark, dir)
     // A manifest references data files by exact path and dv DATASETS by

@@ -1446,4 +1446,134 @@ class SnapshotSpec extends SparkSpec {
     assert(Snapshot.replaceWhere(spark, dir, col("id") === 1L, empty).contains(2L))
     assert(Snapshot.read(spark, dir).count() == 3L)
   }
+
+  // ---------------------------------------------------------------
+  // writable branches: write-audit-publish
+  // ---------------------------------------------------------------
+
+  test("branch: writes are INVISIBLE on main; fast-forward publishes the audited state atomically and consumes the branch") {
+    import spark.implicits._
+    val dir = tmp() + "/t"
+    Snapshot.commit(spark, dir, base)
+    val fork = Snapshot.createBranch(spark, dir, "ingest")
+    assert(fork == 1L)
+    val bdir = Snapshot.branchDir(dir, "ingest")
+    // branch takes an append AND a MoR row update (dv written under the
+    // branch's own data dir — fast-forward must carry it)
+    Snapshot.append(spark, bdir, Seq((5L, "e", 5.0)).toDF("id", "name", "score"))
+    assert(Snapshot.updateWhereMor(spark, bdir, col("id") === 2L,
+      Map("score" -> lit(99.0))).isDefined)
+    // main is untouched: same single version, same rows
+    assert(Snapshot.versions(spark, dir) == Seq(1L))
+    assert(rows(Snapshot.read(spark, dir)) == rows(base))
+    // the audit surface reads the branch head
+    assert(rows(Snapshot.readBranch(spark, dir, "ingest")) ==
+      Set((1L, "a", 1.0), (2L, "b", 99.0), (3L, "c", 3.0), (4L, "d", 4.0), (5L, "e", 5.0)))
+    // publish: ONE main version, exact branch state, branch consumed
+    val v = Snapshot.fastForward(spark, dir, "ingest")
+    assert(v == 2L)
+    assert(rows(Snapshot.read(spark, dir)) ==
+      Set((1L, "a", 1.0), (2L, "b", 99.0), (3L, "c", 3.0), (4L, "d", 4.0), (5L, "e", 5.0)))
+    assert(Snapshot.branches(spark, dir).isEmpty, "fast-forward consumes the branch")
+    assert(!new java.io.File(s"$dir/_branches/ingest").exists())
+    val h = Snapshot.history(spark, dir).collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(h(2L) == "fast_forward")
+    // pre-publish state still time-travels
+    assert(rows(Snapshot.readVersion(spark, dir, 1L)) == rows(base))
+  }
+
+  test("branch: DIVERGED fast-forward fails loudly; the branch and main both survive intact") {
+    import spark.implicits._
+    val dir = tmp() + "/t"
+    Snapshot.commit(spark, dir, base)
+    Snapshot.createBranch(spark, dir, "wap")
+    val bdir = Snapshot.branchDir(dir, "wap")
+    Snapshot.append(spark, bdir, Seq((5L, "e", 5.0)).toDF("id", "name", "score"))
+    // main advances past the fork — the branch no longer descends from HEAD
+    Snapshot.append(spark, dir, Seq((6L, "f", 6.0)).toDF("id", "name", "score"))
+    val e = intercept[java.util.ConcurrentModificationException] {
+      Snapshot.fastForward(spark, dir, "wap")
+    }
+    assert(e.getMessage.contains("advanced"))
+    // nothing was harmed: main keeps its own write, branch keeps its own
+    assert(rows(Snapshot.read(spark, dir)) == rows(base) + ((6L, "f", 6.0)))
+    assert(rows(Snapshot.readBranch(spark, dir, "wap")) == rows(base) + ((5L, "e", 5.0)))
+    // abandon releases everything
+    assert(Snapshot.deleteBranch(spark, dir, "wap"))
+    assert(Snapshot.branches(spark, dir).isEmpty)
+  }
+
+  test("branch: a commit landing INSIDE the fast-forward publish window aborts it; moved files roll back and the branch stays publishable") {
+    import spark.implicits._
+    val dir = tmp() + "/t"
+    Snapshot.commit(spark, dir, base)
+    Snapshot.createBranch(spark, dir, "race")
+    val bdir = Snapshot.branchDir(dir, "race")
+    Snapshot.append(spark, bdir, Seq((5L, "e", 5.0)).toDF("id", "name", "score"))
+    // interloper lands after fastForward's divergence check, inside its
+    // publish — fast_forward is NOT rebasable, so it must abort
+    Snapshot.raceForTest = () =>
+      Snapshot.append(spark, dir, Seq((7L, "g", 7.0)).toDF("id", "name", "score"))
+    intercept[java.util.ConcurrentModificationException] {
+      Snapshot.fastForward(spark, dir, "race")
+    }
+    // main holds the interloper's state; the branch rolled its bytes
+    // back and still reads (and re-publishes once re-based)
+    assert(rows(Snapshot.read(spark, dir)) == rows(base) + ((7L, "g", 7.0)))
+    assert(rows(Snapshot.readBranch(spark, dir, "race")) == rows(base) + ((5L, "e", 5.0)))
+  }
+
+  test("branch: addConstraint on the branch IS the audit gate; fast-forward carries the constraint onto main") {
+    import spark.implicits._
+    val dir = tmp() + "/t"
+    Snapshot.commit(spark, dir, base)
+    Snapshot.createBranch(spark, dir, "audited")
+    val bdir = Snapshot.branchDir(dir, "audited")
+    // ingest includes a bad row (negative score)
+    Snapshot.append(spark, bdir, Seq((5L, "e", -5.0)).toDF("id", "name", "score"))
+    // the audit: declaring the invariant validates EVERY branch row and
+    // refuses while the bad row is present
+    intercept[IllegalArgumentException] {
+      Snapshot.addConstraint(spark, bdir, "score_nonneg", "score >= 0")
+    }
+    // fix on the branch, re-audit, publish
+    Snapshot.deleteWhere(spark, bdir, col("score") < 0)
+    Snapshot.addConstraint(spark, bdir, "score_nonneg", "score >= 0")
+    Snapshot.fastForward(spark, dir, "audited")
+    assert(rows(Snapshot.read(spark, dir)) == rows(base))
+    assert(Snapshot.constraintsOf(spark, dir).contains("score_nonneg"),
+      "fast-forward must carry the branch's constraints onto main")
+    // the carried gate holds on main
+    intercept[IllegalArgumentException] {
+      Snapshot.append(spark, dir, Seq((9L, "x", -1.0)).toDF("id", "name", "score"))
+    }
+  }
+
+  test("branch: vacuum on main keeps the fork version alive for the branch's lifetime; deleteBranch releases it") {
+    import spark.implicits._
+    val dir = tmp() + "/t"
+    Snapshot.commit(spark, dir, base) // v1
+    Snapshot.createBranch(spark, dir, "held", Some(1L))
+    Snapshot.append(spark, dir, Seq((6L, "f", 6.0)).toDF("id", "name", "score")) // v2
+    Snapshot.append(spark, dir, Seq((7L, "g", 7.0)).toDF("id", "name", "score")) // v3
+    Snapshot.vacuum(spark, dir, keepLast = 1, orphanGraceMs = Long.MaxValue)
+    assert(Snapshot.versions(spark, dir).contains(1L),
+      "a live branch must pin its fork version against vacuum")
+    // the branch still reads its forked bytes
+    assert(rows(Snapshot.readBranch(spark, dir, "held")) == rows(base))
+    Snapshot.deleteBranch(spark, dir, "held")
+    Snapshot.vacuum(spark, dir, keepLast = 1, orphanGraceMs = Long.MaxValue)
+    assert(!Snapshot.versions(spark, dir).contains(1L),
+      "deleteBranch releases the fork version to retention policy")
+  }
+
+  test("refs: all-digit tag/branch names are rejected at creation (they could only ever resolve as numeric versions)") {
+    val dir = tmp() + "/t"
+    Snapshot.commit(spark, dir, base)
+    intercept[IllegalArgumentException] { Snapshot.createTag(spark, dir, "2024") }
+    intercept[IllegalArgumentException] { Snapshot.createBranch(spark, dir, "123") }
+    // a digit-LEADING name with a non-digit stays legal
+    Snapshot.createTag(spark, dir, "2024q1")
+    assert(Snapshot.tags(spark, dir).contains("2024q1"))
+  }
 }
