@@ -135,11 +135,13 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
         // driver-local scan (one manifest-sized read per version, zero
         // data I/O)
         val ns = ident.namespace()
-        if ((ident.name() == "history" || ident.name() == "files") && ns.nonEmpty) {
+        if ((ident.name() == "history" || ident.name() == "files" ||
+            ident.name() == "changes") && ns.nonEmpty) {
           val parent = (warehouse +: ns.toSeq.map(checkPart)).mkString("/")
           if (isTable(parent)) return {
             if (ident.name() == "history") new SnapshotHistoryTable(parent)
-            else new SnapshotFilesTable(parent)
+            else if (ident.name() == "files") new SnapshotFilesTable(parent)
+            else new SnapshotChangesTable(parent, None)
           }
         }
         throw new NoSuchTableException(ident)
@@ -152,6 +154,24 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
     * ([[Snapshot.createTag]]): `VERSION AS OF 'pre_migration'`.
     */
   override def loadTable(ident: Identifier, version: String): Table = {
+    // `SELECT * FROM graft.db.t.changes VERSION AS OF <v|tag>` — the
+    // pure-SQL incremental-consumer surface: everything that changed
+    // SINCE version v (v → head). A tag resolves like everywhere else.
+    if (ident.name() == "changes" && ident.namespace().nonEmpty) {
+      val parent = (warehouse +: ident.namespace().toSeq.map(checkPart)).mkString("/")
+      if (isTable(parent)) {
+        val from = try version.toLong catch {
+          case _: NumberFormatException =>
+            Snapshot.tags(spark, parent).getOrElse(version,
+              throw new IllegalArgumentException(
+                s"graft changes VERSION AS OF: '$version' is neither a numeric " +
+                  s"snapshot version nor a tag at $parent"))
+        }
+        require(Snapshot.versions(spark, parent).contains(from),
+          s"no version $from at $parent (vacuumed or never committed)")
+        return new SnapshotChangesTable(parent, Some(from))
+      }
+    }
     val dir = tableDir(ident)
     val v = try version.toLong catch {
       case _: NumberFormatException =>
@@ -613,6 +633,81 @@ private[sources] final class GraftStagedTable(ident: Identifier, dir: String,
       }
       val root = new Path(dir)
       if (f.exists(root) && fileless(root)) f.delete(root, true)
+    }
+  }
+}
+
+/** `changes` metadata table — the CHANGE DATA FEED as SQL:
+  *
+  * {{{
+  *   SELECT * FROM graft.db.t.changes                       -- last commit (head-1 → head)
+  *   SELECT * FROM graft.db.t.changes VERSION AS OF 3       -- catch-up: v3 → head
+  *   spark.read.option("from", 2).option("to", 5)
+  *     .option("keys", "id").table("graft.db.t.changes")    -- explicit window
+  * }}}
+  *
+  * Rows are the table's columns (to-side values; from-side for
+  * removals) plus `change_type` ∈ added/removed/changed — the output
+  * of [[Snapshot.changes]]' key-diff, so a consumer at version N
+  * applies ONE diff to catch up instead of re-reading the table. The
+  * diff keys default to the table's FIRST column (the conventional
+  * graft key position) — pass `keys` (csv) when the key is composite
+  * or elsewhere; a non-unique key column makes the full-outer diff
+  * explode, which is the caller's contract exactly as in the library
+  * call. Scale shape: ONE full-outer join between the two pinned
+  * snapshots regardless of how many versions the window spans — never
+  * a per-version replay — and the result is a fully DISTRIBUTED scan
+  * (V1 relation bridge), never a driver collect.
+  */
+private[sources] final class SnapshotChangesTable(dir: String, fromDefault: Option[Long])
+    extends Table with SupportsRead {
+
+  private def spark = SparkSession.active
+
+  override def name(): String = s"graft-changes `$dir`"
+  override def schema(): StructType = {
+    val v = fromDefault.orElse(Snapshot.latestVersion(spark, dir)).getOrElse(
+      throw new IllegalStateException(s"no committed version at $dir"))
+    Snapshot.readManifest(spark, dir, v).schema.add("change_type", "string")
+  }
+  override def capabilities(): util.Set[TableCapability] =
+    Set(TableCapability.BATCH_READ).asJava
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    val s = spark
+    val vs = Snapshot.versions(s, dir)
+    require(vs.nonEmpty, s"no committed version at $dir")
+    val to = Option(options.get("to")).map(_.toLong).getOrElse(vs.last)
+    val from = Option(options.get("from")).map(_.toLong)
+      .orElse(fromDefault)
+      .getOrElse(vs.takeRight(2).head) // one-commit window by default
+    require(vs.contains(from) && vs.contains(to),
+      s"changes window [$from, $to] must name retained versions of $dir " +
+        s"(have ${vs.mkString(", ")})")
+    require(from <= to, s"changes window is backwards: from=$from > to=$to")
+    val headSchema = Snapshot.readManifest(s, dir, from).schema
+    val keys = Option(options.get("keys"))
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(Seq(headSchema.fieldNames.head))
+    val unknown = keys.filterNot(headSchema.fieldNames.contains)
+    require(unknown.isEmpty,
+      s"changes keys name unknown column(s): ${unknown.mkString(", ")}")
+    new ScanBuilder {
+      override def build(): Scan =
+        new org.apache.spark.sql.connector.read.V1Scan {
+          private lazy val df = Snapshot.changes(s, dir, from, to, keys)
+          override def readSchema(): StructType = df.schema
+          override def toV1TableScan[T <: org.apache.spark.sql.sources.BaseRelation
+              with org.apache.spark.sql.sources.TableScan](
+              context: org.apache.spark.sql.SQLContext): T =
+            new org.apache.spark.sql.sources.BaseRelation
+                with org.apache.spark.sql.sources.TableScan {
+              override def sqlContext: org.apache.spark.sql.SQLContext = context
+              override def schema: StructType = df.schema
+              override def buildScan(): org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] =
+                df.rdd
+            }.asInstanceOf[T]
+        }
     }
   }
 }

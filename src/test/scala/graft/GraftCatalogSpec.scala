@@ -401,6 +401,42 @@ class GraftCatalogSpec extends SparkSpec {
     assert(spark.sql("SELECT who FROM graft.db.race_ctas").collect()(0).getString(0) == "winner")
   }
 
+  test("changes metadata table: SQL change-data-feed with a MoR dv-update inside the window; VERSION AS OF sets the catch-up start") {
+    warehouse
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
+    spark.sql("CREATE TABLE graft.db.cdf (id BIGINT, v STRING)")       // v1
+    spark.sql("INSERT INTO graft.db.cdf VALUES (1, 'a'), (2, 'b')")    // v2
+    spark.sql("INSERT INTO graft.db.cdf VALUES (3, 'c')")              // v3
+    val dir = s"$warehouse/db/cdf"
+    // MoR update: zero data files rewritten, the change lives in a dv +
+    // one tiny file — the feed must still see it as 'changed'
+    assert(Snapshot.updateWhereMor(spark, dir, col("id") === 2L,
+      Map("v" -> lit("b2"))).contains(4L))
+    spark.sql("DELETE FROM graft.db.cdf WHERE id = 1")                 // v5
+    // catch-up since v2: added (3,c), changed (2,b2), removed (1,a)
+    val since2 = spark.sql(
+      "SELECT id, v, change_type FROM graft.db.cdf.changes VERSION AS OF 2")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(since2 == Set((3L, "c", "added"), (2L, "b2", "changed"), (1L, "a", "removed")))
+    // bare read = the LAST commit's window (v4 → v5)
+    val last = spark.sql("SELECT id, v, change_type FROM graft.db.cdf.changes")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(last == Set((1L, "a", "removed")))
+    // explicit window + explicit keys through read options
+    val w23 = spark.read.option("from", "2").option("to", "3").option("keys", "id")
+      .table("graft.db.cdf.changes")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(w23 == Set((3L, "c", "added")))
+    // a backwards or unretained window fails loudly
+    intercept[Exception] {
+      spark.read.option("from", "5").option("to", "2")
+        .table("graft.db.cdf.changes").collect()
+    }
+    intercept[Exception] {
+      spark.read.option("from", "99").table("graft.db.cdf.changes").collect()
+    }
+  }
+
   test("a CTAS abort must not delete a CONCURRENTLY STAGING CTAS's files: the survivor publishes an intact table") {
     import org.apache.spark.sql.connector.catalog.{Identifier, StagingTableCatalog, SupportsWrite}
     import org.apache.spark.sql.connector.write.V1Write
