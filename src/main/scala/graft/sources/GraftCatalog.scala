@@ -488,6 +488,25 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
           tableDirOf(input.getUTF8String(1).toString))
         (StructType.fromDDL("version BIGINT"), Seq(Seq(v)))
       }
+      case "remove_orphan_files" => proc("remove_orphan_files", Seq(
+          in("tbl", SqlStringType),
+          in("grace_hours", LongType, Some("24")),
+          in("dry_run", BooleanType, Some("true")))) { input =>
+        val dir = tableDirOf(input.getUTF8String(0).toString)
+        val graceMs = input.getLong(1) * 3600L * 1000L
+        if (input.getBoolean(2)) {
+          // dry run (the default): crashed-writer debris made VISIBLE
+          // before anything is destroyed
+          val rep = Snapshot.orphanReport(spark, dir, graceMs).collect()
+          (StructType.fromDDL("path STRING, bytes BIGINT, modified_ms BIGINT"),
+            rep.toSeq.map(r => Seq[Any](UTF8String.fromString(r.getString(0)),
+              r.getLong(1), r.getLong(2))))
+        } else {
+          val deleted = Snapshot.removeOrphans(spark, dir, graceMs)
+          (StructType.fromDDL("deleted_path STRING"),
+            deleted.map(p => Seq[Any](UTF8String.fromString(p))))
+        }
+      }
       case "set_spec" => proc("set_spec", Seq(
           in("tbl", SqlStringType),
           in("partition_cols", SqlStringType, Some("''")),
@@ -558,7 +577,7 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
 private[sources] object GraftCatalog {
   val ProcedureNames: Seq[String] =
     Seq("optimize", "vacuum", "create_tag", "delete_tag", "restore", "clone",
-      "set_spec")
+      "set_spec", "remove_orphan_files")
 }
 
 /** The staged CTAS/RTAS table: collects the SELECT's rows as staged

@@ -2698,21 +2698,8 @@ object Snapshot {
     // IN-FLIGHT commit (files written, manifest about to publish)
     // is never collected — the same mtime-retention rule table
     // formats use.
-    val referenced = versions(spark, dir)
-      .flatMap(v => manifestPaths(readManifest(spark, dir, v))).toSet
-    val dataRoot = new Path(dir, DataDir)
-    val cutoff = System.currentTimeMillis() - orphanGraceMs
-    val orphans =
-      if (!f.exists(dataRoot)) Seq.empty
-      else f.listStatus(dataRoot).toSeq.filter(_.isDirectory).flatMap(d =>
-        f.listStatus(d.getPath).toSeq.filter(_.isFile)
-          .filter(_.getModificationTime < cutoff)
-          .map(s => s"$DataDir/${d.getPath.getName}/${s.getPath.getName}")
-          .filterNot(referenced)
-          // a _SUCCESS/_committed marker in an orphaned commit dir is
-          // part of the same garbage
-          .filterNot(rel => referenced.exists(_.startsWith(
-            rel.substring(0, rel.lastIndexOf('/') + 1)))))
+    val orphans = orphanCandidates(spark, dir,
+      System.currentTimeMillis() - orphanGraceMs).map(_._1)
     orphans.foreach(rel => f.delete(new Path(s"$dir/$rel"), false))
     // remove now-empty commit dirs (cosmetic; harmless if racing)
     (dropFiles.filter(isOwnPath) ++ orphans)
@@ -2723,6 +2710,72 @@ object Snapshot {
           f.delete(p, true)
       }
     dropFiles.count(isOwnPath) + orphans.size
+  }
+
+  /** Orphan candidates: `(rel path, bytes, modified_ms)` of files under
+    * the table's own data dir referenced by NO retained manifest (data
+    * file or dv dataset) and older than `cutoffMs` — the shared core of
+    * [[vacuum]]'s sweep, [[orphanReport]], and [[removeOrphans]].
+    */
+  private def orphanCandidates(spark: SparkSession, dir: String,
+      cutoffMs: Long): Seq[(String, Long, Long)] = {
+    val f = fs(spark, dir)
+    def expandDvDirs(rels: Set[String]): Set[String] = rels.flatMap { rel =>
+      val p = new Path(absPath(dir, rel))
+      if (!f.exists(p)) Set.empty[String]
+      else f.listStatus(p).toSeq.filter(_.isFile)
+        .map(s => s"$rel/${s.getPath.getName}").toSet
+    }
+    val referenced = versions(spark, dir).flatMap { v =>
+      val m = readManifest(spark, dir, v)
+      m.files.map(_.path).toSet ++
+        expandDvDirs(m.files.flatMap(_.dv.map(_.path)).toSet)
+    }.toSet
+    val dataRoot = new Path(dir, DataDir)
+    if (!f.exists(dataRoot)) Seq.empty
+    else f.listStatus(dataRoot).toSeq.filter(_.isDirectory).flatMap(d =>
+      f.listStatus(d.getPath).toSeq.filter(_.isFile)
+        .filter(_.getModificationTime < cutoffMs)
+        .map(s => (s"$DataDir/${d.getPath.getName}/${s.getPath.getName}",
+          s.getLen, s.getModificationTime))
+        .filterNot { case (rel, _, _) => referenced(rel) }
+        // a _SUCCESS/_committed marker in an orphaned commit dir is
+        // part of the same garbage
+        .filterNot { case (rel, _, _) => referenced.exists(_.startsWith(
+          rel.substring(0, rel.lastIndexOf('/') + 1))) })
+  }
+
+  /** ORPHAN DRY-RUN: the crashed-writer debris [[vacuum]]'s sweep (or
+    * [[removeOrphans]]) would delete, as a DataFrame — one row per
+    * unreferenced data-dir file older than the grace window, with its
+    * size and mtime. Zero data I/O, no deletion: the visibility step
+    * before any byte-destroying maintenance, and the answer to "why is
+    * the table directory bigger than SUM(files.bytes)?".
+    */
+  def orphanReport(spark: SparkSession, dir: String,
+      orphanGraceMs: Long = 24L * 3600 * 1000): DataFrame = {
+    import spark.implicits._
+    orphanCandidates(spark, dir, System.currentTimeMillis() - orphanGraceMs)
+      .toDF("path", "bytes", "modified_ms")
+  }
+
+  /** Delete orphaned data files ONLY (no version retention applied —
+    * the targeted companion to the full [[vacuum]]): returns the
+    * deleted rel paths. Same grace-window contract as the sweep.
+    */
+  def removeOrphans(spark: SparkSession, dir: String,
+      orphanGraceMs: Long = 24L * 3600 * 1000): Seq[String] = {
+    val f = fs(spark, dir)
+    val orphans = orphanCandidates(spark, dir,
+      System.currentTimeMillis() - orphanGraceMs).map(_._1)
+    orphans.foreach(rel => f.delete(new Path(s"$dir/$rel"), false))
+    orphans.map(rel => rel.substring(0, rel.lastIndexOf('/'))).distinct.foreach { d =>
+      val p = new Path(s"$dir/$d")
+      if (f.exists(p) && f.listStatus(p).forall(s =>
+          s.getPath.getName.startsWith("_") || s.getPath.getName.startsWith(".")))
+        f.delete(p, true)
+    }
+    orphans
   }
 
   /** Test hook: version `v`'s fully-resolved file list as

@@ -401,6 +401,32 @@ class GraftCatalogSpec extends SparkSpec {
     assert(spark.sql("SELECT who FROM graft.db.race_ctas").collect()(0).getString(0) == "winner")
   }
 
+  test("CALL remove_orphan_files: dry-run listing by default; dry_run => false sweeps the debris and leaves live data intact") {
+    warehouse
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
+    spark.sql("CREATE TABLE graft.db.orph (id BIGINT, v STRING)")
+    spark.sql("INSERT INTO graft.db.orph VALUES (1, 'live')")
+    val dir = s"$warehouse/db/orph"
+    import spark.implicits._
+    Seq((9L, "junk")).toDF("id", "v").write.parquet(s"$dir/data/crashed")
+    // default call = dry run with the 24h grace: nothing listed yet
+    assert(spark.sql("CALL graft.system.remove_orphan_files(tbl => 'db.orph')")
+      .collect().isEmpty)
+    // zero grace: listed, still present
+    val listed = spark.sql("CALL graft.system.remove_orphan_files(" +
+      "tbl => 'db.orph', grace_hours => 0)").collect().map(_.getString(0))
+    assert(listed.nonEmpty && listed.forall(_.startsWith("data/crashed/")))
+    assert(new java.io.File(s"$dir/data/crashed").exists())
+    // destructive form sweeps exactly the listing
+    val swept = spark.sql("CALL graft.system.remove_orphan_files(" +
+      "tbl => 'db.orph', grace_hours => 0, dry_run => false)")
+      .collect().map(_.getString(0))
+    assert(swept.toSet == listed.toSet)
+    assert(!new java.io.File(s"$dir/data/crashed").exists())
+    assert(spark.sql("SELECT v FROM graft.db.orph").collect()
+      .map(_.getString(0)).toSeq == Seq("live"))
+  }
+
   test("changes metadata table: SQL change-data-feed with a MoR dv-update inside the window; VERSION AS OF sets the catch-up start") {
     warehouse
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")

@@ -231,6 +231,31 @@ class SnapshotSpec extends SparkSpec {
     assert(rows(Snapshot.read(spark, dir)) == rows(base))
   }
 
+  test("orphanReport lists crashed-writer debris without deleting; removeOrphans sweeps exactly that list, live files untouched") {
+    import spark.implicits._
+    val dir = tmp() + "/t"
+    Snapshot.commit(spark, dir, base)
+    // crashed commit: files written, manifest never published
+    Seq((99L, "orphan", 0.0)).toDF("id", "name", "score")
+      .write.parquet(s"$dir/data/crashed-commit")
+    // inside the grace window: listed by NOTHING, deleted by nothing
+    assert(Snapshot.orphanReport(spark, dir).isEmpty)
+    assert(Snapshot.removeOrphans(spark, dir).isEmpty)
+    assert(new java.io.File(s"$dir/data/crashed-commit").exists())
+    // zero grace: the dry run lists exactly the debris (with sizes)…
+    val rep = Snapshot.orphanReport(spark, dir, orphanGraceMs = 0L).collect()
+    assert(rep.nonEmpty && rep.forall(r =>
+      r.getString(0).startsWith("data/crashed-commit/") && r.getLong(1) >= 0L))
+    assert(new java.io.File(s"$dir/data/crashed-commit").exists(),
+      "the dry run must not delete anything")
+    // …and the sweep deletes exactly that list
+    val deleted = Snapshot.removeOrphans(spark, dir, orphanGraceMs = 0L)
+    assert(deleted.toSet == rep.map(_.getString(0)).toSet)
+    assert(!new java.io.File(s"$dir/data/crashed-commit").exists())
+    assert(rows(Snapshot.read(spark, dir)) == rows(base))
+    assert(Snapshot.orphanReport(spark, dir, orphanGraceMs = 0L).isEmpty)
+  }
+
   test("readAsOf resolves the newest version at-or-before the timestamp; changes() yields the catch-up diff") {
     import spark.implicits._
     val dir = tmp() + "/t"
