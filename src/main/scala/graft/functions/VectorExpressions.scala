@@ -161,6 +161,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         args(1).eval().toString)))
     // whole-operator extension: AsOfJoin logical node → AsOfJoinExec
     ext.injectPlannerStrategy(_ => graft.plans.GraftStrategy)
+    // view DDL/expansion must run BEFORE the resolution batch, where
+    // ResolveSessionCatalog refuses view verbs on non-session catalogs
+    ext.injectHintResolutionRule(session => graft.plans.GraftViewRule(session))
     ext.injectOptimizerRule(_ => graft.plans.TopKRewriteRule)
     ext.injectOptimizerRule(_ => graft.plans.RangeJoinRewriteRule)
     ext.injectOptimizerRule(_ => graft.plans.ApproxDistinctRewriteRule)

@@ -55,7 +55,8 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   */
 final class GraftCatalog extends TableCatalog with SupportsNamespaces
     with StagingTableCatalog
-    with org.apache.spark.sql.connector.catalog.ProcedureCatalog {
+    with org.apache.spark.sql.connector.catalog.ProcedureCatalog
+    with org.apache.spark.sql.connector.catalog.ViewCatalog {
 
   private var catalogName: String = _
   private var warehouse: String = _
@@ -524,6 +525,164 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
         s"unknown graft procedure '$other' — available: " +
           GraftCatalog.ProcedureNames.mkString(", "))
     }
+  }
+
+  // ---------------------------------------------------------------
+  // views (DSv2 ViewCatalog): CREATE/ALTER/DROP/SHOW VIEW as SQL
+  // ---------------------------------------------------------------
+
+  import org.apache.spark.sql.catalyst.analysis.{NoSuchViewException, ViewAlreadyExistsException}
+  import org.apache.spark.sql.connector.catalog.{View, ViewChange, ViewInfo}
+
+  /** A view named `ns….v` is one tiny JSON file at
+    * `<warehouse>/ns…/_views/v.json` — the SQL text plus the context it
+    * must re-resolve under (catalog, namespace, schema, column aliases/
+    * comments, properties), the same definition record the DSv2 view
+    * contract prescribes. The `_views` dir is invisible to table and
+    * namespace listings (leading underscore), publish is the same
+    * tmp-write + no-overwrite-rename single-winner protocol manifests
+    * use, and a view can never shadow a TABLE of the same identifier
+    * (refused at create). Metadata-only at any scale.
+    */
+  private def viewPath(ident: Identifier): Path =
+    new Path(s"${nsDir(ident.namespace())}/_views/${checkPart(ident.name())}.json")
+
+  private def readViewJson(p: Path): org.json4s.JValue = {
+    val in = fs.open(p)
+    val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+    org.json4s.jackson.JsonMethods.parse(txt)
+  }
+
+  override def listViews(namespace: String*): Array[Identifier] = {
+    val ns = namespace.toArray
+    if (!fs.exists(new Path(nsDir(ns)))) throw new NoSuchNamespaceException(ns.toSeq)
+    val d = new Path(s"${nsDir(ns)}/_views")
+    if (!fs.exists(d)) Array.empty
+    else fs.listStatus(d).toSeq
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".json") &&
+        !s.getPath.getName.startsWith("."))
+      .map(s => Identifier.of(ns, s.getPath.getName.stripSuffix(".json")))
+      .toArray
+  }
+
+  override def viewExists(ident: Identifier): Boolean = fs.exists(viewPath(ident))
+
+  override def loadView(ident: Identifier): View = {
+    val p = viewPath(ident)
+    if (!fs.exists(p)) throw new NoSuchViewException(ident)
+    import org.json4s._
+    implicit val fmts: Formats = DefaultFormats
+    val j = readViewJson(p)
+    def strs(field: String): Array[String] = (j \ field) match {
+      case JArray(xs) => xs.map {
+        case JString(x) => x
+        case _ => null
+      }.toArray
+      case _ => Array.empty
+    }
+    val viewIdent = ident
+    new View {
+      override val name: String = (viewIdent.namespace() :+ viewIdent.name()).mkString(".")
+      override val query: String = (j \ "sql").extract[String]
+      override val currentCatalog: String = (j \ "current_catalog").extract[String]
+      override val currentNamespace: Array[String] = strs("current_namespace")
+      override val schema: StructType =
+        org.apache.spark.sql.types.DataType.fromJson(
+          (j \ "schema").extract[String]).asInstanceOf[StructType]
+      override val queryColumnNames: Array[String] = strs("query_column_names")
+      override val columnAliases: Array[String] = strs("column_aliases")
+      override val columnComments: Array[String] = strs("column_comments")
+      override val properties: util.Map[String, String] =
+        (j \ "properties").extract[Map[String, String]].asJava
+    }
+  }
+
+  private def writeView(ident: Identifier, sql: String, currentCatalog: String,
+      currentNamespace: Array[String], schema: StructType,
+      queryColumnNames: Array[String], columnAliases: Array[String],
+      columnComments: Array[String], properties: Map[String, String],
+      overwrite: Boolean): Unit = {
+    import org.json4s._
+    import org.json4s.JsonDSL._
+    if (!fs.exists(new Path(nsDir(ident.namespace()))))
+      throw new NoSuchNamespaceException(ident.namespace().toSeq)
+    // a view must never shadow a table: reads would resolve the table,
+    // DROP VIEW would leave it — refuse the ambiguity outright
+    if (isTable(tableDir(ident)))
+      throw new ViewAlreadyExistsException(ident)
+    def arr(xs: Array[String]): JValue =
+      JArray(Option(xs).getOrElse(Array.empty[String]).toList.map(x =>
+        if (x == null) JNull else JString(x)))
+    val json = org.json4s.jackson.JsonMethods.compact(
+      org.json4s.jackson.JsonMethods.render(
+        ("sql" -> sql) ~
+          ("current_catalog" -> currentCatalog) ~
+          ("current_namespace" -> arr(currentNamespace)) ~
+          ("schema" -> schema.json) ~
+          ("query_column_names" -> arr(queryColumnNames)) ~
+          ("column_aliases" -> arr(columnAliases)) ~
+          ("column_comments" -> arr(columnComments)) ~
+          ("properties" -> properties)))
+    val target = viewPath(ident)
+    fs.mkdirs(target.getParent)
+    val tmp = new Path(target.getParent, s".tmp-${java.util.UUID.randomUUID()}")
+    val out = fs.create(tmp, false)
+    try out.write(json.getBytes("UTF-8")) finally out.close()
+    if (overwrite) fs.delete(target, false)
+    if (!fs.rename(tmp, target)) {
+      fs.delete(tmp, false)
+      throw new ViewAlreadyExistsException(ident)
+    }
+  }
+
+  override def createView(info: ViewInfo): View = {
+    if (viewExists(info.ident()))
+      throw new ViewAlreadyExistsException(info.ident())
+    writeView(info.ident(), info.sql(), info.currentCatalog(),
+      info.currentNamespace(), info.schema(), info.queryColumnNames(),
+      info.columnAliases(), info.columnComments(),
+      Option(info.properties()).map(_.asScala.toMap).getOrElse(Map.empty),
+      overwrite = false)
+    loadView(info.ident())
+  }
+
+  override def replaceView(info: ViewInfo, orCreate: Boolean): View = {
+    if (!viewExists(info.ident()) && !orCreate)
+      throw new NoSuchViewException(info.ident())
+    writeView(info.ident(), info.sql(), info.currentCatalog(),
+      info.currentNamespace(), info.schema(), info.queryColumnNames(),
+      info.columnAliases(), info.columnComments(),
+      Option(info.properties()).map(_.asScala.toMap).getOrElse(Map.empty),
+      overwrite = true)
+    loadView(info.ident())
+  }
+
+  override def alterView(ident: Identifier, changes: ViewChange*): View = {
+    val v = loadView(ident)
+    val props = changes.foldLeft(v.properties().asScala.toMap) { (m, c) =>
+      c match {
+        case sp: ViewChange.SetProperty => m + (sp.property() -> sp.value())
+        case rp: ViewChange.RemoveProperty => m - rp.property()
+        case other => throw new IllegalArgumentException(
+          s"unsupported view change: $other")
+      }
+    }
+    writeView(ident, v.query(), v.currentCatalog(), v.currentNamespace(),
+      v.schema(), v.queryColumnNames(), v.columnAliases(), v.columnComments(),
+      props, overwrite = true)
+    loadView(ident)
+  }
+
+  override def dropView(ident: Identifier): Boolean =
+    fs.delete(viewPath(ident), false)
+
+  override def renameView(oldIdent: Identifier, newIdent: Identifier): Unit = {
+    if (!viewExists(oldIdent)) throw new NoSuchViewException(oldIdent)
+    if (viewExists(newIdent) || isTable(tableDir(newIdent)))
+      throw new ViewAlreadyExistsException(newIdent)
+    fs.mkdirs(viewPath(newIdent).getParent)
+    if (!fs.rename(viewPath(oldIdent), viewPath(newIdent)))
+      throw new ViewAlreadyExistsException(newIdent)
   }
 
   // ---------------------------------------------------------------

@@ -401,6 +401,45 @@ class GraftCatalogSpec extends SparkSpec {
     assert(spark.sql("SELECT who FROM graft.db.race_ctas").collect()(0).getString(0) == "winner")
   }
 
+  test("catalog VIEWS: CREATE / SELECT / OR REPLACE / SHOW / ALTER / RENAME / DROP, all through SQL; views track base-table commits") {
+    warehouse
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
+    spark.sql("CREATE TABLE graft.db.vbase (id BIGINT, v DOUBLE)")
+    spark.sql("INSERT INTO graft.db.vbase VALUES (1, 1.0), (2, 2.0), (3, 3.0)")
+    spark.sql("CREATE VIEW graft.db.doubled AS " +
+      "SELECT id, v * 2 AS dv FROM graft.db.vbase WHERE id > 1")
+    assert(spark.sql("SELECT sum(dv) FROM graft.db.doubled")
+      .collect()(0).getDouble(0) == 10.0)
+    // a view is a definition, not a snapshot: new base commits show
+    spark.sql("INSERT INTO graft.db.vbase VALUES (4, 4.0)")
+    assert(spark.sql("SELECT sum(dv) FROM graft.db.doubled")
+      .collect()(0).getDouble(0) == 18.0)
+    // CREATE OR REPLACE swaps the definition
+    spark.sql("CREATE OR REPLACE VIEW graft.db.doubled AS " +
+      "SELECT id, v * 10 AS dv FROM graft.db.vbase WHERE id = 1")
+    assert(spark.sql("SELECT sum(dv) FROM graft.db.doubled")
+      .collect()(0).getDouble(0) == 10.0)
+    // SHOW VIEWS lists it; plain CREATE over an existing name refuses
+    assert(spark.sql("SHOW VIEWS IN graft.db").collect()
+      .map(_.getString(1)).contains("doubled"))
+    intercept[Exception] {
+      spark.sql("CREATE VIEW graft.db.doubled AS SELECT 1 AS x")
+    }
+    // a view can never shadow a TABLE
+    intercept[Exception] {
+      spark.sql("CREATE VIEW graft.db.vbase AS SELECT 1 AS x")
+    }
+    // property round-trip and rename
+    spark.sql("ALTER VIEW graft.db.doubled SET TBLPROPERTIES ('owner_team' = 'ingest')")
+    spark.sql("ALTER VIEW graft.db.doubled RENAME TO graft.db.tenfold")
+    assert(spark.sql("SELECT sum(dv) FROM graft.db.tenfold")
+      .collect()(0).getDouble(0) == 10.0)
+    spark.sql("DROP VIEW graft.db.tenfold")
+    assert(!spark.sql("SHOW VIEWS IN graft.db").collect()
+      .map(_.getString(1)).contains("tenfold"))
+    intercept[Exception] { spark.sql("SELECT * FROM graft.db.tenfold").collect() }
+  }
+
   test("CALL remove_orphan_files: dry-run listing by default; dry_run => false sweeps the debris and leaves live data intact") {
     warehouse
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
