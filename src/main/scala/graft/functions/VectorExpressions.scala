@@ -160,6 +160,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => UnicodeNormalize(args(0),
         args(1).eval().toString)))
     // whole-operator extension: AsOfJoin logical node → AsOfJoinExec
+    ext.injectFunction((new FunctionIdentifier("hilbert_index"),
+      new ExpressionInfo("graft.functions.HilbertIndex", "hilbert_index"),
+      (children: Seq[Expression]) => {
+        require(children.length == 3, "usage: hilbert_index(x, y, bits)")
+        val bits = children(2) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Long, _) => v.toInt
+          case other => throw new IllegalArgumentException(
+            s"hilbert_index bits must be an integer literal, got $other")
+        }
+        HilbertIndex(children(0), children(1), bits)
+      }))
     ext.injectPlannerStrategy(_ => graft.plans.GraftStrategy)
     // view DDL/expansion must run BEFORE the resolution batch, where
     // ResolveSessionCatalog refuses view verbs on non-session catalogs

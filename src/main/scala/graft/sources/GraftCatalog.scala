@@ -136,13 +136,17 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
         // driver-local scan (one manifest-sized read per version, zero
         // data I/O)
         val ns = ident.namespace()
-        if ((ident.name() == "history" || ident.name() == "files" ||
-            ident.name() == "changes") && ns.nonEmpty) {
+        val metaNames = Set("history", "files", "changes", "detail", "partitions")
+        if (metaNames.contains(ident.name()) && ns.nonEmpty) {
           val parent = (warehouse +: ns.toSeq.map(checkPart)).mkString("/")
           if (isTable(parent)) return {
-            if (ident.name() == "history") new SnapshotHistoryTable(parent)
-            else if (ident.name() == "files") new SnapshotFilesTable(parent)
-            else new SnapshotChangesTable(parent, None)
+            ident.name() match {
+              case "history" => new SnapshotHistoryTable(parent)
+              case "files" => new SnapshotFilesTable(parent)
+              case "changes" => new SnapshotChangesTable(parent, None)
+              case "detail" => new SnapshotDetailTable(parent)
+              case _ => new SnapshotPartitionsTable(parent)
+            }
           }
         }
         throw new NoSuchTableException(ident)
@@ -432,13 +436,26 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
           in("target_bytes", LongType, Some("134217728")),
           in("small_bytes", LongType, Some("33554432")),
           in("cluster_by", SqlStringType, Some("''")),
-          in("min_files", LongType, Some("2")))) { input =>
+          in("min_files", LongType, Some("2")),
+          in("zorder_by", SqlStringType, Some("''")),
+          in("hilbert_by", SqlStringType, Some("''")))) { input =>
         val dir = tableDirOf(input.getUTF8String(0).toString)
+        def pair(i: Int, what: String): Option[(String, String)] = {
+          val cols = input.getUTF8String(i).toString
+            .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+          cols match {
+            case Nil => None
+            case Seq(a, b) => Some((a, b))
+            case other => throw new IllegalArgumentException(
+              s"$what needs exactly two columns, got: ${other.mkString(", ")}")
+          }
+        }
         val clusterBy = input.getUTF8String(3).toString
           .split(",").map(_.trim).filter(_.nonEmpty).toSeq
         val v = Snapshot.optimize(spark, dir,
           targetBytes = input.getLong(1), smallBytes = input.getLong(2),
-          clusterBy = clusterBy, minFiles = input.getLong(4).toInt)
+          clusterBy = clusterBy, minFiles = input.getLong(4).toInt,
+          zorderBy = pair(5, "zorder_by"), hilbertBy = pair(6, "hilbert_by"))
         (StructType.fromDDL("version BIGINT"),
           Seq(Seq(v.map(java.lang.Long.valueOf).orNull)))
       }
@@ -941,6 +958,126 @@ private[sources] final class SnapshotFilesTable(dir: String)
                 e.dv.isDefined,
                 UTF8String.fromString(stats)))
           }.toArray
+        }
+      }
+    }
+}
+
+/** `detail` metadata table — the DESCRIBE DETAIL surface:
+  * `SELECT * FROM graft.db.t.detail` — ONE row summarizing the latest
+  * version (version, op, commit ts, schema DDL, layout spec, file/
+  * row/byte totals, dv state, constraint count, tags, branches).
+  * Driver-local from the manifest + refs: zero data I/O at any scale.
+  */
+private[sources] final class SnapshotDetailTable(dir: String)
+    extends Table with SupportsRead {
+
+  private def spark = SparkSession.active
+
+  private val detailSchema: StructType = StructType.fromDDL(
+    "version BIGINT, op STRING, ts_ms BIGINT, schema_ddl STRING, " +
+      "partition_cols STRING, stats_cols STRING, bloom_cols STRING, " +
+      "num_files BIGINT, total_rows BIGINT, live_rows BIGINT, " +
+      "total_bytes BIGINT, files_with_dv BIGINT, num_constraints BIGINT, " +
+      "num_tags BIGINT, num_branches BIGINT")
+
+  override def name(): String = s"graft-detail `$dir`"
+  override def schema(): StructType = detailSchema
+  override def capabilities(): util.Set[TableCapability] =
+    Set(TableCapability.BATCH_READ).asJava
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan = new LocalScan {
+        override def readSchema(): StructType = detailSchema
+        override def rows(): Array[InternalRow] = {
+          import org.apache.spark.unsafe.types.UTF8String
+          val s = spark
+          val v = Snapshot.latestVersion(s, dir).getOrElse(
+            throw new IllegalStateException(s"no committed version at $dir"))
+          val m = Snapshot.readManifest(s, dir, v)
+          def csv(xs: Seq[String]) = UTF8String.fromString(xs.mkString(","))
+          Array(new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+            Array[Any](
+              m.version, UTF8String.fromString(m.op), m.tsMs,
+              UTF8String.fromString(m.schemaDdl),
+              csv(m.spec.partitionCols), csv(m.spec.statsCols), csv(m.spec.bloomCols),
+              m.files.size.toLong,
+              m.files.map(_.rows).sum,
+              m.files.map(e => e.rows - e.dv.map(_.deleted).getOrElse(0L)).sum,
+              m.files.map(_.bytes).sum,
+              m.files.count(_.dv.isDefined).toLong,
+              m.constraints.size.toLong,
+              Snapshot.tags(s, dir).size.toLong,
+              Snapshot.branches(s, dir).size.toLong)))
+        }
+      }
+    }
+}
+
+/** `partitions` metadata table — per-partition-value census for
+  * identity-partitioned tables, straight from manifest stats (writes
+  * shuffle by the partition columns, so each file carries ONE value
+  * per partition column: min == max). Zero data I/O: the answer to
+  * "how big is each partition?" is a driver-side manifest fold even
+  * at an 800k-file table. Files written before the partition spec (or
+  * by non-clustering writers) can span values — they report as one
+  * `min..max` range row with `mixed = true` instead of lying.
+  */
+private[sources] final class SnapshotPartitionsTable(dir: String)
+    extends Table with SupportsRead {
+
+  private def spark = SparkSession.active
+
+  private val partSchema: StructType = StructType.fromDDL(
+    "partition STRING, num_files BIGINT, total_rows BIGINT, " +
+      "live_rows BIGINT, total_bytes BIGINT, mixed BOOLEAN")
+
+  override def name(): String = s"graft-partitions `$dir`"
+  override def schema(): StructType = partSchema
+  override def capabilities(): util.Set[TableCapability] =
+    Set(TableCapability.BATCH_READ).asJava
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan = new LocalScan {
+        override def readSchema(): StructType = partSchema
+        override def rows(): Array[InternalRow] = {
+          import org.apache.spark.unsafe.types.UTF8String
+          val s = spark
+          val v = Snapshot.latestVersion(s, dir).getOrElse(
+            throw new IllegalStateException(s"no committed version at $dir"))
+          val m = Snapshot.readManifest(s, dir, v)
+          require(m.spec.partitionCols.nonEmpty,
+            s"table at $dir is not partitioned — `partitions` needs PARTITIONED BY")
+          // physical stat keys: partition cols may have been renamed
+          val phys = m.spec.partitionCols.map(c => m.mapping.getOrElse(c, c))
+          // zero-row files (the CREATE's empty v1 seed) hold no
+          // partition data and would otherwise surface as a phantom
+          // "col=?" row
+          val byValue = m.files.filter(_.rows > 0L).groupBy { e =>
+            phys.map { c =>
+              val st = e.stats.get(c)
+              val mn = st.flatMap(_.min); val mx = st.flatMap(_.max)
+              (mn, mx) match {
+                case (Some(a), Some(b)) if a == b => (a, false)
+                case (Some(a), Some(b)) => (s"$a..$b", true)
+                case _ => ("?", true)
+              }
+            }
+          }
+          byValue.toSeq.map { case (key, fs) =>
+            val label = m.spec.partitionCols.zip(key.map(_._1))
+              .map { case (c, vl) => s"$c=$vl" }.mkString("/")
+            new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+              Array[Any](
+                UTF8String.fromString(label),
+                fs.size.toLong,
+                fs.map(_.rows).sum,
+                fs.map(e => e.rows - e.dv.map(_.deleted).getOrElse(0L)).sum,
+                fs.map(_.bytes).sum,
+                key.exists(_._2))): InternalRow
+          }.sortBy(_.getUTF8String(0).toString).toArray
         }
       }
     }

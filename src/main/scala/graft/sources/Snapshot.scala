@@ -1308,6 +1308,26 @@ object Snapshot {
     graft.operators.Merge.diff(
       readVersion(spark, dir, from), readVersion(spark, dir, to), keys)
 
+  /** Bytes ADDED by version `v`, from its raw delta file — O(that
+    * commit's changes), never a reconstruction. A full-listing version
+    * (v1 / legacy / checkpoint-shaped) counts all its bytes: from an
+    * incremental consumer's perspective the whole content is new. The
+    * streaming source's byte-based admission control reads this.
+    */
+  private[sources] def addedBytes(spark: SparkSession, dir: String, v: Long): Long = {
+    val f = fs(spark, dir)
+    val j = readJson(f, new Path(new Path(dir, VersionsDir), manifestName(v)))
+    val entries = (j \ "files") match {
+      case JArray(xs) => xs
+      case _ => (j \ "add") match {
+        case JArray(xs) => xs
+        case _ => Nil
+      }
+    }
+    implicit val fmts: Formats = DefaultFormats
+    entries.map(e => (e \ "bytes").extractOrElse[Long](0L)).sum
+  }
+
   /** The exactly-once cursor: highest streaming batch id ever
     * committed to this table (None for a pure-batch table).
     */
@@ -2147,9 +2167,11 @@ object Snapshot {
       smallBytes: Long = 32L * 1024 * 1024,
       clusterBy: Seq[String] = Nil,
       minFiles: Int = 2,
-      zorderBy: Option[(String, String)] = None): Option[Long] = {
-    require(clusterBy.isEmpty || zorderBy.isEmpty,
-      "optimize: clusterBy and zorderBy are mutually exclusive")
+      zorderBy: Option[(String, String)] = None,
+      hilbertBy: Option[(String, String)] = None): Option[Long] = {
+    require(Seq(clusterBy.nonEmpty, zorderBy.isDefined, hilbertBy.isDefined)
+        .count(identity) <= 1,
+      "optimize: clusterBy, zorderBy, and hilbertBy are mutually exclusive")
     val prev = baseManifest(spark, dir).getOrElse(
       throw new IllegalStateException(s"no committed version at $dir"))
     // dv'd files join the residue regardless of size: OPTIMIZE is the
@@ -2160,9 +2182,10 @@ object Snapshot {
     val schema = prev.schema
     val df0 = readEntries(spark, dir, small, schema, prev.tsMs, prev.mapping)
     val n = math.max(1, math.ceil(small.map(_.bytes).sum.toDouble / targetBytes).toInt)
-    val df = zorderBy match {
-      case Some((a, b)) => graft.operators.Layout.zorderBy(df0, col(a), col(b), n)
-      case None =>
+    val df = (zorderBy, hilbertBy) match {
+      case (Some((a, b)), _) => graft.operators.Layout.zorderBy(df0, col(a), col(b), n)
+      case (_, Some((a, b))) => graft.operators.Layout.hilbertBy(df0, col(a), col(b), n)
+      case _ =>
         if (clusterBy.isEmpty) df0.repartition(n)
         else df0.repartitionByRange(n, clusterBy.map(col): _*)
           .sortWithinPartitions(clusterBy.map(col): _*)

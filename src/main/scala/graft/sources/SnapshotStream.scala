@@ -253,6 +253,12 @@ private[sources] final class SnapshotStreamTable(tableSchema: StructType, dir: S
     val skipRewrites = options.getBoolean("skipRewrites", false)
     val maxVersions = options.getLong("maxVersionsPerBatch", Long.MaxValue)
     require(maxVersions >= 1, s"maxVersionsPerBatch must be >= 1: $maxVersions")
+    // byte-based admission control beside the version-count one: a
+    // backfill over versions of wildly different sizes (one 1 GB bulk
+    // load between thousands of KB micro-appends) needs bounded BYTES
+    // per micro-batch, not bounded version count
+    val maxBytes = options.getLong("maxBytesPerBatch", Long.MaxValue)
+    require(maxBytes >= 1, s"maxBytesPerBatch must be >= 1: $maxBytes")
     // column pruning: the stream reads ONLY the projected columns off
     // disk — on a wide 100 TB table the difference between tailing a
     // few key columns and decoding every page of every row group
@@ -384,7 +390,7 @@ private[sources] final class SnapshotStreamTable(tableSchema: StructType, dir: S
                 s"graft-snapshot: startingVersion '$tag' is neither 'latest', " +
                   s"a numeric version, nor a tag at $dir"))
           }
-          new SnapshotMicroBatchStream(dir, physRequired, startVersion, skipRewrites, maxVersions)
+          new SnapshotMicroBatchStream(dir, physRequired, startVersion, skipRewrites, maxVersions, maxBytes)
         }
         override def toBatch(): Batch = {
           // late-bound entries: BatchScanExec applies runtime filters
@@ -620,7 +626,8 @@ private final case class SnapshotOffset(v: Long) extends Offset {
 }
 
 private final class SnapshotMicroBatchStream(dir: String, schema: StructType,
-    startVersion: Option[Long], skipRewrites: Boolean, maxVersions: Long)
+    startVersion: Option[Long], skipRewrites: Boolean, maxVersions: Long,
+    maxBytes: Long = Long.MaxValue)
     extends MicroBatchStream with SupportsAdmissionControl {
 
   private def spark = SparkSession.active
@@ -641,7 +648,25 @@ private final class SnapshotMicroBatchStream(dir: String, schema: StructType,
     val latest = Snapshot.latestVersion(spark, dir).getOrElse(0L)
     val from = start.asInstanceOf[SnapshotOffset].v
     // saturating: from + Long.MaxValue must not wrap
-    SnapshotOffset(if (latest - from <= maxVersions) latest else from + maxVersions)
+    val capped = if (latest - from <= maxVersions) latest else from + maxVersions
+    // byte cap: admit versions while the cumulative added bytes stay
+    // under maxBytes — always at least ONE version so progress never
+    // stalls on a single oversized commit. O(admitted versions) tiny
+    // delta reads, no reconstruction.
+    val to =
+      if (maxBytes == Long.MaxValue || capped == from) capped
+      else {
+        var v = from
+        var bytes = 0L
+        var full = false
+        while (!full && v < capped) {
+          val next = Snapshot.addedBytes(spark, dir, v + 1)
+          if (v > from && bytes + next > maxBytes) full = true
+          else { bytes += next; v += 1 }
+        }
+        v
+      }
+    SnapshotOffset(to)
   }
 
   override def reportLatestOffset(): Offset = latestOffset()

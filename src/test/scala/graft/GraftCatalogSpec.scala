@@ -401,6 +401,73 @@ class GraftCatalogSpec extends SparkSpec {
     assert(spark.sql("SELECT who FROM graft.db.race_ctas").collect()(0).getString(0) == "winner")
   }
 
+  test("`detail` metadata table: one-row DESCRIBE DETAIL summary from the manifest, zero data I/O") {
+    warehouse
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
+    spark.sql("CREATE TABLE graft.db.det (id BIGINT, seg STRING) " +
+      "PARTITIONED BY (seg) TBLPROPERTIES ('graft.bloom_cols'='id')")
+    spark.sql("INSERT INTO graft.db.det VALUES (1, 'a'), (2, 'b')")
+    spark.sql("ALTER TABLE graft.db.det ADD CONSTRAINT pos CHECK (id > 0)")
+    spark.sql("CALL graft.system.create_tag(tbl => 'db.det', tag => 'g1')")
+    val r = spark.sql("SELECT * FROM graft.db.det.detail").collect()
+    assert(r.length == 1)
+    val row = r(0)
+    assert(row.getAs[Long]("version") == 3L) // create + insert + constraint
+    assert(row.getAs[String]("partition_cols") == "seg")
+    assert(row.getAs[String]("bloom_cols") == "id")
+    assert(row.getAs[Long]("total_rows") == 2L)
+    assert(row.getAs[Long]("live_rows") == 2L)
+    assert(row.getAs[Long]("num_constraints") == 1L)
+    assert(row.getAs[Long]("num_tags") == 1L)
+    assert(row.getAs[Long]("num_branches") == 0L)
+    assert(row.getAs[String]("schema_ddl").contains("id"))
+  }
+
+  test("`partitions` metadata table: per-value file/row/byte census from manifest stats; refuses unpartitioned tables") {
+    warehouse
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
+    spark.sql("CREATE TABLE graft.db.ptc (id BIGINT, seg STRING) PARTITIONED BY (seg)")
+    spark.sql("INSERT INTO graft.db.ptc VALUES (1, 'a'), (2, 'a'), (3, 'b')")
+    spark.sql("INSERT INTO graft.db.ptc VALUES (4, 'b')")
+    val census = spark.sql(
+      "SELECT partition, num_files, total_rows, mixed FROM graft.db.ptc.partitions")
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+    assert(census.keySet == Set("seg=a", "seg=b"))
+    assert(census("seg=a")._2 == 2L && census("seg=b")._2 == 2L)
+    assert(census.values.forall(!_._3), "identity-partitioned files must not be mixed")
+    intercept[Exception] {
+      spark.sql("CREATE TABLE graft.db.np (id BIGINT)")
+      spark.sql("SELECT * FROM graft.db.np.partitions").collect()
+    }
+  }
+
+  test("CALL optimize(hilbert_by) folds small files along the Hilbert curve; rows and content survive byte-identically") {
+    warehouse
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
+    spark.sql("CREATE TABLE graft.db.hil (a BIGINT, b BIGINT, v BIGINT)")
+    (0 until 4).foreach { i =>
+      spark.sql(s"INSERT INTO graft.db.hil " +
+        s"SELECT (id * 7919 + $i) % 65536, (id * 104729 + $i) % 65536, id " +
+        s"FROM range(500)")
+    }
+    val before = spark.sql("SELECT count(*), sum(v) FROM graft.db.hil").collect()(0)
+    val v = spark.sql("CALL graft.system.optimize(tbl => 'db.hil', " +
+      "small_bytes => 1073741824, hilbert_by => 'a,b', min_files => 1)")
+      .collect()(0)
+    assert(!v.isNullAt(0), "optimize(hilbert_by) must mint a version")
+    val after = spark.sql("SELECT count(*), sum(v) FROM graft.db.hil").collect()(0)
+    assert(before.toSeq == after.toSeq)
+    // both clustered dims carry stats post-layout (the pruning surface)
+    val stats = spark.sql("SELECT stats FROM graft.db.hil.files")
+      .collect().map(_.getString(0))
+    assert(stats.forall(s => s.contains("\"a\"") && s.contains("\"b\"")))
+    // cluster_by + hilbert_by together refuse
+    intercept[Exception] {
+      spark.sql("CALL graft.system.optimize(tbl => 'db.hil', " +
+        "cluster_by => 'a', hilbert_by => 'a,b')").collect()
+    }
+  }
+
   test("catalog VIEWS: CREATE / SELECT / OR REPLACE / SHOW / ALTER / RENAME / DROP, all through SQL; views track base-table commits") {
     warehouse
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")

@@ -124,4 +124,63 @@ class LayoutSpec extends SparkSpec {
       s.sql("DROP TABLE IF EXISTS ord_bkt")
     }
   }
+
+  test("hilbert index: a bijection whose consecutive indices are ALWAYS grid-adjacent (exhaustive at order 4 and 6)") {
+    import graft.functions.HilbertIndex
+    Seq(4, 6).foreach { bits =>
+      val n = 1 << bits
+      val d2xy = Array.fill(n.toLong.toInt * n)((-1, -1))
+      for (x <- 0 until n; y <- 0 until n) {
+        val d = HilbertIndex.xy2d(bits, x.toLong, y.toLong).toInt
+        assert(d >= 0 && d < n * n, s"d=$d out of range at ($x,$y) order $bits")
+        assert(d2xy(d) == ((-1, -1)), s"collision at d=$d order $bits")
+        d2xy(d) = (x, y)
+      }
+      (1 until n * n).foreach { d =>
+        val (x0, y0) = d2xy(d - 1); val (x1, y1) = d2xy(d)
+        assert(math.abs(x0 - x1) + math.abs(y0 - y1) == 1,
+          s"jump between d=${d - 1} and d=$d at order $bits")
+      }
+    }
+  }
+
+  test("hilbert_index codegen matches the interpreted walk; order 4 matches q261's unrolled arithmetic") {
+    import spark.implicits._
+    import graft.functions.HilbertIndex
+    val rnd = new scala.util.Random(11)
+    val pairs = Seq((0L, 0L), (65535L, 65535L), (65535L, 0L), (0L, 65535L)) ++
+      Seq.fill(300)((rnd.nextInt(65536).toLong, rnd.nextInt(65536).toLong))
+    val got = pairs.toDF("x", "y")
+      .withColumn("d", Layout.hilbertKey(col("x"), col("y")))
+      .collect()
+    got.foreach { r =>
+      assert(r.getLong(2) == HilbertIndex.xy2d(16, r.getLong(0), r.getLong(1)),
+        s"hilbert(${r.getLong(0)}, ${r.getLong(1)})")
+    }
+  }
+
+  test("hilbertBy writes range-disjoint files whose (a,b) rectangles are TIGHTER than a box scan needs: a box predicate touches a strict subset") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    val df = Seq.fill(4000)((rnd.nextInt(65536).toLong, rnd.nextInt(65536).toLong,
+      rnd.nextInt())).toDF("a", "b", "v")
+    val out = java.nio.file.Files.createTempDirectory("graft-hilbert").toString + "/t"
+    Layout.hilbertBy(df, col("a"), col("b"), numFiles = 8).write.parquet(out)
+    // per-file hilbert ranges are disjoint (the range partitioner's contract)
+    val perFile = spark.read.parquet(out)
+      .withColumn("d", Layout.hilbertKey(col("a"), col("b")))
+      .withColumn("f", col("_metadata.file_path"))
+      .groupBy("f").agg(min("d").as("lo"), max("d").as("hi"))
+      .collect().map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1)
+    perFile.sliding(2).foreach {
+      case Array((_, hi1), (lo2, _)) => assert(hi1 <= lo2, "overlapping hilbert ranges")
+      case _ =>
+    }
+    // locality: a small (a,b) box touches a strict subset of files
+    val touched = spark.read.parquet(out)
+      .filter(col("a") < 8192 && col("b") < 8192)
+      .select(col("_metadata.file_path")).distinct().count()
+    assert(touched < perFile.length,
+      s"a 1/64-area box should not touch all ${perFile.length} files ($touched)")
+  }
 }

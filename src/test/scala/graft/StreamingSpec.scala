@@ -1112,6 +1112,36 @@ class StreamingSpec extends SparkSpec {
       ("2026-01-01 11:00:00", "books", 1L, 5L)), snap.toString)
   }
 
+  test("snapshot stream maxBytesPerBatch: a backfill over uneven commit sizes advances in bounded-byte slices, each row exactly once") {
+    import graft.sources.Snapshot
+    import spark.implicits._
+    val root = tmp()
+    val tbl = s"$root/tbl"; val ck = s"$root/ck"
+    Snapshot.commit(spark, tbl, Seq((1L, "a")).toDF("id", "name"))           // v1 tiny
+    Snapshot.append(spark, tbl, (2L to 2000L).map(i => (i, s"n$i")).toDF("id", "name")) // v2 BIG
+    Snapshot.append(spark, tbl, Seq((2001L, "z")).toDF("id", "name"))        // v3 tiny
+    Snapshot.append(spark, tbl, Seq((2002L, "w")).toDF("id", "name"))        // v4 tiny
+    val batches = scala.collection.mutable.ArrayBuffer[Set[Long]]()
+    val q = spark.readStream.format("graft-snapshot")
+      .option("maxBytesPerBatch", "4096") // smaller than v2's file
+      .load(tbl)
+      .writeStream.option("checkpointLocation", ck)
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        batches.synchronized { batches += b.select("id").collect().map(_.getLong(0)).toSet }
+        ()
+      }.start()
+    q.processAllAvailable(); q.stop()
+    val nonEmpty = batches.filter(_.nonEmpty)
+    assert(nonEmpty.size >= 3,
+      s"byte admission must split the backfill into multiple batches: ${nonEmpty.map(_.size)}")
+    // exactly once, no loss, no dup
+    assert(nonEmpty.flatten.toSet == (1L to 2002L).toSet)
+    assert(nonEmpty.map(_.size).sum == 2002)
+    // the oversized v2 still advances (alone in its batch) — progress
+    // never stalls on a single commit bigger than the cap
+    assert(nonEmpty.exists(_.size == 1999))
+  }
+
   test("snapshot stream BY CATALOG IDENTIFIER: spark.readStream.table backfills, then resumes exactly-once on only-new appends") {
     val root = tmp()
     val wh = s"$root/wh"
