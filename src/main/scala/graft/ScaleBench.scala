@@ -109,9 +109,16 @@ object ScaleBench {
     // pre-spread both dirs so one-time costs never enter a measurement
     Seq(src, dst).foreach(d => Tables.names.foreach(n => Tables(spark, d, n).count()))
 
+    // SCALE_COUNT=1: report result-row counts beside times — separates
+    // "the operator scales super-linearly" from "the WORKLOAD (output)
+    // grew super-linearly" when adjudicating a ratio
+    val countMode = sys.env.get("SCALE_COUNT").contains("1")
     def runOnce(name: String, dir: String): Double = {
       val t0 = System.nanoTime()
-      byName(name).fn(spark, dir).write.format("noop").mode("overwrite").save()
+      if (countMode)
+        System.err.println(s"[scale] rows $name@$dir: " +
+          byName(name).fn(spark, dir).count())
+      else byName(name).fn(spark, dir).write.format("noop").mode("overwrite").save()
       (System.nanoTime() - t0) / 1e9
     }
     def fmt(v: Double) = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
