@@ -136,7 +136,7 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
         // driver-local scan (one manifest-sized read per version, zero
         // data I/O)
         val ns = ident.namespace()
-        val metaNames = Set("history", "files", "changes", "detail", "partitions")
+        val metaNames = Set("history", "files", "changes", "detail", "partitions", "refs")
         if (metaNames.contains(ident.name()) && ns.nonEmpty) {
           val parent = (warehouse +: ns.toSeq.map(checkPart)).mkString("/")
           if (isTable(parent)) return {
@@ -145,8 +145,25 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
               case "files" => new SnapshotFilesTable(parent)
               case "changes" => new SnapshotChangesTable(parent, None)
               case "detail" => new SnapshotDetailTable(parent)
+              case "refs" => new SnapshotRefsTable(parent)
               case _ => new SnapshotPartitionsTable(parent)
             }
+          }
+        }
+        // BRANCH table identifier: `graft.db.t.branch_<name>` is the
+        // branch itself as a fully writable table (INSERT INTO / DELETE
+        // FROM / SELECT run against the branch root, invisible on main
+        // until CALL graft.system.fast_forward) — the write-audit-
+        // publish surface in pure SQL
+        if (ident.name().startsWith("branch_") && ns.nonEmpty) {
+          val parent = (warehouse +: ns.toSeq.map(checkPart)).mkString("/")
+          val bname = ident.name().stripPrefix("branch_")
+          if (isTable(parent) && Snapshot.branches(spark, parent).contains(bname)) {
+            val bdir = Snapshot.branchDir(parent, bname)
+            val v = Snapshot.latestVersion(spark, bdir).getOrElse(
+              throw new IllegalStateException(s"branch '$bname' at $parent has no version"))
+            return new SnapshotStreamTable(
+              Snapshot.readManifest(spark, bdir, v).schema, bdir)
           }
         }
         throw new NoSuchTableException(ident)
@@ -180,10 +197,20 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
     val dir = tableDir(ident)
     val v = try version.toLong catch {
       case _: NumberFormatException =>
-        Snapshot.tags(spark, dir).getOrElse(version,
-          throw new IllegalArgumentException(
+        Snapshot.tags(spark, dir).get(version) match {
+          case Some(tv) => tv
+          case None if Snapshot.branches(spark, dir).contains(version) =>
+            // `VERSION AS OF '<branch>'`: read the branch HEAD, pinned —
+            // the SQL audit surface of write-audit-publish
+            val bdir = Snapshot.branchDir(dir, version)
+            val bv = Snapshot.latestVersion(spark, bdir).getOrElse(
+              throw new IllegalStateException(s"branch '$version' at $dir has no version"))
+            return new SnapshotStreamTable(
+              Snapshot.readManifest(spark, bdir, bv).schema, bdir, Some(bv))
+          case None => throw new IllegalArgumentException(
             s"graft VERSION AS OF: '$version' is neither a numeric snapshot " +
-              s"version nor a tag at $dir"))
+              s"version, a tag, nor a branch at $dir")
+        }
     }
     require(Snapshot.versions(spark, dir).contains(v),
       s"no version $v at $dir (vacuumed or never committed)")
@@ -506,6 +533,42 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
           tableDirOf(input.getUTF8String(1).toString))
         (StructType.fromDDL("version BIGINT"), Seq(Seq(v)))
       }
+      case "create_branch" => proc("create_branch", Seq(
+          in("tbl", SqlStringType),
+          in("branch", SqlStringType),
+          in("version", LongType, Some("CAST(NULL AS BIGINT)")))) { input =>
+        val dir = tableDirOf(input.getUTF8String(0).toString)
+        val ver = if (input.isNullAt(2)) None else Some(input.getLong(2))
+        val fork = Snapshot.createBranch(spark, dir,
+          input.getUTF8String(1).toString, ver)
+        (StructType.fromDDL("fork_version BIGINT"), Seq(Seq(fork)))
+      }
+      case "fast_forward" => proc("fast_forward", Seq(
+          in("tbl", SqlStringType),
+          in("branch", SqlStringType),
+          in("check", SqlStringType, Some("''")))) { input =>
+        val dir = tableDirOf(input.getUTF8String(0).toString)
+        val branch = input.getUTF8String(1).toString
+        val check = input.getUTF8String(2).toString.trim
+        // the AUDIT GATE in one call: a non-empty `check` predicate is
+        // declared as a CHECK constraint ON THE BRANCH first —
+        // addConstraint validates every branch row and refuses on any
+        // violation, so a bad publish is structurally impossible; the
+        // constraint then rides the fast-forward onto main and gates
+        // every later write there
+        if (check.nonEmpty)
+          Snapshot.addConstraint(spark, Snapshot.branchDir(dir, branch),
+            s"wap_${branch}_gate", check)
+        val v = Snapshot.fastForward(spark, dir, branch)
+        (StructType.fromDDL("version BIGINT"), Seq(Seq(v)))
+      }
+      case "delete_branch" => proc("delete_branch", Seq(
+          in("tbl", SqlStringType), in("branch", SqlStringType))) { input =>
+        val dir = tableDirOf(input.getUTF8String(0).toString)
+        val deleted = Snapshot.deleteBranch(spark, dir,
+          input.getUTF8String(1).toString)
+        (StructType.fromDDL("deleted BOOLEAN"), Seq(Seq(deleted)))
+      }
       case "remove_orphan_files" => proc("remove_orphan_files", Seq(
           in("tbl", SqlStringType),
           in("grace_hours", LongType, Some("24")),
@@ -753,7 +816,8 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
 private[sources] object GraftCatalog {
   val ProcedureNames: Seq[String] =
     Seq("optimize", "vacuum", "create_tag", "delete_tag", "restore", "clone",
-      "set_spec", "remove_orphan_files")
+      "set_spec", "remove_orphan_files", "create_branch", "fast_forward",
+      "delete_branch")
 }
 
 /** The staged CTAS/RTAS table: collects the SELECT's rows as staged
@@ -905,6 +969,48 @@ private[sources] final class SnapshotChangesTable(dir: String, fromDefault: Opti
         }
     }
   }
+}
+
+/** `refs` metadata table: every named ref on the table —
+  * `SELECT * FROM graft.db.t.refs` — tags (immutable version pins) and
+  * branches (writable forks, with their current head). Driver-local
+  * from the `_refs/` listing, zero data I/O.
+  */
+private[sources] final class SnapshotRefsTable(dir: String)
+    extends Table with SupportsRead {
+
+  private def spark = SparkSession.active
+
+  private val refsSchema: StructType = StructType.fromDDL(
+    "name STRING, type STRING, version BIGINT, head_version BIGINT")
+
+  override def name(): String = s"graft-refs `$dir`"
+  override def schema(): StructType = refsSchema
+  override def capabilities(): util.Set[TableCapability] =
+    Set(TableCapability.BATCH_READ).asJava
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan = new LocalScan {
+        override def readSchema(): StructType = refsSchema
+        override def rows(): Array[InternalRow] = {
+          import org.apache.spark.unsafe.types.UTF8String
+          val s = spark
+          val tagRows = Snapshot.tags(s, dir).toSeq.map { case (n, v) =>
+            new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+              Array[Any](UTF8String.fromString(n), UTF8String.fromString("tag"),
+                v, null)): InternalRow
+          }
+          val branchRows = Snapshot.branches(s, dir).toSeq.map { case (n, fork) =>
+            val head = Snapshot.latestVersion(s, Snapshot.branchDir(dir, n))
+            new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+              Array[Any](UTF8String.fromString(n), UTF8String.fromString("branch"),
+                fork, head.map(java.lang.Long.valueOf).orNull)): InternalRow
+          }
+          (tagRows ++ branchRows).sortBy(_.getUTF8String(0).toString).toArray
+        }
+      }
+    }
 }
 
 /** `files` metadata table: the LATEST version's file inventory —

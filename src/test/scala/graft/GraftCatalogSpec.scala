@@ -401,6 +401,49 @@ class GraftCatalogSpec extends SparkSpec {
     assert(spark.sql("SELECT who FROM graft.db.race_ctas").collect()(0).getString(0) == "winner")
   }
 
+  test("SQL write-audit-publish: branch_<name> table idents, VERSION AS OF '<branch>', refs table, CALL create_branch / fast_forward(check) / delete_branch") {
+    warehouse
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
+    spark.sql("CREATE TABLE graft.db.wapsql (id BIGINT, v DOUBLE)")
+    spark.sql("INSERT INTO graft.db.wapsql VALUES (1, 1.0), (2, 2.0)")
+    assert(spark.sql("CALL graft.system.create_branch(tbl => 'db.wapsql', branch => 'ingest')")
+      .collect()(0).getLong(0) == 2L)
+    // branch writes through the branch TABLE identifier — invisible on main
+    spark.sql("INSERT INTO graft.db.wapsql.branch_ingest VALUES (3, -3.0), (4, 4.0)")
+    assert(spark.sql("SELECT count(*) FROM graft.db.wapsql").collect()(0).getLong(0) == 2L)
+    // SQL audit surfaces: the branch ident and VERSION AS OF '<branch>'
+    assert(spark.sql("SELECT count(*) FROM graft.db.wapsql.branch_ingest")
+      .collect()(0).getLong(0) == 4L)
+    assert(spark.sql("SELECT count(*) FROM graft.db.wapsql VERSION AS OF 'ingest'")
+      .collect()(0).getLong(0) == 4L)
+    // a failing audit gate refuses the publish and harms nothing
+    intercept[Exception] {
+      spark.sql("CALL graft.system.fast_forward(tbl => 'db.wapsql', " +
+        "branch => 'ingest', check => 'v >= 0')").collect()
+    }
+    assert(spark.sql("SELECT count(*) FROM graft.db.wapsql").collect()(0).getLong(0) == 2L)
+    // curate ON the branch through SQL, then the gate passes
+    spark.sql("DELETE FROM graft.db.wapsql.branch_ingest WHERE v < 0")
+    // refs metadata table sees the live branch (+ a tag for contrast)
+    spark.sql("CALL graft.system.create_tag(tbl => 'db.wapsql', tag => 'pre_publish')")
+    val refs = spark.sql("SELECT name, type, version FROM graft.db.wapsql.refs")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(refs == Set(("ingest", "branch", 2L), ("pre_publish", "tag", 2L)))
+    spark.sql("CALL graft.system.fast_forward(tbl => 'db.wapsql', " +
+      "branch => 'ingest', check => 'v >= 0')")
+    assert(spark.sql("SELECT sum(v) FROM graft.db.wapsql").collect()(0).getDouble(0) == 7.0)
+    // the branch is consumed; the gate CARRIED onto main
+    assert(spark.sql("SELECT type FROM graft.db.wapsql.refs").collect()
+      .map(_.getString(0)).toSeq == Seq("tag"))
+    intercept[Exception] {
+      spark.sql("INSERT INTO graft.db.wapsql VALUES (9, -9.0)")
+    }
+    // delete_branch releases an abandoned branch
+    spark.sql("CALL graft.system.create_branch(tbl => 'db.wapsql', branch => 'scrap')")
+    assert(spark.sql("CALL graft.system.delete_branch(tbl => 'db.wapsql', branch => 'scrap')")
+      .collect()(0).getBoolean(0))
+  }
+
   test("`detail` metadata table: one-row DESCRIBE DETAIL summary from the manifest, zero data I/O") {
     warehouse
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
