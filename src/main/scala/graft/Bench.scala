@@ -91,6 +91,17 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // WindowExec's "No Partition Defined" warning fires once per task
+    // for every window over an already-aggregated O(days)/O(bins)/
+    // O(groups) frame — the documented idiom across the suite, each
+    // instance plan-audited (PLANS_r10..r12; VERDICT r12 "What's
+    // wrong" #4). Dozens of cry-wolf lines buried real signal in the
+    // bench tail, so the RUNTIME warning is silenced HERE (bench only);
+    // the STATIC guard remains graft.plans.PlanLint, which flags any
+    // genuinely unbounded single-partition window at plan level.
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.sql.execution.window.WindowExec",
+      org.apache.logging.log4j.Level.ERROR)
 
     // Baselines load FIRST: they decide which queries get a warm-up
     // and which measured times earn a confirming re-run.

@@ -48,10 +48,9 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * DROP / ADD COLUMN never touch a data byte regardless of table size.
   * `DELETE FROM t [WHERE …]` works too (SupportsDelete → the
   * MERGE-ON-READ `Snapshot.deleteWhere`: deletion vectors, zero file
-  * rewrites). UPDATE/MERGE INTO SQL is not wired into the analyzer
-  * (that needs the full SupportsRowLevelOperations plumbing); use the
-  * library API (`Snapshot.upsert` / `mergeInto`) — the same split most
-  * formats shipped with first.
+  * rewrites), and SQL `UPDATE` / `MERGE INTO` run through the full
+  * SupportsRowLevelOperations plumbing ([[RowLevel]]: group-based
+  * copy-on-write, file-granular via the candidate-file scan).
   */
 final class GraftCatalog extends TableCatalog with SupportsNamespaces
     with StagingTableCatalog
