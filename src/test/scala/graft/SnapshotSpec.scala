@@ -1574,6 +1574,28 @@ class SnapshotSpec extends SparkSpec {
     }
   }
 
+  test("branch: SCHEMA EVOLUTION on the branch rides the fast-forward — main gains the column, old versions stay pre-evolution") {
+    import spark.implicits._
+    val dir = tmp() + "/t"
+    Snapshot.commit(spark, dir, base)
+    Snapshot.createBranch(spark, dir, "evolve")
+    val bdir = Snapshot.branchDir(dir, "evolve")
+    // evolve ON THE BRANCH: new column + rows carrying it
+    Snapshot.addColumn(spark, bdir, "tier", "STRING")
+    Snapshot.append(spark, bdir,
+      Seq((5L, "e", 5.0, "gold")).toDF("id", "name", "score", "tier"))
+    // main's schema is untouched until publish
+    assert(!Snapshot.read(spark, dir).columns.contains("tier"))
+    Snapshot.fastForward(spark, dir, "evolve")
+    val main = Snapshot.read(spark, dir)
+    assert(main.columns.toSeq == Seq("id", "name", "score", "tier"))
+    assert(main.filter(col("id") === 5L).select(col("tier"))
+      .collect()(0).getString(0) == "gold")
+    // pre-fork rows read back null-filled; time travel stays pre-evolution
+    assert(main.filter(col("tier").isNull).count() == 4L)
+    assert(!Snapshot.readVersion(spark, dir, 1L).columns.contains("tier"))
+  }
+
   test("branch: vacuum on main keeps the fork version alive for the branch's lifetime; deleteBranch releases it") {
     import spark.implicits._
     val dir = tmp() + "/t"
