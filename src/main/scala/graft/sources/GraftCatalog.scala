@@ -175,6 +175,23 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
     * ([[Snapshot.createTag]]): `VERSION AS OF 'pre_migration'`.
     */
   override def loadTable(ident: Identifier, version: String): Table = {
+    // `… FROM graft.db.t.branch_<b> VERSION AS OF <v>` — time travel
+    // WITHIN a branch (numeric versions of the branch's own chain)
+    if (ident.name().startsWith("branch_") && ident.namespace().nonEmpty) {
+      val parent = (warehouse +: ident.namespace().toSeq.map(checkPart)).mkString("/")
+      val bname = ident.name().stripPrefix("branch_")
+      if (isTable(parent) && Snapshot.branches(spark, parent).contains(bname)) {
+        val bdir = Snapshot.branchDir(parent, bname)
+        val bv = try version.toLong catch {
+          case _: NumberFormatException => throw new IllegalArgumentException(
+            s"branch time travel takes numeric versions of the branch chain, got '$version'")
+        }
+        require(Snapshot.versions(spark, bdir).contains(bv),
+          s"no version $bv on branch '$bname' at $parent")
+        return new SnapshotStreamTable(
+          Snapshot.readManifest(spark, bdir, bv).schema, bdir, Some(bv))
+      }
+    }
     // `SELECT * FROM graft.db.t.changes VERSION AS OF <v|tag>` — the
     // pure-SQL incremental-consumer surface: everything that changed
     // SINCE version v (v → head). A tag resolves like everywhere else.

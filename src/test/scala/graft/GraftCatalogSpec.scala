@@ -444,6 +444,27 @@ class GraftCatalogSpec extends SparkSpec {
       .collect()(0).getBoolean(0))
   }
 
+  test("views compose: a view over a view expands through the fixpoint; branch idents time-travel within the branch chain") {
+    warehouse
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
+    spark.sql("CREATE TABLE graft.db.vv (id BIGINT, v DOUBLE)")
+    spark.sql("INSERT INTO graft.db.vv VALUES (1, 1.0), (2, 2.0), (3, 3.0)")
+    spark.sql("CREATE VIEW graft.db.vv_big AS SELECT id, v FROM graft.db.vv WHERE id >= 2")
+    spark.sql("CREATE VIEW graft.db.vv_sum AS SELECT sum(v) AS total FROM graft.db.vv_big")
+    assert(spark.sql("SELECT total FROM graft.db.vv_sum").collect()(0).getDouble(0) == 5.0)
+    // branch time travel: versions address the BRANCH's own chain
+    spark.sql("CALL graft.system.create_branch(tbl => 'db.vv', branch => 'b')")
+    spark.sql("INSERT INTO graft.db.vv.branch_b VALUES (4, 4.0)") // branch v2
+    spark.sql("INSERT INTO graft.db.vv.branch_b VALUES (5, 5.0)") // branch v3
+    assert(spark.sql("SELECT count(*) FROM graft.db.vv.branch_b VERSION AS OF 2")
+      .collect()(0).getLong(0) == 4L)
+    assert(spark.sql("SELECT count(*) FROM graft.db.vv.branch_b VERSION AS OF 3")
+      .collect()(0).getLong(0) == 5L)
+    intercept[Exception] {
+      spark.sql("SELECT * FROM graft.db.vv.branch_b VERSION AS OF 99").collect()
+    }
+  }
+
   test("`detail` metadata table: one-row DESCRIBE DETAIL summary from the manifest, zero data I/O") {
     warehouse
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
