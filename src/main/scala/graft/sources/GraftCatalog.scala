@@ -108,6 +108,17 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
     require(!fs.exists(new Path(dir)) || fs.listStatus(new Path(dir)).isEmpty,
       s"cannot create table at $dir: the path is an existing non-table " +
         "directory (a namespace?)")
+    // no table NESTED inside another table: `CREATE TABLE graft.db.t.x`
+    // would land x's data under t's directory — t's maintenance, DROP,
+    // and a staged-abort sweep would all reach into it, and t.x is the
+    // metadata-table/branch identifier namespace
+    val ancestors = ident.namespace().toSeq.inits.toSeq.init // every non-empty namespace prefix
+    ancestors.foreach { ns =>
+      val p = (warehouse +: ns.map(checkPart)).mkString("/")
+      require(!isTable(p),
+        s"cannot create table ${ident.namespace().mkString(".")}.${ident.name()}: " +
+          s"'${ns.mkString(".")}' is a TABLE — tables cannot nest inside tables")
+    }
   }
 
   // ---------------------------------------------------------------

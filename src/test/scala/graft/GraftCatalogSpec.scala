@@ -444,6 +444,19 @@ class GraftCatalogSpec extends SparkSpec {
       .collect()(0).getBoolean(0))
   }
 
+  test("a table can never NEST inside another table's directory (the metadata-table/branch identifier namespace)") {
+    warehouse
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
+    spark.sql("CREATE TABLE graft.db.outer1 (id BIGINT)")
+    intercept[Exception] {
+      spark.sql("CREATE TABLE graft.db.outer1.inner1 (id BIGINT)")
+    }
+    intercept[Exception] {
+      spark.sql("CREATE TABLE graft.db.outer1.sub.inner1 (id BIGINT)")
+    }
+    assert(!new java.io.File(s"$warehouse/db/outer1/inner1").exists)
+  }
+
   test("views compose: a view over a view expands through the fixpoint; branch idents time-travel within the branch chain") {
     warehouse
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
