@@ -197,6 +197,31 @@ private[sources] final class SnapshotStreamTable(tableSchema: StructType, dir: S
   private def spark_ = SparkSession.active
   override def name(): String = s"graft-snapshot `$dir`"
   override def schema(): StructType = tableSchema
+
+  /** Identity partition columns as DSv2 transforms — what `SHOW
+    * CREATE TABLE` renders as PARTITIONED BY and planner utilities
+    * read as the table's declared clustering. From the manifest's
+    * spec (a pinned table reports ITS era's spec); memoized per
+    * version like [[properties]] — planning paths may ask repeatedly
+    * and a manifest read per call adds latency on remote storage.
+    */
+  @volatile private var partCache: (Long, Array[org.apache.spark.sql.connector.expressions.Transform]) = _
+
+  override def partitioning(): Array[org.apache.spark.sql.connector.expressions.Transform] =
+    Snapshot.latestVersion(spark_, dir) match {
+      case None => Array.empty
+      case Some(latest) =>
+        val v = pinned.getOrElse(latest)
+        val cached = partCache
+        if (cached != null && cached._1 == v) cached._2
+        else {
+          val computed = Snapshot.readManifest(spark_, dir, v).spec.partitionCols
+            .map(c => org.apache.spark.sql.connector.expressions.Expressions.identity(c))
+            .toArray[org.apache.spark.sql.connector.expressions.Transform]
+          partCache = (v, computed)
+          computed
+        }
+    }
   override def capabilities(): util.Set[TableCapability] =
     Set(TableCapability.MICRO_BATCH_READ, TableCapability.BATCH_READ,
       TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE).asJava

@@ -444,6 +444,22 @@ class GraftCatalogSpec extends SparkSpec {
       .collect()(0).getBoolean(0))
   }
 
+  test("SHOW CREATE TABLE / DESCRIBE round-trip the catalog surface (schema + partitioning visible through plain SQL tooling)") {
+    warehouse
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
+    spark.sql("CREATE TABLE graft.db.sct (id BIGINT, seg STRING, v DOUBLE) " +
+      "PARTITIONED BY (seg)")
+    val ddl = spark.sql("SHOW CREATE TABLE graft.db.sct")
+      .collect()(0).getString(0)
+    assert(ddl.contains("id BIGINT") && ddl.contains("seg STRING"),
+      s"SHOW CREATE TABLE must carry the schema: $ddl")
+    assert(ddl.contains("PARTITIONED BY") && ddl.contains("seg"),
+      s"SHOW CREATE TABLE must carry the partitioning: $ddl")
+    val desc = spark.sql("DESCRIBE TABLE graft.db.sct").collect()
+      .map(r => (r.getString(0), r.getString(1))).toMap
+    assert(desc.get("id").contains("bigint") && desc.get("v").contains("double"))
+  }
+
   test("a table can never NEST inside another table's directory (the metadata-table/branch identifier namespace)") {
     warehouse
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
