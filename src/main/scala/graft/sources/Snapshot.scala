@@ -1308,6 +1308,26 @@ object Snapshot {
     graft.operators.Merge.diff(
       readVersion(spark, dir, from), readVersion(spark, dir, to), keys)
 
+  /** Publish pre-written data files as ONE append version with the
+    * writer-scoped exactly-once cursor — the streaming-sink commit
+    * path ([[SnapshotStreamTable]]'s `writeStream.toTable` support):
+    * a replayed epoch from the SAME query (txnApp) at or below the
+    * stored cursor publishes NOTHING (None); everything else is a
+    * normal O(entries) append. Entries must already live under the
+    * table's own data dir.
+    */
+  private[sources] def appendEntries(spark: SparkSession, dir: String,
+      entries: Seq[FileEntry], batchId: Long, txnApp: String): Option[Long] = {
+    val base = baseManifest(spark, dir).getOrElse(
+      throw new IllegalStateException(s"no committed version at $dir"))
+    if (base.txnApp.contains(txnApp) && base.txnBatch.exists(_ >= batchId))
+      return None // replayed epoch: already committed, skip idempotently
+    Some(commitManifest(spark, dir, "append", base.schemaDdl,
+      base.files ++ entries, Some(batchId), Some(txnApp), Some(base),
+      metrics = Map("rows_written" -> entries.map(_.rows).sum,
+        "files_added" -> entries.size.toLong)))
+  }
+
   /** Bytes ADDED by version `v`, from its raw delta file — O(that
     * commit's changes), never a reconstruction. A full-listing version
     * (v1 / legacy / checkpoint-shaped) counts all its bytes: from an

@@ -224,7 +224,8 @@ private[sources] final class SnapshotStreamTable(tableSchema: StructType, dir: S
     }
   override def capabilities(): util.Set[TableCapability] =
     Set(TableCapability.MICRO_BATCH_READ, TableCapability.BATCH_READ,
-      TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE).asJava
+      TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE,
+      TableCapability.STREAMING_WRITE).asJava
 
   /** SQL `DELETE FROM t WHERE …` — MERGE-ON-READ through
     * [[Snapshot.deleteWhere]]: matched row positions go to a deletion
@@ -271,6 +272,15 @@ private[sources] final class SnapshotStreamTable(tableSchema: StructType, dir: S
               else Snapshot.append(s, dir, data)
             }
           }
+        // `df.writeStream.toTable("graft.db.t")` — identifier-based
+        // streaming SINK with writer-scoped exactly-once
+        override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
+          require(!overwrite,
+            "the graft streaming sink is APPEND-only — complete/truncate " +
+              "output modes would rewrite the table every epoch; use " +
+              "foreachBatch with Snapshot.commit for full restatements")
+          new SnapshotStreamingWrite(dir, info.schema(), info.queryId())
+        }
       }
     }
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
@@ -765,5 +775,102 @@ private final class SnapshotReaderFactory(
       override def get(): InternalRow = current
       override def close(): Unit = ()
     }
+  }
+}
+
+/** Task-side factory for the streaming SINK (`writeStream.toTable`):
+  * each epoch's tasks write native parquet into an epoch-scoped commit
+  * dir through the same [[RowLevelWriterFactory]] path row-level
+  * rewrites use. A case class of serializable pieces only — shipped to
+  * executors.
+  */
+private final case class SnapshotStreamingWriterFactory(dirAbs: String,
+    runId: String, schema: StructType,
+    factory: org.apache.spark.sql.execution.datasources.OutputWriterFactory,
+    conf: org.apache.spark.util.SerializableConfiguration)
+    extends org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long, epochId: Long)
+      : org.apache.spark.sql.connector.write.DataWriter[InternalRow] =
+    RowLevelWriterFactory(s"$dirAbs/${Snapshot.DataDir}/$runId-e$epochId",
+      schema, factory, conf).createWriter(partitionId, taskId)
+}
+
+/** The identifier-based streaming SINK: `df.writeStream.toTable(
+  * "graft.db.t")` — every epoch publishes ONE append version carrying
+  * `batchId = epochId` under the WRITER-SCOPED txn cursor
+  * ([[Snapshot.appendEntries]]), so Structured Streaming's epoch
+  * replays (the post-crash re-commit of the last batch) publish
+  * NOTHING instead of duplicating rows — the same exactly-once rule
+  * the path-based foreachBatch sinks use, now wired into the native
+  * StreamingWrite protocol. Straggler/speculative task files are
+  * pruned by name before publish; empty epochs mint no version; an
+  * aborted or replayed epoch deletes its own bytes. CHECK constraints
+  * gate every epoch exactly as they gate batch appends.
+  */
+private final class SnapshotStreamingWrite(dir: String,
+    writeSchema: StructType, queryId: String)
+    extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
+
+  private val runId = java.util.UUID.randomUUID().toString
+  private def spark = SparkSession.active
+  private def relOf(epochId: Long): String = s"${Snapshot.DataDir}/$runId-e$epochId"
+
+  override def createStreamingWriterFactory(
+      info: org.apache.spark.sql.connector.write.PhysicalWriteInfo)
+      : org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory = {
+    val s = spark
+    val v = Snapshot.latestVersion(s, dir).getOrElse(
+      throw new IllegalStateException(s"no committed version at $dir — " +
+        "create the table before streaming into it"))
+    val m = Snapshot.readManifest(s, dir, v)
+    require(writeSchema.fieldNames.toSeq == m.schema.fieldNames.toSeq,
+      s"streaming write schema ${writeSchema.fieldNames.mkString(",")} must match " +
+        s"the table schema ${m.schema.fieldNames.mkString(",")}")
+    val phys = Snapshot.physicalSchema(writeSchema, m.mapping)
+    val (factory, conf) =
+      org.apache.spark.sql.graft.ParquetWriteBridge.writerSetup(s, phys)
+    SnapshotStreamingWriterFactory(dir, runId, phys, factory, conf)
+  }
+
+  override def commit(epochId: Long,
+      messages: Array[org.apache.spark.sql.connector.write.WriterCommitMessage]): Unit = {
+    val s = spark
+    val fs = new Path(dir).getFileSystem(s.sparkContext.hadoopConfiguration)
+    val rel = relOf(epochId)
+    val p = new Path(s"$dir/$rel")
+    val committed: Set[String] = messages.flatMap {
+      case RowLevelFileCommit(names) => names
+      case _ => Seq.empty
+    }.toSet
+    // drop files of never-committed attempts (speculation/retries)
+    if (fs.exists(p))
+      fs.listStatus(p).foreach { st =>
+        if (st.isFile && !committed.contains(st.getPath.getName))
+          fs.delete(st.getPath, false)
+      }
+    val m = Snapshot.readManifest(s, dir, Snapshot.latestVersion(s, dir).getOrElse(
+      throw new IllegalStateException(s"no committed version at $dir")))
+    val phys = Snapshot.physicalSchema(m.schema, m.mapping)
+    val entries =
+      if (committed.isEmpty) Seq.empty
+      else Snapshot.collectEntries(s, s"$dir/$rel", rel, phys, m.spec)
+        .filter(e => committed.contains(Snapshot.baseName(e.path)))
+    if (entries.isEmpty) { // empty epoch: no version, no debris
+      if (fs.exists(p)) fs.delete(p, true)
+      return
+    }
+    Snapshot.validateWritten(s, dir, rel, phys,
+      m.schema.fieldNames.toSeq, m.constraints)
+    Snapshot.appendEntries(s, dir, entries, epochId, queryId) match {
+      case None => fs.delete(p, true) // replayed epoch: bytes redundant
+      case Some(_) => ()
+    }
+  }
+
+  override def abort(epochId: Long,
+      messages: Array[org.apache.spark.sql.connector.write.WriterCommitMessage]): Unit = {
+    val s = spark
+    val fs = new Path(dir).getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(new Path(s"$dir/${relOf(epochId)}"), true)
   }
 }

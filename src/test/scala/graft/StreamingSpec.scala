@@ -1142,6 +1142,50 @@ class StreamingSpec extends SparkSpec {
     assert(nonEmpty.exists(_.size == 1999))
   }
 
+  test("streaming WRITE by identifier: writeStream.toTable appends one version per epoch, exactly-once across restarts; CHECK constraints gate epochs") {
+    import graft.sources.Snapshot
+    val root = tmp()
+    val wh = s"$root/wh"
+    spark.conf.set("spark.sql.catalog.gsink", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gsink.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gsink.db")
+    spark.sql("CREATE TABLE gsink.db.out (id BIGINT, v DOUBLE)")        // v1
+    val dir = s"$wh/db/out"
+    // file-based source: restartable with new data between runs
+    val src = s"$root/src"; val ck = s"$root/ck"
+    import spark.implicits._
+    val schema = org.apache.spark.sql.types.StructType.fromDDL("id BIGINT, v DOUBLE")
+    Seq((1L, 1.0), (2L, 2.0)).toDF("id", "v").write.parquet(s"$src/b1")
+    def run(): Unit = {
+      val q = spark.readStream.schema(schema).parquet(s"$src/*")
+        .writeStream.option("checkpointLocation", ck)
+        .toTable("gsink.db.out")
+      q.processAllAvailable(); q.stop()
+    }
+    run()
+    assert(spark.sql("SELECT count(*) FROM gsink.db.out").collect()(0).getLong(0) == 2L)
+    // restart with MORE source data: only the new batch lands
+    Seq((3L, 3.0)).toDF("id", "v").write.parquet(s"$src/b2")
+    run()
+    assert(spark.table("gsink.db.out").select("id").collect().map(_.getLong(0)).toSet ==
+      Set(1L, 2L, 3L))
+    // idle restart: NO new version (empty epochs and replays publish nothing)
+    val vBefore = Snapshot.versions(spark, dir).max
+    run()
+    assert(Snapshot.versions(spark, dir).max == vBefore,
+      "an idle restart must not mint versions")
+    // versions carry the epoch as batch id; history shows pure appends
+    val ops = Snapshot.history(spark, dir).collect().map(_.getString(1)).toSeq
+    assert(ops == Seq("init", "append", "append"))
+    assert(Snapshot.lastTxn(spark, dir).isDefined, "the writer txn cursor must be set")
+    // a CHECK constraint gates the NEXT epoch
+    spark.sql("ALTER TABLE gsink.db.out ADD CONSTRAINT pos CHECK (v >= 0)")
+    Seq((4L, -4.0)).toDF("id", "v").write.parquet(s"$src/b3")
+    intercept[Exception] { run() }
+    assert(!spark.table("gsink.db.out").select("id").collect().map(_.getLong(0)).contains(4L),
+      "a constraint-violating epoch must publish nothing")
+  }
+
   test("snapshot stream BY CATALOG IDENTIFIER: spark.readStream.table backfills, then resumes exactly-once on only-new appends") {
     val root = tmp()
     val wh = s"$root/wh"
