@@ -127,6 +127,15 @@ import org.json4s.jackson.JsonMethods
   * visibility: compaction publishes a new version while old versions
   * stay readable until vacuum reclaims them.
   */
+/** Thrown by a batchId-carrying commit whose base manifest already
+  * covers (txnApp, batchId): a racing twin of the same streaming query
+  * (zombie driver during failover) published the epoch first. The
+  * streaming sinks treat it as the idempotent-skip signal — the epoch's
+  * rows are already in the table; publishing again would duplicate them.
+  */
+private[graft] final class EpochAlreadyCommittedException(message: String)
+  extends RuntimeException(message)
+
 object Snapshot {
 
   private val VersionsDir = "_versions"
@@ -216,6 +225,16 @@ object Snapshot {
     * later re-add of the same logical name must bind a FRESH physical
     * name or the dropped data would silently resurrect.
     */
+  /** `txns` is the CORRECTNESS cursor for exactly-once streaming
+    * writes: app id → highest batch id that app has ever committed,
+    * one entry PER writer (the Delta txnAppId/txnVersion idea). A
+    * single latest-writer slot ([[txnApp]]/[[txnBatch]], kept for
+    * observability and legacy manifests) is NOT enough: two
+    * concurrent streaming queries writing the same table would reset
+    * each other's slot, so a post-crash epoch replay from the first
+    * query would no longer be recognized and would duplicate its
+    * rows. Skip decisions read the map; the slot is display-only.
+    */
   private[sources] final case class Manifest(version: Long, op: String,
       schemaDdl: String, files: Seq[FileEntry], batchId: Option[Long],
       lastBatchId: Option[Long], txnApp: Option[String],
@@ -224,7 +243,8 @@ object Snapshot {
       metrics: Map[String, Long] = Map.empty,
       mapping: Map[String, String] = Map.empty,
       retired: Set[String] = Set.empty,
-      spec: TableSpec = TableSpec()) {
+      spec: TableSpec = TableSpec(),
+      txns: Map[String, Long] = Map.empty) {
     def schema: StructType =
       if (schemaDdl.isEmpty) new StructType() else StructType.fromDDL(schemaDdl)
   }
@@ -338,6 +358,18 @@ object Snapshot {
       strList(j \ "stats_cols"),
       strList(j \ "bloom_cols"),
       (j \ "bloom_bits").extractOrElse[Int](DefaultBloomBits))
+    val txnApp = (j \ "txn_app").extractOpt[String]
+    val txnBatch = (j \ "txn_batch").extractOpt[Long]
+    // per-app cursor map; legacy manifests (pre-map) carried at most
+    // one writer's cursor in the slot — seed the map from it so an
+    // upgraded reader keeps recognizing that writer's replays
+    val txns: Map[String, Long] = (j \ "txns") match {
+      case JObject(fields) => fields.collect {
+        case (k, JLong(v)) => k -> v
+        case (k, JInt(v)) => k -> v.toLong
+      }.toMap
+      case _ => txnBatch.map(b => txnApp.getOrElse("default") -> b).toMap
+    }
     Manifest(
       (j \ "version").extract[Long],
       (j \ "op").extract[String],
@@ -345,14 +377,15 @@ object Snapshot {
       files,
       (j \ "batch_id").extractOpt[Long],
       (j \ "last_batch_id").extractOpt[Long],
-      (j \ "txn_app").extractOpt[String],
-      (j \ "txn_batch").extractOpt[Long],
+      txnApp,
+      txnBatch,
       (j \ "ts_ms").extract[Long],
       constraints,
       metrics,
       mapping,
       retired,
-      spec)
+      spec,
+      txns)
   }
 
   /** Replay one delta on top of the previous version's state. */
@@ -449,6 +482,8 @@ object Snapshot {
     "last_batch_id" -> m.lastBatchId.map(JLong(_)).getOrElse(JNull),
     "txn_app" -> m.txnApp.map(JString(_)).getOrElse(JNull),
     "txn_batch" -> m.txnBatch.map(JLong(_)).getOrElse(JNull),
+    "txns" -> JObject(m.txns.toList.sortBy(_._1)
+      .map { case (k, v) => k -> (JLong(v): JValue) }),
     "ts_ms" -> JLong(m.tsMs),
     "constraints" -> JObject(m.constraints.toList.sortBy(_._1)
       .map { case (k, v) => k -> (JString(v): JValue) }),
@@ -915,18 +950,20 @@ object Snapshot {
       val v = b.map(_.version + 1).getOrElse(1L)
       val last = (b.flatMap(_.lastBatchId).toSeq ++ batchId.toSeq)
         .reduceOption((a: Long, x: Long) => math.max(a, x))
-      // The per-writer txn cursor (txnApp, txnBatch) — the table-format
-      // txnAppId/txnVersion idea: batch ids are only monotone WITHIN one
-      // streaming query (one checkpoint), so when a DIFFERENT app writes
-      // the cursor RESETS to its batch id instead of taking a max that
-      // would swallow the new query's replays. Batch commits (no
-      // batchId) carry the previous cursor forward unchanged.
-      val (app, tb) = batchId match {
+      // The per-writer txn cursors — the table-format txnAppId/
+      // txnVersion idea: batch ids are only monotone WITHIN one
+      // streaming query (one checkpoint), so each app id keeps its OWN
+      // max-batch entry in the `txns` map; concurrent writers never
+      // clobber each other's cursor. Batch commits (no batchId) carry
+      // every cursor forward unchanged. The single latest-writer slot
+      // (txnApp, txnBatch) is maintained for observability only.
+      val prevTxns = b.map(_.txns).getOrElse(Map.empty)
+      val (app, tb, txns) = batchId match {
         case Some(bi) =>
           val a = txnApp.getOrElse("default")
-          val prev = b.filter(_.txnApp.contains(a)).flatMap(_.txnBatch)
-          (Some(a), Some(prev.fold(bi)(math.max(_, bi))))
-        case None => (b.flatMap(_.txnApp), b.flatMap(_.txnBatch))
+          val hi = prevTxns.get(a).fold(bi)(math.max(_, bi))
+          (Some(a), Some(hi), prevTxns + (a -> hi))
+        case None => (b.flatMap(_.txnApp), b.flatMap(_.txnBatch), prevTxns)
       }
       // ts_ms is monotone non-decreasing across versions (clock skew or
       // sub-ms commits otherwise break readAsOf's binary search)
@@ -946,7 +983,7 @@ object Snapshot {
       val met = if (rebases == 0) metrics
         else metrics + ("occ_rebases" -> rebases.toLong)
       Manifest(v, op, schemaDdl, fl, batchId, last, app, tb, ts, cons,
-        met, mp, ret, sp)
+        met, mp, ret, sp, txns)
     }
     // my action vs MY base, derived once — what a rebase replays
     val myAction = base.map(b => actionOf(b.files, files))
@@ -954,6 +991,21 @@ object Snapshot {
     var curFiles = files
     var attempt = 0
     while (true) {
+      // Exactly-once gate, re-checked against EVERY base this commit is
+      // built on — the caller's original base AND each post-race rebase
+      // target: if this writer's (app, batchId) epoch is already covered
+      // by the base's cursor map, a racing instance of the same query
+      // (zombie driver during streaming failover) already published it —
+      // committing again would duplicate the epoch's rows. The pre-commit
+      // checks in the sinks cover the common path; this covers the race
+      // where the winning twin lands between that check and our publish.
+      for (bi <- batchId) {
+        val a = txnApp.getOrElse("default")
+        if (cur.exists(_.txns.get(a).exists(_ >= bi)))
+          throw new EpochAlreadyCommittedException(
+            s"epoch $bi of writer '$a' is already committed at $dir " +
+              s"(cursor ${cur.get.txns(a)}) — replayed batch, nothing to publish")
+      }
       val m = build(cur, curFiles)
       try {
         cur match {
@@ -1320,12 +1372,18 @@ object Snapshot {
       entries: Seq[FileEntry], batchId: Long, txnApp: String): Option[Long] = {
     val base = baseManifest(spark, dir).getOrElse(
       throw new IllegalStateException(s"no committed version at $dir"))
-    if (base.txnApp.contains(txnApp) && base.txnBatch.exists(_ >= batchId))
+    if (base.txns.get(txnApp).exists(_ >= batchId))
       return None // replayed epoch: already committed, skip idempotently
-    Some(commitManifest(spark, dir, "append", base.schemaDdl,
+    try Some(commitManifest(spark, dir, "append", base.schemaDdl,
       base.files ++ entries, Some(batchId), Some(txnApp), Some(base),
       metrics = Map("rows_written" -> entries.map(_.rows).sum,
         "files_added" -> entries.size.toLong)))
+    catch {
+      // a racing twin of the same query published this epoch between our
+      // base read and our publish (detected during OCC rebase) — same
+      // idempotent skip as the fast path above
+      case _: EpochAlreadyCommittedException => None
+    }
   }
 
   /** Bytes ADDED by version `v`, from its raw delta file — O(that
@@ -1355,18 +1413,32 @@ object Snapshot {
     latestVersion(spark, dir).flatMap(v =>
       readManifest(spark, dir, v).lastBatchId)
 
-  /** The per-writer exactly-once cursor: (txnApp, highest batch id
-    * that app has committed). A streaming sink must skip a batch ONLY
-    * when the stored app matches its own identity — batch ids restart
-    * at 0 for a fresh checkpoint, so an identity-blind `>= batchId`
-    * check against [[lastBatchId]] would silently discard every batch
-    * a NEW query writes to an existing table.
+  /** The LATEST streaming writer's cursor: (txnApp, highest batch id
+    * that app has committed) — observability only (history rendering,
+    * "who wrote last"). Skip decisions must use [[txnCursor]]: this
+    * slot tracks only the most recent writer, so with two concurrent
+    * streaming queries it reflects whichever committed last and says
+    * nothing about the other's progress.
     */
   def lastTxn(spark: SparkSession, dir: String): Option[(String, Long)] =
     latestVersion(spark, dir).flatMap { v =>
       val m = readManifest(spark, dir, v)
       for (b <- m.txnBatch) yield (m.txnApp.getOrElse("default"), b)
     }
+
+  /** The per-writer exactly-once cursor: highest batch id `app` has
+    * ever committed to this table (None if it never has). Kept per
+    * app id — concurrent streaming queries each hold their own entry,
+    * so one writer's commits never erase another's replay protection.
+    * A streaming sink must skip a batch ONLY when its own identity's
+    * cursor covers it — batch ids restart at 0 for a fresh checkpoint,
+    * so an identity-blind `>= batchId` check against [[lastBatchId]]
+    * would silently discard every batch a NEW query writes to an
+    * existing table.
+    */
+  def txnCursor(spark: SparkSession, dir: String, app: String): Option[Long] =
+    latestVersion(spark, dir).flatMap(v =>
+      readManifest(spark, dir, v).txns.get(app))
 
   /** File-granular copy-on-write MERGE: apply `changes` (updates +
     * inserts + optional `deleteCol` tombstones, key-unique) onto the

@@ -377,19 +377,24 @@ object Refresh {
     val spark = batch.sparkSession
     import graft.sources.Snapshot
     val app = txnIdentity(spark)
-    // identity-aware skip: only THIS writer's cursor counts — a fresh
-    // checkpoint's batch 0 against an existing table must apply
-    if (Snapshot.lastTxn(spark, tableDir).exists { case (a, b) =>
-        a == app && b >= batchId }) return
+    // identity-aware skip: only THIS writer's per-app cursor counts — a
+    // fresh checkpoint's batch 0 against an existing table must apply
+    if (Snapshot.txnCursor(spark, tableDir, app).exists(_ >= batchId)) return
     if (batch.isEmpty) return // nothing to merge; don't mint empty versions
-    if (Snapshot.latestVersion(spark, tableDir).isEmpty) {
-      val live = deleteCol
-        .map(d => batch.filter(!coalesce(col(d), lit(false))))
-        .getOrElse(batch)
-      Snapshot.commit(spark, tableDir,
-        deleteCol.map(live.drop(_)).getOrElse(live), Some(batchId), Some(app))
-    } else
-      Snapshot.upsert(spark, tableDir, batch, keys, deleteCol, Some(batchId), Some(app))
+    try {
+      if (Snapshot.latestVersion(spark, tableDir).isEmpty) {
+        val live = deleteCol
+          .map(d => batch.filter(!coalesce(col(d), lit(false))))
+          .getOrElse(batch)
+        Snapshot.commit(spark, tableDir,
+          deleteCol.map(live.drop(_)).getOrElse(live), Some(batchId), Some(app))
+      } else
+        Snapshot.upsert(spark, tableDir, batch, keys, deleteCol, Some(batchId), Some(app))
+    } catch {
+      // a racing twin of this query published the epoch first (zombie
+      // driver during failover): already applied, skip idempotently
+      case _: graft.sources.EpochAlreadyCommittedException => ()
+    }
     ()
   }
 
@@ -422,13 +427,16 @@ object Refresh {
     val spark = batch.sparkSession
     import graft.sources.Snapshot
     val app = txnIdentity(spark)
-    if (Snapshot.lastTxn(spark, tableDir).exists { case (a, b) =>
-        a == app && b >= batchId }) return
+    if (Snapshot.txnCursor(spark, tableDir, app).exists(_ >= batchId)) return
     if (batch.isEmpty) return // don't mint empty versions
-    if (Snapshot.latestVersion(spark, tableDir).isEmpty)
-      Snapshot.commit(spark, tableDir, batch, Some(batchId), Some(app))
-    else
-      Snapshot.append(spark, tableDir, batch, Some(batchId), Some(app))
+    try {
+      if (Snapshot.latestVersion(spark, tableDir).isEmpty)
+        Snapshot.commit(spark, tableDir, batch, Some(batchId), Some(app))
+      else
+        Snapshot.append(spark, tableDir, batch, Some(batchId), Some(app))
+    } catch {
+      case _: graft.sources.EpochAlreadyCommittedException => ()
+    }
     ()
   }
 
@@ -466,27 +474,30 @@ object Refresh {
     val spark = batch.sparkSession
     import graft.sources.Snapshot
     val app = txnIdentity(spark)
-    if (Snapshot.lastTxn(spark, tableDir).exists { case (a, b) =>
-        a == app && b >= batchId }) return
+    if (Snapshot.txnCursor(spark, tableDir, app).exists(_ >= batchId)) return
     if (batch.isEmpty) return // don't mint empty versions
-    if (Snapshot.latestVersion(spark, tableDir).isEmpty) {
-      Snapshot.commit(spark, tableDir, batch, Some(batchId), Some(app))
-      return
+    try {
+      if (Snapshot.latestVersion(spark, tableDir).isEmpty) {
+        Snapshot.commit(spark, tableDir, batch, Some(batchId), Some(app))
+        return
+      }
+      val parts = batch.select(col(partitionCol)).distinct()
+        .collect().map(_.get(0)).toSeq
+      // a NULL partition value must claim the NULL partition explicitly:
+      // isin(null, …) evaluates to NULL for the null row, which would
+      // trip replaceWhere's rows-must-satisfy-predicate contract and
+      // wedge the stream (the replay re-fails forever)
+      val nonNull = parts.filter(_ != null)
+      val cond0 =
+        if (nonNull.isEmpty) lit(false)
+        else col(partitionCol).isin(nonNull: _*)
+      val cond =
+        if (parts.contains(null)) cond0 || col(partitionCol).isNull
+        else cond0
+      Snapshot.replaceWhere(spark, tableDir, cond, batch, Some(batchId), Some(app))
+    } catch {
+      case _: graft.sources.EpochAlreadyCommittedException => ()
     }
-    val parts = batch.select(col(partitionCol)).distinct()
-      .collect().map(_.get(0)).toSeq
-    // a NULL partition value must claim the NULL partition explicitly:
-    // isin(null, …) evaluates to NULL for the null row, which would
-    // trip replaceWhere's rows-must-satisfy-predicate contract and
-    // wedge the stream (the replay re-fails forever)
-    val nonNull = parts.filter(_ != null)
-    val cond0 =
-      if (nonNull.isEmpty) lit(false)
-      else col(partitionCol).isin(nonNull: _*)
-    val cond =
-      if (parts.contains(null)) cond0 || col(partitionCol).isNull
-      else cond0
-    Snapshot.replaceWhere(spark, tableDir, cond, batch, Some(batchId), Some(app))
     ()
   }
 

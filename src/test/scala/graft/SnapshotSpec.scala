@@ -214,6 +214,61 @@ class SnapshotSpec extends SparkSpec {
     assert(ids == Set(1L, 3L, 4L, 10L))
   }
 
+  test("per-app txn cursors: two concurrent streaming writers keep independent replay protection") {
+    import spark.implicits._
+    val dir = tmp() + "/t"
+    Snapshot.commit(spark, dir, base) // v1 (batch table; no cursor yet)
+    val sc = spark.sparkContext
+    def asApp[A](app: String)(body: => A): A =
+      try { sc.setLocalProperty("sql.streaming.queryId", app); body }
+      finally sc.setLocalProperty("sql.streaming.queryId", null)
+    // writer qA commits its batch 0, then writer qB commits ITS batch 0
+    asApp("qA")(Refresh.applySnapshotAppendBatch(
+      Seq((10L, "a0", 10.0)).toDF("id", "name", "score"), 0L, dir))
+    asApp("qB")(Refresh.applySnapshotAppendBatch(
+      Seq((20L, "b0", 20.0)).toDF("id", "name", "score"), 0L, dir))
+    // BOTH cursors are live — qB's commit must not have erased qA's
+    assert(Snapshot.txnCursor(spark, dir, "qA").contains(0L))
+    assert(Snapshot.txnCursor(spark, dir, "qB").contains(0L))
+    assert(Snapshot.lastTxn(spark, dir).contains(("qB", 0L)), "slot = latest writer")
+    // qA's post-crash replay of batch 0 AFTER qB's interleaved commit:
+    // with a single-slot cursor this duplicated the epoch's rows
+    val v = Snapshot.latestVersion(spark, dir).get
+    asApp("qA")(Refresh.applySnapshotAppendBatch(
+      Seq((10L, "a0", 10.0)).toDF("id", "name", "score"), 0L, dir))
+    assert(Snapshot.latestVersion(spark, dir).get == v, "replay minted a version")
+    assert(Snapshot.read(spark, dir).count() == 6L, "replay duplicated rows")
+    // each writer's NEXT batch still applies normally
+    asApp("qA")(Refresh.applySnapshotAppendBatch(
+      Seq((11L, "a1", 11.0)).toDF("id", "name", "score"), 1L, dir))
+    assert(Snapshot.read(spark, dir).count() == 7L)
+    assert(Snapshot.txnCursor(spark, dir, "qA").contains(1L))
+    assert(Snapshot.txnCursor(spark, dir, "qB").contains(0L))
+  }
+
+  test("OCC rebase re-checks the epoch cursor: a racing twin publishing the same batch makes the loser skip, not duplicate") {
+    import spark.implicits._
+    val dir = tmp() + "/t"
+    Snapshot.commit(spark, dir, base) // v1
+    // the twin (same query identity, same epoch — a zombie driver during
+    // streaming failover) lands inside the loser's race window: after the
+    // loser's pre-commit cursor check passed, before its publish
+    Snapshot.raceForTest = () =>
+      Snapshot.append(spark, dir,
+        Seq((10L, "twin", 10.0)).toDF("id", "name", "score"),
+        Some(5L), Some("q1"))
+    intercept[graft.sources.EpochAlreadyCommittedException] {
+      Snapshot.append(spark, dir,
+        Seq((10L, "twin", 10.0)).toDF("id", "name", "score"),
+        Some(5L), Some("q1"))
+    }
+    // exactly ONE copy of the epoch's rows landed (the winner's)
+    assert(Snapshot.read(spark, dir).count() == 5L,
+      "the replayed epoch must not rebase-and-duplicate")
+    assert(Snapshot.versions(spark, dir) == Seq(1L, 2L))
+    assert(Snapshot.txnCursor(spark, dir, "q1").contains(5L))
+  }
+
   test("vacuum sweeps orphaned data files from failed commits, never in-flight ones inside the grace window") {
     import spark.implicits._
     val dir = tmp() + "/t"
