@@ -51,10 +51,31 @@ case class GraftViewRule(session: SparkSession) extends Rule[LogicalPlan] {
     else viewCatalogOf(parts.head).map(vc =>
       (parts.head, vc, Identifier.of(parts.tail.init.toArray, parts.last)))
 
+  /** Complete a 1/2-part identifier under the CURRENT catalog when that
+    * catalog is a ViewCatalog (i.e. after `USE <graft catalog>`) — the
+    * same completion the session catalog applies to partial names.
+    * Without it a 2-part `SELECT * FROM db.v` or `CREATE VIEW db.v`
+    * in a graft-current session would fall through to
+    * ResolveSessionCatalog's confusing MISSING_CATALOG_ABILITY /
+    * NoSuchTable error instead of routing here. A name that is already
+    * catalog-qualified, or a session whose current catalog is not a
+    * ViewCatalog, passes through untouched.
+    */
+  private def completed(parts: Seq[String]): Seq[String] = {
+    if (parts.length >= 3 || viewCatalogOf(parts.headOption.getOrElse("")).isDefined)
+      parts
+    else catalogManager.currentCatalog match {
+      case v: ViewCatalog if parts.length == 2 => v.name() +: parts
+      case v: ViewCatalog if parts.length == 1 =>
+        (v.name() +: catalogManager.currentNamespace.toSeq) ++ parts
+      case _ => parts
+    }
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan = plan.resolveOperatorsUp {
     case cv @ CreateView(UnresolvedIdentifier(parts, _), userCols, comment, _,
         props, originalText, _, allowExisting, replace, _) =>
-      route(parts) match {
+      route(completed(parts)) match {
         case Some((cat, _, ident)) =>
           val sql = originalText.getOrElse(throw new IllegalArgumentException(
             s"CREATE VIEW ${parts.mkString(".")} has no SQL text to store"))
@@ -67,40 +88,58 @@ case class GraftViewRule(session: SparkSession) extends Rule[LogicalPlan] {
       }
 
     case dv @ DropView(UnresolvedIdentifier(parts, _), ifExists) =>
-      route(parts) match {
+      route(completed(parts)) match {
         case Some((cat, _, ident)) => GraftDropViewCommand(cat, ident, ifExists)
         case None => dv
       }
 
-    case sv @ ShowViews(UnresolvedNamespace(parts, _), pattern, output)
-        if parts.nonEmpty && viewCatalogOf(parts.head).isDefined =>
-      GraftShowViewsCommand(parts.head, parts.tail, pattern, output)
+    case sv @ ShowViews(child, pattern, output) =>
+      // `SHOW VIEWS [IN ns]` in a graft-current session lists the
+      // current (or named) namespace of the current catalog; a bare
+      // SHOW VIEWS parses with a CurrentNamespace child
+      val parts: Option[Seq[String]] = child match {
+        case UnresolvedNamespace(p, _) => Some(p)
+        case org.apache.spark.sql.catalyst.analysis.CurrentNamespace => Some(Nil)
+        case _ => None
+      }
+      val resolved: Option[Seq[String]] = parts.flatMap { p =>
+        if (p.nonEmpty && viewCatalogOf(p.head).isDefined) Some(p)
+        else catalogManager.currentCatalog match {
+          case v: ViewCatalog => Some(v.name() +:
+            (if (p.isEmpty) catalogManager.currentNamespace.toSeq else p))
+          case _ => None
+        }
+      }
+      resolved.map(p => GraftShowViewsCommand(p.head, p.tail, pattern, output))
+        .getOrElse(sv)
 
     case sp @ SetViewProperties(UnresolvedView(parts, _, _, _), props) =>
-      route(parts) match {
+      route(completed(parts)) match {
         case Some((cat, _, ident)) =>
           GraftAlterViewPropsCommand(cat, ident, props, Seq.empty, ifExists = true)
         case None => sp
       }
 
     case up @ UnsetViewProperties(UnresolvedView(parts, _, _, _), keys, ifExists) =>
-      route(parts) match {
+      route(completed(parts)) match {
         case Some((cat, _, ident)) =>
           GraftAlterViewPropsCommand(cat, ident, Map.empty, keys, ifExists)
         case None => up
       }
 
     case rt @ RenameTable(UnresolvedTableOrView(parts, _, _), newName, isView)
-        if isView && route(parts).isDefined =>
-      val Some((cat, _, from)) = route(parts)
-      val toParts = if (newName.headOption.contains(cat)) newName.tail else newName
+        if isView && route(completed(parts)).isDefined =>
+      val Some((cat, _, from)) = route(completed(parts))
+      val toCompleted = completed(newName)
+      val toParts =
+        if (toCompleted.headOption.contains(cat)) toCompleted.tail else toCompleted
       val _ = rt
       GraftRenameViewCommand(cat, from,
         Identifier.of(toParts.init.toArray, toParts.last))
 
     // SELECT through a stored view: expand to the qualified definition
-    case u: UnresolvedRelation if u.multipartIdentifier.length >= 3 =>
-      route(u.multipartIdentifier) match {
+    case u: UnresolvedRelation if completed(u.multipartIdentifier).length >= 3 =>
+      route(completed(u.multipartIdentifier)) match {
         case Some((_, vc, ident)) if vc.viewExists(ident) =>
           val v = vc.loadView(ident)
           val parsed = session.sessionState.sqlParser.parsePlan(v.query())
@@ -203,10 +242,18 @@ case class GraftAlterViewPropsCommand(catalog: String, ident: Identifier,
   override def run(session: SparkSession): Seq[Row] = {
     val vc = GraftViewRule.viewCatalog(session, catalog)
     val existing = vc.loadView(ident).properties().asScala
+    // Spark semantics: UNSET without IF EXISTS must FAIL on a missing
+    // key — silently filtering it out would let typo'd property names
+    // "succeed" while changing nothing
+    if (unset.nonEmpty && !ifExists) {
+      val missing = unset.filterNot(existing.contains)
+      if (missing.nonEmpty) throw new IllegalArgumentException(
+        s"ALTER VIEW ${ident}: cannot UNSET missing TBLPROPERTIES " +
+          s"${missing.mkString("'", "', '", "'")} — add IF EXISTS to ignore")
+    }
     val changes: Seq[ViewChange] =
       set.toSeq.map { case (k, v2) => ViewChange.setProperty(k, v2) } ++
-        unset.filter(k => ifExists || existing.contains(k))
-          .map(ViewChange.removeProperty)
+        unset.filter(existing.contains).map(ViewChange.removeProperty)
     vc.alterView(ident, changes: _*)
     Seq.empty
   }

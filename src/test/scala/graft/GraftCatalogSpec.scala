@@ -600,6 +600,37 @@ class GraftCatalogSpec extends SparkSpec {
     intercept[Exception] { spark.sql("SELECT * FROM graft.db.tenfold").collect() }
   }
 
+  test("catalog VIEWS after USE: 1/2-part identifiers route to the current ViewCatalog; UNSET TBLPROPERTIES without IF EXISTS fails on missing keys") {
+    warehouse
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
+    spark.sql("CREATE TABLE graft.db.ubase (id BIGINT, v DOUBLE)")
+    spark.sql("INSERT INTO graft.db.ubase VALUES (1, 1.0), (2, 2.0)")
+    try {
+      spark.sql("USE graft.db")
+      // 2-part DDL + read in a graft-current session (pre-fix: fell
+      // through to ResolveSessionCatalog's MISSING_CATALOG_ABILITY)
+      spark.sql("CREATE VIEW db.uv AS SELECT id, v * 2 AS dv FROM graft.db.ubase")
+      assert(spark.sql("SELECT sum(dv) FROM db.uv").collect()(0).getDouble(0) == 6.0)
+      // 1-part read resolves through the current namespace
+      assert(spark.sql("SELECT sum(dv) FROM uv").collect()(0).getDouble(0) == 6.0)
+      // bare SHOW VIEWS lists the current namespace
+      assert(spark.sql("SHOW VIEWS").collect().map(_.getString(1)).contains("uv"))
+      // UNSET strictness: a typo'd key must FAIL without IF EXISTS …
+      spark.sql("ALTER VIEW db.uv SET TBLPROPERTIES ('owner_team' = 'ingest')")
+      val e = intercept[Exception] {
+        spark.sql("ALTER VIEW db.uv UNSET TBLPROPERTIES ('onwer_team')")
+      }
+      assert(e.getMessage.contains("onwer_team"))
+      // … and succeed silently WITH it; a real key unsets either way
+      spark.sql("ALTER VIEW db.uv UNSET TBLPROPERTIES IF EXISTS ('onwer_team')")
+      spark.sql("ALTER VIEW db.uv UNSET TBLPROPERTIES ('owner_team')")
+      // 1-part DROP
+      spark.sql("DROP VIEW uv")
+      assert(!spark.sql("SHOW VIEWS IN graft.db").collect()
+        .map(_.getString(1)).contains("uv"))
+    } finally spark.sql("SET CATALOG spark_catalog")
+  }
+
   test("CALL remove_orphan_files: dry-run listing by default; dry_run => false sweeps the debris and leaves live data intact") {
     warehouse
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
