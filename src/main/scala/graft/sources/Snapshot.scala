@@ -1242,10 +1242,16 @@ object Snapshot {
   private[sources] def absPath(dir: String, ref: String): String =
     if (ref.startsWith("/") || ref.contains(":/")) ref else s"$dir/$ref"
 
-  /** True when `ref` points inside THIS table's own data dir (the only
-    * bytes its maintenance is allowed to delete).
+  /** True when `ref` points inside THIS table's own subtree (the only
+    * bytes its maintenance is allowed to delete): the data dir, or a
+    * consumed branch's data adopted by [[fastForward]]'s rename-free
+    * publish (`_branches/<name>/data/...` — under the table root, owned
+    * by the parent once published). A LIVE branch's files are never
+    * referenced by any parent manifest, so they can never enter a
+    * vacuum's drop set through this predicate.
     */
-  private def isOwnPath(ref: String): Boolean = ref.startsWith(s"$DataDir/")
+  private def isOwnPath(ref: String): Boolean =
+    ref.startsWith(s"$DataDir/") || ref.startsWith(s"$BranchesDir/")
 
   /** Scan `entries` through the manifest-backed file index (stats
     * pruning applies), IGNORING deletion vectors.
@@ -2620,15 +2626,21 @@ object Snapshot {
   /** FAST-FORWARD: atomically publish branch `name`'s head as the
     * table's next version — the "publish" step of write-audit-publish.
     *
-    * Mechanics: the branch's own data commit dirs (written under
-    * `_branches/<name>/data/<uuid>/`) are RENAMED into the parent's
-    * `data/` (metadata-only on a real filesystem; commit-dir UUIDs are
-    * globally unique so collisions cannot happen), forked references
-    * that point back into the parent are relativized, and ONE manifest
-    * commit (op `fast_forward`) publishes the branch head's exact file
-    * set, schema, constraints, mapping, and spec onto main. The commit
-    * is the atomic point: until it wins, readers see old main; after
-    * it, exactly the audited branch state.
+    * Mechanics are METADATA-ONLY and RENAME-FREE: files the branch
+    * wrote (relative `data/<uuid>/...` under the branch root) are
+    * published as parent-relative references into the branch subtree
+    * (`_branches/<name>/data/<uuid>/...` — the same root-resolved
+    * reference mechanism clone ancestry uses, and still "own" bytes the
+    * parent's vacuum may reclaim); forked references that point back
+    * into the parent are relativized; other foreign references pass
+    * through untouched. ONE manifest commit (op `fast_forward`)
+    * publishes the branch head's exact file set, schema, constraints,
+    * mapping, and spec onto main. Not a single data byte moves, so the
+    * publish holds on object stores where rename is copy+delete — the
+    * 100 TB deployment this layer targets. The commit is the atomic
+    * point: until it wins, readers see old main; after it, exactly the
+    * audited branch state. A later [[optimize]]/[[compact]] naturally
+    * migrates the adopted bytes into the parent's own `data/`.
     *
     * Divergence fails loudly: if main advanced past the recorded fork
     * version, this branch's state was not derived from current main —
@@ -2636,10 +2648,12 @@ object Snapshot {
     * `fast_forward` is deliberately NOT a rebasable op, so even a
     * commit that lands inside the publish race window aborts it.
     *
-    * The branch is CONSUMED on success (its ref and subtree are
-    * removed): its moved data dirs make the branch chain unreadable by
-    * construction, and a consumed branch cannot be double-published.
-    * On a lost race the moves are rolled back and the branch survives.
+    * The branch is CONSUMED on success: its ref and version metadata
+    * are removed, so it cannot be read as a branch or double-published;
+    * its `data/` subtree survives exactly when the published manifest
+    * references it (and is dropped with the branch when it doesn't).
+    * A failed or racing publish changes NOTHING — no bytes moved, so
+    * there is no rollback to perform and the branch stays publishable.
     */
   def fastForward(spark: SparkSession, dir: String, name: String): Long = {
     val fork = branches(spark, dir).getOrElse(name,
@@ -2656,58 +2670,44 @@ object Snapshot {
           "descends from main's head; re-branch and re-apply")
     val f = fs(spark, dir)
     val root = f.makeQualified(new Path(dir)).toString
+    val branchRel = s"$BranchesDir/${refName(name).stripSuffix(".json")}"
     // A branch-head reference is one of exactly two shapes:
     //   ABSOLUTE — a forked reference recorded by createBranch (always
     //     qualified into the parent root) or a foreign reference the
     //     parent itself carried (clone ancestry): relativize the former
-    //     back to `data/...`, pass the latter through untouched;
-    //   RELATIVE — a file the BRANCH wrote (`data/<uuid>/...` under the
-    //     branch root): keep the relative form (it resolves against the
-    //     parent root after the move) and record its commit dir for the
-    //     rename.
-    val moved = scala.collection.mutable.ListBuffer[String]() // rel commit dirs
-    // data-file refs name a FILE inside a commit dir; dv refs name the
-    // dv dataset DIRECTORY itself — the unit of the move is the commit
-    // dir in both cases
-    def adopt(ref: String, refIsDir: Boolean): String =
+    //     back to its parent-relative form, pass the latter through;
+    //   RELATIVE — a file the BRANCH wrote (`data/<uuid>/...`, or a
+    //     `_branches/...` path a nested fast-forward adopted): re-anchor
+    //     it under the branch subtree so it resolves against the PARENT
+    //     root, without moving a byte.
+    var adopted = 0L
+    def adopt(ref: String): String =
       if (ref.startsWith("/") || ref.contains(":/")) {
         if (ref.startsWith(s"$root/")) ref.stripPrefix(s"$root/") else ref
       } else {
-        moved += (if (refIsDir) ref else ref.substring(0, ref.lastIndexOf('/')))
-        ref
+        adopted += 1
+        s"$branchRel/$ref"
       }
     val files = head.files.map { e =>
-      e.copy(path = adopt(e.path, refIsDir = false),
-        dv = e.dv.map(d => d.copy(path = adopt(d.path, refIsDir = true))))
+      e.copy(path = adopt(e.path), dv = e.dv.map(d => d.copy(path = adopt(d.path))))
     }
-    val commitDirs = moved.distinct.toSeq
-    f.mkdirs(new Path(dir, DataDir))
-    def move(from: String, to: String, rels: Seq[String]): Unit = rels.foreach { rel =>
-      val src = new Path(s"$from/$rel")
-      val dst = new Path(s"$to/$rel")
-      if (f.exists(src) && !f.rename(src, dst))
-        throw new java.io.IOException(
-          s"fast-forward of '$name' at $dir: cannot move $src to $dst")
+    val v = commitManifest(spark, dir, "fast_forward", head.schemaDdl, files,
+      None, None, Some(main),
+      constraintsOverride = Some(head.constraints),
+      metrics = Map("branch_head_version" -> head.version,
+        "fork_version" -> fork,
+        "adopted_refs" -> adopted),
+      mappingOverride = Some((head.mapping, head.retired)),
+      specOverride = Some(head.spec))
+    // consume: the ref and the branch's version metadata go; the data
+    // subtree stays iff the published manifest now references into it
+    f.delete(new Path(new Path(dir, BranchRefsDir), refName(name)), false)
+    if (adopted == 0L) f.delete(new Path(bdir), true)
+    else {
+      f.delete(new Path(bdir, VersionsDir), true)
+      f.delete(new Path(bdir, RefsDir), true)
     }
-    move(bdir, dir, commitDirs)
-    try {
-      val v = commitManifest(spark, dir, "fast_forward", head.schemaDdl, files,
-        None, None, Some(main),
-        constraintsOverride = Some(head.constraints),
-        metrics = Map("branch_head_version" -> head.version,
-          "fork_version" -> fork,
-          "moved_commit_dirs" -> commitDirs.size.toLong),
-        mappingOverride = Some((head.mapping, head.retired)),
-        specOverride = Some(head.spec))
-      deleteBranch(spark, dir, name)
-      v
-    } catch {
-      case e: Throwable =>
-        // lost the publish race (or failed): put the bytes back so the
-        // branch stays intact and re-publishable
-        move(dir, bdir, commitDirs)
-        throw e
-    }
+    v
   }
 
   /** VACUUM DRY-RUN: what would `vacuum(keepLast, alsoKeep)` reclaim,

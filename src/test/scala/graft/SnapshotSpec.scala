@@ -1555,11 +1555,55 @@ class SnapshotSpec extends SparkSpec {
     assert(rows(Snapshot.read(spark, dir)) ==
       Set((1L, "a", 1.0), (2L, "b", 99.0), (3L, "c", 3.0), (4L, "d", 4.0), (5L, "e", 5.0)))
     assert(Snapshot.branches(spark, dir).isEmpty, "fast-forward consumes the branch")
-    assert(!new java.io.File(s"$dir/_branches/ingest").exists())
+    // consumed = unreadable as a branch and not double-publishable (ref
+    // and version metadata gone); the branch's data subtree SURVIVES
+    // because the published manifest references into it — the rename-
+    // free publish (object stores have no metadata-only rename)
+    assert(!new java.io.File(s"$dir/_branches/ingest/_versions").exists())
+    intercept[Exception] { Snapshot.readBranch(spark, dir, "ingest") }
+    intercept[Exception] { Snapshot.fastForward(spark, dir, "ingest") }
+    assert(Snapshot.read(spark, dir).inputFiles.exists(_.contains("/_branches/ingest/")),
+      "published refs resolve into the adopted branch subtree")
     val h = Snapshot.history(spark, dir).collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(h(2L) == "fast_forward")
     // pre-publish state still time-travels
     assert(rows(Snapshot.readVersion(spark, dir, 1L)) == rows(base))
+  }
+
+  test("fast-forward is rename-free: published files stay in place under _branches; vacuum later reclaims them as own bytes") {
+    import spark.implicits._
+    val dir = tmp() + "/t"
+    Snapshot.commit(spark, dir, base) // v1
+    Snapshot.createBranch(spark, dir, "ff")
+    val bdir = Snapshot.branchDir(dir, "ff")
+    Snapshot.append(spark, bdir, Seq((5L, "e", 5.0)).toDF("id", "name", "score"))
+    def partsUnder(root: String): Set[String] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      val d = new java.io.File(root)
+      if (!d.exists()) Set.empty
+      else walk(d).map(_.getAbsolutePath).filter(_.contains("part-")).toSet
+    }
+    val before = partsUnder(s"$bdir/data")
+    assert(before.nonEmpty)
+    Snapshot.fastForward(spark, dir, "ff") // v2
+    // zero renames: the branch-written bytes did not move
+    assert(partsUnder(s"$bdir/data") == before,
+      "publish must not move a byte (object stores have no rename)")
+    assert(rows(Snapshot.read(spark, dir)).contains((5L, "e", 5.0)))
+    // the adopted refs are parent-relative (root-resolved), not absolute
+    val refs = Snapshot.filesForTest(spark, dir,
+      Snapshot.latestVersion(spark, dir).get).map(_._1)
+    assert(refs.exists(_.startsWith("_branches/ff/data/")))
+    assert(refs.filter(_.contains("_branches")).forall(r =>
+      !r.startsWith("/") && !r.contains(":/")))
+    // overwrite the table, then vacuum: the adopted branch bytes are OWN
+    // bytes now — reclaimed, not stranded like a foreign clone ref
+    Snapshot.replaceWhere(spark, dir, lit(true),
+      Seq((9L, "z", 9.0)).toDF("id", "name", "score")) // v3
+    Snapshot.vacuum(spark, dir, keepLast = 1)
+    assert(partsUnder(s"$bdir/data").isEmpty,
+      "vacuum must reclaim adopted branch bytes once their versions drop")
   }
 
   test("branch: DIVERGED fast-forward fails loudly; the branch and main both survive intact") {
@@ -1583,7 +1627,7 @@ class SnapshotSpec extends SparkSpec {
     assert(Snapshot.branches(spark, dir).isEmpty)
   }
 
-  test("branch: a commit landing INSIDE the fast-forward publish window aborts it; moved files roll back and the branch stays publishable") {
+  test("branch: a commit landing INSIDE the fast-forward publish window aborts it; nothing moved, the branch stays publishable") {
     import spark.implicits._
     val dir = tmp() + "/t"
     Snapshot.commit(spark, dir, base)
