@@ -289,6 +289,9 @@ object Bench {
         s""""regressions_vs_frozen":${regsFrozen.size},""" +
         s""""regressions_vs_prior":${regsMerged.size},""" +
         s""""detail":"BENCH_DETAIL.json","sf":"$sfDir"}""")
+    // every result is materialized by now — reclaim the snapshot-family
+    // scratch tables so a bench session leaves /tmp as it found it
+    Queries.sweepScratch()
     spark.stop()
   }
 }

@@ -45,6 +45,9 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // every result is written by now — reclaim the snapshot-family
+    // scratch tables so a verify run leaves /tmp as it found it
+    Queries.sweepScratch()
     spark.stop()
   }
 }

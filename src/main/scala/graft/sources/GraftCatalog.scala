@@ -382,6 +382,11 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
       case c: TableChange.AddColumn =>
         require(c.fieldNames().length == 1, "nested column add is not supported")
         Snapshot.addColumn(spark, dir, c.fieldNames()(0), c.dataType().sql)
+      // ALTER TABLE t ALTER COLUMN c TYPE <wider> — metadata-only type
+      // widening; old files scan-widen, narrowing is refused loudly
+      case c: TableChange.UpdateColumnType =>
+        require(c.fieldNames().length == 1, "nested column type change is not supported")
+        Snapshot.widenColumn(spark, dir, c.fieldNames()(0), c.newDataType().sql)
       // ALTER TABLE t ADD CONSTRAINT name CHECK (...) — routed to the
       // snapshot layer's versioned CHECK machinery: existing rows
       // validated once up front, every later commit gated O(commit)
@@ -397,8 +402,8 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
           Snapshot.dropConstraint(spark, dir, c.name())
       case other => throw new UnsupportedOperationException(
         s"graft catalog cannot apply $other — supported ALTERs: " +
-          "RENAME COLUMN, DROP COLUMN, ADD COLUMN, ADD/DROP CONSTRAINT " +
-          "(all metadata-only)")
+          "RENAME COLUMN, DROP COLUMN, ADD COLUMN, ALTER COLUMN TYPE " +
+          "(widening), ADD/DROP CONSTRAINT (all metadata-only)")
     }
     loadTable(ident)
   }

@@ -2205,6 +2205,58 @@ object Snapshot {
       mappingOverride = Some((newMapping, prev.retired)))
   }
 
+  /** True when reading bytes written as `from` under read type `to` is
+    * a lossless WIDENING the parquet reader performs natively (Spark
+    * 4's type-widening promotions): integral upcasts, float→double,
+    * and decimal precision growth at the same scale. Everything else —
+    * narrowing, cross-family, scale changes — is refused: the old
+    * files' pages would be misread or overflow at scan time.
+    */
+  private[sources] def isWidening(from: DataType, to: DataType): Boolean =
+    (from, to) match {
+      case (ByteType, ShortType | IntegerType | LongType) => true
+      case (ShortType, IntegerType | LongType) => true
+      case (IntegerType, LongType) => true
+      case (FloatType, DoubleType) => true
+      case (f: DecimalType, t: DecimalType) =>
+        t.scale == f.scale && t.precision > f.precision
+      case _ => false
+    }
+
+  /** ALTER: widen column `name`'s type (int→long, decimal precision
+    * growth, …) — METADATA-ONLY, the most common schema change a
+    * long-lived fact table sees (the id column that outgrows INT, the
+    * revenue column that outgrows DECIMAL(10,2)). Only the manifest's
+    * logical schema changes: every existing file keeps its narrower
+    * physical type and is widened AT SCAN by the parquet reader's
+    * native type promotion; new writes land in the wide type. Narrowing
+    * and cross-family changes are refused loudly ([[isWidening]]) —
+    * they would corrupt or overflow existing files at read time.
+    * Recorded per-file min/max stats remain valid verbatim: a widening
+    * never changes a value's ordering or its string rendering's parse.
+    */
+  def widenColumn(spark: SparkSession, dir: String, name: String,
+      ddlType: String): Long = {
+    val prev = baseManifest(spark, dir).getOrElse(
+      throw new IllegalStateException(s"no committed version at $dir"))
+    val schema = prev.schema
+    require(schema.fieldNames.contains(name), s"no column '$name' at $dir")
+    val field = schema.fields(schema.fieldIndex(name))
+    val to = StructType.fromDDL(s"`c` $ddlType").fields.head.dataType
+    require(isWidening(field.dataType, to),
+      s"cannot change column '$name' at $dir from ${field.dataType.sql} to " +
+        s"${to.sql}: only widening conversions (integral upcasts, " +
+        "float→double, decimal precision growth at the same scale) are " +
+        "metadata-only; anything else would misread existing files at scan")
+    val newSchema = StructType(schema.fields.map(f =>
+      if (f.name == name) f.copy(dataType = to) else f))
+    requireConstraintsResolve(spark, prev.constraints, newSchema,
+      s"widen column '$name'")
+    commitManifest(spark, dir, "alter", newSchema.toDDL, prev.files,
+      None, None, Some(prev),
+      metrics = Map("columns_widened" -> 1L))
+  }
+
   /** The latest version's column mapping (logical → physical;
     * non-identity entries only) — diagnostics/tests.
     */

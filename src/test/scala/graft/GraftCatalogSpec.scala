@@ -68,6 +68,49 @@ class GraftCatalogSpec extends SparkSpec {
     assert(Snapshot.history(spark, dir).count() == filesBefore + 3)
   }
 
+  test("ALTER COLUMN TYPE widening is metadata-only: old INT/DECIMAL files scan-widen beside new wide files; narrowing is refused") {
+    warehouse
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
+    spark.sql("CREATE TABLE graft.db.wide (id INT, qty INT, rev DECIMAL(8,2))")
+    spark.sql("INSERT INTO graft.db.wide VALUES (1, 100, 123.45), (2, 200, 999999.99)")
+    val dir = s"$warehouse/db/wide"
+    val filesBefore = Snapshot.filesForTest(spark, dir,
+      Snapshot.latestVersion(spark, dir).get).map(_._1).toSet
+    // the long-lived-fact-table evolution: id outgrows INT, rev outgrows
+    // DECIMAL(8,2) — both metadata-only commits
+    spark.sql("ALTER TABLE graft.db.wide ALTER COLUMN id TYPE BIGINT")
+    spark.sql("ALTER TABLE graft.db.wide ALTER COLUMN rev TYPE DECIMAL(14,2)")
+    assert(Snapshot.filesForTest(spark, dir,
+      Snapshot.latestVersion(spark, dir).get).map(_._1).toSet == filesBefore,
+      "widening must not touch a data file")
+    // values impossible under the old types land beside the old files
+    spark.sql("INSERT INTO graft.db.wide VALUES " +
+      "(3000000000, 300, 123456789012.34)")
+    val r = spark.sql("SELECT sum(id) AS ids, sum(qty) AS q, sum(rev) AS s " +
+      "FROM graft.db.wide").collect()(0)
+    assert(r.getLong(0) == 3000000003L)
+    assert(r.getLong(1) == 600L)
+    assert(r.getDecimal(2).toPlainString == "123457789135.78")
+    // schema reads wide; a narrow-era point lookup still prunes + answers
+    assert(spark.table("graft.db.wide").schema("id").dataType ==
+      org.apache.spark.sql.types.LongType)
+    assert(spark.sql("SELECT rev FROM graft.db.wide WHERE id = 2")
+      .collect()(0).getDecimal(0).toPlainString == "999999.99")
+    // time travel reads the pre-widen era under its own narrow schema
+    assert(spark.sql("SELECT * FROM graft.db.wide VERSION AS OF 2")
+      .schema("id").dataType == org.apache.spark.sql.types.IntegerType)
+    // narrowing / cross-family / scale changes refuse loudly
+    intercept[Exception] {
+      spark.sql("ALTER TABLE graft.db.wide ALTER COLUMN id TYPE INT")
+    }
+    intercept[Exception] {
+      spark.sql("ALTER TABLE graft.db.wide ALTER COLUMN qty TYPE STRING")
+    }
+    intercept[Exception] {
+      spark.sql("ALTER TABLE graft.db.wide ALTER COLUMN rev TYPE DECIMAL(20,4)")
+    }
+  }
+
   test("INSERT INTO after a rename writes through the mapping; pushed filters still prune the SQL scan") {
     warehouse
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
