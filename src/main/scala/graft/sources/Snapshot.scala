@@ -2412,6 +2412,16 @@ object Snapshot {
         throw new IllegalStateException(s"no committed version at $tdir (table '$name')"))
       (name, tdir, v)
     }
+    pinVersions(spark, metaDir, resolved)
+  }
+
+  /** Pin an EXPLICIT (name, dir, version) set — the building block
+    * [[pinTables]] and [[publishGroup]] share. Versions are recorded
+    * verbatim (no re-resolution), so a pin written from versions a
+    * publisher just committed cannot be skewed by a racing writer.
+    */
+  private def pinVersions(spark: SparkSession, metaDir: String,
+      resolved: Seq[(String, String, Long)]): Long = {
     val f = fs(spark, metaDir)
     val pd = new Path(metaDir, PinsDir)
     f.mkdirs(pd)
@@ -2483,6 +2493,73 @@ object Snapshot {
     val (tdir, v) = pinnedVersions(spark, metaDir, pin).getOrElse(name,
       throw new IllegalArgumentException(s"pin $pin at $metaDir has no table '$name'"))
     readVersion(spark, tdir, v)
+  }
+
+  /** MULTI-TABLE PUBLISH: fast-forward a GROUP of audited branches —
+    * one per table — and pin the exact published versions as ONE
+    * atomic pin manifest. The consistency contract, stated honestly:
+    *
+    *   - Each table's own version chain has its OWN atomic point
+    *     (per-table manifests — there is no shared log), so a DIRECT
+    *     reader of table B can observe table A's publish before B's.
+    *     True cross-table atomicity requires readers to resolve
+    *     through one coordination point; in this layer that point is
+    *     the PIN: a consumer that requires the group to appear
+    *     all-or-nothing reads `pins(metaDir).last` → [[readPinned]],
+    *     and sees either the pre-publish pin or the complete group —
+    *     never a partial publish (the pin is written only after EVERY
+    *     table published, from the captured versions, via the same
+    *     single-winner primitive as a table commit).
+    *   - Failure is COMPENSATED, not prevented: divergence is
+    *     pre-checked on every branch before the first publish (the
+    *     common race dies with zero tables touched); if a publish
+    *     still fails mid-group, every already-published table is
+    *     [[restore]]d to its pre-publish version (a new forensic
+    *     version, not an erasure) and the error rethrown — no pin is
+    *     written, so pin-readers never see the torn state.
+    *
+    * This is the same shape production lakehouse stacks use (WAP per
+    * table + a catalog-/orchestrator-level cut); a two-phase marker
+    * INSIDE every reader's hot path was rejected deliberately — it
+    * would tax every single-table read at 100 TB to serve the rare
+    * cross-table writer. Returns (pin id, name → published version).
+    */
+  def publishGroup(spark: SparkSession, metaDir: String,
+      group: Map[String, (String, String)]): (Long, Map[String, Long]) = {
+    require(group.nonEmpty, "publishGroup needs at least one (table, branch)")
+    val ordered = group.toSeq.sortBy(_._1)
+    // pre-flight every branch: existence, a committed head, and fork ==
+    // main's head — the whole group refuses before ANY table changes
+    ordered.foreach { case (name, (tdir, branch)) =>
+      val fork = branches(spark, tdir).getOrElse(branch,
+        throw new IllegalArgumentException(
+          s"publishGroup: no branch '$branch' at $tdir (table '$name')"))
+      val mainV = latestVersion(spark, tdir).getOrElse(
+        throw new IllegalStateException(s"no committed version at $tdir"))
+      if (mainV != fork)
+        throw new java.util.ConcurrentModificationException(
+          s"publishGroup: table '$name' advanced to version $mainV past " +
+            s"branch '$branch''s fork at $fork — re-branch and re-apply")
+    }
+    val published = scala.collection.mutable.ListBuffer[(String, String, Long, Long)]()
+    try {
+      ordered.foreach { case (name, (tdir, branch)) =>
+        val before = latestVersion(spark, tdir).get
+        val v = fastForward(spark, tdir, branch)
+        published += ((name, tdir, before, v))
+      }
+    } catch {
+      case e: Throwable =>
+        // compensate: roll every already-published table back to its
+        // pre-publish state (restore = a new version; forensics intact)
+        published.reverseIterator.foreach { case (_, tdir, before, _) =>
+          restore(spark, tdir, before)
+        }
+        throw e
+    }
+    val pin = pinVersions(spark, metaDir,
+      published.toSeq.map { case (n, d, _, v) => (n, d, v) })
+    (pin, published.toSeq.map { case (n, _, _, v) => n -> v }.toMap)
   }
 
   // ---------------------------------------------------------------

@@ -1570,6 +1570,71 @@ class SnapshotSpec extends SparkSpec {
     assert(rows(Snapshot.readVersion(spark, dir, 1L)) == rows(base))
   }
 
+  test("publishGroup: N audited branches publish together and the pin is the all-or-nothing read point") {
+    import spark.implicits._
+    val root = tmp()
+    val t1 = s"$root/orders"; val t2 = s"$root/customers"
+    Snapshot.commit(spark, t1, base)
+    Snapshot.commit(spark, t2,
+      Seq((100L, "x", 0.5)).toDF("id", "name", "score"))
+    val pre = Snapshot.pinTables(spark, root, Map("orders" -> t1, "customers" -> t2))
+    // stage the cross-table change on one branch per table
+    Snapshot.createBranch(spark, t1, "load")
+    Snapshot.createBranch(spark, t2, "load")
+    Snapshot.append(spark, Snapshot.branchDir(t1, "load"),
+      Seq((5L, "e", 5.0)).toDF("id", "name", "score"))
+    Snapshot.append(spark, Snapshot.branchDir(t2, "load"),
+      Seq((200L, "y", 0.7)).toDF("id", "name", "score"))
+    val (pin, versions) = Snapshot.publishGroup(spark, root,
+      Map("orders" -> ((t1, "load")), "customers" -> ((t2, "load"))))
+    assert(pin == pre + 1)
+    assert(versions == Map("orders" -> 2L, "customers" -> 2L))
+    // the pin records exactly the published pair; both read complete
+    assert(Snapshot.pinnedVersions(spark, root, pin).view.mapValues(_._2).toMap ==
+      Map("orders" -> 2L, "customers" -> 2L))
+    assert(rows(Snapshot.readPinned(spark, root, pin, "orders")) ==
+      rows(base) + ((5L, "e", 5.0)))
+    assert(rows(Snapshot.readPinned(spark, root, pin, "customers")) ==
+      Set((100L, "x", 0.5), (200L, "y", 0.7)))
+    // the PREVIOUS pin still reads the complete pre-publish group
+    assert(rows(Snapshot.readPinned(spark, root, pre, "orders")) == rows(base))
+    // both branches consumed
+    assert(Snapshot.branches(spark, t1).isEmpty && Snapshot.branches(spark, t2).isEmpty)
+  }
+
+  test("publishGroup: a mid-group failure compensates — published tables restore, NO pin is written (pin-readers never see the torn state)") {
+    import spark.implicits._
+    val root = tmp()
+    val t1 = s"$root/a"; val t2 = s"$root/b"
+    Snapshot.commit(spark, t1, base)
+    Snapshot.commit(spark, t2, base)
+    Snapshot.createBranch(spark, t1, "g")
+    Snapshot.createBranch(spark, t2, "g")
+    Snapshot.append(spark, Snapshot.branchDir(t1, "g"),
+      Seq((5L, "e", 5.0)).toDF("id", "name", "score"))
+    Snapshot.append(spark, Snapshot.branchDir(t2, "g"),
+      Seq((6L, "f", 6.0)).toDF("id", "name", "score"))
+    val pinsBefore = Snapshot.pins(spark, root)
+    // interloper advances t2 AFTER the group pre-flight, inside t1's
+    // publish window — t2's own fast-forward then fails diverged
+    Snapshot.raceForTest = () =>
+      Snapshot.append(spark, t2, Seq((9L, "w", 9.0)).toDF("id", "name", "score"))
+    intercept[java.util.ConcurrentModificationException] {
+      Snapshot.publishGroup(spark, root,
+        Map("a" -> ((t1, "g")), "b" -> ((t2, "g"))))
+    }
+    // t1's publish was compensated by a restore; t2 kept the interloper
+    assert(rows(Snapshot.read(spark, t1)) == rows(base),
+      "the published half of a torn group must restore")
+    assert(rows(Snapshot.read(spark, t2)) == rows(base) + ((9L, "w", 9.0)))
+    // no pin was written — the coordination point never saw the tear
+    assert(Snapshot.pins(spark, root) == pinsBefore)
+    // the restore is a forensic version, not an erasure
+    val ops = Snapshot.history(spark, t1).orderBy(col("version"))
+      .select("op").collect().map(_.getString(0)).toSeq
+    assert(ops == Seq("init", "fast_forward", "restore"))
+  }
+
   test("fast-forward is rename-free: published files stay in place under _branches; vacuum later reclaims them as own bytes") {
     import spark.implicits._
     val dir = tmp() + "/t"
