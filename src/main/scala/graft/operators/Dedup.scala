@@ -224,16 +224,30 @@ object Dedup {
     * (boilerplate-heavy corpora) the way stop-grams are dropped in the
     * inverted-index path.
     */
-  private def lshCandidatesFromSigs(sig: DataFrame, numPerm: Int,
-      bands: Int, maxBucket: Int): DataFrame = {
+  /** Collapse a (id, h0..h{numPerm-1}) signature frame to its banded
+    * form: (id, band, sig) with one 64-bit bucket key per band — the
+    * storable/joinable LSH shape ([[graft.streaming.IncrementalDedup]]
+    * persists exactly this frame as the historical signature store).
+    */
+  private[graft] def bandSigs(sig: DataFrame, numPerm: Int, bands: Int): DataFrame = {
     require(numPerm % bands == 0, "numPerm must be divisible by bands")
     val rows = numPerm / bands
     val bandCols = (0 until bands).map { bi =>
       struct(lit(bi).as("band"),
         xxhash64((bi * rows until (bi + 1) * rows).map(i => col(s"h$i")): _*).as("sig"))
     }
-    val banded = sig.select(col("id"), explode(array(bandCols: _*)).as("b"))
+    sig.select(col("id"), explode(array(bandCols: _*)).as("b"))
       .select(col("id"), col("b.band").as("band"), col("b.sig").as("sig"))
+  }
+
+  /** Banded MinHash signatures straight from documents: (id, band, sig). */
+  def bandedSignatures(docs: DataFrame, id: String, text: String,
+      numPerm: Int = 64, bands: Int = 16, n: Int = 3): DataFrame =
+    bandSigs(minhashSignatures(docs, id, text, numPerm, n), numPerm, bands)
+
+  private def lshCandidatesFromSigs(sig: DataFrame, numPerm: Int,
+      bands: Int, maxBucket: Int): DataFrame = {
+    val banded = bandSigs(sig, numPerm, bands)
     banded.groupBy(col("band"), col("sig"))
       .agg(collect_list(col("id")).as("ids"))
       .filter(size(col("ids")).between(2, maxBucket))
