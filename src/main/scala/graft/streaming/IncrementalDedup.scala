@@ -48,7 +48,7 @@ object IncrementalDedup {
   def applyBatch(batch: DataFrame, batchId: Long, corpusDir: String,
       sigDir: String, id: String, text: String,
       minJaccard: Double = 0.8, numPerm: Int = 64, bands: Int = 16,
-      n: Int = 3, sigProbeCap: Int = 65536): Long = {
+      n: Int = 3, sigProbeCap: Int = 8192): Long = {
     val spark = batch.sparkSession
     val app = Refresh.txnIdentity(spark)
     val corpusDone = Snapshot.txnCursor(spark, corpusDir, app).exists(_ >= batchId)
@@ -79,7 +79,11 @@ object IncrementalDedup {
         } else {
           // prune the store scan with the batch's sig values — uniform
           // 64-bit keys, so per-file stats/blooms on `sig` cut the scan
-          // to candidate files; past the cap, fall back to the full join
+          // to candidate files. The In-list prune is O(values × files)
+          // driver-side bloom checks, so past the cap fall back to the
+          // full join — for a BIG batch the store-scan cost amortizes
+          // over the batch anyway; the prune exists for the common
+          // small-arrival case
           val sigValues = newSigs.select("sig").distinct()
             .limit(sigProbeCap + 1).collect().map(_.getLong(0))
           val store0 = Snapshot.read(spark, sigDir)
