@@ -183,4 +183,53 @@ class LayoutSpec extends SparkSpec {
     assert(touched < perFile.length,
       s"a 1/64-area box should not touch all ${perFile.length} files ($touched)")
   }
+  test("pruning effectiveness: Hilbert vs Morton vs linear layouts under a mixed box workload (manifest-rectangle proxy)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(17)
+    val df = Seq.fill(8000)((rnd.nextInt(65536).toLong, rnd.nextInt(65536).toLong))
+      .toDF("a", "b")
+    val root = java.nio.file.Files.createTempDirectory("graft-prunecmp").toString
+    Layout.hilbertBy(df, col("a"), col("b"), numFiles = 16)
+      .write.parquet(s"$root/hilbert")
+    Layout.zorderBy(df, col("a"), col("b"), numFiles = 16)
+      .write.parquet(s"$root/morton")
+    df.repartitionByRange(16, col("a")).sortWithinPartitions(col("a"))
+      .write.parquet(s"$root/linear")
+    // per-file (a,b) bounding rectangles — exactly the manifest min/max
+    // stats a snapshot scan prunes with
+    def rects(path: String): Array[(Long, Long, Long, Long)] =
+      spark.read.parquet(path).withColumn("f", col("_metadata.file_path"))
+        .groupBy("f").agg(min("a"), max("a"), min("b"), max("b"))
+        .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val layouts = Map("hilbert" -> rects(s"$root/hilbert"),
+      "morton" -> rects(s"$root/morton"), "linear" -> rects(s"$root/linear"))
+    layouts.values.foreach(r => assert(r.length == 16))
+    // mixed workload: a 4x4 grid of square (a,b) boxes + 4 a-slabs + 4 b-slabs
+    val q = 16384L
+    val boxes =
+      (for (i <- 0 until 4; j <- 0 until 4)
+        yield (i * q, (i + 1) * q, j * q, (j + 1) * q)) ++
+      (0 until 4).map(i => (i * q, (i + 1) * q, 0L, 65536L)) ++
+      (0 until 4).map(j => (0L, 65536L, j * q, (j + 1) * q))
+    def touched(rs: Array[(Long, Long, Long, Long)],
+        box: (Long, Long, Long, Long)): Int =
+      rs.count { case (alo, ahi, blo, bhi) =>
+        ahi >= box._1 && alo < box._2 && bhi >= box._3 && blo < box._4 }
+    def avg(name: String): Double = {
+      val rs = layouts(name)
+      boxes.map(b => touched(rs, b)).sum.toDouble / boxes.size
+    }
+    val (h, m, l) = (avg("hilbert"), avg("morton"), avg("linear"))
+    info(f"avg files touched of 16 - hilbert: $h%.2f, morton: $m%.2f, linear: $l%.2f")
+    // linear serves only its sort column: every b-slab hits ALL files
+    val bSlabs = (0 until 4).map(j => (0L, 65536L, j * q, (j + 1) * q))
+    assert(bSlabs.forall(b => touched(layouts("linear"), b) == 16),
+      "a linear-by-a layout cannot prune b-only predicates")
+    assert(bSlabs.forall(b => touched(layouts("hilbert"), b) < 16))
+    // space-filling layouts beat linear on the MIXED workload...
+    assert(h < l && m < l)
+    // ...and Hilbert's adjacency-preserving walk yields rectangles at
+    // least as tight as Morton's jump-prone one on average
+    assert(h <= m + 0.5, f"hilbert $h%.2f should not prune worse than morton $m%.2f")
+  }
 }
