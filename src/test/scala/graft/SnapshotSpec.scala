@@ -214,6 +214,35 @@ class SnapshotSpec extends SparkSpec {
     assert(ids == Set(1L, 3L, 4L, 10L))
   }
 
+  test("widen + DML interplay: upsert and optimize rewrite in the wide type; narrow-era files keep scanning; time travel stays narrow") {
+    import spark.implicits._
+    import org.apache.spark.sql.types.{IntegerType, LongType}
+    val dir = tmp() + "/t"
+    Snapshot.commit(spark, dir,
+      Seq((1, "a", 1.0), (2, "b", 2.0), (3, "c", 3.0))
+        .toDF("id", "name", "score")
+        .withColumn("id", col("id").cast(IntegerType)))          // v1 narrow
+    Snapshot.widenColumn(spark, dir, "id", "BIGINT")             // v2
+    // upsert AFTER the widen: changed keys land in wide files, untouched
+    // narrow files scan-widen beside them
+    Snapshot.upsert(spark, dir,
+      Seq((2L, "b2", 20.0, false), (4000000000L, "d", 4.0, false))
+        .toDF("id", "name", "score", "is_deleted"),
+      Seq("id"), Some("is_deleted"))                             // v3
+    assert(rows(Snapshot.read(spark, dir)) ==
+      Set((1L, "a", 1.0), (2L, "b2", 20.0), (3L, "c", 3.0), (4000000000L, "d", 4.0)))
+    // stats pruning still serves a point lookup across the mixed eras
+    assert(Snapshot.read(spark, dir).filter(col("id") === 4000000000L)
+      .select("name").collect().map(_.getString(0)).toSeq == Seq("d"))
+    // optimize folds everything into wide files; values survive exactly
+    Snapshot.optimize(spark, dir, smallBytes = Long.MaxValue)
+    assert(rows(Snapshot.read(spark, dir)) ==
+      Set((1L, "a", 1.0), (2L, "b2", 20.0), (3L, "c", 3.0), (4000000000L, "d", 4.0)))
+    assert(Snapshot.read(spark, dir).schema("id").dataType == LongType)
+    // the narrow era still time-travels under its own schema
+    assert(Snapshot.readVersion(spark, dir, 1L).schema("id").dataType == IntegerType)
+  }
+
   test("per-app txn cursors: two concurrent streaming writers keep independent replay protection") {
     import spark.implicits._
     val dir = tmp() + "/t"
