@@ -3158,6 +3158,17 @@ private[sources] final class SnapshotFileIndex(
     case GreaterThanOrEqual(Literal(v, _), a: Attribute) => minBelow(e, a, v, strict = false)
     case In(a: Attribute, vs) if vs.nonEmpty && vs.forall(_.isInstanceOf[Literal]) =>
       vs.exists { case Literal(v, _) => pointContains(e, a, v) }
+    // the optimizer rewrites In to InSet past
+    // spark.sql.optimizer.inSetConversionThreshold (default 10) —
+    // without this case every >10-value isin() probe silently kept
+    // ALL files (case _ => true), defeating stats/bloom pruning for
+    // exactly the multi-point probes (LSH signature lookups, key
+    // batches) that need it most. hset holds Catalyst-internal values,
+    // the same representation the In case's Literals carry.
+    case s: org.apache.spark.sql.catalyst.expressions.InSet
+        if s.child.isInstanceOf[Attribute] =>
+      val a = s.child.asInstanceOf[Attribute]
+      s.hset.exists(v => pointContains(e, a, v))
     case IsNull(a: Attribute) =>
       stats(e, a).forall(_.nulls > 0)
     case IsNotNull(a: Attribute) =>

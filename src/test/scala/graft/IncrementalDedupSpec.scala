@@ -102,6 +102,56 @@ class IncrementalDedupSpec extends SparkSpec {
     assert(corpusIds(corpus) == Set(1L, 2L, 10L))
   }
 
+  test("maintenance loop: optimize(clusterBy = sig) makes the store probe's In-prune skip most files") {
+    import spark.implicits._
+    import graft.sources.Snapshot
+    val root = tmp()
+    val corpus = s"$root/corpus"; val sigs = s"$root/sigs"
+    // ten arrival waves of distinct docs → a ten-file unclustered store
+    (0 until 10).foreach { w =>
+      val batch = (0 until 40)
+        .map(i => ((w * 100 + i).toLong, distinctDoc(w * 100 + i)))
+      IncrementalDedup.applyBatch(docs(batch: _*), w.toLong,
+        corpus, sigs, "doc_id", "text")
+    }
+    val v = Snapshot.latestVersion(spark, sigs).get
+    val all = Snapshot.filesForTest(spark, sigs, v).size
+    assert(all >= 10)
+    // a small probe (one future batch's sig values): before clustering,
+    // every file spans the whole uniform sig domain → nothing prunes
+    val probeSigs = graft.operators.Dedup.bandedSignatures(
+      docs(9999L -> distinctDoc(50)), "doc_id", "text")
+      .select("sig").collect().map(_.getLong(0))
+    def pruned(ver: Long): Int = Snapshot.candidateFilePaths(spark, sigs, ver,
+      org.apache.spark.sql.functions.col("sig")
+        .isin(probeSigs.toIndexedSeq: _*)).size
+    val beforeTouched = pruned(v)
+    // the probe doc is NOVEL, so per-file sig blooms alone must prune
+    // (most of) the unclustered store — this is the InSet pruning path
+    // (isin past 10 values rewrites to InSet)
+    assert(beforeTouched < all,
+      s"blooms must prune a novel probe: touched $beforeTouched of $all")
+    // the maintenance loop: one sig-clustered rewrite (tiny targetBytes
+    // so the toy store still yields several range-disjoint files)
+    Snapshot.optimize(spark, sigs, targetBytes = 16L * 1024,
+      smallBytes = Long.MaxValue, clusterBy = Seq("sig"))
+    val v2 = Snapshot.latestVersion(spark, sigs).get
+    val total2 = Snapshot.filesForTest(spark, sigs, v2).size
+    val afterTouched = pruned(v2)
+    info(s"probe touches $beforeTouched/$all files unclustered, " +
+      s"$afterTouched/$total2 after optimize(clusterBy = sig)")
+    assert(afterTouched < total2,
+      "a sig-clustered store must prune non-candidate files for a point probe")
+    assert(afterTouched <= beforeTouched)
+    // the clustered store still finds real dups: a near-dup of ADMITTED
+    // doc 120 rejects, while the genuinely novel doc admits
+    val n = IncrementalDedup.applyBatch(
+      docs(9999L -> (distinctDoc(120).split(" ").init.mkString(" ") + " tail"),
+        9998L -> distinctDoc(5000)),
+      10L, corpus, sigs, "doc_id", "text")
+    assert(n == 1L, "clustering must not lose any signature")
+  }
+
   test("streaming form: dedupOnArrival admits across micro-batches and restarts exactly-once") {
     import spark.implicits._
     val root = tmp()
