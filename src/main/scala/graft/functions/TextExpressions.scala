@@ -215,6 +215,154 @@ case class JaroWinkler(left: Expression, right: Expression)
       newRight: Expression): Expression = copy(left = newLeft, right = newRight)
 }
 
+/** Longest-common-subsequence LENGTH over two token arrays as a native
+  * Catalyst expression — the ROUGE-L / diff kernel.
+  *
+  * The declarative form (nested `aggregate` higher-order functions
+  * building each DP row with `concat(acc, array(...))`) runs
+  * interpreted: per-cell closure dispatch plus an O(row) array copy
+  * per cell — O(n·m²) copies and the dominant cost of text_rouge_l.
+  * This expression runs the same DP as two flat int rows inside
+  * whole-stage codegen via one static helper: O(n·m) cells, zero
+  * allocation beyond the two rows. Bit-identical recurrence:
+  * cur[j] = a_i = b_j ? prev[j−1]+1 : max(prev[j], cur[j−1]); null
+  * array → null; null ELEMENTS never match (the HOF's three-valued
+  * `when` takes the otherwise branch).
+  */
+object LcsLenUtil {
+  def lcs(a: org.apache.spark.sql.catalyst.util.ArrayData,
+      b: org.apache.spark.sql.catalyst.util.ArrayData): Int = {
+    val n = a.numElements(); val m = b.numElements()
+    if (n == 0 || m == 0) return 0
+    val as = new Array[UTF8String](n)
+    var i = 0
+    while (i < n) { as(i) = if (a.isNullAt(i)) null else a.getUTF8String(i); i += 1 }
+    var prev = new Array[Int](m + 1)
+    var cur = new Array[Int](m + 1)
+    i = 0
+    while (i < n) {
+      val ai = as(i)
+      var j = 0
+      while (j < m) {
+        val bj = if (b.isNullAt(j)) null else b.getUTF8String(j)
+        cur(j + 1) =
+          if (ai != null && bj != null && ai.equals(bj)) prev(j) + 1
+          else math.max(prev(j + 1), cur(j))
+        j += 1
+      }
+      val t = prev; prev = cur; cur = t
+      cur(0) = 0
+      i += 1
+    }
+    prev(m)
+  }
+}
+
+case class LcsLen(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def prettyName: String = "lcs_len"
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(dt: DataType): Boolean = dt match {
+      case org.apache.spark.sql.types.ArrayType(StringType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<string> arguments, got " +
+        s"${left.dataType.catalogString}/${right.dataType.catalogString}")
+  }
+
+  override protected def nullSafeEval(l: Any, r: Any): Any =
+    LcsLenUtil.lcs(l.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      r.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (l, r) => s"graft.functions.LcsLenUtil.lcs($l, $r)")
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): Expression = copy(left = newLeft, right = newRight)
+}
+
+/** Dynamic-time-warping distance over two BIGINT series as a native
+  * Catalyst expression: |Δ| step cost, no warping window — exact
+  * integer arithmetic, so the result is bit-identical to the
+  * interpreted fold-of-folds formulation it replaces (whose per-cell
+  * `concat` copies made the DP O(n·m²)). Standard unconstrained DTW:
+  * D[i][j] = |a_i − b_j| + min(D[i−1][j], D[i][j−1], D[i−1][j−1]),
+  * seeded with the cumulative first row/column. Null array → null;
+  * either series empty → null (the HOF form degenerates there and no
+  * caller feeds one).
+  */
+object DtwLongUtil {
+  def dtw(a: org.apache.spark.sql.catalyst.util.ArrayData,
+      b: org.apache.spark.sql.catalyst.util.ArrayData): Long = {
+    val n = a.numElements(); val m = b.numElements()
+    var prev = new Array[Long](m)
+    var cur = new Array[Long](m)
+    val a0 = a.getLong(0)
+    var j = 0
+    var run = 0L
+    while (j < m) { // first row: cumulative |a_0 − b_j| (the fold's row1)
+      run += math.abs(a0 - b.getLong(j))
+      prev(j) = run
+      j += 1
+    }
+    var i = 1
+    while (i < n) {
+      val ai = a.getLong(i)
+      cur(0) = prev(0) + math.abs(ai - b.getLong(0))
+      j = 1
+      while (j < m) {
+        val c = math.abs(ai - b.getLong(j))
+        val best = math.min(prev(j), math.min(prev(j - 1), cur(j - 1)))
+        cur(j) = c + best
+        j += 1
+      }
+      val t = prev; prev = cur; cur = t
+      i += 1
+    }
+    prev(m - 1)
+  }
+}
+
+case class DtwLong(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def prettyName: String = "dtw_long"
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(dt: DataType): Boolean = dt match {
+      case org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.LongType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<bigint> arguments, got " +
+        s"${left.dataType.catalogString}/${right.dataType.catalogString}")
+  }
+  override def nullable: Boolean = true
+
+  override protected def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val b = r.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    if (a.numElements() == 0 || b.numElements() == 0) null
+    else DtwLongUtil.dtw(a, b)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (l, r) => {
+      s"""
+      if ($l.numElements() == 0 || $r.numElements() == 0) { ${ev.isNull} = true; }
+      else { ${ev.value} = graft.functions.DtwLongUtil.dtw($l, $r); }
+      """
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): Expression = copy(left = newLeft, right = newRight)
+}
+
 /** Column-API surface for the text expressions. */
 object text {
   import org.apache.spark.sql.Column
@@ -231,4 +379,10 @@ object text {
 
   def jaroWinkler(l: Column, r: Column): Column =
     bridge.column(JaroWinkler(bridge.expression(l), bridge.expression(r)))
+
+  def lcsLen(a: Column, b: Column): Column =
+    bridge.column(LcsLen(bridge.expression(a), bridge.expression(b)))
+
+  def dtwLong(a: Column, b: Column): Column =
+    bridge.column(DtwLong(bridge.expression(a), bridge.expression(b)))
 }

@@ -135,6 +135,70 @@ case class CosineSimilarity(left: Expression, right: Expression) extends VectorB
     copy(left = l, right = r)
 }
 
+/** sqdist_long(a, b): Σ (aᵢ−bᵢ)² over array<long> in long arithmetic —
+  * the exact integer squared L2 distance of the quantized-coordinate
+  * convention (1e-7 units ⇒ per-term ≤ ~1.6e15, 64-dim sum ≤ ~1e17,
+  * far inside long range). Replaces the interpreted
+  * `aggregate(zip_with(a, b, (x,y) ⇒ (x−y)·(x−y)), 0L, +)` pipeline —
+  * per-element closure dispatch plus a zipped intermediate array per
+  * row — with a fused codegen loop; results are bit-identical for
+  * inputs whose true sum fits a long (the quantized convention
+  * guarantees it). Null on length mismatch or null element, matching
+  * zip_with + aggregate null propagation.
+  */
+case class SqDistLong(left: Expression, right: Expression) extends BinaryExpression {
+  override def prettyName: String = "vec_sqdist_long"
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(dt: DataType): Boolean = dt match {
+      case ArrayType(et, _) => et == LongType
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<bigint> arguments, " +
+        s"got ${left.dataType.catalogString} and ${right.dataType.catalogString}")
+  }
+
+  override protected def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]; val b = r.asInstanceOf[ArrayData]
+    val n = a.numElements()
+    if (n != b.numElements()) return null
+    var s = 0L; var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      val d = a.getLong(i) - b.getLong(i)
+      s += d * d
+      i += 1
+    }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i"); val n = ctx.freshName("n")
+      val s = ctx.freshName("s"); val d = ctx.freshName("d")
+      s"""
+      int $n = $a.numElements();
+      if ($n != $b.numElements()) { ${ev.isNull} = true; }
+      else {
+        long $s = 0L;
+        for (int $i = 0; $i < $n; $i++) {
+          if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+          long $d = $a.getLong($i) - $b.getLong($i);
+          $s += $d * $d;
+        }
+        if (!${ev.isNull}) { ${ev.value} = $s; }
+      }
+      """
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
 /** Session-extension wiring (`spark.sql.extensions=graft.functions.GraftExtensions`):
   * registers `vec_dot` / `vec_cosine` as SQL functions, callable from
   * both SQL text and the Column API via `call_function`.
@@ -147,6 +211,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((new FunctionIdentifier("vec_cosine"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "vec_cosine"),
       (args: Seq[Expression]) => CosineSimilarity(args(0), args(1))))
+    ext.injectFunction((new FunctionIdentifier("vec_sqdist_long"),
+      new ExpressionInfo(classOf[SqDistLong].getName, "vec_sqdist_long"),
+      (args: Seq[Expression]) => SqDistLong(args(0), args(1))))
     ext.injectFunction((new FunctionIdentifier("top_k_by"),
       new ExpressionInfo(classOf[TopKByScore].getName, "top_k_by"),
       (args: Seq[Expression]) => TopKByScore(args(0), args(1),
@@ -155,6 +222,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[TopKByScoreLong].getName, "top_k_by_long"),
       (args: Seq[Expression]) => TopKByScoreLong(args(0), args(1),
         args(2).eval().asInstanceOf[Number].intValue())))
+    ext.injectFunction((new FunctionIdentifier("lcs_len"),
+      new ExpressionInfo(classOf[LcsLen].getName, "lcs_len"),
+      (args: Seq[Expression]) => LcsLen(args(0), args(1))))
+    ext.injectFunction((new FunctionIdentifier("dtw_long"),
+      new ExpressionInfo(classOf[DtwLong].getName, "dtw_long"),
+      (args: Seq[Expression]) => DtwLong(args(0), args(1))))
     ext.injectFunction((new FunctionIdentifier("unicode_normalize"),
       new ExpressionInfo(classOf[UnicodeNormalize].getName, "unicode_normalize"),
       (args: Seq[Expression]) => UnicodeNormalize(args(0),

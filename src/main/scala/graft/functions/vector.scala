@@ -44,6 +44,15 @@ object vector {
   /** Cosine similarity; null on zero vector / length mismatch (native codegen). */
   def cosine(a: Column, b: Column): Column = expr2(a, b, CosineSimilarity)
 
+  /** Exact integer squared L2 distance over array<bigint> (native
+    * codegen): Σ (aᵢ−bᵢ)² in long arithmetic — the quantized-unit
+    * distance of the kNN/DBSCAN family. Bit-identical to the
+    * interpreted `aggregate(zip_with(...))` form ([[sqdistLongHof]])
+    * whenever the sum fits a long, which the 1e-7 quantization
+    * convention guarantees.
+    */
+  def sqdistLong(a: Column, b: Column): Column = expr2(a, b, SqDistLong)
+
   /** Mergeable bloom-filter sketch over a BIGINT key (see [[BloomAgg]]):
     * fixed-size bit-array partials OR-merge, output is the serialized
     * sketch binary.
@@ -88,6 +97,11 @@ object vector {
     val nn = normHof(a) * normHof(b)
     when(nn =!= 0.0, d / nn)
   }
+
+  /** Reference interpreted form of [[sqdistLong]] (differential tests). */
+  def sqdistLongHof(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+      lit(0L), (acc, v) => acc + v)
 
   /** Exact elementwise l2 (one pass HOF; reference). */
   def l2Hof(a: Column, b: Column): Column =

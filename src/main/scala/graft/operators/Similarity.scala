@@ -456,9 +456,8 @@ object Similarity {
       .join(pts.select(col("pid").as("ib"), col("v").as("vb"),
         col("cx").as("kx"), col("cy").as("ky")), Seq("kx", "ky"))
       .filter(col("ia") =!= col("ib"))
-      .withColumn("d2", aggregate(
-        zip_with(col("va"), col("vb"), (x, y) => (x - y) * (x - y)),
-        lit(0L), (acc, t) => acc + t))
+      // native codegen sqdist (bit-identical; the HOF form interprets)
+      .withColumn("d2", graft.functions.vector.sqdistLong(col("va"), col("vb")))
       .filter(col("d2") <= lit(epsU * epsU))
       .select(col("ia"), col("ib"))
       .localCheckpoint(true)

@@ -384,4 +384,65 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(100L) > 0.0)   // target-like: more likely under target LM
     assert(out(101L) < 0.0)   // base-only vocabulary: OOV floor under target LM
   }
+
+  test("lcs_len: native codegen DP matches the nested-aggregate HOF fold bit-for-bit") {
+    import spark.implicits._
+    val docs = Tables(spark, sf("x"), "documents")
+      .select(col("doc_id"), slice(TextAnalysis.tokens(col("text")), 1, 64).as("w"))
+      .limit(60)
+    val pairs = docs.select(col("doc_id").as("ia"), col("w").as("wa"))
+      .crossJoin(docs.select(col("doc_id").as("ib"), col("w").as("wb")))
+      .filter(col("ia") < col("ib")).limit(400)
+    val hof = org.apache.spark.sql.functions.element_at(
+      aggregate(col("wa"), array_repeat(lit(0), size(col("wb")) + 1),
+        (prev, ai) => aggregate(col("wb"), array(lit(0)), (acc, bj) => {
+          val j = size(acc)
+          concat(acc, array(
+            when(ai === bj, org.apache.spark.sql.functions.element_at(prev, j) + 1)
+              .otherwise(greatest(org.apache.spark.sql.functions.element_at(prev, j + 1),
+                org.apache.spark.sql.functions.element_at(acc, j)))))
+        })), -1)
+    val diff = pairs.select(
+        graft.functions.text.lcsLen(col("wa"), col("wb")).as("native"), hof.as("ref"))
+      .filter(col("native") =!= col("ref"))
+    assert(diff.count() == 0)
+    // hand-checked cases: classic, empty, identical, null element never matches
+    val r = spark.sql(
+      "SELECT lcs_len(array('a','b','c','b','d'), array('b','d','c','a','b')) AS l1, " +
+      "lcs_len(array('a'), CAST(array() AS ARRAY<STRING>)) AS l2, " +
+      "lcs_len(array('x','y'), array('x','y')) AS l3, " +
+      "lcs_len(array('x', NULL), array('x', NULL)) AS l4").collect().head
+    assert(r.getInt(0) == 3 && r.getInt(1) == 0 && r.getInt(2) == 2 && r.getInt(3) == 1)
+  }
+
+  test("dtw_long: native codegen DP matches the fold-of-folds reference bit-for-bit") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val rows = (1 to 20).map { i =>
+      (Array.fill(3 + rnd.nextInt(40))(rnd.nextInt(100000).toLong),
+       Array.fill(3 + rnd.nextInt(40))(rnd.nextInt(100000).toLong))
+    }
+    val df = rows.toDF("a1", "a2")
+    val a1 = col("a1"); val a2 = col("a2")
+    val n1 = size(a1); val n2 = size(a2)
+    val row1 = aggregate(slice(a2, lit(2), greatest(n2 - 1, lit(0))),
+      array(abs(org.apache.spark.sql.functions.element_at(a1, 1) -
+        org.apache.spark.sql.functions.element_at(a2, 1))),
+      (acc, v) => concat(acc, array(
+        org.apache.spark.sql.functions.element_at(acc, size(acc)) +
+          abs(org.apache.spark.sql.functions.element_at(a1, 1) - v))))
+    val dp = aggregate(slice(a1, lit(2), greatest(n1 - 1, lit(0))), row1,
+      (prev, y) => aggregate(sequence(lit(2), n2),
+        array(org.apache.spark.sql.functions.element_at(prev, 1) +
+          abs(y - org.apache.spark.sql.functions.element_at(a2, 1))),
+        (acc, j) => concat(acc, array(
+          abs(y - org.apache.spark.sql.functions.element_at(a2, j)) +
+            least(org.apache.spark.sql.functions.element_at(prev, j),
+              org.apache.spark.sql.functions.element_at(prev, j - 1),
+              org.apache.spark.sql.functions.element_at(acc, size(acc)))))))
+    val ref = org.apache.spark.sql.functions.element_at(dp, n2)
+    val diff = df.select(graft.functions.text.dtwLong(a1, a2).as("native"), ref.as("ref"))
+      .filter(col("native") =!= col("ref"))
+    assert(diff.count() == 0)
+  }
 }

@@ -108,6 +108,40 @@ class VectorExpressionsSpec extends SparkSpec {
     assert(run(df1) == run(df37))
   }
 
+  test("vec_sqdist_long matches the HOF reference bit-for-bit on quantized embeddings") {
+    val emb = Tables(spark, sf("x"), "embeddings")
+      .select(col("vec_id"),
+        transform(col("embedding"),
+          x => floor(x.cast("double") * 1.0e7 + 0.5).cast("long")).as("vu"))
+    val q = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("vu").as("q_vu"))
+    val diff = emb.crossJoin(q)
+      .select(
+        vector.sqdistLong(col("vu"), col("q_vu")).as("native"),
+        vector.sqdistLongHof(col("vu"), col("q_vu")).as("hof"))
+      .filter(col("native") =!= col("hof") || col("native").isNull =!= col("hof").isNull)
+    assert(diff.count() == 0)
+    // exact on a known pair + null semantics (mismatch, null element)
+    val r = spark.sql(
+      "SELECT vec_sqdist_long(array(3L, -2L), array(1L, 2L)) AS d, " +
+      "vec_sqdist_long(array(1L), array(1L, 2L)) AS mis, " +
+      "vec_sqdist_long(array(1L, NULL), array(1L, 2L)) AS ne").collect().head
+    assert(r.getLong(0) == 20L)
+    assert(r.isNullAt(1) && r.isNullAt(2))
+  }
+
+  test("vec_sqdist_long stays inside whole-stage codegen") {
+    val emb = Tables(spark, sf("x"), "embeddings")
+      .select(transform(col("embedding"),
+        x => floor(x.cast("double") * 1.0e7 + 0.5).cast("long")).as("vu"))
+    val q = emb.limit(1).select(col("vu").as("q_vu"))
+    val df = emb.crossJoin(broadcast(q))
+      .select(vector.sqdistLong(col("vu"), col("q_vu")).as("d"))
+    df.collect()
+    assert("""\*\(\d+\) Project \[vec_sqdist_long""".r
+      .findFirstIn(df.queryExecution.executedPlan.toString).isDefined)
+  }
+
   test("native cosine stays inside whole-stage codegen") {
     val emb = Tables(spark, sf("x"), "embeddings")
     val q = emb.limit(1).select(col("embedding").as("q_vec"))
