@@ -46,7 +46,7 @@ object Explain {
     val names = if (args.length > 1) args(1).split(",").toSeq else Queries.all.map(_.name)
     val n     = if (args.length > 2) args(2).toInt else 2
     val cpus  = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = GraftSession.configure(SparkSession.builder())
+    val builder0 = GraftSession.configure(SparkSession.builder())
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
@@ -54,8 +54,34 @@ object Explain {
       .config("spark.sql.codegen.maxFields", "512")
       .config(GraftSession.LocalSpreadKey, sys.env.getOrElse("SPARK_GRAFT_SPREAD", "true"))
       .config("spark.ui.enabled", "false")
+    // ad-hoc conf overrides for A/B plan experiments:
+    // SPARK_GRAFT_CONF="key=value;key=value"
+    val spark = sys.env.get("SPARK_GRAFT_CONF").toSeq
+      .flatMap(_.split(';').toSeq).map(_.trim).filter(_.contains("="))
+      .foldLeft(builder0) { (b, kv) =>
+        val Array(k, v) = kv.split("=", 2); b.config(k, v)
+      }
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // SPARK_GRAFT_JOBS=1: per-job wall time + stage/task counts — the
+    // action-overhead decomposition for iterative operators
+    if (sys.env.get("SPARK_GRAFT_JOBS").contains("1"))
+      spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        private val starts = new java.util.concurrent.ConcurrentHashMap[Int, Long]()
+        private val tasks = new java.util.concurrent.atomic.AtomicInteger(0)
+        private val stages = new java.util.concurrent.atomic.AtomicInteger(0)
+        override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+          starts.put(js.jobId, System.nanoTime())
+          stages.addAndGet(js.stageInfos.size)
+          tasks.addAndGet(js.stageInfos.map(_.numTasks).sum)
+        }
+        override def onJobEnd(je: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
+          val t0 = Option(starts.remove(je.jobId))
+          t0.foreach { t =>
+            println(f"[jobs] job ${je.jobId}%4d: ${(System.nanoTime() - t) / 1e3}%10.0fus  (cum stages=${stages.get()} tasks=${tasks.get()})")
+          }
+        }
+      })
     val byName = Queries.all.map(q => q.name -> q).toMap
     names.foreach { name =>
       val q = byName(name)

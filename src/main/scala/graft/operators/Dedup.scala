@@ -290,6 +290,45 @@ object Dedup {
       .select("id_a", "id_b", "j")
   }
 
+  /** Verified near-dup pairs AND the batch's banded signatures from
+    * ONE tokenize→shingle→minhash pass — the dedup-on-arrival shape
+    * ([[graft.streaming.IncrementalDedup]]): the same signatures feed
+    * the intra-batch LSH *and* the persisted store, and composing
+    * [[minhashVerifiedPairs]] + [[bandedSignatures]] separately ran the
+    * whole gram/64-min-agg pipeline twice per wave (and a third time
+    * when the un-checkpointed pair frame re-evaluated under the
+    * admitted count). Both frames are eagerly materialized so the gram
+    * cache releases before return and no consumer re-runs the
+    * pipeline. Results are bit-identical to the composed form: same
+    * deterministic hash pipeline, `banded` filtered by the caller to
+    * survivor ids equals bandedSignatures(survivors).
+    */
+  private[graft] def minhashPairsAndBandedSigs(docs: DataFrame, id: String,
+      text: String, minJaccard: Double, numPerm: Int, bands: Int,
+      n: Int, maxBucket: Int = 1000): (DataFrame, DataFrame) = {
+    val grams = gramArrays(docs, id, text, n).persist()
+    try {
+      val banded = bandSigs(signaturesFromGrams(grams, numPerm), numPerm, bands)
+        .localCheckpoint(true)
+      val cand = banded.groupBy(col("band"), col("sig"))
+        .agg(collect_list(col("id")).as("ids"))
+        .filter(size(col("ids")).between(2, maxBucket))
+        .select(explode(pairCombos(sort_array(col("ids")))).as("p"))
+        .select(col("p.a").as("id_a"), col("p.b").as("id_b"))
+        .distinct()
+      val pairs = cand
+        .join(grams.select(col("id").as("id_a"), col("grams").as("ga")), "id_a")
+        .join(grams.select(col("id").as("id_b"), col("grams").as("gb")), "id_b")
+        .withColumn("j",
+          size(array_intersect(col("ga"), col("gb"))).cast(DoubleType) /
+            size(array_union(col("ga"), col("gb"))).cast(DoubleType))
+        .filter(col("j") >= minJaccard)
+        .select("id_a", "id_b", "j")
+        .localCheckpoint(true)
+      (pairs, banded)
+    } finally { grams.unpersist(false); () }
+  }
+
   /** MinHash-LSH dedup: one survivor (the min id) per connected
     * component of verified near-dup pairs — transitive closure via
     * [[connectedComponents]], so A~B, B~C collapse to one doc even

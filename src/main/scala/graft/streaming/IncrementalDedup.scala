@@ -62,7 +62,10 @@ object IncrementalDedup {
     if (batch.isEmpty) return 0L
 
     // ── 1. intra-batch collapse: first occurrence (min id) wins ──
-    val pairs = Dedup.minhashVerifiedPairs(batch, id, text,
+    // ONE tokenize→shingle→minhash pass yields both the verified pairs
+    // and the batch's banded signatures (composing minhashVerifiedPairs
+    // + bandedSignatures re-ran the signature pipeline per consumer)
+    val (pairs, banded) = Dedup.minhashPairsAndBandedSigs(batch, id, text,
       minJaccard, numPerm, bands, n)
     // id_a < id_b by construction: every id that loses to an earlier id
     val intraLosers = pairs.select(col("id_b").as("lid")).distinct()
@@ -70,7 +73,10 @@ object IncrementalDedup {
       batch(id) === intraLosers("lid"), "left_anti")
 
     // ── 2. cross-batch probe of the signature store ──
-    val newSigs = Dedup.bandedSignatures(survivors, id, text, numPerm, bands, n)
+    // survivors' signatures = the batch's banded frame minus the
+    // intra-batch losers (identical rows to re-signing the survivors)
+    val newSigs = banded.join(intraLosers,
+        banded("id") === intraLosers("lid"), "left_anti")
       .persist()
     try {
       val rejected: DataFrame =
