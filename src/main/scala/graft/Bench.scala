@@ -280,6 +280,20 @@ object Bench {
         detail.getBytes("UTF-8"))
     }
 
+    // Per-query visibility for the driver (r14 verdict item 2): a full
+    // contract-shaped line carrying THIS-run measured seconds per query
+    // (NOT the min-merge ratchet — that stays in BENCH_DETAIL.json).
+    // Printed BEFORE the compact line so a tail-bounded parser still
+    // lands on the short parseable line below (the 2000-char tail
+    // clipped the head of an inline map in r3/r10 and zeroed the
+    // round's headline); a full-stdout parser finds this one.
+    val thisRunQs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString(",")
+    println(
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${mergedResults.size},""" +
+        s""""queries":{$thisRunQs},"measured_total":${fmt(measuredTotal)},"failed":${failed.size},""" +
+        s""""regressions_vs_frozen":${regsFrozen.size},""" +
+        s""""regressions_vs_prior":${regsMerged.size},""" +
+        s""""detail":"BENCH_DETAIL.json","sf":"$sfDir"}""")
     // Compact total-only line LAST on stdout: the official artifact
     // captures a bounded tail, and the 102-entry per-query map broke
     // the parse in r2/r3. Detail lives in the files written above.
