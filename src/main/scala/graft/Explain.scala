@@ -72,8 +72,13 @@ object Explain {
         private val stages = new java.util.concurrent.atomic.AtomicInteger(0)
         override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
           starts.put(js.jobId, System.nanoTime())
-          stages.addAndGet(js.stageInfos.size)
-          tasks.addAndGet(js.stageInfos.map(_.numTasks).sum)
+        }
+        // count EXECUTED stages/tasks — JobStart.stageInfos includes
+        // stages later skipped via shuffle reuse, which overstates work
+        override def onStageCompleted(
+            sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+          stages.incrementAndGet()
+          tasks.addAndGet(sc.stageInfo.numTasks)
         }
         override def onJobEnd(je: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
           val t0 = Option(starts.remove(je.jobId))

@@ -237,6 +237,12 @@ object LcsLenUtil {
     val as = new Array[UTF8String](n)
     var i = 0
     while (i < n) { as(i) = if (a.isNullAt(i)) null else a.getUTF8String(i); i += 1 }
+    // materialize b's elements ONCE — extracting per inner-loop cell
+    // repeats the isNullAt+getUTF8String work O(n·m) times on the hot
+    // DP path this expression exists to speed up
+    val bs = new Array[UTF8String](m)
+    var jj = 0
+    while (jj < m) { bs(jj) = if (b.isNullAt(jj)) null else b.getUTF8String(jj); jj += 1 }
     var prev = new Array[Int](m + 1)
     var cur = new Array[Int](m + 1)
     i = 0
@@ -244,7 +250,7 @@ object LcsLenUtil {
       val ai = as(i)
       var j = 0
       while (j < m) {
-        val bj = if (b.isNullAt(j)) null else b.getUTF8String(j)
+        val bj = bs(j)
         cur(j + 1) =
           if (ai != null && bj != null && ai.equals(bj)) prev(j) + 1
           else math.max(prev(j + 1), cur(j))
@@ -293,9 +299,26 @@ case class LcsLen(left: Expression, right: Expression)
   * D[i][j] = |a_i − b_j| + min(D[i−1][j], D[i][j−1], D[i−1][j−1]),
   * seeded with the cumulative first row/column. Null array → null;
   * either series empty → null (the HOF form degenerates there and no
-  * caller feeds one).
+  * caller feeds one); a null ELEMENT → null (matching the HOF fold,
+  * which poisons its accumulator at the first null |Δ|).
   */
 object DtwLongUtil {
+  /** Null-aware entry: a null ELEMENT anywhere poisons the fold in the
+    * HOF form (null accumulator from the first null |Δ| onward), so
+    * bit-identity requires returning SQL NULL — getLong on a null slot
+    * would silently read 0 and diverge. The O(n+m) pre-scan is noise
+    * next to the O(n·m) DP.
+    */
+  def dtwNullable(a: org.apache.spark.sql.catalyst.util.ArrayData,
+      b: org.apache.spark.sql.catalyst.util.ArrayData): java.lang.Long = {
+    val n = a.numElements(); val m = b.numElements()
+    var i = 0
+    while (i < n) { if (a.isNullAt(i)) return null; i += 1 }
+    i = 0
+    while (i < m) { if (b.isNullAt(i)) return null; i += 1 }
+    java.lang.Long.valueOf(dtw(a, b))
+  }
+
   def dtw(a: org.apache.spark.sql.catalyst.util.ArrayData,
       b: org.apache.spark.sql.catalyst.util.ArrayData): Long = {
     val n = a.numElements(); val m = b.numElements()
@@ -348,19 +371,116 @@ case class DtwLong(left: Expression, right: Expression)
     val a = l.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
     val b = r.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
     if (a.numElements() == 0 || b.numElements() == 0) null
-    else DtwLongUtil.dtw(a, b)
+    else DtwLongUtil.dtwNullable(a, b)
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (l, r) => {
+      val boxed = ctx.freshName("dtwBoxed")
       s"""
       if ($l.numElements() == 0 || $r.numElements() == 0) { ${ev.isNull} = true; }
-      else { ${ev.value} = graft.functions.DtwLongUtil.dtw($l, $r); }
+      else {
+        java.lang.Long $boxed = graft.functions.DtwLongUtil.dtwNullable($l, $r);
+        if ($boxed == null) { ${ev.isNull} = true; }
+        else { ${ev.value} = $boxed.longValue(); }
+      }
       """
     })
 
   override protected def withNewChildrenInternal(newLeft: Expression,
       newRight: Expression): Expression = copy(left = newLeft, right = newRight)
+}
+
+/** Optimal-partitioning changepoint DP (the q419_pelt kernel) as a
+  * native Catalyst expression. Inputs are the 1-based-prefixed
+  * cumulative sums the query already builds — s0 = [0.0, sc_1..sc_n],
+  * ss0 = [0.0, ssc_1..ssc_n] — plus the quantized penalty bq; output
+  * is the SORTED breakpoint chain [0, ..., n] (array<int>), exactly
+  * the `bs` column of the declarative form.
+  *
+  * The declarative form is TWO nested interpreted `aggregate` HOFs:
+  * the O(n²) cost-table fold re-builds its accumulator struct with
+  * `concat(acc.f, array(m+bq))` per step (an O(n) copy per cell on top
+  * of closure dispatch — O(n³) copies overall), then an O(n) backtrack
+  * fold with the same copy-per-step shape. This expression runs the
+  * identical recurrence as flat double/int arrays in one static
+  * helper: per cell cand(ss) = f(ss) + floor((Δss − Δs²/len)·100 +
+  * 0.5), f(tt) = min(cand) + bq with the FIRST argmin recorded
+  * (array_min + array_position semantics — cand is NaN-free since the
+  * inputs are finite and len ≥ 1), then backtrack from n while the
+  * index is positive and sort. Bit-identical: same IEEE ops in the
+  * same order, ties broken to the first index, assuming non-null
+  * array elements (the builders are collect_list-based and never
+  * produce null slots).
+  */
+object PeltUtil {
+  def breakpoints(s0: org.apache.spark.sql.catalyst.util.ArrayData,
+      ss0: org.apache.spark.sql.catalyst.util.ArrayData,
+      bq: Double): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val n = s0.numElements() - 1
+    val s = new Array[Double](n + 1)
+    val ss = new Array[Double](n + 1)
+    var i = 0
+    while (i <= n) { s(i) = s0.getDouble(i); ss(i) = ss0.getDouble(i); i += 1 }
+    val f = new Array[Double](n + 1)
+    val cp = new Array[Int](math.max(n, 0))
+    var tt = 1
+    while (tt <= n) {
+      var m = Double.NaN
+      var pos = 0
+      var sEnd = s(tt); var ssEnd = ss(tt)
+      var sIdx = 0
+      while (sIdx < tt) {
+        val len = (tt - sIdx).toDouble
+        val ds = sEnd - s(sIdx)
+        val dss = ssEnd - ss(sIdx)
+        val cand = f(sIdx) + math.floor((dss - ds * ds / len) * 100.0 + 0.5)
+        if (sIdx == 0 || cand < m) { m = cand; pos = sIdx }
+        sIdx += 1
+      }
+      f(tt) = m + bq
+      cp(tt - 1) = pos
+      tt += 1
+    }
+    // backtrack: chain = [n, cp(n), cp(cp(n)), ...] until 0, then sort
+    val chain = scala.collection.mutable.ArrayBuffer[Int](n)
+    var last = n
+    while (last > 0) { last = cp(last - 1); chain += last }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      chain.toArray.sorted.map(Int.box))
+  }
+}
+
+case class PeltBreakpoints(first: Expression, second: Expression, third: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.TernaryExpression {
+  override def prettyName: String = "pelt_breakpoints"
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.IntegerType, false)
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def okArr(dt: DataType): Boolean = dt match {
+      case org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.DoubleType, _) => true
+      case _ => false
+    }
+    if (okArr(first.dataType) && okArr(second.dataType) &&
+      third.dataType == org.apache.spark.sql.types.DoubleType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires (array<double>, array<double>, double), got " +
+        s"${first.dataType.catalogString}/${second.dataType.catalogString}/${third.dataType.catalogString}")
+  }
+
+  override protected def nullSafeEval(a: Any, b: Any, c: Any): Any =
+    PeltUtil.breakpoints(a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      c.asInstanceOf[Double])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b, c) => s"graft.functions.PeltUtil.breakpoints($a, $b, $c)")
+
+  override protected def withNewChildrenInternal(newFirst: Expression,
+      newSecond: Expression, newThird: Expression): Expression =
+    copy(first = newFirst, second = newSecond, third = newThird)
 }
 
 /** Column-API surface for the text expressions. */
@@ -385,4 +505,8 @@ object text {
 
   def dtwLong(a: Column, b: Column): Column =
     bridge.column(DtwLong(bridge.expression(a), bridge.expression(b)))
+
+  def peltBreakpoints(s0: Column, ss0: Column, bq: Column): Column =
+    bridge.column(PeltBreakpoints(bridge.expression(s0), bridge.expression(ss0),
+      bridge.expression(bq)))
 }

@@ -245,16 +245,38 @@ object Dedup {
       numPerm: Int = 64, bands: Int = 16, n: Int = 3): DataFrame =
     bandSigs(minhashSignatures(docs, id, text, numPerm, n), numPerm, bands)
 
-  private def lshCandidatesFromSigs(sig: DataFrame, numPerm: Int,
-      bands: Int, maxBucket: Int): DataFrame = {
-    val banded = bandSigs(sig, numPerm, bands)
+  /** Candidate pairs from an already-banded (id, band, sig) frame:
+    * collect per (band, sig) bucket, bound by maxBucket, expand
+    * in-bucket — the shared candidate generator for every banded-LSH
+    * path (array signatures, weighted replicas, the incremental store
+    * probe's intra-batch half).
+    */
+  private[graft] def candidatesFromBanded(banded: DataFrame, maxBucket: Int): DataFrame =
     banded.groupBy(col("band"), col("sig"))
       .agg(collect_list(col("id")).as("ids"))
       .filter(size(col("ids")).between(2, maxBucket))
       .select(explode(pairCombos(sort_array(col("ids")))).as("p"))
       .select(col("p.a").as("id_a"), col("p.b").as("id_b"))
       .distinct()
-  }
+
+  /** Exact n-gram Jaccard verification of candidate (id_a, id_b) pairs
+    * against a materialized (id, grams) base — the shared verify join
+    * of the MinHash paths. Returns (id_a, id_b, j) with j ≥ minJaccard.
+    */
+  private[graft] def verifyGramJaccard(cand: DataFrame, grams: DataFrame,
+      minJaccard: Double): DataFrame =
+    cand
+      .join(grams.select(col("id").as("id_a"), col("grams").as("ga")), "id_a")
+      .join(grams.select(col("id").as("id_b"), col("grams").as("gb")), "id_b")
+      .withColumn("j",
+        size(array_intersect(col("ga"), col("gb"))).cast(DoubleType) /
+          size(array_union(col("ga"), col("gb"))).cast(DoubleType))
+      .filter(col("j") >= minJaccard)
+      .select("id_a", "id_b", "j")
+
+  private def lshCandidatesFromSigs(sig: DataFrame, numPerm: Int,
+      bands: Int, maxBucket: Int): DataFrame =
+    candidatesFromBanded(bandSigs(sig, numPerm, bands), maxBucket)
 
   def minhashLshCandidates(docs: DataFrame, id: String, text: String,
       numPerm: Int = 64, bands: Int = 16, n: Int = 3,
@@ -280,14 +302,7 @@ object Dedup {
     val grams = gramArrays(docs, id, text, n).persist()
     val cand = lshCandidatesFromSigs(signaturesFromGrams(grams, numPerm),
       numPerm, bands, maxBucket = 1000)
-    cand
-      .join(grams.select(col("id").as("id_a"), col("grams").as("ga")), "id_a")
-      .join(grams.select(col("id").as("id_b"), col("grams").as("gb")), "id_b")
-      .withColumn("j",
-        size(array_intersect(col("ga"), col("gb"))).cast(DoubleType) /
-          size(array_union(col("ga"), col("gb"))).cast(DoubleType))
-      .filter(col("j") >= minJaccard)
-      .select("id_a", "id_b", "j")
+    verifyGramJaccard(cand, grams, minJaccard)
   }
 
   /** Verified near-dup pairs AND the batch's banded signatures from
@@ -310,20 +325,8 @@ object Dedup {
     try {
       val banded = bandSigs(signaturesFromGrams(grams, numPerm), numPerm, bands)
         .localCheckpoint(true)
-      val cand = banded.groupBy(col("band"), col("sig"))
-        .agg(collect_list(col("id")).as("ids"))
-        .filter(size(col("ids")).between(2, maxBucket))
-        .select(explode(pairCombos(sort_array(col("ids")))).as("p"))
-        .select(col("p.a").as("id_a"), col("p.b").as("id_b"))
-        .distinct()
-      val pairs = cand
-        .join(grams.select(col("id").as("id_a"), col("grams").as("ga")), "id_a")
-        .join(grams.select(col("id").as("id_b"), col("grams").as("gb")), "id_b")
-        .withColumn("j",
-          size(array_intersect(col("ga"), col("gb"))).cast(DoubleType) /
-            size(array_union(col("ga"), col("gb"))).cast(DoubleType))
-        .filter(col("j") >= minJaccard)
-        .select("id_a", "id_b", "j")
+      val cand = candidatesFromBanded(banded, maxBucket)
+      val pairs = verifyGramJaccard(cand, grams, minJaccard)
         .localCheckpoint(true)
       (pairs, banded)
     } finally { grams.unpersist(false); () }

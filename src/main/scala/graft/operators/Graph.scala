@@ -25,6 +25,14 @@ import org.apache.spark.storage.StorageLevel
   */
 object Graph {
 
+  /** Eager-checkpoint (= one Spark action + lineage cut) every this
+    * many iterations in the fixed-iteration operators; intermediate
+    * rounds persist() lazily. 3 bounds the logical-plan doubling of a
+    * twice-consumed iterate at 2³ while cutting the per-round action
+    * count 3× — same constant the connectedComponents resolver uses.
+    */
+  private[graft] val IterCutEvery = 3
+
   /** Weighted PageRank, fixed iteration count. Returns (node, rank);
     * ranks sum to 1. Dangling nodes (no out-edges) spread their mass
     * uniformly, the standard random-surfer correction.
@@ -53,37 +61,67 @@ object Graph {
 
     // dangling node SET is static — materialize it once; only its
     // rank mass changes per iteration (otherwise every iteration's
-    // scalar would re-run the whole edge-derivation subtree)
+    // scalar would re-run the whole edge-derivation subtree). When the
+    // set is EMPTY (symmetrized graphs: every node has out-edges) the
+    // whole mass branch is dropped — dmass is identically +0.0 and
+    // x + 0.0 == x for the non-negative contribs, so the update is
+    // bit-identical without the per-iteration semi-join + 1-row agg +
+    // broadcast it would otherwise pay.
     val dangling = nodes.join(outW.select(col("src").as("node")), Seq("node"), "left_anti")
       .persist(StorageLevel.MEMORY_AND_DISK)
-    dangling.count()
+    val nDangling = dangling.count()
 
     var ranks = nodes.select(col("node"), lit(1.0 / n).as("rank"))
       .localCheckpoint(true)
 
+    // Iteration discipline (r15): persist() per iteration, ONE eager
+    // localCheckpoint action every CutEvery rounds (and on the last) —
+    // a per-iteration eager checkpoint costs one Spark job per round
+    // AND erases the partitioning, so every consumer re-shuffles the
+    // rank frame (mass semi-join + transition join = 2 avoidable
+    // exchanges/round). A persisted frame keeps hash(node)
+    // partitioning (cached plans pin output partitioning), so the
+    // dangling semi-join and the trans⋈ranks join are co-partitioned
+    // and only the groupBy(dst) — PageRank's one fundamental data
+    // movement — shuffles. Superseded caches are released only AFTER
+    // the next cut materializes (an earlier unpersist would force the
+    // chain to recompute through its doubled logical plan); the cut
+    // bounds plan depth the same way connectedComponents' every-3rd-
+    // round checkpoint does.
+    val live = scala.collection.mutable.ListBuffer[DataFrame]()
     var i = 0
     while (i < iterations) {
-      // dangling mass as a broadcast 1-row frame, NOT a driver scalar:
-      // it rides in the same DAG as the rank update, so each iteration
-      // is exactly ONE action (the checkpoint materialization) — both
-      // inputs re-read the previous iteration's checkpoint, nothing
-      // upstream re-evaluates
-      val mass = ranks.join(dangling, Seq("node"), "left_semi")
-        .agg(coalesce(sum(col("rank")), lit(0.0)).as("dmass"))
       val contribs = trans
         .join(ranks.withColumnRenamed("node", "src"), "src")
         .groupBy(col("dst").as("node"))
         .agg(sum(col("frac") * col("rank")).as("contrib"))
-      val prev = ranks
-      ranks = nodes
-        .join(contribs, Seq("node"), "left")
-        .crossJoin(broadcast(mass))
-        .select(col("node"),
-          (lit((1.0 - damping) / n) +
-            lit(damping) * (coalesce(col("contrib"), lit(0.0)) + col("dmass") / n))
-            .as("rank"))
-        .localCheckpoint(true)
-      prev.unpersist(false)
+      val next0 = if (nDangling == 0L) {
+        nodes.join(contribs, Seq("node"), "left")
+          .select(col("node"),
+            (lit((1.0 - damping) / n) +
+              lit(damping) * coalesce(col("contrib"), lit(0.0))).as("rank"))
+      } else {
+        // dangling mass as a broadcast 1-row frame, NOT a driver
+        // scalar: it rides in the same DAG as the rank update —
+        // nothing upstream re-evaluates (both branches read the
+        // cached previous ranks)
+        val mass = ranks.join(dangling, Seq("node"), "left_semi")
+          .agg(coalesce(sum(col("rank")), lit(0.0)).as("dmass"))
+        nodes
+          .join(contribs, Seq("node"), "left")
+          .crossJoin(broadcast(mass))
+          .select(col("node"),
+            (lit((1.0 - damping) / n) +
+              lit(damping) * (coalesce(col("contrib"), lit(0.0)) + col("dmass") / n))
+              .as("rank"))
+      }
+      if ((i + 1) % IterCutEvery == 0 || i == iterations - 1) {
+        ranks = next0.localCheckpoint(true) // the round-group's ONE action
+        live.foreach(_.unpersist(false)); live.clear()
+      } else {
+        ranks = next0.persist()
+        live += ranks
+      }
       i += 1
     }
     e.unpersist(false)
@@ -130,28 +168,46 @@ object Graph {
     val dangling = nodes.select(col("node"))
       .join(outW.select(col("src").as("node")), Seq("node"), "left_anti")
       .persist(StorageLevel.MEMORY_AND_DISK)
-    dangling.count()
+    // empty dangling set (symmetrized graphs) → the mass branch is
+    // dropped per iteration; dmass·e0 is identically +0.0 so the
+    // update is bit-identical (see pageRank)
+    val nDangling = dangling.count()
 
     var ranks = nodes.select(col("node"), col("e0").as("rank"))
       .localCheckpoint(true)
+    // persist-per-round + cut-every-IterCutEvery (see pageRank): the
+    // semi-join and transition join stay co-partitioned, one action
+    // per round-group instead of per round
+    val live = scala.collection.mutable.ListBuffer[DataFrame]()
     var i = 0
     while (i < iterations) {
-      val mass = ranks.join(dangling, Seq("node"), "left_semi")
-        .agg(coalesce(sum(col("rank")), lit(0.0)).as("dmass"))
       val contribs = trans
         .join(ranks.withColumnRenamed("node", "src"), "src")
         .groupBy(col("dst").as("node"))
         .agg(sum(col("frac") * col("rank")).as("contrib"))
-      val prev = ranks
-      ranks = nodes
-        .join(contribs, Seq("node"), "left")
-        .crossJoin(broadcast(mass))
-        .select(col("node"),
-          (lit(1.0 - damping) * col("e0") +
-            lit(damping) * (coalesce(col("contrib"), lit(0.0)) +
-              col("dmass") * col("e0"))).as("rank"))
-        .localCheckpoint(true)
-      prev.unpersist(false)
+      val next0 = if (nDangling == 0L) {
+        nodes.join(contribs, Seq("node"), "left")
+          .select(col("node"),
+            (lit(1.0 - damping) * col("e0") +
+              lit(damping) * coalesce(col("contrib"), lit(0.0))).as("rank"))
+      } else {
+        val mass = ranks.join(dangling, Seq("node"), "left_semi")
+          .agg(coalesce(sum(col("rank")), lit(0.0)).as("dmass"))
+        nodes
+          .join(contribs, Seq("node"), "left")
+          .crossJoin(broadcast(mass))
+          .select(col("node"),
+            (lit(1.0 - damping) * col("e0") +
+              lit(damping) * (coalesce(col("contrib"), lit(0.0)) +
+                col("dmass") * col("e0"))).as("rank"))
+      }
+      if ((i + 1) % IterCutEvery == 0 || i == iterations - 1) {
+        ranks = next0.localCheckpoint(true)
+        live.foreach(_.unpersist(false)); live.clear()
+      } else {
+        ranks = next0.persist()
+        live += ranks
+      }
       i += 1
     }
     e.unpersist(false)
@@ -187,20 +243,32 @@ object Graph {
     var hubs = e.select(col("src").as("node")).distinct()
       .select(col("node"), lit(1.0).as("hub"))
       .localCheckpoint(true)
+    // persist-per-half-round + cut-every-IterCutEvery on the hub frame
+    // (see pageRank): each round was TWO eager checkpoint actions;
+    // now a round-group of 3 is one action and the e⋈scores joins
+    // reuse the cached frames' partitioning
     var auths: DataFrame = null
+    val live = scala.collection.mutable.ListBuffer[DataFrame]()
     var i = 0
     while (i < iterations) {
       val a = e.join(hubs.withColumnRenamed("node", "src"), "src")
         .groupBy(col("dst").as("node"))
         .agg(sum(col("w") * col("hub")).as("auth"))
-        .localCheckpoint(true)
-      val prevH = hubs
-      hubs = e.join(a.withColumnRenamed("node", "dst"), "dst")
+        .persist()
+      live += a
+      val next0 = e.join(a.withColumnRenamed("node", "dst"), "dst")
         .groupBy(col("src").as("node"))
         .agg(sum(col("w") * col("auth")).as("hub"))
-        .localCheckpoint(true)
-      prevH.unpersist(false)
-      if (auths != null) auths.unpersist(false)
+      if ((i + 1) % IterCutEvery == 0 || i == iterations - 1) {
+        hubs = next0.localCheckpoint(true)
+        // the final round's auth frame feeds the output — keep it live
+        val keep = if (i == iterations - 1) Some(a) else None
+        live.filterNot(f => keep.exists(_ eq f)).foreach(_.unpersist(false))
+        live.clear()
+      } else {
+        hubs = next0.persist()
+        live += hubs
+      }
       auths = a
       i += 1
     }
@@ -284,12 +352,22 @@ object Graph {
     var dist = e.agg(min(col("es")).as("node"))
       .withColumn("dist", lit(new java.math.BigDecimal(0)).cast(D))
       .localCheckpoint(true)
-    for (_ <- 1 to k) {
+    // persist-per-round + cut-every-IterCutEvery (see pageRank); dist
+    // is consumed twice per round (relax join + union), so the cache
+    // also stops the round's plan doubling from re-evaluating it
+    val live = scala.collection.mutable.ListBuffer[DataFrame]()
+    for (r <- 1 to k) {
       val relaxed = dist.join(e, dist("node") === e("es"))
         .select(col("ed").as("node"), (col("dist") + col("wt")).cast(D).as("dist"))
-      dist = dist.unionByName(relaxed)
+      val next0 = dist.unionByName(relaxed)
         .groupBy(col("node")).agg(min(col("dist")).cast(D).as("dist"))
-        .localCheckpoint(true)
+      if (r % IterCutEvery == 0 || r == k) {
+        dist = next0.localCheckpoint(true)
+        live.foreach(_.unpersist(false)); live.clear()
+      } else {
+        dist = next0.persist()
+        live += dist
+      }
     }
     e.unpersist(false)
     dist
@@ -318,15 +396,23 @@ object Graph {
     var labels = und.select(col("a").as("node")).distinct()
       .withColumn("label", col("node"))
       .localCheckpoint(true)
-    for (_ <- 1 to k) {
-      val prev = labels
-      labels = und.join(labels, und("b") === labels("node"))
+    // persist-per-round + cut-every-IterCutEvery (see pageRank): one
+    // action per round-group; the und⋈labels join reuses the cached
+    // label frame instead of re-shuffling a checkpointed one
+    val live = scala.collection.mutable.ListBuffer[DataFrame]()
+    for (r <- 1 to k) {
+      val next0 = und.join(labels, und("b") === labels("node"))
         .groupBy(col("a"), col("label")).agg(count(lit(1)).as("cnt"))
         .groupBy(col("a"))
         .agg(max(struct(col("cnt"), (-col("label")).as("nl"))).as("m"))
         .select(col("a").as("node"), (-col("m.nl")).as("label"))
-        .localCheckpoint(true)
-      prev.unpersist(false) // superseded round's checkpoint blocks
+      if (r % IterCutEvery == 0 || r == k) {
+        labels = next0.localCheckpoint(true)
+        live.foreach(_.unpersist(false)); live.clear()
+      } else {
+        labels = next0.persist()
+        live += labels
+      }
     }
     und.unpersist(false)
     labels
