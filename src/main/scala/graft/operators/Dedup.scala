@@ -245,6 +245,23 @@ object Dedup {
       numPerm: Int = 64, bands: Int = 16, n: Int = 3): DataFrame =
     bandSigs(minhashSignatures(docs, id, text, numPerm, n), numPerm, bands)
 
+  /** Explode a sorted-id-array frame into its (id_a, id_b) pairs,
+    * through the native [[graft.functions.LongArrayPairs]] kernel when
+    * the element type is long (every id column in the corpus paths) —
+    * the interpreted nested-transform expansion pays a closure
+    * dispatch plus an O(B) `slice` copy per element, O(B²) copies per
+    * bucket, measured as a multi-second cost at 5M-pair candidate
+    * volumes. Same pair set, same a<b order on sorted input.
+    */
+  private[graft] def explodeIdPairs(buckets: DataFrame, idsCol: String): DataFrame = {
+    val et = buckets.schema(idsCol).dataType.asInstanceOf[ArrayType].elementType
+    val pc =
+      if (et == LongType) graft.functions.pairs.longArrayPairs(col(idsCol))
+      else pairCombos(col(idsCol))
+    buckets.select(explode(pc).as("p"))
+      .select(col("p.a").as("id_a"), col("p.b").as("id_b"))
+  }
+
   /** Candidate pairs from an already-banded (id, band, sig) frame:
     * collect per (band, sig) bucket, bound by maxBucket, expand
     * in-bucket — the shared candidate generator for every banded-LSH
@@ -252,11 +269,12 @@ object Dedup {
     * probe's intra-batch half).
     */
   private[graft] def candidatesFromBanded(banded: DataFrame, maxBucket: Int): DataFrame =
-    banded.groupBy(col("band"), col("sig"))
-      .agg(collect_list(col("id")).as("ids"))
-      .filter(size(col("ids")).between(2, maxBucket))
-      .select(explode(pairCombos(sort_array(col("ids")))).as("p"))
-      .select(col("p.a").as("id_a"), col("p.b").as("id_b"))
+    explodeIdPairs(
+      banded.groupBy(col("band"), col("sig"))
+        .agg(collect_list(col("id")).as("ids"))
+        .filter(size(col("ids")).between(2, maxBucket))
+        .select(sort_array(col("ids")).as("ids")),
+      "ids")
       .distinct()
 
   /** Exact n-gram Jaccard verification of candidate (id_a, id_b) pairs
@@ -402,16 +420,24 @@ object Dedup {
             .select(col("id"), concat_ws("#", col("token"), col("r")).as("gram")),
           numPerm),
         numPerm, bands, maxBucket = 1000)
-      val tot = tf.groupBy(col("id")).agg(sum(col("w")).as("tot"))
-      val inter = cand
-        .join(tf.select(col("id").as("id_a"), col("token"), col("w").as("wa")), "id_a")
-        .join(tf.select(col("id").as("id_b"), col("token"), col("w").as("wb")),
-          Seq("id_b", "token"))
-        .groupBy(col("id_a"), col("id_b"))
-        .agg(sum(least(col("wa"), col("wb"))).as("icap"))
-      inter
-        .join(tot.select(col("id").as("id_a"), col("tot").as("tot_a")), "id_a")
-        .join(tot.select(col("id").as("id_b"), col("tot").as("tot_b")), "id_b")
+      // Verification joins each candidate pair to TWO per-doc sorted
+      // (token, w) arrays and computes Σmin in one native merge pass
+      // ([[graft.functions.WeightedIntersect]]) — the per-token form
+      // exploded every pair into tokens-of-a join rows (measured 5.3M
+      // candidates × ~tokens ≈ 70M-row shuffle, 20s of a 23s run;
+      // this shape shuffles O(pairs + docs) rows). icap > 0 keeps the
+      // old inner-join-on-shared-token semantics; the wj double is the
+      // same two integers divided, so results are bit-identical.
+      val docArr = tf.groupBy(col("id"))
+        .agg(sort_array(collect_list(struct(col("token"), col("w")))).as("tw"),
+          sum(col("w")).as("tot"))
+      cand
+        .join(docArr.select(col("id").as("id_a"), col("tw").as("ta"),
+          col("tot").as("tot_a")), "id_a")
+        .join(docArr.select(col("id").as("id_b"), col("tw").as("tb"),
+          col("tot").as("tot_b")), "id_b")
+        .withColumn("icap", graft.functions.pairs.weightedIntersect(col("ta"), col("tb")))
+        .filter(col("icap") > 0L)
         .withColumn("wj", col("icap").cast(DoubleType) /
           (col("tot_a") + col("tot_b") - col("icap")).cast(DoubleType))
         .filter(col("wj") >= minWJaccard)
@@ -639,14 +665,12 @@ object Dedup {
     val bucketed = Similarity.hyperplaneBuckets(base, "v", dim, bits, bands, seed)
     val bandCols = (0 until bands).map(bi =>
       struct(lit(bi).as("band"), col(s"bucket_$bi").as("key")))
-    val cand = bucketed
+    val cand = explodeIdPairs(bucketed
       .select(col("id"), explode(array(bandCols: _*)).as("b"))
       .select(col("b.band").as("band"), col("b.key").as("key"), col("id"))
       .groupBy(col("band"), col("key"))
       .agg(sort_array(collect_list(col("id"))).as("ids"))
-      .filter(size(col("ids")).between(2, maxBucket))
-      .select(explode(pairCombos(col("ids"))).as("p"))
-      .select(col("p.a").as("id_a"), col("p.b").as("id_b"))
+      .filter(size(col("ids")).between(2, maxBucket)), "ids")
       .distinct()
     cand
       .join(base.select(col("id").as("id_a"), col("v").as("v_a")), "id_a")
@@ -678,12 +702,10 @@ object Dedup {
       maxCell: Int = 100000, sampleN: Int = 4096): DataFrame = {
     val base = emb.select(col(id).as("id"), col(vec).as("v"))
     val assigned = Similarity.assignCells(base, "v", dim, nCells, sampleN)
-    val cand = assigned
+    val cand = explodeIdPairs(assigned
       .groupBy(col("cell"))
       .agg(sort_array(collect_list(col("id"))).as("ids"))
-      .filter(size(col("ids")).between(2, maxCell))
-      .select(explode(pairCombos(col("ids"))).as("p"))
-      .select(col("p.a").as("id_a"), col("p.b").as("id_b"))
+      .filter(size(col("ids")).between(2, maxCell)), "ids")
     cand
       .join(base.select(col("id").as("id_a"), col("v").as("v_a")), "id_a")
       .join(base.select(col("id").as("id_b"), col("v").as("v_b")), "id_b")
