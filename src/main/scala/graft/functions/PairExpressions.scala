@@ -126,6 +126,61 @@ case class WeightedIntersect(left: Expression, right: Expression)
       newRight: Expression): Expression = copy(left = newLeft, right = newRight)
 }
 
+/** Count of common elements of two arrays of (bigint, string) structs,
+  * each sorted ascending by that struct order (sort_array's (long asc,
+  * binary-string asc) — the rare-first canonical order of the
+  * prefix-filter join). One merge pass; equals
+  * size(array_intersect(...)) on the projected string field whenever
+  * the long field is a FUNCTION of the string (a global df) and
+  * elements are distinct within each array — exactly the
+  * prefixJaccardPairs invariants. Assumes non-null elements/fields
+  * (collect_list-built).
+  */
+object SortedCommonCountUtil {
+  def count(a: ArrayData, b: ArrayData): Long = {
+    val n = a.numElements(); val m = b.numElements()
+    var i = 0; var j = 0
+    var s = 0L
+    while (i < n && j < m) {
+      val ra = a.getStruct(i, 2); val rb = b.getStruct(j, 2)
+      val da = ra.getLong(0); val db = rb.getLong(0)
+      var c = java.lang.Long.compare(da, db)
+      if (c == 0) c = ra.getUTF8String(1).compareTo(rb.getUTF8String(1))
+      if (c == 0) { s += 1L; i += 1; j += 1 }
+      else if (c < 0) i += 1
+      else j += 1
+    }
+    s
+  }
+}
+
+case class SortedCommonCount(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def prettyName: String = "sorted_common_count"
+  override def dataType: DataType = LongType
+
+  private def okArr(dt: DataType): Boolean = dt match {
+    case ArrayType(StructType(Array(f0, f1)), _) =>
+      f0.dataType == LongType && f1.dataType == StringType
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (okArr(left.dataType) && okArr(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires two array<struct<bigint,string>> arguments, got " +
+        s"${left.dataType.catalogString}/${right.dataType.catalogString}")
+
+  override protected def nullSafeEval(l: Any, r: Any): Any =
+    SortedCommonCountUtil.count(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (l, r) => s"graft.functions.SortedCommonCountUtil.count($l, $r)")
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): Expression = copy(left = newLeft, right = newRight)
+}
+
 /** Column-API surface. */
 object pairs {
   import org.apache.spark.sql.Column
@@ -136,4 +191,7 @@ object pairs {
 
   def weightedIntersect(a: Column, b: Column): Column =
     bridge.column(WeightedIntersect(bridge.expression(a), bridge.expression(b)))
+
+  def sortedCommonCount(a: Column, b: Column): Column =
+    bridge.column(SortedCommonCount(bridge.expression(a), bridge.expression(b)))
 }

@@ -1,9 +1,10 @@
 package graft.functions
 
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.types.{DataType, StringType}
+import org.apache.spark.sql.types.{DataType, StringType, StructField, StructType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Unicode normalization as a native Catalyst expression.
@@ -483,6 +484,139 @@ case class PeltBreakpoints(first: Expression, second: Expression, third: Express
     copy(first = newFirst, second = newSecond, third = newThird)
 }
 
+/** Gopher-repetition statistics over a token array in ONE native pass
+  * — the declarative form materialized a bigram array (interpreted
+  * transform + concat_ws per gram), array_sort'ed it, ran an
+  * interpreted fold for the max run, and built a second trigram array
+  * plus two array_distinct probes: five interpreted O(tokens)
+  * walks per document on the corpus-filter hot path. This kernel
+  * computes the same five exact integers in one walk with hash
+  * multiset/set probes; the fractional forms are composed outside
+  * with the identical round/when arithmetic.
+  *
+  * Exactness: token equality is UTF8 binary equality (the same
+  * equality split-produced strings compare under); a bigram/trigram
+  * as a (t_i, t_{i+1}[, t_{i+2}]) tuple is equal iff the space-joined
+  * string is equal, because whitespace-split tokens contain no
+  * spaces; max-run-length over a sorted multiset IS the max
+  * multiplicity. Assumes non-null elements (split never yields null).
+  */
+object RepStatsUtil {
+  def stats(toks: org.apache.spark.sql.catalyst.util.ArrayData): InternalRow = {
+    val n = toks.numElements()
+    val seen = new java.util.HashSet[UTF8String](math.max(16, n * 2))
+    var i = 0
+    while (i < n) { seen.add(toks.getUTF8String(i)); i += 1 }
+    var maxBi = 0L
+    if (n >= 2) {
+      val bi = new java.util.HashMap[(UTF8String, UTF8String), Long](n * 2)
+      i = 0
+      while (i < n - 1) {
+        val k = (toks.getUTF8String(i), toks.getUTF8String(i + 1))
+        val c = bi.merge(k, 1L, (a, b) => a + b)
+        if (c > maxBi) maxBi = c
+        i += 1
+      }
+    }
+    var nTri = 0L
+    var nTriDistinct = 0L
+    if (n >= 3) {
+      nTri = (n - 2).toLong
+      val tri = new java.util.HashSet[(UTF8String, UTF8String, UTF8String)](n * 2)
+      i = 0
+      while (i < n - 2) {
+        tri.add((toks.getUTF8String(i), toks.getUTF8String(i + 1), toks.getUTF8String(i + 2)))
+        i += 1
+      }
+      nTriDistinct = tri.size.toLong
+    }
+    // n == 2 edge: ONE bigram → max multiplicity 1, matching the
+    // maxRunLength(size<=1 → size) branch of the declarative form
+    InternalRow(n.toLong, seen.size.toLong, maxBi, nTri, nTriDistinct)
+  }
+}
+
+case class RepStats(child: Expression) extends UnaryExpression {
+  override def prettyName: String = "rep_stats"
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_tokens", org.apache.spark.sql.types.LongType, nullable = false),
+    StructField("n_distinct", org.apache.spark.sql.types.LongType, nullable = false),
+    StructField("max_bigram", org.apache.spark.sql.types.LongType, nullable = false),
+    StructField("n_tri", org.apache.spark.sql.types.LongType, nullable = false),
+    StructField("n_tri_distinct", org.apache.spark.sql.types.LongType, nullable = false)))
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case org.apache.spark.sql.types.ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<string>, got ${other.catalogString}")
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    RepStatsUtil.stats(input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.RepStatsUtil.stats($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Count of array elements contained in a FIXED word set — the
+  * stopword / language-profile membership counter. The declarative
+  * form (`size(filter(toks, t => t.isin(words)))`) runs an
+  * interpreted lambda with an O(|words|) In-list probe per token AND
+  * allocates the filtered array; this is one compiled walk over a
+  * shared hash set. Null elements count as non-members (isin's null
+  * is not TRUE under filter). Matching binary UTF8 equality.
+  */
+object TokenSetHitsUtil {
+  private val cache = new java.util.concurrent.ConcurrentHashMap[Seq[String], java.util.HashSet[UTF8String]]()
+  def setOf(words: Seq[String]): java.util.HashSet[UTF8String] =
+    cache.computeIfAbsent(words, ws => {
+      val s = new java.util.HashSet[UTF8String](ws.size * 2)
+      ws.foreach(w => s.add(UTF8String.fromString(w)))
+      s
+    })
+  def hits(toks: org.apache.spark.sql.catalyst.util.ArrayData,
+      set: java.util.HashSet[UTF8String]): Long = {
+    val n = toks.numElements()
+    var i = 0
+    var c = 0L
+    while (i < n) {
+      if (!toks.isNullAt(i) && set.contains(toks.getUTF8String(i))) c += 1L
+      i += 1
+    }
+    c
+  }
+}
+
+case class TokenSetHits(child: Expression, words: Seq[String]) extends UnaryExpression {
+  override def prettyName: String = "token_set_hits"
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case org.apache.spark.sql.types.ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<string>, got ${other.catalogString}")
+  }
+
+  @transient private lazy val set = TokenSetHitsUtil.setOf(words)
+
+  override protected def nullSafeEval(input: Any): Any =
+    TokenSetHitsUtil.hits(
+      input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], set)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    // embed the built set as a plan reference object (serialized with
+    // the plan, shared across rows — the standard driver-object splice)
+    val setRef = ctx.addReferenceObj("tokenSet", set, "java.util.HashSet")
+    defineCodeGen(ctx, ev, c => s"graft.functions.TokenSetHitsUtil.hits($c, $setRef)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Column-API surface for the text expressions. */
 object text {
   import org.apache.spark.sql.Column
@@ -509,4 +643,10 @@ object text {
   def peltBreakpoints(s0: Column, ss0: Column, bq: Column): Column =
     bridge.column(PeltBreakpoints(bridge.expression(s0), bridge.expression(ss0),
       bridge.expression(bq)))
+
+  def repStats(toks: Column): Column =
+    bridge.column(RepStats(bridge.expression(toks)))
+
+  def tokenSetHits(toks: Column, words: Seq[String]): Column =
+    bridge.column(TokenSetHits(bridge.expression(toks), words))
 }

@@ -798,18 +798,23 @@ object Dedup {
       .groupBy(col("w")).agg(count(lit(1)).as("df"))
     // canonical rare-first order: (df asc, w asc) is a deterministic
     // total order, so every set's sorted form (and prefix) is unique
+    // the canonical (df, w) struct array is KEPT (not projected to bare
+    // tokens): both sides of a candidate pair are sorted by the same
+    // global (df asc, w asc) total order, so the verify intersection is
+    // one native merge pass (SortedCommonCount) instead of a per-pair
+    // hash-set array_intersect — df is a function of w, so the common
+    // (df, w) count equals the common-token count exactly
     val sorted = toks.select(col("id"), col("blk"), explode(col("ws")).as("w"))
       .join(tokDf, "w")
       .groupBy(col("id"), col("blk"))
       .agg(sort_array(collect_list(struct(col("df"), col("w")))).as("arr"))
-      .select(col("id"), col("blk"), expr("transform(arr, x -> x.w)").as("toks"),
-        size(col("arr")).cast(LongType).as("n"))
+      .withColumn("n", size(col("arr")).cast(LongType))
       .localCheckpoint(true) // diamond: prefix index + two array fetches
     val pref = sorted
       .withColumn("p", expr(
         s"cast(n - ($tauNum * n + ${tauDen - 1}) div $tauDen + 1 as int)"))
       .select(col("id"), col("blk"), col("n"),
-        explode(slice(col("toks"), lit(1), col("p"))).as("w"))
+        explode(expr("transform(slice(arr, 1, p), x -> x.w)")).as("w"))
     val cand = pref.as("x").join(pref.as("y"),
         col("x.w") === col("y.w") && col("x.blk") === col("y.blk") &&
           col("x.id") < col("y.id") &&
@@ -817,9 +822,9 @@ object Dedup {
           lit(tauDen) * col("x.n") >= lit(tauNum) * col("y.n"))
       .select(col("x.id").as("a"), col("y.id").as("b")).distinct()
     cand
-      .join(sorted.select(col("id").as("a"), col("toks").as("ta"), col("n").as("na")), "a")
-      .join(sorted.select(col("id").as("b"), col("toks").as("tb"), col("n").as("nb")), "b")
-      .withColumn("c", size(array_intersect(col("ta"), col("tb"))).cast(LongType))
+      .join(sorted.select(col("id").as("a"), col("arr").as("ta"), col("n").as("na")), "a")
+      .join(sorted.select(col("id").as("b"), col("arr").as("tb"), col("n").as("nb")), "b")
+      .withColumn("c", graft.functions.pairs.sortedCommonCount(col("ta"), col("tb")))
       .filter(lit(tauDen) * col("c") >= lit(tauNum) * (col("na") + col("nb") - col("c")))
       .select(col("a"), col("b"),
         round(col("c").cast(DoubleType) /

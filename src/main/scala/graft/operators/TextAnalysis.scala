@@ -28,7 +28,11 @@ object TextAnalysis {
   def tokenCountOf(toks: Column): Column = size(toks).cast(LongType)
 
   def tokenHitsOf(toks: Column, words: Seq[String]): Column =
-    size(filter(toks, t => t.isin(words.map(lit): _*))).cast(LongType)
+    // native set-membership count (graft.functions.TokenSetHits) —
+    // the filter+isin HOF ran an interpreted lambda with an
+    // O(|words|) In probe per token and allocated the filtered array;
+    // identical binary-equality count, null tokens non-members
+    graft.functions.text.tokenSetHits(toks, words)
 
   def qualityScoreOf(toks: Column, text: Column, nChars: Column): Column = {
     val nTok  = tokenCountOf(toks).cast(DoubleType)
@@ -258,25 +262,28 @@ object TextAnalysis {
     */
   def repetitionStats(docs: org.apache.spark.sql.DataFrame, id: String,
       text: String): org.apache.spark.sql.DataFrame =
-    docs.select(col(id), tokens(col(text)).as("toks"))
-      .withColumn("bi_sorted", array_sort(shinglesAll(col("toks"), 2)))
-      .withColumn("tri", shinglesAll(col("toks"), 3))
-      .withColumn("top_bi", maxRunLength(col("bi_sorted")))
+    // one native pass (graft.functions.RepStats) yields the five
+    // exact integers the five interpreted array walks produced
+    // (bigram build + sort + run-fold, trigram build, two
+    // array_distinct probes); the fractional compositions below are
+    // the identical round/when arithmetic, so results are
+    // bit-identical. least(1.0, …): overlapping repeats ("a a a a" →
+    // run 3, 4 tokens) would push the covered-token estimate past 1;
+    // the column is documented as a fraction, so cap it (oracle caps
+    // identically).
+    docs.select(col(id), graft.functions.text.repStats(tokens(col(text))).as("rs"))
       .select(col(id),
-        size(col("toks")).cast(LongType).as("n_tokens"),
-        round(lit(1.0) - size(array_distinct(col("toks"))).cast(DoubleType) /
-          size(col("toks")).cast(DoubleType), 6).as("dup_token_frac"),
-        // least(1.0, …): overlapping repeats ("a a a a" → run 3, 4
-        // tokens) would push the covered-token estimate past 1; the
-        // column is documented as a fraction, so cap it (oracle caps
-        // identically).
-        round(when(size(col("toks")) >= 2,
+        col("rs.n_tokens").as("n_tokens"),
+        round(lit(1.0) - col("rs.n_distinct").cast(DoubleType) /
+          col("rs.n_tokens").cast(DoubleType), 6).as("dup_token_frac"),
+        round(when(col("rs.n_tokens") >= 2,
           least(lit(1.0),
-            col("top_bi").cast(DoubleType) * 2.0 / size(col("toks")).cast(DoubleType)))
+            col("rs.max_bigram").cast(DoubleType) * 2.0 /
+              col("rs.n_tokens").cast(DoubleType)))
           .otherwise(0.0), 6).as("top_bigram_frac"),
-        round(when(size(col("tri")) > 0,
-          lit(1.0) - size(array_distinct(col("tri"))).cast(DoubleType) /
-            size(col("tri")).cast(DoubleType))
+        round(when(col("rs.n_tri") > 0,
+          lit(1.0) - col("rs.n_tri_distinct").cast(DoubleType) /
+            col("rs.n_tri").cast(DoubleType))
           .otherwise(0.0), 6).as("dup_trigram_frac"))
 
   /** Per-group token-distribution divergence from the whole corpus:

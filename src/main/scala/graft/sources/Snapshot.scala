@@ -1133,7 +1133,17 @@ object Snapshot {
     */
   def commit(spark: SparkSession, dir: String, df: DataFrame,
       batchId: Option[Long] = None, txnApp: Option[String] = None,
-      spec: Option[TableSpec] = None): Long = {
+      spec: Option[TableSpec] = None): Long =
+    commitCounted(spark, dir, df, batchId, txnApp, spec)._1
+
+  /** [[commit]] that also returns the rows written — the write path
+    * already counts them for the manifest metrics, so a caller that
+    * needs the admitted-row count (dedup-on-arrival's census) can skip
+    * a separate count() action over the batch.
+    */
+  def commitCounted(spark: SparkSession, dir: String, df: DataFrame,
+      batchId: Option[Long] = None, txnApp: Option[String] = None,
+      spec: Option[TableSpec] = None): (Long, Long) = {
     val base = baseManifest(spark, dir)
     val effSpec = spec.orElse(base.map(_.spec)).getOrElse(TableSpec())
     val files = writeDataFiles(spark, dir, df,
@@ -1141,12 +1151,13 @@ object Snapshot {
     // a full replace references none of the old files, so the column
     // mapping resets to identity — retained versions keep THEIR OWN
     // manifest's mapping for time travel
-    commitManifest(spark, dir, if (base.isDefined) "replace" else "init",
+    val v = commitManifest(spark, dir, if (base.isDefined) "replace" else "init",
       nullable(df.schema).toDDL, files, batchId, txnApp, base,
       metrics = Map("files_added" -> files.size.toLong,
         "rows_written" -> files.map(_.rows).sum),
       mappingOverride = Some((Map.empty, Set.empty)),
       specOverride = Some(effSpec))
+    (v, files.map(_.rows).sum)
   }
 
   /** ALTER the table's layout/stats spec ([[TableSpec]]) — a
@@ -1182,7 +1193,12 @@ object Snapshot {
     * null-filled); columns `df` lacks stay, with the new rows null.
     */
   def append(spark: SparkSession, dir: String, df: DataFrame,
-      batchId: Option[Long] = None, txnApp: Option[String] = None): Long = {
+      batchId: Option[Long] = None, txnApp: Option[String] = None): Long =
+    appendCounted(spark, dir, df, batchId, txnApp)._1
+
+  /** [[append]] returning (version, rows written) — see [[commitCounted]]. */
+  def appendCounted(spark: SparkSession, dir: String, df: DataFrame,
+      batchId: Option[Long] = None, txnApp: Option[String] = None): (Long, Long) = {
     val base = baseManifest(spark, dir)
     val schema = nullable(base.map(m => mergeSchemas(m.schema, df.schema)).getOrElse(df.schema))
     val mapping = base match {
@@ -1194,11 +1210,12 @@ object Snapshot {
     val files = writeDataFiles(spark, dir, df,
       base.map(_.constraints).getOrElse(Map.empty), mapping,
       base.map(_.spec).getOrElse(TableSpec()))
-    commitManifest(spark, dir, "append", schema.toDDL,
+    val v = commitManifest(spark, dir, "append", schema.toDDL,
       base.map(_.files).getOrElse(Seq.empty) ++ files, batchId, txnApp, base,
       metrics = Map("files_added" -> files.size.toLong,
         "rows_written" -> files.map(_.rows).sum),
       mappingOverride = Some((mapping, base.map(_.retired).getOrElse(Set.empty))))
+    (v, files.map(_.rows).sum)
   }
 
   /** Evolve `cur` by `incoming`: unknown fields append (nullable), a

@@ -122,13 +122,20 @@ object IncrementalDedup {
       val admitted = survivors.join(rejected,
         survivors(id) === rejected("rid"), "left_anti").persist()
       try {
-        val nAdmitted = admitted.count()
-
         // ── 3. publish: corpus first (the decision record), then sigs ──
-        if (Snapshot.latestVersion(spark, corpusDir).isEmpty)
-          Snapshot.commit(spark, corpusDir, admitted, Some(batchId), Some(app))
-        else
-          Snapshot.append(spark, corpusDir, admitted, Some(batchId), Some(app))
+        // The write path counts rows for its manifest metrics, so the
+        // admitted census comes from commitCounted/appendCounted — a
+        // separate count() action per wave was pure overhead. The
+        // corpus spec pins stats to the id column: the default spec
+        // would min/max-aggregate the TEXT column per file, whose
+        // encoded stats are then dropped anyway (> MaxStatsStringLen)
+        // — all cost, no pruning.
+        val nAdmitted =
+          if (Snapshot.latestVersion(spark, corpusDir).isEmpty)
+            Snapshot.commitCounted(spark, corpusDir, admitted, Some(batchId), Some(app),
+              spec = Some(Snapshot.TableSpec(statsCols = Seq(id))))._2
+          else
+            Snapshot.appendCounted(spark, corpusDir, admitted, Some(batchId), Some(app))._2
         val admittedSigs = newSigs.join(
           admitted.select(col(id).as("aid")),
           newSigs("id") === col("aid"), "left_semi")
